@@ -1,0 +1,200 @@
+"""Deduplication operators (SURVEY.md §2.2i; 100 TB LLM-pipeline surface).
+
+Four tiers, all expressed as DataFrame plans:
+
+- ``exact_dedup``: hash-groupBy on md5(text). One shuffle on the 128-bit hash
+  (uniform keys, no skew) — the canonical 100 TB exact dedup.
+- ``minhash_*``: MinHash + LSH banding. Shingle → k independent min-hashes
+  (xxhash64 with per-permutation seeds, all JVM built-ins) → band signatures →
+  candidate pairs via an equi-join on (band, band_hash) — O(candidates), never
+  the O(n²) all-pairs product. Candidates are then verified with exact
+  Jaccard over distinct shingles.
+- ``simhash``: 16-bit sign-sum fingerprint from md5 bits, groupable /
+  hamming-comparable; fully deterministic and dialect-portable.
+- ``jaccard_similar_pairs``: exact token-set Jaccard over a blocking key
+  (e.g. same lang) — the small-scale oracle-checkable variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by md5; keep the minimum id as survivor."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keep"))
+    )
+
+
+def _shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Distinct k-token shingles per document (word shingling)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .filter(n >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("_toks") - k)).alias("_i"),
+            F.col("_toks"),
+        )
+        .select("doc_id", F.array_join(F.slice("_toks", F.col("_i") + 1, k), " ").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: array of ``num_hashes`` min(xxhash64(shingle, seed_i)).
+
+    Stays entirely in whole-stage codegen (xxhash64 is a JVM built-in); the
+    only shuffle is the per-doc aggregation.
+    """
+    sh = _shingles(docs, text_col, id_col, shingle_k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH banding + exact-Jaccard verification.
+
+    Returns (d1, d2, jac) with d1 < d2 and exact shingle-Jaccard ≥ threshold.
+    Candidate generation joins on (band_index, hash-of-band-slice): at 100 TB
+    this is a uniform-key equi-join whose output is only the colliding pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("signature"),
+    ).select(
+        "doc_id",
+        "band",
+        F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("bh"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = _shingles(docs, text_col, id_col, shingle_k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cand.join(a, "d1").join(b, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("i").cast("double") / (F.col("s1") + F.col("s2") - F.col("i"))).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    return jac
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """16-bit SimHash: per token, md5 hex chars vote ±1 per bit position; the
+    sign of each bit-sum forms the fingerprint. Deterministic and portable
+    (same md5 bytes in any engine)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        F.md5("tok").alias("h"),
+    ).select(
+        "doc_id",
+        "j",
+        F.when(
+            F.substring(F.col("h"), F.col("j") + 1, 1).isin(*"89abcdef"), 1
+        ).otherwise(-1).alias("v"),
+    )
+    bit = votes.groupBy("doc_id", "j").agg(
+        F.when(F.sum("v") >= 0, 1).otherwise(0).alias("bit")
+    )
+    return bit.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2), F.col("j")).cast("bigint")).cast("bigint").alias("sim16")
+    )
+
+
+def jaccard_similar_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard for pairs sharing a blocking key.
+
+    The blocking key bounds the pair space (classic blocking dedup); the join
+    is token-equi within the block, so cost is Σ_token df(token)² per block,
+    not n². For 100 TB, swap the block for LSH bands (minhash_near_dup_pairs).
+    """
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(block_col).alias("blk"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.select(F.col("doc_id").alias("d1"), "blk", "tok")
+    b = tok.select(F.col("doc_id").alias("d2"), "blk", "tok")
+    inter = (
+        a.join(b, ["blk", "tok"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2")), "d2")
+        .select(
+            "d1", "d2",
+            (F.col("i").cast("double") / (F.col("s1") + F.col("s2") - F.col("i"))).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )

@@ -1,0 +1,95 @@
+"""Vector similarity search (SURVEY.md §2.2i; EDBT'19/'20 lineage per PAPERS.md).
+
+- ``cosine_topk``: brute-force cosine against a query vector using built-in
+  higher-order functions (``zip_with`` + ``aggregate``) — no UDF, stays in
+  codegen. O(n·d) per query; the correctness baseline.
+- ``srp_ann_topk``: signed-random-projection LSH. Each vector gets a b-bit
+  signature (sign of dot with deterministic seeded hyperplanes, broadcast as
+  literal arrays); candidates = vectors sharing a signature in any of
+  ``tables`` independent signature sets; exact cosine is computed only on
+  candidates. At 100 TB this turns a full scan per query into a few
+  bucket-joins on uniform integer keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a: Column | str) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec`` (deterministic
+    tie-break on id). Rounded to 4 dp so ordering is engine-portable."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = _dot(F.col(vec_col), q) / (F.sqrt(_norm2(F.col(vec_col))) * F.sqrt(_norm2(q)))
+    simr = F.round(sim.cast("decimal(18,6)"), 4).cast("double")
+    return (
+        vectors.select(F.col(id_col), simr.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def srp_signature(vec_col: str, planes: np.ndarray) -> Column:
+    """b-bit signed-random-projection signature as a bigint, via built-ins."""
+    bits = []
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = _dot(F.col(vec_col), lit_plane)
+        bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("bigint")
+
+
+def srp_ann_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of LSH buckets matching the query's signature
+    across ``tables`` hash tables, then exact cosine within candidates."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(len(query_vec), bits, tables, seed)
+
+    cand = None
+    for t in range(tables):
+        qsig = int(sum((1 << j) for j in range(bits) if planes[t, j] @ qv >= 0))
+        part = vectors.filter(srp_signature(vec_col, planes[t]) == F.lit(qsig))
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.dropDuplicates([id_col])
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -1,0 +1,77 @@
+"""Text-analysis operators (SURVEY.md §2.2i — LLM-pipeline surface).
+
+All built-ins (split/explode/regexp/length/md5): whole-stage codegen, no
+Python in the hot path. Token-level aggregations are two-level (per-doc then
+global) so the global shuffle moves counts, not tokens — the 100 TB pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Common-subset regex (Java + RE2): word-ish / number / single punctuation.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
+    """Global top-N vocabulary by whitespace tokenization."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top_n)
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token accounting: whitespace tokens, BPE-ish regex tokens, and
+    the chars/4 heuristic estimate used for budget planning."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("n_ws"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).alias("n_bpe"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("bigint").alias("n_est"),
+    )
+
+
+def text_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "data"),
+) -> DataFrame:
+    """Heuristic quality features: token count, mean token length, stopword
+    ratio, uppercase-start ratio. Emitted as 4-dp doubles (portable)."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    sw_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+
+    def r4(c):
+        return F.round(c.cast("decimal(18,6)"), 4).cast("double")
+
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        r4(F.length(F.col(text_col)).cast("double") / n_tok).alias("chars_per_tok"),
+        r4(n_stop.cast("double") / n_tok).alias("stop_ratio"),
+    )
+
+
+def char_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     gram: int = 8) -> DataFrame:
+    """Deterministic document fingerprint: min md5 over sliding character
+    k-grams (winnowing-style min-sampling with window = whole doc)."""
+    return (
+        docs.filter(F.length(F.col(text_col)) >= gram)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)) - (gram - 1))).alias("i"),
+            F.col(text_col),
+        )
+        .select(F.col(id_col), F.md5(F.expr(f"substr({text_col}, i, {gram})")).alias("g"))
+        .groupBy(id_col)
+        .agg(F.min("g").alias("fp"))
+    )

@@ -1,0 +1,197 @@
+"""Time & CDC composite queries — Q13 (as-of), Q46–Q51 (SURVEY.md §2.2j, §2.3).
+
+These exercise the composite operators in ``inspectadb_spark.operators``; the
+oracle derives the identical cdc_orders fixture inside a CTE so both engines
+see the same relation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.cdc import apply_changelog, scd2_history
+from inspectadb_spark.operators.sessionize import sessionize
+from inspectadb_spark.queries.registry import dec, dsum, query, tables
+from inspectadb_spark.queries.relational import _Q15_BODY  # noqa: F401 (Q51 reuse)
+from inspectadb_spark.sources.cdc import CDC_ORDERS_CTE, derive_cdc_orders
+
+
+# --------------------------------------------------------------------------
+# Q13 as-of: for each purchase, the most recent prior click by the same user
+# (union-merge window formulation — identical shape in both engines).
+@query(
+    "q13_asof_join",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT event_id, user_id, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN event_id END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      FROM u
+    )
+    SELECT event_id, last_click FROM w WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["events"]
+    u = e.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        u.select(
+            "event_id",
+            "event_type",
+            F.max(F.when(F.col("event_type") == "click", F.col("event_id"))).over(w).alias("last_click"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "last_click")
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q46 CDC change-log apply → current state
+@query(
+    "q46_cdc_apply",
+    oracle=f"""
+    WITH {CDC_ORDERS_CTE},
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY lsn DESC) AS rn
+      FROM cdc_orders
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM ranked WHERE rn = 1 AND op <> 'd'
+    ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = derive_cdc_orders(tables(spark, sf_dir)["orders"])
+    return (
+        apply_changelog(cdc, ["o_orderkey"], order_col="lsn", op_col="op")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q47 SCD2 history (validity intervals per key version)
+@query(
+    "q47_scd2",
+    oracle=f"""
+    WITH {CDC_ORDERS_CTE}
+    SELECT o_orderkey, lsn, lsn AS valid_from,
+           LEAD(lsn) OVER (PARTITION BY o_orderkey ORDER BY lsn) AS valid_to
+    FROM cdc_orders ORDER BY o_orderkey, lsn LIMIT 1000
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = derive_cdc_orders(tables(spark, sf_dir)["orders"])
+    return (
+        scd2_history(cdc, ["o_orderkey"], order_col="lsn")
+        .select("o_orderkey", "lsn", "valid_from", "valid_to")
+        .orderBy("o_orderkey", "lsn")
+        .limit(1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q48 gap-based sessionization (batch analog of streaming session windows)
+@query(
+    "q48_sessionize",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM x
+    )
+    SELECT user_id, session_id, COUNT(*) AS n, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["events"]
+    s = sessionize(e, "user_id", "ts", "event_id", "INTERVAL 30 MINUTE")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q49 tumbling window aggregation (batch analog of streaming S2)
+@query(
+    "q49_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS n, {dsum('value', 'sv')}
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").getField("start").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"),
+             F.expr(f"CAST(SUM({dec('value')}) AS DOUBLE)").alias("sv"))
+        .orderBy("w", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q50 sliding window aggregation (1h windows every 15min; S2b analog)
+@query(
+    "q50_sliding",
+    oracle=f"""
+    WITH ks AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
+    w AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS wstart,
+             event_type, value
+      FROM events CROSS JOIN ks
+    )
+    SELECT wstart, event_type, COUNT(*) AS n, {dsum('value', 'sv')}
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").getField("start").alias("wstart"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"),
+             F.expr(f"CAST(SUM({dec('value')}) AS DOUBLE)").alias("sv"))
+        .orderBy("wstart", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q51 sink round-trip: write Q15's result to parquet, read it back.
+@query("q51_sink_roundtrip", oracle=_Q15_BODY)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.queries.relational import q15
+
+    out = os.path.join(tempfile.gettempdir(), f"inspectadb_q51_{os.path.basename(sf_dir.rstrip('/'))}")
+    q15(spark, sf_dir).write.mode("overwrite").parquet(out)
+    # Re-sort on read: parquet preserves values, not order (driver compare is
+    # order-insensitive, but keep the declared total order anyway).
+    return spark.read.parquet(out).orderBy("l_returnflag", "l_linestatus")

@@ -1,0 +1,233 @@
+"""LLM-data-pipeline queries — Q43–Q45 + dedup/similarity/text extensions
+(SURVEY.md §2.2i; mandated 100 TB training-data surface).
+
+SQL-expressible variants carry DuckDB oracles; MinHash-LSH and SRP-ANN use
+engine-native hashing (xxhash64) with no DuckDB analog, so they are declared
+rows-only and verified by property tests against exact brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_similar_pairs,
+    minhash_near_dup_pairs,
+    simhash,
+)
+from inspectadb_spark.operators.similarity import _dot, _norm2, srp_ann_topk
+from inspectadb_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    char_fingerprint,
+    text_quality,
+    token_counts,
+    token_stats,
+)
+from inspectadb_spark.queries.registry import query, r4, r4c, tables
+
+
+# --------------------------------------------------------------------------
+# Q43 brute-force cosine top-k vs query vector vec_id=0 (no UDF: zip_with +
+# aggregate higher-order built-ins; query side broadcast).
+@query(
+    "q43_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    z AS (
+      SELECT e.vec_id, UNNEST(e.embedding) AS x, UNNEST(q.qe) AS y
+      FROM embeddings e CROSS JOIN q
+    ),
+    s AS (
+      SELECT vec_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n1,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS n2
+      FROM z GROUP BY vec_id
+    )
+    SELECT vec_id, {r4('dot / (SQRT(n1) * SQRT(n2))')} AS sim
+    FROM s ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sim = _dot(F.col("embedding"), F.col("qe")) / (
+        F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("qe")))
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", r4c(sim).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q43b ANN via signed-random-projection LSH (rows-only; recall property-tested)
+@query("q43b_ann_srp", oracle=None)
+def q43b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["embeddings"]
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return srp_ann_topk(e, list(qvec), k=10, bits=8, tables=4, seed=42)
+
+
+# --------------------------------------------------------------------------
+# Q44 exact dedup by md5(text)
+@query(
+    "q44_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keep
+    FROM documents GROUP BY 1 ORDER BY h LIMIT 500
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    return exact_dedup(d).orderBy("h").limit(500)
+
+
+# --------------------------------------------------------------------------
+# Q44b SimHash fingerprints (votes from md5 hex chars — portable bit math)
+@query(
+    "q44b_simhash",
+    oracle="""
+    WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    js AS (SELECT UNNEST(generate_series(0, 15)) AS j),
+    v AS (
+      SELECT doc_id, j,
+             CASE WHEN SUBSTR(md5(tok), j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END AS v
+      FROM tok CROSS JOIN js
+    ),
+    b AS (SELECT doc_id, j, CASE WHEN SUM(v) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM v GROUP BY doc_id, j)
+    SELECT doc_id, CAST(SUM(bit * CAST(POWER(2, j) AS BIGINT)) AS BIGINT) AS sim16
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q44b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    return simhash(d).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q44c exact token-set Jaccard pairs within a lang block
+@query(
+    "q44c_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(ROUND(CAST(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS DECIMAL(18,6)), 4) AS DOUBLE) AS jac
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
+    ORDER BY d1, d2
+    """,
+)
+def q44c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    pairs = jaccard_similar_pairs(d, block_col="lang", threshold=0.5)
+    return pairs.select("d1", "d2", r4c(F.col("jac")).alias("jac")).orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------------
+# Q44d MinHash + LSH near-dup pairs (rows-only: xxhash64 has no DuckDB analog)
+@query("q44d_minhash_neardup", oracle=None)
+def q44d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    pairs = minhash_near_dup_pairs(d, num_hashes=32, bands=8, shingle_k=3, threshold=0.5)
+    return pairs.select("d1", "d2", r4c(F.col("jac")).alias("jac")).orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------------
+# Q45 text analysis: global top-50 vocabulary
+@query(
+    "q45_token_counts",
+    oracle="""
+    SELECT tok, COUNT(*) AS n FROM
+      (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(tables(spark, sf_dir)["documents"], top_n=50)
+
+
+# --------------------------------------------------------------------------
+# Q45b per-lang corpus stats
+@query(
+    "q45b_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q45b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q45c heuristic text-quality features
+@query(
+    "q45c_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(string_split(text, ' ')) AS INT) AS n_tok,
+           CAST(ROUND(CAST(CAST(LENGTH(text) AS DOUBLE) / LEN(string_split(text, ' '))
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS chars_per_tok,
+           CAST(ROUND(CAST(CAST(LEN(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','of','and','to','in','is','data'))) AS DOUBLE)
+                / LEN(string_split(text, ' ')) AS DECIMAL(18,6)), 4) AS DOUBLE) AS stop_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q45c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(tables(spark, sf_dir)["documents"]).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q45d token accounting (whitespace vs BPE-ish regex vs chars/4 estimate)
+@query(
+    "q45d_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(string_split(text, ' ')) AS INT) AS n_ws,
+           CAST(LEN(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT) AS n_bpe,
+           CAST(CEIL(LENGTH(text) / 4) AS BIGINT) AS n_est
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q45d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(tables(spark, sf_dir)["documents"]).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q45e character-8-gram min-md5 document fingerprint
+@query(
+    "q45e_fingerprint",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, UNNEST(generate_series(1, CAST(LENGTH(text) AS INT) - 7)) AS i
+      FROM documents WHERE LENGTH(text) >= 8
+    )
+    SELECT doc_id, MIN(md5(SUBSTR(text, i, 8))) AS fp
+    FROM pos GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q45e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_fingerprint(tables(spark, sf_dir)["documents"]).orderBy("doc_id")
