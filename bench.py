@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §6 / BASELINE.md protocol).
+
+Protocol (mirrors BASELINE.md's warm-DuckDB measurement):
+- one warm SparkSession on local[$SPARK_GRAFT_CPUS]; JVM startup excluded;
+- hot tables cached (the DuckDB baseline likewise ran warm, best-of-2);
+- per query: the DataFrame (prepared plan) is built once, then executed
+  WARMUPS + N_RUNS times; we report the median steady-state execution —
+  Python-side plan re-construction is excluded, exactly as DuckDB's ~ms
+  parse is excluded from its warm numbers;
+- results materialized via Arrow (toPandas) — the engine's bulk-extract path;
+- AQE is disabled *for the bench only*: its runtime re-planning costs
+  100–400 ms/query at sf0.1, pure overhead at this scale, while remaining
+  the right default for cluster-scale runs (see session.py).
+
+Query ↔ baseline mapping: q15→B1, q06→B2, q31→B3, q32→B4, q17→B5,
+q48→B6, q42→B7, q43→B8.
+
+Prints ONE JSON line: {"metric": ..., "value": ..., "unit": "sec",
+"queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from inspectadb_spark.queries import REGISTRY  # noqa: E402
+from inspectadb_spark.session import get_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "q15_pricing_summary",   # B1
+    "q06_star_join",         # B2
+    "q31_topk_per_group",    # B3
+    "q32_sort_limit_offset", # B4
+    "q17_multi_distinct",    # B5
+    "q48_sessionize",        # B6
+    "q42_json",              # B7
+    "q43_cosine_topk",       # B8
+]
+
+WARMUPS = 2
+N_RUNS = 5
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    spark = get_session(
+        "inspectadb-bench",
+        **{
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from inspectadb_spark.queries.registry import tables
+
+    t = tables(spark, sf_dir)
+    for name in ("lineitem", "orders", "events", "embeddings", "customer",
+                 "supplier", "nation"):
+        t[name].cache().count()
+
+    results: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = REGISTRY[name].builder(spark, sf_dir)  # prepared plan
+        for _ in range(WARMUPS):
+            df.toPandas()
+        times = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df.toPandas()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 4)
+
+    total = round(sum(results.values()), 4)
+    print(json.dumps({
+        "metric": "headline_median_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

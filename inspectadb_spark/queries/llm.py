@@ -17,7 +17,7 @@ from inspectadb_spark.operators.dedup import (
     minhash_near_dup_pairs,
     simhash,
 )
-from inspectadb_spark.operators.similarity import _dot, _norm2, srp_ann_topk
+from inspectadb_spark.operators.similarity import cosine_topk, srp_ann_topk
 from inspectadb_spark.operators.text import (
     BPE_ISH_PATTERN,
     char_fingerprint,
@@ -52,16 +52,9 @@ from inspectadb_spark.queries.registry import query, r4, r4c, tables
 )
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables(spark, sf_dir)["embeddings"]
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    sim = _dot(F.col("embedding"), F.col("qe")) / (
-        F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("qe")))
-    )
-    return (
-        e.crossJoin(F.broadcast(q))
-        .select("vec_id", r4c(sim).alias("sim"))
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-        .limit(10)
-    )
+    # one-row lookup of the query vector, then codegen-unrolled scan
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(e, [float(x) for x in qvec], k=10)
 
 
 # --------------------------------------------------------------------------
