@@ -20,6 +20,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def latest_per_key(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str = "lsn",
+) -> DataFrame:
+    """Per key, the row with the greatest ``order_col`` — *including* delete
+    tombstones. Streaming state must retain tombstones so a late lower-lsn
+    change cannot resurrect a deleted key (see streaming/cdc_stream.py)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def apply_changelog(
     changes: DataFrame,
     key_cols: Sequence[str],
@@ -33,11 +49,8 @@ def apply_changelog(
     final operation is a delete. Idempotent under re-delivery of any prefix
     (same (key, order) wins deterministically).
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
-    return (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
-        .drop("_rn")
+    return latest_per_key(changes, key_cols, order_col).filter(
+        F.col(op_col) != delete_op
     )
 
 

@@ -1,0 +1,293 @@
+"""Streaming verification S1–S6 (SURVEY.md §5.4).
+
+Prefix-consistency harness: the events table is replayed as k parquet chunks
+(file source, maxFilesPerTrigger=1, availableNow trigger); after the stream
+drains, sink contents must equal the batch run over the same files — except
+where watermark semantics *intend* divergence (S1 late-data drop, asserted
+via StreamingQueryProgress state metrics).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.sessionize import sessionize
+from inspectadb_spark.streaming import (
+    StreamingCdcApply,
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+from tests.conftest import SF_DIR
+
+N_CHUNKS = 7
+
+
+def _events_table() -> pa.Table:
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    # ns → µs UTC-aware so Spark streams it as TimestampType; floor-divide the
+    # raw nanos (same truncation as the batch source's `ts div 1000`, §1.3.1)
+    nanos = pc.cast(t.column("ts"), pa.int64())
+    micros = pc.divide(nanos, pa.scalar(1000, pa.int64()))
+    ts = pc.cast(micros, pa.timestamp("us", tz="UTC"))
+    return t.set_column(t.schema.get_field_index("ts"), "ts", ts)
+
+
+@pytest.fixture(scope="module")
+def replay_dir(tmp_path_factory):
+    """events split into N_CHUNKS row-range files, mtime-ordered."""
+    d = tmp_path_factory.mktemp("events_replay")
+    t = _events_table()
+    n = t.num_rows
+    step = (n + N_CHUNKS - 1) // N_CHUNKS
+    now = time.time()
+    for i in range(N_CHUNKS):
+        chunk = t.slice(i * step, step)
+        p = str(d / f"chunk{i:02d}.parquet")
+        pq.write_table(chunk, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _drain(df, name, mode="complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def _rows(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+# --------------------------------------------------------------------------
+# S2 tumbling window agg ≡ batch (Q49 analog)
+def test_s2_tumbling(spark, replay_dir):
+    stream = tumbling_agg(_stream(spark, replay_dir))
+    _drain(stream, "s2")
+    batch = tumbling_agg(spark.read.parquet(replay_dir))
+    assert _rows(spark.table("s2")) == _rows(batch)
+
+
+# S2b sliding window agg ≡ batch (Q50 analog)
+def test_s2b_sliding(spark, replay_dir):
+    stream = sliding_agg(_stream(spark, replay_dir))
+    _drain(stream, "s2b")
+    batch = sliding_agg(spark.read.parquet(replay_dir))
+    assert _rows(spark.table("s2b")) == _rows(batch)
+
+
+# S4 session windows ≡ batch sessionize (Q48 analog; end = last + gap)
+def test_s4_session_window(spark, replay_dir):
+    stream = session_agg(_stream(spark, replay_dir), gap="30 minutes")
+    _drain(stream, "s4")
+    got = spark.table("s4").select(
+        "user_id",
+        "start_ts",
+        (F.col("end_gap") - F.expr("INTERVAL 30 MINUTE")).alias("end_ts"),
+        "n",
+    )
+    batch = (
+        sessionize(spark.read.parquet(replay_dir), "user_id", "ts", "event_id",
+                   "INTERVAL 30 MINUTE")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"),
+             F.count("*").alias("n"))
+        .select("user_id", "start_ts", "end_ts", "n")
+    )
+    assert _rows(got) == _rows(batch)
+
+
+# S3 streaming dedup: doubled input collapses to distinct event_ids
+def test_s3_dedup(spark, replay_dir, tmp_path):
+    doubled = str(tmp_path / "doubled")
+    os.makedirs(doubled)
+    now = time.time()
+    i = 0
+    for f in sorted(os.listdir(replay_dir)):
+        for copy in ("a", "b"):
+            dst = os.path.join(doubled, f"{copy}_{f}")
+            with open(os.path.join(replay_dir, f), "rb") as src, open(dst, "wb") as out:
+                out.write(src.read())
+            os.utime(dst, (now + i, now + i))
+            i += 1
+    stream = stream_dedup(_stream(spark, doubled), ["event_id"], watermark=None)
+    _drain(stream.select("event_id"), "s3", mode="append")
+    n_distinct = spark.read.parquet(replay_dir).select("event_id").distinct().count()
+    assert spark.table("s3").count() == n_distinct
+
+
+# S1 watermark late-data drop: old chunk arriving after new chunks is dropped.
+# Two empirically verified Spark subtleties this layout accounts for:
+#   (a) the watermark used to FILTER batch N is the one computed from data up
+#       to batch N-2 (one-batch propagation lag) — hence a small "advancer"
+#       file between the new data and the late file;
+#   (b) numRowsDroppedByWatermark counts post-partial-agg GROUPS, not raw
+#       input rows — hence the distinct-(window, key) expectation.
+def test_s1_watermark_late_drop(spark, tmp_path):
+    import datetime as dt
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    t = _events_table()
+    cutoff = pa.scalar(dt.datetime(2024, 1, 3, tzinfo=dt.timezone.utc))
+    mask_new = pc.greater_equal(t.column("ts"), cutoff)
+    new_part = t.filter(mask_new)
+    old_part = t.filter(pc.invert(mask_new))
+    assert new_part.num_rows > 0 and old_part.num_rows > 0
+    now = time.time()
+    for i, (name, part) in enumerate(
+        [("a_new", new_part), ("b_adv", new_part.slice(0, 1)), ("c_old", old_part)]
+    ):
+        p = os.path.join(d, f"{name}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (now + i, now + i))
+
+    stream = tumbling_agg(_stream(spark, d), watermark="1 hour")
+    q = _drain(stream, "s1", mode="update")
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    hour = pc.floor_temporal(old_part.column("ts"), unit="hour")
+    groups = pa.table(
+        {"w": hour, "k": old_part.column("event_type")}
+    ).group_by(["w", "k"]).aggregate([]).num_rows
+    assert dropped == groups
+    # no window older than the cutoff day ever reached the sink
+    min_w = spark.table("s1").agg(F.min("w")).first()[0]
+    assert min_w >= dt.datetime(2024, 1, 3)
+
+
+# S5 stream–static enrichment join
+def test_s5_stream_static_join(spark, replay_dir):
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 2), ("error", 3), ("signup", 4), ("view", 5)],
+        ["event_type", "code"],
+    )
+    stream = _stream(spark, replay_dir).join(dim, "event_type")
+    _drain(stream.select("event_id", "code"), "s5", mode="append")
+    batch_n = spark.read.parquet(replay_dir).join(dim, "event_type").count()
+    assert spark.table("s5").count() == batch_n
+
+
+# S5b stream–stream time-bounded join (clicks within 1h before purchase)
+def test_s5b_stream_stream_join(spark, replay_dir):
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        return p, c
+
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    sp, sc = split(_stream(spark, replay_dir))
+    stream = sp.withWatermark("p_ts", "2 hours").join(
+        sc.withWatermark("c_ts", "2 hours"), cond
+    )
+    _drain(stream.select("p_id", "c_id"), "s5b", mode="append")
+    bp, bc = split(spark.read.parquet(replay_dir))
+    batch_n = bp.join(bc, cond).count()
+    assert spark.table("s5b").count() == batch_n
+
+
+# S6 arbitrary stateful op: per-user running totals via applyInPandasWithState
+def test_s6_stateful(spark, replay_dir):
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, total bigint"
+    state_schema = "total bigint"
+
+    def track(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total": [total]})
+
+    stream = (
+        _stream(spark, replay_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    _drain(stream, "s6", mode="update")
+    # updates are monotone per user: final value = max
+    got = spark.table("s6").groupBy("user_id").agg(F.max("total").alias("total"))
+    batch = spark.read.parquet(replay_dir).groupBy("user_id").agg(
+        F.count("*").alias("total")
+    )
+    assert _rows(got) == _rows(batch)
+
+
+# S7 streaming CDC apply ≡ batch apply_changelog (tombstone-correct)
+def test_s7_streaming_cdc_apply(spark, tmp_path):
+    from inspectadb_spark.operators.cdc import apply_changelog
+    from inspectadb_spark.sources.cdc import derive_cdc_orders
+    from inspectadb_spark.queries.registry import tables
+
+    cdc = derive_cdc_orders(tables(spark, SF_DIR)["orders"])
+    # write as chunks split by lsn ranges (interleaves ops across chunks)
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    rows = cdc.orderBy("lsn").collect()
+    step = (len(rows) + 4) // 5
+    schema = cdc.schema
+    now = time.time()
+    for i in range(5):
+        chunk = rows[i * step:(i + 1) * step]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage{i}"))
+        part = [f for f in os.listdir(str(tmp_path / f"stage{i}")) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"c{i:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{i}"), part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    applier = StreamingCdcApply(spark, str(tmp_path / "state"), ["o_orderkey"])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = applier.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = applier.current_state().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    want = apply_changelog(cdc, ["o_orderkey"]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    assert _rows(got) == _rows(want)
