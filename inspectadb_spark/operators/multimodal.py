@@ -1,0 +1,255 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata
+(SURVEY.md §2.2i mandated extension).
+
+Design: media is carried as an opaque ``binary`` column next to a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` transforms — the only sanctioned Python path
+(SNIPPETS.md [3]) — so each task processes a columnar batch of blobs with
+numpy, never row-at-a-time Python.
+
+Real image/audio codecs (PIL, ffmpeg, torchaudio) are not in this
+container, so the codec here is a minimal deterministic raster format —
+header ``IDBI`` + big-endian uint32 width/height (+ frame count for video)
+followed by raw grayscale bytes — generated reproducibly from a seed
+column. The Spark-side contract (schemas, batch shapes, partitioning,
+output metadata) is exactly what a real codec UDF would see; swap
+``_decode_blob``/``_encode_blob`` for PIL calls (guarded by HAVE_PIL) and
+nothing else changes.
+
+Scale notes: blobs stay columnar end-to-end (Parquet binary -> Arrow
+binary -> numpy frombuffer, zero-copy where alignment allows). Decode is a
+pure projection — no shuffle; at 100 TB tune
+``spark.sql.execution.arrow.maxRecordsPerBatch`` down so batch_bytes =
+rows x blob_size fits executor memory.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real codec slot — absent in this container, fake raster used instead
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+MAGIC = b"IDBI"  # image
+MAGIC_V = b"IDBV"  # video = frame count + concatenated frames
+
+
+# -- fake codec (deterministic; same signature a PIL codec would have) --------
+
+def _encode_blob(seed: int, width: int, height: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=width * height, dtype=np.uint8)
+    return MAGIC + struct.pack(">II", width, height) + pixels.tobytes()
+
+
+def _decode_blob(blob: bytes) -> tuple[int, int, np.ndarray]:
+    if blob[:4] != MAGIC:
+        raise ValueError("not an IDBI raster blob")
+    w, h = struct.unpack(">II", blob[4:12])
+    return w, h, np.frombuffer(blob, dtype=np.uint8, offset=12, count=w * h)
+
+
+def _encode_video(seed: int, width: int, height: int, n_frames: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=n_frames * width * height, dtype=np.uint8)
+    return MAGIC_V + struct.pack(">III", width, height, n_frames) + frames.tobytes()
+
+
+# -- Spark-side operators -----------------------------------------------------
+
+def attach_image_blobs(
+    df: DataFrame, seed_col: str = "doc_id", width: int = 16, height: int = 16
+) -> DataFrame:
+    """Attach a deterministic image payload + typed metadata struct per row.
+    Stand-in for an ingest that reads media files into a binary column."""
+    schema = StructType(
+        df.schema.fields
+        + [
+            StructField("payload", BinaryType()),
+            StructField(
+                "media_meta",
+                StructType(
+                    [
+                        StructField("modality", StringType()),
+                        StructField("width", IntegerType()),
+                        StructField("height", IntegerType()),
+                        StructField("n_bytes", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                _encode_blob(int(s), width, height) for s in pdf[seed_col]
+            ]
+            pdf = pdf.copy()
+            pdf["payload"] = blobs
+            pdf["media_meta"] = [
+                {"modality": "image", "width": width, "height": height,
+                 "n_bytes": len(b)}
+                for b in blobs
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def decode_image_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    n_bins: int = 16,
+) -> DataFrame:
+    """Decode blobs and extract numeric features (mean/std pixel + n-bin
+    histogram) in Arrow batches. This is the hot decode path a real pipeline
+    runs over billions of images — shape: binary in, fixed-width numeric out."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_px", DoubleType()),
+            StructField("std_px", DoubleType()),
+            StructField("hist", ArrayType(LongType())),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = _decode_blob(bytes(blob))
+                hist = np.bincount(px >> int(np.log2(256 // n_bins)),
+                                   minlength=n_bins)
+                rows.append(
+                    (int(i), w, h, round(float(px.mean()), 4),
+                     round(float(px.std()), 4), hist.tolist())
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "mean_px", "std_px", "hist"]
+            )
+
+    return df.mapInPandas(extract, out_schema)
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Nearest-neighbour resize, blob -> blob (same schema out as in, new
+    payload + updated metadata). With PIL present this becomes
+    ``Image.resize``; the batch plumbing is identical."""
+    schema = df.schema
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload_col]:
+                w, h, px = _decode_blob(bytes(blob))
+                img = px.reshape(h, w)
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                small = img[np.ix_(yi, xi)].ravel()
+                out.append(
+                    MAGIC + struct.pack(">II", out_w, out_h) + small.tobytes()
+                )
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            if "media_meta" in pdf.columns:
+                pdf["media_meta"] = [
+                    {**m, "width": out_w, "height": out_h, "n_bytes": len(b)}
+                    for m, b in zip(pdf["media_meta"], out)
+                ]
+            yield pdf
+
+    return df.mapInPandas(rs, schema)
+
+
+def attach_video_blobs(
+    df: DataFrame, seed_col: str = "doc_id", width: int = 8, height: int = 8,
+    n_frames: int = 12,
+) -> DataFrame:
+    """Deterministic multi-frame payloads (video stand-in)."""
+    schema = StructType(
+        df.schema.fields + [StructField("payload", BinaryType()),
+                            StructField("n_frames", IntegerType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _encode_video(int(s), width, height, n_frames)
+                for s in pdf[seed_col]
+            ]
+            pdf["n_frames"] = n_frames
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 4, id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Explode every k-th frame of a video blob into image-blob rows
+    (frame_idx, frame payload). One input row -> ceil(n/k) output rows; at
+    scale repartition AFTER sampling so the fan-out doesn't skew tasks."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                blob = bytes(blob)
+                if blob[:4] != MAGIC_V:
+                    raise ValueError("not an IDBV video blob")
+                w, h, n = struct.unpack(">III", blob[4:16])
+                fsz = w * h
+                for fi in range(0, n, every_k):
+                    px = blob[16 + fi * fsz : 16 + (fi + 1) * fsz]
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    frames.append(MAGIC + struct.pack(">II", w, h) + px)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(sample, out_schema)
+
+
+def blob_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Pure-SQL blob accounting (no decode): count + total/min/max bytes.
+    Stays entirely in codegen — the cheap pre-flight check before paying for
+    a decode pass."""
+    ln = F.length(F.col(payload_col))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(ln).cast("bigint").alias("total_bytes"),
+        F.min(ln).cast("bigint").alias("min_bytes"),
+        F.max(ln).cast("bigint").alias("max_bytes"),
+    )

@@ -1,0 +1,94 @@
+"""Data-quality checks (SURVEY.md §2.2j "inspect/automate" surface).
+
+Everything is expressed as plain aggregates / anti-joins so Catalyst keeps
+it in one scan per table: ``profile`` computes all per-column stats in a
+single pass (one row out per column, via a literal-exploded long format),
+``referential_orphans`` is a broadcast-able left-anti join, ``uniqueness``
+a count-distinct delta. At 100 TB these run as map-side partial aggregates —
+no operator here shuffles anything wider than the stat rows themselves.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column profile in ONE scan: rows, nulls, distincts, min/max
+    (rendered as strings so heterogeneous columns stack in long format)."""
+    cols = list(cols) if cols is not None else df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"{c}__n").cast("bigint").alias("n"),
+                    F.col(f"{c}__nulls").cast("bigint").alias("n_null"),
+                    F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+                    F.col(f"{c}__min").alias("min_str"),
+                    F.col(f"{c}__max").alias("max_str"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+    )
+    return stacked.select("p.*")
+
+
+def uniqueness(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key-uniqueness check: total rows, distinct keys, duplicate surplus."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("n_keys"),
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys])).alias(
+            "n_dup"
+        ),
+    )
+
+
+def referential_orphans(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Child rows whose FK has no matching parent PK (left-anti join; the
+    parent side is typically dimension-sized → broadcast)."""
+    return child.join(parent, child[fk] == parent[pk], "left_anti")
+
+
+def null_rate_violations(
+    df: DataFrame, max_null_rate: dict[str, float]
+) -> DataFrame:
+    """Columns whose null rate exceeds the declared bound; one scan."""
+    aggs = [
+        (
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias(c)
+        for c in max_null_rate
+    ]
+    rates = df.agg(*aggs)
+    stacked = rates.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("double").alias("null_rate"),
+                    F.lit(bound).alias("bound"),
+                )
+                for c, bound in max_null_rate.items()
+            ])
+        ).alias("v")
+    ).select("v.*")
+    return stacked.filter(F.col("null_rate") > F.col("bound"))

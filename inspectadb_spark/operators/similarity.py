@@ -95,6 +95,125 @@ def srp_signature(vec_col: str, planes: np.ndarray) -> Column:
     return sig.cast("bigint")
 
 
+def cosine_pairs_exact(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a, b) with a < b and
+    cosine ≥ threshold. O(n²) self-join — the correctness baseline; use
+    ``srp_near_dup_pairs`` at scale. Norms are precomputed per side so the
+    join body is one dot product."""
+    a = vectors.select(
+        F.col(id_col).alias("v1"),
+        F.col(vec_col).alias("e1"),
+        F.sqrt(_norm2(vec_col)).alias("m1"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("v2"),
+        F.col(vec_col).alias("e2"),
+        F.sqrt(_norm2(vec_col)).alias("m2"),
+    )
+    sim = _dot("e1", "e2") / (F.col("m1") * F.col("m2"))
+    simr = F.round(sim.cast("decimal(18,6)"), 4).cast("double")
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", simr.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def srp_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs at scale: candidates = pairs sharing an SRP
+    signature in ANY of ``tables`` hash tables (equi-join on (table, sig) —
+    a shuffle on uniform integer keys instead of an O(n²) cross join), then
+    exact cosine on candidates only. High-cosine pairs agree on sign bits
+    with probability 1 - θ/π per bit, so recall rises with ``tables`` and
+    falls with ``bits``; property tests pin the bound."""
+    planes = _hyperplanes(vectors.select(F.size(vec_col)).first()[0], bits, tables, seed)
+    sigs = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[srp_signature(vec_col, planes[t]).alias(f"_sig{t}") for t in range(tables)],
+    )
+    tagged = sigs.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"_sig{t}").alias("sig"))
+                for t in range(tables)
+            ])
+        ).alias("b"),
+    ).select(id_col, vec_col, F.col("b.t").alias("t"), F.col("b.sig").alias("sig"))
+    a = tagged.select(
+        F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), "t", "sig"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"), "t", "sig"
+    )
+    cand = (
+        a.join(b, ["t", "sig"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", "e1", "e2")
+        .dropDuplicates(["v1", "v2"])
+    )
+    sim = _dot("e1", "e2") / (F.sqrt(_norm2("e1")) * F.sqrt(_norm2("e2")))
+    simr = F.round(sim.cast("decimal(18,6)"), 4).cast("double")
+    return cand.select("v1", "v2", simr.alias("sim")).filter(F.col("sim") >= threshold)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: deterministic random centroids partition the collection
+    into inverted lists (cell = argmax centroid·v/|c||v|, computed scan-side
+    in codegen); a query probes only the ``n_probe`` nearest cells, then runs
+    exact cosine inside them. At 100 TB the cell id becomes a partition
+    column, so probing prunes ~(1 - n_probe/n_centroids) of the data from
+    the scan. Centroid assignment is a pure projection — no shuffle."""
+    import math
+
+    dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    # cell = argmax over centroids of cosine(v, c); greatest-of-structs gives
+    # a deterministic argmax (score, then lower centroid id via -cid)
+    vm = F.sqrt(_norm2(vec_col))
+    choices = []
+    for cid in range(n_centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in cents[cid]])
+        score = _dot(F.col(vec_col), lit_c) / vm
+        choices.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+    cell = (-F.greatest(*choices).getField("nc")).alias("_cell")
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsims = (cents @ qv) / np.linalg.norm(qv)
+    probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
+
+    assigned = vectors.select(F.col(id_col), F.col(vec_col), cell)
+    cand = assigned.filter(F.col("_cell").isin(probe)).drop("_cell")
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def srp_ann_topk(
     vectors: DataFrame,
     query_vec: list[float],

@@ -60,6 +60,50 @@ def text_quality(
     )
 
 
+# Marker stopwords per language — the classic cheap language-ID heuristic
+# (high-frequency function words are near-disjoint across these languages).
+# Declared as an ordered tuple: the CASE chain below evaluates in this order,
+# so ties break deterministically toward the earlier (lexicographic) language
+# in BOTH engines.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "mit", "ein")),
+    ("en", ("the", "a", "of", "and", "to", "in", "is", "that")),
+    ("es", ("el", "la", "que", "y", "en", "un", "es", "los")),
+    ("fr", ("le", "et", "les", "des", "est", "pour", "dans", "une")),
+    ("zh", ("的", "了", "是", "在", "我", "有", "和", "不")),
+)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language-ID: score = marker-token hits per language, predict
+    the argmax (ties → lexicographically first language, 'und' = undetermined
+    when no marker hits at all). Pure codegen: split + array filter + CASE —
+    at 100 TB this is a single scan-side projection, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+
+    # NB: the lambda must take exactly ONE parameter — F.filter treats a
+    # second parameter as the element index — so close over the marker array
+    # via a factory, not a default argument.
+    def _hits(arr):
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {}
+    for lang, markers in LANG_MARKERS:
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, _hits(arr)))
+    langs = [lang for lang, _ in LANG_MARKERS]
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = docs.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"s_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
 def char_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      gram: int = 8) -> DataFrame:
     """Deterministic document fingerprint: min md5 over sliding character

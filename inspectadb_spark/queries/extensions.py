@@ -1,0 +1,279 @@
+"""Extension queries: embedding near-dup, IVF ANN, language-ID, UDF parity,
+multimodal blobs, data-quality, format round-trips, schema drift
+(SURVEY.md §2.2a/i/j/l).
+
+Oracle notes: mapInPandas payloads use a fixed raster format whose sizes are
+schema-derivable, so blob *accounting* is oracle-checkable even though the
+pixel bytes (numpy PCG64) have no DuckDB analog; decode features are
+rows-only, verified by unit tests instead.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspectadb_spark.functions.udfs import net_price_pandas
+from inspectadb_spark.operators.multimodal import (
+    attach_image_blobs,
+    blob_stats,
+    decode_image_features,
+)
+from inspectadb_spark.operators.quality import profile, referential_orphans, uniqueness
+from inspectadb_spark.operators.similarity import cosine_pairs_exact, ivf_topk
+from inspectadb_spark.operators.text import LANG_MARKERS, lang_id
+from inspectadb_spark.queries.registry import dec, query, tables
+from inspectadb_spark.sources.files import read_with_drift, roundtrip
+
+
+def _tmp(sf_dir: str, tag: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"inspectadb_{tag}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q43c exact embedding-cosine near-duplicate pairs (threshold tuned to the
+# corpus: random 64-dim vectors top out ~0.51 pairwise cosine).
+@query(
+    "q43c_cosine_neardup",
+    oracle="""
+    WITH z AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    s AS (
+      SELECT v1, v2,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n1,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS n2
+      FROM z GROUP BY v1, v2
+    )
+    SELECT v1, v2,
+           CAST(ROUND(CAST(dot / (SQRT(n1) * SQRT(n2)) AS DECIMAL(18,6)), 4) AS DOUBLE) AS sim
+    FROM s
+    WHERE CAST(ROUND(CAST(dot / (SQRT(n1) * SQRT(n2)) AS DECIMAL(18,6)), 4) AS DOUBLE) >= 0.45
+    ORDER BY v1, v2
+    """,
+)
+def q43c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["embeddings"]
+    return cosine_pairs_exact(e, threshold=0.45).orderBy("v1", "v2")
+
+
+# --------------------------------------------------------------------------
+# Q43d IVF ANN top-k (rows-only; recall property-tested vs Q43 brute force)
+@query("q43d_ivf_topk", oracle=None)
+def q43d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["embeddings"]
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(e, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=4)
+
+
+# --------------------------------------------------------------------------
+# Q45f heuristic language-ID (marker stopword scores + deterministic argmax)
+def _langid_oracle() -> str:
+    score_cols = ",\n             ".join(
+        f"""CAST(LEN(list_filter(string_split(text, ' '),
+                 t -> t IN ({', '.join("'" + m + "'" for m in markers)}))) AS INT) AS s_{lang}"""
+        for lang, markers in LANG_MARKERS
+    )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    best = f"GREATEST({', '.join('s_' + lang for lang in langs)})"
+    case = "CASE WHEN " + f"{best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM documents
+    )
+    SELECT doc_id, {', '.join('s_' + lang for lang in langs)}, {case} AS pred_lang
+    FROM s ORDER BY doc_id
+    """
+
+
+@query("q45f_lang_id", oracle=_langid_oracle())
+def q45f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(tables(spark, sf_dir)["documents"]).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q52 UDF parity: Arrow scalar pandas UDF must agree with the codegen
+# expression / DuckDB for the same net-price aggregation.
+@query(
+    "q52_udf_parity",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM({dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) AS net,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.withColumn("net1", net_price_pandas("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("net1").cast("decimal(18,6)")).cast("double").alias("net"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q53 multimodal blob accounting: attach fixed-format image payloads via
+# mapInPandas, then pure-SQL stats. Blob size is 12-byte header + 16x16 px,
+# so the oracle derives the expected sizes from the row count alone — this
+# checks the Arrow plumbing really attached one well-formed blob per doc.
+@query(
+    "q53_multimodal_blobs",
+    oracle="""
+    SELECT COUNT(*) AS n_blobs,
+           CAST(COUNT(*) * 268 AS BIGINT) AS total_bytes,
+           CAST(268 AS BIGINT) AS min_bytes,
+           CAST(268 AS BIGINT) AS max_bytes
+    FROM documents
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    return blob_stats(attach_image_blobs(d, width=16, height=16))
+
+
+# Q53b decode + feature extraction (rows-only: pixels are numpy-PCG64)
+@query("q53b_multimodal_decode", oracle=None)
+def q53b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    blobs = attach_image_blobs(d, width=16, height=16)
+    return decode_image_features(blobs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q54 data-quality profile over orders (int/string columns: min/max rendered
+# as strings identically in both engines; doubles excluded by design).
+_DQ_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "q54_dq_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_str, CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM orders"""
+        for c in _DQ_COLS
+    )
+    + "\nORDER BY col_name",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    return profile(o, _DQ_COLS).withColumnRenamed("column", "col_name").orderBy("col_name")
+
+
+# Q54b referential + uniqueness checks as one summary row
+@query(
+    "q54b_dq_integrity",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+      (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+      (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS dup_orderkeys
+    """,
+)
+def q54b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    orphans_o = referential_orphans(t["orders"], t["customer"], "o_custkey", "c_custkey")
+    orphans_l = referential_orphans(t["lineitem"], t["orders"], "l_orderkey", "o_orderkey")
+    dup = uniqueness(t["orders"], ["o_orderkey"]).select("n_dup")
+    return (
+        orphans_o.agg(F.count(F.lit(1)).alias("orphan_orders"))
+        .crossJoin(orphans_l.agg(F.count(F.lit(1)).alias("orphan_lineitems")))
+        .crossJoin(dup.select(F.col("n_dup").alias("dup_orderkeys")))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q55 family: format round-trips. Write orders out in each format, read it
+# back schema-explicit, aggregate — must equal the direct aggregation.
+_Q55_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tot,
+       CAST(MIN(o_orderdate) AS VARCHAR) AS first_dt
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q55(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    back = roundtrip(o, _tmp(sf_dir, f"q55_{fmt}"), fmt)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("tot"),
+            F.min("o_orderdate").cast("string").alias("first_dt"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("q55_csv_roundtrip", oracle=_Q55_ORACLE)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q55(spark, sf_dir, "csv")
+
+
+@query("q55b_json_roundtrip", oracle=_Q55_ORACLE)
+def q55b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q55(spark, sf_dir, "json")
+
+
+@query("q55c_orc_roundtrip", oracle=_Q55_ORACLE)
+def q55c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q55(spark, sf_dir, "orc")
+
+
+# --------------------------------------------------------------------------
+# Q56 schema drift: two parquet generations (second adds o_channel), merged
+# read presents the unified target schema with typed NULLs for the old gen.
+@query(
+    "q56_schema_drift",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'web' END AS o_channel,
+           COUNT(*) AS n, COUNT(o_channel) AS n_set
+    FROM (SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 1 THEN 'web' END AS o_channel
+          FROM orders) t
+    GROUP BY 1 ORDER BY 1 NULLS FIRST
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    base = _tmp(sf_dir, "q56_gen1")
+    drift = _tmp(sf_dir, "q56_gen2")
+    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey").write.mode(
+        "overwrite"
+    ).parquet(base)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", F.lit("web").alias("o_channel")
+    ).write.mode("overwrite").parquet(drift)
+    target = (
+        o.select("o_orderkey", "o_custkey", F.lit("x").alias("o_channel")).limit(0).schema
+    )
+    merged = read_with_drift(spark, [base, drift], target)
+    return (
+        merged.groupBy("o_channel")
+        .agg(F.count("*").alias("n"), F.count("o_channel").alias("n_set"))
+        .orderBy(F.col("o_channel").asc_nulls_first())
+    )

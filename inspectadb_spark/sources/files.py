@@ -1,0 +1,105 @@
+"""File-format sources & sinks beyond parquet: CSV / JSON / ORC, partitioned
+layouts, and schema-drift-tolerant reads (SURVEY.md §2.2a, §2.2j).
+
+Engine rule (§1 data model): production paths always pass an explicit
+``StructType``; inference is a dev convenience only — at 100 TB a schema
+inference pass is a full extra scan of the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+# -- schema-explicit readers --------------------------------------------------
+
+def read_csv(spark: SparkSession, path: str, schema: StructType,
+             header: bool = True, **options: str) -> DataFrame:
+    return spark.read.options(header=str(header).lower(), **options).schema(
+        schema
+    ).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType,
+              **options: str) -> DataFrame:
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    # ORC embeds its schema; no explicit StructType needed
+    return spark.read.options(**options).orc(path)
+
+
+# -- sinks --------------------------------------------------------------------
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str],
+    fmt: str = "parquet", mode: str = "overwrite",
+) -> None:
+    """Partition-pruned layout: Catalyst turns filters on ``partition_cols``
+    into directory pruning (zero I/O for skipped partitions). At 100 TB pick
+    columns with bounded cardinality (date, region) — thousands of
+    partitions, not millions — and pair with sorted-within-partition writes
+    for rowgroup skipping."""
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
+    """Write ``df`` then read it back with the SAME explicit schema — the
+    ETL identity check (q51/q55 family). CSV needs timestamp/format pinning
+    to survive the text roundtrip; we write ISO-µs explicitly."""
+    spark = df.sparkSession
+    if fmt == "csv":
+        (
+            df.write.mode("overwrite")
+            .options(header="true", timestampNTZFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .csv(path)
+        )
+        return read_csv(
+            spark, path, df.schema,
+            **{"timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+        )
+    if fmt == "json":
+        (
+            df.write.mode("overwrite")
+            .options(timestampNTZFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .json(path)
+        )
+        return read_json(
+            spark, path, df.schema,
+            **{"timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+        )
+    if fmt == "orc":
+        df.write.mode("overwrite").orc(path)
+        return read_orc(spark, path)
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+# -- schema drift (CDC "automation" requirement, §2.2j) -----------------------
+
+def read_with_drift(
+    spark: SparkSession, paths: Sequence[str], target_schema: StructType
+) -> DataFrame:
+    """Read parquet written under evolving (additive) schemas and present
+    exactly ``target_schema``: union-merge the file schemas (``mergeSchema``),
+    then a cast layer fills absent columns with typed NULLs and casts
+    drifted-but-compatible types. Columns unknown to the target are dropped.
+
+    This is the batch half of CDC schema-drift tolerance: upstream adds a
+    column mid-stream, downstream keeps a stable contract."""
+    merged = spark.read.option("mergeSchema", "true").parquet(*paths)
+    cols = []
+    have = {f.name for f in merged.schema.fields}
+    for f in target_schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return merged.select(*cols)

@@ -1,0 +1,89 @@
+"""Multimodal binary-column plumbing tests: deterministic fake raster codec
+over real mapInPandas/Arrow batch paths (SURVEY.md §2.2i)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.multimodal import (
+    MAGIC,
+    attach_image_blobs,
+    attach_video_blobs,
+    blob_stats,
+    decode_image_features,
+    resize_images,
+    sample_frames,
+    _decode_blob,
+    _encode_blob,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, n=30):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(n)
+
+
+def test_codec_roundtrip_deterministic():
+    b1 = _encode_blob(7, 4, 3)
+    b2 = _encode_blob(7, 4, 3)
+    assert b1 == b2 and b1[:4] == MAGIC and len(b1) == 12 + 12
+    w, h, px = _decode_blob(b1)
+    assert (w, h, len(px)) == (4, 3, 12)
+
+
+def test_attach_and_stats(spark):
+    d = _docs(spark)
+    blobs = attach_image_blobs(d, width=8, height=8)
+    row = blob_stats(blobs).first()
+    assert row["n_blobs"] == 30
+    assert row["min_bytes"] == row["max_bytes"] == 12 + 64
+    meta = blobs.select("media_meta.modality", "media_meta.n_bytes").first()
+    assert meta[0] == "image" and meta[1] == 76
+
+
+def test_decode_features_match_local(spark):
+    d = _docs(spark, 10)
+    feats = {
+        r["doc_id"]: r
+        for r in decode_image_features(attach_image_blobs(d, width=8, height=8)).collect()
+    }
+    for doc_id in feats:
+        _, _, px = _decode_blob(_encode_blob(int(doc_id), 8, 8))
+        assert feats[doc_id]["mean_px"] == round(float(px.mean()), 4)
+        assert sum(feats[doc_id]["hist"]) == 64
+
+
+def test_resize(spark):
+    d = _docs(spark, 5)
+    small = resize_images(attach_image_blobs(d, width=16, height=16), 4, 4)
+    for r in small.select("payload", "media_meta").collect():
+        w, h = struct.unpack(">II", bytes(r["payload"])[4:12])
+        assert (w, h) == (4, 4)
+        assert r["media_meta"]["n_bytes"] == 12 + 16
+
+
+def test_video_frame_sampling(spark):
+    d = _docs(spark, 6)
+    vids = attach_video_blobs(d, width=4, height=4, n_frames=10)
+    frames = sample_frames(vids, every_k=3)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)  # frames 0,3,6,9
+    f0 = frames.filter(F.col("frame_idx") == 0).first()
+    w, h, px = _decode_blob(bytes(f0["frame"]))
+    assert (w, h, len(px)) == (4, 4, 16)
+
+
+def test_frame_pixels_match_source(spark):
+    d = _docs(spark, 3)
+    vids = attach_video_blobs(d, width=4, height=4, n_frames=6)
+    frames = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"])
+              for r in sample_frames(vids, every_k=2).collect()}
+    rng = np.random.default_rng(int(next(iter(frames))[0]))
+    allpx = rng.integers(0, 256, size=6 * 16, dtype=np.uint8)
+    doc = next(iter(frames))[0]
+    for fi in (0, 2, 4):
+        _, _, px = _decode_blob(frames[(doc, fi)])
+        assert np.array_equal(px, allpx[fi * 16 : (fi + 1) * 16])
