@@ -1,0 +1,123 @@
+"""Skew & co-location operators — the 100 TB shuffle-hygiene toolkit
+(SURVEY.md §4.2 / M8).
+
+AQE handles moderate skew at runtime (skew-join split); these helpers are
+for the cases planners can't fix:
+
+- ``salted_join``: a hot key (one user, one null-ish default) concentrates a
+  shuffle partition. Salting fans the hot side into S sub-keys and replicates
+  the other side S ways, so the hot key's rows spread over S tasks. Identical
+  results to a plain inner/left join (verified by tests).
+- ``two_level_agg``: skewed groupBy keys aggregate in two hops — first by
+  (key, salt) [spreads the hot key], then by key [merges the S partials].
+  Works for any algebraic aggregate (sum/count/min/max).
+- ``bucketed_write`` / co-located joins: pre-shuffle both sides of a
+  recurring join into the same bucket layout; subsequent equi-joins on the
+  bucket key need NO exchange (plan-audited in tests) — at 100 TB this is
+  the difference between re-shuffling terabytes per query and never
+  shuffling them again.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to left-side key skew.
+
+    Left rows get a deterministic salt from a row-content hash (xxhash64 of
+    all columns — no RNG, so retries/speculative tasks agree); right rows are
+    replicated ``salt`` times. The join key becomes (on, salt), then salt is
+    dropped. Result == left.join(right, on, how), row-for-row.
+    """
+    l_salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r_replicated = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l_salted.join(r_replicated, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def two_level_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant groupBy for algebraic aggregates.
+
+    ``aggs`` maps output column -> "fn(col)" with fn in {sum, count, min,
+    max}. Stage 1 groups by (keys, salt) — the hot key spreads across
+    ``salt`` reducers; stage 2 merges partials by keys alone (count merges
+    via sum). Result == df.groupBy(keys).agg(...) exactly, because these
+    aggregates are associative.
+    """
+    merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    first, second = [], []
+    for out_col, spec in aggs.items():
+        fn, col = spec.rstrip(")").split("(")
+        fn = fn.strip().lower()
+        if fn not in merge_fn:
+            raise ValueError(f"not algebraic: {spec!r}")
+        first.append(F.expr(f"{fn}({col})").alias(f"_p_{out_col}"))
+        second.append(F.expr(f"{merge_fn[fn]}(_p_{out_col})").alias(out_col))
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(*first)
+    return partial.groupBy(*keys).agg(*second)
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by the join key.
+
+    Both sides of a recurring join written with the SAME (col, num_buckets)
+    lets Catalyst plan a SortMergeJoin with zero Exchange — the shuffle was
+    paid once at write time. Requires saveAsTable (bucket metadata lives in
+    the catalog, not the files)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (for plan audits / shuffle counting)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan — the
+    metric to minimize; plan-audit tests pin expected values so a regression
+    that silently adds a shuffle fails CI."""
+    plan = explain_str(df, "simple")
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        # BroadcastExchange ships a dim to every executor once — not a
+        # shuffle of the data; ReusedExchange re-reads an existing one.
+        and "BroadcastExchange" not in line
+        and "Reused" not in line
+    )

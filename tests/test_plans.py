@@ -1,0 +1,126 @@
+"""Plan audits (SURVEY.md §4): assert the physical strategies we rely on at
+scale actually fire — broadcasts for dims, pushdown into parquet, top-k
+specializations, zero-exchange bucketed joins, skew helpers' correctness.
+
+These tests pin plan SHAPES, not timings, so they are stable in CI while
+still failing loudly if a code change silently adds a shuffle or drops a
+pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.scale import (
+    bucketed_write,
+    count_exchanges,
+    explain_str,
+    salted_join,
+    two_level_agg,
+)
+from inspectadb_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, qname, mode="formatted"):
+    return explain_str(REGISTRY[qname].builder(spark, SF_DIR), mode)
+
+
+def test_star_join_broadcasts_dims(spark):
+    # q06: customer/orders/lineitem chain with supplier+nation dims — the
+    # dims must come in as broadcast joins, not shuffles.
+    plan = _plan(spark, "q06_star_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_scan_prunes_and_pushes(spark):
+    plan = _plan(spark, "q15_pricing_summary")
+    # filter reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched wide columns are absent from the read schema
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_partkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_topk_specializations(spark):
+    # global ORDER BY + LIMIT -> TakeOrderedAndProject (no total sort)
+    assert "TakeOrderedAndProject" in _plan(spark, "q04_regex_topk")
+    # rank-filter pattern -> WindowGroupLimit pushdown (Spark >= 3.5)
+    assert "WindowGroupLimit" in _plan(spark, "q31_topk_per_group")
+
+
+def test_semi_anti_join_rewrites(spark):
+    assert "LeftSemi" in _plan(spark, "q09_semi_join")
+    assert "LeftAnti" in _plan(spark, "q10_anti_join")
+
+
+def test_exchange_budget_of_headline_queries(spark):
+    # pin the shuffle counts of the bench queries: a regression that adds an
+    # exchange to these is a 100 TB performance bug, not a style issue.
+    budgets = {
+        "q15_pricing_summary": 2,   # partial/final agg + sort
+        "q48_sessionize": 2,        # window shuffle + final sort
+        "q17_multi_distinct": 3,    # distinct expand + merge + sort
+    }
+    for q, budget in budgets.items():
+        n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
+        assert n <= budget, f"{q}: {n} exchanges (budget {budget})"
+
+
+# -- skew helpers: correctness ------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, customer, "o_custkey", salt=4).groupBy(
+        "c_mktsegment"
+    ).count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_level_agg_equals_plain(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    )
+    two = two_level_agg(
+        li, ["l_returnflag"],
+        {"n": "count(l_orderkey)", "mn": "min(l_quantity)", "mx": "max(l_quantity)"},
+        salt=4,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, two.collect()))
+
+
+# -- bucketing: co-located join needs no exchange -----------------------------
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/bktdb'"
+    )
+    try:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        bucketed_write(orders, "bktdb.o_b", "o_orderkey", 4, sort_col="o_orderkey")
+        bucketed_write(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bktdb.l_b", "o_orderkey", 4, sort_col="o_orderkey",
+        )
+        # force SMJ: at test scale the planner would broadcast instead (also
+        # fine, but it's the bucketed zero-shuffle path we're pinning here)
+        joined = (
+            spark.table("bktdb.o_b")
+            .hint("merge")
+            .join(spark.table("bktdb.l_b"), "o_orderkey")
+        )
+        assert count_exchanges(joined) == 0, explain_str(joined, "simple")
+        # and it still returns the right number of rows
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
