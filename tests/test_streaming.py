@@ -24,6 +24,7 @@ from inspectadb_spark.streaming import (
     session_agg,
     sliding_agg,
     stream_dedup,
+    streaming_cdc_latest,
     tumbling_agg,
 )
 from tests.conftest import SF_DIR
@@ -289,5 +290,62 @@ def test_s7_streaming_cdc_apply(spark, tmp_path):
     )
     want = apply_changelog(cdc, ["o_orderkey"]).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    assert _rows(got) == _rows(want)
+
+
+# S8 transformWithStateInPandas CDC state machine ≡ batch apply (typed state
+# store path — the per-key ValueState holds the max-lsn row incl. tombstones).
+# TWS needs protobuf (its state wire format) + the RocksDB provider; absent in
+# this container -> skip, not fake (operator is still import-/plan-checked).
+def test_s8_tws_cdc_latest(spark, tmp_path):
+    from inspectadb_spark.streaming.tws_cdc import HAVE_TWS_DEPS
+
+    if not HAVE_TWS_DEPS:
+        pytest.skip("protobuf not installed (TWS python worker dependency)")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    from inspectadb_spark.operators.cdc import latest_per_key
+    from inspectadb_spark.sources.cdc import derive_cdc_orders
+    from inspectadb_spark.queries.registry import tables
+
+    cdc = derive_cdc_orders(tables(spark, SF_DIR)["orders"])
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    rows = cdc.orderBy("lsn").collect()
+    step = (len(rows) + 2) // 3
+    schema = cdc.schema
+    now = time.time()
+    for i in range(3):
+        chunk = rows[i * step:(i + 1) * step]
+        if not chunk:
+            continue
+        stage = str(tmp_path / f"s{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"c{i:02d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    vcols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_cdc_latest(stream, "o_orderkey", vcols)
+    _drain(out, "s8", mode="update")
+
+    # final update per key (max lsn across emitted updates) must equal the
+    # batch latest-per-key fold, tombstones included
+    got = (
+        spark.table("s8")
+        .groupBy("o_orderkey")
+        .agg(F.max_by(F.struct("lsn", "op", *vcols), "lsn").alias("s"))
+        .select("o_orderkey", "s.lsn", "s.op", *[f"s.{c}" for c in vcols])
+    )
+    want = latest_per_key(cdc, ["o_orderkey"]).selectExpr(
+        "o_orderkey", "CAST(lsn AS BIGINT) AS lsn", "op",
+        *[f"CAST({c} AS STRING) AS {c}" for c in vcols],
     )
     assert _rows(got) == _rows(want)
