@@ -277,3 +277,69 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.count("o_channel").alias("n_set"))
         .orderBy(F.col("o_channel").asc_nulls_first())
     )
+
+
+# --------------------------------------------------------------------------
+# Q57 pivot: orderstatus x orderpriority counts as a wide table. Spark's
+# groupBy().pivot() with explicit values (explicit = one pass, no distinct
+# pre-scan — the 100 TB rule); the oracle spells it as conditional aggs.
+_PRIOS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@query(
+    "q57_pivot",
+    oracle="SELECT o_orderstatus, "
+    + ", ".join(
+        f"""CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS p{i}"""
+        for i, p in enumerate(_PRIOS, 1)
+    )
+    + " FROM orders GROUP BY 1 ORDER BY 1",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PRIOS))
+        .count()
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(f"p{i}")
+            for i, p in enumerate(_PRIOS, 1)
+        ],
+    )
+    return renamed.orderBy("o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# Q58 scalar + correlated subqueries (Catalyst decorrelation, SURVEY §4.1):
+# customers whose account balance exceeds their nation's average.
+@query(
+    "q58_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    ORDER BY c_custkey LIMIT 300
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.queries.registry import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_nationkey,
+               CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        ORDER BY c_custkey LIMIT 300
+        """,
+    )

@@ -183,6 +183,41 @@ def test_s1_watermark_late_drop(spark, tmp_path):
     assert min_w >= dt.datetime(2024, 1, 3)
 
 
+# Rate source (§2.2a deterministic-ish stream fixture): generates monotonic
+# (timestamp, value) rows; windowed agg over it must drain and cover every
+# generated value exactly once.
+def test_rate_source_smoke(spark):
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .option("numPartitions", "2")
+        .load()
+    )
+    agg = stream.groupBy((F.col("value") % 10).alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    )
+    # rate rows accrue in wall-clock time, so run briefly rather than
+    # availableNow (which would see an empty source at t=0)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("complete")
+        .start()
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.5)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("rate_smoke").collect()
+    total = sum(r["n"] for r in rows)
+    assert total > 0
+    # values are 0..total-1 exactly once: bucket sums reconstruct the series
+    assert sum(r["s"] for r in rows) == total * (total - 1) // 2
+
+
 # S5 stream–static enrichment join
 def test_s5_stream_static_join(spark, replay_dir):
     dim = spark.createDataFrame(
