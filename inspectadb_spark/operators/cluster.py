@@ -1,0 +1,79 @@
+"""Near-duplicate clustering: connected components over a similar-pairs edge
+list, and canonical-survivor selection (SURVEY.md §2.2i — the step after
+pair generation in a real dedup pipeline: groups {A~B, B~C} must collapse to
+ONE kept document even though (A,C) was never directly compared).
+
+Algorithm: iterative min-label propagation (the standard distributed
+connected-components loop, cf. large-star/small-star): every node starts as
+its own component; each round, a node adopts the minimum component id among
+itself and its neighbours; stop when no label changes. Rounds needed =
+graph diameter (near-dup clusters are shallow — a handful of rounds); each
+round is one equi-join + one agg, all shuffles on uniform ids. The loop
+lives on the driver but only moves a single change-count per round —
+the data never leaves executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component = min
+    node id reachable. Deterministic for any edge order."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    for _ in range(max_iters):
+        # each node's candidate label: min over its own and neighbours' labels
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(F.col("a").alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.comp") != F.col("n.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """Collapse near-duplicate clusters: keep exactly one survivor per
+    component (the min id — deterministic), plus all never-matched docs.
+    This is the operator a training-data pipeline runs after
+    ``minhash_near_dup_pairs``/``cosine_pairs_exact``."""
+    comps = connected_components(pairs, src, dst)
+    survivors = comps.groupBy("comp").agg(F.min("node").alias(id_col)).select(id_col)
+    in_cluster = comps.select(F.col("node").alias(id_col))
+    untouched = docs.join(in_cluster, id_col, "left_anti")
+    kept = docs.join(survivors, id_col, "left_semi")
+    return untouched.unionByName(kept)

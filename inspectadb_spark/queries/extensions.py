@@ -343,3 +343,42 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey LIMIT 300
         """,
     )
+
+
+# --------------------------------------------------------------------------
+# Q44e near-dup clusters: connected components over the (oracle-checkable)
+# Jaccard pair list. Spark runs iterative min-label propagation; DuckDB's
+# recursive CTE computes the same transitive closure exactly.
+@query(
+    "q44e_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+    )
+    SELECT node, MIN(r) AS comp FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def q44e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.cluster import connected_components
+    from inspectadb_spark.operators.dedup import jaccard_similar_pairs
+
+    d = tables(spark, sf_dir)["documents"]
+    pairs = jaccard_similar_pairs(d, block_col="lang", threshold=0.5)
+    return connected_components(pairs).orderBy("node")

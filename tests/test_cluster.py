@@ -1,0 +1,74 @@
+"""Connected-components dedup clustering + partitioned-sink pruning tests."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.cluster import connected_components, dedup_keep_canonical
+
+
+def test_components_chain_and_islands(spark):
+    # chain 1-2-3 (one comp), pair 10-11, isolated edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["d1", "d2"]
+    )
+    comps = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == comps[11] == 10
+    assert comps[20] == comps[21] == 20
+
+
+def test_components_transitive_long_chain(spark):
+    # 0-1-2-...-9: diameter forces multiple propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], ["d1", "d2"])
+    comps = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert set(comps.values()) == {0}
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(8)], ["doc_id", "text"]
+    )
+    # clusters {1,2,3} and {5,6}; docs 0,4,7 untouched
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["d1", "d2"])
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [0, 1, 4, 5, 7]
+
+
+def test_end_to_end_minhash_to_clusters(spark):
+    from tests.test_properties import _plant_near_dups
+    from inspectadb_spark.operators.dedup import minhash_near_dup_pairs
+
+    corpus, truth = _plant_near_dups(spark, n_docs=40, n_dups=8)
+    pairs = minhash_near_dup_pairs(corpus, num_hashes=32, bands=8, threshold=0.5)
+    deduped = dedup_keep_canonical(corpus, pairs)
+    n_corpus = corpus.count()
+    n_found_pairs = pairs.count()
+    # every found pair removes exactly one doc (all clusters here are size 2
+    # at jaccard >= 0.5; planted copies only match their original)
+    assert deduped.count() == n_corpus - n_found_pairs
+    # survivors are the original (lower) ids
+    kept_ids = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    for orig, copy in truth:
+        if copy not in kept_ids:  # pair was found and collapsed
+            assert orig in kept_ids
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    from inspectadb_spark.operators.scale import explain_str
+    from inspectadb_spark.sources.files import write_partitioned
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, out, ["o_orderstatus"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("o_orderstatus=")
+    ), "hive-style partition dirs expected"
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = explain_str(back, "formatted")
+    # the filter became a partition filter on the scan — zero I/O for others
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
