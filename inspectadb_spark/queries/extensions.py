@@ -382,3 +382,38 @@ def q44e(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     pairs = jaccard_similar_pairs(d, block_col="lang", threshold=0.5)
     return connected_components(pairs).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Q59 hierarchical rollup (continuous-aggregate pattern): the daily answer is
+# computed FROM the hourly materialization, never from raw rows — valid
+# because the decimal SUM and COUNT are associative (the engine's money-math
+# rule, registry.py). At 100 TB this is the hypertable trick: each coarser
+# tier re-aggregates ~24x fewer rows than raw. The oracle aggregates raw
+# directly — the two must agree exactly.
+@query(
+    "q59_hierarchical_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('day', ts) AS d, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv_dec"),
+    )
+    daily = (
+        # cast to DATE: Spark's date_trunc keeps timestamp type, DuckDB's is DATE
+        hourly.groupBy(F.date_trunc("day", "h").cast("date").alias("d"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sv_dec").cast("double").alias("sv"),
+        )
+        .orderBy("d", "event_type")
+    )
+    return daily.select("d", "event_type", "n", "sv")
