@@ -218,6 +218,29 @@ def test_rate_source_smoke(spark):
     assert sum(r["s"] for r in rows) == total * (total - 1) // 2
 
 
+# Streaming parquet file sink (append mode + checkpoint): the durable-sink
+# path — exactly-once via the sink's commit log, re-readable as a table.
+def test_parquet_sink_append(spark, replay_dir, tmp_path):
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    stream = _stream(spark, replay_dir).select("event_id", "event_type", "value")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.parquet(out)
+    src = spark.read.parquet(replay_dir)
+    assert back.count() == src.count()
+    assert sorted(r[0] for r in back.select("event_id").collect()) == sorted(
+        r[0] for r in src.select("event_id").collect()
+    )
+
+
 # S5 stream–static enrichment join
 def test_s5_stream_static_join(spark, replay_dir):
     dim = spark.createDataFrame(
