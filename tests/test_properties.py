@@ -79,6 +79,23 @@ def test_p2_srp_ann_recall(spark, qid):
     assert _recall_vs_exact(spark, ann, qvec) >= 0.3
 
 
+def test_p2b_srp_near_dup_pairs_recall(spark):
+    from inspectadb_spark.operators.similarity import (
+        cosine_pairs_exact,
+        srp_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["v1"], r["v2"]) for r in cosine_pairs_exact(e, 0.4).collect()}
+    got = {(r["v1"], r["v2"])
+           for r in srp_near_dup_pairs(e, 0.4, bits=4, tables=8).collect()}
+    # precision is 1 by construction (exact cosine verifies candidates)
+    assert got <= exact
+    # sign-bit agreement p = 1 - θ/π ≈ 0.63 at cos 0.4; banding recall
+    # 1-(1-p^4)^8 ≈ 0.75 — measured 0.82 on this (deterministic) corpus
+    assert len(exact & got) / max(1, len(exact)) >= 0.7
+
+
 @pytest.mark.parametrize("qid", [0, 17])
 def test_p3_ivf_recall(spark, qid):
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
