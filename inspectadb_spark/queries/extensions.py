@@ -417,3 +417,107 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d", "event_type")
     )
     return daily.select("d", "event_type", "n", "sv")
+
+
+# --------------------------------------------------------------------------
+# Q42b structured JSON parsing: from_json with an explicit schema (the
+# production path — one parse per row into a typed struct, vs per-field
+# get_json_object re-parses in q42).
+@query(
+    "q42b_from_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sk,
+           CAST(MIN(CAST(props ->> '$.k' AS INT)) AS INT) AS mn,
+           CAST(MAX(CAST(props ->> '$.k' AS INT)) AS INT) AS mx,
+           COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q42b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("p.k").cast("bigint").alias("sk"),
+            F.min("p.k").cast("int").alias("mn"),
+            F.max("p.k").cast("int").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q60 interval/range join, explicit (SURVEY §2.2c last row): per purchase,
+# clicks by the same user in the preceding hour. Equi-key on user_id keeps
+# the join bounded; the range predicate filters within each key group — at
+# 100 TB this is the stream-stream join's batch shape (S5b analog).
+@query(
+    "q60_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, COUNT(c.event_id) AS clicks_1h
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    joined = p.join(
+        c.withColumnRenamed("user_id", "c_user"),
+        (F.col("user_id") == F.col("c_user")) & cond,
+        "left",
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count("click_id").alias("clicks_1h"))
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q61 NOT IN three-valued logic (null-aware anti join, SURVEY §4.1): with a
+# NULL in the subquery result NOT IN yields no rows; the engine must plan a
+# null-aware anti join, not a plain one.
+@query(
+    "q61_not_in_3vl",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS plain,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey = -1 THEN o_custkey END
+                               FROM orders)) AS with_null
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.queries.registry import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS plain,
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey = -1 THEN o_custkey END
+                                   FROM orders)) AS with_null
+        """,
+    )
