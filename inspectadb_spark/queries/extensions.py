@@ -521,3 +521,31 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    FROM orders)) AS with_null
         """,
     )
+
+
+# --------------------------------------------------------------------------
+# Q62 UDTF lateral join: the table-function path (one doc row -> token rows)
+# must reproduce the built-in explode pipeline's vocabulary counts. Uses the
+# arrow-optimized UDTF if available.
+@query(
+    "q62_udtf_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n FROM
+      (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 30
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.functions.udfs import SplitWordsUDTF
+    from inspectadb_spark.queries.registry import sql
+
+    spark.udtf.register("split_words", SplitWordsUDTF)
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT t.word AS tok, COUNT(*) AS n
+        FROM documents d, LATERAL split_words(d.text) t
+        GROUP BY 1 ORDER BY n DESC, tok LIMIT 30
+        """,
+    )

@@ -281,7 +281,67 @@ def test_s5b_stream_stream_join(spark, replay_dir):
     assert spark.table("s5b").count() == batch_n
 
 
-# S6 arbitrary stateful op: per-user running totals via applyInPandasWithState
+# S5c stream–stream LEFT OUTER join: unmatched left rows must emit with null
+# extension once the watermark passes their join window. Outer results only
+# materialize when BOTH sides' watermarks advance beyond the bound, so the
+# replay appends two far-future "pusher" files (watermark propagation also
+# lags one batch — see S1).
+def test_s5c_stream_stream_left_outer(spark, tmp_path):
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    main = [
+        (1, ts(150), 100, "click", 1.0, "{}"),
+        (2, ts(200), 100, "purchase", 2.0, "{}"),   # matches click@150 (50s gap)
+        (3, ts(300), 200, "purchase", 3.0, "{}"),   # user 200 never clicks
+        (4, ts(500), 300, "purchase", 4.0, "{}"),
+        (5, ts(10_000), 300, "click", 5.0, "{}"),   # click AFTER purchase: no match
+    ]
+    push1 = [(90, ts(1_000_000), 999, "click", 0.0, "{}"),
+             (91, ts(1_000_000), 999, "purchase", 0.0, "{}")]
+    push2 = [(92, ts(2_000_000), 999, "click", 0.0, "{}"),
+             (93, ts(2_000_000), 999, "purchase", 0.0, "{}")]
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    d = str(tmp_path / "so")
+    os.makedirs(d)
+    now = time.time()
+    for i, rows in enumerate([main, push1, push2]):
+        p = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(p)
+        part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"f{i}.parquet")
+        os.rename(os.path.join(p, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    def sides(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        return p, c
+
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    src = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    sp, sc = sides(src)
+    joined = sp.withWatermark("p_ts", "30 seconds").join(
+        sc.withWatermark("c_ts", "30 seconds"), cond, "leftOuter"
+    )
+    _drain(joined.select("p_id", "c_id"), "s5c", mode="append")
+    got = {(r["p_id"], r["c_id"]) for r in spark.table("s5c").collect()
+           if r["p_id"] < 90}
+    assert got == {(2, 1), (3, None), (4, None)}
 def test_s6_stateful(spark, replay_dir):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
