@@ -88,8 +88,19 @@ def stream_dedup(
     keys: list[str],
     ts_col: str = "ts",
     watermark: str | None = "1 hour",
+    within_watermark: bool = False,
 ) -> DataFrame:
     """Exactly-once-ish re-delivery tolerance: drop duplicate keys within the
-    watermark horizon (state = seen keys, GC'd by the watermark)."""
+    watermark horizon (state = seen keys, GC'd by the watermark).
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark`` (Spark
+    ≥3.5): keys match even when the duplicates carry DIFFERENT event times
+    (e.g. a producer re-send stamped at arrival), as long as they fall
+    inside the watermark delay of first sight — the right semantics for
+    at-least-once sources whose retries re-stamp the record."""
     df = _with_watermark(events, ts_col, watermark)
+    if within_watermark:
+        if not watermark:
+            raise ValueError("within_watermark dedup requires a watermark")
+        return df.dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)

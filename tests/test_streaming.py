@@ -140,6 +140,37 @@ def test_s3_dedup(spark, replay_dir, tmp_path):
     assert spark.table("s3").count() == n_distinct
 
 
+# S3b dropDuplicatesWithinWatermark: re-sent records with re-stamped event
+# times (within the delay) still dedup — plain dropDuplicates would keep both.
+def test_s3b_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    schema = "event_id bigint, ts timestamp"
+    first = [(1, ts(0)), (2, ts(10))]
+    resend = [(1, ts(120)), (3, ts(130))]  # id 1 re-stamped 2 min later
+    d = str(tmp_path / "dw")
+    os.makedirs(d)
+    now = time.time()
+    for i, rows in enumerate([first, resend]):
+        p = str(tmp_path / f"st{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(p)
+        part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"f{i}.parquet")
+        os.rename(os.path.join(p, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    src = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    out = stream_dedup(src, ["event_id"], watermark="10 minutes",
+                       within_watermark=True)
+    _drain(out.select("event_id"), "s3b", mode="append")
+    assert sorted(r[0] for r in spark.table("s3b").collect()) == [1, 2, 3]
+
+
 # S1 watermark late-data drop: old chunk arriving after new chunks is dropped.
 # Two empirically verified Spark subtleties this layout accounts for:
 #   (a) the watermark used to FILTER batch N is the one computed from data up
