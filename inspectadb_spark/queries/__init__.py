@@ -14,6 +14,7 @@ from inspectadb_spark.queries import scalar      # noqa: F401  Q36–Q42
 from inspectadb_spark.queries import llm         # noqa: F401  Q43–Q45, dedup/similarity/text
 from inspectadb_spark.queries import cdc_time    # noqa: F401  Q13, Q46–Q51
 from inspectadb_spark.queries import extensions  # noqa: F401  Q43c–Q56: neardup, langid, UDF, multimodal, DQ, formats, drift
+from inspectadb_spark.queries import tpch        # noqa: F401  adapted TPC-H Q3–Q22
 
 
 def queries():

@@ -1,0 +1,653 @@
+"""Adapted TPC-H suite (Q3-Q22) over the driver corpus (SURVEY.md §2.2b-d).
+
+The corpus is TPC-H-*ish* (TESTDATA.md): no ``partsupp`` table and several
+columns are absent (``l_shipmode``, ``l_commitdate``/``l_receiptdate``,
+``o_shippriority``, ``c_phone``, comments). Queries are therefore *adapted*:
+the join topology, aggregation shape and plan-level stress of each official
+query is preserved, with missing predicates mapped onto existing columns
+(e.g. Q4/Q12/Q21's commit-vs-receipt lateness becomes shipdate-vs-orderdate
+lag; Q22's phone prefix becomes a nation-derived code). Q2/Q11/Q16/Q20 need
+``partsupp`` and are out of scope; Q1 already ships as ``q15_pricing_summary``.
+
+Every query is pure DataFrame API — multi-way joins stay broadcast-able for
+the dim tables (nation/region/supplier/part at 100 TB remain small), fact-fact
+joins (lineitem x orders) shuffle on the join key, and all money aggregates
+route through DECIMAL(18,6) per the §5.3 determinism convention so the DuckDB
+oracle hash-matches regardless of partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inspectadb_spark.queries.registry import dec, dsum, query, r4, tables
+
+_NET = "l_extendedprice * (1 - l_discount)"
+_DEC0 = "CAST(0 AS DECIMAL(18,6))"
+
+
+def _ts(s: str) -> F.Column:
+    return F.expr(f"TIMESTAMP_NTZ '{s} 00:00:00'")
+
+
+# --------------------------------------------------------------------------
+# Q3 shipping priority: 3-way join, date windows on both fact tables, top-10.
+@query(
+    "tpch_q03",
+    oracle=f"""
+    SELECT l_orderkey, {dsum(_NET, "revenue")}, o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3 (o_shippriority -> o_orderpriority).",
+)
+def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < _ts("1997-06-01"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > _ts("1997-06-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.expr(dec(_NET))).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 order-priority checking: windowed orders EXISTS-semi-joined to late lines.
+@query(
+    "tpch_q04",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 (lateness = shipped >60d after order date).",
+)
+def tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    li = t["lineitem"]
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 local-supplier volume: 6-way join with the c_nationkey = s_nationkey
+# locality constraint; dims broadcast, facts shuffle on orderkey only.
+@query(
+    "tpch_q05",
+    oracle=f"""
+    SELECT n_name, {dsum(_NET, "revenue")}
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 verbatim (all columns present).",
+)
+def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    nat = t["nation"].join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+                           F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(dec(_NET))).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 forecasting revenue: pure scan-side predicate + single global agg.
+@query(
+    "tpch_q06",
+    oracle=f"""
+    SELECT {dsum("l_extendedprice * l_discount", "revenue")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 verbatim.",
+)
+def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tables(spark, sf_dir)["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.expr(dec("l_extendedprice * l_discount"))).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 volume shipping: nation self-pair (n1,n2) x (n2,n1), year extraction.
+@query(
+    "tpch_q07",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {dsum("volume", "revenue")}
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                 {dec(_NET)} AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 (FRANCE/GERMANY -> NATION_1/NATION_2).",
+)
+def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .select("supp_nation", "cust_nation",
+                F.year("l_shipdate").alias("l_year"), F.expr(dec(_NET)).alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 national market share: conditional-sum ratio per year over a 7-way join.
+@query(
+    "tpch_q08",
+    oracle=f"""
+    SELECT o_year,
+           {r4("CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE " + _DEC0 + " END) AS DOUBLE)"
+               " / CAST(SUM(volume) AS DOUBLE)")} AS mkt_share
+    FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, {dec(_NET)} AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            AND p_type = 'PROMO') all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 (BRAZIL -> NATION_1, STEEL type -> PROMO).",
+)
+def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    cust_nat = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cnk"))
+    supp_nat = t["nation"].select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    vol = F.expr(dec(_NET))
+    zero = F.expr(_DEC0)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("snk"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(zero)).cast("double")
+                / F.sum("volume").cast("double")
+            ).cast("decimal(18,6)").cast("double").alias("_raw")
+        )
+        .select("o_year", F.round(F.col("_raw").cast("decimal(18,6)"), 4).cast("double").alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 product-type profit (adapted: no ps_supplycost; cost proxy from part).
+@query(
+    "tpch_q09",
+    oracle=f"""
+    SELECT nation, o_year, {dsum("amount", "sum_profit")}
+    FROM (SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                 {dec(_NET + " - 0.5 * p_retailprice * l_quantity")} AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%widget%') profit
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 (supplycost -> 0.5*p_retailprice proxy; '%green%' -> '%widget%').",
+)
+def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    amount = F.expr(dec(_NET + " - 0.5 * p_retailprice * l_quantity"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_name").like("%widget%"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"),
+                amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 returned-item reporting: quarter window + returnflag, top-20 customers.
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, {dsum(_NET, "revenue")}, c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 (minus address/phone/comment columns).",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1997-10-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.expr(dec(_NET))).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shipping modes -> priority classes; lateness histogram per class.
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 END) AS late_count,
+           COUNT(*) AS line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q12 (shipmode -> orderpriority; receipt-vs-commit -> ship lag >90d).",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(late, F.lit(1))).alias("late_count"),
+            F.count("*").alias("line_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 customer order-count distribution: LEFT join with an ON-clause filter,
+# then an aggregate OF an aggregate.
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 (comment NOT LIKE -> priority <> '5-LOW').",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(o, (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 promotion effect: conditional-sum ratio over one month.
+@query(
+    "tpch_q14",
+    oracle=f"""
+    SELECT {r4("100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN " + dec(_NET)
+               + " ELSE " + _DEC0 + " END) AS DOUBLE) / CAST(SUM(" + dec(_NET) + ") AS DOUBLE)")}
+           AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 ('PROMO%' prefix -> exact 'PROMO' type).",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01")) & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    net = F.expr(dec(_NET))
+    zero = F.expr(_DEC0)
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(zero)).cast("double")
+                / F.sum(net).cast("double")
+            ).alias("_raw")
+        )
+        .select(F.round(F.col("_raw").cast("decimal(18,6)"), 4).cast("double").alias("promo_revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 top supplier: exact-decimal revenue per supplier, keep the max (ties
+# kept, like the spec's view + subquery-on-max formulation).
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({dec(_NET)}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 (max over exact DECIMAL revenue -> deterministic tie set).",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1997-04-01")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.expr(dec(_NET))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 small-quantity-order revenue: per-part average joined back to the facts.
+@query(
+    "tpch_q17",
+    oracle=f"""
+    SELECT {r4("CAST(SUM(" + dec("l_extendedprice") + ") AS DOUBLE) / 7.0")} AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS apk,
+                 CAST(SUM({dec("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a ON apk = l_partkey
+    WHERE p_brand = 'Brand#5' AND l_quantity < 0.5 * avg_qty
+    """,
+    doc="TPC-H Q17 (container predicate dropped; avg via exact-decimal sum).",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("apk"))
+        .agg((F.sum(F.expr(dec("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#5")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("apk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((F.sum(F.expr(dec("l_extendedprice"))).cast("double") / 7.0).alias("_raw"))
+        .select(F.round(F.col("_raw").cast("decimal(18,6)"), 4).cast("double").alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 large-volume customers: HAVING-filtered semi source re-joined to dims.
+@query(
+    "tpch_q18",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sq AS DOUBLE) AS total_qty
+    FROM (SELECT l_orderkey AS lok, SUM({dec("l_quantity")}) AS sq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM({dec("l_quantity")}) > 300) big
+    JOIN orders ON o_orderkey = lok
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    doc="TPC-H Q18 (re-aggregation folded into the HAVING subquery's sum).",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("lok"))
+        .agg(F.sum(F.expr(dec("l_quantity"))).alias("sq"))
+        .filter(F.col("sq") > 300)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("lok"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+                F.col("sq").cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 discounted revenue: three-branch disjunctive join predicate (brand x
+# size x quantity band) — a pushdown/CNF-conversion stress test.
+_Q19_PRED = """
+  ((p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+"""
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {dsum(_NET, "revenue")}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_PRED}
+    """,
+    doc="TPC-H Q19 (container/shipmode arms -> size/quantity bands).",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.expr(_Q19_PRED))
+        .agg(F.sum(F.expr(dec(_NET))).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 suppliers who kept orders waiting: the sole-late-supplier condition,
+# expressed as per-order distinct counts instead of EXISTS/NOT EXISTS chains
+# (same result, one shuffle instead of two correlated re-scans).
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH ord_lines AS (
+      SELECT l_orderkey AS lok, l_suppkey AS lsk,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'),
+    per_order AS (
+      SELECT lok, COUNT(DISTINCT lsk) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN lsk END) AS n_late
+      FROM ord_lines GROUP BY lok)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM ord_lines ol
+    JOIN per_order po ON ol.lok = po.lok
+    JOIN supplier ON s_suppkey = ol.lsk
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE ol.late = 1 AND po.n_supp > 1 AND po.n_late = 1 AND n_name = 'NATION_3'
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    doc="TPC-H Q21 (EXISTS/NOT-EXISTS -> per-order distinct-late-supplier counts).",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    ord_lines = (
+        t["lineitem"]
+        .join(t["orders"].filter(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("l_orderkey").alias("lok"),
+            F.col("l_suppkey").alias("lsk"),
+            F.when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"), 1)
+            .otherwise(0).alias("late"),
+        )
+    )
+    per_order = ord_lines.groupBy("lok").agg(
+        F.countDistinct("lsk").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("lsk"))).alias("n_late"),
+    )
+    supp = t["supplier"].join(
+        F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        ord_lines.filter(F.col("late") == 1)
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "lok")
+        .join(F.broadcast(supp), F.col("lsk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 global sales opportunity: scalar-subquery threshold + anti join.
+@query(
+    "tpch_q22",
+    oracle=f"""
+    SELECT cc, COUNT(*) AS numcust, CAST(SUM({dec("c_acctbal")}) AS DOUBLE) AS totacctbal
+    FROM (SELECT CAST(c_nationkey % 5 AS INT) AS cc, c_acctbal
+          FROM customer
+          WHERE c_acctbal > (SELECT CAST(SUM({dec("c_acctbal")}) AS DOUBLE) / COUNT(*)
+                             FROM customer WHERE c_acctbal > 0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')) hot
+    GROUP BY cc ORDER BY cc
+    """,
+    doc="TPC-H Q22 (phone prefix -> nationkey-derived code; dormant = no orders since 1999).",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    cust = t["customer"]
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.expr(dec("c_acctbal"))).cast("double") / F.count("*")).alias("ab"))
+    )
+    recent = t["orders"].filter(F.col("o_orderdate") >= _ts("1999-01-01"))
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select((F.col("c_nationkey") % 5).cast("int").alias("cc"), "c_acctbal")
+        .groupBy("cc")
+        .agg(F.count("*").alias("numcust"),
+             F.sum(F.expr(dec("c_acctbal"))).cast("double").alias("totacctbal"))
+        .orderBy("cc")
+    )
