@@ -124,3 +124,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == lineitem.count()
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+# -- adapted TPC-H: the multi-join composites keep their shuffle budgets ------
+
+def test_tpch_shuffle_budgets(spark):
+    # Budgets measured on the intended plan (dims broadcast, single shuffle
+    # per fact agg/join chain). A regression adding an exchange here is a
+    # 100 TB bug: at 1000 executors each extra shuffle is a full re-spray of
+    # the lineitem fact.
+    budgets = {
+        "tpch_q03": 1,   # agg only; top-10 via TakeOrderedAndProject
+        "tpch_q05": 2,   # fact join + agg
+        "tpch_q08": 2,   # fact join + per-year agg
+        "tpch_q09": 2,
+        "tpch_q10": 1,
+        "tpch_q18": 1,   # HAVING-agg reused; no re-shuffle after join
+        "tpch_q21": 4,   # ord_lines reused across two distinct-count passes
+    }
+    for q, budget in budgets.items():
+        n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
+        assert n <= budget, f"{q}: {n} exchanges (budget {budget})"
+
+
+def test_tpch_topk_and_broadcasts(spark):
+    for q in ("tpch_q03", "tpch_q10", "tpch_q18"):
+        assert "TakeOrderedAndProject" in _plan(spark, q), q
+    for q in ("tpch_q05", "tpch_q07", "tpch_q08", "tpch_q09"):
+        assert "BroadcastHashJoin" in _plan(spark, q), q
