@@ -1,0 +1,194 @@
+"""Training-data pipeline operators (SURVEY.md §2.2i extension set):
+TF-IDF term scoring, document chunking, deterministic hash sampling,
+repetition scoring, corpus n-grams, and greedy sequence packing.
+
+All but ``pack_sequences`` are pure built-in-function plans (JVM-side,
+whole-stage-codegen); packing is inherently sequential per group, so it runs
+as an Arrow-batched ``applyInPandas`` over a keyed repartition — the one
+sanctioned Python hot path (SURVEY.md §2.2l policy).
+
+Scale notes (100 TB): every operator here is embarrassingly parallel per
+document except the corpus-wide aggregations (df counts in TF-IDF, n-gram
+counts), which are classic two-phase map-side-combine aggs; packing shuffles
+once on the group key and streams each group through a single pass.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+# Shared tokenizer fragment: split on single spaces, drop empty tokens
+# (split semantics incl. empties verified identical Spark vs DuckDB).
+_WORDS = "filter(split({col}, ' '), w -> w <> '')"
+
+
+def words_col(text_col: str = "text") -> F.Column:
+    return F.expr(_WORDS.format(col=text_col))
+
+
+# --------------------------------------------------------------------------
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF.
+
+    score = tf * ln((N+1)/(df+1)) — smoothed IDF; exact integer tf/df and a
+    single double multiply keep the value bit-identical across engines.
+    Plan: one explode + two hash aggs (term-per-doc, doc-freq) + a broadcast
+    of the tiny (term, df) side + WindowGroupLimit for the top-k.
+    """
+    n_docs = docs.count()  # scalar, one job; at scale: cheap count-star scan
+    terms = (
+        docs.select(F.col(id_col), F.explode(words_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = terms.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        terms.join(F.broadcast(df_counts), "term")
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)))
+                .cast("decimal(18,6)"), 4
+            ).cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+def chunk_documents(
+    docs: DataFrame, size: int = 120, step: int = 90,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping character windows.
+
+    Emits (id, chunk_idx, chunk, chunk_len). Start offsets are generated with
+    ``sequence(1, length, step)`` and exploded — no Python, no UDF; output
+    grows ~len/step per doc and stays partition-local (zero shuffle).
+    """
+    starts = F.explode(F.expr(f"sequence(1, length({text_col}), {step})")).alias("s")
+    return (
+        docs.select(F.col(id_col), F.col(text_col), starts)
+        .select(
+            id_col,
+            # integer floor-div, NOT double-div + cast: DuckDB casts
+            # double->int by rounding, Spark by truncation — // and DIV agree
+            F.expr(f"CAST((s - 1) DIV {step} AS INT)").alias("chunk_idx"),
+            F.expr(f"substr({text_col}, s, {size})").alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+# --------------------------------------------------------------------------
+def hash_bucket(id_col: str = "doc_id", salt: str = "s1") -> F.Column:
+    """First hex nibble of md5(id:salt) — a 16-bucket deterministic hash
+    identical in Spark and DuckDB (verified byte-equal digests)."""
+    return F.expr(
+        f"substr(md5(cast(concat(cast({id_col} as string), ':{salt}') as binary)), 1, 1)"
+    )
+
+
+def hash_sample(
+    docs: DataFrame, nibbles: str = "0123", id_col: str = "doc_id", salt: str = "s1"
+) -> DataFrame:
+    """Deterministic ~len(nibbles)/16 sample: keep rows whose hash nibble is
+    in ``nibbles``. Reproducible across runs/engines/cluster sizes — the
+    property random() sampling lacks; this is the sampler a training pipeline
+    should use so re-runs select identical corpora."""
+    return docs.filter(hash_bucket(id_col, salt).isin(*nibbles))
+
+
+# --------------------------------------------------------------------------
+def word_repetition(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signal: 1 - distinct_words/total_words."""
+    w = words_col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    ).withColumn(
+        "rep_ratio",
+        F.round(
+            (1.0 - F.col("n_distinct") / F.col("n_words")).cast("decimal(18,6)"), 4
+        ).cast("double"),
+    )
+
+
+# --------------------------------------------------------------------------
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: explode n-gram arrays, two-phase
+    count agg, TakeOrderedAndProject for the top-k (no global sort)."""
+    joined = " || ' ' || ".join(f"element_at(w, i + {j})" for j in range(n))
+    grams = F.explode(
+        F.expr(f"transform(sequence(1, size(w) - {n - 1}), i -> {joined})")
+    ).alias("ngram")
+    return (
+        docs.select(F.expr(_WORDS.format(col=text_col)).alias("w"))
+        .filter(F.size("w") >= n)
+        .select(grams)
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "ngram")
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+_PACK_SCHEMA = StructType([
+    StructField("lang", StringType()),
+    StructField("bin_id", IntegerType()),
+    StructField("n_docs", IntegerType()),
+    StructField("total_tokens", LongType()),
+])
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 128,
+    text_col: str = "text", id_col: str = "doc_id", group_col: str = "lang",
+) -> DataFrame:
+    """Greedy next-fit packing of documents into token-budget bins, per group.
+
+    Docs are ordered by id within each group (deterministic), token counts
+    are word counts, and a doc longer than the budget gets its own bin. This
+    is the batch-shaping step before training: one shuffle on the group key,
+    then a single sequential pass per group inside an Arrow batch.
+    Returns per-bin accounting (group, bin_id, n_docs, total_tokens).
+    """
+    sized = docs.select(
+        F.col(group_col).alias("lang"),
+        F.col(id_col).alias("_id"),
+        F.size(words_col(text_col)).alias("_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        out, bin_id, used, n_in_bin = [], 0, 0, 0
+        for tok in pdf["_tok"]:
+            if n_in_bin and used + tok > budget:
+                out.append((pdf["lang"].iloc[0], bin_id, n_in_bin, used))
+                bin_id, used, n_in_bin = bin_id + 1, 0, 0
+            used += int(tok)
+            n_in_bin += 1
+        if n_in_bin:
+            out.append((pdf["lang"].iloc[0], bin_id, n_in_bin, used))
+        return pd.DataFrame(out, columns=["lang", "bin_id", "n_docs", "total_tokens"])
+
+    return sized.groupBy("lang").applyInPandas(pack, schema=_PACK_SCHEMA)

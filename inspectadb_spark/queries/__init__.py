@@ -15,6 +15,7 @@ from inspectadb_spark.queries import llm         # noqa: F401  Q43–Q45, dedup/
 from inspectadb_spark.queries import cdc_time    # noqa: F401  Q13, Q46–Q51
 from inspectadb_spark.queries import extensions  # noqa: F401  Q43c–Q56: neardup, langid, UDF, multimodal, DQ, formats, drift
 from inspectadb_spark.queries import tpch        # noqa: F401  adapted TPC-H Q3–Q22
+from inspectadb_spark.queries import training    # noqa: F401  Q63–Q68 training-pipeline ops
 
 
 def queries():

@@ -1,0 +1,134 @@
+"""Training-pipeline queries Q63–Q68 (SURVEY.md §2.2i extension set):
+TF-IDF, chunking, deterministic sampling, repetition, n-grams, packing.
+
+Oracle notes: tokenization (`split` keeping empties + explicit filter), md5
+hex digests, 1-indexed element access and inclusive `sequence`/
+`generate_series` bounds were all probe-verified byte-identical between
+Spark and DuckDB; integer outputs are cast to Spark's natural widths on the
+DuckDB side (COUNT→BIGINT matches, len()/ROW_NUMBER→INT casts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators import pipeline as P
+from inspectadb_spark.queries.registry import query, tables
+
+_DUCK_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q63_tfidf_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             CAST(ROUND(CAST(tf * ln((n + 1.0) / (df + 1.0)) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS score
+      FROM tf JOIN dfc USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+                  AS INT) AS rnk
+      FROM scored)
+    SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms (smoothed IDF, exact int tf/df).",
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return P.tfidf_top_terms(docs, k=3).withColumnRenamed("rank", "rnk")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q64_chunking",
+    oracle="""
+    SELECT doc_id, CAST((s - 1) // 90 AS INT) AS chunk_idx,
+           substr(text, s, 120) AS chunk,
+           CAST(length(substr(text, s, 120)) AS INT) AS chunk_len
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text), 90)) AS s
+          FROM documents)
+    """,
+    doc="Overlapping 120-char windows, stride 90 — zero-shuffle explode.",
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return P.chunk_documents(docs, size=120, step=90)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q65_hash_sample",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_total,
+           COUNT(CASE WHEN substr(md5(cast(doc_id AS VARCHAR) || ':s1'), 1, 1)
+                           IN ('0','1','2','3') THEN 1 END) AS n_sampled
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Deterministic md5-nibble ~25% sample, accounted per language.",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    sampled = F.when(P.hash_bucket("doc_id", "s1").isin(*"0123"), F.lit(1))
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_total"), F.count(sampled).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q66_repetition",
+    oracle=f"""
+    SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+           CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+           CAST(ROUND(CAST(1.0 - len(list_distinct(w)) / len(w)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS rep_ratio
+    FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+    """,
+    doc="Gopher-style repetition ratio: 1 - distinct/total words.",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return P.word_repetition(docs)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q67_bigrams",
+    oracle=f"""
+    WITH g AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS ngram
+      FROM (SELECT {_DUCK_WORDS} AS w FROM documents)
+      WHERE len(w) >= 2)
+    SELECT ngram, COUNT(*) AS cnt FROM g
+    GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
+    """,
+    doc="Corpus-wide top-20 word bigrams (two-phase agg + top-k).",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return P.top_ngrams(docs, n=2, k=20)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q68_pack_bins",
+    oracle=None,  # greedy sequential packing: not SQL-expressible
+    doc="Greedy next-fit token packing per language (applyInPandas); "
+        "per-bin accounting, deterministic by doc_id order.",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return P.pack_sequences(docs, budget=128).orderBy("lang", "bin_id")
