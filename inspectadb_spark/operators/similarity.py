@@ -236,3 +236,63 @@ def srp_ann_topk(
         cand = part if cand is None else cand.unionByName(part)
     cand = cand.dropDuplicates([id_col])
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# --------------------------------------------------------------------------
+# Label-centroid analytics: per-class mean vectors and distance-to-centroid
+# outlier scoring. Cross-row float sums are order-dependent, so both run on
+# exact DECIMAL accumulators (associative -> partial-agg order irrelevant),
+# and the centroid is rounded to 4dp BEFORE the distance pass so every
+# engine/run measures against bit-identical centroids.
+
+def label_centroids(
+    vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-(label, dim) exact-mean centroid, 4dp. Plan: posexplode (zero
+    shuffle, partition-local) + one hash agg on (label, dim) — the classic
+    two-phase map-side-combine shape; 100 TB-safe because cardinality out is
+    labels x dims, not rows."""
+    return (
+        vectors.select(F.col(label_col).alias("label"),
+                       F.posexplode(vec_col).alias("pos", "x"))
+        .select("label", (F.col("pos") + 1).alias("dim"),
+                F.col("x").cast("double").alias("x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*"))
+                .cast("decimal(18,6)"), 4
+            ).cast("double").alias("centroid")
+        )
+    )
+
+
+def centroid_outliers(
+    vectors: DataFrame, k: int = 20,
+    label_col: str = "label", vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k vectors farthest from their own label centroid (Euclidean).
+
+    The squared residual per dimension is rounded into DECIMAL(28,12) before
+    the per-vector sum, keeping the reduce associative and the result
+    engine-identical; final distance is 4dp. At scale the centroid side is
+    labels x dims (tiny) and broadcasts."""
+    cent = label_centroids(vectors, label_col, vec_col)
+    expl = (
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(label_col).alias("label"),
+                       F.posexplode(vec_col).alias("pos", "x"))
+        .select("vec_id", "label", (F.col("pos") + 1).alias("dim"),
+                F.col("x").cast("double").alias("x"))
+    )
+    resid = ((F.col("x") - F.col("centroid")) * (F.col("x") - F.col("centroid")))
+    return (
+        expl.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(resid.cast("decimal(28,12)")).alias("ss"))
+        .select("vec_id", "label",
+                F.round(F.sqrt(F.col("ss").cast("double")).cast("decimal(18,6)"), 4)
+                .cast("double").alias("dist"))
+        .orderBy(F.desc("dist"), "vec_id")
+        .limit(k)
+    )

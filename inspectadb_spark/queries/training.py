@@ -132,3 +132,51 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     return P.pack_sequences(docs, budget=128).orderBy("lang", "bin_id")
+
+
+# --------------------------------------------------------------------------
+_CENTROID_SQL = """
+    SELECT label, CAST(i AS INT) AS dim,
+           CAST(ROUND(CAST(CAST(SUM(CAST(embedding[i] AS DECIMAL(28,12))) AS DOUBLE)
+                           / COUNT(*) AS DECIMAL(18,6)), 4) AS DOUBLE) AS centroid
+    FROM (SELECT label, embedding, unnest(generate_series(1, 64)) AS i
+          FROM embeddings)
+    GROUP BY label, i
+"""
+
+
+@query(
+    "q69_label_centroids",
+    oracle=_CENTROID_SQL,
+    doc="Per-(label, dim) exact-decimal mean centroid, 4dp.",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import label_centroids
+
+    return label_centroids(tables(spark, sf_dir)["embeddings"])
+
+
+@query(
+    "q69b_centroid_outliers",
+    oracle=f"""
+    WITH cent AS ({_CENTROID_SQL}),
+    expl AS (
+      SELECT vec_id, label, CAST(i AS INT) AS dim,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM (SELECT vec_id, label, embedding, unnest(generate_series(1, 64)) AS i
+            FROM embeddings)),
+    d AS (
+      SELECT vec_id, expl.label AS label,
+             SUM(CAST((x - centroid) * (x - centroid) AS DECIMAL(28,12))) AS ss
+      FROM expl JOIN cent ON expl.label = cent.label AND expl.dim = cent.dim
+      GROUP BY vec_id, expl.label)
+    SELECT vec_id, label,
+           CAST(ROUND(CAST(SQRT(CAST(ss AS DOUBLE)) AS DECIMAL(18,6)), 4) AS DOUBLE) AS dist
+    FROM d ORDER BY dist DESC, vec_id LIMIT 20
+    """,
+    doc="Top-20 distance-to-own-centroid outliers (4dp-pinned centroids).",
+)
+def q69b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import centroid_outliers
+
+    return centroid_outliers(tables(spark, sf_dir)["embeddings"], k=20)
