@@ -498,3 +498,39 @@ def test_s8_tws_cdc_latest(spark, tmp_path):
         *[f"CAST({c} AS STRING) AS {c}" for c in vcols],
     )
     assert _rows(got) == _rows(want)
+
+
+# --------------------------------------------------------------------------
+# S9 streaming training pipeline: stateless ops (deterministic hash-sample ->
+# repetition-quality gate -> chunking) compose over an unbounded source and
+# replay-match the batch run exactly (append mode, no state, no watermark —
+# each micro-batch is embarrassingly parallel, the 100 TB ingest shape).
+def test_s9_streaming_training_pipeline(spark, tmp_path):
+    from inspectadb_spark.operators import pipeline as P
+
+    src = str(tmp_path / "docs_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    step = (t.num_rows + 3) // 4
+    now = time.time()
+    for i in range(4):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    def pipe(docs):
+        kept = P.hash_sample(docs, "01234567")  # ~50%
+        scored = P.word_repetition(kept).filter("rep_ratio <= 0.8")
+        return P.chunk_documents(
+            kept.join(scored.select("doc_id"), "doc_id"), size=120, step=90
+        )
+
+    schema = spark.read.parquet(src).schema
+    stream = pipe(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    _drain(stream, "s9", mode="append")
+    batch = pipe(spark.read.parquet(src))
+    got, want = _rows(spark.table("s9")), _rows(batch)
+    assert len(got) > 0
+    assert got == want
