@@ -195,3 +195,57 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Re-sort on read: parquet preserves values, not order (driver compare is
     # order-insensitive, but keep the declared total order anyway).
     return spark.read.parquet(out).orderBy("l_returnflag", "l_linestatus")
+
+
+# --------------------------------------------------------------------------
+# Q70 gap-filled resampling with forward fill (hypertable regularization).
+@query(
+    "q70_resample_ffill",
+    oracle=f"""
+    WITH actual AS (
+      SELECT user_id AS k, date_trunc('day', ts) AS bucket,
+             CAST(ROUND(CAST(CAST(SUM({dec('value')}) AS DOUBLE) / COUNT(*)
+                             AS DECIMAL(18,6)), 4) AS DOUBLE) AS v
+      FROM events GROUP BY user_id, date_trunc('day', ts)),
+    grid AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM (SELECT k, MIN(bucket) AS lo, MAX(bucket) AS hi FROM actual GROUP BY k))
+    SELECT grid.k AS user_id, grid.bucket AS bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY grid.k ORDER BY grid.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid LEFT JOIN actual ON grid.k = actual.k AND grid.bucket = actual.bucket
+    """,
+    doc="Per-user daily grid over each user's span, forward-filled mean value.",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import resample_ffill
+
+    return resample_ffill(tables(spark, sf_dir)["events"], step="1 day")
+
+
+# --------------------------------------------------------------------------
+# Q71 two-step conversion funnel (signup -> purchase within 24h of FIRST
+# signup), reported per signup day.
+@query(
+    "q71_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id AS k, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT DISTINCT k FROM firsts JOIN events e
+        ON e.user_id = k AND e.event_type = 'purchase'
+       AND e.ts > t0 AND e.ts <= t0 + INTERVAL 24 HOURS)
+    SELECT CAST(date_trunc('day', t0) AS TIMESTAMP) AS day, COUNT(*) AS n_first,
+           COUNT(conv.k) AS n_converted
+    FROM firsts LEFT JOIN conv USING (k)
+    GROUP BY date_trunc('day', t0) ORDER BY day
+    """,
+    doc="Conversion funnel: semi-join within time window, per-day rates.",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import funnel
+
+    return funnel(tables(spark, sf_dir)["events"])

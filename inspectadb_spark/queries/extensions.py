@@ -25,7 +25,7 @@ from inspectadb_spark.operators.multimodal import (
 from inspectadb_spark.operators.quality import profile, referential_orphans, uniqueness
 from inspectadb_spark.operators.similarity import cosine_pairs_exact, ivf_topk
 from inspectadb_spark.operators.text import LANG_MARKERS, lang_id
-from inspectadb_spark.queries.registry import dec, query, tables
+from inspectadb_spark.queries.registry import dec, dsum, query, tables
 from inspectadb_spark.sources.files import read_with_drift, roundtrip
 
 
@@ -548,4 +548,65 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL split_words(d.text) t
         GROUP BY 1 ORDER BY n DESC, tok LIMIT 30
         """,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q57b unpivot (melt): wide per-flag measures back to long (measure, val)
+# rows — the inverse of Q57's pivot, via the native unpivot operator
+# (no UNION-of-scans: single pass, values carried through one Expand node).
+@query(
+    "q57b_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT l_returnflag,
+             {dsum('l_quantity', 'sum_qty')},
+             {dsum('l_extendedprice', 'sum_price')},
+             {dsum('l_discount', 'sum_disc')}
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    """,
+)
+def q57b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables(spark, sf_dir)["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.expr(dec("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(F.expr(dec("l_extendedprice"))).cast("double").alias("sum_price"),
+        F.sum(F.expr(dec("l_discount"))).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q72 pairwise edit distance between successive documents (bounded: 60-char
+# prefixes keep the O(n*m) DP cell count constant per pair).
+@query(
+    "q72_edit_distance",
+    oracle="""
+    WITH p AS (SELECT doc_id, substr(text, 1, 60) AS pre FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+    FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+    ORDER BY a.doc_id
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    p = docs.select("doc_id", F.expr("substr(text, 1, 60)").alias("pre"))
+    a = p.select(F.col("doc_id").alias("doc_a"), F.col("pre").alias("pre_a"))
+    b = p.select(F.col("doc_id").alias("doc_b"), F.col("pre").alias("pre_b"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select("doc_a", "doc_b",
+                F.levenshtein("pre_a", "pre_b").alias("dist"))
+        .orderBy("doc_a")
     )
