@@ -180,3 +180,30 @@ def q69b(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.similarity import centroid_outliers
 
     return centroid_outliers(tables(spark, sf_dir)["embeddings"], k=20)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q65b_stratified_quota",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(cast(doc_id AS VARCHAR) || ':q'), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 5
+    """,
+    doc="Per-language quota sample: first 5 docs per lang in md5 order — "
+        "deterministic stratified sampling (engine/run/cluster invariant).",
+)
+def q65b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    h = F.expr("md5(cast(concat(cast(doc_id as string), ':q') as binary))")
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang")
+    )

@@ -534,3 +534,47 @@ def test_s9_streaming_training_pipeline(spark, tmp_path):
     got, want = _rows(spark.table("s9")), _rows(batch)
     assert len(got) > 0
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# S10 chained stateful operators: tumbling 15-min counts re-aggregated to
+# 1-hour windows INSIDE one streaming query (Spark >= 3.4 multiple stateful
+# ops). Stream result must equal the same two-level agg run in batch.
+def test_s10_chained_window_aggs(spark, replay_dir):
+    def two_level(df):
+        lvl1 = (
+            df.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        return (
+            # re-window on the WINDOW STRUCT itself — that is what carries
+            # the event-time marker through to the second stateful operator
+            lvl1.groupBy(
+                F.window(F.col("w15"), "1 hour").alias("w60"), "event_type"
+            )
+            .agg(F.sum("n").alias("n"))
+            .select(
+                F.col("w60.start").alias("wstart"), "event_type", "n"
+            )
+        )
+
+    stream = two_level(_stream(spark, replay_dir))
+    _drain(stream, "s10", mode="append")
+    # batch analog: same two-level plan; append mode only emits windows the
+    # final watermark (= max event time, 0s delay) has closed, so the last
+    # still-open hour is correctly withheld by the stream — filter it here.
+    raw = spark.read.parquet(replay_dir)
+    max_ts = raw.agg(F.max("ts")).first()[0]
+    batch = (
+        raw
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy(F.window(F.col("w15"), "1 hour").alias("w60"), "event_type")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("w60.end") <= F.lit(max_ts))
+        .select(F.col("w60.start").alias("wstart"), "event_type", "n")
+    )
+    got, want = _rows(spark.table("s10")), _rows(batch)
+    assert len(got) > 0
+    assert got == want
