@@ -249,3 +249,84 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.timeseries import funnel
 
     return funnel(tables(spark, sf_dir)["events"])
+
+
+# --------------------------------------------------------------------------
+# Q73 z-score anomaly detection: events whose value deviates > 2 sigma from
+# their user's mean. Moments via exact-decimal sums (sum, sum of squares) so
+# mean/std are partial-agg-order independent; both engines compute
+# std = sqrt(E[x^2] - E[x]^2) from the same exact moments.
+@query(
+    "q73_zscore_anomalies",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id AS k, COUNT(*) AS n,
+             CAST(SUM({dec('value')}) AS DOUBLE) AS s1,
+             CAST(SUM({dec('value * value')}) AS DOUBLE) AS s2
+      FROM events GROUP BY user_id HAVING COUNT(*) >= 10),
+    scored AS (
+      SELECT event_id, e.user_id AS user_id, value,
+             (s1 / n) AS mu, SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS sig
+      FROM events e JOIN m ON e.user_id = m.k)
+    SELECT event_id, user_id, value,
+           CAST(ROUND(CAST((value - mu) / sig AS DECIMAL(18,6)), 4) AS DOUBLE) AS z
+    FROM scored WHERE ABS(value - mu) > 2 * sig
+    ORDER BY event_id
+    """,
+    doc="Per-user 2-sigma outlier events from exact-decimal moments.",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    m = (
+        ev.groupBy(F.col("user_id").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr(dec("value"))).cast("double").alias("s1"),
+            F.sum(F.expr(dec("value * value"))).cast("double").alias("s2"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    mu = F.col("s1") / F.col("n")
+    sig = F.sqrt(F.greatest(F.col("s2") / F.col("n") - mu * mu, F.lit(0.0)))
+    return (
+        ev.join(m, ev.user_id == m.k)
+        .select("event_id", "user_id", "value", mu.alias("mu"), sig.alias("sig"))
+        .filter(F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sig"))
+        .select(
+            "event_id", "user_id", "value",
+            F.round(((F.col("value") - F.col("mu")) / F.col("sig")).cast("decimal(18,6)"), 4)
+            .cast("double").alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q74 cumulative distinct users per day: running COUNT(DISTINCT) expressed
+# scalably as "day of first occurrence per user" + running sum — one shuffle
+# on user_id, one tiny per-day cumulation, instead of a quadratic
+# distinct-over-expanding-frame.
+@query(
+    "q74_cumulative_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0
+      FROM events GROUP BY user_id),
+    per_day AS (
+      SELECT d0 AS day, COUNT(*) AS new_users FROM firsts GROUP BY d0)
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM per_day ORDER BY day
+    """,
+    doc="Running distinct-user count via first-occurrence days (linear, "
+        "not quadratic-frame COUNT DISTINCT).",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    per_day = firsts.groupBy(F.col("d0").alias("day")).agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    ).orderBy("day")
