@@ -277,3 +277,33 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q42c VariantType path: parse props once into a VARIANT column and extract
+# typed values — Spark 4's shredded-binary JSON representation (parse once,
+# extract many: at 100 TB this beats per-path string re-parsing; the variant
+# parse is vectorized and paths read the shredded form).
+@query(
+    "q42c_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INT) AS mn_k,
+           CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INT) AS mx_k,
+           COUNT(CASE WHEN CAST(props->>'$.k' AS INTEGER) > 50 THEN 1 END) AS n_big
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q42c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["events"]
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("mn_k"),
+            F.max("k").alias("mx_k"),
+            F.count(F.when(F.col("k") > 50, F.lit(1))).alias("n_big"),
+        )
+        .orderBy("event_type")
+    )

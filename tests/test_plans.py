@@ -152,3 +152,23 @@ def test_tpch_topk_and_broadcasts(spark):
         assert "TakeOrderedAndProject" in _plan(spark, q), q
     for q in ("tpch_q05", "tpch_q07", "tpch_q08", "tpch_q09"):
         assert "BroadcastHashJoin" in _plan(spark, q), q
+
+
+# -- training-pipeline / time-series queries: shuffle budgets ----------------
+
+def test_extension_family_shuffle_budgets(spark):
+    budgets = {
+        "q64_chunking": 0,        # pure partition-local explode
+        "q66_repetition": 0,      # per-doc expressions only
+        "q67_bigrams": 1,         # one count agg (+TakeOrdered, no sort shuffle)
+        "q69_label_centroids": 1, # one (label,dim) agg
+        "q69b_centroid_outliers": 2,
+        "q70_resample_ffill": 2,  # bucket agg + grid/window co-partition
+        "q73_zscore_anomalies": 2,
+        "q65b_stratified_quota": 1,
+        "q63_tfidf_topk": 4,
+        "q71_funnel": 4,
+    }
+    for q, budget in budgets.items():
+        n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
+        assert n <= budget, f"{q}: {n} exchanges (budget {budget})"

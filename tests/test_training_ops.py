@@ -76,3 +76,28 @@ def test_tfidf_ranks_are_dense_and_ordered(spark):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         scores = [r.score for r in rows]
         assert scores == sorted(scores, reverse=True), doc_id
+
+
+def test_resample_grid_contiguous_and_filled(spark):
+    from inspectadb_spark.operators.timeseries import resample_ffill
+    import datetime as dt
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+    )
+    out = resample_ffill(ev, step="1 day").collect()
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_actual = ev.select("user_id", F.date_trunc("day", "ts").alias("b")).distinct().count()
+    got_actual = 0
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r.bucket)
+        # contiguous daily grid, no holes
+        for a, b in zip(rows, rows[1:]):
+            assert b.bucket - a.bucket == dt.timedelta(days=1), uid
+        # first bucket is an observation; fill never leaves a null behind it
+        assert rows[0].is_gap == 0, uid
+        assert all(r.v_filled is not None for r in rows), uid
+        got_actual += sum(1 for r in rows if r.is_gap == 0)
+    assert got_actual == n_actual  # gaps are exactly the non-observed buckets
