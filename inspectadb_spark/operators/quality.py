@@ -92,3 +92,24 @@ def null_rate_violations(
         ).alias("v")
     ).select("v.*")
     return stacked.filter(F.col("null_rate") > F.col("bound"))
+
+
+def with_dq_observation(
+    df: DataFrame,
+    name: str = "dq",
+    checks: dict[str, F.Column] | None = None,
+):
+    """Attach zero-cost inline DQ counters to a plan via ``df.observe``.
+
+    Returns (df, Observation). The metrics ride the existing job — no second
+    scan, no extra shuffle: accumulators are merged driver-side as tasks
+    finish, which is what makes this the right 100 TB shape for "count the
+    bad rows while loading" (vs a separate validation pass). Read
+    ``obs.get`` AFTER an action on the returned df.
+    """
+    from pyspark.sql import Observation
+
+    if checks is None:
+        checks = {"n_rows": F.count(F.lit(1))}
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(k) for k, c in checks.items()]), obs

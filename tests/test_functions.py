@@ -111,3 +111,29 @@ def test_profile_and_nullrate(spark):
     assert p["v"]["n_null"] == 2 and p["v"]["min_str"] == "a"
     viol = null_rate_violations(df, {"k": 0.5, "v": 0.25}).collect()
     assert [v["column"] for v in viol] == ["v"]
+
+
+# --------------------------------------------------------------------------
+def test_observe_dq_counters_ride_the_job(spark):
+    """df.observe counts bad rows inline — no second scan of the source."""
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.quality import with_dq_observation
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    checked, obs = with_dq_observation(
+        orders,
+        checks={
+            "n_rows": F.count(F.lit(1)),
+            "null_cust": F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            "neg_price": F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)),
+        },
+    )
+    # one action drives both the business result and the DQ counters
+    n_f = checked.filter("o_orderstatus = 'F'").count()
+    m = obs.get
+    assert m["n_rows"] == orders.count()
+    assert m["null_cust"] == 0
+    assert m["neg_price"] == 0
+    assert 0 < n_f < m["n_rows"]

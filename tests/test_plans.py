@@ -172,3 +172,41 @@ def test_extension_family_shuffle_budgets(spark):
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
         assert n <= budget, f"{q}: {n} exchanges (budget {budget})"
+
+
+# -- AQE: runtime re-plan of SMJ -> broadcast from true sizes ----------------
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """With static broadcast disabled, AQE must still broadcast the join
+    side it discovers to be small at runtime — the mechanism we rely on at
+    100 TB where pre-computed stats for filtered dims don't exist."""
+    conf = spark.conf
+    old = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    }
+    had_adaptive_thresh = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # static: no BHJ
+        # runtime threshold must be set independently — it FALLS BACK to the
+        # static one (here -1) when unset, which would disable AQE broadcast too
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        # static plan: no broadcast anywhere
+        assert "BroadcastHashJoin" not in explain_str(j, "simple")
+        j.collect()  # run -> AQE observes the tiny filtered side
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final, final
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)
+        if had_adaptive_thresh is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", had_adaptive_thresh)

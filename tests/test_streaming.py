@@ -578,3 +578,38 @@ def test_s10_chained_window_aggs(spark, replay_dir):
     got, want = _rows(spark.table("s10")), _rows(batch)
     assert len(got) > 0
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# S11 CSV streaming source: schema-explicit CSV file stream drains to the
+# same result as the batch CSV read (ingest-format coverage beyond parquet).
+def test_s11_csv_stream_source(spark, tmp_path):
+    src = str(tmp_path / "csv_in")
+    os.makedirs(src)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    pdf = docs.toPandas().sort_values("doc_id")
+    half = len(pdf) // 2
+    now = time.time()
+    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        p = f"{src}/part{i}.csv"
+        part.to_csv(p, index=False, header=False)
+        os.utime(p, (now + i, now + i))
+
+    schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(src)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+    )
+    _drain(stream, "s11", mode="complete")
+    batch = (
+        spark.read.schema(schema).csv(src)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+    )
+    assert _rows(spark.table("s11")) == _rows(batch)
+    assert spark.table("s11").count() > 0
