@@ -613,3 +613,49 @@ def test_s11_csv_stream_source(spark, tmp_path):
     )
     assert _rows(spark.table("s11")) == _rows(batch)
     assert spark.table("s11").count() > 0
+
+
+# --------------------------------------------------------------------------
+# S12 checkpoint restart, exactly-once: drain part of the input, stop, add
+# more files, restart from the SAME checkpoint into the SAME parquet sink —
+# every record lands exactly once (no re-read of committed files, no loss).
+def test_s12_checkpoint_restart_exactly_once(spark, replay_dir, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    files = sorted(os.listdir(replay_dir))
+    now = time.time()
+
+    def add(names, base):
+        for i, f in enumerate(names):
+            dst = os.path.join(src, f)
+            with open(os.path.join(replay_dir, f), "rb") as a, open(dst, "wb") as b:
+                b.write(a.read())
+            os.utime(dst, (base + i, base + i))
+
+    def run_once():
+        q = (
+            _stream(spark, src)
+            .select("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    add(files[:3], now)
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    add(files[3:], now + 100)
+    run_once()
+
+    got = spark.read.parquet(sink)
+    want = spark.read.parquet(replay_dir)
+    assert n_first < got.count()  # second run appended only the new files
+    assert got.count() == want.count()
+    # exactly once: no event_id duplicated, none missing
+    assert got.select("event_id").distinct().count() == want.count()
