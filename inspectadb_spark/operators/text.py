@@ -119,3 +119,104 @@ def char_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         .groupBy(id_col)
         .agg(F.min("g").alias("fp"))
     )
+
+
+def word_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-grams per document: (id_col, gram).
+
+    Built entirely from JVM higher-order functions (sequence → transform →
+    slice → array_join), so gram construction stays inside whole-stage
+    codegen — no Python in the path. Docs shorter than ``n`` tokens emit
+    nothing (sequence would run backwards on a negative span, so it is
+    guarded with a when()).
+    """
+    toks = F.split(F.col(text_col), " ")
+    span = F.size(toks) - F.lit(n)  # last 0-based start index
+    grams = F.when(
+        span >= 0,
+        F.transform(
+            F.sequence(F.lit(0), span),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: per-doc count of distinct word n-grams that
+    also appear in ``benchmark`` (the held-out eval set).
+
+    Scale shape (100 TB corpus, small benchmark): the benchmark gram set is
+    broadcast, so the corpus side is a single scan + map-side semi probe —
+    the only shuffle is the per-doc count aggregation. Returns
+    (id_col, n_grams, n_shared, share_rate) for contaminated docs only.
+    """
+    doc_grams = word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    bench_grams = word_ngrams(benchmark, n=n, text_col=text_col, id_col=id_col) \
+        .select("gram").distinct().withColumn("_hit", F.lit(1))
+    # One pass: broadcast LEFT join marks shared grams, a single per-doc agg
+    # yields both counts — 2 shuffles total (gram distinct, doc rollup)
+    # instead of recomputing the gram set per branch.
+    marked = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    # exact ints -> IEEE double division -> exact-decimal round: engine-stable
+    rate = (F.col("n_shared").cast("double") / F.col("n_grams")).cast("decimal(18,6)")
+    return (
+        marked.groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"), F.count("_hit").alias("n_shared"))
+        .filter(F.col("n_shared") > 0)
+        .select(
+            F.col(id_col), "n_grams", "n_shared",
+            F.round(rate, 4).cast("double").alias("share_rate"),
+        )
+    )
+
+
+def redact(docs: DataFrame, patterns: list[tuple[str, str]],
+           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII/secret redaction: apply (regex, replacement) pairs in order and
+    count total hits. Pure ``regexp_replace``/``regexp_count`` — JVM regex,
+    no UDF — so it runs at scan speed on a 100 TB corpus (narrow, no shuffle).
+
+    Returns (id_col, n_hits, redacted).
+    """
+    red = F.col(text_col)
+    hits = F.lit(0).cast("long")
+    for pat, rep in patterns:
+        hits = hits + F.regexp_count(red, F.lit(pat))
+        red = F.regexp_replace(red, pat, rep)
+    return docs.select(F.col(id_col), hits.alias("n_hits"), red.alias("redacted"))
+
+
+def corpus_frequency_score(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Corpus-statistics quality score: mean corpus frequency of a doc's
+    tokens (a deterministic stand-in for unigram-LM perplexity — higher means
+    the doc is made of commoner tokens).
+
+    Two aggregations: (1) global token counts — map-side partial combine, one
+    shuffle on token; (2) per-doc mean — the vocabulary table is tiny
+    relative to the corpus (Heaps' law), so the freq join is broadcast and
+    the only other shuffle is the per-doc aggregation. Mean is computed via
+    exact DECIMAL sums so the result is partial-agg-order independent.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("c").cast("decimal(18,6)")).alias("_s"),
+        )
+        .select(
+            F.col(id_col), "n_tokens",
+            F.round((F.col("_s").cast("double") / F.col("n_tokens"))
+                    .cast("decimal(18,6)"), 4).cast("double").alias("mean_tok_freq"),
+        )
+    )

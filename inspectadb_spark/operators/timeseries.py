@@ -100,3 +100,83 @@ def funnel(
         )
         .orderBy("day")
     )
+
+
+def retention_cohorts(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week; for each
+    week offset k, the fraction of the cohort active k weeks later.
+
+    Shuffle shape: one per-key aggregation produces the cohort week AND the
+    distinct active-week set together (no key-level join), then two tiny
+    rollups on week keys. Repeat events never fan out — collect_set holds at
+    most weeks-in-span entries per key.
+    Returns (cohort_week, week_offset, n_cohort, n_active, retention).
+    """
+    # ONE per-key aggregation yields both the cohort week (min of the
+    # monotone week truncation == truncation of min ts) and the distinct
+    # active-week set — no user-level join, which at 100 TB would be the
+    # dominant shuffle. Weeks-per-key is bounded by the observation span, so
+    # collect_set state stays tiny.
+    per_user = (
+        events.select(F.col(key_col), F.date_trunc("week", F.col(ts_col)).alias("week"))
+        .groupBy(key_col)
+        .agg(F.min("week").alias("cohort_week"), F.collect_set("week").alias("weeks"))
+    )
+    joined = per_user.select("cohort_week", F.explode("weeks").alias("week")).select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("int").alias("week_offset"),
+    )
+    per_offset = joined.groupBy("cohort_week", "week_offset") \
+        .agg(F.count("*").alias("n_active"))  # weeks already distinct per key
+    sizes = per_user.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    # exact ints -> IEEE double division -> exact-decimal round: engine-stable
+    rate = (F.col("n_active").cast("double") / F.col("n_cohort")).cast("decimal(18,6)")
+    return (
+        per_offset.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_cohort", "n_active",
+            F.round(rate, 4).cast("double").alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", val_col: str = "value",
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """Time-weighted average of a sampled signal per key (TimescaleDB-style
+    ``time_weight('LOCF')``): each observation holds until the next one, so
+    its weight is the µs gap to the successor; the final observation carries
+    no weight.
+
+    One shuffle (window partition by key); the weighted sums are exact
+    DECIMALs (value·µs fits DECIMAL(38,6) for month-scale spans), so the
+    result is independent of partial-agg order. Returns
+    (key, n_obs, span_s, twa).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # ts may be TIMESTAMP_NTZ (events ns-shim); unix_micros wants LTZ, and the
+    # session TZ is pinned UTC so the cast is value-identity.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur = (F.lead(us).over(w) - us).alias("dur_us")
+    spans = events.select(F.col(key_col), F.col(val_col).cast("decimal(18,6)").alias("v"), dur) \
+        .filter(F.col("dur_us").isNotNull())
+    return (
+        spans.groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum("dur_us").alias("_dur"),
+            F.sum((F.col("v") * F.col("dur_us")).cast("decimal(38,6)")).alias("_wsum"),
+        )
+        .select(
+            F.col(key_col), "n_obs",
+            F.round((F.col("_dur") / F.lit(1000000)).cast("decimal(18,6)"), 4)
+            .cast("double").alias("span_s"),
+            F.round((F.col("_wsum").cast("double") / F.col("_dur").cast("double"))
+                    .cast("decimal(18,6)"), 4).cast("double").alias("twa"),
+        )
+    )

@@ -330,3 +330,67 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Q78 weekly retention cohorts (first-seen week x week offset).
+@query(
+    "q78_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events),
+    j AS (
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+             a.user_id
+      FROM active a JOIN firsts USING (user_id)),
+    po AS (SELECT cohort_week, week_offset, COUNT(*) AS n_active
+           FROM j GROUP BY cohort_week, week_offset),
+    sz AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort_week)
+    SELECT po.cohort_week AS cohort_week, week_offset, n_cohort, n_active,
+           CAST(ROUND(CAST(CAST(n_active AS DOUBLE) / n_cohort
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS retention
+    FROM po JOIN sz ON po.cohort_week = sz.cohort_week
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Weekly retention matrix: distinct (user, week) before the cohort "
+        "join so repeat events never fan out; cohort sizes broadcast.",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import retention_cohorts
+
+    return retention_cohorts(tables(spark, sf_dir)["events"])
+
+
+# --------------------------------------------------------------------------
+# Q80 time-weighted average per user (TimescaleDB time_weight('LOCF') shape):
+# each observation holds until its successor; weights are exact µs gaps.
+@query(
+    "q80_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events),
+    s AS (
+      SELECT user_id, COUNT(*) AS n_obs, SUM(dur_us) AS d,
+             SUM(CAST(v * dur_us AS DECIMAL(38,6))) AS w
+      FROM o WHERE dur_us IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n_obs,
+           CAST(ROUND(CAST(d / 1000000 AS DECIMAL(18,6)), 4) AS DOUBLE) AS span_s,
+           CAST(ROUND(CAST(CAST(w AS DOUBLE) / CAST(d AS DOUBLE)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS twa
+    FROM s
+    """,
+    doc="LOCF time-weighted mean from exact decimal µs-weighted sums; one "
+        "window shuffle, order-independent aggregation.",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(tables(spark, sf_dir)["events"])

@@ -207,3 +207,94 @@ def q65b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q75 benchmark decontamination: docs from the training corpus (source <>
+# 'src0') sharing word 5-grams with the held-out benchmark set (source =
+# 'src0'). Benchmark gram set is broadcast; corpus side is one scan + one
+# per-doc count shuffle.
+@query(
+    "q75_decontam_ngrams",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM tok, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, gram FROM grams WHERE source <> 'src0'),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+    sh AS (SELECT corpus.doc_id, COUNT(*) AS n_shared
+           FROM corpus JOIN bench USING (gram) GROUP BY corpus.doc_id)
+    SELECT tot.doc_id AS doc_id, n_grams, n_shared,
+           CAST(ROUND(CAST(CAST(n_shared AS DOUBLE) / n_grams
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS share_rate
+    FROM tot JOIN sh ON tot.doc_id = sh.doc_id
+    """,
+    doc="Eval-set decontamination: per-doc distinct 5-gram overlap with the "
+        "benchmark source, broadcast semi-probe (no corpus-side fan-out).",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import ngram_contamination
+
+    docs = tables(spark, sf_dir)["documents"]
+    return ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q76 PII/secret redaction: sequential (regex -> replacement) passes with a
+# total hit count. Pure JVM regexp_* — scan-speed, zero shuffle.
+_REDACT_PATTERNS = [
+    (r"\b(key|hash)\b", "[SECRET]"),
+    (r"\d{3,}", "[NUM]"),  # zero-hit path on this corpus: exercised, not dead
+]
+
+
+@query(
+    "q76_redact",
+    oracle=r"""
+    WITH s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\b(key|hash)\b')) AS h1,
+             regexp_replace(text, '\b(key|hash)\b', '[SECRET]', 'g') AS t
+      FROM documents),
+    s2 AS (
+      SELECT doc_id, h1, len(regexp_extract_all(t, '\d{3,}')) AS h2,
+             regexp_replace(t, '\d{3,}', '[NUM]', 'g') AS t
+      FROM s1)
+    SELECT doc_id, CAST(h1 + h2 AS BIGINT) AS n_hits, t AS redacted FROM s2
+    """,
+    doc="Ordered regex redaction with hit accounting (PII scrubbing shape).",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import redact
+
+    return redact(tables(spark, sf_dir)["documents"], _REDACT_PATTERNS)
+
+
+# --------------------------------------------------------------------------
+# Q77 corpus-statistics quality score: mean corpus frequency of each doc's
+# tokens (deterministic unigram-LM stand-in). Vocab table broadcast.
+@query(
+    "q77_corpus_freq_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(ROUND(CAST(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(*) AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS mean_tok_freq
+    FROM toks JOIN freq USING (tok) GROUP BY doc_id
+    """,
+    doc="Unigram corpus-frequency doc score via exact-decimal mean.",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import corpus_frequency_score
+
+    return corpus_frequency_score(tables(spark, sf_dir)["documents"])

@@ -168,6 +168,11 @@ def test_extension_family_shuffle_budgets(spark):
         "q65b_stratified_quota": 1,
         "q63_tfidf_topk": 4,
         "q71_funnel": 4,
+        "q76_redact": 0,          # pure regexp scan
+        "q80_time_weighted_avg": 1,  # window; agg reuses its partitioning
+        "q77_corpus_freq_score": 2,  # vocab agg + doc agg (freq broadcast)
+        "q75_decontam_ngrams": 3,    # gram distinct + doc agg + bench bcast
+        "q78_retention_cohorts": 5,  # per-user agg + 2 week rollups + bcast + sort
     }
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
