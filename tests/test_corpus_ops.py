@@ -1,0 +1,135 @@
+"""Hand-computed cases + invariants for the corpus-hygiene and retention
+family (q75-q78, q80): n-gram decontamination, redaction ordering,
+corpus-frequency scoring, retention cohorts, time-weighted averages."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.text import (
+    corpus_frequency_score,
+    ngram_contamination,
+    redact,
+    word_ngrams,
+)
+from inspectadb_spark.operators.timeseries import retention_cohorts, time_weighted_avg
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- word_ngrams / ngram_contamination ---------------------------------------
+
+def test_word_ngrams_hand_case(spark):
+    out = word_ngrams(_docs(spark, [(1, "a b c d e f")]), n=5).collect()
+    assert sorted(r.gram for r in out) == ["a b c d e", "b c d e f"]
+
+
+def test_word_ngrams_short_doc_emits_nothing(spark):
+    assert word_ngrams(_docs(spark, [(1, "a b c")]), n=5).count() == 0
+
+
+def test_contamination_counts_and_rate(spark):
+    corpus = _docs(spark, [(1, "a b c d e f"), (2, "x y z w v")])
+    bench = _docs(spark, [(10, "b c d e f g")])
+    rows = {r.doc_id: r for r in ngram_contamination(corpus, bench, n=5).collect()}
+    # doc 1 shares exactly "b c d e f"; doc 2 shares nothing -> filtered out
+    assert set(rows) == {1}
+    assert (rows[1].n_grams, rows[1].n_shared, rows[1].share_rate) == (2, 1, 0.5)
+
+
+def test_contamination_duplicate_grams_count_once(spark):
+    corpus = _docs(spark, [(1, "a b a b a b a b")])  # "a b a b a" twice etc.
+    bench = _docs(spark, [(10, "a b a b a")])
+    r = ngram_contamination(corpus, bench, n=5).collect()[0]
+    # distinct grams of doc 1: "a b a b a", "b a b a b" -> 2; one shared
+    assert (r.n_grams, r.n_shared) == (2, 1)
+
+
+# -- redact ------------------------------------------------------------------
+
+def test_redact_applies_patterns_in_order(spark):
+    docs = _docs(spark, [(1, "key abc123456 hash")])
+    r = redact(docs, [(r"\b(key|hash)\b", "[S]"), (r"\d{3,}", "[N]")]).collect()[0]
+    assert r.redacted == "[S] abc[N] [S]"
+    assert r.n_hits == 3
+
+
+def test_redact_earlier_replacement_not_rematched(spark):
+    # first pass rewrites to text the second pattern would NOT hit
+    docs = _docs(spark, [(1, "aaa")])
+    r = redact(docs, [(r"a+", "999"), (r"\d{3,}", "[N]")]).collect()[0]
+    # hits counted on the CURRENT text at each step: 1 then 1
+    assert (r.n_hits, r.redacted) == (2, "[N]")
+
+
+# -- corpus_frequency_score --------------------------------------------------
+
+def test_corpus_freq_score_hand_case(spark):
+    docs = _docs(spark, [(1, "a a b"), (2, "b c")])
+    rows = {r.doc_id: r for r in corpus_frequency_score(docs).collect()}
+    # corpus freq: a=2, b=2, c=1
+    assert rows[1].n_tokens == 3 and rows[1].mean_tok_freq == 2.0
+    assert rows[2].n_tokens == 2 and rows[2].mean_tok_freq == 1.5
+
+
+# -- retention_cohorts -------------------------------------------------------
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+
+
+def test_retention_hand_case(spark):
+    t = dt.datetime
+    ev = _events(spark, [
+        (1, t(2024, 1, 1), 100, 0.0),   # Mon wk0 — cohort A
+        (2, t(2024, 1, 9), 100, 0.0),   # wk1: A retained
+        (3, t(2024, 1, 2), 101, 0.0),   # wk0 — cohort A
+        (4, t(2024, 1, 10), 102, 0.0),  # wk1 — cohort B
+    ])
+    rows = {(r.cohort_week, r.week_offset): r for r in retention_cohorts(ev).collect()}
+    wk0, wk1 = t(2024, 1, 1), t(2024, 1, 8)
+    assert rows[(wk0, 0)].n_cohort == 2 and rows[(wk0, 0)].retention == 1.0
+    assert rows[(wk0, 1)].n_active == 1 and rows[(wk0, 1)].retention == 0.5
+    assert rows[(wk1, 0)].n_cohort == 1 and rows[(wk1, 0)].retention == 1.0
+
+
+def test_retention_offset_zero_is_always_full(spark):
+    from inspectadb_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)  # ns-shimmed ts
+    zero = retention_cohorts(ev).filter(F.col("week_offset") == 0).collect()
+    assert zero and all(r.retention == 1.0 and r.n_active == r.n_cohort for r in zero)
+
+
+# -- time_weighted_avg -------------------------------------------------------
+
+def test_twa_hand_case(spark):
+    t = dt.datetime
+    ev = _events(spark, [
+        # user 7: 10.0 for 30s, then 20.0 for 10s, final obs unweighted
+        (1, t(2024, 1, 1, 0, 0, 0), 7, 10.0),
+        (2, t(2024, 1, 1, 0, 0, 30), 7, 20.0),
+        (3, t(2024, 1, 1, 0, 0, 40), 7, 99.0),
+    ])
+    r = time_weighted_avg(ev).collect()[0]
+    assert r.n_obs == 2 and r.span_s == 40.0
+    assert r.twa == 12.5  # (10*30 + 20*10) / 40
+
+
+def test_twa_bounded_by_min_max(spark):
+    from inspectadb_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)  # ns-shimmed ts
+    twa = time_weighted_avg(ev)
+    bounds = ev.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bad = twa.join(bounds, "user_id").filter(
+        (F.col("twa") < F.col("lo") - 1e-4) | (F.col("twa") > F.col("hi") + 1e-4))
+    assert bad.count() == 0
