@@ -103,3 +103,27 @@ def read_with_drift(
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return merged.select(*cols)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None,
+                      max_bytes: int | None = None) -> DataFrame:
+    """Multimodal raw-asset ingest via the built-in ``binaryFile`` source:
+    (path, modificationTime, length, content BINARY).
+
+    This is the 100 TB image/audio ingest front door: each file becomes one
+    row with its bytes as an opaque binary column, ready for
+    ``operators.multimodal`` decode/feature UDFs. Listing is distributed by
+    the source; ``glob`` prunes at listing time (never read-then-filter) and
+    ``max_bytes`` guards executors against pathological oversized assets —
+    the length predicate is evaluated from file metadata, before content is
+    fetched.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

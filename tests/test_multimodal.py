@@ -87,3 +87,19 @@ def test_frame_pixels_match_source(spark):
     for fi in (0, 2, 4):
         _, _, px = _decode_blob(frames[(doc, fi)])
         assert np.array_equal(px, allpx[fi * 16 : (fi + 1) * 16])
+
+
+def test_binary_file_source_globs_and_caps(spark, tmp_path):
+    # raw-asset ingest front door: glob prunes at listing, max_bytes from
+    # file metadata (never fetches oversized content)
+    import os
+
+    from inspectadb_spark.sources.files import read_binary_files
+
+    for i in range(3):
+        (tmp_path / f"img{i}.bin").write_bytes(b"\x89" * (10 + i * 100))
+    (tmp_path / "skip.txt").write_text("nope")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=150)
+    rows = df.collect()
+    assert {os.path.basename(r.path) for r in rows} == {"img0.bin", "img1.bin"}
+    assert all(r.length == len(r.content) for r in rows)
