@@ -181,18 +181,26 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic random centroids partition the collection
+    """IVF-style ANN: deterministic centroids partition the collection
     into inverted lists (cell = argmax centroid·v/|c||v|, computed scan-side
     in codegen); a query probes only the ``n_probe`` nearest cells, then runs
     exact cosine inside them. At 100 TB the cell id becomes a partition
     column, so probing prunes ~(1 - n_probe/n_centroids) of the data from
-    the scan. Centroid assignment is a pure projection — no shuffle."""
+    the scan. Centroid assignment is a pure projection — no shuffle.
+
+    ``centroids`` (rows = cells) overrides the default seeded-random set —
+    pass ``kmeans_fit(...)``'s output for trained, balanced inverted lists."""
     import math
 
     dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_centroids, dim))
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64).copy()
+        n_centroids = len(cents)
+    else:
+        rng = np.random.default_rng(seed)
+        cents = rng.standard_normal((n_centroids, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
     # cell = argmax over centroids of cosine(v, c); greatest-of-structs gives
@@ -296,3 +304,83 @@ def centroid_outliers(
         .orderBy(F.desc("dist"), "vec_id")
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd's k-means (iterative-algorithm class; trains IVF cells).
+# Determinism discipline: init = first k vectors in md5(id) order (data-
+# dependent but engine/run/partitioning invariant); per-iteration means and
+# inertia accumulate in exact DECIMAL, so no result depends on partial-agg
+# order; assignment argmin uses greatest-of-structs with an id tiebreak.
+
+def _argmin_cell(cents: np.ndarray, vec_col: str) -> Column:
+    """argmin_c ||v - c||² as a codegen expression: maximizes 2·v·c - |c|²
+    (the |v|² term is constant per row); ties break to the LOWER cell id."""
+    choices = []
+    for cid, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        score = F.lit(2.0) * _dot(F.col(vec_col), lit_c) - F.lit(float(c @ c))
+        choices.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+    return -F.greatest(*choices).getField("nc")
+
+
+def _best_score(cents: np.ndarray, vec_col: str) -> Column:
+    return F.greatest(*[
+        F.struct(
+            (F.lit(2.0) * _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+             - F.lit(float(c @ c))).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, c in enumerate(cents)
+    ]).getField("s")
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, list[float]]:
+    """Lloyd's k-means over a distributed vector table.
+
+    Each iteration is one Spark job: assignment is a pure scan-side
+    projection (k unrolled dot products in codegen, no shuffle), and the
+    mean update is a single (cell, dim) aggregation — k·dim rows collected
+    to the driver, which is the MODEL, not the data, so the collect stays
+    O(k·dim) regardless of table size. Empty cells keep their previous
+    centroid. Returns (centroids, per-iteration inertia); inertia is
+    non-increasing by construction of Lloyd's algorithm.
+    """
+    from decimal import Decimal
+
+    first = vectors.select(
+        F.col(id_col), F.col(vec_col)
+    ).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)).limit(k).collect()
+    cents = np.asarray([[float(x) for x in r[1]] for r in first], dtype=np.float64)
+
+    inertia: list[float] = []
+    for _ in range(iters):
+        cell = _argmin_cell(cents, vec_col)
+        # two selects: a generator (posexplode) in the same projection as the
+        # greatest-of-structs argmin strips the struct field aliases
+        # (FIELD_NOT_FOUND `nc`) — keep the argmin in its own projection
+        stats = (
+            vectors.select(cell.alias("_cell"), F.col(vec_col))
+            .select("_cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("_cell", "pos")
+            .agg(F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+                 F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in stats:
+            new[r._cell, r.pos] = float(Decimal(r.s) / r.n)
+        cents = new
+
+        # inertia under the JUST-UPDATED centroids: per-row dist² rounded to
+        # an exact decimal before the sum, so the total is order-independent
+        d2 = (_norm2(vec_col) - _best_score(cents, vec_col)).cast("decimal(28,10)")
+        tot = vectors.agg(F.sum(d2).alias("i")).collect()[0].i
+        inertia.append(float(tot))
+    return cents, inertia

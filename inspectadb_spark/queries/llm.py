@@ -67,6 +67,21 @@ def q43b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q43e IVF ANN with k-means-trained centroids (rows-only; Lloyd's iterations
+# are the iterative-algorithm class — no SQL analog. Determinism: md5-order
+# init + exact-decimal mean/inertia accumulators, so the trained model and
+# the probe result are run/partitioning invariant).
+@query("q43e_ann_ivf_kmeans", oracle=None)
+def q43e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    e = tables(spark, sf_dir)["embeddings"]
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents, _ = kmeans_fit(e, k=8, iters=2)
+    return ivf_topk(e, [float(x) for x in qvec], k=10, n_probe=3, centroids=cents)
+
+
+# --------------------------------------------------------------------------
 # Q44 exact dedup by md5(text)
 @query(
     "q44_exact_dedup",

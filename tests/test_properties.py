@@ -145,3 +145,40 @@ def test_unionall_count_and_dedup_idempotence(spark, rows):
     assert df.unionAll(df).count() == 2 * df.count()
     d1 = df.distinct()
     assert d1.distinct().count() == d1.count()
+
+
+# --------------------------------------------------------------------------
+# P4 — k-means training: Lloyd's invariants + trained-IVF quality
+
+def test_p4_kmeans_inertia_monotone_and_deterministic(spark):
+    from inspectadb_spark.operators.similarity import kmeans_fit
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1, i1 = kmeans_fit(e, k=8, iters=3)
+    # Lloyd's: each assign+update step cannot increase the objective
+    assert all(b <= a + 1e-9 for a, b in zip(i1, i1[1:])), i1
+    # exact-decimal accumulators -> bit-identical refit
+    c2, i2 = kmeans_fit(e, k=8, iters=3)
+    assert i1 == i2 and (c1 == c2).all()
+
+
+def test_p4_trained_ivf_probe_all_equals_exact(spark):
+    from inspectadb_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cents, _ = kmeans_fit(e, k=8, iters=2)
+    ann = ivf_topk(e, qvec, k=10, n_probe=8, centroids=cents)
+    assert _recall_vs_exact(spark, ann, qvec) == 1.0
+
+
+def test_p4_trained_ivf_recall(spark):
+    from inspectadb_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cents, _ = kmeans_fit(e, k=8, iters=2)
+    ann = ivf_topk(e, qvec, k=10, n_probe=4, centroids=cents)
+    assert _recall_vs_exact(spark, ann, qvec) >= 0.4
