@@ -192,3 +192,50 @@ def pack_sequences(
         return pd.DataFrame(out, columns=["lang", "bin_id", "n_docs", "total_tokens"])
 
     return sized.groupBy("lang").applyInPandas(pack, schema=_PACK_SCHEMA)
+
+
+def select_until_budget(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "mean_tok_freq",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus curation under a global token budget: take documents in
+    (score DESC, id ASC) order while the running token total stays within
+    ``budget`` — i.e. the rows a global cumulative-sum window would keep.
+
+    A literal global window (SUM OVER ORDER BY with no partition) serializes
+    the whole table through one task, so instead: (1) aggregate a per-score
+    weight histogram — scores are 4dp-rounded, so the histogram is small and
+    bounded, the MODEL not the data; (2) the driver walks it to find the
+    boundary score and the residual budget; (3) whole buckets above the
+    boundary pass with a plain filter (scan-parallel), and only the single
+    boundary bucket pays a tiny cumulative window. Result is identical to
+    the global-window formulation, row for row.
+    """
+    from pyspark.sql import Window
+
+    hist = sorted(
+        scored.groupBy(score_col).agg(F.sum(weight_col).alias("w")).collect(),
+        key=lambda r: -r[score_col],
+    )
+    acc = 0
+    cutoff, residual = None, budget
+    for r in hist:
+        if acc + r.w <= budget:
+            acc += r.w
+        else:
+            cutoff, residual = r[score_col], budget - acc
+            break
+    if cutoff is None:
+        return scored  # everything fits
+    full = scored.filter(F.col(score_col) > cutoff)
+    w = Window.orderBy(id_col)  # one score bucket only: tiny by construction
+    boundary = (
+        scored.filter(F.col(score_col) == cutoff)
+        .withColumn("_cum", F.sum(weight_col).over(w))
+        .filter(F.col("_cum") <= residual)
+        .drop("_cum")
+    )
+    return full.unionByName(boundary)

@@ -298,3 +298,39 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.text import corpus_frequency_score
 
     return corpus_frequency_score(tables(spark, sf_dir)["documents"])
+
+
+# --------------------------------------------------------------------------
+# Q79 token-budget corpus selection: best-scored docs (q77's corpus-frequency
+# score) until a global 6000-token budget. The oracle is the global
+# cumulative-sum window; the engine computes the same rows via a per-score
+# histogram + boundary-bucket refinement (no global serial window — see
+# operators/pipeline.py::select_until_budget).
+@query(
+    "q79_token_budget_selection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(ROUND(CAST(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)
+                             / COUNT(*) AS DECIMAL(18,6)), 4) AS DOUBLE)
+               AS mean_tok_freq
+      FROM toks JOIN freq USING (tok) GROUP BY doc_id),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (
+        ORDER BY mean_tok_freq DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM scored)
+    SELECT doc_id, n_tokens, mean_tok_freq FROM c WHERE cum <= 6000
+    """,
+    doc="Budgeted curation: histogram + boundary-bucket refinement equals "
+        "the global cumulative-window selection row-for-row.",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.pipeline import select_until_budget
+    from inspectadb_spark.operators.text import corpus_frequency_score
+
+    scored = corpus_frequency_score(tables(spark, sf_dir)["documents"])
+    return select_until_budget(scored, budget=6000)

@@ -133,3 +133,36 @@ def test_twa_bounded_by_min_max(spark):
     bad = twa.join(bounds, "user_id").filter(
         (F.col("twa") < F.col("lo") - 1e-4) | (F.col("twa") > F.col("hi") + 1e-4))
     assert bad.count() == 0
+
+
+# -- select_until_budget -------------------------------------------------------
+
+def _scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, mean_tok_freq double")
+
+
+def test_budget_selection_matches_cumsum_semantics(spark):
+    from inspectadb_spark.operators.pipeline import select_until_budget
+
+    rows = [(1, 10, 3.0), (2, 10, 2.0), (3, 5, 2.0), (4, 10, 2.0), (5, 10, 1.0)]
+    # order: 1(cum10), 2(20), 3(25), 4(35), 5(45); budget 26 keeps 1,2,3
+    got = {r.doc_id for r in select_until_budget(_scored(spark, rows), 26).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_budget_selection_boundary_bucket_stops_at_overflow(spark):
+    from inspectadb_spark.operators.pipeline import select_until_budget
+
+    # boundary bucket (score 2.0) in doc_id order: 2(10), 3(+5=15>12 stop)
+    rows = [(1, 10, 3.0), (2, 10, 2.0), (3, 5, 2.0), (4, 1, 2.0)]
+    got = {r.doc_id for r in select_until_budget(_scored(spark, rows), 22).collect()}
+    assert got == {1, 2}  # doc 4 would fit alone but cumsum already overflowed
+
+
+def test_budget_selection_all_fit_short_circuits(spark):
+    from inspectadb_spark.operators.pipeline import select_until_budget
+
+    rows = [(1, 5, 1.0), (2, 5, 2.0)]
+    got = select_until_budget(_scored(spark, rows), 100)
+    assert got.count() == 2
