@@ -180,3 +180,50 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
                     .cast("decimal(18,6)"), 4).cast("double").alias("twa"),
         )
     )
+
+
+def sequence_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window: str = "72 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered multi-step sequence match (MATCH_RECOGNIZE shape): for each
+    key, the earliest chain step1 < step2 < ... < stepN where every step
+    falls within ``window`` of the FIRST step's first occurrence.
+
+    Earliest-chain semantics make the match greedy-minimal and unique per
+    key, so each stage is a min() aggregation — never a fan-out over all
+    event combinations. Stage i is a join of the per-key state (one row per
+    surviving key) against only type-i events, co-partitioned on the key
+    after the first shuffle. Returns per first-step day:
+    (day, n_start, n_complete, rate).
+    """
+    t1 = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col).agg(F.min(ts_col).alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr(f"INTERVAL {window}")
+    state = t1
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(key_col), F.col(ts_col).alias("_ts"))
+        carry = [c for c in state.columns if c != key_col]
+        state = (
+            state.join(nxt, key_col)
+            .filter((F.col("_ts") > F.col(f"t{i-1}")) & (F.col("_ts") <= deadline))
+            .groupBy(key_col, *carry)
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+    done = state.select(F.col(key_col), F.lit(1).alias("_done"))
+    rate = (F.col("n_complete").cast("double") / F.col("n_start")).cast("decimal(18,6)")
+    return (
+        t1.join(done, key_col, "left")
+        .groupBy(F.date_trunc("day", F.col("t1")).alias("day"))
+        .agg(F.count("*").alias("n_start"), F.count("_done").alias("n_complete"))
+        .select("day", "n_start", "n_complete",
+                F.round(rate, 4).cast("double").alias("rate"))
+        .orderBy("day")
+    )

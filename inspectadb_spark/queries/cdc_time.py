@@ -394,3 +394,47 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.timeseries import time_weighted_avg
 
     return time_weighted_avg(tables(spark, sf_dir)["events"])
+
+
+# --------------------------------------------------------------------------
+# Q81 ordered 3-step sequence funnel: signup -> click -> purchase, each step
+# strictly after the previous, all within 72h of the FIRST signup
+# (MATCH_RECOGNIZE shape via earliest-chain min() stages — no combinatorial
+# fan-out; see operators/timeseries.py::sequence_funnel).
+@query(
+    "q81_sequence_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT s1.user_id, t1, MIN(e.ts) AS t2
+      FROM s1 JOIN events e ON e.user_id = s1.user_id
+       AND e.event_type = 'click' AND e.ts > t1
+       AND e.ts <= t1 + INTERVAL 72 HOURS
+      GROUP BY s1.user_id, t1),
+    s3 AS (
+      SELECT s2.user_id
+      FROM s2 JOIN events e ON e.user_id = s2.user_id
+       AND e.event_type = 'purchase' AND e.ts > t2
+       AND e.ts <= t1 + INTERVAL 72 HOURS
+      GROUP BY s2.user_id),
+    agg AS (
+      SELECT CAST(date_trunc('day', t1) AS TIMESTAMP) AS day,
+             COUNT(*) AS n_start, COUNT(s3.user_id) AS n_complete
+      FROM s1 LEFT JOIN s3 USING (user_id)
+      GROUP BY date_trunc('day', t1))
+    SELECT day, n_start, n_complete,
+           CAST(ROUND(CAST(CAST(n_complete AS DOUBLE) / n_start
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS rate
+    FROM agg ORDER BY day
+    """,
+    doc="Earliest-chain ordered sequence match; per-stage min() aggregation "
+        "keeps state at one row per key.",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import sequence_funnel
+
+    return sequence_funnel(
+        tables(spark, sf_dir)["events"],
+        steps=["signup", "click", "purchase"], window="72 hours")

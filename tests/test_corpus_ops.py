@@ -166,3 +166,32 @@ def test_budget_selection_all_fit_short_circuits(spark):
     rows = [(1, 5, 1.0), (2, 5, 2.0)]
     got = select_until_budget(_scored(spark, rows), 100)
     assert got.count() == 2
+
+
+# -- sequence_funnel -----------------------------------------------------------
+
+def test_sequence_funnel_requires_strict_order_within_window(spark):
+    from inspectadb_spark.operators.timeseries import sequence_funnel
+
+    t = dt.datetime
+    rows = [
+        # user 1: signup -> click -> purchase in order => complete
+        (1, t(2024, 1, 1, 0), 1, "signup"),
+        (2, t(2024, 1, 1, 1), 1, "click"),
+        (3, t(2024, 1, 1, 2), 1, "purchase"),
+        # user 2: purchase BEFORE click => incomplete
+        (4, t(2024, 1, 1, 0), 2, "signup"),
+        (5, t(2024, 1, 1, 2), 2, "click"),
+        (6, t(2024, 1, 1, 1), 2, "purchase"),
+        # user 3: click precedes signup; later click ok but purchase beyond 72h
+        (7, t(2024, 1, 1, 0), 3, "click"),
+        (8, t(2024, 1, 1, 1), 3, "signup"),
+        (9, t(2024, 1, 1, 2), 3, "click"),
+        (10, t(2024, 1, 5, 2), 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = sequence_funnel(ev, ["signup", "click", "purchase"], "72 hours").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_start, r.n_complete, r.rate) == (3, 1, 0.3333)

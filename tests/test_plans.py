@@ -173,6 +173,7 @@ def test_extension_family_shuffle_budgets(spark):
         "q77_corpus_freq_score": 2,  # vocab agg + doc agg (freq broadcast)
         "q75_decontam_ngrams": 3,    # gram distinct + doc agg + bench bcast
         "q78_retention_cohorts": 5,  # per-user agg + 2 week rollups + bcast + sort
+        "q81_sequence_funnel": 4,    # stage aggs co-partition on the key
     }
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
