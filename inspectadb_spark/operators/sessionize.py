@@ -29,3 +29,38 @@ def sessionize(
     return events.withColumn("_brk", brk).withColumn(
         "session_id", F.sum("_brk").over(run)
     ).drop("_brk")
+
+
+def session_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap: str = "INTERVAL 30 MINUTE",
+) -> DataFrame:
+    """Within-session event-type transition counts (path analysis / Markov
+    bigrams): (from_type, to_type, n) over consecutive events in the same
+    session.
+
+    The successor lookup uses the SAME window spec as sessionization
+    (partition user, order ts+id) and filters out cross-session successors
+    by comparing lead(session_id) — so the whole pipeline is one shuffle +
+    one sort on user_id, plus the final small rollup on the type pair
+    (bounded by |types|²).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    s = sessionize(events, user_col, ts_col, id_col, gap)
+    t = s.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+        F.col("session_id"),
+        F.lead("session_id").over(w).alias("_to_sess"),
+    )
+    return (
+        t.filter(F.col("to_type").isNotNull()
+                 & (F.col("_to_sess") == F.col("session_id")))
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("from_type", "to_type")
+    )

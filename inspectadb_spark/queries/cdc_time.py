@@ -438,3 +438,40 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_funnel(
         tables(spark, sf_dir)["events"],
         steps=["signup", "click", "purchase"], window="72 hours")
+
+
+# --------------------------------------------------------------------------
+# Q82 session path analysis: within-session event-type transition counts.
+# Successor lookup shares sessionization's window spec, so the whole query
+# is one user_id shuffle + a |types|²-bounded rollup.
+@query(
+    "q82_session_transitions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM x
+    ), t AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+             session_id,
+             LEAD(session_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_sess
+      FROM s
+    )
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM t WHERE to_type IS NOT NULL AND to_sess = session_id
+    GROUP BY from_type, to_type ORDER BY from_type, to_type
+    """,
+    doc="Markov path bigrams per session; cross-session successors excluded "
+        "via lead(session_id) on the shared window spec.",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.sessionize import session_transitions
+
+    return session_transitions(tables(spark, sf_dir)["events"])

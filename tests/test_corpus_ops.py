@@ -195,3 +195,19 @@ def test_sequence_funnel_requires_strict_order_within_window(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_start, r.n_complete, r.rate) == (3, 1, 0.3333)
+
+
+def test_session_transitions_exclude_cross_session_pairs(spark):
+    from inspectadb_spark.operators.sessionize import session_transitions
+
+    t = dt.datetime
+    rows = [
+        (1, t(2024, 1, 1, 0, 0), 1, "view"),
+        (2, t(2024, 1, 1, 0, 10), 1, "click"),     # view->click (same session)
+        (3, t(2024, 1, 1, 5, 0), 1, "purchase"),   # 5h gap: new session, no pair
+        (4, t(2024, 1, 1, 5, 5), 1, "view"),       # purchase->view
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r.from_type, r.to_type): r.n for r in session_transitions(ev).collect()}
+    assert got == {("view", "click"): 1, ("purchase", "view"): 1}

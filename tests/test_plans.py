@@ -174,6 +174,7 @@ def test_extension_family_shuffle_budgets(spark):
         "q75_decontam_ngrams": 3,    # gram distinct + doc agg + bench bcast
         "q78_retention_cohorts": 5,  # per-user agg + 2 week rollups + bcast + sort
         "q81_sequence_funnel": 4,    # stage aggs co-partition on the key
+        "q82_session_transitions": 3,  # one user shuffle + pair rollup + sort
     }
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
