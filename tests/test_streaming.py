@@ -659,3 +659,36 @@ def test_s12_checkpoint_restart_exactly_once(spark, replay_dir, tmp_path):
     assert got.count() == want.count()
     # exactly once: no event_id duplicated, none missing
     assert got.select("event_id").distinct().count() == want.count()
+
+
+# S13 sink maintenance: a replayed stream leaves one file per micro-batch;
+# compaction rewrites the sink directory to target-sized files with
+# identical contents — the periodic OPTIMIZE pass a 100 TB streaming
+# pipeline schedules between checkpoints.
+def test_s13_sink_compaction_preserves_stream_output(spark, replay_dir, tmp_path):
+    import glob
+
+    from inspectadb_spark.operators.maintenance import compact, input_file_sizes
+
+    out = str(tmp_path / "s13_out")
+    ckpt = str(tmp_path / "s13_ckpt")
+    stream = _stream(spark, replay_dir).select("event_id", "event_type", "value")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", 1)  # force one output file per batch
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n_small = len(glob.glob(f"{out}/*.parquet"))
+    assert n_small > 1  # fragmented, as a real streaming sink would be
+    compacted = str(tmp_path / "s13_compacted")
+    total = sum(input_file_sizes(spark, spark.read.parquet(out)))
+    stats = compact(spark, out, compacted, target_file_bytes=total)
+    assert stats["files_out"] == 1
+    a = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    b = sorted(r.event_id for r in spark.read.parquet(compacted).collect())
+    assert a == b
