@@ -31,6 +31,11 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize ONCE: the edge list is typically the output of an
+        # expensive pair generator (O(n²) similarity join), and without this
+        # every iteration's join would recompute it from scratch — measured
+        # 258 s -> 61 s for q44e at sf0.1
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
