@@ -58,3 +58,40 @@ def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
     overlapping = sum(
         1 for (_, ph), (cl, _) in zip(frag_ranges, frag_ranges[1:]) if ph >= cl)
     assert overlapping == len(frag_ranges) - 1
+
+
+def test_zorder_bounds_ranges_on_both_columns(spark, tmp_path):
+    from inspectadb_spark.operators.maintenance import compact_zorder
+
+    frag = _fragment(spark, tmp_path)
+    total = sum(input_file_sizes(spark, spark.read.parquet(frag)))
+    target = max(1, total // 16)
+
+    lin = str(tmp_path / "linear")
+    compact(spark, frag, lin, target_file_bytes=target, cluster_cols=["o_custkey"])
+    zor = str(tmp_path / "zorder")
+    stats = compact_zorder(spark, frag, zor, ["o_custkey", "o_orderkey"],
+                           target_file_bytes=target)
+    assert stats["files_out"] >= 8
+
+    def widths(path, col):
+        return [hi - lo for lo, hi in parquet_column_ranges(path, col)]
+
+    full_ok = max(hi for _, hi in parquet_column_ranges(frag, "o_orderkey")) \
+        - min(lo for lo, _ in parquet_column_ranges(frag, "o_orderkey"))
+    # linear custkey clustering leaves orderkey unclustered: files span ~all of it
+    assert min(widths(lin, "o_orderkey")) > full_ok * 0.8
+    # z-order bounds BOTH dimensions ON AVERAGE (a file straddling a
+    # high-order Morton bit flip can still span one dim — expected artifact
+    # of range-partition boundaries not aligning with bit planes)
+    def avg(xs):
+        return sum(xs) / len(xs)
+
+    assert avg(widths(zor, "o_orderkey")) < full_ok * 0.5
+    full_ck = max(hi for _, hi in parquet_column_ranges(frag, "o_custkey")) \
+        - min(lo for lo, _ in parquet_column_ranges(frag, "o_custkey"))
+    assert avg(widths(zor, "o_custkey")) < full_ck * 0.5
+    # and the rewrite is lossless
+    a = spark.read.parquet(frag).agg(F.count("*"), F.sum("o_orderkey")).collect()[0]
+    b = spark.read.parquet(zor).agg(F.count("*"), F.sum("o_orderkey")).collect()[0]
+    assert tuple(a) == tuple(b)
