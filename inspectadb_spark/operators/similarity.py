@@ -203,23 +203,33 @@ def ivf_topk(
         cents = rng.standard_normal((n_centroids, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
-    # cell = argmax over centroids of cosine(v, c); greatest-of-structs gives
-    # a deterministic argmax (score, then lower centroid id via -cid)
-    vm = F.sqrt(_norm2(vec_col))
-    choices = []
-    for cid in range(n_centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in cents[cid]])
-        score = _dot(F.col(vec_col), lit_c) / vm
-        choices.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
-    cell = (-F.greatest(*choices).getField("nc")).alias("_cell")
-
     qv = np.asarray(query_vec, dtype=np.float64)
     qsims = (cents @ qv) / np.linalg.norm(qv)
     probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
 
-    assigned = vectors.select(F.col(id_col), F.col(vec_col), cell)
+    assigned = ivf_assign(vectors, cents, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("_cell"))
     cand = assigned.filter(F.col("_cell").isin(probe)).drop("_cell")
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_assign(vectors: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach the IVF cell id (`_cell` = argmax cosine to a centroid) as a
+    column. A pure scan-side codegen projection — at 100 TB, write the
+    collection ``partitionBy("_cell")`` and a query's cell probe becomes a
+    partition filter: non-probed inverted lists are never read
+    (test_cluster::test_ivf_cell_partitioning_prunes_scan)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    # cell = argmax over centroids of cosine(v, c); greatest-of-structs gives
+    # a deterministic argmax (score, then lower centroid id via -cid)
+    vm = F.sqrt(_norm2(vec_col))
+    choices = []
+    for cid in range(len(cents)):
+        lit_c = F.array(*[F.lit(float(x)) for x in cents[cid]])
+        score = _dot(F.col(vec_col), lit_c) / vm
+        choices.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+    return vectors.withColumn("_cell", -F.greatest(*choices).getField("nc"))
 
 
 def srp_ann_topk(

@@ -72,3 +72,22 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     # the filter became a partition filter on the scan — zero I/O for others
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
     assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+# IVF at scale: the cell id as a hive partition column — a probe reads only
+# its inverted lists (SCALE.md's claim, proven from the scan plan).
+def test_ivf_cell_partitioning_prunes_scan(spark, tmp_path):
+    from inspectadb_spark.operators.scale import explain_str
+    from inspectadb_spark.operators.similarity import ivf_assign, kmeans_fit
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=4, iters=1)
+    out = str(tmp_path / "ivf_lists")
+    ivf_assign(e, cents).write.partitionBy("_cell").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("_cell").isin([0, 1]))
+    plan = explain_str(back, "formatted")
+    assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters")[1][:200]
+    # probed subset is exactly the rows assigned to cells 0/1
+    expect = ivf_assign(e, cents).filter(F.col("_cell").isin([0, 1])).count()
+    assert back.count() == expect > 0
