@@ -253,3 +253,131 @@ def blob_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.min(ln).cast("bigint").alias("min_bytes"),
         F.max(ln).cast("bigint").alias("max_bytes"),
     )
+
+
+# -- audio modality -----------------------------------------------------------
+
+MAGIC_A = b"IDBA"  # audio = sample rate + int16 PCM mono
+
+
+def _encode_audio(seed: int, sr: int, n_samples: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-(1 << 15), 1 << 15, size=n_samples, dtype=np.int16)
+    return MAGIC_A + struct.pack(">II", sr, n_samples) + pcm.tobytes()
+
+
+def _decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
+    if blob[:4] != MAGIC_A:
+        raise ValueError("not an IDBA audio blob")
+    sr, n = struct.unpack(">II", blob[4:12])
+    return sr, np.frombuffer(blob, dtype=np.int16, offset=12, count=n)
+
+
+def attach_audio_blobs(
+    df: DataFrame, seed_col: str = "doc_id", sr: int = 8000, seconds: float = 0.25
+) -> DataFrame:
+    """Attach a deterministic mono-PCM payload + typed metadata per row —
+    the audio analog of ``attach_image_blobs`` (with torchaudio/ffmpeg this
+    slot decodes real files; the Spark plumbing is identical)."""
+    n = int(sr * seconds)
+    schema = StructType(
+        df.schema.fields
+        + [
+            StructField("payload", BinaryType()),
+            StructField(
+                "media_meta",
+                StructType(
+                    [
+                        StructField("modality", StringType()),
+                        StructField("sample_rate", IntegerType()),
+                        StructField("n_samples", LongType()),
+                        StructField("n_bytes", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [_encode_audio(int(s), sr, n) for s in pdf[seed_col]]
+            pdf = pdf.copy()
+            pdf["payload"] = blobs
+            pdf["media_meta"] = [
+                {"modality": "audio", "sample_rate": sr, "n_samples": n,
+                 "n_bytes": len(b)}
+                for b in blobs
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode PCM and extract duration / RMS / zero-crossing rate in Arrow
+    batches — binary in, fixed-width numeric out, the same hot-path shape as
+    image decode."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("duration_s", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("zcr", DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                sr, pcm = _decode_audio(bytes(blob))
+                x = pcm.astype(np.float64)
+                zc = np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
+                rows.append(
+                    (int(i), sr, round(len(x) / sr, 4),
+                     round(float(np.sqrt(np.mean(x * x))), 4),
+                     round(zc / max(1, len(x) - 1), 4))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_rate", "duration_s", "rms", "zcr"]
+            )
+
+    return df.mapInPandas(extract, out_schema)
+
+
+def window_audio(
+    df: DataFrame, window_samples: int, hop_samples: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Fixed-length analysis windows with hop (the audio analog of document
+    chunking): each clip fans out to ⌈(n-window)/hop⌉+1 rows of re-encoded
+    PCM windows — the framing step before any feature/embedding model."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("win_idx", IntegerType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                sr, pcm = _decode_audio(bytes(blob))
+                k = 0
+                for start in range(0, max(1, len(pcm) - window_samples + 1),
+                                   hop_samples):
+                    chunk = pcm[start:start + window_samples]
+                    rows.append(
+                        (int(i), k,
+                         MAGIC_A + struct.pack(">II", sr, len(chunk))
+                         + chunk.tobytes())
+                    )
+                    k += 1
+            yield pd.DataFrame(rows, columns=[id_col, "win_idx", "payload"])
+
+    return df.mapInPandas(win, out_schema)

@@ -158,6 +158,19 @@ def q53b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q53c audio modality path: deterministic PCM blobs -> Arrow-batched feature
+# extraction (duration/RMS/zero-crossing). Rows-only: payloads are generated
+# engine-side (the real pipeline's decode slot), no SQL analog.
+@query("q53c_audio_features", oracle=None)
+def q53c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.multimodal import attach_audio_blobs, audio_features
+
+    d = tables(spark, sf_dir)["documents"]
+    clips = attach_audio_blobs(d.select("doc_id"), sr=8000, seconds=0.25)
+    return audio_features(clips).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # Q54 data-quality profile over orders (int/string columns: min/max rendered
 # as strings identically in both engines; doubles excluded by design).
 _DQ_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")

@@ -103,3 +103,52 @@ def test_binary_file_source_globs_and_caps(spark, tmp_path):
     rows = df.collect()
     assert {os.path.basename(r.path) for r in rows} == {"img0.bin", "img1.bin"}
     assert all(r.length == len(r.content) for r in rows)
+
+
+# -- audio modality -----------------------------------------------------------
+
+def test_audio_attach_decode_roundtrip(spark):
+    from inspectadb_spark.operators.multimodal import (
+        _decode_audio,
+        attach_audio_blobs,
+        audio_features,
+    )
+
+    base = spark.range(4).withColumnRenamed("id", "doc_id")
+    clips = attach_audio_blobs(base, sr=8000, seconds=0.25)
+    rows = clips.collect()
+    assert all(r.media_meta.modality == "audio" and
+               r.media_meta.n_samples == 2000 for r in rows)
+    # deterministic: same seed -> same payload
+    again = {r.doc_id: bytes(r.payload) for r in attach_audio_blobs(base).collect()}
+    assert all(bytes(r.payload) == again[r.doc_id] for r in rows)
+
+    feats = {r.doc_id: r for r in audio_features(clips).collect()}
+    for r in rows:
+        sr, pcm = _decode_audio(bytes(r.payload))
+        import numpy as np
+
+        x = pcm.astype("float64")
+        assert feats[r.doc_id].duration_s == round(len(x) / sr, 4)
+        assert feats[r.doc_id].rms == round(float(np.sqrt((x * x).mean())), 4)
+        assert 0.0 < feats[r.doc_id].zcr < 1.0  # random PCM crosses often
+
+
+def test_audio_windowing_covers_clip_with_hop(spark):
+    from inspectadb_spark.operators.multimodal import (
+        _decode_audio,
+        attach_audio_blobs,
+        window_audio,
+    )
+
+    base = spark.range(2).withColumnRenamed("id", "doc_id")
+    clips = attach_audio_blobs(base, sr=8000, seconds=0.25)  # 2000 samples
+    wins = window_audio(clips, window_samples=800, hop_samples=400)
+    got = sorted((r.doc_id, r.win_idx) for r in wins.collect())
+    # starts 0,400,800,1200: windows of 800 within 2000 -> 4 per clip
+    assert got == [(d, k) for d in (0, 1) for k in range(4)]
+    one = [r for r in wins.collect() if r.doc_id == 0 and r.win_idx == 1][0]
+    sr, pcm = _decode_audio(bytes(one.payload))
+    src = [r for r in clips.collect() if r.doc_id == 0][0]
+    _, full = _decode_audio(bytes(src.payload))
+    assert (pcm == full[400:1200]).all()
