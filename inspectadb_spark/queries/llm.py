@@ -82,6 +82,26 @@ def q43e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q43f top-k over int8-quantized embeddings (rows-only; reconstruction error
+# and neighbourhood preservation are property-tested in P5). The scale play:
+# the collection is stored as int8 codes (4x smaller scans); queries probe
+# dequantized values.
+@query("q43f_quantized_topk", oracle=None)
+def q43f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import (
+        dequantize_embeddings,
+        embedding_ranges,
+        quantize_embeddings,
+    )
+
+    e = tables(spark, sf_dir)["embeddings"]
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    lo, hi = embedding_ranges(e)
+    deq = dequantize_embeddings(quantize_embeddings(e, lo, hi), lo, hi)
+    return cosine_topk(deq, [float(x) for x in qvec], k=10)
+
+
+# --------------------------------------------------------------------------
 # Q44 exact dedup by md5(text)
 @query(
     "q44_exact_dedup",

@@ -182,3 +182,39 @@ def test_p4_trained_ivf_recall(spark):
     cents, _ = kmeans_fit(e, k=8, iters=2)
     ann = ivf_topk(e, qvec, k=10, n_probe=4, centroids=cents)
     assert _recall_vs_exact(spark, ann, qvec) >= 0.4
+
+
+# --------------------------------------------------------------------------
+# P5 — int8 scalar quantization: bounded reconstruction error, preserved
+# neighbourhoods
+
+def test_p5_quantization_error_and_topk_preserved(spark):
+    from inspectadb_spark.operators.similarity import (
+        dequantize_embeddings,
+        embedding_ranges,
+        quantize_embeddings,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lo, hi = embedding_ranges(e)
+    deq = dequantize_embeddings(quantize_embeddings(e, lo, hi), lo, hi)
+
+    # per-element error <= half a quantization step of that dimension
+    joined = e.select("vec_id", F.col("embedding").alias("orig")).join(
+        deq.select("vec_id", F.col("embedding").alias("back")), "vec_id")
+    err = joined.select(
+        F.aggregate(
+            F.zip_with("orig", "back",
+                       lambda a, b: F.abs(a.cast("double") - b)),
+            F.lit(0.0), lambda acc, v: F.greatest(acc, v),
+        ).alias("maxerr")
+    ).agg(F.max("maxerr")).collect()[0][0]
+    step = max((h - l) / 255 for l, h in zip(lo, hi))
+    assert err <= step / 2 + 1e-9
+
+    # top-k by cosine is preserved through 8-bit quantization on this corpus
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    exact = [r.vec_id for r in cosine_topk(e, qvec, k=10).collect()]
+    approx = [r.vec_id for r in cosine_topk(deq, qvec, k=10).collect()]
+    assert len(set(exact) & set(approx)) >= 9
