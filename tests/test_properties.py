@@ -218,3 +218,31 @@ def test_p5_quantization_error_and_topk_preserved(spark):
     exact = [r.vec_id for r in cosine_topk(e, qvec, k=10).collect()]
     approx = [r.vec_id for r in cosine_topk(deq, qvec, k=10).collect()]
     assert len(set(exact) & set(approx)) >= 9
+
+
+# --------------------------------------------------------------------------
+# P6 — budget selection ≡ global cumulative-window reference on random inputs
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    weights=st.lists(st.integers(1, 20), min_size=1, max_size=25),
+    scores=st.data(),
+    budget=st.integers(0, 200),
+)
+def test_p6_budget_selection_equals_cumsum_reference(spark, weights, scores, budget):
+    from inspectadb_spark.operators.pipeline import select_until_budget
+
+    n = len(weights)
+    svals = scores.draw(st.lists(
+        st.sampled_from([1.0, 2.0, 2.5, 3.0]), min_size=n, max_size=n))
+    rows = [(i, w, s) for i, (w, s) in enumerate(zip(weights, svals))]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, mean_tok_freq double")
+    got = {r.doc_id for r in select_until_budget(df, budget).collect()}
+    # reference: cumulative sum in (score desc, id) order, keep while <= budget
+    ref, cum = set(), 0
+    for i, w, s in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += w
+        if cum <= budget:
+            ref.add(i)
+    assert got == ref
