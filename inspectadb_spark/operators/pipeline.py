@@ -239,3 +239,27 @@ def select_until_budget(
         .drop("_cum")
     )
     return full.unionByName(boundary)
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment for training output: ``_shard`` =
+    md5-derived value of (id, salt) mod ``n_shards``.
+
+    Engine/run/partitioning invariant (pure hash of the id — no
+    monotonically_increasing_id, no RNG), so a re-run or a different
+    cluster produces byte-identical shard membership; the salt reshuffles
+    epochs. Write with ``partitionBy("_shard")`` for one directory per
+    shard. The two-nibble arithmetic is expressible identically in other
+    engines (cross-checked vs DuckDB in q83's oracle).
+    """
+    hexmap = "0123456789abcdef"
+    h = f"md5(cast(concat(cast({id_col} as string), ':{salt}') as binary))"
+    v = F.expr(
+        f"16 * (instr('{hexmap}', substr({h}, 1, 1)) - 1)"
+        f" + instr('{hexmap}', substr({h}, 2, 1)) - 1")
+    return df.withColumn("_shard", (v % n_shards).cast("int"))

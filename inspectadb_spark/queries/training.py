@@ -334,3 +334,37 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = corpus_frequency_score(tables(spark, sf_dir)["documents"])
     return select_until_budget(scored, budget=6000)
+
+
+# --------------------------------------------------------------------------
+# Q83 deterministic training shards: per-shard doc and token accounting.
+# Shard membership is a pure hash of the doc id (no RNG, no row numbering),
+# so any engine/cluster/re-run produces identical shards.
+@query(
+    "q83_training_shards",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, text,
+             CAST((16 * (strpos('0123456789abcdef',
+                           substr(md5(concat(cast(doc_id AS VARCHAR), ':shard')), 1, 1)) - 1)
+                   + strpos('0123456789abcdef',
+                           substr(md5(concat(cast(doc_id AS VARCHAR), ':shard')), 2, 1)) - 1)
+                  % 8 AS INT) AS _shard
+      FROM documents)
+    SELECT _shard, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM sh GROUP BY _shard ORDER BY _shard
+    """,
+    doc="Hash-deterministic shard assignment + per-shard accounting.",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.pipeline import assign_shards
+
+    d = tables(spark, sf_dir)["documents"]
+    return (
+        assign_shards(d, n_shards=8)
+        .groupBy("_shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+        .orderBy("_shard")
+    )

@@ -211,3 +211,21 @@ def test_session_transitions_exclude_cross_session_pairs(spark):
         rows, "event_id long, ts timestamp, user_id long, event_type string")
     got = {(r.from_type, r.to_type): r.n for r in session_transitions(ev).collect()}
     assert got == {("view", "click"): 1, ("purchase", "view"): 1}
+
+
+def test_assign_shards_is_deterministic_and_balanced(spark):
+    from inspectadb_spark.operators.pipeline import assign_shards
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r.doc_id: r._shard for r in assign_shards(d, 8).collect()}
+    b = {r.doc_id: r._shard for r in
+         assign_shards(d.repartition(13), 8).collect()}
+    assert a == b  # partitioning-invariant
+    sizes = [0] * 8
+    for s in a.values():
+        sizes[s] += 1
+    assert min(sizes) > 0 and max(sizes) < 2.5 * (len(a) / 8)
+    # different salt reshuffles membership
+    c = {r.doc_id: r._shard for r in assign_shards(d, 8, salt="epoch2").collect()}
+    assert c != a
