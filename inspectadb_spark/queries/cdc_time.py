@@ -475,3 +475,24 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.sessionize import session_transitions
 
     return session_transitions(tables(spark, sf_dir)["events"])
+
+
+# --------------------------------------------------------------------------
+# Q84 mergeable distinct sketches (rows-only: DataSketches HLL binaries have
+# no DuckDB analog; estimates are order-insensitive, so the result is
+# deterministic — lossless-merge + 5%-accuracy invariants in test_approx).
+@query("q84_sketch_distinct_rollup", oracle=None)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.sketches import merge_sketches, sketch_distinct_by
+
+    ev = tables(spark, sf_dir)["events"].select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        "user_id",
+    )
+    daily = sketch_distinct_by(ev, ["week", "day"], "user_id")
+    return (
+        merge_sketches(daily, ["week"])
+        .select("week", F.col("estimate").cast("long").alias("approx_users"))
+        .orderBy("week")
+    )

@@ -45,3 +45,46 @@ def test_tablesample_sql(spark):
     ).first()[0]
     total = o.count()
     assert 0.1 * total <= n <= 0.3 * total
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL sketches: rollup-merge must equal direct sketching, and both
+# must track exact distincts within the HLL error bound.
+
+def test_hll_sketch_rollup_merge_equals_direct(spark):
+    from inspectadb_spark.catalog import load_table
+    from inspectadb_spark.operators.sketches import merge_sketches, sketch_distinct_by
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        "user_id",
+    )
+    daily = sketch_distinct_by(ev, ["week", "day"], "user_id")
+    # rollup: weekly estimate from stored daily sketches, no raw rescan
+    weekly_rolled = {r.week: r.estimate for r in
+                     merge_sketches(daily, ["week"]).collect()}
+    # direct: sketch the raw rows at weekly grain
+    weekly_direct = {r.week: r.estimate for r in
+                     sketch_distinct_by(ev, ["week"], "user_id").collect()}
+    assert weekly_rolled == weekly_direct  # merge is lossless
+    exact = {r.week: r.n for r in
+             ev.groupBy("week").agg(
+                 F.countDistinct("user_id").alias("n")).collect()}
+    for wk, est in weekly_rolled.items():
+        assert abs(est - exact[wk]) / exact[wk] < 0.05, (wk, est, exact[wk])
+
+
+def test_hll_sketch_is_order_insensitive(spark):
+    from inspectadb_spark.catalog import load_table
+    from inspectadb_spark.operators.sketches import sketch_distinct_by
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR).select("event_type", "user_id")
+    a = {r.event_type: r.estimate for r in
+         sketch_distinct_by(ev, ["event_type"], "user_id").collect()}
+    b = {r.event_type: r.estimate for r in
+         sketch_distinct_by(ev.repartition(17), ["event_type"],
+                            "user_id").collect()}
+    assert a == b
