@@ -246,3 +246,52 @@ def test_p6_budget_selection_equals_cumsum_reference(spark, weights, scores, bud
         if cum <= budget:
             ref.add(i)
     assert got == ref
+
+
+# --------------------------------------------------------------------------
+# P7 — sequence funnel ≡ brute-force earliest-chain reference
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_p7_sequence_funnel_equals_bruteforce(spark, data):
+    import datetime as dt
+
+    from inspectadb_spark.operators.timeseries import sequence_funnel
+
+    steps = ["signup", "click", "purchase"]
+    n = data.draw(st.integers(4, 24))
+    rows = []
+    for eid in range(n):
+        rows.append((
+            eid,
+            dt.datetime(2024, 1, 1) + dt.timedelta(
+                hours=data.draw(st.integers(0, 100))),
+            data.draw(st.integers(1, 4)),
+            data.draw(st.sampled_from(steps + ["view"])),
+        ))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = sequence_funnel(ev, steps, "72 hours").collect()
+    n_start = sum(r.n_start for r in got)
+    n_complete = sum(r.n_complete for r in got)
+
+    # brute force per user
+    by_user = {}
+    for eid, ts, uid, et in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    ref_start = ref_done = 0
+    for uid, evs in by_user.items():
+        sign = [ts for ts, _, et in evs if et == "signup"]
+        if not sign:
+            continue
+        ref_start += 1
+        t1 = min(sign)
+        dl = t1 + dt.timedelta(hours=72)
+        clicks = [ts for ts, _, et in evs if et == "click" and t1 < ts <= dl]
+        if not clicks:
+            continue
+        t2 = min(clicks)
+        if any(et == "purchase" and t2 < ts <= dl for ts, _, et in evs):
+            ref_done += 1
+    assert (n_start, n_complete) == (ref_start, ref_done)
