@@ -496,3 +496,38 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("week", F.col("estimate").cast("long").alias("approx_users"))
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# Q85 daily value bands: exact interpolated percentiles per day (monitoring
+# shape). Exact `percentile` (sort-based, no summation) is deterministic and
+# interpolates identically to DuckDB's quantile_cont; 4dp rounding absorbs
+# last-ulp arithmetic-order differences.
+@query(
+    "q85_daily_value_bands",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           CAST(ROUND(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)), 4) AS DOUBLE) AS p50,
+           CAST(ROUND(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6)), 4) AS DOUBLE) AS p95,
+           CAST(ROUND(CAST(quantile_cont(value, 0.99) AS DECIMAL(18,6)), 4) AS DOUBLE) AS p99
+    FROM events GROUP BY date_trunc('day', ts) ORDER BY day
+    """,
+    doc="Per-day p50/p95/p99 bands from exact interpolated percentiles.",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.queries.registry import r4c
+
+    ev = tables(spark, sf_dir)["events"]
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"), pct.alias("_p"))
+        .select(
+            "day", "n",
+            r4c(F.col("_p")[0]).alias("p50"),
+            r4c(F.col("_p")[1]).alias("p95"),
+            r4c(F.col("_p")[2]).alias("p99"),
+        )
+        .orderBy("day")
+    )
