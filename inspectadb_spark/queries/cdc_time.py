@@ -531,3 +531,48 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Q86 event-type affinity: Jaccard overlap of user sets between event types
+# (co-occurrence / market-basket shape). Reduced to distinct (type, user)
+# FIRST, so the self-join fans out |types|² per user at most — never raw
+# event volume; the pair rollup is bounded by |types|².
+@query(
+    "q86_type_affinity",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type),
+    pb AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_both
+      FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT t1, t2, n_both,
+           CAST(ROUND(CAST(CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS jaccard
+    FROM pb JOIN sz s1 ON s1.event_type = t1 JOIN sz s2 ON s2.event_type = t2
+    ORDER BY t1, t2
+    """,
+    doc="Pairwise user-set Jaccard between event types; distinct-first so "
+        "repeat events never fan out.",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    du = ev.select("event_type", "user_id").distinct()
+    sz = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = du.select(F.col("event_type").alias("t1"), "user_id")
+    b = du.select(F.col("event_type").alias("t2"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2").agg(F.count("*").alias("n_both"))
+    )
+    jac = (F.col("n_both").cast("double")
+           / (F.col("s1.n") + F.col("s2.n") - F.col("n_both"))).cast("decimal(18,6)")
+    return (
+        both.join(F.broadcast(sz.alias("s1")), F.col("t1") == F.col("s1.event_type"))
+        .join(F.broadcast(sz.alias("s2")), F.col("t2") == F.col("s2.event_type"))
+        .select("t1", "t2", "n_both",
+                F.round(jac, 4).cast("double").alias("jaccard"))
+        .orderBy("t1", "t2")
+    )
