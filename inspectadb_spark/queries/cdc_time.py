@@ -557,16 +557,27 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repeat events never fan out.",
 )
 def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE per-user aggregation (collect_set of types, bounded by |types|),
+    # then pair generation INSIDE the array — no user-level self-join, which
+    # at 100 TB would re-shuffle the distinct table twice. 4 exchanges vs 8.
     ev = tables(spark, sf_dir)["events"]
-    du = ev.select("event_type", "user_id").distinct()
-    sz = du.groupBy("event_type").agg(F.count("*").alias("n"))
-    a = du.select(F.col("event_type").alias("t1"), "user_id")
-    b = du.select(F.col("event_type").alias("t2"), "user_id")
-    both = (
-        a.join(b, "user_id")
-        .filter(F.col("t1") < F.col("t2"))
-        .groupBy("t1", "t2").agg(F.count("*").alias("n_both"))
-    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts"))
+    pairs = per_user.select(
+        F.explode(
+            F.flatten(F.transform(
+                F.col("ts"),
+                lambda t1, i: F.transform(
+                    F.slice(F.col("ts"), i + 2,
+                            F.greatest(F.lit(0), F.size("ts") - i - 1)),
+                    lambda t2: F.struct(t1.alias("t1"), t2.alias("t2")),
+                ),
+            ))
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    both = pairs.groupBy("t1", "t2").agg(F.count("*").alias("n_both"))
+    sz = per_user.select(F.explode("ts").alias("event_type")) \
+        .groupBy("event_type").agg(F.count("*").alias("n"))
     jac = (F.col("n_both").cast("double")
            / (F.col("s1.n") + F.col("s2.n") - F.col("n_both"))).cast("decimal(18,6)")
     return (

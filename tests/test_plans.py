@@ -175,6 +175,11 @@ def test_extension_family_shuffle_budgets(spark):
         "q78_retention_cohorts": 5,  # per-user agg + 2 week rollups + bcast + sort
         "q81_sequence_funnel": 4,    # stage aggs co-partition on the key
         "q82_session_transitions": 3,  # one user shuffle + pair rollup + sort
+        "q83_training_shards": 2,     # one agg + sort, hash is scan-side
+        "q84_sketch_distinct_rollup": 3,  # daily sketch + union + sort
+        "q85_daily_value_bands": 2,   # percentile agg + sort
+        "q79_token_budget_selection": 5,  # q77 base + tiny boundary window
+        "q86_type_affinity": 7,       # no user-level join; branches reuse at runtime
     }
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
