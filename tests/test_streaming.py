@@ -692,3 +692,19 @@ def test_s13_sink_compaction_preserves_stream_output(spark, replay_dir, tmp_path
     a = sorted(r.event_id for r in spark.read.parquet(out).collect())
     b = sorted(r.event_id for r in spark.read.parquet(compacted).collect())
     assert a == b
+
+
+# S14 approx-distinct over the stream: per-day HLL sketch estimates computed
+# incrementally by the streaming aggregation must equal the batch sketch of
+# the same files (sketches are order-insensitive, so replay == batch).
+def test_s14_streaming_hll_distinct_equals_batch(spark, replay_dir):
+    def daily_estimate(df):
+        return (
+            df.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))).alias("approx_users"))
+        )
+
+    _drain(daily_estimate(_stream(spark, replay_dir)), "s14")
+    batch = daily_estimate(spark.read.parquet(replay_dir))
+    assert _rows(spark.table("s14")) == _rows(batch)
