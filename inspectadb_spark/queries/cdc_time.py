@@ -587,3 +587,36 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(jac, 4).cast("double").alias("jaccard"))
         .orderBy("t1", "t2")
     )
+
+
+# --------------------------------------------------------------------------
+# Q87 distribution window functions: ntile / percent_rank / cume_dist per
+# user over (value, event_id) — fully deterministic via the unique tiebreak.
+@query(
+    "q87_window_distributions",
+    oracle="""
+    SELECT event_id, user_id,
+           ntile(4) OVER w AS quartile,
+           CAST(ROUND(CAST(percent_rank() OVER w AS DECIMAL(18,6)), 4) AS DOUBLE) AS pr,
+           CAST(ROUND(CAST(cume_dist() OVER w AS DECIMAL(18,6)), 4) AS DOUBLE) AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    ORDER BY user_id, event_id LIMIT 1000
+    """,
+    doc="ntile/percent_rank/cume_dist on a unique ordering (engine-portable).",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        tables(spark, sf_dir)["events"]
+        .select(
+            "event_id", "user_id",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w).cast("decimal(18,6)"), 4)
+            .cast("double").alias("pr"),
+            F.round(F.cume_dist().over(w).cast("decimal(18,6)"), 4)
+            .cast("double").alias("cd"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(1000)
+    )
