@@ -620,3 +620,37 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_id")
         .limit(1000)
     )
+
+
+# --------------------------------------------------------------------------
+# Q88 ratio-to-report: each event type's share of its day's traffic —
+# aggregate first (|days|x|types| rows), window over the TINY aggregate.
+@query(
+    "q88_share_of_day",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY date_trunc('day', ts), event_type)
+    SELECT day, event_type, n,
+           CAST(ROUND(CAST(CAST(n AS DOUBLE)
+                           / SUM(n) OVER (PARTITION BY day)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS share
+    FROM d ORDER BY day, event_type
+    """,
+    doc="Ratio-to-report window over the pre-aggregated day x type table — "
+        "the window never touches raw rows.",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tables(spark, sf_dir)["events"]
+        .groupBy(F.date_trunc("day", "ts").alias("day"),
+                 "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("day")
+    share = (F.col("n").cast("double") / F.sum("n").over(w)).cast("decimal(18,6)")
+    return d.select(
+        "day", "event_type", "n",
+        F.round(share, 4).cast("double").alias("share"),
+    ).orderBy("day", "event_type")
