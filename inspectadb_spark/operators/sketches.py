@@ -44,3 +44,91 @@ def merge_sketches(
             F.hll_union_agg(sketch_col)).alias("estimate"),
         F.hll_union_agg(sketch_col).alias("sketch"),
     )
+
+
+# -- Count-Min frequency sketch (portable md5 bucketing) ----------------------
+#
+# COUNT(*)-per-key continuous aggregates have the same rollup problem HLL
+# solves for COUNT(DISTINCT): storing exact per-key counts per bucket is
+# O(cardinality) per bucket. A Count-Min sketch (Cormode & Muthukrishnan,
+# J.Algorithms 2005) stores a depth x width counter grid instead; merge is
+# element-wise addition (plain SUM), and a point estimate is the min over
+# depth rows — never an underestimate. We represent the grid RELATIONALLY
+# as (d, bucket, cnt) rows, so building it is one map-side-combinable
+# groupBy (<= depth*width result rows regardless of input size), merging
+# stored sketches is a SUM, and probing is a broadcast join — every step
+# stays JVM-side and 100 TB-shaped. Bucketing uses the same two-hex-nibble
+# md5 arithmetic as pipeline.assign_shards, so an identical sketch is
+# expressible in DuckDB and the whole pipeline hash-matches (q94).
+
+_HEX = "0123456789abcdef"
+
+
+def _cms_bucket_expr(col: str, d: int, width: int, salt: str):
+    """Bucket for hash row ``d``: two md5 hex nibbles of "<value>:<salt>:<d>"
+    (uniform 0..255) mod ``width``. Engine-portable; q94's oracle inlines
+    the identical strpos/substr arithmetic."""
+    h = f"md5(cast(concat(cast({col} as string), ':{salt}:{d}') as binary))"
+    v = (
+        f"16 * (instr('{_HEX}', substr({h}, 1, 1)) - 1)"
+        f" + instr('{_HEX}', substr({h}, 2, 1)) - 1"
+    )
+    return F.expr(f"CAST(({v}) % {width} AS INT)")
+
+
+def _bucket_rows(col: str, depth: int, width: int, salt: str):
+    return F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            _cms_bucket_expr(col, d, width, salt).alias("bucket"),
+        )
+        for d in range(depth)
+    ])
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the (d, bucket, cnt) counter grid for ``col``.
+
+    One explode (xdepth rows, pipelined — no shuffle) + one aggregation
+    whose result is <= depth*width rows: the reduce side is constant-size
+    no matter how many input rows, so this scales to arbitrary input."""
+    return (
+        df.select(F.explode(_bucket_rows(col, depth, width, salt)).alias("e"))
+        .select(F.col("e.d").alias("d"), F.col("e.bucket").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge stored sketch grids (e.g. per-day) into one: element-wise SUM.
+    Lossless: summing per-bucket grids is exactly the grid of the union."""
+    return sketches.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate counts for ``probes[col]``: min over depth rows of the
+    probed buckets (0 if unseen). The grid is tiny -> broadcast join; probes
+    never shuffle beyond their own final groupBy."""
+    e = (
+        probes.select(col, F.explode(_bucket_rows(col, depth, width, salt)).alias("e"))
+        .select(col, F.col("e.d").alias("d"), F.col("e.bucket").alias("bucket"))
+    )
+    return (
+        e.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

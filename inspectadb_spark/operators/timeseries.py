@@ -227,3 +227,35 @@ def sequence_funnel(
                 F.round(rate, 4).cast("double").alias("rate"))
         .orderBy("day")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    alpha: float = 0.3,
+    k: int = 10,
+    out: str = "ewma",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key.
+
+    EWMA is inherently recursive (state = f(state, x)), which neither
+    distributes nor SQL-expresses; the scale-safe form truncates the tail:
+    weights (1-a)^j decay geometrically, so the j >= k terms contribute
+    < (1-a)^k of the total and the k-term window is exact to that tolerance
+    (k=10, a=0.3 -> < 3%). That truncation turns the recursion into a fixed
+    linear combination of lag(value, j), j in [0, k) — pure window offsets
+    over ONE per-key sort, no UDF, no state, identical text in any SQL
+    engine (q93's oracle). Leading rows renormalize over the lags that
+    exist (pandas ewm adjust=True semantics).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(k):
+        wj = F.lit((1.0 - alpha) ** j)
+        lj = F.lag(value_col, j).over(w)
+        num = num + F.coalesce(lj, F.lit(0.0)) * wj
+        den = den + F.when(lj.isNotNull(), wj).otherwise(F.lit(0.0))
+    return df.withColumn(out, num / den)

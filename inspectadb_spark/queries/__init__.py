@@ -16,6 +16,7 @@ from inspectadb_spark.queries import cdc_time    # noqa: F401  Q13, Q46–Q51
 from inspectadb_spark.queries import extensions  # noqa: F401  Q43c–Q56: neardup, langid, UDF, multimodal, DQ, formats, drift
 from inspectadb_spark.queries import tpch        # noqa: F401  adapted TPC-H Q3–Q22
 from inspectadb_spark.queries import training    # noqa: F401  Q63–Q68 training-pipeline ops
+from inspectadb_spark.queries import stats       # noqa: F401  Q89–Q94 stat moments, sketches, window values
 
 
 def queries():

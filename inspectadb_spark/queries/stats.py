@@ -1,0 +1,308 @@
+"""Statistical-aggregate, frequency-sketch and window-value queries
+(SURVEY.md §2.2d/e extension — round-1 late widening).
+
+Cross-dialect notes (empirically verified at sf0.01 this round):
+
+- ``corr``/``covar_*``/``stddev_samp``/``var_samp``/``regr_*`` agree between
+  Spark and DuckDB to ~1e-15 relative (both implement the streaming
+  covariance update on doubles); the standard r4 rounding absorbs that.
+- ``skewness``/``kurtosis`` genuinely DIFFER: Spark returns population
+  moments (g1, excess g2), DuckDB sample-adjusted (G1, G2). The oracle
+  converts with the exact scalar identities
+  ``g1 = G1 * (n-2) / sqrt(n*(n-1))`` and
+  ``g2 = (G2*(n-2)*(n-3)/(n-1) - 6) / (n+1)`` (agrees to 1e-14).
+- DuckDB has no ``posexplode``; the oracle pairs ``unnest`` with
+  ``generate_subscripts(arr, 1) - 1``, which DuckDB aligns positionally.
+- EWMA weights are embedded as full-precision ``repr`` literals so both
+  engines parse bit-identical doubles; term order is the same left-assoc
+  chain on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.sketches import cms_estimate, cms_sketch
+from inspectadb_spark.operators.timeseries import ewma
+from inspectadb_spark.queries.registry import query, r4, r4c, sql, tables
+
+
+# --------------------------------------------------------------------------
+# Q89 moment statistics per event type: correlation/covariance of value vs
+# hour-of-day, dispersion, shape. One map-side-combinable aggregation.
+@query(
+    "q89_stat_moments",
+    oracle=f"""
+    SELECT event_type,
+           {r4("corr(CAST(hour(ts) AS DOUBLE), value)")} AS corr_hv,
+           {r4("covar_pop(CAST(hour(ts) AS DOUBLE), value)")} AS cov_pop,
+           {r4("covar_samp(CAST(hour(ts) AS DOUBLE), value)")} AS cov_samp,
+           {r4("stddev_samp(value)")} AS sd,
+           {r4("var_samp(value)")} AS vr,
+           {r4("skewness(value) * (COUNT(value)-2) / sqrt(COUNT(value)*(COUNT(value)-1.0))")} AS sk,
+           {r4("(kurtosis(value) * (COUNT(value)-2.0)*(COUNT(value)-3.0)/(COUNT(value)-1.0) - 6) / (COUNT(value)+1.0)")} AS ku
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="corr/covar/stddev/var/skewness/kurtosis per group; oracle converts "
+        "DuckDB's sample G1/G2 to Spark's population g1/g2 exactly.",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.hour("ts").cast("double")
+    v = F.col("value")
+    return (
+        tables(spark, sf_dir)["events"]
+        .groupBy("event_type")
+        .agg(
+            r4c(F.corr(h, v)).alias("corr_hv"),
+            r4c(F.covar_pop(h, v)).alias("cov_pop"),
+            r4c(F.covar_samp(h, v)).alias("cov_samp"),
+            r4c(F.stddev_samp(v)).alias("sd"),
+            r4c(F.var_samp(v)).alias("vr"),
+            r4c(F.skewness(v)).alias("sk"),
+            r4c(F.kurtosis(v)).alias("ku"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q89b linear-regression aggregates: value ~ hour-of-day trend per type.
+_REGR_X = "CAST(hour(ts) AS DOUBLE)"
+
+
+@query(
+    "q89b_regression",
+    oracle=f"""
+    SELECT event_type,
+           regr_count(value, {_REGR_X}) AS n,
+           {r4(f"regr_slope(value, {_REGR_X})")} AS slope,
+           {r4(f"regr_intercept(value, {_REGR_X})")} AS icept,
+           {r4(f"regr_r2(value, {_REGR_X})")} AS r2,
+           {r4(f"regr_avgx(value, {_REGR_X})")} AS avgx,
+           {r4(f"regr_avgy(value, {_REGR_X})")} AS avgy,
+           {r4(f"regr_sxx(value, {_REGR_X})")} AS sxx,
+           {r4(f"regr_syy(value, {_REGR_X})")} AS syy,
+           {r4(f"regr_sxy(value, {_REGR_X})")} AS sxy
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Full regr_* family (slope/intercept/r2/moment sums) — in-database "
+        "linear trend fitting, one pass, no driver round-trip.",
+)
+def q89b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = "double(hour(ts))"
+
+    def rg(fn: str):
+        return r4c(F.expr(f"regr_{fn}(value, {x})"))
+
+    return (
+        tables(spark, sf_dir)["events"]
+        .groupBy("event_type")
+        .agg(
+            F.expr(f"regr_count(value, {x})").alias("n"),
+            rg("slope").alias("slope"),
+            rg("intercept").alias("icept"),
+            rg("r2").alias("r2"),
+            rg("avgx").alias("avgx"),
+            rg("avgy").alias("avgy"),
+            rg("sxx").alias("sxx"),
+            rg("syy").alias("syy"),
+            rg("sxy").alias("sxy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q90 bitwise / boolean aggregates + exact median.
+@query(
+    "q90_bit_bool_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_custkey) AS b_and, bit_or(o_custkey) AS b_or,
+           bit_xor(o_custkey) AS b_xor,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(median(o_custkey) AS DOUBLE) AS med_cust
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="bit_and/or/xor, bool_and/bool_or, exact median per group.",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tables(spark, sf_dir)["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_custkey").alias("b_and"),
+            F.bit_or("o_custkey").alias("b_or"),
+            F.bit_xor("o_custkey").alias("b_xor"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.median("o_custkey").cast("double").alias("med_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q90b ordered string aggregation (LISTAGG ... WITHIN GROUP, SQL:2016).
+@query(
+    "q90b_listagg",
+    oracle="""
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="listagg(DISTINCT ..) WITHIN GROUP (ORDER BY ..) == DuckDB "
+        "string_agg with ORDER BY: deterministic ordered concatenation. "
+        "(Mixing it with COUNT(DISTINCT) in one agg hits a Spark 4.1 "
+        "analyzer ClassCastException — kept single-aggregate.)",
+)
+def q90b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(
+        spark, sf_dir,
+        """
+        SELECT lang,
+               listagg(DISTINCT source, ',') WITHIN GROUP (ORDER BY source)
+                 AS sources
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q91 window value functions over an explicit sliding frame.
+@query(
+    "q91_window_values",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS last_v,
+           nth_value(value, 2) OVER w AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+    ORDER BY user_id, event_id LIMIT 1000
+    """,
+    doc="first/last/nth_value on a bounded ROWS frame with unique ordering.",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 1)
+    )
+    return (
+        tables(spark, sf_dir)["events"]
+        .select(
+            "event_id", "user_id",
+            F.first("value").over(w).alias("first_v"),
+            F.last("value").over(w).alias("last_v"),
+            F.nth_value("value", 2).over(w).alias("second_v"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q92 generator with ordinality: token positions via posexplode.
+@query(
+    "q92_posexplode",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id, pos LIMIT 2000
+    """,
+    doc="posexplode (position-preserving generator); DuckDB oracle aligns "
+        "unnest with generate_subscripts.",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .orderBy("doc_id", "pos")
+        .limit(2000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q93 truncated EWMA — see operators/timeseries.py::ewma for why the k-term
+# lag form is the distributable shape of the recursive definition.
+_EWMA_ALPHA, _EWMA_K = 0.3, 10
+
+
+def _ewma_oracle() -> str:
+    num, den = "0.0", "0.0"
+    for j in range(_EWMA_K):
+        wj = repr((1.0 - _EWMA_ALPHA) ** j)
+        lj = f"lag(value, {j}) OVER w"
+        num += f" + COALESCE({lj}, 0.0) * {wj}"
+        den += f" + (CASE WHEN {lj} IS NOT NULL THEN {wj} ELSE 0.0 END)"
+    return f"""
+    SELECT user_id, event_id,
+           {r4(f"({num}) / ({den})")} AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id LIMIT 1000
+    """
+
+
+@query(
+    "q93_ewma",
+    oracle=_ewma_oracle(),
+    doc="Exponentially-weighted moving average, k-term truncation "
+        "(tail weight < (1-a)^k), adjust=True renormalization.",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ewma(tables(spark, sf_dir)["events"],
+             alpha=_EWMA_ALPHA, k=_EWMA_K)
+        .select("user_id", "event_id",
+                r4c(F.col("ewma")).alias("ewma"))
+        .orderBy("user_id", "event_id")
+        .limit(1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q94 Count-Min sketch frequency estimates (operators/sketches.py::cms_*).
+# The probe set is every user_id < 40; estimates are exact-matched because
+# both engines compute the identical md5 grid.
+_CMS_NIB = (
+    "CAST((16 * (strpos('0123456789abcdef', substr(md5(concat("
+    "CAST({v} AS VARCHAR), ':cms:', CAST({d} AS VARCHAR))), 1, 1)) - 1)"
+    " + strpos('0123456789abcdef', substr(md5(concat("
+    "CAST({v} AS VARCHAR), ':cms:', CAST({d} AS VARCHAR))), 2, 1)) - 1)"
+    " % 256 AS INT)"
+)
+
+
+@query(
+    "q94_cms_estimates",
+    oracle=f"""
+    WITH deps AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    sk AS (
+      SELECT d, {_CMS_NIB.format(v="user_id", d="d")} AS bucket,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN deps GROUP BY 1, 2),
+    pr AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+    pb AS (SELECT p.user_id, deps.d,
+                  {_CMS_NIB.format(v="p.user_id", d="deps.d")} AS bucket
+           FROM pr p CROSS JOIN deps)
+    SELECT pb.user_id, MIN(COALESCE(sk.cnt, 0)) AS est
+    FROM pb LEFT JOIN sk USING (d, bucket)
+    GROUP BY pb.user_id ORDER BY pb.user_id
+    """,
+    doc="Count-Min sketch point estimates, relational grid form — mergeable "
+        "frequency counts whose storage is depth*width rows regardless of "
+        "input size; never underestimates.",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    sketch = cms_sketch(ev, "user_id")
+    probes = ev.filter(F.col("user_id") < 40).select("user_id").distinct()
+    return cms_estimate(sketch, probes, "user_id").orderBy("user_id")

@@ -180,6 +180,14 @@ def test_extension_family_shuffle_budgets(spark):
         "q85_daily_value_bands": 2,   # percentile agg + sort
         "q79_token_budget_selection": 5,  # q77 base + tiny boundary window
         "q86_type_affinity": 7,       # no user-level join; branches reuse at runtime
+        "q89_stat_moments": 2,        # one moment agg + sort
+        "q89b_regression": 2,         # one regr_* agg + sort
+        "q90_bit_bool_aggs": 2,       # median forces full agg, still one
+        "q90b_listagg": 3,            # distinct + ordered concat + sort
+        "q91_window_values": 1,       # one user-window sort
+        "q92_posexplode": 0,          # generator is pipeline-local
+        "q93_ewma": 1,                # all k lags share ONE window sort
+        "q94_cms_estimates": 3,       # grid agg + probe distinct + final min
     }
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
