@@ -258,6 +258,12 @@ def q55c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q55(spark, sf_dir, "orc")
 
 
+@query("q55d_xml_roundtrip", oracle=_Q55_ORACLE)
+def q55d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4 ships the XML source natively (spark-xml merged upstream).
+    return _q55(spark, sf_dir, "xml")
+
+
 # --------------------------------------------------------------------------
 # Q56 schema drift: two parquet generations (second adds o_channel), merged
 # read presents the unified target schema with typed NULLs for the old gen.

@@ -34,6 +34,18 @@ def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, schema: StructType,
+             row_tag: str = "row", **options: str) -> DataFrame:
+    """Spark 4's built-in XML source (schema-explicit, per the engine rule).
+    ``rowTag`` picks the repeated element that becomes one row."""
+    return (
+        spark.read.format("xml")
+        .options(rowTag=row_tag, **options)
+        .schema(schema)
+        .load(path)
+    )
+
+
 # -- sinks --------------------------------------------------------------------
 
 def write_partitioned(
@@ -76,6 +88,17 @@ def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
     if fmt == "orc":
         df.write.mode("overwrite").orc(path)
         return read_orc(spark, path)
+    if fmt == "xml":
+        (
+            df.write.mode("overwrite").format("xml")
+            .options(rowTag="row", rootTag="rows",
+                     timestampNTZFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .save(path)
+        )
+        return read_xml(
+            spark, path, df.schema,
+            **{"timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+        )
     if fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
