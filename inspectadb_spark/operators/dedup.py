@@ -198,3 +198,51 @@ def jaccard_similar_pairs(
         )
         .filter(F.col("jac") >= threshold)
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup: split each doc into fixed ``chunk_words``
+    word chunks, keep only the corpus-wide first occurrence of each chunk.
+
+    Boilerplate (headers, license blocks, navigation text) repeats across
+    documents that are NOT near-duplicates as wholes; training pipelines
+    drop it at chunk granularity. Chunks come from ``slice`` over the split
+    word array (no explode-then-reassemble: the array never leaves the row
+    until the final one explode), the identity is md5(chunk text), and the
+    keeper is the minimum (doc, chunk) position encoded as one orderable
+    long — a single groupBy on the hash, the same shape as exact_dedup.
+
+    Returns (id, chunk_idx, h, keep): every chunk with its hash and whether
+    it is the corpus-wide first occurrence.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+    chunks = (
+        docs.select(F.col(id_col), words.alias("_w"), n_chunks.alias("_n"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("chunk_idx"),
+            "_w",
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.md5(
+                F.array_join(
+                    F.slice("_w", F.col("chunk_idx") * chunk_words + 1, chunk_words),
+                    " ",
+                ).cast("binary")
+            ).alias("h"),
+        )
+    )
+    pos = F.col(id_col) * 1_000_000 + F.col("chunk_idx")
+    keepers = chunks.groupBy("h").agg(F.min(pos).alias("_keeper"))
+    return (
+        chunks.join(keepers, "h")
+        .select(id_col, "chunk_idx", "h", (pos == F.col("_keeper")).alias("keep"))
+    )

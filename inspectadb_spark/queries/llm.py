@@ -259,3 +259,46 @@ def q45d(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q45e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_fingerprint(tables(spark, sf_dir)["documents"]).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q97 chunk-level exact dedup accounting (operators/dedup.py::chunk_dedup):
+# per-document surviving-chunk counts after corpus-wide first-occurrence
+# dedup of 10-word chunks.
+@query(
+    "q97_chunk_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(words) / 10.0) AS INT))) AS chunk_idx,
+             words
+      FROM w),
+    ch AS (
+      SELECT doc_id, chunk_idx,
+             md5(array_to_string(words[(chunk_idx*10+1):(chunk_idx*10+10)], ' ')) AS h
+      FROM c),
+    keep AS (
+      SELECT h, MIN(doc_id * 1000000 + chunk_idx) AS keeper FROM ch GROUP BY h)
+    SELECT ch.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx = k.keeper
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM ch JOIN keep k USING (h)
+    GROUP BY ch.doc_id ORDER BY ch.doc_id LIMIT 500
+    """,
+    doc="Sub-document boilerplate removal: fixed 10-word chunks, corpus-wide "
+        "first occurrence kept, per-doc survival accounting.",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import chunk_dedup
+
+    d = chunk_dedup(tables(spark, sf_dir)["documents"])
+    return (
+        d.groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum(F.col("keep").cast("bigint")).alias("n_kept"))
+        .orderBy("doc_id")
+        .limit(500)
+    )

@@ -834,3 +834,65 @@ def q35b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .exceptAll(t["part"].select(F.col("p_partkey").alias("k")))
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q95 recursive CTE (Spark >= 4.0 WITH RECURSIVE): BFS shortest-hops over
+# the event-type transition graph. The edge list is at most |types|^2 rows
+# no matter how many raw events (distinct over one window pass), so the
+# recursion itself operates on a constant-size relation at any data scale.
+_Q95 = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT prev AS src, event_type AS dst FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev
+    FROM events) x
+  WHERE prev IS NOT NULL AND prev <> event_type
+),
+r(t, hops) AS (
+  SELECT CAST('signup' AS {STR}) AS t, 0 AS hops
+  UNION ALL
+  SELECT e.dst AS t, r.hops + 1 AS hops
+  FROM r JOIN edges e ON e.src = r.t WHERE r.hops < 3
+)
+SELECT t AS event_type, MIN(hops) AS min_hops FROM r GROUP BY t ORDER BY t
+"""
+
+
+@query(
+    "q95_recursive_reachability",
+    oracle=_Q95.replace("{STR}", "VARCHAR"),
+    doc="WITH RECURSIVE shortest-hops from 'signup' over the derived "
+        "type-transition graph; identical SQL both engines.",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q95.replace("{STR}", "STRING"))
+
+
+# --------------------------------------------------------------------------
+# Q96 ordered-set aggregates: percentile_disc / percentile_cont WITHIN GROUP
+# (SQL:2003 ordered-set syntax; complements q24's functional percentile()).
+_Q96_SPARK = """
+SELECT event_type,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_disc,
+       CAST(ROUND(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY value)
+                       AS DECIMAL(18,6)), 4) AS DOUBLE) AS p90_cont
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q96_percentile_within_group",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50_disc,
+           CAST(ROUND(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS p90_cont
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Ordered-set aggregates (WITHIN GROUP): discrete + interpolated "
+        "quantiles; DuckDB spells them quantile_disc/quantile_cont.",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q96_SPARK)

@@ -229,3 +229,38 @@ def test_assign_shards_is_deterministic_and_balanced(spark):
     # different salt reshuffles membership
     c = {r.doc_id: r._shard for r in assign_shards(d, 8, salt="epoch2").collect()}
     assert c != a
+
+
+# -- chunk-level exact dedup (operators/dedup.py::chunk_dedup) ---------------
+
+def test_chunk_dedup_plants_boilerplate(spark):
+    ten = "a b c d e f g h i j"          # one exact 10-word chunk
+    uniq1 = "k l m n o p q r s t"
+    uniq2 = "u v w x y z aa bb cc dd"
+    rows = [
+        (0, f"{ten} {uniq1}"),            # chunks: ten, uniq1
+        (1, f"{ten} {uniq2}"),            # ten repeats -> dropped here
+        (2, f"{uniq2} {ten}"),            # both seen -> all dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from inspectadb_spark.operators.dedup import chunk_dedup
+
+    out = {(r["doc_id"], r["chunk_idx"]): r["keep"] for r in chunk_dedup(df).collect()}
+    assert out == {
+        (0, 0): True, (0, 1): True,
+        (1, 0): False, (1, 1): True,
+        (2, 0): False, (2, 1): False,
+    }
+
+
+def test_chunk_dedup_partial_tail_chunk_is_its_own_unit(spark):
+    # 13 words -> one full chunk + a 3-word tail; the tail dedups only
+    # against identical 3-word tails, never against full chunks.
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j x y z"), (1, "x y z")],
+        "doc_id bigint, text string",
+    )
+    from inspectadb_spark.operators.dedup import chunk_dedup
+
+    out = {(r["doc_id"], r["chunk_idx"]): r["keep"] for r in chunk_dedup(df).collect()}
+    assert out[(0, 1)] is True and out[(1, 0)] is False

@@ -188,6 +188,9 @@ def test_extension_family_shuffle_budgets(spark):
         "q92_posexplode": 0,          # generator is pipeline-local
         "q93_ewma": 1,                # all k lags share ONE window sort
         "q94_cms_estimates": 3,       # grid agg + probe distinct + final min
+        "q95_recursive_reachability": 2,  # tiny edge relation + recursion-local joins
+        "q96_percentile_within_group": 2,  # ordered-set agg + sort
+        "q97_chunk_dedup": 2,         # hash-keeper agg + per-doc agg (h co-partition)
     }
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
