@@ -708,3 +708,14 @@ def test_s14_streaming_hll_distinct_equals_batch(spark, replay_dir):
     _drain(daily_estimate(_stream(spark, replay_dir)), "s14")
     batch = daily_estimate(spark.read.parquet(replay_dir))
     assert _rows(spark.table("s14")) == _rows(batch)
+
+
+# S15 streaming Count-Min sketch: the relational (d, bucket, cnt) grid is a
+# plain streaming aggregation, so incremental maintenance over the replayed
+# stream must land on exactly the batch grid (order-insensitive counters).
+def test_s15_streaming_cms_grid_equals_batch(spark, replay_dir):
+    from inspectadb_spark.operators.sketches import cms_sketch
+
+    _drain(cms_sketch(_stream(spark, replay_dir), "user_id"), "s15")
+    batch = cms_sketch(spark.read.parquet(replay_dir), "user_id")
+    assert _rows(spark.table("s15")) == _rows(batch)
