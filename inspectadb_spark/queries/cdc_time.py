@@ -654,3 +654,124 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "event_type", "n",
         F.round(share, 4).cast("double").alias("share"),
     ).orderBy("day", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Q98 replication drift classification (operators/cdc.py::table_diff):
+# diff the source snapshot against the changelog-applied replica state.
+# Expected drift: every %3==0 key updated (unless deleted), every %10==7
+# key deleted, plus planted "replica-only" keys (negated ids) = inserts.
+# o_totalprice pre-casts to DECIMAL(18,2) because raw double->string is
+# engine-specific; the CDC bump rounds to 2dp so the cast is lossless.
+_DIFF_COMPARE = ["o_custkey", "o_orderstatus", "price2", "o_orderdate", "o_orderpriority"]
+
+
+@query(
+    "q98_table_diff",
+    oracle=f"""
+    WITH {CDC_ORDERS_CTE},
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY lsn DESC) AS rn
+      FROM cdc_orders),
+    applied AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM ranked WHERE rn = 1 AND op <> 'd'),
+    after_t AS (
+      SELECT * FROM applied
+      UNION ALL
+      SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 5),
+    bh AS (
+      SELECT o_orderkey, md5(concat_ws('|',
+        COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'),
+        COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>'),
+        COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '<NULL>'),
+        COALESCE(CAST(o_orderdate AS VARCHAR), '<NULL>'),
+        COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>'))) AS bh
+      FROM orders),
+    ah AS (
+      SELECT o_orderkey, md5(concat_ws('|',
+        COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'),
+        COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>'),
+        COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '<NULL>'),
+        COALESCE(CAST(o_orderdate AS VARCHAR), '<NULL>'),
+        COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>'))) AS ah
+      FROM after_t)
+    SELECT COALESCE(bh.o_orderkey, ah.o_orderkey) AS o_orderkey,
+           CASE WHEN bh.bh IS NULL THEN 'insert'
+                WHEN ah.ah IS NULL THEN 'delete'
+                ELSE 'update' END AS change
+    FROM bh FULL OUTER JOIN ah ON bh.o_orderkey = ah.o_orderkey
+    WHERE bh.bh IS NULL OR ah.ah IS NULL OR bh.bh <> ah.ah
+    ORDER BY o_orderkey LIMIT 1000
+    """,
+    doc="Source-vs-replica drift: per-key insert/update/delete from "
+        "fingerprint full outer join; hashes shuffle, rows don't.",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.cdc import table_diff
+
+    o = tables(spark, sf_dir)["orders"]
+    dec2 = F.col("o_totalprice").cast("decimal(18,2)").alias("price2")
+    before = o.select("o_orderkey", "o_custkey", "o_orderstatus", dec2,
+                      "o_orderdate", "o_orderpriority")
+    applied = apply_changelog(
+        derive_cdc_orders(o), ["o_orderkey"], order_col="lsn", op_col="op")
+    planted = o.filter(F.col("o_orderkey") % 97 == 5).withColumn(
+        "o_orderkey", -F.col("o_orderkey"))
+    after = (
+        applied.select("o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice", "o_orderdate", "o_orderpriority")
+        .unionByName(planted.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", dec2,
+                "o_orderdate", "o_orderpriority")
+    )
+    return (
+        table_diff(before, after, ["o_orderkey"], _DIFF_COMPARE)
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q99 order-insensitive replication checksums (cdc.py::table_checksum):
+# per-bucket md5-word sums any engine can recompute to locate divergence.
+_Q99_FP = """md5(concat_ws('|',
+      COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'),
+      COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>'),
+      COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '<NULL>'),
+      COALESCE(CAST(o_orderdate AS VARCHAR), '<NULL>'),
+      COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>')))"""
+
+
+def _q99_word(start: int) -> str:
+    return " + ".join(
+        f"{16 ** (3 - i)} * (strpos('0123456789abcdef', substr(_fp, {start + i}, 1)) - 1)"
+        for i in range(4)
+    )
+
+
+@query(
+    "q99_table_checksum",
+    oracle=f"""
+    WITH fp AS (
+      SELECT CAST(o_orderkey % 16 AS INT) AS bucket, {_Q99_FP} AS _fp
+      FROM orders)
+    SELECT bucket, COUNT(*) AS n,
+           SUM({_q99_word(1)}) AS w1, SUM({_q99_word(5)}) AS w2,
+           SUM({_q99_word(9)}) AS w3, SUM({_q99_word(13)}) AS w4
+    FROM fp GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Per-bucket order-insensitive table fingerprints: commutative sums "
+        "of md5 16-bit words — replicas compare 16 rows, not the table.",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.cdc import table_checksum
+
+    o = tables(spark, sf_dir)["orders"]
+    dec2 = F.col("o_totalprice").cast("decimal(18,2)").alias("price2")
+    prepared = o.select("o_orderkey", "o_custkey", "o_orderstatus", dec2,
+                        "o_orderdate", "o_orderpriority")
+    return table_checksum(prepared, "o_orderkey", _DIFF_COMPARE).orderBy("bucket")

@@ -68,3 +68,57 @@ def test_document_curation_pipeline(spark, tmp_path):
     assert langs_on_disk == {r["lang"] for r in deduped.select("lang").distinct().collect()}
     en = spark.read.parquet(out).filter(F.col("lang") == "en")
     assert en.count() == deduped.filter(F.col("lang") == "en").count()
+
+
+# -- replication verification (operators/cdc.py::table_diff/table_checksum) --
+
+def test_table_diff_classifies_all_three_drifts(spark):
+    from inspectadb_spark.operators.cdc import table_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10),          # same -> excluded
+         (2, "B", 20),          # update
+         (4, None, 40),         # same incl. NULL column -> excluded
+         (5, "e", 50)],         # insert
+        "k int, s string, v int",
+    )
+    got = {r["k"]: r["change"]
+           for r in table_diff(before, after, ["k"], ["s", "v"]).collect()}
+    assert got == {2: "update", 3: "delete", 5: "insert"}
+
+
+def test_table_diff_null_vs_value_is_an_update(spark):
+    from inspectadb_spark.operators.cdc import table_diff
+
+    before = spark.createDataFrame([(1, None)], "k int, s string")
+    after = spark.createDataFrame([(1, "x")], "k int, s string")
+    rows = table_diff(before, after, ["k"], ["s"]).collect()
+    assert [(r["k"], r["change"]) for r in rows] == [(1, "update")]
+
+
+def test_table_checksum_is_order_and_partitioning_invariant(spark):
+    from inspectadb_spark.operators.cdc import table_checksum
+
+    rows = [(i, f"s{i % 7}", i * 3) for i in range(200)]
+    a = spark.createDataFrame(rows, "k bigint, s string, v bigint")
+    b = spark.createDataFrame(rows[::-1], "k bigint, s string, v bigint").repartition(13)
+    ca = sorted(map(tuple, table_checksum(a, "k", ["s", "v"]).collect()))
+    cb = sorted(map(tuple, table_checksum(b, "k", ["s", "v"]).collect()))
+    assert ca == cb
+
+
+def test_table_checksum_localizes_a_single_row_change(spark):
+    from inspectadb_spark.operators.cdc import table_checksum
+
+    rows = [(i, f"s{i}", i) for i in range(64)]
+    a = spark.createDataFrame(rows, "k bigint, s string, v bigint")
+    tampered = [(k, s, v + 1 if k == 37 else v) for k, s, v in rows]
+    b = spark.createDataFrame(tampered, "k bigint, s string, v bigint")
+    ca = {r["bucket"]: tuple(r)[1:] for r in table_checksum(a, "k", ["s", "v"]).collect()}
+    cb = {r["bucket"]: tuple(r)[1:] for r in table_checksum(b, "k", ["s", "v"]).collect()}
+    diff_buckets = [bkt for bkt in ca if ca[bkt] != cb[bkt]]
+    assert diff_buckets == [37 % 16]

@@ -191,6 +191,8 @@ def test_extension_family_shuffle_budgets(spark):
         "q95_recursive_reachability": 2,  # tiny edge relation + recursion-local joins
         "q96_percentile_within_group": 2,  # ordered-set agg + sort
         "q97_chunk_dedup": 2,         # hash-keeper agg + per-doc agg (h co-partition)
+        "q98_table_diff": 3,          # latest-wins window + hash-only outer join
+        "q99_table_checksum": 2,      # one bucket agg + sort; words are scan-side
     }
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
