@@ -306,3 +306,34 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_sketch(ev, "user_id")
     probes = ev.filter(F.col("user_id") < 40).select("user_id").distinct()
     return cms_estimate(sketch, probes, "user_id").orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Q100 equi-width histogram via pure arithmetic binning — the portable,
+# single-aggregation shape of value-distribution profiling (no width_bucket
+# dependency; LEAST caps the open top bin).
+@query(
+    "q100_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / 25.0), 19) AS INT) AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY event_type, LEAST(FLOOR(value / 25.0), 19)
+    ORDER BY event_type, bin
+    """,
+    doc="Equi-width histogram (20 bins of 25) per event type: one "
+        "map-side-combinable aggregation, bins not rows cross the wire.",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
+    return (
+        tables(spark, sf_dir)["events"]
+        .groupBy("event_type", b.alias("bin"))
+        .agg(F.count("*").alias("n"),
+             F.min("value").cast("double").alias("lo"),
+             F.max("value").cast("double").alias("hi"))
+        .orderBy("event_type", "bin")
+    )

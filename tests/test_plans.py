@@ -193,6 +193,7 @@ def test_extension_family_shuffle_budgets(spark):
         "q97_chunk_dedup": 2,         # hash-keeper agg + per-doc agg (h co-partition)
         "q98_table_diff": 3,          # latest-wins window + hash-only outer join
         "q99_table_checksum": 2,      # one bucket agg + sort; words are scan-side
+        "q100_histogram": 2,          # one bin agg + sort
     }
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))

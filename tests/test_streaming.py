@@ -719,3 +719,16 @@ def test_s15_streaming_cms_grid_equals_batch(spark, replay_dir):
     _drain(cms_sketch(_stream(spark, replay_dir), "user_id"), "s15")
     batch = cms_sketch(spark.read.parquet(replay_dir), "user_id")
     assert _rows(spark.table("s15")) == _rows(batch)
+
+
+# S16 continuously-maintained replication checksums: table_checksum is sums
+# over md5 words, so the streaming aggregation maintains per-bucket
+# fingerprints incrementally — final state must equal the batch checksum
+# of everything ingested (order-insensitivity is the whole point).
+def test_s16_streaming_checksum_equals_batch(spark, replay_dir):
+    from inspectadb_spark.operators.cdc import table_checksum
+
+    cols = ["event_type", "value"]
+    _drain(table_checksum(_stream(spark, replay_dir), "user_id", cols), "s16")
+    batch = table_checksum(spark.read.parquet(replay_dir), "user_id", cols)
+    assert _rows(spark.table("s16")) == _rows(batch)
