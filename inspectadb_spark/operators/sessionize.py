@@ -64,3 +64,36 @@ def session_transitions(
         .agg(F.count("*").alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+def sessionize_dynamic(
+    events: DataFrame,
+    gap_col,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-row-gap sessionization (native analog: ``F.session_window`` with
+    a dynamic gap expression — q101 proves the two agree row-for-row).
+    ``gap_col`` must be interval-typed (e.g. a CASE over
+    ``F.expr("INTERVAL 45 MINUTE")``) — unlike ``session_window``, plain
+    timestamp arithmetic does not coerce duration strings.
+
+    Each event extends its session to ``ts + gap``; a new session starts
+    when an event's ts reaches the running max of all previous extents
+    (Spark merges session windows while start < end, end exclusive). Both
+    windows (running max, running sum) share the sessionize partitioning,
+    so the plan stays one shuffle + one sort per key.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_max_end = (
+        F.max(F.col(ts_col) + gap_col)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    brk = F.when(
+        prev_max_end.isNull() | (F.col(ts_col) >= prev_max_end), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("_brk", brk).withColumn(
+        "session_id", F.sum("_brk").over(run)
+    ).drop("_brk")

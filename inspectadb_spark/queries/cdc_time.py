@@ -775,3 +775,54 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = o.select("o_orderkey", "o_custkey", "o_orderstatus", dec2,
                         "o_orderdate", "o_orderpriority")
     return table_checksum(prepared, "o_orderkey", _DIFF_COMPARE).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# Q101 dynamic-gap session windows: purchases hold sessions open 45 min,
+# everything else 30. The Spark side uses NATIVE F.session_window with a
+# per-row gap expression (Catalyst's session merge), the oracle the
+# portable running-max-extent formulation — sessionize.py::sessionize_dynamic
+# implements the same batch shape for engines without native sessions.
+@query(
+    "q101_dynamic_sessions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 45 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS endt
+      FROM events),
+    y AS (
+      SELECT user_id, ts,
+             MAX(endt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM x),
+    z AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                  THEN 1 ELSE 0 END AS brk
+      FROM y),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM z)
+    SELECT user_id, MIN(ts) AS start_ts, COUNT(*) AS n
+    FROM s GROUP BY user_id, sid ORDER BY user_id, start_ts
+    """,
+    doc="Dynamic-gap sessionization: native session_window(gap expr) == "
+        "running-max-extent formulation (merge rule: start < end).",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["events"]
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("45 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("start_ts"), "n")
+        .orderBy("user_id", "start_ts")
+    )

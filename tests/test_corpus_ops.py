@@ -264,3 +264,40 @@ def test_chunk_dedup_partial_tail_chunk_is_its_own_unit(spark):
 
     out = {(r["doc_id"], r["chunk_idx"]): r["keep"] for r in chunk_dedup(df).collect()}
     assert out[(0, 1)] is True and out[(1, 0)] is False
+
+
+# -- dynamic-gap sessionization (operators/sessionize.py) --------------------
+
+def test_sessionize_dynamic_agrees_with_native_session_window(spark):
+    import datetime as _dt
+
+    from inspectadb_spark.operators.sessionize import sessionize_dynamic
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: short events 30-min gap; a 'long' event extends to 45 min
+    for i, (mins, typ) in enumerate(
+        [(0, "a"), (29, "a"),      # merge (29 < 0+30)
+         (70, "long"), (110, "a"),  # merge (110 < 70+45)
+         (200, "a")]):              # new session
+        rows.append((1, i, t0 + _dt.timedelta(minutes=mins), typ))
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp_ntz, event_type string")
+    gap = (F.when(F.col("event_type") == "long", F.lit("45 minutes"))
+           .otherwise(F.lit("30 minutes")))
+    gap_iv = (F.when(F.col("event_type") == "long", F.expr("INTERVAL 45 MINUTE"))
+              .otherwise(F.expr("INTERVAL 30 MINUTE")))
+    manual = (
+        sessionize_dynamic(df, gap_iv)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start_ts"), F.count("*").alias("n"))
+        .select("user_id", "start_ts", "n")
+    )
+    native = (
+        df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("start_ts"), "n")
+    )
+    m = sorted(map(tuple, manual.collect()))
+    nv = sorted(map(tuple, native.collect()))
+    assert m == nv
+    assert [x[2] for x in m] == [2, 2, 1]

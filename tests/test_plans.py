@@ -194,6 +194,7 @@ def test_extension_family_shuffle_budgets(spark):
         "q98_table_diff": 3,          # latest-wins window + hash-only outer join
         "q99_table_checksum": 2,      # one bucket agg + sort; words are scan-side
         "q100_histogram": 2,          # one bin agg + sort
+        "q101_dynamic_sessions": 2,   # session merge + final sort
     }
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))

@@ -732,3 +732,24 @@ def test_s16_streaming_checksum_equals_batch(spark, replay_dir):
     _drain(table_checksum(_stream(spark, replay_dir), "user_id", cols), "s16")
     batch = table_checksum(spark.read.parquet(replay_dir), "user_id", cols)
     assert _rows(spark.table("s16")) == _rows(batch)
+
+
+# S17 dynamic-gap session windows over the stream: per-row gap expression
+# (purchase holds the session open longer) — incremental session merging
+# must land on the batch result.
+def test_s17_streaming_dynamic_gap_sessions_equals_batch(spark, replay_dir):
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("45 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+
+    def agg(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("w.start").alias("start_ts"), "n")
+        )
+
+    _drain(agg(_stream(spark, replay_dir)), "s17")
+    batch = agg(spark.read.parquet(replay_dir))
+    assert _rows(spark.table("s17")) == _rows(batch)
