@@ -896,3 +896,59 @@ FROM events GROUP BY event_type ORDER BY event_type
 )
 def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, sf_dir, _Q96_SPARK)
+
+
+# --------------------------------------------------------------------------
+# Q102 null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys pair up
+# instead of vanishing — the CDC-merge edge case (deleted rows carry NULL
+# attribute columns).
+@query(
+    "q102_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS pr
+      FROM orders WHERE o_orderkey % 2 = 0),
+    b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS pr
+      FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT a.pr AS pr, COUNT(*) AS n
+    FROM a JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+    GROUP BY a.pr ORDER BY pr NULLS FIRST
+    """,
+    doc="<=> join: NULL keys match each other (3VL '=' would drop them).",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    pr = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority"))
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(pr.alias("pr"))
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(pr.alias("pr_b"))
+    return (
+        a.join(b, a["pr"].eqNullSafe(b["pr_b"]))
+        .groupBy("pr")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("pr").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q103 GROUP BY ALL / ORDER BY ALL (DuckDB-originated shorthand, adopted by
+# Spark 4): every non-aggregate select item becomes a grouping key.
+_Q103 = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tot
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query(
+    "q103_group_by_all",
+    oracle=_Q103,
+    doc="GROUP BY ALL + ORDER BY ALL: identical shorthand in both dialects.",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q103)

@@ -195,6 +195,8 @@ def test_extension_family_shuffle_budgets(spark):
         "q99_table_checksum": 2,      # one bucket agg + sort; words are scan-side
         "q100_histogram": 2,          # one bin agg + sort
         "q101_dynamic_sessions": 2,   # session merge + final sort
+        "q102_null_safe_join": 2,     # null-safe hash join + agg reuse
+        "q103_group_by_all": 2,       # one agg + sort
     }
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
