@@ -137,3 +137,50 @@ def test_observe_dq_counters_ride_the_job(spark):
     assert m["null_cust"] == 0
     assert m["neg_price"] == 0
     assert 0 < n_f < m["n_rows"]
+
+
+# -- Python DataSource API (sources/pydatasource.py) -------------------------
+
+def test_python_datasource_batch_partitioned_and_deterministic(spark):
+    from inspectadb_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (spark.read.format("synthetic_events")
+          .options(rows="500", partitions="8").load())
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value"]
+    assert df.rdd.getNumPartitions() == 8
+    rows1 = sorted(map(tuple, df.collect()))
+    rows2 = sorted(map(tuple, (
+        spark.read.format("synthetic_events")
+        .options(rows="500", partitions="3").load()).collect()))
+    assert len(rows1) == 500
+    assert rows1 == rows2            # partitioning-invariant generation
+    assert len({r[0] for r in rows1}) == 500
+
+
+def test_python_datasource_stream_replays_batch_exactly(spark, tmp_path):
+    import time
+
+    from inspectadb_spark.sources.pydatasource import register
+
+    register(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .options(rows="300", batch_rows="120").load()
+        .writeStream.format("memory").queryName("pyds")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("pyds").count() >= 300:
+            break
+        time.sleep(1)
+    q.stop()
+    got = sorted(map(tuple, spark.table("pyds").collect()))
+    want = sorted(map(tuple, (
+        spark.read.format("synthetic_events").options(rows="300").load()
+    ).collect()))
+    assert got == want
