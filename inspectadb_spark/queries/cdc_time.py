@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from inspectadb_spark.operators.cdc import apply_changelog, scd2_history
 from inspectadb_spark.operators.sessionize import sessionize
-from inspectadb_spark.queries.registry import dec, dsum, query, tables
+from inspectadb_spark.queries.registry import dec, dsum, query, sql, tables
 from inspectadb_spark.queries.relational import _Q15_BODY  # noqa: F401 (Q51 reuse)
 from inspectadb_spark.sources.cdc import CDC_ORDERS_CTE, derive_cdc_orders
 
@@ -826,3 +826,30 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("start_ts"), "n")
         .orderBy("user_id", "start_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# Q104 time-interval RANGE frame: trailing 1-hour count/sum per user with
+# NO self-join and NO window explode — the frame is evaluated over one
+# per-user sort, peers included by value (ties share a frame, so the
+# result is deterministic without a tiebreak in the frame ordering).
+_Q104 = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 2)
+            AS DOUBLE) AS sv_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id LIMIT 1000
+"""
+
+
+@query(
+    "q104_time_range_frame",
+    oracle=_Q104,
+    doc="Trailing-hour windowed aggregates via RANGE INTERVAL frame — "
+        "identical SQL text in both dialects.",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q104)
