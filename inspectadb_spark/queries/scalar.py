@@ -307,3 +307,231 @@ def q42c(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q105 generator variants with OUTER semantics: rows whose array is empty
+# must survive the explode with a NULL element (explode_outer), unlike plain
+# explode which drops them. Oracle: LEFT JOIN against the unnested side.
+@query(
+    "q105_generator_outer",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN n_chars % 7 <> 0
+                  THEN string_split(text, ' ')[1:3] ELSE [] END AS toks
+      FROM documents),
+    ex AS (SELECT doc_id AS d2, unnest(toks) AS tok FROM base)
+    SELECT b.doc_id, ex.tok
+    FROM base b LEFT JOIN ex ON b.doc_id = ex.d2
+    ORDER BY b.doc_id, ex.tok NULLS LAST LIMIT 1000
+    """,
+    doc="explode_outer preserves empty-array rows as NULL elements; plain "
+        "explode drops them (the 3-token slice keeps output bounded).",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    toks = F.when(
+        F.col("n_chars") % 7 != 0, F.slice(F.split("text", " "), 1, 3)
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode_outer("toks").alias("tok"))
+        .orderBy("doc_id", F.col("tok").asc_nulls_last())
+        .limit(1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q106 array set algebra. Spark's array_intersect/union/except have
+# engine-specific element order, so both sides are expressed with the same
+# order-canonical building blocks: filter-by-membership → distinct → sort.
+@query(
+    "q106_array_algebra",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             generate_series(o_orderkey % 7, o_orderkey % 7 + 5) AS a1,
+             generate_series(o_custkey % 9, o_custkey % 9 + 4) AS a2
+      FROM orders)
+    SELECT o_orderkey,
+           list_sort(list_distinct(list_filter(a1, x -> list_contains(a2, x)))) AS inter,
+           list_sort(list_distinct(list_concat(a1, a2))) AS uni,
+           list_sort(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x)))) AS diff,
+           CAST(list_position(a1, o_orderkey % 7 + 2) AS INT) AS pos,
+           list_contains(a2, 5) AS has5
+    FROM base ORDER BY o_orderkey LIMIT 400
+    """,
+    doc="Array set algebra (intersect/union/except/position/contains) in the "
+        "order-canonical formulation shared by both dialects.",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    base = o.select(
+        "o_orderkey",
+        F.sequence(F.col("o_orderkey") % 7, F.col("o_orderkey") % 7 + 5).alias("a1"),
+        F.sequence(F.col("o_custkey") % 9, F.col("o_custkey") % 9 + 4).alias("a2"),
+    )
+    member = F.expr("filter(a1, x -> array_contains(a2, x))")
+    non_member = F.expr("filter(a1, x -> NOT array_contains(a2, x))")
+    return (
+        base.select(
+            "o_orderkey",
+            F.sort_array(F.array_distinct(member)).alias("inter"),
+            F.sort_array(F.array_distinct(F.concat("a1", "a2"))).alias("uni"),
+            F.sort_array(F.array_distinct(non_member)).alias("diff"),
+            F.array_position(F.col("a1"), F.col("o_orderkey") % 7 + 2)
+            .cast("int").alias("pos"),
+            F.array_contains(F.col("a2"), F.lit(5)).alias("has5"),
+        )
+        .orderBy("o_orderkey")
+        .limit(400)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q107 safe casts / error-tolerant arithmetic: TRY_CAST returns NULL instead
+# of raising under ANSI mode — the ETL ingest path for dirty columns.
+@query(
+    "q107_safe_casts",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INT) AS bad_int,
+           TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS pri,
+           TRY_CAST(o_orderstatus AS DOUBLE) AS bad_dbl,
+           TRY_CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS ts_rt,
+           CAST(ROUND(CAST(o_totalprice / NULLIF(o_orderkey % 5, 0)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS safe_div
+    FROM orders ORDER BY o_orderkey LIMIT 400
+    """,
+    doc="TRY_CAST null-on-failure semantics + NULLIF-guarded division, "
+        "identical across dialects under ANSI mode.",
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+            F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pri"),
+            F.col("o_orderstatus").try_cast("double").alias("bad_dbl"),
+            F.col("o_orderdate").cast("string").try_cast("timestamp_ntz")
+            .alias("ts_rt"),
+            r4c(
+                F.col("o_totalprice")
+                / F.nullif(F.col("o_orderkey") % 5, F.lit(0))
+            ).alias("safe_div"),
+        )
+        .orderBy("o_orderkey")
+        .limit(400)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q108 regex family: extract / extract-all count / global replace / match
+# flag, restricted to the RE2∩Java common subset (SURVEY §1.3.6).
+@query(
+    "q108_regex_suite",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '[aeiou]{2}') AS first_vv,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]{2}')) AS INT) AS n_vv,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+           regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+           regexp_extract(p_type, '([A-Z]+)([0-9]+)', 2) AS type_num
+    FROM part ORDER BY p_partkey LIMIT 400
+    """,
+    doc="Regex surface: first-match extract, match counting, global replace, "
+        "anchored predicate, group extract. DuckDB needs the 'g' flag where "
+        "Spark's regexp_replace is global by default.",
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tables(spark, sf_dir)["part"]
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_extract("p_name", "[aeiou]{2}", 0).alias("first_vv"),
+            F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]{2}"), 0))
+            .alias("n_vv"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+            F.col("p_name").rlike("^[a-z]+ ").alias("starts_word"),
+            F.regexp_extract("p_type", "([A-Z]+)([0-9]+)", 2).alias("type_num"),
+        )
+        .orderBy("p_partkey")
+        .limit(400)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q109 bitwise family (+ width_bucket, which DuckDB lacks — the oracle uses
+# the exact-decimal arithmetic definition instead).
+@query(
+    "q109_bitwise_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS b_and, o_orderkey | 16 AS b_or,
+           xor(o_orderkey, 85) AS b_xor,
+           (o_orderkey % 1024) << 2 AS shl, o_orderkey >> 3 AS shr,
+           CAST(bit_count(o_orderkey) AS INT) AS nbits,
+           CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 500000 THEN 11
+                     ELSE FLOOR(CAST(o_totalprice AS DECIMAL(18,6)) / 50000) + 1
+                END AS INT) AS bucket
+    FROM orders ORDER BY o_orderkey LIMIT 400
+    """,
+    doc="Bitwise ops (&, |, xor, shifts, popcount) + width_bucket vs its "
+        "arithmetic definition (decimal division so bucket edges are exact).",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("b_and"),
+            k.bitwiseOR(F.lit(16)).alias("b_or"),
+            k.bitwiseXOR(F.lit(85)).alias("b_xor"),
+            F.shiftleft(k % 1024, 2).alias("shl"),
+            F.shiftright(k, 3).alias("shr"),
+            F.bit_count(k).alias("nbits"),
+            F.width_bucket(F.col("o_totalprice"), F.lit(0), F.lit(500000), F.lit(10))
+            .cast("int").alias("bucket"),
+        )
+        .orderBy("o_orderkey")
+        .limit(400)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q110 date/time family 2: calendar parts, week truncation, month clamping.
+@query(
+    "q110_date_suite2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_wk,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           last_day(o_orderdate) AS mo_end,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS wk_start,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_mo
+    FROM orders ORDER BY o_orderkey LIMIT 400
+    """,
+    doc="Calendar parts (quarter / ISO week / day-of-year), last_day, "
+        "ISO-Monday week truncation, end-of-month-clamped month addition.",
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            F.quarter(d).alias("qtr"),
+            F.weekofyear(d).alias("iso_wk"),
+            F.dayofyear(d).alias("doy"),
+            F.last_day(d).alias("mo_end"),
+            F.date_trunc("week", d).cast("date").alias("wk_start"),
+            F.add_months(d, 1).alias("plus_mo"),
+        )
+        .orderBy("o_orderkey")
+        .limit(400)
+    )
