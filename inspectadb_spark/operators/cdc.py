@@ -160,3 +160,55 @@ def table_checksum(
             F.sum(_hex_word("_fp", 13)).alias("w4"),
         )
     )
+
+
+def merge_apply(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: dict[str, "F.Column | str"] | None = None,
+    delete_condition=None,
+    insert_unmatched: bool = True,
+) -> DataFrame:
+    """Batch MERGE INTO semantics as one full-outer join (no v2 table needed).
+
+    Row fate follows SQL MERGE:
+    - matched + ``delete_condition``            → dropped
+    - matched                                   → ``update_cols`` applied
+      (columns not listed keep the target value)
+    - source-only (WHEN NOT MATCHED)            → inserted if
+      ``insert_unmatched``
+    - target-only (NOT MATCHED BY SOURCE)       → kept unchanged
+
+    Columns are resolved target-first; source must carry the same schema.
+    One shuffle on the merge keys (or zero if both sides are bucketed on
+    them — see ``scale.bucketed_write``); the per-row fate logic is pure
+    projection, so the operator scales exactly like the join itself.
+    """
+    update_cols = update_cols or {}
+    # Alias-qualified names (t.*/s.*) rather than DataFrame indexing: target
+    # and source often derive from the SAME DataFrame (snapshot vs extract),
+    # where df[col] lineage is ambiguous but alias resolution is not.
+    t = target.alias("t")
+    s = source.alias("s")
+    tc = lambda c: F.col(f"t.{c}")  # noqa: E731
+    sc = lambda c: F.col(f"s.{c}")  # noqa: E731
+    cond = [tc(k).eqNullSafe(sc(k)) for k in keys]
+    joined = t.join(s, cond, "full_outer")
+    matched = tc(keys[0]).isNotNull() & sc(keys[0]).isNotNull()
+    s_only = tc(keys[0]).isNull()
+    if delete_condition is not None:
+        joined = joined.filter(~(matched & delete_condition))
+    if not insert_unmatched:
+        joined = joined.filter(~s_only)
+    out = []
+    for c in target.columns:
+        upd = update_cols.get(c)
+        upd_col = (F.col(upd) if isinstance(upd, str) else upd) if upd is not None else tc(c)
+        val = (
+            F.when(matched, upd_col)
+            .when(s_only, sc(c))
+            .otherwise(tc(c))
+        )
+        out.append(val.alias(c))
+    return joined.select(*out)

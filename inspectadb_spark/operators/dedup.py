@@ -246,3 +246,46 @@ def chunk_dedup(
         chunks.join(keepers, "h")
         .select(id_col, "chunk_idx", "h", (pos == F.col("_keeper")).alias("keep"))
     )
+
+
+def minhash_lsh_candidates_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Engine-portable MinHash LSH candidate pairs: (d1, d2, n_bands).
+
+    Same banding pipeline as ``minhash_near_dup_pairs`` but the hash family
+    is the lexicographic MIN of md5(seed || '#' || shingle) hex strings —
+    md5 is bit-identical in every engine, so the whole candidate-generation
+    stage (signatures → band keys → bucket self-join) is deterministic and
+    SQL-expressible, i.e. oracle-class rather than rows-only. 8 hashes × 4
+    bands keeps the per-doc state at 8 strings; at 100 TB the bucket join is
+    a uniform-key equi-join on (band, md5-band-key) whose output is only
+    colliding pairs — never O(n²).
+    """
+    rows_per_band = num_hashes // bands
+    sh = _shingles(docs, text_col, id_col, shingle_k)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
+        F.col("shingle"),
+    ).select(
+        "doc_id", "j",
+        F.md5(F.concat_ws("#", F.col("j").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    sig = seeded.groupBy("doc_id", "j").agg(F.min("h").alias("sig"))
+    banded = sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+    keys = banded.groupBy("doc_id", "band").agg(
+        F.md5(F.expr("listagg(sig, '|') WITHIN GROUP (ORDER BY j)")).alias("bk")
+    )
+    return (
+        keys.alias("a")
+        .join(keys.alias("b"), ["band", "bk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").cast("int").alias("n_bands"))
+    )

@@ -853,3 +853,137 @@ ORDER BY user_id, event_id LIMIT 1000
 )
 def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, sf_dir, _Q104)
+
+
+# --------------------------------------------------------------------------
+# Q111 running distinct count per key. Spark has no COUNT(DISTINCT) OVER;
+# the native form is size(collect_set() OVER w) — state is the set itself,
+# bounded by event_type cardinality (5 here), NOT by rows seen, so the
+# window is cheap at any scale. The oracle uses the portable first-
+# occurrence-flag formulation (row_number=1 → running sum), which is also
+# the right formulation when the distinct domain is unbounded.
+_Q111_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events)
+SELECT user_id, event_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS INT) AS n_types
+FROM flagged ORDER BY user_id, event_id LIMIT 1000
+"""
+
+
+@query(
+    "q111_running_distinct",
+    oracle=_Q111_ORACLE,
+    doc="Running per-user distinct event-type count: native collect_set "
+        "window (bounded-domain state) vs the portable first-flag form.",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id", "event_id",
+            F.size(F.collect_set("event_type").over(w)).alias("n_types"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q112 sliding exact median: Spark's percentile() is window-capable, so the
+# trailing-7-rows median needs no self-join / no explode — one per-user
+# sort, same as any other window agg. DuckDB spells it quantile_cont.
+@query(
+    "q112_sliding_median",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROUND(CAST(quantile_cont(value, 0.5) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS med7
+    FROM events ORDER BY user_id, event_id LIMIT 1000
+    """,
+    doc="Trailing-window interpolated median over per-user event values "
+        "(percentile() OVER frame ≡ DuckDB quantile_cont OVER frame).",
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    med = F.percentile("value", F.lit(0.5)).over(w)
+    return (
+        e.select(
+            "user_id", "event_id",
+            F.round(med.cast("decimal(18,6)"), 4).cast("double").alias("med7"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q115 batch MERGE INTO semantics via operators/cdc.merge_apply: one full-
+# outer join on the key; per-row fate (update / delete / insert / keep) is
+# pure projection. Target = stale snapshot (keys % 7 <> 0), source = fresh
+# high-value extract with a 5% price bump; matched 'P'-status rows deleted.
+@query(
+    "q115_merge_upsert",
+    oracle="""
+    WITH t AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    s AS (SELECT * FROM orders WHERE o_totalprice > 50000),
+    j AS (
+      SELECT t.o_orderkey AS tk, s.o_orderkey AS sk,
+             t.o_custkey AS tc, s.o_custkey AS sc,
+             t.o_orderstatus AS tst, s.o_orderstatus AS sst,
+             t.o_totalprice AS tp, s.o_totalprice AS sp,
+             t.o_orderdate AS td, s.o_orderdate AS sd,
+             t.o_orderpriority AS tpr, s.o_orderpriority AS spr
+      FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey)
+    SELECT COALESCE(tk, sk) AS o_orderkey,
+           CASE WHEN tk IS NULL THEN sc ELSE tc END AS o_custkey,
+           CASE WHEN tk IS NULL THEN sst ELSE tst END AS o_orderstatus,
+           CASE WHEN tk IS NOT NULL AND sk IS NOT NULL
+                THEN CAST(ROUND(CAST(sp * 1.05 AS DECIMAL(18,6)), 4) AS DOUBLE)
+                WHEN tk IS NULL THEN sp ELSE tp END AS o_totalprice,
+           CASE WHEN tk IS NULL THEN sd ELSE td END AS o_orderdate,
+           CASE WHEN tk IS NULL THEN spr ELSE tpr END AS o_orderpriority
+    FROM j
+    WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND sst = 'P')
+    ORDER BY o_orderkey LIMIT 1000
+    """,
+    doc="MERGE INTO as a full-outer-join apply: matched rows update (price "
+        "bump), matched 'P' rows delete, source-only rows insert, "
+        "target-only rows persist.",
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.cdc import merge_apply
+
+    o = tables(spark, sf_dir)["orders"]
+    target = o.filter(F.col("o_orderkey") % 7 != 0)
+    source = o.filter(F.col("o_totalprice") > 50000)
+    merged = merge_apply(
+        target,
+        source,
+        ["o_orderkey"],
+        update_cols={
+            "o_totalprice": F.expr(
+                "CAST(ROUND(CAST(s.o_totalprice * 1.05 AS DECIMAL(18,6)), 4) AS DOUBLE)"
+            )
+        },
+        delete_condition=F.expr("s.o_orderstatus = 'P'"),
+    )
+    return merged.orderBy("o_orderkey").limit(1000)

@@ -302,3 +302,43 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+# --------------------------------------------------------------------------
+# Q114 portable MinHash-LSH candidate generation: the banding stage of the
+# near-dup pipeline with an md5-hex hash family, hash-matched end to end
+# (signatures → band keys → bucket join). Complements q44d, whose xxhash64
+# family is faster (8-byte ints vs 32-char strings) but engine-specific.
+@query(
+    "q114_minhash_lsh_portable",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM toks WHERE len(w) >= 3),
+    seeded AS (
+      SELECT doc_id, unnest(generate_series(0, 7)) AS j, shingle FROM sh),
+    sig AS (
+      SELECT doc_id, j,
+             MIN(md5(CAST(j AS VARCHAR) || '#' || shingle)) AS sig
+      FROM seeded GROUP BY doc_id, j),
+    keys AS (
+      SELECT doc_id, CAST(j // 2 AS INT) AS band,
+             md5(string_agg(sig, '|' ORDER BY j)) AS bk
+      FROM sig GROUP BY doc_id, CAST(j // 2 AS INT))
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS INT) AS n_bands
+    FROM keys a JOIN keys b ON a.band = b.band AND a.bk = b.bk
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id ORDER BY d1, d2
+    """,
+    doc="MinHash-LSH banding with a portable md5 hash family — candidate "
+        "pairs and per-pair colliding-band counts hash-match the oracle.",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import minhash_lsh_candidates_portable
+
+    d = tables(spark, sf_dir)["documents"]
+    return minhash_lsh_candidates_portable(d).orderBy("d1", "d2")

@@ -952,3 +952,28 @@ ORDER BY ALL
 )
 def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, sf_dir, _Q103)
+
+
+# --------------------------------------------------------------------------
+# Q113 LATERAL correlated subquery with LIMIT — per-outer-row top-k without
+# a window over the whole table. Identical SQL text in both dialects; Spark
+# plans the correlated limit as a rank-filtered join (no nested loop over
+# the probe side when the inner is broadcastable).
+_Q113 = """
+SELECT n_name, t.s_suppkey, t.s_name, t.bal
+FROM nation, LATERAL (
+  SELECT s_suppkey, s_name, s_acctbal AS bal
+  FROM supplier WHERE s_nationkey = n_nationkey
+  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+ORDER BY n_name, t.bal DESC, t.s_suppkey
+"""
+
+
+@query(
+    "q113_lateral_topk",
+    oracle=_Q113,
+    doc="LATERAL (correlated, LIMITed) subquery: top-2 suppliers per "
+        "nation — same SQL text in Spark and DuckDB.",
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q113)

@@ -122,3 +122,33 @@ def test_table_checksum_localizes_a_single_row_change(spark):
     cb = {r["bucket"]: tuple(r)[1:] for r in table_checksum(b, "k", ["s", "v"]).collect()}
     diff_buckets = [bkt for bkt in ca if ca[bkt] != cb[bkt]]
     assert diff_buckets == [37 % 16]
+
+
+def test_merge_apply_row_fates(spark):
+    from inspectadb_spark.operators.cdc import merge_apply
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k bigint, s string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200.0), (3, "C", 300.0), (4, "d", 40.0)], "k bigint, s string, v double"
+    )
+    out = merge_apply(
+        target, source, ["k"],
+        update_cols={"v": F.expr("s.v")},
+        delete_condition=F.expr("s.s = 'C'"),
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in out.collect()}
+    # 1: target-only kept; 2: matched updated (v from source, s from target);
+    # 3: matched + delete condition -> gone; 4: source-only inserted.
+    assert got == {1: ("a", 10.0), 2: ("b", 200.0), 4: ("d", 40.0)}
+
+
+def test_merge_apply_no_insert(spark):
+    from inspectadb_spark.operators.cdc import merge_apply
+
+    target = spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    source = spark.createDataFrame([(1, 100.0), (9, 90.0)], "k bigint, v double")
+    out = merge_apply(target, source, ["k"], insert_unmatched=False)
+    assert {r["k"]: r["v"] for r in out.collect()} == {1: 10.0}
