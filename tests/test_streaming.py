@@ -753,3 +753,87 @@ def test_s17_streaming_dynamic_gap_sessions_equals_batch(spark, replay_dir):
     _drain(agg(_stream(spark, replay_dir)), "s17")
     batch = agg(spark.read.parquet(replay_dir))
     assert _rows(spark.table("s17")) == _rows(batch)
+
+
+# S18 stream–stream FULL OUTER join: unmatched rows on EITHER side emit with
+# null extension after both watermarks pass the join window. Same fixture
+# shape as S5c, with an unmatched CLICK (right side) added so the full-outer
+# null emission is exercised in both directions.
+def test_s18_stream_stream_full_outer(spark, tmp_path):
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    main = [
+        (1, ts(150), 100, "click", 1.0, "{}"),
+        (2, ts(200), 100, "purchase", 2.0, "{}"),   # matches click@150 (50s gap)
+        (3, ts(300), 200, "purchase", 3.0, "{}"),   # purchase with no click
+        (6, ts(400), 400, "click", 6.0, "{}"),      # click with no purchase
+    ]
+    push1 = [(90, ts(1_000_000), 999, "click", 0.0, "{}"),
+             (91, ts(1_000_000), 999, "purchase", 0.0, "{}")]
+    push2 = [(92, ts(2_000_000), 999, "click", 0.0, "{}"),
+             (93, ts(2_000_000), 999, "purchase", 0.0, "{}")]
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    d = str(tmp_path / "fo")
+    os.makedirs(d)
+    now = time.time()
+    for i, rows in enumerate([main, push1, push2]):
+        p = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(p)
+        part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"f{i}.parquet")
+        os.rename(os.path.join(p, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    def sides(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        return p, c
+
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    src = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    sp, sc = sides(src)
+    joined = sp.withWatermark("p_ts", "30 seconds").join(
+        sc.withWatermark("c_ts", "30 seconds"), cond, "fullOuter"
+    )
+    _drain(joined.select("p_id", "c_id"), "s18", mode="append")
+    got = {(r["p_id"], r["c_id"]) for r in spark.table("s18").collect()
+           if (r["p_id"] or 0) < 90 and (r["c_id"] or 0) < 90}
+    assert got == {(2, 1), (3, None), (None, 6)}
+
+
+# S19 streaming global sorted top-k: ORDER BY + LIMIT on an aggregated
+# stream is legal only in complete mode (the whole result is re-emitted per
+# trigger, so a total order is well-defined). Replay ≡ batch top-3.
+def test_s19_streaming_sorted_topk_complete(spark, replay_dir):
+    src = _stream(spark, replay_dir)
+    top = (
+        src.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(3)
+    )
+    _drain(top, "s19", mode="complete")
+    batch = (
+        spark.read.parquet(replay_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(3)
+    )
+    assert [tuple(r) for r in spark.table("s19").orderBy(F.desc("n"), F.asc("event_type")).collect()] \
+        == [tuple(r) for r in batch.collect()]
