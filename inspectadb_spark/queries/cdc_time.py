@@ -987,3 +987,77 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_condition=F.expr("s.o_orderstatus = 'P'"),
     )
     return merged.orderBy("o_orderkey").limit(1000)
+
+
+# --------------------------------------------------------------------------
+# Q116 interval union (coverage) per user: each event opens a 5-minute
+# activity interval; overlapping intervals merge (gaps-and-islands via the
+# running-max-end rule, one per-user window sort — never an interval self-
+# join); output is islands count + exact covered time. All arithmetic in
+# bigint microseconds, so the result is exact in both engines.
+_Q116 = """
+WITH iv AS (
+  SELECT user_id, {US} AS s, {US} + 300000000 AS e FROM events),
+x AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv),
+y AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS brk
+  FROM x),
+z AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM y),
+isl AS (
+  SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end
+  FROM z GROUP BY user_id, island)
+SELECT user_id, CAST(COUNT(*) AS INT) AS n_islands,
+       SUM(i_end - i_start) AS covered_us
+FROM isl GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query(
+    "q116_interval_union",
+    oracle=_Q116.format(US="epoch_us(ts)"),
+    doc="Merged-interval coverage per user (interval union length): "
+        "gaps-and-islands running-max-end, exact microsecond arithmetic.",
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q116.format(US="unix_micros(CAST(ts AS TIMESTAMP))"))
+
+
+# --------------------------------------------------------------------------
+# Q117 OHLC bars: open/high/low/close/volume per (day, event_type). The
+# open/close extraction is first_value/last_value over the full-partition
+# frame — identical SQL text in both dialects, one shuffle on the bar key.
+_Q117 = """
+WITH w AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         FIRST_VALUE(value) OVER b AS open,
+         LAST_VALUE(value)  OVER b AS close,
+         value, event_id
+  FROM events
+  WINDOW b AS (PARTITION BY CAST(date_trunc('day', ts) AS DATE), event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT d, event_type, MIN(open) AS open, MAX(value) AS high, MIN(value) AS low,
+       MIN(close) AS close, CAST(COUNT(*) AS INT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vol
+FROM w GROUP BY d, event_type ORDER BY d, event_type
+"""
+
+
+@query(
+    "q117_ohlc_bars",
+    oracle=_Q117,
+    doc="OHLC candlestick bars per (day, event_type): first/last_value over "
+        "the bar frame + min/max/volume rollup.",
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q117)

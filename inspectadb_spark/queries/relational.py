@@ -977,3 +977,52 @@ ORDER BY n_name, t.bal DESC, t.s_suppkey
 )
 def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, sf_dir, _Q113)
+
+
+# --------------------------------------------------------------------------
+# Q118 contingency table (crosstab): orderstatus × orderpriority counts via
+# the DataFrame stat API; the oracle spells the same pivot as conditional
+# aggregation. Column set is the (bounded) priority domain.
+@query(
+    "q118_crosstab",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+           COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="df.stat.crosstab ≡ conditional-aggregation pivot over the bounded "
+        "priority domain.",
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    return ct.orderBy("o_orderstatus_o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Q119 equi-depth histogram: NTILE(8) deciles of order value (total order
+# with unique tie-break → deterministic bucket assignment), then per-bucket
+# bounds and mass. Complements q100's equi-width form.
+_Q119 = """
+WITH t AS (
+  SELECT o_totalprice, NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS b
+  FROM orders)
+SELECT b, CAST(COUNT(*) AS INT) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS mass
+FROM t GROUP BY b ORDER BY b
+"""
+
+
+@query(
+    "q119_equidepth_histogram",
+    oracle=_Q119,
+    doc="Equi-depth (NTILE) histogram of order value: per-decile bounds and "
+        "mass; deterministic via the unique orderkey tie-break.",
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q119)
