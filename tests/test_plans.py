@@ -239,3 +239,54 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
             conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", had_adaptive_thresh)
+
+
+# -- Runtime Bloom-filter join pruning (row-level runtime filtering) ---------
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """A selective dim filter must inject a Bloom filter into the fact scan
+    (`might_contain` over a `bloom_filter_agg` subquery) so a shuffle join
+    ships only candidate rows. Spark's size thresholds (creation side
+    <=10MB, application scan >=10GB) are sized for clusters and never fire
+    at test SF, so we lower them to reproduce the 100 TB size *ratio*; the
+    engine leaves the defaults alone at runtime."""
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join: worst case
+    }
+    old = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderstatus = 'P'"
+        )
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy("o_orderstatus").agg(F.sum("l_quantity").alias("qty")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # the filter must sit on the fact (lineitem) scan side, pre-shuffle
+        probe_side = plan.split("might_contain")[1]
+        assert "l_orderkey" in plan.split("might_contain")[1].split("\n")[0]
+        # and results are unchanged by the injected filter
+        rows = {r["o_orderstatus"]: float(r["qty"]) for r in j.collect()}
+        for k, v in keys.items():
+            conf.set(k, "false" if k.endswith("bloomFilter.enabled") else old[k] or "")
+        for k, v in old.items():
+            if v is not None:
+                conf.set(k, v)
+        base = (li.join(o, li.l_orderkey == o.o_orderkey)
+                  .groupBy("o_orderstatus").agg(F.sum("l_quantity").alias("qty")))
+        assert {r["o_orderstatus"]: float(r["qty"]) for r in base.collect()} == rows
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
