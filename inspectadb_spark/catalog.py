@@ -30,10 +30,13 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one corpus table as a lazy DataFrame (ns-timestamp shim applied)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ts arrives as bigint nanos (nanosAsLong conf); truncate to µs and
-        # present as TIMESTAMP_NTZ — wall-clock semantics, no session-TZ shift,
-        # byte-identical to DuckDB's read of the same file.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-encoded corpus: ts arrives as bigint nanos (nanosAsLong conf);
+        # truncate to µs and present as TIMESTAMP_NTZ — wall-clock semantics,
+        # no session-TZ shift, byte-identical to DuckDB's read of the same
+        # file. µs-encoded corpora (current driver data) read natively as
+        # TIMESTAMP_NTZ and skip the shim — the dtype check keys off what the
+        # footer actually declares, so both generations of the corpus work.
         # NB: integer `div`, not `/` — float division of epoch-nanos (~1.7e18)
         # exceeds double's 53-bit mantissa and would corrupt low microseconds.
         df = df.withColumn(

@@ -189,16 +189,23 @@ def merge_apply(
     # Alias-qualified names (t.*/s.*) rather than DataFrame indexing: target
     # and source often derive from the SAME DataFrame (snapshot vs extract),
     # where df[col] lineage is ambiguous but alias resolution is not.
-    t = target.alias("t")
-    s = source.alias("s")
+    # Presence markers — NOT key-null tests: the join uses eqNullSafe, so a
+    # NULL<=>NULL key pair is a legitimate match and key IS NULL cannot
+    # distinguish "no partner row" from "partner row with NULL key".
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     tc = lambda c: F.col(f"t.{c}")  # noqa: E731
     sc = lambda c: F.col(f"s.{c}")  # noqa: E731
     cond = [tc(k).eqNullSafe(sc(k)) for k in keys]
     joined = t.join(s, cond, "full_outer")
-    matched = tc(keys[0]).isNotNull() & sc(keys[0]).isNotNull()
-    s_only = tc(keys[0]).isNull()
+    matched = tc("_t_present").isNotNull() & sc("_s_present").isNotNull()
+    s_only = tc("_t_present").isNull()
     if delete_condition is not None:
-        joined = joined.filter(~(matched & delete_condition))
+        # SQL MERGE: a NULL WHEN-MATCHED-AND condition means NOT deleted (the
+        # row falls through to the update) — coalesce so 3VL NULL ≠ delete.
+        joined = joined.filter(
+            ~(matched & F.coalesce(delete_condition, F.lit(False)))
+        )
     if not insert_unmatched:
         joined = joined.filter(~s_only)
     out = []

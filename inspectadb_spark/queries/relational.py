@@ -459,8 +459,8 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_conditional_agg",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS big,
-           COUNT(*) FILTER (WHERE value <= 100) AS small
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS big,
+           CAST(COUNT(*) FILTER (WHERE value <= 100) AS BIGINT) AS small
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )

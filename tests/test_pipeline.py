@@ -152,3 +152,44 @@ def test_merge_apply_no_insert(spark):
     source = spark.createDataFrame([(1, 100.0), (9, 90.0)], "k bigint, v double")
     out = merge_apply(target, source, ["k"], insert_unmatched=False)
     assert {r["k"]: r["v"] for r in out.collect()} == {1: 10.0}
+
+
+def test_merge_apply_null_delete_condition_falls_through_to_update(spark):
+    """SQL MERGE 3VL: a NULL WHEN-MATCHED-AND condition is NOT a delete —
+    the matched row must fall through to the update."""
+    from inspectadb_spark.operators.cdc import merge_apply
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame([(1, "a", 10.0)], "k bigint, s string, v double")
+    source = spark.createDataFrame(
+        [(1, None, 100.0)], "k bigint, s string, v double"
+    )
+    out = merge_apply(
+        target, source, ["k"],
+        update_cols={"v": F.expr("s.v")},
+        delete_condition=F.expr("s.s = 'DELETE'"),  # NULL for this row
+    )
+    assert {r["k"]: (r["s"], r["v"]) for r in out.collect()} == {1: ("a", 100.0)}
+
+
+def test_merge_apply_null_keys(spark):
+    """eqNullSafe joins NULL<=>NULL keys: such a pair is a MATCH (updated),
+    a target-only NULL-key row is kept, and classification never keys off
+    key nullability."""
+    from inspectadb_spark.operators.cdc import merge_apply
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame(
+        [(None, "t-null", 1.0), (1, "a", 10.0)], "k bigint, s string, v double"
+    )
+    # source matches the NULL key; no source row for k=1
+    source = spark.createDataFrame([(None, "s-null", 99.0)], "k bigint, s string, v double")
+    out = merge_apply(target, source, ["k"], update_cols={"v": F.expr("s.v")})
+    got = {r["s"]: (r["k"], r["v"]) for r in out.collect()}
+    # NULL-key pair matched -> v updated, s kept from target; k=1 kept as-is
+    assert got == {"t-null": (None, 99.0), "a": (1, 10.0)}
+    # target-only NULL-key row when source is empty: kept unchanged
+    empty = spark.createDataFrame([], "k bigint, s string, v double")
+    out2 = merge_apply(target, empty, ["k"])
+    got2 = {r["s"]: (r["k"], r["v"]) for r in out2.collect()}
+    assert got2 == {"t-null": (None, 1.0), "a": (1, 10.0)}

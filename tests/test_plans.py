@@ -276,11 +276,13 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         assert "l_orderkey" in plan.split("might_contain")[1].split("\n")[0]
         # and results are unchanged by the injected filter
         rows = {r["o_orderstatus"]: float(r["qty"]) for r in j.collect()}
-        for k, v in keys.items():
-            conf.set(k, "false" if k.endswith("bloomFilter.enabled") else old[k] or "")
-        for k, v in old.items():
-            if v is not None:
-                conf.set(k, v)
+        # restore before the baseline run; unset confs that had no prior value
+        # (set(k, "") would be rejected for bytes-typed thresholds)
+        for k in keys:
+            if old[k] is None:
+                conf.unset(k)
+            else:
+                conf.set(k, old[k])
         base = (li.join(o, li.l_orderkey == o.o_orderkey)
                   .groupBy("o_orderstatus").agg(F.sum("l_quantity").alias("qty")))
         assert {r["o_orderstatus"]: float(r["qty"]) for r in base.collect()} == rows

@@ -34,11 +34,16 @@ N_CHUNKS = 7
 
 def _events_table() -> pa.Table:
     t = pq.read_table(f"{SF_DIR}/events.parquet")
-    # ns → µs UTC-aware so Spark streams it as TimestampType; floor-divide the
-    # raw nanos (same truncation as the batch source's `ts div 1000`, §1.3.1)
-    nanos = pc.cast(t.column("ts"), pa.int64())
-    micros = pc.divide(nanos, pa.scalar(1000, pa.int64()))
-    ts = pc.cast(micros, pa.timestamp("us", tz="UTC"))
+    # → µs UTC-aware so Spark streams it as TimestampType. ns-encoded corpora
+    # floor-divide the raw nanos (same truncation as the batch source's
+    # `ts div 1000`, §1.3.1); µs-encoded corpora just re-tag the zone.
+    if pa.types.is_timestamp(t.column("ts").type):
+        micros = pc.cast(t.column("ts"), pa.timestamp("us"))
+        ts = pc.assume_timezone(micros, "UTC")
+    else:
+        nanos = pc.cast(t.column("ts"), pa.int64())
+        micros = pc.divide(nanos, pa.scalar(1000, pa.int64()))
+        ts = pc.cast(micros, pa.timestamp("us", tz="UTC"))
     return t.set_column(t.schema.get_field_index("ts"), "ts", ts)
 
 

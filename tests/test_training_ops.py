@@ -82,9 +82,9 @@ def test_resample_grid_contiguous_and_filled(spark):
     from inspectadb_spark.operators.timeseries import resample_ffill
     import datetime as dt
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
-    )
+    from inspectadb_spark.catalog import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
     out = resample_ffill(ev, step="1 day").collect()
     by_user: dict = {}
     for r in out:
