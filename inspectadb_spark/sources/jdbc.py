@@ -1,10 +1,12 @@
-"""JDBC snapshot source — CDC bootstrap interface (SURVEY.md §2.2a M7 stub).
+"""JDBC snapshot source — CDC bootstrap interface (SURVEY.md §2.2a M7).
 
 A CDC pipeline's initial load is a parallel snapshot of the OLTP table; the
-change stream then takes over from the snapshot's consistent point. No
-database (or JDBC driver jar) exists in this harness, so ``load`` performs
-the full option assembly and validation but the actual fetch is left to
-``spark.read.jdbc`` — unit tests cover everything up to that boundary.
+change stream then takes over from the snapshot's consistent point. ``load``
+performs option assembly and validation and hands off to ``spark.read.jdbc``.
+The fetch path itself is integration-tested against embedded Derby (the one
+JDBC engine whose driver ships inside the Spark distribution) in
+tests/test_jdbc.py — partitioned parallel reads included; production targets
+(Postgres/MySQL) differ only in url/driver strings.
 
 Scale contract: ALWAYS partition the read (``partition_column`` +
 bounds + ``num_partitions``) — an unpartitioned JDBC read is a single task
@@ -28,6 +30,7 @@ class JdbcSnapshotSource:
     upper_bound: int | None = None
     num_partitions: int = 8
     fetch_size: int = 10_000
+    driver: str | None = None     # JDBC driver class; None = DriverManager lookup
 
     def reader_options(self) -> dict[str, str]:
         """The validated option dict handed to ``spark.read.jdbc``."""
@@ -38,6 +41,8 @@ class JdbcSnapshotSource:
             "dbtable": self.table,
             "fetchsize": str(self.fetch_size),
         }
+        if self.driver is not None:
+            opts["driver"] = self.driver
         if self.partition_column is not None:
             if self.lower_bound is None or self.upper_bound is None:
                 raise ValueError(
