@@ -263,3 +263,119 @@ def assign_shards(
         f"16 * (instr('{hexmap}', substr({h}, 1, 1)) - 1)"
         f" + instr('{hexmap}', substr({h}, 2, 1)) - 1")
     return df.withColumn("_shard", (v % n_shards).cast("int"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to a literal term list — the
+    retrieval scorer a curation pipeline uses for query-based corpus mining
+    (hard-negative selection, topical subsetting).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Determinism: tf/df/dl are exact integers; avgdl is one exact
+    integer-sum division; each per-term score is rounded to 6 dp via an
+    exact decimal cast BEFORE the per-document sum (decimal addition is
+    associative, so partial-agg order cannot flip the result), and the
+    final score rounds to 4 dp.
+
+    Plan/scale: the term filter prunes the exploded stream to query terms
+    only (at 100 TB: |terms|·docs rows, not all tokens); (term, df) and the
+    one-row corpus stats are broadcast; one hash-agg by doc; top-k is
+    TakeOrderedAndProject. No UDFs, no O(corpus) shuffle.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(words_col(text_col)).alias("term"),
+        F.size(words_col(text_col)).alias("dl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin([str(t) for t in query_terms]))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.select(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(words_col(text_col))).cast("double")
+         / F.count("*")).alias("avgdl"),
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf * F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_ts", F.round(term_score.cast("decimal(18,6)"), 6))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("_ts"), 4).cast("double").alias("score"),
+            F.count("*").cast("int").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_prefix: str = "0",
+) -> DataFrame:
+    """Content-defined chunking: boundaries where the rolling 3-token
+    window hashes into a sentinel bucket (md5 hex starts with
+    ``boundary_prefix`` → expected chunk length ≈ 16 tokens), plus a forced
+    boundary at token 0.
+
+    Unlike fixed-stride chunking (``chunk_documents``), inserting or
+    deleting a prefix only perturbs chunks near the edit: every boundary
+    depends on a 3-token window, not on absolute offsets, so downstream
+    chunk-hash dedup still matches the untouched remainder of near-duplicate
+    documents (the Rabin/CDC idea from storage dedup, applied to tokens).
+
+    Plan/scale: posexplode → two lags + running sum over (doc, pos) — ONE
+    shuffle+sort per doc, both windows share it — then one hash-agg with an
+    ordered listagg per chunk. Everything is built-ins; md5 keeps the
+    boundary rule and chunk hashes engine-portable (oracle-class).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = docs.select(
+        F.col(id_col), F.posexplode(words_col(text_col)).alias("pos", "word")
+    )
+    ngram = F.concat_ws(
+        " ", F.lag("word", 2).over(w), F.lag("word", 1).over(w), F.col("word")
+    )
+    flag = (
+        F.when(F.col("pos") == 0, 1)
+        .when(
+            (F.col("pos") >= 2) & F.md5(ngram).startswith(boundary_prefix), 1
+        )
+        .otherwise(0)
+    )
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunks = (
+        toks.withColumn("_flag", flag)
+        .withColumn("chunk_id", (F.sum("_flag").over(run) - 1).cast("int"))
+    )
+    return (
+        chunks.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.md5(F.expr("listagg(word, ' ') WITHIN GROUP (ORDER BY pos)"))
+            .alias("chunk_hash"),
+        )
+    )

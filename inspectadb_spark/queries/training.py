@@ -368,3 +368,79 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
         .orderBy("_shard")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q120_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_WORDS}) AS term,
+             len({_DUCK_WORDS}) AS dl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'window', 'join')
+      GROUP BY doc_id, term, dl),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len({_DUCK_WORDS})) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             ROUND(CAST(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             AS DECIMAL(18,6)), 6) AS ts
+      FROM tf JOIN dfc USING (term) CROSS JOIN stats)
+    SELECT doc_id, CAST(ROUND(SUM(ts), 4) AS DOUBLE) AS score,
+           CAST(COUNT(*) AS INT) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 50
+    """,
+    doc="BM25 top-50 for query terms (spark, window, join): k1=1.2, b=0.75,"
+        " decimal-rounded per-term scores so the per-doc sum is exact.",
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return P.bm25_topk(docs, ["spark", "window", "join"], k=50)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q121_cdc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts({_DUCK_WORDS}, 1) - 1 AS pos,
+             unnest({_DUCK_WORDS}) AS word
+      FROM documents),
+    lagged AS (
+      SELECT doc_id, pos, word,
+             LAG(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             LAG(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM toks),
+    flagged AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN pos = 0 THEN 1
+                  WHEN pos >= 2 AND md5(w2 || ' ' || w1 || ' ' || word) LIKE '0%'
+                  THEN 1 ELSE 0 END AS flag
+      FROM lagged),
+    chunked AS (
+      SELECT doc_id, pos, word,
+             CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
+               AS chunk_id
+      FROM flagged)
+    SELECT doc_id, chunk_id, CAST(COUNT(*) AS INT) AS n_tokens,
+           md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+    FROM chunked GROUP BY doc_id, chunk_id
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Content-defined (rolling-hash) chunking: md5 3-gram boundary rule,"
+        " shift-robust chunk hashes for sub-document dedup.",
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return P.content_defined_chunks(docs).orderBy("doc_id", "chunk_id")

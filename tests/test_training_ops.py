@@ -101,3 +101,55 @@ def test_resample_grid_contiguous_and_filled(spark):
         assert all(r.v_filled is not None for r in rows), uid
         got_actual += sum(1 for r in rows if r.is_gap == 0)
     assert got_actual == n_actual  # gaps are exactly the non-observed buckets
+
+
+def test_cdc_chunking_shift_robust_vs_fixed(spark):
+    """Prepending a prefix must preserve most content-defined chunk hashes
+    (boundaries depend on local 3-grams), while fixed-stride chunk hashes
+    all shift. This is the property that makes CDC chunking the right
+    sub-document dedup key for near-duplicate corpora."""
+    from inspectadb_spark.operators.pipeline import (
+        chunk_documents, content_defined_chunks,
+    )
+
+    base = " ".join(f"tok{i % 97}x{(i * 7) % 31}" for i in range(400))
+    shifted = "added prefix words here " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id bigint, text string"
+    )
+
+    cdc = content_defined_chunks(docs).collect()
+    h1 = {r.chunk_hash for r in cdc if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in cdc if r.doc_id == 2}
+    assert len(h1) > 5, "document must split into several chunks"
+    overlap = len(h1 & h2) / len(h1)
+    assert overlap >= 0.5, f"CDC chunking overlap too low: {overlap}"
+
+    fx = chunk_documents(docs, size=120, step=120).collect()
+    f1 = {r.chunk for r in fx if r.doc_id == 1}
+    f2 = {r.chunk for r in fx if r.doc_id == 2}
+    fixed_overlap = len(f1 & f2) / max(len(f1), 1)
+    assert fixed_overlap < overlap, (
+        f"fixed chunking ({fixed_overlap}) should not beat CDC ({overlap})"
+    )
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from inspectadb_spark.operators.pipeline import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join filler " + "pad " * 20),
+            (2, "spark join " + "pad " * 20),
+            (3, "nothing relevant here " + "pad " * 20),
+            (4, "join " + "pad " * 200),  # long doc: length-normalized down
+            (5, "join " + "pad " * 3),    # short doc: same tf, higher score
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = bm25_topk(docs, ["spark", "join"], k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids, "doc without query terms must not score"
+    assert ids[0] == 1, "highest-tf doc wins"
+    s = {r.doc_id: r.score for r in rows}
+    assert s[5] > s[4], "length normalization must favor the shorter doc"
