@@ -379,3 +379,42 @@ def content_defined_chunks(
             .alias("chunk_hash"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topn: int = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists: score = Σ 1/(k + rank).
+
+    The standard hybrid-retrieval combiner (lexical BM25 + dense cosine):
+    rank-based, so the two scorers need no calibration. Each input must
+    carry (id, ``rank``) with rank starting at 1. Contributions are
+    decimal-rounded to 6 dp before the sum (associative — partial-agg order
+    can't flip values); docs absent from a list simply contribute nothing.
+
+    Plan/scale: union of the (already tiny) top-N lists → one hash-agg →
+    TakeOrderedAndProject. The expensive work stays in the upstream
+    rankers; fusion itself is O(Σ list sizes).
+    """
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            F.col(id_col),
+            F.round(
+                (F.lit(1.0) / (F.lit(float(k)) + F.col("rank")))
+                .cast("decimal(18,6)"), 6,
+            ).alias("_c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    return (
+        contribs.groupBy(id_col)
+        .agg(
+            F.round(F.sum("_c"), 4).cast("double").alias("rrf"),
+            F.count("*").cast("int").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(topn)
+    )

@@ -444,3 +444,96 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     return P.content_defined_chunks(docs).orderBy("doc_id", "chunk_id")
+
+
+# --------------------------------------------------------------------------
+# q122 hybrid retrieval: BM25 (lexical) + brute-force cosine (dense) fused
+# by reciprocal rank. documents.doc_id and embeddings.vec_id share the id
+# domain (the corpus's multimodal join key, as in q43's join leg).
+@query(
+    "q122_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_WORDS}) AS term,
+             len({_DUCK_WORDS}) AS dl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'window', 'join')
+      GROUP BY doc_id, term, dl),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len({_DUCK_WORDS})) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents),
+    bm_scored AS (
+      SELECT doc_id,
+             ROUND(CAST(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             AS DECIMAL(18,6)), 6) AS ts
+      FROM tf JOIN dfc USING (term) CROSS JOIN stats),
+    bm_top AS (
+      SELECT doc_id, CAST(ROUND(SUM(ts), 4) AS DOUBLE) AS score
+      FROM bm_scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 100),
+    bm_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bm_top),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    z AS (
+      SELECT e.vec_id, UNNEST(e.embedding) AS x, UNNEST(q.qe) AS y
+      FROM embeddings e CROSS JOIN q),
+    s AS (
+      SELECT vec_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n1,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS n2
+      FROM z GROUP BY vec_id),
+    vec_top AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROUND(CAST(dot / (SQRT(n1) * SQRT(n2)) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS sim
+      FROM s ORDER BY sim DESC, doc_id LIMIT 100),
+    vec_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+      FROM vec_top),
+    contribs AS (
+      SELECT doc_id, ROUND(CAST(1.0 / (60 + rank) AS DECIMAL(18,6)), 6) AS c
+      FROM bm_ranked
+      UNION ALL
+      SELECT doc_id, ROUND(CAST(1.0 / (60 + rank) AS DECIMAL(18,6)), 6) AS c
+      FROM vec_ranked)
+    SELECT doc_id, CAST(ROUND(SUM(c), 4) AS DOUBLE) AS rrf,
+           CAST(COUNT(*) AS INT) AS n_lists
+    FROM contribs GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 50
+    """,
+    doc="Hybrid retrieval: reciprocal-rank fusion of BM25 top-100 and "
+        "cosine top-100 (k=60) — rank-based, calibration-free.",
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from inspectadb_spark.operators.similarity import cosine_topk
+
+    docs = tables(spark, sf_dir)["documents"]
+    emb = tables(spark, sf_dir)["embeddings"]
+    bm = P.bm25_topk(docs, ["spark", "window", "join"], k=100).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    vec = (
+        cosine_topk(emb, [float(x) for x in qvec], k=100)
+        .withColumnRenamed("vec_id", "doc_id")
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+    return P.rrf_fuse([bm, vec], topn=50)
