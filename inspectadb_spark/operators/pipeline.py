@@ -293,8 +293,9 @@ def bm25_topk(
     TakeOrderedAndProject. No UDFs, no O(corpus) shuffle.
     """
     toks = docs.select(
-        F.col(id_col), F.explode(words_col(text_col)).alias("term"),
-        F.size(words_col(text_col)).alias("dl"),
+        F.col(id_col), words_col(text_col).alias("_w")
+    ).select(
+        F.col(id_col), F.explode("_w").alias("term"), F.size("_w").alias("dl")
     )
     tf = (
         toks.filter(F.col("term").isin([str(t) for t in query_terms]))
@@ -399,6 +400,8 @@ def rrf_fuse(
     TakeOrderedAndProject. The expensive work stays in the upstream
     rankers; fusion itself is O(Σ list sizes).
     """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
     contribs = None
     for r in rankings:
         c = r.select(

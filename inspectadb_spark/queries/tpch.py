@@ -736,7 +736,8 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Q11 important-stock: region-scoped (ASIA) instead of single-nation so the
-# result is non-degenerate at sf0.001's 10 suppliers; value > 1% of total.
+# result is non-degenerate at sf0.001's 10 suppliers; threshold 0.05% of
+# total value (see the @query doc).
 @query(
     "tpch_q11",
     oracle=f"""

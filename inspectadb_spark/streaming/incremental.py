@@ -62,8 +62,17 @@ class IncrementalAggregate:
         self.state_dir = state_dir
         self.key_exprs = dict(key_exprs)
         self.measures = list(measures)
-        self._version = 0
         os.makedirs(state_dir, exist_ok=True)
+        # Resume version numbering from the committed pointer: a fresh
+        # process starting at 0 would overwrite the very version CURRENT
+        # still points at (Spark refuses to overwrite a path it is reading
+        # from) and would orphan the prior run's version directories.
+        self._version = 0
+        if os.path.exists(self._ptr()):
+            with open(self._ptr()) as f:
+                committed = os.path.basename(f.read().strip())
+            if committed.startswith("v"):
+                self._version = int(committed[1:])
 
     # -- state bookkeeping (same version-pointer pattern as StreamingCdcApply)
     def _ptr(self) -> str:
@@ -106,10 +115,15 @@ class IncrementalAggregate:
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
-    def start(self, stream: DataFrame, checkpoint_dir: str, **options):
-        return (
+    def start(self, stream: DataFrame, checkpoint_dir: str,
+              available_now: bool = False, **options):
+        """``available_now=True`` drains the current input and terminates —
+        the batch-replay/backfill mode; default is a continuous query."""
+        w = (
             stream.writeStream.foreachBatch(self._merge_batch)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("update")
-            .start(**options)
         )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start(**options)

@@ -870,8 +870,10 @@ def test_s20_incremental_aggregate(spark, replay_dir, tmp_path):
             ("mx", "max", "value"),
         ],
     )
-    q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"))
+    q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
     q.awaitTermination(300)
+    q.stop()
 
     got = inc.table().select(
         "w", "event_type", "n",
@@ -890,11 +892,18 @@ def test_s20_incremental_aggregate(spark, replay_dir, tmp_path):
         )
     )
     assert _rows(got) == _rows(want)
-    # derived avg in the reader view (never stored)
-    avg = inc.table().select(
-        (F.col("sv") / F.col("n")).cast("double").alias("a")
-    ).agg(F.count("*")).first()[0]
-    assert avg > 0
+    # derived avg in the reader view (never stored) equals the batch avg
+    got_avg = inc.table().select(
+        "w", "event_type",
+        (F.col("sv").cast("double") / F.col("n")).alias("a"),
+    )
+    want_avg = (
+        spark.read.parquet(replay_dir)
+        .groupBy(F.expr("date_trunc('hour', ts)").alias("w"), "event_type")
+        .agg((F.sum(F.expr("CAST(value AS DECIMAL(18,6))")).cast("double")
+              / F.count("*")).alias("a"))
+    )
+    assert _rows(got_avg) == _rows(want_avg)
 
 
 def test_s20_rejects_non_decomposable(spark, tmp_path):
