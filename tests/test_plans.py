@@ -292,3 +292,30 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_round3_retrieval_plan_shapes(spark):
+    """Plan pins for the round-3 retrieval ops: broadcasts where designed,
+    bounded exchange counts, top-k specialization."""
+    # q120 BM25: (term, df) and corpus stats must broadcast; top-k must be
+    # TakeOrderedAndProject, never a global sort.
+    plan = _plan(spark, "q120_bm25_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # q121 CDC chunking: both windows and the chunk agg must share ONE
+    # pre-aggregation shuffle on doc_id (+1 for the final order by).
+    n = count_exchanges(REGISTRY["q121_cdc_chunking"].builder(spark, SF_DIR))
+    assert n <= 3, f"q121: {n} exchanges"
+    # q122 RRF: fusion adds at most the union-agg shuffle + final top-k on
+    # top of the two upstream rankers.
+    plan = _plan(spark, "q122_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_derived_partsupp_plan_shapes(spark):
+    # Q2: dims (supplier x nation x region, then part) broadcast; the only
+    # large shuffles are the partsupp derivation agg + window min.
+    plan = _plan(spark, "tpch_q02")
+    assert "BroadcastHashJoin" in plan
+    # Q20: the supplier filter must be a semi join (decorrelated IN).
+    assert "LeftSemi" in _plan(spark, "tpch_q20")
