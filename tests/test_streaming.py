@@ -914,3 +914,52 @@ def test_s20_rejects_non_decomposable(spark, tmp_path):
             spark, str(tmp_path), {"k": "event_type"},
             [("m", "median", "value")],
         )
+
+
+# S20b restart/resume: a NEW process (new IncrementalAggregate instance) on
+# the same state_dir must resume version numbering from the committed
+# pointer — regression for the restart bug where _version reset to 0 and
+# the next merge overwrote the very parquet directory it was reading.
+def test_s20b_incremental_aggregate_resumes_across_restart(spark, tmp_path):
+    import datetime as dt
+
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    schema = "k string, v double, ts timestamp"
+    def write_chunk(dirname, i, rows):
+        p = str(tmp_path / f"st{dirname}{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(p)
+        part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{dirname}{i}.parquet")
+        os.rename(os.path.join(p, part), dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+    write_chunk("a", 0, [("x", 1.0, t0), ("y", 2.0, t0)])
+
+    def make():
+        return IncrementalAggregate(
+            spark, str(tmp_path / "state"), {"k": "k"},
+            [("n", "count", "*"), ("sv", "sum", "v")],
+        )
+
+    def stream():
+        return (spark.readStream.schema(spark.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    inc1 = make()
+    q = inc1.start(stream(), str(tmp_path / "ck1"), available_now=True)
+    q.awaitTermination(300); q.stop()
+
+    # "restart": fresh instance, same state_dir, more data, new checkpoint
+    write_chunk("b", 1, [("x", 10.0, t0), ("z", 5.0, t0)])
+    inc2 = make()
+    q = inc2.start(stream(), str(tmp_path / "ck2"), available_now=True)
+    q.awaitTermination(300); q.stop()
+
+    got = {r.k: (r.n, float(r.sv)) for r in inc2.table().collect()}
+    # ck2 replays chunk a too (new checkpoint) — totals are over both files
+    assert got == {"x": (3, 12.0), "y": (2, 4.0), "z": (1, 5.0)}
