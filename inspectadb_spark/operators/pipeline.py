@@ -421,3 +421,49 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(topn)
     )
+
+
+def select_top_p_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    p_num: int = 1,
+    p_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group nucleus (top-p) curation: within each group, keep the
+    highest-quality documents until they cover ``p_num/p_den`` of the
+    group's token mass — the per-source variant of global token-budget
+    selection (``select_until_budget``), used to balance a mixed-source
+    corpus without starving small sources.
+
+    Quality score = distinct-token ratio (4-dp decimal). The cumulative
+    cutoff compares INTEGERS (``cum * p_den <= tot * p_num``) so the
+    boundary is exact in every engine — no FP share computation.
+
+    Plan/scale: one shuffle on the group key; both windows (running token
+    sum, group total) share its sort; everything else is per-row
+    expressions. Group count bounds the state, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    w = words_col(text_col)
+    scored = docs.select(
+        F.col(id_col), F.col(group_col),
+        F.size(w).alias("dl"),
+        F.round(
+            (F.size(F.array_distinct(w)) / F.size(w)).cast("decimal(18,6)"), 4
+        ).cast("double").alias("score"),
+    )
+    run = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy(group_col)
+    return (
+        scored.withColumn("cum", F.sum("dl").over(run))
+        .withColumn("tot", F.sum("dl").over(whole))
+        .filter(F.col("cum") * p_den <= F.col("tot") * p_num)
+        .select(group_col, id_col, "score", "dl", "cum")
+    )

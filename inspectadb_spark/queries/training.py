@@ -537,3 +537,35 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return P.rrf_fuse([bm, vec], topn=50)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q123_source_top_p",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len({_DUCK_WORDS}) AS dl,
+             CAST(ROUND(CAST(len(list_distinct({_DUCK_WORDS}))
+                  / CAST(len({_DUCK_WORDS}) AS DOUBLE) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS score
+      FROM documents),
+    windowed AS (
+      SELECT source, doc_id, score, dl,
+             SUM(dl) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(dl) OVER (PARTITION BY source) AS tot
+      FROM scored)
+    SELECT source, doc_id, score, dl, cum
+    FROM windowed WHERE cum * 2 <= tot * 1
+    ORDER BY source, score DESC, doc_id
+    """,
+    doc="Per-source nucleus (top-p=0.5) curation by distinct-token-ratio "
+        "quality; integer cumulative cutoff — boundary exact in any engine.",
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        P.select_top_p_per_group(docs, "source", 1, 2)
+        .orderBy("source", F.desc("score"), "doc_id")
+    )
