@@ -289,3 +289,40 @@ def minhash_lsh_candidates_portable(
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").cast("int").alias("n_bands"))
     )
+
+
+def cdc_chunk_near_dup_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate candidate pairs via shared content-defined chunks:
+    documents sharing >= ``min_shared`` CDC chunk hashes (pipeline.
+    content_defined_chunks) are candidates — robust to prefix/infix edits
+    because chunk boundaries are content-addressed, unlike fixed-stride
+    chunk_dedup.
+
+    100 TB shape: the self-join keys on chunk_hash (uniform md5), so cost
+    is O(collisions), never O(n²); per-hash fan-out is bounded by real
+    duplication. Dedup WITHIN a document first so a hash repeated inside
+    one doc can't inflate the pair count. Pure string/integer ops —
+    oracle-class end to end.
+    """
+    from inspectadb_spark.operators.pipeline import content_defined_chunks
+
+    ch = (
+        content_defined_chunks(docs, text_col=text_col, id_col=id_col)
+        .select(id_col, "chunk_hash")
+        .distinct()
+    )
+    return (
+        ch.alias("a")
+        .join(ch.alias("b"), "chunk_hash")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count("*").cast("int").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )

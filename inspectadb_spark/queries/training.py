@@ -569,3 +569,55 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.select_top_p_per_group(docs, "source", 1, 2)
         .orderBy("source", F.desc("score"), "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+_CDC_CHUNKS_SQL = f"""
+    toks AS (
+      SELECT doc_id,
+             generate_subscripts({_DUCK_WORDS}, 1) - 1 AS pos,
+             unnest({_DUCK_WORDS}) AS word
+      FROM documents),
+    lagged AS (
+      SELECT doc_id, pos, word,
+             LAG(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             LAG(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM toks),
+    flagged AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN pos = 0 THEN 1
+                  WHEN pos >= 2 AND md5(w2 || ' ' || w1 || ' ' || word) LIKE '0%'
+                  THEN 1 ELSE 0 END AS flag
+      FROM lagged),
+    chunked AS (
+      SELECT doc_id, pos, word,
+             CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
+               AS chunk_id
+      FROM flagged),
+    hashes AS (
+      SELECT DISTINCT doc_id,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+      FROM chunked GROUP BY doc_id, chunk_id)"""
+
+
+@query(
+    "q124_cdc_chunk_pairs",
+    oracle=f"""
+    WITH {_CDC_CHUNKS_SQL}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(COUNT(*) AS INT) AS shared_chunks
+    FROM hashes a JOIN hashes b ON a.chunk_hash = b.chunk_hash
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 1
+    ORDER BY d1, d2
+    """,
+    doc="Near-dup candidate pairs via shared content-defined chunk hashes "
+        "(min_shared=1 at this corpus size); O(collisions) bucket join.",
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import cdc_chunk_near_dup_pairs
+
+    docs = tables(spark, sf_dir)["documents"]
+    return cdc_chunk_near_dup_pairs(docs, min_shared=1).orderBy("d1", "d2")
