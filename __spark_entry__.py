@@ -58,8 +58,9 @@ _PRIMARY = [
     "q53_multimodal_blobs", "q54_dq_profile", "q55_csv_roundtrip",
     "q56_schema_drift", "q97_chunk_dedup", "q114_minhash_lsh_portable",
     "q115_merge_upsert",
-    # round-3 additions: retrieval ops + the derived-partsupp TPC-H four
+    # round-3 additions: retrieval/curation ops + the derived-partsupp TPC-H four
     "q120_bm25_topk", "q121_cdc_chunking", "q122_hybrid_rrf",
+    "q123_source_top_p", "q124_cdc_chunk_pairs",
     "tpch_q02", "tpch_q11", "tpch_q16", "tpch_q20",
 ]
 

@@ -437,9 +437,13 @@ def select_top_p_per_group(
     selection (``select_until_budget``), used to balance a mixed-source
     corpus without starving small sources.
 
-    Quality score = distinct-token ratio (4-dp decimal). The cumulative
-    cutoff compares INTEGERS (``cum * p_den <= tot * p_num``) so the
-    boundary is exact in every engine — no FP share computation.
+    Quality score = distinct-token ratio (4-dp decimal). A document is
+    kept iff its cumulative mass STARTS before the cutoff
+    (``(cum - dl) * p_den < tot * p_num`` — exact integer comparison, no
+    FP share computation): standard nucleus semantics, so the boundary
+    document is included and every non-empty group keeps at least its
+    top-ranked document (a <=-on-cum rule would starve any group whose
+    best document alone exceeds p).
 
     Plan/scale: one shuffle on the group key; both windows (running token
     sum, group total) share its sort; everything else is per-row
@@ -464,6 +468,6 @@ def select_top_p_per_group(
     return (
         scored.withColumn("cum", F.sum("dl").over(run))
         .withColumn("tot", F.sum("dl").over(whole))
-        .filter(F.col("cum") * p_den <= F.col("tot") * p_num)
+        .filter((F.col("cum") - F.col("dl")) * p_den < F.col("tot") * p_num)
         .select(group_col, id_col, "score", "dl", "cum")
     )

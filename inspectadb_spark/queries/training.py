@@ -408,10 +408,10 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query(
-    "q121_cdc_chunking",
-    oracle=f"""
-    WITH toks AS (
+# Shared oracle CTE chain for the content-defined chunking family
+# (q121 result + q124 pair mining build on the same boundary rule).
+_CDC_CORE_SQL = f"""
+    toks AS (
       SELECT doc_id,
              generate_subscripts({_DUCK_WORDS}, 1) - 1 AS pos,
              unnest({_DUCK_WORDS}) AS word
@@ -432,7 +432,13 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
                AS chunk_id
-      FROM flagged)
+      FROM flagged)"""
+
+
+@query(
+    "q121_cdc_chunking",
+    oracle=f"""
+    WITH {_CDC_CORE_SQL}
     SELECT doc_id, chunk_id, CAST(COUNT(*) AS INT) AS n_tokens,
            md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
     FROM chunked GROUP BY doc_id, chunk_id
@@ -557,11 +563,12 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(dl) OVER (PARTITION BY source) AS tot
       FROM scored)
     SELECT source, doc_id, score, dl, cum
-    FROM windowed WHERE cum * 2 <= tot * 1
+    FROM windowed WHERE (cum - dl) * 2 < tot * 1
     ORDER BY source, score DESC, doc_id
     """,
     doc="Per-source nucleus (top-p=0.5) curation by distinct-token-ratio "
-        "quality; integer cumulative cutoff — boundary exact in any engine.",
+        "quality; exclusive-start integer cutoff (boundary doc included, "
+        "no group starved).",
 )
 def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
@@ -572,29 +579,7 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-_CDC_CHUNKS_SQL = f"""
-    toks AS (
-      SELECT doc_id,
-             generate_subscripts({_DUCK_WORDS}, 1) - 1 AS pos,
-             unnest({_DUCK_WORDS}) AS word
-      FROM documents),
-    lagged AS (
-      SELECT doc_id, pos, word,
-             LAG(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
-             LAG(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
-      FROM toks),
-    flagged AS (
-      SELECT doc_id, pos, word,
-             CASE WHEN pos = 0 THEN 1
-                  WHEN pos >= 2 AND md5(w2 || ' ' || w1 || ' ' || word) LIKE '0%'
-                  THEN 1 ELSE 0 END AS flag
-      FROM lagged),
-    chunked AS (
-      SELECT doc_id, pos, word,
-             CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
-               AS chunk_id
-      FROM flagged),
+_CDC_HASHES_SQL = """
     hashes AS (
       SELECT DISTINCT doc_id,
              md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
@@ -604,7 +589,7 @@ _CDC_CHUNKS_SQL = f"""
 @query(
     "q124_cdc_chunk_pairs",
     oracle=f"""
-    WITH {_CDC_CHUNKS_SQL}
+    WITH {_CDC_CORE_SQL},{_CDC_HASHES_SQL}
     SELECT a.doc_id AS d1, b.doc_id AS d2,
            CAST(COUNT(*) AS INT) AS shared_chunks
     FROM hashes a JOIN hashes b ON a.chunk_hash = b.chunk_hash

@@ -39,8 +39,19 @@ class StreamingCdcApply:
         self.key_cols = list(key_cols)
         self.order_col = order_col
         self.op_col = op_col
-        self._version = 0
         os.makedirs(state_dir, exist_ok=True)
+        # Resume version numbering from the committed pointer (same fix as
+        # IncrementalAggregate): a fresh process restarting at 0 would
+        # overwrite the very version CURRENT points at — Spark refuses to
+        # overwrite a path it is lazily reading — and orphan prior versions.
+        # No batch-id guard is needed here: latest-wins by lsn IS idempotent
+        # under re-delivery.
+        self._version = 0
+        if os.path.exists(self._ptr()):
+            with open(self._ptr()) as f:
+                committed = os.path.basename(f.read().strip())
+            if committed.startswith("v"):
+                self._version = int(committed[1:])
 
     # -- state bookkeeping ---------------------------------------------------
     def _ptr(self) -> str:

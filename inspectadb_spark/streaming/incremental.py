@@ -16,12 +16,14 @@ table format the body of ``_merge_batch`` becomes a single MERGE INTO with
 additive updates. Merge cost per batch is O(|groups| + |batch partials|) —
 independent of stream history length; state size is the group count.
 
-Idempotence caveat: unlike latest-wins CDC apply, additive merges are NOT
-idempotent under micro-batch re-delivery, so exactly-once depends on the
-checkpoint (foreachBatch re-runs a batch only after a crash *before* the
-commit; the version pointer swap makes the re-run overwrite, not double-
-apply, because state v_n is derived from v_{n-1} + batch, and a re-run
-re-reads v_{n-1}).
+Idempotence: unlike latest-wins CDC apply, additive merges are NOT
+idempotent under micro-batch re-delivery, so the pointer file records the
+(checkpoint, batch_id) that produced each version and ``_merge_batch``
+skips a batch it has already applied — closing the crash window between
+the pointer swap and Spark's checkpoint commit, where foreachBatch
+re-delivers the last batch. The guard is checkpoint-scoped because batch
+ids restart at 0 under a fresh checkpoint (a deliberate
+replay-into-existing-state run must not be suppressed).
 """
 
 from __future__ import annotations
@@ -63,27 +65,38 @@ class IncrementalAggregate:
         self.key_exprs = dict(key_exprs)
         self.measures = list(measures)
         os.makedirs(state_dir, exist_ok=True)
+        self._checkpoint: str | None = None
         # Resume version numbering from the committed pointer: a fresh
         # process starting at 0 would overwrite the very version CURRENT
         # still points at (Spark refuses to overwrite a path it is reading
         # from) and would orphan the prior run's version directories.
         self._version = 0
-        if os.path.exists(self._ptr()):
-            with open(self._ptr()) as f:
-                committed = os.path.basename(f.read().strip())
-            if committed.startswith("v"):
-                self._version = int(committed[1:])
+        committed = self._read_ptr()
+        if committed is not None:
+            base = os.path.basename(committed[0])
+            if base.startswith("v"):
+                self._version = int(base[1:])
 
     # -- state bookkeeping (same version-pointer pattern as StreamingCdcApply)
     def _ptr(self) -> str:
         return os.path.join(self.state_dir, "CURRENT")
 
-    def table(self) -> DataFrame | None:
-        """The current aggregate table (finalized columns)."""
+    def _read_ptr(self) -> tuple[str, str | None, int | None] | None:
+        """(state_path, source_checkpoint, last_batch_id) or None."""
         if not os.path.exists(self._ptr()):
             return None
         with open(self._ptr()) as f:
-            return self.spark.read.parquet(f.read().strip())
+            lines = f.read().strip().splitlines()
+        if len(lines) >= 3:
+            return lines[0], lines[1], int(lines[2])
+        return lines[0], None, None
+
+    def table(self) -> DataFrame | None:
+        """The current aggregate table (finalized columns)."""
+        committed = self._read_ptr()
+        if committed is None:
+            return None
+        return self.spark.read.parquet(committed[0])
 
     def _partial(self, batch: DataFrame) -> DataFrame:
         # group directly by the aliased key expressions (a select-then-group
@@ -96,6 +109,18 @@ class IncrementalAggregate:
         return batch.groupBy(*keys).agg(*aggs)
 
     def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
+        committed = self._read_ptr()
+        if (
+            committed is not None
+            and self._checkpoint is not None
+            and committed[1] == self._checkpoint
+            and committed[2] is not None
+            and batch_id <= committed[2]
+        ):
+            # crash-window re-delivery: this batch is already inside the
+            # committed state — double-applying an additive merge would
+            # permanently inflate counts/sums
+            return
         partial = self._partial(batch)
         state = self.table()
         merged_in = partial if state is None else state.unionByName(partial)
@@ -109,7 +134,7 @@ class IncrementalAggregate:
         new_state.write.mode("overwrite").parquet(out)
         tmp = self._ptr() + ".tmp"
         with open(tmp, "w") as f:
-            f.write(out)
+            f.write(f"{out}\n{self._checkpoint or ''}\n{batch_id}")
         os.replace(tmp, self._ptr())
         old = os.path.join(self.state_dir, f"v{self._version - 2}")
         if os.path.exists(old):
@@ -119,6 +144,7 @@ class IncrementalAggregate:
               available_now: bool = False, **options):
         """``available_now=True`` drains the current input and terminates —
         the batch-replay/backfill mode; default is a continuous query."""
+        self._checkpoint = checkpoint_dir
         w = (
             stream.writeStream.foreachBatch(self._merge_batch)
             .option("checkpointLocation", checkpoint_dir)

@@ -963,3 +963,57 @@ def test_s20b_incremental_aggregate_resumes_across_restart(spark, tmp_path):
     got = {r.k: (r.n, float(r.sv)) for r in inc2.table().collect()}
     # ck2 replays chunk a too (new checkpoint) — totals are over both files
     assert got == {"x": (3, 12.0), "y": (2, 4.0), "z": (1, 5.0)}
+
+
+# S20c crash-window re-delivery: foreachBatch re-runs the LAST batch if the
+# process dies between the state pointer swap and the checkpoint commit.
+# Additive merges are not idempotent, so the pointer records the applied
+# (checkpoint, batch_id) and the merge must skip an already-applied batch —
+# but only within the SAME checkpoint (fresh-checkpoint replays start at 0
+# and must still apply).
+def test_s20c_batch_redelivery_is_not_double_applied(spark, tmp_path):
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"), {"k": "k"},
+        [("n", "count", "*"), ("sv", "sum", "v")],
+    )
+    inc._checkpoint = str(tmp_path / "ck")
+    b0 = spark.createDataFrame([("x", 1.0), ("y", 2.0)], "k string, v double")
+    inc._merge_batch(b0, 0)
+    inc._merge_batch(b0, 0)  # crash-window re-delivery of the same batch
+    got = {r.k: (r.n, float(r.sv)) for r in inc.table().collect()}
+    assert got == {"x": (1, 1.0), "y": (1, 2.0)}, "batch 0 double-applied"
+    inc._merge_batch(b0, 1)  # genuinely new batch id still applies
+    got = {r.k: (r.n, float(r.sv)) for r in inc.table().collect()}
+    assert got == {"x": (2, 2.0), "y": (2, 4.0)}
+    # a NEW checkpoint (backfill/replay into existing state) is not suppressed
+    inc2 = IncrementalAggregate(
+        spark, str(tmp_path / "state"), {"k": "k"},
+        [("n", "count", "*"), ("sv", "sum", "v")],
+    )
+    inc2._checkpoint = str(tmp_path / "ck2")
+    inc2._merge_batch(b0, 0)
+    got = {r.k: (r.n, float(r.sv)) for r in inc2.table().collect()}
+    assert got == {"x": (3, 3.0), "y": (3, 6.0)}
+
+
+# StreamingCdcApply restart: resumes version numbering from the committed
+# pointer (regression — a reset to v0 would overwrite the version being read).
+def test_s7b_cdc_apply_resumes_versioning(spark, tmp_path):
+    from inspectadb_spark.streaming.cdc_stream import StreamingCdcApply
+
+    schema = "o_orderkey bigint, lsn bigint, op string, v double"
+    a1 = StreamingCdcApply(spark, str(tmp_path / "st"), ["o_orderkey"])
+    a1._merge_batch(
+        spark.createDataFrame([(1, 1, "c", 10.0), (2, 2, "c", 20.0)], schema), 0
+    )
+    assert a1._version == 1
+    # "restart": fresh instance on the same state_dir
+    a2 = StreamingCdcApply(spark, str(tmp_path / "st"), ["o_orderkey"])
+    assert a2._version == 1, "must resume from committed version"
+    a2._merge_batch(
+        spark.createDataFrame([(1, 3, "u", 11.0), (3, 4, "c", 30.0)], schema), 0
+    )
+    got = {r.o_orderkey: r.v for r in a2.current_state().collect()}
+    assert got == {1: 11.0, 2: 20.0, 3: 30.0}

@@ -172,11 +172,26 @@ def test_top_p_per_group_covers_at_most_p_and_is_greedy_maximal(spark):
     by_src: dict = {}
     for r in kept:
         by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == set(tot), "no group may be starved"
     for src, rows in by_src.items():
-        mass = sum(r.dl for r in rows)
-        assert 2 * mass <= tot[src], f"{src}: kept mass exceeds p"
-        # greedy maximality: the last kept row's cum is the max cum <= tot/2,
-        # i.e. adding ANY excluded doc's dl would cross the cutoff only if
-        # its score ranks below the kept set — verified via cum monotonicity
         rows.sort(key=lambda r: r.cum)
+        # exclusive-start nucleus rule: all but the boundary doc fit in p,
+        # and the boundary doc started before the cutoff
+        mass = sum(r.dl for r in rows)
+        assert 2 * (mass - rows[-1].dl) < tot[src], f"{src}: cutoff crossed early"
         assert all(a.cum < b.cum for a, b in zip(rows, rows[1:]))
+
+
+def test_top_p_never_starves_single_doc_group(spark):
+    """A group whose sole (or dominant) document exceeds p of the mass must
+    still keep its top document — regression for the <=-on-cum rule."""
+    from inspectadb_spark.operators.pipeline import select_top_p_per_group
+
+    docs = spark.createDataFrame(
+        [(1, "solo", "a b c d e f"),
+         (2, "duo", "x y z " * 30), (3, "duo", "p q")],
+        "doc_id bigint, source string, text string",
+    )
+    kept = select_top_p_per_group(docs, "source", 1, 2).collect()
+    sources = {r.source for r in kept}
+    assert "solo" in sources and "duo" in sources
