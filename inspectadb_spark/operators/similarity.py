@@ -448,3 +448,41 @@ def dequantize_embeddings(vectors: DataFrame, lo: list, hi: list,
                         lambda q, w: q.cast("double") * w)
     vals = F.zip_with(scaled, lit_lo, lambda s, l: s + l)
     return vectors.withColumn(vec_col, vals)
+
+
+def embedding_dim_stats(
+    vectors: DataFrame,
+    scale: int = 10_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension corpus statistics (count / mean / min / max) at
+    1/``scale`` resolution — the model-sized profile a normalization or
+    quantization step consumes (output is dim rows, not corpus rows).
+
+    Cross-engine determinism is by construction: each float is quantized
+    with ``ROUND(x * scale)`` into a BIGINT first, and every aggregate
+    runs on integers (exact, associative). The rounding is boundary-free:
+    a float32 value times 10^k can never be exactly n + 0.5 (that would
+    require the non-dyadic rational (2n+1)/(2*10^k) to be a float), so
+    half-up vs half-even tie rules can never disagree. Summing raw
+    doubles instead would be partial-agg-order dependent, and casting
+    them to DECIMAL rounds Spark's shortest-repr digits vs DuckDB's exact
+    binary digits — the probed q-family divergence this avoids.
+
+    Plan/scale: posexplode + one hash-agg keyed on (dim) — map-side
+    partial aggregation makes the shuffle O(dims x partitions).
+    """
+    scaled = F.round(F.col("x").cast("double") * scale).cast("bigint")
+    return (
+        vectors.select(F.posexplode(vec_col).alias("pos", "x"))
+        .select("pos", scaled.alias("q"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round((F.sum("q") / F.count("*") / scale).cast("decimal(18,6)"), 4)
+            .cast("double").alias("mean_q"),
+            (F.min("q").cast("double") / scale).alias("min_q"),
+            (F.max("q").cast("double") / scale).alias("max_q"),
+        )
+        .orderBy("pos")
+    )

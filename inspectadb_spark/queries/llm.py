@@ -342,3 +342,30 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables(spark, sf_dir)["documents"]
     return minhash_lsh_candidates_portable(d).orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------------
+# q125 per-dimension embedding statistics: integer-quantized aggregation so
+# cross-row float-sum order and double->decimal repr rounding can't diverge
+# between engines (see operators/similarity.py::embedding_dim_stats).
+@query(
+    "q125_embedding_dim_stats",
+    oracle="""
+    WITH q AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+      FROM embeddings)
+    SELECT pos, COUNT(*) AS n,
+           CAST(ROUND(CAST(SUM(q) / COUNT(*) / 10000 AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS mean_q,
+           CAST(MIN(q) AS DOUBLE) / 10000 AS min_q,
+           CAST(MAX(q) AS DOUBLE) / 10000 AS max_q
+    FROM q GROUP BY pos ORDER BY pos
+    """,
+    doc="Per-dimension embedding stats via integer quantization (1e-4 "
+        "resolution) — exact, associative, engine-portable aggregation.",
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(tables(spark, sf_dir)["embeddings"])
