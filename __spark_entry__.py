@@ -61,6 +61,7 @@ _PRIMARY = [
     # round-3 additions: retrieval/curation ops + the derived-partsupp TPC-H four
     "q120_bm25_topk", "q121_cdc_chunking", "q122_hybrid_rrf",
     "q123_source_top_p", "q124_cdc_chunk_pairs", "q125_embedding_dim_stats",
+    "q126_mixture_rebalance",
     "tpch_q02", "tpch_q11", "tpch_q16", "tpch_q20",
 ]
 

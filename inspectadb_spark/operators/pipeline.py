@@ -471,3 +471,58 @@ def select_top_p_per_group(
         .filter((F.col("cum") - F.col("dl")) * p_den < F.col("tot") * p_num)
         .select(group_col, id_col, "score", "dl", "cum")
     )
+
+
+def _md5_uniform_int_sql(id_col: str, salt: str, nibbles: int = 6) -> str:
+    """SQL for a uniform integer in [0, 16^nibbles) from md5(id || ':salt').
+
+    Pure instr/substr arithmetic over the md5 hex — evaluates identically
+    in Spark SQL and DuckDB (same operators, same md5), so acceptance
+    decisions built on it are engine-, run- and partitioning-invariant.
+    """
+    h = f"md5(CAST({id_col} AS STRING) || ':{salt}')"
+    terms = [
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def rebalance_mixture(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture rebalancing: downsample each group toward a
+    UNIFORM share of the corpus (target per group = N/S documents), the
+    curation step that stops a few dominant sources from swamping a
+    training mixture.
+
+    Acceptance is a pure-integer comparison — keep iff
+    ``h6 * S * n_g < N * 16^6`` where h6 is a 24-bit md5-derived uniform —
+    so expected kept count per group is min(n_g, N/S) with NO RNG, no
+    floats, and byte-identical decisions on any engine or cluster layout
+    (re-runs and backfills keep exactly the same rows). Groups already at
+    or below their share keep everything (the condition is then always
+    true since h6 < 16^6).
+
+    Plan/scale: one count-per-group agg (S rows, broadcast back) + a
+    scan-side hash filter; no shuffle of the data itself.
+    """
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("_n_g"))
+    tot = docs.agg(
+        F.count("*").alias("_n"),
+        F.countDistinct(group_col).alias("_s"),
+    )
+    h6 = F.expr(_md5_uniform_int_sql(id_col, salt))
+    return (
+        docs.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_keep",
+            h6 * F.col("_s") * F.col("_n_g") < F.col("_n") * F.lit(16 ** 6),
+        )
+        .drop("_n_g", "_n", "_s")
+    )

@@ -606,3 +606,42 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return cdc_chunk_near_dup_pairs(docs, min_shared=1).orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q126_mixture_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_g FROM documents GROUP BY source),
+    tot AS (
+      SELECT COUNT(*) AS n, COUNT(DISTINCT source) AS s FROM documents),
+    flagged AS (
+      SELECT d.source,
+             CASE WHEN ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 1, 1)) - 1) * 1048576
+                      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 2, 1)) - 1) * 65536
+                      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 3, 1)) - 1) * 4096
+                      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 4, 1)) - 1) * 256
+                      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 5, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 6, 1)) - 1))
+                      * s * n_g < n * 16777216
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN counts USING (source) CROSS JOIN tot)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_orig,
+           CAST(SUM(keep) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    doc="Deterministic mixture rebalancing toward uniform source shares: "
+        "pure-integer md5 acceptance, no RNG, engine/run invariant.",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        P.rebalance_mixture(docs, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_orig"),
+            F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -195,3 +195,27 @@ def test_top_p_never_starves_single_doc_group(spark):
     kept = select_top_p_per_group(docs, "source", 1, 2).collect()
     sources = {r.source for r in kept}
     assert "solo" in sources and "duo" in sources
+
+
+def test_mixture_rebalance_targets_uniform_and_is_deterministic(spark):
+    from inspectadb_spark.operators.pipeline import rebalance_mixture
+
+    # skewed corpus: 'big' has 900 docs, 'mid' 90, 'tiny' 10 (N=1000, S=3,
+    # target ~333 per source)
+    rows = [(i, "big", f"t{i}") for i in range(900)]
+    rows += [(1000 + i, "mid", f"t{i}") for i in range(90)]
+    rows += [(2000 + i, "tiny", f"t{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+    out = rebalance_mixture(docs, "source")
+    kept = {r.source: r.k for r in out.groupBy("source").agg(
+        F.sum(F.col("_keep").cast("long")).alias("k")).collect()}
+    # under-share groups keep everything
+    assert kept["mid"] == 90 and kept["tiny"] == 10
+    # over-share group downsamples toward N/S=333 (24-bit uniform: ±5σ bounds)
+    assert 230 <= kept["big"] <= 440, kept
+    # pure-hash: re-run keeps exactly the same rows
+    ids1 = sorted(r.doc_id for r in out.filter("_keep").collect())
+    ids2 = sorted(r.doc_id for r in rebalance_mixture(docs, "source")
+                  .filter("_keep").collect())
+    assert ids1 == ids2
