@@ -494,35 +494,70 @@ def rebalance_mixture(
     group_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "mix",
+    target_weights: dict | None = None,
 ) -> DataFrame:
     """Deterministic mixture rebalancing: downsample each group toward a
-    UNIFORM share of the corpus (target per group = N/S documents), the
-    curation step that stops a few dominant sources from swamping a
-    training mixture.
+    target share of the corpus — uniform (target per group = N/S) by
+    default, or proportional to non-negative INTEGER ``target_weights``
+    {group: w} (target_g = N * w_g / sum(w)); groups absent from the dict
+    get weight 0 and are dropped. The curation step that stops a few
+    dominant sources from swamping a training mixture.
 
-    Acceptance is a pure-integer comparison — keep iff
-    ``h6 * S * n_g < N * 16^6`` where h6 is a 24-bit md5-derived uniform —
-    so expected kept count per group is min(n_g, N/S) with NO RNG, no
-    floats, and byte-identical decisions on any engine or cluster layout
-    (re-runs and backfills keep exactly the same rows). Groups already at
-    or below their share keep everything (the condition is then always
-    true since h6 < 16^6).
+    Acceptance is keep iff ``h6 <= thr_g`` where h6 is a 24-bit
+    md5-derived uniform and ``thr_g = ceil(N * w_g * 16^6 / (W * n_g)) - 1``
+    is a per-group integer threshold, algebraically identical to
+    ``h6 * W * n_g < N * w_g * 16^6`` but computed once per group in
+    DECIMAL(38,0) — so it cannot overflow 64-bit range at any corpus size
+    (h6*W*n_g exceeds BIGINT at ~1e10 docs, where non-ANSI Spark would
+    silently wrap while DuckDB promotes: the threshold form removes the
+    per-row wide multiply entirely). No RNG, no floats: expected kept
+    count per group is min(n_g, N*w_g/W) with byte-identical decisions on
+    any engine or cluster layout (re-runs and backfills keep exactly the
+    same rows). Groups at or below their target keep everything
+    (thr_g then reaches the 16^6 - 1 cap).
 
-    Plan/scale: one count-per-group agg (S rows, broadcast back) + a
-    scan-side hash filter; no shuffle of the data itself.
+    Plan/scale: one count-per-group agg (S rows; threshold math happens
+    on those S rows, broadcast back) + a scan-side hash filter; no
+    shuffle of the data itself.
     """
+    if target_weights is not None:
+        bad = {g: w for g, w in target_weights.items()
+               if not isinstance(w, int) or w < 0}
+        if bad:
+            raise ValueError(f"target_weights must be non-negative ints: {bad}")
+        wsum = sum(target_weights.values())
+        if wsum <= 0:
+            raise ValueError("target_weights must contain a positive weight")
+        wmap = F.create_map(
+            *[F.lit(x) for kv in target_weights.items() for x in kv]
+        )
+        w_g = F.coalesce(wmap[F.col(group_col)], F.lit(0))
+        w_tot = F.lit(wsum)
+    else:  # uniform: w_g = 1 for every group present, W = #groups
+        w_g = F.lit(1)
+        w_tot = F.col("_s")
     counts = docs.groupBy(group_col).agg(F.count("*").alias("_n_g"))
     tot = docs.agg(
         F.count("*").alias("_n"),
         F.countDistinct(group_col).alias("_s"),
     )
+    dec = "decimal(38,0)"
+    t_num = F.col("_n").cast(dec) * w_g.cast(dec) * F.lit(16 ** 6).cast(dec)
+    t_den = w_tot.cast(dec) * F.col("_n_g").cast(dec)
+    # thr = ceil(T/D) - 1 = (T + D - 1) DIV D - 1 for T >= 0, D > 0 —
+    # integral DIV is exact (decimal `/` rounds to a finite scale, which
+    # can flip floor() by one when D >= 2e6). Clamping T at D*16^6 first
+    # caps thr at 16^6 - 1 (keep-all) AND bounds the quotient so the
+    # BIGINT result of DIV can never overflow at any corpus size.
+    thresholds = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_t", F.least(t_num, t_den * F.lit(16 ** 6).cast(dec)))
+        .withColumn("_d", t_den)
+        .selectExpr(group_col, "CAST((_t + _d - 1) DIV _d AS BIGINT) - 1 AS _thr")
+    )
     h6 = F.expr(_md5_uniform_int_sql(id_col, salt))
     return (
-        docs.join(F.broadcast(counts), group_col)
-        .crossJoin(F.broadcast(tot))
-        .withColumn(
-            "_keep",
-            h6 * F.col("_s") * F.col("_n_g") < F.col("_n") * F.lit(16 ** 6),
-        )
-        .drop("_n_g", "_n", "_s")
+        docs.join(F.broadcast(thresholds), group_col)
+        .withColumn("_keep", h6 <= F.col("_thr"))
+        .drop("_thr")
     )

@@ -469,18 +469,30 @@ def embedding_dim_stats(
     them to DECIMAL rounds Spark's shortest-repr digits vs DuckDB's exact
     binary digits — the probed q-family divergence this avoids.
 
+    The mean stays exact end-to-end too: mean rounded to 1/scale
+    resolution is round_half(SUM(q)/n)/scale, and round-half-away of an
+    integer quotient is pure integer arithmetic —
+    ``(2*|S| + n) DIV (2*n)`` with the sign reapplied — so no
+    double OR decimal division (whose result-scale rounding differs
+    between engines) ever touches the value; the final cast to DOUBLE is
+    exact for any |mean*scale| < 2^53.
+
     Plan/scale: posexplode + one hash-agg keyed on (dim) — map-side
     partial aggregation makes the shuffle O(dims x partitions).
     """
     scaled = F.round(F.col("x").cast("double") * scale).cast("bigint")
+    mean_int = F.expr(
+        "CASE WHEN SUM(q) >= 0"
+        "  THEN (2 * SUM(q) + COUNT(*)) DIV (2 * COUNT(*))"
+        "  ELSE -((2 * -SUM(q) + COUNT(*)) DIV (2 * COUNT(*))) END"
+    )
     return (
         vectors.select(F.posexplode(vec_col).alias("pos", "x"))
         .select("pos", scaled.alias("q"))
         .groupBy("pos")
         .agg(
             F.count("*").alias("n"),
-            F.round((F.sum("q") / F.count("*") / scale).cast("decimal(18,6)"), 4)
-            .cast("double").alias("mean_q"),
+            (mean_int.cast("double") / scale).alias("mean_q"),
             (F.min("q").cast("double") / scale).alias("min_q"),
             (F.max("q").cast("double") / scale).alias("max_q"),
         )

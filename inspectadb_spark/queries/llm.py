@@ -356,8 +356,10 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
       FROM embeddings)
     SELECT pos, COUNT(*) AS n,
-           CAST(ROUND(CAST(SUM(q) / COUNT(*) / 10000 AS DECIMAL(18,6)), 4)
-                AS DOUBLE) AS mean_q,
+           CAST(CASE WHEN SUM(q) >= 0
+                  THEN (2 * SUM(q) + COUNT(*)) // (2 * COUNT(*))
+                  ELSE -((2 * -SUM(q) + COUNT(*)) // (2 * COUNT(*))) END
+                AS DOUBLE) / 10000 AS mean_q,
            CAST(MIN(q) AS DOUBLE) / 10000 AS min_q,
            CAST(MAX(q) AS DOUBLE) / 10000 AS max_q
     FROM q GROUP BY pos ORDER BY pos

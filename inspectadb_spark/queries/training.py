@@ -609,39 +609,85 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query(
-    "q126_mixture_rebalance",
-    oracle="""
+_H6_SQL = P._md5_uniform_int_sql("doc_id", "mix")
+
+
+def _rebalance_oracle_sql(weights_sql: str | None, wsum: int | None) -> str:
+    """Threshold-form rebalance oracle (ceil(T/D)-1 via HUGEINT integer
+    division — same overflow-safe algebra as the Spark side; mirrors
+    operators/pipeline.py::rebalance_mixture exactly).
+
+    ``weights_sql``/``wsum``: a VALUES list ``(source, w)`` + its python-side
+    weight sum for the weighted variant, or None for uniform (w=1, W=s).
+    """
+    if weights_sql is None:
+        w_g, w_tot, w_join = "1", "s", ""
+    else:
+        w_g, w_tot = "COALESCE(w, 0)", str(wsum)
+        w_join = f"LEFT JOIN (VALUES {weights_sql}) AS wt(wsrc, w)"
+        w_join += " ON counts.source = wt.wsrc"
+    return f"""
     WITH counts AS (
       SELECT source, COUNT(*) AS n_g FROM documents GROUP BY source),
     tot AS (
       SELECT COUNT(*) AS n, COUNT(DISTINCT source) AS s FROM documents),
+    thr AS (
+      SELECT counts.source,
+             (LEAST(CAST(n AS HUGEINT) * {w_g} * 16777216,
+                    CAST({w_tot} AS HUGEINT) * n_g * 16777216)
+              + CAST({w_tot} AS HUGEINT) * n_g - 1)
+             // (CAST({w_tot} AS HUGEINT) * n_g) - 1 AS thr
+      FROM counts CROSS JOIN tot {w_join}),
     flagged AS (
       SELECT d.source,
-             CASE WHEN ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 1, 1)) - 1) * 1048576
-                      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 2, 1)) - 1) * 65536
-                      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 3, 1)) - 1) * 4096
-                      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 4, 1)) - 1) * 256
-                      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 5, 1)) - 1) * 16
-                      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':mix'), 6, 1)) - 1))
-                      * s * n_g < n * 16777216
-                  THEN 1 ELSE 0 END AS keep
-      FROM documents d JOIN counts USING (source) CROSS JOIN tot)
+             CASE WHEN {_H6_SQL} <= thr THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN thr USING (source))
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_orig,
            CAST(SUM(keep) AS BIGINT) AS n_kept
     FROM flagged GROUP BY source ORDER BY source
-    """,
-    doc="Deterministic mixture rebalancing toward uniform source shares: "
-        "pure-integer md5 acceptance, no RNG, engine/run invariant.",
-)
-def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tables(spark, sf_dir)["documents"]
+    """
+
+
+def _rebalance_counts(df: DataFrame) -> DataFrame:
     return (
-        P.rebalance_mixture(docs, "source")
-        .groupBy("source")
+        df.groupBy("source")
         .agg(
             F.count("*").alias("n_orig"),
             F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "q126_mixture_rebalance",
+    oracle=_rebalance_oracle_sql(None, None),
+    doc="Deterministic mixture rebalancing toward uniform source shares: "
+        "per-group integer threshold (overflow-safe at any corpus size), "
+        "pure-integer md5 acceptance, no RNG, engine/run invariant.",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return _rebalance_counts(P.rebalance_mixture(docs, "source"))
+
+
+# Weighted variant: src2–src9 weight 1 (downsampled toward N/98), src10–src19
+# weight 9 (above-target, keep-all), src0/src1 absent (weight 0, dropped) —
+# exercises all three threshold regimes.
+_Q126B_WEIGHTS = {f"src{i}": (1 if i < 10 else 9) for i in range(2, 20)}
+_Q126B_VALUES = ", ".join(
+    f"('{s}', {w})" for s, w in sorted(_Q126B_WEIGHTS.items())
+)
+
+
+@query(
+    "q126b_weighted_rebalance",
+    oracle=_rebalance_oracle_sql(_Q126B_VALUES, sum(_Q126B_WEIGHTS.values())),
+    doc="Mixture rebalancing toward arbitrary integer target weights "
+        "{source: w}; absent sources get weight 0 and are dropped.",
+)
+def q126b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return _rebalance_counts(
+        P.rebalance_mixture(docs, "source", target_weights=_Q126B_WEIGHTS)
     )

@@ -219,3 +219,70 @@ def test_mixture_rebalance_targets_uniform_and_is_deterministic(spark):
     ids2 = sorted(r.doc_id for r in rebalance_mixture(docs, "source")
                   .filter("_keep").collect())
     assert ids1 == ids2
+
+
+def _h6(doc_id: int, salt: str = "mix") -> int:
+    """Reference md5-uniform (first 6 hex nibbles), mirroring
+    _md5_uniform_int_sql exactly."""
+    import hashlib
+
+    return int(hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:6], 16)
+
+
+def _mix_corpus(spark):
+    rows = [(i, "big", f"t{i}") for i in range(900)]
+    rows += [(1000 + i, "mid", f"t{i}") for i in range(90)]
+    rows += [(2000 + i, "tiny", f"t{i}") for i in range(10)]
+    return rows, spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string")
+
+
+def test_mixture_rebalance_threshold_equals_direct_predicate(spark):
+    """The per-group threshold form must keep EXACTLY the rows the direct
+    (overflow-prone) predicate h6*S*n_g < N*16^6 keeps — byte-identical
+    acceptance, verified against an independent Python md5 reference."""
+    from inspectadb_spark.operators.pipeline import rebalance_mixture
+
+    rows, docs = _mix_corpus(spark)
+    n, s = len(rows), 3
+    n_g = {"big": 900, "mid": 90, "tiny": 10}
+    expect = sorted(i for i, src, _ in rows
+                    if _h6(i) * s * n_g[src] < n * 16 ** 6)
+    got = sorted(r.doc_id for r in
+                 rebalance_mixture(docs, "source").filter("_keep").collect())
+    assert got == expect
+
+
+def test_mixture_rebalance_weighted_tracks_targets(spark):
+    from inspectadb_spark.operators.pipeline import rebalance_mixture
+
+    rows, docs = _mix_corpus(spark)
+    # big:1 → target 1000/10*1=100 of 900 (downsample); mid:9 → target 900
+    # of 90 (keep all); tiny absent → weight 0 (drop all)
+    weights = {"big": 1, "mid": 9}
+    out = rebalance_mixture(docs, "source", target_weights=weights)
+    kept = {r.source: r.k for r in out.groupBy("source").agg(
+        F.sum(F.col("_keep").cast("long")).alias("k")).collect()}
+    assert kept["mid"] == 90
+    assert kept["tiny"] == 0
+    # exact expected count from the independent md5 reference (threshold
+    # = ceil(N*w*16^6/(W*n_g)) - 1 = ceil(1000*1*16^6/(10*900)) - 1)
+    thr = -(-1000 * 1 * 16 ** 6 // (10 * 900)) - 1
+    expect_big = sum(1 for i, src, _ in rows
+                     if src == "big" and _h6(i) <= thr)
+    assert kept["big"] == expect_big
+    assert 50 <= kept["big"] <= 160  # ±5σ around the 100-doc target
+
+
+def test_mixture_rebalance_weight_validation(spark):
+    import pytest as _pytest
+
+    from inspectadb_spark.operators.pipeline import rebalance_mixture
+
+    _, docs = _mix_corpus(spark)
+    with _pytest.raises(ValueError):
+        rebalance_mixture(docs, "source", target_weights={"big": 0.5})
+    with _pytest.raises(ValueError):
+        rebalance_mixture(docs, "source", target_weights={"big": -1})
+    with _pytest.raises(ValueError):
+        rebalance_mixture(docs, "source", target_weights={"big": 0})
