@@ -138,16 +138,38 @@ def main() -> None:
 
     results = {n: round(min(ms), 4) for n, ms in cycle_medians.items()}
     total = round(sum(results.values()), 4)
+    # plain (non-best-cycle) medians: median across every steady-state run
+    plain = {n: round(statistics.median(ms), 4) for n, ms in cycle_medians.items()}
+    floor_med_ms = round(statistics.median(floor_ts) * 1e3, 1)
+    # DuckDB warm per-query baselines (BASELINE.md) for the floor story
+    baseline_ms = {"q15_pricing_summary": 57, "q06_star_join": 64,
+                   "q31_topk_per_group": 23, "q32_sort_limit_offset": 23,
+                   "q17_multi_distinct": 47, "q48_sessionize": 12,
+                   "q42_json": 15, "q43_cosine_topk": 7}
     print(json.dumps({
-        "metric": "headline_median_total",
+        # r02/r03 published this same best-cycle value under the name
+        # "headline_median_total"; renamed per round-3 ADVICE (definition
+        # unchanged since r03, so r03->r04 stays apples-to-apples), with the
+        # plain all-runs median emitted alongside.
+        "metric": "best_cycle_median_total",
         "value": total,
         "unit": "sec",
         "queries": results,
+        "plain_median_total": round(sum(plain.values()), 4),
+        "plain_median_queries": plain,
         "sf": sf,
         "floor_ms": {
-            "median": round(statistics.median(floor_ts) * 1e3, 1),
+            "median": floor_med_ms,
             "min": round(min(floor_ts) * 1e3, 1),
             "what": "range(1).collect() after warm-up: the per-job scheduling floor",
+        },
+        "floor_decomposition": {
+            n: {"measured_ms": round(results[n] * 1e3, 1),
+                "floor_ms": floor_med_ms,
+                "compute_over_floor_ms":
+                    round(results[n] * 1e3 - floor_med_ms, 1),
+                "duckdb_warm_ms": baseline_ms[n]}
+            for n in BENCH_QUERIES
         },
         "detail": {
             n: {"rows": plans[n][2],
@@ -162,6 +184,13 @@ def main() -> None:
             "aqe": "disabled for bench only: runtime re-planning costs 100-400ms"
                    " per query at sf0.1; remains the cluster-scale default in session.py",
             "gc": "ParallelGC: G1 concurrent cycles add ~3x p90 jitter to sub-100ms jobs",
+            "floor_note": "q48/q43 sit within ~10-17ms of the per-job floor while"
+                          " their DuckDB bars (12/7ms) are BELOW it: compute-side"
+                          " parity, the residual is Spark's per-job constant,"
+                          " which amortizes to noise across ~800k tasks at 100TB."
+                          " Measured levers that did NOT help: partitions sweep"
+                          " (8 optimal for q48), coalesce(1) on q43 (adds a"
+                          " stage, +17ms), arrow batch 128k (no change).",
         },
     }))
     spark.stop()
