@@ -1017,3 +1017,63 @@ def test_s7b_cdc_apply_resumes_versioning(spark, tmp_path):
     )
     got = {r.o_orderkey: r.v for r in a2.current_state().collect()}
     assert got == {1: 11.0, 2: 20.0, 3: 30.0}
+
+
+# S21 streaming as-of enrichment (stream-side Q13): versioned dimension ->
+# SCD2 validity intervals (one batch-side window) -> STATELESS stream-static
+# join, so each event matches exactly one version and no join state is
+# carried. Replay must equal the batch as-of join (operators/asof.py) on the
+# same inputs, including NULL payloads for events before a user's first
+# version.
+def test_s21_streaming_asof_enrichment(spark, replay_dir):
+    import datetime as dt
+
+    from inspectadb_spark.operators.asof import asof_join
+    from inspectadb_spark.streaming.enrich import asof_enrich_stream
+
+    batch = spark.read.parquet(replay_dir)
+    users = sorted(r[0] for r in batch.select("user_id").distinct().collect())
+    lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    rows = []
+    for i, u in enumerate(users):
+        if i % 7 == 0:
+            # late-onboarded key: first version mid-stream -> earlier events
+            # must enrich to NULL, not to a later version
+            rows.append((u, lo + 2 * span, "gold"))
+        else:
+            rows.append((u, lo - dt.timedelta(seconds=1), "bronze"))
+            rows.append((u, lo + span, "silver"))
+            rows.append((u, lo + 2 * span, "gold"))
+    dim = spark.createDataFrame(
+        rows, "user_id bigint, dim_ts timestamp, tier string"
+    )
+
+    cols = ["event_id", "user_id", "ts", "tier"]
+    want = asof_join(dim, batch, ["user_id"], "dim_ts", "ts", ["tier"]).select(*cols)
+    enriched = asof_enrich_stream(
+        _stream(spark, replay_dir), dim, ["user_id"], "ts", "dim_ts", ["tier"],
+        watermark="2 hours",
+    )
+    _drain(enriched.select(*cols), "s21", mode="append")
+    got = spark.table("s21").select(*cols)
+    assert _rows(got) == _rows(want)
+    # the fixture must actually exercise both regimes
+    assert got.filter("tier IS NULL").count() > 0
+    assert got.filter("tier = 'silver'").count() > 0
+
+
+# S8b transformWithStateInPandas PLAN construction (no execution): while
+# protobuf's absence keeps S8 execution env-skipped, the logical plan must
+# still build against the current API so drift is caught every round.
+def test_s8b_tws_plan_constructs(spark):
+    from inspectadb_spark.streaming.tws_cdc import streaming_cdc_latest
+
+    changes = spark.createDataFrame(
+        [(1, 1, "u", "a")],
+        "o_orderkey bigint, lsn bigint, op string, v string",
+    )
+    plan = streaming_cdc_latest(changes, "o_orderkey", ["v"])
+    assert plan.columns == ["o_orderkey", "lsn", "op", "v"]
+    logical = plan._jdf.queryExecution().logical().toString()
+    assert "transformwithstate" in logical.lower(), logical
