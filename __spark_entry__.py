@@ -81,6 +81,9 @@ _TIER2 = [
     "q83_training_shards", "q89_stat_moments", "q89b_regression",
     "q90_bit_bool_aggs", "q90b_listagg", "q91_window_values", "q92_posexplode",
     "q93_ewma", "q94_cms_estimates", "q100_histogram",
+    # round-4 additions (after the window was frozen; next round's rotation
+    # should front-load these)
+    "q127_session_concurrency", "q128_nearest_click", "q43g_blocked_neardup",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -69,3 +69,81 @@ def asof_join(
     )
     keep_right = [c for c in right.columns]
     return carried.filter(F.col("_side") == right_side).select(*keep_right, *payload_cols)
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of generalized to NEAREST-in-time: for each ``right`` row, attach
+    the payload of the ``left`` row minimizing ``|left_ts - right_ts|``
+    (same keys; ties break toward the EARLIER left row, matching the
+    convention of pandas ``merge_asof(direction='nearest')``).
+    ``tiebreak`` names a payload column used as the final sort key so that
+    equal-timestamp left rows pick deterministically.
+
+    Same union-merge scale shape as ``asof_join`` — one shuffle on the key,
+    one sort on (ts, side): the previous candidate is carried forward with
+    ``last(ignorenulls)`` and the next candidate backward with
+    ``first(ignorenulls)`` over the SAME sort, then a pure-integer
+    microsecond comparison picks the winner. No range join, no per-key
+    collect, O(n log n).
+
+    Left rows at the right row's exact timestamp count as "previous"
+    (distance 0, wins every tie). All payload columns are taken from the
+    same left row as long as they are carried together (the ``_lts``
+    timestamp is always carried, so the distance decision is atomic).
+    """
+    on = list(on)
+    payload_cols = list(payload_cols)
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(left_ts).alias("_lts"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    r_tagged = right.select(
+        "*",
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("_lts"),
+        *[F.lit(None).alias(f"_p_{c}") for c in payload_cols],
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    order_cols = [F.col("_ts"), F.col("_side")]
+    if tiebreak is not None:
+        # null for right rows; same-(ts, side) rows are all one side, so
+        # this only orders equal-timestamp LEFT rows deterministically
+        order_cols.append(F.col(f"_p_{tiebreak}"))
+    base = Window.partitionBy(*on).orderBy(*order_cols)
+    w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = base.rowsBetween(1, Window.unboundedFollowing)
+    prev_ts = F.last("_lts", ignorenulls=True).over(w_prev)
+    next_ts = F.first("_lts", ignorenulls=True).over(w_next)
+
+    def _us(c):  # NTZ-safe exact microseconds (session tz is pinned UTC)
+        return F.unix_micros(c.cast("timestamp"))
+
+    d_prev = _us(F.col("_ts")) - _us(prev_ts)
+    d_next = _us(next_ts) - _us(F.col("_ts"))
+    use_prev = next_ts.isNull() | (prev_ts.isNotNull() & (d_prev <= d_next))
+    picked = merged.select(
+        "*",
+        *[
+            F.when(
+                use_prev, F.last(f"_p_{c}", ignorenulls=True).over(w_prev)
+            ).otherwise(
+                F.first(f"_p_{c}", ignorenulls=True).over(w_next)
+            ).alias(c)
+            for c in payload_cols
+        ],
+    )
+    keep_right = [c for c in right.columns]
+    return picked.filter(F.col("_side") == 1).select(*keep_right, *payload_cols)

@@ -130,6 +130,45 @@ def cosine_pairs_exact(
     )
 
 
+def sign_blocked_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    block_dims: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs at scale with an ORACLE-EXPRESSIBLE blocking
+    key: bit j of the key is ``[x_j >= 0]`` over the first ``block_dims``
+    dimensions — axis-aligned signed random projection, so the candidate
+    generation is an equi-join on a uniform small-int key (E[candidates] =
+    n²/2^block_dims, never the O(n²) cross join) while staying free of RNG
+    and float hyperplanes: float sign is exact, so Spark and any SQL engine
+    compute byte-identical keys. Candidates are verified by exact
+    r4-rounded cosine. Same recall trade-off as ``srp_near_dup_pairs``
+    (per-dim agreement prob 1 - θ/π); axis planes trade a little recall
+    isotropy for cross-engine verifiability."""
+    bit = F.col(vec_col).getItem
+    blk = sum(
+        (F.when(bit(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        for j in range(block_dims)
+    ).cast("int")
+    keyed = vectors.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+    a = keyed.select(
+        F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), "_blk"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"), "_blk"
+    )
+    sim = _dot("e1", "e2") / (F.sqrt(_norm2("e1")) * F.sqrt(_norm2("e2")))
+    simr = F.round(sim.cast("decimal(18,6)"), 4).cast("double")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", simr.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def srp_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,

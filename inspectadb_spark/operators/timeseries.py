@@ -259,3 +259,55 @@ def ewma(
         num = num + F.coalesce(lj, F.lit(0.0)) * wj
         den = den + F.when(lj.isNotNull(), wj).otherwise(F.lit(0.0))
     return df.withColumn(out, num / den)
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Peak concurrent intervals per time bucket (max sessions open at once
+    each hour — capacity planning over sessionized activity) via a
+    TWO-LEVEL sweep line.
+
+    The textbook sweep (sort every +1/-1 boundary globally, running sum) is
+    a single-partition window — unusable at scale. Split it: (1) within
+    each bucket, a partitioned window computes the local running sum and
+    its max plus the bucket's net delta — the big data shuffles once, on
+    the bucket key; (2) the carry-in level per bucket is a running sum over
+    the per-bucket nets — a window over |buckets| rows (aggregated, tiny —
+    e.g. 10 years of hours is 87k rows), the same collapse-then-scan trick
+    as q74's cumulative users. Peak(bucket) = carry_in + max local prefix.
+
+    Intervals are inclusive at both ends; at equal timestamps starts order
+    before ends (delta DESC), so a session ending at t and one starting at
+    t count as concurrent. Equal-(ts, delta) tie order cannot change the
+    max prefix (consecutive equal deltas commute), so the result is
+    deterministic without a full tie-break. Buckets with no boundary
+    events emit no row (the level is flat there by construction).
+    """
+    b = intervals.select(
+        F.col(start_col).alias("_ts"), F.lit(1).alias("_d")
+    ).unionAll(
+        intervals.select(F.col(end_col).alias("_ts"), F.lit(-1).alias("_d"))
+    ).withColumn("_b", F.date_trunc(bucket, F.col("_ts")))
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_ts"), F.col("_d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per = (
+        b.withColumn("_run", F.sum("_d").over(w_in))
+        .groupBy("_b")
+        .agg(F.max("_run").alias("_peak_local"), F.sum("_d").alias("_net"))
+    )
+    w_carry = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        per.withColumn("_carry", F.coalesce(F.sum("_net").over(w_carry), F.lit(0)))
+        .select(
+            F.col("_b").alias("bucket"),
+            (F.col("_carry") + F.col("_peak_local")).cast("bigint").alias("peak"),
+        )
+        .orderBy("bucket")
+    )

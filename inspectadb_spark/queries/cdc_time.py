@@ -1061,3 +1061,130 @@ FROM w GROUP BY d, event_type ORDER BY d, event_type
 )
 def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, sf_dir, _Q117)
+
+
+# --------------------------------------------------------------------------
+# Q127 peak concurrent sessions per hour: q48's sessions -> inclusive
+# [start, end] intervals -> two-level sweep line (operators/timeseries.py::
+# interval_concurrency). The global boundary sort the textbook sweep needs
+# is split into a per-hour partitioned window + a carry scan over the
+# aggregated per-hour nets, so the raw data shuffles once on the hour key.
+_Q127_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM x
+), iv AS (
+  SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+  FROM s GROUP BY user_id, session_id
+), b AS (
+  SELECT st AS ts, 1 AS d FROM iv UNION ALL SELECT en AS ts, -1 AS d FROM iv
+), r AS (
+  SELECT date_trunc('hour', ts) AS h, d,
+         SUM(d) OVER (PARTITION BY date_trunc('hour', ts)
+           ORDER BY ts, d DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM b
+), p AS (
+  SELECT h, MAX(run) AS peak_local, SUM(d) AS net FROM r GROUP BY h
+), c AS (
+  SELECT h, peak_local,
+         COALESCE(SUM(net) OVER (ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+  FROM p)
+SELECT h, CAST(carry + peak_local AS BIGINT) AS peak FROM c ORDER BY h
+"""
+
+
+@query(
+    "q127_session_concurrency",
+    oracle=_Q127_ORACLE,
+    doc="Peak concurrent sessions per hour: sessionize -> interval sweep "
+        "line, two-level (per-hour window + aggregated carry scan) so no "
+        "single-partition global sort exists at any scale.",
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.sessionize import sessionize
+    from inspectadb_spark.operators.timeseries import interval_concurrency
+
+    e = tables(spark, sf_dir)["events"]
+    iv = (
+        sessionize(e, "user_id", "ts", "event_id", "INTERVAL 30 MINUTE")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    return (
+        interval_concurrency(iv, "st", "en", "hour")
+        .withColumnRenamed("bucket", "h")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q128 nearest-in-time enrichment: for each purchase, the click by the same
+# user minimizing |Δts| (ties -> the earlier click; equal-ts clicks break on
+# event_id). Same union-merge single-sort shape as the as-of join, with the
+# "next" candidate carried backward by first(ignorenulls) over the same sort.
+_Q128_ORACLE = """
+WITH u AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w_prev AS prev_id,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w_prev AS prev_ts,
+         FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w_next AS next_id,
+         FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w_next AS next_ts
+  FROM u
+  WINDOW
+    w_prev AS (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                        CASE WHEN event_type = 'click' THEN event_id END
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                        CASE WHEN event_type = 'click' THEN event_id END
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id,
+       CASE WHEN next_ts IS NULL
+              OR (prev_ts IS NOT NULL
+                  AND epoch_us(ts) - epoch_us(prev_ts)
+                      <= epoch_us(next_ts) - epoch_us(ts))
+            THEN prev_id ELSE next_id END AS nearest_click
+FROM m WHERE event_type = 'purchase' ORDER BY event_id
+"""
+
+
+@query(
+    "q128_nearest_click",
+    oracle=_Q128_ORACLE,
+    doc="Nearest-in-time join (pandas merge_asof direction='nearest' "
+        "semantics): one shuffle + one sort, prev carried forward / next "
+        "carried backward, pure-microsecond distance decision.",
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.asof import nearest_join
+
+    e = tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        nearest_join(clicks, purchases, ["user_id"], "ts", "ts",
+                     ["click_id"], tiebreak="click_id")
+        .select("event_id", F.col("click_id").alias("nearest_click"))
+        .orderBy("event_id")
+    )

@@ -629,3 +629,51 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.levenshtein("pre_a", "pre_b").alias("dist"))
         .orderBy("doc_a")
     )
+
+
+# --------------------------------------------------------------------------
+# Q43g scalable near-dup pairs with an ORACLE-EXPRESSIBLE blocking key: the
+# sign pattern of the first 8 dims (axis-aligned SRP — float sign is exact,
+# so the key is engine-portable with no RNG/float hyperplanes). Candidates =
+# same-key pairs (equi-join, E[pairs] = n²/256), verified by exact cosine.
+# The verified-at-scale sibling of q43c's O(n²) baseline.
+_Q43G_BLK = " + ".join(
+    f"CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
+    for j in range(8)
+)
+_Q43G_ORACLE = f"""
+WITH k AS (
+  SELECT vec_id, embedding, ({_Q43G_BLK}) AS blk FROM embeddings
+), p AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         a.embedding AS e1, b.embedding AS e2
+  FROM k a JOIN k b ON a.blk = b.blk AND a.vec_id < b.vec_id
+), z AS (
+  SELECT v1, v2, UNNEST(e1) AS x, UNNEST(e2) AS y FROM p
+), s AS (
+  SELECT v1, v2,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n1,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS n2
+  FROM z GROUP BY v1, v2
+)
+SELECT v1, v2,
+       CAST(ROUND(CAST(dot / (SQRT(n1) * SQRT(n2)) AS DECIMAL(18,6)), 4) AS DOUBLE) AS sim
+FROM s
+WHERE CAST(ROUND(CAST(dot / (SQRT(n1) * SQRT(n2)) AS DECIMAL(18,6)), 4) AS DOUBLE) >= 0.3
+ORDER BY v1, v2
+"""
+
+
+@query(
+    "q43g_blocked_neardup",
+    oracle=_Q43G_ORACLE,
+    doc="Sign-blocked near-dup pairs: deterministic axis-SRP blocking key "
+        "(equi-join on a small int, never O(n²)) + exact cosine verify — "
+        "the oracle-checkable scale path next to q43c's exact baseline.",
+)
+def q43g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import sign_blocked_near_dup_pairs
+
+    e = tables(spark, sf_dir)["embeddings"]
+    return sign_blocked_near_dup_pairs(e, threshold=0.3).orderBy("v1", "v2")

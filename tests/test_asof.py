@@ -82,3 +82,50 @@ def test_asof_matches_duckdb_native(spark):
         """).fetchall()
     )
     assert got == want
+
+
+def test_nearest_join_picks_min_distance_and_breaks_ties_earlier(spark):
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    clicks = spark.createDataFrame(
+        [("A", ts(10), 100), ("A", ts(20), 101), ("B", ts(5), 102)],
+        "k string, ts timestamp, click_id bigint",
+    )
+    # purchases: before-all, equidistant tie, nearer-next, exact-equal ts,
+    # and a key with no clicks
+    purchases = spark.createDataFrame(
+        [("A", ts(1), 1),    # prev none -> next 100
+         ("A", ts(15), 2),   # |15-10|=5 == |20-15|=5 -> tie -> earlier: 100
+         ("A", ts(19), 3),   # nearer next (20) -> 101
+         ("A", ts(20), 4),   # exact match -> 101 (distance 0 via prev)
+         ("C", ts(7), 5)],   # no clicks -> NULL
+        "k string, ts timestamp, event_id bigint",
+    )
+    from inspectadb_spark.operators.asof import nearest_join
+
+    out = nearest_join(clicks, purchases, ["k"], "ts", "ts",
+                       ["click_id"], tiebreak="click_id")
+    got = {r.event_id: r.click_id for r in out.collect()}
+    assert got == {1: 100, 2: 100, 3: 101, 4: 101, 5: None}
+
+
+def test_nearest_join_equal_ts_clicks_break_on_tiebreak_col(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    clicks = spark.createDataFrame(
+        [("A", t0, 7), ("A", t0, 3)], "k string, ts timestamp, click_id bigint"
+    )
+    purchases = spark.createDataFrame(
+        [("A", t0, 1)], "k string, ts timestamp, event_id bigint"
+    )
+    from inspectadb_spark.operators.asof import nearest_join
+
+    out = nearest_join(clicks, purchases, ["k"], "ts", "ts",
+                       ["click_id"], tiebreak="click_id")
+    # last over (ts, side, click_id asc) -> the larger click_id wins,
+    # deterministically
+    assert out.collect()[0].click_id == 7

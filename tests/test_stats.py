@@ -91,3 +91,57 @@ def test_ewma_truncation_tail_is_bounded(spark):
     )
     rows = ewma(df, order_cols=("event_id",)).collect()
     assert all(abs(r["ewma"] - 42.0) < 1e-12 for r in rows)
+
+
+def test_interval_concurrency_two_level_sweep(spark):
+    import datetime as dt
+
+    from inspectadb_spark.operators.timeseries import interval_concurrency
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    iv = spark.createDataFrame(
+        [
+            (ts(0, 0), ts(0, 30)),   # hour 0
+            (ts(0, 10), ts(2, 10)),  # spans hours 0-2 (carry into 1 and 2)
+            (ts(0, 30), ts(0, 40)),  # starts exactly when #1 ends: concurrent
+            (ts(2, 10), ts(2, 20)),  # starts exactly when #2 ends: concurrent
+        ],
+        "st timestamp, en timestamp",
+    )
+    out = {r.bucket.hour: r.peak
+           for r in interval_concurrency(iv, "st", "en", "hour").collect()}
+    # hour 0: at 0:30 sessions 1 (inclusive end), 2, and 3 (start) are all
+    # active (+1 orders before -1) -> peak 3
+    # hour 1: no boundaries -> NO row (level is flat at 1 there)
+    # hour 2: carry-in 1, session 4 starts at 2's inclusive end -> peak 2
+    assert out == {0: 3, 2: 2}
+
+
+def test_sign_blocked_neardup_subset_of_exact_and_finds_planted(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.similarity import (
+        cosine_pairs_exact,
+        sign_blocked_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    # planted exact duplicates: identical vectors share every sign -> must
+    # land in the same block and be found
+    rows.append((100, list(rows[0][1])))
+    rows.append((101, list(rows[5][1])))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    blocked = {(r.v1, r.v2): r.sim
+               for r in sign_blocked_near_dup_pairs(df, 0.5, 8).collect()}
+    exact = {(r.v1, r.v2): r.sim
+             for r in cosine_pairs_exact(df, 0.5).collect()}
+    assert set(blocked) <= set(exact)
+    assert (0, 100) in blocked and blocked[(0, 100)] == 1.0
+    assert (5, 101) in blocked and blocked[(5, 101)] == 1.0
+    assert all(blocked[p] == exact[p] for p in blocked)
