@@ -220,3 +220,60 @@ def corpus_frequency_score(docs: DataFrame, text_col: str = "text",
                     .cast("decimal(18,6)"), 4).cast("double").alias("mean_tok_freq"),
         )
     )
+
+
+def boilerplate_score(
+    docs: DataFrame,
+    n: int = 2,
+    min_df_num: int = 1,
+    min_df_den: int = 4,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document template/boilerplate fraction: the share of a doc's
+    DISTINCT word ``n``-grams that are "boilerplate" within its group —
+    appearing in at least ``min_df_num/min_df_den`` of the group's
+    documents (pure-integer rule ``df * den >= n_docs * num``, no float
+    threshold). High scores flag navigation chrome, license headers and
+    shared templates — the within-source cousin of the cross-corpus
+    contamination check (``ngram_contamination``).
+
+    Plan/scale: one gram explode (distinct-per-doc first, so df counts
+    docs not occurrences), one (group, gram) agg for df, group doc-counts
+    broadcast, boilerplate-set equi-join back on (group, gram), one
+    per-doc agg. No all-pairs anything; shuffles are on uniform gram keys.
+    """
+    toks = F.split(F.col(text_col), " ")
+    span = F.size(toks) - F.lit(n)
+    grams = F.when(
+        span >= 0,
+        F.transform(
+            F.sequence(F.lit(0), span),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(
+        F.col(id_col), F.col(group_col),
+        F.explode(F.array_distinct(grams)).alias("gram"),
+    )
+    nd = docs.groupBy(group_col).agg(F.countDistinct(id_col).alias("_n"))
+    df = ex.groupBy(group_col, "gram").agg(F.count("*").alias("_d"))
+    bp = (
+        df.join(F.broadcast(nd), group_col)
+        .filter(F.col("_d") * min_df_den >= F.col("_n") * min_df_num)
+        .select(group_col, "gram", F.lit(1).alias("_isbp"))
+    )
+    return (
+        ex.join(bp, [group_col, "gram"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_isbp").alias("n_bp"),
+            F.round(
+                (F.count("_isbp") * F.lit(1.0) / F.count("*"))
+                .cast("decimal(18,6)"), 4
+            ).cast("double").alias("bp_frac"),
+        )
+        .orderBy(id_col)
+    )

@@ -691,3 +691,37 @@ def q126b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rebalance_counts(
         P.rebalance_mixture(docs, "source", target_weights=_Q126B_WEIGHTS)
     )
+
+
+# --------------------------------------------------------------------------
+# Q129 boilerplate/template detection: share of each doc's distinct bigrams
+# that appear in >= 1/4 of its source's documents (integer df rule). The
+# within-source cousin of q75's cross-corpus decontamination.
+@query(
+    "q129_boilerplate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source, toks[i] || ' ' || toks[i+1] AS gram
+      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)),
+    nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n FROM documents GROUP BY source),
+    df AS (SELECT source, gram, COUNT(*) AS d FROM sh GROUP BY source, gram),
+    bp AS (SELECT df.source, gram FROM df JOIN nd USING (source)
+           WHERE d * 4 >= n * 1),
+    j AS (SELECT s.doc_id, CASE WHEN bp.gram IS NOT NULL THEN 1 END AS isbp
+          FROM sh s LEFT JOIN bp ON s.source = bp.source AND s.gram = bp.gram)
+    SELECT doc_id, COUNT(*) AS n_grams, COUNT(isbp) AS n_bp,
+           CAST(ROUND(CAST(COUNT(isbp) * 1.0 / COUNT(*) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS bp_frac
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-doc boilerplate fraction: distinct bigrams appearing in >=1/4 "
+        "of the same source's docs (pure-integer df rule), the "
+        "template-detection curation step.",
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import boilerplate_score
+
+    docs = tables(spark, sf_dir)["documents"]
+    return boilerplate_score(docs, n=2, min_df_num=1, min_df_den=4)

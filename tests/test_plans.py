@@ -319,3 +319,30 @@ def test_tpch_derived_partsupp_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
     # Q20: the supplier filter must be a semi join (decorrelated IN).
     assert "LeftSemi" in _plan(spark, "tpch_q20")
+
+
+def test_round4_plan_shapes(spark):
+    """Plan pins for the round-4 operators."""
+    # q126/q126b rebalance: the docs-side join against the S-row threshold
+    # frame must be a broadcast (no shuffle of the data itself).
+    for q in ("q126_mixture_rebalance", "q126b_weighted_rebalance"):
+        assert "BroadcastHashJoin" in _plan(spark, q), q
+    # q127 concurrency: the raw boundary stream shuffles once on the bucket
+    # key; the only single-partition window runs over AGGREGATED per-bucket
+    # rows. Exchange budget: bucket window + agg reuse + carry scan + final
+    # sort, all on tiny frames beyond the first.
+    n = count_exchanges(
+        REGISTRY["q127_session_concurrency"].builder(spark, SF_DIR)
+    )
+    assert n <= 5, f"q127: {n} exchanges"
+    # q128 nearest: ONE shuffle on the key feeds both window frames (same
+    # sort), plus the final order-by.
+    n = count_exchanges(REGISTRY["q128_nearest_click"].builder(spark, SF_DIR))
+    assert n <= 3, f"q128: {n} exchanges"
+    # q43g: candidates come from an equi-join on the block key — never a
+    # cartesian/broadcast-nested-loop.
+    plan = _plan(spark, "q43g_blocked_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # q129 boilerplate: per-source doc counts broadcast back.
+    assert "BroadcastHashJoin" in _plan(spark, "q129_boilerplate")
