@@ -725,3 +725,93 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return boilerplate_score(docs, n=2, min_df_num=1, min_df_den=4)
+
+
+# --------------------------------------------------------------------------
+# Q130 end-to-end curation pipeline — the flagship COMPOSITION: quality gate
+# (repetition ratio + min length) -> benchmark decontamination (shared
+# 5-gram with src0) -> exact dedup (md5 keep-min) -> uniform mixture
+# rebalancing, reported per source. Every stage is one of the corpus's
+# verified operators; the oracle replays the identical integer/r4 rules, so
+# the WHOLE pipeline is hash-checked, not just its pieces.
+_Q130_ORACLE = f"""
+WITH base AS (SELECT * FROM documents WHERE source <> 'src0'),
+wl AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM base),
+rep AS (
+  SELECT doc_id,
+         CAST(ROUND(CAST(1.0 - len(list_distinct(w)) * 1.0 / len(w)
+                         AS DECIMAL(18,6)), 4) AS DOUBLE) AS rr
+  FROM wl),
+q AS (
+  SELECT b.* FROM base b JOIN rep USING (doc_id)
+  WHERE rr <= 0.80 AND n_chars >= 60),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM q),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM tok, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+btok AS (SELECT string_split(text, ' ') AS t FROM documents WHERE source = 'src0'),
+bench AS (
+  SELECT DISTINCT array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM btok, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+contaminated AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (gram)),
+clean AS (
+  SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+dd AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM clean GROUP BY 1),
+ded AS (SELECT c.* FROM clean c JOIN dd ON c.doc_id = dd.keep),
+counts AS (SELECT source, COUNT(*) AS n_g FROM ded GROUP BY source),
+tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT source) AS s FROM ded),
+thr AS (
+  SELECT counts.source,
+         (LEAST(CAST(n AS HUGEINT) * 16777216,
+                CAST(s AS HUGEINT) * n_g * 16777216)
+          + CAST(s AS HUGEINT) * n_g - 1)
+         // (CAST(s AS HUGEINT) * n_g) - 1 AS thr
+  FROM counts CROSS JOIN tot),
+flagged AS (
+  SELECT d.source, d.n_chars,
+         CASE WHEN {P._md5_uniform_int_sql("doc_id", "mix")} <= thr
+              THEN 1 ELSE 0 END AS keep
+  FROM ded d JOIN thr USING (source))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep = 1 THEN n_chars END) AS BIGINT) AS chars_kept
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "q130_curation_pipeline",
+    oracle=_Q130_ORACLE,
+    doc="End-to-end curation pipeline (quality -> decontam -> dedup -> "
+        "rebalance) hash-verified as a whole; composes q66/q75/q44/q126's "
+        "operators with their exact integer/r4 decision rules.",
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import ngram_contamination
+
+    docs = tables(spark, sf_dir)["documents"]
+    base = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    rep = P.word_repetition(base).select("doc_id", "rep_ratio")
+    q = (
+        base.join(rep, "doc_id")
+        .filter((F.col("rep_ratio") <= 0.80) & (F.col("n_chars") >= 60))
+        .drop("rep_ratio")
+    )
+    contaminated = ngram_contamination(q, bench, n=5).select("doc_id")
+    clean = q.join(contaminated, "doc_id", "left_anti")
+    dd = (
+        clean.groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("_kid"))
+    )
+    ded = clean.join(dd, clean["doc_id"] == dd["_kid"]).drop("_h", "_kid")
+    reb = P.rebalance_mixture(ded, "source")
+    return (
+        reb.groupBy("source")
+        .agg(
+            F.count("*").alias("n_in"),
+            F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+            F.sum(F.when(F.col("_keep"), F.col("n_chars"))).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
