@@ -326,3 +326,50 @@ def cdc_chunk_near_dup_pairs(
         .agg(F.count("*").cast("int").alias("shared_chunks"))
         .filter(F.col("shared_chunks") >= min_shared)
     )
+
+
+def duplicated_spans(docs: DataFrame, w: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplication at span granularity (the signal behind
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2021 — here at word-w-gram resolution instead of a suffix array): for
+    every sliding w-token window position, mark it duplicated if the same
+    w-gram occurs in at least one OTHER document, and report per-doc span
+    counts and the duplicated fraction. Unlike near-dup detection (whole-doc
+    verdict) this measures HOW MUCH of each doc is copied text.
+
+    Scale shape (100 TB): spans are occurrence-level (not distinct), hashed
+    to fixed-width md5 so the duplicate-set aggregation shuffles uniform
+    32-byte keys with map-side combine; the span stream then joins that
+    doc-count table on the SAME hash key (co-partitioned — one effective
+    exchange family), then one per-doc rollup. Never all-pairs; a suffix
+    array would find arbitrary-length matches but cannot shard this simply.
+
+    Docs shorter than ``w`` tokens have no spans and are omitted (matching
+    the oracle). Returns (id_col, n_spans, n_dup, dup_frac).
+    """
+    toks = F.split(F.col(text_col), " ")
+    span = F.size(toks) - F.lit(w)
+    grams = F.when(
+        span >= 0,
+        F.transform(
+            F.sequence(F.lit(0), span),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    docs_per_gram = spans.groupBy("g").agg(
+        F.countDistinct(F.col(id_col)).alias("_nd"))
+    return (
+        spans.join(docs_per_gram, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count(F.when(F.col("_nd") >= 2, 1)).alias("n_dup"),
+        )
+        .select(
+            F.col(id_col), "n_spans", "n_dup",
+            F.round((F.col("n_dup") * F.lit(1.0) / F.col("n_spans"))
+                    .cast("decimal(18,6)"), 4).cast("double").alias("dup_frac"),
+        )
+    )

@@ -277,3 +277,79 @@ def boilerplate_score(
         )
         .orderBy(id_col)
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model quality score (CCNet-style perplexity proxy):
+    per-document mean log-probability of its tokens under the corpus's own
+    unigram distribution. Low scores flag gibberish / rare-token soup; high
+    scores flag documents made of common language.
+
+    Determinism: each token's log-probability is quantized BEFORE the
+    per-doc sum — the probe-verified two-step (cast DECIMAL(18,6), then
+    ROUND(…,4): the two spare digits absorb the engines' double→decimal
+    rounding-mode difference) — so the aggregate is an exact decimal total,
+    independent of partial-aggregation order on both engines. (A raw double
+    sum would differ between Spark's and DuckDB's reduction trees.)
+
+    Scale shape (100 TB): vocabulary count is one token-key shuffle with
+    map-side combine; the vocabulary table is Heaps'-law small, so the
+    score join is broadcast; one final per-doc aggregation. Returns
+    (id_col, n_tokens, mean_logprob) with mean_logprob rounded to 4 dp.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("tot"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("tot"))
+                .cast("decimal(18,6)"), 4
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp").alias("_s"))
+        .select(
+            F.col(id_col), "n_tokens",
+            F.round((F.col("_s").cast("double") / F.col("n_tokens"))
+                    .cast("decimal(18,6)"), 4)
+            .cast("double").alias("mean_logprob"),
+        )
+    )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Incremental-corpus novelty: the fraction of a document's DISTINCT
+    word n-grams that it introduces to the corpus — i.e. grams whose
+    minimum doc_id equals this doc. In an append-ordered corpus this is the
+    "how much new content does this shard add" curation signal (the
+    complement of cross-shard duplication).
+
+    Scale shape: one gram-key shuffle for min(doc_id) (map-side combine on
+    uniform md5-free string keys), then the gram stream joins its own
+    first-seen table on the SAME gram key — co-partitioned, no extra
+    exchange under AQE — and one per-doc rollup. No all-pairs comparison.
+    """
+    grams = word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    first = grams.groupBy("gram").agg(F.min(F.col(id_col)).alias("_first"))
+    return (
+        grams.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("_first") == F.col(id_col), 1)).alias("n_novel"),
+        )
+        .select(
+            F.col(id_col), "n_grams", "n_novel",
+            F.round((F.col("n_novel") * F.lit(1.0) / F.col("n_grams"))
+                    .cast("decimal(18,6)"), 4).cast("double").alias("novelty"),
+        )
+    )

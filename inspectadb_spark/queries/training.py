@@ -815,3 +815,87 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q131_dup_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS g
+      FROM t, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)),
+    d AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+    SELECT doc_id, COUNT(*) AS n_spans,
+           COUNT(CASE WHEN nd >= 2 THEN 1 END) AS n_dup,
+           CAST(ROUND(CAST(COUNT(CASE WHEN nd >= 2 THEN 1 END) * 1.0 / COUNT(*)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS dup_frac
+    FROM g JOIN d USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Span-level exact duplication (Lee et al. 2021 signal at word-8-gram "
+        "resolution): per-doc count and fraction of sliding windows whose "
+        "text occurs in another document.",
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import duplicated_spans
+
+    docs = tables(spark, sf_dir)["documents"]
+    return duplicated_spans(docs, w=8).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q132_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS tot FROM vocab),
+    lp AS (
+      SELECT doc_id,
+             ROUND(CAST(ln(c * 1.0 / tot) AS DECIMAL(18,6)), 4) AS lp
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(ROUND(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS mean_logprob
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="CCNet-style unigram-LM quality score: per-doc mean token "
+        "log-probability under the corpus unigram distribution, decimal-"
+        "quantized per token so the sum is aggregation-order-exact.",
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import unigram_logprob
+
+    docs = tables(spark, sf_dir)["documents"]
+    return unigram_logprob(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q133_ngram_novelty",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(tk) - 4)) AS u(i)),
+    f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+           CAST(ROUND(CAST(COUNT(CASE WHEN first_doc = doc_id THEN 1 END)
+                           * 1.0 / COUNT(*) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS novelty
+    FROM g JOIN f USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Incremental-corpus novelty: fraction of each doc's distinct word "
+        "5-grams first introduced by that doc (min-doc_id ownership), the "
+        "what-does-this-shard-add curation signal.",
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import ngram_novelty
+
+    docs = tables(spark, sf_dir)["documents"]
+    return ngram_novelty(docs, n=5).orderBy("doc_id")

@@ -346,3 +346,20 @@ def test_round4_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # q129 boilerplate: per-source doc counts broadcast back.
     assert "BroadcastHashJoin" in _plan(spark, "q129_boilerplate")
+
+
+def test_round4b_text_op_plan_shapes(spark):
+    """Plan pins for q131–q133 (span dup / unigram LM / novelty)."""
+    # q131 dup spans: the span stream joins the duplicate-set agg on the
+    # SAME md5 key it was aggregated on — co-partitioned, so the whole
+    # query is span shuffle + (reused) join + per-doc agg + order by.
+    n = count_exchanges(REGISTRY["q131_dup_spans"].builder(spark, SF_DIR))
+    assert n <= 4, f"q131: {n} exchanges"
+    # q132 unigram LM: vocabulary and corpus-total joins must broadcast —
+    # the token stream itself is never shuffled for the join.
+    plan = _plan(spark, "q132_unigram_logprob")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # q133 novelty: gram stream + first-seen agg join on the gram key;
+    # same co-partition shape as q131.
+    n = count_exchanges(REGISTRY["q133_ngram_novelty"].builder(spark, SF_DIR))
+    assert n <= 4, f"q133: {n} exchanges"
