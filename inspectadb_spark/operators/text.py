@@ -353,3 +353,62 @@ def ngram_novelty(docs: DataFrame, n: int = 5, text_col: str = "text",
                     .cast("decimal(18,6)"), 4).cast("double").alias("novelty"),
         )
     )
+
+
+def source_divergence(docs: DataFrame, group_col: str = "source",
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-group distribution diagnostics for mixture monitoring: unigram
+    entropy of each group and its KL divergence from the whole-corpus
+    unigram distribution. Rising KL flags a source drifting away from the
+    corpus mix (or a broken extractor); entropy flags template collapse.
+
+    Determinism: every per-term contribution is computed from exact integer
+    counts in double (one ln call), quantized to DECIMAL(18,6) BEFORE the
+    per-group sum — aggregation-order-exact on both engines, same recipe as
+    ``unigram_logprob``.
+
+    Scale shape (100 TB): the raw token stream is exploded and shuffled
+    ONCE, into the (group, token) counts; group totals, the vocabulary and
+    the corpus total are all rollups of that already-aggregated (and
+    reused) table — orders of magnitude smaller than the corpus. The tiny
+    sides broadcast back; one per-group rollup of quantized decimals.
+    Nothing all-pairs, nothing driver-side. Returns
+    (group_col, n_tokens, entropy, kl_corpus), both measures in nats
+    rounded to 4 dp.
+    """
+    # The explicit isNotNull mirrors what the inner joins below would infer
+    # anyway — stating it up front keeps every branch's (group, tok) agg
+    # subtree byte-identical, so Catalyst's exchange reuse collapses the
+    # corpus-sized shuffle to ONE (ReusedExchange elsewhere).
+    toks = docs.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    grp_term = toks.groupBy(group_col, "tok").agg(F.count("*").alias("c_gt"))
+    grp_tot = grp_term.groupBy(group_col).agg(F.sum("c_gt").alias("n_g"))
+    vocab = grp_term.groupBy("tok").agg(F.sum("c_gt").alias("c_t"))
+    total = grp_tot.agg(F.sum("n_g").alias("n"))
+
+    p_gt = F.col("c_gt").cast("double") / F.col("n_g")
+    # KL term: p_gt * ln(p_gt / p_t) with p_t = c_t / N, all from exact ints
+    kl_term = p_gt * F.log(
+        (F.col("c_gt").cast("double") * F.col("n"))
+        / (F.col("n_g").cast("double") * F.col("c_t"))
+    )
+    h_term = -p_gt * F.log(p_gt)
+    scored = (
+        grp_term.join(F.broadcast(grp_tot), group_col)
+        .join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .select(
+            F.col(group_col), F.col("n_g"),
+            h_term.cast("decimal(18,6)").alias("h"),
+            kl_term.cast("decimal(18,6)").alias("kl"),
+        )
+    )
+    return (
+        scored.groupBy(group_col)
+        .agg(
+            F.max("n_g").alias("n_tokens"),
+            F.round(F.sum("h"), 4).cast("double").alias("entropy"),
+            F.round(F.sum("kl"), 4).cast("double").alias("kl_corpus"),
+        )
+    )

@@ -899,3 +899,37 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return ngram_novelty(docs, n=5).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q134_source_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    gt AS (SELECT source, tok, COUNT(*) AS c_gt FROM toks GROUP BY source, tok),
+    g AS (SELECT source, COUNT(*) AS n_g FROM toks GROUP BY source),
+    v AS (SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY tok),
+    nn AS (SELECT COUNT(*) AS n FROM toks),
+    s AS (
+      SELECT gt.source, n_g,
+             CAST(-(c_gt * 1.0 / n_g) * ln(c_gt * 1.0 / n_g)
+                  AS DECIMAL(18,6)) AS h,
+             CAST((c_gt * 1.0 / n_g)
+                  * ln((c_gt * 1.0 * n) / (n_g * 1.0 * c_t))
+                  AS DECIMAL(18,6)) AS kl
+      FROM gt JOIN g USING (source) JOIN v USING (tok) CROSS JOIN nn)
+    SELECT source, MAX(n_g) AS n_tokens,
+           CAST(ROUND(SUM(h), 4) AS DOUBLE) AS entropy,
+           CAST(ROUND(SUM(kl), 4) AS DOUBLE) AS kl_corpus
+    FROM s GROUP BY source ORDER BY source
+    """,
+    doc="Mixture-drift diagnostics: per-source unigram entropy and KL "
+        "divergence from the whole-corpus distribution (nats, 4 dp), "
+        "per-term contributions decimal-quantized before summation.",
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import source_divergence
+
+    docs = tables(spark, sf_dir)["documents"]
+    return source_divergence(docs).orderBy("source")

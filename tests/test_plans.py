@@ -363,3 +363,22 @@ def test_round4b_text_op_plan_shapes(spark):
     # same co-partition shape as q131.
     n = count_exchanges(REGISTRY["q133_ngram_novelty"].builder(spark, SF_DIR))
     assert n <= 4, f"q133: {n} exchanges"
+
+
+def test_q134_divergence_plan_shape(spark):
+    # q134: vocabulary + corpus-total joins broadcast onto the (group, token)
+    # aggregate; the corpus-sized explode+shuffle must run ONCE. The static
+    # plan shows 4 copies of that subtree (the branches are only equal after
+    # canonicalization), so pin the RUNTIME plan: AQE's stage reuse collapses
+    # them to one live exchange + ReusedExchange markers.
+    plan = _plan(spark, "q134_source_divergence")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    df = REGISTRY["q134_source_divergence"].builder(spark, SF_DIR)
+    df.collect()
+    final = explain_str(df, "simple").split("Initial Plan")[0]
+    assert "ReusedExchange" in final, "AQE did not reuse the (group,tok) stage"
+    live = [ln for ln in final.splitlines()
+            if "Exchange" in ln and "BroadcastExchange" not in ln
+            and "Reused" not in ln]
+    corpus_sized = [ln for ln in live if "source#" in ln and "tok#" in ln]
+    assert len(corpus_sized) == 1, f"corpus shuffle not reused: {corpus_sized}"
