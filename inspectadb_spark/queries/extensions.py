@@ -677,3 +677,70 @@ def q43g(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables(spark, sf_dir)["embeddings"]
     return sign_blocked_near_dup_pairs(e, threshold=0.3).orderBy("v1", "v2")
+
+
+# --------------------------------------------------------------------------
+# Q135 semantic dedup end-to-end: q43g's oracle-expressible blocked pair
+# generation -> exact-cosine verify -> iterative connected components ->
+# canonical survivor per cluster (min id), with never-matched vectors kept
+# as their own singleton component. The full iterative pipeline is
+# hash-verified: DuckDB replays the blocking + cosine rule and computes the
+# same transitive closure with a recursive CTE.
+_Q135_ORACLE = f"""
+WITH RECURSIVE k AS (
+  SELECT vec_id, embedding, ({_Q43G_BLK}) AS blk FROM embeddings
+), p AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         a.embedding AS e1, b.embedding AS e2
+  FROM k a JOIN k b ON a.blk = b.blk AND a.vec_id < b.vec_id
+), z AS (
+  SELECT v1, v2, UNNEST(e1) AS x, UNNEST(e2) AS y FROM p
+), s AS (
+  SELECT v1, v2,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n1,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS n2
+  FROM z GROUP BY v1, v2
+), pairs AS (
+  SELECT v1, v2 FROM s
+  WHERE CAST(ROUND(CAST(dot / (SQRT(n1) * SQRT(n2)) AS DECIMAL(18,6)), 4)
+             AS DOUBLE) >= 0.3
+), edges AS (
+  SELECT v1 AS a, v2 AS b FROM pairs UNION SELECT v2, v1 FROM pairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+), lab AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+SELECT e.vec_id, COALESCE(lab.comp, e.vec_id) AS comp,
+       e.vec_id = COALESCE(lab.comp, e.vec_id) AS kept
+FROM embeddings e LEFT JOIN lab ON e.vec_id = lab.node
+ORDER BY e.vec_id
+"""
+
+
+@query(
+    "q135_semantic_dedup",
+    oracle=_Q135_ORACLE,
+    doc="Semantic dedup pipeline: sign-blocked candidates -> exact-cosine "
+        "verify -> iterative min-label connected components -> canonical "
+        "min-id survivor per cluster (singletons kept). The whole iterative "
+        "pipeline matches DuckDB's recursive-CTE transitive closure.",
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.cluster import connected_components
+    from inspectadb_spark.operators.similarity import sign_blocked_near_dup_pairs
+
+    e = tables(spark, sf_dir)["embeddings"]
+    pairs = sign_blocked_near_dup_pairs(e, threshold=0.3)
+    comps = connected_components(pairs, src="v1", dst="v2")
+    out = (
+        e.select("vec_id")
+        .join(comps, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("comp"), F.col("vec_id")).alias("comp"),
+        )
+        .withColumn("kept", F.col("vec_id") == F.col("comp"))
+    )
+    return out.orderBy("vec_id")
