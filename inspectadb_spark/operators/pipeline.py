@@ -520,6 +520,21 @@ def rebalance_mixture(
     on those S rows, broadcast back) + a scan-side hash filter; no
     shuffle of the data itself.
     """
+    thresholds = rebalance_thresholds(docs, group_col=group_col,
+                                      target_weights=target_weights)
+    return apply_rebalance(docs, thresholds, group_col=group_col,
+                           id_col=id_col, salt=salt)
+
+
+def rebalance_thresholds(
+    docs: DataFrame,
+    group_col: str = "source",
+    target_weights: dict | None = None,
+) -> DataFrame:
+    """The profile half of ``rebalance_mixture``: the per-group integer
+    acceptance thresholds (group_col, _thr) as an S-row frame. Split out so
+    a batch profile job can compute it once and ``apply_rebalance`` can
+    enforce it statelessly — including on a stream."""
     if target_weights is not None:
         bad = {g: w for g, w in target_weights.items()
                if not isinstance(w, int) or w < 0}
@@ -549,12 +564,29 @@ def rebalance_mixture(
     # can flip floor() by one when D >= 2e6). Clamping T at D*16^6 first
     # caps thr at 16^6 - 1 (keep-all) AND bounds the quotient so the
     # BIGINT result of DIV can never overflow at any corpus size.
-    thresholds = (
+    return (
         counts.crossJoin(F.broadcast(tot))
         .withColumn("_t", F.least(t_num, t_den * F.lit(16 ** 6).cast(dec)))
         .withColumn("_d", t_den)
         .selectExpr(group_col, "CAST((_t + _d - 1) DIV _d AS BIGINT) - 1 AS _thr")
     )
+
+
+def apply_rebalance(
+    docs: DataFrame,
+    thresholds: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Apply a (group, _thr) rebalance profile: keep iff the row's 24-bit
+    md5 uniform is <= its group threshold. STATELESS — the profile is a
+    static broadcast and the acceptance rule is a pure per-row expression,
+    so the same call enforces a batch-computed mixture on a STREAM
+    (stream-static join + filter, no state store, no watermark): the
+    production shape where thresholds come from yesterday's profile job
+    and arrivals are admitted on the fly (verified batch==stream in S22).
+    """
     h6 = F.expr(_md5_uniform_int_sql(id_col, salt))
     return (
         docs.join(F.broadcast(thresholds), group_col)

@@ -1077,3 +1077,59 @@ def test_s8b_tws_plan_constructs(spark):
     assert plan.columns == ["o_orderkey", "lsn", "op", "v"]
     logical = plan._jdf.queryExecution().logical().toString()
     assert "transformwithstate" in logical.lower(), logical
+
+
+# --------------------------------------------------------------------------
+# S22 streaming mixture enforcement: thresholds are PROFILED in batch
+# (rebalance_thresholds), then enforced STATELESSLY on a document stream
+# (apply_rebalance = stream-static broadcast join + pure md5 acceptance —
+# no state store, no watermark). The admitted set must equal the batch
+# rebalance of the same corpus: the md5 rule is row-local, so arrival
+# order/batching cannot change any decision.
+def test_s22_streaming_mixture_enforcement(spark, tmp_path):
+    from inspectadb_spark.operators import pipeline as P
+
+    src = str(tmp_path / "docs_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    step = (t.num_rows + 3) // 4
+    now = time.time()
+    for i in range(4):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    batch_docs = spark.read.parquet(src)
+    thr = P.rebalance_thresholds(batch_docs, "source",
+                                 target_weights={"src1": 3, "src2": 1,
+                                                 "src3": 1, "src4": 1})
+    # profile frame is static (collected once in production); re-create it
+    # as a literal DataFrame to prove nothing leaks from the batch lineage
+    profile = spark.createDataFrame(thr.collect(), schema=thr.schema)
+
+    schema = batch_docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    kept_stream = (
+        P.apply_rebalance(stream, profile, "source")
+        .filter("_keep").select("doc_id", "source")
+    )
+    _drain(kept_stream, "s22", mode="append")
+
+    kept_batch = (
+        P.apply_rebalance(batch_docs, profile, "source")
+        .filter("_keep").select("doc_id", "source")
+    )
+    got, want = _rows(spark.table("s22")), _rows(kept_batch)
+    assert len(got) > 0
+    assert got == want
+    # and the profile path is identical to the one-shot batch operator
+    one_shot = (
+        P.rebalance_mixture(batch_docs, "source",
+                            target_weights={"src1": 3, "src2": 1,
+                                            "src3": 1, "src4": 1})
+        .filter("_keep").select("doc_id", "source")
+    )
+    assert want == _rows(one_shot)
