@@ -86,7 +86,7 @@ _TIER2 = [
     "q127_session_concurrency", "q128_nearest_click", "q43g_blocked_neardup",
     "q129_boilerplate", "q130_curation_pipeline", "q131_dup_spans",
     "q132_unigram_logprob", "q133_ngram_novelty", "q134_source_divergence",
-    "q135_semantic_dedup",
+    "q135_semantic_dedup", "q136_vocab_growth", "q137_cross_source_dups",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -412,3 +412,37 @@ def source_divergence(docs: DataFrame, group_col: str = "source",
             F.round(F.sum("kl"), 4).cast("double").alias("kl_corpus"),
         )
     )
+
+
+def vocabulary_growth(docs: DataFrame, n: int = 1, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law empirics) at token (``n=1``) or
+    word-n-gram granularity: for each document that introduces at least one
+    gram never seen in any earlier document (by id order), the number it
+    introduces and the cumulative vocabulary size after it. The curve's
+    flattening is the classic diminishing-returns signal for corpus
+    acquisition.
+
+    Scale shape: token → min(doc_id) ownership is one map-side-combinable
+    shuffle; the growth frame then has at most one row per document (not
+    per token). The cumulative sum runs over that PRE-AGGREGATED frame —
+    at extreme scale swap the single window for the two-level carry scan
+    used by ``timeseries.interval_concurrency``; the corpus-sized stream
+    never enters a global sort either way.
+    """
+    from pyspark.sql import Window
+
+    if n <= 1:
+        grams = docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("gram"))
+    else:
+        grams = word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    first = grams.groupBy("gram").agg(F.min(F.col(id_col)).alias("first_doc"))
+    growth = first.groupBy("first_doc").agg(F.count("*").alias("n_new"))
+    win = Window.orderBy("first_doc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return growth.select(
+        F.col("first_doc").alias(id_col), "n_new",
+        F.sum("n_new").over(win).alias("vocab_size"),
+    )

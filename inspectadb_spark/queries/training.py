@@ -933,3 +933,58 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return source_divergence(docs).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q136_vocab_growth",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(tk, i, i + 2), ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)),
+    f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+    gr AS (SELECT first_doc, COUNT(*) AS n_new FROM f GROUP BY first_doc)
+    SELECT first_doc AS doc_id, n_new,
+           SUM(n_new) OVER (ORDER BY first_doc
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS vocab_size
+    FROM gr ORDER BY doc_id
+    """,
+    doc="Vocabulary growth curve (Heaps'-law empirics) at trigram "
+        "granularity: new grams introduced per doc (id order) and "
+        "cumulative vocabulary size — the diminishing-returns signal for "
+        "corpus acquisition.",
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import vocabulary_growth
+
+    docs = tables(spark, sf_dir)["documents"]
+    return vocabulary_growth(docs, n=3).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q137_cross_source_dups",
+    oracle="""
+    WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS g
+      FROM t, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)),
+    p AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source)
+    SELECT src_a, src_b, COUNT(*) AS n_shared
+    FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+    doc="Cross-source duplication flow matrix: distinct word-8-gram spans "
+        "shared per source pair — which feeds overlap, before doc-level "
+        "dedup decisions.",
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = tables(spark, sf_dir)["documents"]
+    return cross_source_dup_matrix(docs, w=8).orderBy("src_a", "src_b")
