@@ -113,3 +113,48 @@ def with_dq_observation(
         checks = {"n_rows": F.count(F.lit(1))}
     obs = Observation(name)
     return df.observe(obs, *[c.alias(k) for k, c in checks.items()]), obs
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Robust per-group statistics: exact interpolated percentiles at
+    ``lo``/``hi`` and the winsorized mean (values clamped into [p_lo, p_hi]
+    before averaging) — outlier-proof profiling for skewed distributions
+    like document lengths, where a handful of megadocs swamp a plain mean.
+
+    Determinism: percentiles are 4dp-pinned; clamped values are exact
+    decimals (integers or the pinned percentiles), so the mean is an exact
+    decimal sum divided once — aggregation-order-proof.
+
+    Plan/scale: one per-group percentile agg (exact percentile needs the
+    group's values — at 100 TB substitute approx_percentile for the profile
+    half; the clamp+mean half is unchanged), the tiny quantile frame
+    broadcast back, one scan-side clamp + decimal agg. No data shuffle
+    beyond the two group aggs.
+    """
+    def r4(c):
+        return F.round(c.cast("decimal(18,6)"), 4).cast("double")
+
+    qs = df.groupBy(group_col).agg(
+        r4(F.expr(f"percentile({value_col}, {lo})")).alias("p_lo"),
+        r4(F.expr(f"percentile({value_col}, {hi})")).alias("p_hi"),
+        F.count("*").alias("n"),
+    )
+    clamped = F.greatest(
+        F.least(F.col(value_col).cast("double"), F.col("p_hi")), F.col("p_lo"))
+    return (
+        df.join(F.broadcast(qs), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p_lo").alias("p_lo"),
+            F.max("p_hi").alias("p_hi"),
+            r4(F.sum(clamped.cast("decimal(18,6)")).cast("double")
+               / F.count("*")).alias("win_mean"),
+        )
+    )

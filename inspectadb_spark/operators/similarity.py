@@ -537,3 +537,42 @@ def embedding_dim_stats(
         )
         .orderBy("pos")
     )
+
+
+def centroid_separation(
+    vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Cluster-separation diagnostics: pairwise cosine similarity between
+    every pair of label centroids. High inter-centroid cosine flags label
+    sets that an embedding-space router or semantic-dedup pass cannot
+    separate. Built on the 4dp-pinned exact-decimal centroids
+    (``label_centroids``), with per-dim products accumulated in
+    DECIMAL(28,12) so the dot/norm sums are aggregation-order-exact.
+
+    Plan/scale: the centroid frame is model-sized (labels x dims) — the
+    pairwise self-join and aggregation never touch the corpus; the only
+    corpus-scale work is the one (label, dim) agg inside label_centroids.
+    """
+    cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+    a = cent.select(F.col("label").alias("la"), "dim",
+                    F.col("centroid").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), "dim",
+                    F.col("centroid").alias("cb"))
+    dec = "decimal(28,12)"
+    agg = (
+        a.join(b, "dim")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast(dec)).alias("_dot"),
+            F.sum((F.col("ca") * F.col("ca")).cast(dec)).alias("_na"),
+            F.sum((F.col("cb") * F.col("cb")).cast(dec)).alias("_nb"),
+        )
+    )
+    cos = (F.col("_dot").cast("double")
+           / (F.sqrt(F.col("_na").cast("double"))
+              * F.sqrt(F.col("_nb").cast("double"))))
+    return agg.select(
+        "la", "lb",
+        F.round(cos.cast("decimal(18,6)"), 4).cast("double").alias("cos"),
+    )

@@ -988,3 +988,61 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return cross_source_dup_matrix(docs, w=8).orderBy("src_a", "src_b")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q138_winsorized_stats",
+    oracle="""
+    WITH q AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(ROUND(CAST(quantile_cont(n_chars, 0.05) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS p_lo,
+             CAST(ROUND(CAST(quantile_cont(n_chars, 0.95) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS p_hi
+      FROM documents GROUP BY source)
+    SELECT d.source, MAX(n) AS n, MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi,
+           CAST(ROUND(CAST(CAST(SUM(CAST(
+                  GREATEST(LEAST(CAST(n_chars AS DOUBLE), p_hi), p_lo)
+                AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS win_mean
+    FROM documents d JOIN q USING (source)
+    GROUP BY d.source ORDER BY d.source
+    """,
+    doc="Robust per-source doc-length profile: exact p05/p95 and the "
+        "winsorized mean (clamped into [p05, p95]) — outlier-proof stats "
+        "for skewed length distributions.",
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.quality import winsorized_stats
+
+    docs = tables(spark, sf_dir)["documents"]
+    return winsorized_stats(docs, "source", "n_chars").orderBy("source")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q139_centroid_separation",
+    oracle=f"""
+    WITH cent AS ({_CENTROID_SQL}),
+    p AS (
+      SELECT a.label AS la, b.label AS lb,
+             SUM(CAST(a.centroid * b.centroid AS DECIMAL(28,12))) AS dot,
+             SUM(CAST(a.centroid * a.centroid AS DECIMAL(28,12))) AS na,
+             SUM(CAST(b.centroid * b.centroid AS DECIMAL(28,12))) AS nb
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT la, lb,
+           CAST(ROUND(CAST(CAST(dot AS DOUBLE)
+                           / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS cos
+    FROM p ORDER BY la, lb
+    """,
+    doc="Cluster-separation matrix: pairwise cosine between 4dp-pinned "
+        "label centroids, decimal-exact dot/norm accumulation.",
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import centroid_separation
+
+    return centroid_separation(
+        tables(spark, sf_dir)["embeddings"]).orderBy("la", "lb")
