@@ -87,7 +87,8 @@ _TIER2 = [
     "q129_boilerplate", "q130_curation_pipeline", "q131_dup_spans",
     "q132_unigram_logprob", "q133_ngram_novelty", "q134_source_divergence",
     "q135_semantic_dedup", "q136_vocab_growth", "q137_cross_source_dups",
-    "q138_winsorized_stats", "q139_centroid_separation",
+    "q138_winsorized_stats", "q138b_mad", "q139_centroid_separation",
+    "q140_resample_interpolate",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

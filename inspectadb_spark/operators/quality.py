@@ -158,3 +158,36 @@ def winsorized_stats(
                / F.count("*")).alias("win_mean"),
         )
     )
+
+
+def mad_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Median absolute deviation per group — the robust spread companion to
+    ``winsorized_stats``: MAD = median(|x - median(x)|). Used to flag
+    anomalous feeds whose spread explodes without any mean shift.
+
+    Two group aggregations (the median needs the group's values; at 100 TB
+    substitute approx_percentile in the first pass), with the 4dp-pinned
+    medians broadcast between them. Returns (group_col, n, med, mad).
+    """
+    def r4(c):
+        return F.round(c.cast("decimal(18,6)"), 4).cast("double")
+
+    med = df.groupBy(group_col).agg(
+        r4(F.expr(f"percentile({value_col}, 0.5)")).alias("med"),
+        F.count("*").alias("n"),
+    )
+    dev = F.abs(F.col(value_col).cast("double") - F.col("med"))
+    return (
+        df.join(F.broadcast(med), group_col)
+        .withColumn("_dev", dev)
+        .groupBy(group_col)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med").alias("med"),
+            r4(F.expr("percentile(_dev, 0.5)")).alias("mad"),
+        )
+    )

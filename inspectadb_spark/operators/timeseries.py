@@ -311,3 +311,74 @@ def interval_concurrency(
         )
         .orderBy("bucket")
     )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    step: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled resampling with LINEAR interpolation — the smooth-fill
+    sibling of ``resample_ffill``: each missing grid point gets
+    ``prev + (next - prev) * elapsed/gap`` from its nearest observed
+    neighbours. The grid spans each key's own [min, max] observed bucket,
+    so interior gaps always have both neighbours (no edge extrapolation).
+
+    Determinism: observed per-bucket means are 4dp-pinned; the interpolation
+    weight is a ratio of exact epoch-second integers; the single double
+    expression is evaluated in the same operation order on any engine and
+    re-pinned to 4dp.
+
+    Scale shape: identical to ``resample_ffill`` — one (key, bucket) agg,
+    per-key grid explode, ONE partitioned sort serving both the backward
+    and forward carry windows.
+    """
+    unit = step.split()[1].rstrip("s")
+    actual = (
+        events.groupBy(
+            F.col(key_col).alias("k"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.round(
+                (F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+                 / F.count("*")).cast("decimal(18,6)"), 4
+            ).cast("double").alias("v")
+        )
+    )
+    grid = (
+        actual.groupBy("k")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select("k", F.explode(F.expr(f"sequence(lo, hi, interval {step})")).alias("bucket"))
+    )
+    wb = (Window.partitionBy("k").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("k").orderBy("bucket")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_b = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    joined = (
+        grid.join(actual, ["k", "bucket"], "left")
+        .select(
+            "k", "bucket", "v",
+            F.last("v", ignorenulls=True).over(wb).alias("pv"),
+            F.last(obs_b, ignorenulls=True).over(wb).alias("pb"),
+            F.first("v", ignorenulls=True).over(wf).alias("nv"),
+            F.first(obs_b, ignorenulls=True).over(wf).alias("nb"),
+        )
+    )
+    frac = (
+        (F.unix_timestamp("bucket") - F.unix_timestamp("pb")).cast("double")
+        / (F.unix_timestamp("nb") - F.unix_timestamp("pb")).cast("double")
+    )
+    interp = F.round(
+        (F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .cast("decimal(18,6)"), 4).cast("double")
+    return joined.select(
+        F.col("k").alias(key_col), "bucket",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp).alias("v_interp"),
+        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_gap"),
+    )

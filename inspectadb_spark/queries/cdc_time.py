@@ -1188,3 +1188,52 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.col("click_id").alias("nearest_click"))
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q140 gap-filled resampling with LINEAR interpolation (the smooth-fill
+# sibling of q70): interior gaps get prev + (next-prev)*elapsed/gap from
+# 4dp-pinned neighbour means; the weight is a ratio of exact epoch-second
+# integers, so the single double expression evaluates identically in both
+# engines before the final 4dp pin.
+@query(
+    "q140_resample_interpolate",
+    oracle=f"""
+    WITH actual AS (
+      SELECT user_id AS k, date_trunc('day', ts) AS bucket,
+             CAST(ROUND(CAST(CAST(SUM({dec('value')}) AS DOUBLE) / COUNT(*)
+                             AS DECIMAL(18,6)), 4) AS DOUBLE) AS v
+      FROM events GROUP BY user_id, date_trunc('day', ts)),
+    grid AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM (SELECT k, MIN(bucket) AS lo, MAX(bucket) AS hi FROM actual GROUP BY k)),
+    j AS (
+      SELECT grid.k, grid.bucket, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN grid.bucket END IGNORE NULLS)
+               OVER wb AS pb,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN grid.bucket END IGNORE NULLS)
+               OVER wf AS nb
+      FROM grid LEFT JOIN actual ON grid.k = actual.k AND grid.bucket = actual.bucket
+      WINDOW wb AS (PARTITION BY grid.k ORDER BY grid.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY grid.k ORDER BY grid.bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT k AS user_id, bucket,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE CAST(ROUND(CAST(
+                       pv + (nv - pv)
+                          * (CAST(epoch(bucket) - epoch(pb) AS DOUBLE)
+                             / CAST(epoch(nb) - epoch(pb) AS DOUBLE))
+                     AS DECIMAL(18,6)), 4) AS DOUBLE) END AS v_interp,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM j
+    """,
+    doc="Per-user daily grid with linear interpolation of interior gaps "
+        "(exact epoch-second weights, 4dp-pinned endpoints).",
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import resample_interpolate
+
+    return resample_interpolate(tables(spark, sf_dir)["events"], step="1 day")

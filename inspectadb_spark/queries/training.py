@@ -1046,3 +1046,28 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return centroid_separation(
         tables(spark, sf_dir)["embeddings"]).orderBy("la", "lb")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "q138b_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(ROUND(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS med
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, MAX(n) AS n, MAX(med) AS med,
+           CAST(ROUND(CAST(quantile_cont(ABS(CAST(value AS DOUBLE) - med), 0.5)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS mad
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="Median absolute deviation per event type: robust spread via two "
+        "percentile passes with the 4dp-pinned median broadcast between.",
+)
+def q138b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.quality import mad_stats
+
+    ev = tables(spark, sf_dir)["events"]
+    return mad_stats(ev, "event_type", "value").orderBy("event_type")
