@@ -381,3 +381,92 @@ def window_audio(
             yield pd.DataFrame(rows, columns=[id_col, "win_idx", "payload"])
 
     return df.mapInPandas(win, out_schema)
+
+
+# -- perceptual-hash near-duplicate detection ---------------------------------
+
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual hash (average-hash family): decode, block-average the
+    raster onto a ``grid``x``grid`` mosaic, set bit i iff block i's mean
+    exceeds the whole-image mean — a 64-bit fingerprint that survives
+    re-encoding and mild noise, unlike the byte-exact md5. With PIL present
+    the decode swaps to a real codec; the mosaic/threshold math is
+    unchanged. Returns (id_col, phash BIGINT).
+
+    Scale: pure projection in Arrow batches (no shuffle); the hash is the
+    64-bit signed reinterpretation so it parquet-packs as a plain long.
+    """
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("phash", LongType())]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = _decode_blob(bytes(blob))
+                img = px.reshape(h, w).astype(np.float64)
+                # block-average onto grid x grid (requires w, h >= grid;
+                # trailing remainder pixels fold into the last block)
+                ys = (np.arange(grid + 1) * h) // grid
+                xs = (np.arange(grid + 1) * w) // grid
+                blocks = np.array([
+                    img[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+                    for r in range(grid) for c in range(grid)
+                ])
+                bits = blocks > img.mean()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # reinterpret as signed 64-bit so it fits LongType
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append((int(i), val))
+            yield pd.DataFrame(rows, columns=[id_col, "phash"])
+
+    return df.mapInPandas(hash_batch, out_schema)
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded perceptual-hash match: split the
+    64-bit phash into ``n_bands`` equal bands; candidates share at least one
+    exact band; verify by full Hamming distance <= ``max_hamming``.
+
+    COMPLETE by pigeonhole for max_hamming < n_bands: a pair within the
+    Hamming budget differs in fewer bits than there are bands, so some band
+    is untouched and the equi-join finds it. Scale: the join keys on
+    (band_idx, band_bits) — uniform small keys, E[candidates] ~ n²/2^16 per
+    band for random content, never all-pairs; the verify is one codegen'd
+    bit_count(xor). Same banding scheme as MinHash-LSH, here with an exact
+    completeness guarantee instead of a probabilistic one.
+    """
+    assert 64 % n_bands == 0, "bands must evenly split 64 bits"
+    width = 64 // n_bands
+    bands = F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("phash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("bits"),
+        )
+        for b in range(n_bands)
+    ])).alias("bb")
+    keyed = hashed.select(F.col(id_col), F.col("phash"), bands) \
+        .select(id_col, "phash", "bb.band", "bb.bits")
+    a = keyed.select(F.col(id_col).alias("i1"), F.col("phash").alias("h1"),
+                     "band", "bits")
+    b = keyed.select(F.col(id_col).alias("i2"), F.col("phash").alias("h2"),
+                     "band", "bits")
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("i1") < F.col("i2"))
+        .select("i1", "i2", ham.alias("hamming"))
+        .distinct()  # a pair may share several bands
+        .filter(F.col("hamming") <= max_hamming)
+    )

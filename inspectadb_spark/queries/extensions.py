@@ -171,6 +171,32 @@ def q53c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q53d perceptual-hash near-dup over the image modality: phash via Arrow
+# batches (rows-only: the mosaic math is numpy), then banded candidate join
+# with a pigeonhole completeness guarantee (tests/test_multimodal.py checks
+# banding == brute force and perturbation tolerance).
+@query("q53d_image_phash_neardup", oracle=None)
+def q53d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.multimodal import (
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    d = tables(spark, sf_dir)["documents"]
+    # seed on doc_id mod 250: every raster appears (at least) twice, so the
+    # banded join provably surfaces the planted hamming-0 duplicates
+    # (independent rasters sit ~32 bits apart and never collide at <= 6)
+    blobs = attach_image_blobs(
+        d.select("doc_id", (F.col("doc_id") % 250).alias("img_seed")),
+        seed_col="img_seed", width=16, height=16,
+    )
+    return (
+        phash_near_dup_pairs(image_phash(blobs), max_hamming=6)
+        .orderBy("i1", "i2")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q54 data-quality profile over orders (int/string columns: min/max rendered
 # as strings identically in both engines; doubles excluded by design).
 _DQ_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")

@@ -152,3 +152,67 @@ def test_audio_windowing_covers_clip_with_hop(spark):
     src = [r for r in clips.collect() if r.doc_id == 0][0]
     _, full = _decode_audio(bytes(src.payload))
     assert (pcm == full[400:1200]).all()
+
+
+def test_phash_identical_and_perturbed_images(spark):
+    """Identical payloads hash equal (hamming 0); a mild perturbation of a
+    few blocks moves few bits and is caught within the banded budget; an
+    unrelated image is not reported."""
+    import struct
+
+    import numpy as np
+
+    from inspectadb_spark.operators.multimodal import (
+        MAGIC,
+        _decode_blob,
+        _encode_blob,
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    w = h = 16
+    base = _encode_blob(7, w, h)
+    # perturb: push the first two 2x2-ish blocks strongly bright — flips at
+    # most a couple of mosaic bits
+    _, _, px = _decode_blob(base)
+    arr = px.reshape(h, w).copy()
+    arr[0:2, 0:4] = 255
+    pert = MAGIC + struct.pack(">II", w, h) + arr.astype(np.uint8).tobytes()
+    other = _encode_blob(99, w, h)
+
+    rows = [(0, base), (1, base), (2, pert), (3, other)]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    hashed = image_phash(df)
+    hs = {r.doc_id: r.phash for r in hashed.collect()}
+    assert hs[0] == hs[1]  # determinism: same bytes -> same phash
+
+    pairs = {(r.i1, r.i2): r.hamming
+             for r in phash_near_dup_pairs(hashed, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and 1 <= pairs[(0, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+
+
+def test_phash_banding_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness: banded candidates find EVERY pair within the
+    Hamming budget (checked against the all-pairs answer on a small set)."""
+    from inspectadb_spark.operators.multimodal import (
+        attach_image_blobs,
+        image_phash,
+        phash_near_dup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.range(40).withColumnRenamed("id", "doc_id")
+    hashed = image_phash(attach_image_blobs(base)).cache()
+    got = {(r.i1, r.i2) for r in
+           phash_near_dup_pairs(hashed, max_hamming=3).collect()}
+    a = hashed.select(F.col("doc_id").alias("i1"), F.col("phash").alias("h1"))
+    b = hashed.select(F.col("doc_id").alias("i2"), F.col("phash").alias("h2"))
+    brute = {
+        (r.i1, r.i2)
+        for r in a.crossJoin(b).filter("i1 < i2")
+        .withColumn("hm", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter("hm <= 3").collect()
+    }
+    assert got == brute
