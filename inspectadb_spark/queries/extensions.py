@@ -770,3 +770,38 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.col("vec_id") == F.col("comp"))
     )
     return out.orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Q141 skew-safe aggregation as a VERIFIED corpus query: the two-level
+# salted groupBy (operators/scale.py) must produce byte-identical results to
+# the plain single-shuffle aggregate the oracle runs — the guarantee that
+# lets a cluster turn it on for a hot key without a correctness review.
+# Exact-decimal SUM keeps the merge associative; the salt is a row-content
+# hash (no RNG), so retries agree.
+@query(
+    "q141_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+           MIN(user_id) AS mn, MAX(user_id) AS mx
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Two-level salted aggregation over the skew-prone event_type key; "
+        "hash-verified equal to the plain aggregate (associative decimal "
+        "sum, deterministic content-hash salt).",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import two_level_agg
+
+    ev = tables(spark, sf_dir)["events"].withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)"))
+    out = two_level_agg(
+        ev,
+        ["event_type"],
+        {"n": "count(*)", "sv": "sum(value_dec)",
+         "mn": "min(user_id)", "mx": "max(user_id)"},
+    )
+    return out.select(
+        "event_type", "n", F.col("sv").cast("double").alias("sv"), "mn", "mx"
+    ).orderBy("event_type")

@@ -295,3 +295,72 @@ def test_p7_sequence_funnel_equals_bruteforce(spark, data):
         if any(et == "purchase" and t2 < ts <= dl for ts, _, et in evs):
             ref_done += 1
     assert (n_start, n_complete) == (ref_start, ref_done)
+
+
+# --------------------------------------------------------------------------
+# P6 — round-4 corpus-hygiene operator properties
+
+def test_p6_duplicated_spans_planted_copy(spark):
+    """A verbatim copy forces dup_frac = 1.0 on BOTH copies; a doc sharing
+    no 8-gram with anything stays at 0.0."""
+    from inspectadb_spark.operators.dedup import duplicated_spans
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    copy = base.limit(1).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    docs = base.select("doc_id", "text").unionByName(copy)
+    out = {r.doc_id: r for r in duplicated_spans(docs, w=8).collect()}
+    src = min(out)  # the copied original has the smallest id
+    assert out[src].dup_frac == 1.0
+    assert out[10_000 + src].dup_frac == 1.0
+    # every doc's fraction is a valid ratio
+    assert all(0.0 <= r.dup_frac <= 1.0 and r.n_dup <= r.n_spans
+               for r in out.values())
+
+
+def test_p6_vocab_growth_monotone_and_totals(spark):
+    """vocab_size is strictly increasing and ends at the distinct-gram
+    count; the n_new column sums to the same total."""
+    from inspectadb_spark.operators.text import vocabulary_growth, word_ngrams
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = vocabulary_growth(docs, n=3).orderBy("doc_id").collect()
+    sizes = [r.vocab_size for r in rows]
+    assert sizes == sorted(sizes) and len(set(sizes)) == len(sizes)
+    total = word_ngrams(docs, n=3).select("gram").distinct().count()
+    assert sizes[-1] == total == sum(r.n_new for r in rows)
+
+
+def test_p6_unigram_logprob_bounds_and_argmax(spark):
+    """Mean log-prob is <= 0 everywhere; a doc made ONLY of the corpus's
+    most frequent token scores strictly higher than every original doc."""
+    from inspectadb_spark.operators.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").limit(50)
+    top_tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count"), "t").first()["t"]
+    )
+    probe = spark.createDataFrame(
+        [(99_999, " ".join([top_tok] * 10))], "doc_id: long, text: string")
+    out = unigram_logprob(docs.unionByName(probe)).collect()
+    by_id = {r.doc_id: r.mean_logprob for r in out}
+    assert all(v <= 0 for v in by_id.values())
+    probe_score = by_id.pop(99_999)
+    assert probe_score >= max(by_id.values())
+
+
+def test_p6_kl_nonnegative_entropy_bounds(spark):
+    """KL(source || corpus) >= 0 (up to the 4dp quantization) and entropy
+    is within [0, ln(vocab)]."""
+    import math
+
+    from inspectadb_spark.operators.text import source_divergence
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vocab = docs.select(F.explode(F.split("text", " ")).alias("t")) \
+        .select("t").distinct().count()
+    for r in source_divergence(docs).collect():
+        assert r.kl_corpus >= -1e-3, r
+        assert 0.0 <= r.entropy <= math.log(vocab) + 1e-3, r
