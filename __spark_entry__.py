@@ -89,7 +89,8 @@ _TIER2 = [
     "q135_semantic_dedup", "q136_vocab_growth", "q137_cross_source_dups",
     "q138_winsorized_stats", "q138b_mad", "q139_centroid_separation",
     "q140_resample_interpolate", "q53d_image_phash_neardup",
-    "q141_salted_agg",
+    "q141_salted_agg", "q142_fuzzy_join", "q143_entity_resolution",
+    "q144_pagerank",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -17,6 +17,7 @@ from inspectadb_spark.queries import extensions  # noqa: F401  Q43c–Q56: neard
 from inspectadb_spark.queries import tpch        # noqa: F401  adapted TPC-H Q3–Q22
 from inspectadb_spark.queries import training    # noqa: F401  Q63–Q68 training-pipeline ops
 from inspectadb_spark.queries import stats       # noqa: F401  Q89–Q94 stat moments, sketches, window values
+from inspectadb_spark.queries import linkage     # noqa: F401  Q142–Q144 fuzzy join, entity resolution, PageRank
 
 
 def queries():

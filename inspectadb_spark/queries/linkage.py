@@ -1,0 +1,163 @@
+"""Record-linkage + graph queries (round-4 §2.2m additions): blocked fuzzy
+join (q142), star entity resolution (q143), integer-exact PageRank (q144).
+
+Oracle notes: ``levenshtein`` was probe-verified byte-identical between
+Spark and DuckDB on this corpus (q72 has carried the parity since round 2).
+PageRank avoids floats entirely — fixed-point BIGINT ranks with positive
+floor division (Spark ``DIV`` ≡ DuckDB ``//``), so the oracle mirrors the
+arithmetic term-for-term; DuckDB's SUM(BIGINT)→HUGEINT widening is cast
+back to BIGINT (the q21 lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.linkage import (
+    blocked_fuzzy_pairs,
+    pagerank,
+    resolve_entities,
+)
+from inspectadb_spark.operators.sessionize import session_transitions
+from inspectadb_spark.queries.registry import query, tables
+
+_FUZZY_PAIRS = """
+    SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+           a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q142 blocked fuzzy self-join: candidate pairs share the (brand, type)
+# blocking key — block sizes are bounded by catalog structure, so the
+# levenshtein verifier touches B·k² candidates, never n². One shuffle on
+# the block key; the verifier is JVM codegen (no Python).
+@query(
+    "q142_fuzzy_join",
+    oracle=f"{_FUZZY_PAIRS} ORDER BY id1, id2",
+    doc="Blocked fuzzy self-join on part names: (brand, type) blocking, "
+        "levenshtein ≤ 2 verification.",
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tables(spark, sf_dir)["part"]
+    return blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", ["p_brand", "p_type"], max_dist=2
+    ).orderBy("id1", "id2")
+
+
+# --------------------------------------------------------------------------
+# Q143 entity resolution: star canonicalization over the verified pairs —
+# every record adopts min(self, fuzzy neighbours). Single-hop (no
+# iteration): one symmetric union + groupBy-min + left join to the spine.
+@query(
+    "q143_entity_resolution",
+    oracle=f"""
+    WITH pr AS ({_FUZZY_PAIRS}),
+    sym AS (
+      SELECT id1 AS rec, id2 AS neigh FROM pr
+      UNION ALL
+      SELECT id2 AS rec, id1 AS neigh FROM pr),
+    best AS (SELECT rec, MIN(neigh) AS min_neigh FROM sym GROUP BY rec)
+    SELECT p.p_partkey,
+           LEAST(p.p_partkey, COALESCE(best.min_neigh, p.p_partkey)) AS canonical_id
+    FROM part p LEFT JOIN best ON p.p_partkey = best.rec
+    ORDER BY p.p_partkey
+    """,
+    doc="Dirty-catalog reconciliation: canonical id per part via star "
+        "canonicalization of the blocked fuzzy-match graph.",
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tables(spark, sf_dir)["part"]
+    pairs = blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", ["p_brand", "p_type"], max_dist=2
+    )
+    return resolve_entities(part, pairs, "p_partkey").orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Q144 PageRank over the session-transition graph (q82's edge list), 3
+# unrolled power iterations in fixed-point BIGINT — deterministic in any
+# engine with 64-bit floor division. Per-iteration cost: one node-sized
+# join + one groupBy sum; the rank vector never leaves executors.
+_Q82_EDGES = """
+    x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM x
+    ), t AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+             session_id,
+             LEAD(session_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_sess
+      FROM s
+    ), ed AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM t WHERE to_type IS NOT NULL AND to_sess = session_id
+      GROUP BY from_type, to_type
+    )
+"""
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    head = f"""
+    WITH {_Q82_EDGES},
+    nodes AS (
+      SELECT from_type AS node FROM ed UNION SELECT to_type FROM ed),
+    outw AS (SELECT from_type, SUM(n) AS out_w FROM ed GROUP BY from_type),
+    e AS (
+      SELECT from_type, to_type,
+             CAST(n * 1000000 // out_w AS BIGINT) AS p_ppm
+      FROM ed JOIN outw USING (from_type)),
+    nn AS (SELECT COUNT(*) AS c FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1000000000 // (SELECT c FROM nn) AS BIGINT) AS rank_ppb
+      FROM nodes)
+    """
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT nodes.node,
+             CAST((SELECT CAST(1000000000 AS BIGINT) * 15 // (100 * c) FROM nn)
+                  + COALESCE(i.inflow, 0) AS BIGINT) AS rank_ppb
+      FROM nodes LEFT JOIN (
+        SELECT e.to_type AS node,
+               CAST(SUM(r{i - 1}.rank_ppb * e.p_ppm * 85 // 100000000) AS BIGINT)
+                 AS inflow
+        FROM e JOIN r{i - 1} ON e.from_type = r{i - 1}.node
+        GROUP BY e.to_type) i
+      ON nodes.node = i.node)
+    """)
+    return (
+        head + "," + ",".join(steps)
+        + f" SELECT node, rank_ppb FROM r{iterations} ORDER BY node"
+    )
+
+
+@query(
+    "q144_pagerank",
+    oracle=_pagerank_oracle(3),
+    doc="Fixed-point PageRank (3 unrolled iterations) over the "
+        "session-transition graph; exact BIGINT arithmetic on both engines.",
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    edges = session_transitions(ev).select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n").alias("w"),
+    )
+    return pagerank(edges, iterations=3, damping_pct=85).orderBy("node")
