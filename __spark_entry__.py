@@ -90,7 +90,8 @@ _TIER2 = [
     "q138_winsorized_stats", "q138b_mad", "q139_centroid_separation",
     "q140_resample_interpolate", "q53d_image_phash_neardup",
     "q141_salted_agg", "q142_fuzzy_join", "q143_entity_resolution",
-    "q144_pagerank",
+    "q144_pagerank", "q145_skew_profile", "q146_zorder_layout",
+    "q147_bigram_logprob", "q148_embedding_quartiles",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -100,6 +100,74 @@ def bucketed_write(
     w.saveAsTable(table)
 
 
+def skew_profile(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Key-distribution diagnostics for shuffle planning: the top-k heavy
+    keys with integer-exact share and times-average factors.
+
+    This is the operator you run BEFORE choosing a salted_join /
+    two_level_agg treatment: it answers "is this key skewed, and by how
+    much" with one groupBy + a broadcast of 1-row global stats.  All
+    derived measures are integer floor arithmetic (share in ppm, skew as
+    x-average ×100), so the profile is byte-identical on any engine and
+    any partitioning.  Output: rank, key (stringified), cnt, share_ppm,
+    x_avg_x100.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_n_keys")
+    )
+    from pyspark.sql import Window
+
+    top = (
+        counts.orderBy(F.col("cnt").desc(), "key")
+        .limit(top_k)
+        .join(F.broadcast(stats))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "key"))
+            .cast("int")
+            .alias("rank"),
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000 DIV _total").alias("share_ppm"),
+            F.expr("cnt * 100 * _n_keys DIV _total").alias("x_avg_x100"),
+        )
+    )
+    return top
+
+
+def zorder_key(x: str, y: str, bits: int = 8):
+    """Morton (z-order) interleave of two pre-quantized coordinates as a
+    Column — pure integer arithmetic (DIV/%/×), so the key is byte-identical
+    in any engine; no bit-op dialect differences.
+
+    Z-ordering is the multi-dimensional clustering layout (Delta/Iceberg
+    OPTIMIZE ZORDER): range-partitioning + sorting by the interleaved key
+    co-locates rows that are close in BOTH dimensions, so scans filtering
+    on either column prune most files. Inputs must already be quantized to
+    [0, 2^bits); the caller owns the quantization (it is domain knowledge).
+    """
+    terms = []
+    for j in range(bits):
+        terms.append(f"(({x} DIV {1 << j}) % 2) * {1 << (2 * j)}")
+        terms.append(f"(({y} DIV {1 << j}) % 2) * {1 << (2 * j + 1)}")
+    return F.expr(" + ".join(terms))
+
+
+def cluster_by_zorder(
+    df: DataFrame, x: str, y: str, bits: int = 8, num_partitions: int = 32
+) -> DataFrame:
+    """Repartition-by-range + in-partition sort on the z-order key: the
+    write-side layout operator. Each output file then covers a compact
+    rectangle of (x, y) space — the property the q146 locality audit pins."""
+    keyed = df.withColumn("_zkey", zorder_key(x, y, bits))
+    return keyed.repartitionByRange(num_partitions, "_zkey").sortWithinPartitions(
+        "_zkey"
+    )
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The physical plan as a string (for plan audits / shuffle counting)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]

@@ -325,6 +325,71 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lam: float = 0.7) -> DataFrame:
+    """Interpolated bigram language-model score (the next step up from
+    ``unigram_logprob``): per-document mean log-probability of each token
+    given its predecessor, p = λ·c(prev,cur)/c(prev) + (1−λ)·c(cur)/total.
+    Interpolation with the unigram model means unseen bigrams never hit
+    log(0); the first token of each document is unscored (no context).
+
+    Determinism: identical arithmetic expression text on both engines
+    (double IEEE ops bind left-to-right), per-token quantization before the
+    per-doc sum — the q132 two-step (DECIMAL(18,6) cast then ROUND 4).
+
+    Scale shape: bigram pairs come from the token ARRAY by index (zero
+    shuffle — no window/lag needed); the bigram and unigram count tables
+    are Heaps'-law bounded and broadcast; one final per-doc rollup.
+    """
+    tk = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("tk"))
+    toks = tk.select(F.col(id_col), F.explode("tk").alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    total = toks.agg(F.count("*").alias("tot"))
+    bi = (
+        tk.filter(F.size("tk") >= 2)
+        .select(
+            F.col(id_col),
+            F.expr("explode(sequence(2, size(tk)))").alias("i"),
+            F.col("tk"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr("element_at(tk, i - 1)").alias("prev"),
+            F.expr("element_at(tk, i)").alias("cur"),
+        )
+    )
+    c2 = bi.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    scored = (
+        bi.join(F.broadcast(c2), ["prev", "cur"])
+        .join(F.broadcast(vocab.withColumnRenamed("tok", "prev")
+                          .withColumnRenamed("c1", "c1p")), "prev")
+        .join(F.broadcast(vocab.withColumnRenamed("tok", "cur")
+                          .withColumnRenamed("c1", "c1c")), "cur")
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(
+                # CAST the λ literals to DOUBLE: a bare 0.7 parses as DECIMAL
+                # in both dialects but their decimal-arithmetic scale rules
+                # differ; doubles make the whole chain IEEE left-assoc.
+                F.expr(f"ln(CAST({lam} AS DOUBLE) * c2 / c1p"
+                       f" + CAST({1.0 - lam:.1f} AS DOUBLE) * c1c / tot)")
+                .cast("decimal(18,6)"), 4
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("_s"))
+        .select(
+            F.col(id_col), "n_bigrams",
+            F.round((F.col("_s").cast("double") / F.col("n_bigrams"))
+                    .cast("decimal(18,6)"), 4)
+            .cast("double").alias("mean_logprob"),
+        )
+    )
+
+
 def ngram_novelty(docs: DataFrame, n: int = 5, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Incremental-corpus novelty: the fraction of a document's DISTINCT

@@ -337,3 +337,128 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("value").cast("double").alias("hi"))
         .orderBy("event_type", "bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Q145 key-skew profile of the events.user_id shuffle key: the diagnostic a
+# planner consults before picking salted_join / two_level_agg. All derived
+# measures are integer floor arithmetic — byte-identical across engines.
+@query(
+    "q145_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+      FROM events GROUP BY user_id),
+    s AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM counts),
+    top AS (
+      SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 5)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT) AS rank,
+           key, cnt,
+           CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(cnt * 100 * n_keys // total AS BIGINT) AS x_avg_x100
+    FROM top CROSS JOIN s
+    ORDER BY rank
+    """,
+    doc="Top-5 heavy keys of the user_id shuffle key with integer-exact "
+        "share (ppm) and times-average (×100) factors.",
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import skew_profile
+
+    return skew_profile(tables(spark, sf_dir)["events"], "user_id", top_k=5)
+
+
+# --------------------------------------------------------------------------
+# Q146 z-order layout audit: Morton-interleave (user bucket × hour bucket),
+# bucket the key space, and report per-bucket coordinate envelopes — small
+# envelopes are WHY a z-ordered file layout prunes scans on either column.
+# The key is pure integer arithmetic (DIV/%/×): no bit-op dialect drift.
+_Q146_Z = " + ".join(
+    f"((ux DIV {1 << j}) % 2) * {1 << (2 * j)}"
+    f" + ((hx DIV {1 << j}) % 2) * {1 << (2 * j + 1)}"
+    for j in range(8)
+)
+
+
+@query(
+    "q146_zorder_layout",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id % 256 AS ux,
+             (epoch_us(ts) // 3600000000) % 256 AS hx
+      FROM events),
+    z AS (
+      SELECT ux, hx, ({_Q146_Z.replace("DIV", "//")}) AS zkey FROM c)
+    SELECT CAST(zkey // 1024 AS BIGINT) AS bucket, COUNT(*) AS n,
+           CAST(MIN(ux) AS BIGINT) AS ux_lo, CAST(MAX(ux) AS BIGINT) AS ux_hi,
+           CAST(MIN(hx) AS BIGINT) AS hx_lo, CAST(MAX(hx) AS BIGINT) AS hx_hi
+    FROM z GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Z-order clustering audit: per-1024-key bucket row counts and "
+        "coordinate envelopes over (user, hour) Morton keys.",
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import zorder_key
+
+    ev = tables(spark, sf_dir)["events"]
+    c = ev.select(
+        (F.col("user_id") % 256).alias("ux"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 % 256")
+        .alias("hx"),
+    )
+    z = c.withColumn("zkey", zorder_key("ux", "hx", bits=8))
+    return (
+        z.groupBy(F.expr("zkey DIV 1024").cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.min("ux").cast("bigint").alias("ux_lo"),
+             F.max("ux").cast("bigint").alias("ux_hi"),
+             F.min("hx").cast("bigint").alias("hx_lo"),
+             F.max("hx").cast("bigint").alias("hx_hi"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q148 per-dimension quartile discretization of the embedding space — the
+# feature-binning step of a training pipeline. Floats are integer-quantized
+# first (the q125 technique), quartiles assigned by ntile(4) over the
+# deterministic (q, vec_id) order, envelopes reported per (dim, quartile).
+@query(
+    "q148_embedding_quartiles",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+      FROM embeddings),
+    t AS (
+      SELECT pos, q,
+             CAST(NTILE(4) OVER (PARTITION BY pos ORDER BY q, vec_id) AS INT)
+               AS quartile
+      FROM x)
+    SELECT pos, quartile, COUNT(*) AS n,
+           MIN(q) AS q_lo, MAX(q) AS q_hi
+    FROM t WHERE pos < 8 GROUP BY pos, quartile ORDER BY pos, quartile
+    """,
+    doc="Quartile feature binning over the first 8 embedding dims: "
+        "integer-quantized values, deterministic ntile boundaries.",
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables(spark, sf_dir)["embeddings"]
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id", "pos",
+        F.round(F.col("v").cast("double") * 10000).cast("bigint").alias("q"),
+    ).filter(F.col("pos") < 8)
+    t = x.withColumn(
+        "quartile",
+        F.ntile(4).over(Window.partitionBy("pos").orderBy("q", "vec_id"))
+        .cast("int"),
+    )
+    return (
+        t.groupBy("pos", "quartile")
+        .agg(F.count("*").alias("n"),
+             F.min("q").alias("q_lo"), F.max("q").alias("q_hi"))
+        .orderBy("pos", "quartile")
+    )

@@ -1071,3 +1071,46 @@ def q138b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables(spark, sf_dir)["events"]
     return mad_stats(ev, "event_type", "value").orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q147 interpolated bigram-LM quality score — the next model up from q132's
+# unigram: p(cur|prev) = 0.7·c2/c1(prev) + 0.3·c1(cur)/total. Bigram pairs
+# come straight from the token array by index (zero shuffle); both count
+# tables are Heaps'-law bounded broadcasts; per-token quantization before
+# the per-doc sum keeps the aggregate order-exact on both engines.
+@query(
+    "q147_bigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    toks AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+    vocab AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS tot FROM toks),
+    bi AS (
+      SELECT doc_id, tk[i - 1] AS prev, tk[i] AS cur
+      FROM t, UNNEST(generate_series(2, len(tk))) AS u(i)
+      WHERE len(tk) >= 2),
+    c2t AS (SELECT prev, cur, COUNT(*) AS c2 FROM bi GROUP BY prev, cur),
+    lp AS (
+      SELECT doc_id,
+             ROUND(CAST(ln(CAST(0.7 AS DOUBLE) * c2 / c1p
+                           + CAST(0.3 AS DOUBLE) * c1c / tot)
+                        AS DECIMAL(18,6)), 4) AS lp
+      FROM bi
+      JOIN c2t USING (prev, cur)
+      JOIN (SELECT tok AS prev, c1 AS c1p FROM vocab) vp USING (prev)
+      JOIN (SELECT tok AS cur, c1 AS c1c FROM vocab) vc USING (cur)
+      CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(ROUND(CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS mean_logprob
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Interpolated bigram language-model score per document: "
+        "λ·bigram + (1−λ)·unigram, per-token decimal quantization.",
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import bigram_logprob
+
+    docs = tables(spark, sf_dir)["documents"]
+    return bigram_logprob(docs).orderBy("doc_id")

@@ -1,0 +1,91 @@
+"""Unit/property tests for the round-4 scale/layout/LM operators:
+skew_profile, zorder_key/cluster_by_zorder (operators/scale.py) and
+bigram_logprob (operators/text.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.scale import (
+    cluster_by_zorder,
+    skew_profile,
+    zorder_key,
+)
+from inspectadb_spark.operators.text import bigram_logprob
+
+
+def test_skew_profile_hand_case(spark):
+    df = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,)], ["k"])
+    rows = {r.rank: r for r in skew_profile(df, "k", top_k=5).collect()}
+    assert rows[1].key == "1" and rows[1].cnt == 3
+    assert rows[1].share_ppm == 600000  # 3/5
+    assert rows[1].x_avg_x100 == 180    # 3 vs avg 5/3
+    assert rows[2].key == "2" and rows[2].share_ppm == 200000
+    assert rows[3].key == "3" and rows[3].x_avg_x100 == 60
+
+
+def _deinterleave(z: int) -> tuple[int, int]:
+    x = y = 0
+    for j in range(8):
+        x |= ((z >> (2 * j)) & 1) << j
+        y |= ((z >> (2 * j + 1)) & 1) << j
+    return x, y
+
+
+def test_zorder_key_roundtrips(spark):
+    pts = [(i * 37 % 256, i * 91 % 256) for i in range(64)]
+    df = spark.createDataFrame(pts, ["x", "y"]).withColumn(
+        "z", zorder_key("x", "y", bits=8)
+    )
+    for r in df.collect():
+        assert _deinterleave(r.z) == (r.x, r.y)
+
+
+def test_cluster_by_zorder_partitions_are_compact(spark):
+    """Every range partition of the z-ordered layout covers a compact
+    rectangle: for 8-bit coords, a contiguous zkey run of length L spans at
+    most ~2*sqrt(L) in each coordinate (quadrant nesting)."""
+    pts = [(i % 256, (i * 7 + 3) % 256) for i in range(2048)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    part = cluster_by_zorder(df, "x", "y", bits=8, num_partitions=16)
+    spans = (
+        part.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    # 2048 points over 16 partitions → ~128 rows each; without z-ordering a
+    # random split spans ~255 in both dims. Allow the quadrant-boundary 2×.
+    assert all(r.dx <= 128 and r.dy <= 128 for r in spans if r.n >= 8)
+
+
+def test_bigram_logprob_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c c"), (3, "a")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    # corpus: c1(a)=2, c1(b)=2, c1(c)=3, tot=7
+    # c2: (a,b)=1, (b,c)=2, (c,c)=1 — asymmetric on purpose.
+    # Reference mirrors the engines' DECIMAL HALF_UP quantization (Python's
+    # round() is half-even and drifts on the .xxxx5 boundaries).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q4(v: float) -> float:
+        return float(
+            Decimal(str(round(v, 6))).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    def lp(c2, c1p, c1c):
+        return q4(math.log(0.7 * c2 / c1p + 0.3 * c1c / 7))
+
+    d1 = q4((lp(1, 2, 2) + lp(2, 2, 3)) / 2)  # "a b" then "b c"
+    d2 = q4((lp(2, 2, 3) + lp(1, 3, 3)) / 2)  # "b c" then "c c"
+    assert got[1].n_bigrams == 2 and abs(got[1].mean_logprob - d1) < 1e-9
+    assert got[2].n_bigrams == 2 and abs(got[2].mean_logprob - d2) < 1e-9
+    assert 3 not in got  # single-token doc has no scored bigrams
