@@ -576,3 +576,52 @@ def centroid_separation(
         "la", "lb",
         F.round(cos.cast("decimal(18,6)"), 4).cast("double").alias("cos"),
     )
+
+
+def embedding_covariance(
+    vectors: DataFrame,
+    dims: int = 16,
+    scale: int = 10_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the first ``dims`` embedding
+    dimensions, integer-exact until the final division — the input to a
+    PCA/whitening step of an embedding pipeline.
+
+    Uses the q125 quantization (ROUND(x·scale) → BIGINT, boundary-free for
+    float32 inputs), then pure integer sufficient statistics per (i, j):
+    cov_num = n·Σqiqj − Σqi·Σqj. Pair expansion is two chained explodes
+    over index sequences — zero shuffle, dims·(dims−1)/2 rows per vector —
+    and the aggregation is one map-side-combinable groupBy on (i, j), so
+    the shuffle carries O(dims² × partitions) rows at any corpus size.
+    BIGINT bounds: |q| ≤ scale·|x|; Σqiqj ≤ n·(scale·|x|)² — at 1e12 rows
+    with |x| ≤ 1 that is 1e20, so promote the two SUMs to DECIMAL(38,0)
+    beyond ~9e10 rows (same rule as elsewhere in this module).
+
+    Output: (i, j, n, cov_q) with cov_q in quantized units² (divide by
+    scale² for raw units), 4 dp.
+    """
+    q = F.expr(
+        f"transform(slice({vec_col}, 1, {dims}),"
+        f" x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    e = vectors.select(q.alias("q"))
+    pp = (
+        e.select("q", F.expr(f"explode(sequence(0, {dims - 2}))").alias("i"))
+        .select("q", "i", F.expr(f"explode(sequence(i + 1, {dims - 1}))").alias("j"))
+    )
+    s = pp.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.expr("SUM(element_at(q, i + 1) * element_at(q, j + 1))").alias("sxy"),
+        F.expr("SUM(element_at(q, i + 1))").alias("sx"),
+        F.expr("SUM(element_at(q, j + 1))").alias("sy"),
+    )
+    return s.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "n",
+        F.round(
+            (F.expr("CAST(n * sxy - sx * sy AS DOUBLE)") / F.col("n") / F.col("n"))
+            .cast("decimal(18,6)"), 4
+        ).cast("double").alias("cov_q"),
+    )

@@ -462,3 +462,37 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("q").alias("q_lo"), F.max("q").alias("q_hi"))
         .orderBy("pos", "quartile")
     )
+
+
+# --------------------------------------------------------------------------
+# Q149 upper-triangle covariance of the first 16 embedding dims — the
+# sufficient-statistics input to PCA/whitening. Integer-exact: q125
+# quantization, BIGINT sums, cov_num = n·Σqiqj − Σqi·Σqj; the only double
+# op is the final division, identical left-assoc on both engines.
+@query(
+    "q149_embedding_covariance",
+    oracle="""
+    WITH e AS (
+      SELECT list_transform(embedding[1:16],
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+               AS q
+      FROM embeddings),
+    p AS (SELECT q, unnest(generate_series(0, 14)) AS i FROM e),
+    pp AS (SELECT q, i, unnest(generate_series(i + 1, 15)) AS j FROM p),
+    s AS (SELECT i, j, COUNT(*) AS n,
+            CAST(SUM(q[i + 1] * q[j + 1]) AS BIGINT) AS sxy,
+            CAST(SUM(q[i + 1]) AS BIGINT) AS sx,
+            CAST(SUM(q[j + 1]) AS BIGINT) AS sy
+          FROM pp GROUP BY i, j)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+           CAST(ROUND(CAST(CAST(n * sxy - sx * sy AS DOUBLE) / n / n
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS cov_q
+    FROM s ORDER BY i, j
+    """,
+    doc="Integer-exact covariance matrix (upper triangle, dims 0–15) over "
+        "quantized embeddings — PCA sufficient statistics.",
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(tables(spark, sf_dir)["embeddings"]).orderBy("i", "j")

@@ -14,7 +14,7 @@ from inspectadb_spark.streaming.windows import (
     stream_dedup,
 )
 from inspectadb_spark.streaming.cdc_stream import StreamingCdcApply
-from inspectadb_spark.streaming.incremental import IncrementalAggregate
+from inspectadb_spark.streaming.incremental import IncrementalAggregate, StreamingCms
 from inspectadb_spark.streaming.tws_cdc import streaming_cdc_latest
 
 __all__ = [
@@ -24,5 +24,6 @@ __all__ = [
     "stream_dedup",
     "StreamingCdcApply",
     "IncrementalAggregate",
+    "StreamingCms",
     "streaming_cdc_latest",
 ]

@@ -153,3 +153,44 @@ class IncrementalAggregate:
         if available_now:
             w = w.trigger(availableNow=True)
         return w.start(**options)
+
+
+class StreamingCms(IncrementalAggregate):
+    """Incrementally-maintained Count-Min frequency sketch over a stream —
+    the q84/q94 mergeable-sketch story in streaming form.
+
+    Each micro-batch contributes its own (d, bucket, cnt) grid (bounded:
+    ≤ depth×width rows regardless of batch size) and the foreachBatch merge
+    is element-wise SUM — CMS merge is lossless, so after draining any
+    chunking of the input the persisted grid equals the batch-built sketch
+    over the same rows EXACTLY (asserted in S23). Inherits the
+    (checkpoint, batch_id) re-delivery guard: additive sketch merges are
+    not idempotent, so the crash window is closed the same way.
+
+    State size: depth×width rows forever, independent of stream history —
+    the sketch is the 100 TB answer to per-key COUNT(*) rollups whose key
+    cardinality would blow up exact state.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        col: str,
+        depth: int = 4,
+        width: int = 256,
+        salt: str = "cms",
+    ) -> None:
+        super().__init__(
+            spark,
+            state_dir,
+            key_exprs={"d": "d", "bucket": "bucket"},
+            measures=[("cnt", "count", "*")],
+        )
+        self._cms_args = (col, depth, width, salt)
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        from inspectadb_spark.operators.sketches import cms_sketch
+
+        col, depth, width, salt = self._cms_args
+        return cms_sketch(batch, col, depth, width, salt)

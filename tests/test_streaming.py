@@ -1133,3 +1133,29 @@ def test_s22_streaming_mixture_enforcement(spark, tmp_path):
         .filter("_keep").select("doc_id", "source")
     )
     assert want == _rows(one_shot)
+
+
+# S23 incrementally-maintained Count-Min sketch: after draining the chunked
+# replay, the persisted grid must EXACTLY equal the batch-built sketch over
+# the same rows (CMS merge is lossless element-wise addition), and point
+# estimates must upper-bound exact counts (the CMS guarantee).
+def test_s23_streaming_cms_equals_batch(spark, replay_dir, tmp_path):
+    from inspectadb_spark.operators.sketches import cms_estimate, cms_sketch
+    from inspectadb_spark.streaming.incremental import StreamingCms
+
+    cms = StreamingCms(spark, str(tmp_path / "state"), col="event_type")
+    q = cms.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    grid = cms.table()
+    batch = spark.read.parquet(replay_dir)
+    want = cms_sketch(batch, "event_type")
+    assert _rows(grid.select("d", "bucket", "cnt")) == _rows(want)
+
+    exact = batch.groupBy("event_type").agg(F.count("*").alias("true_n"))
+    est = cms_estimate(grid, exact.select("event_type"), "event_type")
+    joined = est.join(exact, "event_type").collect()
+    assert len(joined) > 0
+    assert all(r.est >= r.true_n for r in joined)
