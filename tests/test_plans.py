@@ -382,3 +382,38 @@ def test_q134_divergence_plan_shape(spark):
             and "Reused" not in ln]
     corpus_sized = [ln for ln in live if "source#" in ln and "tok#" in ln]
     assert len(corpus_sized) == 1, f"corpus shuffle not reused: {corpus_sized}"
+
+
+def test_round4c_linkage_and_layout_plan_shapes(spark):
+    """Plan pins for q142–q149 (linkage, layout, LM, covariance)."""
+    # q142 fuzzy join: candidates come from an equi-join on the block key —
+    # never a cartesian; levenshtein runs post-join (JVM, no Python).
+    plan = _plan(spark, "q142_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    # q144 pagerank: every per-iteration join is against a node-table-sized
+    # frame — broadcasts, not fact shuffles.
+    assert "BroadcastHashJoin" in _plan(spark, "q144_pagerank")
+    # q146 z-order layout: Morton key is pure projection — the whole audit
+    # is ONE aggregation shuffle + the final sort.
+    from inspectadb_spark.queries.registry import REGISTRY as _R
+
+    n = count_exchanges(_R["q146_zorder_layout"].builder(spark, SF_DIR))
+    assert n <= 2, f"q146: {n} exchanges"
+    # q147 bigram LM: all three count-table joins broadcast; the token/pair
+    # streams are never shuffled for the joins.
+    assert "BroadcastHashJoin" in _plan(spark, "q147_bigram_logprob")
+    # q149 covariance: chained explodes are pipelined — the only exchanges
+    # are the (i, j) agg and the final order-by.
+    n = count_exchanges(_R["q149_embedding_covariance"].builder(spark, SF_DIR))
+    assert n <= 2, f"q149: {n} exchanges"
+
+
+def test_cluster_by_zorder_single_range_exchange(spark):
+    from inspectadb_spark.operators.scale import cluster_by_zorder
+
+    df = spark.range(1000).selectExpr("id % 256 AS x", "(id * 7) % 256 AS y")
+    out = cluster_by_zorder(df, "x", "y", bits=8, num_partitions=8)
+    assert count_exchanges(out) == 1  # exactly the one range shuffle
+    plan = explain_str(out, "simple")
+    assert "rangepartitioning" in plan.lower()
