@@ -26,47 +26,81 @@ def asof_join(
     right_ts: str,
     payload_cols: Sequence[str],
     inclusive: bool = True,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """For each ``right`` row, attach the payload of the latest ``left`` row
-    with ``left_ts <= right_ts`` (same ``on`` keys). ``inclusive=False`` makes
-    the match strict (``<``).
+    """For each ``right`` row, attach the payload of the matching ``left``
+    row: the latest with ``left_ts <= right_ts`` (``direction="backward"``,
+    default) or the earliest with ``left_ts >= right_ts``
+    (``direction="forward"``). ``inclusive=False`` makes the match strict.
+    ``tolerance_us`` bounds the match distance in exact microseconds —
+    beyond it the payload is NULL (pandas ``merge_asof(tolerance=...)``
+    semantics; applied post-match, so it equals "no match within
+    tolerance").
 
-    Returns all ``right`` columns plus ``payload_cols`` (NULL when no prior
-    left row exists).
+    Returns all ``right`` columns plus ``payload_cols`` (NULL when no
+    matching left row exists). Same union-merge scale shape in both
+    directions: one shuffle on the key, one in-partition sort.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     on = list(on)
     payload_cols = list(payload_cols)
-    # side marker orders left rows before right rows at equal timestamps for
-    # inclusive matches, after them for strict matches.
-    left_side = 0 if inclusive else 1
+    # Side markers order left rows so that at EQUAL timestamps the left row
+    # is inside the carry window iff the match is inclusive:
+    #   backward carries over (unbounded preceding → current row),
+    #   forward over (current row → unbounded following).
+    if direction == "backward":
+        left_side = 0 if inclusive else 1
+    else:
+        left_side = 1 if inclusive else 0
     right_side = 1 - left_side
+
+    carry = list(payload_cols)
+    if tolerance_us is not None:
+        carry.append("_match_ts")  # the matched row's own ts, for distance
+
+    def _lcol(c):
+        return F.col(left_ts) if c == "_match_ts" else F.col(c)
 
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(left_side).alias("_side"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        *[_lcol(c).alias(f"_p_{c}") for c in carry],
     )
     r_tagged = right.select(
         "*",
         F.col(right_ts).alias("_ts"),
         F.lit(right_side).alias("_side"),
-        *[F.lit(None).alias(f"_p_{c}") for c in payload_cols],
+        *[F.lit(None).alias(f"_p_{c}") for c in carry],
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(*on).orderBy("_ts", "_side")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
     carried = merged.select(
-        "*",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        "*", *[pick(f"_p_{c}").alias(c) for c in carry]
     )
+    if tolerance_us is not None:
+        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        if direction == "backward":
+            dist = us(F.col("_ts")) - us(F.col("_match_ts"))
+        else:
+            dist = us(F.col("_match_ts")) - us(F.col("_ts"))
+        carried = carried.select(
+            *[c for c in carried.columns if c not in payload_cols],
+            *[
+                F.when(dist <= tolerance_us, F.col(c)).alias(c)
+                for c in payload_cols
+            ],
+        )
     keep_right = [c for c in right.columns]
     return carried.filter(F.col("_side") == right_side).select(*keep_right, *payload_cols)
 

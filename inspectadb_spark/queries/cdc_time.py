@@ -1237,3 +1237,42 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.timeseries import resample_interpolate
 
     return resample_interpolate(tables(spark, sf_dir)["events"], step="1 day")
+
+
+# --------------------------------------------------------------------------
+# Q150 FORWARD as-of with tolerance (the q13 mirror): each click is
+# enriched with the NEXT purchase by the same user within one hour —
+# pandas merge_asof(direction='forward', tolerance=1h) semantics. Oracle
+# uses DuckDB's native ASOF (direction from the inequality) + post-match
+# tolerance CASE, which is exactly how the operator applies it.
+@query(
+    "q150_asof_forward",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, ts AS pts, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN p.pts IS NOT NULL
+                 AND epoch_us(p.pts) - epoch_us(c.ts) <= 3600000000
+                THEN p.value END AS p_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts <= p.pts
+    ORDER BY c.event_id
+    """,
+    doc="Forward as-of join with 1-hour tolerance: next purchase value per "
+        "click; union-merge formulation, one shuffle + one sort.",
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.asof import asof_join
+
+    ev = tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("p_value"))
+    return asof_join(
+        purch, clicks, ["user_id"], "ts", "ts", ["p_value"],
+        direction="forward", tolerance_us=3_600_000_000,
+    ).orderBy("event_id")

@@ -129,3 +129,53 @@ def test_nearest_join_equal_ts_clicks_break_on_tiebreak_col(spark):
     # last over (ts, side, click_id asc) -> the larger click_id wins,
     # deterministically
     assert out.collect()[0].click_id == 7
+
+
+def test_asof_forward_inclusive(spark):
+    prices, trades = _fixture(spark)
+    out = asof_join(
+        prices, trades, on=["k"], left_ts="ts", right_ts="ts",
+        payload_cols=["price"], direction="forward",
+    )
+    got = {(r["k"], r["trade"]): r["price"] for r in out.collect()}
+    assert got == {
+        ("A", "t0"): 10.0,     # earliest price at/after ts=0 is ts=1
+        ("A", "t1"): 11.0,     # inclusive: price at ts=5 matches
+        ("A", "t2"): 12.0,     # next price after ts=7 is ts=9
+        ("B", "t3"): 100.0,
+        ("B", "t4"): None,     # no price at/after ts=9 for B
+    }
+
+
+def test_asof_forward_strict(spark):
+    prices, trades = _fixture(spark)
+    out = asof_join(
+        prices, trades, on=["k"], left_ts="ts", right_ts="ts",
+        payload_cols=["price"], direction="forward", inclusive=False,
+    )
+    got = {(r["k"], r["trade"]): r["price"] for r in out.collect()}
+    assert got[("A", "t1")] == 12.0  # strict: ts=5 price excluded, next is ts=9
+
+
+def test_asof_backward_tolerance(spark):
+    prices, trades = _fixture(spark)
+    out = asof_join(
+        prices, trades, on=["k"], left_ts="ts", right_ts="ts",
+        payload_cols=["price"], tolerance_us=2_000_000,  # 2 s
+    )
+    got = {(r["k"], r["trade"]): r["price"] for r in out.collect()}
+    assert got[("A", "t2")] == 11.0   # ts=7 matches ts=5 at distance 2 s
+    assert got[("B", "t4")] is None   # ts=9 vs ts=4: beyond tolerance
+    assert got[("A", "t1")] == 11.0   # distance 0 always inside tolerance
+
+
+def test_asof_forward_tolerance(spark):
+    prices, trades = _fixture(spark)
+    out = asof_join(
+        prices, trades, on=["k"], left_ts="ts", right_ts="ts",
+        payload_cols=["price"], direction="forward", tolerance_us=1_000_000,
+    )
+    got = {(r["k"], r["trade"]): r["price"] for r in out.collect()}
+    assert got[("A", "t0")] == 10.0   # ts=0 → price ts=1, distance 1 s
+    assert got[("A", "t2")] is None   # ts=7 → price ts=9, distance 2 s > tol
+    assert got[("B", "t3")] == 100.0  # ts=3 → price ts=4
