@@ -92,7 +92,8 @@ _TIER2 = [
     "q141_salted_agg", "q142_fuzzy_join", "q143_entity_resolution",
     "q144_pagerank", "q145_skew_profile", "q146_zorder_layout",
     "q147_bigram_logprob", "q148_embedding_quartiles",
-    "q149_embedding_covariance", "q150_asof_forward",
+    "q149_embedding_covariance", "q150_asof_forward", "q151_attribution",
+    "q152_streaks", "q153_triangles", "q154_copurchase_pairs",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -162,3 +162,54 @@ def pagerank(
             )
         )
     return ranks
+
+
+def count_triangles(pairs: DataFrame, a: str = "id1", b: str = "id2") -> DataFrame:
+    """Exact triangle count over an undirected edge list stored as
+    (a < b) pairs — the standard two-join formulation: a triangle
+    {x < y < z} appears exactly once as E(x,y) ⋈ E(y,z) ⋈ E(x,z).
+
+    Scale shape: the id-ordering IS the degree-style orientation that stops
+    double counting; both joins are equi-joins on node ids (uniform keys).
+    At 100 TB-scale graphs, pre-orient by degree instead of raw id (hub
+    nodes get out-degree ≤ O(√m)) — same plan, different orientation
+    column. Output: one row, n_triangles.
+    """
+    e1 = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    e2 = pairs.select(F.col(a).alias("y"), F.col(b).alias("z"))
+    e3 = pairs.select(F.col(a).alias("x"), F.col(b).alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(e3, ["x", "z"])
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def cooccurrence_pairs(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Market-basket co-occurrence: for each unordered pair of distinct
+    items sharing a basket, the number of baskets containing both — the
+    support table behind association-rule mining.
+
+    Shape: distinct (basket, item) first (so quantity repeats never
+    inflate support), then a self-equi-join on the basket key with
+    item1 < item2 — per-basket pair count is |basket|², bounded by basket
+    size, never corpus size. One groupBy on the pair, top-k via
+    TakeOrderedAndProject. Hot baskets (one basket with 1e6 items) are the
+    skew case: cap or salt the basket key — see SCALE.md.
+    """
+    base = items.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    a = base.select("basket", F.col("item").alias("item1"))
+    bside = base.select("basket", F.col("item").alias("item2"))
+    return (
+        a.join(bside, "basket")
+        .filter(F.col("item1") < F.col("item2"))
+        .groupBy("item1", "item2")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "item1", "item2")
+        .limit(top_k)
+    )

@@ -382,3 +382,27 @@ def resample_interpolate(
         F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0))
         .cast("int").alias("is_gap"),
     )
+
+
+def activity_streaks(
+    df: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streak statistics.
+
+    The classic anchor-date trick — day − row_number() is constant within a
+    run of consecutive days — makes the whole computation two aggregations
+    over ONE user-keyed shuffle (the distinct, the window and both groupBys
+    all share the user partitioning; no self-join, no day-range explode).
+    Output: (user, n_active_days, n_streaks, longest_streak).
+    """
+    days = df.select(
+        F.col(user_col), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    w = Window.partitionBy(user_col).orderBy("day")
+    grp = days.withColumn("grp", F.date_sub("day", F.row_number().over(w)))
+    streaks = grp.groupBy(user_col, "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy(user_col).agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )

@@ -1276,3 +1276,79 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         purch, clicks, ["user_id"], "ts", "ts", ["p_value"],
         direction="forward", tolerance_us=3_600_000_000,
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Q151 last-touch revenue attribution: each purchase is attributed to the
+# latest NON-purchase event by the same user within 24 h (backward as-of +
+# tolerance), then revenue rolls up per attributed touch type. The classic
+# marketing-ETL composite, built entirely from the as-of operator.
+@query(
+    "q151_attribution",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts AS tts, event_type AS touch_type FROM events
+      WHERE event_type <> 'purchase'),
+    p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT CASE WHEN t.tts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(t.tts) <= 86400000000
+                  THEN t.touch_type END AS touch_type,
+             p.value
+      FROM p ASOF LEFT JOIN t
+        ON p.user_id = t.user_id AND p.ts >= t.tts)
+    SELECT touch_type, COUNT(*) AS n_purchases,
+           {dsum('value', 'revenue')}
+    FROM m GROUP BY touch_type ORDER BY touch_type NULLS FIRST
+    """,
+    doc="Last-touch attribution: backward as-of (24 h tolerance) from "
+        "purchases to the latest prior non-purchase event, revenue rollup.",
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.asof import asof_join
+
+    ev = tables(spark, sf_dir)["events"]
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("touch_type"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    attributed = asof_join(
+        touches, purchases, ["user_id"], "ts", "ts", ["touch_type"],
+        tolerance_us=86_400_000_000,
+    )
+    return (
+        attributed.groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.expr(dec("value"))).cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("touch_type").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q152 gaps-and-islands: per-user consecutive-active-day streaks via the
+# anchor-date trick — one user-keyed shuffle shared by the distinct, the
+# window and both rollups.
+@query(
+    "q152_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS grp
+      FROM d),
+    s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Longest consecutive-active-day streak per user (gaps-and-islands "
+        "anchor-date formulation).",
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import activity_streaks
+
+    return activity_streaks(tables(spark, sf_dir)["events"]).orderBy("user_id")

@@ -161,3 +161,59 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("w"),
     )
     return pagerank(edges, iterations=3, damping_pct=85).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Q153 triangle count over the fuzzy-match graph: the (id1 < id2) pair
+# orientation counts each triangle exactly once via two equi-joins —
+# no enumeration of all node triples.
+@query(
+    "q153_triangles",
+    oracle=f"""
+    WITH pr AS ({_FUZZY_PAIRS}),
+    e AS (SELECT id1 AS x, id2 AS y FROM pr)
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN (SELECT x AS y, y AS z FROM e) e2 USING (y)
+    JOIN (SELECT x, y AS z FROM e) e3 USING (x, z)
+    """,
+    doc="Exact triangle count of the q142 match graph — ordered-pair "
+        "orientation, two equi-joins, zero triple enumeration.",
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.linkage import count_triangles
+
+    part = tables(spark, sf_dir)["part"]
+    pairs = blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", ["p_brand", "p_type"], max_dist=2
+    )
+    return count_triangles(pairs)
+
+
+# --------------------------------------------------------------------------
+# Q154 market-basket co-occurrence: brand pairs sharing an order, support
+# counted per distinct (order, brand) so line-item repeats never inflate
+# it; top-20 by support. The association-rule support table.
+@query(
+    "q154_copurchase_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT a.item AS item1, b.item AS item2, COUNT(*) AS support
+    FROM base a JOIN base b
+      ON a.basket = b.basket AND a.item < b.item
+    GROUP BY a.item, b.item
+    ORDER BY support DESC, item1, item2 LIMIT 20
+    """,
+    doc="Top-20 co-purchased brand pairs across orders (market-basket "
+        "support table; per-basket pair cost bounded by basket size).",
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.linkage import cooccurrence_pairs
+
+    t = tables(spark, sf_dir)
+    items = t["lineitem"].join(
+        t["part"], t["lineitem"]["l_partkey"] == t["part"]["p_partkey"]
+    ).select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+    return cooccurrence_pairs(items, "ok", "brand", top_k=20)

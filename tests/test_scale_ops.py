@@ -89,3 +89,23 @@ def test_bigram_logprob_hand_case(spark):
     assert got[1].n_bigrams == 2 and abs(got[1].mean_logprob - d1) < 1e-9
     assert got[2].n_bigrams == 2 and abs(got[2].mean_logprob - d2) < 1e-9
     assert 3 not in got  # single-token doc has no scored bigrams
+
+
+def test_activity_streaks_hand_case(spark):
+    import datetime as dt
+
+    from inspectadb_spark.operators.timeseries import activity_streaks
+
+    def t(day, h=0):
+        return dt.datetime(2024, 1, day, h)
+
+    rows = [
+        # user 1: days 1,2,3 (two events on day 2), gap, day 6 → streaks 3+1
+        (1, t(1)), (1, t(2)), (1, t(2, 5)), (1, t(3)), (1, t(6)),
+        # user 2: single day
+        (2, t(4)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {r.user_id: r for r in activity_streaks(df).collect()}
+    assert (got[1].n_active_days, got[1].n_streaks, got[1].longest_streak) == (4, 2, 3)
+    assert (got[2].n_active_days, got[2].n_streaks, got[2].longest_streak) == (1, 1, 1)
