@@ -593,3 +593,38 @@ def apply_rebalance(
         .withColumn("_keep", h6 <= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): inclusion probability proportional to ``weight_col``,
+    no RNG — the randomness comes from the md5 uniform, so re-runs,
+    backfills and any cluster layout select exactly the same rows.
+
+    A-ES assigns each row the key u^(1/w) (u uniform in (0,1]) and keeps
+    the k largest; equivalently the k SMALLEST of −ln(u)/w, which is the
+    numerically stable form used here. u = (h6 + 1)/16^6 from the same
+    24-bit md5 uniform as the rebalance family; the key is rounded to 6 dp
+    decimal BEFORE ranking (the q132 two-step) so the global top-k
+    boundary is engine-portable even where raw ln() differs in the last
+    ulp; ties break on the id. Weights must be positive.
+
+    Scale: the key is a scan-side expression; global top-k compiles to
+    TakeOrderedAndProject (per-partition heaps + single merge of k rows) —
+    no global sort, no shuffle of the data.
+    """
+    u = f"(CAST({_md5_uniform_int_sql(id_col, salt)} AS DOUBLE) + 1) / 16777216"
+    key = F.round(
+        F.expr(f"-ln({u}) / {weight_col}").cast("decimal(18,6)"), 6
+    ).cast("double")
+    return (
+        docs.withColumn("_es_key", key)
+        .orderBy("_es_key", id_col)
+        .limit(k)
+    )

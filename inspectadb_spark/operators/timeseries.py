@@ -406,3 +406,50 @@ def activity_streaks(
         F.count("*").alias("n_streaks"),
         F.max("len").cast("bigint").alias("longest_streak"),
     )
+
+
+def cusum_alerts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    k: float,
+    h: float,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per key, in exact decimal.
+
+    The textbook recursion S_t = max(0, S_{t−1} + (x_t − k)) has no direct
+    window form, but its closed form does: with P_t = Σ_{i≤t}(x_i − k),
+    S_t = P_t − min(0, min_{i≤t} P_i) — two window functions over ONE
+    (key, ts) sort (the 0 term is the implicit S_0 = 0 anchor). All arithmetic is DECIMAL(18,6) (exact, associative), so the
+    alert decision S_t > h is byte-identical on any engine. An upward mean
+    shift of Δ is flagged after ≈ h/(Δ−k+μ) observations (k = reference
+    level ≈ in-control mean + slack, h = decision interval).
+
+    Output per key: n_alerts (rows with S > h), max_cusum (4 dp), n rows.
+    Scale: one key shuffle + in-partition sort shared by both windows; the
+    rollup rides the same partitioning.
+    """
+    kd = F.lit(k).cast("decimal(18,6)")
+    hd = F.lit(h).cast("decimal(18,6)")
+    base = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = F.sum(F.col(value_col).cast("decimal(18,6)") - kd).over(run)
+    stats = (
+        df.withColumn("_p", p)
+        .withColumn(
+            "_s",
+            F.col("_p")
+            - F.least(F.lit(0).cast("decimal(18,6)"), F.min("_p").over(run)),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count(F.when(F.col("_s") > hd, 1)).alias("n_alerts"),
+            F.round(F.max("_s").cast("decimal(18,6)"), 4)
+            .cast("double")
+            .alias("max_cusum"),
+            F.count("*").alias("n"),
+        )
+    )
+    return stats

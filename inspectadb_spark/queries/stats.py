@@ -496,3 +496,105 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.similarity import embedding_covariance
 
     return embedding_covariance(tables(spark, sf_dir)["embeddings"]).orderBy("i", "j")
+
+
+# --------------------------------------------------------------------------
+# Q155 CUSUM change-point detection per event type — the running-max
+# recursion in its window closed form (P − min(0, running-min P)), all in
+# exact decimal so the alert decision is engine-portable.
+@query(
+    "q155_cusum",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, ts, event_id,
+             SUM(CAST(value AS DECIMAL(18,6)) - CAST(52 AS DECIMAL(18,6)))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM events),
+    s AS (
+      SELECT event_type,
+             p - LEAST(CAST(0 AS DECIMAL(18,6)),
+                       MIN(p) OVER (PARTITION BY event_type
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS cu
+      FROM w)
+    SELECT event_type,
+           COUNT(CASE WHEN cu > CAST(800 AS DECIMAL(18,6)) THEN 1 END)
+             AS n_alerts,
+           CAST(ROUND(CAST(MAX(cu) AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS max_cusum,
+           COUNT(*) AS n
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="One-sided CUSUM (k=52, h=800) per event type in exact decimal; "
+        "two windows over one sort.",
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import cusum_alerts
+
+    return cusum_alerts(
+        tables(spark, sf_dir)["events"],
+        key_col="event_type", ts_col="ts", value_col="value",
+        id_col="event_id", k=52.0, h=800.0,
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q156 RFM customer scoring over purchase events: recency (days since last
+# purchase vs corpus horizon), frequency, monetary (decimal-exact), each
+# discretized to a 1–5 ntile score with deterministic tie-breaks.
+@query(
+    "q156_rfm",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM p),
+    base AS (
+      SELECT user_id,
+             CAST(datediff('day', MAX(CAST(ts AS DATE)), maxd) AS INT)
+               AS recency_days,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM p CROSS JOIN horizon GROUP BY user_id, maxd)
+    SELECT user_id, recency_days, freq, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS INT)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY freq DESC, user_id) AS INT)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS INT)
+             AS m_score
+    FROM base ORDER BY user_id
+    """,
+    doc="RFM segmentation: per-user recency/frequency/monetary with "
+        "deterministic 1-5 ntile scores.",
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "value")
+    horizon = p.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    base = (
+        p.join(F.broadcast(horizon))
+        .groupBy("user_id", "maxd")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("_last"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.datediff("maxd", "_last").cast("int").alias("recency_days"),
+            "freq", "monetary",
+        )
+    )
+    return base.select(
+        "*",
+        F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
+        .cast("int").alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), "user_id"))
+        .cast("int").alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id"))
+        .cast("int").alias("m_score"),
+    ).orderBy("user_id")

@@ -1114,3 +1114,35 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return bigram_logprob(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q157 deterministic weighted sampling without replacement (Efraimidis–
+# Spirakis): longer documents proportionally more likely; no RNG — the
+# md5 uniform makes selection identical across engines/runs/layouts. The
+# 6-dp decimal rounding of the key BEFORE ranking makes the top-k boundary
+# engine-portable; ties break on doc_id.
+from inspectadb_spark.operators.pipeline import _md5_uniform_int_sql  # noqa: E402
+
+_Q157_U = f"(CAST({_md5_uniform_int_sql('doc_id', 'ws')} AS DOUBLE) + 1) / 16777216"
+
+
+@query(
+    "q157_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           CAST(ROUND(CAST(-ln({_Q157_U}) / n_chars AS DECIMAL(18,6)), 6)
+                AS DOUBLE) AS es_key
+    FROM documents
+    ORDER BY es_key, doc_id LIMIT 50
+    """,
+    doc="A-ES weighted sample (k=50, weight=n_chars): md5-uniform keys, "
+        "6-dp decimal-rounded before the global top-k.",
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.pipeline import weighted_sample
+
+    docs = tables(spark, sf_dir)["documents"]
+    return weighted_sample(docs, "n_chars", k=50).select(
+        "doc_id", "n_chars", F.col("_es_key").alias("es_key")
+    )

@@ -109,3 +109,36 @@ def test_activity_streaks_hand_case(spark):
     got = {r.user_id: r for r in activity_streaks(df).collect()}
     assert (got[1].n_active_days, got[1].n_streaks, got[1].longest_streak) == (4, 2, 3)
     assert (got[2].n_active_days, got[2].n_streaks, got[2].longest_streak) == (1, 1, 1)
+
+
+def test_cusum_hand_case(spark):
+    import datetime as dt
+
+    from inspectadb_spark.operators.timeseries import cusum_alerts
+
+    rows = [
+        # key A, k=10: x-k = -5, +5, +5, -10, +20 → P = -5,0,5,-5,15
+        # min(0,runmin P) = -5 after t1 … S = 0,5,10,0,20 → max 20, alerts(>9)=2
+        ("A", dt.datetime(2024, 1, 1, h), i, v)
+        for h, (i, v) in enumerate([(1, 5.0), (2, 15.0), (3, 15.0),
+                                    (4, 0.0), (5, 30.0)])
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id int, v double")
+    got = cusum_alerts(df, "k", "ts", "v", "id", k=10.0, h=9.0).collect()[0]
+    assert got["n_alerts"] == 2          # S=10 and S=20 exceed h=9
+    assert abs(got["max_cusum"] - 20.0) < 1e-9
+    assert got["n"] == 5
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
+    from inspectadb_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, 1000 if i % 10 == 0 else 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = weighted_sample(df, "w", k=100).collect()
+    heavy = sum(1 for r in picked if r.w == 1000)
+    # heavy rows are 10% of the population but carry ~92% of total weight;
+    # a uniform sample would pick ~10 of them — weighted must pick far more
+    assert heavy > 40
+    again = weighted_sample(df.repartition(13), "w", k=100).collect()
+    assert sorted(r.doc_id for r in picked) == sorted(r.doc_id for r in again)
