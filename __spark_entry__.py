@@ -94,7 +94,8 @@ _TIER2 = [
     "q147_bigram_logprob", "q148_embedding_quartiles",
     "q149_embedding_covariance", "q150_asof_forward", "q151_attribution",
     "q152_streaks", "q153_triangles", "q154_copurchase_pairs",
-    "q155_cusum", "q156_rfm", "q157_weighted_sample",
+    "q155_cusum", "q156_rfm", "q157_weighted_sample", "q158_skyline",
+    "q159_inverted_index",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

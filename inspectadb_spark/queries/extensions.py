@@ -805,3 +805,64 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.col("sv").cast("double").alias("sv"), "mn", "mx"
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q158 Pareto skyline of the part catalog (cheapest-for-the-size frontier):
+# sort-scan formulation — distinct pairs + ONE sort + running max — never
+# the O(n²) dominance join the oracle deliberately uses as an independent
+# specification.
+@query(
+    "q158_skyline",
+    oracle="""
+    SELECT b.p_partkey, b.p_name, b.p_retailprice, b.p_size
+    FROM part b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part a
+      WHERE a.p_retailprice <= b.p_retailprice AND a.p_size >= b.p_size
+        AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size))
+    ORDER BY b.p_partkey
+    """,
+    doc="2-D Pareto frontier (min price, max size) via sort+running-max; "
+        "oracle is the brute-force dominance spec.",
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.skyline import skyline_2d
+
+    part = tables(spark, sf_dir)["part"]
+    return skyline_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Q159 inverted-index construction: per-term sorted posting lists over the
+# corpus — the search-index build step. Distinct-first so term repeats in
+# a doc add one posting; postings sorted in-array (exact integer order).
+@query(
+    "q159_inverted_index",
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS term
+      FROM documents)
+    SELECT term, COUNT(*) AS df, list_sort(list(doc_id)) AS postings
+    FROM t GROUP BY term ORDER BY df DESC, term LIMIT 20
+    """,
+    doc="Top-20-term inverted index: df + sorted posting lists, one "
+        "term-keyed shuffle carrying (term, doc_id) pairs.",
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    t = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias("term"),
+    ).distinct()
+    return (
+        t.groupBy("term")
+        .agg(F.count("*").alias("df"),
+             F.sort_array(F.collect_set("doc_id")).alias("postings"))
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )

@@ -1,0 +1,73 @@
+"""Streaming CUSUM change-point monitor (SURVEY.md §2.2k arbitrary-stateful
++ §2.2m q155 in streaming form).
+
+The batch operator (operators/timeseries.py::cusum_alerts) uses the window
+closed form; the stream uses the recursion directly — per-key state is the
+triple (running P, running min-prefix P, alert stats), updated per
+micro-batch with ``applyInPandasWithState``. All arithmetic is integer
+cents (the corpus values carry 2 decimals), so after draining any chunked
+replay the final per-key (n_alerts, max_cusum, n) equals the batch
+operator EXACTLY — asserted in S24.
+
+State is O(1) per key (five integers) for the life of the stream; each
+micro-batch sorts only its own rows per key. Requires the source to be
+time-ordered per key across micro-batches (true of replayed logs and of
+any per-key-FIFO bus); out-of-order arrivals need a watermark + sort
+buffer upstream, which changes the state shape, not the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_OUT_SCHEMA = "key string, n_alerts bigint, max_s_cents bigint, n bigint"
+_STATE_SCHEMA = "p bigint, minp bigint, n_alerts bigint, max_s bigint, n bigint"
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    k_cents: int,
+    h_cents: int,
+) -> DataFrame:
+    """Per-key one-sided CUSUM over a stream; emits the running
+    (n_alerts, max_s_cents, n) per key each micro-batch (update mode)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        p, minp, n_alerts, max_s, n = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        # concatenate BEFORE sorting: the iterator yields Arrow-sized chunks
+        # of this key's batch rows in partition order, which is not time
+        # order across chunks
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values([ts_col, id_col])
+            v = np.round(pdf[value_col].to_numpy() * 100).astype(np.int64)
+            ps = p + np.cumsum(v - k_cents)
+            run_min = np.minimum.accumulate(np.minimum(ps, minp))
+            s = ps - np.minimum(run_min, 0)
+            n_alerts += int((s > h_cents).sum())
+            if len(s):
+                max_s = max(max_s, int(s.max()))
+                p, minp = int(ps[-1]), int(run_min[-1])
+            n += len(pdf)
+        state.update((int(p), int(minp), int(n_alerts), int(max_s), int(n)))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_alerts": [n_alerts],
+             "max_s_cents": [max_s], "n": [n]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            track, _OUT_SCHEMA, _STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

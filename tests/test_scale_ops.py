@@ -142,3 +142,24 @@ def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
     assert heavy > 40
     again = weighted_sample(df.repartition(13), "w", k=100).collect()
     assert sorted(r.doc_id for r in picked) == sorted(r.doc_id for r in again)
+
+
+def test_skyline_matches_bruteforce_with_duplicates(spark):
+    from inspectadb_spark.operators.skyline import skyline_2d
+
+    rows = [(i, (i * 37) % 50 + ((i * 13) % 7) / 10.0, (i * 91) % 40)
+            for i in range(300)]
+    # inject duplicates of a frontier-ish point
+    rows += [(900, 0.0, 39), (901, 0.0, 39)]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    got = {r.id for r in skyline_2d(df, "price", "size").collect()}
+    data = [(i, p, s) for i, p, s in rows]
+    brute = {
+        i for i, p, s in data
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for _, p2, s2 in data
+        )
+    }
+    assert got == brute
+    assert {900, 901} <= got  # equal frontier points both kept

@@ -1159,3 +1159,36 @@ def test_s23_streaming_cms_equals_batch(spark, replay_dir, tmp_path):
     joined = est.join(exact, "event_type").collect()
     assert len(joined) > 0
     assert all(r.est >= r.true_n for r in joined)
+
+
+# S24 streaming CUSUM ≡ batch closed form: the stateful recursion over the
+# chunked replay must reproduce the batch operator's per-key
+# (n_alerts, max_cusum, n) EXACTLY (integer-cents arithmetic both sides).
+def test_s24_streaming_cusum_equals_batch(spark, replay_dir):
+    from inspectadb_spark.operators.timeseries import cusum_alerts
+    from inspectadb_spark.streaming.monitor import streaming_cusum
+
+    stream = streaming_cusum(
+        _stream(spark, replay_dir), "event_type", "ts", "event_id", "value",
+        k_cents=5200, h_cents=80000,
+    )
+    _drain(stream, "s24", mode="update")
+    # updates are monotone in n per key: the final state is the max-n row
+    got = (
+        spark.table("s24")
+        .groupBy("key")
+        .agg(F.expr("max_by(n_alerts, n)").alias("n_alerts"),
+             F.expr("max_by(max_s_cents, n)").alias("max_s_cents"),
+             F.max("n").alias("n"))
+        .select(
+            F.col("key").alias("event_type"), "n_alerts",
+            (F.col("max_s_cents").cast("double") / 100).alias("max_cusum"),
+            "n",
+        )
+    )
+    batch = cusum_alerts(
+        spark.read.parquet(replay_dir),
+        key_col="event_type", ts_col="ts", value_col="value",
+        id_col="event_id", k=52.0, h=800.0,
+    )
+    assert _rows(got) == _rows(batch)
