@@ -95,7 +95,8 @@ _TIER2 = [
     "q149_embedding_covariance", "q150_asof_forward", "q151_attribution",
     "q152_streaks", "q153_triangles", "q154_copurchase_pairs",
     "q155_cusum", "q156_rfm", "q157_weighted_sample", "q158_skyline",
-    "q159_inverted_index",
+    "q159_inverted_index", "q160_calendar_dim", "q161_benford",
+    "q162_rle_compress",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

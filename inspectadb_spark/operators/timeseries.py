@@ -453,3 +453,62 @@ def cusum_alerts(
         )
     )
     return stats
+
+
+def calendar_dim(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Generate the calendar dimension spanning the data's date range —
+    every day (including zero-activity gaps) with its date attributes.
+    The warehouse date-dim build: one 1-row min/max aggregation, one
+    sequence explode (span-sized, not data-sized), zero shuffle of the
+    fact table. Week numbers are ISO (identical in Spark and DuckDB);
+    day-of-week is Spark's 1=Sunday convention (oracle shifts DuckDB's
+    0-based value).
+    """
+    span = df.agg(
+        F.min(F.to_date(ts_col)).alias("d0"), F.max(F.to_date(ts_col)).alias("d1")
+    )
+    days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    return days.select(
+        F.col("day").cast("date").alias("day"),
+        F.dayofweek("day").cast("int").alias("dow"),
+        F.weekofyear("day").cast("int").alias("week"),
+        F.month("day").cast("int").alias("month"),
+        F.quarter("day").cast("int").alias("quarter"),
+        F.dayofweek("day").isin(1, 7).alias("is_weekend"),
+    )
+
+
+def rle_compress(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Run-length encoding of a per-key state stream: consecutive rows with
+    the same state collapse to one (key, state, ts_start, ts_end, n) run —
+    the state-change-log compression a CDC pipeline applies before
+    archiving. The islands trick again: change flag via lag over ONE
+    (key, ts) sort, run id via running sum over the same sort, one rollup.
+    Output size = number of state CHANGES, not rows.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    run = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chg = F.when(
+        F.lag(state_col).over(w).isNull()
+        | (F.col(state_col) != F.lag(state_col).over(w)),
+        1,
+    ).otherwise(0)
+    runs = df.withColumn("_chg", chg).withColumn(
+        "run_id", F.sum("_chg").over(run).cast("bigint")
+    )
+    return runs.groupBy(key_col, "run_id").agg(
+        F.first(state_col).alias(state_col),
+        F.min(ts_col).alias("ts_start"),
+        F.max(ts_col).alias("ts_end"),
+        F.count("*").alias("n"),
+    )

@@ -1352,3 +1352,83 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.timeseries import activity_streaks
 
     return activity_streaks(tables(spark, sf_dir)["events"]).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Q160 calendar-dimension build + gap-inclusive daily activity: the
+# warehouse date-dim pattern — span from ONE 1-row agg, sequence explode
+# (span-sized), left join of daily counts so zero-activity days surface.
+@query(
+    "q160_calendar_dim",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span),
+    cnt AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1)
+    SELECT day,
+           CAST(dayofweek(day) + 1 AS INT) AS dow,
+           CAST(weekofyear(day) AS INT) AS week,
+           CAST(month(day) AS INT) AS month,
+           CAST(quarter(day) AS INT) AS quarter,
+           dayofweek(day) IN (0, 6) AS is_weekend,
+           COALESCE(n, 0) AS n_events
+    FROM days LEFT JOIN cnt USING (day) ORDER BY day
+    """,
+    doc="Calendar dimension spanning the event range (ISO weeks, Spark "
+        "dow convention) with gap-inclusive daily counts.",
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import calendar_dim
+
+    ev = tables(spark, sf_dir)["events"]
+    cal = calendar_dim(ev)
+    cnt = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"))
+    return (
+        cal.join(cnt, "day", "left")
+        .select("day", "dow", "week", "month", "quarter", "is_weekend",
+                F.coalesce("n", F.lit(0)).alias("n_events"))
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q162 run-length state compression: consecutive same-type events per user
+# collapse to runs — the change-log compression step before archiving.
+# Output size = number of state CHANGES; one (user, ts) sort end-to-end.
+@query(
+    "q162_rle_compress",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR event_type <> LAG(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_id
+      FROM x)
+    SELECT user_id, run_id, event_type,
+           MIN(ts) AS ts_start, MAX(ts) AS ts_end, COUNT(*) AS n
+    FROM r GROUP BY user_id, run_id, event_type
+    ORDER BY user_id, run_id
+    """,
+    doc="Run-length encoding of the per-user event-type stream "
+        "(state-change-log compression).",
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import rle_compress
+
+    return rle_compress(
+        tables(spark, sf_dir)["events"], "user_id", "event_type", "ts",
+        "event_id",
+    ).orderBy("user_id", "run_id")

@@ -598,3 +598,57 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id"))
         .cast("int").alias("m_score"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Q161 Benford first-digit audit per event type — the fraud/DQ screen.
+# The first significant digit comes from the integer-cents STRING (no
+# logarithms, no float thresholds), shares are integer ppm, and the
+# Benford expectation is embedded as exact ppm literals (they sum to
+# 1,000,000), so the whole audit is engine-portable integer math.
+_BENFORD_PPM = ("CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 "
+                "WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 "
+                "WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 "
+                "ELSE 45757 END")
+
+
+@query(
+    "q161_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM events WHERE value >= 0.01),
+    c AS (SELECT event_type, digit, COUNT(*) AS n
+          FROM d GROUP BY event_type, digit),
+    t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY event_type)
+    SELECT event_type, digit, n,
+           CAST(n * 1000000 // tot AS BIGINT) AS obs_ppm,
+           CAST({_BENFORD_PPM} AS BIGINT) AS benford_ppm,
+           CAST(n * 1000000 // tot - ({_BENFORD_PPM}) AS BIGINT) AS diff_ppm
+    FROM c JOIN t USING (event_type)
+    ORDER BY event_type, digit
+    """,
+    doc="Benford's-law first-digit audit per event type: integer-cents "
+        "digit extraction, ppm shares, exact expectation literals.",
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"].filter(F.col("value") >= 0.01)
+    d = ev.select(
+        "event_type",
+        F.expr("CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS STRING),"
+               " 1, 1) AS INT)").alias("digit"),
+    )
+    c = d.groupBy("event_type", "digit").agg(F.count("*").alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type", "digit", "n",
+            F.expr("n * 1000000 DIV tot").alias("obs_ppm"),
+            F.expr(f"CAST({_BENFORD_PPM} AS BIGINT)").alias("benford_ppm"),
+            F.expr(f"n * 1000000 DIV tot - ({_BENFORD_PPM})").alias("diff_ppm"),
+        )
+        .orderBy("event_type", "digit")
+    )
