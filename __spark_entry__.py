@@ -96,7 +96,7 @@ _TIER2 = [
     "q152_streaks", "q153_triangles", "q154_copurchase_pairs",
     "q155_cusum", "q156_rfm", "q157_weighted_sample", "q158_skyline",
     "q159_inverted_index", "q160_calendar_dim", "q161_benford",
-    "q162_rle_compress",
+    "q162_rle_compress", "q163_linear_attribution", "q164_session_landing",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -1432,3 +1432,115 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables(spark, sf_dir)["events"], "user_id", "event_type", "ts",
         "event_id",
     ).orderBy("user_id", "run_id")
+
+
+# --------------------------------------------------------------------------
+# Q163 LINEAR multi-touch attribution (the q151 last-touch sibling): every
+# non-purchase event within the 24 h before a purchase gets an equal
+# revenue share. Shares are integer micro-cents with per-purchase floor
+# division — exact and engine-portable; the window join is user-equi +
+# time-band filter (the q60 range-join family), never a cartesian.
+@query(
+    "q163_linear_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts AS tts, event_type AS touch_type FROM events
+      WHERE event_type <> 'purchase'),
+    p AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.event_id, p.cents, t.touch_type
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.tts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(t.tts) <= 86400000000),
+    n AS (SELECT event_id, COUNT(*) AS n_t FROM j GROUP BY event_id),
+    s AS (SELECT touch_type, cents * 1000000 // n_t AS share
+          FROM j JOIN n USING (event_id))
+    SELECT touch_type, COUNT(*) AS n_touches,
+           CAST(SUM(share) AS BIGINT) AS attributed_microcents
+    FROM s GROUP BY touch_type ORDER BY touch_type
+    """,
+    doc="Linear multi-touch attribution over a 24 h window; equal integer "
+        "micro-cent shares per touch, floor-division exact.",
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+    j = p.join(t, "user_id").filter(
+        (F.col("tts") <= F.col("ts"))
+        & (F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                  " - unix_micros(CAST(tts AS TIMESTAMP))")
+           <= 86_400_000_000)
+    ).select("event_id", "cents", "touch_type")
+    n = j.groupBy("event_id").agg(F.count("*").alias("n_t"))
+    s = j.join(n, "event_id").select(
+        "touch_type", F.expr("cents * 1000000 DIV n_t").alias("share"))
+    return (
+        s.groupBy("touch_type")
+        .agg(F.count("*").alias("n_touches"),
+             F.sum("share").alias("attributed_microcents"))
+        .orderBy("touch_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q164 session landing/exit report: per session the first and last event
+# type + bounce flag (single-event sessions), rolled up per (landing,
+# exit) pair — all windows share the sessionize partitioning, so the
+# whole report is one user-keyed shuffle + the |types|²-bounded rollup.
+@query(
+    "q164_session_landing",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM x),
+    t AS (
+      SELECT user_id, session_id,
+             FIRST_VALUE(event_type) OVER w AS landing,
+             LAST_VALUE(event_type) OVER
+               (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS exit_type,
+             COUNT(*) OVER (PARTITION BY user_id, session_id) AS n_ev
+      FROM s
+      WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)),
+    g AS (SELECT DISTINCT user_id, session_id, landing, exit_type, n_ev FROM t)
+    SELECT landing, exit_type, COUNT(*) AS n_sessions,
+           COUNT(CASE WHEN n_ev = 1 THEN 1 END) AS n_bounce
+    FROM g GROUP BY landing, exit_type ORDER BY landing, exit_type
+    """,
+    doc="Per-session landing/exit types + bounce counts; windows share the "
+        "sessionize partitioning (one user shuffle).",
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sessionize(tables(spark, sf_dir)["events"])
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = s.select(
+        "user_id", "session_id",
+        F.first("event_type").over(w).alias("landing"),
+        F.last("event_type").over(wfull).alias("exit_type"),
+        F.count("*").over(Window.partitionBy("user_id", "session_id"))
+        .alias("n_ev"),
+    ).distinct()
+    return (
+        t.groupBy("landing", "exit_type")
+        .agg(F.count("*").alias("n_sessions"),
+             F.count(F.when(F.col("n_ev") == 1, 1)).alias("n_bounce"))
+        .orderBy("landing", "exit_type")
+    )

@@ -40,6 +40,16 @@ _KINDS = {
     "sum": ("SUM(CAST({src} AS DECIMAL(18,6)))", "SUM({c})"),
     "min": ("MIN({src})", "MIN({c})"),
     "max": ("MAX({src})", "MAX({c})"),
+    # distinct-set union: partial = this batch's distinct values, merge =
+    # dedup'd union of stored set and batch set. Mergeable like a sketch
+    # but exact; state per group is the distinct-value set, so use it for
+    # bounded-cardinality domains (the incremental inverted-index /
+    # audience-membership pattern). Stored sorted so state bytes are
+    # canonical across merge orders.
+    "set": (
+        "array_sort(collect_set({src}))",
+        "array_sort(array_distinct(flatten(collect_list({c}))))",
+    ),
 }
 
 

@@ -1192,3 +1192,30 @@ def test_s24_streaming_cusum_equals_batch(spark, replay_dir):
         id_col="event_id", k=52.0, h=800.0,
     )
     assert _rows(got) == _rows(batch)
+
+
+# S25 incremental set-union aggregate: the "set" kind folds per-batch
+# distinct sets into the stored set (exact, mergeable) — after the drain
+# the per-type audience set equals the batch collect_set exactly.
+def test_s25_incremental_set_union(spark, replay_dir, tmp_path):
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    inc = IncrementalAggregate(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        key_exprs={"event_type": "event_type"},
+        measures=[("users", "set", "user_id"), ("n", "count", "*")],
+    )
+    q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    got = inc.table().select("event_type", "users", "n")
+    want = (
+        spark.read.parquet(replay_dir)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_set("user_id")).alias("users"),
+             F.count("*").alias("n"))
+    )
+    assert _rows(got) == _rows(want)
