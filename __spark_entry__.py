@@ -97,6 +97,7 @@ _TIER2 = [
     "q155_cusum", "q156_rfm", "q157_weighted_sample", "q158_skyline",
     "q159_inverted_index", "q160_calendar_dim", "q161_benford",
     "q162_rle_compress", "q163_linear_attribution", "q164_session_landing",
+    "q165_time_to_convert", "q166_chi_square", "q167_hhi",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -1544,3 +1544,62 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.when(F.col("n_ev") == 1, 1)).alias("n_bounce"))
         .orderBy("landing", "exit_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q165 time-to-convert distribution: per signup cohort day, exact p50/p90
+# of the signup→first-purchase delay. Delays are exact integer
+# microseconds; percentile interpolation runs on those integers and is
+# 4dp-pinned — the q24 exact-percentile machinery applied to a funnel.
+@query(
+    "q165_time_to_convert",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > su.t0
+      GROUP BY e.user_id),
+    d AS (
+      SELECT CAST(su.t0 AS DATE) AS cohort_day,
+             epoch_us(fp.t1) - epoch_us(su.t0) AS delay_us
+      FROM su JOIN fp ON su.user_id = fp.user_id)
+    SELECT cohort_day, COUNT(*) AS n_converted,
+           CAST(ROUND(CAST(quantile_cont(delay_us, 0.5) / 3600000000.0
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS p50_hours,
+           CAST(ROUND(CAST(quantile_cont(delay_us, 0.9) / 3600000000.0
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS p90_hours
+    FROM d GROUP BY cohort_day ORDER BY cohort_day
+    """,
+    doc="Signup→purchase conversion-delay percentiles per cohort day; "
+        "exact integer-µs delays, interpolated percentiles, 4dp-pinned.",
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    su = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0"))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.first("t0").alias("t0"))
+    )
+    d = fp.select(
+        F.col("t0").cast("date").alias("cohort_day"),
+        F.expr("unix_micros(CAST(t1 AS TIMESTAMP))"
+               " - unix_micros(CAST(t0 AS TIMESTAMP))").alias("delay_us"),
+    )
+    def pq(p):
+        return F.round(
+            (F.expr(f"percentile(delay_us, {p})") / F.lit(3600000000.0))
+            .cast("decimal(18,6)"), 4
+        ).cast("double")
+    return (
+        d.groupBy("cohort_day")
+        .agg(F.count("*").alias("n_converted"),
+             pq(0.5).alias("p50_hours"), pq(0.9).alias("p90_hours"))
+        .orderBy("cohort_day")
+    )

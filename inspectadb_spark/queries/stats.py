@@ -652,3 +652,108 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Q166 chi-square independence screen (event_type × day-of-week): per-cell
+# contributions quantized to decimal BEFORE summation so the statistic is
+# aggregation-order-exact; expected counts are the identical double
+# expression on both engines.
+@query(
+    "q166_chi_square",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+             COUNT(*) AS obs
+      FROM events GROUP BY event_type, dow),
+    rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY event_type),
+    ct AS (SELECT dow, SUM(obs) AS c FROM o GROUP BY dow),
+    n AS (SELECT SUM(obs) AS n FROM o),
+    cells AS (
+      SELECT o.event_type,
+             ROUND(CAST((CAST(obs AS DOUBLE) - CAST(r * c AS DOUBLE) / n)
+                        * (CAST(obs AS DOUBLE) - CAST(r * c AS DOUBLE) / n)
+                        / (CAST(r * c AS DOUBLE) / n)
+                        AS DECIMAL(18,6)), 4) AS term
+      FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n)
+    SELECT event_type, COUNT(*) AS n_cells,
+           CAST(ROUND(CAST(SUM(term) AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS chi2_contrib
+    FROM cells GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Chi-square independence contributions (type × dow) with per-cell "
+        "decimal quantization — order-exact across engines.",
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    o = ev.groupBy(
+        "event_type",
+        F.expr("CAST(dayofweek(CAST(ts AS DATE)) AS INT)").alias("dow"),
+    ).agg(F.count("*").alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = "CAST(r * c AS DOUBLE) / n"
+    term = F.round(
+        F.expr(f"(CAST(obs AS DOUBLE) - {e}) * (CAST(obs AS DOUBLE) - {e})"
+               f" / ({e})").cast("decimal(18,6)"), 4
+    ).alias("term")
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .join(F.broadcast(n))
+        .select("event_type", term)
+    )
+    return (
+        cells.groupBy("event_type")
+        .agg(F.count("*").alias("n_cells"),
+             F.round(F.sum("term").cast("decimal(18,6)"), 4).cast("double")
+             .alias("chi2_contrib"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q167 market concentration (HHI) per nation: customer revenue shares in
+# integer ppm, HHI = Σ share², all integer arithmetic end to end.
+@query(
+    "q167_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey AS cust,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nk, cust),
+    tot AS (SELECT nk, SUM(cents) AS t FROM rev GROUP BY nk),
+    sh AS (SELECT nk, CAST(cents * 1000000 // t AS BIGINT) AS ppm
+           FROM rev JOIN tot USING (nk))
+    SELECT n.n_name, COUNT(*) AS n_firms,
+           CAST(SUM(ppm * ppm) AS BIGINT) AS hhi_ppm2
+    FROM sh JOIN nation n ON sh.nk = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    doc="Herfindahl–Hirschman concentration per nation: integer-ppm "
+        "revenue shares, HHI = Σ share² exactly.",
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    rev = (
+        t["orders"].join(
+            t["customer"],
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"), F.col("o_custkey").alias("cust"))
+        .agg(F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+                    " AS BIGINT)").alias("cents"))
+    )
+    tot = rev.groupBy("nk").agg(F.sum("cents").alias("t"))
+    sh = rev.join(F.broadcast(tot), "nk").select(
+        "nk", F.expr("cents * 1000000 DIV t").alias("ppm"))
+    return (
+        sh.join(F.broadcast(t["nation"]),
+                sh["nk"] == t["nation"]["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_firms"),
+             F.sum(F.expr("ppm * ppm")).alias("hhi_ppm2"))
+        .orderBy("n_name")
+    )
