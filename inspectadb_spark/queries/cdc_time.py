@@ -1603,3 +1603,70 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
              pq(0.5).alias("p50_hours"), pq(0.9).alias("p90_hours"))
         .orderBy("cohort_day")
     )
+
+
+# --------------------------------------------------------------------------
+# Q168 event-pattern detection (MATCH_RECOGNIZE-lite): each session's
+# type sequence collapses to an ordered letter string (bounded by session
+# length), and patterns are plain regexes over that string — subsequence,
+# adjacency and repetition patterns all express directly. One user-keyed
+# shuffle for sessionize+agg; the pattern scan is a projection.
+_Q168_PATTERNS = [
+    ("view_click_purchase", "v.*c.*p"),   # ordered subsequence
+    ("immediate_bounce_error", "^e$"),    # session is a single error
+    ("repeat_views", "v{3,}"),            # ≥3 consecutive views
+]
+
+
+@query(
+    "q168_event_pattern",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM x),
+    seq AS (
+      SELECT user_id, session_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS sig
+      FROM s GROUP BY user_id, session_id),
+    pats AS (
+      SELECT * FROM (VALUES
+        ('view_click_purchase', 'v.*c.*p'),
+        ('immediate_bounce_error', '^e$'),
+        ('repeat_views', 'v{3,}')) p(pattern, re))
+    SELECT pattern,
+           COUNT(CASE WHEN regexp_matches(sig, re) THEN 1 END) AS n_match,
+           COUNT(*) AS n_sessions
+    FROM seq CROSS JOIN pats
+    GROUP BY pattern ORDER BY pattern
+    """,
+    doc="MATCH_RECOGNIZE-lite: session type-sequences as letter strings, "
+        "regex patterns for subsequence/bounce/repetition detection.",
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sessionize(tables(spark, sf_dir)["events"])
+    s.createOrReplaceTempView("_q168_sessions")
+    seq = spark.sql("""
+        SELECT user_id, session_id,
+               listagg(substr(event_type, 1, 1), '')
+                 WITHIN GROUP (ORDER BY ts, event_id) AS sig
+        FROM _q168_sessions GROUP BY user_id, session_id
+    """)
+    pats = spark.createDataFrame(_Q168_PATTERNS, ["pattern", "re"])
+    return (
+        seq.crossJoin(F.broadcast(pats))
+        .groupBy("pattern")
+        .agg(
+            F.count(F.when(F.expr("regexp_like(sig, re)"), 1)).alias("n_match"),
+            F.count("*").alias("n_sessions"),
+        )
+        .orderBy("pattern")
+    )

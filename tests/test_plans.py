@@ -417,3 +417,22 @@ def test_cluster_by_zorder_single_range_exchange(spark):
     assert count_exchanges(out) == 1  # exactly the one range shuffle
     plan = explain_str(out, "simple")
     assert "rangepartitioning" in plan.lower()
+
+
+def test_round4d_plan_shapes(spark):
+    """Plan pins for q154–q168 additions."""
+    # top-k queries must specialize to TakeOrderedAndProject, never a
+    # global sort.
+    for q in ("q154_copurchase_pairs", "q157_weighted_sample",
+              "q159_inverted_index"):
+        assert "TakeOrderedAndProject" in _plan(spark, q), q
+    # q163 multi-touch: user-equi join first — no cartesian anywhere.
+    assert "CartesianProduct" not in _plan(spark, "q163_linear_attribution")
+    # q167 HHI: per-nation totals and the nation dim broadcast back.
+    assert "BroadcastHashJoin" in _plan(spark, "q167_hhi")
+    # q162 RLE: both windows + rollup share ONE user-keyed exchange
+    # (+ the final order-by).
+    from inspectadb_spark.queries.registry import REGISTRY as _R
+
+    n = count_exchanges(_R["q162_rle_compress"].builder(spark, SF_DIR))
+    assert n <= 2, f"q162: {n} exchanges"
