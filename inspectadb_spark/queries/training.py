@@ -1146,3 +1146,80 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "n_chars", k=50).select(
         "doc_id", "n_chars", F.col("_es_key").alias("es_key")
     )
+
+
+# --------------------------------------------------------------------------
+# Q169 tokenizer fertility by language: chars-per-token (the tokenizer-
+# efficiency metric a multilingual corpus is balanced on). Exact integer
+# char/token totals; one doc-local projection + a lang rollup.
+@query(
+    "q169_tokenizer_fertility",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, length(text) AS n_chars,
+             len({_DUCK_WORDS}) AS n_toks
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(n_toks) AS BIGINT) AS toks,
+           CAST(ROUND(CAST(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS fertility
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+    doc="Chars-per-token fertility by language — the tokenizer-efficiency "
+        "signal for mixture balancing.",
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    d = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.expr("filter(split(text, ' '), w -> w <> '')")).alias("n_toks"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.sum("n_toks").cast("bigint").alias("toks"),
+            F.round(
+                (F.sum("n_chars").cast("double") / F.sum("n_toks"))
+                .cast("decimal(18,6)"), 4
+            ).cast("double").alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q170 cross-lingual duplicate detection: identical text bodies filed
+# under DIFFERENT language labels — a labeling-error/contamination signal
+# the per-lang dedup passes miss. One shuffle on md5(text).
+@query(
+    "q170_crosslingual_dups",
+    oracle="""
+    WITH h AS (
+      SELECT md5(text) AS th, lang, doc_id FROM documents),
+    g AS (
+      SELECT th, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+             MIN(doc_id) AS first_doc
+      FROM h GROUP BY th HAVING COUNT(DISTINCT lang) > 1)
+    SELECT first_doc, n_docs, n_langs FROM g ORDER BY first_doc
+    """,
+    doc="Texts duplicated across language labels (labeling-error signal); "
+        "one md5-keyed shuffle.",
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.md5("text").alias("th"), "lang", "doc_id")
+        .groupBy("th")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_langs") > 1)
+        .select("first_doc", "n_docs", "n_langs")
+        .orderBy("first_doc")
+    )

@@ -163,3 +163,28 @@ def test_skyline_matches_bruteforce_with_duplicates(spark):
     }
     assert got == brute
     assert {900, 901} <= got  # equal frontier points both kept
+
+
+def test_crosslingual_dup_detector_finds_planted_dup(spark):
+    from inspectadb_spark.queries.registry import REGISTRY
+    import inspectadb_spark.queries.training as _t  # noqa: F401 (registration)
+
+    docs = spark.createDataFrame(
+        [(1, "same body", "en", "s", 9), (2, "same body", "fr", "s", 9),
+         (3, "same body", "en", "s", 9), (4, "unique", "en", "s", 6)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    # run the same pipeline the query builds, against the planted frame
+    from pyspark.sql import functions as F
+
+    got = (
+        docs.select(F.md5("text").alias("th"), "lang", "doc_id")
+        .groupBy("th")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("lang").alias("n_langs"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_langs") > 1)
+        .collect()
+    )
+    assert len(got) == 1
+    assert (got[0].first_doc, got[0].n_docs, got[0].n_langs) == (1, 3, 2)
