@@ -70,6 +70,11 @@ def blocked_fuzzy_pairs(
     return (
         a.join(b, on=cond)
         .filter(F.col("id1") < F.col("id2"))
+        # length-difference lower-bounds edit distance, so this prunes
+        # candidates BEFORE the O(len²) DP without changing results
+        .filter(
+            F.abs(F.length("name1") - F.length("name2")) <= max_dist
+        )
         .withColumn("dist", F.levenshtein("name1", "name2"))
         .filter(F.col("dist") <= max_dist)
         .drop(*[f"_blk_{c}" for c in cond])
