@@ -99,7 +99,8 @@ _TIER2 = [
     "q162_rle_compress", "q163_linear_attribution", "q164_session_landing",
     "q165_time_to_convert", "q166_chi_square", "q167_hhi",
     "q168_event_pattern", "q169_tokenizer_fertility",
-    "q170_crosslingual_dups",
+    "q170_crosslingual_dups", "q171_time_travel",
+    "q172_period_over_period", "q173_psi_drift",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

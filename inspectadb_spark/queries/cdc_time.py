@@ -1670,3 +1670,109 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+# --------------------------------------------------------------------------
+# Q171 time-travel (AS OF version) over the CDC history: reconstruct the
+# orders table as of lsn = max(lsn)/2 — latest row ≤ the snapshot version
+# per key, deletes filtered — then aggregate the snapshot. The temporal-
+# query pattern every SCD2/changelog store needs; one key-shuffle max_by.
+@query(
+    "q171_time_travel",
+    oracle=f"""
+    WITH {CDC_ORDERS_CTE},
+    l AS (SELECT MAX(lsn) // 2 AS v FROM cdc_orders),
+    g AS (
+      SELECT o_orderkey,
+             arg_max(op, lsn) AS op,
+             arg_max(o_orderstatus, lsn) AS st,
+             arg_max(o_totalprice, lsn) AS pr
+      FROM cdc_orders CROSS JOIN l WHERE lsn <= v
+      GROUP BY o_orderkey)
+    SELECT st AS o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM g WHERE op <> 'd'
+    GROUP BY st ORDER BY st
+    """,
+    doc="AS-OF-version snapshot reconstruction from the CDC log (latest "
+        "row ≤ version per key, deletes dropped), aggregated.",
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = derive_cdc_orders(tables(spark, sf_dir)["orders"])
+    l = cdc.agg(F.expr("MAX(lsn) DIV 2").alias("v"))
+    g = (
+        cdc.join(F.broadcast(l))
+        .filter(F.col("lsn") <= F.col("v"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.expr("max_by(op, lsn)").alias("op"),
+            F.expr("max_by(o_orderstatus, lsn)").alias("st"),
+            F.expr("max_by(o_totalprice, lsn)").alias("pr"),
+        )
+    )
+    return (
+        g.filter(F.col("op") != "d")
+        .groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(F.count("*").alias("n"),
+             F.expr("CAST(SUM(CAST(ROUND(pr * 100) AS BIGINT)) AS BIGINT)")
+             .alias("cents"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q172 period-over-period report: daily purchase revenue vs the same day
+# one week earlier, over the GAP-COMPLETE calendar (q160's dimension) so
+# lag(7) always means "7 calendar days", never "7 active days". Integer
+# cents + ppm change — exact on both engines.
+@query(
+    "q172_period_over_period",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span),
+    rev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    series AS (
+      SELECT day, COALESCE(cents, 0) AS cents FROM days LEFT JOIN rev USING (day)),
+    lagged AS (
+      SELECT day, cents,
+             LAG(cents, 7) OVER (ORDER BY day) AS prev_cents
+      FROM series)
+    SELECT day, CAST(cents AS BIGINT) AS cents,
+           CAST(prev_cents AS BIGINT) AS prev_cents,
+           CAST(CASE WHEN prev_cents > 0
+                     THEN (cents - prev_cents) * 1000000 // prev_cents
+                END AS BIGINT) AS change_ppm
+    FROM lagged ORDER BY day
+    """,
+    doc="Week-over-week daily revenue deltas over the gap-complete "
+        "calendar; integer cents and ppm change.",
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import calendar_dim
+
+    ev = tables(spark, sf_dir)["events"]
+    days = calendar_dim(ev).select("day")
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT))").alias("cents"))
+    )
+    series = days.join(rev, "day", "left").select(
+        "day", F.coalesce("cents", F.lit(0)).alias("cents"))
+    w = Window.orderBy("day")
+    lagged = series.withColumn("prev_cents", F.lag("cents", 7).over(w))
+    return lagged.select(
+        "day", F.col("cents").cast("bigint").alias("cents"),
+        F.col("prev_cents").cast("bigint").alias("prev_cents"),
+        F.expr("CAST(CASE WHEN prev_cents > 0 THEN"
+               " (cents - prev_cents) * 1000000 DIV prev_cents END AS BIGINT)")
+        .alias("change_ppm"),
+    ).orderBy("day")

@@ -757,3 +757,88 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.expr("ppm * ppm")).alias("hhi_ppm2"))
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q173 population-stability-index drift monitor: value-bin distributions of
+# the first half of the event stream vs the second (split at max id / 2),
+# Laplace-smoothed integer-ppm shares, per-bin PSI terms quantized to
+# decimal BEFORE summing — the ML-monitoring drift score, order-exact.
+@query(
+    "q173_psi_drift",
+    oracle="""
+    WITH half AS (SELECT MAX(event_id) // 2 AS mid FROM events),
+    b AS (
+      SELECT event_type,
+             CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bin,
+             CASE WHEN event_id <= mid THEN 0 ELSE 1 END AS half
+      FROM events CROSS JOIN half),
+    c AS (SELECT event_type, bin, half, COUNT(*) AS n
+          FROM b GROUP BY event_type, bin, half),
+    grid AS (
+      SELECT DISTINCT e.event_type, g.bin, h.half
+      FROM (SELECT DISTINCT event_type FROM c) e
+      CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS half) h),
+    f AS (
+      SELECT grid.event_type, grid.bin, grid.half, COALESCE(c.n, 0) AS n
+      FROM grid LEFT JOIN c USING (event_type, bin, half)),
+    t AS (SELECT event_type, half, SUM(n) AS tot
+          FROM f GROUP BY event_type, half),
+    p AS (
+      SELECT f.event_type, f.bin, f.half,
+             CAST((n + 1) * 1000000 // (tot + 10) AS BIGINT) AS ppm
+      FROM f JOIN t USING (event_type, half)),
+    w AS (
+      SELECT p0.event_type, p0.bin,
+             ROUND(CAST((CAST(p0.ppm AS DOUBLE) - p1.ppm) / 1000000
+                        * ln(CAST(p0.ppm AS DOUBLE) / p1.ppm)
+                        AS DECIMAL(18,6)), 6) AS term
+      FROM (SELECT * FROM p WHERE half = 0) p0
+      JOIN (SELECT * FROM p WHERE half = 1) p1
+        USING (event_type, bin))
+    SELECT event_type,
+           CAST(ROUND(CAST(SUM(term) AS DECIMAL(18,6)), 4) AS DOUBLE) AS psi
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+    doc="PSI drift between stream halves: Laplace-smoothed integer-ppm "
+        "bin shares, per-bin decimal-quantized terms, order-exact sum.",
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    half = ev.agg(F.expr("MAX(event_id) DIV 2").alias("mid"))
+    b = ev.join(F.broadcast(half)).select(
+        "event_type",
+        F.expr("CAST(LEAST(FLOOR(value / 50.0), 9) AS INT)").alias("bin"),
+        F.expr("CASE WHEN event_id <= mid THEN 0 ELSE 1 END").alias("half"),
+    )
+    c = b.groupBy("event_type", "bin", "half").agg(F.count("*").alias("n"))
+    types = c.select("event_type").distinct()
+    grid = (
+        types.crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
+        .crossJoin(spark.range(2).select(F.col("id").cast("int").alias("half")))
+    )
+    f = grid.join(c, ["event_type", "bin", "half"], "left").select(
+        "event_type", "bin", "half", F.coalesce("n", F.lit(0)).alias("n"))
+    t = f.groupBy("event_type", "half").agg(F.sum("n").alias("tot"))
+    p = f.join(F.broadcast(t), ["event_type", "half"]).select(
+        "event_type", "bin", "half",
+        F.expr("(n + 1) * 1000000 DIV (tot + 10)").alias("ppm"))
+    p0 = p.filter(F.col("half") == 0).select(
+        "event_type", "bin", F.col("ppm").alias("ppm0"))
+    p1 = p.filter(F.col("half") == 1).select(
+        "event_type", "bin", F.col("ppm").alias("ppm1"))
+    w = p0.join(p1, ["event_type", "bin"]).select(
+        "event_type",
+        F.round(
+            F.expr("(CAST(ppm0 AS DOUBLE) - ppm1) / 1000000"
+                   " * ln(CAST(ppm0 AS DOUBLE) / ppm1)").cast("decimal(18,6)"),
+            6,
+        ).alias("term"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(F.round(F.sum("term").cast("decimal(18,6)"), 4).cast("double")
+             .alias("psi"))
+        .orderBy("event_type")
+    )
