@@ -100,7 +100,8 @@ _TIER2 = [
     "q165_time_to_convert", "q166_chi_square", "q167_hhi",
     "q168_event_pattern", "q169_tokenizer_fertility",
     "q170_crosslingual_dups", "q171_time_travel",
-    "q172_period_over_period", "q173_psi_drift",
+    "q172_period_over_period", "q173_psi_drift", "q174_group_mode",
+    "q175_gini", "q176_autocorrelation",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

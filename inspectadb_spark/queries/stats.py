@@ -842,3 +842,196 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("psi"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q174 deterministic group mode: the modal value bin per event type with
+# an explicit (count DESC, bin ASC) tie rule — built-in mode() is
+# tie-arbitrary in both engines, so the rank formulation is the portable
+# one. One counts agg + a |types·bins|-sized window.
+@query(
+    "q174_group_mode",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bin,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, bin),
+    r AS (
+      SELECT event_type, bin, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, bin) AS rk
+      FROM c)
+    SELECT event_type, bin AS mode_bin, n AS mode_n
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """,
+    doc="Deterministic mode (modal value bin) per type with explicit "
+        "(count DESC, bin ASC) tie rule.",
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    c = ev.groupBy(
+        "event_type",
+        F.expr("CAST(LEAST(FLOOR(value / 50.0), 9) AS INT)").alias("bin"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "bin")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("bin").alias("mode_bin"),
+                F.col("n").alias("mode_n"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q175 Gini inequality coefficient per nation over customer revenue — the
+# sorted-rank closed form G = Σ(2i − n − 1)·x(i) / (n·Σx): one sort
+# window + integer sums, never the O(n²) pairwise-difference definition.
+# Output in ppm, exact BIGINT arithmetic end to end.
+@query(
+    "q175_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey AS cust,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nk, cust),
+    rk AS (
+      SELECT nk, cents,
+             ROW_NUMBER() OVER (PARTITION BY nk ORDER BY cents, cust) AS i,
+             COUNT(*) OVER (PARTITION BY nk) AS n
+      FROM rev),
+    g AS (
+      SELECT nk, n,
+             CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS num,
+             CAST(SUM(cents) AS BIGINT) AS tot
+      FROM rk GROUP BY nk, n)
+    SELECT na.n_name, CAST(n AS BIGINT) AS n_firms,
+           CAST(num * 1000000 // (n * tot) AS BIGINT) AS gini_ppm
+    FROM g JOIN nation na ON g.nk = na.n_nationkey
+    ORDER BY na.n_name
+    """,
+    doc="Gini coefficient per nation via the sorted-rank closed form — "
+        "one window sort, integer-ppm exact, no pairwise join.",
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    rev = (
+        t["orders"].join(
+            t["customer"],
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"), F.col("o_custkey").alias("cust"))
+        .agg(F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+                    " AS BIGINT)").alias("cents"))
+    )
+    w = Window.partitionBy("nk").orderBy("cents", "cust")
+    wn = Window.partitionBy("nk")
+    rk = rev.select(
+        "nk", "cents",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wn).alias("n"),
+    )
+    g = rk.groupBy("nk", "n").agg(
+        F.expr("CAST(SUM((2 * i - n - 1) * cents) AS BIGINT)").alias("num"),
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("tot"),
+    )
+    return (
+        g.join(F.broadcast(t["nation"]), g["nk"] == t["nation"]["n_nationkey"])
+        .select(
+            "n_name", F.col("n").cast("bigint").alias("n_firms"),
+            F.expr("num * 1000000 DIV (n * tot)").alias("gini_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q176 autocorrelation of daily revenue at lags 1 and 7 over the
+# gap-complete calendar: Pearson on (x_t, x_{t−k}) pairs from exact
+# integer-cent sums; the only doubles are the final quotient and sqrt,
+# identical expressions on both engines, 4dp-pinned.
+@query(
+    "q176_autocorrelation",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span),
+    rev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    series AS (
+      SELECT day, COALESCE(cents, 0) AS cents
+      FROM days LEFT JOIN rev USING (day)),
+    lagged AS (
+      SELECT cents AS x,
+             LAG(cents, 1) OVER (ORDER BY day) AS y1,
+             LAG(cents, 7) OVER (ORDER BY day) AS y7
+      FROM series),
+    pairs AS (
+      SELECT 1 AS lag, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+      UNION ALL
+      SELECT 7, x, y7 FROM lagged WHERE y7 IS NOT NULL),
+    s AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag)
+    SELECT lag, n,
+           CAST(ROUND(CAST(
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS DECIMAL(18,6)), 4) AS DOUBLE) AS acf
+    FROM s ORDER BY lag
+    """,
+    doc="Lag-1/lag-7 autocorrelation of daily revenue from exact integer "
+        "sums; gap-complete calendar so lags are calendar-true.",
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import calendar_dim
+
+    ev = tables(spark, sf_dir)["events"]
+    days = calendar_dim(ev).select("day")
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT))").alias("cents"))
+    )
+    series = days.join(rev, "day", "left").select(
+        "day", F.coalesce("cents", F.lit(0)).alias("cents"))
+    w = Window.orderBy("day")
+    lagged = series.select(
+        F.col("cents").alias("x"),
+        F.lag("cents", 1).over(w).alias("y1"),
+        F.lag("cents", 7).over(w).alias("y7"),
+    )
+    pairs = lagged.filter(F.col("y1").isNotNull()).select(
+        F.lit(1).alias("lag"), "x", F.col("y1").alias("y")
+    ).unionByName(
+        lagged.filter(F.col("y7").isNotNull()).select(
+            F.lit(7).alias("lag"), "x", F.col("y7").alias("y"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(x) AS BIGINT)").alias("sx"),
+        F.expr("CAST(SUM(y) AS BIGINT)").alias("sy"),
+        F.expr("CAST(SUM(x * y) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(SUM(x * x) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(SUM(y * y) AS BIGINT)").alias("syy"),
+    )
+    acf = F.round(
+        F.expr(
+            "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+        ).cast("decimal(18,6)"), 4
+    ).cast("double")
+    return s.select("lag", "n", acf.alias("acf")).orderBy("lag")
