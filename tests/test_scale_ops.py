@@ -188,3 +188,60 @@ def test_crosslingual_dup_detector_finds_planted_dup(spark):
     )
     assert len(got) == 1
     assert (got[0].first_doc, got[0].n_docs, got[0].n_langs) == (1, 3, 2)
+
+
+def test_gini_matches_python_reference(spark):
+    """The q175 sorted-rank form vs the textbook pairwise definition,
+    computed in exact integers on the Python side."""
+    import itertools
+
+    from inspectadb_spark.queries.registry import REGISTRY
+
+    rows = {r.n_name: r for r in
+            REGISTRY["q175_gini"].builder(spark, "/root/testdata/sf0.001").collect()}
+    # independently recompute one nation's gini from raw data
+    import duckdb
+
+    con = duckdb.connect()
+    data = con.execute("""
+        SELECT c.c_nationkey, n.n_name,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM '/root/testdata/sf0.001/orders.parquet' o
+        JOIN '/root/testdata/sf0.001/customer.parquet' c
+          ON o.o_custkey = c.c_custkey
+        JOIN '/root/testdata/sf0.001/nation.parquet' n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2, o.o_custkey
+    """).fetchall()
+    by_nation: dict = {}
+    for _, name, cents in data:
+        by_nation.setdefault(name, []).append(cents)
+    for name, xs in by_nation.items():
+        xs.sort()
+        n, tot = len(xs), sum(xs)
+        # pairwise definition: G = sum|xi - xj| / (2 n^2 mu) = pair/(2*n*tot)
+        pair = sum(abs(a - b) for a, b in itertools.product(xs, xs))
+        want_ppm = (pair * 1_000_000) // (2 * n * tot)
+        got = rows[name].gini_ppm
+        # rank form floors once, the pairwise form floors once — equal up
+        # to the single floor ulp
+        assert abs(got - want_ppm) <= 1, (name, got, want_ppm)
+
+
+def test_rle_matches_itertools_groupby(spark):
+    import datetime as dt
+    import itertools
+
+    from inspectadb_spark.operators.timeseries import rle_compress
+
+    states = ["a", "a", "b", "b", "b", "a", "c", "c", "a", "a"]
+    rows = [(1, dt.datetime(2024, 1, 1, 0, i), i, s)
+            for i, s in enumerate(states)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, id int, st string")
+    got = sorted(
+        (r.run_id, r.st, r.n)
+        for r in rle_compress(df, "k", "st", "ts", "id").collect()
+    )
+    want = [(i + 1, s, len(list(g)))
+            for i, (s, g) in enumerate(itertools.groupby(states))]
+    assert got == [(rid, s, n) for rid, s, n in want]
