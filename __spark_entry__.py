@@ -101,7 +101,7 @@ _TIER2 = [
     "q168_event_pattern", "q169_tokenizer_fertility",
     "q170_crosslingual_dups", "q171_time_travel",
     "q172_period_over_period", "q173_psi_drift", "q174_group_mode",
-    "q175_gini", "q176_autocorrelation",
+    "q175_gini", "q176_autocorrelation", "q177_group_by_all",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

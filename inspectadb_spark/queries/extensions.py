@@ -866,3 +866,33 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "term")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q177 GROUP BY ALL / ORDER BY ALL dialect parity: both engines support
+# the modern grouping sugar, and the resolution rules (group by every
+# non-aggregate select item, order by the full select list) agree — the
+# SQL-surface check a migrating user hits on day one.
+@query(
+    "q177_group_by_all",
+    oracle="""
+    SELECT event_type, CAST(hour(ts) AS INT) AS hr, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY ALL ORDER BY ALL
+    """,
+    doc="GROUP BY ALL + ORDER BY ALL sugar parity (identical resolution "
+        "rules in Spark 4 and DuckDB).",
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.queries.registry import sql
+
+    return sql(
+        spark, sf_dir,
+        """
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY ALL ORDER BY ALL
+        """,
+    )

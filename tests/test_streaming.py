@@ -1219,3 +1219,96 @@ def test_s25_incremental_set_union(spark, replay_dir, tmp_path):
              F.count("*").alias("n"))
     )
     assert _rows(got) == _rows(want)
+
+
+# S26 continuous drift monitor composition: an IncrementalAggregate
+# maintains the live (type, bin) histogram of the stream's second half;
+# after the drain its counts equal the batch histogram EXACTLY, and the
+# PSI computed from the incremental table (pandas reference arithmetic)
+# equals the batch q173 scores — i.e. SCALE.md's "rolling drift monitor"
+# claim is executable, not aspirational.
+def test_s26_incremental_drift_monitor(spark, replay_dir, tmp_path):
+    import math
+
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    batch = spark.read.parquet(replay_dir)
+    mid = batch.agg(F.expr("MAX(event_id) DIV 2").alias("m")).collect()[0].m
+
+    inc = IncrementalAggregate(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        key_exprs={
+            "event_type": "event_type",
+            "bin": "CAST(LEAST(FLOOR(value / 50.0), 9) AS INT)",
+        },
+        measures=[("n", "count", "*")],
+    )
+    stream = _stream(spark, replay_dir).filter(F.col("event_id") > mid)
+    q = inc.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    got_counts = inc.table()
+    want_counts = (
+        batch.filter(F.col("event_id") > mid)
+        .groupBy("event_type",
+                 F.expr("CAST(LEAST(FLOOR(value / 50.0), 9) AS INT)")
+                 .alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+    assert _rows(got_counts.select("event_type", "bin", "n")) == _rows(want_counts)
+
+    # PSI from the incremental table (reference arithmetic) == batch q173
+    from inspectadb_spark.queries.registry import REGISTRY
+    import inspectadb_spark.queries.stats  # noqa: F401
+
+    h0 = (
+        batch.filter(F.col("event_id") <= mid)
+        .groupBy("event_type",
+                 F.expr("CAST(LEAST(FLOOR(value / 50.0), 9) AS INT)")
+                 .alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    h1 = got_counts.collect()
+
+    def ppm_table(rows):
+        c = {}
+        for r in rows:
+            c[(r.event_type, r.bin)] = r.n
+        types = {k[0] for k in c}
+        out = {}
+        for t in types:
+            tot = sum(c.get((t, b), 0) for b in range(10))
+            for b in range(10):
+                out[(t, b)] = ((c.get((t, b), 0) + 1) * 1_000_000) // (tot + 10)
+        return out, types
+
+    p0, types = ppm_table(h0)
+    p1, _ = ppm_table(h1)
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q6(v):  # mirror the engines' DECIMAL 6-dp HALF_UP per-term rounding
+        return Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    want_psi = {}
+    for t in types:
+        s6 = sum(
+            q6((p0[(t, b)] - p1[(t, b)]) / 1_000_000
+               * math.log(p0[(t, b)] / p1[(t, b)]))
+            for b in range(10)
+        )
+        want_psi[t] = float(Decimal(s6).quantize(Decimal("0.0001"),
+                                                 ROUND_HALF_UP))
+
+    # the replay holds exactly the SF_DIR events rows, so the batch q173
+    # output is the ground truth for the PSI assembled from incremental
+    # streaming state
+    from inspectadb_spark.queries.registry import REGISTRY
+    import inspectadb_spark.queries.stats  # noqa: F401
+
+    got_psi = {r.event_type: r.psi for r in
+               REGISTRY["q173_psi_drift"].builder(spark, SF_DIR).collect()}
+    assert got_psi == want_psi
