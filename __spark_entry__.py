@@ -102,6 +102,7 @@ _TIER2 = [
     "q170_crosslingual_dups", "q171_time_travel",
     "q172_period_over_period", "q173_psi_drift", "q174_group_mode",
     "q175_gini", "q176_autocorrelation", "q177_group_by_all",
+    "q178_topk_with_ties", "q179_capped_sessions",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -97,3 +97,62 @@ def sessionize_dynamic(
     return events.withColumn("_brk", brk).withColumn(
         "session_id", F.sum("_brk").over(run)
     ).drop("_brk")
+
+
+def capped_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+    cap_s: int = 14400,
+) -> DataFrame:
+    """Sessionize with BOTH a max-gap rule and a max-duration cap anchored
+    at the session START — the semantics analytics teams actually want
+    ("a session can never exceed 4 h"), and one the window closed form
+    can NOT express: whether row i starts a session depends on the start
+    chosen for its predecessor, a genuinely sequential recurrence.
+
+    This is the sanctioned Pandas-UDF escape hatch (SURVEY §2.2l): one
+    shuffle on the user key, then an Arrow-batched per-group pass whose
+    cost is O(rows in group) with bounded memory — exactly the shape the
+    built-ins can't reach but a 1000-executor cluster still parallelizes
+    perfectly (the sequential dependency is per-user only). The DuckDB
+    oracle expresses the same recurrence as a recursive CTE, so the
+    operator is still hash-verified end to end (q179).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{user_col} bigint, session_id bigint, n_events bigint, "
+        "ts_start timestamp, ts_end timestamp"
+    )
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        us = pdf[ts_col].astype("int64") // 1000  # ns -> µs
+        gap_us, cap_us = gap_s * 1_000_000, cap_s * 1_000_000
+        sid, start = 0, None
+        sids = []
+        prev = None
+        for t in us:
+            if start is None:
+                start = t
+            elif t - prev > gap_us or t - start > cap_us:
+                sid += 1
+                start = t
+            sids.append(sid)
+            prev = t
+        pdf = pdf.assign(_sid=sids)
+        g = pdf.groupby("_sid", sort=True)
+        return pd.DataFrame({
+            user_col: [pdf[user_col].iloc[0]] * len(g),
+            "session_id": list(g.groups.keys()),
+            "n_events": g.size().to_list(),
+            "ts_start": g[ts_col].min().to_list(),
+            "ts_end": g[ts_col].max().to_list(),
+        })
+
+    return events.select(user_col, ts_col, id_col).groupBy(
+        user_col
+    ).applyInPandas(assign, out_schema)

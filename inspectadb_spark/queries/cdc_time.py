@@ -1776,3 +1776,78 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
                " (cents - prev_cents) * 1000000 DIV prev_cents END AS BIGINT)")
         .alias("change_ppm"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Q178 top-k per group WITH TIES (RANK semantics): k-th-place ties all
+# survive — the semantic sibling of q31's ROW_NUMBER top-k, and a
+# different window-group-limit specialization.
+@query(
+    "q178_topk_with_ties",
+    oracle="""
+    SELECT event_type, day, n
+    FROM (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             RANK() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC)
+               AS rk
+      FROM events GROUP BY event_type, day)
+    WHERE rk <= 3 ORDER BY event_type, n DESC, day
+    """,
+    doc="Top-3 busiest days per event type WITH ties (RANK, not "
+        "ROW_NUMBER): k-th-place ties all included.",
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    return (
+        daily.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "day", "n")
+        .orderBy("event_type", F.desc("n"), "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q179 cap-anchored sessionization: max-gap AND max-duration-from-start —
+# a sequential recurrence no window closed form expresses. Spark side is
+# the sanctioned applyInPandas escape hatch (one user shuffle, per-group
+# Arrow pass); the oracle expresses the SAME recurrence as a recursive
+# CTE, so even this operator is hash-verified.
+@query(
+    "q179_capped_sessions",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events),
+    r AS (
+      SELECT user_id, rn, ts, CAST(0 AS BIGINT) AS session_id,
+             ts AS session_start
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.ts,
+             CASE WHEN o.ts - r.ts > INTERVAL 30 MINUTE
+                    OR o.ts - r.session_start > INTERVAL 4 HOUR
+                  THEN r.session_id + 1 ELSE r.session_id END,
+             CASE WHEN o.ts - r.ts > INTERVAL 30 MINUTE
+                    OR o.ts - r.session_start > INTERVAL 4 HOUR
+                  THEN o.ts ELSE r.session_start END
+      FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS ts_start, MAX(ts) AS ts_end
+    FROM r GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Gap + 4 h-cap sessionization (sequential recurrence): "
+        "applyInPandas vs a recursive-CTE oracle.",
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.sessionize import capped_sessionize
+
+    return capped_sessionize(
+        tables(spark, sf_dir)["events"], gap_s=1800, cap_s=14400
+    ).orderBy("user_id", "session_id")

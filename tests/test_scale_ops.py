@@ -245,3 +245,22 @@ def test_rle_matches_itertools_groupby(spark):
     want = [(i + 1, s, len(list(g)))
             for i, (s, g) in enumerate(itertools.groupby(states))]
     assert got == [(rid, s, n) for rid, s, n in want]
+
+
+def test_capped_sessionize_splits_on_cap_not_just_gap(spark):
+    import datetime as dt
+
+    from inspectadb_spark.operators.sessionize import capped_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    # events every 20 min (< 30 min gap) for 6 h: plain gap-sessionize
+    # would yield ONE session; the 4 h cap must split it
+    rows = [(1, base + dt.timedelta(minutes=20 * i), i) for i in range(19)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = sorted(
+        (r.session_id, r.n_events)
+        for r in capped_sessionize(df, gap_s=1800, cap_s=14400).collect()
+    )
+    # cap anchored at start: session 0 covers minutes 0..240 (13 events),
+    # session 1 restarts at minute 260
+    assert got == [(0, 13), (1, 6)]
