@@ -132,3 +132,57 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# -- Bloom membership filter (portable md5 bucketing) --------------------------
+#
+# The third mergeable sketch in the family (HLL: distinct counts, CMS:
+# frequencies, Bloom: membership). Represented RELATIONALLY as distinct
+# (bit,) rows: build is one distinct-agg bounded by m rows, merge is a
+# UNION/distinct, and probing is k broadcast-joined bit lookups. No false
+# negatives ever; false positives bounded by the standard (1-e^{-kn/m})^k.
+# Same two-nibble md5 bucketing as CMS, so a DuckDB oracle reproduces the
+# grid bit-for-bit.
+
+def _md5_bits_sql(col: str, salt: str, nibbles: int = 6) -> str:
+    """Portable md5→integer (instr/substr arithmetic — valid and identical
+    in Spark SQL and DuckDB, unlike conv())."""
+    h = f"md5(CAST({col} AS STRING) || ':{salt}')"
+    terms = [
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def bloom_build(df: DataFrame, col: str, k: int = 4, m: int = 4096,
+                salt: str = "bloom") -> DataFrame:
+    """The set's (bit,) rows: bit_i(x) = md5-uniform_i(x) mod m, i < k."""
+    bits = F.array(*[
+        (F.expr(_md5_bits_sql(col, f"{salt}{i}")) % m).alias(f"b{i}")
+        for i in range(k)
+    ])
+    return (
+        df.select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(sketch: DataFrame, probes: DataFrame, col: str,
+                k: int = 4, m: int = 4096, salt: str = "bloom") -> DataFrame:
+    """probes + boolean ``maybe_member``: true iff ALL k bits are set.
+    The sketch is ≤ m rows — broadcast; the probe side never shuffles."""
+    e = probes.select(
+        col,
+        F.explode(F.array(*[
+            (F.expr(_md5_bits_sql(col, f"{salt}{i}")) % m)
+            for i in range(k)
+        ])).alias("bit"),
+    )
+    hit = sketch.withColumn("_set", F.lit(1))
+    return (
+        e.join(F.broadcast(hit), "bit", "left")
+        .groupBy(col)
+        .agg((F.count("*") == F.count("_set")).alias("maybe_member"))
+    )

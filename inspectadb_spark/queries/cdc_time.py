@@ -1851,3 +1851,45 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped_sessionize(
         tables(spark, sf_dir)["events"], gap_s=1800, cap_s=14400
     ).orderBy("user_id", "session_id")
+
+
+# --------------------------------------------------------------------------
+# Q180 incremental view maintenance (join delta rule): the delta of the
+# orders⋈lineitem view under inserts, computed as ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS,
+# hash-verified against the INDEPENDENT spec new-join EXCEPT ALL old-join.
+# Maintaining the view costs O(|Δ|·match), never a recompute.
+@query(
+    "q180_ivm_join_delta",
+    oracle=f"""
+    WITH r_old AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 3),
+    s_old AS (SELECT * FROM lineitem WHERE l_linenumber <> 2),
+    old AS (
+      SELECT o_orderstatus, l_quantity FROM r_old
+      JOIN s_old ON o_orderkey = l_orderkey),
+    new AS (
+      SELECT o_orderstatus, l_quantity FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey),
+    delta AS (SELECT * FROM new EXCEPT ALL SELECT * FROM old)
+    SELECT o_orderstatus, COUNT(*) AS n, {dsum('l_quantity', 'qty')}
+    FROM delta GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="IVM delta rule for an inner-join view (inserts): ΔR⋈S ∪ R⋈ΔS ∪ "
+        "ΔR⋈ΔS vs the EXCEPT-ALL recompute spec.",
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.cdc import join_view_delta
+
+    t = tables(spark, sf_dir)
+    orders, li = t["orders"], t["lineitem"]
+    s_all = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    r_old = orders.filter(F.col("o_orderkey") % 7 != 3)
+    dr = orders.filter(F.col("o_orderkey") % 7 == 3)
+    s_old = s_all.filter(F.col("l_linenumber") != 2)
+    ds = s_all.filter(F.col("l_linenumber") == 2)
+    delta = join_view_delta(r_old, s_old, dr, ds, ["o_orderkey"])
+    return (
+        delta.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.expr(dec("l_quantity"))).cast("double").alias("qty"))
+        .orderBy("o_orderstatus")
+    )

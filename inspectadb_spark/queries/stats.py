@@ -1035,3 +1035,73 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(18,6)"), 4
     ).cast("double")
     return s.select("lag", "n", acf.alias("acf")).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# Q181 Bloom membership sketch in relational form — the third mergeable
+# sketch (HLL distincts, CMS frequencies, Bloom membership): bits are
+# DISTINCT (bit,) rows from the portable md5 arithmetic, probe = all k
+# bits present. Zero false negatives by construction; flagged counts per
+# segment bound the true membership from above.
+_Q181_BIT = (
+    "((instr('0123456789abcdef', substr(md5(CAST(c_custkey AS STRING)"
+    " || ':bl{i}'), 1, 1)) - 1) * 1048576"
+    " + (instr('0123456789abcdef', substr(md5(CAST(c_custkey AS STRING)"
+    " || ':bl{i}'), 2, 1)) - 1) * 65536"
+    " + (instr('0123456789abcdef', substr(md5(CAST(c_custkey AS STRING)"
+    " || ':bl{i}'), 3, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(CAST(c_custkey AS STRING)"
+    " || ':bl{i}'), 4, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(c_custkey AS STRING)"
+    " || ':bl{i}'), 5, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(c_custkey AS STRING)"
+    " || ':bl{i}'), 6, 1)) - 1)) % 4096"
+)
+
+
+def _q181_bits_sql(engine_unnest: str) -> str:
+    exprs = ", ".join(_Q181_BIT.format(i=i) for i in range(4))
+    return f"{engine_unnest}([{exprs}])"
+
+
+@query(
+    "q181_bloom_membership",
+    oracle=f"""
+    WITH member AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+    bits AS (
+      SELECT DISTINCT {_q181_bits_sql('unnest')} AS bit FROM member),
+    e AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             {_q181_bits_sql('unnest')} AS bit
+      FROM customer),
+    p AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             COUNT(*) = COUNT(bits.bit) AS maybe_member
+      FROM e LEFT JOIN bits USING (bit)
+      GROUP BY c_custkey, c_mktsegment, c_acctbal)
+    SELECT c_mktsegment, COUNT(*) AS n_probed,
+           COUNT(CASE WHEN maybe_member THEN 1 END) AS n_flagged,
+           COUNT(CASE WHEN c_acctbal > 9000 THEN 1 END) AS n_true
+    FROM p GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Relational Bloom filter (k=4, m=4096): distinct bit rows, "
+        "broadcast probe, per-segment flagged-vs-true counts.",
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.sketches import bloom_build, bloom_probe
+
+    cust = tables(spark, sf_dir)["customer"]
+    member = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    sketch = bloom_build(member, "c_custkey", k=4, m=4096, salt="bl")
+    probed = bloom_probe(sketch, cust.select("c_custkey"), "c_custkey",
+                         k=4, m=4096, salt="bl")
+    return (
+        cust.join(probed, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_probed"),
+            F.count(F.when(F.col("maybe_member"), 1)).alias("n_flagged"),
+            F.count(F.when(F.col("c_acctbal") > 9000, 1)).alias("n_true"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -264,3 +264,27 @@ def test_capped_sessionize_splits_on_cap_not_just_gap(spark):
     # cap anchored at start: session 0 covers minutes 0..240 (13 events),
     # session 1 restarts at minute 260
     assert got == [(0, 13), (1, 6)]
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.sketches import bloom_build, bloom_probe
+
+    pop = spark.range(1000).select(F.col("id").alias("k"))
+    mem_a = pop.filter(F.col("k") < 50)
+    mem_b = pop.filter((F.col("k") >= 50) & (F.col("k") < 100))
+    sk_a = bloom_build(mem_a, "k")
+    sk_b = bloom_build(mem_b, "k")
+    # no false negatives: every member of A flags in A's sketch
+    flags = bloom_probe(sk_a, pop, "k").collect()
+    assert all(r.maybe_member for r in flags if r.k < 50)
+    # false positives exist but are bounded loosely (k=4, m=4096, n=50
+    # → theoretical fp ≈ 5e-6; allow slack)
+    fp = sum(1 for r in flags if r.maybe_member and r.k >= 50)
+    assert fp <= 5
+    # merge is a distinct union: sketch(A ∪ B) == union of sketches
+    merged = sk_a.unionByName(sk_b).distinct()
+    direct = bloom_build(mem_a.unionByName(mem_b), "k")
+    assert sorted(r.bit for r in merged.collect()) == \
+        sorted(r.bit for r in direct.collect())
