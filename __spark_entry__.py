@@ -103,7 +103,7 @@ _TIER2 = [
     "q172_period_over_period", "q173_psi_drift", "q174_group_mode",
     "q175_gini", "q176_autocorrelation", "q177_group_by_all",
     "q178_topk_with_ties", "q179_capped_sessions", "q180_ivm_join_delta",
-    "q181_bloom_membership",
+    "q181_bloom_membership", "q182_repair_changelog", "q183_lww_merge",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -246,3 +246,66 @@ def join_view_delta(
         .unionByName(r_old.join(ds, on))
         .unionByName(dr.join(ds, on))
     )
+
+
+def diff_to_changelog(
+    src: DataFrame,
+    dst: DataFrame,
+    keys: list,
+    payload: list,
+) -> DataFrame:
+    """The repair plan that converges replica ``dst`` to ``src``: a
+    minimal changelog of (op, key, payload) rows — 'c' for rows missing
+    from dst, 'd' for phantom rows only dst has, 'u' for shared keys
+    whose payload differs (NULL-safe comparison). The inverse of
+    ``apply_changelog``: applying the output to dst yields src exactly
+    (round-trip-tested).
+
+    Shape: two anti joins + one inner join with a null-safe payload
+    predicate — all on the replication key, so one co-partitioned shuffle
+    per side; output is diff-sized, not table-sized.
+    """
+    inserts = src.join(dst, keys, "left_anti").select(
+        F.lit("c").alias("op"), *keys, *payload
+    )
+    deletes = dst.join(src, keys, "left_anti").select(
+        F.lit("d").alias("op"), *keys,
+        *[F.lit(None).cast(src.schema[c].dataType).alias(c) for c in payload],
+    )
+    s = src.select(*keys, *[F.col(c).alias(f"_s_{c}") for c in payload])
+    d = dst.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in payload])
+    differs = None
+    for c in payload:
+        ne = ~F.col(f"_s_{c}").eqNullSafe(F.col(f"_d_{c}"))
+        differs = ne if differs is None else (differs | ne)
+    updates = (
+        s.join(d, keys)
+        .filter(differs)
+        .select(F.lit("u").alias("op"), *keys,
+                *[F.col(f"_s_{c}").alias(c) for c in payload])
+    )
+    return inserts.unionByName(deletes).unionByName(updates)
+
+
+def lww_merge(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list,
+    version_col: str,
+    source_col: str = "_replica",
+    a_tag: str = "a",
+    b_tag: str = "b",
+) -> DataFrame:
+    """Last-writer-wins reconciliation of two divergent replicas: per key,
+    the row with the highest ``version_col`` survives; version ties break
+    by replica tag (deterministic — multi-master convergence requires a
+    total order). One union + one key-shuffle max_by.
+    """
+    u = a.withColumn(source_col, F.lit(a_tag)).unionByName(
+        b.withColumn(source_col, F.lit(b_tag))
+    )
+    others = [c for c in u.columns if c not in keys]
+    ord_expr = f"struct({version_col}, {source_col})"
+    return u.groupBy(*keys).agg(
+        *[F.expr(f"max_by({c}, {ord_expr})").alias(c) for c in others]
+    )

@@ -1893,3 +1893,145 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.expr(dec("l_quantity"))).cast("double").alias("qty"))
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Q182 replica repair plan: diff src vs a deterministically-corrupted
+# replica (missing rows, drifted prices, phantom rows) into the minimal
+# changelog that converges it — 'c'/'u'/'d' ops, NULL-safe payload
+# comparison. Two anti joins + one key join; output is diff-sized.
+_Q182_DST = """
+      SELECT o_orderkey,
+             o_custkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 2
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,6))
+                            + CAST(1.5 AS DECIMAL(18,6)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 5
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 1
+"""
+
+
+@query(
+    "q182_repair_changelog",
+    oracle=f"""
+    WITH dst AS ({_Q182_DST})
+    SELECT 'c' AS op, o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dst)
+    UNION ALL
+    SELECT 'd', o_orderkey,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM dst WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'u', s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+    FROM orders s JOIN dst d USING (o_orderkey)
+    WHERE s.o_custkey IS DISTINCT FROM d.o_custkey
+       OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+       OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+    ORDER BY op, o_orderkey
+    """,
+    doc="Replica repair changelog (c/u/d) from a src-vs-replica diff; "
+        "applying it converges the replica (round-trip-tested).",
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.cdc import diff_to_changelog
+
+    src = tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    dst = _q182_dst(src)
+    return diff_to_changelog(
+        src, dst, ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+    ).orderBy("op", "o_orderkey")
+
+
+def _q182_dst(src: DataFrame) -> DataFrame:
+    drifted = src.filter(F.col("o_orderkey") % 11 != 5).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 2,
+            (F.col("o_totalprice").cast("decimal(18,6)")
+             + F.lit(1.5).cast("decimal(18,6)")).cast("double"),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    phantoms = src.filter(F.col("o_orderkey") % 13 == 1).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice",
+    )
+    return drifted.unionByName(phantoms)
+
+
+# --------------------------------------------------------------------------
+# Q183 last-writer-wins reconciliation of two divergent replicas: per key
+# the highest-version row survives, version ties break by replica tag —
+# the deterministic multi-master convergence rule. One union + one
+# key-shuffle max_by; rolled up per (winning replica, status).
+@query(
+    "q183_lww_merge",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,6))
+                            * CAST(1.10 AS DECIMAL(4,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS v,
+             'a' AS _replica
+      FROM orders),
+    b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 4 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,6))
+                            + CAST(5 AS DECIMAL(18,6)) AS DOUBLE)
+                  ELSE o_totalprice END,
+             CASE WHEN o_orderkey % 4 = 0 THEN 3 ELSE 1 END,
+             'b'
+      FROM orders),
+    u AS (
+      SELECT *, v * 10 + CASE _replica WHEN 'b' THEN 1 ELSE 0 END AS ord
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM b)),
+    w AS (
+      SELECT o_orderkey,
+             arg_max(o_orderstatus, ord) AS o_orderstatus,
+             arg_max(price, ord) AS price,
+             arg_max(_replica, ord) AS _replica
+      FROM u GROUP BY o_orderkey)
+    SELECT _replica, o_orderstatus, COUNT(*) AS n,
+           {dsum('price', 'total')}
+    FROM w GROUP BY _replica, o_orderstatus ORDER BY _replica, o_orderstatus
+    """,
+    doc="LWW multi-master reconciliation: per-key highest version wins, "
+        "ties broken by replica tag; winner mix rolled up.",
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.cdc import lww_merge
+
+    orders = tables(spark, sf_dir)["orders"]
+    a = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (F.col("o_totalprice").cast("decimal(18,6)")
+             * F.lit(1.10).cast("decimal(4,2)")).cast("double"),
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(F.col("o_orderkey") % 3 == 0, 2).otherwise(1).alias("v"),
+    )
+    b = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            (F.col("o_totalprice").cast("decimal(18,6)")
+             + F.lit(5).cast("decimal(18,6)")).cast("double"),
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(F.col("o_orderkey") % 4 == 0, 3).otherwise(1).alias("v"),
+    )
+    merged = lww_merge(a, b, ["o_orderkey"], "v")
+    return (
+        merged.groupBy("_replica", "o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.expr(dec("price"))).cast("double").alias("total"))
+        .orderBy("_replica", "o_orderstatus")
+    )

@@ -288,3 +288,29 @@ def test_bloom_no_false_negatives_and_merge(spark):
     direct = bloom_build(mem_a.unionByName(mem_b), "k")
     assert sorted(r.bit for r in merged.collect()) == \
         sorted(r.bit for r in direct.collect())
+
+
+def test_repair_changelog_roundtrip_converges_replica(spark):
+    """Applying q182's changelog to the corrupted replica must reproduce
+    the source EXACTLY — the property that makes the diff a repair plan."""
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.cdc import diff_to_changelog
+    from inspectadb_spark.queries.cdc_time import _q182_dst
+    from inspectadb_spark.queries.registry import tables
+
+    src = tables(spark, "/root/testdata/sf0.001")["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    dst = _q182_dst(src)
+    log = diff_to_changelog(
+        src, dst, ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice"])
+    dels = log.filter(F.col("op") == "d").select("o_orderkey")
+    upserts = log.filter(F.col("op") != "d").drop("op")
+    repaired = (
+        dst.join(log.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(upserts)
+    )
+    assert sorted(map(tuple, repaired.collect())) == \
+        sorted(map(tuple, src.collect()))
+    assert dels.count() > 0  # the corruption actually exercised deletes
