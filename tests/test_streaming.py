@@ -1312,3 +1312,46 @@ def test_s26_incremental_drift_monitor(spark, replay_dir, tmp_path):
     got_psi = {r.event_type: r.psi for r in
                REGISTRY["q173_psi_drift"].builder(spark, SF_DIR).collect()}
     assert got_psi == want_psi
+
+
+# S27 multi-source streaming reconciliation: TWO replica streams union
+# into one stateful last-writer-wins aggregate; after draining both
+# replays the per-key winners equal batch lww_merge exactly. Exercises
+# streaming UNION + a stateful max_by keyed on the replication key.
+def test_s27_streaming_lww_merge(spark, replay_dir, tmp_path):
+    batch = spark.read.parquet(replay_dir)
+
+    def replica(df, tag, mod, bump):
+        return df.select(
+            F.col("user_id").alias("k"),
+            (F.col("value") + F.when(F.col("event_id") % mod == 0, bump)
+             .otherwise(0.0)).alias("val"),
+            F.when(F.col("event_id") % mod == 0, 2).otherwise(1).alias("v"),
+            F.lit(tag).alias("_replica"),
+            "event_id",
+        )
+
+    sa = replica(_stream(spark, replay_dir), "a", 3, 100.0)
+    sb = replica(_stream(spark, replay_dir), "b", 4, 200.0)
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("k")
+        .agg(F.expr("max_by(val, struct(v, _replica, event_id))").alias("val"),
+             F.expr("max_by(_replica, struct(v, _replica, event_id))")
+             .alias("_replica"),
+             F.expr("max_by(v, struct(v, _replica, event_id))").alias("v"))
+    )
+    _drain(merged, "s27", mode="complete")
+
+    ba = replica(batch, "a", 3, 100.0)
+    bb = replica(batch, "b", 4, 200.0)
+    want = (
+        ba.unionByName(bb)
+        .groupBy("k")
+        .agg(F.expr("max_by(val, struct(v, _replica, event_id))").alias("val"),
+             F.expr("max_by(_replica, struct(v, _replica, event_id))")
+             .alias("_replica"),
+             F.max("v").alias("v"))
+    )
+    got = spark.table("s27")
+    assert _rows(got) == _rows(want)
