@@ -186,3 +186,58 @@ def bloom_probe(sketch: DataFrame, probes: DataFrame, col: str,
         .groupBy(col)
         .agg((F.count("*") == F.count("_set")).alias("maybe_member"))
     )
+
+
+# -- mergeable value-histogram quantile sketch ---------------------------------
+#
+# The fourth mergeable summary (HLL distincts, CMS frequencies, Bloom
+# membership, histogram quantiles): per-bucket (bin, cnt) rows at a fixed
+# value resolution. Merge = SUM per bin (lossless for the estimator);
+# quantile estimate = the first bin whose cumulative count reaches p% —
+# error bounded by one bin width, deterministically, on any engine
+# (pure integer comparisons). The rollup-friendly alternative to exact
+# percentiles (which cannot be merged across buckets).
+
+def vhist_sketch(df: DataFrame, col: str, width: int, n_bins: int,
+                 bucket_cols: list | None = None) -> DataFrame:
+    """(bucket_cols..., bin, cnt) rows; bin = clamp(floor(col/width))."""
+    b = F.expr(f"CAST(LEAST(FLOOR({col} / {width}.0), {n_bins - 1}) AS INT)")
+    keys = list(bucket_cols or []) + [b.alias("bin")]
+    return df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+
+
+def vhist_merge(sketches: DataFrame, bucket_cols: list | None = None) -> DataFrame:
+    """Roll stored histograms up to coarser buckets: element-wise SUM."""
+    keys = list(bucket_cols or []) + ["bin"]
+    return sketches.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def vhist_quantile(sketch: DataFrame, pcts: list, width: int) -> DataFrame:
+    """(p, est) per requested integer percent: est = upper edge of the
+    first bin whose cumulative count covers p% (integer comparisons only,
+    engine-exact; error ≤ one bin width)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cum = sketch.select(
+        "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                              Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    outs = []
+    for p in pcts:
+        est = (
+            cum.filter(F.col("cum") * 100 >= F.lit(p) * F.col("total"))
+            .agg(F.min("bin").alias("b"))
+            .select(F.lit(p).alias("p"),
+                    ((F.col("b") + 1) * width).cast("double").alias("est"))
+        )
+        outs.append(est)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

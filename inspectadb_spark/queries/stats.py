@@ -1105,3 +1105,68 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Q184 mergeable quantile sketch: per-day value histograms merged into the
+# global grid, p50/p95 estimated from cumulative integer counts (error ≤
+# one bin width), side by side with the exact interpolated percentile —
+# the rollup-friendly percentile a 100 TB tiered store actually serves.
+@query(
+    "q184_quantile_sketch",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(LEAST(FLOOR(value / 25.0), 19) AS INT) AS bin,
+             COUNT(*) AS cnt
+      FROM events GROUP BY day, bin),
+    m AS (SELECT bin, SUM(cnt) AS cnt FROM s GROUP BY bin),
+    c AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM m),
+    est AS (
+      SELECT 50 AS p, CAST((MIN(bin) + 1) * 25 AS DOUBLE) AS est
+      FROM c WHERE cum * 100 >= 50 * total
+      UNION ALL
+      SELECT 95, CAST((MIN(bin) + 1) * 25 AS DOUBLE)
+      FROM c WHERE cum * 100 >= 95 * total),
+    exact AS (
+      SELECT 50 AS p,
+             CAST(ROUND(CAST(quantile_cont(value, 0.50) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS exact_v
+      FROM events
+      UNION ALL
+      SELECT 95,
+             CAST(ROUND(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE)
+      FROM events)
+    SELECT p, est, exact_v FROM est JOIN exact USING (p) ORDER BY p
+    """,
+    doc="Mergeable histogram-quantile sketch (per-day grids → global "
+        "merge → p50/p95 within one bin width) vs the exact percentile.",
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.sketches import (
+        vhist_merge, vhist_quantile, vhist_sketch,
+    )
+
+    ev = tables(spark, sf_dir)["events"]
+    daily = vhist_sketch(ev, "value", width=25, n_bins=20,
+                         bucket_cols=[F.to_date("ts").alias("day")])
+    merged = vhist_merge(daily.drop("day"))
+    est = vhist_quantile(merged, [50, 95], width=25)
+    exact = ev.agg(
+        F.round(F.expr("percentile(value, 0.50)").cast("decimal(18,6)"), 4)
+        .cast("double").alias("e50"),
+        F.round(F.expr("percentile(value, 0.95)").cast("decimal(18,6)"), 4)
+        .cast("double").alias("e95"),
+    ).select(
+        F.explode(F.array(
+            F.struct(F.lit(50).alias("p"), F.col("e50").alias("exact_v")),
+            F.struct(F.lit(95).alias("p"), F.col("e95").alias("exact_v")),
+        )).alias("x")
+    ).select("x.p", "x.exact_v")
+    return est.join(exact, "p").orderBy("p")

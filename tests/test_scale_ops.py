@@ -314,3 +314,27 @@ def test_repair_changelog_roundtrip_converges_replica(spark):
     assert sorted(map(tuple, repaired.collect())) == \
         sorted(map(tuple, src.collect()))
     assert dels.count() > 0  # the corruption actually exercised deletes
+
+
+def test_vhist_merge_lossless_and_quantile_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.sketches import (
+        vhist_merge, vhist_quantile, vhist_sketch,
+    )
+    from inspectadb_spark.queries.registry import tables
+
+    ev = tables(spark, "/root/testdata/sf0.001")["events"]
+    daily = vhist_sketch(ev, "value", width=25, n_bins=20,
+                         bucket_cols=[F.to_date("ts").alias("day")])
+    merged = vhist_merge(daily.drop("day"))
+    direct = vhist_sketch(ev, "value", width=25, n_bins=20)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    est = {r.p: r.est for r in
+           vhist_quantile(merged, [50, 95], width=25).collect()}
+    exact = ev.agg(
+        F.expr("percentile(value, 0.50)").alias("e50"),
+        F.expr("percentile(value, 0.95)").alias("e95")).collect()[0]
+    assert 0 <= est[50] - exact.e50 <= 25
+    assert 0 <= est[95] - exact.e95 <= 25
