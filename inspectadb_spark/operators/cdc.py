@@ -305,7 +305,13 @@ def lww_merge(
         b.withColumn(source_col, F.lit(b_tag))
     )
     others = [c for c in u.columns if c not in keys]
+    # max_by SKIPS rows whose value argument is NULL, so taking each
+    # payload column independently would let a loser's non-NULL value leak
+    # into a winner with a NULL field. Packing the whole row into ONE
+    # struct (never NULL) keeps the winning row atomic.
     ord_expr = f"struct({version_col}, {source_col})"
-    return u.groupBy(*keys).agg(
-        *[F.expr(f"max_by({c}, {ord_expr})").alias(c) for c in others]
+    row = "struct(" + ", ".join(others) + ")"
+    packed = u.groupBy(*keys).agg(
+        F.expr(f"max_by({row}, {ord_expr})").alias("_row")
     )
+    return packed.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])

@@ -338,3 +338,16 @@ def test_vhist_merge_lossless_and_quantile_bounded(spark):
         F.expr("percentile(value, 0.95)").alias("e95")).collect()[0]
     assert 0 <= est[50] - exact.e50 <= 25
     assert 0 <= est[95] - exact.e95 <= 25
+
+
+def test_lww_merge_winner_row_is_atomic_even_with_nulls(spark):
+    """A winning row with a NULL payload field must keep that NULL — the
+    loser's non-NULL value must not leak in (max_by skips NULL values, so
+    per-column picking would corrupt the winner)."""
+    from inspectadb_spark.operators.cdc import lww_merge
+
+    a = spark.createDataFrame([(1, "old", 2.0, 1)], "k long, s string, x double, v int")
+    b = spark.createDataFrame([(1, None, 9.0, 5)], "k long, s string, x double, v int")
+    got = lww_merge(a, b, ["k"], "v").collect()[0]
+    assert got.v == 5 and got.x == 9.0
+    assert got.s is None  # the b-row won; its NULL s survives
