@@ -130,7 +130,10 @@ def capped_sessionize(
 
     def assign(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col])
-        us = pdf[ts_col].astype("int64") // 1000  # ns -> µs
+        # pin the resolution before the integer view: Arrow/pandas may hand
+        # datetime64 in ns or µs depending on version, and a silent unit
+        # change would rescale every gap comparison
+        us = pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000
         gap_us, cap_us = gap_s * 1_000_000, cap_s * 1_000_000
         sid, start = 0, None
         sids = []
