@@ -104,7 +104,8 @@ _TIER2 = [
     "q175_gini", "q176_autocorrelation", "q177_group_by_all",
     "q178_topk_with_ties", "q179_capped_sessions", "q180_ivm_join_delta",
     "q181_bloom_membership", "q182_repair_changelog", "q183_lww_merge",
-    "q184_quantile_sketch",
+    "q184_quantile_sketch", "q185_auc", "q186_ks_drift",
+    "q187_poisson_bootstrap", "q188_pmi_collocations", "q189_kmv_overlap",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

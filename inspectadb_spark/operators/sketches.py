@@ -241,3 +241,78 @@ def vhist_quantile(sketch: DataFrame, pcts: list, width: int) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def kmv_signature(df: DataFrame, group_col: str, key_col: str,
+                  k: int = 128) -> DataFrame:
+    """Bottom-k (KMV) distinct sketch per group: the k lexicographically
+    smallest DISTINCT md5 digests of ``key_col``. Returns (g, h, r).
+
+    A KMV signature is a mergeable distinct-set summary: the bottom-k of a
+    union is computable from the per-part bottom-k's alone, so signatures
+    roll up across partitions, days, or sources without rescanning raw
+    keys. md5's lexicographic order is a fixed uniform order — no RNG, no
+    seed, engine/run/partition invariant (same determinism contract as the
+    md5 acceptance rules in operators/pipeline.py).
+
+    Scale shape (100 TB): one distinct on (group, digest) — the only
+    data-sized shuffle — then a per-group bottom-k window over the
+    distinct stream. Output is |groups| * k rows: constant per group.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        df.select(F.col(group_col).alias("g"),
+                  F.md5(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    return h.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+
+
+def kmv_pairwise_jaccard(df: DataFrame, group_col: str, key_col: str,
+                         k: int = 128) -> DataFrame:
+    """Pairwise Jaccard-similarity ESTIMATES between groups from their KMV
+    signatures: for each group pair, merge the two bottom-k signatures
+    (bottom-k of the union) and count members present in both sets —
+    J ≈ |both in merged sketch| / |merged sketch|. The scalable form of
+    the exact cross-source overlap matrix (q137): pair cost is O(k), not
+    O(shared n-grams), and signatures can be precomputed and stored.
+
+    Pure-integer output (jaccard_ppm = m * 1e6 DIV kk) — no floats
+    anywhere, so the estimate is byte-identical across engines.
+
+    Scale shape: signatures are |groups| * k rows; every downstream step
+    (pair enumeration, union merge, per-pair window) runs on that
+    constant-size table, independent of corpus size.
+    """
+    from pyspark.sql import Window
+
+    sig = kmv_signature(df, group_col, key_col, k=k)
+    groups = sig.select(F.col("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("src_a"))
+        .join(groups.select(F.col("g").alias("src_b")),
+              F.col("src_a") < F.col("src_b"))
+    )
+    ua = pairs.join(sig.withColumnRenamed("g", "src_a"), "src_a").select(
+        "src_a", "src_b", "h", F.lit(1).alias("fa"), F.lit(0).alias("fb"))
+    ub = pairs.join(sig.withColumnRenamed("g", "src_b"), "src_b").select(
+        "src_a", "src_b", "h", F.lit(0).alias("fa"), F.lit(1).alias("fb"))
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    bottom = merged.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k)
+    return (
+        bottom.groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("kk"),
+             F.sum(F.col("fa") * F.col("fb")).alias("n_common"))
+        .select(
+            "src_a", "src_b", "kk", "n_common",
+            F.expr("n_common * 1000000 DIV kk").alias("jaccard_ppm"),
+        )
+    )

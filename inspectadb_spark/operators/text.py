@@ -511,3 +511,60 @@ def vocabulary_growth(docs: DataFrame, n: int = 1, text_col: str = "text",
         F.col("first_doc").alias(id_col), "n_new",
         F.sum("n_new").over(win).alias("vocab_size"),
     )
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5, k: int = 50) -> DataFrame:
+    """PMI-scored bigram collocations (word2phrase-style phrase mining):
+    the corpus's top-k adjacent word pairs by pointwise mutual information
+    pmi = ln(c_xy * N^2 / (c_x * c_y * M)) — pairs that co-occur far more
+    often than their unigram frequencies predict. This is the standard
+    phrase-vocabulary miner run before tokenizer training.
+
+    Determinism: the ln argument is ONE double expression with identical
+    text on both engines (IEEE left-assoc chain), rounded via the q63
+    two-step (DECIMAL(18,6) cast then ROUND 4); ranking is by the rounded
+    score with a (w1, w2) lexical tiebreak, so top-k membership and order
+    are engine-invariant. ``min_count`` screens the unstable low-count
+    tail (the classic PMI failure mode).
+
+    Scale shape (100 TB): bigram pairs come from the token array by index
+    (zero shuffle); one map-side-combinable count per table; the unigram
+    table is Heaps'-law small and broadcast onto the bigram counts (which
+    are filtered to >= min_count FIRST, so the join input is the filtered
+    stream); global top-k is TakeOrderedAndProject — no full sort.
+    """
+    tk = docs.select(F.split(F.col(text_col), " ").alias("tk"))
+    toks = tk.select(F.explode("tk").alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    n_tok = toks.agg(F.count("*").alias("n_uni"))
+    bi = (
+        tk.filter(F.size("tk") >= 2)
+        .select(F.expr("explode(sequence(2, size(tk)))").alias("i"), "tk")
+        .select(
+            F.expr("element_at(tk, i - 1)").alias("w1"),
+            F.expr("element_at(tk, i)").alias("w2"),
+        )
+    )
+    n_bi = bi.groupBy().agg(F.count("*").alias("n_bi"))
+    c2 = (
+        bi.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    scored = (
+        c2.join(F.broadcast(vocab.select(F.col("tok").alias("w1"),
+                                         F.col("c1").alias("c1a"))), "w1")
+        .join(F.broadcast(vocab.select(F.col("tok").alias("w2"),
+                                       F.col("c1").alias("c1b"))), "w2")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1", "w2", "n_pair",
+            F.round(
+                F.expr("ln(CAST(n_pair AS DOUBLE) * n_uni / c1a / c1b"
+                       " * n_uni / n_bi)").cast("decimal(18,6)"), 4
+            ).cast("double").alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")).limit(k)

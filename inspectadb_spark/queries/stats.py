@@ -23,9 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from inspectadb_spark.operators.pipeline import _md5_uniform_int_sql
 from inspectadb_spark.operators.sketches import cms_estimate, cms_sketch
 from inspectadb_spark.operators.timeseries import ewma
-from inspectadb_spark.queries.registry import query, r4, r4c, sql, tables
+from inspectadb_spark.queries.registry import davg, query, r4, r4c, sql, tables
 
 
 # --------------------------------------------------------------------------
@@ -1170,3 +1171,253 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("x")
     ).select("x.p", "x.exact_v")
     return est.join(exact, "p").orderBy("p")
+
+
+# --------------------------------------------------------------------------
+# Q185 ROC AUC per event type (one-vs-rest, score = value) via the rank-sum
+# (Mann–Whitney U) identity with exact tie handling: group rows by distinct
+# score, then U2 = Σ_v pos_v·(2·neg_below(v) + neg_at(v)) — twice the U
+# statistic, PURE INTEGER (DECIMAL(38,0) sum so it cannot overflow at any
+# corpus size); AUC = U2 / (2·n_pos·n_neg) is the only division, applied
+# once at the end. The quality-classifier calibration primitive for
+# curation score audits.
+@query(
+    "q185_auc",
+    oracle="""
+    WITH c AS (SELECT event_type, value AS v, COUNT(*) AS n
+               FROM events GROUP BY event_type, v),
+    cv AS (SELECT v, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY v),
+    cw AS (SELECT v, tot,
+                  CAST(SUM(tot) OVER (ORDER BY v) - tot AS BIGINT)
+                    AS cum_tot_less
+           FROM cv),
+    ct AS (SELECT event_type, v, n,
+                  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY v) - n
+                       AS BIGINT) AS cum_pos_less
+           FROM c),
+    na AS (SELECT COUNT(*) AS n_all FROM events),
+    terms AS (
+      SELECT event_type, n_all, n AS pos_v, tot - n AS neg_v,
+             cum_tot_less - cum_pos_less AS cum_neg_less
+      FROM ct JOIN cw USING (v) CROSS JOIN na)
+    SELECT event_type,
+           CAST(SUM(pos_v) AS BIGINT) AS n_pos,
+           CAST(MAX(n_all) - SUM(pos_v) AS BIGINT) AS n_neg,
+           CAST(ROUND(CAST(
+             CAST(SUM(CAST(pos_v AS DECIMAL(38,0))
+                      * (2 * cum_neg_less + neg_v)) AS DOUBLE)
+             / (2.0 * SUM(pos_v) * (MAX(n_all) - SUM(pos_v)))
+             AS DECIMAL(18,6)), 4) AS DOUBLE) AS auc
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    doc="One-vs-rest ROC AUC per event type via the tie-exact rank-sum "
+        "identity — integer U2 in DECIMAL(38,0), one division at the end.",
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    c = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count("*").alias("n"))
+    cv = c.groupBy("v").agg(F.sum("n").alias("tot"))
+    cw = cv.select(
+        "v", "tot",
+        (F.sum("tot").over(Window.orderBy("v")) - F.col("tot"))
+        .alias("cum_tot_less"),
+    )
+    ct = c.select(
+        "event_type", "v", "n",
+        (F.sum("n").over(Window.partitionBy("event_type").orderBy("v"))
+         - F.col("n")).alias("cum_pos_less"),
+    )
+    na = ev.agg(F.count("*").alias("n_all"))
+    terms = ct.join(cw, "v").join(F.broadcast(na)).select(
+        "event_type", "n_all",
+        F.col("n").alias("pos_v"),
+        (F.col("tot") - F.col("n")).alias("neg_v"),
+        (F.col("cum_tot_less") - F.col("cum_pos_less")).alias("cum_neg_less"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.sum("pos_v").alias("n_pos"),
+            (F.max("n_all") - F.sum("pos_v")).alias("n_neg"),
+            F.sum(F.expr("CAST(pos_v AS DECIMAL(38,0))"
+                         " * (2 * cum_neg_less + neg_v)")).alias("u2"),
+        )
+        .select(
+            "event_type", "n_pos", "n_neg",
+            F.round(
+                F.expr("CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg)")
+                .cast("decimal(18,6)"), 4
+            ).cast("double").alias("auc"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q186 two-sample Kolmogorov–Smirnov drift statistic per event type (first
+# half of the stream vs second, the q173 split): D = sup |ECDF0 − ECDF1|
+# evaluated as MAX over distinct values of |cum0·t1 − cum1·t0| in
+# DECIMAL(38,0) — the sup-distance companion to PSI, exact (no binning)
+# and pure integer until the single final division.
+@query(
+    "q186_ks_drift",
+    oracle="""
+    WITH half AS (SELECT MAX(event_id) // 2 AS mid FROM events),
+    c AS (SELECT event_type, value AS v,
+                 CAST(SUM(CASE WHEN event_id <= mid THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN event_id > mid THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1
+          FROM events CROSS JOIN half GROUP BY event_type, v),
+    w AS (SELECT event_type, v,
+                 CAST(SUM(n0) OVER (PARTITION BY event_type ORDER BY v)
+                      AS BIGINT) AS cum0,
+                 CAST(SUM(n1) OVER (PARTITION BY event_type ORDER BY v)
+                      AS BIGINT) AS cum1
+          FROM c),
+    t AS (SELECT event_type, CAST(SUM(n0) AS BIGINT) AS t0,
+                 CAST(SUM(n1) AS BIGINT) AS t1
+          FROM c GROUP BY event_type)
+    SELECT event_type, MAX(t0) AS n_first, MAX(t1) AS n_second,
+           CAST(ROUND(CAST(
+             CAST(MAX(ABS(CAST(cum0 AS DECIMAL(38,0)) * t1
+                          - CAST(cum1 AS DECIMAL(38,0)) * t0)) AS DOUBLE)
+             / (CAST(MAX(t0) AS DOUBLE) * MAX(t1))
+             AS DECIMAL(18,6)), 4) AS DOUBLE) AS ks
+    FROM w JOIN t USING (event_type)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact two-sample KS sup-distance between stream halves per type: "
+        "integer cross-scaled ECDF gap in DECIMAL(38,0), one end division.",
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    half = ev.agg(F.expr("MAX(event_id) DIV 2").alias("mid"))
+    c = (
+        ev.join(F.broadcast(half))
+        .groupBy("event_type", F.col("value").alias("v"))
+        .agg(
+            F.sum(F.expr("CASE WHEN event_id <= mid THEN 1 ELSE 0 END"))
+            .alias("n0"),
+            F.sum(F.expr("CASE WHEN event_id > mid THEN 1 ELSE 0 END"))
+            .alias("n1"),
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("v")
+    w = c.select(
+        "event_type", "v",
+        F.sum("n0").over(wt).alias("cum0"),
+        F.sum("n1").over(wt).alias("cum1"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    return (
+        w.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("t0").alias("n_first"),
+            F.max("t1").alias("n_second"),
+            F.max(F.expr("ABS(CAST(cum0 AS DECIMAL(38,0)) * t1"
+                         " - CAST(cum1 AS DECIMAL(38,0)) * t0)")).alias("d"),
+        )
+        .select(
+            "event_type", "n_first", "n_second",
+            F.round(
+                F.expr("CAST(d AS DOUBLE)"
+                       " / (CAST(n_first AS DOUBLE) * n_second)")
+                .cast("decimal(18,6)"), 4
+            ).cast("double").alias("ks"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q187 Poisson bootstrap confidence intervals (the cluster bootstrap: resample
+# weights are independent per row, so replicas need no global resampling
+# pass). Each of B=64 replicas assigns every event a deterministic
+# Poisson(1) weight via inverse-CDF on the md5 uniform of (event_id, r) —
+# no RNG, engine/run/partition invariant, the q126 acceptance-rule
+# machinery reused for statistics. Per-replica weighted means use exact
+# decimal sums; the CI is the exact 2.5/97.5 percentile over the 64
+# replica means.
+_BS_THRESH = [6171992, 12343985, 15429982, 16458647, 16715813,
+              16767247, 16775819, 16777044, 16777197]  # floor(CDF_Pois(1)*16^6)
+_BS_U = _md5_uniform_int_sql(
+    "CAST(event_id AS STRING) || ':' || CAST(r AS STRING)", "bs")
+_BS_W = "(" + " + ".join(
+    f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _BS_THRESH) + ")"
+
+
+@query(
+    "q187_poisson_bootstrap",
+    oracle=f"""
+    WITH rep AS (
+      SELECT event_type, event_id, value,
+             unnest(generate_series(0, 63)) AS r
+      FROM events),
+    h AS (SELECT event_type, r, value, {_BS_U} AS u FROM rep),
+    wts AS (SELECT event_type, r, value, {_BS_W} AS w FROM h),
+    m AS (
+      SELECT event_type, r,
+             CAST(ROUND(CAST(
+               CAST(SUM(w * CAST(value AS DECIMAL(18,6))) AS DOUBLE) / SUM(w)
+               AS DECIMAL(18,6)), 4) AS DOUBLE) AS mean_r
+      FROM wts GROUP BY event_type, r HAVING SUM(w) > 0),
+    ci AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_replicas,
+             CAST(ROUND(CAST(quantile_cont(mean_r, 0.025)
+                  AS DECIMAL(18,6)), 4) AS DOUBLE) AS ci_lo,
+             CAST(ROUND(CAST(quantile_cont(mean_r, 0.975)
+                  AS DECIMAL(18,6)), 4) AS DOUBLE) AS ci_hi
+      FROM m GROUP BY event_type),
+    pt AS (
+      SELECT event_type, COUNT(*) AS n, {davg("value", "point_mean")}
+      FROM events GROUP BY event_type)
+    SELECT event_type, n, point_mean, ci_lo, ci_hi, n_replicas
+    FROM pt JOIN ci USING (event_type) ORDER BY event_type
+    """,
+    doc="Poisson-bootstrap CI for the per-type mean: 64 deterministic "
+        "md5 inverse-CDF weight replicas, exact-decimal weighted means, "
+        "exact percentile CI — no RNG, no global resampling pass.",
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    rep = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("r", F.expr("explode(sequence(0, 63))"))
+        .withColumn("u", F.expr(_BS_U))
+        .withColumn("w", F.expr(_BS_W))
+    )
+    m = (
+        rep.groupBy("event_type", "r")
+        .agg(F.sum("w").alias("sw"),
+             F.sum(F.expr("w * CAST(value AS DECIMAL(18,6))")).alias("swv"))
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            F.round(F.expr("CAST(swv AS DOUBLE) / sw").cast("decimal(18,6)"),
+                    4).cast("double").alias("mean_r"),
+        )
+    )
+    ci = m.groupBy("event_type").agg(
+        F.count("*").alias("n_replicas"),
+        F.round(F.expr("percentile(mean_r, 0.025)").cast("decimal(18,6)"), 4)
+        .cast("double").alias("ci_lo"),
+        F.round(F.expr("percentile(mean_r, 0.975)").cast("decimal(18,6)"), 4)
+        .cast("double").alias("ci_hi"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+                   " / COUNT(value)").cast("decimal(18,6)"), 4
+        ).cast("double").alias("point_mean"),
+    )
+    return (
+        pt.join(ci, "event_type")
+        .select("event_type", "n", "point_mean", "ci_lo", "ci_hi",
+                "n_replicas")
+        .orderBy("event_type")
+    )

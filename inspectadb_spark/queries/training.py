@@ -1223,3 +1223,96 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("first_doc", "n_docs", "n_langs")
         .orderBy("first_doc")
     )
+
+
+# --------------------------------------------------------------------------
+# Q188 PMI collocations: phrase-vocabulary mining before tokenizer training.
+# Ranking is by the 4dp-rounded score with a lexical tiebreak (the q63
+# pattern), so top-k membership and order are engine-invariant.
+@query(
+    "q188_pmi_collocations",
+    oracle="""
+    WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    toks AS (SELECT unnest(tk) AS tok FROM tk),
+    vocab AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY tok),
+    nt AS (SELECT COUNT(*) AS n_uni FROM toks),
+    bi AS (
+      SELECT tk[i - 1] AS w1, tk[i] AS w2
+      FROM tk, UNNEST(generate_series(2, len(tk))) AS u(i)
+      WHERE len(tk) >= 2),
+    nb AS (SELECT COUNT(*) AS n_bi FROM bi),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bi
+           GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+    scored AS (
+      SELECT w1, w2, n_pair,
+             CAST(ROUND(CAST(
+               ln(CAST(n_pair AS DOUBLE) * n_uni / c1a.c1 / c1b.c1
+                  * n_uni / n_bi)
+               AS DECIMAL(18,6)), 4) AS DOUBLE) AS pmi
+      FROM c2
+      JOIN vocab c1a ON c2.w1 = c1a.tok
+      JOIN vocab c1b ON c2.w2 = c1b.tok
+      CROSS JOIN nt CROSS JOIN nb)
+    SELECT w1, w2, n_pair, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    doc="Top-50 PMI-scored bigram collocations (min_count=5): word2phrase-"
+        "style phrase mining; broadcast Heaps'-law vocab, top-k via "
+        "TakeOrderedAndProject.",
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import pmi_collocations
+
+    docs = tables(spark, sf_dir)["documents"]
+    return pmi_collocations(docs, min_count=5, k=50)
+
+
+# --------------------------------------------------------------------------
+# Q189 KMV (bottom-k) sketch cross-source overlap: the scalable form of
+# q137's exact dup-flow matrix. Signatures are |sources|*k rows; every
+# pairwise step runs on that constant-size table. Pure-integer output.
+@query(
+    "q189_kmv_overlap",
+    oracle="""
+    WITH tk AS (
+      SELECT source, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT DISTINCT source AS g,
+             md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS h
+      FROM tk, UNNEST(generate_series(1, len(tk) - 4)) AS u(i)),
+    sig AS (
+      SELECT g, h FROM g
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) <= 128),
+    pairs AS (
+      SELECT a.g AS src_a, b.g AS src_b
+      FROM (SELECT DISTINCT g FROM sig) a
+      JOIN (SELECT DISTINCT g FROM sig) b ON a.g < b.g),
+    u AS (
+      SELECT src_a, src_b, h, MAX(fa) AS fa, MAX(fb) AS fb FROM (
+        SELECT p.src_a, p.src_b, s.h, 1 AS fa, 0 AS fb
+        FROM pairs p JOIN sig s ON s.g = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, s.h, 0 AS fa, 1 AS fb
+        FROM pairs p JOIN sig s ON s.g = p.src_b)
+      GROUP BY src_a, src_b, h),
+    bottom AS (
+      SELECT src_a, src_b, fa, fb FROM u
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) <= 128)
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS kk,
+           CAST(SUM(fa * fb) AS BIGINT) AS n_common,
+           CAST(SUM(fa * fb) * 1000000 // COUNT(*) AS BIGINT) AS jaccard_ppm
+    FROM bottom GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+    doc="Pairwise source Jaccard ESTIMATES from mergeable bottom-k md5 "
+        "sketches of word-5-grams — O(|sources|*k) pair stage, no floats.",
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.sketches import kmv_pairwise_jaccard
+    from inspectadb_spark.operators.text import word_ngrams
+
+    docs = tables(spark, sf_dir)["documents"]
+    grams = word_ngrams(docs.withColumnRenamed("source", "src"), n=5,
+                        id_col="src")
+    return kmv_pairwise_jaccard(
+        grams, group_col="src", key_col="gram", k=128
+    ).orderBy("src_a", "src_b")

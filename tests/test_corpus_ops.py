@@ -301,3 +301,92 @@ def test_sessionize_dynamic_agrees_with_native_session_window(spark):
     nv = sorted(map(tuple, native.collect()))
     assert m == nv
     assert [x[2] for x in m] == [2, 2, 1]
+
+
+# -- pmi_collocations (q188) -------------------------------------------------
+
+def test_pmi_planted_collocation_ranks_first(spark):
+    """A pair that ALWAYS co-occurs and never appears apart must out-rank
+    frequent-but-independent pairs."""
+    from inspectadb_spark.operators.text import pmi_collocations
+
+    # 'aa bb' glued 6x; 'xx' and 'yy' frequent but paired every which way.
+    rows = [(i, "aa bb xx yy xx") for i in range(1, 7)] + [
+        (10, "yy xx yy xx yy"), (11, "xx yy xx yy xx")]
+    out = pmi_collocations(_docs(spark, rows), min_count=5, k=10).collect()
+    assert out, "no collocations above min_count"
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("aa", "bb")
+    assert top["n_pair"] == 6
+    # every returned pair meets the count floor and is ordered by pmi desc
+    assert all(r["n_pair"] >= 5 for r in out)
+    pmis = [r["pmi"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_pmi_counts_match_naive(spark):
+    from inspectadb_spark.operators.text import pmi_collocations
+
+    rows = [(1, "a b a b a b"), (2, "b a b a b a")]
+    out = {(r["w1"], r["w2"]): r["n_pair"]
+           for r in pmi_collocations(_docs(spark, rows), min_count=1, k=100).collect()}
+    # doc1 bigrams: ab,ba,ab,ba,ab ; doc2: ba,ab,ba,ab,ba
+    assert out[("a", "b")] == 5 and out[("b", "a")] == 5
+
+
+# -- KMV bottom-k sketch (q189) ------------------------------------------------
+
+def test_kmv_signature_is_mergeable(spark):
+    """Bottom-k of a union == bottom-k over the concatenated per-part
+    signatures — the property that lets signatures be stored and rolled up."""
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.sketches import kmv_signature
+
+    df = spark.range(1, 2001).select(
+        F.lit("g").alias("src"), F.col("id").cast("string").alias("key"))
+    whole = kmv_signature(df, "src", "key", k=64)
+    part1 = kmv_signature(df.filter("CAST(key AS INT) <= 1000"), "src", "key", k=64)
+    part2 = kmv_signature(df.filter("CAST(key AS INT) > 1000"), "src", "key", k=64)
+    from pyspark.sql import Window
+    merged = (
+        part1.select("g", "h").union(part2.select("g", "h")).distinct()
+        .withColumn("r", F.row_number().over(Window.partitionBy("g").orderBy("h")))
+        .filter("r <= 64")
+    )
+    assert sorted(r["h"] for r in whole.collect()) == \
+        sorted(r["h"] for r in merged.collect())
+
+
+def test_kmv_jaccard_estimate_tracks_exact(spark):
+    """Planted overlap: sources share half their keys -> J = 1/3; the KMV
+    estimate with k=128 must land within ~3 sigma (|err| <= 0.13)."""
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.sketches import kmv_pairwise_jaccard
+
+    a = spark.range(0, 1000).select(F.lit("a").alias("src"),
+                                    F.col("id").cast("string").alias("key"))
+    b = spark.range(500, 1500).select(F.lit("b").alias("src"),
+                                      F.col("id").cast("string").alias("key"))
+    out = kmv_pairwise_jaccard(a.union(b), "src", "key", k=128).collect()
+    assert len(out) == 1
+    est = out[0]["jaccard_ppm"] / 1e6
+    assert abs(est - 1 / 3) <= 0.13, est
+    assert out[0]["kk"] == 128
+
+
+def test_kmv_jaccard_disjoint_and_identical_extremes(spark):
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.sketches import kmv_pairwise_jaccard
+
+    a = spark.range(0, 500).select(F.lit("a").alias("src"),
+                                   F.col("id").cast("string").alias("key"))
+    b = spark.range(1000, 1500).select(F.lit("b").alias("src"),
+                                       F.col("id").cast("string").alias("key"))
+    ident = a.union(a.withColumn("src", F.lit("b")))
+    disjoint = kmv_pairwise_jaccard(a.union(b), "src", "key", k=64).collect()[0]
+    same = kmv_pairwise_jaccard(ident, "src", "key", k=64).collect()[0]
+    assert disjoint["jaccard_ppm"] == 0
+    assert same["jaccard_ppm"] == 1000000

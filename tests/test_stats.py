@@ -145,3 +145,81 @@ def test_sign_blocked_neardup_subset_of_exact_and_finds_planted(spark):
     assert (0, 100) in blocked and blocked[(0, 100)] == 1.0
     assert (5, 101) in blocked and blocked[(5, 101)] == 1.0
     assert all(blocked[p] == exact[p] for p in blocked)
+
+
+# -- q185 AUC: tie-exact rank-sum identity ---------------------------------
+
+def test_auc_matches_naive_pair_count(spark):
+    """The windowed U2 identity equals the O(n^2) definition
+    (wins + half-ties over all pos x neg pairs) on the real sf data."""
+    from inspectadb_spark.queries.stats import q185
+
+    rows = _events(spark).select("event_type", "value").collect()
+    got = {r["event_type"]: (r["n_pos"], r["n_neg"], r["auc"])
+           for r in q185(spark, SF_DIR).collect()}
+    types = {r["event_type"] for r in rows}
+    for t in types:
+        pos = [r["value"] for r in rows if r["event_type"] == t]
+        neg = [r["value"] for r in rows if r["event_type"] != t]
+        u2 = sum(2 if p > n else (1 if p == n else 0)
+                 for p in pos for n in neg)
+        auc = u2 / (2.0 * len(pos) * len(neg))
+        np_, nn_, got_auc = got[t]
+        assert (np_, nn_) == (len(pos), len(neg))
+        assert abs(got_auc - auc) < 1e-4, f"{t}: {got_auc} vs {auc}"
+
+
+# -- q186 KS: exact sup-distance vs a naive Python ECDF --------------------
+
+def test_ks_matches_naive_ecdf_sup(spark):
+    from inspectadb_spark.queries.stats import q186
+
+    rows = _events(spark).select("event_id", "event_type", "value").collect()
+    mid = max(r["event_id"] for r in rows) // 2
+    got = {r["event_type"]: (r["n_first"], r["n_second"], r["ks"])
+           for r in q186(spark, SF_DIR).collect()}
+    for t in {r["event_type"] for r in rows}:
+        a = sorted(r["value"] for r in rows
+                   if r["event_type"] == t and r["event_id"] <= mid)
+        b = sorted(r["value"] for r in rows
+                   if r["event_type"] == t and r["event_id"] > mid)
+        pts = sorted(set(a) | set(b))
+        import bisect
+        d = max(abs(bisect.bisect_right(a, v) / len(a)
+                    - bisect.bisect_right(b, v) / len(b)) for v in pts)
+        n0, n1, ks = got[t]
+        assert (n0, n1) == (len(a), len(b))
+        assert abs(ks - d) < 1e-4, f"{t}: {ks} vs {d}"
+
+
+# -- q187 Poisson bootstrap: CI brackets the mean; weights are Poisson(1) --
+
+def test_poisson_bootstrap_ci_brackets_point_mean(spark):
+    from inspectadb_spark.queries.stats import q187
+
+    for r in q187(spark, SF_DIR).collect():
+        assert r["n_replicas"] == 64
+        assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"], r
+        # CI half-width should look like ~2 s.e. (sd/sqrt(n) scale), i.e.
+        # nonzero but far below the data's full range.
+        assert 0 < r["ci_hi"] - r["ci_lo"] < 100
+
+
+def test_poisson_bootstrap_weights_mean_near_one(spark):
+    """Per-replica total weight ~ Poisson(n): mean weight within 15% of 1
+    (sd of the total is sqrt(n) ~ 3%; 15% is a ~5-sigma sanity band)."""
+    from pyspark.sql import functions as F
+    from inspectadb_spark.queries.stats import _BS_THRESH, _BS_U, _BS_W
+
+    ev = _events(spark)
+    n = ev.count()
+    rep = (
+        ev.select("event_id")
+        .withColumn("r", F.expr("explode(sequence(0, 7))"))
+        .withColumn("u", F.expr(_BS_U))
+        .withColumn("w", F.expr(_BS_W))
+    )
+    per = rep.groupBy("r").agg(F.sum("w").alias("sw")).collect()
+    assert len(_BS_THRESH) == 9
+    for row in per:
+        assert 0.85 * n <= row["sw"] <= 1.15 * n, row
