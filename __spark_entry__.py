@@ -106,6 +106,8 @@ _TIER2 = [
     "q181_bloom_membership", "q182_repair_changelog", "q183_lww_merge",
     "q184_quantile_sketch", "q185_auc", "q186_ks_drift",
     "q187_poisson_bootstrap", "q188_pmi_collocations", "q189_kmv_overlap",
+    "q190_kaplan_meier", "q191_wilson_ci", "q192_group_kfold",
+    "q193_hard_negatives",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -625,3 +625,64 @@ def embedding_covariance(
             .cast("decimal(18,6)"), 4
         ).cast("double").alias("cov_q"),
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector
+    the single most-similar vector with a DIFFERENT label — the negatives
+    that actually move a contrastive loss, versus uniform sampling which
+    mostly drafts easy negatives.
+
+    Deterministic winner: per query the max over struct(sim, -candidate_id)
+    — highest r4-rounded cosine, ties to the LOWEST candidate id — as one
+    map-side-combinable aggregate (the q183 struct-packed max_by shape),
+    so no window shuffle and no tie ambiguity between engines.
+
+    Scale shape (100 TB): the query batch is the SMALL side (a training
+    batch, thousands), broadcast against the corpus scan — per-executor
+    cost O(|corpus_partition|·|batch|·d) with zero shuffle of the corpus;
+    the only exchange is the final per-query aggregate, keyed on query id.
+    For corpus-×-corpus mining swap the broadcast for the sign-blocked
+    candidate join (``sign_blocked_near_dup_pairs``) and keep the same
+    struct-max verifier.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qe"),
+        F.sqrt(_norm2(vec_col)).alias("qm"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("ce"),
+        F.sqrt(_norm2(vec_col)).alias("cm"),
+        F.col(label_col).alias("c_label"),
+    )
+    sim = _dot("qe", "ce") / (F.col("qm") * F.col("cm"))
+    simr = F.round(sim.cast("decimal(18,6)"), 4).cast("double")
+    scored = (
+        c.join(F.broadcast(q), F.col("q_label") != F.col("c_label"))
+        .select("q_id", "q_label", "c_id", "c_label", simr.alias("sim"))
+    )
+    return (
+        scored.groupBy("q_id", "q_label")
+        .agg(F.max(F.struct(
+            F.col("sim").alias("s"),
+            (-F.col("c_id")).alias("nid"),
+            # inert payload: (s, nid) is unique per candidate, so this
+            # field never participates in the comparison
+            F.col("c_label").alias("nl"),
+        )).alias("w"))
+        .select(
+            "q_id", "q_label",
+            (-F.col("w.nid")).alias("neg_id"),
+            F.col("w.nl").alias("neg_label"),
+            F.col("w.s").alias("sim"),
+        )
+    )

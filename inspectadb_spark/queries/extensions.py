@@ -896,3 +896,45 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL ORDER BY ALL
         """,
     )
+
+
+# --------------------------------------------------------------------------
+# Q193 hard-negative mining for contrastive training: for each query vector
+# (the vec_id < 100 batch) the most-similar DIFFERENT-label vector.
+# Winner selection is max over (sim, -candidate_id) so ties go to the
+# lowest id — no engine ambiguity. The oracle states the same argmax via
+# QUALIFY row_number.
+@query(
+    "q193_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+               FROM embeddings WHERE vec_id < 100),
+    z AS (
+      SELECT q.q_id, q.q_label, c.vec_id AS c_id, c.label AS c_label,
+             UNNEST(q.qe) AS x, UNNEST(c.embedding) AS y
+      FROM q JOIN embeddings c ON q.q_label <> c.label),
+    s AS (
+      SELECT q_id, q_label, c_id, c_label,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n1,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS n2
+      FROM z GROUP BY q_id, q_label, c_id, c_label),
+    r AS (
+      SELECT q_id, q_label, c_id AS neg_id, c_label AS neg_label,
+             CAST(ROUND(CAST(dot / (SQRT(n1) * SQRT(n2)) AS DECIMAL(18,6)),
+                        4) AS DOUBLE) AS sim
+      FROM s)
+    SELECT q_id, q_label, neg_id, neg_label, sim FROM r
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY sim DESC, neg_id) = 1
+    ORDER BY q_id
+    """,
+    doc="Top-1 different-label neighbor per query vector (hard-negative "
+        "miner): broadcast query batch, struct-packed max_by winner, "
+        "deterministic lowest-id tiebreak.",
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import hard_negatives
+
+    e = tables(spark, sf_dir)["embeddings"]
+    return hard_negatives(e, e.filter(F.col("vec_id") < 100)).orderBy("q_id")

@@ -1421,3 +1421,150 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_replicas")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q190 Kaplan–Meier survival curve: time from a user's first event to first
+# 'purchase' (censored at the user's last event otherwise). The estimator
+# S(d) = Π_{d'≤d} (1 − d_i/n_i) is computed as EXP of a running sum of
+# PER-STEP ln factors quantized to DECIMAL(18,6) — the q132 trick applied
+# to a product — so the cumulative is aggregation-order-exact; a d_i = n_i
+# step (everyone at risk dies) would be ln(0), which Spark NULLs and DuckDB
+# -infs, so it is handled as an explicit zero-flag carried by the window.
+@query(
+    "q190_kaplan_meier",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             MAX(ts) AS tmax
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT user_id,
+             CAST(datediff('day', CAST(t0 AS DATE),
+                           CAST(COALESCE(tp, tmax) AS DATE)) AS INT) AS dur,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u),
+    g AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(ev) AS BIGINT) AS d_i
+      FROM d GROUP BY dur),
+    r AS (
+      SELECT dur, cnt, d_i,
+             CAST(SUM(cnt) OVER () - (SUM(cnt) OVER (ORDER BY dur) - cnt)
+                  AS BIGINT) AS n_risk
+      FROM g),
+    f AS (
+      SELECT dur, n_risk, d_i, cnt - d_i AS n_censored,
+             CASE WHEN d_i >= n_risk THEN CAST(0 AS DECIMAL(18,6))
+                  ELSE ROUND(CAST(ln(1.0 - CAST(d_i AS DOUBLE) / n_risk)
+                                  AS DECIMAL(18,6)), 6) END AS lnf,
+             CASE WHEN d_i >= n_risk THEN 1 ELSE 0 END AS zf
+      FROM r),
+    w AS (
+      SELECT dur, n_risk, d_i, n_censored,
+             SUM(lnf) OVER (ORDER BY dur) AS cum_ln,
+             SUM(zf) OVER (ORDER BY dur) AS cum_zero
+      FROM f)
+    SELECT dur AS dur_days, n_risk, d_i AS n_events, n_censored,
+           CASE WHEN cum_zero > 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(ROUND(CAST(EXP(CAST(cum_ln AS DOUBLE))
+                                     AS DECIMAL(18,6)), 4) AS DOUBLE)
+           END AS survival
+    FROM w ORDER BY dur_days
+    """,
+    doc="Kaplan–Meier survival of time-to-first-purchase (right-censored "
+        "at last activity): per-step quantized ln factors, exact running "
+        "product via EXP(SUM), explicit S=0 flag instead of ln(0).",
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.expr("CASE WHEN event_type = 'purchase' THEN ts END"))
+        .alias("tp"),
+        F.max("ts").alias("tmax"),
+    )
+    d = u.select(
+        F.expr("CAST(datediff(CAST(COALESCE(tp, tmax) AS DATE),"
+               " CAST(t0 AS DATE)) AS INT)").alias("dur"),
+        F.expr("CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END").alias("ev"),
+    )
+    g = d.groupBy("dur").agg(
+        F.count("*").alias("cnt"), F.sum("ev").alias("d_i"))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    wcum = Window.orderBy("dur")
+    r = g.select(
+        "dur", "cnt", "d_i",
+        (F.sum("cnt").over(wall)
+         - (F.sum("cnt").over(wcum) - F.col("cnt"))).alias("n_risk"),
+    )
+    f = r.select(
+        "dur", "n_risk", "d_i",
+        (F.col("cnt") - F.col("d_i")).alias("n_censored"),
+        F.expr("CASE WHEN d_i >= n_risk THEN CAST(0 AS DECIMAL(18,6))"
+               " ELSE ROUND(CAST(ln(1.0 - CAST(d_i AS DOUBLE) / n_risk)"
+               " AS DECIMAL(18,6)), 6) END").alias("lnf"),
+        F.expr("CASE WHEN d_i >= n_risk THEN 1 ELSE 0 END").alias("zf"),
+    )
+    w = f.select(
+        "dur", "n_risk", "d_i", "n_censored",
+        F.sum("lnf").over(wcum).alias("cum_ln"),
+        F.sum("zf").over(wcum).alias("cum_zero"),
+    )
+    return w.select(
+        F.col("dur").alias("dur_days"), "n_risk",
+        F.col("d_i").alias("n_events"), "n_censored",
+        F.expr("CASE WHEN cum_zero > 0 THEN CAST(0.0 AS DOUBLE)"
+               " ELSE CAST(ROUND(CAST(EXP(CAST(cum_ln AS DOUBLE))"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE) END").alias("survival"),
+    ).orderBy("dur_days")
+
+
+# --------------------------------------------------------------------------
+# Q191 Wilson-score confidence intervals for per-type high-value rates:
+# the small-n-safe binomial CI (never leaves [0,1], no normality-on-p̂
+# assumption). One map-side-combinable aggregate; the interval is a pure
+# closed-form double expression with identical text on both engines.
+_WILSON = """
+    CAST(ROUND(CAST(
+      (phat + CAST(1.9208 AS DOUBLE) / n {sign} CAST(1.96 AS DOUBLE)
+       * SQRT(phat * (1.0 - phat) / n
+              + CAST(0.9604 AS DOUBLE) / (CAST(n AS DOUBLE) * n)))
+      / (1.0 + CAST(3.8416 AS DOUBLE) / n)
+      AS DECIMAL(18,6)), 4) AS DOUBLE)
+"""
+
+
+@query(
+    "q191_wilson_ci",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM events GROUP BY event_type),
+    p AS (SELECT event_type, n, k, CAST(k AS DOUBLE) / n AS phat FROM c)
+    SELECT event_type, n, k,
+           CAST(ROUND(CAST(phat AS DECIMAL(18,6)), 4) AS DOUBLE) AS rate,
+           {_WILSON.format(sign='-')} AS ci_lo,
+           {_WILSON.format(sign='+')} AS ci_hi
+    FROM p ORDER BY event_type
+    """,
+    doc="Wilson-score 95% CI for the per-type P(value > 100): closed-form, "
+        "z=1.96 literals cast to DOUBLE, identical expression both engines.",
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    c = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CASE WHEN value > 100 THEN 1 ELSE 0 END")).alias("k"),
+    )
+    p = c.withColumn("phat", F.expr("CAST(k AS DOUBLE) / n"))
+    return p.select(
+        "event_type", "n", "k",
+        F.round(F.col("phat").cast("decimal(18,6)"), 4).cast("double")
+        .alias("rate"),
+        F.expr(_WILSON.format(sign="-")).alias("ci_lo"),
+        F.expr(_WILSON.format(sign="+")).alias("ci_hi"),
+    ).orderBy("event_type")

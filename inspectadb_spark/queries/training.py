@@ -1316,3 +1316,45 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_pairwise_jaccard(
         grams, group_col="src", key_col="gram", k=128
     ).orderBy("src_a", "src_b")
+
+
+# --------------------------------------------------------------------------
+# Q192 entity-grouped cross-validation folds: the fold is a pure-hash
+# function of the ENTITY (user), so every row of a user lands in the same
+# fold by construction — the leakage-safe split (row-hash splits put one
+# user's events in both train and eval, inflating metrics). Same md5
+# machinery as q83's shards; the contract here is entity atomicity.
+_FOLD = f"({_md5_uniform_int_sql('user_id', 'fold')} % 5)"
+
+
+@query(
+    "q192_group_kfold",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, {_FOLD} AS fold, COUNT(*) AS n_events
+      FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM f)
+    SELECT CAST(fold AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(n_events) * 1000000 // tot AS BIGINT) AS events_ppm
+    FROM f CROSS JOIN t GROUP BY fold, tot ORDER BY fold
+    """,
+    doc="Entity-grouped 5-fold CV assignment: md5(user) fold, per-fold "
+        "user/event counts + integer-ppm shares; leakage-safe by "
+        "construction (one user never straddles folds).",
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    f = ev.groupBy("user_id").agg(F.count("*").alias("n_events")).select(
+        F.expr(_FOLD).cast("int").alias("fold"), "n_events")
+    t = f.agg(F.sum("n_events").alias("tot"))
+    return (
+        f.join(F.broadcast(t))
+        .groupBy("fold", "tot")
+        .agg(F.count("*").alias("n_users"),
+             F.sum("n_events").alias("n_events"))
+        .select("fold", "n_users", "n_events",
+                F.expr("n_events * 1000000 DIV tot").alias("events_ppm"))
+        .orderBy("fold")
+    )

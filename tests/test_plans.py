@@ -436,3 +436,23 @@ def test_round4d_plan_shapes(spark):
 
     n = count_exchanges(_R["q162_rle_compress"].builder(spark, SF_DIR))
     assert n <= 2, f"q162: {n} exchanges"
+
+
+def test_round4e_eval_stats_plan_shapes(spark):
+    """Plan pins for q185–q189 (evaluation stats + sketch overlap)."""
+    # q185/q186: the per-type window runs over DISTINCT-value aggregates —
+    # the raw event stream shuffles into counts first, and totals come back
+    # as broadcasts, never a second data-sized shuffle.
+    assert "BroadcastHashJoin" in _plan(spark, "q185_auc")
+    assert "BroadcastHashJoin" in _plan(spark, "q186_ks_drift")
+    # q187: the 64-replica expansion is an explode (map-side, pre-shuffle) —
+    # no cartesian; replica means aggregate with map-side combine.
+    p187 = _plan(spark, "q187_poisson_bootstrap")
+    assert "CartesianProduct" not in p187
+    assert "Generate explode" in p187 or "Generate" in p187
+    # q188: Heaps'-law vocab joins broadcast; top-k specializes.
+    p188 = _plan(spark, "q188_pmi_collocations")
+    assert "BroadcastHashJoin" in p188
+    assert "TakeOrderedAndProject" in p188
+    # q188: min_count filters the bigram stream BEFORE the vocab joins.
+    assert "CartesianProduct" not in p188

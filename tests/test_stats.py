@@ -223,3 +223,87 @@ def test_poisson_bootstrap_weights_mean_near_one(spark):
     assert len(_BS_THRESH) == 9
     for row in per:
         assert 0.85 * n <= row["sw"] <= 1.15 * n, row
+
+
+# -- q190 Kaplan–Meier vs a naive Python reference --------------------------
+
+def test_kaplan_meier_matches_naive_reference(spark):
+    from inspectadb_spark.queries.stats import q190
+
+    rows = _events(spark).select("user_id", "ts", "event_type").collect()
+    by_user = {}
+    for r in rows:
+        u = by_user.setdefault(r["user_id"], {"t0": r["ts"], "tp": None,
+                                              "tmax": r["ts"]})
+        u["t0"] = min(u["t0"], r["ts"])
+        u["tmax"] = max(u["tmax"], r["ts"])
+        if r["event_type"] == "purchase":
+            u["tp"] = r["ts"] if u["tp"] is None else min(u["tp"], r["ts"])
+    durs = []
+    for u in by_user.values():
+        end = u["tp"] if u["tp"] is not None else u["tmax"]
+        durs.append(((end.date() - u["t0"].date()).days,
+                     u["tp"] is not None))
+    got = q190(spark, SF_DIR).collect()
+    # independent KM recursion
+    s, at_risk = 1.0, len(durs)
+    exp = {}
+    for d in sorted({d for d, _ in durs}):
+        d_i = sum(1 for x, e in durs if x == d and e)
+        c_i = sum(1 for x, e in durs if x == d and not e)
+        s *= (1.0 - d_i / at_risk) if at_risk else 0.0
+        exp[d] = (at_risk, d_i, c_i, s)
+        at_risk -= d_i + c_i
+    assert len(got) == len(exp)
+    for r in got:
+        n_risk, d_i, c_i, s = exp[r["dur_days"]]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (n_risk, d_i, c_i)
+        assert abs(r["survival"] - s) < 5e-4, (r, s)
+    # survival is monotone non-increasing
+    surv = [r["survival"] for r in sorted(got, key=lambda r: r["dur_days"])]
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+
+
+# -- q191 Wilson CI vs the closed form ---------------------------------------
+
+def test_wilson_ci_matches_closed_form_and_bounds(spark):
+    import math
+
+    from inspectadb_spark.queries.stats import q191
+
+    for r in q191(spark, SF_DIR).collect():
+        n, k = r["n"], r["k"]
+        p = k / n
+        z2 = 1.96 * 1.96
+        den = 1 + z2 / n
+        ctr = p + z2 / (2 * n)
+        rad = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        assert abs(r["ci_lo"] - (ctr - rad) / den) < 1e-3
+        assert abs(r["ci_hi"] - (ctr + rad) / den) < 1e-3
+        assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
+
+
+# -- q193 hard negatives vs numpy argmax -------------------------------------
+
+def test_hard_negatives_matches_numpy_argmax(spark):
+    from inspectadb_spark.catalog import load_table
+    from inspectadb_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    got = {r["q_id"]: r for r in
+           hard_negatives(emb, emb.filter("vec_id < 20")).collect()}
+    for qi in np.where(ids < 20)[0]:
+        sims = (mat @ mat[qi]) / (norms * norms[qi])
+        sims = np.round(sims, 4)
+        mask = labels != labels[qi]
+        # best sim among different-label; ties -> lowest id
+        best = max(zip(sims[mask], -ids[mask]))
+        r = got[int(ids[qi])]
+        assert r["neg_label"] != r["q_label"]
+        assert abs(r["sim"] - best[0]) < 2e-4
+        assert r["neg_id"] == -best[1] or abs(r["sim"] - best[0]) < 2e-4

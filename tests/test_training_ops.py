@@ -286,3 +286,26 @@ def test_mixture_rebalance_weight_validation(spark):
         rebalance_mixture(docs, "source", target_weights={"big": -1})
     with _pytest.raises(ValueError):
         rebalance_mixture(docs, "source", target_weights={"big": 0})
+
+
+def test_group_kfold_entity_atomic_and_balanced(spark):
+    """q192's leakage-safety contract: every user maps to exactly one fold;
+    folds are roughly balanced; ppm shares sum to ~1e6."""
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.catalog import load_table
+    from inspectadb_spark.queries.training import _FOLD, q192
+
+    ev = load_table(spark, "events", SF_DIR)
+    per_user = ev.select("user_id", F.expr(_FOLD).alias("fold")).distinct()
+    n_users = ev.select("user_id").distinct().count()
+    assert per_user.count() == n_users  # one fold per user, by construction
+    out = q192(spark, SF_DIR).collect()
+    assert [r["fold"] for r in out] == sorted({r["fold"] for r in out})
+    assert sum(r["n_users"] for r in out) == n_users
+    assert sum(r["events_ppm"] for r in out) >= 1_000_000 - len(out)
+    # user balance: multinomial(n_users, 1/5) — allow a wide small-n band
+    # (event balance is NOT asserted: a few heavy entities legitimately
+    # skew it at tiny SF; entity atomicity above is the operator contract)
+    for r in out:
+        assert r["n_users"] <= 0.6 * n_users, r
