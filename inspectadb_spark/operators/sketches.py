@@ -263,7 +263,7 @@ def kmv_signature(df: DataFrame, group_col: str, key_col: str,
 
     h = (
         df.select(F.col(group_col).alias("g"),
-                  F.md5(F.col(key_col)).alias("h"))
+                  F.md5(F.col(key_col).cast("string")).alias("h"))
         .distinct()
     )
     w = Window.partitionBy("g").orderBy("h")

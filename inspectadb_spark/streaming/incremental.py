@@ -118,6 +118,16 @@ class IncrementalAggregate:
         ]
         return batch.groupBy(*keys).agg(*aggs)
 
+    def _merge_states(self, merged_in: DataFrame) -> DataFrame:
+        """Fold stored state + this batch's partials into the new state.
+        The default re-aggregates each decomposable measure; sketch
+        subclasses override this with their own lossless merge."""
+        merges = [
+            F.expr(_KINDS[kind][1].format(c=alias)).alias(alias)
+            for alias, kind, _ in self.measures
+        ]
+        return merged_in.groupBy(*self.key_exprs).agg(*merges)
+
     def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         committed = self._read_ptr()
         if (
@@ -134,11 +144,7 @@ class IncrementalAggregate:
         partial = self._partial(batch)
         state = self.table()
         merged_in = partial if state is None else state.unionByName(partial)
-        merges = [
-            F.expr(_KINDS[kind][1].format(c=alias)).alias(alias)
-            for alias, kind, _ in self.measures
-        ]
-        new_state = merged_in.groupBy(*self.key_exprs).agg(*merges)
+        new_state = self._merge_states(merged_in)
         self._version += 1
         out = os.path.join(self.state_dir, f"v{self._version}")
         new_state.write.mode("overwrite").parquet(out)
@@ -204,3 +210,55 @@ class StreamingCms(IncrementalAggregate):
 
         col, depth, width, salt = self._cms_args
         return cms_sketch(batch, col, depth, width, salt)
+
+
+class StreamingKmv(IncrementalAggregate):
+    """Incrementally-maintained bottom-k (KMV) distinct signatures per group
+    — the q189 sketch kept live over a stream.
+
+    Each micro-batch contributes its own bottom-k signature (≤ k rows per
+    group regardless of batch size); the merge is distinct-union + bottom-k,
+    which is the KMV merge rule and is LOSSLESS: after draining any chunking
+    of the input, the persisted signature equals the batch-built signature
+    over the same rows EXACTLY (asserted in S28). The merge is also
+    idempotent (set semantics), but the (checkpoint, batch_id) re-delivery
+    guard is inherited anyway — re-applying a batch is wasted work even
+    when it is harmless.
+
+    State size: |groups| × k rows forever, independent of stream history —
+    live cross-source overlap/Jaccard dashboards read the signature table
+    (`kmv_pairwise_jaccard`-style merge over pairs) without rescanning raw
+    history.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        group_col: str,
+        key_col: str,
+        k: int = 128,
+    ) -> None:
+        super().__init__(spark, state_dir, key_exprs={"g": group_col},
+                         measures=[])
+        self._kmv = (group_col, key_col, k)
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        from inspectadb_spark.operators.sketches import kmv_signature
+
+        group_col, key_col, k = self._kmv
+        return kmv_signature(batch, group_col, key_col, k=k).select("g", "h")
+
+    def _merge_states(self, merged_in: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        _, _, k = self._kmv
+        w = Window.partitionBy("g").orderBy("h")
+        return (
+            merged_in.select("g", "h").distinct()
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            # state schema stays (g, h) so the next batch's partial unions
+            # cleanly; rank is recomputable and not part of the sketch
+            .select("g", "h")
+        )

@@ -1355,3 +1355,30 @@ def test_s27_streaming_lww_merge(spark, replay_dir, tmp_path):
     )
     got = spark.table("s27")
     assert _rows(got) == _rows(want)
+
+
+# S28 streaming KMV signature maintenance: the bottom-k distinct sketch
+# (q189) kept live by distinct-union + bottom-k merges. KMV merge is
+# lossless, so after draining the chunked replay the persisted signature
+# table equals the batch-built signature over the same rows EXACTLY —
+# live cross-source overlap dashboards read |groups|·k rows of state,
+# never raw history.
+def test_s28_streaming_kmv_equals_batch(spark, replay_dir, tmp_path):
+    from inspectadb_spark.operators.sketches import kmv_signature
+    from inspectadb_spark.streaming.incremental import StreamingKmv
+
+    kmv = StreamingKmv(spark, str(tmp_path / "state"),
+                       group_col="event_type", key_col="user_id", k=32)
+    q = kmv.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    got = kmv.table().select("g", "h")
+    batch = spark.read.parquet(replay_dir)
+    want = kmv_signature(batch, "event_type", "user_id", k=32).select("g", "h")
+    assert _rows(got) == _rows(want)
+    # bounded state: at most k rows per group
+    per_group = {r["g"]: r["n"] for r in
+                 got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 32 for n in per_group.values())
