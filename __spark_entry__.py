@@ -107,7 +107,8 @@ _TIER2 = [
     "q184_quantile_sketch", "q185_auc", "q186_ks_drift",
     "q187_poisson_bootstrap", "q188_pmi_collocations", "q189_kmv_overlap",
     "q190_kaplan_meier", "q191_wilson_ci", "q192_group_kfold",
-    "q193_hard_negatives",
+    "q193_hard_negatives", "q194_bpe_merges", "q195_pca_project",
+    "q196_calibration_bins",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

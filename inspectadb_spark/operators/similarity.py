@@ -686,3 +686,73 @@ def hard_negatives(
             F.col("w.s").alias("sim"),
         )
     )
+
+
+def pca_project(
+    vectors: DataFrame,
+    k: int = 2,
+    dims: int = 16,
+    scale: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components — the
+    dimensionality-reduction / whitening step of an embedding pipeline,
+    Spark-first: the distributed part is ONE pass of integer-exact
+    sufficient statistics (the q149 machinery, here the full i ≤ j
+    triangle incl. variances); the eigendecomposition runs driver-side on
+    the dims×dims matrix (model-sized — the same rule as k-means
+    centroids), and the projection is a scan-side codegen expression over
+    broadcast literal components. No shuffle ever carries embeddings.
+
+    Determinism: sufficient sums are quantized integers (engine/partition
+    invariant); eigenvectors get a sign convention (largest-|component|
+    entry made positive) so the decomposition is unique up to eigenvalue
+    ties; projections are left-assoc double chains of literal weights.
+
+    Returns (id_col, pc1..pck).
+    """
+    import numpy as np
+
+    q = F.expr(
+        f"transform(slice({vec_col}, 1, {dims}),"
+        f" x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    e = vectors.select(q.alias("q"))
+    pp = (
+        e.select("q", F.expr(f"explode(sequence(0, {dims - 1}))").alias("i"))
+        .select("q", "i", F.expr(f"explode(sequence(i, {dims - 1}))").alias("j"))
+    )
+    s = pp.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.expr("SUM(element_at(q, i + 1) * element_at(q, j + 1))").alias("sxy"),
+        F.expr("SUM(element_at(q, i + 1))").alias("sx"),
+        F.expr("SUM(element_at(q, j + 1))").alias("sy"),
+    ).collect()  # dims*(dims+1)/2 rows — model-sized
+    n = s[0]["n"]
+    cov = np.zeros((dims, dims))
+    mu = np.zeros(dims)
+    for r in s:
+        i, j = r["i"], r["j"]
+        c = (r["sxy"] - r["sx"] * r["sy"] / n) / (n - 1) / (scale * scale)
+        cov[i, j] = cov[j, i] = c
+        if i == j:
+            mu[i] = r["sx"] / (n * scale)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        vec = v[:, idx]
+        top = int(np.argmax(np.abs(vec)))
+        if vec[top] < 0:
+            vec = -vec
+        comps.append(vec)
+    cols = [F.col(id_col)]
+    for ci, vec in enumerate(comps, start=1):
+        expr = None
+        for i in range(dims):
+            term = (F.element_at(vec_col, i + 1).cast("double")
+                    - F.lit(float(mu[i]))) * F.lit(float(vec[i]))
+            expr = term if expr is None else expr + term
+        cols.append(expr.alias(f"pc{ci}"))
+    return vectors.select(*cols)

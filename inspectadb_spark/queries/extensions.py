@@ -938,3 +938,22 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables(spark, sf_dir)["embeddings"]
     return hard_negatives(e, e.filter(F.col("vec_id") < 100)).orderBy("q_id")
+
+
+# --------------------------------------------------------------------------
+# Q195 PCA projection of embeddings onto the top-2 principal components
+# (rows-only: the eigendecomposition of the model-sized covariance runs on
+# the driver; scores pinned against numpy PCA + variance-ordering
+# properties in tests/test_stats.py).
+@query(
+    "q195_pca_project",
+    oracle=None,
+    doc="Top-2 PCA scores per embedding over the first 16 dims: one "
+        "integer-exact sufficient-stats pass, driver-side eigh on the "
+        "dims x dims matrix, scan-side literal-weight projection.",
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import pca_project
+
+    e = tables(spark, sf_dir)["embeddings"]
+    return pca_project(e, k=2, dims=16).orderBy("vec_id")

@@ -1568,3 +1568,48 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_WILSON.format(sign="-")).alias("ci_lo"),
         F.expr(_WILSON.format(sign="+")).alias("ci_hi"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q196 calibration (reliability) bins for the q185 score: does P(purchase)
+# grow with the score proxy the way a calibrated model's would? Ten
+# fixed-width score bins; per bin the mean score (exact decimal) and the
+# observed purchase rate (integer ppm) — the reliability-diagram input,
+# and the natural companion to AUC (discrimination) from q185.
+@query(
+    "q196_calibration_bins",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(LEAST(FLOOR(value / 35.0), 9) AS INT) AS bin,
+             value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events)
+    SELECT bin, COUNT(*) AS n,
+           CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*) AS DECIMAL(18,6)), 4) AS DOUBLE) AS mean_score,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS obs_rate_ppm
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    doc="Reliability-diagram bins: fixed-width score bins, exact-decimal "
+        "mean score, integer-ppm observed rate.",
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    b = ev.select(
+        F.expr("CAST(LEAST(FLOOR(value / 35.0), 9) AS INT)").alias("bin"),
+        "value",
+        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        .alias("y"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+                       " / COUNT(*)").cast("decimal(18,6)"), 4
+            ).cast("double").alias("mean_score"),
+            F.expr("SUM(y) * 1000000 DIV COUNT(*)").alias("obs_rate_ppm"),
+        )
+        .orderBy("bin")
+    )

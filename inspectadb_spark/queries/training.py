@@ -1358,3 +1358,23 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("n_events * 1000000 DIV tot").alias("events_ppm"))
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------------
+# Q194 BPE tokenizer training: the first 12 merge rules learned from the
+# corpus (Sennrich-style, word-frequency formulation — the corpus pays ONE
+# aggregation; every iteration runs on the Heaps'-law-small word table).
+# Iterative with a 1-row collect per round — not SQL-expressible; pinned
+# against an independent pure-Python BPE reference in tests.
+@query(
+    "q194_bpe_merges",
+    oracle=None,
+    doc="First 12 BPE merge rules (rank, left, right, merged, pair_freq): "
+        "deterministic (freq DESC, left, right) selection, greedy "
+        "non-overlapping JVM-fold merges on the word-frequency table.",
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.tokenizer import bpe_merges
+
+    docs = tables(spark, sf_dir)["documents"]
+    return bpe_merges(docs, n_merges=12).orderBy("rank")

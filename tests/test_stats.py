@@ -307,3 +307,43 @@ def test_hard_negatives_matches_numpy_argmax(spark):
         assert r["neg_label"] != r["q_label"]
         assert abs(r["sim"] - best[0]) < 2e-4
         assert r["neg_id"] == -best[1] or abs(r["sim"] - best[0]) < 2e-4
+
+
+# -- q195 PCA projection vs numpy --------------------------------------------
+
+def test_pca_projection_matches_numpy(spark):
+    from inspectadb_spark.catalog import load_table
+    from inspectadb_spark.operators.similarity import pca_project
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    rows = emb.orderBy("vec_id").collect()
+    dims = 16
+    X = np.array([r["embedding"][:dims] for r in rows], dtype=np.float64)
+    # reference: same quantized sufficient stats -> eigh -> sign fix
+    Q = np.round(X * 10_000)
+    n = len(Q)
+    mu_q = Q.mean(axis=0)
+    cov = (Q.T @ Q - np.outer(Q.sum(0), Q.sum(0)) / n) / (n - 1) / 1e8
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    comps = []
+    for idx in order:
+        vec = v[:, idx]
+        top = int(np.argmax(np.abs(vec)))
+        comps.append(-vec if vec[top] < 0 else vec)
+    ref = (X - (mu_q / 10_000)) @ np.array(comps).T
+    got = pca_project(emb, k=2, dims=dims).orderBy("vec_id").collect()
+    G = np.array([[r["pc1"], r["pc2"]] for r in got])
+    assert np.allclose(G, ref, atol=1e-6)
+    # variance ordering: pc1 explains >= pc2
+    assert G[:, 0].var() >= G[:, 1].var() - 1e-12
+
+
+def test_pca_projection_partition_invariant(spark):
+    from inspectadb_spark.catalog import load_table
+    from inspectadb_spark.operators.similarity import pca_project
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    a = pca_project(emb, k=2, dims=16).orderBy("vec_id").collect()
+    b = pca_project(emb.repartition(17), k=2, dims=16).orderBy("vec_id").collect()
+    assert [(r["pc1"], r["pc2"]) for r in a] == [(r["pc1"], r["pc2"]) for r in b]
