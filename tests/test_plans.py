@@ -456,3 +456,33 @@ def test_round4e_eval_stats_plan_shapes(spark):
     assert "TakeOrderedAndProject" in p188
     # q188: min_count filters the bigram stream BEFORE the vocab joins.
     assert "CartesianProduct" not in p188
+
+
+def test_round4f_survival_training_plan_shapes(spark):
+    """Plan pins for q190–q196 (survival/CI/splits/tokenizer/PCA)."""
+    # q190: durations aggregate per user before the KM window — the window
+    # input is the grouped stream, and totals come from window frames, not
+    # an extra data shuffle.
+    assert "CartesianProduct" not in _plan(spark, "q190_kaplan_meier")
+    # q191/q196: one map-side-combinable aggregate, no joins at all.
+    for q in ("q191_wilson_ci", "q196_calibration_bins"):
+        p = _plan(spark, q)
+        assert "Join" not in p, q
+    # q192: fold assignment is scan-side (no shuffle before the per-user
+    # agg); the 1-row totals frame comes back as a broadcast (conditionless
+    # join → BroadcastNestedLoopJoin against the literal-small side).
+    p192 = _plan(spark, "q192_group_kfold")
+    assert "BroadcastNestedLoopJoin" in p192 or "BroadcastHashJoin" in p192
+    # q193: the query batch is the broadcast side; the corpus never
+    # shuffles before the winner aggregate.
+    p193 = _plan(spark, "q193_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in p193 or "BroadcastHashJoin" in p193
+    assert "CartesianProduct" not in p193
+    # q195: projection is scan-side — the output plan has no exchange at
+    # all beyond the final orderBy sort.
+    from inspectadb_spark.operators.scale import count_exchanges
+    from inspectadb_spark.queries.registry import REGISTRY as _R
+
+    n = count_exchanges(
+        _R["q195_pca_project"].builder(spark, SF_DIR).drop("pc1"))
+    assert n <= 1, f"q195: {n} exchanges"
