@@ -1382,3 +1382,53 @@ def test_s28_streaming_kmv_equals_batch(spark, replay_dir, tmp_path):
     per_group = {r["g"]: r["n"] for r in
                  got.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert all(n <= 32 for n in per_group.values())
+
+
+# S29 live conversion-rate monitor: an IncrementalAggregate maintains per-
+# type (n, k) counts over the stream; after the drain, the q191 Wilson-CI
+# arithmetic applied to the LIVE STATE equals the batch q191 report
+# byte-for-byte — the monitoring composition (S26's PSI pattern) for
+# binomial rates.
+def test_s29_incremental_wilson_monitor(spark, replay_dir, tmp_path):
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    inc = IncrementalAggregate(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        key_exprs={"event_type": "event_type"},
+        measures=[("n", "count", "*"),
+                  ("k", "sum", "CASE WHEN value > 100 THEN 1 ELSE 0 END")],
+    )
+    q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    from inspectadb_spark.queries.stats import _WILSON
+
+    live = inc.table().select(
+        "event_type", F.col("n"),
+        F.col("k").cast("bigint").alias("k"),
+    ).withColumn("phat", F.expr("CAST(k AS DOUBLE) / n")).select(
+        "event_type", "n", "k",
+        F.round(F.col("phat").cast("decimal(18,6)"), 4).cast("double")
+        .alias("rate"),
+        F.expr(_WILSON.format(sign="-")).alias("ci_lo"),
+        F.expr(_WILSON.format(sign="+")).alias("ci_hi"),
+    )
+    batch = spark.read.parquet(replay_dir)
+    want = (
+        batch.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.expr("CASE WHEN value > 100 THEN 1 ELSE 0 END"))
+             .alias("k"))
+        .withColumn("phat", F.expr("CAST(k AS DOUBLE) / n"))
+        .select(
+            "event_type", "n", "k",
+            F.round(F.col("phat").cast("decimal(18,6)"), 4).cast("double")
+            .alias("rate"),
+            F.expr(_WILSON.format(sign="-")).alias("ci_lo"),
+            F.expr(_WILSON.format(sign="+")).alias("ci_hi"),
+        )
+    )
+    assert _rows(live) == _rows(want)
