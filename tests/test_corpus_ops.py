@@ -390,3 +390,35 @@ def test_kmv_jaccard_disjoint_and_identical_extremes(spark):
     same = kmv_pairwise_jaccard(ident, "src", "key", k=64).collect()[0]
     assert disjoint["jaccard_ppm"] == 0
     assert same["jaccard_ppm"] == 1000000
+
+
+# -- NULL/empty-text semantics pins (robustness documentation) ---------------
+
+def test_null_and_empty_text_semantics(spark):
+    """Deterministic NULL handling across the text/dedup surface, pinned so
+    a refactor can't silently change it:
+    - exact_dedup groups NULL texts together under the NULL hash (SQL
+      GROUP BY semantics — matches the DuckDB oracle), empty string is its
+      own (non-NULL) group;
+    - token_stats propagates NULL stats for NULL text;
+    - unigram_logprob emits no row for a NULL-text doc (nothing to score).
+    """
+    from inspectadb_spark.operators.dedup import exact_dedup
+    from inspectadb_spark.operators.text import token_stats, unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, ""), (4, "hello world"),
+         (5, None)],
+        "doc_id long, text string")
+
+    dd = {r["h"]: (r["n"], r["keep"]) for r in exact_dedup(docs).collect()}
+    assert dd[None] == (2, 2)          # both NULL docs in one group
+    assert dd["5eb63bbbe01eeed093cb22bb8f5acdc3"] == (2, 1)
+    assert dd["d41d8cd98f00b204e9800998ecf8427e"] == (1, 3)
+
+    ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert set(ts) == {1, 2, 3, 4, 5}
+    assert ts[2]["n_ws"] is None
+
+    lp = {r["doc_id"] for r in unigram_logprob(docs).collect()}
+    assert lp == {1, 3, 4}
