@@ -108,7 +108,7 @@ _TIER2 = [
     "q187_poisson_bootstrap", "q188_pmi_collocations", "q189_kmv_overlap",
     "q190_kaplan_meier", "q191_wilson_ci", "q192_group_kfold",
     "q193_hard_negatives", "q194_bpe_merges", "q195_pca_project",
-    "q196_calibration_bins",
+    "q196_calibration_bins", "q197_isotonic_calibration",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

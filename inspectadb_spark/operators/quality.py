@@ -191,3 +191,53 @@ def mad_stats(
             r4(F.expr("percentile(_dev, 0.5)")).alias("mad"),
         )
     )
+
+
+def isotonic_calibrate(
+    binned: DataFrame,
+    group_col: str = "event_type",
+    x_col: str = "bin",
+    y_col: str = "obs_rate_ppm",
+    w_col: str = "n",
+) -> DataFrame:
+    """Isotonic (PAVA) calibration of a binned rate curve: the
+    monotone-non-decreasing fit minimizing weighted squared error — the
+    standard post-hoc calibrator for a quality/ranking score (pairs with
+    q185 AUC for discrimination and q196 bins for raw reliability).
+
+    Pool-adjacent-violators is a sequential recurrence (like q179's capped
+    sessions), so it runs as the sanctioned ``applyInPandas`` escape hatch:
+    one shuffle on the group key, then a per-group Arrow pass over the BIN
+    table — which is histogram-sized, never data-sized, so the Python-side
+    work is O(bins) per group regardless of corpus size (the corpus was
+    already reduced by the q196-style binning aggregation). Deterministic:
+    input sorted by ``x_col`` inside the group, pure float arithmetic with
+    a fixed pooling order; pinned in tests against the O(n³) max-min
+    closed form (an independent formulation of the isotonic fit).
+
+    Output: group, x, w, y, iso (fitted value, 4 dp).
+    """
+    import pandas as pd
+
+    schema = (f"{group_col} string, {x_col} int, {w_col} bigint,"
+              f" {y_col} bigint, iso double")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col).reset_index(drop=True)
+        # blocks of (weighted mean, weight); pool while out of order
+        blocks: list[list[float]] = []  # [mean, weight, count]
+        for y, w in zip(pdf[y_col].astype(float), pdf[w_col].astype(float)):
+            blocks.append([y, w, 1])
+            while len(blocks) >= 2 and blocks[-2][0] >= blocks[-1][0]:
+                m2, w2, c2 = blocks.pop()
+                m1, w1, c1 = blocks.pop()
+                blocks.append([(m1 * w1 + m2 * w2) / (w1 + w2),
+                               w1 + w2, c1 + c2])
+        iso = []
+        for m, _, c in blocks:
+            iso.extend([round(m, 4)] * c)
+        out = pdf[[group_col, x_col, w_col, y_col]].copy()
+        out["iso"] = iso
+        return out
+
+    return binned.groupBy(group_col).applyInPandas(fit, schema)

@@ -1613,3 +1613,32 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Q197 isotonic (PAVA) monotone-trend fit: per event type, the best
+# non-decreasing fit of the high-value rate over hour-of-day — monotone
+# trend extraction, the calibration-curve machinery (q185 AUC / q196
+# reliability bins) applied to a genuinely non-monotone input so the
+# pooling actually fires. Sequential recurrence → applyInPandas over the
+# HISTOGRAM-sized (type, hour) table (rows-only; pinned against the
+# O(n^3) max-min closed form in tests/test_stats.py).
+@query(
+    "q197_isotonic_calibration",
+    oracle=None,
+    doc="PAVA monotone fit of P(value > 100) over hour-of-day per type: "
+        "one group shuffle over 24-row bin tables, O(bins) Python per "
+        "group.",
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.quality import isotonic_calibrate
+
+    ev = tables(spark, sf_dir)["events"]
+    lab = (
+        ev.groupBy("event_type",
+                   F.expr("CAST(hour(ts) AS INT)").alias("bin"))
+        .agg(F.count("*").alias("n"),
+             F.expr("SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) * 1000000"
+                    " DIV COUNT(*)").alias("obs_rate_ppm"))
+    )
+    return isotonic_calibrate(lab).orderBy("event_type", "bin")

@@ -347,3 +347,51 @@ def test_pca_projection_partition_invariant(spark):
     a = pca_project(emb, k=2, dims=16).orderBy("vec_id").collect()
     b = pca_project(emb.repartition(17), k=2, dims=16).orderBy("vec_id").collect()
     assert [(r["pc1"], r["pc2"]) for r in a] == [(r["pc1"], r["pc2"]) for r in b]
+
+
+# -- q197 isotonic fit vs the max-min closed form -----------------------------
+
+def test_isotonic_fit_matches_maxmin_closed_form(spark):
+    """PAVA output must equal the independent O(n^3) characterization:
+    iso_i = max_{j<=i} min_{k>=j} weighted_avg(y_j..y_k)."""
+    from inspectadb_spark.queries.stats import q197
+
+    got = q197(spark, SF_DIR).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["event_type"], []).append(r)
+    assert by_g
+    for g, rows in by_g.items():
+        rows.sort(key=lambda r: r["bin"])
+        y = [float(r["obs_rate_ppm"]) for r in rows]
+        w = [float(r["n"]) for r in rows]
+        n = len(y)
+
+        def wavg(j, k):
+            num = sum(w[t] * y[t] for t in range(j, k + 1))
+            den = sum(w[t] for t in range(j, k + 1))
+            return num / den
+
+        for i, r in enumerate(rows):
+            # the classical minimax characterization:
+            # iso_i = max_{j<=i} min_{k>=i} weighted_avg(y_j..y_k)
+            ref = max(min(wavg(j, k) for k in range(i, n))
+                      for j in range(i + 1))
+            assert abs(r["iso"] - ref) < 1e-3, (g, i, r["iso"], ref)
+        iso = [r["iso"] for r in rows]
+        assert iso == sorted(iso)  # monotone non-decreasing
+
+
+def test_isotonic_fit_preserves_weighted_mean(spark):
+    """PAVA block means preserve the total weighted mass (projection
+    property): sum(w*iso) == sum(w*y) up to rounding."""
+    from inspectadb_spark.queries.stats import q197
+
+    rows = q197(spark, SF_DIR).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["event_type"], []).append(r)
+    for g, rs in by_g.items():
+        a = sum(r["n"] * r["iso"] for r in rs)
+        b = sum(r["n"] * r["obs_rate_ppm"] for r in rs)
+        assert abs(a - b) / max(b, 1) < 1e-3, g
