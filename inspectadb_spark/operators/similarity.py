@@ -652,18 +652,21 @@ def hard_negatives(
     candidate join (``sign_blocked_near_dup_pairs``) and keep the same
     struct-max verifier.
     """
+    # zero-norm rows (padded/failed encodes) are excluded on BOTH sides:
+    # cosine is undefined for them, and under ANSI mode the 0/0 would
+    # abort the whole batch instead of skipping the degenerate vector
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qe"),
         F.sqrt(_norm2(vec_col)).alias("qm"),
         F.col(label_col).alias("q_label"),
-    )
+    ).filter(F.col("qm") > 0)
     c = vectors.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("ce"),
         F.sqrt(_norm2(vec_col)).alias("cm"),
         F.col(label_col).alias("c_label"),
-    )
+    ).filter(F.col("cm") > 0)
     sim = _dot("qe", "ce") / (F.col("qm") * F.col("cm"))
     simr = F.round(sim.cast("decimal(18,6)"), 4).cast("double")
     scored = (
@@ -714,6 +717,10 @@ def pca_project(
     """
     import numpy as np
 
+    # rows shorter than dims carry no full observation for the covariance
+    # and would throw INVALID_ARRAY_INDEX under ANSI in the projection —
+    # exclude them on both passes (documented contract: fixed-dim input)
+    vectors = vectors.filter(F.size(vec_col) >= dims)
     q = F.expr(
         f"transform(slice({vec_col}, 1, {dims}),"
         f" x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
@@ -729,6 +736,10 @@ def pca_project(
         F.expr("SUM(element_at(q, i + 1))").alias("sx"),
         F.expr("SUM(element_at(q, j + 1))").alias("sy"),
     ).collect()  # dims*(dims+1)/2 rows — model-sized
+    if not s or s[0]["n"] < 2:
+        raise ValueError(
+            f"pca_project needs >= 2 vectors with >= {dims} dims; got "
+            f"{s[0]['n'] if s else 0}")
     n = s[0]["n"]
     cov = np.zeros((dims, dims))
     mu = np.zeros(dims)

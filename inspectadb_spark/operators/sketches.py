@@ -243,6 +243,22 @@ def vhist_quantile(sketch: DataFrame, pcts: list, width: int) -> DataFrame:
     return out
 
 
+def bottom_k(df: DataFrame, part_cols: list[str], k: int,
+             h_col: str = "h") -> DataFrame:
+    """The one KMV bottom-k rule, shared by every sketch site (batch
+    signature, pairwise union merge, streaming state merge): distinct
+    hashes per partition key, k lexicographically smallest kept. Keeping
+    this in ONE place is what guarantees stored streaming state keeps
+    matching batch-built signatures if the rule ever changes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols).orderBy(h_col)
+    return (
+        df.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+    )
+
+
 def kmv_signature(df: DataFrame, group_col: str, key_col: str,
                   k: int = 128) -> DataFrame:
     """Bottom-k (KMV) distinct sketch per group: the k lexicographically
@@ -255,19 +271,22 @@ def kmv_signature(df: DataFrame, group_col: str, key_col: str,
     seed, engine/run/partition invariant (same determinism contract as the
     md5 acceptance rules in operators/pipeline.py).
 
+    NULL keys are excluded (md5(NULL) = NULL): Spark windows sort NULL
+    FIRST while ANSI SQL engines sort it LAST, so a NULL in the signature
+    would both displace a real k-th hash and break cross-engine parity —
+    and a NULL key is not a set member in the first place.
+
     Scale shape (100 TB): one distinct on (group, digest) — the only
     data-sized shuffle — then a per-group bottom-k window over the
     distinct stream. Output is |groups| * k rows: constant per group.
     """
-    from pyspark.sql import Window
-
     h = (
         df.select(F.col(group_col).alias("g"),
                   F.md5(F.col(key_col).cast("string")).alias("h"))
+        .filter(F.col("h").isNotNull())
         .distinct()
     )
-    w = Window.partitionBy("g").orderBy("h")
-    return h.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    return bottom_k(h, ["g"], k)
 
 
 def kmv_pairwise_jaccard(df: DataFrame, group_col: str, key_col: str,
@@ -286,8 +305,6 @@ def kmv_pairwise_jaccard(df: DataFrame, group_col: str, key_col: str,
     (pair enumeration, union merge, per-pair window) runs on that
     constant-size table, independent of corpus size.
     """
-    from pyspark.sql import Window
-
     sig = kmv_signature(df, group_col, key_col, k=k)
     groups = sig.select(F.col("g")).distinct()
     pairs = (
@@ -304,9 +321,7 @@ def kmv_pairwise_jaccard(df: DataFrame, group_col: str, key_col: str,
         .groupBy("src_a", "src_b", "h")
         .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
     )
-    w = Window.partitionBy("src_a", "src_b").orderBy("h")
-    bottom = merged.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= k)
+    bottom = bottom_k(merged, ["src_a", "src_b"], k)
     return (
         bottom.groupBy("src_a", "src_b")
         .agg(F.count("*").alias("kk"),

@@ -537,7 +537,10 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     tk = docs.select(F.split(F.col(text_col), " ").alias("tk"))
     toks = tk.select(F.explode("tk").alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c1"))
-    n_tok = toks.agg(F.count("*").alias("n_uni"))
+    # the corpus is scanned exactly TWICE (unigram counts, bigram counts);
+    # both totals are rollups of those small aggregate tables, never
+    # additional data-sized passes
+    n_tok = vocab.agg(F.sum("c1").alias("n_uni"))
     bi = (
         tk.filter(F.size("tk") >= 2)
         .select(F.expr("explode(sequence(2, size(tk)))").alias("i"), "tk")
@@ -546,11 +549,9 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
             F.expr("element_at(tk, i)").alias("w2"),
         )
     )
-    n_bi = bi.groupBy().agg(F.count("*").alias("n_bi"))
-    c2 = (
-        bi.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
-    )
+    c2_all = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    n_bi = c2_all.agg(F.sum("n_pair").alias("n_bi"))
+    c2 = c2_all.filter(F.col("n_pair") >= min_count)
     scored = (
         c2.join(F.broadcast(vocab.select(F.col("tok").alias("w1"),
                                          F.col("c1").alias("c1a"))), "w1")

@@ -48,19 +48,22 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
     )
 
 
-def _merge_pair(wf: DataFrame, left: str, right: str) -> DataFrame:
-    """Greedy non-overlapping left-to-right merge of (left, right) in every
-    word — a codegen'd aggregate() fold, no Python."""
-    l_lit = left.replace("\\", "\\\\").replace("'", "\\'")
-    r_lit = right.replace("\\", "\\\\").replace("'", "\\'")
-    fold = (
-        "aggregate(slice(syms, 2, size(syms) - 1), array(element_at(syms, 1)),"
+def _fold_expr(l: str, r: str) -> str:
+    l_lit = l.replace("\\", "\\\\").replace("'", "\\'")
+    r_lit = r.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        "CASE WHEN size(syms) >= 2 THEN"
+        " aggregate(slice(syms, 2, size(syms) - 1), array(element_at(syms, 1)),"
         " (acc, x) -> CASE WHEN element_at(acc, -1) = '{l}' AND x = '{r}'"
         " THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}'))"
-        " ELSE concat(acc, array(x)) END)"
+        " ELSE concat(acc, array(x)) END) ELSE syms END"
     ).format(l=l_lit, r=r_lit)
-    merged = F.when(F.size("syms") >= 2, F.expr(fold)).otherwise(F.col("syms"))
-    return wf.select(merged.alias("syms"), "freq")
+
+
+def _merge_pair(wf: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy non-overlapping left-to-right merge of (left, right) in every
+    word — the shared ``_fold_expr`` codegen fold, no Python."""
+    return wf.select(F.expr(_fold_expr(left, right)).alias("syms"), "freq")
 
 
 def bpe_merges(
@@ -94,18 +97,6 @@ def bpe_merges(
     return spark.createDataFrame(
         rules, "rank int, left string, right string, merged string,"
                " pair_freq bigint")
-
-
-def _fold_expr(l: str, r: str) -> str:
-    l_lit = l.replace("\\", "\\\\").replace("'", "\\'")
-    r_lit = r.replace("\\", "\\\\").replace("'", "\\'")
-    return (
-        "CASE WHEN size(syms) >= 2 THEN"
-        " aggregate(slice(syms, 2, size(syms) - 1), array(element_at(syms, 1)),"
-        " (acc, x) -> CASE WHEN element_at(acc, -1) = '{l}' AND x = '{r}'"
-        " THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}'))"
-        " ELSE concat(acc, array(x)) END) ELSE syms END"
-    ).format(l=l_lit, r=r_lit)
 
 
 def bpe_encode(docs: DataFrame, rules: list[tuple[str, str]],

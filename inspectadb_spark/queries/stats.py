@@ -1218,9 +1218,23 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy("event_type", F.col("value").alias("v")).agg(
         F.count("*").alias("n"))
     cv = c.groupBy("v").agg(F.sum("n").alias("tot"))
-    cw = cv.select(
+    # the all-types cumulative is TWO-LEVEL (the q127 sweep-line shape):
+    # a bucket-partitioned running sum over distinct values + a carry scan
+    # over per-bucket nets — the textbook single-partition global window
+    # over all distinct scores never exists at any scale. (The oracle
+    # keeps the plain global window: same values, and DuckDB's single
+    # process doesn't care.)
+    bkt = cv.withColumn("bkt", F.expr("CAST(FLOOR(v) AS BIGINT)"))
+    w_in = Window.partitionBy("bkt").orderBy("v")
+    local = bkt.withColumn("cum_in", F.sum("tot").over(w_in))
+    nets = bkt.groupBy("bkt").agg(F.sum("tot").alias("net"))
+    w_carry = Window.orderBy("bkt")  # |buckets| rows — bounded
+    carry = nets.withColumn(
+        "carry", F.sum("net").over(w_carry) - F.col("net")).select(
+        "bkt", "carry")
+    cw = local.join(F.broadcast(carry), "bkt").select(
         "v", "tot",
-        (F.sum("tot").over(Window.orderBy("v")) - F.col("tot"))
+        (F.col("carry") + F.col("cum_in") - F.col("tot"))
         .alias("cum_tot_less"),
     )
     ct = c.select(
@@ -1280,11 +1294,12 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(SUM(n1) AS BIGINT) AS t1
           FROM c GROUP BY event_type)
     SELECT event_type, MAX(t0) AS n_first, MAX(t1) AS n_second,
-           CAST(ROUND(CAST(
+           CASE WHEN MAX(t0) = 0 OR MAX(t1) = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(ROUND(CAST(
              CAST(MAX(ABS(CAST(cum0 AS DECIMAL(38,0)) * t1
                           - CAST(cum1 AS DECIMAL(38,0)) * t0)) AS DOUBLE)
              / (CAST(MAX(t0) AS DOUBLE) * MAX(t1))
-             AS DECIMAL(18,6)), 4) AS DOUBLE) AS ks
+             AS DECIMAL(18,6)), 4) AS DOUBLE) END AS ks
     FROM w JOIN t USING (event_type)
     GROUP BY event_type ORDER BY event_type
     """,
@@ -1323,11 +1338,14 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type", "n_first", "n_second",
-            F.round(
-                F.expr("CAST(d AS DOUBLE)"
-                       " / (CAST(n_first AS DOUBLE) * n_second)")
-                .cast("decimal(18,6)"), 4
-            ).cast("double").alias("ks"),
+            # one-sided types (all events in a single half — exactly the
+            # drift this monitor flags) get ks = NULL instead of aborting
+            # the whole report under ANSI DIVIDE_BY_ZERO
+            F.expr("CASE WHEN n_first = 0 OR n_second = 0"
+                   " THEN CAST(NULL AS DOUBLE)"
+                   " ELSE CAST(ROUND(CAST(CAST(d AS DOUBLE)"
+                   " / (CAST(n_first AS DOUBLE) * n_second)"
+                   " AS DECIMAL(18,6)), 4) AS DOUBLE) END").alias("ks"),
         )
         .orderBy("event_type")
     )

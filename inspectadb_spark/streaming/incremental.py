@@ -250,15 +250,10 @@ class StreamingKmv(IncrementalAggregate):
         return kmv_signature(batch, group_col, key_col, k=k).select("g", "h")
 
     def _merge_states(self, merged_in: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
+        from inspectadb_spark.operators.sketches import bottom_k
 
         _, _, k = self._kmv
-        w = Window.partitionBy("g").orderBy("h")
-        return (
-            merged_in.select("g", "h").distinct()
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= k)
-            # state schema stays (g, h) so the next batch's partial unions
-            # cleanly; rank is recomputable and not part of the sketch
-            .select("g", "h")
-        )
+        # state schema stays (g, h) so the next batch's partial unions
+        # cleanly; rank is recomputable and not part of the sketch
+        return bottom_k(merged_in.select("g", "h").distinct(),
+                        ["g"], k).select("g", "h")

@@ -395,3 +395,44 @@ def test_isotonic_fit_preserves_weighted_mean(spark):
         a = sum(r["n"] * r["iso"] for r in rs)
         b = sum(r["n"] * r["obs_rate_ppm"] for r in rs)
         assert abs(a - b) / max(b, 1) < 1e-3, g
+
+
+def test_ks_one_sided_type_yields_null_not_error(spark):
+    """A type whose events all fall in one half (t0=0 or t1=0) must report
+    ks = NULL, not abort the whole query under ANSI DIVIDE_BY_ZERO."""
+    import datetime as dt
+
+    from inspectadb_spark.queries.registry import _TABLE_CACHE
+    from inspectadb_spark.queries.stats import q186
+
+    rows = [(i, dt.datetime(2024, 1, 1, i % 24), i, "steady", float(i))
+            for i in range(1, 9)]
+    # 'late_only' appears strictly after the midpoint (mid = 10//2 = 5)
+    rows += [(9, dt.datetime(2024, 1, 2), 9, "late_only", 1.0),
+             (10, dt.datetime(2024, 1, 2), 10, "late_only", 2.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double")
+    key = (id(spark), "_ks_null_probe")
+    _TABLE_CACHE[key] = {"events": df}
+    try:
+        out = {r["event_type"]: r for r in
+               q186(spark, "_ks_null_probe").collect()}
+    finally:
+        del _TABLE_CACHE[key]
+    assert out["late_only"]["n_first"] == 0
+    assert out["late_only"]["ks"] is None
+    assert out["steady"]["ks"] is not None
+
+
+def test_hard_negatives_skips_zero_norm_vectors(spark):
+    from inspectadb_spark.operators.similarity import hard_negatives
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 0.0], 1), (3, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(df, df)
+    rows = {r["q_id"]: r for r in out.collect()}
+    # the zero vector is neither a query nor a candidate
+    assert set(rows) == {1, 3}
+    assert rows[1]["neg_id"] == 3 and rows[3]["neg_id"] == 1
