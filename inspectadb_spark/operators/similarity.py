@@ -110,17 +110,18 @@ def cosine_pairs_exact(
     """Exact embedding-cosine near-duplicate pairs: all (a, b) with a < b and
     cosine ≥ threshold. O(n²) self-join — the correctness baseline; use
     ``srp_near_dup_pairs`` at scale. Norms are precomputed per side so the
-    join body is one dot product."""
+    join body is one dot product. Zero-norm rows are excluded (cosine
+    undefined; under ANSI mode the 0/0 would abort the job)."""
     a = vectors.select(
         F.col(id_col).alias("v1"),
         F.col(vec_col).alias("e1"),
         F.sqrt(_norm2(vec_col)).alias("m1"),
-    )
+    ).filter(F.col("m1") > 0)
     b = vectors.select(
         F.col(id_col).alias("v2"),
         F.col(vec_col).alias("e2"),
         F.sqrt(_norm2(vec_col)).alias("m2"),
-    )
+    ).filter(F.col("m2") > 0)
     sim = _dot("e1", "e2") / (F.col("m1") * F.col("m2"))
     simr = F.round(sim.cast("decimal(18,6)"), 4).cast("double")
     return (
@@ -152,7 +153,9 @@ def sign_blocked_near_dup_pairs(
         (F.when(bit(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
         for j in range(block_dims)
     ).cast("int")
-    keyed = vectors.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+    # same zero-norm exclusion as cosine_pairs_exact (ANSI 0/0 guard)
+    keyed = vectors.filter(F.sqrt(_norm2(vec_col)) > 0).select(
+        F.col(id_col), F.col(vec_col), blk.alias("_blk"))
     a = keyed.select(
         F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), "_blk"
     )
