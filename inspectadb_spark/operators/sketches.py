@@ -331,3 +331,78 @@ def kmv_pairwise_jaccard(df: DataFrame, group_col: str, key_col: str,
             F.expr("n_common * 1000000 DIV kk").alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters: bounded-memory candidate pruning + exact verify.
+def heavy_hitters(
+    stream: DataFrame,
+    col: str = "gram",
+    denom: int = 5000,
+    m: int | None = None,
+) -> DataFrame:
+    """Exact phi-heavy hitters — every item with ``cnt * denom >= total`` —
+    found with a Misra–Gries candidate pass so the item domain is never
+    shuffled (SURVEY.md §2.2d approx/sketch family; the frequency-domain
+    peer of the KMV/CMS/Bloom/HLL/vhist mergeable summaries).
+
+    Why not a plain groupBy: on a web-scale token/n-gram stream the key
+    domain is billions (Heaps' law), so ``groupBy(item)`` shuffles the
+    whole vocabulary to count items of which only ~denom can possibly
+    qualify. Phase 1 instead runs a size-``m`` Misra–Gries summary per
+    partition in one ``mapInPandas`` pass — bounded memory regardless of
+    cardinality, emitting at most ``m`` candidate rows per partition plus
+    one exact per-partition row count (item=NULL sentinel). Pigeonhole
+    gives no-false-negatives: if an item's global count f >= total/denom
+    then some partition has f_p >= n_p/denom, and MG(m >= denom) retains
+    every local item with count > n_p/(m+1). Phase 2 semi-joins the stream
+    against the broadcast candidate set and counts EXACTLY, so the output
+    is engine-order-independent and hash-matches a GROUP BY ... HAVING
+    oracle even though phase 1's internals are partition-order-dependent.
+
+    Scale shape (100 TB): two scans, zero wide shuffles of the raw domain —
+    phase 1 is scan+mapInPandas (Arrow-batched, value_counts-vectorized;
+    the per-batch MG merge is the batched decrement form: subtract the
+    (m+1)-th largest count from all and drop non-positives, total
+    decrement <= n_p/(m+1)); phase 2's exchange carries only rows matching
+    <= m*partitions candidates. cnt*denom stays far inside BIGINT
+    (cnt <= 1e12 tokens * denom 5e3 = 5e15).
+    """
+    mm = m or denom
+
+    def _mg(batches):
+        import pandas as pd
+
+        counter: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            n += int(vc.sum())
+            for k, v in vc.items():
+                counter[k] = counter.get(k, 0) + int(v)
+            if len(counter) > mm:
+                kth = sorted(counter.values(), reverse=True)[mm]
+                counter = {k: c - kth for k, c in counter.items() if c > kth}
+        yield pd.DataFrame(
+            {"item": list(counter.keys()) + [None],
+             "cnt": list(counter.values()) + [n]}
+        )
+
+    summaries = stream.select(col).mapInPandas(_mg, "item string, cnt long")
+    total = summaries.filter(F.col("item").isNull()).agg(
+        F.sum("cnt").alias("tot"))
+    cands = (summaries.filter(F.col("item").isNotNull())
+             .select(F.col("item").alias("__cand")).distinct())
+    counts = (
+        stream.join(F.broadcast(cands), F.col(col) == F.col("__cand"),
+                    "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * denom >= F.col("tot"))
+        .select(F.col(col), "cnt", "tot",
+                F.expr("cnt * 1000000 DIV tot").alias("freq_ppm"))
+        .orderBy(F.desc("cnt"), F.asc(col))
+    )

@@ -122,8 +122,11 @@ def char_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def word_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-grams per document: (id_col, gram).
+                id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """Word n-grams per document: (id_col, gram) — distinct by default
+    (set membership for dedup/contamination); ``distinct=False`` keeps
+    multiplicity (the full gram stream, for frequency-domain operators
+    like heavy hitters).
 
     Built entirely from JVM higher-order functions (sequence → transform →
     slice → array_join), so gram construction stays inside whole-stage
@@ -140,10 +143,8 @@ def word_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text",
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
-        .distinct()
-    )
+    out = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return out.distinct() if distinct else out
 
 
 def ngram_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 5,

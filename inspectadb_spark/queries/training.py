@@ -1378,3 +1378,37 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return bpe_merges(docs, n_merges=12).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# Q198 exact heavy hitters with Misra–Gries pruning: the frequency-domain
+# member of the mergeable-summary family (HLL q84 / CMS q94 / Bloom q181 /
+# vhist q184 / KMV q189). Phase 1 bounds memory at m counters per partition
+# regardless of vocabulary size; phase 2's exact verify makes the output
+# hash-identical to the plain GROUP BY ... HAVING oracle.
+@query(
+    "q198_heavy_hitters",
+    oracle="""
+    WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT array_to_string(list_slice(tk, i, i + 2), ' ') AS gram
+      FROM tk, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)),
+    c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM g)
+    SELECT gram, cnt, tot, cnt * 1000000 // tot AS freq_ppm
+    FROM c CROSS JOIN t
+    WHERE cnt * 5000 >= tot
+    ORDER BY cnt DESC, gram
+    """,
+    doc="Word-trigram heavy hitters (freq >= total/5000): Misra–Gries "
+        "per-partition candidate pruning + broadcast-semi-join exact "
+        "verification — exact counts, bounded memory, vocabulary never "
+        "shuffled.",
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.sketches import heavy_hitters
+    from inspectadb_spark.operators.text import word_ngrams
+
+    docs = tables(spark, sf_dir)["documents"]
+    grams = word_ngrams(docs, n=3, distinct=False).select("gram")
+    return heavy_hitters(grams, col="gram", denom=5000)

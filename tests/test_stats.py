@@ -436,3 +436,39 @@ def test_hard_negatives_skips_zero_norm_vectors(spark):
     # the zero vector is neither a query nor a candidate
     assert set(rows) == {1, 3}
     assert rows[1]["neg_id"] == 3 and rows[3]["neg_id"] == 1
+
+
+# --- heavy hitters (Misra–Gries pruning + exact verify) ---------------------
+def test_heavy_hitters_exact_vs_plain_groupby(spark):
+    """Output equals the exact GROUP BY ... HAVING answer on a skewed
+    synthetic stream, independent of partitioning."""
+    from inspectadb_spark.operators.sketches import heavy_hitters
+
+    # Zipf-ish stream: item i repeated (400 // (i + 1)) times + a long tail
+    rows = []
+    for i in range(50):
+        rows += [(f"hot{i:02d}",)] * (400 // (i + 1))
+    rows += [(f"tail{j:05d}",) for j in range(3000)]
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "item string").repartition(parts)
+        got = {(r["item"], r["cnt"], r["tot"], r["freq_ppm"])
+               for r in heavy_hitters(df, col="item", denom=100).collect()}
+        total = len(rows)
+        from collections import Counter
+        c = Counter(r[0] for r in rows)
+        want = {(k, v, total, v * 1_000_000 // total)
+                for k, v in c.items() if v * 100 >= total}
+        assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_mg_candidates_are_superset(spark):
+    """No false negatives from the pruning pass even at the minimal summary
+    size m == denom, with heavy mass split evenly across many partitions
+    (the adversarial case for per-partition pruning)."""
+    from inspectadb_spark.operators.sketches import heavy_hitters
+
+    rows = [("heavy",)] * 500 + [(f"t{j:05d}",) for j in range(5000)]
+    df = spark.createDataFrame(rows, "item string").repartition(11)
+    out = heavy_hitters(df, col="item", denom=12, m=12).collect()
+    assert [r["item"] for r in out] == ["heavy"]
+    assert out[0]["cnt"] == 500 and out[0]["tot"] == 5500
