@@ -109,7 +109,8 @@ _TIER2 = [
     "q190_kaplan_meier", "q191_wilson_ci", "q192_group_kfold",
     "q193_hard_negatives", "q194_bpe_merges", "q195_pca_project",
     "q196_calibration_bins", "q197_isotonic_calibration",
-    "q198_heavy_hitters",
+    "q198_heavy_hitters", "q201_blocklist", "q202_margin_bitext",
+    "q203_matryoshka_recall",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -770,3 +770,148 @@ def pca_project(
             expr = term if expr is None else expr + term
         cols.append(expr.alias(f"pc{ci}"))
     return vectors.select(*cols)
+
+
+def margin_bitext(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    threshold_ppm: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based bitext mining (ratio margin): for each vector on side A,
+    the best side-B candidate by cos(x,y) normalized by the mean of the two
+    vectors' top-k neighborhood similarities — the standard score for mining
+    parallel sentence pairs, which a raw cosine threshold gets wrong because
+    hub vectors are near everything.
+
+        margin(x,y) = cos(x,y) / ((avg_topk(x→B) + avg_topk(y→A)) / 2)
+
+    Determinism: similarities are quantized to integer ppm via one
+    DECIMAL(18,6) cast (the r4 idiom), top-k membership uses
+    (sim_ppm DESC, id) row_number ties, neighborhood sums are exact BIGINTs,
+    and the margin is a pure-integer DIV — byte-identical across engines.
+    Non-positive similarities are excluded (not translation candidates, and
+    they would poison the neighborhood denominator); zero-norm vectors are
+    excluded on both sides (ANSI 0/0 guard, q193 rule).
+
+    Scale shape (100 TB): side A is the mining batch (broadcast); side B is
+    scanned once — pair generation never shuffles the corpus. The two
+    neighborhood windows run on the candidate-pair table only. For
+    corpus-×-corpus mining swap the broadcast for
+    ``sign_blocked_near_dup_pairs`` candidates and keep the same margin
+    verifier. sim_ppm <= 1e6 so sim_ppm * 2k * 1e6 stays far inside BIGINT.
+    """
+    from pyspark.sql import Window
+
+    a = side_a.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("ae"),
+        F.sqrt(_norm2(vec_col)).alias("am")).filter(F.col("am") > 0)
+    b = side_b.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("be"),
+        F.sqrt(_norm2(vec_col)).alias("bm")).filter(F.col("bm") > 0)
+    sim = _dot("ae", "be") / (F.col("am") * F.col("bm"))
+    pairs = (
+        b.join(F.broadcast(a))
+        .select("a_id", "b_id",
+                (sim.cast("decimal(18,6)") * 1_000_000)
+                .cast("bigint").alias("sim_ppm"))
+        .filter(F.col("sim_ppm") > 0)
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("sim_ppm"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("sim_ppm"), F.asc("a_id"))
+    ra = (pairs.withColumn("r", F.row_number().over(wa)).filter(F.col("r") <= k)
+          .groupBy("a_id").agg(F.sum("sim_ppm").alias("ra_sum")))
+    rb = (pairs.withColumn("r", F.row_number().over(wb)).filter(F.col("r") <= k)
+          .groupBy("b_id").agg(F.sum("sim_ppm").alias("rb_sum")))
+    scored = (
+        pairs.join(ra, "a_id").join(rb, "b_id")
+        .withColumn("margin_ppm",
+                    F.expr(f"sim_ppm * {2 * k} * 1000000"
+                           " DIV (ra_sum + rb_sum)"))
+    )
+    return (
+        scored.groupBy("a_id")
+        .agg(F.max(F.struct(
+            F.col("margin_ppm").alias("m"),
+            (-F.col("b_id")).alias("nid"),
+            F.col("sim_ppm").alias("s"),
+        )).alias("w"))
+        .filter(F.col("w.m") >= threshold_ppm)
+        .select("a_id", (-F.col("w.nid")).alias("b_id"),
+                F.col("w.s").alias("sim_ppm"), F.col("w.m").alias("margin_ppm"))
+        .orderBy("a_id")
+    )
+
+
+def truncated_recall(
+    vectors: DataFrame,
+    dims: int = 16,
+    k: int = 10,
+    sample_mod: int = 20,
+    sample_rem: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncation audit: for a deterministic sample of
+    query vectors, recall@k of the top-k neighbor set computed on the first
+    ``dims`` coordinates against the top-k on the full vector — the
+    measurement that decides whether a cheaper truncated index tier (the
+    standard MRL serving trick) is safe for a given corpus.
+
+    Both similarity rankings are integer-ppm quantized with
+    (sim DESC, id ASC) ties, so the two top-k sets — and therefore the
+    overlap counts — are engine-exact, not estimate-vs-estimate.
+
+    Scale shape (100 TB): the query sample is broadcast against one corpus
+    scan (pairs never shuffle the corpus); the two rankings are windows
+    over the per-query candidate table. A full-corpus audit would replace
+    the broadcast with the SRP-bucketed candidate join and audit recall
+    per bucket.
+    """
+    from pyspark.sql import Window
+
+    full_norm = F.sqrt(_norm2(vec_col))
+    trunc = F.slice(F.col(vec_col), 1, dims)
+    q = vectors.filter(
+        (F.col(id_col) % sample_mod) == sample_rem
+    ).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe"),
+        full_norm.alias("qm"), trunc.alias("qt"),
+        F.sqrt(_norm2(trunc)).alias("qtm"),
+    ).filter((F.col("qm") > 0) & (F.col("qtm") > 0))
+    c = vectors.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("ce"),
+        full_norm.alias("cm"), trunc.alias("ct"),
+        F.sqrt(_norm2(trunc)).alias("ctm"),
+    ).filter((F.col("cm") > 0) & (F.col("ctm") > 0))
+    ppm = lambda col: (col.cast("decimal(18,6)") * 1_000_000).cast("bigint")
+    pairs = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            ppm(_dot("qe", "ce") / (F.col("qm") * F.col("cm")))
+            .alias("sim_full"),
+            ppm(_dot("qt", "ct") / (F.col("qtm") * F.col("ctm")))
+            .alias("sim_trunc"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("sim_full"), F.asc("c_id"))
+    wt = Window.partitionBy("q_id").orderBy(F.desc("sim_trunc"), F.asc("c_id"))
+    top_full = (pairs.withColumn("r", F.row_number().over(wf))
+                .filter(F.col("r") <= k).select("q_id", "c_id"))
+    top_trunc = (pairs.withColumn("r", F.row_number().over(wt))
+                 .filter(F.col("r") <= k).select("q_id", "c_id"))
+    overlap = (top_full.join(top_trunc, ["q_id", "c_id"], "left_semi")
+               .groupBy("q_id").agg(F.count("*").alias("n_overlap")))
+    return (
+        q.select("q_id").join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.expr(f"coalesce(n_overlap, 0) * 1000000 DIV {k}")
+            .alias("recall_ppm"),
+        )
+        .orderBy("q_id")
+    )

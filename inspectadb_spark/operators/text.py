@@ -570,3 +570,39 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     )
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1"), F.col("w2")).limit(k)
+
+
+def blocklist_matches(
+    docs: DataFrame,
+    patterns: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pat_col: str = "pat",
+) -> DataFrame:
+    """Multi-pattern substring screening (safety blocklists, PII phrase
+    lists, benchmark-canary strings): every (doc, pattern, occurrence
+    count) for patterns that literally occur in the text.
+
+    Occurrence counting is the replace-length identity —
+    (len(text) − len(replace(text, pat, ''))) / len(pat) — standard
+    non-overlapping left-to-right semantics, identical in Spark and
+    DuckDB, entirely inside whole-stage codegen.
+
+    Scale shape (100 TB): the pattern list is broadcast (blocklists are
+    KBs–MBs) and the join is a scan-side BroadcastNestedLoopJoin — the
+    corpus is never shuffled; output carries only actual hits. Past ~10k
+    patterns the per-pattern contains() scan loses to a single automaton
+    pass: swap the join for an Aho–Corasick trie in mapInPandas (build
+    the trie once per executor from the broadcast list), keeping this
+    exact relational form as the verification oracle.
+    """
+    t, p = F.col(text_col), F.col(pat_col)
+    return (
+        docs.join(F.broadcast(patterns), t.contains(p))
+        .select(
+            F.col(id_col), p.alias(pat_col),
+            ((F.length(t) - F.length(F.replace(t, p, F.lit(""))))
+             / F.length(p)).cast("bigint").alias("n_occ"),
+        )
+        .orderBy(id_col, pat_col)
+    )

@@ -371,3 +371,130 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.similarity import embedding_dim_stats
 
     return embedding_dim_stats(tables(spark, sf_dir)["embeddings"])
+
+
+# --------------------------------------------------------------------------
+# Q202 margin-based bitext mining (Artetxe & Schwenk ratio margin): per en
+# doc the best de candidate scored by cosine normalized against both
+# vectors' top-k neighborhoods — integer-ppm exact end to end.
+@query(
+    "q202_margin_bitext",
+    oracle="""
+    WITH ve AS (
+      SELECT e.vec_id AS id, e.embedding AS v, d.lang
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    a AS (SELECT id, v FROM ve WHERE lang = 'en'),
+    b AS (SELECT id, v FROM ve WHERE lang = 'de'),
+    z AS (
+      SELECT a.id AS a_id, b.id AS b_id, UNNEST(a.v) AS x, UNNEST(b.v) AS y
+      FROM a CROSS JOIN b),
+    s AS (
+      SELECT a_id, b_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      FROM z GROUP BY a_id, b_id),
+    p AS (
+      SELECT a_id, b_id,
+             CAST(CAST(dot / (SQRT(na) * SQRT(nb)) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS sim_ppm
+      FROM s WHERE na > 0 AND nb > 0),
+    pp AS (SELECT * FROM p WHERE sim_ppm > 0),
+    ra AS (
+      SELECT a_id, CAST(SUM(sim_ppm) AS BIGINT) AS ra_sum FROM (
+        SELECT a_id, sim_ppm,
+               ROW_NUMBER() OVER (PARTITION BY a_id
+                                  ORDER BY sim_ppm DESC, b_id) AS r
+        FROM pp) t WHERE r <= 4 GROUP BY a_id),
+    rb AS (
+      SELECT b_id, CAST(SUM(sim_ppm) AS BIGINT) AS rb_sum FROM (
+        SELECT b_id, sim_ppm,
+               ROW_NUMBER() OVER (PARTITION BY b_id
+                                  ORDER BY sim_ppm DESC, a_id) AS r
+        FROM pp) t WHERE r <= 4 GROUP BY b_id),
+    m AS (
+      SELECT pp.a_id, pp.b_id, pp.sim_ppm,
+             pp.sim_ppm * 8 * 1000000 // (ra_sum + rb_sum) AS margin_ppm
+      FROM pp JOIN ra USING (a_id) JOIN rb USING (b_id)),
+    w AS (
+      SELECT a_id, b_id, sim_ppm, margin_ppm,
+             ROW_NUMBER() OVER (PARTITION BY a_id
+                                ORDER BY margin_ppm DESC, b_id) AS r
+      FROM m)
+    SELECT a_id, b_id, sim_ppm, margin_ppm
+    FROM w WHERE r = 1 AND margin_ppm >= 1000000 ORDER BY a_id
+    """,
+    doc="Margin-based (CSLS-style ratio) bitext candidate mining en→de over "
+        "doc-aligned embeddings: hub-robust cross-lingual pairing, "
+        "integer-ppm deterministic.",
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import margin_bitext
+
+    t = tables(spark, sf_dir)
+    ve = t["embeddings"].join(
+        t["documents"].select(F.col("doc_id").alias("vec_id"), "lang"),
+        "vec_id")
+    return margin_bitext(
+        ve.filter(F.col("lang") == "en"), ve.filter(F.col("lang") == "de"),
+        k=4, threshold_ppm=1_000_000)
+
+
+# --------------------------------------------------------------------------
+# Q203 matryoshka truncation audit: recall@10 of 16-dim truncated cosine
+# top-k vs full 64-dim top-k over a deterministic query sample — both
+# rankings ppm-quantized with id ties, so the overlap is engine-exact.
+@query(
+    "q203_matryoshka_recall",
+    oracle="""
+    WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    q AS (SELECT id, v FROM v WHERE id % 20 = 7),
+    z AS (
+      SELECT q.id AS q_id, c.id AS c_id,
+             UNNEST(q.v) AS x, UNNEST(c.v) AS y,
+             generate_subscripts(q.v, 1) AS pos
+      FROM q CROSS JOIN v c WHERE c.id <> q.id),
+    s AS (
+      SELECT q_id, c_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nq,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nc,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               FILTER (pos <= 16) AS dot16,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+               FILTER (pos <= 16) AS nq16,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+               FILTER (pos <= 16) AS nc16
+      FROM z GROUP BY q_id, c_id),
+    p AS (
+      SELECT q_id, c_id,
+             CAST(CAST(dot / (SQRT(nq) * SQRT(nc)) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS sim_full,
+             CAST(CAST(dot16 / (SQRT(nq16) * SQRT(nc16)) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS sim_trunc
+      FROM s WHERE nq > 0 AND nc > 0 AND nq16 > 0 AND nc16 > 0),
+    tf AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim_full DESC, c_id) AS r FROM p) t WHERE r <= 10),
+    tt AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim_trunc DESC, c_id) AS r FROM p) t WHERE r <= 10),
+    o AS (
+      SELECT tf.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM tf JOIN tt USING (q_id, c_id) GROUP BY tf.q_id)
+    SELECT q.id AS q_id,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(o.n_overlap, 0) * 1000000 // 10 AS recall_ppm
+    FROM q LEFT JOIN o ON o.q_id = q.id ORDER BY q_id
+    """,
+    doc="Matryoshka truncation audit: per sampled query, overlap of "
+        "16-dim-truncated cosine top-10 with full 64-dim top-10 "
+        "(recall@10 in ppm) — decides if a truncated index tier is safe.",
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import truncated_recall
+
+    return truncated_recall(tables(spark, sf_dir)["embeddings"],
+                            dims=16, k=10, sample_mod=20, sample_rem=7)

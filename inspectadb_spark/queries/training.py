@@ -1412,3 +1412,35 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     grams = word_ngrams(docs, n=3, distinct=False).select("gram")
     return heavy_hitters(grams, col="gram", denom=5000)
+
+
+# --------------------------------------------------------------------------
+# Q201 blocklist screening: the relational form of safety/PII/canary phrase
+# filtering. Occurrence counts via the replace-length identity keep the whole
+# operator in codegen; the never-matching pattern exercises the empty case.
+_BLOCKLIST = ("big data", "slow query", "customer data", "fast scan",
+              "dup dup", "forbidden phrase")
+_BL_VALUES = ", ".join(f"('{p}')" for p in _BLOCKLIST)
+
+
+@query(
+    "q201_blocklist",
+    oracle=f"""
+    WITH pats(pat) AS (VALUES {_BL_VALUES})
+    SELECT doc_id, pat,
+           CAST((length(text) - length(replace(text, pat, ''))) / length(pat)
+                AS BIGINT) AS n_occ
+    FROM documents CROSS JOIN pats
+    WHERE contains(text, pat)
+    ORDER BY doc_id, pat
+    """,
+    doc="Multi-pattern blocklist screening: (doc, pattern, occurrences) for "
+        "every blocklist phrase literally present — broadcast pattern list, "
+        "scan-side contains, replace-length occurrence counting.",
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import blocklist_matches
+
+    docs = tables(spark, sf_dir)["documents"]
+    pats = spark.createDataFrame([(p,) for p in _BLOCKLIST], "pat string")
+    return blocklist_matches(docs, pats)

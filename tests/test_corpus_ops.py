@@ -422,3 +422,69 @@ def test_null_and_empty_text_semantics(spark):
 
     lp = {r["doc_id"] for r in unigram_logprob(docs).collect()}
     assert lp == {1, 3, 4}
+
+
+# --- blocklist screening -----------------------------------------------------
+def test_blocklist_counts_nonoverlapping_occurrences(spark):
+    from inspectadb_spark.operators.text import blocklist_matches
+
+    docs = spark.createDataFrame(
+        [(1, "aaa b aaa"), (2, "no hits here"), (3, "aaaa")],
+        "doc_id long, text string")
+    pats = spark.createDataFrame([("aaa",), ("b",), ("zz",)], "pat string")
+    got = {(r.doc_id, r.pat): r.n_occ
+           for r in blocklist_matches(docs, pats).collect()}
+    # 'aaaa' contains ONE non-overlapping 'aaa' (left-to-right replace rule)
+    assert got == {(1, "aaa"): 2, (1, "b"): 1, (3, "aaa"): 1}
+
+
+# --- margin bitext mining ----------------------------------------------------
+def test_margin_bitext_prefers_true_pair_over_hub(spark):
+    """A hub vector near everything loses to the true translation pair
+    under the ratio margin, even when its raw cosine is competitive."""
+    from inspectadb_spark.operators.similarity import margin_bitext
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # B: one hub (near the centroid of everything) + distinct directions
+    base = rng.randn(6, 8).astype("float64")
+    a_rows = [(i, (base[i] + 0.05 * rng.randn(8)).tolist()) for i in range(4)]
+    b_rows = [(100 + i, (base[i] + 0.05 * rng.randn(8)).tolist())
+              for i in range(4)]
+    b_rows.append((999, np.mean(base[:4], axis=0).tolist()))  # hub
+    a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+    out = {r.a_id: r.b_id
+           for r in margin_bitext(a, b, k=3, threshold_ppm=0).collect()}
+    assert out == {0: 100, 1: 101, 2: 102, 3: 103}
+
+
+def test_margin_bitext_excludes_zero_norm_and_nonpositive(spark):
+    from inspectadb_spark.operators.similarity import margin_bitext
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [-1.0, 0.0]), (12, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = margin_bitext(a, b, k=2, threshold_ppm=0).collect()
+    # zero-norm a_id=1 and b_id=12 excluded; anti-parallel b_id=11 excluded
+    assert [(r.a_id, r.b_id) for r in rows] == [(0, 10)]
+
+
+# --- matryoshka truncation audit ----------------------------------------------
+def test_truncated_recall_perfect_when_tail_dims_are_zero(spark):
+    """If all information lives in the first `dims` coords, truncated and
+    full rankings agree exactly -> recall 1e6 for every query."""
+    from inspectadb_spark.operators.similarity import truncated_recall
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, ([float(x) for x in rng.randn(4)] + [0.0] * 4))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = truncated_recall(df, dims=4, k=5, sample_mod=10, sample_rem=1)
+    got = out.collect()
+    assert len(got) == 4
+    assert all(r.recall_ppm == 1_000_000 for r in got)
