@@ -257,3 +257,53 @@ class StreamingKmv(IncrementalAggregate):
         # cleanly; rank is recomputable and not part of the sketch
         return bottom_k(merged_in.select("g", "h").distinct(),
                         ["g"], k).select("g", "h")
+
+
+class StreamingMisraGries(IncrementalAggregate):
+    """Live heavy-hitter candidates with BOUNDED state: a Misra–Gries
+    summary of size ``m`` maintained incrementally — the streaming
+    companion of q198's batch two-phase operator.
+
+    Each micro-batch contributes exact per-item partial counts; the merge
+    is additive followed by the batched MG shrink (subtract the (m+1)-th
+    largest count from every entry, drop non-positives). MG summaries are
+    mergeable (Agarwal et al., "Mergeable Summaries"): after draining ANY
+    chunking of the input the state (a) holds at most m items, (b) contains
+    EVERY item with true count > n/(m+1) — no false negatives for the
+    q198 threshold when m >= denom — and (c) under-counts each kept item
+    by at most n/(m+1). An exact-total row (item = NULL sentinel, never
+    shrunk) rides along so thresholds and error bars are computable from
+    state alone. The emitted candidate set feeds q198's exact verifier
+    for a precise dashboard; the state itself is the alerting surface.
+
+    State size: <= m+1 rows forever, independent of vocabulary — the
+    property a plain IncrementalAggregate count table cannot give on an
+    unbounded token domain.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 item_expr: str, m: int) -> None:
+        super().__init__(spark, state_dir, key_exprs={"item": item_expr},
+                         measures=[("cnt", "count", "*")])
+        self.m = m
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        counts = super()._partial(batch)
+        total = batch.select(
+            F.lit(None).cast("string").alias("item"),
+            F.count("*").alias("cnt"),
+        )
+        return counts.unionByName(total)
+
+    def _merge_states(self, merged_in: DataFrame) -> DataFrame:
+        merged = merged_in.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+        sentinel = merged.filter(F.col("item").isNull())
+        items = merged.filter(F.col("item").isNotNull())
+        # model-sized lookup: the (m+1)-th largest count, if any
+        kth_row = (items.orderBy(F.desc("cnt"), F.asc("item"))
+                   .select("cnt").offset(self.m).limit(1).collect())
+        if kth_row:
+            kth = kth_row[0][0]
+            items = (items.filter(F.col("cnt") > kth)
+                     .withColumn("cnt", F.col("cnt") - F.lit(kth)))
+        return items.unionByName(sentinel)

@@ -1432,3 +1432,66 @@ def test_s29_incremental_wilson_monitor(spark, replay_dir, tmp_path):
         )
     )
     assert _rows(live) == _rows(want)
+
+
+# S30 streaming Misra–Gries heavy-hitter state: bounded at m+1 rows, no
+# false negatives above n/(m+1), undercount <= n/(m+1), exact total via
+# the sentinel row — and the live candidate set, run through q198's exact
+# verifier, reproduces the batch heavy-hitter report.
+def test_s30_streaming_misra_gries_heavy_hitters(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    from collections import Counter
+
+    from inspectadb_spark.streaming.incremental import StreamingMisraGries
+
+    items = []
+    for i in range(20):
+        items += [f"hot{i:02d}"] * (300 // (i + 1))
+    items += [f"tail{j:05d}" for j in range(4000)]
+    # deterministic interleave so heavy mass is spread across chunks
+    # (hashlib, not hash(): PYTHONHASHSEED randomizes str hash per process)
+    import hashlib
+    items.sort(key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    d = tmp_path / "mg_replay"
+    d.mkdir()
+    step = (len(items) + 7) // 8
+    now = time.time()
+    for i in range(8):
+        chunk = items[i * step:(i + 1) * step]
+        p = str(d / f"c{i:02d}.parquet")
+        pq2.write_table(pa.table({"item": chunk}), p)
+        os.utime(p, (now + i, now + i))
+
+    m = 60
+    mg = StreamingMisraGries(spark, str(tmp_path / "state"),
+                             item_expr="item", m=m)
+    q = mg.start(_stream(spark, str(d)), str(tmp_path / "ckpt"),
+                 available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = {r["item"]: r["cnt"] for r in mg.table().collect()}
+    n = len(items)
+    assert state.pop(None) == n                      # exact sentinel total
+    assert len(state) <= m                           # bounded state
+    exact = Counter(items)
+    bound = n // (m + 1)
+    for item, c in exact.items():
+        if c > bound:                                # no false negatives
+            assert item in state
+    for item, c in state.items():                    # undercount bound
+        assert c <= exact[item] and exact[item] - c <= bound
+
+    # composition: exact verify of the live candidates == batch HH report
+    denom = m  # threshold n/denom, m >= denom
+    cands = spark.createDataFrame([(k,) for k in state], "item string")
+    batch = spark.read.parquet(str(d))
+    verified = {
+        (r["item"], r["cnt"])
+        for r in batch.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * denom >= n).collect()
+    }
+    want = {(k, c) for k, c in exact.items() if c * denom >= n}
+    assert verified == want and len(want) > 0
