@@ -248,6 +248,22 @@ def chunk_dedup(
     )
 
 
+def _portable_signatures(docs: DataFrame, text_col: str, id_col: str,
+                         num_hashes: int, shingle_k: int) -> DataFrame:
+    """(doc_id, j, sig): per-doc MinHash signatures from the engine-portable
+    md5(seed || '#' || shingle) hash family (bit-identical everywhere)."""
+    sh = _shingles(docs, text_col, id_col, shingle_k)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
+        F.col("shingle"),
+    ).select(
+        "doc_id", "j",
+        F.md5(F.concat_ws("#", F.col("j").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return seeded.groupBy("doc_id", "j").agg(F.min("h").alias("sig"))
+
+
 def minhash_lsh_candidates_portable(
     docs: DataFrame,
     text_col: str = "text",
@@ -268,16 +284,7 @@ def minhash_lsh_candidates_portable(
     colliding pairs — never O(n²).
     """
     rows_per_band = num_hashes // bands
-    sh = _shingles(docs, text_col, id_col, shingle_k)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
-        F.col("shingle"),
-    ).select(
-        "doc_id", "j",
-        F.md5(F.concat_ws("#", F.col("j").cast("string"), F.col("shingle"))).alias("h"),
-    )
-    sig = seeded.groupBy("doc_id", "j").agg(F.min("h").alias("sig"))
+    sig = _portable_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     banded = sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
     keys = banded.groupBy("doc_id", "band").agg(
         F.md5(F.expr("listagg(sig, '|') WITHIN GROUP (ORDER BY j)")).alias("bk")
@@ -411,4 +418,66 @@ def cross_source_dup_matrix(docs: DataFrame, w: int = 8,
             F.col(f"b.{group_col}").alias("src_b"),
         )
         .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def minhash_calibration(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Sketch-calibration audit: for every LSH candidate pair, the MinHash
+    signature-agreement ESTIMATE of Jaccard next to the EXACT shingle-set
+    Jaccard, plus the absolute error — the measurement that tells you
+    whether (num_hashes, bands) is tuned right for a given corpus before
+    trusting the sketch at full scale.
+
+    All arithmetic is integer ppm (DIV); the hash family is the portable
+    md5 one, so every column — including the estimate — hash-matches the
+    SQL oracle.
+
+    Scale shape (100 TB): both the agreement join and the exact-Jaccard
+    intersection are restricted to CANDIDATE pairs (LSH output, ~O(dups)),
+    never all pairs; signatures are |docs|*num_hashes rows; shingle
+    intersections join on the uniform shingle string key. This is the
+    audit you run on a sampled slice, then apply the chosen parameters
+    corpus-wide.
+    """
+    cands = minhash_lsh_candidates_portable(
+        docs, text_col, id_col, num_hashes, bands, shingle_k)
+    sig = _portable_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    s1 = sig.select(F.col("doc_id").alias("d1"), "j", F.col("sig").alias("s1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), "j", F.col("sig").alias("s2"))
+    agree = (
+        cands.join(s1, "d1").join(s2, ["d2", "j"])
+        .groupBy("d1", "d2", "n_bands")
+        .agg(F.sum((F.col("s1") == F.col("s2")).cast("bigint"))
+             .alias("n_agree"))
+    )
+    sh = _shingles(docs, text_col, id_col, shingle_k)
+    n_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    i1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    i2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cands.select("d1", "d2").join(i1, "d1").join(i2, ["d2", "shingle"])
+        .groupBy("d1", "d2").agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        agree
+        .join(inter, ["d1", "d2"])  # candidates share >=1 band => >=1 shingle
+        .join(n_sh.select(F.col("doc_id").alias("d1"),
+                          F.col("n_sh").alias("n1")), "d1")
+        .join(n_sh.select(F.col("doc_id").alias("d2"),
+                          F.col("n_sh").alias("n2")), "d2")
+        .select(
+            "d1", "d2", "n_bands",
+            F.expr(f"n_agree * 1000000 DIV {num_hashes}").alias("est_ppm"),
+            F.expr("n_inter * 1000000 DIV (n1 + n2 - n_inter)")
+            .alias("exact_ppm"),
+        )
+        .withColumn("err_ppm", F.abs(F.col("est_ppm") - F.col("exact_ppm")))
+        .orderBy("d1", "d2")
     )

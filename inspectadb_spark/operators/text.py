@@ -606,3 +606,92 @@ def blocklist_matches(
         )
         .orderBy(id_col, pat_col)
     )
+
+
+def blocklist_matches_automaton(
+    docs: DataFrame,
+    patterns: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aho–Corasick form of ``blocklist_matches`` — the scale path for BIG
+    pattern lists (>~10k), where N per-pattern contains() scans lose to ONE
+    automaton pass over each document.
+
+    The trie + failure links are built once per Python worker from the
+    broadcast pattern list (build cost O(Σ|pat|), amortized across the
+    partition's Arrow batches); matching is O(|text|) per document
+    regardless of pattern count. Occurrence counts are post-filtered to the
+    greedy non-overlapping left-to-right rule so the output is ROW-IDENTICAL
+    to the relational replace-length form (parity-tested) — the relational
+    form stays the correctness oracle.
+    """
+    import pandas as pd
+
+    pats = sorted(set(patterns))
+
+    def build():
+        # trie: node -> {char: node}; out: node -> [pattern ids]; fail links
+        trie = [{}]
+        out: dict[int, list[int]] = {}
+        for pid, p in enumerate(pats):
+            node = 0
+            for ch in p:
+                node = trie[node].setdefault(ch, len(trie)) \
+                    if trie[node].get(ch) is None else trie[node][ch]
+                if node == len(trie):
+                    trie.append({})
+            out.setdefault(node, []).append(pid)
+        from collections import deque
+        fail = [0] * len(trie)
+        q = deque()
+        for node in trie[0].values():
+            q.append(node)
+        while q:
+            u = q.popleft()
+            for ch, v in trie[u].items():
+                q.append(v)
+                f = fail[u]
+                while f and ch not in trie[f]:
+                    f = fail[f]
+                fail[v] = trie[f].get(ch, 0) if trie[f].get(ch, 0) != v else 0
+                out.setdefault(v, [])
+                out[v] = out[v] + out.get(fail[v], [])
+        return trie, fail, out
+
+    def scan(batches):
+        trie, fail, out = build()
+        for pdf in batches:
+            ids, hit_pats, hit_ends = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                ends: dict[int, list[int]] = {}
+                node = 0
+                for i, ch in enumerate(text):
+                    while node and ch not in trie[node]:
+                        node = fail[node]
+                    node = trie[node].get(ch, 0)
+                    for pid in out.get(node, ()):
+                        ends.setdefault(pid, []).append(i)
+                for pid, es in ends.items():
+                    # greedy non-overlapping from the left (replace-rule
+                    # parity): accept an end only if the match start is
+                    # past the previously accepted end
+                    plen, last, n = len(pats[pid]), -1, 0
+                    for e in es:
+                        if e - plen + 1 > last:
+                            n += 1
+                            last = e
+                    ids.append(did)
+                    hit_pats.append(pats[pid])
+                    hit_ends.append(n)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "pat": hit_pats, "n_occ": pd.Series(hit_ends, dtype="int64")})
+
+    return (
+        docs.select(id_col, text_col)
+        .mapInPandas(scan, f"{id_col} long, pat string, n_occ long")
+        .orderBy(id_col, "pat")
+    )

@@ -498,3 +498,71 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return truncated_recall(tables(spark, sf_dir)["embeddings"],
                             dims=16, k=10, sample_mod=20, sample_rem=7)
+
+
+# --------------------------------------------------------------------------
+# Q204 MinHash calibration audit: per LSH candidate pair, the signature-
+# agreement Jaccard ESTIMATE next to the EXACT shingle-set Jaccard and the
+# absolute error — validates (num_hashes, bands) on a corpus sample before
+# trusting the sketch at scale. Portable md5 family, integer-ppm exact.
+@query(
+    "q204_minhash_calibration",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM toks WHERE len(w) >= 3),
+    seeded AS (
+      SELECT doc_id, unnest(generate_series(0, 7)) AS j, shingle FROM sh),
+    sig AS (
+      SELECT doc_id, j,
+             MIN(md5(CAST(j AS VARCHAR) || '#' || shingle)) AS sig
+      FROM seeded GROUP BY doc_id, j),
+    keys AS (
+      SELECT doc_id, CAST(j // 2 AS INT) AS band,
+             md5(string_agg(sig, '|' ORDER BY j)) AS bk
+      FROM sig GROUP BY doc_id, CAST(j // 2 AS INT)),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS INT) AS n_bands
+      FROM keys a JOIN keys b ON a.band = b.band AND a.bk = b.bk
+      WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+    agree AS (
+      SELECT c.d1, c.d2, c.n_bands,
+             CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.d1
+      JOIN sig sb ON sb.doc_id = c.d2 AND sb.j = sa.j
+      GROUP BY c.d1, c.d2, c.n_bands),
+    nsh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+      GROUP BY c.d1, c.d2)
+    SELECT g.d1, g.d2, g.n_bands,
+           g.n_agree * 1000000 // 8 AS est_ppm,
+           i.n_inter * 1000000 // (n1.n_sh + n2.n_sh - i.n_inter)
+             AS exact_ppm,
+           ABS(g.n_agree * 1000000 // 8
+               - i.n_inter * 1000000 // (n1.n_sh + n2.n_sh - i.n_inter))
+             AS err_ppm
+    FROM agree g
+    JOIN inter i ON i.d1 = g.d1 AND i.d2 = g.d2
+    JOIN nsh n1 ON n1.doc_id = g.d1
+    JOIN nsh n2 ON n2.doc_id = g.d2
+    ORDER BY g.d1, g.d2
+    """,
+    doc="Per-candidate-pair MinHash estimate vs exact shingle Jaccard with "
+        "absolute error — the sketch-calibration audit run on a sample "
+        "before applying (num_hashes, bands) corpus-wide.",
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import minhash_calibration
+
+    return minhash_calibration(tables(spark, sf_dir)["documents"])

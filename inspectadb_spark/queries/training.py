@@ -1444,3 +1444,39 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     pats = spark.createDataFrame([(p,) for p in _BLOCKLIST], "pat string")
     return blocklist_matches(docs, pats)
+
+
+# --------------------------------------------------------------------------
+# Q199 tokenizer fertility payoff: learn the first 8 BPE merges (q194's
+# collect-loop training), apply them to the corpus (stacked codegen column
+# rewrites — scan-side), and report the per-language compression. The
+# training loop is iterative with a 1-row collect per round, so the query
+# is rows-only (not SQL-expressible); the encode fold is pinned against a
+# pure-Python BPE reference in tests/test_tokenizer.py.
+@query(
+    "q199_bpe_encode",
+    oracle=None,
+    doc="Per-language symbol compression from applying the first 8 learned "
+        "BPE merges: (lang, n_docs, n_words, n_syms_char, n_syms_bpe, "
+        "saved_ppm) — the fertility payoff of q194's rules.",
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.tokenizer import bpe_encode, bpe_merges
+
+    docs = tables(spark, sf_dir)["documents"]
+    rules_df = bpe_merges(docs, n_merges=8)
+    rules = [(r["left"], r["right"])
+             for r in rules_df.orderBy("rank").collect()]
+    enc = bpe_encode(docs, rules)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_words").alias("n_words"),
+             F.sum("n_syms_char").alias("n_syms_char"),
+             F.sum("n_syms_bpe").alias("n_syms_bpe"))
+        .withColumn(
+            "saved_ppm",
+            F.expr("(n_syms_char - n_syms_bpe) * 1000000 DIV n_syms_char"))
+        .orderBy("lang")
+    )

@@ -488,3 +488,25 @@ def test_truncated_recall_perfect_when_tail_dims_are_zero(spark):
     got = out.collect()
     assert len(got) == 4
     assert all(r.recall_ppm == 1_000_000 for r in got)
+
+
+def test_blocklist_automaton_parity_with_relational(spark):
+    """The Aho–Corasick scale path is row-identical to the relational
+    replace-length form, including overlapping-match normalization."""
+    from inspectadb_spark.operators.text import (
+        blocklist_matches, blocklist_matches_automaton)
+    from tests.conftest import SF_DIR
+
+    pats = ["big data", "slow query", "customer data", "fast scan",
+            "dup dup", "aaa", "a", "forbidden phrase"]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(100001, "aaaa"), (100002, "aaa b aaa aaa"), (100003, None)],
+        "doc_id long, text string")
+    docs = docs.unionByName(extra)
+    pdf = spark.createDataFrame([(p,) for p in pats], "pat string")
+    rel = [tuple(r) for r in blocklist_matches(docs, pdf).collect()]
+    aut = [tuple(r) for r in
+           blocklist_matches_automaton(docs, pats).collect()]
+    assert rel == aut and len(rel) > 0
