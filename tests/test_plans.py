@@ -486,3 +486,34 @@ def test_round4f_survival_training_plan_shapes(spark):
     n = count_exchanges(
         _R["q195_pca_project"].builder(spark, SF_DIR).drop("pc1"))
     assert n <= 1, f"q195: {n} exchanges"
+
+
+def test_round4d_frequency_family_plan_shapes(spark):
+    """q198/q201/q202/q203/q204: broadcast-only joins on the small sides,
+    no cartesian products except the deliberate broadcast pattern/batch
+    sides, and bounded exchange budgets."""
+    # q198: candidates + total are broadcast; the verify join must be a
+    # broadcast semi-join (never a shuffled join on the token domain)
+    plan = _plan(spark, "q198_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+    # q201: pattern list broadcast; corpus never shuffles (the only
+    # exchange is the final presentation sort)
+    plan = _plan(spark, "q201_blocklist")
+    assert "BroadcastNestedLoopJoin" in plan
+    n = count_exchanges(REGISTRY["q201_blocklist"].builder(spark, SF_DIR))
+    assert n <= 1, f"q201: {n} exchanges"
+
+    # q202/q203: the mining/query side is broadcast against the corpus
+    # scan; neighborhood ranking is windows over candidate pairs only
+    for q in ("q202_margin_bitext", "q203_matryoshka_recall"):
+        plan = _plan(spark, q)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+    # q204: every join keys on doc ids / shingles — no nested loop, no
+    # cartesian; candidate-restricted throughout
+    plan = _plan(spark, "q204_minhash_calibration")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
