@@ -1660,3 +1660,68 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " DIV COUNT(*)").alias("obs_rate_ppm"))
     )
     return isotonic_calibrate(lab).orderBy("event_type", "bin")
+
+
+# --------------------------------------------------------------------------
+# Q206 inter-event gap profile (bot/automation screening features): per
+# user the count/min/max/mean of consecutive-event gaps plus the exact
+# population-variance numerator n·Σx²−(Σx)² in DECIMAL(38,0) — machine
+# traffic shows up as large n with near-zero spread. Gaps are integer
+# seconds from exact µs timestamps; one window shuffle on user_id.
+# DECIMAL(38,0) headroom: gap_s ≤ ~3e7 (a year), gap² ≤ 9e14, so n·Σx²
+# stays inside 38 digits up to ~1e22 events per user.
+@query(
+    "q206_gap_profile",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    x AS (SELECT user_id, gap_us // 1000000 AS gap_s
+          FROM g WHERE gap_us IS NOT NULL),
+    a AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+             CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+             CAST(SUM(gap_s) AS BIGINT) AS sum_s,
+             CAST(SUM(CAST(gap_s AS DECIMAL(38,0)) * gap_s)
+                  AS DECIMAL(38,0)) AS sum_sq
+      FROM x GROUP BY user_id)
+    SELECT user_id, n_gaps, min_gap_s, max_gap_s,
+           sum_s // n_gaps AS mean_gap_s,
+           CAST(n_gaps * sum_sq - CAST(sum_s AS DECIMAL(38,0)) * sum_s
+                AS DECIMAL(38,0)) AS var_num
+    FROM a WHERE n_gaps >= 5 ORDER BY user_id
+    """,
+    doc="Per-user inter-event gap statistics (n/min/max/mean seconds + "
+        "exact variance numerator) — the regularity features behind "
+        "bot-traffic screening; integer-exact end to end.",
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events ts is TIMESTAMP_NTZ after the parquet shim; unix_micros wants
+    # TIMESTAMP (the q116 idiom) — the cast is a type relabel, not a zone op
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    x = g.select("user_id", F.expr("gap_us DIV 1000000").alias("gap_s"))
+    a = x.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum("gap_s").alias("sum_s"),
+        F.sum(F.col("gap_s").cast("decimal(38,0)") * F.col("gap_s"))
+        .cast("decimal(38,0)").alias("sum_sq"))
+    return (
+        a.filter(F.col("n_gaps") >= 5)
+        .select(
+            "user_id", "n_gaps", "min_gap_s", "max_gap_s",
+            F.expr("sum_s DIV n_gaps").alias("mean_gap_s"),
+            (F.col("n_gaps") * F.col("sum_sq")
+             - F.col("sum_s").cast("decimal(38,0)") * F.col("sum_s"))
+            .cast("decimal(38,0)").alias("var_num"))
+        .orderBy("user_id")
+    )

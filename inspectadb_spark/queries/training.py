@@ -1480,3 +1480,72 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_syms_char - n_syms_bpe) * 1000000 DIV n_syms_char"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q205 dataset card: the one-query per-source corpus report a training run
+# records next to the data — volume, token mass, language mix (mode with a
+# deterministic tie rule), and within-source exact-duplication rate. Pure
+# composition of verified primitives; every ratio is integer ppm.
+@query(
+    "q205_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source),
+    lc AS (
+      SELECT source, lang, COUNT(*) AS cnt FROM documents
+      GROUP BY source, lang),
+    tl AS (
+      SELECT source, lang AS top_lang, cnt FROM (
+        SELECT source, lang, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, lang) AS r
+        FROM lc) t WHERE r = 1),
+    dup AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_dup_docs FROM (
+        SELECT source, md5(text) AS h, COUNT(*) AS c FROM documents
+        GROUP BY source, md5(text) HAVING COUNT(*) > 1) g
+      GROUP BY source)
+    SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, b.n_langs,
+           tl.top_lang, tl.cnt * 1000000 // b.n_docs AS top_lang_ppm,
+           CAST(COALESCE(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+           COALESCE(d.n_dup_docs, 0) * 1000000 // b.n_docs AS dup_ppm
+    FROM base b JOIN tl USING (source)
+    LEFT JOIN dup d USING (source)
+    ORDER BY source
+    """,
+    doc="Per-source dataset card: docs, token/char mass, language count, "
+        "modal language (ppm share, deterministic ties), within-source "
+        "exact-dup docs and rate — the report a curation run files with "
+        "the shipped data.",
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"))
+    lc = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    tl = (lc.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+          .select("source", F.col("lang").alias("top_lang"), "cnt"))
+    dup = (docs.groupBy("source", F.md5("text").alias("h"))
+           .agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+           .groupBy("source").agg(F.sum("c").alias("n_dup_docs")))
+    return (
+        base.join(tl, "source").join(dup, "source", "left")
+        .select(
+            "source", "n_docs", "n_tokens", "n_chars", "n_langs", "top_lang",
+            F.expr("cnt * 1000000 DIV n_docs").alias("top_lang_ppm"),
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+            F.expr("coalesce(n_dup_docs, 0) * 1000000 DIV n_docs")
+            .alias("dup_ppm"))
+        .orderBy("source")
+    )
