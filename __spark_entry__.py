@@ -111,7 +111,7 @@ _TIER2 = [
     "q196_calibration_bins", "q197_isotonic_calibration",
     "q198_heavy_hitters", "q201_blocklist", "q202_margin_bitext",
     "q203_matryoshka_recall", "q199_bpe_encode", "q204_minhash_calibration",
-    "q205_dataset_card", "q206_gap_profile",
+    "q205_dataset_card", "q206_gap_profile", "q207_mmr_topk",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -915,3 +915,100 @@ def truncated_recall(
         )
         .orderBy("q_id")
     )
+
+
+def mmr_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    pool: int = 30,
+    lam_ppm: int = 700_000,
+    sample_mod: int = 20,
+    sample_rem: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k: per query, greedily
+    select k results maximizing ``λ·rel(c) − (1−λ)·max_{s∈selected}
+    sim(c, s)`` — the standard redundancy-suppressing re-rank (a plain
+    cosine top-k returns near-duplicates of the best hit; MMR spends the
+    slots on coverage).
+
+    Greedy selection is an inherently sequential recurrence over the
+    selected set, so it runs per query group in a COGROUPED applyInPandas
+    — the relevance pool and the candidate-candidate similarity edges are
+    cogrouped by query id; Python only ever sees one query's O(pool²)
+    edge table, never the corpus. Scores are integer ppm (λ in ppm, floor
+    division), ties break to the lower candidate id — deterministic
+    across engines, partitionings and runs. λ=1e6 degenerates to exact
+    relevance order (tested); rows-only for the driver (greedy recurrence
+    is not SQL-expressible) with property tests pinning the semantics.
+
+    Scale shape (100 TB): the query sample is broadcast; the pool cut
+    (row_number ≤ pool) bounds the per-query edge table at pool² rows,
+    so the cogroup shuffle carries O(|queries|·pool²) — independent of
+    corpus size. Corpus-wide MMR would take candidates from the SRP
+    buckets instead of the brute-force pool, same greedy tail.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q = vectors.filter((F.col(id_col) % sample_mod) == sample_rem).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe"),
+        F.sqrt(_norm2(vec_col)).alias("qm")).filter(F.col("qm") > 0)
+    c = vectors.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("ce"),
+        F.sqrt(_norm2(vec_col)).alias("cm")).filter(F.col("cm") > 0)
+    ppm = lambda col: (col.cast("decimal(18,6)") * 1_000_000).cast("bigint")
+    rel = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "ce", "cm",
+                ppm(_dot("qe", "ce") / (F.col("qm") * F.col("cm")))
+                .alias("sim_ppm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"), F.asc("c_id"))
+    pool_df = rel.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= pool)
+    a, b = pool_df.alias("pa"), pool_df.alias("pb")
+    cc = (
+        a.join(b, (F.col("pa.q_id") == F.col("pb.q_id"))
+               & (F.col("pa.c_id") < F.col("pb.c_id")))
+        .select(
+            F.col("pa.q_id").alias("q_id"),
+            F.col("pa.c_id").alias("c1"), F.col("pb.c_id").alias("c2"),
+            ppm(_dot(F.col("pa.ce"), F.col("pb.ce"))
+                / (F.col("pa.cm") * F.col("pb.cm"))).alias("cc_ppm"))
+    )
+
+    mu = 1_000_000 - lam_ppm
+
+    def greedy(key, rel_pdf, cc_pdf):
+        r = dict(zip(rel_pdf["c_id"], rel_pdf["sim_ppm"]))
+        s = {}
+        for c1, c2, v in zip(cc_pdf["c1"], cc_pdf["c2"], cc_pdf["cc_ppm"]):
+            s[(c1, c2)] = v
+            s[(c2, c1)] = v
+        selected: list = []
+        out = []
+        while len(selected) < min(k, len(r)):
+            best = None
+            for cid, rv in r.items():
+                if cid in selected:
+                    continue
+                mx = max((s.get((cid, sid), 0) for sid in selected),
+                         default=0)
+                score = (lam_ppm * int(rv) - mu * int(mx)) // 1_000_000
+                if best is None or score > best[0] or \
+                        (score == best[0] and cid < best[1]):
+                    best = (score, cid)
+            out.append((key[0], len(selected) + 1, best[1], best[0]))
+            selected.append(best[1])
+        return pd.DataFrame(
+            out, columns=["q_id", "rank", "c_id", "mmr_ppm"])
+
+    return (
+        pool_df.select("q_id", "c_id", "sim_ppm").groupBy("q_id")
+        .cogroup(cc.groupBy("q_id"))
+        .applyInPandas(greedy,
+                       "q_id long, rank int, c_id long, mmr_ppm long")
+        .orderBy("q_id", "rank")
+    )

@@ -566,3 +566,22 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.dedup import minhash_calibration
 
     return minhash_calibration(tables(spark, sf_dir)["documents"])
+
+
+# --------------------------------------------------------------------------
+# Q207 MMR diversified retrieval: greedy λ-tradeoff re-rank of the cosine
+# pool — rows-only (sequential greedy recurrence); semantics pinned by
+# property tests (rank-1 = relevance top-1, λ=1 degenerates to cosine
+# order, planted duplicates suppressed).
+@query(
+    "q207_mmr_topk",
+    oracle=None,
+    doc="Per sampled query, MMR-diversified top-5 from the cosine top-30 "
+        "pool (λ=0.7, integer-ppm scores, id ties) via cogrouped "
+        "applyInPandas — redundancy-suppressing retrieval re-rank.",
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import mmr_topk
+
+    return mmr_topk(tables(spark, sf_dir)["embeddings"],
+                    k=5, pool=30, lam_ppm=700_000)

@@ -510,3 +510,51 @@ def test_blocklist_automaton_parity_with_relational(spark):
     aut = [tuple(r) for r in
            blocklist_matches_automaton(docs, pats).collect()]
     assert rel == aut and len(rel) > 0
+
+
+# --- MMR diversified top-k ----------------------------------------------------
+def _mmr_vecs(spark):
+    import numpy as np
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    # id 7 (sampled as query by mod 20 rem 7) + planted near-identical pair:
+    # candidates 20 and 21 are the same direction (dups); 22 is orthogonal-ish
+    base = [float(x) for x in rng.randn(8)]
+    rows[20] = (20, base)
+    rows[21] = (21, [x * 1.0000001 for x in base])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_mmr_rank1_is_relevance_top1_and_lambda1_is_cosine_order(spark):
+    from inspectadb_spark.operators.similarity import mmr_topk, cosine_topk
+
+    df = _mmr_vecs(spark)
+    out = mmr_topk(df, k=5, pool=30, lam_ppm=1_000_000).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.c_id)
+    qvec = {r.vec_id: r.embedding for r in df.collect()}
+    for q_id, picked in by_q.items():
+        ref = (cosine_topk(df.filter(F.col("vec_id") != q_id),
+                           [float(x) for x in qvec[q_id]], k=5)
+               .collect())
+        # λ=1: pure relevance — same ids in the same order as cosine top-k
+        # (both ppm-quantized with id ties)
+        assert picked == [r.vec_id for r in ref], q_id
+
+
+def test_mmr_suppresses_planted_duplicate(spark):
+    from inspectadb_spark.operators.similarity import mmr_topk
+
+    df = _mmr_vecs(spark)
+    # make 20/21 the two most relevant for query 7 by copying its direction
+    qvec = [r.embedding for r in df.filter("vec_id = 7").collect()][0]
+    near = spark.createDataFrame(
+        [(20, [x * 0.9 for x in qvec]), (21, [x * 0.9000001 for x in qvec])],
+        "vec_id long, embedding array<double>")
+    df2 = df.filter(~F.col("vec_id").isin(20, 21)).unionByName(near)
+    out = [r for r in mmr_topk(df2, k=3, pool=10, lam_ppm=500_000).collect()
+           if r.q_id == 7]
+    picked = [r.c_id for r in out]
+    assert picked[0] in (20, 21)          # rank 1: most relevant (tie->20)
+    assert picked[1] not in (20, 21)      # rank 2: the duplicate is skipped
