@@ -71,3 +71,71 @@ def streaming_cusum(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_GAP_OUT = ("user_id bigint, n_gaps bigint, min_gap_s bigint, "
+            "max_gap_s bigint, sum_s bigint, sum_sq bigint")
+_GAP_STATE = ("last_us bigint, n_gaps bigint, min_gap_s bigint, "
+              "max_gap_s bigint, sum_s bigint, sum_sq bigint")
+
+
+def streaming_gap_profile(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Live per-key inter-event gap statistics (q206's bot-screening
+    features) maintained with O(1) state: (last event µs, n, min, max,
+    Σgap, Σgap²) per key, updated per micro-batch with
+    ``applyInPandasWithState``.
+
+    The gap recurrence needs the PREVIOUS event — exactly the cross-batch
+    state a windowed aggregate cannot carry — so this is the
+    arbitrary-stateful form; after draining a time-ordered chunked replay
+    the state equals the batch q206 sufficient statistics EXACTLY (S31).
+    Same in-order-per-key delivery contract as streaming_cusum; Σgap² is
+    BIGINT with gap in integer seconds (gap ≤ ~3e7 s ⇒ gap² ≤ 9e14,
+    ~9e3 years of per-second events before overflow; promote to the
+    DECIMAL(38,0) state column beyond that).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        last_us, n_gaps, mn, mx, sum_s, sum_sq = (
+            state.get if state.exists else (None, 0, None, None, 0, 0)
+        )
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values([ts_col, id_col])
+            us = (pdf[ts_col].astype("datetime64[us]").astype("int64")
+                  .to_numpy())
+            prev = np.concatenate(
+                ([last_us], us[:-1])) if last_us is not None else us[:-1]
+            cur = us if last_us is not None else us[1:]
+            if len(cur):
+                gaps = (cur - prev) // 1_000_000
+                n_gaps += len(gaps)
+                gmn, gmx = int(gaps.min()), int(gaps.max())
+                mn = gmn if mn is None else min(mn, gmn)
+                mx = gmx if mx is None else max(mx, gmx)
+                sum_s += int(gaps.sum())
+                sum_sq += int((gaps.astype(object) ** 2).sum())
+            last_us = int(us[-1])
+        state.update((last_us, int(n_gaps),
+                      mn, mx, int(sum_s), int(sum_sq)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_gaps": [n_gaps],
+             "min_gap_s": [mn], "max_gap_s": [mx],
+             "sum_s": [sum_s], "sum_sq": [sum_sq]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            track, _GAP_OUT, _GAP_STATE, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from inspectadb_spark.operators.sessionize import sessionize
@@ -1495,3 +1496,40 @@ def test_s30_streaming_misra_gries_heavy_hitters(spark, tmp_path):
     }
     want = {(k, c) for k, c in exact.items() if c * denom >= n}
     assert verified == want and len(want) > 0
+
+
+# S31 streaming gap profile ≡ batch q206 sufficient statistics: the
+# cross-batch last-event state makes the stream's (n, min, max, Σ, Σ²)
+# equal the batch window computation exactly after a time-ordered replay.
+def test_s31_streaming_gap_profile_equals_batch(spark, replay_dir):
+    from inspectadb_spark.streaming.monitor import streaming_gap_profile
+
+    out = streaming_gap_profile(_stream(spark, replay_dir))
+    _drain(out, "s31", mode="update")
+    # update mode emits one row per (user, micro-batch); the final state
+    # per user is the row with the largest n_gaps
+    got = {}
+    for r in spark.table("s31").collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_gaps"] > cur[0]:
+            got[r["user_id"]] = (r["n_gaps"], r["min_gap_s"],
+                                 r["max_gap_s"], r["sum_s"], r["sum_sq"])
+
+    ev = spark.read.parquet(replay_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    batch = (
+        ev.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("gap_us DIV 1000000").alias("gap_s"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.min("gap_s").alias("mn"),
+             F.max("gap_s").alias("mx"), F.sum("gap_s").alias("s"),
+             F.sum(F.col("gap_s") * F.col("gap_s")).alias("sq"))
+    )
+    want = {r["user_id"]: (r["n"], r["mn"], r["mx"], r["s"], r["sq"])
+            for r in batch.collect()}
+    # users with a single event have no gaps: stream emits n_gaps=0 rows,
+    # batch omits them — compare the gap-bearing keys exactly
+    got_gaps = {u: v for u, v in got.items() if v[0] > 0}
+    assert got_gaps == want and len(want) > 0
