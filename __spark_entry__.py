@@ -112,6 +112,7 @@ _TIER2 = [
     "q198_heavy_hitters", "q201_blocklist", "q202_margin_bitext",
     "q203_matryoshka_recall", "q199_bpe_encode", "q204_minhash_calibration",
     "q205_dataset_card", "q206_gap_profile", "q207_mmr_topk",
+    "q208_session_pressure",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

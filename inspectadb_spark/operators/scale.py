@@ -189,3 +189,47 @@ def count_exchanges(df: DataFrame) -> int:
         and "BroadcastExchange" not in line
         and "Reused" not in line
     )
+
+
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Equi-join rewrite of the keyless interval-containment join
+    (``p.ts BETWEEN i.start AND i.end`` with NO shared equi key) — the
+    shape Spark would otherwise plan as BroadcastNestedLoopJoin (fine for
+    small interval sets, catastrophic for millions of intervals).
+
+    Both sides map onto a fixed time grid: each interval explodes to the
+    cells it overlaps, each point keys to its single cell, and the join
+    becomes a plain shuffled equi-join on the cell id with an exact
+    containment post-filter. A matching (point, interval) pair collides
+    in exactly ONE cell — the point's — so the rewrite needs no dedup and
+    is row-identical to the theta join (parity-tested).
+
+    Scale shape (100 TB): cost is one equi-shuffle on the cell key plus
+    interval replication by ceil(span/bin)+1. Pick ``bin_seconds`` near
+    the typical interval span: larger bins cut replication but widen the
+    post-filtered candidate set; both sides of that tradeoff are linear,
+    never quadratic. Skewed hot cells (an interval storm in one hour)
+    compose with salted_join on the cell id.
+    """
+    us = 1_000_000 * bin_seconds
+    pb = points.withColumn(
+        "_cell",
+        F.expr(f"unix_micros(CAST({point_ts} AS TIMESTAMP)) DIV {us}"))
+    ib = intervals.withColumn(
+        "_cell",
+        F.explode(F.sequence(
+            F.expr(f"unix_micros(CAST({start_col} AS TIMESTAMP)) DIV {us}"),
+            F.expr(f"unix_micros(CAST({end_col} AS TIMESTAMP)) DIV {us}"))))
+    return (
+        pb.join(ib, "_cell")
+        .filter((F.col(point_ts) >= F.col(start_col))
+                & (F.col(point_ts) <= F.col(end_col)))
+        .drop("_cell")
+    )

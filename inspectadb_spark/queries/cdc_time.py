@@ -2035,3 +2035,57 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.expr(dec("price"))).cast("double").alias("total"))
         .orderBy("_replica", "o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Q208 session-pressure at purchase time: for each sampled purchase, the
+# number of sessions (any user) whose [start, end] covers the purchase
+# instant. The containment join has NO shared equi key, so it runs through
+# the binned-grid equi-join rewrite (operators/scale.py::
+# binned_interval_join — parity-tested row-identical to the theta join);
+# at 100 TB the theta form is a nested loop, the binned form one shuffle.
+@query(
+    "q208_session_pressure",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM x
+    ), sess AS (
+      SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+      FROM s GROUP BY user_id, session_id
+    ), p AS (
+      SELECT event_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id % 5 = 0
+    )
+    SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM p JOIN sess ON p.ts >= sess.start_ts AND p.ts <= sess.end_ts
+    GROUP BY p.event_id ORDER BY p.event_id
+    """,
+    doc="Concurrent-session count covering each sampled purchase instant — "
+        "a keyless interval-containment join executed as the binned-grid "
+        "equi-join rewrite.",
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import binned_interval_join
+    from inspectadb_spark.operators.sessionize import sessionize
+
+    ev = tables(spark, sf_dir)["events"]
+    sess = (
+        sessionize(ev).groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .select("start_ts", "end_ts")
+    )
+    p = (ev.filter("event_type = 'purchase' AND user_id % 5 = 0")
+         .select("event_id", "ts"))
+    return (
+        binned_interval_join(p, sess, bin_seconds=3600)
+        .groupBy("event_id").agg(F.count("*").alias("n_active"))
+        .orderBy("event_id")
+    )

@@ -351,3 +351,37 @@ def test_lww_merge_winner_row_is_atomic_even_with_nulls(spark):
     got = lww_merge(a, b, ["k"], "v").collect()[0]
     assert got.v == 5 and got.x == 9.0
     assert got.s is None  # the b-row won; its NULL s survives
+
+
+# --- binned interval join -----------------------------------------------------
+def test_binned_interval_join_equals_theta_join(spark):
+    """Row-identical to the naive theta join across bin sizes smaller than,
+    near, and larger than the interval spans (incl. boundary-inclusive
+    endpoints and intervals shorter than one bin)."""
+    import datetime as dt
+
+    from inspectadb_spark.operators.scale import binned_interval_join
+
+    t0 = dt.datetime(2024, 3, 1)
+    ivs = [(i, t0 + dt.timedelta(minutes=7 * i),
+            t0 + dt.timedelta(minutes=7 * i + 11 + (i % 5) * 30))
+           for i in range(40)]
+    pts = [(100 + j, t0 + dt.timedelta(minutes=3 * j + (j % 2)))
+           for j in range(120)]
+    intervals = spark.createDataFrame(
+        ivs, "iv_id long, start_ts timestamp, end_ts timestamp")
+    points = spark.createDataFrame(pts, "p_id long, ts timestamp")
+
+    naive = sorted(
+        (r.p_id, r.iv_id)
+        for r in points.join(
+            intervals,
+            (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") <= F.col("end_ts"))).collect())
+    assert naive  # non-trivial overlap structure
+    for bin_s in (60, 900, 3600, 86400):
+        got = sorted(
+            (r.p_id, r.iv_id)
+            for r in binned_interval_join(
+                points, intervals, bin_seconds=bin_s).collect())
+        assert got == naive, f"bin={bin_s}"
