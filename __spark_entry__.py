@@ -112,7 +112,8 @@ _TIER2 = [
     "q198_heavy_hitters", "q201_blocklist", "q202_margin_bitext",
     "q203_matryoshka_recall", "q199_bpe_encode", "q204_minhash_calibration",
     "q205_dataset_card", "q206_gap_profile", "q207_mmr_topk",
-    "q208_session_pressure",
+    "q208_session_pressure", "q209_dow_seasonality", "q210_ltv_curves",
+    "q211_reconciliation",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -2089,3 +2089,117 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id").agg(F.count("*").alias("n_active"))
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q209 day-of-week seasonality index: revenue share per ISO weekday vs the
+# uniform 1/7 baseline, in exact integer cents/ppm. BIGINT headroom:
+# cents*7e6 overflows past ~1.3e12 total dollars — promote the two ppm
+# products to DECIMAL(38,0) beyond that (the q176 single-term upgrade).
+@query(
+    "q209_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT isodow(o_orderdate) AS dow,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM d)
+    SELECT CAST(dow AS INT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           SUM(cents) * 1000000 // tot AS share_ppm,
+           SUM(cents) * 7000000 // tot AS index_ppm
+    FROM d CROSS JOIN t GROUP BY dow, tot ORDER BY dow
+    """,
+    doc="Revenue seasonality by ISO weekday: share of total and the "
+        "x7 seasonal index (1e6 = flat), exact integer cents end to end.",
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    d = o.select(
+        F.expr("((dayofweek(o_orderdate) + 5) % 7) + 1").cast("int")
+        .alias("dow"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    t = d.agg(F.sum("cents").alias("tot"))
+    return (
+        d.join(F.broadcast(t))
+        .groupBy("dow", "tot")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("cents").alias("revenue_cents"))
+        .select("dow", "n_orders", "revenue_cents",
+                F.expr("revenue_cents * 1000000 DIV tot").alias("share_ppm"),
+                F.expr("revenue_cents * 7000000 DIV tot").alias("index_ppm"))
+        .orderBy("dow")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q210 cohort LTV curves: cumulative revenue per signup-cohort user by week
+# offset — the complement of q78's retention matrix (q78 counts activity,
+# this accumulates value). Exact integer cents; cumulative window runs over
+# the (cohort × offset) grid (span-sized), never raw orders.
+@query(
+    "q210_ltv_curves",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('week', MIN(o_orderdate)) AS TIMESTAMP)
+               AS cohort_week
+      FROM orders GROUP BY o_custkey),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', o.o_orderdate)) / 7 AS INT)
+               AS week_offset,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey),
+    po AS (
+      SELECT cohort_week, week_offset,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM rev GROUP BY cohort_week, week_offset),
+    sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+           FROM firsts GROUP BY cohort_week)
+    SELECT po.cohort_week, week_offset, n_cohort, rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY po.cohort_week
+                 ORDER BY week_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY po.cohort_week
+                 ORDER BY week_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) // n_cohort AS ltv_cents_per_user
+    FROM po JOIN sz ON po.cohort_week = sz.cohort_week
+    ORDER BY po.cohort_week, week_offset
+    """,
+    doc="Cumulative revenue per cohort user by week offset (LTV curves): "
+        "first-order-week cohorts, exact integer cents, cumulative window "
+        "over the cohort-offset grid.",
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = tables(spark, sf_dir)["orders"]
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("week", F.min("o_orderdate")).alias("cohort_week"))
+    rev = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "cohort_week",
+            (F.datediff(F.date_trunc("week", F.col("o_orderdate")),
+                        F.col("cohort_week")) / 7).cast("int")
+            .alias("week_offset"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            .alias("cents"))
+    )
+    po = rev.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").alias("rev_cents"))
+    sz = firsts.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    w = (Window.partitionBy("cohort_week").orderBy("week_offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        po.join(sz, "cohort_week")
+        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .select("cohort_week", "week_offset", "n_cohort", "rev_cents",
+                "cum_cents",
+                F.expr("cum_cents DIV n_cohort").alias("ltv_cents_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -957,3 +957,63 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables(spark, sf_dir)["embeddings"]
     return pca_project(e, k=2, dims=16).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Q211 financial reconciliation audit: per order, the recomputed line total
+# Σ round(extendedprice·(1−discount)·(1+tax)) in cents against the stored
+# o_totalprice — the cross-table NUMERIC consistency check that q54b's
+# referential audit does not cover. Per-status report keeps the output
+# bounded; the per-order diff table is the drill-down (same plan minus the
+# rollup). One fact-fact equi-join on the order key (bucketing both tables
+# on o_orderkey makes it exchange-free at rest).
+@query(
+    "q211_reconciliation",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT))
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o.o_orderstatus,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+             COALESCE(l.line_cents, 0) AS line_cents
+      FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN order_cents <> line_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(MAX(ABS(order_cents - line_cents)) AS BIGINT)
+             AS max_abs_diff_cents,
+           CAST(SUM(order_cents - line_cents) AS BIGINT)
+             AS net_diff_cents
+    FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Order-vs-lineitem monetary reconciliation per status: mismatch "
+        "counts, max absolute and net drift in exact integer cents — the "
+        "replication/ETL financial consistency audit.",
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    l = t["lineitem"].groupBy("l_orderkey").agg(
+        F.expr("CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)"
+               " * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)")
+        .alias("line_cents"))
+    j = (t["orders"].join(l, F.col("l_orderkey") == F.col("o_orderkey"),
+                          "left")
+         .select("o_orderstatus",
+                 F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+                 .alias("order_cents"),
+                 F.coalesce("line_cents", F.lit(0)).alias("line_cents")))
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.when(F.col("order_cents") != F.col("line_cents"), 1)
+                   .otherwise(0)).alias("n_mismatched"),
+             F.max(F.abs(F.col("order_cents") - F.col("line_cents")))
+             .alias("max_abs_diff_cents"),
+             F.sum(F.col("order_cents") - F.col("line_cents"))
+             .alias("net_diff_cents"))
+        .orderBy("o_orderstatus")
+    )
