@@ -113,7 +113,7 @@ _TIER2 = [
     "q203_matryoshka_recall", "q199_bpe_encode", "q204_minhash_calibration",
     "q205_dataset_card", "q206_gap_profile", "q207_mmr_topk",
     "q208_session_pressure", "q209_dow_seasonality", "q210_ltv_curves",
-    "q211_reconciliation",
+    "q211_reconciliation", "q213_seasonal_backtest", "q214_lorenz_deciles",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

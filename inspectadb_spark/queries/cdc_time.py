@@ -2203,3 +2203,131 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("cum_cents DIV n_cohort").alias("ltv_cents_per_user"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Q213 seasonal-naive forecast backtest: predict each day's revenue with
+# the prior day (naive1) and the same weekday last week (naive7), score
+# MAE and bias in exact integer cents. The lag is a calendar-correct self
+# equi-join on date arithmetic (gap-proof, unlike a row-offset window);
+# the series is day-sized, so every step after the daily rollup is
+# span-bounded at any corpus scale.
+@query(
+    "q213_seasonal_backtest",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT 'naive1' AS model, a.cents AS actual, b.cents AS forecast
+      FROM d a JOIN d b ON b.day = a.day - INTERVAL 1 DAY
+      UNION ALL
+      SELECT 'naive7' AS model, a.cents AS actual, b.cents AS forecast
+      FROM d a JOIN d b ON b.day = a.day - INTERVAL 7 DAY)
+    SELECT model, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(actual - forecast)) AS BIGINT) // COUNT(*)
+             AS mae_cents,
+           CAST(SUM(actual - forecast) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+             AS bias_cents
+    FROM j GROUP BY model ORDER BY model
+    """,
+    doc="Backtest of naive1/naive7 revenue forecasts: calendar-correct "
+        "lag join over the daily series, MAE and bias in exact integer "
+        "cents (floor DIV on both engines).",
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    d = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+                 " AS BIGINT)").alias("cents"))
+
+    def lag_join(days: int, model: str) -> DataFrame:
+        a = d.select(F.col("day").alias("a_day"), F.col("cents").alias("actual"))
+        b = d.select(F.col("day").alias("b_day"), F.col("cents").alias("forecast"))
+        return (a.join(b, F.col("b_day")
+                       == F.col("a_day") - F.expr(f"INTERVAL {days} DAY"))
+                .select(F.lit(model).alias("model"), "actual", "forecast"))
+
+    j = lag_join(1, "naive1").unionByName(lag_join(7, "naive7"))
+    return (
+        j.groupBy("model")
+        .agg(F.count("*").alias("n_days"),
+             F.sum(F.abs(F.col("actual") - F.col("forecast"))).alias("sae"),
+             F.sum(F.col("actual") - F.col("forecast")).alias("se"))
+        .select("model", "n_days",
+                F.expr("sae DIV n_days").alias("mae_cents"),
+                F.expr("se DIV n_days").alias("bias_cents"))
+        .orderBy("model")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q214 revenue-concentration (Lorenz) deciles: customers ranked by revenue
+# into exact row-number deciles; per decile the revenue share and the
+# cumulative share — the decile table behind q175's single Gini number.
+# Ranking ties are broken by customer id, so decile membership is
+# engine-invariant; all shares are integer ppm. The global rank runs
+# through operators/scale.py::global_rank (bucket offsets + per-bucket
+# windows — parity-pinned bit-identical to the single-partition global
+# window the oracle uses), so no full-table single-task sort exists; the
+# only unpartitioned windows left are over the bucket table and the
+# 10-row decile grid, both bounded by construction.
+@query(
+    "q214_lorenz_deciles",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT cents,
+             (ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1) * 10
+               // (SELECT COUNT(*) FROM c) AS decile
+      FROM c),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM c),
+    d AS (
+      SELECT CAST(decile AS INT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM r GROUP BY decile)
+    SELECT decile, n_customers, cents,
+           cents * 1000000 // tot AS share_ppm,
+           CAST(SUM(cents) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) * 1000000 // tot AS cum_share_ppm
+    FROM d CROSS JOIN t ORDER BY decile
+    """,
+    doc="Lorenz decile table of customer revenue concentration: per "
+        "bottom-up decile the revenue share and cumulative share in ppm "
+        "(exact row-number deciles, id-tie-broken).",
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from inspectadb_spark.operators.scale import global_rank
+
+    o = tables(spark, sf_dir)["orders"]
+    c = o.groupBy("o_custkey").agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+               " AS BIGINT)").alias("cents"))
+    n = c.agg(F.count("*").alias("n_c"), F.sum("cents").alias("tot"))
+    ranked = global_rank(c, "cents", "o_custkey", bucket_width=100_000)
+    r = (ranked.join(F.broadcast(n))
+         .select("cents", "tot",
+                 F.expr("(rank - 1) * 10 DIV n_c").cast("int")
+                 .alias("decile")))
+    d = r.groupBy("decile", "tot").agg(
+        F.count("*").alias("n_customers"), F.sum("cents").alias("cents"))
+    w = (Window.orderBy("decile")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        d.withColumn("cum", F.sum("cents").over(w))
+        .select("decile", "n_customers", "cents",
+                F.expr("cents * 1000000 DIV tot").alias("share_ppm"),
+                F.expr("cum * 1000000 DIV tot").alias("cum_share_ppm"))
+        .orderBy("decile")
+    )

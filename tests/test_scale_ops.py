@@ -385,3 +385,24 @@ def test_binned_interval_join_equals_theta_join(spark):
             for r in binned_interval_join(
                 points, intervals, bin_seconds=bin_s).collect())
         assert got == naive, f"bin={bin_s}"
+
+
+def test_global_rank_equals_global_window(spark):
+    """Bit-identical to ROW_NUMBER() OVER (ORDER BY value, id) across
+    bucket widths, including heavy ties and negative values."""
+    from pyspark.sql import Window
+
+    from inspectadb_spark.operators.scale import global_rank
+
+    rows = [(i, (i * 37) % 100 - 50) for i in range(500)]
+    rows += [(1000 + j, 7) for j in range(40)]  # heavy tie block
+    df = spark.createDataFrame(rows, "id long, v long").repartition(13)
+    want = {
+        (r.id, r.rank)
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("v", "id"))).collect()
+    }
+    for width in (1, 10, 1000, 10**9):
+        got = {(r.id, r.rank)
+               for r in global_rank(df, "v", "id", bucket_width=width).collect()}
+        assert got == want, f"width={width}"
