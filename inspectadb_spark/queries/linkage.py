@@ -217,3 +217,77 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["part"], t["lineitem"]["l_partkey"] == t["part"]["p_partkey"]
     ).select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
     return cooccurrence_pairs(items, "ok", "brand", top_k=20)
+
+
+# --------------------------------------------------------------------------
+# Q216 association rules from the q154 support table: for each directed
+# rule item1 → item2 the support, confidence = P(2|1), and
+# lift = P(1,2)/(P(1)·P(2)), all integer ppm — the decision layer on top
+# of raw co-occurrence counts. Everything after the per-basket distinct
+# runs on |items| and |pairs|-sized tables (broadcast item counts).
+# Arithmetic is BIGINT end to end (pair_n·N·1e6 overflows only past
+# ~9e18, i.e. pair_n·N > 9e12 — beyond that promote the lift product to
+# DECIMAL(38,0) ON BOTH ENGINES CAREFULLY: DuckDB silently widens an
+# over-38-digit decimal product to DOUBLE, which cost this query an
+# off-by-one ppm in development; both engines raise on BIGINT overflow,
+# the honest failure mode).
+@query(
+    "q216_association_rules",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM base),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM base
+           GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item1, b.item AS item2,
+             CAST(COUNT(*) AS BIGINT) AS pair_n
+      FROM base a JOIN base b ON a.basket = b.basket AND a.item <> b.item
+      GROUP BY a.item, b.item)
+    SELECT item1, item2, pair_n,
+           pair_n * 1000000 // c1.c AS confidence_ppm,
+           pair_n * nb.n * 1000000 // (c1.c * c2.c) AS lift_ppm
+    FROM pairs
+    JOIN ic c1 ON c1.item = pairs.item1
+    JOIN ic c2 ON c2.item = pairs.item2
+    CROSS JOIN nb
+    WHERE pair_n >= 5
+    ORDER BY lift_ppm DESC, item1, item2 LIMIT 30
+    """,
+    doc="Directed association rules (support/confidence/lift in ppm) over "
+        "co-purchased brands — the ranking layer on q154's support table; "
+        "decimal-exact lift with BIGINT-overflow headroom.",
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    base = (t["lineitem"].join(
+        t["part"], t["lineitem"]["l_partkey"] == t["part"]["p_partkey"])
+        .select(F.col("l_orderkey").alias("basket"),
+                F.col("p_brand").alias("item")).distinct())
+    nb = base.agg(F.countDistinct("basket").alias("n"))
+    ic = base.groupBy("item").agg(F.count("*").alias("c"))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.basket") == F.col("b.basket"))
+               & (F.col("a.item") != F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item1"),
+                 F.col("b.item").alias("item2"))
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 5)
+    )
+    return (
+        pairs
+        .join(F.broadcast(ic.select(F.col("item").alias("item1"),
+                                    F.col("c").alias("c1"))), "item1")
+        .join(F.broadcast(ic.select(F.col("item").alias("item2"),
+                                    F.col("c").alias("c2"))), "item2")
+        .join(F.broadcast(nb))
+        .select(
+            "item1", "item2", "pair_n",
+            F.expr("pair_n * 1000000 DIV c1").alias("confidence_ppm"),
+            F.expr("pair_n * n * 1000000 DIV (c1 * c2)")
+            .alias("lift_ppm"))
+        .orderBy(F.desc("lift_ppm"), "item1", "item2").limit(30)
+    )

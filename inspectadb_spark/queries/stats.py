@@ -1725,3 +1725,58 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,0)").alias("var_num"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q215 weighted median per group: the smallest price whose cumulative
+# quantity-weight reaches half the group total. Weights are pre-aggregated
+# per distinct price, so the cumulative window runs over the (group, price)
+# domain and the crossing PRICE is tie-order-invariant by construction
+# (equal prices collapse to one row before the cumsum) — no row-level tie
+# rule needed, exact integer cents/weights end to end.
+@query(
+    "q215_weighted_median",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS w
+      FROM lineitem),
+    g AS (SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
+          FROM x GROUP BY flag, cents),
+    c AS (
+      SELECT flag, cents,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM g)
+    SELECT flag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM c WHERE cw * 2 >= tw GROUP BY flag ORDER BY flag
+    """,
+    doc="Quantity-weighted median extended price per return flag: "
+        "per-price weight pre-aggregation, one partitioned cumulative "
+        "window, exact integer crossing rule (2·cum >= total).",
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables(spark, sf_dir)["lineitem"]
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("w"))
+    g = x.groupBy("flag", "cents").agg(F.sum("w").alias("w"))
+    wc = (Window.partitionBy("flag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("flag")
+    c = g.select(
+        "flag", "cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"))
+    return (
+        c.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("cents").alias("wmedian_cents"),
+             F.min("tw").alias("total_weight"))
+        .orderBy("flag")
+    )
