@@ -114,7 +114,7 @@ _TIER2 = [
     "q205_dataset_card", "q206_gap_profile", "q207_mmr_topk",
     "q208_session_pressure", "q209_dow_seasonality", "q210_ltv_curves",
     "q211_reconciliation", "q213_seasonal_backtest", "q214_lorenz_deciles",
-    "q215_weighted_median", "q216_association_rules",
+    "q215_weighted_median", "q216_association_rules", "q217_dau_wau",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

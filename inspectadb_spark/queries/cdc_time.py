@@ -2331,3 +2331,57 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("cum * 1000000 DIV tot").alias("cum_share_ppm"))
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Q217 DAU/WAU stickiness: daily actives and trailing-7-day actives per
+# day, ratio in ppm. The trailing distinct cannot roll up from daily
+# distincts (same reason as q84's HLL rollups), so it expands the
+# (user, day) table across the 7 covering days — a deliberate bounded
+# ×7 fan-out of the DEDUPLICATED user-day table (events collapse first),
+# then one (day, user) distinct + count. Days without full history are
+# excluded via the min-day guard.
+@query(
+    "q217_dau_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    fan AS (
+      SELECT user_id, day + to_days(CAST(o AS INT)) AS obs_day
+      FROM ud, UNNEST(generate_series(0, 6)) AS t(o)),
+    wau AS (
+      SELECT obs_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM fan GROUP BY obs_day)
+    SELECT d.day, d.dau, w.wau, d.dau * 1000000 // w.wau AS stickiness_ppm
+    FROM dau d JOIN wau w ON w.day = d.day CROSS JOIN bounds
+    WHERE d.day >= d0 + to_days(6) AND d.day <= d1
+    ORDER BY d.day
+    """,
+    doc="DAU, trailing-7-day WAU and DAU/WAU stickiness (ppm) per day "
+        "with full history — the x7 fan-out runs on the deduplicated "
+        "user-day table, never raw events.",
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    ud = ev.select("user_id",
+                   F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        F.col("day"),
+    ).select("user_id", F.expr("day + make_interval(0, 0, 0, o)").alias("day"))
+    wau = fan.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day").join(F.broadcast(bounds))
+        .filter((F.col("day") >= F.expr("d0 + make_interval(0, 0, 0, 6)"))
+                & (F.col("day") <= F.col("d1")))
+        .select("day", "dau", "wau",
+                F.expr("dau * 1000000 DIV wau").alias("stickiness_ppm"))
+        .orderBy("day")
+    )

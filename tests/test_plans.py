@@ -517,3 +517,28 @@ def test_round4d_frequency_family_plan_shapes(spark):
     plan = _plan(spark, "q204_minhash_calibration")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round4e_analytics_plan_shapes(spark):
+    """q208-q217: no cartesian products; the binned interval join is an
+    equi-join on the cell key; q214 contains a PARTITIONED window for the
+    within-bucket rank (the global-window single-task sort must not come
+    back); q216 broadcasts the item-count sides."""
+    for q in ("q208_session_pressure", "q209_dow_seasonality",
+              "q210_ltv_curves", "q211_reconciliation",
+              "q213_seasonal_backtest", "q214_lorenz_deciles",
+              "q215_weighted_median", "q216_association_rules",
+              "q217_dau_wau"):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+
+    # q208: containment is a post-filter on an equi-join, never the join
+    # condition of a nested loop over the fact side
+    plan = _plan(spark, "q208_session_pressure")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # q214: the rank window is partitioned by the rank bucket
+    plan = _plan(spark, "q214_lorenz_deciles")
+    assert "_bkt" in plan
+
+    assert "BroadcastHashJoin" in _plan(spark, "q216_association_rules")
