@@ -2385,3 +2385,48 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("dau * 1000000 DIV wau").alias("stickiness_ppm"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Q218 churn-label generation: the supervised-learning label table for a
+# retention model — per first-seen-week cohort, users whose LAST activity
+# is 14+ days before the corpus horizon are labeled churned. One per-user
+# aggregation + a broadcast horizon; label logic is pure timestamp
+# arithmetic, rates in integer ppm.
+@query(
+    "q218_churn_labels",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id),
+    m AS (SELECT MAX(ts) AS horizon FROM events)
+    SELECT CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN last_ts <= horizon - INTERVAL 14 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           SUM(CASE WHEN last_ts <= horizon - INTERVAL 14 DAY
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS churn_ppm
+    FROM u CROSS JOIN m
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Churn labels per signup cohort: users inactive for 14+ days at "
+        "the corpus horizon, counts and rate in ppm — the label table a "
+        "retention model trains on.",
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    m = ev.agg(F.max("ts").alias("horizon"))
+    churned = F.when(
+        F.col("last_ts") <= F.expr("horizon - INTERVAL 14 DAY"), 1
+    ).otherwise(0)
+    return (
+        u.join(F.broadcast(m))
+        .groupBy(F.date_trunc("week", F.col("first_ts")).alias("cohort_week"))
+        .agg(F.count("*").alias("n_users"),
+             F.sum(churned).alias("n_churned"))
+        .select("cohort_week", "n_users", "n_churned",
+                F.expr("n_churned * 1000000 DIV n_users").alias("churn_ppm"))
+        .orderBy("cohort_week")
+    )

@@ -1533,3 +1533,48 @@ def test_s31_streaming_gap_profile_equals_batch(spark, replay_dir):
     # batch omits them — compare the gap-bearing keys exactly
     got_gaps = {u: v for u, v in got.items() if v[0] > 0}
     assert got_gaps == want and len(want) > 0
+
+
+# S32 live DAU/WAU dashboard from incremental state: the "set" aggregate
+# kind maintains exact per-day distinct-user sets over the stream; after
+# the drain, q217's DAU/WAU/stickiness arithmetic applied to the STATE
+# table equals the batch computation byte-for-byte. Trailing distincts
+# can't roll up from daily counts — but they CAN from daily sets, which
+# is exactly what the incremental table stores.
+def test_s32_incremental_dau_wau_equals_batch(spark, replay_dir, tmp_path):
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    day_expr = "CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)"
+    agg = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"day": day_expr},
+        measures=[("users", "set", "user_id")])
+    q = agg.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = agg.table()  # (day, users: sorted array)
+
+    def dashboard(ud):
+        dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+        fan = ud.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "day",
+        ).select("user_id",
+                 F.expr("day + make_interval(0, 0, 0, o)").alias("day"))
+        wau = fan.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+        bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        return _rows(
+            dau.join(wau, "day").join(F.broadcast(bounds))
+            .filter((F.col("day") >= F.expr("d0 + make_interval(0, 0, 0, 6)"))
+                    & (F.col("day") <= F.col("d1")))
+            .select("day", "dau", "wau",
+                    F.expr("dau * 1000000 DIV wau").alias("stick")))
+
+    live = dashboard(
+        state.select("day", F.explode("users").alias("user_id")))
+    batch = dashboard(
+        spark.read.parquet(replay_dir)
+        .select(F.expr(day_expr).alias("day"), "user_id").distinct())
+    assert live == batch and len(live) > 0
