@@ -115,7 +115,7 @@ _TIER2 = [
     "q208_session_pressure", "q209_dow_seasonality", "q210_ltv_curves",
     "q211_reconciliation", "q213_seasonal_backtest", "q214_lorenz_deciles",
     "q215_weighted_median", "q216_association_rules", "q217_dau_wau",
-    "q218_churn_labels",
+    "q218_churn_labels", "q219_simhash_calibration",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -585,3 +585,89 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return mmr_topk(tables(spark, sf_dir)["embeddings"],
                     k=5, pool=30, lam_ppm=700_000)
+
+
+# --------------------------------------------------------------------------
+# Q219 SimHash calibration audit: q204's companion for the OTHER sketch —
+# over a deterministic sample of same-lang doc pairs, the 16-bit SimHash
+# hamming distance next to the exact token-set Jaccard (ppm). This is the
+# table that picks the hamming radius for a simhash dedup pass. NB: the
+# DuckDB '^' operator is POWER, not xor — the oracle uses xor(a, b).
+@query(
+    "q219_simhash_calibration",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.lang = b.lang AND a.tok = b.tok
+        AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 25 = 0
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    alltok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+               FROM documents),
+    js AS (SELECT UNNEST(generate_series(0, 15)) AS j),
+    v AS (
+      SELECT doc_id, j,
+             CASE WHEN SUBSTR(md5(tok), j + 1, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END AS v
+      FROM alltok CROSS JOIN js),
+    b AS (SELECT doc_id, j, CASE WHEN SUM(v) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM v GROUP BY doc_id, j),
+    fp AS (SELECT doc_id,
+                  CAST(SUM(bit * CAST(POWER(2, j) AS BIGINT)) AS BIGINT)
+                    AS sim16
+           FROM b GROUP BY doc_id)
+    SELECT i.d1, i.d2,
+           CAST(i.i * 1000000 // (s1.sz + s2.sz - i.i) AS BIGINT)
+             AS jac_ppm,
+           CAST(bit_count(xor(f1.sim16, f2.sim16)) AS BIGINT) AS hamming
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.d1
+    JOIN sizes s2 ON s2.doc_id = i.d2
+    JOIN fp f1 ON f1.doc_id = i.d1
+    JOIN fp f2 ON f2.doc_id = i.d2
+    ORDER BY i.d1, i.d2
+    """,
+    doc="SimHash-vs-exact calibration: per sampled same-lang pair the "
+        "16-bit hamming distance and the exact token Jaccard (ppm) — "
+        "picks the hamming radius before a simhash dedup pass.",
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    tok = (d.select(F.col("doc_id"), F.col("lang"),
+                    F.explode(F.split("text", " ")).alias("tok"))
+           .distinct())
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(F.col("a.doc_id") % 25 == 0)
+        .groupBy(F.col("a.doc_id").alias("d1"),
+                 F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i")).filter(F.col("i") >= 5)
+    )
+    fp = simhash(d)
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("d1"),
+                           F.col("sz").alias("s1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("sz").alias("s2")), "d2")
+        .join(fp.select(F.col("doc_id").alias("d1"),
+                        F.col("sim16").alias("f1")), "d1")
+        .join(fp.select(F.col("doc_id").alias("d2"),
+                        F.col("sim16").alias("f2")), "d2")
+        .select("d1", "d2",
+                F.expr("CAST(i * 1000000 DIV (s1 + s2 - i) AS BIGINT)")
+                .alias("jac_ppm"),
+                F.expr("CAST(bit_count(f1 ^ f2) AS BIGINT)")
+                .alias("hamming"))
+        .orderBy("d1", "d2")
+    )
