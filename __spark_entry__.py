@@ -116,6 +116,7 @@ _TIER2 = [
     "q211_reconciliation", "q213_seasonal_backtest", "q214_lorenz_deciles",
     "q215_weighted_median", "q216_association_rules", "q217_dau_wau",
     "q218_churn_labels", "q219_simhash_calibration",
+    "q220_compression_ratio", "q221_quality_rules",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

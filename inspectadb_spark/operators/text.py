@@ -695,3 +695,87 @@ def blocklist_matches_automaton(
         .mapInPandas(scan, f"{id_col} long, pat string, n_occ long")
         .orderBy(id_col, "pat")
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-doc deflate compression ratio in ppm — the classic cheap
+    repetitiveness signal (boilerplate and template spam compress far
+    better than natural text; quality-filter stacks threshold on it).
+
+    zlib at a FIXED level is deterministic for a given library build, but
+    it is not an engine-portable function, so this ships as an
+    Arrow-batched pandas UDF and its queries are rows-only; the pure
+    relational repetition signals (q66 repeated n-grams, q129
+    boilerplate) remain the oracle-class alternatives. Scan-side
+    projection: zero shuffle at any scale.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: lambda form — `from __future__ import annotations` makes hints
+    # strings, and a locally-imported pd can't be resolved by pandas_udf
+    def _comp(s):
+        import zlib
+
+        return s.map(lambda t: len(zlib.compress(t.encode("utf-8"), level))
+                     if t is not None else None)
+
+    comp_len = pandas_udf(lambda s: _comp(s), "long")
+
+    out = docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        comp_len(F.col(text_col)).alias("n_compressed"),
+    )
+    return out.withColumn(
+        "ratio_ppm",
+        F.expr("CASE WHEN n_chars > 0 THEN n_compressed * 1000000"
+               " DIV n_chars ELSE NULL END"))
+
+
+def quality_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in",
+                                 "is", "data"),
+) -> DataFrame:
+    """Gopher-style quality-rule bitmask per document — each bit is one
+    failed rule, all expressible as codegen projections (one scan, no
+    shuffle, no Python):
+
+      bit 1: fewer than 10 whitespace tokens
+      bit 2: mean token length outside [3, 10] characters
+      bit 4: fewer than 2 stopword hits
+      bit 8: most frequent token exceeds 20% of tokens (repetition)
+      bit 16: distinct-token ratio below 30% (template spam)
+
+    Returns (id, n_tok, rule_mask); rule_mask = 0 is a pass. Thresholds
+    follow the published Gopher/C4 heuristics adapted to the whitespace
+    tokenizer; integer arithmetic only.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    # total chars across tokens = len(text) - (n_tok - 1) separators;
+    # mean-length bounds are cross-multiplied so the rule is pure-integer
+    tok_chars = F.length(text_col) - (n_tok - 1)
+    top_tok = F.array_max(
+        F.transform(F.array_distinct(toks),
+                    lambda t: F.size(F.filter(toks, lambda x: x == t))))
+    n_distinct = F.size(F.array_distinct(toks))
+    mask = (
+        F.when(n_tok < 10, 1).otherwise(0)
+        + F.when((tok_chars * 10 < 30 * n_tok)
+                 | (tok_chars * 10 > 100 * n_tok), 2).otherwise(0)
+        + F.when(n_stop < 2, 4).otherwise(0)
+        + F.when(top_tok * 5 > n_tok, 8).otherwise(0)
+        + F.when(n_distinct * 10 < n_tok * 3, 16).otherwise(0)
+    )
+    return docs.select(F.col(id_col), n_tok.alias("n_tok"),
+                       mask.cast("int").alias("rule_mask"))

@@ -671,3 +671,93 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("hamming"))
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# Q220 compression-ratio quality signal: per-source distribution of the
+# per-doc deflate ratio — rows-only (zlib is deterministic per library
+# build but not engine-portable); the relational repetition signals
+# (q66/q129) are the oracle-class alternatives.
+@query(
+    "q220_compression_ratio",
+    oracle=None,
+    doc="Per-source deflate compression-ratio profile (min/median-ish via "
+        "avg/max in ppm): the Gopher-stack repetitiveness signal; "
+        "Arrow-batched pandas UDF, scan-side.",
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import compression_ratio
+
+    d = tables(spark, sf_dir)["documents"]
+    cr = compression_ratio(d).join(d.select("doc_id", "source"), "doc_id")
+    return (
+        cr.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("ratio_ppm").alias("min_ppm"),
+             F.expr("CAST(SUM(ratio_ppm) DIV COUNT(*) AS BIGINT)")
+             .alias("mean_ppm"),
+             F.max("ratio_ppm").alias("max_ppm"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q221 quality-rule report: Gopher/C4-style heuristic rules as a per-doc
+# bitmask (operators/text.py::quality_rules, pure codegen), aggregated to
+# per-rule failure counts plus the overall pass rate — the go/no-go
+# dashboard of a corpus-filtering run. Integer arithmetic end to end.
+@query(
+    "q221_quality_rules",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w, length(text) AS lc
+      FROM documents),
+    f AS (
+      SELECT doc_id, len(w) AS n_tok,
+             lc - (len(w) - 1) AS tok_chars,
+             len(list_filter(w, t -> t IN ('the','a','of','and','to',
+                                           'in','is','data'))) AS n_stop,
+             (SELECT MAX(c) FROM (
+                SELECT COUNT(*) AS c FROM UNNEST(w) AS u(t) GROUP BY t) g)
+               AS top_tok,
+             len(list_distinct(w)) AS n_distinct
+      FROM d),
+    m AS (
+      SELECT doc_id, n_tok,
+             (CASE WHEN n_tok < 10 THEN 1 ELSE 0 END
+              + CASE WHEN tok_chars * 10 < 30 * n_tok
+                       OR tok_chars * 10 > 100 * n_tok THEN 2 ELSE 0 END
+              + CASE WHEN n_stop < 2 THEN 4 ELSE 0 END
+              + CASE WHEN top_tok * 5 > n_tok THEN 8 ELSE 0 END
+              + CASE WHEN n_distinct * 10 < n_tok * 3 THEN 16 ELSE 0 END)
+               AS rule_mask
+      FROM f),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM m)
+    SELECT r.rule, CAST(SUM(CASE WHEN m.rule_mask & r.rule <> 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+           SUM(CASE WHEN m.rule_mask = 0 THEN 1 ELSE 0 END) * 1000000
+             // MAX(t.n_docs) AS pass_ppm
+    FROM m CROSS JOIN t
+    CROSS JOIN (SELECT UNNEST([1, 2, 4, 8, 16]) AS rule) r
+    GROUP BY r.rule ORDER BY r.rule
+    """,
+    doc="Per-rule failure counts + overall pass rate (ppm) of the "
+        "Gopher-style quality bitmask — the corpus-filtering dashboard.",
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import quality_rules
+
+    d = tables(spark, sf_dir)["documents"]
+    m = quality_rules(d)
+    t = m.agg(F.count("*").alias("n_docs"))
+    rules = spark.createDataFrame([(1,), (2,), (4,), (8,), (16,)],
+                                  "rule int")
+    return (
+        m.join(F.broadcast(t)).join(F.broadcast(rules))
+        .groupBy("rule")
+        .agg(F.sum(F.when(F.expr("rule_mask & rule") != 0, 1).otherwise(0))
+             .alias("n_failed"),
+             F.expr("SUM(CASE WHEN rule_mask = 0 THEN 1 ELSE 0 END)"
+                    " * 1000000 DIV MAX(n_docs)").alias("pass_ppm"))
+        .orderBy("rule")
+    )

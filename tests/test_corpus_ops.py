@@ -558,3 +558,35 @@ def test_mmr_suppresses_planted_duplicate(spark):
     picked = [r.c_id for r in out]
     assert picked[0] in (20, 21)          # rank 1: most relevant (tie->20)
     assert picked[1] not in (20, 21)      # rank 2: the duplicate is skipped
+
+
+# --- quality rules & compression ratio ---------------------------------------
+def test_quality_rules_bitmask_hand_cases(spark):
+    from inspectadb_spark.operators.text import quality_rules
+
+    docs = spark.createDataFrame([
+        # 12 clean tokens incl. 2 stopwords, mean len in range -> pass
+        (1, "the data scan runs well over wide nodes with fast sort keys"),
+        (2, "tiny doc"),                       # <10 tokens -> bit 1 (+stop 4)
+        (3, " ".join(["spam"] * 40)),          # dominance+distinct+stop bits
+        (4, " ".join(["ab"] * 5 + ["x"] * 7)), # mean len < 3 -> bit 2
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.rule_mask for r in quality_rules(docs).collect()}
+    assert got[1] == 0
+    assert got[2] & 1
+    assert got[3] & 8 and got[3] & 16 and got[3] & 4
+    assert got[4] & 2
+
+
+def test_compression_ratio_flags_repetition_and_nulls(spark):
+    from inspectadb_spark.operators.text import compression_ratio
+
+    d = spark.createDataFrame(
+        [(1, "spam " * 300), (2, " ".join(f"t{i*13%997}" for i in range(300))),
+         (3, None), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.ratio_ppm, r.n_compressed)
+           for r in compression_ratio(d).collect()}
+    assert out[1][0] < out[2][0]          # boilerplate compresses better
+    assert out[3] == (None, None)         # NULL text -> NULL, not error
+    assert out[4][0] is None              # empty text -> NULL ratio
