@@ -117,6 +117,7 @@ _TIER2 = [
     "q215_weighted_median", "q216_association_rules", "q217_dau_wau",
     "q218_churn_labels", "q219_simhash_calibration",
     "q220_compression_ratio", "q221_quality_rules",
+    "q222_dedup_impact", "q223_dup_cluster_histogram",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

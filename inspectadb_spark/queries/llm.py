@@ -761,3 +761,130 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " * 1000000 DIV MAX(n_docs)").alias("pass_ppm"))
         .orderBy("rule")
     )
+
+
+# --------------------------------------------------------------------------
+# Q222 dedup impact report: per source, corpus mass before/after
+# fingerprint-level dedup (docs + whitespace tokens) and the reduction in
+# ppm — the "what did dedup buy us" table every curation run records.
+# The cluster key is the q45e winnowing fingerprint (min md5 over 8-char
+# grams), which groups near-identical docs where exact md5 finds none on
+# this corpus (verified: zero exact-text dups — an md5-keyed report is
+# truthfully all-zero). Survivor = min doc_id per (source, fp) group;
+# sub-8-char docs fall back to md5(text) singletons.
+@query(
+    "q222_dedup_impact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, MIN(md5(substr(text, i, 8))) AS fp
+      FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+      WHERE length(text) >= 8 GROUP BY doc_id),
+    d AS (
+      SELECT d.source, d.doc_id, COALESCE(fp.fp, md5(d.text)) AS h,
+             len(string_split(d.text, ' ')) AS n_tok
+      FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id),
+    surv AS (
+      SELECT source, h, MIN(doc_id) AS keep FROM d GROUP BY source, h),
+    j AS (
+      SELECT d.source, d.n_tok,
+             CASE WHEN s.keep = d.doc_id THEN 1 ELSE 0 END AS kept
+      FROM d JOIN surv s ON s.source = d.source AND s.h = d.h)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(SUM(kept) AS BIGINT) AS docs_after,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+           CAST(SUM(kept * n_tok) AS BIGINT) AS tokens_after,
+           (COUNT(*) - SUM(kept)) * 1000000 // COUNT(*) AS doc_drop_ppm,
+           (SUM(n_tok) - SUM(kept * n_tok)) * 1000000 // SUM(n_tok)
+             AS token_drop_ppm
+    FROM j GROUP BY source ORDER BY source
+    """,
+    doc="Per-source before/after exact-dedup corpus mass (docs + tokens) "
+        "with drop rates in ppm — the dedup cost/benefit table.",
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import char_fingerprint
+
+    docs = tables(spark, sf_dir)["documents"]
+    fp = char_fingerprint(docs)
+    d = (docs.join(fp, "doc_id", "left")
+         .select("source", "doc_id",
+                 F.coalesce("fp", F.md5("text")).alias("h"),
+                 F.size(F.split("text", " ")).alias("n_tok")))
+    surv = d.groupBy("source", "h").agg(F.min("doc_id").alias("keep"))
+    j = d.join(surv, ["source", "h"]).select(
+        "source", "n_tok",
+        F.when(F.col("keep") == F.col("doc_id"), 1).otherwise(0)
+        .alias("kept"))
+    return (
+        j.groupBy("source")
+        .agg(F.count("*").alias("docs_before"),
+             F.sum("kept").alias("docs_after"),
+             F.sum("n_tok").alias("tokens_before"),
+             F.sum(F.col("kept") * F.col("n_tok")).alias("tokens_after"))
+        .select(
+            "source", "docs_before", "docs_after", "tokens_before",
+            "tokens_after",
+            F.expr("(docs_before - docs_after) * 1000000 DIV docs_before")
+            .alias("doc_drop_ppm"),
+            F.expr("(tokens_before - tokens_after) * 1000000"
+                   " DIV tokens_before").alias("token_drop_ppm"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q223 duplicate-cluster-size histogram: how fingerprint-dup groups
+# distribute (singletons vs pairs vs large template blooms) — the
+# diagnostic that tells you whether dedup is fighting scattered twins or
+# a few mass duplicates. Same winnowing-fingerprint key as q222; bucket
+# rule is integer CASE, counts exact.
+@query(
+    "q223_dup_cluster_histogram",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, MIN(md5(substr(text, i, 8))) AS fp
+      FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+      WHERE length(text) >= 8 GROUP BY doc_id),
+    k AS (
+      SELECT COALESCE(fp.fp, md5(d.text)) AS h
+      FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id),
+    g AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS sz FROM k GROUP BY h),
+    b AS (
+      SELECT CASE WHEN sz = 1 THEN '1'
+                  WHEN sz = 2 THEN '2'
+                  WHEN sz <= 5 THEN '3-5'
+                  WHEN sz <= 20 THEN '6-20'
+                  ELSE '21+' END AS bucket,
+             sz
+      FROM g)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Histogram of exact-duplicate cluster sizes with per-bucket doc "
+        "and removable counts — dedup shape diagnostics.",
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import char_fingerprint
+
+    docs = tables(spark, sf_dir)["documents"]
+    fp = char_fingerprint(docs)
+    g = (docs.join(fp, "doc_id", "left")
+         .select(F.coalesce("fp", F.md5("text")).alias("h"))
+         .groupBy("h").agg(F.count("*").alias("sz")))
+    bucket = (F.when(F.col("sz") == 1, "1")
+              .when(F.col("sz") == 2, "2")
+              .when(F.col("sz") <= 5, "3-5")
+              .when(F.col("sz") <= 20, "6-20")
+              .otherwise("21+"))
+    return (
+        g.select(bucket.alias("bucket"), "sz")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_clusters"),
+             F.sum("sz").alias("n_docs"),
+             F.sum(F.col("sz") - 1).alias("n_removable"))
+        .orderBy("bucket")
+    )
