@@ -2430,3 +2430,50 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("n_churned * 1000000 DIV n_users").alias("churn_ppm"))
         .orderBy("cohort_week")
     )
+
+
+# --------------------------------------------------------------------------
+# Q226 peak detection: days that are strict local maxima of daily revenue
+# over their ±1 calendar neighbors, with prominence over the smaller
+# neighbor in exact cents. Neighbor lookup is a calendar-correct self
+# equi-join (the q213 idiom — gap-proof); missing neighbors disqualify
+# (a peak needs both sides).
+@query(
+    "q226_revenue_peaks",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1)
+    SELECT a.day, a.cents,
+           a.cents - GREATEST(b.cents, c.cents) AS prominence_cents
+    FROM d a
+    JOIN d b ON b.day = a.day - INTERVAL 1 DAY
+    JOIN d c ON c.day = a.day + INTERVAL 1 DAY
+    WHERE a.cents > b.cents AND a.cents > c.cents
+    ORDER BY a.day
+    """,
+    doc="Strict local-maximum revenue days with prominence over the "
+        "higher neighbor, exact integer cents, calendar-correct "
+        "neighbor joins.",
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    d = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+                 " AS BIGINT)").alias("cents"))
+    a = d.select(F.col("day"), F.col("cents"))
+    b = d.select(F.col("day").alias("b_day"), F.col("cents").alias("b_c"))
+    c = d.select(F.col("day").alias("c_day"), F.col("cents").alias("c_c"))
+    return (
+        a.join(b, F.col("b_day") == F.col("day") - F.expr("INTERVAL 1 DAY"))
+        .join(c, F.col("c_day") == F.col("day") + F.expr("INTERVAL 1 DAY"))
+        .filter((F.col("cents") > F.col("b_c"))
+                & (F.col("cents") > F.col("c_c")))
+        .select("day", "cents",
+                (F.col("cents") - F.greatest("b_c", "c_c"))
+                .alias("prominence_cents"))
+        .orderBy("day")
+    )

@@ -888,3 +888,84 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("sz") - 1).alias("n_removable"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Q224 1-NN label accuracy (leave-one-out kNN probe): for each sampled
+# vector, does its nearest neighbor share its label? THE cheap embedding-
+# quality eval — collapsing accuracy is the first sign of a broken
+# encoder. Same ppm-cosine + struct-max winner machinery as q193/q203.
+@query(
+    "q224_knn_label_accuracy",
+    oracle="""
+    WITH v AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+    q AS (SELECT * FROM v WHERE id % 10 = 3),
+    z AS (
+      SELECT q.id AS q_id, q.label AS q_label,
+             c.id AS c_id, c.label AS c_label,
+             UNNEST(q.v) AS x, UNNEST(c.v) AS y
+      FROM q CROSS JOIN v c WHERE c.id <> q.id),
+    s AS (
+      SELECT q_id, q_label, c_id, c_label,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nq,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nc
+      FROM z GROUP BY q_id, q_label, c_id, c_label),
+    p AS (
+      SELECT q_id, q_label, c_id, c_label,
+             CAST(CAST(dot / (SQRT(nq) * SQRT(nc)) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS sim_ppm
+      FROM s WHERE nq > 0 AND nc > 0),
+    w AS (
+      SELECT q_id, q_label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim_ppm DESC, c_id) AS r
+      FROM p)
+    SELECT CAST(q_label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS acc_ppm
+    FROM w WHERE r = 1 GROUP BY q_label ORDER BY label
+    """,
+    doc="Leave-one-out 1-NN label accuracy per class over a deterministic "
+        "vector sample — the cheap embedding-quality probe; ppm cosine, "
+        "id ties, integer accuracy.",
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import _dot, _norm2
+
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+        F.sqrt(_norm2("embedding")).alias("qm"),
+        F.col("label").alias("q_label")).filter(F.col("qm") > 0)
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"),
+        F.sqrt(_norm2("embedding")).alias("cm"),
+        F.col("label").alias("c_label")).filter(F.col("cm") > 0)
+    sim = _dot("qe", "ce") / (F.col("qm") * F.col("cm"))
+    pairs = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_label", "c_id", "c_label",
+                (sim.cast("decimal(18,6)") * 1_000_000)
+                .cast("bigint").alias("sim_ppm"))
+    )
+    win = (
+        pairs.groupBy("q_id", "q_label")
+        .agg(F.max(F.struct(
+            F.col("sim_ppm").alias("s"),
+            (-F.col("c_id")).alias("nid"),
+            F.col("c_label").alias("nl"))).alias("w"))
+        .select("q_label", F.col("w.nl").alias("c_label"))
+    )
+    return (
+        win.groupBy(F.col("q_label").cast("int").alias("label"))
+        .agg(F.count("*").alias("n_queries"),
+             F.sum(F.when(F.col("c_label") == F.col("q_label"), 1)
+                   .otherwise(0)).alias("n_correct"))
+        .select("label", "n_queries", "n_correct",
+                F.expr("n_correct * 1000000 DIV n_queries").alias("acc_ppm"))
+        .orderBy("label")
+    )

@@ -1578,3 +1578,33 @@ def test_s32_incremental_dau_wau_equals_batch(spark, replay_dir, tmp_path):
         spark.read.parquet(replay_dir)
         .select(F.expr(day_expr).alias("day"), "user_id").distinct())
     assert live == batch and len(live) > 0
+
+
+# S33 live z-score anomaly state: an IncrementalAggregate maintains per-
+# type exact (n, Σv, Σv²) in DECIMAL over the stream; after the drain the
+# q73-style z-score arithmetic applied to the LIVE STATE equals the batch
+# sufficient statistics byte-for-byte (sum kinds route through
+# DECIMAL(18,6), so merge order cannot change a digit).
+def test_s33_incremental_zscore_state_equals_batch(spark, replay_dir,
+                                                   tmp_path):
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    agg = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"event_type": "event_type"},
+        measures=[("n", "count", "*"),
+                  ("sv", "sum", "value"),
+                  ("svv", "sum", "value * value")])
+    q = agg.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    live = _rows(agg.table().select("event_type", "n", "sv", "svv"))
+    batch = _rows(
+        spark.read.parquet(replay_dir).groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,6))")).alias("sv"),
+            F.sum(F.expr("CAST(value * value AS DECIMAL(18,6))"))
+            .alias("svv")))
+    assert live == batch and len(live) > 0
