@@ -118,7 +118,7 @@ _TIER2 = [
     "q218_churn_labels", "q219_simhash_calibration",
     "q220_compression_ratio", "q221_quality_rules",
     "q222_dedup_impact", "q223_dup_cluster_histogram",
-    "q224_knn_label_accuracy", "q226_revenue_peaks",
+    "q224_knn_label_accuracy", "q226_revenue_peaks", "q227_ship_sla",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -1017,3 +1017,50 @@ def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("net_diff_cents"))
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Q227 fulfillment-SLA report: ship lag (days from order date to line ship
+# date) percentiles and breach rate per order priority — the operational
+# latency table. Lags are exact integer days; p50/p90 use discrete
+# percentiles over integers (engine-identical on whole-number domains);
+# the SLA breach (> 90 days) rate is integer ppm. One fact-fact equi-join
+# on the order key (bucketing both sides makes it exchange-free at rest).
+@query(
+    "q227_ship_sla",
+    oracle="""
+    WITH l AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', o.o_orderdate, li.l_shipdate) AS BIGINT)
+               AS lag_days
+      FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey)
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(quantile_disc(lag_days, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(lag_days, 0.9) AS BIGINT) AS p90_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_days,
+           SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS breach_ppm
+    FROM l GROUP BY priority ORDER BY priority
+    """,
+    doc="Ship-lag SLA per order priority: exact integer-day p50/p90/max "
+        "and >90-day breach rate in ppm.",
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    l = (t["lineitem"].join(
+        t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_orderpriority").alias("priority"),
+                F.datediff("l_shipdate", "o_orderdate").cast("bigint")
+                .alias("lag_days")))
+    return (
+        l.groupBy("priority")
+        .agg(F.count("*").alias("n_lines"),
+             F.expr("CAST(percentile_disc(0.5) WITHIN GROUP"
+                    " (ORDER BY lag_days) AS BIGINT)").alias("p50_days"),
+             F.expr("CAST(percentile_disc(0.9) WITHIN GROUP"
+                    " (ORDER BY lag_days) AS BIGINT)").alias("p90_days"),
+             F.max("lag_days").alias("max_days"),
+             F.expr("SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END)"
+                    " * 1000000 DIV COUNT(*)").alias("breach_ppm"))
+        .orderBy("priority")
+    )
