@@ -119,6 +119,7 @@ _TIER2 = [
     "q220_compression_ratio", "q221_quality_rules",
     "q222_dedup_impact", "q223_dup_cluster_histogram",
     "q224_knn_label_accuracy", "q226_revenue_peaks", "q227_ship_sla",
+    "q228_seasonal_outliers", "q229_new_vs_returning",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

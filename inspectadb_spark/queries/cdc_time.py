@@ -2477,3 +2477,116 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("prominence_cents"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Q228 seasonally-adjusted outlier days: a day is anomalous if its revenue
+# deviates from its WEEKDAY's median by more than 3x that weekday's MAD —
+# the robust, seasonality-aware screen (plain z-scores flag every Saturday
+# on a weekday-seasonal series). Median/MAD via discrete quantiles over
+# integer cents, so the whole rule is integer-exact; per-dow stats are a
+# 7-row broadcast.
+@query(
+    "q228_seasonal_outliers",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             isodow(o_orderdate) AS dow,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    med AS (
+      SELECT dow, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+      FROM d GROUP BY dow),
+    mad AS (
+      SELECT d.dow,
+             CAST(quantile_disc(ABS(d.cents - m.med), 0.5) AS BIGINT) AS mad
+      FROM d JOIN med m ON m.dow = d.dow GROUP BY d.dow)
+    SELECT d.day, CAST(d.dow AS INT) AS dow, d.cents, m.med AS dow_median,
+           ABS(d.cents - m.med) AS abs_dev
+    FROM d JOIN med m ON m.dow = d.dow JOIN mad a ON a.dow = d.dow
+    WHERE ABS(d.cents - m.med) > 3 * a.mad AND a.mad > 0
+    ORDER BY d.day
+    """,
+    doc="Days whose revenue deviates from their weekday median by more "
+        "than 3x the weekday MAD — robust seasonality-aware anomaly "
+        "screen, integer-exact.",
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    d = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        F.expr("((dayofweek(o_orderdate) + 5) % 7) + 1").alias("dow"),
+    ).agg(F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+                 " AS BIGINT)").alias("cents"))
+    med = d.groupBy("dow").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+               " AS BIGINT)").alias("med"))
+    dm = d.join(F.broadcast(med), "dow")
+    mad = dm.groupBy("dow").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP"
+               " (ORDER BY abs(cents - med)) AS BIGINT)").alias("mad"))
+    return (
+        dm.join(F.broadcast(mad), "dow")
+        .filter((F.abs(F.col("cents") - F.col("med")) > 3 * F.col("mad"))
+                & (F.col("mad") > 0))
+        .select("day", F.col("dow").cast("int").alias("dow"), "cents",
+                F.col("med").alias("dow_median"),
+                F.abs(F.col("cents") - F.col("med")).alias("abs_dev"))
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q229 new-vs-returning revenue split per week: each order is 'new' iff it
+# is its customer's first (earliest (o_orderdate, o_orderkey)) — the
+# growth-accounting decomposition every revenue dashboard leads with.
+# First-order detection is one struct-min per customer (map-side
+# combinable, no window); revenue in exact cents, shares in ppm.
+@query(
+    "q229_new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, MIN(ROW(o_orderdate, o_orderkey)) AS fr
+      FROM orders GROUP BY o_custkey),
+    o AS (
+      SELECT CAST(date_trunc('week', o.o_orderdate) AS TIMESTAMP) AS week,
+             CASE WHEN ROW(o.o_orderdate, o.o_orderkey) = f.fr
+                  THEN 1 ELSE 0 END AS is_new,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN f ON f.o_custkey = o.o_custkey)
+    SELECT week,
+           CAST(SUM(is_new) AS BIGINT) AS n_new_orders,
+           CAST(COUNT(*) - SUM(is_new) AS BIGINT) AS n_ret_orders,
+           CAST(SUM(is_new * cents) AS BIGINT) AS new_cents,
+           CAST(SUM((1 - is_new) * cents) AS BIGINT) AS ret_cents,
+           SUM(is_new * cents) * 1000000 // SUM(cents) AS new_share_ppm
+    FROM o GROUP BY week ORDER BY week
+    """,
+    doc="Weekly new-vs-returning revenue decomposition: first order per "
+        "customer via struct-min (no window), exact cents, share in ppm.",
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    f = o.groupBy("o_custkey").agg(
+        F.min(F.struct(F.col("o_orderdate").alias("d"),
+                       F.col("o_orderkey").alias("k"))).alias("fr"))
+    j = (o.join(f, "o_custkey")
+         .select(
+             F.date_trunc("week", F.col("o_orderdate")).alias("week"),
+             F.when((F.col("o_orderdate") == F.col("fr.d"))
+                    & (F.col("o_orderkey") == F.col("fr.k")), 1)
+             .otherwise(0).alias("is_new"),
+             F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+             .alias("cents")))
+    return (
+        j.groupBy("week")
+        .agg(F.sum("is_new").alias("n_new_orders"),
+             (F.count("*") - F.sum("is_new")).alias("n_ret_orders"),
+             F.sum(F.col("is_new") * F.col("cents")).alias("new_cents"),
+             F.sum((1 - F.col("is_new")) * F.col("cents"))
+             .alias("ret_cents"),
+             F.expr("SUM(is_new * cents) * 1000000 DIV SUM(cents)")
+             .alias("new_share_ppm"))
+        .orderBy("week")
+    )
