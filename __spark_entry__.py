@@ -120,6 +120,7 @@ _TIER2 = [
     "q222_dedup_impact", "q223_dup_cluster_histogram",
     "q224_knn_label_accuracy", "q226_revenue_peaks", "q227_ship_sla",
     "q228_seasonal_outliers", "q229_new_vs_returning",
+    "q230_cdc_lifecycle_census", "q232_topk_movers", "q233_pareto_point",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

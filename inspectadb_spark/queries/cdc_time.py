@@ -2590,3 +2590,167 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("new_share_ppm"))
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# Q230 changelog lifecycle census: per-key op sequences ('c', 'cu', 'cud',
+# ...) counted across the CDC log, plus the count of MALFORMED lifecycles
+# (not starting with 'c' — replication-integrity violations). The op
+# string is built with an ordered listagg keyed on lsn; the census is
+# |patterns|-sized however large the log.
+@query(
+    "q230_cdc_lifecycle_census",
+    oracle=f"""
+    WITH {{CDC}},
+    seq AS (
+      SELECT o_orderkey, string_agg(op, '' ORDER BY lsn) AS lifecycle
+      FROM cdc_orders GROUP BY o_orderkey)
+    SELECT lifecycle, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(CASE WHEN lifecycle NOT LIKE 'c%' THEN COUNT(*) ELSE 0 END
+                AS BIGINT) AS n_malformed
+    FROM seq GROUP BY lifecycle ORDER BY lifecycle
+    """.format(CDC=__import__("inspectadb_spark.sources.cdc",
+                              fromlist=["CDC_ORDERS_CTE"]).CDC_ORDERS_CTE),
+    doc="Census of per-key CDC op lifecycles with malformed-lifecycle "
+        "counts — the replication-integrity audit over the changelog.",
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = derive_cdc_orders(tables(spark, sf_dir)["orders"])
+    seq = cdc.groupBy("o_orderkey").agg(
+        F.expr("listagg(op, '') WITHIN GROUP (ORDER BY lsn)")
+        .alias("lifecycle"))
+    return (
+        seq.groupBy("lifecycle")
+        .agg(F.count("*").alias("n_keys"))
+        .select("lifecycle", "n_keys",
+                F.when(~F.col("lifecycle").startswith("c"),
+                       F.col("n_keys")).otherwise(0).cast("bigint")
+                .alias("n_malformed"))
+        .orderBy("lifecycle")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q232 week-over-week top movers: per week the 3 brands with the largest
+# absolute revenue change vs the prior week — the dashboard "what moved"
+# report. Calendar-correct lag join on the (week, brand) grid (q213
+# idiom); ranking by (abs delta DESC, brand) row_number partitioned per
+# week; exact integer cents.
+@query(
+    "q232_topk_movers",
+    oracle="""
+    WITH wb AS (
+      SELECT CAST(date_trunc('week', o.o_orderdate) AS TIMESTAMP) AS week,
+             p.p_brand AS brand,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    j AS (
+      SELECT a.week, a.brand, a.cents,
+             a.cents - b.cents AS delta_cents
+      FROM wb a JOIN wb b
+        ON b.brand = a.brand AND b.week = a.week - INTERVAL 7 DAY),
+    r AS (
+      SELECT week, brand, cents, delta_cents,
+             ROW_NUMBER() OVER (PARTITION BY week
+               ORDER BY ABS(delta_cents) DESC, brand) AS rk
+      FROM j)
+    SELECT week, CAST(rk AS INT) AS rk, brand, cents, delta_cents
+    FROM r WHERE rk <= 3 ORDER BY week, rk
+    """,
+    doc="Top-3 brands by absolute week-over-week revenue change per week "
+        "— calendar-correct lag join over the (week, brand) grid, exact "
+        "cents.",
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    wb = (t["lineitem"]
+          .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+          .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+          .groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("week"),
+                   F.col("p_brand").alias("brand"))
+          .agg(F.expr("CAST(SUM(CAST(ROUND(l_extendedprice * 100)"
+                      " AS BIGINT)) AS BIGINT)").alias("cents")))
+    prev = wb.select(F.col("week").alias("p_week"),
+                     F.col("brand").alias("p_brand"),
+                     F.col("cents").alias("p_cents"))
+    j = wb.join(prev, (F.col("p_brand") == F.col("brand"))
+                & (F.col("p_week")
+                   == F.col("week") - F.expr("INTERVAL 7 DAY")))
+    w = Window.partitionBy("week").orderBy(
+        F.abs(F.col("delta_cents")).desc(), F.asc("brand"))
+    return (
+        j.select("week", "brand", "cents",
+                 (F.col("cents") - F.col("p_cents")).alias("delta_cents"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("week", F.col("rk").cast("int").alias("rk"), "brand",
+                "cents", "delta_cents")
+        .orderBy("week", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q233 the 80/20 point: how many top customers cover 80% of revenue — the
+# single-number concentration headline behind q214's decile table and
+# q175's Gini. Ranked descending through global_rank (distributed, no
+# single-task sort); the crossing rank is found with one partitioned-free
+# MIN over the tiny qualifying set.
+@query(
+    "q233_pareto_point",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_cust FROM c),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk
+      FROM c),
+    cum AS (
+      SELECT rk, CAST(SUM(cents) OVER (ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cents
+      FROM r)
+    SELECT CAST(MIN(rk) AS BIGINT) AS n_top_customers,
+           CAST(MAX(t.n_cust) AS BIGINT) AS n_customers,
+           MIN(rk) * 1000000 // MAX(t.n_cust) AS top_share_ppm
+    FROM cum CROSS JOIN t
+    WHERE cum_cents * 5 >= t.tot * 4
+    """,
+    doc="Smallest top-customer count covering 80% of revenue (with its "
+        "ppm share of the customer base) — the Pareto headline number; "
+        "rank via the distributed global_rank.",
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import global_rank
+
+    o = tables(spark, sf_dir)["orders"]
+    c = o.groupBy("o_custkey").agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+               " AS BIGINT)").alias("cents"))
+    t = c.agg(F.sum("cents").alias("tot"), F.count("*").alias("n_cust"))
+    # descending rank == ascending rank on negated cents
+    ranked = global_rank(c.withColumn("neg", -F.col("cents")),
+                         "neg", "o_custkey", bucket_width=100_000)
+    wc = (Window.orderBy("rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = ranked.select("rank", "cents").withColumn(
+        "cum_cents", F.sum("cents").over(wc))
+    return (
+        cum.join(F.broadcast(t))
+        .filter(F.col("cum_cents") * 5 >= F.col("tot") * 4)
+        .agg(F.min("rank").alias("n_top_customers"),
+             F.max("n_cust").alias("n_customers"))
+        .select("n_top_customers", "n_customers",
+                F.expr("n_top_customers * 1000000 DIV n_customers")
+                .alias("top_share_ppm"))
+    )
