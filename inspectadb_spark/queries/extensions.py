@@ -1064,3 +1064,97 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " * 1000000 DIV COUNT(*)").alias("breach_ppm"))
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Q231 basket-size distribution: orders bucketed by line count, with order
+# counts and the average basket value per bucket in exact integer cents
+# (floor DIV). One per-order rollup, then a bucket-sized aggregation.
+@query(
+    "q231_basket_sizes",
+    oracle="""
+    WITH o AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_orderkey),
+    b AS (
+      SELECT CASE WHEN n_lines = 1 THEN '1'
+                  WHEN n_lines = 2 THEN '2'
+                  WHEN n_lines <= 4 THEN '3-4'
+                  WHEN n_lines <= 7 THEN '5-7'
+                  ELSE '8+' END AS bucket,
+             cents
+      FROM o)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents) AS BIGINT) // COUNT(*) AS avg_basket_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Order (basket) size histogram with per-bucket order counts and "
+        "average basket value in exact integer cents.",
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables(spark, sf_dir)["lineitem"]
+    o = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.expr("CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+               " AS BIGINT)").alias("cents"))
+    bucket = (F.when(F.col("n_lines") == 1, "1")
+              .when(F.col("n_lines") == 2, "2")
+              .when(F.col("n_lines") <= 4, "3-4")
+              .when(F.col("n_lines") <= 7, "5-7")
+              .otherwise("8+"))
+    return (
+        o.select(bucket.alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("cents"))
+        .select("bucket", "n_orders", "cents",
+                F.expr("cents DIV n_orders").alias("avg_basket_cents"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q234 revenue waterfall: gross → discount → net → tax → charged, per
+# return flag, every term an exact integer-cents sum rounded per line
+# exactly as TPC-H's pricing expressions do — the finance decomposition
+# that must tie out row-for-row with q15's aggregates.
+@query(
+    "q234_revenue_waterfall",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS gross_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) AS BIGINT) AS discount_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS net_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * l_tax
+                               * 100) AS BIGINT)) AS BIGINT) AS tax_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+             AS charged_cents
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Per-flag revenue waterfall (gross/discount/net/tax/charged) in "
+        "exact per-line-rounded integer cents.",
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables(spark, sf_dir)["lineitem"]
+
+    def cents(expr: str, alias: str):
+        return F.expr(f"CAST(SUM(CAST(ROUND(({expr}) * 100) AS BIGINT))"
+                      " AS BIGINT)").alias(alias)
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(cents("l_extendedprice", "gross_cents"),
+             cents("l_extendedprice * l_discount", "discount_cents"),
+             cents("l_extendedprice * (1 - l_discount)", "net_cents"),
+             cents("l_extendedprice * (1 - l_discount) * l_tax",
+                   "tax_cents"),
+             cents("l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+                   "charged_cents"))
+        .orderBy("l_returnflag")
+    )
