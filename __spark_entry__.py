@@ -122,6 +122,7 @@ _TIER2 = [
     "q228_seasonal_outliers", "q229_new_vs_returning",
     "q230_cdc_lifecycle_census", "q232_topk_movers", "q233_pareto_point",
     "q231_basket_sizes", "q234_revenue_waterfall",
+    "q235_abc_classification", "q236_repurchase_cadence",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

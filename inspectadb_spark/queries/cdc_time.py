@@ -2754,3 +2754,130 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("n_top_customers * 1000000 DIV n_customers")
                 .alias("top_share_ppm"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q235 ABC inventory classification: parts ranked by revenue; class A =
+# the top ranks covering 80% of cumulative revenue, B = next 15%, C = the
+# tail — counted per class with revenue shares in ppm. Rank is the
+# distributed global_rank (descending via negated cents); class
+# boundaries are integer threshold comparisons on the cumulative sum.
+@query(
+    "q235_abc_classification",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM p),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, l_partkey) AS rk
+      FROM p),
+    c AS (
+      SELECT cents, CAST(SUM(cents) OVER (ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+      FROM r),
+    k AS (
+      SELECT CASE WHEN (cum - cents) * 5 < tot * 4 THEN 'A'
+                  WHEN (cum - cents) * 20 < tot * 19 THEN 'B'
+                  ELSE 'C' END AS cls,
+             cents
+      FROM c CROSS JOIN t)
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           SUM(cents) * 1000000 // MAX(t.tot) AS share_ppm
+    FROM k CROSS JOIN t GROUP BY cls ORDER BY cls
+    """,
+    doc="ABC classification of parts by revenue (A: first 80% of "
+        "cumulative revenue, B: next 15%, C: tail) — class determined by "
+        "the PRE-item cumulative so every class is non-empty by "
+        "construction; distributed rank, integer thresholds.",
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import global_rank
+
+    li = tables(spark, sf_dir)["lineitem"]
+    p = li.groupBy("l_partkey").agg(
+        F.expr("CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+               " AS BIGINT)").alias("cents"))
+    t = p.agg(F.sum("cents").alias("tot"))
+    ranked = global_rank(p.withColumn("neg", -F.col("cents")),
+                         "neg", "l_partkey", bucket_width=100_000)
+    wc = (Window.orderBy("rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = ranked.select("cents", "rank").withColumn(
+        "cum", F.sum("cents").over(wc))
+    cls = (F.when((F.col("cum") - F.col("cents")) * 5 < F.col("tot") * 4,
+                  "A")
+           .when((F.col("cum") - F.col("cents")) * 20 < F.col("tot") * 19,
+                 "B")
+           .otherwise("C"))
+    return (
+        c.join(F.broadcast(t))
+        .select(cls.alias("cls"), "cents", "tot")
+        .groupBy("cls")
+        .agg(F.count("*").alias("n_parts"), F.sum("cents").alias("cents"),
+             F.expr("SUM(cents) * 1000000 DIV MAX(tot)").alias("share_ppm"))
+        .orderBy("cls")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q236 repeat-purchase cadence: days between consecutive orders per
+# customer, summarized per order-count cohort (2, 3-4, 5+ orders) with
+# exact integer-day p50/p90 — the replenishment-cycle metric behind
+# win-back timing. One customer-keyed window for the lag, then
+# cohort-sized aggregation.
+@query(
+    "q236_repurchase_cadence",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS gap_days
+      FROM orders),
+    n AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+          GROUP BY o_custkey),
+    g AS (
+      SELECT CASE WHEN n.n_orders = 2 THEN '2'
+                  WHEN n.n_orders <= 4 THEN '3-4'
+                  ELSE '5+' END AS cohort,
+             o.gap_days
+      FROM o JOIN n ON n.o_custkey = o.o_custkey
+      WHERE o.gap_days IS NOT NULL AND n.n_orders >= 2)
+    SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(gap_days, 0.9) AS BIGINT) AS p90_days
+    FROM g GROUP BY cohort ORDER BY cohort
+    """,
+    doc="Inter-order gap percentiles per order-count cohort (exact "
+        "integer days, discrete quantiles) — the repeat-purchase cadence "
+        "metric.",
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        .cast("bigint").alias("gap_days")).filter(
+        F.col("gap_days").isNotNull())
+    n = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    cohort = (F.when(F.col("n_orders") == 2, "2")
+              .when(F.col("n_orders") <= 4, "3-4").otherwise("5+"))
+    g = (gaps.join(n, "o_custkey").filter(F.col("n_orders") >= 2)
+         .select(cohort.alias("cohort"), "gap_days"))
+    return (
+        g.groupBy("cohort")
+        .agg(F.count("*").alias("n_gaps"),
+             F.expr("CAST(percentile_disc(0.5) WITHIN GROUP"
+                    " (ORDER BY gap_days) AS BIGINT)").alias("p50_days"),
+             F.expr("CAST(percentile_disc(0.9) WITHIN GROUP"
+                    " (ORDER BY gap_days) AS BIGINT)").alias("p90_days"))
+        .orderBy("cohort")
+    )
