@@ -123,6 +123,7 @@ _TIER2 = [
     "q230_cdc_lifecycle_census", "q232_topk_movers", "q233_pareto_point",
     "q231_basket_sizes", "q234_revenue_waterfall",
     "q235_abc_classification", "q236_repurchase_cadence",
+    "q237_keep_best_dedup", "q238_zipf_fit", "q239_mv_rewrite",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

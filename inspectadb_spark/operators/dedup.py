@@ -481,3 +481,59 @@ def minhash_calibration(
         .withColumn("err_ppm", F.abs(F.col("est_ppm") - F.col("exact_ppm")))
         .orderBy("d1", "d2")
     )
+
+
+def keep_best_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Canonical selection under dedup: every fingerprint cluster keeps its
+    BEST member (max ``quality_col``, ties broken by min ``id_col``) — the
+    keep-best policy production dedup uses instead of keep-first, so the
+    surviving copy of a near-dup template is the highest-quality one, not
+    whichever arrived first.
+
+    Returns each doc annotated with its cluster key ``h``, ``keep`` flag,
+    and the winner's id/group (``win_id``, ``win_group``) — the winner group
+    makes cross-source casualties attributable (which feed loses mass to
+    which when dedup is corpus-wide rather than per-source).
+
+    Scale shape (100 TB): cluster key is the winnowing fingerprint
+    (min-sampled char-8-gram md5, one explode + one groupBy); winner
+    election is ONE groupBy on ``h`` via a single struct-max
+    (max (quality, -id, group) — fields ordered so the comparison IS the
+    policy), then one h-partitioned join back. No windows, no all-pairs.
+    """
+    from inspectadb_spark.operators.text import char_fingerprint
+
+    fp = char_fingerprint(docs, text_col=text_col, id_col=id_col)
+    d = (
+        docs.join(fp, id_col, "left")
+        .select(
+            F.col(id_col), F.col(group_col), F.col(quality_col),
+            F.coalesce("fp", F.md5(F.col(text_col))).alias("h"),
+        )
+    )
+    win = (
+        d.groupBy("h")
+        .agg(F.max(F.struct(
+            F.col(quality_col).alias("q"),
+            (-F.col(id_col)).alias("nid"),
+            F.col(group_col).alias("g"),
+        )).alias("w"))
+        .select(
+            "h", (-F.col("w.nid")).alias("win_id"),
+            F.col("w.g").alias("win_group"),
+        )
+    )
+    return (
+        d.join(win, "h")
+        .select(
+            F.col(id_col), F.col(group_col), F.col(quality_col), "h",
+            (F.col(id_col) == F.col("win_id")).alias("keep"),
+            "win_id", "win_group",
+        )
+    )

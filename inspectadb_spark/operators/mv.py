@@ -1,0 +1,166 @@
+"""Materialized-view (summary-table) definition and aggregate-query routing.
+
+The continuous-aggregate story has two halves. The *maintenance* half —
+keeping a pre-aggregated table up to date as the base table changes — lives
+in ``streaming/incremental.py`` (exactly-once additive merge) and
+``operators/cdc.py`` (batch merge). This module is the *routing* half: given
+an aggregate request, answer it from a compatible summary table instead of
+re-scanning the fact table.
+
+Rewrite algebra (the classic summary-table containment rules):
+
+- the request's group keys must each be an MV key, or an expression over MV
+  keys (e.g. ``month`` derived from a daily key) — coarser rollups of the
+  stored grain;
+- ``SUM(x)``   -> ``SUM(mv.sum_x)``     (sums are re-additive)
+- ``COUNT(*)`` -> ``SUM(mv.cnt)``
+- ``MIN(x)``   -> ``MIN(mv.min_x)``, ``MAX(x)`` -> ``MAX(mv.max_x)``
+- ``AVG(x)``   -> ``SUM(mv.sum_x) / SUM(mv.cnt)`` (never avg-of-avgs)
+
+Non-decomposable aggregates (exact DISTINCT, exact percentiles) are
+deliberately NOT routable — ``route`` falls back to the base table, which is
+the correct answer, not an approximation. (Mergeable sketches for distinct
+counts are the separate ``operators/sketches.py`` surface.)
+
+100 TB design: the whole point of the rewrite is scan mass — a daily×dim
+summary of a 100 TB fact table is ~|distinct key| rows (MBs-GBs). Routed
+queries scan the summary parquet only (plan-pinned in tests/test_mv.py) and
+re-aggregate with one small shuffle; the fact table is never touched.
+
+SUM determinism: measures are accumulated as DECIMAL(18,6) inside the MV
+(exact, associative — the same ``dsum`` convention as every money aggregate
+in queries/registry.py), so MV-routed sums are bit-identical to base-table
+sums regardless of partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,6)"
+
+
+@dataclass(frozen=True)
+class MVDef:
+    """A summary-table definition over a base table.
+
+    measures: out_col -> (agg, base_expr) with agg in {sum, count, min, max}.
+    ``count`` ignores base_expr and counts rows (stored as ``out_col``).
+    """
+
+    name: str
+    keys: tuple[str, ...]
+    measures: dict[str, tuple[str, str]] = field(hash=False)
+
+    def build(self, base: DataFrame) -> DataFrame:
+        aggs = []
+        for out, (agg, expr) in self.measures.items():
+            if agg == "count":
+                aggs.append(F.count(F.lit(1)).alias(out))
+            elif agg == "sum":
+                aggs.append(F.sum(F.expr(expr).cast(_DEC)).alias(out))
+            elif agg in ("min", "max"):
+                aggs.append(getattr(F, agg)(F.expr(expr)).alias(out))
+            else:
+                raise ValueError(f"non-decomposable agg in MV: {agg}")
+        return base.groupBy(*[F.col(k) for k in self.keys]).agg(*aggs)
+
+    def store(self, base: DataFrame, path: str) -> None:
+        """Materialize to parquet (the batch refresh; streaming refresh is
+        streaming/incremental.py feeding the same path)."""
+        self.build(base).write.mode("overwrite").parquet(path)
+
+
+@dataclass(frozen=True)
+class AggRequest:
+    """An aggregate query: group keys (name -> expr over the BASE columns,
+    or None when the key is a plain column) and measures
+    (out -> (agg, base_expr)) with agg in {sum, count, min, max, avg}."""
+
+    keys: dict[str, str | None]
+    measures: dict[str, tuple[str, str]]
+
+
+def _routable(req: AggRequest, mv: MVDef) -> bool:
+    # every request key must be a stored key or an expression — expressions
+    # are validated by the caller to reference only MV keys (we check the
+    # referenced identifiers conservatively by substring on stored keys).
+    for name, expr in req.keys.items():
+        if expr is None:
+            if name not in mv.keys:
+                return False
+        elif not any(k in expr for k in mv.keys):
+            return False
+    stored = {(agg, expr): out for out, (agg, expr) in mv.measures.items()}
+    counts = [out for out, (agg, _) in mv.measures.items() if agg == "count"]
+    for _, (agg, expr) in req.measures.items():
+        if agg == "count":
+            if not counts:
+                return False
+        elif agg == "avg":
+            if ("sum", expr) not in stored or not counts:
+                return False
+        elif (agg, expr) not in stored:
+            return False
+    return True
+
+
+def _answer_from_mv(mv_df: DataFrame, req: AggRequest, mv: MVDef) -> DataFrame:
+    keys = [
+        (F.col(name) if expr is None else F.expr(expr)).alias(name)
+        for name, expr in req.keys.items()
+    ]
+    stored = {(agg, expr): out for out, (agg, expr) in mv.measures.items()}
+    cnt_col = next(out for out, (agg, _) in mv.measures.items() if agg == "count")
+    aggs = []
+    for out, (agg, expr) in req.measures.items():
+        if agg == "count":
+            aggs.append(F.sum(F.col(cnt_col)).cast("bigint").alias(out))
+        elif agg == "sum":
+            aggs.append(
+                F.sum(F.col(stored[("sum", expr)])).cast("double").alias(out))
+        elif agg == "avg":
+            aggs.append(
+                (F.sum(F.col(stored[("sum", expr)])).cast("double")
+                 / F.sum(F.col(cnt_col))).alias(out))
+        else:
+            aggs.append(getattr(F, agg)(F.col(stored[(agg, expr)])).alias(out))
+    return mv_df.groupBy(*keys).agg(*aggs)
+
+
+def _answer_from_base(base: DataFrame, req: AggRequest) -> DataFrame:
+    keys = [
+        (F.col(name) if expr is None else F.expr(expr)).alias(name)
+        for name, expr in req.keys.items()
+    ]
+    aggs = []
+    for out, (agg, expr) in req.measures.items():
+        if agg == "count":
+            aggs.append(F.count(F.lit(1)).alias(out))
+        elif agg == "sum":
+            aggs.append(
+                F.sum(F.expr(expr).cast(_DEC)).cast("double").alias(out))
+        elif agg == "avg":
+            aggs.append(
+                (F.sum(F.expr(expr).cast(_DEC)).cast("double")
+                 / F.count(F.expr(expr))).alias(out))
+        else:
+            aggs.append(getattr(F, agg)(F.expr(expr)).alias(out))
+    return base.groupBy(*keys).agg(*aggs)
+
+
+def route(
+    spark: SparkSession,
+    req: AggRequest,
+    mvs: dict[str, tuple[MVDef, str]],
+    base: DataFrame,
+) -> tuple[DataFrame, str | None]:
+    """Answer ``req`` from the first compatible MV (name -> (def, parquet
+    path)), else the base table. Returns (result, mv_name-or-None)."""
+    for name, (mv, path) in mvs.items():
+        if _routable(req, mv):
+            return _answer_from_mv(spark.read.parquet(path), req, mv), name
+    return _answer_from_base(base, req), None

@@ -779,3 +779,64 @@ def quality_rules(
     )
     return docs.select(F.col(id_col), n_tok.alias("n_tok"),
                        mask.cast("int").alias("rule_mask"))
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Zipf's-law fit per group: OLS slope/intercept of ln(frequency) on
+    ln(rank) over the group's token-frequency table — the corpus-health
+    audit that flags template spam (slope near 0: flat head) and synthetic
+    token soup (slope far below -1) before expensive curation runs.
+
+    Determinism across engines: ln() terms and their products are quantized
+    to DECIMAL before the per-group summation (exact, associative — the
+    same convention as source_divergence), so the OLS sufficient statistics
+    are aggregation-order-proof; the final closed-form slope is a handful
+    of scalar double ops on those exact sums, identical in any engine.
+
+    Scale shape (100 TB): one explode + one (group, token) groupBy builds
+    the frequency table (vocab-sized, << corpus-sized); ranking is a
+    window over vocab rows partitioned by group (per-group vocab fits a
+    partition at any text scale — it grows ~Heaps' law, sublinearly); the
+    fit itself is a per-group agg of 5 decimal sums.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.desc("c"), F.asc("tok"))
+    freq = (
+        docs.select(F.col(group_col).alias("g"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("g", "tok").agg(F.count("*").alias("c"))
+    )
+    x = F.log(F.col("rnk").cast("double")).cast("decimal(18,6)")
+    y = F.log(F.col("c").cast("double")).cast("decimal(18,6)")
+    q = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "g", "c", x.alias("x"), y.alias("y"),
+            (x * y).cast("decimal(38,12)").alias("xy"),
+            (x * x).cast("decimal(38,12)").alias("xx"),
+        )
+    )
+    s = q.groupBy("g").agg(
+        F.count("*").alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"), F.sum("xx").alias("sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (n * F.col("sxy").cast("double") - sx * sy) / F.nullif(
+        n * F.col("sxx").cast("double") - sx * sx, F.lit(0.0))
+    intercept = (sy - slope * sx) / n
+    from inspectadb_spark.queries.registry import r4c
+
+    return s.select(
+        F.col("g").alias(group_col), "n_types", "n_tokens",
+        r4c(slope).alias("zipf_slope"),
+        r4c(intercept).alias("zipf_intercept"),
+    )

@@ -1158,3 +1158,68 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "charged_cents"))
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Q239 materialized-view aggregate rewrite: a monthly revenue query is
+# answered from a DAILY summary table (operators/mv.py routing algebra),
+# never re-scanning lineitem — the summary-table rewrite every warehouse
+# runs; the oracle is the direct base-table aggregate, so the hash match
+# proves routed == direct.
+@query(
+    "q239_mv_rewrite",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+           l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                                AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS avg_qty
+    FROM lineitem
+    GROUP BY date_trunc('month', l_shipdate), l_returnflag
+    ORDER BY month, l_returnflag
+    """,
+    doc="Monthly pricing rollup answered by ROUTING to a daily-grain "
+        "materialized summary table (SUM/COUNT re-aggregation, AVG as "
+        "sum/count) — plan-pinned to scan the MV parquet, not lineitem.",
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.mv import AggRequest, MVDef, route
+
+    li = tables(spark, sf_dir)["lineitem"]
+    base = li.withColumn("ship_day", F.date_trunc("day", F.col("l_shipdate")))
+    mv = MVDef(
+        name="mv_lineitem_daily_flag",
+        keys=("ship_day", "l_returnflag"),
+        measures={
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_price": ("sum", "l_extendedprice"),
+            "cnt": ("count", "*"),
+        },
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"inspectadb_mv_{tag}")
+    mv.store(base, path)
+    req = AggRequest(
+        keys={
+            "month": "date_trunc('month', ship_day)",
+            "l_returnflag": None,
+        },
+        measures={
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_price": ("sum", "l_extendedprice"),
+            "n_rows": ("count", "*"),
+            "avg_qty": ("avg", "l_quantity"),
+        },
+    )
+    out, used = route(spark, req, {mv.name: (mv, path)}, base)
+    assert used == mv.name, "daily->monthly rollup must route to the MV"
+    return (
+        out.withColumn("avg_qty",
+                       F.round(F.col("avg_qty").cast("decimal(18,6)"), 4)
+                       .cast("double"))
+        .orderBy("month", "l_returnflag")
+    )

@@ -969,3 +969,118 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("n_correct * 1000000 DIV n_queries").alias("acc_ppm"))
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Q237 keep-best dedup resolution: q222/q223 diagnose dedup mass with a
+# keep-FIRST policy; production curation keeps the BEST cluster member
+# (max n_chars, tie min doc_id) corpus-wide, which makes losses cross
+# source boundaries — this is the attribution table for that policy.
+@query(
+    "q237_keep_best_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, MIN(md5(substr(text, i, 8))) AS fp
+      FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+      WHERE length(text) >= 8 GROUP BY doc_id),
+    d AS (
+      SELECT d.source, d.doc_id, d.n_chars, COALESCE(fp.fp, md5(d.text)) AS h
+      FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id),
+    mx AS (SELECT h, MAX(n_chars) AS mq FROM d GROUP BY h),
+    w AS (
+      SELECT d.h, MIN(d.doc_id) AS win_id
+      FROM d JOIN mx ON mx.h = d.h AND d.n_chars = mx.mq
+      GROUP BY d.h),
+    ww AS (
+      SELECT w.h, w.win_id, d.source AS win_src
+      FROM w JOIN d ON d.h = w.h AND d.doc_id = w.win_id),
+    j AS (
+      SELECT d.source, d.doc_id, ww.win_id, ww.win_src
+      FROM d JOIN ww ON ww.h = d.h)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id = win_id THEN 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(COUNT(CASE WHEN doc_id <> win_id AND source = win_src
+                      THEN 1 END) AS BIGINT) AS lost_same_source,
+           CAST(COUNT(CASE WHEN doc_id <> win_id AND source <> win_src
+                      THEN 1 END) AS BIGINT) AS lost_cross_source
+    FROM j GROUP BY source ORDER BY source
+    """,
+    doc="Keep-best (max-quality) dedup resolution per source: kept docs "
+        "plus same-source vs cross-source casualties under a corpus-wide "
+        "winner election on the winnowing-fingerprint cluster key.",
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import keep_best_dedup
+
+    docs = tables(spark, sf_dir)["documents"]
+    ann = keep_best_dedup(docs)
+    lost = ~F.col("keep")
+    return (
+        ann.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum((lost & (F.col("source") == F.col("win_group")))
+                  .cast("bigint")).alias("lost_same_source"),
+            F.sum((lost & (F.col("source") != F.col("win_group")))
+                  .cast("bigint")).alias("lost_cross_source"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q238 Zipf's-law fit per language: OLS of ln(freq) on ln(rank) over the
+# token-frequency table, sufficient statistics decimal-quantized so the
+# fit is aggregation-order-exact (same convention as q134's entropy).
+@query(
+    "q238_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+    f AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok),
+    r AS (
+      SELECT lang, tok, c,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok)
+               AS rnk
+      FROM f),
+    q AS (
+      SELECT lang, c,
+             CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+             CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) AS y
+      FROM r),
+    s AS (
+      SELECT lang, COUNT(*) AS n_types, SUM(c) AS n_tokens,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      FROM q GROUP BY lang),
+    fit AS (
+      SELECT lang, n_types, n_tokens, sx, sy,
+             (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+               AS slope_raw
+      FROM s)
+    SELECT lang, CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(slope_raw AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS zipf_slope,
+           CAST(ROUND(CAST((CAST(sy AS DOUBLE) - slope_raw
+                            * CAST(sx AS DOUBLE))
+                           / CAST(n_types AS DOUBLE) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS zipf_intercept
+    FROM fit ORDER BY lang
+    """,
+    doc="Per-language Zipf fit (OLS slope/intercept of ln freq vs ln rank) "
+        "with decimal-quantized sufficient statistics — corpus-health "
+        "audit for template spam (flat head) and synthetic token soup.",
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import zipf_fit
+
+    docs = tables(spark, sf_dir)["documents"]
+    return zipf_fit(docs).orderBy("lang")

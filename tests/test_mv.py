@@ -1,0 +1,145 @@
+"""Materialized-view routing (operators/mv.py): rewrite algebra, routing
+decisions, plan shape (routed queries scan the MV parquet, never the fact
+table), and the keep-best dedup / Zipf-fit operators added alongside.
+
+Correctness of q237/q238/q239 end-to-end is the DuckDB hash match in
+test_correctness.py; these tests pin the decisions and the plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.mv import AggRequest, MVDef, route
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.createDataFrame(
+        [Row(day=d, flag=f, qty=q, price=p)
+         for d, f, q, p in [
+             ("2024-01-01", "A", 1.0, 10.0), ("2024-01-01", "A", 2.0, 20.0),
+             ("2024-01-02", "B", 3.0, 30.0), ("2024-02-01", "A", 4.0, 40.0),
+             ("2024-02-03", "B", 5.0, 50.0), ("2024-02-03", "B", 6.0, 60.0),
+         ]]
+    ).withColumn("day", F.to_date("day"))
+
+
+@pytest.fixture(scope="module")
+def mv_stored(spark, base, tmp_path_factory):
+    mv = MVDef(
+        name="mv_daily",
+        keys=("day", "flag"),
+        measures={"sum_qty": ("sum", "qty"), "sum_price": ("sum", "price"),
+                  "cnt": ("count", "*"), "min_qty": ("min", "qty"),
+                  "max_qty": ("max", "qty")},
+    )
+    path = str(tmp_path_factory.mktemp("mv") / "mv_daily")
+    mv.store(base, path)
+    return mv, path
+
+
+def test_routed_rollup_equals_direct(spark, base, mv_stored):
+    mv, path = mv_stored
+    req = AggRequest(
+        keys={"month": "trunc(day, 'month')", "flag": None},
+        measures={"sum_qty": ("sum", "qty"), "n": ("count", "*"),
+                  "avg_qty": ("avg", "qty"), "min_qty": ("min", "qty"),
+                  "max_qty": ("max", "qty")},
+    )
+    routed, used = route(spark, req, {mv.name: (mv, path)}, base)
+    assert used == mv.name
+    direct, used2 = route(spark, req, {}, base)
+    assert used2 is None
+    key = lambda r: (str(r["month"]), r["flag"])  # noqa: E731
+    got = sorted(routed.collect(), key=key)
+    want = sorted(direct.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # avg must be sum/count, not avg-of-avgs: 2024-02/B covers two days
+    feb_b = [r for r in got if str(r["month"]).startswith("2024-02")
+             and r["flag"] == "B"][0]
+    assert feb_b["avg_qty"] == pytest.approx((5.0 + 6.0) / 2)
+    assert feb_b["n"] == 2
+
+
+def test_unroutable_requests_fall_back(spark, base, mv_stored):
+    mv, path = mv_stored
+    # a group key absent from the MV grain
+    req = AggRequest(keys={"qty": None}, measures={"n": ("count", "*")})
+    _, used = route(spark, req, {mv.name: (mv, path)}, base)
+    assert used is None
+    # a measure the MV doesn't store
+    req2 = AggRequest(keys={"flag": None},
+                      measures={"sp": ("sum", "qty * price")})
+    _, used2 = route(spark, req2, {mv.name: (mv, path)}, base)
+    assert used2 is None
+    # non-decomposable aggregates refuse at definition time
+    with pytest.raises(ValueError):
+        MVDef("bad", ("day",), {"d": ("count_distinct", "qty")}).build(base)
+
+
+def test_routed_plan_scans_mv_not_fact_table(spark, base, mv_stored):
+    mv, path = mv_stored
+    req = AggRequest(keys={"flag": None},
+                     measures={"sum_qty": ("sum", "qty")})
+    routed, used = route(spark, req, {mv.name: (mv, path)}, base)
+    assert used == mv.name
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(path) in plan
+
+
+def test_q239_plan_scans_mv_parquet_not_lineitem(spark):
+    from inspectadb_spark.queries import REGISTRY
+
+    df = REGISTRY["q239_mv_rewrite"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "inspectadb_mv_" in plan, "q239 must scan the summary table"
+    assert "lineitem" not in plan, "q239 must not re-scan the fact table"
+
+
+def test_keep_best_policy_hand_case(spark):
+    from inspectadb_spark.operators.dedup import keep_best_dedup
+
+    # docs 1/2 share the fingerprint (identical text => identical min
+    # window); doc 2 carries the higher quality score so it wins despite
+    # the higher id. doc 3 clusters alone.
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abcdefgh", source="s1", n_chars=8),
+         Row(doc_id=2, text="abcdefgh", source="s2", n_chars=9),
+         Row(doc_id=3, text="zzzzzzzz", source="s1", n_chars=8)]
+    )
+    got = {r["doc_id"]: r for r in keep_best_dedup(docs).collect()}
+    assert not got[1]["keep"] and got[1]["win_id"] == 2
+    assert got[1]["win_group"] == "s2"
+    assert got[2]["keep"] and got[3]["keep"]
+
+
+def test_keep_best_tie_breaks_min_id(spark):
+    from inspectadb_spark.operators.dedup import keep_best_dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=5, text="abcdefgh", source="a", n_chars=8),
+         Row(doc_id=9, text="abcdefgh", source="b", n_chars=8)]
+    )
+    got = {r["doc_id"]: r for r in keep_best_dedup(docs).collect()}
+    assert got[5]["keep"] and not got[9]["keep"]
+    assert got[9]["win_group"] == "a"
+
+
+def test_zipf_slope_is_negative_and_exact_on_geometric_counts(spark):
+    from inspectadb_spark.operators.text import zipf_fit
+
+    # frequencies 8,4,2,1 over ranks 1..4: ln f = ln 8 - ln 2 * log2(rank)
+    # is NOT linear in ln(rank)... use f = c / rank (harmonic) instead:
+    # f(r) = 12/r for r in 1..4 -> ln f = ln 12 - 1 * ln r, slope exactly -1.
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    docs = spark.createDataFrame([Row(doc_id=1, text=text, lang="xx")])
+    row = zipf_fit(docs).collect()[0]
+    assert row["n_types"] == 4 and row["n_tokens"] == 25
+    assert row["zipf_slope"] == pytest.approx(-1.0, abs=1e-3)
