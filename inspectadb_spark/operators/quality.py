@@ -241,3 +241,108 @@ def isotonic_calibrate(
         return out
 
     return binned.groupBy(group_col).applyInPandas(fit, schema)
+
+
+# -- schema-inspection audits (discovery, not enforcement) --------------------
+# The "inspect" half of a CDC automation tool: given a pile of replicated
+# tables, DISCOVER the constraint graph — which columns embed in which
+# (inclusion dependencies / FK candidates), which determine which
+# (functional dependencies), which combinations identify rows (candidate
+# keys) — rather than checking constraints someone already declared.
+
+
+def inclusion_audit(
+    cases: Sequence[tuple], 
+) -> DataFrame:
+    """Inclusion-dependency (FK-candidate) audit. ``cases`` is a sequence of
+    (label, child_df, fk_col, parent_df, pk_col); output is one row per
+    case: non-null child rows, distinct child keys, how many embed in the
+    parent's key domain, orphan keys, containment in ppm, and a holds flag.
+
+    Scale shape (100 TB): per case, the child side reduces to DISTINCT keys
+    before any join (the only shuffle that sees child-sized data is that
+    distinct, a partial-agg-friendly one); the key-vs-key comparison is a
+    left join between two key-domain-sized sides (parent key domains are
+    dimension-sized -> broadcast). The per-case outputs are one-row frames;
+    the cross joins below only ever touch those.
+    """
+    from functools import reduce
+
+    outs = []
+    for label, child, fk, parent, pk in cases:
+        ck = child.filter(F.col(fk).isNotNull()).select(F.col(fk).alias("k"))
+        keys = ck.distinct()
+        pkd = parent.select(F.col(pk).alias("k")).distinct()
+        matched = keys.join(pkd, "k", "left_semi")
+        row = (
+            ck.agg(F.count(F.lit(1)).alias("n_child_rows"))
+            .crossJoin(keys.agg(F.count(F.lit(1)).alias("n_child_keys")))
+            .crossJoin(matched.agg(F.count(F.lit(1)).alias("n_matched_keys")))
+            .select(
+                F.lit(label).alias("relation"),
+                "n_child_rows", "n_child_keys", "n_matched_keys",
+                (F.col("n_child_keys") - F.col("n_matched_keys"))
+                .alias("n_orphan_keys"),
+                F.expr("n_matched_keys * 1000000 DIV n_child_keys")
+                .alias("containment_ppm"),
+                (F.col("n_child_keys") == F.col("n_matched_keys"))
+                .alias("holds"),
+            )
+        )
+        outs.append(row)
+    return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+def fd_audit(cases: Sequence[tuple]) -> DataFrame:
+    """Functional-dependency audit. ``cases`` is a sequence of
+    (label, df, lhs_cols, rhs_col); a dependency lhs -> rhs holds when no
+    lhs group contains more than one distinct rhs value. Output per case:
+    lhs group count, violating group count, worst fan-out, holds flag.
+
+    Scale shape: per case, ONE groupBy on the lhs with a COUNT(DISTINCT
+    rhs) (Spark plans it as the standard two-phase expand), then a global
+    one-row fold. Nothing wider than the group count is ever shuffled.
+    """
+    from functools import reduce
+
+    outs = []
+    for label, df, lhs, rhs in cases:
+        nd = (
+            df.groupBy(*[F.col(c) for c in lhs])
+            .agg(F.count_distinct(F.col(rhs)).alias("nd"))
+        )
+        row = nd.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .alias("n_violating"),
+            F.max("nd").alias("max_rhs_per_group"),
+        ).select(
+            F.lit(label).alias("fd"),
+            "n_groups", "n_violating", "max_rhs_per_group",
+            (F.col("n_violating") == 0).alias("holds"),
+        )
+        outs.append(row)
+    return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+def key_candidates(cases: Sequence[tuple]) -> DataFrame:
+    """Candidate-key audit. ``cases`` is a sequence of (label, df, cols);
+    output per case: rows, distinct key tuples, duplicate surplus, is_key.
+    ``count_distinct`` over multiple columns skips rows with any NULL key
+    part (SQL semantics in both engines), so a nullable column can never
+    masquerade as a key by NULL-padding."""
+    from functools import reduce
+
+    outs = []
+    for label, df, cols in cases:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"),
+        ).select(
+            F.lit(label).alias("key"),
+            "n_rows", "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).alias("n_dup"),
+            (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+        )
+        outs.append(row)
+    return reduce(lambda a, b: a.unionAll(b), outs)

@@ -1223,3 +1223,164 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("double"))
         .orderBy("month", "l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Q240-Q242 schema-inspection suite: DISCOVER the constraint graph of a
+# replicated schema (inclusion dependencies / FK candidates, functional
+# dependencies, candidate keys) instead of checking declared constraints —
+# the "inspect" in a CDC automation tool. q54/q54b check known rules;
+# these audit a candidate lattice and report which rules actually hold.
+
+_INCLUSION_CASES = [
+    ("lineitem.l_orderkey -> orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey -> customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey -> region.r_regionkey",
+     "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id -> customer.c_custkey",
+     "events", "user_id", "customer", "c_custkey"),
+    ("orders.o_orderkey -> lineitem.l_orderkey",
+     "orders", "o_orderkey", "lineitem", "l_orderkey"),
+]
+
+
+def _inclusion_oracle() -> str:
+    parts = []
+    for label, child, fk, parent, pk in _INCLUSION_CASES:
+        parts.append(f"""
+    SELECT '{label}' AS relation,
+           CAST(a.n_child_rows AS BIGINT) AS n_child_rows,
+           CAST(b.n_child_keys AS BIGINT) AS n_child_keys,
+           CAST(c.n_matched_keys AS BIGINT) AS n_matched_keys,
+           CAST(b.n_child_keys - c.n_matched_keys AS BIGINT) AS n_orphan_keys,
+           c.n_matched_keys * 1000000 // b.n_child_keys AS containment_ppm,
+           b.n_child_keys = c.n_matched_keys AS holds
+    FROM (SELECT COUNT(*) AS n_child_rows FROM {child}
+          WHERE {fk} IS NOT NULL) a
+    CROSS JOIN (SELECT COUNT(DISTINCT {fk}) AS n_child_keys FROM {child}
+                WHERE {fk} IS NOT NULL) b
+    CROSS JOIN (SELECT COUNT(*) AS n_matched_keys FROM
+                  (SELECT DISTINCT {fk} AS k FROM {child}
+                   WHERE {fk} IS NOT NULL) ck
+                WHERE EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = ck.k)) c""")
+    return " UNION ALL ".join(parts) + " ORDER BY relation"
+
+
+@query(
+    "q240_inclusion_audit",
+    oracle=_inclusion_oracle(),
+    doc="Inclusion-dependency (FK-candidate) discovery across the star "
+        "schema + events: per candidate edge, distinct-key containment in "
+        "ppm, orphan keys, holds flag. Child sides reduce to DISTINCT keys "
+        "before any join; parent key domains broadcast.",
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.quality import inclusion_audit
+
+    t = tables(spark, sf_dir)
+    cases = [(label, t[child], fk, t[parent], pk)
+             for label, child, fk, parent, pk in _INCLUSION_CASES]
+    return inclusion_audit(cases).orderBy("relation")
+
+
+_FD_CASES = [
+    ("orders: o_orderkey -> o_custkey", "orders", ["o_orderkey"], "o_custkey"),
+    ("orders: o_custkey -> o_orderpriority",
+     "orders", ["o_custkey"], "o_orderpriority"),
+    ("lineitem: l_orderkey,l_linenumber -> l_partkey",
+     "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey"),
+    ("lineitem: l_orderkey -> l_suppkey",
+     "lineitem", ["l_orderkey"], "l_suppkey"),
+    ("customer: c_custkey -> c_nationkey",
+     "customer", ["c_custkey"], "c_nationkey"),
+    ("nation: n_regionkey -> n_name", "nation", ["n_regionkey"], "n_name"),
+    ("events: event_id -> user_id", "events", ["event_id"], "user_id"),
+    ("part: p_brand -> p_type", "part", ["p_brand"], "p_type"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for label, t, lhs, rhs in _FD_CASES:
+        parts.append(f"""
+    SELECT '{label}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_violating,
+           CAST(MAX(nd) AS BIGINT) AS max_rhs_per_group,
+           COUNT(CASE WHEN nd > 1 THEN 1 END) = 0 AS holds
+    FROM (SELECT COUNT(DISTINCT {rhs}) AS nd FROM {t}
+          GROUP BY {', '.join(lhs)}) g""")
+    return " UNION ALL ".join(parts) + " ORDER BY fd"
+
+
+@query(
+    "q241_fd_audit",
+    oracle=_fd_oracle(),
+    doc="Functional-dependency discovery: per candidate lhs -> rhs, the "
+        "lhs group count, violating groups, worst rhs fan-out, holds flag "
+        "— one COUNT(DISTINCT) groupBy per case, one-row folds after.",
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.quality import fd_audit
+
+    t = tables(spark, sf_dir)
+    cases = [(label, t[tbl], lhs, rhs) for label, tbl, lhs, rhs in _FD_CASES]
+    return fd_audit(cases).orderBy("fd")
+
+
+_KEY_CASES = [
+    ("region(r_regionkey)", "region", ["r_regionkey"]),
+    ("nation(n_nationkey)", "nation", ["n_nationkey"]),
+    ("nation(n_name)", "nation", ["n_name"]),
+    ("customer(c_custkey)", "customer", ["c_custkey"]),
+    ("customer(c_nationkey)", "customer", ["c_nationkey"]),
+    ("supplier(s_suppkey)", "supplier", ["s_suppkey"]),
+    ("part(p_partkey)", "part", ["p_partkey"]),
+    ("orders(o_orderkey)", "orders", ["o_orderkey"]),
+    ("lineitem(l_orderkey,l_linenumber)",
+     "lineitem", ["l_orderkey", "l_linenumber"]),
+    ("lineitem(l_orderkey)", "lineitem", ["l_orderkey"]),
+    ("events(event_id)", "events", ["event_id"]),
+    ("documents(doc_id)", "documents", ["doc_id"]),
+    ("embeddings(vec_id)", "embeddings", ["vec_id"]),
+]
+
+
+def _key_oracle() -> str:
+    parts = []
+    for label, t, cols in _KEY_CASES:
+        tup = cols[0] if len(cols) == 1 else "(" + ", ".join(cols) + ")"
+        parts.append(f"""
+    SELECT '{label}' AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {tup}) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT {tup}) AS BIGINT) AS n_dup,
+           COUNT(*) = COUNT(DISTINCT {tup}) AS is_key
+    FROM {t}""")
+    return " UNION ALL ".join(parts) + " ORDER BY key"
+
+
+@query(
+    "q242_candidate_keys",
+    oracle=_key_oracle(),
+    doc="Candidate-key discovery: per (table, column set), row count vs "
+        "distinct tuple count and an is_key verdict — including negative "
+        "probes (non-keys) so the audit demonstrates rejection too.",
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.quality import key_candidates
+
+    t = tables(spark, sf_dir)
+    cases = [(label, t[tbl], cols) for label, tbl, cols in _KEY_CASES]
+    return key_candidates(cases).orderBy("key")

@@ -1608,3 +1608,38 @@ def test_s33_incremental_zscore_state_equals_batch(spark, replay_dir,
             F.sum(F.expr("CAST(value * value AS DECIMAL(18,6))"))
             .alias("svv")))
     assert live == batch and len(live) > 0
+
+
+# S34 streaming-maintained summary table + MV ROUTING composed (the two
+# halves of the continuous-aggregate story): IncrementalAggregate maintains
+# hourly-grain state from the replayed stream; operators/mv.py routes a
+# coarser per-type rollup AGAINST THAT STATE; the routed answer must equal
+# the direct batch aggregate over the full history — and the fallback path
+# (no compatible MV) must agree.
+def test_s34_incremental_state_routes_via_mv(spark, replay_dir, tmp_path):
+    from inspectadb_spark.operators.mv import AggRequest, MVDef, route
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"w": "date_trunc('hour', ts)",
+                   "event_type": "event_type"},
+        measures=[("cnt", "count", "*"), ("sv", "sum", "value")])
+    q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+    state_path = inc._read_ptr()[0]
+
+    mv = MVDef(name="inc_hourly", keys=("w", "event_type"),
+               measures={"sv": ("sum", "value"), "cnt": ("count", "*")})
+    req = AggRequest(
+        keys={"event_type": None},
+        measures={"sv": ("sum", "value"), "n": ("count", "*"),
+                  "av": ("avg", "value")})
+    hist = spark.read.parquet(replay_dir)
+    routed, used = route(spark, req, {mv.name: (mv, state_path)}, hist)
+    assert used == mv.name
+    direct, used2 = route(spark, req, {}, hist)
+    assert used2 is None
+    assert _rows(routed) == _rows(direct) and routed.count() > 0
