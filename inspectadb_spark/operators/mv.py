@@ -152,15 +152,37 @@ def _answer_from_base(base: DataFrame, req: AggRequest) -> DataFrame:
     return base.groupBy(*keys).agg(*aggs)
 
 
+def stored_rows(path: str) -> int:
+    """Total stored rows of a materialized summary from parquet FOOTER
+    metadata only — the planner's cost signal. No Spark job, no data read;
+    at 100 TB this is a handful of footer fetches per candidate MV."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+    )
+
+
 def route(
     spark: SparkSession,
     req: AggRequest,
     mvs: dict[str, tuple[MVDef, str]],
     base: DataFrame,
 ) -> tuple[DataFrame, str | None]:
-    """Answer ``req`` from the first compatible MV (name -> (def, parquet
-    path)), else the base table. Returns (result, mv_name-or-None)."""
-    for name, (mv, path) in mvs.items():
-        if _routable(req, mv):
-            return _answer_from_mv(spark.read.parquet(path), req, mv), name
+    """Answer ``req`` from the CHEAPEST compatible MV — fewest stored rows
+    per footer metadata; a monthly-grain summary beats a daily one for a
+    yearly rollup — else the base table. ``mvs`` maps name -> (def,
+    parquet path). Returns (result, mv_name-or-None)."""
+    candidates = [
+        (stored_rows(path), name, mv, path)
+        for name, (mv, path) in mvs.items()
+        if _routable(req, mv)
+    ]
+    if candidates:
+        _, name, mv, path = min(candidates, key=lambda c: (c[0], c[1]))
+        return _answer_from_mv(spark.read.parquet(path), req, mv), name
     return _answer_from_base(base, req), None

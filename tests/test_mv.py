@@ -143,3 +143,39 @@ def test_zipf_slope_is_negative_and_exact_on_geometric_counts(spark):
     row = zipf_fit(docs).collect()[0]
     assert row["n_types"] == 4 and row["n_tokens"] == 25
     assert row["zipf_slope"] == pytest.approx(-1.0, abs=1e-3)
+
+
+def test_route_picks_cheapest_compatible_mv(spark, base, mv_stored,
+                                            tmp_path_factory):
+    """Cost-based selection: a monthly-grain summary (fewer stored rows per
+    footer metadata) must win over the daily one for a monthly request,
+    while a daily-only request still routes to the daily MV."""
+    mv_daily, daily_path = mv_stored
+    mv_monthly = MVDef(
+        name="mv_monthly",
+        keys=("month", "flag"),
+        measures={"sum_qty": ("sum", "qty"), "cnt": ("count", "*")},
+    )
+    monthly_path = str(tmp_path_factory.mktemp("mv2") / "mv_monthly")
+    mv_monthly.store(
+        base.withColumn("month", F.trunc("day", "month")), monthly_path)
+    mvs = {mv_daily.name: (mv_daily, daily_path),
+           mv_monthly.name: (mv_monthly, monthly_path)}
+
+    monthly_req = AggRequest(
+        keys={"month": None},
+        measures={"sum_qty": ("sum", "qty"), "n": ("count", "*")})
+    routed, used = route(spark, monthly_req, mvs, base)
+    assert used == "mv_monthly"
+    # the fallback needs a base that carries the month column the request
+    # names (the MV paths derive it from their stored grain)
+    direct, _ = route(spark, monthly_req, {},
+                      base.withColumn("month", F.trunc("day", "month")))
+    k = lambda r: str(r["month"])  # noqa: E731
+    assert sorted(map(tuple, routed.collect()), key=lambda t: str(t)) == \
+        sorted(map(tuple, direct.collect()), key=lambda t: str(t))
+
+    daily_req = AggRequest(
+        keys={"day": None}, measures={"sum_qty": ("sum", "qty")})
+    _, used_daily = route(spark, daily_req, mvs, base)
+    assert used_daily == mv_daily.name
