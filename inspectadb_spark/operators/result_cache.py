@@ -1,0 +1,117 @@
+"""Query result cache keyed by (canonicalized plan, input-file versions).
+
+The warehouse result-cache contract: serving an identical query over
+unchanged inputs must cost a metadata check plus a summary-sized read, and
+ANY change to the inputs must invalidate silently — correctness can never
+depend on an explicit flush.
+
+Fingerprint = md5 over
+- the OPTIMIZED logical plan text with per-session expression ids
+  (``name#123``) and plan-object addresses stripped, so the same query
+  re-built in a different session (different alias ids) still hits, and
+- the version vector of every input file the plan reads
+  (path, size, mtime-ns from ``df.inputFiles()``) — an overwritten /
+  appended / compacted input changes the vector, so stale entries are
+  simply never addressed again (old fingerprints age out; ``vacuum``
+  removes them).
+
+This composes with the CDC surface: applying a change-batch to a table
+rewrites its files, which rotates the version vector, which invalidates
+every cached result over that table — no bookkeeping links caches to
+tables. The same mechanism is why a cache HIT is safe: an address match
+proves byte-identical inputs and a semantically identical plan.
+
+100 TB design: the fingerprint never touches data (plan text + file-status
+listing, both driver-side metadata); results worth caching are
+aggregate-sized, so the cache store is summary tables. Result reuse under
+SUBSUMPTION (answering a coarser query from a finer cached result) is the
+materialized-view routing algebra — operators/mv.py — not this module;
+this cache is exact-match only, by design, because plan equality is
+decidable where query containment is not.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ID_RE = re.compile(r"#\d+")
+_ADDR_RE = re.compile(r"@[0-9a-f]{6,16}")
+
+
+def plan_key(df: DataFrame) -> str:
+    """Canonicalized optimized-plan text: expression ids and object
+    addresses stripped (session-dependent), structure and literals kept."""
+    txt = df._jdf.queryExecution().optimizedPlan().toString()
+    return _ADDR_RE.sub("@", _ID_RE.sub("#", txt))
+
+
+def input_versions(df: DataFrame) -> list[tuple[str, int, int]]:
+    """(path, size, mtime_ns) for every input file the plan reads."""
+    out = []
+    for uri in sorted(df.inputFiles()):
+        p = urlparse(uri).path if uri.startswith("file:") else uri
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((p, -1, -1))
+    return out
+
+
+def fingerprint(df: DataFrame) -> str:
+    h = hashlib.md5(plan_key(df).encode())
+    for p, size, mt in input_versions(df):
+        h.update(f"|{p}:{size}:{mt}".encode())
+    return h.hexdigest()
+
+
+class ResultCache:
+    """Parquet-backed exact-match result cache.
+
+    ``get_or_compute(df)`` returns ``(result_df, hit)`` — on a hit the
+    result is read from the cache parquet (the returned plan scans ONLY
+    the cache path; plan-pinned in tests), on a miss ``df`` is executed
+    once, stored, and served from the store so hit and miss return the
+    same physical shape.
+    """
+
+    def __init__(self, spark: SparkSession, cache_dir: str) -> None:
+        self.spark = spark
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _path(self, fp: str) -> str:
+        return os.path.join(self.cache_dir, fp)
+
+    def lookup(self, df: DataFrame) -> DataFrame | None:
+        p = self._path(fingerprint(df))
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            return self.spark.read.parquet(p)
+        return None
+
+    def get_or_compute(self, df: DataFrame) -> tuple[DataFrame, bool]:
+        fp = fingerprint(df)
+        p = self._path(fp)
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            return self.spark.read.parquet(p), True
+        df.write.mode("overwrite").parquet(p)
+        return self.spark.read.parquet(p), False
+
+    def vacuum(self, keep_fingerprints: set[str] | None = None) -> int:
+        """Drop cached entries (all, or all but ``keep_fingerprints``);
+        returns the number removed. Safe at any time: removal can only
+        cause misses, never wrong answers."""
+        removed = 0
+        for name in os.listdir(self.cache_dir):
+            if keep_fingerprints and name in keep_fingerprints:
+                continue
+            shutil.rmtree(os.path.join(self.cache_dir, name),
+                          ignore_errors=True)
+            removed += 1
+        return removed

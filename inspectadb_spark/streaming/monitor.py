@@ -139,3 +139,50 @@ def streaming_gap_profile(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_orphan_monitor(
+    stream: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming referential-integrity monitor: per event-time window, how
+    many arriving child rows have no matching parent key (rows + ppm rate;
+    DISTINCT-key attribution stays in the batch audit, q240 — streaming
+    aggregates cannot carry exact distincts) — the live orphan-rate feed a CDC pipeline alerts on when an
+    upstream table starts emitting keys the dimension hasn't seen.
+
+    Composition: a stream-static LEFT join against the parent's DISTINCT
+    key domain (dimension-sized -> broadcast; the static side is re-read
+    per micro-batch, so a slowly-refreshing parent is picked up without
+    restarts), then a standard tumbling-window aggregate. Batch-replaying
+    the stream gives IDENTICAL counts (asserted in S35) because nothing
+    here is stateful beyond the window agg itself.
+
+    100 TB design: the only stream-sized operation is the broadcast probe
+    (no shuffle of the child rows before the window agg's one exchange);
+    parent domains too big to broadcast swap in the q181 Bloom filter as
+    the probe side at the cost of a false-positive-bounded orphan
+    UNDERcount — the monitor stays one-sided either way.
+    """
+    from pyspark.sql import functions as F
+
+    pkd = F.broadcast(
+        parent.select(F.col(pk_col).alias("__pk")).distinct())
+    probed = stream.join(
+        pkd, stream[fk_col] == F.col("__pk"), "left")
+    return (
+        probed.groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__pk").isNull().cast("bigint")).alias("n_orphan_rows"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "n_rows", "n_orphan_rows",
+            F.expr("n_orphan_rows * 1000000 DIV n_rows").alias("orphan_ppm"),
+        )
+    )

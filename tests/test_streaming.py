@@ -1643,3 +1643,25 @@ def test_s34_incremental_state_routes_via_mv(spark, replay_dir, tmp_path):
     direct, used2 = route(spark, req, {}, hist)
     assert used2 is None
     assert _rows(routed) == _rows(direct) and routed.count() > 0
+
+
+# S35 streaming referential-integrity monitor: stream-static broadcast
+# probe against the parent key domain + tumbling orphan counts. Parent =
+# customers with even keys only, so replayed events yield a deterministic
+# nonzero orphan rate; stream result must equal the batch run of the SAME
+# operator on the full history.
+def test_s35_streaming_orphan_monitor(spark, replay_dir):
+    from inspectadb_spark.streaming.monitor import streaming_orphan_monitor
+
+    hist = spark.read.parquet(replay_dir)
+    parent = (hist.select((F.col("user_id")).alias("pk"))
+              .where(F.col("pk") % 2 == 0).distinct())
+    live = streaming_orphan_monitor(
+        _stream(spark, replay_dir), parent, "user_id", "pk")
+    _drain(live, "s35")
+    batch = streaming_orphan_monitor(hist, parent, "user_id", "pk")
+    got = _rows(spark.table("s35"))
+    want = _rows(batch)
+    assert got == want and len(got) > 0
+    # the planted odd-key orphans are actually detected
+    assert any(int(r[2]) > 0 for r in got)
