@@ -2881,3 +2881,52 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " (ORDER BY gap_days) AS BIGINT)").alias("p90_days"))
         .orderBy("cohort")
     )
+
+
+# --------------------------------------------------------------------------
+# Q243 sequential pattern mining (top event-type trigrams): q81 checks ONE
+# declared funnel, q82 counts pairwise transitions; this mines the top
+# contiguous length-3 patterns with per-user support — the discovery pass
+# that tells you WHICH funnels to declare. Ordering key (ts, event_id) is
+# total, so lead() windows are engine-deterministic; the top-20 cut is
+# total-ordered by (support desc, pattern) since patterns are unique.
+@query(
+    "q243_sequence_patterns",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), p AS (
+      SELECT user_id, event_type || '>' || e2 || '>' || e3 AS pattern
+      FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+    SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS support
+    FROM p GROUP BY pattern
+    ORDER BY support DESC, pattern LIMIT 20
+    """,
+    doc="Top contiguous event-type trigram patterns by distinct-user "
+        "support: one user-key window shuffle + one pattern aggregation + "
+        "TakeOrdered top-k. Pattern-space is bounded by |event types|^3, "
+        "so the aggregate is tiny at any event volume.",
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        s.select(
+            "user_id",
+            F.concat_ws(">", "event_type", "e2", "e3").alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count("*").alias("n_occurrences"),
+             F.count_distinct("user_id").alias("support"))
+        .orderBy(F.desc("support"), "pattern")
+        .limit(20)
+    )

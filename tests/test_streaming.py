@@ -1665,3 +1665,67 @@ def test_s35_streaming_orphan_monitor(spark, replay_dir):
     assert got == want and len(got) > 0
     # the planted odd-key orphans are actually detected
     assert any(int(r[2]) > 0 for r in got)
+
+
+# S36 persistent cross-run dedup registry: run 1 drains one replay dir,
+# run 2 (a NEW instance — simulated restart + new source) drains a second
+# dir whose keys overlap run 1. Keys seen in ANY earlier run stay
+# suppressed; within-batch and cross-batch first-wins is deterministic
+# (ordered by (ts, event_id)); re-delivering the last batch must not
+# duplicate output (idempotent batch=<id> path + pointer guard).
+def test_s36_cross_run_dedup_registry(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _time
+
+    from inspectadb_spark.streaming.dedup_registry import DedupRegistry
+
+    def mk(d, files):
+        os.makedirs(d, exist_ok=True)
+        now = _time.time()
+        for i, rows in enumerate(files):
+            t = pa.table({
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            })
+            p = os.path.join(d, f"c{i}.parquet")
+            pq.write_table(t, p)
+            os.utime(p, (now + i, now + i))
+
+    run1 = str(tmp_path / "run1")
+    #          key ts  id
+    mk(run1, [[(1, 10, 100), (2, 11, 101), (3, 12, 102), (2, 9, 103)],
+              [(2, 1, 104), (4, 13, 105)]])
+    run2 = str(tmp_path / "run2")
+    mk(run2, [[(3, 20, 200), (4, 21, 201), (5, 22, 202), (1, 23, 203)]])
+
+    def stream_of(d):
+        schema = spark.read.parquet(d).schema
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(d))
+
+    state = str(tmp_path / "reg_state")
+    out = str(tmp_path / "reg_out")
+    r1 = DedupRegistry(spark, state, out, ["k"], ["ts", "event_id"])
+    q = r1.start(stream_of(run1), str(tmp_path / "ck1"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+    got1 = {r["k"]: (r["ts"], r["event_id"]) for r in r1.emitted().collect()}
+    # batch 0: key 2 appears twice -> (9,103) wins within batch; batch 1's
+    # (1,104) for key 2 arrives later, loses cross-batch
+    assert got1 == {1: (10, 100), 2: (9, 103), 3: (12, 102), 4: (13, 105)}
+
+    # restart: NEW instance over the same persisted state, different source
+    r2 = DedupRegistry(spark, state, out, ["k"], ["ts", "event_id"])
+    q = r2.start(stream_of(run2), str(tmp_path / "ck2"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+    got2 = {r["k"]: (r["ts"], r["event_id"]) for r in r2.emitted().collect()}
+    assert got2 == {**got1, 5: (22, 202)}, "only key 5 is new in run 2"
+
+    # crash-window re-delivery of run 2's only batch: guard makes it a no-op
+    batch = spark.read.parquet(run2)
+    r2._apply_batch(batch, 0)
+    assert {r["k"] for r in r2.emitted().collect()} == {1, 2, 3, 4, 5}
+    assert r2.emitted().count() == 5
