@@ -125,7 +125,8 @@ _TIER2 = [
     "q235_abc_classification", "q236_repurchase_cadence",
     "q237_keep_best_dedup", "q238_zipf_fit", "q239_mv_rewrite",
     "q240_inclusion_audit", "q241_fd_audit", "q242_candidate_keys",
-    "q243_sequence_patterns",
+    "q243_sequence_patterns", "q244_theil_sen",
+    "q245_join_cardinality_audit",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -1780,3 +1780,162 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("tw").alias("total_weight"))
         .orderBy("flag")
     )
+
+
+# --------------------------------------------------------------------------
+# Q244 Theil–Sen robust trend of daily revenue: median of pairwise slopes
+# (and the matching median intercept) — the outlier-immune complement to
+# q89b's OLS. O(n^2) pairs BY DEFINITION, applied where it belongs: to the
+# day-aggregated series (n = |days|, bounded by the calendar, not by data
+# volume), broadcast self-joined; the raw scan contributes one day-keyed
+# aggregation. For series too long even for that, the repeated-median /
+# sampled-pairs estimators swap in at the pair-generation step.
+@query(
+    "q244_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS r
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT CAST(b.r - a.r AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON a.d < b.d),
+    sl AS (SELECT quantile_cont(s, 0.5) AS slope, COUNT(*) AS n_pairs
+           FROM p),
+    ic AS (
+      SELECT sl.slope, sl.n_pairs,
+             quantile_cont(daily.r - sl.slope * daily.d, 0.5) AS intercept,
+             COUNT(*) AS n_days
+      FROM daily CROSS JOIN sl GROUP BY sl.slope, sl.n_pairs)
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(ROUND(CAST(slope AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS sen_slope,
+           CAST(ROUND(CAST(intercept AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS sen_intercept
+    FROM ic
+    """,
+    doc="Theil–Sen robust slope/intercept of daily revenue cents vs day "
+        "index: exact median over all pairwise slopes of the day-level "
+        "aggregate, then the median intercept under that slope.",
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    daily = (
+        o.select(
+            F.expr("datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')")
+            .alias("d"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"))
+        .groupBy("d").agg(F.sum("c").alias("r"))
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("r").alias("r1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("r").alias("r2"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .select(((F.col("r2") - F.col("r1")).cast("double")
+                 / (F.col("d2") - F.col("d1")).cast("double")).alias("s"))
+    )
+    sl = slopes.agg(F.expr("percentile(s, 0.5D)").alias("slope"),
+                    F.count("*").alias("n_pairs"))
+    resid = daily.crossJoin(F.broadcast(sl)).select(
+        "slope", "n_pairs",
+        (F.col("r").cast("double")
+         - F.col("slope") * F.col("d").cast("double")).alias("ic"))
+    return (
+        resid.groupBy("slope", "n_pairs")
+        .agg(F.expr("percentile(ic, 0.5D)").alias("intercept"),
+             F.count("*").alias("n_days"))
+        .select("n_days", "n_pairs",
+                r4c(F.col("slope")).alias("sen_slope"),
+                r4c(F.col("intercept")).alias("sen_intercept"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q245 join-cardinality estimator audit: the System-R textbook estimate
+# |A JOIN B| = |A|*|B| / max(ndv_A(k), ndv_B(k)) next to the ACTUAL join
+# cardinality for every FK edge of the schema — the measurement that tells
+# you where a cost-based planner's first-order assumption (uniform key
+# frequencies, containment) breaks on this data. All inputs are single
+# aggregates; the actual count is the only join executed.
+_Q245_EDGES = [
+    ("lineitem x orders ON l_orderkey=o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem x part ON l_partkey=p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders x customer ON o_custkey=c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer x nation ON c_nationkey=n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events x customer ON user_id=c_custkey",
+     "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _q245_oracle() -> str:
+    parts = []
+    for label, lt, lk, rt, rk in _Q245_EDGES:
+        parts.append(f"""
+    SELECT '{label}' AS edge,
+           CAST(s.n_l AS BIGINT) AS n_left,
+           CAST(s.n_r AS BIGINT) AS n_right,
+           CAST(s.ndv_l AS BIGINT) AS ndv_left,
+           CAST(s.ndv_r AS BIGINT) AS ndv_right,
+           CAST(ROUND(CAST(CAST(s.n_l AS DOUBLE) * CAST(s.n_r AS DOUBLE)
+                           / CAST(GREATEST(s.ndv_l, s.ndv_r) AS DOUBLE)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS est_rows,
+           CAST(j.actual AS BIGINT) AS actual_rows,
+           CAST(ROUND(CAST(ABS(CAST(s.n_l AS DOUBLE) * CAST(s.n_r AS DOUBLE)
+                               / CAST(GREATEST(s.ndv_l, s.ndv_r) AS DOUBLE)
+                               - CAST(j.actual AS DOUBLE))
+                           / CAST(j.actual AS DOUBLE)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS err_ratio
+    FROM (SELECT (SELECT COUNT(*) FROM {lt}) AS n_l,
+                 (SELECT COUNT(*) FROM {rt}) AS n_r,
+                 (SELECT COUNT(DISTINCT {lk}) FROM {lt}) AS ndv_l,
+                 (SELECT COUNT(DISTINCT {rk}) FROM {rt}) AS ndv_r) s
+    CROSS JOIN (SELECT COUNT(*) AS actual
+                FROM {lt} JOIN {rt} ON {lk} = {rk}) j""")
+    return " UNION ALL ".join(parts) + " ORDER BY edge"
+
+
+@query(
+    "q245_join_cardinality_audit",
+    oracle=_q245_oracle(),
+    doc="System-R join-cardinality estimate vs actual per FK edge, with "
+        "the relative error — the planner-assumption audit.",
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    t = tables(spark, sf_dir)
+    outs = []
+    for label, lt, lk, rt, rk in _Q245_EDGES:
+        left, right = t[lt], t[rt]
+        stats = (
+            left.agg(F.count(F.lit(1)).alias("n_l"),
+                     F.count_distinct(F.col(lk)).alias("ndv_l"))
+            .crossJoin(right.agg(F.count(F.lit(1)).alias("n_r"),
+                                 F.count_distinct(F.col(rk)).alias("ndv_r")))
+        )
+        actual = (
+            left.join(right, left[lk] == right[rk])
+            .agg(F.count(F.lit(1)).alias("actual"))
+        )
+        est = (F.col("n_l").cast("double") * F.col("n_r").cast("double")
+               / F.greatest("ndv_l", "ndv_r").cast("double"))
+        outs.append(
+            stats.crossJoin(actual).select(
+                F.lit(label).alias("edge"),
+                F.col("n_l").alias("n_left"),
+                F.col("n_r").alias("n_right"),
+                F.col("ndv_l").alias("ndv_left"),
+                F.col("ndv_r").alias("ndv_right"),
+                r4c(est).alias("est_rows"),
+                F.col("actual").alias("actual_rows"),
+                r4c(F.abs(est - F.col("actual").cast("double"))
+                    / F.col("actual").cast("double")).alias("err_ratio"),
+            )
+        )
+    return reduce(lambda x, y: x.unionAll(y), outs).orderBy("edge")

@@ -472,3 +472,38 @@ def test_heavy_hitters_mg_candidates_are_superset(spark):
     out = heavy_hitters(df, col="item", denom=12, m=12).collect()
     assert [r["item"] for r in out] == ["heavy"]
     assert out[0]["cnt"] == 500 and out[0]["tot"] == 5500
+
+
+def test_theil_sen_ignores_planted_outlier(spark):
+    """q244's estimator contract: on a perfectly linear series y = 5x + 3
+    with ONE wild outlier, the pairwise-slope median still recovers slope 5
+    and intercept 3 exactly, while OLS on the same data does not (the
+    robustness that justifies the O(n^2)-pairs cost)."""
+    rows = [(x, 5.0 * x + 3.0) for x in range(21)]
+    rows[20] = (20, 100000.0)  # wild day at the end, where OLS leverage peaks
+    df = spark.createDataFrame(rows, "d int, r double")
+    a = df.select(F.col("d").alias("d1"), F.col("r").alias("r1"))
+    b = df.select(F.col("d").alias("d2"), F.col("r").alias("r2"))
+    slopes = (a.join(b, F.col("d1") < F.col("d2"))
+              .select(((F.col("r2") - F.col("r1"))
+                       / (F.col("d2") - F.col("d1"))).alias("s")))
+    slope = slopes.agg(F.expr("percentile(s, 0.5D)").alias("m")).collect()[0]["m"]
+    assert slope == 5.0
+    ic = df.select((F.col("r") - slope * F.col("d")).alias("i"))
+    intercept = ic.agg(F.expr("percentile(i, 0.5D)").alias("m")).collect()[0]["m"]
+    assert intercept == 3.0
+    # OLS is dragged by the outlier
+    ols = df.agg(F.expr("regr_slope(r, d)").alias("b")).collect()[0]["b"]
+    assert abs(ols - 5.0) > 10
+
+
+def test_join_cardinality_estimate_exact_on_uniform_fk(spark):
+    """On a perfectly uniform FK (every parent key appears exactly k times)
+    the System-R estimate is EXACT — q245's audit must report err 0."""
+    parent = spark.range(0, 10).select(F.col("id").alias("pk"))
+    child = spark.range(0, 40).select((F.col("id") % 10).alias("fk"))
+    n_l, ndv_l = 40, 10
+    n_r, ndv_r = 10, 10
+    est = n_l * n_r / max(ndv_l, ndv_r)
+    actual = child.join(parent, F.col("fk") == F.col("pk")).count()
+    assert est == actual == 40
