@@ -14,10 +14,12 @@ Design principles (SURVEY.md §3.4, §4):
   *plan builders*: Python functions that return lazy DataFrames.
 """
 
+from inspectadb_spark.engine import Engine
 from inspectadb_spark.session import get_session, configure
 from inspectadb_spark.catalog import load_table, load_tables, register_views, TABLES
 
 __all__ = [
+    "Engine",
     "get_session",
     "configure",
     "load_table",

@@ -1,0 +1,95 @@
+"""Engine facade: one object that composes the serving layers.
+
+A user of the reference tool talks to a single engine handle — register
+tables, run SQL, apply changes, and have aggregate requests served from the
+cheapest correct layer. This facade wires the existing parts together; it
+adds NO new semantics (each layer is independently tested and oracled):
+
+    aggregate(request)
+        1. result cache  — exact-match plan fingerprint + input versions
+                           (operators/result_cache.py); a hit costs a
+                           metadata check + summary-sized read
+        2. MV routing    — SUM/COUNT/MIN/MAX/AVG rewrite against the
+                           cheapest compatible summary table
+                           (operators/mv.py; footer-row-count cost model)
+        3. base table    — the direct aggregate
+
+The provenance string returned with every result ("cache" / "mv:<name>" /
+"base") makes the serving decision observable — the first thing an operator
+asks when a dashboard slows down. Correctness does not depend on the layer
+chosen: the cache key proves byte-identical inputs + an identical plan, and
+MV routing is the algebra hash-verified by q239's oracle.
+
+Invalidation is file-version-based end to end: ``apply_changes`` (CDC
+upsert/delete merge) rewrites the table files, which rotates every
+dependent cache fingerprint automatically; MV staleness is the refresh
+contract (``refresh_mv`` for batch, streaming/incremental.py for live).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from inspectadb_spark.catalog import load_tables
+from inspectadb_spark.operators.mv import AggRequest, MVDef
+from inspectadb_spark.operators.mv import route as _mv_route
+from inspectadb_spark.operators.result_cache import ResultCache
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 work_dir: str) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.work_dir = work_dir
+        self.tables = load_tables(spark, sf_dir)
+        self.cache = ResultCache(spark, os.path.join(work_dir, "result_cache"))
+        self._mvs: dict[str, tuple[MVDef, str, str]] = {}  # name->(def,path,base)
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name)
+
+    # -- relational entry points ------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    def sql(self, text: str) -> DataFrame:
+        return self.spark.sql(text)
+
+    # -- summary tables ----------------------------------------------------
+    def register_mv(self, mv: MVDef, base_table: str,
+                    base_builder=None) -> None:
+        """Register + refresh a summary over ``base_table``. An optional
+        ``base_builder(df) -> df`` pre-projects derived grain columns
+        (e.g. ship_day) before the MV groupBy."""
+        path = os.path.join(self.work_dir, "mv", mv.name)
+        base = self.tables[base_table]
+        if base_builder is not None:
+            base = base_builder(base)
+        mv.store(base, path)
+        self._mvs[mv.name] = (mv, path, base_table)
+
+    def refresh_mv(self, name: str) -> None:
+        mv, path, base_table = self._mvs[name]
+        mv.store(self.tables[base_table], path)
+
+    # -- layered aggregate serving ----------------------------------------
+    def aggregate(self, base_table: str, req: AggRequest,
+                  base_builder=None, use_cache: bool = True,
+                  ) -> tuple[DataFrame, str]:
+        """Serve an aggregate request; returns (result, provenance)."""
+        base = self.tables[base_table]
+        if base_builder is not None:
+            base = base_builder(base)
+        mvs = {n: (mv, path) for n, (mv, path, bt) in self._mvs.items()
+               if bt == base_table}
+        routed, used = _mv_route(self.spark, req, mvs, base)
+        provenance = f"mv:{used}" if used else "base"
+        if not use_cache:
+            return routed, provenance
+        hit = self.cache.lookup(routed)
+        if hit is not None:
+            return hit, "cache"
+        stored, _ = self.cache.get_or_compute(routed)
+        return stored, provenance

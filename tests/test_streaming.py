@@ -1729,3 +1729,41 @@ def test_s36_cross_run_dedup_registry(spark, tmp_path):
     r2._apply_batch(batch, 0)
     assert {r["k"] for r in r2.emitted().collect()} == {1, 2, 3, 4, 5}
     assert r2.emitted().count() == 5
+
+
+# S37 streaming quantile serving: the q184 value-histogram grid maintained
+# LIVE by IncrementalAggregate (bin-keyed counts are decomposable, so the
+# drained state equals the batch-built grid EXACTLY), then vhist_quantile
+# served off the live state — identical estimates to the batch sketch, and
+# within one bin width of the exact batch percentile.
+def test_s37_streaming_quantile_grid(spark, replay_dir, tmp_path):
+    from inspectadb_spark.operators.sketches import vhist_quantile, vhist_sketch
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    width, n_bins = 25, 20
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"bin": f"CAST(LEAST(FLOOR(value / {width}.0),"
+                          f" {n_bins - 1}) AS INT)"},
+        measures=[("cnt", "count", "*")])
+    q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    hist = spark.read.parquet(replay_dir)
+    live_grid = inc.table().select("bin", "cnt")
+    batch_grid = vhist_sketch(hist, "value", width, n_bins)
+    assert _rows(live_grid) == _rows(batch_grid)
+
+    pcts = [50, 90, 99]
+    live_q = {r["p"]: r["est"]
+              for r in vhist_quantile(live_grid, pcts, width).collect()}
+    batch_q = {r["p"]: r["est"]
+               for r in vhist_quantile(batch_grid, pcts, width).collect()}
+    assert live_q == batch_q
+    exact = hist.agg(*[
+        F.expr(f"percentile(value, {p / 100.0}D)").alias(str(p))
+        for p in pcts]).collect()[0]
+    for p in pcts:
+        assert abs(live_q[p] - exact[str(p)]) <= width
