@@ -126,7 +126,7 @@ _TIER2 = [
     "q237_keep_best_dedup", "q238_zipf_fit", "q239_mv_rewrite",
     "q240_inclusion_audit", "q241_fd_audit", "q242_candidate_keys",
     "q243_sequence_patterns", "q244_theil_sen",
-    "q245_join_cardinality_audit",
+    "q245_join_cardinality_audit", "q246_disorder_profile",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -272,3 +272,41 @@ def global_rank(
         .withColumn("rank", F.col("_off") + F.row_number().over(win))
         .drop("_bkt", "_off")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "run_max",
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Exact ``MAX(val) OVER (ORDER BY order ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` — the running high-watermark of a log —
+    WITHOUT a global single-task sort, by the same bucket-offset scheme as
+    ``global_rank``:
+
+    1. bucket = order DIV bucket_width (order-preserving);
+    2. per-bucket max → strict-prefix max over the bucket table (small)
+       gives each bucket its carry-in (max of ALL earlier buckets);
+    3. within-bucket strict-preceding running max (properly partitioned
+       window), combined with the carry-in via null-skipping GREATEST.
+
+    Bit-identical to the naive global window (parity-tested). Requires
+    ``order_col`` values unique (a log sequence / LSN / event id) so
+    "preceding" is well-defined. First row's watermark is NULL.
+    """
+    from pyspark.sql import Window
+
+    b = df.withColumn("_bkt", F.expr(f"{order_col} DIV {bucket_width}"))
+    bmax = b.groupBy("_bkt").agg(F.max(val_col).alias("_bmax"))
+    wprev = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bmax.withColumn("_carry", F.max("_bmax").over(wprev)).drop("_bmax")
+    win = (Window.partitionBy("_bkt").orderBy(order_col)
+           .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        b.join(F.broadcast(carry), "_bkt")
+        .withColumn(out_col,
+                    F.greatest(F.col("_carry"), F.max(val_col).over(win)))
+        .drop("_bkt", "_carry")
+    )

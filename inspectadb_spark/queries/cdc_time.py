@@ -2930,3 +2930,63 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "pattern")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q246 event-time disorder profile: how late do events arrive relative to
+# the running event-time high-watermark of the arrival log (event_id =
+# arrival order)? THE measurement that sizes `withWatermark` — S1 asserts
+# late rows are dropped at a given delay; this query tells you what delay
+# the data actually needs (max + exact integer-second percentiles of
+# lateness, per event type).
+@query(
+    "q246_disorder_profile",
+    oracle="""
+    WITH a AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hwm
+      FROM events),
+    l AS (
+      SELECT event_type,
+             CASE WHEN hwm IS NULL OR ts >= hwm THEN 0
+                  ELSE CAST(date_diff('second', ts, hwm) AS BIGINT)
+             END AS late_s
+      FROM a)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN late_s > 0 THEN 1 END) AS BIGINT) AS n_late,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s,
+           CAST(CAST(quantile_cont(late_s, 0.95) AS DECIMAL(18,6)) AS DOUBLE)
+             AS p95_late_s
+    FROM l GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Lateness vs the running arrival-order high-watermark: per event "
+        "type, out-of-order row count, worst lateness, and the p95 that "
+        "sizes the streaming watermark delay. Integer-second lateness "
+        "keeps every aggregate engine-exact.",
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import global_running_max
+
+    ev = tables(spark, sf_dir)["events"]
+    # distributed running high-watermark (bucket-offset scheme, parity-
+    # tested against the naive single-task global window in test_scale_ops)
+    a = global_running_max(
+        ev.select("event_type", "ts", "event_id"),
+        order_col="event_id", val_col="ts", out_col="hwm",
+    ).select("event_type", "ts", "hwm")
+    late = F.when(
+        F.col("hwm").isNull() | (F.col("ts") >= F.col("hwm")), F.lit(0)
+    ).otherwise(
+        (F.unix_timestamp("hwm") - F.unix_timestamp("ts")).cast("bigint"))
+    return (
+        a.select("event_type", late.alias("late_s"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum((F.col("late_s") > 0).cast("bigint")).alias("n_late"),
+             F.max("late_s").alias("max_late_s"),
+             F.expr("CAST(CAST(percentile(late_s, 0.95D) AS DECIMAL(18,6))"
+                    " AS DOUBLE)").alias("p95_late_s"))
+        .orderBy("event_type")
+    )

@@ -406,3 +406,26 @@ def test_global_rank_equals_global_window(spark):
         got = {(r.id, r.rank)
                for r in global_rank(df, "v", "id", bucket_width=width).collect()}
         assert got == want, f"width={width}"
+
+
+def test_global_running_max_parity_with_naive_window(spark):
+    """Distributed bucket-offset running high-watermark (q246's scale
+    path) is bit-identical to the single-task global window, including
+    NULL for the first row and across bucket boundaries."""
+    from pyspark.sql import Window
+
+    from inspectadb_spark.operators.scale import global_running_max
+
+    rows = [(i, float((i * 37) % 101)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "seq bigint, v double").repartition(13)
+    got = global_running_max(df, "seq", "v", bucket_width=250)
+    naive = df.withColumn(
+        "run_max",
+        F.max("v").over(Window.orderBy("seq")
+                        .rowsBetween(Window.unboundedPreceding, -1)))
+    key = lambda r: r["seq"]  # noqa: E731
+    g = sorted(got.collect(), key=key)
+    n = sorted(naive.collect(), key=key)
+    assert [(r["seq"], r["run_max"]) for r in g] == \
+        [(r["seq"], r["run_max"]) for r in n]
+    assert g[0]["run_max"] is None
