@@ -291,3 +291,59 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_ppm"))
         .orderBy(F.desc("lift_ppm"), "item1", "item2").limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# Q247 golden-record survivorship: q143 decides WHICH records are the same
+# entity; this builds the merged record the MDM pipeline actually ships —
+# per-attribute survivorship rules (anchor name from the canonical member,
+# cheapest price, largest size, sorted member roster), all deterministic
+# and engine-portable (min_by on the unique member id breaks every tie).
+@query(
+    "q247_golden_record",
+    oracle=f"""
+    WITH pr AS ({_FUZZY_PAIRS}),
+    sym AS (
+      SELECT id1 AS rec, id2 AS neigh FROM pr
+      UNION ALL
+      SELECT id2 AS rec, id1 AS neigh FROM pr),
+    best AS (SELECT rec, MIN(neigh) AS min_neigh FROM sym GROUP BY rec),
+    canon AS (
+      SELECT p.p_partkey,
+             LEAST(p.p_partkey, COALESCE(best.min_neigh, p.p_partkey))
+               AS canonical_id
+      FROM part p LEFT JOIN best ON p.p_partkey = best.rec)
+    SELECT c.canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           min_by(p.p_name, p.p_partkey) AS golden_name,
+           MIN(p.p_retailprice) AS golden_price,
+           CAST(MAX(p.p_size) AS INT) AS golden_size,
+           list_sort(list(p.p_partkey)) AS member_ids
+    FROM canon c JOIN part p ON p.p_partkey = c.p_partkey
+    GROUP BY c.canonical_id
+    HAVING COUNT(*) > 1
+    ORDER BY c.canonical_id
+    """,
+    doc="Golden-record merge per resolved entity cluster (clusters of "
+        "size > 1): anchor name (min-id member), min price, max size, "
+        "sorted member roster — the survivorship half of MDM on top of "
+        "q143's linkage half. One groupBy on canonical_id.",
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tables(spark, sf_dir)["part"]
+    pairs = blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", ["p_brand", "p_type"], max_dist=2)
+    canon = resolve_entities(part, pairs, "p_partkey")
+    j = part.join(canon, "p_partkey")
+    return (
+        j.groupBy("canonical_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.expr("min_by(p_name, p_partkey)").alias("golden_name"),
+            F.min("p_retailprice").alias("golden_price"),
+            F.max("p_size").cast("int").alias("golden_size"),
+            F.sort_array(F.collect_list("p_partkey")).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("canonical_id")
+    )
