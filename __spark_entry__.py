@@ -127,7 +127,7 @@ _TIER2 = [
     "q240_inclusion_audit", "q241_fd_audit", "q242_candidate_keys",
     "q243_sequence_patterns", "q244_theil_sen",
     "q245_join_cardinality_audit", "q246_disorder_profile",
-    "q247_golden_record",
+    "q247_golden_record", "q248_cdc_to_summary",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -2990,3 +2990,71 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " AS DOUBLE)").alias("p95_late_s"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q248 the product pipeline in ONE oracled query: CDC change-log -> ordered
+# upsert/delete fold (q46 machinery) -> daily summary table -> monthly
+# rollup ROUTED through the MV algebra (q239 machinery). The oracle folds
+# the same changelog and aggregates directly, so the hash match certifies
+# the composition end to end: ingest -> apply -> summarize -> serve.
+# The routed sum rides DECIMAL (exact) and is cast back to BIGINT cents at
+# the end; the intermediate double hop is exact below 2^53 — at warehouse
+# scale the MV reader swaps the final cast chain for a pure-decimal
+# projection (operators/mv.py stores decimals already).
+@query(
+    "q248_cdc_to_summary",
+    oracle=f"""
+    WITH {CDC_ORDERS_CTE},
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY lsn DESC) AS rn
+      FROM cdc_orders),
+    cur AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM ranked WHERE rn = 1 AND op <> 'd')
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM cur GROUP BY 1, 2 ORDER BY month, o_orderstatus
+    """,
+    doc="End-to-end CDC pipeline: changelog fold to current state, daily "
+        "summary materialization, monthly rollup served via MV routing — "
+        "one hash match certifies ingest->apply->summarize->serve.",
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.mv import AggRequest, MVDef, route
+
+    cdc = derive_cdc_orders(tables(spark, sf_dir)["orders"])
+    cur = (
+        apply_changelog(cdc, ["o_orderkey"], order_col="lsn", op_col="op")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .withColumn("order_day", F.date_trunc("day", F.col("o_orderdate")))
+        .withColumn("cents",
+                    F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+    )
+    mv = MVDef(
+        name="mv_cdc_orders_daily",
+        keys=("order_day", "o_orderstatus"),
+        measures={"sum_cents": ("sum", "cents"), "cnt": ("count", "*")},
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"inspectadb_mv_cdc_{tag}")
+    mv.store(cur, path)
+    req = AggRequest(
+        keys={"month": "date_trunc('month', order_day)",
+              "o_orderstatus": None},
+        measures={"n_orders": ("count", "*"),
+                  "revenue_cents": ("sum", "cents")},
+    )
+    out, used = route(spark, req, {mv.name: (mv, path)}, cur)
+    assert used == mv.name
+    return (
+        out.select("month", "o_orderstatus",
+                   "n_orders",
+                   F.col("revenue_cents").cast("bigint")
+                   .alias("revenue_cents"))
+        .orderBy("month", "o_orderstatus")
+    )
