@@ -1084,3 +1084,135 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return zipf_fit(docs).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Q249 temperature-scaled mixture weights: the multilingual-training
+# standard (sample source s with probability share_s^alpha / Z, alpha<1
+# upweights the tail). q126/q126b enforce a target mixture; this COMPUTES
+# the target from the corpus itself. Scalar pow/normalization happen on
+# the source-count table (|sources| rows) after exact integer counts.
+@query(
+    "q249_mixture_temperature",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(n) AS tot FROM s),
+    w AS (
+      SELECT source, n, tot,
+             POW(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 0.7) AS tw
+      FROM s CROSS JOIN t),
+    z AS (SELECT SUM(tw) AS sw FROM w)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           n * 1000000 // tot AS share_ppm,
+           CAST(ROUND(CAST(tw AS DECIMAL(18,6)), 4) AS DOUBLE) AS temp_weight,
+           CAST(ROUND(CAST(tw / sw AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS temp_share
+    FROM w CROSS JOIN z ORDER BY source
+    """,
+    doc="Temperature-scaled (alpha=0.7) sampling weights per source: raw "
+        "share ppm (exact integers) plus normalized temperature share "
+        "(4-dp doubles over the |sources|-row table).",
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    s = docs.groupBy("source").agg(F.count("*").alias("n"))
+    t = s.agg(F.sum("n").alias("tot"))
+    w = s.crossJoin(F.broadcast(t)).withColumn(
+        "tw", F.pow(F.col("n").cast("double") / F.col("tot").cast("double"),
+                    F.lit(0.7)))
+    z = w.agg(F.sum("tw").alias("sw"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source", F.col("n").alias("n_docs"),
+            F.expr("n * 1000000 DIV tot").alias("share_ppm"),
+            r4c(F.col("tw")).alias("temp_weight"),
+            r4c(F.col("tw") / F.col("sw")).alias("temp_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q250 dedup threshold sweep: pair and affected-doc counts at each
+# candidate Jaccard cutoff — the operating-curve table you read before
+# committing a near-dup threshold corpus-wide. Similarity is integer ppm
+# (i*1e6 DIV union), so every row is engine-exact; the pair table is
+# computed ONCE (blocked, like q44c) and the sweep is a tiny
+# threshold-join over it.
+_Q250_THRS = [200000, 300000, 400000, 500000, 600000, 700000, 800000]
+
+
+@query(
+    "q250_dedup_threshold_sweep",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT d1, d2, i * 1000000 // (s1.sz + s2.sz - i) AS jppm
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE i * 1000000 // (s1.sz + s2.sz - i) >= {_Q250_THRS[0]}),
+    t(thr) AS (VALUES {', '.join(f'({x})' for x in _Q250_THRS)}),
+    m AS (SELECT t.thr, d1, d2 FROM p JOIN t ON p.jppm >= t.thr),
+    pc AS (SELECT thr, COUNT(*) AS n_pairs FROM m GROUP BY thr),
+    dc AS (
+      SELECT thr, COUNT(DISTINCT doc) AS n_docs FROM (
+        SELECT thr, d1 AS doc FROM m UNION SELECT thr, d2 FROM m) u
+      GROUP BY thr)
+    SELECT CAST(t.thr AS BIGINT) AS thr_ppm,
+           CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs_affected
+    FROM t LEFT JOIN pc ON pc.thr = t.thr LEFT JOIN dc ON dc.thr = t.thr
+    ORDER BY thr_ppm
+    """,
+    doc="Near-dup threshold operating curve: blocked exact-Jaccard pairs "
+        "in integer ppm, swept over candidate cutoffs — pairs and distinct "
+        "affected docs per threshold, zero-filled.",
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    tok = (docs.select("doc_id", "lang",
+                       F.explode(F.split("text", " ")).alias("tok"))
+           .distinct())
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.select(F.col("doc_id").alias("d1"), "lang", "tok")
+    b = tok.select(F.col("doc_id").alias("d2"), "lang", "tok")
+    inter = (a.join(b, ["lang", "tok"]).filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    p = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("d1"),
+                           F.col("sz").alias("s1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("sz").alias("s2")), "d2")
+        .select("d1", "d2",
+                F.expr("i * 1000000 DIV (s1 + s2 - i)").alias("jppm"))
+        .filter(F.col("jppm") >= _Q250_THRS[0])
+    )
+    thr = spark.createDataFrame([(x,) for x in _Q250_THRS], "thr bigint")
+    m = p.join(F.broadcast(thr), F.col("jppm") >= F.col("thr")).select(
+        "thr", "d1", "d2")
+    pc = m.groupBy("thr").agg(F.count("*").alias("n_pairs"))
+    dc = (
+        m.select("thr", F.col("d1").alias("doc"))
+        .union(m.select("thr", F.col("d2").alias("doc")))
+        .distinct()
+        .groupBy("thr").agg(F.count("*").alias("n_docs_affected"))
+    )
+    return (
+        thr.join(pc, "thr", "left").join(dc, "thr", "left")
+        .select(F.col("thr").alias("thr_ppm"),
+                F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                F.coalesce("n_docs_affected", F.lit(0))
+                .alias("n_docs_affected"))
+        .orderBy("thr_ppm")
+    )
