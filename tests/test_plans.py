@@ -542,3 +542,27 @@ def test_round4e_analytics_plan_shapes(spark):
     assert "_bkt" in plan
 
     assert "BroadcastHashJoin" in _plan(spark, "q216_association_rules")
+
+
+def test_round4g_inspection_and_serving_plan_shapes(spark):
+    """q237-q250: the round-4-final families keep their scale shapes —
+    no cartesian products anywhere (one-row stat crossJoins are
+    BroadcastNestedLoop over single-row sides, never CartesianProduct);
+    q243's top-k is TakeOrdered; q246's running high-watermark windows are
+    partitioned by the bucket key (no global single-task sort); q250's
+    threshold sweep joins broadcast."""
+    for q in ("q237_keep_best_dedup", "q238_zipf_fit",
+              "q240_inclusion_audit", "q241_fd_audit",
+              "q242_candidate_keys", "q243_sequence_patterns",
+              "q245_join_cardinality_audit", "q246_disorder_profile",
+              "q247_golden_record", "q248_cdc_to_summary",
+              "q249_mixture_temperature", "q250_dedup_threshold_sweep"):
+        assert "CartesianProduct" not in _plan(spark, q), q
+
+    assert "TakeOrderedAndProject" in _plan(spark, "q243_sequence_patterns")
+    plan246 = _plan(spark, "q246_disorder_profile")
+    assert "_bkt" in plan246
+    assert "BroadcastHashJoin" in _plan(spark, "q250_dedup_threshold_sweep")
+    # q239/q248: the served plan scans the summary parquet, not the fact
+    # table (also pinned in test_mv; repeated here with the other shapes)
+    assert "inspectadb_mv_" in _plan(spark, "q239_mv_rewrite")
