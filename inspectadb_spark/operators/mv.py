@@ -85,14 +85,18 @@ class AggRequest:
 
 
 def _routable(req: AggRequest, mv: MVDef) -> bool:
-    # every request key must be a stored key or an expression — expressions
-    # are validated by the caller to reference only MV keys (we check the
-    # referenced identifiers conservatively by substring on stored keys).
+    # every request key must be a stored key or an expression over stored
+    # keys; identifier references are matched on word boundaries so a key
+    # named "day" can never spuriously satisfy an expression that merely
+    # contains the substring (e.g. a base column "days_open").
+    import re as _re
+
     for name, expr in req.keys.items():
         if expr is None:
             if name not in mv.keys:
                 return False
-        elif not any(k in expr for k in mv.keys):
+        elif not any(_re.search(rf"\b{_re.escape(k)}\b", expr)
+                     for k in mv.keys):
             return False
     stored = {(agg, expr): out for out, (agg, expr) in mv.measures.items()}
     counts = [out for out, (agg, _) in mv.measures.items() if agg == "count"]

@@ -179,3 +179,20 @@ def test_route_picks_cheapest_compatible_mv(spark, base, mv_stored,
         keys={"day": None}, measures={"sum_qty": ("sum", "qty")})
     _, used_daily = route(spark, daily_req, mvs, base)
     assert used_daily == mv_daily.name
+
+
+def test_routability_matches_identifiers_not_substrings(spark, base,
+                                                        mv_stored):
+    """A request key expression referencing a column that merely CONTAINS
+    an MV key's name ("days_open" vs key "day") must not route."""
+    mv, path = mv_stored
+    req = AggRequest(keys={"x": "length(cast(days_open as string))"},
+                     measures={"n": ("count", "*")})
+    base2 = base.withColumn("days_open", F.lit(7))
+    _, used = route(spark, req, {mv.name: (mv, path)}, base2)
+    assert used is None
+    # while a real reference with surrounding syntax still routes
+    req2 = AggRequest(keys={"m": "trunc(day, 'month')"},
+                      measures={"n": ("count", "*")})
+    _, used2 = route(spark, req2, {mv.name: (mv, path)}, base)
+    assert used2 == mv.name
