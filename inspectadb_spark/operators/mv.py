@@ -190,3 +190,107 @@ def route(
         _, name, mv, path = min(candidates, key=lambda c: (c[0], c[1]))
         return _answer_from_mv(spark.read.parquet(path), req, mv), name
     return _answer_from_base(base, req), None
+
+
+@dataclass(frozen=True)
+class GroupingSetMV:
+    """One summary, many grains: the aggregate-navigator form of a
+    materialized view. The stored table is GROUP BY CUBE over ``keys``
+    restricted to the declared ``sets``, with ``grouping_id`` kept as the
+    grain discriminator — so a real NULL key value can never be confused
+    with an aggregated-away key (the classic grouping-sets-MV trap).
+
+    Serving an EXACT declared grain is a pure ``grouping_id = mask`` filter
+    + projection — NO re-aggregation, no shuffle (plan-pinned in
+    tests/test_mv.py). A coarser request re-aggregates from the finest
+    declared grain that covers it, same algebra as ``MVDef``.
+
+    100 TB design: the cube build is one pass with Spark's Expand (rows ×
+    |sets| after the mask filter); storage is Σ per-grain group counts.
+    Partition the stored parquet BY grouping_id so grain serving prunes to
+    its own files.
+    """
+
+    name: str
+    keys: tuple[str, ...]
+    sets: tuple[tuple[str, ...], ...]
+    measures: dict[str, tuple[str, str]] = field(hash=False)
+
+    def mask(self, subset: tuple[str, ...]) -> int:
+        """Spark/ANSI grouping_id: bit per key, FIRST key = MSB; bit set =
+        key aggregated away."""
+        m = 0
+        for k in self.keys:
+            m = (m << 1) | (0 if k in subset else 1)
+        return m
+
+    def build(self, base: DataFrame) -> DataFrame:
+        aggs = []
+        for out, (agg, expr) in self.measures.items():
+            if agg == "count":
+                aggs.append(F.count(F.lit(1)).alias(out))
+            elif agg == "sum":
+                aggs.append(F.sum(F.expr(expr).cast(_DEC)).alias(out))
+            elif agg in ("min", "max"):
+                aggs.append(getattr(F, agg)(F.expr(expr)).alias(out))
+            else:
+                raise ValueError(f"non-decomposable agg in MV: {agg}")
+        cube = (
+            base.cube(*[F.col(k) for k in self.keys])
+            .agg(F.grouping_id().alias("grouping_id"), *aggs)
+        )
+        masks = [self.mask(s) for s in self.sets]
+        return cube.filter(F.col("grouping_id").isin(masks))
+
+    def store(self, base: DataFrame, path: str) -> None:
+        (self.build(base).write.mode("overwrite")
+         .partitionBy("grouping_id").parquet(path))
+
+    def answer(self, spark: SparkSession, path: str,
+               req: AggRequest) -> DataFrame | None:
+        """Serve ``req`` whose keys are plain columns drawn from ``keys``:
+        exact declared grain -> filter+project (zero aggregation); coarser
+        than some declared grain -> re-aggregate from the finest covering
+        one; otherwise None."""
+        if any(expr is not None for expr in req.keys.values()):
+            return None
+        want = tuple(req.keys)
+        if not set(want) <= set(self.keys):
+            return None
+        stored = {(agg, expr): out for out, (agg, expr) in self.measures.items()}
+        counts = [out for out, (agg, _) in self.measures.items()
+                  if agg == "count"]
+        for _, (agg, expr) in req.measures.items():
+            if agg == "count":
+                if not counts:
+                    return None
+            elif agg == "avg":
+                if ("sum", expr) not in stored or not counts:
+                    return None
+            elif (agg, expr) not in stored:
+                return None
+        mv_df = spark.read.parquet(path)
+        exact = next((s for s in self.sets if set(s) == set(want)), None)
+        if exact is not None:
+            sel = [F.col(k) for k in want]
+            for out, (agg, expr) in req.measures.items():
+                if agg == "count":
+                    sel.append(F.col(counts[0]).cast("bigint").alias(out))
+                elif agg == "sum":
+                    sel.append(F.col(stored[("sum", expr)]).cast("double")
+                               .alias(out))
+                elif agg == "avg":
+                    sel.append((F.col(stored[("sum", expr)]).cast("double")
+                                / F.col(counts[0])).alias(out))
+                else:
+                    sel.append(F.col(stored[(agg, expr)]).alias(out))
+            return (mv_df.filter(F.col("grouping_id") == self.mask(exact))
+                    .select(*sel))
+        covering = [s for s in self.sets if set(want) <= set(s)]
+        if not covering:
+            return None
+        finest = min(covering, key=len)  # fewest extra keys to fold
+        sub = MVDef(self.name, finest, self.measures)
+        return _answer_from_mv(
+            mv_df.filter(F.col("grouping_id") == self.mask(finest)),
+            req, sub)

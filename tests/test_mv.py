@@ -196,3 +196,52 @@ def test_routability_matches_identifiers_not_substrings(spark, base,
                       measures={"n": ("count", "*")})
     _, used2 = route(spark, req2, {mv.name: (mv, path)}, base)
     assert used2 == mv.name
+
+
+def test_grouping_set_mv_exact_grain_serves_without_aggregation(
+        spark, tmp_path_factory):
+    """One summary, many grains: exact-grain requests are a grouping_id
+    filter + projection (plan has NO aggregate), coarser requests re-agg
+    from the finest covering grain, and a real NULL key value is never
+    confused with an aggregated-away key."""
+    from inspectadb_spark.operators.mv import GroupingSetMV
+
+    base = spark.createDataFrame(
+        [("2024-01-01", "A", 1.0), ("2024-01-01", None, 2.0),
+         ("2024-01-02", "B", 3.0), ("2024-01-02", "A", 4.0),
+         ("2024-01-02", None, 6.0)],
+        "day string, flag string, qty double")
+    mv = GroupingSetMV(
+        name="gs", keys=("day", "flag"),
+        sets=(("day", "flag"), ("flag",), ()),
+        measures={"sum_qty": ("sum", "qty"), "cnt": ("count", "*")})
+    path = str(tmp_path_factory.mktemp("gs") / "gs")
+    mv.store(base, path)
+
+    # exact grain (flag): filter+project only — no HashAggregate/Exchange
+    req = AggRequest(keys={"flag": None},
+                     measures={"sq": ("sum", "qty"), "n": ("count", "*"),
+                               "a": ("avg", "qty")})
+    got = mv.answer(spark, path, req)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "Exchange" not in plan
+    rows = {r["flag"]: (r["sq"], r["n"], r["a"]) for r in got.collect()}
+    # the NULL flag row is the REAL null group (2+6), not the grand total
+    assert rows[None] == (8.0, 2, 4.0)
+    assert rows["A"] == (5.0, 2, 2.5) and rows["B"] == (3.0, 1, 3.0)
+
+    # grand total grain
+    tot = mv.answer(spark, path,
+                    AggRequest(keys={}, measures={"n": ("count", "*")}))
+    assert tot.collect()[0]["n"] == 5
+
+    # coarser than (day, flag) but not a declared set: day folds flag away
+    day_req = AggRequest(keys={"day": None},
+                         measures={"sq": ("sum", "qty")})
+    day = {r["day"]: r["sq"] for r in
+           mv.answer(spark, path, day_req).collect()}
+    assert day == {"2024-01-01": 3.0, "2024-01-02": 13.0}
+
+    # underivable measure refuses
+    assert mv.answer(spark, path, AggRequest(
+        keys={"flag": None}, measures={"m": ("min", "qty")})) is None
