@@ -3041,7 +3041,8 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         measures={"sum_cents": ("sum", "cents"), "cnt": ("count", "*")},
     )
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"inspectadb_mv_cdc_{tag}")
+    path = os.path.join(tempfile.gettempdir(),
+                    f"inspectadb_mv_cdc_{tag}_{os.getpid()}")
     mv.store(cur, path)
     req = AggRequest(
         keys={"month": "date_trunc('month', order_day)",

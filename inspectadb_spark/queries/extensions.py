@@ -1201,7 +1201,10 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"inspectadb_mv_{tag}")
+    # per-process suffix: concurrent sessions (e.g. a driver run beside
+    # a dev pytest) must not overwrite each other's summary files
+    path = os.path.join(tempfile.gettempdir(),
+                        f"inspectadb_mv_{tag}_{os.getpid()}")
     mv.store(base, path)
     req = AggRequest(
         keys={
