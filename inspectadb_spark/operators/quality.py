@@ -346,3 +346,27 @@ def key_candidates(cases: Sequence[tuple]) -> DataFrame:
         )
         outs.append(row)
     return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+def enforce_inclusion(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str,
+    null_is_valid: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Enforcement follow-up to ``inclusion_audit``: split the child into
+    (clean, quarantined) by FK validity — the route-vs-reject step a CDC
+    pipeline runs on every ingest batch. NULL fks are routed per
+    ``null_is_valid`` (SQL FKs ignore NULLs; strict pipelines quarantine
+    them).
+
+    Scale shape: ONE broadcast left join against the parent's distinct key
+    domain decides both outputs; the two returned frames share the probed
+    plan, so materializing both costs one scan each with the same join.
+    """
+    pkd = F.broadcast(parent.select(F.col(pk).alias("__pk")).distinct())
+    probed = child.join(pkd, child[fk] == F.col("__pk"), "left")
+    is_null = F.col(fk).isNull()
+    matched = F.col("__pk").isNotNull()
+    ok = (matched | is_null) if null_is_valid else matched
+    clean = probed.filter(ok).drop("__pk")
+    quarantined = probed.filter(~ok).drop("__pk")
+    return clean, quarantined

@@ -1387,3 +1387,62 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     cases = [(label, t[tbl], cols) for label, tbl, cols in _KEY_CASES]
     return key_candidates(cases).orderBy("key")
+
+
+# --------------------------------------------------------------------------
+# Q251 FK enforcement report: q240 DISCOVERS which inclusion edges hold;
+# this ENFORCES the declared ones — per edge, how many child ROWS route
+# clean vs quarantine (q240 counts keys; enforcement bills by row). The
+# events->customer edge is the deliberately dirty one.
+_Q251_EDGES = [
+    ("orders.o_custkey -> customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_suppkey -> supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events.user_id -> customer.c_custkey",
+     "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _q251_oracle() -> str:
+    parts = []
+    for label, ct, fk, pt, pk in _Q251_EDGES:
+        parts.append(f"""
+    SELECT '{label}' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN {fk} IS NULL OR EXISTS
+                  (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{fk})
+                THEN 1 END) AS BIGINT) AS n_clean,
+           CAST(COUNT(CASE WHEN {fk} IS NOT NULL AND NOT EXISTS
+                  (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{fk})
+                THEN 1 END) AS BIGINT) AS n_quarantined
+    FROM {ct} c""")
+    return " UNION ALL ".join(parts) + " ORDER BY edge"
+
+
+@query(
+    "q251_fk_enforcement",
+    oracle=_q251_oracle(),
+    doc="Row-level FK enforcement per declared edge: clean vs quarantined "
+        "row counts from ONE broadcast key-domain probe per edge "
+        "(operators/quality.py::enforce_inclusion).",
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from inspectadb_spark.operators.quality import enforce_inclusion
+
+    t = tables(spark, sf_dir)
+    outs = []
+    for label, ct, fk, pt, pk in _Q251_EDGES:
+        clean, quar = enforce_inclusion(t[ct], t[pt], fk, pk)
+        outs.append(
+            clean.agg(F.count(F.lit(1)).alias("n_clean"))
+            .crossJoin(quar.agg(F.count(F.lit(1)).alias("n_quarantined")))
+            .select(
+                F.lit(label).alias("edge"),
+                (F.col("n_clean") + F.col("n_quarantined")).alias("n_rows"),
+                "n_clean", "n_quarantined",
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), outs).orderBy("edge")

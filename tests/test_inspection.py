@@ -68,3 +68,22 @@ def test_key_candidates_composite_and_negative(spark):
     ]).collect()}
     assert got["composite"]["is_key"] and got["composite"]["n_dup"] == 0
     assert not got["o_alone"]["is_key"] and got["o_alone"]["n_dup"] == 1
+
+
+def test_enforce_inclusion_splits_and_null_policy(spark):
+    from pyspark.sql import Row
+
+    from inspectadb_spark.operators.quality import enforce_inclusion
+
+    child = spark.createDataFrame(
+        [Row(fk=1, v="a"), Row(fk=99, v="b"), Row(fk=None, v="c")])
+    parent = spark.createDataFrame([Row(pk=1)])
+    clean, quar = enforce_inclusion(child, parent, "fk", "pk")
+    assert {r["v"] for r in clean.collect()} == {"a", "c"}
+    assert {r["v"] for r in quar.collect()} == {"b"}
+    strict_clean, strict_quar = enforce_inclusion(
+        child, parent, "fk", "pk", null_is_valid=False)
+    assert {r["v"] for r in strict_clean.collect()} == {"a"}
+    assert {r["v"] for r in strict_quar.collect()} == {"b", "c"}
+    # columns are passed through unchanged (no probe residue)
+    assert clean.columns == child.columns
