@@ -95,15 +95,20 @@ class StreamingCdcApply:
             shutil.rmtree(old, ignore_errors=True)
 
     # -- entry point ---------------------------------------------------------
-    def start(self, change_stream: DataFrame, checkpoint_dir: str, **options):
+    def start(self, change_stream: DataFrame, checkpoint_dir: str,
+              available_now: bool = False, **options):
         """Attach to a streaming change-log DataFrame; returns the query.
 
         State rows must retain op/order columns for cross-batch merging —
         ``apply_changelog`` keeps all input columns, so they do.
+        ``available_now=True`` drains the current input and terminates (the
+        backfill/replay mode); default is a continuous query.
         """
-        return (
+        w = (
             change_stream.writeStream.foreachBatch(self._merge_batch)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("update")
-            .start(**options)
         )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start(**options)

@@ -437,8 +437,9 @@ def test_s7_streaming_cdc_apply(spark, tmp_path):
 
     applier = StreamingCdcApply(spark, str(tmp_path / "state"), ["o_orderkey"])
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    q = applier.start(stream, str(tmp_path / "ckpt"))
+    q = applier.start(stream, str(tmp_path / "ckpt"), available_now=True)
     q.awaitTermination(300)
+    q.stop()
 
     got = applier.current_state().select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
@@ -1767,3 +1768,67 @@ def test_s37_streaming_quantile_grid(spark, replay_dir, tmp_path):
         for p in pcts]).collect()[0]
     for p in pcts:
         assert abs(live_q[p] - exact[str(p)]) <= width
+
+
+# S38 the product loop LIVE: streamed CDC apply (S7 machinery) maintains
+# the current-state table; a daily summary MV is built from that state and
+# a monthly rollup is ROUTED through it — the result must hash-equal the
+# fully-batch q248 pipeline over the same changelog. Streaming ingest,
+# batch semantics, served from the summary: one assertion for the whole
+# loop.
+def test_s38_streaming_cdc_to_routed_summary(spark, tmp_path):
+    from inspectadb_spark.operators.mv import AggRequest, MVDef, route
+    from inspectadb_spark.queries import REGISTRY
+    from inspectadb_spark.queries.registry import tables
+    from inspectadb_spark.sources.cdc import derive_cdc_orders
+
+    cdc = derive_cdc_orders(tables(spark, SF_DIR)["orders"])
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    rows = cdc.orderBy("lsn").collect()
+    step = (len(rows) + 3) // 4
+    schema = cdc.schema
+    now = time.time()
+    for i in range(4):
+        chunk = rows[i * step:(i + 1) * step]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(tmp_path / f"stage{i}"))
+        part = [f for f in os.listdir(str(tmp_path / f"stage{i}"))
+                if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"c{i:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{i}"), part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    applier = StreamingCdcApply(spark, str(tmp_path / "state"),
+                                ["o_orderkey"])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = applier.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    cur = (applier.current_state()
+           .withColumn("order_day",
+                       F.date_trunc("day", F.col("o_orderdate")))
+           .withColumn("cents",
+                       F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")))
+    mv = MVDef(name="mv_live_orders_daily",
+               keys=("order_day", "o_orderstatus"),
+               measures={"sum_cents": ("sum", "cents"),
+                         "cnt": ("count", "*")})
+    path = str(tmp_path / "mv_live")
+    mv.store(cur, path)
+    req = AggRequest(
+        keys={"month": "date_trunc('month', order_day)",
+              "o_orderstatus": None},
+        measures={"n_orders": ("count", "*"),
+                  "revenue_cents": ("sum", "cents")})
+    out, used = route(spark, req, {mv.name: (mv, path)}, cur)
+    assert used == mv.name
+    live = out.select(
+        "month", "o_orderstatus", "n_orders",
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"))
+    batch = REGISTRY["q248_cdc_to_summary"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(batch) and live.count() > 0
