@@ -57,6 +57,19 @@ class Engine:
     def sql(self, text: str) -> DataFrame:
         return self.spark.sql(text)
 
+    def sql_routed(self, text: str) -> tuple[DataFrame, str]:
+        """Serve SQL through the layered path when it parses into the
+        restricted aggregate grammar (``parse_agg_sql``) over a known
+        table; otherwise run it as plain Spark SQL (provenance "sql").
+        Routed aggregates use the engine-wide DECIMAL-exact sum convention
+        (identical between the MV and base layers, and deterministic),
+        not IEEE-double SUM order-dependence."""
+        parsed = parse_agg_sql(text)
+        if parsed is not None and parsed[0] in self.tables:
+            table, req = parsed
+            return self.aggregate(table, req)
+        return self.spark.sql(text), "sql"
+
     # -- summary tables ----------------------------------------------------
     def register_mv(self, mv: MVDef, base_table: str,
                     base_builder=None) -> None:
@@ -93,3 +106,74 @@ class Engine:
             return hit, "cache"
         stored, _ = self.cache.get_or_compute(routed)
         return stored, provenance
+
+
+# -- restricted SQL front-end for the serving layer -------------------------
+
+_AGG_RE = __import__("re").compile(
+    r"^\s*(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
+    __import__("re").IGNORECASE)
+_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_SHAPE_RE = __import__("re").compile(
+    r"^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+GROUP\s+BY\s+(.*?)\s*;?\s*$",
+    __import__("re").IGNORECASE | __import__("re").DOTALL)
+
+
+def parse_agg_sql(text: str):
+    """Parse the restricted grammar
+    ``SELECT <keys and aggs> FROM <table> GROUP BY <keys>`` into
+    (table, AggRequest), or None when the statement doesn't fit.
+
+    Deliberately narrow: plain column keys, SUM/COUNT/AVG/MIN/MAX over a
+    single column (or ``*`` for COUNT), mandatory AS aliases on aggregates.
+    Anything else — expressions, joins, HAVING, DISTINCT — returns None and
+    the caller falls through to full Spark SQL. Exact-match parsing is the
+    point: a mis-parse silently routed to a summary would be a wrong
+    answer, so anything not PROVABLY in the grammar is not routed.
+    """
+    m = _SHAPE_RE.match(text)
+    if not m:
+        return None
+    select_list, table, group_by = m.group(1), m.group(2), m.group(3)
+    keys = []
+    for g in group_by.split(","):
+        g = g.strip()
+        if not _IDENT_RE.match(g):
+            return None
+        keys.append(g)
+    measures: dict[str, tuple[str, str]] = {}
+    sel_keys = []
+    for item in _split_top_level(select_list):
+        item = item.strip()
+        if _IDENT_RE.match(item):
+            sel_keys.append(item)
+            continue
+        am = _AGG_RE.match(item)
+        if not am:
+            return None
+        agg, col, alias = (am.group(1).lower(), am.group(2), am.group(3))
+        if col == "*" and agg != "count":
+            return None
+        measures[alias] = (agg, "*" if col == "*" else col)
+    if sorted(sel_keys) != sorted(keys) or not measures:
+        return None
+    return table, AggRequest(keys={k: None for k in keys},
+                             measures=measures)
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out

@@ -74,3 +74,37 @@ def test_cache_hit_plan_touches_neither_base_nor_mv(engine):
     plan = r._jdf.queryExecution().executedPlan().toString()
     assert "result_cache" in plan
     assert "orders.parquet" not in plan and "mv_orders_daily" not in plan
+
+
+def test_sql_routed_parses_and_routes(engine):
+    df, prov = engine.aggregate("orders", REQ, use_cache=False)
+    sdf, sprov = engine.sql_routed(
+        "SELECT o_orderstatus, SUM(o_totalprice) AS total, COUNT(*) AS n, "
+        "AVG(o_totalprice) AS avg_price FROM orders GROUP BY o_orderstatus")
+    assert sprov in ("mv:mv_orders_daily", "cache")
+    assert _rows(sdf) == _rows(df)
+
+
+def test_sql_routed_falls_back_to_full_sql(engine):
+    # joins / expressions are outside the grammar -> plain Spark SQL
+    df, prov = engine.sql_routed(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "WHERE o_totalprice > 0 GROUP BY o_orderstatus")
+    assert prov == "sql" and df.count() > 0
+    df2, prov2 = engine.sql_routed("SELECT COUNT(*) AS n FROM orders")
+    assert prov2 == "sql"
+
+
+def test_parse_agg_sql_rejects_untrusted_shapes():
+    from inspectadb_spark.engine import parse_agg_sql
+
+    assert parse_agg_sql("SELECT a, SUM(b) AS s FROM t GROUP BY a") is not None
+    # key listed in SELECT but not GROUP BY (and vice versa)
+    assert parse_agg_sql("SELECT a, b, SUM(c) AS s FROM t GROUP BY a") is None
+    # expression keys, DISTINCT, missing alias, non-count star
+    assert parse_agg_sql(
+        "SELECT trunc(a), SUM(b) AS s FROM t GROUP BY trunc(a)") is None
+    assert parse_agg_sql(
+        "SELECT a, COUNT(DISTINCT b) AS s FROM t GROUP BY a") is None
+    assert parse_agg_sql("SELECT a, SUM(b) FROM t GROUP BY a") is None
+    assert parse_agg_sql("SELECT a, SUM(*) AS s FROM t GROUP BY a") is None

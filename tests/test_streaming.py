@@ -1832,3 +1832,37 @@ def test_s38_streaming_cdc_to_routed_summary(spark, tmp_path):
         F.col("revenue_cents").cast("bigint").alias("revenue_cents"))
     batch = REGISTRY["q248_cdc_to_summary"].builder(spark, SF_DIR)
     assert _rows(live) == _rows(batch) and live.count() > 0
+
+
+# S39 streaming FK enforcement: each micro-batch is split clean-vs-
+# quarantine by the same enforce_inclusion probe as batch q251 (static
+# parent re-read per batch), each side appended to its own sink. After
+# draining, clean ∪ quarantine must partition the input, and both sides
+# must equal the batch operator's split exactly.
+def test_s39_streaming_fk_quarantine(spark, replay_dir, tmp_path):
+    from inspectadb_spark.operators.quality import enforce_inclusion
+
+    hist = spark.read.parquet(replay_dir)
+    parent = (hist.select(F.col("user_id").alias("pk"))
+              .where(F.col("pk") % 3 == 0).distinct())
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quar")
+
+    def split(batch, _bid):
+        c, qr = enforce_inclusion(batch, parent, "user_id", "pk")
+        c.write.mode("append").parquet(clean_dir)
+        qr.write.mode("append").parquet(quar_dir)
+
+    q = (_stream(spark, replay_dir).writeStream.foreachBatch(split)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+
+    got_c = spark.read.parquet(clean_dir)
+    got_q = spark.read.parquet(quar_dir)
+    want_c, want_q = enforce_inclusion(hist, parent, "user_id", "pk")
+    assert _rows(got_c) == _rows(want_c)
+    assert _rows(got_q) == _rows(want_q)
+    assert got_c.count() + got_q.count() == hist.count()
+    assert got_q.count() > 0
