@@ -1216,3 +1216,71 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_docs_affected"))
         .orderBy("thr_ppm")
     )
+
+
+# --------------------------------------------------------------------------
+# Q252 split-leakage audit: a doc-level random split (md5 hash, 80/20) is
+# NOT dedup-aware — near-dup content straddles train/test and inflates
+# eval. Per straddle diagnosis: clusters (winnowing-fingerprint key, as
+# q222) containing BOTH train and test members, and the test docs thereby
+# leaked, in ppm of the test split. The fix this audit motivates is
+# cluster-level splitting (hash the FINGERPRINT, not the doc id).
+@query(
+    "q252_split_leakage",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, MIN(md5(substr(text, i, 8))) AS fp
+      FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+      WHERE length(text) >= 8 GROUP BY doc_id),
+    d AS (
+      SELECT d.doc_id, COALESCE(fp.fp, md5(d.text)) AS h,
+             CASE WHEN (instr('0123456789abcdef',
+                              substr(md5(CAST(d.doc_id AS VARCHAR)
+                                         || ':split'), 1, 1)) - 1) < 13
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id),
+    c AS (
+      SELECT h,
+             COUNT(CASE WHEN split = 'train' THEN 1 END) AS n_tr,
+             COUNT(CASE WHEN split = 'test' THEN 1 END) AS n_te
+      FROM d GROUP BY h)
+    SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train_docs,
+           CAST(SUM(n_te) AS BIGINT) AS n_test_docs,
+           CAST(COUNT(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 END) AS BIGINT)
+             AS n_straddling_clusters,
+           CAST(SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) AS BIGINT)
+             AS n_test_docs_leaked,
+           SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) * 1000000
+             // SUM(n_te) AS test_leak_ppm
+    FROM c
+    """,
+    doc="Eval-hygiene audit: fingerprint clusters straddling a doc-level "
+        "md5 80/20 split, and the leaked test mass in ppm — the "
+        "measurement that motivates cluster-level (fingerprint-hashed) "
+        "splitting. First-hex-nibble < 13 approximates 80% portably.",
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    fp = char_fingerprint(docs)
+    nib = ("instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)"
+           " || ':split'), 1, 1)) - 1")
+    d = (docs.join(fp, "doc_id", "left")
+         .select(F.coalesce("fp", F.md5("text")).alias("h"),
+                 F.when(F.expr(nib) < 13, "train").otherwise("test")
+                 .alias("split")))
+    c = d.groupBy("h").agg(
+        F.sum((F.col("split") == "train").cast("bigint")).alias("n_tr"),
+        F.sum((F.col("split") == "test").cast("bigint")).alias("n_te"))
+    leaked = F.when(F.col("n_tr") > 0, F.col("n_te")).otherwise(0)
+    return c.agg(
+        F.sum("n_tr").alias("n_train_docs"),
+        F.sum("n_te").alias("n_test_docs"),
+        F.sum(((F.col("n_tr") > 0) & (F.col("n_te") > 0)).cast("bigint"))
+        .alias("n_straddling_clusters"),
+        F.sum(leaked).alias("n_test_docs_leaked"),
+    ).select(
+        "n_train_docs", "n_test_docs", "n_straddling_clusters",
+        "n_test_docs_leaked",
+        F.expr("n_test_docs_leaked * 1000000 DIV n_test_docs")
+        .alias("test_leak_ppm"),
+    )

@@ -1866,3 +1866,55 @@ def test_s39_streaming_fk_quarantine(spark, replay_dir, tmp_path):
     assert _rows(got_q) == _rows(want_q)
     assert got_c.count() + got_q.count() == hist.count()
     assert got_q.count() > 0
+
+
+# S40 streaming champion tracking (keep-best dedup, live): per winnowing-
+# fingerprint cluster, maintain the best (max n_chars, tie min doc_id)
+# member as documents stream in — an IncrementalAggregate with a
+# struct-MAX measure (the comparison IS the policy, exactly as the batch
+# operator). After draining, per-cluster winners must equal batch
+# keep_best_dedup over the full corpus.
+def test_s40_streaming_champion_tracking(spark, tmp_path):
+    from inspectadb_spark.operators.dedup import keep_best_dedup
+    from inspectadb_spark.operators.text import char_fingerprint
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    src = str(tmp_path / "docs_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    step = (t.num_rows + 3) // 4
+    now = time.time()
+    for i in range(4):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"h": "coalesce(fp, md5(text))"},
+        measures=[("w", "max",
+                   "named_struct('q', n_chars, 'nid', -doc_id)")])
+
+    # fingerprinting is a per-batch stateless transform ahead of the fold
+    base_stream = (spark.readStream
+                   .schema(spark.read.parquet(src).schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def with_fp(batch, bid):
+        fp = char_fingerprint(batch)
+        inc._merge_batch(batch.join(fp, "doc_id", "left"), bid)
+
+    q = (base_stream.writeStream.foreachBatch(with_fp)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+
+    live = {r["h"]: (-r["w"]["nid"], r["w"]["q"])
+            for r in inc.table().collect()}
+    docs = spark.read.parquet(src)
+    batch = keep_best_dedup(docs)
+    want = {r["h"]: (r["win_id"], None) for r in batch.collect()}
+    assert set(live) == set(want)
+    for h, (wid, _) in want.items():
+        assert live[h][0] == wid, f"cluster {h}: live {live[h][0]} != {wid}"
