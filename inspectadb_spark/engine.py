@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from inspectadb_spark.catalog import load_tables
 from inspectadb_spark.operators.mv import AggRequest, MVDef
@@ -86,6 +87,44 @@ class Engine:
     def refresh_mv(self, name: str) -> None:
         mv, path, base_table = self._mvs[name]
         mv.store(self.tables[base_table], path)
+
+    # -- CDC apply ---------------------------------------------------------
+    def apply_changes(self, table: str, changes: DataFrame,
+                      keys: list[str], order_col: str = "lsn",
+                      op_col: str = "op",
+                      refresh_dependents: bool = True) -> None:
+        """Apply a CDC change batch to ``table``: fold the changelog to its
+        net effect (latest per key), MERGE into the current table
+        (upsert + delete), and REWRITE the table files copy-on-write under
+        work_dir. The rewrite is the invalidation mechanism: every cached
+        result over this table stops being addressed (new file versions),
+        and dependent MVs are refreshed in the same call by default
+        (``refresh_dependents=False`` defers them — the documented
+        stale-until-refresh mode). The original sf_dir files are never
+        touched (they may be read-only corpus fixtures)."""
+        from inspectadb_spark.operators.cdc import latest_per_key, merge_apply
+
+        net = latest_per_key(changes, keys, order_col)
+        target = self.tables[table]
+        src = net.select(*target.columns, F.col(op_col))
+        merged = merge_apply(
+            target, src, keys,
+            update_cols={c: F.col(f"s.{c}") for c in target.columns
+                         if c not in keys},
+            delete_condition=F.col(f"s.{op_col}") == "d",
+        ).select(*target.columns)
+        out = os.path.join(self.work_dir, "tables", table)
+        merged.write.mode("overwrite").parquet(out)
+        self.tables[table] = self.spark.read.parquet(out)
+        self.tables[table].createOrReplaceTempView(table)
+        if refresh_dependents:
+            # rotate dependent summaries too, so MV-routed plans (and the
+            # caches keyed on their files) can never serve pre-change
+            # values; pass False to keep MVs stale-until-refresh (the
+            # deferred-refresh operating mode)
+            for name, (_, _, bt) in self._mvs.items():
+                if bt == table:
+                    self.refresh_mv(name)
 
     # -- layered aggregate serving ----------------------------------------
     def aggregate(self, base_table: str, req: AggRequest,

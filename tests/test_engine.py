@@ -108,3 +108,67 @@ def test_parse_agg_sql_rejects_untrusted_shapes():
         "SELECT a, COUNT(DISTINCT b) AS s FROM t GROUP BY a") is None
     assert parse_agg_sql("SELECT a, SUM(b) FROM t GROUP BY a") is None
     assert parse_agg_sql("SELECT a, SUM(*) AS s FROM t GROUP BY a") is None
+
+
+def test_apply_changes_upsert_delete_and_invalidation(spark,
+                                                      tmp_path_factory):
+    """The docstring's invalidation story, executed: a CDC batch applied to
+    orders rewrites the table copy-on-write, after which (a) the fold is
+    visible (update + insert + delete), (b) previously-cached aggregates
+    MISS (file versions rotated), (c) a registered MV serves stale values
+    until refresh_mv."""
+    from pyspark.sql import Row
+
+    eng = Engine(spark, SF_DIR, str(tmp_path_factory.mktemp("eng2")))
+    eng.register_mv(
+        MVDef(name="mv_status",
+              keys=("o_orderstatus",),
+              measures={"cnt": ("count", "*")}),
+        "orders")
+    req = AggRequest(keys={"o_orderstatus": None},
+                     measures={"n": ("count", "*")})
+    before, prov0 = eng.aggregate("orders", req)
+    n_before = {r["o_orderstatus"]: r["n"] for r in before.collect()}
+
+    orders = eng.table("orders")
+    victim, donor = [r for r in orders.limit(2).collect()]
+    new_key = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    changes = spark.createDataFrame([
+        Row(lsn=1, op="d", **victim.asDict()),
+        Row(lsn=2, op="c", **{**donor.asDict(), "o_orderkey": new_key,
+                              "o_orderstatus": "Z"}),
+    ])
+    eng.apply_changes("orders", changes, ["o_orderkey"],
+                      refresh_dependents=False)
+
+    # deferred-refresh mode: the MV (and the cache keyed on its files)
+    # legitimately serves the PRE-change world — the documented staleness
+    # contract, observable via provenance
+    stale_df, prov_stale = eng.aggregate("orders", req)
+    stale = {r["o_orderstatus"]: r["n"] for r in stale_df.collect()}
+    assert "Z" not in stale and prov_stale in ("cache", "mv:mv_status")
+    # ...but any BASE-routed plan sees the rotated files immediately
+    base_req = AggRequest(keys={"o_orderpriority": None},
+                          measures={"n": ("count", "*")})
+    base_df, prov_base = eng.aggregate("orders", base_req)
+    assert prov_base == "base"
+    assert sum(r["n"] for r in base_df.collect()) == \
+        sum(n_before.values())  # -1 delete +1 insert
+
+    # refresh rotates the MV files -> cache over them invalidates
+    eng.refresh_mv("mv_status")
+    after, prov = eng.aggregate("orders", req)
+    assert prov != "cache"
+    n_after = {r["o_orderstatus"]: r["n"] for r in after.collect()}
+    assert n_after["Z"] == 1
+    assert n_after[victim["o_orderstatus"]] == \
+        n_before[victim["o_orderstatus"]] - 1
+    assert sum(n_after.values()) == sum(n_before.values())
+
+    # default mode refreshes dependents in the same call
+    changes2 = spark.createDataFrame(
+        [Row(lsn=3, op="d", **{**donor.asDict(), "o_orderkey": new_key,
+                               "o_orderstatus": "Z"})])
+    eng.apply_changes("orders", changes2, ["o_orderkey"])
+    final, _ = eng.aggregate("orders", req, use_cache=False)
+    assert "Z" not in {r["o_orderstatus"] for r in final.collect()}
