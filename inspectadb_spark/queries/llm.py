@@ -1284,3 +1284,68 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_test_docs_leaked * 1000000 DIV n_test_docs")
         .alias("test_leak_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q253 cluster-level split (the FIX q252 motivates): hash the FINGERPRINT,
+# not the doc id, so a near-dup cluster lands wholly in one split — zero
+# straddling clusters BY CONSTRUCTION, verified in-query (the leak columns
+# are part of the oracle-matched output and must be 0).
+@query(
+    "q253_cluster_split",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, MIN(md5(substr(text, i, 8))) AS fp
+      FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+      WHERE length(text) >= 8 GROUP BY doc_id),
+    d AS (
+      SELECT d.doc_id, COALESCE(fp.fp, md5(d.text)) AS h,
+             len(string_split(d.text, ' ')) AS n_tok
+      FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id),
+    sp AS (
+      SELECT doc_id, h, n_tok,
+             CASE WHEN (instr('0123456789abcdef',
+                              substr(md5(h || ':clsplit'), 1, 1)) - 1) < 13
+                  THEN 'train' ELSE 'test' END AS split
+      FROM d),
+    c AS (
+      SELECT h,
+             COUNT(CASE WHEN split = 'train' THEN 1 END) AS n_tr,
+             COUNT(CASE WHEN split = 'test' THEN 1 END) AS n_te
+      FROM sp GROUP BY h)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           (SELECT CAST(COUNT(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 END)
+                   AS BIGINT) FROM c) AS n_straddling_clusters
+    FROM sp GROUP BY split ORDER BY split
+    """,
+    doc="Dedup-aware train/test split: the split hash keys on the "
+        "fingerprint cluster, so straddling clusters are structurally "
+        "impossible — the zero is computed, not assumed, and "
+        "oracle-matched alongside the per-split doc/token mass.",
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    fp = char_fingerprint(docs)
+    d = (docs.join(fp, "doc_id", "left")
+         .select("doc_id",
+                 F.coalesce("fp", F.md5("text")).alias("h"),
+                 F.size(F.split("text", " ")).alias("n_tok")))
+    nib = ("instr('0123456789abcdef',"
+           " substr(md5(h || ':clsplit'), 1, 1)) - 1")
+    sp = d.withColumn(
+        "split", F.when(F.expr(nib) < 13, "train").otherwise("test"))
+    c = sp.groupBy("h").agg(
+        F.sum((F.col("split") == "train").cast("bigint")).alias("n_tr"),
+        F.sum((F.col("split") == "test").cast("bigint")).alias("n_te"))
+    straddle = c.agg(
+        F.sum(((F.col("n_tr") > 0) & (F.col("n_te") > 0)).cast("bigint"))
+        .alias("n_straddling_clusters"))
+    return (
+        sp.groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"))
+        .crossJoin(F.broadcast(straddle))
+        .orderBy("split")
+    )
