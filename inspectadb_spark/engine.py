@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from inspectadb_spark.catalog import load_tables
-from inspectadb_spark.operators.mv import AggRequest, MVDef
+from inspectadb_spark.operators.mv import AggRequest, GroupingSetMV, MVDef
 from inspectadb_spark.operators.mv import route as _mv_route
 from inspectadb_spark.operators.result_cache import ResultCache
 
@@ -48,6 +48,7 @@ class Engine:
         self.tables = load_tables(spark, sf_dir)
         self.cache = ResultCache(spark, os.path.join(work_dir, "result_cache"))
         self._mvs: dict[str, tuple[MVDef, str, str]] = {}  # name->(def,path,base)
+        self._gs_mvs: dict[str, tuple[GroupingSetMV, str, str]] = {}
         for name, df in self.tables.items():
             df.createOrReplaceTempView(name)
 
@@ -85,8 +86,22 @@ class Engine:
         self._mvs[mv.name] = (mv, path, base_table)
 
     def refresh_mv(self, name: str) -> None:
-        mv, path, base_table = self._mvs[name]
+        if name in self._gs_mvs:
+            mv, path, base_table = self._gs_mvs[name]
+        else:
+            mv, path, base_table = self._mvs[name]
         mv.store(self.tables[base_table], path)
+
+    def register_grouping_mv(self, mv: GroupingSetMV, base_table: str,
+                             base_builder=None) -> None:
+        """Register + refresh a multi-grain (grouping-sets) summary. Exact
+        declared grains serve as filter+projection with zero aggregation."""
+        path = os.path.join(self.work_dir, "mv", mv.name)
+        base = self.tables[base_table]
+        if base_builder is not None:
+            base = base_builder(base)
+        mv.store(base, path)
+        self._gs_mvs[mv.name] = (mv, path, base_table)
 
     # -- CDC apply ---------------------------------------------------------
     def apply_changes(self, table: str, changes: DataFrame,
@@ -122,9 +137,10 @@ class Engine:
             # caches keyed on their files) can never serve pre-change
             # values; pass False to keep MVs stale-until-refresh (the
             # deferred-refresh operating mode)
-            for name, (_, _, bt) in self._mvs.items():
-                if bt == table:
-                    self.refresh_mv(name)
+            for reg in (self._mvs, self._gs_mvs):
+                for name, (_, _, bt) in reg.items():
+                    if bt == table:
+                        self.refresh_mv(name)
 
     # -- layered aggregate serving ----------------------------------------
     def aggregate(self, base_table: str, req: AggRequest,
@@ -134,10 +150,21 @@ class Engine:
         base = self.tables[base_table]
         if base_builder is not None:
             base = base_builder(base)
-        mvs = {n: (mv, path) for n, (mv, path, bt) in self._mvs.items()
-               if bt == base_table}
-        routed, used = _mv_route(self.spark, req, mvs, base)
-        provenance = f"mv:{used}" if used else "base"
+        routed, provenance = None, None
+        # grouping-set MVs first: an exact-grain hit is a pure filter
+        # (cheaper than any re-aggregating route)
+        for n, (gs, path, bt) in self._gs_mvs.items():
+            if bt != base_table:
+                continue
+            ans = gs.answer(self.spark, path, req)
+            if ans is not None:
+                routed, provenance = ans, f"gsmv:{n}"
+                break
+        if routed is None:
+            mvs = {n: (mv, path) for n, (mv, path, bt) in self._mvs.items()
+                   if bt == base_table}
+            routed, used = _mv_route(self.spark, req, mvs, base)
+            provenance = f"mv:{used}" if used else "base"
         if not use_cache:
             return routed, provenance
         hit = self.cache.lookup(routed)

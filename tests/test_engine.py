@@ -172,3 +172,36 @@ def test_apply_changes_upsert_delete_and_invalidation(spark,
     eng.apply_changes("orders", changes2, ["o_orderkey"])
     final, _ = eng.aggregate("orders", req, use_cache=False)
     assert "Z" not in {r["o_orderstatus"] for r in final.collect()}
+
+
+def test_grouping_mv_serves_exact_grain_first(spark, tmp_path_factory):
+    from inspectadb_spark.operators.mv import GroupingSetMV
+
+    eng = Engine(spark, SF_DIR, str(tmp_path_factory.mktemp("eng3")))
+    eng.register_grouping_mv(
+        GroupingSetMV(
+            name="gs_orders",
+            keys=("o_orderstatus", "o_orderpriority"),
+            sets=(("o_orderstatus", "o_orderpriority"),
+                  ("o_orderstatus",), ()),
+            measures={"sum_price": ("sum", "o_totalprice"),
+                      "cnt": ("count", "*")}),
+        "orders")
+    req = AggRequest(keys={"o_orderstatus": None},
+                     measures={"total": ("sum", "o_totalprice"),
+                               "n": ("count", "*")})
+    df, prov = eng.aggregate("orders", req, use_cache=False)
+    assert prov == "gsmv:gs_orders"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan, "exact grain = filter + projection"
+    direct = eng.sql(
+        "SELECT o_orderstatus, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total, "
+        "COUNT(*) AS n FROM orders GROUP BY o_orderstatus")
+    assert _rows(df) == _rows(direct)
+    # a grain outside the sets but under a declared one re-aggregates
+    req2 = AggRequest(keys={"o_orderpriority": None},
+                      measures={"n": ("count", "*")})
+    df2, prov2 = eng.aggregate("orders", req2, use_cache=False)
+    assert prov2 == "gsmv:gs_orders"
+    assert df2.count() > 0
