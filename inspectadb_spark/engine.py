@@ -47,10 +47,30 @@ class Engine:
         self.work_dir = work_dir
         self.tables = load_tables(spark, sf_dir)
         self.cache = ResultCache(spark, os.path.join(work_dir, "result_cache"))
-        self._mvs: dict[str, tuple[MVDef, str, str]] = {}  # name->(def,path,base)
-        self._gs_mvs: dict[str, tuple[GroupingSetMV, str, str]] = {}
+        # name -> (def, path, base_table, base_builder-or-None)
+        self._mvs: dict[str, tuple] = {}
+        self._gs_mvs: dict[str, tuple] = {}
+        self._table_version: dict[str, int] = {}
+        self._load_committed_tables()
         for name, df in self.tables.items():
             df.createOrReplaceTempView(name)
+
+    def _load_committed_tables(self) -> None:
+        """Restart continuity: a table whose work_dir pointer exists was
+        rewritten by a previous apply_changes — resume from that committed
+        version, not the original sf_dir files."""
+        root = os.path.join(self.work_dir, "tables")
+        if not os.path.isdir(root):
+            return
+        for table in os.listdir(root):
+            ptr = os.path.join(root, table, "CURRENT")
+            if table in self.tables and os.path.exists(ptr):
+                with open(ptr) as f:
+                    path = f.read().strip()
+                self.tables[table] = self.spark.read.parquet(path)
+                base = os.path.basename(path)
+                if base.startswith("v"):
+                    self._table_version[table] = int(base[1:])
 
     # -- relational entry points ------------------------------------------
     def table(self, name: str) -> DataFrame:
@@ -77,31 +97,28 @@ class Engine:
                     base_builder=None) -> None:
         """Register + refresh a summary over ``base_table``. An optional
         ``base_builder(df) -> df`` pre-projects derived grain columns
-        (e.g. ship_day) before the MV groupBy."""
+        (e.g. ship_day) before the MV groupBy; it is REMEMBERED so every
+        later refresh (manual or apply_changes-triggered) rebuilds from
+        the same derived input."""
         path = os.path.join(self.work_dir, "mv", mv.name)
+        self._mvs[mv.name] = (mv, path, base_table, base_builder)
+        self.refresh_mv(mv.name)
+
+    def refresh_mv(self, name: str) -> None:
+        reg = self._gs_mvs if name in self._gs_mvs else self._mvs
+        mv, path, base_table, base_builder = reg[name]
         base = self.tables[base_table]
         if base_builder is not None:
             base = base_builder(base)
         mv.store(base, path)
-        self._mvs[mv.name] = (mv, path, base_table)
-
-    def refresh_mv(self, name: str) -> None:
-        if name in self._gs_mvs:
-            mv, path, base_table = self._gs_mvs[name]
-        else:
-            mv, path, base_table = self._mvs[name]
-        mv.store(self.tables[base_table], path)
 
     def register_grouping_mv(self, mv: GroupingSetMV, base_table: str,
                              base_builder=None) -> None:
         """Register + refresh a multi-grain (grouping-sets) summary. Exact
         declared grains serve as filter+projection with zero aggregation."""
         path = os.path.join(self.work_dir, "mv", mv.name)
-        base = self.tables[base_table]
-        if base_builder is not None:
-            base = base_builder(base)
-        mv.store(base, path)
-        self._gs_mvs[mv.name] = (mv, path, base_table)
+        self._gs_mvs[mv.name] = (mv, path, base_table, base_builder)
+        self.refresh_mv(mv.name)
 
     # -- CDC apply ---------------------------------------------------------
     def apply_changes(self, table: str, changes: DataFrame,
@@ -127,9 +144,30 @@ class Engine:
             update_cols={c: F.col(f"s.{c}") for c in target.columns
                          if c not in keys},
             delete_condition=F.col(f"s.{op_col}") == "d",
+            # a delete for an absent key must NOT resurrect the tombstone
+            # payload as an inserted row (idempotence under at-least-once
+            # re-delivery of an already-applied delete)
+            insert_condition=F.col(f"s.{op_col}") != "d",
         ).select(*target.columns)
-        out = os.path.join(self.work_dir, "tables", table)
+        # versioned copy-on-write + atomic pointer swap (the DedupRegistry
+        # crash story): NEVER overwrite the files the merge plan is
+        # reading — a mid-write failure must leave the previous version
+        # intact and committed
+        version = self._table_version.get(table, 0) + 1
+        out = os.path.join(self.work_dir, "tables", table, f"v{version}")
         merged.write.mode("overwrite").parquet(out)
+        ptr = os.path.join(self.work_dir, "tables", table, "CURRENT")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(out)
+        os.replace(tmp, ptr)
+        self._table_version[table] = version
+        old = os.path.join(self.work_dir, "tables", table,
+                           f"v{version - 2}")
+        if os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
         self.tables[table] = self.spark.read.parquet(out)
         self.tables[table].createOrReplaceTempView(table)
         if refresh_dependents:
@@ -138,8 +176,8 @@ class Engine:
             # values; pass False to keep MVs stale-until-refresh (the
             # deferred-refresh operating mode)
             for reg in (self._mvs, self._gs_mvs):
-                for name, (_, _, bt) in reg.items():
-                    if bt == table:
+                for name, entry in reg.items():
+                    if entry[2] == table:
                         self.refresh_mv(name)
 
     # -- layered aggregate serving ----------------------------------------
@@ -153,7 +191,7 @@ class Engine:
         routed, provenance = None, None
         # grouping-set MVs first: an exact-grain hit is a pure filter
         # (cheaper than any re-aggregating route)
-        for n, (gs, path, bt) in self._gs_mvs.items():
+        for n, (gs, path, bt, _) in self._gs_mvs.items():
             if bt != base_table:
                 continue
             ans = gs.answer(self.spark, path, req)
@@ -161,17 +199,15 @@ class Engine:
                 routed, provenance = ans, f"gsmv:{n}"
                 break
         if routed is None:
-            mvs = {n: (mv, path) for n, (mv, path, bt) in self._mvs.items()
+            mvs = {n: (mv, path)
+                   for n, (mv, path, bt, _) in self._mvs.items()
                    if bt == base_table}
             routed, used = _mv_route(self.spark, req, mvs, base)
             provenance = f"mv:{used}" if used else "base"
         if not use_cache:
             return routed, provenance
-        hit = self.cache.lookup(routed)
-        if hit is not None:
-            return hit, "cache"
-        stored, _ = self.cache.get_or_compute(routed)
-        return stored, provenance
+        stored, hit = self.cache.get_or_compute(routed)
+        return stored, "cache" if hit else provenance
 
 
 # -- restricted SQL front-end for the serving layer -------------------------
@@ -225,6 +261,10 @@ def parse_agg_sql(text: str):
         measures[alias] = (agg, "*" if col == "*" else col)
     if sorted(sel_keys) != sorted(keys) or not measures:
         return None
+    n_aggs = sum(1 for item in _split_top_level(select_list)
+                 if not _IDENT_RE.match(item.strip()))
+    if n_aggs != len(measures):  # duplicate aliases collapsed -> not
+        return None              # provably the same shape as plain SQL
     return table, AggRequest(keys={k: None for k in keys},
                              measures=measures)
 

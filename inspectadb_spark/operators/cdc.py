@@ -169,6 +169,7 @@ def merge_apply(
     update_cols: dict[str, "F.Column | str"] | None = None,
     delete_condition=None,
     insert_unmatched: bool = True,
+    insert_condition=None,
 ) -> DataFrame:
     """Batch MERGE INTO semantics as one full-outer join (no v2 table needed).
 
@@ -177,7 +178,10 @@ def merge_apply(
     - matched                                   → ``update_cols`` applied
       (columns not listed keep the target value)
     - source-only (WHEN NOT MATCHED)            → inserted if
-      ``insert_unmatched``
+      ``insert_unmatched`` and ``insert_condition`` (WHEN NOT MATCHED
+      AND <cond> THEN INSERT; a NULL condition row is NOT inserted, same
+      3VL rule as the delete arm) — a delete for an absent key must fall
+      through silently, not resurrect the tombstone payload as a row
     - target-only (NOT MATCHED BY SOURCE)       → kept unchanged
 
     Columns are resolved target-first; source must carry the same schema.
@@ -208,6 +212,10 @@ def merge_apply(
         )
     if not insert_unmatched:
         joined = joined.filter(~s_only)
+    elif insert_condition is not None:
+        joined = joined.filter(
+            ~(s_only & ~F.coalesce(insert_condition, F.lit(False)))
+        )
     out = []
     for c in target.columns:
         upd = update_cols.get(c)

@@ -13,9 +13,13 @@ Rewrite algebra (the classic summary-table containment rules):
   keys (e.g. ``month`` derived from a daily key) — coarser rollups of the
   stored grain;
 - ``SUM(x)``   -> ``SUM(mv.sum_x)``     (sums are re-additive)
-- ``COUNT(*)`` -> ``SUM(mv.cnt)``
+- ``COUNT(*)`` -> ``SUM(mv.cnt)``; ``COUNT(x)`` -> ``SUM(mv.cnt_x)``
+  (a stored ``count`` over a column counts NON-NULLs, SQL semantics)
 - ``MIN(x)``   -> ``MIN(mv.min_x)``, ``MAX(x)`` -> ``MAX(mv.max_x)``
-- ``AVG(x)``   -> ``SUM(mv.sum_x) / SUM(mv.cnt)`` (never avg-of-avgs)
+- ``AVG(x)``   -> ``SUM(mv.sum_x) / SUM(mv.cnt_x)`` — never avg-of-avgs,
+  and never divided by the ROW count: AVG ignores NULLs, so deriving it
+  requires the stored non-null count of the SAME column (an MV without
+  ``(count, x)`` simply refuses to route AVG(x))
 
 Non-decomposable aggregates (exact DISTINCT, exact percentiles) are
 deliberately NOT routable — ``route`` falls back to the base table, which is
@@ -48,7 +52,9 @@ class MVDef:
     """A summary-table definition over a base table.
 
     measures: out_col -> (agg, base_expr) with agg in {sum, count, min, max}.
-    ``count`` ignores base_expr and counts rows (stored as ``out_col``).
+    ``(count, "*")`` counts rows; ``(count, col)`` counts non-NULLs of the
+    column (SQL COUNT semantics — the distinction is what makes routed
+    AVG correct under NULLs).
     """
 
     name: str
@@ -56,17 +62,8 @@ class MVDef:
     measures: dict[str, tuple[str, str]] = field(hash=False)
 
     def build(self, base: DataFrame) -> DataFrame:
-        aggs = []
-        for out, (agg, expr) in self.measures.items():
-            if agg == "count":
-                aggs.append(F.count(F.lit(1)).alias(out))
-            elif agg == "sum":
-                aggs.append(F.sum(F.expr(expr).cast(_DEC)).alias(out))
-            elif agg in ("min", "max"):
-                aggs.append(getattr(F, agg)(F.expr(expr)).alias(out))
-            else:
-                raise ValueError(f"non-decomposable agg in MV: {agg}")
-        return base.groupBy(*[F.col(k) for k in self.keys]).agg(*aggs)
+        return base.groupBy(*[F.col(k) for k in self.keys]).agg(
+            *_measure_aggs(self.measures))
 
     def store(self, base: DataFrame, path: str) -> None:
         """Materialize to parquet (the batch refresh; streaming refresh is
@@ -84,32 +81,74 @@ class AggRequest:
     measures: dict[str, tuple[str, str]]
 
 
-def _routable(req: AggRequest, mv: MVDef) -> bool:
-    # every request key must be a stored key or an expression over stored
-    # keys; identifier references are matched on word boundaries so a key
-    # named "day" can never spuriously satisfy an expression that merely
-    # contains the substring (e.g. a base column "days_open").
+_SQL_WORDS = frozenset(
+    "as and or not case when then else end null true false cast "
+    "int integer bigint smallint tinyint float double string varchar "
+    "date timestamp decimal boolean interval month day year hour minute "
+    "second week quarter from for in is like between distinct".split())
+
+
+def _expr_refs_only(expr: str, allowed) -> bool:
+    """True iff every bare identifier in ``expr`` (string literals
+    stripped, function names and SQL keywords excluded) is in ``allowed``
+    — 'is an expression over MV keys ONLY', not merely 'mentions one'.
+    False rejections are safe (base-table fallback); false acceptances
+    would crash or mis-answer, so unknown identifiers reject."""
     import re as _re
 
-    for name, expr in req.keys.items():
-        if expr is None:
-            if name not in mv.keys:
-                return False
-        elif not any(_re.search(rf"\b{_re.escape(k)}\b", expr)
-                     for k in mv.keys):
+    no_strings = _re.sub(r"'[^']*'", "''", expr)
+    for m in _re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", no_strings):
+        ident = m.group(0)
+        rest = no_strings[m.end():].lstrip()
+        if rest.startswith("("):
+            continue  # function name
+        if ident.lower() in _SQL_WORDS:
+            continue
+        if ident not in allowed:
             return False
-    stored = {(agg, expr): out for out, (agg, expr) in mv.measures.items()}
-    counts = [out for out, (agg, _) in mv.measures.items() if agg == "count"]
-    for _, (agg, expr) in req.measures.items():
+    return True
+
+
+def _measure_aggs(measures: dict[str, tuple[str, str]]) -> list:
+    """The storage-side aggregate list shared by MVDef and GroupingSetMV."""
+    aggs = []
+    for out, (agg, expr) in measures.items():
         if agg == "count":
-            if not counts:
-                return False
-        elif agg == "avg":
-            if ("sum", expr) not in stored or not counts:
+            aggs.append(
+                (F.count(F.lit(1)) if expr == "*"
+                 else F.count(F.expr(expr))).alias(out))
+        elif agg == "sum":
+            aggs.append(F.sum(F.expr(expr).cast(_DEC)).alias(out))
+        elif agg in ("min", "max"):
+            aggs.append(getattr(F, agg)(F.expr(expr)).alias(out))
+        else:
+            raise ValueError(f"non-decomposable agg in MV: {agg}")
+    return aggs
+
+
+def _derivable(req_measures: dict, stored_measures: dict) -> bool:
+    """Can every requested measure be derived from the stored ones? The
+    ONE copy of the derivability rule (routing and answering both use it,
+    so they cannot drift): sum/count/min/max need the exact (agg, expr)
+    stored; avg(x) needs BOTH (sum, x) and (count, x)."""
+    stored = {(a, e) for _, (a, e) in stored_measures.items()}
+    for _, (agg, expr) in req_measures.items():
+        if agg == "avg":
+            if ("sum", expr) not in stored or ("count", expr) not in stored:
                 return False
         elif (agg, expr) not in stored:
             return False
     return True
+
+
+def _routable(req: AggRequest, mv: MVDef) -> bool:
+    for name, expr in req.keys.items():
+        if expr is None:
+            if name not in mv.keys:
+                return False
+        elif not _expr_refs_only(expr, set(mv.keys)):
+            return False
+    return _derivable(req.measures, mv.measures)
 
 
 def _answer_from_mv(mv_df: DataFrame, req: AggRequest, mv: MVDef) -> DataFrame:
@@ -118,18 +157,18 @@ def _answer_from_mv(mv_df: DataFrame, req: AggRequest, mv: MVDef) -> DataFrame:
         for name, expr in req.keys.items()
     ]
     stored = {(agg, expr): out for out, (agg, expr) in mv.measures.items()}
-    cnt_col = next(out for out, (agg, _) in mv.measures.items() if agg == "count")
     aggs = []
     for out, (agg, expr) in req.measures.items():
         if agg == "count":
-            aggs.append(F.sum(F.col(cnt_col)).cast("bigint").alias(out))
+            aggs.append(F.sum(F.col(stored[("count", expr)]))
+                        .cast("bigint").alias(out))
         elif agg == "sum":
             aggs.append(
                 F.sum(F.col(stored[("sum", expr)])).cast("double").alias(out))
         elif agg == "avg":
             aggs.append(
                 (F.sum(F.col(stored[("sum", expr)])).cast("double")
-                 / F.sum(F.col(cnt_col))).alias(out))
+                 / F.sum(F.col(stored[("count", expr)]))).alias(out))
         else:
             aggs.append(getattr(F, agg)(F.col(stored[(agg, expr)])).alias(out))
     return mv_df.groupBy(*keys).agg(*aggs)
@@ -143,7 +182,9 @@ def _answer_from_base(base: DataFrame, req: AggRequest) -> DataFrame:
     aggs = []
     for out, (agg, expr) in req.measures.items():
         if agg == "count":
-            aggs.append(F.count(F.lit(1)).alias(out))
+            aggs.append(
+                (F.count(F.lit(1)) if expr == "*"
+                 else F.count(F.expr(expr))).alias(out))
         elif agg == "sum":
             aggs.append(
                 F.sum(F.expr(expr).cast(_DEC)).cast("double").alias(out))
@@ -225,19 +266,10 @@ class GroupingSetMV:
         return m
 
     def build(self, base: DataFrame) -> DataFrame:
-        aggs = []
-        for out, (agg, expr) in self.measures.items():
-            if agg == "count":
-                aggs.append(F.count(F.lit(1)).alias(out))
-            elif agg == "sum":
-                aggs.append(F.sum(F.expr(expr).cast(_DEC)).alias(out))
-            elif agg in ("min", "max"):
-                aggs.append(getattr(F, agg)(F.expr(expr)).alias(out))
-            else:
-                raise ValueError(f"non-decomposable agg in MV: {agg}")
         cube = (
             base.cube(*[F.col(k) for k in self.keys])
-            .agg(F.grouping_id().alias("grouping_id"), *aggs)
+            .agg(F.grouping_id().alias("grouping_id"),
+                 *_measure_aggs(self.measures))
         )
         masks = [self.mask(s) for s in self.sets]
         return cube.filter(F.col("grouping_id").isin(masks))
@@ -257,31 +289,23 @@ class GroupingSetMV:
         want = tuple(req.keys)
         if not set(want) <= set(self.keys):
             return None
+        if not _derivable(req.measures, self.measures):
+            return None
         stored = {(agg, expr): out for out, (agg, expr) in self.measures.items()}
-        counts = [out for out, (agg, _) in self.measures.items()
-                  if agg == "count"]
-        for _, (agg, expr) in req.measures.items():
-            if agg == "count":
-                if not counts:
-                    return None
-            elif agg == "avg":
-                if ("sum", expr) not in stored or not counts:
-                    return None
-            elif (agg, expr) not in stored:
-                return None
         mv_df = spark.read.parquet(path)
         exact = next((s for s in self.sets if set(s) == set(want)), None)
         if exact is not None:
             sel = [F.col(k) for k in want]
             for out, (agg, expr) in req.measures.items():
                 if agg == "count":
-                    sel.append(F.col(counts[0]).cast("bigint").alias(out))
+                    sel.append(F.col(stored[("count", expr)]).cast("bigint")
+                               .alias(out))
                 elif agg == "sum":
                     sel.append(F.col(stored[("sum", expr)]).cast("double")
                                .alias(out))
                 elif agg == "avg":
                     sel.append((F.col(stored[("sum", expr)]).cast("double")
-                                / F.col(counts[0])).alias(out))
+                                / F.col(stored[("count", expr)])).alias(out))
                 else:
                     sel.append(F.col(stored[(agg, expr)]).alias(out))
             return (mv_df.filter(F.col("grouping_id") == self.mask(exact))

@@ -1198,6 +1198,9 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty": ("sum", "l_quantity"),
             "sum_price": ("sum", "l_extendedprice"),
             "cnt": ("count", "*"),
+            # non-null count of the SAME column avg derives from (the MV
+            # algebra refuses avg without it — SQL AVG ignores NULLs)
+            "cnt_qty": ("count", "l_quantity"),
         },
     )
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"

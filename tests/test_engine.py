@@ -22,7 +22,8 @@ def engine(spark, tmp_path_factory):
             name="mv_orders_daily",
             keys=("o_orderdate", "o_orderstatus"),
             measures={"sum_price": ("sum", "o_totalprice"),
-                      "cnt": ("count", "*")},
+                      "cnt": ("count", "*"),
+                      "cnt_price": ("count", "o_totalprice")},
         ),
         "orders",
     )
@@ -205,3 +206,78 @@ def test_grouping_mv_serves_exact_grain_first(spark, tmp_path_factory):
     df2, prov2 = eng.aggregate("orders", req2, use_cache=False)
     assert prov2 == "gsmv:gs_orders"
     assert df2.count() > 0
+
+
+def test_apply_changes_idempotent_under_tombstone_redelivery(
+        spark, tmp_path_factory):
+    """Review finding: a delete for an absent key must not resurrect the
+    tombstone payload. Applying the SAME delete batch twice leaves the
+    table identical after the first apply."""
+    from pyspark.sql import Row
+
+    eng = Engine(spark, SF_DIR, str(tmp_path_factory.mktemp("eng4")))
+    victim = eng.table("orders").limit(1).collect()[0]
+    batch = spark.createDataFrame([Row(lsn=1, op="d", **victim.asDict())])
+    n0 = eng.table("orders").count()
+    eng.apply_changes("orders", batch, ["o_orderkey"])
+    n1 = eng.table("orders").count()
+    assert n1 == n0 - 1
+    eng.apply_changes("orders", batch, ["o_orderkey"])  # re-delivery
+    assert eng.table("orders").count() == n1
+    assert eng.table("orders").filter(
+        F.col("o_orderkey") == victim["o_orderkey"]).count() == 0
+
+
+def test_apply_changes_versions_and_derived_grain_refresh(
+        spark, tmp_path_factory):
+    """Review findings together: (a) table rewrites are versioned —
+    consecutive applies never overwrite the files being read; (b) a
+    derived-grain MV (base_builder) is refreshed THROUGH its builder by
+    apply_changes instead of crashing on the missing derived column."""
+    from pyspark.sql import Row
+
+    from inspectadb_spark.operators.mv import MVDef
+
+    wd = str(tmp_path_factory.mktemp("eng5"))
+    eng = Engine(spark, SF_DIR, wd)
+    eng.register_mv(
+        MVDef(name="mv_day", keys=("order_day",),
+              measures={"cnt": ("count", "*")}),
+        "orders",
+        base_builder=lambda df: df.withColumn(
+            "order_day", F.date_trunc("day", F.col("o_orderdate"))))
+    v1, v2 = [r for r in eng.table("orders").limit(2).collect()]
+    for i, victim in enumerate((v1, v2)):
+        eng.apply_changes(
+            "orders",
+            spark.createDataFrame([Row(lsn=i + 1, op="d",
+                                       **victim.asDict())]),
+            ["o_orderkey"])
+    import os as _os
+
+    vdir = _os.path.join(wd, "tables", "orders")
+    assert _os.path.exists(_os.path.join(vdir, "CURRENT"))
+    assert _os.path.isdir(_os.path.join(vdir, "v2"))
+    req = AggRequest(keys={"order_day": None},
+                     measures={"n": ("count", "*")})
+    df, prov = eng.aggregate(
+        "orders", req, use_cache=False,
+        base_builder=lambda d: d.withColumn(
+            "order_day", F.date_trunc("day", F.col("o_orderdate"))))
+    assert prov == "mv:mv_day"
+    assert sum(r["n"] for r in df.collect()) == \
+        eng.table("orders").count()
+
+    # restart continuity: a fresh Engine on the same work_dir resumes the
+    # committed version, not the sf_dir originals
+    eng2 = Engine(spark, SF_DIR, wd)
+    assert eng2.table("orders").count() == eng.table("orders").count()
+
+
+def test_parse_agg_sql_rejects_duplicate_aliases_and_counts_nonnull():
+    from inspectadb_spark.engine import parse_agg_sql
+
+    assert parse_agg_sql(
+        "SELECT a, SUM(b) AS s, COUNT(*) AS s FROM t GROUP BY a") is None
+    parsed = parse_agg_sql("SELECT a, COUNT(b) AS n FROM t GROUP BY a")
+    assert parsed is not None and parsed[1].measures["n"] == ("count", "b")

@@ -37,8 +37,8 @@ def mv_stored(spark, base, tmp_path_factory):
         name="mv_daily",
         keys=("day", "flag"),
         measures={"sum_qty": ("sum", "qty"), "sum_price": ("sum", "price"),
-                  "cnt": ("count", "*"), "min_qty": ("min", "qty"),
-                  "max_qty": ("max", "qty")},
+                  "cnt": ("count", "*"), "cnt_qty": ("count", "qty"),
+                  "min_qty": ("min", "qty"), "max_qty": ("max", "qty")},
     )
     path = str(tmp_path_factory.mktemp("mv") / "mv_daily")
     mv.store(base, path)
@@ -214,7 +214,8 @@ def test_grouping_set_mv_exact_grain_serves_without_aggregation(
     mv = GroupingSetMV(
         name="gs", keys=("day", "flag"),
         sets=(("day", "flag"), ("flag",), ()),
-        measures={"sum_qty": ("sum", "qty"), "cnt": ("count", "*")})
+        measures={"sum_qty": ("sum", "qty"), "cnt": ("count", "*"),
+                  "cnt_qty": ("count", "qty")})
     path = str(tmp_path_factory.mktemp("gs") / "gs")
     mv.store(base, path)
 
@@ -245,3 +246,60 @@ def test_grouping_set_mv_exact_grain_serves_without_aggregation(
     # underivable measure refuses
     assert mv.answer(spark, path, AggRequest(
         keys={"flag": None}, measures={"m": ("min", "qty")})) is None
+
+
+def test_avg_and_count_are_null_correct_across_layers(spark,
+                                                      tmp_path_factory):
+    """Review findings: routed AVG must divide by the NON-NULL count (SQL
+    semantics), COUNT(col) must skip NULLs in every layer, and a sum-only
+    MV must serve SUM without needing any count measure."""
+    base = spark.createDataFrame(
+        [("A", 10.0), ("A", None), ("B", 4.0), ("B", 6.0), ("B", None)],
+        "flag string, qty double")
+    mv = MVDef(name="mv_nulls", keys=("flag",),
+               measures={"sum_qty": ("sum", "qty"),
+                         "cnt": ("count", "*"),
+                         "cnt_qty": ("count", "qty")})
+    path = str(tmp_path_factory.mktemp("mvn") / "mv_nulls")
+    mv.store(base, path)
+    req = AggRequest(keys={"flag": None},
+                     measures={"a": ("avg", "qty"),
+                               "nq": ("count", "qty"),
+                               "n": ("count", "*")})
+    routed, used = route(spark, req, {mv.name: (mv, path)}, base)
+    assert used == mv.name
+    direct, _ = route(spark, req, {}, base)
+    r = {x["flag"]: x for x in routed.collect()}
+    d = {x["flag"]: x for x in direct.collect()}
+    assert r["A"]["a"] == d["A"]["a"] == 10.0      # NOT 5.0 (row count)
+    assert r["B"]["a"] == d["B"]["a"] == 5.0
+    assert r["A"]["nq"] == 1 and r["A"]["n"] == 2
+    assert r["B"]["nq"] == 2 and r["B"]["n"] == 3
+
+    # sum-only MV: SUM routes, AVG/COUNT refuse (no crash, base fallback)
+    mv2 = MVDef(name="mv_sum_only", keys=("flag",),
+                measures={"sum_qty": ("sum", "qty")})
+    path2 = str(tmp_path_factory.mktemp("mvs") / "mv_sum_only")
+    mv2.store(base, path2)
+    sdf, used2 = route(spark, AggRequest(keys={"flag": None},
+                                         measures={"s": ("sum", "qty")}),
+                       {mv2.name: (mv2, path2)}, base)
+    assert used2 == mv2.name
+    assert {x["flag"]: x["s"] for x in sdf.collect()} == {"A": 10.0, "B": 10.0}
+    _, used3 = route(spark, AggRequest(keys={"flag": None},
+                                       measures={"a": ("avg", "qty")}),
+                     {mv2.name: (mv2, path2)}, base)
+    assert used3 is None
+
+
+def test_key_expr_with_foreign_column_falls_back_not_crashes(spark, base,
+                                                             mv_stored):
+    """An expression mentioning an MV key AND a base-only column must not
+    route (it would crash on the MV parquet); base fallback answers it."""
+    mv, path = mv_stored
+    req = AggRequest(keys={"x": "concat(day, region)"},
+                     measures={"n": ("count", "*")})
+    base2 = base.withColumn("region", F.lit("r1"))
+    out, used = route(spark, req, {mv.name: (mv, path)}, base2)
+    assert used is None
+    assert out.count() > 0  # base path actually answers

@@ -1625,7 +1625,8 @@ def test_s34_incremental_state_routes_via_mv(spark, replay_dir, tmp_path):
         spark, str(tmp_path / "state"),
         key_exprs={"w": "date_trunc('hour', ts)",
                    "event_type": "event_type"},
-        measures=[("cnt", "count", "*"), ("sv", "sum", "value")])
+        measures=[("cnt", "count", "*"), ("sv", "sum", "value"),
+                  ("cnt_v", "count", "value")])
     q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
                   available_now=True)
     q.awaitTermination(300)
@@ -1633,7 +1634,8 @@ def test_s34_incremental_state_routes_via_mv(spark, replay_dir, tmp_path):
     state_path = inc._read_ptr()[0]
 
     mv = MVDef(name="inc_hourly", keys=("w", "event_type"),
-               measures={"sv": ("sum", "value"), "cnt": ("count", "*")})
+               measures={"sv": ("sum", "value"), "cnt": ("count", "*"),
+                         "cnt_v": ("count", "value")})
     req = AggRequest(
         keys={"event_type": None},
         measures={"sv": ("sum", "value"), "n": ("count", "*"),
