@@ -130,7 +130,7 @@ _TIER2 = [
     "q247_golden_record", "q248_cdc_to_summary",
     "q249_mixture_temperature", "q250_dedup_threshold_sweep",
     "q251_fk_enforcement", "q252_split_leakage",
-    "q253_cluster_split",
+    "q253_cluster_split", "q254_grain_navigator",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

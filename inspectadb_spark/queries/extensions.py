@@ -1449,3 +1449,59 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionAll(b), outs).orderBy("edge")
+
+
+# --------------------------------------------------------------------------
+# Q254 grain navigator served from a grouping-sets MV: ONE stored summary
+# (CUBE restricted to declared grains, grouping_id kept) answers the
+# returnflag grain as a pure filter+projection — no re-aggregation, no
+# exchange (plan-pinned in test_mv/test_plans). Oracle is the direct
+# base-table aggregate, so the hash match certifies the multi-grain
+# storage + mask addressing end to end.
+@query(
+    "q254_grain_navigator",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                                AS DOUBLE) / COUNT(l_quantity)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Per-returnflag rollup answered from the (ship_day, returnflag) "
+        "grouping-sets summary's exact (returnflag) grain — filter + "
+        "projection serving, zero aggregation in the plan.",
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.mv import AggRequest, GroupingSetMV
+
+    li = tables(spark, sf_dir)["lineitem"]
+    base = li.withColumn("ship_day", F.date_trunc("day", F.col("l_shipdate")))
+    gs = GroupingSetMV(
+        name="gs_lineitem",
+        keys=("ship_day", "l_returnflag"),
+        sets=(("ship_day", "l_returnflag"), ("l_returnflag",), ()),
+        measures={"sum_qty": ("sum", "l_quantity"),
+                  "cnt": ("count", "*"),
+                  "cnt_qty": ("count", "l_quantity")},
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"inspectadb_gsmv_{tag}_{os.getpid()}")
+    gs.store(base, path)
+    req = AggRequest(
+        keys={"l_returnflag": None},
+        measures={"n_rows": ("count", "*"),
+                  "sum_qty": ("sum", "l_quantity"),
+                  "avg_qty": ("avg", "l_quantity")},
+    )
+    out = gs.answer(spark, path, req)
+    assert out is not None, "declared grain must serve from the summary"
+    return (
+        out.withColumn("avg_qty",
+                       F.round(F.col("avg_qty").cast("decimal(18,6)"), 4)
+                       .cast("double"))
+        .select("l_returnflag", "n_rows", "sum_qty", "avg_qty")
+        .orderBy("l_returnflag")
+    )
