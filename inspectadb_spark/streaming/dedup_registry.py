@@ -145,3 +145,71 @@ class DedupRegistry:
         if available_now:
             w = w.trigger(availableNow=True)
         return w.start(**options)
+
+
+class BloomDedupRegistry(DedupRegistry):
+    """The registry's bounded-memory form (the swap the base class's
+    docstring promises): state is a Bloom bit-set (≤ m rows FOREVER,
+    regardless of how many keys stream past) instead of one row per key.
+
+    Direction of error is the safe one for dedup: a Bloom false positive
+    suppresses a genuinely-new row (bounded UNDERcount of new data, rate
+    ~ (1-e^{-kn/m})^k), but a key that was emitted can never be emitted
+    again — no duplicates, ever. Use when the exact key set outgrows the
+    anti-join; size m for the expected lifetime key count.
+
+    Only the probe and the state representation change; batching,
+    versioning, redelivery guard, and the run+batch-namespaced idempotent
+    output are inherited.
+    """
+
+    def __init__(self, spark, state_dir, out_dir, key_cols, order_cols,
+                 k: int = 4, m: int = 65536, salt: str = "dedupreg"):
+        if len(key_cols) != 1:
+            raise ValueError("Bloom registry keys on a single column; "
+                             "pre-concatenate composite keys")
+        super().__init__(spark, state_dir, out_dir, key_cols, order_cols)
+        self._bloom = (key_cols[0], k, m, salt)
+
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from inspectadb_spark.operators.sketches import bloom_build, bloom_probe
+
+        committed = self._read_ptr()
+        if (
+            committed is not None
+            and self._checkpoint is not None
+            and committed[1] == self._checkpoint
+            and committed[2] is not None
+            and batch_id <= committed[2]
+        ):
+            return
+        col, k, m, salt = self._bloom
+        w = Window.partitionBy(col).orderBy(
+            *[F.col(c) for c in self.order_cols])
+        firsts = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        seen = self.seen_keys()  # here: the bit table
+        if seen is not None:
+            probed = bloom_probe(seen, firsts.select(col).distinct(),
+                                 col, k, m, salt)
+            fresh = probed.filter(~F.col("maybe_member")).select(col)
+            firsts = firsts.join(fresh, col, "left_semi")
+        out = os.path.join(self.out_dir, f"run={self._run_tag()}",
+                           f"batch={batch_id}")
+        firsts.write.mode("overwrite").parquet(out)
+        new_bits = bloom_build(
+            self.spark.read.parquet(out).select(col), col, k, m, salt)
+        merged = (new_bits if seen is None
+                  else seen.unionByName(new_bits).distinct())
+        self._version += 1
+        state_out = os.path.join(self.state_dir, f"v{self._version}")
+        merged.write.mode("overwrite").parquet(state_out)
+        tmp = self._ptr() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{state_out}\n{self._checkpoint or ''}\n{batch_id}")
+        os.replace(tmp, self._ptr())
+        old = os.path.join(self.state_dir, f"v{self._version - 2}")
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)

@@ -1920,3 +1920,51 @@ def test_s40_streaming_champion_tracking(spark, tmp_path):
     assert set(live) == set(want)
     for h, (wid, _) in want.items():
         assert live[h][0] == wid, f"cluster {h}: live {live[h][0]} != {wid}"
+
+
+# S41 Bloom-backed dedup registry: bounded state (≤ m bit rows forever),
+# NEVER a duplicate emission across runs (the safe error direction); with
+# a comfortably-sized filter the planted replay dedups exactly like the
+# exact registry. State size asserted ≤ m while keys number in the
+# hundreds.
+def test_s41_bloom_dedup_registry_never_emits_duplicates(spark, tmp_path):
+    from inspectadb_spark.streaming.dedup_registry import BloomDedupRegistry
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    def mk(d, files):
+        os.makedirs(d, exist_ok=True)
+        now = time.time()
+        for i, ks in enumerate(files):
+            t = pa.table({"k": pa.array(ks, pa.int64()),
+                          "seq": pa.array(list(range(len(ks))), pa.int64())})
+            p = os.path.join(d, f"c{i}.parquet")
+            pq2.write_table(t, p)
+            os.utime(p, (now + i, now + i))
+
+    run1 = str(tmp_path / "r1")
+    mk(run1, [list(range(0, 200)), list(range(100, 300))])
+    run2 = str(tmp_path / "r2")
+    mk(run2, [list(range(250, 400))])
+
+    def stream_of(d):
+        schema = spark.read.parquet(d).schema
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(d))
+
+    state, out = str(tmp_path / "st"), str(tmp_path / "out")
+    r1 = BloomDedupRegistry(spark, state, out, ["k"], ["seq"], m=65536)
+    q = r1.start(stream_of(run1), str(tmp_path / "ck1"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+    r2 = BloomDedupRegistry(spark, state, out, ["k"], ["seq"], m=65536)
+    q = r2.start(stream_of(run2), str(tmp_path / "ck2"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    emitted = [r["k"] for r in r2.emitted().collect()]
+    assert len(emitted) == len(set(emitted)), "never a duplicate emission"
+    # at m=65536 for 400 keys the FP rate is ~0 -> exact-equivalent here
+    assert sorted(emitted) == list(range(400))
+    assert r2.seen_keys().count() <= 65536
