@@ -364,3 +364,46 @@ def test_p6_kl_nonnegative_entropy_bounds(spark):
     for r in source_divergence(docs).collect():
         assert r.kl_corpus >= -1e-3, r
         assert 0.0 <= r.entropy <= math.log(vocab) + 1e-3, r
+
+
+# -- MV routing algebra property: routed == direct on random data -------------
+_mv_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", None]),          # key k1
+        st.sampled_from(["x", "y", None]),               # key k2
+        st.one_of(st.none(),
+                  st.integers(-100, 100).map(float)),    # measure v
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_mv_rows, req_keys=st.sampled_from(
+    [("k1",), ("k2",), ("k1", "k2")]))
+def test_mv_routed_equals_direct_property(spark, tmp_path_factory, rows,
+                                          req_keys):
+    """For ANY data (NULL keys, NULL measures, empty groups) and any
+    requested sub-grain, serving from the stored summary must equal the
+    direct aggregate — sum, row count, non-null count, avg, min, max."""
+    from inspectadb_spark.operators.mv import AggRequest, MVDef, route
+
+    base = spark.createDataFrame(rows, "k1 string, k2 string, v double")
+    mv = MVDef(name="p", keys=("k1", "k2"),
+               measures={"s": ("sum", "v"), "c": ("count", "*"),
+                         "cv": ("count", "v"), "mn": ("min", "v"),
+                         "mx": ("max", "v")})
+    path = str(tmp_path_factory.mktemp("mvp") / "p")
+    mv.store(base, path)
+    req = AggRequest(
+        keys={k: None for k in req_keys},
+        measures={"s": ("sum", "v"), "n": ("count", "*"),
+                  "nv": ("count", "v"), "a": ("avg", "v"),
+                  "mn": ("min", "v"), "mx": ("max", "v")})
+    routed, used = route(spark, req, {mv.name: (mv, path)}, base)
+    assert used == mv.name
+    direct, _ = route(spark, req, {}, base)
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(str(x) for x in r) for r in df.collect())
+    assert canon(routed) == canon(direct)
