@@ -131,6 +131,8 @@ _TIER2 = [
     "q249_mixture_temperature", "q250_dedup_threshold_sweep",
     "q251_fk_enforcement", "q252_split_leakage",
     "q253_cluster_split", "q254_grain_navigator",
+    "q255_segment_migration", "q256_price_dispersion",
+    "q257_revenue_drawdown",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

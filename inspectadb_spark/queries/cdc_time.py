@@ -3059,3 +3059,171 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("revenue_cents"))
         .orderBy("month", "o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Q255 customer segment migration: fixed spend-band segmentation per
+# quarter, then the quarter-over-quarter transition matrix — the segment
+# FLOW analysis on top of q156's static RFM snapshot. Bands are integer
+# cents against fixed thresholds (no quantiles), so segmentation is
+# engine- and scale-exact; the transition join is per-customer between
+# consecutive quarters only.
+@query(
+    "q255_segment_migration",
+    oracle="""
+    WITH q AS (
+      SELECT o_custkey,
+             CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2),
+    seg AS (
+      SELECT o_custkey, qtr,
+             CASE WHEN cents >= 30000000 THEN 'high'
+                  WHEN cents >= 10000000 THEN 'mid'
+                  ELSE 'low' END AS segment
+      FROM q),
+    nxt AS (
+      SELECT a.segment AS seg_from, b.segment AS seg_to
+      FROM seg a JOIN seg b
+        ON a.o_custkey = b.o_custkey
+       AND b.qtr = a.qtr + INTERVAL 3 MONTH)
+    SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n
+    FROM nxt GROUP BY seg_from, seg_to ORDER BY seg_from, seg_to
+    """,
+    doc="Quarter-over-quarter customer segment transition matrix under "
+        "fixed integer-cent spend bands — segment flow, not snapshot.",
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    q = (o.groupBy(
+            F.col("o_custkey"),
+            F.date_trunc("quarter", F.col("o_orderdate")).alias("qtr"))
+         .agg(F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+              .alias("cents")))
+    seg = q.select(
+        "o_custkey", "qtr",
+        F.when(F.col("cents") >= 30000000, "high")
+        .when(F.col("cents") >= 10000000, "mid")
+        .otherwise("low").alias("segment"))
+    a = seg.select(F.col("o_custkey"), F.col("qtr"),
+                   F.col("segment").alias("seg_from"))
+    b = seg.select(F.col("o_custkey"), F.col("qtr").alias("qtr_b"),
+                   F.col("segment").alias("seg_to"))
+    nxt = a.join(b, (a["o_custkey"] == b["o_custkey"])
+                 & (F.col("qtr_b") == F.col("qtr") + F.expr("INTERVAL 3 MONTH")))
+    return (nxt.groupBy("seg_from", "seg_to")
+            .agg(F.count("*").alias("n"))
+            .orderBy("seg_from", "seg_to"))
+
+
+# --------------------------------------------------------------------------
+# Q256 price-dispersion audit per part: the same part sold at different
+# unit prices across lineitems — count, min/max/avg unit price in exact
+# cents, spread — the catalog-integrity signal that feeds both pricing
+# review and entity-resolution suspicion (q142). Top 20 by spread.
+@query(
+    "q256_price_dispersion",
+    oracle="""
+    WITH u AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * 100 / l_quantity) AS BIGINT)
+               AS unit_cents
+      FROM lineitem WHERE l_quantity > 0),
+    d AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_sales,
+             CAST(MIN(unit_cents) AS BIGINT) AS min_cents,
+             CAST(MAX(unit_cents) AS BIGINT) AS max_cents,
+             CAST(MAX(unit_cents) - MIN(unit_cents) AS BIGINT) AS spread
+      FROM u GROUP BY l_partkey)
+    SELECT l_partkey, n_sales, min_cents, max_cents, spread
+    FROM d ORDER BY spread DESC, l_partkey LIMIT 20
+    """,
+    doc="Per-part unit-price dispersion in exact integer cents, top 20 by "
+        "spread with deterministic tie order — one part-key aggregation + "
+        "TakeOrdered.",
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables(spark, sf_dir)["lineitem"]
+    u = (li.filter(F.col("l_quantity") > 0)
+         .select("l_partkey",
+                 F.expr("CAST(ROUND(l_extendedprice * 100 / l_quantity)"
+                        " AS BIGINT)").alias("unit_cents")))
+    d = u.groupBy("l_partkey").agg(
+        F.count("*").alias("n_sales"),
+        F.min("unit_cents").alias("min_cents"),
+        F.max("unit_cents").alias("max_cents"),
+        (F.max("unit_cents") - F.min("unit_cents")).alias("spread"))
+    return d.orderBy(F.desc("spread"), "l_partkey").limit(20)
+
+
+# --------------------------------------------------------------------------
+# Q257 maximum drawdown of cumulative daily revenue: peak-to-trough of the
+# running total — the resilience metric on the revenue curve. Both running
+# aggregates (cumulative sum, then its running max) ride the DISTRIBUTED
+# bucket-offset machinery over the day-level series; exact integer cents
+# end to end.
+@query(
+    "q257_revenue_drawdown",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT day,
+             SUM(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d),
+    dd AS (
+      SELECT day, cum,
+             MAX(cum) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM c)
+    SELECT CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(peak) AS BIGINT) AS final_peak_cents
+    FROM dd
+    """,
+    doc="Maximum drawdown of the cumulative daily revenue curve in exact "
+        "cents — day-aggregated series, inclusive running max via the "
+        "distributed bucket-offset operator (never a single-task global "
+        "window over row-level data).",
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import global_rank
+
+    o = tables(spark, sf_dir)["orders"]
+    d = (o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+         .agg(F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+              .alias("cents")))
+    # day-level series is calendar-bounded: a partitioned-by-bucket pair of
+    # running aggregates. Reuse the epoch-day integer as the bucket key.
+    dd = d.withColumn("day_i", F.expr("datediff(CAST(day AS DATE),"
+                                      " DATE'1992-01-01')"))
+    from pyspark.sql import Window
+
+    b = dd.withColumn("_bkt", F.expr("day_i DIV 365"))
+    sums = b.groupBy("_bkt").agg(F.sum("cents").alias("_bsum"))
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sums.withColumn("_off",
+                           F.coalesce(F.sum("_bsum").over(woff), F.lit(0)))
+    win = (Window.partitionBy("_bkt").orderBy("day_i")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (b.join(F.broadcast(offs.select("_bkt", "_off")), "_bkt")
+           .withColumn("cum", F.col("_off") + F.sum("cents").over(win)))
+    # inclusive running max of cum, same bucket scheme
+    bmax = cum.groupBy("_bkt").agg(F.max("cum").alias("_bmax"))
+    carry = bmax.withColumn("_carry", F.max("_bmax").over(woff))
+    wmax = (Window.partitionBy("_bkt").orderBy("day_i")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    peaked = (cum.join(F.broadcast(carry.select("_bkt", "_carry")), "_bkt")
+              .withColumn("peak",
+                          F.greatest(F.coalesce(F.col("_carry"),
+                                                F.col("cum")),
+                                     F.max("cum").over(wmax))))
+    return peaked.agg(
+        F.max(F.col("peak") - F.col("cum")).cast("bigint")
+        .alias("max_drawdown_cents"),
+        F.count("*").alias("n_days"),
+        F.max("peak").cast("bigint").alias("final_peak_cents"))
