@@ -281,3 +281,29 @@ def test_parse_agg_sql_rejects_duplicate_aliases_and_counts_nonnull():
         "SELECT a, SUM(b) AS s, COUNT(*) AS s FROM t GROUP BY a") is None
     parsed = parse_agg_sql("SELECT a, COUNT(b) AS n FROM t GROUP BY a")
     assert parsed is not None and parsed[1].measures["n"] == ("count", "b")
+
+
+def test_apply_changes_crash_window_leaves_committed_version(
+        spark, tmp_path_factory):
+    """Versioned-rewrite crash story: files written for a NEW version
+    without the pointer swap (the mid-write crash) must be invisible — a
+    fresh Engine still reads the last COMMITTED version."""
+    import os as _os
+
+    from pyspark.sql import Row
+
+    wd = str(tmp_path_factory.mktemp("eng6"))
+    eng = Engine(spark, SF_DIR, wd)
+    victim = eng.table("orders").limit(1).collect()[0]
+    eng.apply_changes(
+        "orders",
+        spark.createDataFrame([Row(lsn=1, op="d", **victim.asDict())]),
+        ["o_orderkey"])
+    n_committed = eng.table("orders").count()
+    # simulate a crash mid-write of v2: version dir exists, pointer not
+    # swapped
+    v2 = _os.path.join(wd, "tables", "orders", "v2")
+    eng.table("orders").limit(5).write.mode("overwrite").parquet(v2)
+    eng2 = Engine(spark, SF_DIR, wd)
+    assert eng2.table("orders").count() == n_committed
+    assert eng2._table_version["orders"] == 1
