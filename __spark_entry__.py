@@ -132,7 +132,8 @@ _TIER2 = [
     "q251_fk_enforcement", "q252_split_leakage",
     "q253_cluster_split", "q254_grain_navigator",
     "q255_segment_migration", "q256_price_dispersion",
-    "q257_revenue_drawdown",
+    "q257_revenue_drawdown", "q258_backlog_aging",
+    "q259_discount_curve", "q260_single_source_risk",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -3227,3 +3227,141 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_drawdown_cents"),
         F.count("*").alias("n_days"),
         F.max("peak").cast("bigint").alias("final_peak_cents"))
+
+
+# --------------------------------------------------------------------------
+# Q258 open-order aging (backlog report): age of every still-open order at
+# the corpus horizon (max order date — a deterministic "now"), bucketed in
+# integer days per priority — the operational WIP table.
+@query(
+    "q258_backlog_aging",
+    oracle="""
+    WITH h AS (SELECT MAX(o_orderdate) AS horizon FROM orders),
+    a AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', o_orderdate, horizon) AS BIGINT)
+               AS age_days
+      FROM orders CROSS JOIN h WHERE o_orderstatus = 'O'),
+    b AS (
+      SELECT o_orderpriority,
+             CASE WHEN age_days < 180 THEN '0-179'
+                  WHEN age_days < 720 THEN '180-719'
+                  WHEN age_days < 1440 THEN '720-1439'
+                  ELSE '1440+' END AS age_bucket,
+             age_days
+      FROM a)
+    SELECT o_orderpriority, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(age_days) AS BIGINT) AS oldest_days
+    FROM b GROUP BY o_orderpriority, age_bucket
+    ORDER BY o_orderpriority, age_bucket
+    """,
+    doc="Open-order backlog aging per priority, integer-day buckets "
+        "against the deterministic corpus horizon (max order date).",
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    h = o.agg(F.max("o_orderdate").alias("horizon"))
+    a = (o.filter(F.col("o_orderstatus") == "O")
+         .crossJoin(F.broadcast(h))
+         .select("o_orderpriority",
+                 F.expr("CAST(datediff(CAST(horizon AS DATE),"
+                        " CAST(o_orderdate AS DATE)) AS BIGINT)")
+                 .alias("age_days")))
+    bucket = (F.when(F.col("age_days") < 180, "0-179")
+              .when(F.col("age_days") < 720, "180-719")
+              .when(F.col("age_days") < 1440, "720-1439")
+              .otherwise("1440+"))
+    return (a.select("o_orderpriority", bucket.alias("age_bucket"),
+                     "age_days")
+            .groupBy("o_orderpriority", "age_bucket")
+            .agg(F.count("*").alias("n_orders"),
+                 F.max("age_days").alias("oldest_days"))
+            .orderBy("o_orderpriority", "age_bucket"))
+
+
+# --------------------------------------------------------------------------
+# Q259 discount-band revenue curve: what each discount band costs and
+# moves — per band (integer percent), line count, quantity, gross and
+# forgone revenue in exact per-line cents. The pricing-elasticity input
+# table.
+@query(
+    "q259_discount_curve",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+             l_quantity, l_extendedprice,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS gross_cents,
+             CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS forgone_cents
+      FROM lineitem)
+    SELECT disc_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+           CAST(SUM(gross_cents) AS BIGINT) AS gross_cents,
+           CAST(SUM(forgone_cents) AS BIGINT) AS forgone_cents
+    FROM b GROUP BY disc_pct ORDER BY disc_pct
+    """,
+    doc="Revenue and forgone revenue per integer discount band in exact "
+        "per-line cents — the discount-effect curve.",
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables(spark, sf_dir)["lineitem"]
+    b = li.select(
+        F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("disc_pct"),
+        "l_quantity",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+        .alias("gross_cents"),
+        F.expr("CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)")
+        .alias("forgone_cents"))
+    return (b.groupBy("disc_pct")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                 .cast("double").alias("qty"),
+                 F.sum("gross_cents").alias("gross_cents"),
+                 F.sum("forgone_cents").alias("forgone_cents"))
+            .orderBy("disc_pct"))
+
+
+# --------------------------------------------------------------------------
+# Q260 single-source supply risk: how many parts depend on exactly one
+# supplier (and the revenue riding on them) vs multi-sourced parts — the
+# supply-chain concentration census over the derived part-supplier
+# relation.
+@query(
+    "q260_single_source_risk",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    b AS (
+      SELECT CASE WHEN n_supp = 1 THEN '1'
+                  WHEN n_supp = 2 THEN '2'
+                  WHEN n_supp <= 4 THEN '3-4'
+                  ELSE '5+' END AS supplier_bucket,
+             cents
+      FROM ps)
+    SELECT supplier_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM b GROUP BY supplier_bucket ORDER BY supplier_bucket
+    """,
+    doc="Supply-concentration census: parts bucketed by distinct supplier "
+        "count with the exact-cent revenue at risk per bucket.",
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables(spark, sf_dir)["lineitem"]
+    ps = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .alias("cents"))
+    bucket = (F.when(F.col("n_supp") == 1, "1")
+              .when(F.col("n_supp") == 2, "2")
+              .when(F.col("n_supp") <= 4, "3-4")
+              .otherwise("5+"))
+    return (ps.select(bucket.alias("supplier_bucket"), "cents")
+            .groupBy("supplier_bucket")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum("cents").alias("revenue_cents"))
+            .orderBy("supplier_bucket"))
