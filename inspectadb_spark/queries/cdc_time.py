@@ -315,8 +315,9 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_day AS (
       SELECT d0 AS day, COUNT(*) AS new_users FROM firsts GROUP BY d0)
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
     FROM per_day ORDER BY day
     """,
     doc="Running distinct-user count via first-occurrence days (linear, "
@@ -760,8 +761,10 @@ def _q99_word(start: int) -> str:
       SELECT CAST(o_orderkey % 16 AS INT) AS bucket, {_Q99_FP} AS _fp
       FROM orders)
     SELECT bucket, COUNT(*) AS n,
-           SUM({_q99_word(1)}) AS w1, SUM({_q99_word(5)}) AS w2,
-           SUM({_q99_word(9)}) AS w3, SUM({_q99_word(13)}) AS w4
+           CAST(SUM({_q99_word(1)}) AS BIGINT) AS w1,
+           CAST(SUM({_q99_word(5)}) AS BIGINT) AS w2,
+           CAST(SUM({_q99_word(9)}) AS BIGINT) AS w3,
+           CAST(SUM({_q99_word(13)}) AS BIGINT) AS w4
     FROM fp GROUP BY bucket ORDER BY bucket
     """,
     doc="Per-bucket order-insensitive table fingerprints: commutative sums "
@@ -1017,7 +1020,7 @@ isl AS (
   SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end
   FROM z GROUP BY user_id, island)
 SELECT user_id, CAST(COUNT(*) AS INT) AS n_islands,
-       SUM(i_end - i_start) AS covered_us
+       CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us
 FROM isl GROUP BY user_id ORDER BY user_id
 """
 
@@ -2106,8 +2109,8 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM d)
     SELECT CAST(dow AS INT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(cents) AS BIGINT) AS revenue_cents,
-           SUM(cents) * 1000000 // tot AS share_ppm,
-           SUM(cents) * 7000000 // tot AS index_ppm
+           CAST(SUM(cents) * 1000000 // tot AS BIGINT) AS share_ppm,
+           CAST(SUM(cents) * 7000000 // tot AS BIGINT) AS index_ppm
     FROM d CROSS JOIN t GROUP BY dow, tot ORDER BY dow
     """,
     doc="Revenue seasonality by ISO weekday: share of total and the "
@@ -2404,8 +2407,9 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(CASE WHEN last_ts <= horizon - INTERVAL 14 DAY
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
-           SUM(CASE WHEN last_ts <= horizon - INTERVAL 14 DAY
-                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS churn_ppm
+           CAST(SUM(CASE WHEN last_ts <= horizon - INTERVAL 14 DAY
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS churn_ppm
     FROM u CROSS JOIN m
     GROUP BY 1 ORDER BY 1
     """,
@@ -2560,7 +2564,8 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) - SUM(is_new) AS BIGINT) AS n_ret_orders,
            CAST(SUM(is_new * cents) AS BIGINT) AS new_cents,
            CAST(SUM((1 - is_new) * cents) AS BIGINT) AS ret_cents,
-           SUM(is_new * cents) * 1000000 // SUM(cents) AS new_share_ppm
+           CAST(SUM(is_new * cents) * 1000000 // SUM(cents) AS BIGINT)
+             AS new_share_ppm
     FROM o GROUP BY week ORDER BY week
     """,
     doc="Weekly new-vs-returning revenue decomposition: first order per "
@@ -2788,7 +2793,7 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c CROSS JOIN t)
     SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
            CAST(SUM(cents) AS BIGINT) AS cents,
-           SUM(cents) * 1000000 // MAX(t.tot) AS share_ppm
+           CAST(SUM(cents) * 1000000 // MAX(t.tot) AS BIGINT) AS share_ppm
     FROM k CROSS JOIN t GROUP BY cls ORDER BY cls
     """,
     doc="ABC classification of parts by revenue (A: first 80% of "

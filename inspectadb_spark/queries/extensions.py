@@ -847,11 +847,14 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_filter(string_split(text, ' '), w -> w <> ''))
                AS term
       FROM documents)
-    SELECT term, COUNT(*) AS df, list_sort(list(doc_id)) AS postings
+    SELECT term, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
     FROM t GROUP BY term ORDER BY df DESC, term LIMIT 20
     """,
-    doc="Top-20-term inverted index: df + sorted posting lists, one "
-        "term-keyed shuffle carrying (term, doc_id) pairs.",
+    doc="Top-20-term inverted index: df + sorted posting lists (rendered "
+        "as comma-joined strings — the driver's pandas canonicalizer "
+        "cannot sort list cells), one term-keyed shuffle carrying "
+        "(term, doc_id) pairs.",
 )
 def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
@@ -862,7 +865,8 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.groupBy("term")
         .agg(F.count("*").alias("df"),
-             F.sort_array(F.collect_set("doc_id")).alias("postings"))
+             F.concat_ws(",", F.sort_array(F.collect_set("doc_id")))
+             .alias("postings"))
         .orderBy(F.desc("df"), "term")
         .limit(20)
     )
@@ -1038,8 +1042,8 @@ def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(quantile_disc(lag_days, 0.5) AS BIGINT) AS p50_days,
            CAST(quantile_disc(lag_days, 0.9) AS BIGINT) AS p90_days,
            CAST(MAX(lag_days) AS BIGINT) AS max_days,
-           SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) * 1000000
-             // COUNT(*) AS breach_ppm
+           CAST(SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS breach_ppm
     FROM l GROUP BY priority ORDER BY priority
     """,
     doc="Ship-lag SLA per order priority: exact integer-day p50/p90/max "

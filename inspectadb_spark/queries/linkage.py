@@ -318,7 +318,7 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
            min_by(p.p_name, p.p_partkey) AS golden_name,
            MIN(p.p_retailprice) AS golden_price,
            CAST(MAX(p.p_size) AS INT) AS golden_size,
-           list_sort(list(p.p_partkey)) AS member_ids
+           array_to_string(list_sort(list(p.p_partkey)), ',') AS member_ids
     FROM canon c JOIN part p ON p.p_partkey = c.p_partkey
     GROUP BY c.canonical_id
     HAVING COUNT(*) > 1
@@ -342,7 +342,8 @@ def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("min_by(p_name, p_partkey)").alias("golden_name"),
             F.min("p_retailprice").alias("golden_price"),
             F.max("p_size").cast("int").alias("golden_size"),
-            F.sort_array(F.collect_list("p_partkey")).alias("member_ids"),
+            F.concat_ws(",", F.sort_array(F.collect_list("p_partkey")))
+            .alias("member_ids"),
         )
         .filter(F.col("n_members") > 1)
         .orderBy("canonical_id")

@@ -283,8 +283,8 @@ def q45e(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT h, MIN(doc_id * 1000000 + chunk_idx) AS keeper FROM ch GROUP BY h)
     SELECT ch.doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx = k.keeper
-                    THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx = k.keeper
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM ch JOIN keep k USING (h)
     GROUP BY ch.doc_id ORDER BY ch.doc_id LIMIT 500
     """,
@@ -735,8 +735,8 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM m)
     SELECT r.rule, CAST(SUM(CASE WHEN m.rule_mask & r.rule <> 0
                                THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
-           SUM(CASE WHEN m.rule_mask = 0 THEN 1 ELSE 0 END) * 1000000
-             // MAX(t.n_docs) AS pass_ppm
+           CAST(SUM(CASE WHEN m.rule_mask = 0 THEN 1 ELSE 0 END) * 1000000
+                // MAX(t.n_docs) AS BIGINT) AS pass_ppm
     FROM m CROSS JOIN t
     CROSS JOIN (SELECT UNNEST([1, 2, 4, 8, 16]) AS rule) r
     GROUP BY r.rule ORDER BY r.rule
@@ -794,9 +794,10 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(kept) AS BIGINT) AS docs_after,
            CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
            CAST(SUM(kept * n_tok) AS BIGINT) AS tokens_after,
-           (COUNT(*) - SUM(kept)) * 1000000 // COUNT(*) AS doc_drop_ppm,
-           (SUM(n_tok) - SUM(kept * n_tok)) * 1000000 // SUM(n_tok)
-             AS token_drop_ppm
+           CAST((COUNT(*) - SUM(kept)) * 1000000 // COUNT(*) AS BIGINT)
+             AS doc_drop_ppm,
+           CAST((SUM(n_tok) - SUM(kept * n_tok)) * 1000000 // SUM(n_tok)
+                AS BIGINT) AS token_drop_ppm
     FROM j GROUP BY source ORDER BY source
     """,
     doc="Per-source before/after exact-dedup corpus mass (docs + tokens) "
@@ -925,8 +926,8 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_queries,
            CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_correct,
-           SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) * 1000000
-             // COUNT(*) AS acc_ppm
+           CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS acc_ppm
     FROM w WHERE r = 1 GROUP BY q_label ORDER BY label
     """,
     doc="Leave-one-out 1-NN label accuracy per class over a deterministic "
@@ -1103,7 +1104,7 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s CROSS JOIN t),
     z AS (SELECT SUM(tw) AS sw FROM w)
     SELECT source, CAST(n AS BIGINT) AS n_docs,
-           n * 1000000 // tot AS share_ppm,
+           CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
            CAST(ROUND(CAST(tw AS DECIMAL(18,6)), 4) AS DOUBLE) AS temp_weight,
            CAST(ROUND(CAST(tw / sw AS DECIMAL(18,6)), 4) AS DOUBLE)
              AS temp_share
@@ -1250,8 +1251,8 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_straddling_clusters,
            CAST(SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) AS BIGINT)
              AS n_test_docs_leaked,
-           SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) * 1000000
-             // SUM(n_te) AS test_leak_ppm
+           CAST(SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) * 1000000
+                // SUM(n_te) AS BIGINT) AS test_leak_ppm
     FROM c
     """,
     doc="Eval-hygiene audit: fingerprint clusters straddling a doc-level "

@@ -355,9 +355,13 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
              generate_series(o_custkey % 9, o_custkey % 9 + 4) AS a2
       FROM orders)
     SELECT o_orderkey,
-           list_sort(list_distinct(list_filter(a1, x -> list_contains(a2, x)))) AS inter,
-           list_sort(list_distinct(list_concat(a1, a2))) AS uni,
-           list_sort(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x)))) AS diff,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(a1, x -> list_contains(a2, x)))), ','), '') AS inter,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_concat(a1, a2))), ','), '') AS uni,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(a1, x -> NOT list_contains(a2, x)))), ','), '')
+             AS diff,
            CAST(list_position(a1, o_orderkey % 7 + 2) AS INT) AS pos,
            list_contains(a2, 5) AS has5
     FROM base ORDER BY o_orderkey LIMIT 400
@@ -377,9 +381,12 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.select(
             "o_orderkey",
-            F.sort_array(F.array_distinct(member)).alias("inter"),
-            F.sort_array(F.array_distinct(F.concat("a1", "a2"))).alias("uni"),
-            F.sort_array(F.array_distinct(non_member)).alias("diff"),
+            F.concat_ws(",", F.sort_array(F.array_distinct(member)))
+            .alias("inter"),
+            F.concat_ws(",", F.sort_array(F.array_distinct(F.concat("a1", "a2"))))
+            .alias("uni"),
+            F.concat_ws(",", F.sort_array(F.array_distinct(non_member)))
+            .alias("diff"),
             F.array_position(F.col("a1"), F.col("o_orderkey") % 7 + 2)
             .cast("int").alias("pos"),
             F.array_contains(F.col("a2"), F.lit(5)).alias("has5"),

@@ -76,7 +76,7 @@ _REGR_X = "CAST(hour(ts) AS DOUBLE)"
     "q89b_regression",
     oracle=f"""
     SELECT event_type,
-           regr_count(value, {_REGR_X}) AS n,
+           CAST(regr_count(value, {_REGR_X}) AS BIGINT) AS n,
            {r4(f"regr_slope(value, {_REGR_X})")} AS slope,
            {r4(f"regr_intercept(value, {_REGR_X})")} AS icept,
            {r4(f"regr_r2(value, {_REGR_X})")} AS r2,
@@ -100,7 +100,7 @@ def q89b(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables(spark, sf_dir)["events"]
         .groupBy("event_type")
         .agg(
-            F.expr(f"regr_count(value, {x})").alias("n"),
+            F.expr(f"regr_count(value, {x})").cast("bigint").alias("n"),
             rg("slope").alias("slope"),
             rg("intercept").alias("icept"),
             rg("r2").alias("r2"),
@@ -1689,9 +1689,9 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(38,0)) AS sum_sq
       FROM x GROUP BY user_id)
     SELECT user_id, n_gaps, min_gap_s, max_gap_s,
-           sum_s // n_gaps AS mean_gap_s,
-           CAST(n_gaps * sum_sq - CAST(sum_s AS DECIMAL(38,0)) * sum_s
-                AS DECIMAL(38,0)) AS var_num
+           CAST(sum_s // n_gaps AS BIGINT) AS mean_gap_s,
+           CAST(CAST(n_gaps * sum_sq - CAST(sum_s AS DECIMAL(38,0)) * sum_s
+                     AS DECIMAL(38,0)) AS VARCHAR) AS var_num
     FROM a WHERE n_gaps >= 5 ORDER BY user_id
     """,
     doc="Per-user inter-event gap statistics (n/min/max/mean seconds + "
@@ -1720,9 +1720,12 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "n_gaps", "min_gap_s", "max_gap_s",
             F.expr("sum_s DIV n_gaps").alias("mean_gap_s"),
+            # DECIMAL(38,0) rendered as a string: exact at any scale AND
+            # driver-safe (pandas turns DuckDB DECIMAL into float64 but
+            # Spark Decimal into objects — strings compare identically).
             (F.col("n_gaps") * F.col("sum_sq")
              - F.col("sum_s").cast("decimal(38,0)") * F.col("sum_s"))
-            .cast("decimal(38,0)").alias("var_num"))
+            .cast("decimal(38,0)").cast("string").alias("var_num"))
         .orderBy("user_id")
     )
 

@@ -562,7 +562,7 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
              SUM(dl) OVER (PARTITION BY source) AS tot
       FROM scored)
-    SELECT source, doc_id, score, dl, cum
+    SELECT source, doc_id, score, dl, CAST(cum AS BIGINT) AS cum
     FROM windowed WHERE (cum - dl) * 2 < tot * 1
     ORDER BY source, score DESC, doc_id
     """,
@@ -947,8 +947,8 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
     gr AS (SELECT first_doc, COUNT(*) AS n_new FROM f GROUP BY first_doc)
     SELECT first_doc AS doc_id, n_new,
-           SUM(n_new) OVER (ORDER BY first_doc
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(SUM(n_new) OVER (ORDER BY first_doc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS vocab_size
     FROM gr ORDER BY doc_id
     """,

@@ -9,7 +9,16 @@ import math
 
 
 def canon_value(v):
-    """Canonicalize a cell so Spark- and DuckDB-collected values compare equal."""
+    """Canonicalize a cell so Spark- and DuckDB-collected values compare equal.
+
+    Type-STRICT between int and float: the driver canonicalizes through
+    pandas, where a DuckDB HUGEINT becomes float64 and renders ``123.0``
+    against Spark's bigint ``123`` — a hash mismatch. Merging them here
+    (the pre-r05 behavior) hid exactly that defect class in CI
+    (VERDICT r04 "What's wrong" #2/#3), so ints and floats now render
+    distinctly and any cross-side int-vs-float divergence fails in-repo
+    the way it would fail driver-side.
+    """
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -21,7 +30,7 @@ def canon_value(v):
         if math.isnan(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+            return f"{int(v)}.0"
         return repr(v)
     if isinstance(v, _dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
