@@ -16,14 +16,17 @@ from inspectadb_spark.queries import REGISTRY
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def _driver_seen() -> set[str]:
-    seen: set[str] = set()
+def _driver_green() -> set[str]:
+    """Ids with a hash-green row in any prior CORRECTNESS_r*.json."""
+    green: set[str] = set()
     for p in ROOT.glob("CORRECTNESS_r*.json"):
         try:
-            seen |= set(json.loads(p.read_text()))
+            for name, row in json.loads(p.read_text()).items():
+                if row.get("hash_match") is True:
+                    green.add(name)
         except Exception:
             pass
-    return seen
+    return green
 
 
 def test_primary_names_all_exist_in_registry():
@@ -32,9 +35,10 @@ def test_primary_names_all_exist_in_registry():
     assert len(entry._PRIMARY) == len(set(entry._PRIMARY)), "duplicate ids"
 
 
-def test_round4_front_window_is_the_intended_sample():
+def test_round5_front_window_is_the_intended_sample():
+    assert len(entry._ROUND5_FRONT) == 50
     front = entry._PRIMARY[:50]
-    assert front == entry._ROUND4_FRONT, (
+    assert front == entry._ROUND5_FRONT, (
         "the first 50 queries() keys ARE the driver's sample — additions "
         "must go behind the curated window, not displace it"
     )
@@ -46,20 +50,24 @@ def test_round4_front_window_is_the_intended_sample():
     assert not missing, f"front-50 ids without oracle SQL: {missing}"
 
 
-def test_round4_front_is_never_driver_verified_before():
+def test_round5_front_is_never_driver_green_before():
     """The rotation's whole point: the window spends its 50 slots on ids
-    with no CORRECTNESS_r02/r03 row (r04+ files will legitimately overlap
-    once the driver has run this round — only r02/r03 are the baseline)."""
+    with no hash-green driver row yet. The four r04 RED ids (recast oracles)
+    are legitimately re-sampled; a hash-GREEN id would waste a slot.
+    A CORRECTNESS_r05 file will legitimately overlap once the driver has
+    run this round, so only pre-r05 files count as baseline."""
     baseline: set[str] = set()
-    for r in ("r02", "r03"):
-        p = ROOT / f"CORRECTNESS_{r}.json"
-        if p.exists():
-            baseline |= set(json.loads(p.read_text()))
-    stale = [n for n in entry._ROUND4_FRONT if n in baseline]
+    for p in ROOT.glob("CORRECTNESS_r*.json"):
+        if p.name >= "CORRECTNESS_r05":
+            continue
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("hash_match") is True:
+                baseline.add(name)
+    stale = [n for n in entry._ROUND5_FRONT if n in baseline]
     assert not stale, f"front-50 wastes slots on already-verified ids: {stale}"
 
 
 def test_ordered_emits_every_registry_query():
     keys = list(entry.queries().keys())
     assert set(keys) == set(REGISTRY)
-    assert keys[:50] == entry._ROUND4_FRONT
+    assert keys[:50] == entry._ROUND5_FRONT
