@@ -18,14 +18,22 @@ Mechanics (same crash story as ``IncrementalAggregate``):
   instead of appending duplicates (output idempotence by path, not by
   luck) and a NEW run's restarted batch numbering can never clobber an
   earlier run's output;
-- the registry gains the survivors' keys via versioned directories and an
-  atomic pointer swap; the (checkpoint, batch_id) guard skips re-applying
-  a batch the pointer already covers.
+- the registry gains the survivors' keys as a per-batch DELTA directory —
+  O(batch keys) I/O per micro-batch, NOT a rewrite of every key ever seen
+  (the r04 scale finding: ``seen ∪ new → distinct → overwrite`` was
+  O(total keys) I/O per batch, a genuine 100 TB ingest killer). Every
+  ``compact_every`` deltas, one compaction pass folds base+deltas into a
+  fresh base (amortized O(total)/compact_every per batch);
+- state is committed via an atomic pointer swap listing the exact
+  base+delta directories a reader should union; superseded directories
+  are retired one swap LATER, so a reader holding the previous pointer
+  never has files deleted under its plan. The (checkpoint, batch_id)
+  guard skips re-applying a batch the pointer already covers.
 
 100 TB design: registry state is one row per DISTINCT key ever seen —
 store the md5/fingerprint, not the payload. The anti join is key-vs-key;
-with the registry bucketed on the key it is exchange-free on the state
-side, and the probe side is batch-sized. When even the key set outgrows
+with the base bucketed on the key it is exchange-free on the state side,
+and the probe side is batch-sized. When even the key set outgrows
 comfort, the registry swaps to the q181 Bloom representation (bounded
 false-positive UNDERcount of new data, never duplicate emission — the
 safe direction for dedup).
@@ -51,39 +59,66 @@ class DedupRegistry:
         out_dir: str,
         key_cols: list[str],
         order_cols: list[str],
+        compact_every: int = 8,
     ) -> None:
         self.spark = spark
         self.state_dir = state_dir
         self.out_dir = out_dir
         self.key_cols = list(key_cols)
         self.order_cols = list(order_cols)
+        self.compact_every = compact_every
         os.makedirs(state_dir, exist_ok=True)
         os.makedirs(out_dir, exist_ok=True)
         self._checkpoint: str | None = None
         self._version = 0
+        self._retired: list[str] = []  # dirs to delete at the NEXT swap
         committed = self._read_ptr()
         if committed is not None:
-            base = os.path.basename(committed[0])
-            if base.startswith("v"):
-                self._version = int(base[1:])
+            for p in committed["paths"]:
+                base = os.path.basename(p)
+                if base.startswith(("v", "d")):
+                    try:
+                        self._version = max(self._version, int(base[1:]))
+                    except ValueError:
+                        pass
 
+    # -- pointer ---------------------------------------------------------
     def _ptr(self) -> str:
         return os.path.join(self.state_dir, "CURRENT")
 
-    def _read_ptr(self) -> tuple[str, str | None, int | None] | None:
+    def _read_ptr(self) -> dict | None:
+        """Pointer format (atomic-replace committed):
+        line 0: '|'-joined state paths to union (base first, then deltas)
+        line 1: checkpoint dir of the last applied batch
+        line 2: last applied batch id
+        """
         if not os.path.exists(self._ptr()):
             return None
         with open(self._ptr()) as f:
             lines = f.read().strip().splitlines()
-        if len(lines) >= 3:
-            return lines[0], lines[1], int(lines[2])
-        return lines[0], None, None
+        paths = [p for p in lines[0].split("|") if p]
+        ckpt = lines[1] if len(lines) >= 2 else None
+        batch = int(lines[2]) if len(lines) >= 3 and lines[2] else None
+        return {"paths": paths, "checkpoint": ckpt, "batch": batch}
 
+    def _swap_ptr(self, paths: list[str], batch_id: int,
+                  superseded: list[str]) -> None:
+        tmp = self._ptr() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{'|'.join(paths)}\n{self._checkpoint or ''}\n{batch_id}")
+        os.replace(tmp, self._ptr())
+        # one-swap grace: retire what the PREVIOUS pointer referenced only
+        # now, so a reader that resolved that pointer still has its files
+        for d in self._retired:
+            shutil.rmtree(d, ignore_errors=True)
+        self._retired = [d for d in superseded if d not in paths]
+
+    # -- reads -----------------------------------------------------------
     def seen_keys(self) -> DataFrame | None:
         committed = self._read_ptr()
-        if committed is None:
+        if committed is None or not committed["paths"]:
             return None
-        return self.spark.read.parquet(committed[0])
+        return self.spark.read.parquet(*committed["paths"])
 
     def _run_tag(self) -> str:
         import hashlib
@@ -96,15 +131,19 @@ class DedupRegistry:
             os.path.join(self.out_dir, "run=*", "batch=*"))
         return df.drop("run", "batch")
 
-    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        committed = self._read_ptr()
-        if (
+    # -- per-batch apply ---------------------------------------------------
+    def _guarded(self, committed: dict | None, batch_id: int) -> bool:
+        return (
             committed is not None
             and self._checkpoint is not None
-            and committed[1] == self._checkpoint
-            and committed[2] is not None
-            and batch_id <= committed[2]
-        ):
+            and committed["checkpoint"] == self._checkpoint
+            and committed["batch"] is not None
+            and batch_id <= committed["batch"]
+        )
+
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        committed = self._read_ptr()
+        if self._guarded(committed, batch_id):
             return  # re-delivered batch already inside the registry
         w = Window.partitionBy(*self.key_cols).orderBy(
             *[F.col(c) for c in self.order_cols])
@@ -116,23 +155,28 @@ class DedupRegistry:
         seen = self.seen_keys()
         if seen is not None:
             firsts = firsts.join(seen, self.key_cols, "left_anti")
-        # output first (idempotent by run+batch path), then registry, then
-        # the pointer swap
+        # output first (idempotent by run+batch path), then the key delta,
+        # then the pointer swap
         out = os.path.join(self.out_dir, f"run={self._run_tag()}",
                            f"batch={batch_id}")
         firsts.write.mode("overwrite").parquet(out)
         new_keys = self.spark.read.parquet(out).select(*self.key_cols)
-        merged = new_keys if seen is None else seen.unionByName(new_keys)
+        prev_paths = committed["paths"] if committed else []
         self._version += 1
-        state_out = os.path.join(self.state_dir, f"v{self._version}")
-        merged.distinct().write.mode("overwrite").parquet(state_out)
-        tmp = self._ptr() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"{state_out}\n{self._checkpoint or ''}\n{batch_id}")
-        os.replace(tmp, self._ptr())
-        old = os.path.join(self.state_dir, f"v{self._version - 2}")
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        if len(prev_paths) + 1 > self.compact_every:
+            # compaction pass: fold base+deltas+this batch into a new base
+            state_out = os.path.join(self.state_dir, f"v{self._version}")
+            merged = (self.spark.read.parquet(*prev_paths)
+                      .unionByName(new_keys).distinct())
+            merged.write.mode("overwrite").parquet(state_out)
+            self._swap_ptr([state_out], batch_id, prev_paths)
+        else:
+            # O(batch keys) delta append — survivors are already distinct
+            # within the batch (first-wins) and anti-joined against seen,
+            # so the delta is disjoint from every earlier path
+            delta_out = os.path.join(self.state_dir, f"d{self._version}")
+            new_keys.write.mode("overwrite").parquet(delta_out)
+            self._swap_ptr(prev_paths + [delta_out], batch_id, [])
 
     def start(self, stream: DataFrame, checkpoint_dir: str,
               available_now: bool = False, **options):
@@ -160,7 +204,9 @@ class BloomDedupRegistry(DedupRegistry):
 
     Only the probe and the state representation change; batching,
     versioning, redelivery guard, and the run+batch-namespaced idempotent
-    output are inherited.
+    output are inherited. The state rewrite here is NOT a scale concern:
+    the bit table is ≤ m rows by construction, so the per-batch rewrite
+    is O(m), already bounded.
     """
 
     def __init__(self, spark, state_dir, out_dir, key_cols, order_cols,
@@ -175,13 +221,7 @@ class BloomDedupRegistry(DedupRegistry):
         from inspectadb_spark.operators.sketches import bloom_build, bloom_probe
 
         committed = self._read_ptr()
-        if (
-            committed is not None
-            and self._checkpoint is not None
-            and committed[1] == self._checkpoint
-            and committed[2] is not None
-            and batch_id <= committed[2]
-        ):
+        if self._guarded(committed, batch_id):
             return
         col, k, m, salt = self._bloom
         w = Window.partitionBy(col).orderBy(
@@ -203,13 +243,8 @@ class BloomDedupRegistry(DedupRegistry):
             self.spark.read.parquet(out).select(col), col, k, m, salt)
         merged = (new_bits if seen is None
                   else seen.unionByName(new_bits).distinct())
+        prev_paths = committed["paths"] if committed else []
         self._version += 1
         state_out = os.path.join(self.state_dir, f"v{self._version}")
         merged.write.mode("overwrite").parquet(state_out)
-        tmp = self._ptr() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"{state_out}\n{self._checkpoint or ''}\n{batch_id}")
-        os.replace(tmp, self._ptr())
-        old = os.path.join(self.state_dir, f"v{self._version - 2}")
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        self._swap_ptr([state_out], batch_id, prev_paths)

@@ -1968,3 +1968,62 @@ def test_s41_bloom_dedup_registry_never_emits_duplicates(spark, tmp_path):
     # at m=65536 for 400 keys the FP rate is ~0 -> exact-equivalent here
     assert sorted(emitted) == list(range(400))
     assert r2.seen_keys().count() <= 65536
+
+
+# S42 dedup-registry state I/O is O(batch keys), not O(keys ever seen):
+# each non-compacting batch writes ONLY its own new keys as a delta
+# directory (the r04 scale finding killed the full-registry rewrite);
+# every compact_every-th batch folds base+deltas into one base, and
+# superseded directories survive one extra swap so a reader holding the
+# previous pointer never loses files mid-plan.
+def test_s42_dedup_registry_delta_state_io(spark, tmp_path):
+    from inspectadb_spark.streaming.dedup_registry import DedupRegistry
+
+    state, out = str(tmp_path / "st"), str(tmp_path / "out")
+    reg = DedupRegistry(spark, state, out, ["k"], ["seq"], compact_every=3)
+    reg._checkpoint = str(tmp_path / "ck")
+
+    def batch(keys):
+        return spark.createDataFrame(
+            [(k, i) for i, k in enumerate(keys)], "k long, seq long")
+
+    def ptr_paths():
+        return reg._read_ptr()["paths"]
+
+    def rows_in(path):
+        return spark.read.parquet(path).count()
+
+    # batch 0: 100 keys -> one delta holding exactly those 100
+    reg._apply_batch(batch(range(100)), 0)
+    p0 = ptr_paths()
+    assert len(p0) == 1 and rows_in(p0[0]) == 100
+
+    # batch 1: 150 keys, 50 overlap -> the NEW state dir holds only the
+    # 100 genuinely-new keys (O(batch), not O(total=200))
+    reg._apply_batch(batch(range(50, 200)), 1)
+    p1 = ptr_paths()
+    assert len(p1) == 2 and p1[0] == p0[0]
+    assert rows_in(p1[1]) == 100
+    assert reg.seen_keys().count() == 200
+
+    # batch 2: third path still under compact_every -> delta again
+    reg._apply_batch(batch(range(200, 210)), 2)
+    p2 = ptr_paths()
+    assert len(p2) == 3 and rows_in(p2[2]) == 10
+
+    # batch 3: would be the 4th path -> compaction folds everything into
+    # ONE base holding all 211 distinct keys
+    reg._apply_batch(batch(range(209, 211)), 3)
+    p3 = ptr_paths()
+    assert len(p3) == 1 and rows_in(p3[0]) == 211
+    # one-swap grace: the superseded delta dirs still exist right now...
+    assert all(os.path.exists(p) for p in p2)
+    # ...and are gone after the NEXT swap commits
+    reg._apply_batch(batch(range(211, 212)), 4)
+    assert all(not os.path.exists(p) for p in p2)
+    assert reg.seen_keys().count() == 212
+
+    # first-wins semantics held throughout
+    emitted = [r["k"] for r in reg.emitted().collect()]
+    assert sorted(emitted) == list(range(212))
+    assert len(emitted) == len(set(emitted))
