@@ -39,12 +39,65 @@ sums regardless of partial-aggregation order.
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _DEC = "decimal(18,6)"
+
+
+# -- crash-safe MV storage ---------------------------------------------------
+# MV refreshes are versioned like engine.apply_changes' table rewrites:
+# each refresh writes a NEW ``path/v{n}`` directory and then atomically
+# swaps ``path/CURRENT`` to it. A crash mid-refresh leaves the previous
+# committed version intact and addressed; a reader that resolved the old
+# pointer keeps its files for one more refresh (one-version grace) — the
+# exact crash window an in-place overwrite left open (ADVICE r04 item 1).
+
+def _read_current(path: str) -> tuple[int, str | None]:
+    """(committed version number, committed dir) — (0, None) if none."""
+    cur = os.path.join(path, "CURRENT")
+    if not os.path.exists(cur):
+        return 0, None
+    with open(cur) as f:
+        v = f.read().strip()
+    d = os.path.join(path, v)
+    try:
+        n = int(v.lstrip("v"))
+    except ValueError:
+        return 0, None
+    return n, (d if os.path.exists(d) else None)
+
+
+def resolve_mv_path(path: str) -> str | None:
+    """The directory a reader should scan for this MV, or None when no
+    refresh has ever committed (route()/answer() then fall back to base —
+    a partially written summary is never silently aggregated)."""
+    _, d = _read_current(path)
+    if d is not None:
+        return d
+    # legacy in-place layout: only routable once fully committed
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    return None
+
+
+def _commit_versioned(write_fn, path: str) -> None:
+    """Run ``write_fn(version_dir)`` then swap the CURRENT pointer."""
+    os.makedirs(path, exist_ok=True)
+    n, _ = _read_current(path)
+    out = os.path.join(path, f"v{n + 1}")
+    write_fn(out)
+    tmp = os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{n + 1}")
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+    old = os.path.join(path, f"v{n - 1}")
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 @dataclass(frozen=True)
@@ -67,8 +120,11 @@ class MVDef:
 
     def store(self, base: DataFrame, path: str) -> None:
         """Materialize to parquet (the batch refresh; streaming refresh is
-        streaming/incremental.py feeding the same path)."""
-        self.build(base).write.mode("overwrite").parquet(path)
+        streaming/incremental.py feeding the same path). Versioned + atomic
+        pointer swap: see ``_commit_versioned``."""
+        _commit_versioned(
+            lambda d: self.build(base).write.mode("overwrite").parquet(d),
+            path)
 
 
 @dataclass(frozen=True)
@@ -84,8 +140,18 @@ class AggRequest:
 _SQL_WORDS = frozenset(
     "as and or not case when then else end null true false cast "
     "int integer bigint smallint tinyint float double string varchar "
-    "date timestamp decimal boolean interval month day year hour minute "
-    "second week quarter from for in is like between distinct".split())
+    "date timestamp decimal boolean interval "
+    "from for in is like between distinct".split())
+
+# calendar-unit words double as COMMON COLUMN NAMES (day, month, ...).
+# Blanket-skipping them let an expression over a non-MV base column named
+# `day` pass validation (ADVICE r04 item 2). They are only skipped in
+# positions where an identifier is impossible: right after INTERVAL/a
+# number (interval syntax) or as the unit of EXTRACT(unit FROM ...).
+_UNIT_WORDS = frozenset(
+    "year quarter month week day hour minute second millisecond "
+    "microsecond years quarters months weeks days hours minutes seconds "
+    "dow doy".split())
 
 
 def _expr_refs_only(expr: str, allowed) -> bool:
@@ -93,19 +159,43 @@ def _expr_refs_only(expr: str, allowed) -> bool:
     stripped, function names and SQL keywords excluded) is in ``allowed``
     — 'is an expression over MV keys ONLY', not merely 'mentions one'.
     False rejections are safe (base-table fallback); false acceptances
-    would crash or mis-answer, so unknown identifiers reject."""
+    would crash or mis-answer, so unknown identifiers reject. A token
+    that names an MV key is ALWAYS an identifier, even when it collides
+    with a keyword/unit word."""
     import re as _re
 
     no_strings = _re.sub(r"'[^']*'", "''", expr)
-    for m in _re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", no_strings):
-        ident = m.group(0)
+    prev, prev2 = "", ""
+    for m in _re.finditer(r"[A-Za-z_][A-Za-z0-9_]*|\d+|''", no_strings):
+        tok = m.group(0)
+        if tok == "''" or tok.isdigit():
+            prev2, prev = prev, tok
+            continue
+        ident = tok
         rest = no_strings[m.end():].lstrip()
         if rest.startswith("("):
+            prev2, prev = prev, ident
             continue  # function name
-        if ident.lower() in _SQL_WORDS:
-            continue
-        if ident not in allowed:
+        if ident in allowed:
+            prev2, prev = prev, ident
+            continue  # an MV key wins over any keyword collision
+        low = ident.lower()
+        if low in _UNIT_WORDS:
+            # identifier-impossible positions only: the unit of an
+            # INTERVAL literal (directly after INTERVAL, or after its
+            # quantity token which itself follows INTERVAL) or the unit
+            # of EXTRACT(unit FROM ...)
+            after_interval = prev.lower() == "interval" or (
+                (prev.isdigit() or prev == "''")
+                and prev2.lower() == "interval")
+            if after_interval or rest.lower().startswith("from"):
+                prev2, prev = prev, ident
+                continue
             return False
+        if low in _SQL_WORDS:
+            prev2, prev = prev, ident
+            continue
+        return False
     return True
 
 
@@ -200,7 +290,8 @@ def _answer_from_base(base: DataFrame, req: AggRequest) -> DataFrame:
 def stored_rows(path: str) -> int:
     """Total stored rows of a materialized summary from parquet FOOTER
     metadata only — the planner's cost signal. No Spark job, no data read;
-    at 100 TB this is a handful of footer fetches per candidate MV."""
+    at 100 TB this is a handful of footer fetches per candidate MV.
+    ``path`` is the COMMITTED version directory (resolve first)."""
     import glob as _glob
     import os as _os
 
@@ -208,7 +299,8 @@ def stored_rows(path: str) -> int:
 
     return sum(
         pq.ParquetFile(f).metadata.num_rows
-        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+        for f in _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                            recursive=True)
     )
 
 
@@ -221,15 +313,20 @@ def route(
     """Answer ``req`` from the CHEAPEST compatible MV — fewest stored rows
     per footer metadata; a monthly-grain summary beats a daily one for a
     yearly rollup — else the base table. ``mvs`` maps name -> (def,
-    parquet path). Returns (result, mv_name-or-None)."""
-    candidates = [
-        (stored_rows(path), name, mv, path)
-        for name, (mv, path) in mvs.items()
-        if _routable(req, mv)
-    ]
+    parquet path). Returns (result, mv_name-or-None). An MV with no
+    COMMITTED version (mid-refresh crash, never refreshed) is simply not
+    a candidate — base fallback, never a partial read."""
+    candidates = []
+    for name, (mv, path) in mvs.items():
+        if not _routable(req, mv):
+            continue
+        committed = resolve_mv_path(path)
+        if committed is None:
+            continue
+        candidates.append((stored_rows(committed), name, mv, committed))
     if candidates:
-        _, name, mv, path = min(candidates, key=lambda c: (c[0], c[1]))
-        return _answer_from_mv(spark.read.parquet(path), req, mv), name
+        _, name, mv, committed = min(candidates, key=lambda c: (c[0], c[1]))
+        return _answer_from_mv(spark.read.parquet(committed), req, mv), name
     return _answer_from_base(base, req), None
 
 
@@ -243,8 +340,8 @@ class GroupingSetMV:
 
     Serving an EXACT declared grain is a pure ``grouping_id = mask`` filter
     + projection — NO re-aggregation, no shuffle (plan-pinned in
-    tests/test_mv.py). A coarser request re-aggregates from the finest
-    declared grain that covers it, same algebra as ``MVDef``.
+    tests/test_mv.py). A coarser request re-aggregates from the coarsest
+    (cheapest) declared grain that covers it, same algebra as ``MVDef``.
 
     100 TB design: the cube build is one pass with Spark's Expand (rows ×
     |sets| after the mask filter); storage is Σ per-grain group counts.
@@ -275,15 +372,18 @@ class GroupingSetMV:
         return cube.filter(F.col("grouping_id").isin(masks))
 
     def store(self, base: DataFrame, path: str) -> None:
-        (self.build(base).write.mode("overwrite")
-         .partitionBy("grouping_id").parquet(path))
+        _commit_versioned(
+            lambda d: (self.build(base).write.mode("overwrite")
+                       .partitionBy("grouping_id").parquet(d)),
+            path)
 
     def answer(self, spark: SparkSession, path: str,
                req: AggRequest) -> DataFrame | None:
         """Serve ``req`` whose keys are plain columns drawn from ``keys``:
         exact declared grain -> filter+project (zero aggregation); coarser
-        than some declared grain -> re-aggregate from the finest covering
-        one; otherwise None."""
+        than some declared grain -> re-aggregate from the coarsest
+        (cheapest) covering grain; otherwise None — including when no
+        refresh has ever COMMITTED (a partial write is never served)."""
         if any(expr is not None for expr in req.keys.values()):
             return None
         want = tuple(req.keys)
@@ -291,8 +391,11 @@ class GroupingSetMV:
             return None
         if not _derivable(req.measures, self.measures):
             return None
+        committed = resolve_mv_path(path)
+        if committed is None:
+            return None
         stored = {(agg, expr): out for out, (agg, expr) in self.measures.items()}
-        mv_df = spark.read.parquet(path)
+        mv_df = spark.read.parquet(committed)
         exact = next((s for s in self.sets if set(s) == set(want)), None)
         if exact is not None:
             sel = [F.col(k) for k in want]
@@ -313,8 +416,11 @@ class GroupingSetMV:
         covering = [s for s in self.sets if set(want) <= set(s)]
         if not covering:
             return None
-        finest = min(covering, key=len)  # fewest extra keys to fold
-        sub = MVDef(self.name, finest, self.measures)
+        # the COARSEST covering grain (fewest keys) has the fewest stored
+        # rows to fold — cheapest correct source (any covering grain gives
+        # the same answer; this picks the smallest scan)
+        coarsest = min(covering, key=len)
+        sub = MVDef(self.name, coarsest, self.measures)
         return _answer_from_mv(
-            mv_df.filter(F.col("grouping_id") == self.mask(finest)),
+            mv_df.filter(F.col("grouping_id") == self.mask(coarsest)),
             req, sub)

@@ -283,9 +283,15 @@ def inclusion_audit(
                 "n_child_rows", "n_child_keys", "n_matched_keys",
                 (F.col("n_child_keys") - F.col("n_matched_keys"))
                 .alias("n_orphan_keys"),
-                F.expr("n_matched_keys * 1000000 DIV n_child_keys")
+                # an all-NULL fk column has zero child keys: containment
+                # is undefined (NULL ppm via the nullif guard) and the
+                # edge must NOT be certified as holding — it's vacuous,
+                # not verified (ADVICE r05 item 4)
+                F.expr("n_matched_keys * 1000000"
+                       " DIV nullif(n_child_keys, 0)")
                 .alias("containment_ppm"),
-                (F.col("n_child_keys") == F.col("n_matched_keys"))
+                ((F.col("n_child_keys") == F.col("n_matched_keys"))
+                 & (F.col("n_child_keys") > 0))
                 .alias("holds"),
             )
         )

@@ -1273,8 +1273,10 @@ def _inclusion_oracle() -> str:
            CAST(b.n_child_keys AS BIGINT) AS n_child_keys,
            CAST(c.n_matched_keys AS BIGINT) AS n_matched_keys,
            CAST(b.n_child_keys - c.n_matched_keys AS BIGINT) AS n_orphan_keys,
-           c.n_matched_keys * 1000000 // b.n_child_keys AS containment_ppm,
-           b.n_child_keys = c.n_matched_keys AS holds
+           c.n_matched_keys * 1000000 // nullif(b.n_child_keys, 0)
+             AS containment_ppm,
+           (b.n_child_keys = c.n_matched_keys AND b.n_child_keys > 0)
+             AS holds
     FROM (SELECT COUNT(*) AS n_child_rows FROM {child}
           WHERE {fk} IS NOT NULL) a
     CROSS JOIN (SELECT COUNT(DISTINCT {fk}) AS n_child_keys FROM {child}

@@ -148,6 +148,7 @@ def streaming_orphan_monitor(
     pk_col: str,
     window: str = "1 hour",
     ts_col: str = "ts",
+    delay: str | None = "2 hours",
 ) -> DataFrame:
     """Streaming referential-integrity monitor: per event-time window, how
     many arriving child rows have no matching parent key (rows + ppm rate;
@@ -162,6 +163,16 @@ def streaming_orphan_monitor(
     the stream gives IDENTICAL counts (asserted in S35) because nothing
     here is stateful beyond the window agg itself.
 
+    ``delay`` is the watermark bound: without one, a long-running
+    continuous query accumulates window state without limit and
+    append-mode sinks never emit (windows never finalize) — the monitor
+    would only behave under availableNow/complete drains. The default 2h
+    tolerates late children at the cost of holding ~delay/window open
+    windows of state; q246's disorder profile computes the right delay
+    for a real feed. Pass ``delay=None`` only for bounded replay drains.
+    On a batch DataFrame the watermark is a no-op, so the batch-replay
+    equivalence (S35) holds either way.
+
     100 TB design: the only stream-sized operation is the broadcast probe
     (no shuffle of the child rows before the window agg's one exchange);
     parent domains too big to broadcast swap in the q181 Bloom filter as
@@ -170,6 +181,8 @@ def streaming_orphan_monitor(
     """
     from pyspark.sql import functions as F
 
+    if delay is not None:
+        stream = stream.withWatermark(ts_col, delay)
     pkd = F.broadcast(
         parent.select(F.col(pk_col).alias("__pk")).distinct())
     probed = stream.join(

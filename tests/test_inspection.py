@@ -35,6 +35,18 @@ def test_inclusion_audit_flags_orphans_and_ignores_null_fks(spark):
     assert good["holds"] and good["containment_ppm"] == 1000000
 
 
+def test_inclusion_audit_all_null_fk_is_not_certified(spark):
+    """Zero child keys = vacuous, not verified: holds must be false and
+    the containment rate NULL, never a div-0 or a spurious green edge
+    (ADVICE r05 item 4)."""
+    child = spark.createDataFrame([Row(fk=None), Row(fk=None)], "fk int")
+    parent = spark.createDataFrame([Row(pk=1)])
+    row = inclusion_audit([("vacuous", child, "fk", parent, "pk")]).collect()[0]
+    assert row["n_child_rows"] == 0 and row["n_child_keys"] == 0
+    assert row["containment_ppm"] is None
+    assert not row["holds"]
+
+
 def test_fd_audit_counts_violating_groups_and_fanout(spark):
     df = spark.createDataFrame(
         [Row(a=1, b="x"), Row(a=1, b="x"),      # consistent group

@@ -303,3 +303,80 @@ def test_key_expr_with_foreign_column_falls_back_not_crashes(spark, base,
     out, used = route(spark, req, {mv.name: (mv, path)}, base2)
     assert used is None
     assert out.count() > 0  # base path actually answers
+
+
+# -- crash-safe versioned MV storage (ADVICE r05 medium item) ---------------
+def test_mv_refresh_is_versioned_and_crash_safe(spark, base, tmp_path):
+    """A refresh writes a NEW version dir + atomic pointer swap; a crash
+    mid-refresh (uncommitted junk in a new version dir) must leave routing
+    on the previously committed version, and an MV that has never
+    committed must not be a route candidate at all."""
+    from inspectadb_spark.operators.mv import resolve_mv_path
+
+    mv = MVDef(name="mv_v", keys=("flag",),
+               measures={"sum_qty": ("sum", "qty")})
+    path = str(tmp_path / "mv_v")
+    req = AggRequest(keys={"flag": None}, measures={"s": ("sum", "qty")})
+
+    # never refreshed: not a candidate -> base fallback
+    got, used = route(spark, req, {mv.name: (mv, path)}, base)
+    assert used is None
+
+    mv.store(base, path)
+    v1 = resolve_mv_path(path)
+    assert v1 is not None and v1.endswith("v1")
+    want = {r["flag"]: r["s"] for r in
+            route(spark, req, {}, base)[0].collect()}
+
+    # simulate a crash mid-refresh: a half-written v2 with NO pointer swap
+    os.makedirs(os.path.join(path, "v2"), exist_ok=True)
+    with open(os.path.join(path, "v2", "part-000.parquet"), "w") as f:
+        f.write("garbage half-written parquet")
+    assert resolve_mv_path(path) == v1, "uncommitted version never resolves"
+    got, used = route(spark, req, {mv.name: (mv, path)}, base)
+    assert used == "mv_v"
+    assert {r["flag"]: r["s"] for r in got.collect()} == want
+
+    # a real second refresh commits v3 (v2 name taken by the junk dir is
+    # fine: the pointer, not directory existence, defines committed)
+    mv.store(base.withColumn("qty", F.col("qty") * 2), path)
+    got2, used2 = route(spark, req, {mv.name: (mv, path)}, base)
+    assert used2 == "mv_v"
+    assert {r["flag"]: r["s"] for r in got2.collect()} == {
+        k: v * 2 for k, v in want.items()}
+
+
+def test_grouping_mv_answer_requires_committed_version(spark, base, tmp_path):
+    from inspectadb_spark.operators.mv import GroupingSetMV
+
+    gs = GroupingSetMV(name="gs_v", keys=("day", "flag"),
+                       sets=(("day", "flag"), ("flag",)),
+                       measures={"sum_qty": ("sum", "qty")})
+    path = str(tmp_path / "gs_v")
+    req = AggRequest(keys={"flag": None}, measures={"s": ("sum", "qty")})
+    assert gs.answer(spark, path, req) is None, "no committed version"
+    gs.store(base, path)
+    got = {r["flag"]: r["s"] for r in gs.answer(spark, path, req).collect()}
+    direct = {r["flag"]: r["s"] for r in
+              base.groupBy("flag").agg(
+                  F.sum(F.col("qty").cast("decimal(18,6)")).cast("double")
+                  .alias("s")).collect()}
+    assert got == direct
+
+
+# -- identifier validation vs keyword-named columns (ADVICE r05 low item) ---
+def test_expr_refs_only_keyword_named_columns(spark):
+    from inspectadb_spark.operators.mv import _expr_refs_only
+
+    # a calendar-unit word used as a COLUMN must not slip through
+    assert not _expr_refs_only("day", {"ts_day"})
+    assert not _expr_refs_only("date_trunc('month', day)", {"ts_day"})
+    # ...but IS accepted when it names an actual MV key
+    assert _expr_refs_only("day", {"day"})
+    assert _expr_refs_only("date_trunc('month', day)", {"day"})
+    # identifier-impossible unit positions stay accepted
+    assert _expr_refs_only("ts + INTERVAL 1 DAY", {"ts"})
+    assert _expr_refs_only("ts + INTERVAL '1' DAY", {"ts"})
+    assert _expr_refs_only("extract(month from ts)", {"ts"})
+    # unknown plain identifiers still reject
+    assert not _expr_refs_only("trunc(other_col, 'month')", {"day"})

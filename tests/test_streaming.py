@@ -1669,6 +1669,17 @@ def test_s35_streaming_orphan_monitor(spark, replay_dir):
     # the planted odd-key orphans are actually detected
     assert any(int(r[2]) > 0 for r in got)
 
+    # the default watermark makes APPEND mode viable (finalized windows
+    # emit, state is bounded) — the long-running-feed contract the
+    # unwatermarked aggregate could not honor (ADVICE r05 item 3)
+    live_wm = streaming_orphan_monitor(
+        _stream(spark, replay_dir), parent, "user_id", "pk",
+        delay="2 hours")
+    _drain(live_wm, "s35_append", mode="append")
+    appended = _rows(spark.table("s35_append"))
+    assert len(appended) > 0, "append mode must emit finalized windows"
+    assert set(appended) <= set(want), "append rows are finalized truths"
+
 
 # S36 persistent cross-run dedup registry: run 1 drains one replay dir,
 # run 2 (a NEW instance — simulated restart + new source) drains a second
