@@ -88,8 +88,16 @@ class Engine:
         not IEEE-double SUM order-dependence."""
         parsed = parse_agg_sql(text)
         if parsed is not None and parsed[0] in self.tables:
-            table, req = parsed
-            return self.aggregate(table, req)
+            table, req, where, having = parsed
+            out, prov = self.aggregate(table, req)
+            # WHERE key = literal predicates filter GROUP KEYS only, so
+            # filter-after-aggregate == aggregate-after-filter; Catalyst
+            # pushes the filter below the (MV or base) aggregate, pruning
+            # the summary scan. HAVING references measure aliases — real
+            # columns of the served result — i.e. plain post-agg filters.
+            for cond in where + having:
+                out = out.filter(F.expr(cond))
+            return out, prov
         return self.spark.sql(text), "sql"
 
     # -- summary tables ----------------------------------------------------
@@ -219,26 +227,42 @@ _AGG_RE = __import__("re").compile(
 _IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _SHAPE_RE = __import__("re").compile(
     r"^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)"
-    r"\s+GROUP\s+BY\s+(.*?)\s*;?\s*$",
+    r"(?:\s+WHERE\s+(.+?))?"
+    r"\s+GROUP\s+BY\s+(.+?)"
+    r"(?:\s+HAVING\s+(.+?))?\s*;?\s*$",
     __import__("re").IGNORECASE | __import__("re").DOTALL)
+_LITERAL = r"(?:-?\d+(?:\.\d+)?|'[^']*')"
+_WHERE_COND_RE = __import__("re").compile(
+    rf"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*({_LITERAL})$")
+_HAVING_COND_RE = __import__("re").compile(
+    rf"^([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>|!=|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)$")
+_AND_RE = __import__("re").compile(r"\s+AND\s+", __import__("re").IGNORECASE)
 
 
 def parse_agg_sql(text: str):
     """Parse the restricted grammar
-    ``SELECT <keys and aggs> FROM <table> GROUP BY <keys>`` into
-    (table, AggRequest), or None when the statement doesn't fit.
+    ``SELECT <keys and aggs> FROM <table> [WHERE <key>=<lit> [AND ...]]
+    GROUP BY <keys> [HAVING <agg_alias> <cmp> <num> [AND ...]]`` into
+    (table, AggRequest, where_conds, having_conds), or None when the
+    statement doesn't fit.
 
     Deliberately narrow: plain column keys, SUM/COUNT/AVG/MIN/MAX over a
     single column (or ``*`` for COUNT), mandatory AS aliases on aggregates.
-    Anything else — expressions, joins, HAVING, DISTINCT — returns None and
-    the caller falls through to full Spark SQL. Exact-match parsing is the
-    point: a mis-parse silently routed to a summary would be a wrong
+    The predicate extensions stay provably route-safe: every WHERE column
+    must be a GROUP BY key (filtering keys commutes with the aggregation,
+    so the routed summary filter gives the same answer as a base-table
+    WHERE) and every HAVING term compares a declared aggregate ALIAS to a
+    numeric literal (pure post-aggregation filtering). Anything else —
+    expressions, joins, non-key WHERE columns, OR, DISTINCT — returns None
+    and the caller falls through to full Spark SQL. Exact-match parsing is
+    the point: a mis-parse silently routed to a summary would be a wrong
     answer, so anything not PROVABLY in the grammar is not routed.
     """
     m = _SHAPE_RE.match(text)
     if not m:
         return None
-    select_list, table, group_by = m.group(1), m.group(2), m.group(3)
+    select_list, table = m.group(1), m.group(2)
+    where_clause, group_by, having_clause = m.group(3), m.group(4), m.group(5)
     keys = []
     for g in group_by.split(","):
         g = g.strip()
@@ -265,8 +289,24 @@ def parse_agg_sql(text: str):
                  if not _IDENT_RE.match(item.strip()))
     if n_aggs != len(measures):  # duplicate aliases collapsed -> not
         return None              # provably the same shape as plain SQL
-    return table, AggRequest(keys={k: None for k in keys},
-                             measures=measures)
+    where_conds: list[str] = []
+    if where_clause is not None:
+        for cond in _AND_RE.split(where_clause.strip()):
+            wm = _WHERE_COND_RE.match(cond.strip())
+            if not wm or wm.group(1) not in keys:
+                return None  # non-key / non-equality WHERE: not routable
+            where_conds.append(f"{wm.group(1)} = {wm.group(2)}")
+    having_conds: list[str] = []
+    if having_clause is not None:
+        for cond in _AND_RE.split(having_clause.strip()):
+            hm = _HAVING_COND_RE.match(cond.strip())
+            if not hm or hm.group(1) not in measures:
+                return None  # HAVING must compare a declared agg alias
+            having_conds.append(
+                f"{hm.group(1)} {hm.group(2)} {hm.group(3)}")
+    return (table, AggRequest(keys={k: None for k in keys},
+                              measures=measures),
+            where_conds, having_conds)
 
 
 def _split_top_level(s: str) -> list[str]:

@@ -307,3 +307,77 @@ def test_apply_changes_crash_window_leaves_committed_version(
     eng2 = Engine(spark, SF_DIR, wd)
     assert eng2.table("orders").count() == n_committed
     assert eng2._table_version["orders"] == 1
+
+
+def test_sql_routed_where_key_and_having(engine):
+    """WHERE <key> = literal and HAVING <alias> <cmp> <num> now route
+    (VERDICT r04 item 7): hash-equal to the direct Spark SQL, provenance
+    still the MV/cache layer, and the plan scans ONLY the summary."""
+    routed, prov = engine.sql_routed(
+        "SELECT o_orderstatus, SUM(o_totalprice) AS total, COUNT(*) AS n "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus")
+    assert prov in ("mv:mv_orders_daily", "cache")
+    # direct comparison off the engine's OWN table handle (the shared
+    # `orders` temp view can be re-pointed by other Engine instances on
+    # the same SparkSession)
+    o = engine.table("orders")
+    tot = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    direct = (o.filter("o_orderstatus = 'F'").groupBy("o_orderstatus")
+              .agg(F.expr(f"{tot} AS total"), F.expr("COUNT(*) AS n")))
+    assert _rows(routed) == _rows(direct) and routed.count() == 1
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "orders.parquet" not in plan
+
+    routed2, prov2 = engine.sql_routed(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus HAVING n > 1")
+    assert prov2 in ("mv:mv_orders_daily", "cache")
+    direct2 = (o.groupBy("o_orderstatus").agg(F.expr("COUNT(*) AS n"))
+               .filter("n > 1"))
+    assert _rows(routed2) == _rows(direct2) and routed2.count() > 0
+
+    # combined WHERE + HAVING, multi-term AND
+    routed3, prov3 = engine.sql_routed(
+        "SELECT o_orderdate, o_orderstatus, COUNT(*) AS n, "
+        "SUM(o_totalprice) AS total FROM orders "
+        "WHERE o_orderstatus = 'O' AND o_orderstatus = 'O' "
+        "GROUP BY o_orderdate, o_orderstatus HAVING n >= 1 AND total > 0")
+    assert prov3 in ("mv:mv_orders_daily", "cache")
+    direct3 = (o.filter("o_orderstatus = 'O'")
+               .groupBy("o_orderdate", "o_orderstatus")
+               .agg(F.expr("COUNT(*) AS n"), F.expr(f"{tot} AS total"))
+               .filter("n >= 1 AND total > 0"))
+    assert _rows(routed3) == _rows(direct3) and routed3.count() > 0
+
+
+def test_parse_agg_sql_predicate_safety_rules():
+    """The refuse-by-default rule survives the grammar growth: anything
+    not PROVABLY key-equality WHERE / alias-comparison HAVING rejects."""
+    from inspectadb_spark.engine import parse_agg_sql
+
+    ok = parse_agg_sql("SELECT a, SUM(b) AS s FROM t "
+                       "WHERE a = 7 GROUP BY a HAVING s > 5")
+    assert ok is not None
+    table, req, where, having = ok
+    assert where == ["a = 7"] and having == ["s > 5"]
+    # WHERE on a non-key column -> not routable
+    assert parse_agg_sql("SELECT a, SUM(b) AS s FROM t "
+                         "WHERE b = 7 GROUP BY a") is None
+    # non-equality WHERE -> not routable
+    assert parse_agg_sql("SELECT a, SUM(b) AS s FROM t "
+                         "WHERE a > 7 GROUP BY a") is None
+    # OR -> not routable (only AND conjunctions parse)
+    assert parse_agg_sql("SELECT a, SUM(b) AS s FROM t "
+                         "WHERE a = 7 OR a = 8 GROUP BY a") is None
+    # HAVING on an undeclared alias / raw aggregate -> not routable
+    assert parse_agg_sql("SELECT a, SUM(b) AS s FROM t GROUP BY a "
+                         "HAVING x > 5") is None
+    assert parse_agg_sql("SELECT a, SUM(b) AS s FROM t GROUP BY a "
+                         "HAVING COUNT(*) > 5") is None
+    # HAVING against a string literal -> not routable (aggs are numeric)
+    assert parse_agg_sql("SELECT a, SUM(b) AS s FROM t GROUP BY a "
+                         "HAVING s > 'x'") is None
+    # string-literal WHERE values parse
+    ok2 = parse_agg_sql("SELECT a, COUNT(*) AS n FROM t "
+                        "WHERE a = 'x y' GROUP BY a")
+    assert ok2 is not None and ok2[2] == ["a = 'x y'"]
