@@ -161,6 +161,9 @@ _TIER2 = [
     "q255_segment_migration", "q256_price_dispersion",
     "q257_revenue_drawdown", "q258_backlog_aging",
     "q259_discount_curve", "q260_single_source_risk",
+    # round-5 additions (behind this round's frozen window)
+    "q261_packing_efficiency", "q262_token_entropy",
+    "q263_equi_depth_histogram", "q264_ngram_coverage",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -628,3 +628,41 @@ def weighted_sample(
         .orderBy("_es_key", id_col)
         .limit(k)
     )
+
+
+def packing_efficiency(
+    docs: DataFrame, budget: int = 128,
+    text_col: str = "text", group_col: str = "source",
+) -> DataFrame:
+    """Sequence-packing efficiency report: per group, the token mass and
+    the padding cost of the two standard batch-shaping strategies at a
+    fixed context length — one-doc-per-sequence (each doc padded to a
+    multiple of the budget: ceil(tok/L) sequences) vs dense concatenation
+    (the q79/pack_sequences path: ceil(group_tokens/L) sequences).
+    The gap between the two utilization columns is what packing buys.
+
+    Everything is exact integer arithmetic (ceil via (x + L - 1) DIV L,
+    rates in ppm), so the report is engine-exact. One groupBy on the
+    group key; token counts are word counts, computed scan-side.
+
+    100 TB design: a single map-side-combinable aggregation over
+    (group, tok) — no row explosion, no second pass.
+    """
+    L = int(budget)
+    sized = docs.select(
+        F.col(group_col).alias("grp"),
+        F.size(words_col(text_col)).cast("bigint").alias("tok"))
+    per_doc_seqs = F.expr(f"(tok + {L - 1}) DIV {L}")
+    g = sized.groupBy("grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("tokens"),
+        F.sum(per_doc_seqs).alias("padded_seqs"))
+    return g.select(
+        F.col("grp").alias(group_col), "n_docs", "tokens", "padded_seqs",
+        (F.col("padded_seqs") * L - F.col("tokens")).alias("pad_tokens"),
+        F.expr(f"tokens * 1000000 DIV (padded_seqs * {L})")
+        .alias("padded_util_ppm"),
+        F.expr(f"(tokens + {L - 1}) DIV {L}").alias("packed_seqs"),
+        F.expr(f"tokens * 1000000 DIV (((tokens + {L - 1}) DIV {L}) * {L})")
+        .alias("packed_util_ppm"),
+    )

@@ -376,3 +376,4 @@ def enforce_inclusion(
     clean = probed.filter(ok).drop("__pk")
     quarantined = probed.filter(~ok).drop("__pk")
     return clean, quarantined
+

@@ -406,3 +406,33 @@ def heavy_hitters(
                 F.expr("cnt * 1000000 DIV tot").alias("freq_ppm"))
         .orderBy(F.desc("cnt"), F.asc(col))
     )
+
+
+def equi_depth_histogram(df: DataFrame, value_col: str, id_col: str,
+                         k: int = 10, bucket_width: int = 100_000) -> DataFrame:
+    """Equi-depth (equi-height) histogram: ``k`` buckets holding equal row
+    counts, with per-bucket bounds — the optimizer-statistics complement
+    of the equi-width q100 (equi-width wastes bins on empty ranges;
+    equi-depth puts resolution where the data is, which is what
+    selectivity estimation actually wants). ``value_col`` must be
+    integer-exact (cents, counts); ties break on ``id_col`` so bucket
+    membership is total-ordered and engine-deterministic.
+
+    Bucket of a row = (rank-1)·k DIV n over the exact global rank —
+    computed with ``scale.global_rank`` (bucketed offsets + partitioned
+    window), NOT a single-task global ORDER BY, so the shape survives
+    100 TB; the only full-width shuffle is the rank's bucket window.
+    Returns (bucket, n, lo, hi) — k rows.
+    """
+    from inspectadb_spark.operators.scale import global_rank
+
+    n = df.select(F.count(F.lit(1)).alias("_n"))
+    ranked = global_rank(df, value_col, id_col, bucket_width=bucket_width)
+    return (
+        ranked.join(F.broadcast(n))
+        .select(F.col(value_col).alias("_v"),
+                F.expr(f"(rank - 1) * {k} DIV _n").cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.min("_v").alias("lo"), F.max("_v").alias("hi"))
+    )

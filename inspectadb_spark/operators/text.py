@@ -840,3 +840,97 @@ def zipf_fit(
         r4c(slope).alias("zipf_slope"),
         r4c(intercept).alias("zipf_intercept"),
     )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document token (Shannon) entropy in bits — the lexical-diversity
+    feature that separates natural text (high entropy) from template spam
+    and keyword stuffing (low entropy at the same length). Computed as
+    H = log2(n) - (Σ c·log2 c)/n over the doc's token counts, plus the
+    ratio to the max possible (log2 of the distinct-token count) in ppm.
+
+    Determinism: each type's c·log2(c) term is quantized (DECIMAL(18,6) →
+    ROUND 4, the unigram_logprob two-step) BEFORE the per-doc sum, so the
+    aggregate is an exact decimal total independent of aggregation order;
+    the final H is rounded to 4 dp.
+
+    Scale shape (100 TB): one (doc, token) count — a single map-side-
+    combinable shuffle on the doc id (token counting happens inside the
+    same aggregation) — then a per-doc fold. Nothing corpus-global.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    counts = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    term = F.round(
+        (F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+        .cast("decimal(18,6)"), 4)
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(term).alias("_clogc"))
+    h = (F.log2(F.col("n_tokens").cast("double"))
+         - F.col("_clogc").cast("double") / F.col("n_tokens"))
+    hmax = F.log2(F.col("n_types").cast("double"))
+    # 4dp-quantized integers (×10000) so the ratio is a floor DIV on
+    # exact integers — decimal→bigint CASTS round in DuckDB but truncate
+    # in Spark, so the quantize-then-DIV form is the engine-exact one
+    hq = (F.round(h.cast("decimal(18,6)"), 4) * 10000).cast("bigint")
+    hmaxq = (F.round(hmax.cast("decimal(18,6)"), 4) * 10000).cast("bigint")
+    return per_doc.select(
+        F.col(id_col), "n_tokens", "n_types",
+        F.round(h.cast("decimal(18,6)"), 4).cast("double").alias("entropy"),
+        hq.alias("_hq"), hmaxq.alias("_hmaxq"),
+    ).select(
+        F.col(id_col), "n_tokens", "n_types", "entropy",
+        F.when(F.col("n_types") > 1,
+               F.expr("_hq * 1000000 DIV _hmaxq"))
+        .otherwise(F.lit(0)).cast("bigint").alias("norm_ppm"),
+    )
+
+
+def ngram_split_coverage(docs: DataFrame, n: int = 3,
+                         train_pct: int = 80,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         group_col: str = "source") -> DataFrame:
+    """Train→test n-gram coverage: after the q252-style doc-level md5
+    split, what share of each TEST doc's distinct n-grams appears
+    anywhere in TRAIN? High coverage = the test split mostly re-measures
+    memorizable spans; low coverage = genuine generalization pressure.
+    The complement of decontamination (q75 removes overlap; this measures
+    what overlap remains under a given split policy).
+
+    Exact integers end to end: per-test-doc coverage in ppm, then the
+    per-group mean as an integer ppm (sum DIV count). One gram-keyed
+    shuffle for the semi-join; the train gram set is reduced to DISTINCT
+    grams before probing.
+    """
+    nib = (f"instr('0123456789abcdef', substr(md5(CAST({id_col} AS STRING)"
+           " || ':split'), 1, 1)) - 1")
+    # nearest-nibble threshold: 80% -> 13/16 (the q252 split convention)
+    split = F.when(F.expr(nib) < (train_pct * 16 + 50) // 100, "train") \
+        .otherwise("test")
+    grams = (
+        word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+        .join(docs.select(id_col, split.alias("split"),
+                          F.col(group_col).alias("grp")), id_col)
+    )
+    train_grams = (grams.filter(F.col("split") == "train")
+                   .select("gram").distinct())
+    test = grams.filter(F.col("split") == "test")
+    covered = test.join(train_grams, "gram", "left_semi") \
+        .groupBy(id_col).agg(F.count("*").alias("n_cov"))
+    per_doc = (
+        test.groupBy(id_col, "grp").agg(F.count("*").alias("n_grams"))
+        .join(covered, id_col, "left")
+        .select(id_col, "grp", "n_grams",
+                F.coalesce("n_cov", F.lit(0)).alias("n_cov"))
+        .withColumn("cov_ppm", F.expr("n_cov * 1000000 DIV n_grams"))
+    )
+    return per_doc.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").alias("n_test_docs"),
+        F.sum("n_grams").alias("n_grams"),
+        F.sum("n_cov").alias("n_covered"),
+        F.expr("SUM(n_cov) * 1000000 DIV SUM(n_grams)").alias("coverage_ppm"),
+        F.expr("SUM(cov_ppm) DIV COUNT(*)").alias("mean_doc_cov_ppm"),
+    )

@@ -1350,3 +1350,103 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(straddle))
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# Q262 per-document token entropy (operators/text.py::token_entropy):
+# Shannon entropy of the doc's token distribution in bits + the ratio to
+# the max possible (log2 n_types) in quantized ppm — the lexical-diversity
+# feature that flags template spam / keyword stuffing at equal length.
+@query(
+    "q262_token_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+    d AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             SUM(CAST(ROUND(CAST(c * log2(CAST(c AS DOUBLE))
+                                 AS DECIMAL(18,6)), 4)
+                      AS DECIMAL(18,6))) AS clogc
+      FROM c GROUP BY doc_id),
+    e AS (
+      SELECT doc_id, n_tokens, n_types,
+             CAST(ROUND(CAST(log2(CAST(n_tokens AS DOUBLE))
+                             - CAST(clogc AS DOUBLE) / n_tokens
+                             AS DECIMAL(18,6)), 4) AS DECIMAL(18,6)) AS h4,
+             CAST(ROUND(CAST(log2(CAST(n_types AS DOUBLE))
+                             AS DECIMAL(18,6)), 4) AS DECIMAL(18,6)) AS hm4
+      FROM d)
+    SELECT doc_id, n_tokens, n_types,
+           CAST(h4 AS DOUBLE) AS entropy,
+           CASE WHEN n_types > 1
+                THEN CAST(CAST(h4 * 10000 AS BIGINT) * 1000000
+                          // CAST(hm4 * 10000 AS BIGINT) AS BIGINT)
+                ELSE 0 END AS norm_ppm
+    FROM e ORDER BY doc_id
+    """,
+    doc="Per-doc Shannon token entropy (bits, 4dp) + normalized entropy "
+        "in quantized ppm: c*log2(c) terms decimal-quantized before the "
+        "per-doc sum (aggregation-order-proof), ratio as integer floor "
+        "DIV over 4dp-quantized integers (cast-rounding-proof).",
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import token_entropy
+
+    docs = tables(spark, sf_dir)["documents"]
+    return token_entropy(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q264 train->test n-gram coverage under the q252 doc-level split
+# (operators/text.py::ngram_split_coverage): what share of each test
+# doc's distinct trigrams the train split already contains — the
+# generalization-pressure measurement that complements decontamination
+# (q75 removes overlap; this quantifies what a split policy leaves).
+@query(
+    "q264_ngram_coverage",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i)),
+    s AS (
+      SELECT doc_id, source, gram,
+             CASE WHEN (instr('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)
+                                         || ':split'), 1, 1)) - 1) < 13
+                  THEN 'train' ELSE 'test' END AS split
+      FROM g),
+    tr AS (SELECT DISTINCT gram FROM s WHERE split = 'train'),
+    te AS (SELECT doc_id, source, gram FROM s WHERE split = 'test'),
+    cov AS (
+      SELECT te.doc_id, te.source,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cov
+      FROM te LEFT JOIN tr ON tr.gram = te.gram
+      GROUP BY te.doc_id, te.source),
+    p AS (
+      SELECT doc_id, source, n_grams, n_cov,
+             CAST(n_cov * 1000000 // n_grams AS BIGINT) AS cov_ppm
+      FROM cov)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(n_cov) AS BIGINT) AS n_covered,
+           CAST(SUM(n_cov) * 1000000 // SUM(n_grams) AS BIGINT)
+             AS coverage_ppm,
+           CAST(SUM(cov_ppm) // COUNT(*) AS BIGINT) AS mean_doc_cov_ppm
+    FROM p GROUP BY source ORDER BY source
+    """,
+    doc="Per-source train->test trigram coverage under the md5 80/20 doc "
+        "split: corpus-mass and mean per-doc coverage in exact ppm — the "
+        "complement of decontamination.",
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import ngram_split_coverage
+
+    docs = tables(spark, sf_dir)["documents"]
+    return ngram_split_coverage(docs, n=3).orderBy("source")

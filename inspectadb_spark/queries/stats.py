@@ -1942,3 +1942,41 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda x, y: x.unionAll(y), outs).orderBy("edge")
+
+
+# --------------------------------------------------------------------------
+# Q263 equi-depth histogram of order value (operators/sketches.py::
+# equi_depth_histogram): 10 equal-count buckets with exact integer-cent
+# bounds — the selectivity-estimation statistic equi-width q100 can't
+# give on skewed columns. The global rank is the distributed bucket-
+# offset scheme (scale.global_rank), not a single-task ORDER BY; the
+# oracle states the textbook single-window form.
+@query(
+    "q263_equi_depth_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM v),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk
+      FROM v)
+    SELECT CAST((rk - 1) * 10 // total AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo,
+           CAST(MAX(cents) AS BIGINT) AS hi
+    FROM r CROSS JOIN t GROUP BY 1 ORDER BY bucket
+    """,
+    doc="Equi-depth (10-bucket) histogram of order value in exact cents: "
+        "bucket = (rank-1)*k DIV n over the (cents, orderkey) total "
+        "order; Spark side uses the distributed global_rank.",
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.sketches import equi_depth_histogram
+
+    o = tables(spark, sf_dir)["orders"]
+    v = o.select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey")
+    return equi_depth_histogram(v, "cents", "o_orderkey", k=10).orderBy("bucket")

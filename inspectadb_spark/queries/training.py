@@ -1549,3 +1549,38 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_ppm"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q261 sequence-packing efficiency report (operators/pipeline.py::
+# packing_efficiency): per source, the padding cost of one-doc-per-
+# sequence batching vs dense concatenation at context length 128 — the
+# measurement that justifies running pack_sequences (q79) at all. Exact
+# integer ceil/ppm arithmetic end to end.
+@query(
+    "q261_packing_efficiency",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents),
+    g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS tokens,
+             CAST(SUM((tok + 127) // 128) AS BIGINT) AS padded_seqs
+      FROM s GROUP BY source)
+    SELECT source, n_docs, tokens, padded_seqs,
+           CAST(padded_seqs * 128 - tokens AS BIGINT) AS pad_tokens,
+           CAST(tokens * 1000000 // (padded_seqs * 128) AS BIGINT)
+             AS padded_util_ppm,
+           CAST((tokens + 127) // 128 AS BIGINT) AS packed_seqs,
+           CAST(tokens * 1000000 // (((tokens + 127) // 128) * 128)
+                AS BIGINT) AS packed_util_ppm
+    FROM g ORDER BY source
+    """,
+    doc="Packing-efficiency report at context 128: per source, sequences "
+        "and utilization under one-doc-per-sequence padding vs dense "
+        "concatenation — the gap is what sequence packing buys.",
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return P.packing_efficiency(docs, budget=128).orderBy("source")
