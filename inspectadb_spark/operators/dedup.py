@@ -537,3 +537,49 @@ def keep_best_dedup(
             "win_id", "win_group",
         )
     )
+
+
+def winnowing_profile(
+    docs: DataFrame, k: int = 8, w: int = 4, stop_df: int = 50,
+    text_col: str = "text", id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Winnowing (MOSS) fingerprint-index profile: per group, the size of
+    the character-k-gram index a robust-winnowing dedup pass would build —
+    grams, selected fingerprints (min md5 per sliding window of ``w``
+    gram positions, distinct per doc), distinct fingerprints in the
+    group, and the count of STOP fingerprints (document frequency >
+    ``stop_df``) that a real pipeline blocklists before the pair join
+    (the q250 lesson: common-substring fingerprints drive the join cost
+    quadratic). The selection-density ppm is the index-sizing number.
+
+    Exact integers end to end. One window per doc (partitioned by the
+    doc id — batch-local, no global sort), one distinct, one group fold.
+    """
+    grams = docs.filter(F.length(text_col) >= k).select(
+        F.col(id_col), F.col(group_col).alias("grp"),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, length({text_col}) - {k - 1}),"
+            f" i -> md5(substring({text_col}, i, {k})))"))
+        .alias("pos", "h"))
+    win = Window.partitionBy(id_col).orderBy("pos") \
+        .rowsBetween(Window.currentRow, w - 1)
+    fps = (grams
+           .select(id_col, "grp", F.min("h").over(win).alias("fp"))
+           .distinct())
+    df_tbl = fps.groupBy("grp", "fp").agg(
+        F.count("*").alias("df"))
+    n_grams = grams.groupBy("grp").agg(F.count("*").alias("n_grams"))
+    per_grp = fps.groupBy("grp").agg(
+        F.count_distinct(id_col).alias("n_docs"),
+        F.count("*").alias("n_fps"))
+    dfa = df_tbl.groupBy("grp").agg(
+        F.count("*").alias("n_distinct_fps"),
+        F.sum((F.col("df") > stop_df).cast("bigint")).alias("n_stop_fps"),
+        F.max("df").alias("max_df"))
+    return (
+        per_grp.join(n_grams, "grp").join(dfa, "grp")
+        .select(F.col("grp").alias(group_col), "n_docs", "n_grams", "n_fps",
+                "n_distinct_fps", "n_stop_fps", "max_df",
+                F.expr("n_fps * 1000000 DIV n_grams").alias("density_ppm"))
+    )

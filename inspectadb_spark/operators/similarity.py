@@ -1012,3 +1012,67 @@ def mmr_topk(
                        "q_id long, rank int, c_id long, mmr_ppm long")
         .orderBy("q_id", "rank")
     )
+
+
+def label_silhouette(
+    vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified silhouette per label: for each vector, a = distance to
+    its OWN label centroid, b = min distance to any OTHER label centroid,
+    s = (b-a)/max(a,b) — the standard embedding-space cluster-quality
+    score (means near +1: compact and separated; negatives: vectors
+    closer to a foreign class than their own). Complements the q224 1-NN
+    probe with a geometry-level view.
+
+    Determinism: centroids are the 4dp-pinned ``label_centroids``;
+    per-dimension squared residuals accumulate in DECIMAL(28,12) (the
+    centroid_outliers convention); a and b are 4dp distances, s is
+    4dp-quantized per vector BEFORE the per-label decimal mean — nothing
+    depends on aggregation order in either engine.
+
+    Scale shape (100 TB): the centroid table is labels x dims and
+    broadcasts; the explode+join is one partition-local pass with a
+    (vector, candidate-label) aggregation — rows x labels intermediate,
+    never vector x vector.
+    """
+    cent = label_centroids(vectors, label_col, vec_col).select(
+        F.col("label").alias("cand"), "dim", "centroid")
+    expl = (
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(label_col).alias("label"),
+                       F.posexplode(vec_col).alias("pos", "x"))
+        .select("vec_id", "label", (F.col("pos") + 1).alias("dim"),
+                F.col("x").cast("double").alias("x"))
+    )
+    resid = ((F.col("x") - F.col("centroid"))
+             * (F.col("x") - F.col("centroid")))
+    d = (
+        expl.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "cand")
+        .agg(F.sum(resid.cast("decimal(28,12)")).alias("ss"))
+        .select("vec_id", "label", "cand",
+                F.round(F.sqrt(F.col("ss").cast("double"))
+                        .cast("decimal(18,6)"), 4)
+                .cast("double").alias("dist"))
+    )
+    per_vec = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("cand") == F.col("label"), F.col("dist")))
+        .alias("a"),
+        F.min(F.when(F.col("cand") != F.col("label"), F.col("dist")))
+        .alias("b"))
+    s = F.when(
+        F.greatest("a", "b") > 0,
+        F.round(((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+                .cast("decimal(18,6)"), 4),
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        per_vec.select("vec_id", "label", s.alias("s"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vectors"),
+             F.round((F.sum(F.col("s").cast("decimal(18,6)"))
+                      .cast("double") / F.count("*"))
+                     .cast("decimal(18,6)"), 4)
+             .cast("double").alias("mean_silhouette"),
+             F.sum((F.col("s") < 0).cast("bigint")).alias("n_negative"))
+    )

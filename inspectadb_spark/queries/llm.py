@@ -1450,3 +1450,49 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return ngram_split_coverage(docs, n=3).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q266 winnowing (MOSS) fingerprint-index profile (operators/dedup.py::
+# winnowing_profile): per source, the size/selectivity of a robust-
+# winnowing character-8-gram index (window w=4) and the stop-fingerprint
+# count (df > 50) a pair-join pipeline blocklists first — the index-
+# sizing audit before committing to substring-level dedup at scale.
+@query(
+    "q266_winnowing_profile",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source, i AS pos, md5(substr(text, i, 8)) AS h
+      FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+      WHERE length(text) >= 8),
+    w AS (
+      SELECT doc_id, source,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g),
+    f AS (SELECT DISTINCT doc_id, source, fp FROM w),
+    dfx AS (SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS df
+            FROM f GROUP BY source, fp),
+    ng AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM g GROUP BY source),
+    pg AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                  CAST(COUNT(*) AS BIGINT) AS n_fps FROM f GROUP BY source),
+    da AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_fps,
+                  CAST(SUM(CASE WHEN df > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_stop_fps,
+                  CAST(MAX(df) AS BIGINT) AS max_df
+           FROM dfx GROUP BY source)
+    SELECT source, n_docs, n_grams, n_fps, n_distinct_fps, n_stop_fps,
+           max_df,
+           CAST(n_fps * 1000000 // n_grams AS BIGINT) AS density_ppm
+    FROM pg JOIN ng USING (source) JOIN da USING (source) ORDER BY source
+    """,
+    doc="Winnowing fingerprint-index profile per source: grams, selected "
+        "fingerprints, distinct/stop fingerprints (df > 50), selection "
+        "density ppm — exact integers, one per-doc window + one distinct.",
+)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import winnowing_profile
+
+    docs = tables(spark, sf_dir)["documents"]
+    return winnowing_profile(docs).orderBy("source")

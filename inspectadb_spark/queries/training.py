@@ -1584,3 +1584,56 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     return P.packing_efficiency(docs, budget=128).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q265 simplified silhouette per label (operators/similarity.py::
+# label_silhouette): a = distance to own 4dp-pinned label centroid, b =
+# min distance to any other, s = (b-a)/max(a,b), per-vector-quantized
+# then decimal-mean'd per label — the geometry-level embedding-quality
+# score next to q224's 1-NN accuracy and q139's centroid separation.
+@query(
+    "q265_label_silhouette",
+    oracle=f"""
+    WITH cent AS ({_CENTROID_SQL}),
+    expl AS (
+      SELECT vec_id, label, CAST(i AS INT) AS dim,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM (SELECT vec_id, label, embedding,
+                   unnest(generate_series(1, 64)) AS i
+            FROM embeddings)),
+    d AS (
+      SELECT e.vec_id, e.label, c.label AS cand,
+             CAST(ROUND(CAST(SQRT(CAST(SUM(CAST((x - centroid) * (x - centroid)
+                                              AS DECIMAL(28,12))) AS DOUBLE))
+                             AS DECIMAL(18,6)), 4) AS DOUBLE) AS dist
+      FROM expl e JOIN cent c ON e.dim = c.dim
+      GROUP BY e.vec_id, e.label, c.label),
+    pv AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN cand = label THEN dist END) AS a,
+             MIN(CASE WHEN cand <> label THEN dist END) AS b
+      FROM d GROUP BY vec_id, label),
+    sv AS (
+      SELECT vec_id, label,
+             CASE WHEN GREATEST(a, b) > 0
+                  THEN CAST(ROUND(CAST((b - a) / GREATEST(a, b)
+                                       AS DECIMAL(18,6)), 4) AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END AS s
+      FROM pv)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(ROUND(CAST(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(*) AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS mean_silhouette,
+           CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM sv GROUP BY label ORDER BY label
+    """,
+    doc="Per-label simplified silhouette vs 4dp-pinned label centroids: "
+        "mean s and misplaced-vector count; decimal residual sums, "
+        "per-vector quantization before the mean.",
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import label_silhouette
+
+    return label_silhouette(tables(spark, sf_dir)["embeddings"]).orderBy("label")
