@@ -88,15 +88,23 @@ class Engine:
         not IEEE-double SUM order-dependence."""
         parsed = parse_agg_sql(text)
         if parsed is not None and parsed[0] in self.tables:
-            table, req, where, having = parsed
+            table, req, where, having, order, limit = parsed
             out, prov = self.aggregate(table, req)
             # WHERE key = literal predicates filter GROUP KEYS only, so
             # filter-after-aggregate == aggregate-after-filter; Catalyst
             # pushes the filter below the (MV or base) aggregate, pruning
             # the summary scan. HAVING references measure aliases — real
-            # columns of the served result — i.e. plain post-agg filters.
+            # columns of the served result — i.e. plain post-agg filters,
+            # as are ORDER BY / LIMIT over served columns (LIMIT only
+            # parses with an ORDER BY, so the cut is deterministic).
             for cond in where + having:
                 out = out.filter(F.expr(cond))
+            if order:
+                out = out.orderBy(*[
+                    F.col(c).desc() if d else F.col(c).asc()
+                    for c, d in order])
+            if limit is not None:
+                out = out.limit(limit)
             return out, prov
         return self.spark.sql(text), "sql"
 
@@ -229,7 +237,9 @@ _SHAPE_RE = __import__("re").compile(
     r"^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+WHERE\s+(.+?))?"
     r"\s+GROUP\s+BY\s+(.+?)"
-    r"(?:\s+HAVING\s+(.+?))?\s*;?\s*$",
+    r"(?:\s+HAVING\s+(.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(.+?))?"
+    r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
     __import__("re").IGNORECASE | __import__("re").DOTALL)
 _LITERAL = r"(?:-?\d+(?:\.\d+)?|'[^']*')"
 _WHERE_COND_RE = __import__("re").compile(
@@ -242,9 +252,10 @@ _AND_RE = __import__("re").compile(r"\s+AND\s+", __import__("re").IGNORECASE)
 def parse_agg_sql(text: str):
     """Parse the restricted grammar
     ``SELECT <keys and aggs> FROM <table> [WHERE <key>=<lit> [AND ...]]
-    GROUP BY <keys> [HAVING <agg_alias> <cmp> <num> [AND ...]]`` into
-    (table, AggRequest, where_conds, having_conds), or None when the
-    statement doesn't fit.
+    GROUP BY <keys> [HAVING <agg_alias> <cmp> <num> [AND ...]]
+    [ORDER BY <col> [ASC|DESC], ...] [LIMIT n]`` into
+    (table, AggRequest, where_conds, having_conds, order_terms, limit),
+    or None when the statement doesn't fit.
 
     Deliberately narrow: plain column keys, SUM/COUNT/AVG/MIN/MAX over a
     single column (or ``*`` for COUNT), mandatory AS aliases on aggregates.
@@ -263,6 +274,7 @@ def parse_agg_sql(text: str):
         return None
     select_list, table = m.group(1), m.group(2)
     where_clause, group_by, having_clause = m.group(3), m.group(4), m.group(5)
+    order_clause, limit_clause = m.group(6), m.group(7)
     keys = []
     for g in group_by.split(","):
         g = g.strip()
@@ -304,9 +316,25 @@ def parse_agg_sql(text: str):
                 return None  # HAVING must compare a declared agg alias
             having_conds.append(
                 f"{hm.group(1)} {hm.group(2)} {hm.group(3)}")
+    # ORDER BY / LIMIT: pure post-aggregation presentation over served
+    # columns (keys or declared aliases) — rejects anything else
+    order_terms: list[tuple[str, bool]] = []
+    if order_clause is not None:
+        for term in order_clause.split(","):
+            om = __import__("re").match(
+                r"^([A-Za-z_][A-Za-z0-9_]*)(?:\s+(ASC|DESC))?$",
+                term.strip(), __import__("re").IGNORECASE)
+            if not om or (om.group(1) not in keys
+                          and om.group(1) not in measures):
+                return None
+            order_terms.append(
+                (om.group(1), (om.group(2) or "ASC").upper() == "DESC"))
+    limit_n = int(limit_clause) if limit_clause is not None else None
+    if limit_n is not None and not order_terms:
+        return None  # LIMIT without a total order is nondeterministic
     return (table, AggRequest(keys={k: None for k in keys},
                               measures=measures),
-            where_conds, having_conds)
+            where_conds, having_conds, order_terms, limit_n)
 
 
 def _split_top_level(s: str) -> list[str]:

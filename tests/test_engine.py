@@ -358,8 +358,9 @@ def test_parse_agg_sql_predicate_safety_rules():
     ok = parse_agg_sql("SELECT a, SUM(b) AS s FROM t "
                        "WHERE a = 7 GROUP BY a HAVING s > 5")
     assert ok is not None
-    table, req, where, having = ok
+    table, req, where, having, order, limit = ok
     assert where == ["a = 7"] and having == ["s > 5"]
+    assert order == [] and limit is None
     # WHERE on a non-key column -> not routable
     assert parse_agg_sql("SELECT a, SUM(b) AS s FROM t "
                          "WHERE b = 7 GROUP BY a") is None
@@ -381,3 +382,31 @@ def test_parse_agg_sql_predicate_safety_rules():
     ok2 = parse_agg_sql("SELECT a, COUNT(*) AS n FROM t "
                         "WHERE a = 'x y' GROUP BY a")
     assert ok2 is not None and ok2[2] == ["a = 'x y'"]
+
+
+def test_sql_routed_order_by_limit(engine):
+    """ORDER BY + LIMIT over served columns route as a deterministic
+    post-agg top-k; LIMIT without ORDER BY refuses (nondeterministic)."""
+    from inspectadb_spark.engine import parse_agg_sql
+
+    routed, prov = engine.sql_routed(
+        "SELECT o_orderdate, o_orderstatus, SUM(o_totalprice) AS total "
+        "FROM orders GROUP BY o_orderdate, o_orderstatus "
+        "ORDER BY total DESC, o_orderdate ASC, o_orderstatus LIMIT 5")
+    assert prov in ("mv:mv_orders_daily", "cache")
+    o = engine.table("orders")
+    tot = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    direct = (o.groupBy("o_orderdate", "o_orderstatus")
+              .agg(F.expr(f"{tot} AS total"))
+              .orderBy(F.desc("total"), "o_orderdate", "o_orderstatus")
+              .limit(5))
+    assert [tuple(str(x) for x in r) for r in routed.collect()] == \
+        [tuple(str(x) for x in r) for r in direct.collect()]
+
+    assert parse_agg_sql(
+        "SELECT a, SUM(b) AS s FROM t GROUP BY a LIMIT 5") is None
+    assert parse_agg_sql(
+        "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY zz") is None
+    ok = parse_agg_sql(
+        "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY s DESC LIMIT 3")
+    assert ok is not None and ok[4] == [("s", True)] and ok[5] == 3
