@@ -1076,3 +1076,59 @@ def label_silhouette(
              .cast("double").alias("mean_silhouette"),
              F.sum((F.col("s") < 0).cast("bigint")).alias("n_negative"))
     )
+
+
+def mutual_nn(
+    vectors: DataFrame, sample_mod: int = 10, sample_rem: int = 3,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Mutual nearest neighbors over a deterministic sample: pairs (a, b)
+    where b is a's cosine top-1 AND a is b's — the reciprocal-best-match
+    criterion bitext mining and cross-encoder candidate generation use
+    (one-directional top-1 is noise-prone; mutuality is the cheap
+    precision filter). Returns (id_a, id_b, sim_ppm, label_a, label_b,
+    same_label) with id_a < id_b.
+
+    Determinism: ppm-quantized cosine (the q224 convention), id-ascending
+    tie-break on equal similarity. Scale: this is an AUDIT over a bounded
+    id-hash sample (sample x sample, broadcast one side); full-corpus
+    mutual-NN routes through the ANN bucket paths (SRP/IVF) instead of
+    exact all-pairs.
+    """
+    s = (
+        vectors.filter(F.col(id_col) % sample_mod == sample_rem)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                F.sqrt(_norm2(vec_col)).alias("m"),
+                F.col(label_col).alias("lab"))
+        .filter(F.col("m") > 0)
+    )
+    a = s.select(F.col("id").alias("ida"), F.col("v").alias("va"),
+                 F.col("m").alias("ma"), F.col("lab").alias("la"))
+    b = s.select(F.col("id").alias("idb"), F.col("v").alias("vb"),
+                 F.col("m").alias("mb"), F.col("lab").alias("lb"))
+    sim = _dot("va", "vb") / (F.col("ma") * F.col("mb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
+        .select("ida", "idb", "la", "lb",
+                (sim.cast("decimal(18,6)") * 1_000_000)
+                .cast("bigint").alias("sim_ppm"))
+    )
+    best = pairs.groupBy("ida").agg(
+        F.max(F.struct(F.col("sim_ppm").alias("s"),
+                       (-F.col("idb")).alias("nid"))).alias("w"))
+    nn = best.select("ida", (-F.col("w.nid")).alias("nn"),
+                     F.col("w.s").alias("sim_ppm"))
+    fwd = nn.filter(F.col("ida") < F.col("nn"))
+    rev = nn.select(F.col("ida").alias("nn2"), F.col("nn").alias("ida2"))
+    mutual = fwd.join(
+        rev, (fwd["ida"] == rev["ida2"]) & (fwd["nn"] == rev["nn2"]))
+    lab = s.select("id", "lab")
+    return (
+        mutual.select(F.col("ida").alias("id_a"), F.col("nn").alias("id_b"),
+                      "sim_ppm")
+        .join(lab.withColumnsRenamed({"id": "id_a", "lab": "label_a"}), "id_a")
+        .join(lab.withColumnsRenamed({"id": "id_b", "lab": "label_b"}), "id_b")
+        .select("id_a", "id_b", "sim_ppm", "label_a", "label_b",
+                (F.col("label_a") == F.col("label_b")).alias("same_label"))
+    )

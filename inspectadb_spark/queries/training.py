@@ -1637,3 +1637,54 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.similarity import label_silhouette
 
     return label_silhouette(tables(spark, sf_dir)["embeddings"]).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# Q267 reciprocal best match / mutual nearest neighbors over the q224
+# sample (operators/similarity.py::mutual_nn): pairs that are each
+# other's cosine top-1 — the precision filter bitext mining applies
+# before trusting a one-directional top-1. ppm cosine, id tie-breaks.
+@query(
+    "q267_mutual_nn",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id AS id, embedding AS v, label FROM embeddings
+      WHERE vec_id % 10 = 3),
+    z AS (
+      SELECT a.id AS ida, b.id AS idb, a.label AS la, b.label AS lb,
+             UNNEST(a.v) AS x, UNNEST(b.v) AS y
+      FROM v a CROSS JOIN v b WHERE a.id <> b.id),
+    s AS (
+      SELECT ida, idb, la, lb,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      FROM z GROUP BY ida, idb, la, lb),
+    p AS (
+      SELECT ida, idb,
+             CAST(CAST(dot / (SQRT(na) * SQRT(nb)) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS sim_ppm
+      FROM s WHERE na > 0 AND nb > 0),
+    nn AS (
+      SELECT ida, idb AS nn, sim_ppm FROM (
+        SELECT ida, idb, sim_ppm,
+               ROW_NUMBER() OVER (PARTITION BY ida
+                                  ORDER BY sim_ppm DESC, idb) AS r
+        FROM p) t WHERE r = 1),
+    m AS (
+      SELECT f.ida AS id_a, f.nn AS id_b, f.sim_ppm
+      FROM nn f JOIN nn r ON r.ida = f.nn AND r.nn = f.ida
+      WHERE f.ida < f.nn)
+    SELECT id_a, id_b, sim_ppm,
+           va.label AS label_a, vb.label AS label_b,
+           va.label = vb.label AS same_label
+    FROM m JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
+    ORDER BY id_a
+    """,
+    doc="Mutual cosine top-1 pairs over the vec_id%10=3 sample: "
+        "reciprocal best match with ppm similarity and label agreement.",
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import mutual_nn
+
+    return mutual_nn(tables(spark, sf_dir)["embeddings"]).orderBy("id_a")
