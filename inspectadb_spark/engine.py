@@ -96,7 +96,8 @@ class Engine:
             # the summary scan. HAVING references measure aliases — real
             # columns of the served result — i.e. plain post-agg filters,
             # as are ORDER BY / LIMIT over served columns (LIMIT only
-            # parses with an ORDER BY, so the cut is deterministic).
+            # parses with a key-complete ORDER BY — a total order, since
+            # the group keys are unique — so the cut is deterministic).
             for cond in where + having:
                 out = out.filter(F.expr(cond))
             if order:
@@ -330,8 +331,14 @@ def parse_agg_sql(text: str):
             order_terms.append(
                 (om.group(1), (om.group(2) or "ASC").upper() == "DESC"))
     limit_n = int(limit_clause) if limit_clause is not None else None
-    if limit_n is not None and not order_terms:
-        return None  # LIMIT without a total order is nondeterministic
+    if limit_n is not None and not set(keys) <= {c for c, _ in order_terms}:
+        # LIMIT only routes under a TOTAL order: the group keys are unique
+        # per result row, so an ORDER BY covering every key pins each
+        # row's position and the cut is deterministic. A partial order
+        # ('ORDER BY total DESC LIMIT 5' with ties at the cut) would make
+        # the routed top-k differ from plain-SQL execution (ADVICE r05
+        # item 4) — not provably identical, so not routed.
+        return None
     return (table, AggRequest(keys={k: None for k in keys},
                               measures=measures),
             where_conds, having_conds, order_terms, limit_n)

@@ -184,11 +184,17 @@ def _expr_refs_only(expr: str, allowed) -> bool:
             # identifier-impossible positions only: the unit of an
             # INTERVAL literal (directly after INTERVAL, or after its
             # quantity token which itself follows INTERVAL) or the unit
-            # of EXTRACT(unit FROM ...)
+            # of EXTRACT(unit FROM ...). The FROM test needs BOTH a word
+            # boundary ('from_unixtime(ts)' must not validate a stray
+            # `day` — ADVICE r05 item 1) and the EXTRACT( context (in
+            # `trim(day FROM ts)` the unit position holds a real column
+            # reference, which must resolve against `allowed` above).
             after_interval = prev.lower() == "interval" or (
                 (prev.isdigit() or prev == "''")
                 and prev2.lower() == "interval")
-            if after_interval or rest.lower().startswith("from"):
+            in_extract = (prev.lower() == "extract"
+                          and _re.match(r"from\b", rest, _re.I))
+            if after_interval or in_extract:
                 prev2, prev = prev, ident
                 continue
             return False
@@ -291,17 +297,29 @@ def stored_rows(path: str) -> int:
     """Total stored rows of a materialized summary from parquet FOOTER
     metadata only — the planner's cost signal. No Spark job, no data read;
     at 100 TB this is a handful of footer fetches per candidate MV.
-    ``path`` is the COMMITTED version directory (resolve first)."""
+    ``path`` is the COMMITTED version directory (resolve first).
+
+    Files under a ``v<N>`` first-level subdirectory are excluded: when
+    ``path`` is a legacy in-place root (resolved via _SUCCESS) that also
+    holds junk version dirs from a crashed first versioned refresh,
+    ``spark.read.parquet(path)`` reads only the root files, so counting
+    the junk would inflate the cost signal and could misroute to a more
+    expensive MV (ADVICE r05 item 5). A committed version dir never
+    nests another ``v<N>``, so the exclusion is a no-op there."""
     import glob as _glob
     import os as _os
+    import re as _re
 
     import pyarrow.parquet as pq
 
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in _glob.glob(_os.path.join(path, "**", "*.parquet"),
-                            recursive=True)
-    )
+    total = 0
+    for f in _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                        recursive=True):
+        first = _os.path.relpath(f, path).split(_os.sep)[0]
+        if _re.fullmatch(r"v\d+", first):
+            continue
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 def route(

@@ -1559,9 +1559,9 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer ceil/ppm arithmetic end to end.
 @query(
     "q261_packing_efficiency",
-    oracle="""
+    oracle=f"""
     WITH s AS (
-      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      SELECT source, CAST(len({_DUCK_WORDS}) AS BIGINT) AS tok
       FROM documents),
     g AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

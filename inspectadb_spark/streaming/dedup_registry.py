@@ -73,14 +73,31 @@ class DedupRegistry:
         self._version = 0
         self._retired: list[str] = []  # dirs to delete at the NEXT swap
         committed = self._read_ptr()
+        referenced: set[str] = set()
         if committed is not None:
             for p in committed["paths"]:
                 base = os.path.basename(p)
+                referenced.add(base)
                 if base.startswith(("v", "d")):
                     try:
                         self._version = max(self._version, int(base[1:]))
                     except ValueError:
                         pass
+        # Init-time GC (ADVICE r05 item 2): retirement is tracked in
+        # memory, so a crash between pointer swaps — or any shutdown after
+        # the final swap — would leak the superseded (or partially
+        # written, never-committed) state dirs forever. At init no reader
+        # can hold an older pointer (single-writer registry; readers
+        # resolve the pointer per batch), so every v*/d* dir the committed
+        # pointer does not reference is garbage. The one-swap grace for a
+        # LIVE reader is unchanged — it lives in _swap_ptr.
+        import re as _re
+
+        for entry in os.listdir(self.state_dir):
+            d = os.path.join(self.state_dir, entry)
+            if (os.path.isdir(d) and _re.fullmatch(r"[vd]\d+", entry)
+                    and entry not in referenced):
+                shutil.rmtree(d, ignore_errors=True)
 
     # -- pointer ---------------------------------------------------------
     def _ptr(self) -> str:

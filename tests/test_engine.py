@@ -407,6 +407,17 @@ def test_sql_routed_order_by_limit(engine):
         "SELECT a, SUM(b) AS s FROM t GROUP BY a LIMIT 5") is None
     assert parse_agg_sql(
         "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY zz") is None
-    ok = parse_agg_sql(
-        "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY s DESC LIMIT 3")
-    assert ok is not None and ok[4] == [("s", True)] and ok[5] == 3
+    # LIMIT demands a TOTAL order: an ORDER BY that omits a group key can
+    # tie at the cut, making the routed top-k diverge from plain SQL
+    # (ADVICE r05) — refused; covering every key makes it deterministic.
+    assert parse_agg_sql(
+        "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY s DESC LIMIT 3"
+    ) is None
+    ok = parse_agg_sql("SELECT a, SUM(b) AS s FROM t GROUP BY a "
+                       "ORDER BY s DESC, a LIMIT 3")
+    assert ok is not None and ok[4] == [("s", True), ("a", False)] \
+        and ok[5] == 3
+    # ORDER BY without LIMIT never needs the total order
+    ok2 = parse_agg_sql(
+        "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY s DESC")
+    assert ok2 is not None and ok2[4] == [("s", True)] and ok2[5] is None
