@@ -274,6 +274,62 @@ def global_rank(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    k: int,
+    bucket_expr,
+    order_cols: Sequence,
+    out_col: str,
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY ...)`` WITHOUT a global single-task
+    sort — the distributed form of every quantile-scoring window (RFM
+    scores, decile labels). ``ntile`` is a closed-form function of
+    (global rank, total count, k): the first ``n % k`` tiles hold
+    ``n DIV k + 1`` rows, the rest ``n DIV k``, so
+
+        tile(r) = ceil(r / (q+1))                      if r <= rem*(q+1)
+                  rem + ceil((r - rem*(q+1)) / q)      otherwise
+        with q = n DIV k, rem = n % k.
+
+    The global rank comes from the same bucket-offset scheme as
+    ``global_rank``: ``bucket_expr`` must be an integer expression
+    MONOTONE NON-DECREASING along the requested order (for a DESC
+    primary sort, negate: ``(-freq) DIV w``), coarse enough that the
+    bucket table stays small; ``order_cols`` is the full ORDER BY
+    (directions included, deterministic tiebreak last). Only per-bucket
+    counts cross the single-partition exchange — the data-sized stream
+    never enters an unpartitioned window. Bit-identical to the naive
+    ``F.ntile(k).over(Window.orderBy(...))`` (parity-tested). Appends
+    ``out_col`` as INT.
+    """
+    from pyspark.sql import Window
+
+    b = df.withColumn("_bkt", bucket_expr)
+    counts = b.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    woff = (Window.orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = counts.withColumn(
+        "_off", F.sum("_n").over(woff) - F.col("_n")).drop("_n")
+    total = counts.agg(F.sum("_n").cast("bigint").alias("_tot"))
+    win = Window.partitionBy("_bkt").orderBy(*order_cols)
+    ranked = (
+        b.join(F.broadcast(offsets), "_bkt")
+        .join(F.broadcast(total))
+        .withColumn("_rk", F.col("_off") + F.row_number().over(win))
+    )
+    # greatest(q, 1): the ELSE branch is unreachable when q = 0 (every
+    # rank falls in the first n tiles), but ANSI mode must never see a
+    # DIV 0 even speculatively
+    tile = F.expr(
+        f"CASE WHEN _rk <= (_tot % {k}) * (_tot DIV {k} + 1) "
+        f"THEN (_rk + _tot DIV {k}) DIV (_tot DIV {k} + 1) "
+        f"ELSE _tot % {k} + (_rk - (_tot % {k}) * (_tot DIV {k} + 1) "
+        f"+ greatest(_tot DIV {k}, 1) - 1) DIV greatest(_tot DIV {k}, 1) "
+        f"END")
+    return (ranked.withColumn(out_col, tile.cast("int"))
+            .drop("_bkt", "_off", "_rk", "_tot"))
+
+
 def global_running_max(
     df: DataFrame,
     order_col: str,

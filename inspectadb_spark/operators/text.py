@@ -481,7 +481,8 @@ def source_divergence(docs: DataFrame, group_col: str = "source",
 
 
 def vocabulary_growth(docs: DataFrame, n: int = 1, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      bucket_width: int = 1024) -> DataFrame:
     """Vocabulary growth curve (Heaps'-law empirics) at token (``n=1``) or
     word-n-gram granularity: for each document that introduces at least one
     gram never seen in any earlier document (by id order), the number it
@@ -491,10 +492,14 @@ def vocabulary_growth(docs: DataFrame, n: int = 1, text_col: str = "text",
 
     Scale shape: token → min(doc_id) ownership is one map-side-combinable
     shuffle; the growth frame then has at most one row per document (not
-    per token). The cumulative sum runs over that PRE-AGGREGATED frame —
-    at extreme scale swap the single window for the two-level carry scan
-    used by ``timeseries.interval_concurrency``; the corpus-sized stream
-    never enters a global sort either way.
+    per token) — still corpus-doc cardinality, so the cumulative sum uses
+    the bucket-offset scheme (the ``scale.global_rank`` pattern): bucket
+    = first_doc DIV ``bucket_width``; each bucket's carry-in is the
+    strict-prefix sum over the BUCKET table (bounded: one row per
+    ``bucket_width`` ids); the within-bucket running sum is a properly
+    partitioned window. Only per-bucket totals cross the single-partition
+    exchange — doc-cardinality rows never enter an unpartitioned window.
+    Bit-identical to the naive global running sum (parity-tested).
     """
     from pyspark.sql import Window
 
@@ -506,11 +511,19 @@ def vocabulary_growth(docs: DataFrame, n: int = 1, text_col: str = "text",
         grams = word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
     first = grams.groupBy("gram").agg(F.min(F.col(id_col)).alias("first_doc"))
     growth = first.groupBy("first_doc").agg(F.count("*").alias("n_new"))
-    win = Window.orderBy("first_doc").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    return growth.select(
-        F.col("first_doc").alias(id_col), "n_new",
-        F.sum("n_new").over(win).alias("vocab_size"),
+    b = growth.withColumn("_bkt", F.expr(f"first_doc DIV {bucket_width}"))
+    bsum = b.groupBy("_bkt").agg(F.sum("n_new").alias("_bn"))
+    wprev = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bsum.withColumn(
+        "_carry",
+        F.coalesce(F.sum("_bn").over(wprev), F.lit(0).cast("bigint")),
+    ).drop("_bn")
+    win = (Window.partitionBy("_bkt").orderBy("first_doc")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        b.join(F.broadcast(carry), "_bkt")
+        .withColumn("vocab_size", F.col("_carry") + F.sum("n_new").over(win))
+        .select(F.col("first_doc").alias(id_col), "n_new", "vocab_size")
     )
 
 

@@ -1025,4 +1025,24 @@ FROM t GROUP BY b ORDER BY b
         "mass; deterministic via the unique orderkey tie-break.",
 )
 def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql(spark, sf_dir, _Q119)
+    # NTILE over the full orders table via the closed-form bucket-offset
+    # scheme (scale.global_ntile) — the literal SQL window would drag
+    # every order through ONE task; here only per-bucket counts cross the
+    # single-partition exchange. Bit-identical to the oracle's NTILE.
+    from inspectadb_spark.operators.scale import global_ntile
+
+    o = tables(spark, sf_dir)["orders"].select("o_orderkey", "o_totalprice")
+    t = global_ntile(
+        o, 8, F.expr("CAST(FLOOR(o_totalprice) AS BIGINT) DIV 20000"),
+        [F.col("o_totalprice"), F.col("o_orderkey")], "b")
+    return (
+        t.groupBy("b")
+        .agg(
+            F.count("*").cast("int").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("mass"),
+        )
+        .orderBy("b")
+    )

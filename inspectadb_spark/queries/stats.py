@@ -590,14 +590,27 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq", "monetary",
         )
     )
-    return base.select(
-        "*",
-        F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
-        .cast("int").alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("freq"), "user_id"))
-        .cast("int").alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id"))
-        .cast("int").alias("m_score"),
+    # Each 1-5 score is NTILE(5) in closed form over a bucket-offset
+    # distributed rank (operators/scale.py::global_ntile) — a plain
+    # Window.orderBy ntile serializes EVERY user through one task, the
+    # single-task window trap this corpus pins shut elsewhere (q214/q257/
+    # q263). DESC sorts negate into the monotone bucket key; FLOOR makes
+    # the double monetary bucket-able without perturbing the exact
+    # within-bucket (monetary DESC, user_id) order.
+    from inspectadb_spark.operators.scale import global_ntile
+
+    scored = global_ntile(
+        base, 5, F.expr("recency_days DIV 30"),
+        [F.col("recency_days"), F.col("user_id")], "r_score")
+    scored = global_ntile(
+        scored, 5, F.expr("(-freq) DIV 4"),
+        [F.desc("freq"), F.col("user_id")], "f_score")
+    scored = global_ntile(
+        scored, 5, F.expr("(-FLOOR(monetary)) DIV 100"),
+        [F.desc("monetary"), F.col("user_id")], "m_score")
+    return scored.select(
+        "user_id", "recency_days", "freq", "monetary",
+        "r_score", "f_score", "m_score",
     ).orderBy("user_id")
 
 

@@ -429,3 +429,60 @@ def test_global_running_max_parity_with_naive_window(spark):
     assert [(r["seq"], r["run_max"]) for r in g] == \
         [(r["seq"], r["run_max"]) for r in n]
     assert g[0]["run_max"] is None
+
+
+def test_global_ntile_parity_with_naive_window(spark):
+    """Closed-form bucket-offset NTILE (q156's scale path) is
+    bit-identical to F.ntile over a single-task global window — ASC and
+    DESC primary sorts, heavy ties, n < k, and uneven-tile remainders."""
+    from pyspark.sql import Window
+
+    from inspectadb_spark.operators.scale import global_ntile
+
+    rows = [(i, (i * 37) % 23) for i in range(503)]  # 503 % 5 = 3 uneven
+    rows += [(1000 + j, 7) for j in range(40)]       # heavy tie block
+    df = spark.createDataFrame(rows, "id long, v long").repartition(13)
+
+    naive_asc = {(r.id, r.t) for r in df.withColumn(
+        "t", F.ntile(5).over(Window.orderBy("v", "id")).cast("int")
+    ).collect()}
+    naive_desc = {(r.id, r.t) for r in df.withColumn(
+        "t", F.ntile(5).over(Window.orderBy(F.desc("v"), "id")).cast("int")
+    ).collect()}
+    for width in (1, 4, 1000):
+        got_asc = {(r.id, r.t) for r in global_ntile(
+            df, 5, F.expr(f"v DIV {width}"),
+            [F.col("v"), F.col("id")], "t").collect()}
+        assert got_asc == naive_asc, f"asc width={width}"
+        got_desc = {(r.id, r.t) for r in global_ntile(
+            df, 5, F.expr(f"(-v) DIV {width}"),
+            [F.desc("v"), F.col("id")], "t").collect()}
+        assert got_desc == naive_desc, f"desc width={width}"
+
+    # n < k: each row gets its own tile, exactly like SQL NTILE
+    tiny = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                 "id long, v long")
+    got = {(r.id, r.t) for r in global_ntile(
+        tiny, 5, F.expr("v DIV 100"), [F.col("v"), F.col("id")],
+        "t").collect()}
+    assert got == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_vocabulary_growth_bucketed_parity(spark):
+    """The bucket-offset cumulative vocab_size (q136's scale path) is
+    bit-identical to the naive global running sum across bucket widths."""
+    from inspectadb_spark.operators.text import vocabulary_growth
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(6)))
+         for i in range(120)],
+        "doc_id bigint, text string")
+    want = None
+    for width in (1, 7, 1024, 10**9):
+        got = sorted(
+            (r.doc_id, r.n_new, r.vocab_size)
+            for r in vocabulary_growth(docs, bucket_width=width).collect())
+        if want is None:
+            want = got
+        assert got == want, f"width={width}"
+    assert want[-1][2] == 40  # cumulative vocab reaches the full vocab
