@@ -35,10 +35,10 @@ def test_primary_names_all_exist_in_registry():
     assert len(entry._PRIMARY) == len(set(entry._PRIMARY)), "duplicate ids"
 
 
-def test_round5_front_window_is_the_intended_sample():
-    assert len(entry._ROUND5_FRONT) == 50
+def test_round6_front_window_is_the_intended_sample():
+    assert len(entry._ROUND6_FRONT) == 50
     front = entry._PRIMARY[:50]
-    assert front == entry._ROUND5_FRONT, (
+    assert front == entry._ROUND6_FRONT, (
         "the first 50 queries() keys ARE the driver's sample — additions "
         "must go behind the curated window, not displace it"
     )
@@ -50,24 +50,23 @@ def test_round5_front_window_is_the_intended_sample():
     assert not missing, f"front-50 ids without oracle SQL: {missing}"
 
 
-def test_round5_front_is_never_driver_green_before():
+def test_round6_front_is_never_driver_green_before():
     """The rotation's whole point: the window spends its 50 slots on ids
-    with no hash-green driver row yet. The four r04 RED ids (recast oracles)
-    are legitimately re-sampled; a hash-GREEN id would waste a slot.
-    A CORRECTNESS_r05 file will legitimately overlap once the driver has
-    run this round, so only pre-r05 files count as baseline."""
+    with no hash-green driver row yet. A CORRECTNESS_r06 file will
+    legitimately overlap once the driver has run this round, so only
+    pre-r06 files count as baseline."""
     baseline: set[str] = set()
     for p in ROOT.glob("CORRECTNESS_r*.json"):
-        if p.name >= "CORRECTNESS_r05":
+        if p.name >= "CORRECTNESS_r06":
             continue
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match") is True:
                 baseline.add(name)
-    stale = [n for n in entry._ROUND5_FRONT if n in baseline]
+    stale = [n for n in entry._ROUND6_FRONT if n in baseline]
     assert not stale, f"front-50 wastes slots on already-verified ids: {stale}"
 
 
 def test_ordered_emits_every_registry_query():
     keys = list(entry.queries().keys())
     assert set(keys) == set(REGISTRY)
-    assert keys[:50] == entry._ROUND5_FRONT
+    assert keys[:50] == entry._ROUND6_FRONT
