@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from inspectadb_spark.catalog import load_tables
-from inspectadb_spark.operators.mv import AggRequest, GroupingSetMV, MVDef
+from inspectadb_spark.operators.mv import _DEC, AggRequest, GroupingSetMV
+from inspectadb_spark.operators.mv import MVDef, _derivable
 from inspectadb_spark.operators.mv import route as _mv_route
 from inspectadb_spark.operators.result_cache import ResultCache
 
@@ -107,7 +108,88 @@ class Engine:
             if limit is not None:
                 out = out.limit(limit)
             return out, prov
+        star = parse_star_agg_sql(text)
+        if star is not None:
+            served = self._route_star(star)
+            if served is not None:
+                return served
         return self.spark.sql(text), "sql"
+
+    def _route_star(self, star) -> tuple[DataFrame, str] | None:
+        """Serve a single-dimension star aggregate —
+        ``SELECT d.attr, AGG(f.m) FROM fact f JOIN dim d ON f.k = d.k
+        GROUP BY d.attr`` — by eager aggregation: aggregate the fact at
+        join-key grain through the layered path, broadcast-join the dim
+        attributes onto the (summary-sized) grain rows, and re-aggregate
+        to the requested attrs. The rewrite is exact for every supported
+        measure regardless of dim-key multiplicity: each k-grain partial
+        appears once per matching dim row in BOTH the joined-then-
+        aggregated and the aggregated-then-joined forms (SUM/COUNT scale
+        together, MIN/MAX are duplication-blind, AVG re-derives from
+        sum+count), and an inner join drops NULL/unmatched keys from
+        both forms alike.
+
+        Refuse-by-default: returns None — caller falls through to plain
+        Spark SQL — unless some registered MV over the fact table
+        DECLARES the denormalized key set ({join key} ∪ fact-side group
+        cols) with derivable measures. The fact table is then never
+        scanned: the grain read is MV- (or cache-) served, the dim is
+        broadcast, and the re-aggregation shuffles summary-sized rows.
+        """
+        fact, dim, fkey, dkey, items = star
+        if fact not in self.tables or dim not in self.tables:
+            return None
+        fact_group = [i[2] for i in items if i[0] == "key" and i[1] == "fact"]
+        dim_attrs = [i[2] for i in items if i[0] == "key" and i[1] == "dim"]
+        aggs = [i for i in items if i[0] == "agg"]
+        if not dim_attrs:
+            return None  # no dim rollup — the flat grammar handles it
+        need_keys = {fkey, *fact_group}
+        # grain-level measures under reserved aliases (avg = sum + count)
+        gm: dict[str, tuple[str, str]] = {}
+        for _, agg, col, alias in aggs:
+            if agg == "avg":
+                gm[f"__sum_{alias}"] = ("sum", col)
+                gm[f"__count_{alias}"] = ("count", col)
+            else:
+                gm[f"__{agg}_{alias}"] = (agg, col)
+        declared = any(
+            bt == fact and need_keys <= set(mv.keys)
+            and _derivable(gm, mv.measures)
+            for mv, _path, bt, _b in self._mvs.values())
+        if not declared:
+            return None
+        req = AggRequest(keys={k: None for k in sorted(need_keys)},
+                         measures=gm)
+        grain, prov = self.aggregate(fact, req)
+        dimdf = self.tables[dim].select(
+            F.col(dkey).alias("__dk"),
+            *[F.col(a) for a in dim_attrs])
+        joined = grain.join(F.broadcast(dimdf),
+                            grain[fkey] == dimdf["__dk"], "inner")
+        out_aggs = []
+        for _, agg, col, alias in aggs:
+            if agg == "sum":
+                # per-grain partials re-sum under the engine-wide
+                # DECIMAL-exact convention (order-deterministic)
+                out_aggs.append(
+                    F.sum(F.col(f"__sum_{alias}").cast(_DEC))
+                    .cast("double").alias(alias))
+            elif agg == "count":
+                out_aggs.append(F.sum(f"__count_{alias}")
+                                .cast("bigint").alias(alias))
+            elif agg == "avg":
+                out_aggs.append(
+                    (F.sum(F.col(f"__sum_{alias}").cast(_DEC))
+                     .cast("double") / F.sum(f"__count_{alias}"))
+                    .alias(alias))
+            else:
+                out_aggs.append(
+                    getattr(F, agg)(f"__{agg}_{alias}").alias(alias))
+        out = (joined.groupBy(*[F.col(c) for c in dim_attrs + fact_group])
+               .agg(*out_aggs)
+               .select(*[i[2] if i[0] == "key" else i[3] for i in items]))
+        return out, f"star:{prov}"
 
     # -- summary tables ----------------------------------------------------
     def register_mv(self, mv: MVDef, base_table: str,
@@ -342,6 +424,83 @@ def parse_agg_sql(text: str):
     return (table, AggRequest(keys={k: None for k in keys},
                               measures=measures),
             where_conds, having_conds, order_terms, limit_n)
+
+
+_STAR_SHAPE_RE = __import__("re").compile(
+    r"^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)"
+    r"\s+JOIN\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
+    r"\s+GROUP\s+BY\s+(.+?)\s*;?\s*$",
+    __import__("re").IGNORECASE | __import__("re").DOTALL)
+_QCOL_RE = __import__("re").compile(r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$")
+_STAR_AGG_RE = __import__("re").compile(
+    r"^\s*(SUM|COUNT|AVG|MIN|MAX)\s*"
+    r"\(\s*(\*|[A-Za-z_]\w*\.[A-Za-z_]\w*)\s*\)"
+    r"\s+AS\s+([A-Za-z_]\w*)\s*$", __import__("re").IGNORECASE)
+
+
+def parse_star_agg_sql(text: str):
+    """Parse the restricted single-dimension star grammar
+    ``SELECT <d.attr | f.col | AGG(f.m) AS alias>... FROM <fact> f
+    JOIN <dim> d ON f.k = d.k GROUP BY <the non-agg select items>``
+    into (fact, dim, fact_key, dim_key, items) where each item is
+    ("key", "fact"|"dim", col) or ("agg", agg, col-or-*, alias) in
+    SELECT order — or None when the statement doesn't fit.
+
+    Same exact-match philosophy as ``parse_agg_sql``: one INNER equi-join
+    on a single qualified column pair, every SELECT/GROUP BY column
+    qualified by a declared alias, measures only over fact columns (or
+    COUNT(*)) with mandatory AS aliases, no WHERE/HAVING/expressions/
+    OUTER joins, and no duplicate output names. Anything not PROVABLY in
+    the grammar returns None and the caller runs plain Spark SQL — a
+    mis-parse silently routed through a summary would be a wrong answer.
+    """
+    m = _STAR_SHAPE_RE.match(text)
+    if not m:
+        return None
+    sel, fact, fa, dim, da, lq, lc, rq, rc, group_by = m.groups()
+    if fa == da or fact == dim or {lq, rq} != {fa, da}:
+        return None
+    fkey, dkey = (lc, rc) if lq == fa else (rc, lc)
+    gterms = []
+    for g in group_by.split(","):
+        qm = _QCOL_RE.match(g.strip())
+        if not qm or qm.group(1) not in (fa, da):
+            return None
+        gterms.append(("fact" if qm.group(1) == fa else "dim", qm.group(2)))
+    items: list[tuple] = []
+    keys_seen: list[tuple[str, str]] = []
+    for item in _split_top_level(sel):
+        item = item.strip()
+        qm = _QCOL_RE.match(item)
+        if qm:
+            if qm.group(1) not in (fa, da):
+                return None
+            side = "fact" if qm.group(1) == fa else "dim"
+            items.append(("key", side, qm.group(2)))
+            keys_seen.append((side, qm.group(2)))
+            continue
+        am = _STAR_AGG_RE.match(item)
+        if not am:
+            return None
+        agg, arg, alias = am.group(1).lower(), am.group(2), am.group(3)
+        if arg == "*":
+            if agg != "count":
+                return None
+            col = "*"
+        else:
+            q, col = arg.split(".")
+            if q != fa:
+                return None  # only fact-side measures re-aggregate safely
+        items.append(("agg", agg, col, alias))
+    if sorted(keys_seen) != sorted(gterms):
+        return None
+    if not any(i[0] == "agg" for i in items):
+        return None
+    names = [i[2] if i[0] == "key" else i[3] for i in items]
+    if len(set(names)) != len(names):
+        return None
+    return fact, dim, fkey, dkey, items
 
 
 def _split_top_level(s: str) -> list[str]:

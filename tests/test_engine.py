@@ -421,3 +421,84 @@ def test_sql_routed_order_by_limit(engine):
     ok2 = parse_agg_sql(
         "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY s DESC")
     assert ok2 is not None and ok2[4] == [("s", True)] and ok2[5] is None
+
+
+def test_sql_routed_star_join(engine):
+    """Single-dimension star aggregates route through eager aggregation
+    (VERDICT r05 item 6): the fact aggregates at join-key grain via the
+    MV layer, dim attrs broadcast-join onto the grain rows, and the
+    re-aggregation is hash-equal to direct Spark SQL with the fact table
+    never scanned. Refuse-by-default: no MV declaring the denormalized
+    key set -> plain SQL."""
+    engine.register_mv(
+        MVDef(name="mv_orders_by_cust", keys=("o_custkey",),
+              measures={"sum_tp": ("sum", "o_totalprice"),
+                        "cnt": ("count", "*"),
+                        "cnt_tp": ("count", "o_totalprice")}),
+        "orders")
+    routed, prov = engine.sql_routed(
+        "SELECT c.c_mktsegment, SUM(o.o_totalprice) AS total, "
+        "COUNT(*) AS n, AVG(o.o_totalprice) AS avg_price "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment")
+    assert prov in ("star:mv:mv_orders_by_cust", "star:cache")
+    o, c = engine.table("orders"), engine.table("customer")
+    tot = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    direct = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.expr(f"{tot} AS total"), F.expr("COUNT(*) AS n"),
+             F.expr(f"{tot} / COUNT(o_totalprice) AS avg_price")))
+    assert _rows(routed) == _rows(direct)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "orders.parquet" not in plan  # fact scan fully rewritten away
+
+    # fact-side group col alongside the dim attr still routes (the MV
+    # declares the full denormalized key set)
+    engine.register_mv(
+        MVDef(name="mv_orders_cust_status",
+              keys=("o_custkey", "o_orderstatus"),
+              measures={"cnt": ("count", "*")}),
+        "orders")
+    routed2, prov2 = engine.sql_routed(
+        "SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS n "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment, o.o_orderstatus")
+    assert prov2.startswith("star:")
+    direct2 = (o.join(c, o.o_custkey == c.c_custkey)
+               .groupBy("c_mktsegment", "o_orderstatus")
+               .agg(F.expr("COUNT(*) AS n")))
+    assert _rows(routed2) == _rows(direct2)
+
+    # refuse-by-default: measure not derivable from any declared MV
+    _, prov3 = engine.sql_routed(
+        "SELECT c.c_mktsegment, SUM(o.o_orderkey) AS s "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment")
+    assert prov3 == "sql"
+
+
+def test_parse_star_agg_sql_rejects_unprovable_shapes():
+    from inspectadb_spark.engine import parse_star_agg_sql as p
+
+    ok = p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
+           "ON f.k = d.k GROUP BY d.x")
+    assert ok == ("fact", "dim", "k", "k",
+                  [("key", "dim", "x"), ("agg", "sum", "m", "s")])
+    # reversed ON order still resolves the key sides
+    assert p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
+             "ON d.dk = f.fk GROUP BY d.x")[2:4] == ("fk", "dk")
+    # not provably routable: dim-side measure, unqualified cols, missing
+    # alias, GROUP BY mismatch, LEFT JOIN, duplicate output names
+    assert p("SELECT d.x, SUM(d.m) AS s FROM f f2 JOIN d d2 "
+             "ON f2.k = d2.k GROUP BY d.x") is None
+    assert p("SELECT x, SUM(f.m) AS s FROM fact f JOIN dim d "
+             "ON f.k = d.k GROUP BY x") is None
+    assert p("SELECT d.x, SUM(f.m) FROM fact f JOIN dim d "
+             "ON f.k = d.k GROUP BY d.x") is None
+    assert p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
+             "ON f.k = d.k GROUP BY d.x, d.y") is None
+    assert p("SELECT d.x, SUM(f.m) AS s FROM fact f LEFT JOIN dim d "
+             "ON f.k = d.k GROUP BY d.x") is None
+    assert p("SELECT d.x, SUM(f.x) AS x FROM fact f JOIN dim d "
+             "ON f.k = d.k GROUP BY d.x") is None
