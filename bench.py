@@ -115,6 +115,69 @@ def main() -> None:
         action = df.toPandas if nrows > 1000 else df.collect
         plans[name] = (df, action, nrows, parts)
 
+    # extra measured rows (NOT summed into the headline total, which stays
+    # apples-to-apples with BASELINE.md's 8 queries):
+    # - q15_mv_served / q15_cached: the SAME q15 aggregate served through
+    #   the engine's MV layer (summary-table scan + 4-row re-agg) and the
+    #   result cache (cached-parquet read) — the serving layer's claimed
+    #   win over B1's full scan as a measured number (VERDICT r05 item 5);
+    # - q48_sessionize_count_only: q48 with a count() materialization, so
+    #   engine time and Arrow-transfer time of the 95k-row result are
+    #   separately visible (VERDICT r05 item 7).
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from inspectadb_spark.engine import Engine
+    from inspectadb_spark.operators.mv import AggRequest, MVDef
+
+    eng_dir = _tempfile.mkdtemp(prefix="bench_engine_")
+    eng = Engine(spark, sf_dir, eng_dir)
+    _disc = "l_extendedprice * (1 - l_discount)"
+    _charge = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+    def _shipped(df):
+        return df.filter("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'")
+
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    eng.register_mv(
+        MVDef(name="mv_li_pricing",
+              keys=("l_returnflag", "l_linestatus"),
+              measures={"s_qty": ("sum", "l_quantity"),
+                        "s_base": ("sum", "l_extendedprice"),
+                        "s_disc": ("sum", _disc),
+                        "s_charge": ("sum", _charge),
+                        "s_dsc": ("sum", "l_discount"),
+                        "c_qty": ("count", "l_quantity"),
+                        "c_disc": ("count", "l_discount"),
+                        "cnt": ("count", "*")}),
+        "lineitem", base_builder=_shipped)
+    _req = AggRequest(
+        keys={"l_returnflag": None, "l_linestatus": None},
+        measures={"sum_qty": ("sum", "l_quantity"),
+                  "sum_base": ("sum", "l_extendedprice"),
+                  "sum_disc": ("sum", _disc),
+                  "sum_charge": ("sum", _charge),
+                  "avg_qty": ("avg", "l_quantity"),
+                  "avg_disc": ("avg", "l_discount"),
+                  "n": ("count", "*")})
+    df_mv, prov_mv = eng.aggregate("lineitem", _req, base_builder=_shipped,
+                                   use_cache=False)
+    assert prov_mv == "mv:mv_li_pricing", prov_mv
+    eng.aggregate("lineitem", _req, base_builder=_shipped)  # populate cache
+    df_cache, prov_cache = eng.aggregate("lineitem", _req,
+                                         base_builder=_shipped)
+    assert prov_cache == "cache", prov_cache
+    # count-materialization built ONCE so repeated runs get the same
+    # shuffle-stage reuse as every other row (a fresh .count() per run
+    # would rebuild the lineage and measure cold recompute instead)
+    q48_cnt = plans["q48_sessionize"][0].groupBy().count()
+    extra_plans = {
+        "q15_mv_served": (df_mv, df_mv.collect, 4, 2),
+        "q15_cached": (df_cache, df_cache.collect, 4, 2),
+        "q48_sessionize_count_only": (q48_cnt, q48_cnt.collect, 1, 8),
+    }
+    plans.update(extra_plans)
+
     # deep JIT pre-warm: 2 untimed passes over every query + trivial jobs
     r1 = spark.range(1)
     for _ in range(150):
@@ -131,7 +194,7 @@ def main() -> None:
         r1.collect()
         floor_ts.append(time.perf_counter() - t0)
 
-    cycle_medians: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    cycle_medians: dict[str, list[float]] = {n: [] for n in plans}
     for _ in range(CYCLES):
         for name, (df, action, _, parts) in plans.items():
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -143,9 +206,13 @@ def main() -> None:
                 action()
                 times.append(time.perf_counter() - t0)
             cycle_medians[name].append(statistics.median(times))
+    _shutil.rmtree(eng_dir, ignore_errors=True)
 
     results = {n: round(min(ms), 4) for n, ms in cycle_medians.items()}
-    total = round(sum(results.values()), 4)
+    # the headline total stays the baseline-mapped 8 queries; the serving
+    # and count-only rows are reported per-query but not summed (no
+    # BASELINE.md counterpart to compare a sum against)
+    total = round(sum(results[n] for n in BENCH_QUERIES), 4)
     # plain (non-best-cycle) medians: median across every steady-state run
     plain = {n: round(statistics.median(ms), 4) for n, ms in cycle_medians.items()}
     floor_med_ms = round(statistics.median(floor_ts) * 1e3, 1)
@@ -167,17 +234,30 @@ def main() -> None:
                 "floor_ms": floor_med_ms,
                 "compute_over_floor_ms":
                     round(results[n] * 1e3 - floor_med_ms, 1),
-                "duckdb_warm_ms": baseline_ms[n]}
-            for n in BENCH_QUERIES
+                "duckdb_warm_ms": baseline_ms.get(n)}
+            for n in plans
         },
         "detail": {
             n: {"rows": plans[n][2],
-                "materialize": "toPandas" if plans[n][2] > 1000 else "collect",
+                "materialize": plans[n][1].__name__,
                 "shuffle_partitions": plans[n][3],
                 "cycle_medians_sec": [round(x, 4) for x in cycle_medians[n]]}
-            for n in BENCH_QUERIES
+            for n in plans
         },
         "protocol": {
+            "extra_rows": "q15_mv_served / q15_cached serve the same "
+                          "aggregate through the engine's MV layer and "
+                          "result cache; q48_sessionize_count_only "
+                          "materializes via count() to split engine vs "
+                          "Arrow-transfer time (its ~floor reading shows "
+                          "q48's residual over DuckDB IS the transfer + "
+                          "job constant, not compute). At sf0.1 every "
+                          "q15 row sits at the job floor, so the serving "
+                          "layer's delta is within noise HERE — its win "
+                          "is that the summary scan stays ~|distinct key| "
+                          "rows while B1's full scan grows with the fact "
+                          "table. All three rows are excluded from the "
+                          "headline total (no BASELINE.md counterpart).",
             "timing": f"best cycle-median of {CYCLES} cycles x median-of-{N_RUNS}"
                       " steady-state executions (DuckDB baseline was warm best-of-2)",
             "aqe": "disabled for bench only: runtime re-planning costs 100-400ms"
