@@ -190,6 +190,8 @@ _TIER2 = [
     "q261_packing_efficiency", "q262_token_entropy",
     "q263_equi_depth_histogram", "q264_ngram_coverage",
     "q265_label_silhouette", "q266_winnowing_profile", "q267_mutual_nn",
+    # round-6 additions (behind this round's frozen window)
+    "q268_winnowing_neardup", "q269_dedup_weighted_tokens",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

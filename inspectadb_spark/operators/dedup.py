@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from inspectadb_spark.operators.pipeline import words_col
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical texts by md5; keep the minimum id as survivor."""
@@ -582,4 +584,102 @@ def winnowing_profile(
         .select(F.col("grp").alias(group_col), "n_docs", "n_grams", "n_fps",
                 "n_distinct_fps", "n_stop_fps", "max_df",
                 F.expr("n_fps * 1000000 DIV n_grams").alias("density_ppm"))
+    )
+
+
+def winnowing_neardup_pairs(
+    docs: DataFrame, k: int = 8, w: int = 4, stop_df: int = 50,
+    min_shared: int = 5, min_overlap_ppm: int = 500_000,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """The pair-finding pass the q266 ``winnowing_profile`` index audit
+    sizes: robust-winnowing character-``k``-gram fingerprints (min md5
+    per sliding window of ``w`` gram positions, distinct per doc), STOP
+    fingerprints (corpus document frequency > ``stop_df``) blocklisted,
+    then doc pairs sharing >= ``min_shared`` surviving fingerprints AND
+    an overlap coefficient ``shared / min(|A|, |B|)`` of at least
+    ``min_overlap_ppm`` (default 50%) — the MOSS substring-level near-dup
+    detector. On this corpus the coefficient is sharply bimodal (true
+    near-dups sit above 80%, the shared-vocabulary noise floor below
+    30%), so the 50% cut separates cleanly.
+
+    Scale shape (100 TB): the candidate join is fingerprint-bucketed
+    (equi-join on fp) with per-bucket cost bounded by ``stop_df``² after
+    the blocklist — never doc×doc; the stop list itself is tiny (the df
+    distribution's tail) and broadcast into a LEFT ANTI join; per-doc
+    fingerprint sizes broadcast back onto the summed pairs. The per-doc
+    window is partitioned by doc id (batch-local, no global sort).
+    """
+    grams = docs.filter(F.length(text_col) >= k).select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, length({text_col}) - {k - 1}),"
+            f" i -> md5(substring({text_col}, i, {k})))"))
+        .alias("pos", "h"))
+    win = Window.partitionBy(id_col).orderBy("pos") \
+        .rowsBetween(Window.currentRow, w - 1)
+    fps = (grams
+           .select(id_col, F.min("h").over(win).alias("fp"))
+           .distinct())
+    stops = (fps.groupBy("fp").agg(F.count("*").alias("df"))
+             .filter(F.col("df") > stop_df).select("fp"))
+    keep = fps.join(F.broadcast(stops), "fp", "left_anti")
+    sizes = keep.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    a = keep.select(F.col(id_col).alias("doc_a"), "fp")
+    b = keep.select(F.col(id_col).alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("_nb"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.expr("n_shared * 1000000 DIV least(_na, _nb)")
+            .cast("bigint").alias("overlap_ppm"))
+        .filter(F.col("overlap_ppm") >= min_overlap_ppm)
+    )
+
+
+def dedup_weighted_tokens(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source",
+) -> DataFrame:
+    """Dedup-aware effective token mass per group: each document's tokens
+    are discounted by its corpus-wide EXACT-duplicate cluster size
+    (md5(text) grain), so a source whose volume is mostly copies of
+    other sources' documents contributes its fair 1/cluster share. The
+    per-doc contribution is the integer ``tok * 1e6 DIV cluster_size``
+    (millionths — deterministic on every engine, no float division), and
+    ``dup_ppm`` is the share of raw token mass that deduplication would
+    remove. This is the budget number q79-style token-budget selection
+    should consume AFTER dedup, not the raw count.
+
+    Scale shape: one groupBy on the text hash (cluster sizes), one
+    hash-grain join back (both sides shuffled on md5 — co-partitioned),
+    one group fold. Nothing pairwise, nothing driver-side.
+    """
+    h = docs.select(
+        F.col(group_col).alias("grp"),
+        F.md5(F.col(text_col)).alias("hh"),
+        F.size(words_col(text_col)).cast("bigint").alias("tok"))
+    cs = h.groupBy("hh").agg(F.count("*").alias("csize"))
+    return (
+        h.join(cs, "hh")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("raw_tokens"),
+            F.sum(F.expr("tok * 1000000 DIV csize")).cast("bigint")
+            .alias("eff_token_millionths"))
+        .select(
+            F.col("grp").alias(group_col), "n_docs", "raw_tokens",
+            "eff_token_millionths",
+            F.expr("(raw_tokens * 1000000 - eff_token_millionths)"
+                   " DIV nullif(raw_tokens, 0)")
+            .cast("bigint").alias("dup_ppm"))
     )

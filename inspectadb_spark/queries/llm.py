@@ -1496,3 +1496,85 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return winnowing_profile(docs).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q268 winnowing near-dup pair detection (operators/dedup.py::
+# winnowing_neardup_pairs): the pair-finding pass q266's index audit
+# sizes — robust-winnowing char-8-gram fingerprints (window 4), stop
+# fingerprints (df > 50) blocklisted, pairs sharing >= 5 survivors AND
+# >= 50% overlap coefficient (exact ppm; sharply bimodal on this corpus,
+# so the cut is clean). Fingerprint-bucketed equi-join, never doc x doc.
+@query(
+    "q268_winnowing_neardup",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, i AS pos, md5(substr(text, i, 8)) AS h
+      FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+      WHERE length(text) >= 8),
+    w AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g),
+    f AS (SELECT DISTINCT doc_id, fp FROM w),
+    dfx AS (SELECT fp, COUNT(*) AS df FROM f GROUP BY fp),
+    keep AS (SELECT f.doc_id, f.fp FROM f JOIN dfx USING (fp)
+             WHERE df <= 50),
+    sz AS (SELECT doc_id, COUNT(*) AS n_fp FROM keep GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared * 1000000 // LEAST(sa.n_fp, sb.n_fp) AS BIGINT)
+             AS overlap_ppm
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE n_shared >= 5
+      AND n_shared * 1000000 // LEAST(sa.n_fp, sb.n_fp) >= 500000
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Winnowing (MOSS) near-dup pairs: stop-filtered fingerprint "
+        "equi-join, shared-fingerprint counts, overlap coefficient ppm.",
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import winnowing_neardup_pairs
+
+    docs = tables(spark, sf_dir)["documents"]
+    return winnowing_neardup_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# Q269 dedup-weighted token budget (operators/dedup.py::
+# dedup_weighted_tokens): per source, raw vs duplication-discounted token
+# mass (each doc's tokens / its corpus-wide exact-dup cluster size, in
+# exact integer millionths) — the budget a post-dedup selection pass
+# (q79) actually has to spend, next to q222's doc-level dedup impact.
+@query(
+    "q269_dedup_weighted_tokens",
+    oracle="""
+    WITH h AS (
+      SELECT source, md5(text) AS hh,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok
+      FROM documents),
+    cs AS (SELECT hh, CAST(COUNT(*) AS BIGINT) AS csize
+           FROM h GROUP BY hh)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM(tok * 1000000 // csize) AS BIGINT)
+             AS eff_token_millionths,
+           CAST((SUM(tok) * 1000000 - SUM(tok * 1000000 // csize))
+                // NULLIF(SUM(tok), 0) AS BIGINT) AS dup_ppm
+    FROM h JOIN cs USING (hh) GROUP BY source ORDER BY source
+    """,
+    doc="Dedup-weighted effective token mass per source: tokens "
+        "discounted by exact-dup cluster size, integer millionths.",
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import dedup_weighted_tokens
+
+    docs = tables(spark, sf_dir)["documents"]
+    return dedup_weighted_tokens(docs).orderBy("source")

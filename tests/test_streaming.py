@@ -2038,3 +2038,43 @@ def test_s42_dedup_registry_delta_state_io(spark, tmp_path):
     emitted = [r["k"] for r in reg.emitted().collect()]
     assert sorted(emitted) == list(range(212))
     assert len(emitted) == len(set(emitted))
+
+
+def test_s43_dedup_registry_init_gc_reclaims_leaked_state(spark, tmp_path):
+    """A crash between pointer swaps (or a shutdown right after the last
+    swap) leaves superseded/partial state dirs on disk that the in-memory
+    retirement list can never reclaim. Init must GC every v*/d* dir the
+    committed pointer does not reference — and must NOT touch referenced
+    dirs, other files, or the out_dir."""
+    from inspectadb_spark.streaming.dedup_registry import DedupRegistry
+
+    state, out = str(tmp_path / "st"), str(tmp_path / "out")
+    reg = DedupRegistry(spark, state, out, ["k"], ["seq"], compact_every=3)
+    reg._checkpoint = str(tmp_path / "ck")
+    reg._apply_batch(
+        spark.createDataFrame([(1, 0), (2, 1)], "k long, seq long"), 0)
+    committed = reg._read_ptr()["paths"]
+
+    # simulate crash leftovers: a superseded base never retired and a
+    # partially written delta that never committed
+    for junk in ("v9", "d9"):
+        os.makedirs(os.path.join(state, junk))
+        with open(os.path.join(state, junk, "part-0.parquet"), "w") as f:
+            f.write("partial")
+    marker = os.path.join(state, "NOTES.txt")
+    with open(marker, "w") as f:
+        f.write("not a state dir")
+
+    reg2 = DedupRegistry(spark, state, out, ["k"], ["seq"], compact_every=3)
+    assert not os.path.exists(os.path.join(state, "v9"))
+    assert not os.path.exists(os.path.join(state, "d9"))
+    assert all(os.path.exists(p) for p in committed)  # committed untouched
+    assert os.path.exists(marker)                     # non-state files kept
+    assert reg2.seen_keys().count() == 2
+    # versioning resumes from the committed pointer, not the junk's v9
+    reg2._checkpoint = str(tmp_path / "ck")
+    reg2._apply_batch(
+        spark.createDataFrame([(2, 0), (3, 1)], "k long, seq long"), 1)
+    assert reg2.seen_keys().count() == 3
+    emitted = sorted(r["k"] for r in reg2.emitted().collect())
+    assert emitted == [1, 2, 3]
