@@ -16,9 +16,12 @@ Protocol (mirrors BASELINE.md's warm-DuckDB measurement, which was
   CYCLES full passes (guards against transient co-tenant load; the DuckDB
   baseline's best-of-2 grants the same grace) — Python-side plan
   re-construction is excluded, exactly as DuckDB's ~ms parse is excluded;
-- results materialized via Arrow (toPandas) for large outputs — the engine's
-  bulk-extract path — and plain collect() for small ones, where Arrow's fixed
-  conversion cost dominates; the per-query choice is recorded in the output;
+- results materialized via Arrow (df.toArrow -> pyarrow.Table) for large
+  outputs — the engine's bulk-extract path, full client-side materialization
+  like DuckDB's fetch, without rebuilding a pandas frame on top (measured
+  ~10 ms cheaper on q48's 95k rows) — and plain collect() for small ones,
+  where Arrow's fixed conversion cost dominates; the per-query choice is
+  recorded in the output;
 - shuffle partitions are tuned per query (recorded in the output): sub-MB
   shuffles want 2-4 partitions, the 95k-row sessionize wants 8; the
   cluster-scale defaults stay in session.py;
@@ -112,7 +115,7 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         df = REGISTRY[name].builder(spark, sf_dir)
         nrows = df.count()
-        action = df.toPandas if nrows > 1000 else df.collect
+        action = df.toArrow if nrows > 1000 else df.collect
         plans[name] = (df, action, nrows, parts)
 
     # extra measured rows (NOT summed into the headline total, which stays
