@@ -192,6 +192,7 @@ _TIER2 = [
     "q265_label_silhouette", "q266_winnowing_profile", "q267_mutual_nn",
     # round-6 additions (behind this round's frozen window)
     "q268_winnowing_neardup", "q269_dedup_weighted_tokens",
+    "q270_heldout_xent",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -947,3 +947,55 @@ def ngram_split_coverage(docs: DataFrame, n: int = 3,
         F.expr("SUM(n_cov) * 1000000 DIV SUM(n_grams)").alias("coverage_ppm"),
         F.expr("SUM(cov_ppm) DIV COUNT(*)").alias("mean_doc_cov_ppm"),
     )
+
+
+def heldout_unigram_xent(docs: DataFrame, train_pct: int = 80,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         group_col: str = "source") -> DataFrame:
+    """Held-out cross-entropy per group under an add-1-smoothed unigram
+    LM trained on the md5 doc split's TRAIN side (the q252/q264 split
+    convention): for each TEST token, lp = ln((c+1)/(N+V+1)) with c the
+    train count (0 for OOV), N the train token total, V the train vocab
+    size (+1 reserves the OOV bucket). Reports per-source test-token
+    mass, OOV rate in exact ppm, and the mean negative logprob in nats —
+    the language-model-quality eval next to q132's in-corpus scoring and
+    q264's coverage (this one measures what a model FIT on train pays on
+    test, so split leakage shows up as suspiciously low xent).
+
+    Determinism: the ln argument is ONE double expression with identical
+    text on both engines; each token's lp is quantized to 4dp DECIMAL
+    BEFORE summation (the q132 convention) so the fold is aggregation-
+    order-exact; the final mean re-quantizes through the same two-step.
+
+    Scale shape (100 TB): one map-side-combinable (tok) count over the
+    train split; test tokens probe the vocab via a tok-keyed equi-join
+    (co-partitioned with the count shuffle; Heaps'-law vocab — let AQE
+    broadcast it when small); the (N, V) stats frame is one broadcast
+    row; one group fold. Nothing pairwise, nothing driver-side.
+    """
+    nib = (f"instr('0123456789abcdef', substr(md5(CAST({id_col} AS STRING)"
+           " || ':split'), 1, 1)) - 1")
+    split = F.when(F.expr(nib) < (train_pct * 16 + 50) // 100, "train") \
+        .otherwise("test")
+    toks = docs.select(
+        F.col(group_col).alias("grp"), split.alias("split"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    vocab = (toks.filter(F.col("split") == "train")
+             .groupBy("tok").agg(F.count("*").alias("c")))
+    stats = vocab.agg(F.sum("c").alias("nt"), F.count("*").alias("v"))
+    scored = (
+        toks.filter(F.col("split") == "test")
+        .join(vocab, "tok", "left")
+        .join(F.broadcast(stats))
+        .select(
+            "grp",
+            F.col("c").isNull().cast("bigint").alias("oov"),
+            F.expr("ROUND(CAST(ln((COALESCE(c, 0) + 1) * 1.0 /"
+                   " (nt + v + 1)) AS DECIMAL(18,6)), 4)").alias("lp")))
+    return scored.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").cast("bigint").alias("n_test_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.expr("CAST(SUM(oov) * 1000000 DIV COUNT(*) AS BIGINT)")
+        .alias("oov_ppm"),
+        F.expr("CAST(ROUND(CAST(CAST(-SUM(lp) AS DOUBLE) / COUNT(*)"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("xent_nats"))

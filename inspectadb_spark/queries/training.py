@@ -1688,3 +1688,50 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.similarity import mutual_nn
 
     return mutual_nn(tables(spark, sf_dir)["embeddings"]).orderBy("id_a")
+
+
+# --------------------------------------------------------------------------
+# Q270 held-out cross-entropy (operators/text.py::heldout_unigram_xent):
+# per source, test-token mass, OOV ppm, and mean negative logprob in
+# nats under an add-1-smoothed unigram LM fit on the md5 doc split's
+# train side — the fit-on-train eval next to q132's in-corpus scoring
+# and q264's coverage; split leakage reads as suspiciously low xent.
+# Per-token lp quantized to 4dp decimal before the fold (q132 two-step).
+@query(
+    "q270_heldout_xent",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             CASE WHEN (instr('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)
+                                         || ':split'), 1, 1)) - 1) < 13
+                  THEN 'train' ELSE 'test' END AS split,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+              WHERE split = 'train' GROUP BY tok),
+    st AS (SELECT CAST(SUM(c) AS BIGINT) AS nt,
+                  CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    sc AS (
+      SELECT t.source,
+             CASE WHEN vocab.c IS NULL THEN 1 ELSE 0 END AS oov,
+             ROUND(CAST(ln((COALESCE(vocab.c, 0) + 1) * 1.0
+                           / (nt + v + 1)) AS DECIMAL(18,6)), 4) AS lp
+      FROM toks t LEFT JOIN vocab USING (tok) CROSS JOIN st
+      WHERE t.split = 'test')
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_test_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm,
+           CAST(ROUND(CAST(CAST(-SUM(lp) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS xent_nats
+    FROM sc GROUP BY source ORDER BY source
+    """,
+    doc="Held-out unigram cross-entropy per source: add-1-smoothed LM "
+        "fit on the md5 train split, OOV ppm + mean neg logprob (nats), "
+        "per-token decimal quantization for order-exact folds.",
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import heldout_unigram_xent
+
+    docs = tables(spark, sf_dir)["documents"]
+    return heldout_unigram_xent(docs).orderBy("source")
