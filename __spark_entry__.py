@@ -192,7 +192,7 @@ _TIER2 = [
     "q265_label_silhouette", "q266_winnowing_profile", "q267_mutual_nn",
     # round-6 additions (behind this round's frozen window)
     "q268_winnowing_neardup", "q269_dedup_weighted_tokens",
-    "q270_heldout_xent",
+    "q270_heldout_xent", "q271_audio_pcm8_features",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -470,3 +470,84 @@ def phash_near_dup_pairs(
         .distinct()  # a pair may share several bands
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -- oracle-verifiable PCM8 audio path ---------------------------------------
+# q53b/q53c's PCG64-generated payloads have no SQL analog, so their
+# mapInPandas feature VALUES are only rows-only-checked. This codec
+# derives the waveform from md5 (computable in portable SQL nibble by
+# nibble), so the whole Arrow-batched decode -> vectorized-feature path
+# is value-verified against a DuckDB oracle — the multimodal plumbing's
+# strongest correctness check. All features are exact integer math
+# (mean-square energy, not RMS: no sqrt, no floats anywhere).
+
+def _pcm8_payload(doc_id: int, chunks: int) -> bytes:
+    import hashlib
+
+    return b"".join(
+        hashlib.md5(f"{doc_id}:au:{k}".encode()).digest()
+        for k in range(chunks))
+
+
+def attach_pcm8_blobs(df: DataFrame, id_col: str = "doc_id",
+                      chunks: int = 16) -> DataFrame:
+    """Attach a deterministic md5-chained 8-bit PCM payload (16 bytes per
+    chunk) as an opaque binary column — the decode slot a real audio
+    loader would fill; here the bytes are reproducible in SQL."""
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "payload": [
+                    _pcm8_payload(int(i), chunks) for i in pdf[id_col]
+                ],
+            })
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+def pcm8_frame_features(df: DataFrame, frame: int = 32,
+                        silence_energy: int = 4000,
+                        id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Vectorized frame-level audio features over PCM8 blobs: per doc,
+    sample/frame counts, mean frame energy (sum of squared deviations
+    from the 128 midpoint, integer-floor-divided by the frame length),
+    silence-frame count (energy < ``silence_energy``), peak deviation,
+    and hard-clip sample count (0/255). numpy over each Arrow batch —
+    no Python per row, no shuffle (pure projection)."""
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("mean_energy", LongType()),
+        StructField("n_silence", LongType()),
+        StructField("peak", LongType()),
+        StructField("n_clip", LongType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                a = np.frombuffer(bytes(blob), dtype=np.uint8) \
+                    .astype(np.int64)
+                d = a - 128
+                n = d.size - (d.size % frame)
+                energies = (d[:n] * d[:n]).reshape(-1, frame) \
+                    .sum(axis=1) // frame
+                rows.append((
+                    int(i), int(a.size), int(energies.size),
+                    int(energies.sum() // energies.size),
+                    int((energies < silence_energy).sum()),
+                    int(np.abs(d).max()),
+                    int(((a == 0) | (a == 255)).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.mapInPandas(extract, out_schema)

@@ -1511,3 +1511,59 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "n_rows", "sum_qty", "avg_qty")
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Q271 value-verified multimodal feature extraction (operators/
+# multimodal.py::attach_pcm8_blobs + pcm8_frame_features): md5-chained
+# 8-bit PCM payloads decoded and feature-extracted through Arrow-batched
+# mapInPandas, with every output integer recomputed nibble-by-nibble in
+# SQL — the first multimodal query whose FEATURE VALUES (not just blob
+# sizes) hash-match an oracle. Exact integer math end to end: per-frame
+# mean-square energy (no sqrt), silence frames, peak deviation, clips.
+_Q271_V = ("(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)"
+           " || ':au:' || CAST(k AS VARCHAR)), 2*j + 1, 1)) - 1) * 16 + "
+           "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)"
+           " || ':au:' || CAST(k AS VARCHAR)), 2*j + 2, 1)) - 1)")
+
+
+@query(
+    "q271_audio_pcm8_features",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, k * 16 + j AS idx, {_Q271_V} AS v
+      FROM documents,
+           UNNEST(generate_series(0, 15)) AS uk(k),
+           UNNEST(generate_series(0, 15)) AS uj(j)),
+    frames AS (
+      SELECT doc_id, idx // 32 AS frame,
+             CAST(SUM((v - 128) * (v - 128)) // 32 AS BIGINT) AS energy
+      FROM s GROUP BY doc_id, idx // 32),
+    doc_fr AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(energy) // COUNT(*) AS BIGINT) AS mean_energy,
+             CAST(SUM(CASE WHEN energy < 4000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_silence
+      FROM frames GROUP BY doc_id),
+    doc_s AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak,
+             CAST(SUM(CASE WHEN v = 0 OR v = 255 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clip
+      FROM s GROUP BY doc_id)
+    SELECT doc_id, n_samples, n_frames, mean_energy, n_silence, peak,
+           n_clip
+    FROM doc_s JOIN doc_fr USING (doc_id) ORDER BY doc_id
+    """,
+    doc="PCM8 audio frame features through mapInPandas with the payload "
+        "bytes recomputed in SQL: sample/frame counts, integer "
+        "mean-square energy, silence frames, peak deviation, clips.",
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.multimodal import (
+        attach_pcm8_blobs,
+        pcm8_frame_features,
+    )
+
+    d = tables(spark, sf_dir)["documents"]
+    return pcm8_frame_features(attach_pcm8_blobs(d)).orderBy("doc_id")
