@@ -1132,3 +1132,78 @@ def mutual_nn(
         .select("id_a", "id_b", "sim_ppm", "label_a", "label_b",
                 (F.col("label_a") == F.col("label_b")).alias("same_label"))
     )
+
+
+def mutual_nn_ann(
+    vectors: DataFrame, bits: int = 8, tables: int = 8, seed: int = 42,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Full-corpus reciprocal best match — the production form whose
+    bounded-sample audit is ``mutual_nn``: candidate edges come from SRP
+    signature buckets (pairs sharing a ``bits``-bit signature in ANY of
+    ``tables`` hash tables — an equi-join on (table, sig), never
+    vector x vector), exact ppm-quantized cosine runs on candidates
+    only, each id takes its best candidate (id-ascending tie-break), and
+    only reciprocal bests survive. Same output schema and determinism
+    conventions as ``mutual_nn``.
+
+    Recall: a true nearest neighbor is a candidate with probability
+    1 - (1 - (1 - θ/π)^bits)^tables — near 1 for the high-cosine pairs
+    mutual-NN exists to find; a missed NN can surface a second-best pair,
+    so results are exact-within-the-candidate-graph (property-tested
+    equal to the exact form on separable data). Scale: shuffles are on
+    uniform (table, sig) keys and on ids; per-bucket pair cost is
+    2^-bits-selective, and ``bits`` trades bucket size against recall.
+    """
+    s = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                       F.sqrt(_norm2(vec_col)).alias("m"),
+                       F.col(label_col).alias("lab"))
+        .filter(F.col("m") > 0)
+    )
+    dim = s.select(F.size("v")).first()[0]  # model-sized probe, one row
+    planes = _hyperplanes(dim, bits, tables, seed)
+    tagged = s.select(
+        "id", "v", "m",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     srp_signature("v", planes[t]).alias("sig"))
+            for t in range(tables)
+        ])).alias("b"),
+    ).select("id", "v", "m", F.col("b.t").alias("t"),
+             F.col("b.sig").alias("sig"))
+    a = tagged.select(F.col("id").alias("ida"), F.col("v").alias("va"),
+                      F.col("m").alias("ma"), "t", "sig")
+    b = tagged.select(F.col("id").alias("idb"), F.col("v").alias("vb"),
+                      F.col("m").alias("mb"), "t", "sig")
+    sim = _dot("va", "vb") / (F.col("ma") * F.col("mb"))
+    und = (
+        a.join(b, ["t", "sig"])
+        .filter(F.col("ida") < F.col("idb"))
+        .dropDuplicates(["ida", "idb"])
+        .select("ida", "idb",
+                (sim.cast("decimal(18,6)") * 1_000_000)
+                .cast("bigint").alias("sim_ppm"))
+    )
+    edges = und.unionByName(
+        und.select(F.col("idb").alias("ida"), F.col("ida").alias("idb"),
+                   "sim_ppm"))
+    best = edges.groupBy("ida").agg(
+        F.max(F.struct(F.col("sim_ppm").alias("s"),
+                       (-F.col("idb")).alias("nid"))).alias("w"))
+    nn = best.select("ida", (-F.col("w.nid")).alias("nn"),
+                     F.col("w.s").alias("sim_ppm"))
+    fwd = nn.filter(F.col("ida") < F.col("nn"))
+    rev = nn.select(F.col("ida").alias("nn2"), F.col("nn").alias("ida2"))
+    mutual = fwd.join(
+        rev, (fwd["ida"] == rev["ida2"]) & (fwd["nn"] == rev["nn2"]))
+    lab = s.select("id", "lab")
+    return (
+        mutual.select(F.col("ida").alias("id_a"), F.col("nn").alias("id_b"),
+                      "sim_ppm")
+        .join(lab.withColumnsRenamed({"id": "id_a", "lab": "label_a"}), "id_a")
+        .join(lab.withColumnsRenamed({"id": "id_b", "lab": "label_b"}), "id_b")
+        .select("id_a", "id_b", "sim_ppm", "label_a", "label_b",
+                (F.col("label_a") == F.col("label_b")).alias("same_label"))
+    )

@@ -1735,3 +1735,21 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return heldout_unigram_xent(docs).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q267b full-corpus mutual-NN via SRP buckets (operators/similarity.py::
+# mutual_nn_ann): the production form whose bounded-sample audit is
+# q267 — candidate edges from 8 x 8-bit SRP signature tables, exact ppm
+# cosine on candidates, reciprocal-best filter. Rows-only: SRP planes
+# are seeded numpy with no SQL analog; the property suite pins ANN ==
+# exact on separable data and the recall bound on this corpus.
+@query("q267b_mutual_nn_ann", oracle=None,
+       doc="Full-corpus reciprocal best match through SRP candidate "
+           "buckets — never vector x vector; exact within the candidate "
+           "graph.")
+def q267b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import mutual_nn_ann
+
+    e = tables(spark, sf_dir)["embeddings"]
+    return mutual_nn_ann(e).orderBy("id_a")

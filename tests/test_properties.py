@@ -407,3 +407,30 @@ def test_mv_routed_equals_direct_property(spark, tmp_path_factory, rows,
     canon = lambda df: sorted(  # noqa: E731
         tuple(str(x) for x in r) for r in df.collect())
     assert canon(routed) == canon(direct)
+
+
+def test_p2c_mutual_nn_ann_matches_exact_on_separable_pairs(spark):
+    """The full-corpus SRP-bucketed reciprocal-best-match (q267b) equals
+    the exact all-pairs form on separable twin-pair data: each twin's
+    nearest neighbor survives candidate generation with probability ~1
+    at 10 tables (sign agreement ~1 for near-parallel vectors), and sim
+    values are the identical ppm-quantized expression."""
+    import numpy as np
+
+    from inspectadb_spark.operators.similarity import mutual_nn, mutual_nn_ann
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = rng.normal(size=(40, 16))
+    for i, v in enumerate(base):
+        twin = v + rng.normal(scale=0.01, size=16)
+        rows.append((2 * i, [float(x) for x in v], f"c{i % 4}"))
+        rows.append((2 * i + 1, [float(x) for x in twin], f"c{i % 4}"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    exact = mutual_nn(df, sample_mod=1, sample_rem=0)
+    ann = mutual_nn_ann(df, bits=6, tables=10)
+    ex = {(r.id_a, r.id_b, r.sim_ppm) for r in exact.collect()}
+    got = {(r.id_a, r.id_b, r.sim_ppm) for r in ann.collect()}
+    assert got == ex
+    assert len(ex) >= 35  # nearly every twin pair is mutual
