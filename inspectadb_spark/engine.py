@@ -145,6 +145,11 @@ class Engine:
         if not dim_attrs:
             return None  # no dim rollup — the flat grammar handles it
         need_keys = {fkey, *fact_group}
+        if need_keys & set(dim_attrs):
+            # a dim attr sharing its name with a fact grain column would
+            # make the post-join groupBy ambiguous — not provably
+            # routable, fall through to plain SQL
+            return None
         # grain-level measures under reserved aliases (avg = sum + count)
         gm: dict[str, tuple[str, str]] = {}
         for _, agg, col, alias in aggs:
