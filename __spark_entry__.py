@@ -193,6 +193,7 @@ _TIER2 = [
     # round-6 additions (behind this round's frozen window)
     "q268_winnowing_neardup", "q269_dedup_weighted_tokens",
     "q270_heldout_xent", "q271_audio_pcm8_features",
+    "q272_seasonal_decompose",
 ]
 
 # Tier 3: the r02/r03-verified corpus (normative §2.3 first), then anything

@@ -3370,3 +3370,76 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_parts"),
                  F.sum("cents").alias("revenue_cents"))
             .orderBy("supplier_bucket"))
+
+
+# --------------------------------------------------------------------------
+# Q272 classical seasonal decomposition of daily revenue: trend =
+# centered 7-day mean (partial frames at the edges keep their partial
+# mean — identical frame semantics both engines), seasonal = per-ISO-dow
+# mean of the detrended series, residual = the remainder. Exact integer
+# cents feed the q132 two-step (double division -> DECIMAL(18,6) cast ->
+# ROUND 4) at each stage, so every emitted value is engine-exact. The
+# trend window is unpartitioned over the DAY-GRAIN aggregate (bounded by
+# the calendar — tests/test_window_lint.py inventory).
+@query(
+    "q272_seasonal_decompose",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY day),
+    tr AS (
+      SELECT day, cents,
+             ROUND(CAST(CAST(SUM(cents) OVER w AS DOUBLE)
+                        / COUNT(*) OVER w AS DECIMAL(18,6)), 4) AS trend
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    dt AS (
+      SELECT day, cents, trend, isodow(day) AS dow,
+             CAST(cents AS DECIMAL(18,6)) - trend AS det
+      FROM tr),
+    se AS (
+      SELECT dow,
+             ROUND(CAST(CAST(SUM(det) AS DOUBLE) / COUNT(*)
+                        AS DECIMAL(18,6)), 4) AS seasonal
+      FROM dt GROUP BY dow)
+    SELECT day, cents, CAST(trend AS DOUBLE) AS trend,
+           CAST(seasonal AS DOUBLE) AS seasonal,
+           CAST(ROUND(CAST(cents AS DECIMAL(18,6)) - trend - seasonal, 4)
+                AS DOUBLE) AS resid
+    FROM dt JOIN se USING (dow) ORDER BY day
+    """,
+    doc="Trend / day-of-week seasonal / residual decomposition of daily "
+        "revenue cents: centered 7-day mean, per-dow detrended mean, "
+        "decimal-quantized at every stage.",
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .alias("cents"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = d.select(
+        "day", "cents",
+        F.round((F.sum("cents").over(w).cast("double")
+                 / F.count("*").over(w)).cast("decimal(18,6)"), 4)
+        .alias("trend"))
+    dt = tr.select(
+        "day", "cents", "trend",
+        F.expr("((dayofweek(day) + 5) % 7) + 1").cast("int").alias("dow"),
+        (F.col("cents").cast("decimal(18,6)") - F.col("trend"))
+        .alias("det"))
+    se = dt.groupBy("dow").agg(
+        F.round((F.sum("det").cast("double") / F.count("*"))
+                .cast("decimal(18,6)"), 4).alias("seasonal"))
+    return (
+        dt.join(F.broadcast(se), "dow")
+        .select(
+            "day", "cents",
+            F.col("trend").cast("double").alias("trend"),
+            F.col("seasonal").cast("double").alias("seasonal"),
+            F.round(F.col("cents").cast("decimal(18,6)") - F.col("trend")
+                    - F.col("seasonal"), 4).cast("double").alias("resid"))
+        .orderBy("day")
+    )

@@ -58,6 +58,8 @@ _EXPECTED = {
     "q127_session_concurrency": [("Aggregate",)],   # distinct durations
     "q172_period_over_period": [("Join",)],         # month grain
     "q176_autocorrelation": [("Join",)] * 2,        # daily series
+    # day grain trend MA; the dt subtree is duplicated under the se join
+    "q272_seasonal_decompose": [("Aggregate",)] * 2,
     "q185_auc": [("Aggregate",)],                   # score-bin table
     "q214_lorenz_deciles": [("Aggregate",)] * 2,    # decile cut table
     "q233_pareto_point": [("Aggregate",), ("Window", "Join")],  # day grain
