@@ -366,3 +366,58 @@ def global_running_max(
                     F.greatest(F.col("_carry"), F.max(val_col).over(win)))
         .drop("_bkt", "_carry")
     )
+
+
+def global_avg_rank2(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "rank2",
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """TWICE the tie-averaged global rank of ``value_col`` (ascending),
+    exact, WITHOUT a single-task global sort — the rank convention every
+    rank statistic (Spearman's rho, Mann-Whitney U, Kruskal-Wallis)
+    needs. For a value v:
+
+        avg_rank(v) = #{rows < v} + (#{rows == v} + 1) / 2
+
+    which is half-integral under even tie counts, so the helper returns
+    ``rank2 = 2 * #{rows < v} + #{rows == v} + 1`` — always an integer,
+    keeping every downstream moment sum exact.
+
+    Scheme (same shape as ``global_rank``, one level shallower): ranks
+    depend only on per-VALUE counts, so
+
+    1. groupBy(value) -> (value, n) — one row per DISTINCT value;
+    2. bucket = value DIV bucket_width; per-bucket count sums ->
+       cumulative offsets via a window over the BUCKET table (bounded by
+       value-range/width, not by rows);
+    3. within-bucket prefix sums partitioned by bucket give
+       #{rows < v}; join (value -> rank2) back on the value column.
+
+    Only per-bucket sums cross the single-partition exchange; both the
+    distinct-value aggregation and the final join shuffle on the value
+    key. Parity-tested bit-identical to the naive global-window form.
+    ``value_col`` must be integral (DIV bucketing); appends ``out_col``
+    BIGINT.
+    """
+    from pyspark.sql import Window
+
+    vc = (df.groupBy(value_col).agg(F.count("*").alias("_n"))
+          .withColumn("_bkt", F.expr(f"{value_col} DIV {bucket_width}")))
+    bcounts = vc.groupBy("_bkt").agg(F.sum("_n").alias("_bn"))
+    woff = (Window.orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = bcounts.withColumn(
+        "_boff", F.sum("_bn").over(woff) - F.col("_bn")).drop("_bn")
+    wless = (Window.partitionBy("_bkt").orderBy(value_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranks = (
+        vc.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_less", F.col("_boff") + F.sum("_n").over(wless)
+                    - F.col("_n"))
+        .select(value_col,
+                (F.lit(2) * F.col("_less") + F.col("_n") + F.lit(1))
+                .cast("bigint").alias(out_col))
+    )
+    return df.join(ranks, value_col)

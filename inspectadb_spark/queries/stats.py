@@ -1993,3 +1993,149 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
         "o_orderkey")
     return equi_depth_histogram(v, "cents", "o_orderkey", k=10).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# Q273 Spearman rank correlation between line quantity and price: the
+# tie-averaged ranks come from operators/scale.py::global_avg_rank2
+# (distinct-value bucket-offset scheme, parity-pinned bit-identical to
+# the global RANK window the oracle uses — no single-task full sort),
+# then Pearson on 2x-ranks (scale-invariant, so the x2 convention keeps
+# every moment sum an exact integer; DECIMAL(38,0)/HUGEINT until the
+# final sqrt). Pearson on the raw values rides along for contrast.
+@query(
+    "q273_spearman",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    r AS (
+      SELECT x, y,
+             2 * RANK() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+             2 * RANK() OVER (ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+      FROM b),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(rx AS HUGEINT)) AS sx,
+             SUM(CAST(ry AS HUGEINT)) AS sy,
+             SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+             SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+             SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy,
+             corr(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS pr
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n,
+           {r4("pr")} AS pearson_r,
+           {r4("CAST(n * sxy - sx * sy AS DOUBLE)"
+               " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+               " * CAST(n * syy - sy * sy AS DOUBLE))")} AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman's rho (tie-averaged ranks, exact integer moment sums) "
+        "and Pearson's r between quantity and extended price.",
+)
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import global_avg_rank2
+
+    li = tables(spark, sf_dir)["lineitem"].select(
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("x"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("y"))
+    d = global_avg_rank2(li, "x", out_col="rx", bucket_width=10)
+    d = global_avg_rank2(d, "y", out_col="ry", bucket_width=100_000)
+
+    def h(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    s = d.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(h("rx")).alias("sx"),
+        F.sum(h("ry")).alias("sy"),
+        F.sum(h("rx") * h("ry")).alias("sxy"),
+        F.sum(h("rx") * h("rx")).alias("sxx"),
+        F.sum(h("ry") * h("ry")).alias("syy"),
+        F.corr(F.col("x").cast("double"), F.col("y").cast("double"))
+        .alias("pr"))
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        r4c(F.col("pr")).alias("pearson_r"),
+        r4c(F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE))")).alias("spearman_rho"))
+
+
+# --------------------------------------------------------------------------
+# Q274 Mann-Whitney U: do urgent orders (priority 1-2) carry different
+# totals than the rest? Rank-sum over the combined cents series via the
+# same distributed tie-averaged rank2; U, the common-language effect
+# size (= the q185 AUC of "urgent ranks above non-urgent"), and the
+# tie-corrected normal z — every input to the double tail is an exact
+# integer, and both engines evaluate the identical expression text.
+@query(
+    "q274_mann_whitney",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp
+      FROM orders),
+    r AS (
+      SELECT grp,
+             2 * RANK() OVER (ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY cents) - 1 AS rank2
+      FROM b),
+    t AS (
+      SELECT SUM(CAST(tc AS HUGEINT) * tc * tc - tc) AS t3t
+      FROM (SELECT COUNT(*) AS tc FROM b GROUP BY cents)),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(grp) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(grp) AS BIGINT) AS n2,
+             CAST(SUM(rank2 * grp) AS BIGINT) AS r1x2
+      FROM r)
+    SELECT n1, n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+           {r4("CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)"
+               " / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))")} AS auc,
+           {r4("CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)"
+               " / (2 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+               " * (CAST(n + 1 AS DOUBLE) - CAST(t3t AS DOUBLE)"
+               " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 12))")}
+             AS z
+    FROM s CROSS JOIN t
+    """,
+    doc="Mann-Whitney U rank-sum test of urgent vs non-urgent order "
+        "totals: U, rank-AUC effect size, tie-corrected z.",
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import global_avg_rank2
+
+    b = tables(spark, sf_dir)["orders"].select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+               " THEN 1 ELSE 0 END").alias("grp"))
+    r = global_avg_rank2(b, "cents", out_col="rank2",
+                         bucket_width=1_000_000)
+    t = (b.groupBy("cents").agg(F.count("*").alias("tc"))
+         .agg(F.sum(F.expr("CAST(tc AS DECIMAL(38,0)) * tc * tc - tc"))
+              .alias("t3t")))
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("grp").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("n2"),
+        F.sum(F.col("rank2") * F.col("grp")).cast("bigint").alias("r1x2"))
+    return s.join(F.broadcast(t)).select(
+        "n1", "n2",
+        F.expr("CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2").alias("u1"),
+        r4c(F.expr(
+            "CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)"
+            " / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"))
+        .alias("auc"),
+        r4c(F.expr(
+            "CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)"
+            " / (2 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " * (CAST(n + 1 AS DOUBLE) - CAST(t3t AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 12))"))
+        .alias("z"))

@@ -486,3 +486,29 @@ def test_vocabulary_growth_bucketed_parity(spark):
             want = got
         assert got == want, f"width={width}"
     assert want[-1][2] == 40  # cumulative vocab reaches the full vocab
+
+
+def test_global_avg_rank2_parity_with_naive_window(spark):
+    """Distributed tie-averaged rank (x2) — the q273/q274 rank-statistic
+    backbone — is bit-identical to the single-task global-window form
+    rank2 = 2*RANK() + COUNT(*) OVER (PARTITION BY v) - 1, including
+    heavy ties, negatives, and degenerate bucket widths."""
+    from pyspark.sql import Window
+
+    from inspectadb_spark.operators.scale import global_avg_rank2
+
+    rows = [(i, (i * 37) % 100 - 50) for i in range(500)]
+    rows += [(1000 + j, 7) for j in range(40)]  # heavy tie block
+    df = spark.createDataFrame(rows, "id long, v long").repartition(13)
+    want = {
+        (r.id, r.rank2)
+        for r in df.withColumn(
+            "rank2",
+            (F.lit(2) * F.rank().over(Window.orderBy("v"))
+             + F.count("*").over(Window.partitionBy("v")) - 1)
+            .cast("bigint")).collect()
+    }
+    for width in (1, 10, 1000, 10**9):
+        got = {(r.id, r.rank2)
+               for r in global_avg_rank2(df, "v", bucket_width=width).collect()}
+        assert got == want, f"width={width}"
