@@ -2139,3 +2139,164 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(n + 1 AS DOUBLE) - CAST(t3t AS DOUBLE)"
             " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 12))"))
         .alias("z"))
+
+
+# --------------------------------------------------------------------------
+# Q275 Kruskal-Wallis H: do order totals differ across the five order
+# priorities? k-group generalization of q274's rank-sum — the same
+# distributed tie-averaged rank2 (operators/scale.py::global_avg_rank2)
+# feeds per-group rank sums; with rank2 = 2*avg_rank,
+# H = 3*SUM(S2_g^2/n_g)/(N(N+1)) - 3(N+1). Rank sums stay exact
+# integers (HUGEINT/DECIMAL(38,0)); squaring happens in IEEE double
+# with identical expression text on both engines (scale-safe: no
+# decimal overflow at any N), and the 5-term double sum's order noise
+# (~1e-16 rel) is absorbed by r4. Tie correction and the
+# epsilon-squared effect size ride the same exact tie-count table.
+@query(
+    "q275_kruskal_wallis",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority AS grp
+      FROM orders),
+    r AS (
+      SELECT grp,
+             2 * RANK() OVER (ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY cents) - 1 AS rank2
+      FROM b),
+    g AS (
+      SELECT grp, SUM(CAST(rank2 AS HUGEINT)) AS s2g, COUNT(*) AS ng
+      FROM r GROUP BY grp),
+    t AS (
+      SELECT SUM(CAST(tc AS HUGEINT) * tc * tc - tc) AS t3t
+      FROM (SELECT COUNT(*) AS tc FROM b GROUP BY cents)),
+    s AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(s2g AS DOUBLE) * CAST(s2g AS DOUBLE) / ng) AS q
+      FROM g),
+    h AS (
+      SELECT n, k, t3t,
+             3 * q / (CAST(n AS DOUBLE) * (n + 1)) - 3 * (n + 1) AS h_raw
+      FROM s CROSS JOIN t)
+    SELECT n, k, {r4("h_raw")} AS h,
+           {r4("h_raw / (1 - CAST(t3t AS DOUBLE)"
+               " / (CAST(n AS DOUBLE) * n * n - n))")} AS h_tie,
+           {r4("h_raw / (1 - CAST(t3t AS DOUBLE)"
+               " / (CAST(n AS DOUBLE) * n * n - n)) / (n - 1)")} AS eps2
+    FROM h
+    """,
+    doc="Kruskal-Wallis H across order priorities: raw H, tie-corrected "
+        "H, epsilon-squared effect size (= H_tie / (n-1)).",
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import global_avg_rank2
+
+    b = tables(spark, sf_dir)["orders"].select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.col("o_orderpriority").alias("grp"))
+    r = global_avg_rank2(b, "cents", out_col="rank2",
+                         bucket_width=1_000_000)
+    g = r.groupBy("grp").agg(
+        F.sum(F.col("rank2").cast("decimal(38,0)")).alias("s2g"),
+        F.count("*").alias("ng"))
+    t = (b.groupBy("cents").agg(F.count("*").alias("tc"))
+         .agg(F.sum(F.expr("CAST(tc AS DECIMAL(38,0)) * tc * tc - tc"))
+              .alias("t3t")))
+    s = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.expr("CAST(s2g AS DOUBLE) * CAST(s2g AS DOUBLE) / ng"))
+        .alias("q"))
+    h = s.join(F.broadcast(t)).withColumn(
+        "h_raw",
+        F.expr("3 * q / (CAST(n AS DOUBLE) * (n + 1)) - 3 * (n + 1)"))
+    return h.select(
+        "n", "k", r4c(F.col("h_raw")).alias("h"),
+        r4c(F.expr("h_raw / (1 - CAST(t3t AS DOUBLE)"
+                   " / (CAST(n AS DOUBLE) * n * n - n))")).alias("h_tie"),
+        r4c(F.expr("h_raw / (1 - CAST(t3t AS DOUBLE)"
+                   " / (CAST(n AS DOUBLE) * n * n - n)) / (n - 1)"))
+        .alias("eps2"))
+
+
+# --------------------------------------------------------------------------
+# Q276 Kendall's tau-b between line quantity and discount. The naive
+# definition is O(n^2) row pairs; both columns are value-range-bounded
+# (quantity 1..50, discount in whole cents-of-percent 0..10), so the
+# data reduces in ONE map-side-combinable shuffle to a <=|X|*|Y|
+# contingency table, and EVERY term of tau-b comes out of a single
+# conditional aggregation over CELL pairs (broadcast nested-loop on the
+# value-bounded table, never row x row):
+#
+#   nn  = sum[b2 == b1]        n2        (each cell pairs with itself once)
+#   sxx = sum[x2 == x1]        n1*n2   = sum_x T_x^2
+#   syy = sum[y2 == y1]        n1*n2   = sum_y T_y^2
+#   C   = sum[x2 > x1, y2 > y1] n1*n2,  D likewise with y2 < y1
+#
+# so n0 - tie_x = (nn^2 - sxx) / 2 without separate marginal passes —
+# the base table is evaluated once per self-join side (2 scans) instead
+# of once per statistic (5). All pair products stay exact integers
+# (HUGEINT/DECIMAL(38,0)); tau-b and the Goodman-Kruskal gamma are
+# evaluated with identical expression text on both engines. (At 100 TB
+# with a continuous measure the same shape applies after quantization —
+# exactly how q185's AUC bins and q263's equi-depth buckets handle it.)
+@query(
+    "q276_kendall_tau",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem),
+    cells AS (
+      SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS n FROM b GROUP BY x, y),
+    s AS (
+      SELECT SUM(CASE WHEN b2.x = b1.x AND b2.y = b1.y
+                      THEN b2.n ELSE 0 END) AS nn,
+             SUM(CASE WHEN b2.x = b1.x THEN b1.n * b2.n ELSE 0 END) AS sxx,
+             SUM(CASE WHEN b2.y = b1.y THEN b1.n * b2.n ELSE 0 END) AS syy,
+             SUM(CASE WHEN b2.x > b1.x AND b2.y > b1.y
+                      THEN b1.n * b2.n ELSE 0 END) AS c,
+             SUM(CASE WHEN b2.x > b1.x AND b2.y < b1.y
+                      THEN b1.n * b2.n ELSE 0 END) AS d
+      FROM cells b1 CROSS JOIN cells b2)
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           {r4("CAST(c - d AS DOUBLE)"
+               " / sqrt(CAST(nn * nn - sxx AS DOUBLE) / 2"
+               " * (CAST(nn * nn - syy AS DOUBLE) / 2))")} AS tau_b,
+           {r4("CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE)")} AS gamma
+    FROM s
+    """,
+    doc="Kendall's tau-b and Goodman-Kruskal gamma between quantity and "
+        "discount via one conditional aggregation over contingency-cell "
+        "pairs (tie terms from the pair sums themselves).",
+)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tables(spark, sf_dir)["lineitem"].select(
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("x"),
+        F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("y"))
+    cells = (b.groupBy("x", "y")
+             .agg(F.count("*").cast("decimal(38,0)").alias("n")))
+    c1 = cells.select(F.col("x").alias("x1"), F.col("y").alias("y1"),
+                      F.col("n").alias("n1"))
+    c2 = cells.select(F.col("x").alias("x2"), F.col("y").alias("y2"),
+                      F.col("n").alias("n2"))
+    zero = "CAST(0 AS DECIMAL(38,0))"
+    s = c1.crossJoin(F.broadcast(c2)).agg(
+        F.sum(F.expr(f"CASE WHEN x2 = x1 AND y2 = y1 THEN n2 ELSE {zero} END")).alias("nn"),
+        F.sum(F.expr(f"CASE WHEN x2 = x1 THEN n1 * n2 ELSE {zero} END")).alias("sxx"),
+        F.sum(F.expr(f"CASE WHEN y2 = y1 THEN n1 * n2 ELSE {zero} END")).alias("syy"),
+        F.sum(F.expr(f"CASE WHEN x2 > x1 AND y2 > y1 THEN n1 * n2 ELSE {zero} END")).alias("c"),
+        F.sum(F.expr(f"CASE WHEN x2 > x1 AND y2 < y1 THEN n1 * n2 ELSE {zero} END")).alias("d"))
+    return s.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.col("c").cast("bigint").alias("concordant"),
+        F.col("d").cast("bigint").alias("discordant"),
+        r4c(F.expr(
+            "CAST(c - d AS DOUBLE)"
+            " / sqrt(CAST(nn * nn - sxx AS DOUBLE) / 2"
+            " * (CAST(nn * nn - syy AS DOUBLE) / 2))")).alias("tau_b"),
+        r4c(F.expr("CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE)"))
+        .alias("gamma"))

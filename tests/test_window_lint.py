@@ -52,6 +52,7 @@ _EXPECTED = {
     "q263_equi_depth_histogram": [("Aggregate",)],  # bucket-offset ranks
     "q273_spearman": [("Aggregate",)] * 2,          # 2x avg_rank2 offsets
     "q274_mann_whitney": [("Aggregate",)],          # avg_rank2 offsets
+    "q275_kruskal_wallis": [("Aggregate",)],        # avg_rank2 offsets
     "q257_revenue_drawdown": [("Aggregate",)] * 3,  # day grain + buckets
     # day/bin/decile-cardinality intermediates (bounded by the calendar
     # or an explicit bin count, not by row count)
@@ -150,7 +151,8 @@ def test_unpartitioned_window_inventory(window_inventory):
 
 @pytest.mark.parametrize("name", ["q119_equidepth_histogram",
                                   "q136_vocab_growth", "q156_rfm",
-                                  "q273_spearman", "q274_mann_whitney"])
+                                  "q273_spearman", "q274_mann_whitney",
+                                  "q275_kruskal_wallis"])
 def test_bucket_offset_windows_ride_bucket_table(spark, name):
     """The bucket-offset rewrites' unpartitioned windows must sit on an
     Aggregate grouped by the synthetic _bkt key (one row per bucket) —
