@@ -2300,3 +2300,155 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(nn * nn - syy AS DOUBLE) / 2))")).alias("tau_b"),
         r4c(F.expr("CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE)"))
         .alias("gamma"))
+
+
+# --------------------------------------------------------------------------
+# Q277 Friedman test: does order-priority ranking of monthly revenue
+# stay consistent across months? Blocks = order months, treatments =
+# the 5 priorities, cell value = exact integer revenue cents. Ranks are
+# WITHIN-block (partitioned windows — no global-order scaling trap) and
+# tie-averaged via the same 2x-integer convention as q273-q275, so the
+# rank sums are exact; only complete blocks (all k treatments present)
+# enter, per the test's definition. Q = 3*SUM(R2_j^2)/(n*k*(k+1)) -
+# 3*n*(k+1) with R2_j the 2x rank sum of treatment j, and Kendall's
+# W = Q/(n*(k-1)) measures the concordance strength.
+@query(
+    "q277_friedman",
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS blk,
+             o_orderpriority AS trt,
+             SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS v
+      FROM orders GROUP BY 1, 2),
+    k AS (SELECT COUNT(DISTINCT trt) AS k FROM cell),
+    full_blk AS (
+      SELECT blk FROM cell CROSS JOIN k
+      GROUP BY blk, k.k HAVING COUNT(*) = ANY_VALUE(k.k)),
+    r AS (
+      SELECT c.trt,
+             2 * RANK() OVER (PARTITION BY c.blk ORDER BY c.v)
+               + COUNT(*) OVER (PARTITION BY c.blk, c.v) - 1 AS rank2
+      FROM cell c JOIN full_blk USING (blk)),
+    g AS (
+      SELECT trt, SUM(CAST(rank2 AS HUGEINT)) AS r2j, COUNT(*) AS n
+      FROM r GROUP BY trt),
+    s AS (
+      SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)) AS q2
+      FROM g)
+    SELECT n, k,
+           {r4("3 * q2 / (CAST(n AS DOUBLE) * k * (k + 1))"
+               " - 3 * CAST(n AS DOUBLE) * (k + 1)")} AS q_stat,
+           {r4("(3 * q2 / (CAST(n AS DOUBLE) * k * (k + 1))"
+               " - 3 * CAST(n AS DOUBLE) * (k + 1))"
+               " / (CAST(n AS DOUBLE) * (k - 1))")} AS kendall_w
+    FROM s
+    """,
+    doc="Friedman rank test of priority revenue consistency across "
+        "month blocks, with Kendall's W concordance.",
+)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (tables(spark, sf_dir)["orders"]
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+                     F.col("o_orderpriority").alias("trt"))
+            .agg(F.sum(F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS DECIMAL(38,0))"))
+                .alias("v")))
+    k = cell.agg(F.countDistinct("trt").alias("k"))
+    full_blk = (cell.join(F.broadcast(k))
+                .groupBy("blk", "k").agg(F.count("*").alias("ct"))
+                .filter("ct = k").select("blk"))
+    w_rank = Window.partitionBy("blk").orderBy("v")
+    w_tie = Window.partitionBy("blk", "v")
+    r = (cell.join(full_blk, "blk")
+         .withColumn("rank2",
+                     F.lit(2) * F.rank().over(w_rank)
+                     + F.count("*").over(w_tie) - 1))
+    g = r.groupBy("trt").agg(
+        F.sum(F.col("rank2").cast("decimal(38,0)")).alias("r2j"),
+        F.count("*").alias("n"))
+    s = g.agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.expr("CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)"))
+        .alias("q2"))
+    return s.select(
+        "n", "k",
+        r4c(F.expr("3 * q2 / (CAST(n AS DOUBLE) * k * (k + 1))"
+                   " - 3 * CAST(n AS DOUBLE) * (k + 1)")).alias("q_stat"),
+        r4c(F.expr("(3 * q2 / (CAST(n AS DOUBLE) * k * (k + 1))"
+                   " - 3 * CAST(n AS DOUBLE) * (k + 1))"
+                   " / (CAST(n AS DOUBLE) * (k - 1))")).alias("kendall_w"))
+
+
+# --------------------------------------------------------------------------
+# Q278 Brown-Forsythe robust variance-homogeneity test: are order-total
+# spreads equal across priorities? The classic Levene variant on
+# |x - group median|. The doubled-median trick keeps everything exact:
+# 2*median of integers is itself an integer (sum of the two middle
+# values), so z2 = |2*cents - 2*med_g| is an exact integer and the
+# one-way ANOVA F on z2 (scale-invariant, so the x2 rides through)
+# reduces to per-group integer sufficient statistics (n, sum z2,
+# sum z2^2) — one group-by pass after a broadcast median join; the
+# F numerator/denominator combine 5 exact group rows in shared
+# expression text.
+@query(
+    "q278_brown_forsythe",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    med AS (
+      SELECT grp, CAST(2 * MEDIAN(cents) AS BIGINT) AS m2
+      FROM b GROUP BY grp),
+    z AS (
+      SELECT b.grp, ABS(2 * b.cents - m.m2) AS z2
+      FROM b JOIN med m ON b.grp = m.grp),
+    g AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(z2 AS HUGEINT)) AS s,
+             SUM(CAST(z2 AS HUGEINT) * z2) AS q
+      FROM z GROUP BY grp),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(s AS DOUBLE)) AS st,
+             SUM(CAST(q AS DOUBLE)) AS qt,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb
+      FROM g)
+    SELECT n, k,
+           {r4("((sb - st * st / n) / (k - 1))"
+               " / ((qt - sb) / (n - k))")} AS f_stat,
+           {r4("(sb - st * st / n) / (qt - st * st / n)")} AS eta_sq
+    FROM t
+    """,
+    doc="Brown-Forsythe (median-centered Levene) F test of variance "
+        "homogeneity across priorities, with eta-squared effect size.",
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    med = b.groupBy("grp").agg(
+        F.expr("CAST(2 * percentile(cents, 0.5) AS BIGINT)").alias("m2"))
+    z = (b.join(F.broadcast(med), "grp")
+         .select("grp", F.expr("ABS(2 * cents - m2)").alias("z2")))
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("z2").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.expr("CAST(z2 AS DECIMAL(38,0)) * z2")).alias("q"))
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("s").cast("double")).alias("st"),
+        F.sum(F.col("q").cast("double")).alias("qt"),
+        F.sum(F.expr("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n"))
+        .alias("sb"))
+    return t.select(
+        "n", "k",
+        r4c(F.expr("((sb - st * st / n) / (k - 1))"
+                   " / ((qt - sb) / (n - k))")).alias("f_stat"),
+        r4c(F.expr("(sb - st * st / n) / (qt - st * st / n)"))
+        .alias("eta_sq"))
