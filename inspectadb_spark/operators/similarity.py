@@ -1178,13 +1178,18 @@ def mutual_nn_ann(
     b = tagged.select(F.col("id").alias("idb"), F.col("v").alias("vb"),
                       F.col("m").alias("mb"), "t", "sig")
     sim = _dot("va", "vb") / (F.col("ma") * F.col("mb"))
+    # Compute the exact cosine INSIDE the bucket-join select so the
+    # candidate-dedup shuffle below carries 3 bigints per row, not two
+    # 0.5 KB vectors per duplicated candidate (a pair can surface in up
+    # to ``tables`` buckets). sim_ppm is deterministic per (ida, idb),
+    # so deduping after the projection keeps the same rows.
     und = (
         a.join(b, ["t", "sig"])
         .filter(F.col("ida") < F.col("idb"))
-        .dropDuplicates(["ida", "idb"])
         .select("ida", "idb",
                 (sim.cast("decimal(18,6)") * 1_000_000)
                 .cast("bigint").alias("sim_ppm"))
+        .dropDuplicates(["ida", "idb"])
     )
     edges = und.unionByName(
         und.select(F.col("idb").alias("ida"), F.col("ida").alias("idb"),

@@ -434,3 +434,54 @@ def test_p2c_mutual_nn_ann_matches_exact_on_separable_pairs(spark):
     got = {(r.id_a, r.id_b, r.sim_ppm) for r in ann.collect()}
     assert got == ex
     assert len(ex) >= 35  # nearly every twin pair is mutual
+
+
+def test_p2d_mutual_nn_ann_dedup_shuffle_is_vector_free(spark):
+    """VERDICT r6 #3: the candidate-dedup exchange must carry
+    (ida, idb, sim_ppm) — 3 bigints — not the duplicated candidates'
+    va/vb vectors (up to ``tables`` copies of ~0.5 KB each at 100 TB).
+    The cosine is computed inside the bucket-join select, so every
+    exchange at or above the dedup is array-free; only the bucket-join
+    input exchanges (which genuinely need the vectors) may carry arrays."""
+    import numpy as np
+
+    from inspectadb_spark.operators.similarity import mutual_nn_ann
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)], f"c{i % 3}")
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    plan = mutual_nn_ann(df, bits=4, tables=4)._jdf.queryExecution().optimizedPlan()
+
+    def walk(node):
+        yield node
+        cs = node.children()
+        for i in range(cs.length()):
+            yield from walk(cs.apply(i))
+
+    dedup_aggs = []
+    for n in walk(plan):
+        if n.nodeName() not in ("Aggregate", "Deduplicate"):
+            continue
+        out = {a.name() for a in _as_list(n.output())}
+        if {"ida", "idb", "sim_ppm"} <= out and len(out) == 3:
+            dedup_aggs.append(n)
+    assert dedup_aggs, "candidate-dedup node not found in optimized plan"
+    for n in dedup_aggs:
+        for node in walk(n):
+            arrays = [a.name() for a in _as_list(node.output())
+                      if a.dataType().typeName() == "array"]
+            if node.nodeName() == "Join" and node is not n:
+                break  # below the bucket join vectors are legitimate
+            assert not arrays, (
+                f"{node.nodeName()} above/at the dedup carries arrays: {arrays}"
+            )
+
+
+def _as_list(seq):
+    out = []
+    it = seq.iterator()
+    while it.hasNext():
+        out.append(it.next())
+    return out
