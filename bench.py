@@ -291,6 +291,11 @@ def main() -> None:
         "queries": results,
         "sf": sf,
         "floor_ms": floor_med_ms,
+        # per-query time above the measured scheduling floor (ms), for the
+        # 8 baseline-mapped queries: the floor-independent compute story a
+        # floor-doubled co-tenant cycle can't distort (VERDICT r6 item 4)
+        "over_floor_ms": {n: round(results[n] * 1e3 - floor_med_ms, 1)
+                          for n in BENCH_QUERIES},
         "detail_file": "BENCH_DETAIL.json",
     })
     assert len(headline) < 1500, f"headline line too long: {len(headline)}"
