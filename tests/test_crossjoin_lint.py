@@ -1,0 +1,175 @@
+"""Plan lint: no unbounded cross joins (VERDICT r6 item 5).
+
+A BroadcastNestedLoopJoin or CartesianProduct over row-scale inputs is
+the O(n^2) trap: fine at sf0.01, a guaranteed blow-up at 100 TB. Like
+tests/test_window_lint.py pinned unpartitioned windows, this lint walks
+every registry query's PHYSICAL plan (sparkPlan — planned, not
+executed) and classifies every nested-loop/cartesian site by its BUILD
+side (the side Spark materializes and broadcasts):
+
+- ``one_row_agg``: a global aggregate (no grouping keys) — one row by
+  construction; the classic scalar-broadcast pattern (total counts,
+  corpus-wide stats, thresholds).
+- ``generated``: Range / LocalTableScan / Scan ExistingRDD — grids and
+  literal rule tables built on the driver (createDataFrame), bounded by
+  the code that wrote them, never by data volume.
+- ``limited``: GlobalLimit / TakeOrderedAndProject / CollectLimit — a
+  k-row frame.
+
+Those classes are auto-justified. EVERY other site must appear in
+_JUSTIFIED below with a boundedness argument; a new query (or a plan
+regression in an old one) that introduces a cross join over row-scale
+inputs fails here until the bounded-input argument is made explicitly.
+
+The classification reads plan SHAPE: a grouped aggregate's output
+cardinality or a filter's selectivity can't be proven by a static lint,
+which is exactly why those sites carry a written justification instead
+of an auto-pass.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from inspectadb_spark.queries import REGISTRY
+from tests.conftest import SF_DIR as SF_DIR_SMALL
+
+# nodes skipped when finding the substantive node of a build-side subtree
+_TRANSPARENT = (
+    "Project", "Filter", "ColumnarToRow", "InputAdapter", "Sort",
+    "Coalesce", "Exchange", "BroadcastExchange", "Generate",
+)
+
+_AUTO_OK = ("one_row_agg", "generated", "limited")
+
+# query id -> sorted list of (build, probe) class pairs for every site
+# NOT auto-justified, each with its boundedness argument. Counts are part
+# of the pin: a query growing a second unbounded cross join fails.
+_JUSTIFIED = {
+    # SURVEY §2.2c contract row: CROSS JOIN is the operator under test
+    # (5-row region x 25-row nation).
+    "q11_cross_join": [("scan", "scan")],
+    # KMV sketches: both sides are bottom-k (k=64) minimum-hash tables —
+    # sketch-sized by construction (operators/sketches.py kmv_sketch).
+    "q189_kmv_overlap": [("grouped_agg", "grouped_agg")] * 2,
+    # Query batch bounded to vec_id < 100 and broadcast; candidates
+    # stream past it (hard_negatives' contract shape). Full-corpus form
+    # would block on SRP buckets like mutual_nn_ann.
+    "q193_hard_negatives": [("scan", "scan")],
+    # Margin bitext: both sides are the hash-sampled anchor/candidate
+    # frames (vec_id % m) joined all-pairs within the sample for the
+    # margin denominator; production path is SRP-blocked (q202 doc).
+    "q202_margin_bitext": [("other:BroadcastHashJoin",
+                            "other:BroadcastHashJoin")] * 3,
+    # Recall audit over a hash-sampled query set vs its candidate pool;
+    # the full-corpus path is IVF/SRP ANN (operators/similarity.py).
+    "q203_matryoshka_recall": [("scan", "scan")] * 2,
+    # MMR re-ranks a pool=30 candidate list per sampled query (pool^2
+    # pairs, fixed small).
+    "q207_mmr_topk": [("scan", "scan")] * 3,
+    # Leave-one-out 1-NN probe over a deterministic vector sample.
+    "q224_knn_label_accuracy": [("scan", "scan")],
+    # Theil-Sen on the DAY-grain revenue series: pair count is bounded
+    # by the calendar (|days|^2), not row count.
+    "q244_theil_sen": [("grouped_agg", "grouped_agg")],
+    # Bounded audit sample (vec_id sample_mod); full-corpus form is the
+    # SRP-bucketed q267b mutual_nn_ann.
+    "q267_mutual_nn": [("scan", "scan")] * 2,
+    # Kendall tau-b: the O(n^2) pair definition reduced to a
+    # |range(qty)| x |range(discount)| contingency-CELL self-join —
+    # value-bounded (50 x 11 cells), asserted in COVERAGE.md/SCALE.md.
+    "q276_kendall_tau": [("grouped_agg", "grouped_agg")],
+    # Exact all-pairs cosine audit baseline (the contract B8 family's
+    # threshold form); production paths are the sign-blocked q43g and
+    # LSH-banded dedup operators, calibrated against this.
+    "q43c_cosine_neardup": [("scan", "scan")],
+}
+
+
+def _walk(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.length()):
+        yield from _walk(cs.apply(i))
+
+
+def _classify(node) -> str:
+    cur = node
+    while True:
+        nm = cur.nodeName()
+        if nm in _TRANSPARENT:
+            cs = cur.children()
+            if cs.length() == 0:
+                return "other:" + nm
+            cur = cs.apply(0)
+            continue
+        if nm in ("HashAggregate", "ObjectHashAggregate", "SortAggregate"):
+            try:
+                if cur.groupingExpressions().isEmpty():
+                    return "one_row_agg"
+            except Exception:
+                pass
+            return "grouped_agg"
+        if nm in ("Range", "LocalTableScan", "Scan ExistingRDD"):
+            return "generated"
+        if nm in ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit"):
+            return "limited"
+        if nm.startswith("Scan parquet"):
+            return "scan"
+        return "other:" + nm
+
+
+def _sites(df) -> list[tuple[str, str]]:
+    plan = df._jdf.queryExecution().sparkPlan()
+    out = []
+    for n in _walk(plan):
+        nm = n.nodeName()
+        if "NestedLoop" not in nm and "Cartesian" not in nm:
+            continue
+        cs = n.children()
+        if "NestedLoop" in nm:
+            bi = 0 if str(n.buildSide()) == "BuildLeft" else 1
+            out.append((_classify(cs.apply(bi)), _classify(cs.apply(1 - bi))))
+        else:
+            # CartesianProduct has no build side; require BOTH bounded or
+            # a justification (classify left as "build" conservatively)
+            out.append((_classify(cs.apply(0)), _classify(cs.apply(1))))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def crossjoin_inventory(spark):
+    inv = {}
+    for name, entry in sorted(REGISTRY.items()):
+        sites = _sites(entry.builder(spark, SF_DIR_SMALL))
+        if sites:
+            inv[name] = sites
+    return inv
+
+
+def test_every_unbounded_crossjoin_site_is_justified(crossjoin_inventory):
+    offenders = {}
+    for name, sites in crossjoin_inventory.items():
+        bad = [s for s in sites if s[0] not in _AUTO_OK]
+        if bad and sorted(_JUSTIFIED.get(name, [])) != sorted(bad):
+            offenders[name] = bad
+    assert not offenders, (
+        "cross-join sites whose build side is not statically bounded and "
+        f"which lack a matching _JUSTIFIED entry: {offenders} — bound the "
+        "input (broadcast a one-row aggregate / grid / top-k) or add the "
+        "site with a written boundedness argument"
+    )
+
+
+def test_justified_inventory_is_not_stale(crossjoin_inventory):
+    """Every _JUSTIFIED entry must still describe a real site — a plan
+    improvement that removes a cross join should also remove its row
+    here, keeping the inventory honest."""
+    stale = {}
+    for name, expected in _JUSTIFIED.items():
+        actual = [s for s in crossjoin_inventory.get(name, [])
+                  if s[0] not in _AUTO_OK]
+        if sorted(expected) != sorted(actual):
+            stale[name] = {"justified": sorted(expected),
+                           "actual": sorted(actual)}
+    assert not stale, f"stale _JUSTIFIED entries: {stale}"
