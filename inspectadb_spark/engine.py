@@ -129,14 +129,23 @@ class Engine:
         sum+count), and an inner join drops NULL/unmatched keys from
         both forms alike.
 
+        A WHERE conjunction of dim-attribute equalities filters the
+        broadcast dim BEFORE the grain join: the predicate references
+        only dim columns, so filtering dim rows pre-join equals
+        filtering the joined rows (inner join), which is exactly where
+        plain SQL's pre-aggregation WHERE sits — the eager-aggregation
+        exactness argument is untouched because the fact-side grain
+        partials are computed independently of which dim rows survive.
+
         Refuse-by-default: returns None — caller falls through to plain
         Spark SQL — unless some registered MV over the fact table
         DECLARES the denormalized key set ({join key} ∪ fact-side group
-        cols) with derivable measures. The fact table is then never
-        scanned: the grain read is MV- (or cache-) served, the dim is
-        broadcast, and the re-aggregation shuffles summary-sized rows.
+        cols) with derivable measures, and every WHERE column exists on
+        the dim table. The fact table is then never scanned: the grain
+        read is MV- (or cache-) served, the dim is broadcast, and the
+        re-aggregation shuffles summary-sized rows.
         """
-        fact, dim, fkey, dkey, items = star
+        fact, dim, fkey, dkey, items, dim_where = star
         if fact not in self.tables or dim not in self.tables:
             return None
         fact_group = [i[2] for i in items if i[0] == "key" and i[1] == "fact"]
@@ -164,10 +173,15 @@ class Engine:
             for mv, _path, bt, _b in self._mvs.values())
         if not declared:
             return None
+        dim_base = self.tables[dim]
+        if any(c not in dim_base.columns for c, _ in dim_where):
+            return None  # unknown dim column: let plain SQL raise it
         req = AggRequest(keys={k: None for k in sorted(need_keys)},
                          measures=gm)
         grain, prov = self.aggregate(fact, req)
-        dimdf = self.tables[dim].select(
+        for c, lit in dim_where:
+            dim_base = dim_base.filter(F.col(c) == F.expr(lit))
+        dimdf = dim_base.select(
             F.col(dkey).alias("__dk"),
             *[F.col(a) for a in dim_attrs])
         joined = grain.join(F.broadcast(dimdf),
@@ -435,8 +449,11 @@ _STAR_SHAPE_RE = __import__("re").compile(
     r"^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)"
     r"\s+JOIN\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+"
     r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(.+?))?"
     r"\s+GROUP\s+BY\s+(.+?)\s*;?\s*$",
     __import__("re").IGNORECASE | __import__("re").DOTALL)
+_STAR_WHERE_RE = __import__("re").compile(
+    rf"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*({_LITERAL})$")
 _QCOL_RE = __import__("re").compile(r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$")
 _STAR_AGG_RE = __import__("re").compile(
     r"^\s*(SUM|COUNT|AVG|MIN|MAX)\s*"
@@ -447,26 +464,42 @@ _STAR_AGG_RE = __import__("re").compile(
 def parse_star_agg_sql(text: str):
     """Parse the restricted single-dimension star grammar
     ``SELECT <d.attr | f.col | AGG(f.m) AS alias>... FROM <fact> f
-    JOIN <dim> d ON f.k = d.k GROUP BY <the non-agg select items>``
-    into (fact, dim, fact_key, dim_key, items) where each item is
-    ("key", "fact"|"dim", col) or ("agg", agg, col-or-*, alias) in
-    SELECT order — or None when the statement doesn't fit.
+    JOIN <dim> d ON f.k = d.k [WHERE d.attr = <lit> [AND ...]]
+    GROUP BY <the non-agg select items>``
+    into (fact, dim, fact_key, dim_key, items, dim_where) where each
+    item is ("key", "fact"|"dim", col) or ("agg", agg, col-or-*, alias)
+    in SELECT order and dim_where is a list of (dim_col, literal_text)
+    equality conditions — or None when the statement doesn't fit.
 
     Same exact-match philosophy as ``parse_agg_sql``: one INNER equi-join
     on a single qualified column pair, every SELECT/GROUP BY column
     qualified by a declared alias, measures only over fact columns (or
-    COUNT(*)) with mandatory AS aliases, no WHERE/HAVING/expressions/
-    OUTER joins, and no duplicate output names. Anything not PROVABLY in
-    the grammar returns None and the caller runs plain Spark SQL — a
-    mis-parse silently routed through a summary would be a wrong answer.
+    COUNT(*)) with mandatory AS aliases, no HAVING/expressions/OUTER
+    joins, and no duplicate output names. WHERE is accepted ONLY as a
+    conjunction of dim-qualified equality-to-literal terms: a predicate
+    over dim columns commutes with the inner join (filter the dim before
+    joining ≡ filter the joined rows) and runs pre-aggregation on both
+    the routed and plain-SQL forms, so routing stays provably exact —
+    a fact-side or non-equality WHERE returns None. Anything not
+    PROVABLY in the grammar returns None and the caller runs plain
+    Spark SQL — a mis-parse silently routed through a summary would be
+    a wrong answer.
     """
     m = _STAR_SHAPE_RE.match(text)
     if not m:
         return None
-    sel, fact, fa, dim, da, lq, lc, rq, rc, group_by = m.groups()
+    sel, fact, fa, dim, da, lq, lc, rq, rc, where_clause, group_by = \
+        m.groups()
     if fa == da or fact == dim or {lq, rq} != {fa, da}:
         return None
     fkey, dkey = (lc, rc) if lq == fa else (rc, lc)
+    dim_where: list[tuple[str, str]] = []
+    if where_clause is not None:
+        for cond in _AND_RE.split(where_clause.strip()):
+            wm = _STAR_WHERE_RE.match(cond.strip())
+            if not wm or wm.group(1) != da:
+                return None  # only dim-side equality predicates commute
+            dim_where.append((wm.group(2), wm.group(3)))
     gterms = []
     for g in group_by.split(","):
         qm = _QCOL_RE.match(g.strip())
@@ -505,7 +538,7 @@ def parse_star_agg_sql(text: str):
     names = [i[2] if i[0] == "key" else i[3] for i in items]
     if len(set(names)) != len(names):
         return None
-    return fact, dim, fkey, dkey, items
+    return fact, dim, fkey, dkey, items, dim_where
 
 
 def _split_top_level(s: str) -> list[str]:

@@ -484,7 +484,19 @@ def test_parse_star_agg_sql_rejects_unprovable_shapes():
     ok = p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
            "ON f.k = d.k GROUP BY d.x")
     assert ok == ("fact", "dim", "k", "k",
-                  [("key", "dim", "x"), ("agg", "sum", "m", "s")])
+                  [("key", "dim", "x"), ("agg", "sum", "m", "s")], [])
+    # dim-side equality WHERE parses (filter commutes with the inner
+    # join); fact-side / non-equality / unqualified WHERE refuses
+    okw = p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
+            "ON f.k = d.k WHERE d.region = 'EU' AND d.tier = 3 "
+            "GROUP BY d.x")
+    assert okw is not None and okw[5] == [("region", "'EU'"), ("tier", "3")]
+    assert p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
+             "ON f.k = d.k WHERE f.m = 3 GROUP BY d.x") is None
+    assert p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
+             "ON f.k = d.k WHERE d.tier > 3 GROUP BY d.x") is None
+    assert p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
+             "ON f.k = d.k WHERE region = 'EU' GROUP BY d.x") is None
     # reversed ON order still resolves the key sides
     assert p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
              "ON d.dk = f.fk GROUP BY d.x")[2:4] == ("fk", "dk")
@@ -553,10 +565,66 @@ def test_star_route_refuses_ambiguous_dim_attr_name(engine):
         "SELECT d.k, SUM(f.m) AS s FROM fact f JOIN dim d ON f.k = d.k "
         "GROUP BY d.k")
     assert star is not None  # parses...
-    fact, dim, fkey, dkey, items = star
+    fact, dim, fkey, dkey, items, dim_where = star
     assert fkey == "k" and [i for i in items if i[0] == "key"][0][2] == "k"
     # ...but the engine refuses it (name collision with the grain key)
     eng_star = engine._route_star(("orders", "customer", "o_custkey",
                                    "c_custkey", [("key", "dim", "o_custkey"),
-                                                 ("agg", "count", "*", "n")]))
+                                                 ("agg", "count", "*", "n")],
+                                   []))
     assert eng_star is None
+    # unknown dim column in WHERE: refused so plain SQL raises the real
+    # analysis error instead of the route inventing one
+    eng_star2 = engine._route_star(("orders", "customer", "o_custkey",
+                                    "c_custkey",
+                                    [("key", "dim", "c_mktsegment"),
+                                     ("agg", "count", "*", "n")],
+                                    [("no_such_col", "1")]))
+    assert eng_star2 is None
+
+
+def test_star_route_where_dim_attr(engine):
+    """WHERE d.attr = lit routes by filtering the broadcast dim before
+    the grain join — routed result hash-equals direct Spark SQL, fact
+    table still never scanned (VERDICT r6 item 6)."""
+    engine.register_mv(
+        MVDef(name="mv_orders_by_cust_w", keys=("o_custkey",),
+              measures={"sum_tp": ("sum", "o_totalprice"),
+                        "cnt": ("count", "*"),
+                        "cnt_tp": ("count", "o_totalprice")}),
+        "orders")
+    routed, prov = engine.sql_routed(
+        "SELECT c.c_mktsegment, SUM(o.o_totalprice) AS total, "
+        "COUNT(*) AS n "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "GROUP BY c.c_mktsegment")
+    assert prov.startswith("star:")
+    o, c = engine.table("orders"), engine.table("customer")
+    tot = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    direct = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter("c_mktsegment = 'BUILDING'")
+        .groupBy("c_mktsegment")
+        .agg(F.expr(f"{tot} AS total"), F.expr("COUNT(*) AS n")))
+    assert _rows(routed) == _rows(direct)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "orders.parquet" not in plan
+    # filter column need not be selected: WHERE on a non-grouped dim attr
+    routed2, prov2 = engine.sql_routed(
+        "SELECT c.c_mktsegment, COUNT(*) AS n "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_nationkey = 7 "
+        "GROUP BY c.c_mktsegment")
+    assert prov2.startswith("star:")
+    direct2 = (o.join(c, o.o_custkey == c.c_custkey)
+               .filter("c_nationkey = 7")
+               .groupBy("c_mktsegment").agg(F.expr("COUNT(*) AS n")))
+    assert _rows(routed2) == _rows(direct2)
+    # fact-side WHERE does not route (plain SQL serves it)
+    _, prov3 = engine.sql_routed(
+        "SELECT c.c_mktsegment, COUNT(*) AS n "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_orderstatus = 'F' "
+        "GROUP BY c.c_mktsegment")
+    assert prov3 == "sql"

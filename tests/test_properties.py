@@ -485,3 +485,60 @@ def _as_list(seq):
     while it.hasNext():
         out.append(it.next())
     return out
+
+
+# -- star-route algebra property: routed == direct incl. the dim filter ------
+_star_fact = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 3)),       # join key k
+              st.one_of(st.none(),
+                        st.integers(-50, 50).map(float))),   # measure m
+    min_size=1, max_size=30)
+_star_dim = st.lists(
+    st.tuples(st.integers(0, 4),                             # dim key (dups OK)
+              st.sampled_from(["a", "b", None])),            # attr
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(fact_rows=_star_fact, dim_rows=_star_dim,
+       flt=st.sampled_from([None, "a", "b"]))
+def test_star_route_equals_direct_property(spark, tmp_path_factory,
+                                           fact_rows, dim_rows, flt):
+    """Eager-aggregation star routing == direct join-then-aggregate for
+    ANY data — NULL join keys (dropped by the inner join on both forms),
+    NULL measures, duplicate dim keys (grain partials duplicate
+    identically on both forms), empty results — with and without the
+    dim-attribute WHERE filter (VERDICT r6 item 6)."""
+    from inspectadb_spark.engine import Engine
+    from inspectadb_spark.operators.mv import MVDef
+
+    eng = Engine(spark, SF_DIR, str(tmp_path_factory.mktemp("eng_star_p")))
+    fact = spark.createDataFrame(fact_rows, "k int, m double")
+    dim = spark.createDataFrame(dim_rows, "k int, attr string")
+    eng.tables["fact_p"] = fact
+    eng.tables["dim_p"] = dim
+    eng.register_mv(
+        MVDef(name="mv_fact_p", keys=("k",),
+              measures={"s": ("sum", "m"), "c": ("count", "*"),
+                        "cm": ("count", "m")}),
+        "fact_p")
+    dim_where = [] if flt is None else [("attr", f"'{flt}'")]
+    served = eng._route_star(
+        ("fact_p", "dim_p", "k", "k",
+         [("key", "dim", "attr"), ("agg", "sum", "m", "s"),
+          ("agg", "count", "*", "n"), ("agg", "avg", "m", "a")],
+         dim_where))
+    assert served is not None
+    routed, prov = served
+    assert prov.startswith("star:")
+    direct = fact.join(dim, "k")
+    if flt is not None:
+        direct = direct.filter(F.col("attr") == flt)
+    tot = "CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE)"
+    direct = direct.groupBy("attr").agg(
+        F.expr(f"{tot} AS s"), F.expr("COUNT(*) AS n"),
+        F.expr(f"{tot} / COUNT(m) AS a"))
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(str(x) for x in r) for r in df.collect())
+    assert canon(routed) == canon(direct)
