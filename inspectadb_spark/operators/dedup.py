@@ -610,6 +610,24 @@ def winnowing_neardup_pairs(
     fingerprint sizes broadcast back onto the summed pairs. The per-doc
     window is partitioned by doc id (batch-local, no global sort).
     """
+    fps = winnowing_fingerprints(docs, k=k, w=w, text_col=text_col,
+                                 id_col=id_col)
+    return neardup_pairs_from_postings(
+        fps, stop_df=stop_df, min_shared=min_shared,
+        min_overlap_ppm=min_overlap_ppm, id_col=id_col)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc robust-winnowing fingerprint postings: md5 character
+    ``k``-grams, min per sliding window of ``w`` gram positions,
+    distinct per doc — one (id, fp) row per posting. The per-doc window
+    partitions by doc id (batch-local, no global sort), so this
+    transform is micro-batch-safe: the streaming registry applies it
+    per batch and the result is identical to the batch run because a
+    doc's postings depend on that doc's text alone."""
     grams = docs.filter(F.length(text_col) >= k).select(
         F.col(id_col),
         F.posexplode(F.expr(
@@ -618,9 +636,23 @@ def winnowing_neardup_pairs(
         .alias("pos", "h"))
     win = Window.partitionBy(id_col).orderBy("pos") \
         .rowsBetween(Window.currentRow, w - 1)
-    fps = (grams
-           .select(id_col, F.min("h").over(win).alias("fp"))
-           .distinct())
+    return (grams
+            .select(id_col, F.min("h").over(win).alias("fp"))
+            .distinct())
+
+
+def neardup_pairs_from_postings(
+    fps: DataFrame, stop_df: int = 50, min_shared: int = 5,
+    min_overlap_ppm: int = 500_000, id_col: str = "doc_id",
+) -> DataFrame:
+    """Pair-finding over a (id, fp) posting table — shared by the batch
+    ``winnowing_neardup_pairs`` and the streaming WinnowingRegistry's
+    ``pairs()`` read, so batch ≡ stream is the same code path by
+    construction. The stop list (df > stop_df) is computed over the
+    postings given, i.e. the FULL corpus indexed so far — streaming
+    evaluates it at read time over the maintained index, never frozen
+    at ingest time (a fingerprint that becomes stop after more docs
+    arrive is retroactively blocklisted, exactly like a batch rerun)."""
     stops = (fps.groupBy("fp").agg(F.count("*").alias("df"))
              .filter(F.col("df") > stop_df).select("fp"))
     keep = fps.join(F.broadcast(stops), "fp", "left_anti")

@@ -265,3 +265,87 @@ class BloomDedupRegistry(DedupRegistry):
         state_out = os.path.join(self.state_dir, f"v{self._version}")
         merged.write.mode("overwrite").parquet(state_out)
         self._swap_ptr([state_out], batch_id, prev_paths)
+
+
+class WinnowingRegistry(DedupRegistry):
+    """Incremental winnowing fingerprint index over a document stream —
+    the live form of the q268 near-dup pair finder.
+
+    Per micro-batch, each document's robust-winnowing postings
+    (``operators/dedup.py::winnowing_fingerprints`` — a per-doc
+    transform, so the per-batch result is identical to a batch run) are
+    folded into the persisted index with the inherited delta-state
+    machinery: first-seen doc wins (a re-delivered or re-crawled doc id
+    adds no second posting set), O(batch postings) state I/O per batch,
+    periodic compaction, atomic pointer swap with one-swap reader grace,
+    crash-redelivery guard, and init-time GC — all the S36/S41/S42/S43
+    contracts, unchanged, because the index rows ARE the registry keys
+    ((doc_id, fp) pairs).
+
+    ``pairs()`` evaluates the q268 pair semantics over the CURRENT
+    index through the same shared code path as the batch operator
+    (``neardup_pairs_from_postings``), so batch ≡ stream by
+    construction — including the stop list, which is recomputed at read
+    time over everything indexed so far rather than frozen per batch (a
+    fingerprint whose document frequency crosses ``stop_df`` after more
+    docs arrive is retroactively blocklisted, exactly as a batch rerun
+    would).
+
+    100 TB design: index state is one (doc_id, fp) row per posting —
+    md5 strings, never document payloads; per-batch work is one
+    batch-local fingerprint transform plus a postings-vs-index anti
+    join on doc_id; ``pairs()`` is the fingerprint-bucketed equi-join
+    whose per-bucket cost the broadcast stop list bounds by stop_df².
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str, out_dir: str,
+                 k: int = 8, w: int = 4, stop_df: int = 50,
+                 min_shared: int = 5, min_overlap_ppm: int = 500_000,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 compact_every: int = 8) -> None:
+        super().__init__(spark, state_dir, out_dir,
+                         key_cols=[id_col, "fp"], order_cols=[id_col],
+                         compact_every=compact_every)
+        self._win = (k, w, text_col, id_col)
+        self._pairs = (stop_df, min_shared, min_overlap_ppm)
+
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from inspectadb_spark.operators.dedup import winnowing_fingerprints
+
+        committed = self._read_ptr()
+        if self._guarded(committed, batch_id):
+            return
+        k, w, text_col, id_col = self._win
+        fps = winnowing_fingerprints(batch, k=k, w=w, text_col=text_col,
+                                     id_col=id_col)
+        seen = self.seen_keys()
+        if seen is not None:
+            # first-seen doc wins: a re-delivered doc id contributes no
+            # postings at all (doc-grain anti join, not posting-grain,
+            # so a re-crawl with CHANGED text cannot half-merge)
+            fps = fps.join(seen.select(id_col).distinct(),
+                           id_col, "left_anti")
+        super()._apply_batch(fps, batch_id)
+
+    def index(self) -> DataFrame | None:
+        """The maintained (doc_id, fp) posting table (None before any
+        batch commits)."""
+        return self.seen_keys()
+
+    def pairs(self) -> DataFrame:
+        """q268 near-dup pairs over everything indexed so far — the
+        exact batch operator on the maintained postings."""
+        from inspectadb_spark.operators.dedup import (
+            neardup_pairs_from_postings,
+        )
+
+        fps = self.index()
+        if fps is None:
+            _, _, _, id_col = self._win
+            return self.spark.createDataFrame(
+                [], f"doc_a long, doc_b long, n_shared bigint, "
+                    f"overlap_ppm bigint")
+        stop_df, min_shared, min_overlap_ppm = self._pairs
+        return neardup_pairs_from_postings(
+            fps, stop_df=stop_df, min_shared=min_shared,
+            min_overlap_ppm=min_overlap_ppm, id_col=self._win[3])

@@ -2078,3 +2078,71 @@ def test_s43_dedup_registry_init_gc_reclaims_leaked_state(spark, tmp_path):
     assert reg2.seen_keys().count() == 3
     emitted = sorted(r["k"] for r in reg2.emitted().collect())
     assert emitted == [1, 2, 3]
+
+
+# S44 streaming winnowing registry (the q268 pair-finder's live form):
+# documents replayed in 4 chunks maintain a persistent (doc_id, fp)
+# posting index via the delta-state machinery; after draining, pairs()
+# over the maintained index must hash-equal the batch
+# winnowing_neardup_pairs over the full corpus (shared code path, stop
+# list recomputed at read time). State I/O is O(batch postings) per
+# micro-batch (S42 contract) and redelivery is a no-op (S36 contract).
+def test_s44_streaming_winnowing_registry(spark, tmp_path):
+    from inspectadb_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_neardup_pairs,
+    )
+    from inspectadb_spark.streaming.dedup_registry import WinnowingRegistry
+
+    src = str(tmp_path / "docs_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    step = (t.num_rows + 3) // 4
+    now = time.time()
+    for i in range(4):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    reg = WinnowingRegistry(spark, str(tmp_path / "st"),
+                            str(tmp_path / "out"), compact_every=3)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = reg.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    docs = spark.read.parquet(src)
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(str(x) for x in r) for r in df.collect())
+    # batch ≡ stream: the maintained index reproduces the batch pairs
+    assert canon(reg.pairs()) == canon(winnowing_neardup_pairs(docs))
+    # ...because the index IS the batch posting table
+    assert canon(reg.index()) == canon(winnowing_fingerprints(docs))
+
+    # S42 contract: the next batch's state write is one delta holding
+    # exactly that batch's postings, not a rewrite of the whole index
+    extra = spark.createDataFrame(
+        [(900_001, "the winnowing scheme fingerprints every substring "
+                   "window of this brand new document exactly once")],
+        "doc_id long, text string")
+    n_index = reg.index().count()
+    n_extra = winnowing_fingerprints(extra).count()
+    assert n_extra > 0
+    reg._apply_batch(extra, 10_000)
+    paths = reg._read_ptr()["paths"]
+    assert spark.read.parquet(paths[-1]).count() == n_extra
+    assert reg.index().count() == n_index + n_extra
+
+    # S36 contract: crash-window redelivery of the same batch is a no-op
+    reg._apply_batch(extra, 10_000)
+    assert reg.index().count() == n_index + n_extra
+    # first-seen doc wins: a re-crawl of an indexed id (changed text)
+    # contributes no postings at all
+    recrawl = spark.createDataFrame(
+        [(900_001, "completely different text for the same identifier "
+                   "that must not half-merge into the posting set")],
+        "doc_id long, text string")
+    reg._apply_batch(recrawl, 10_001)
+    assert reg.index().count() == n_index + n_extra
