@@ -85,6 +85,9 @@ _NEVER_REST = [
     "q94_cms_estimates", "q191_wilson_ci", "q196_calibration_bins",
     "q215_weighted_median", "q244_theil_sen",
     "q245_join_cardinality_audit",
+    # round-7 additions (behind this round's frozen window)
+    "q279_welch_ttest", "q280_avg_precision", "q281_cramers_v",
+    "q282_mcnemar", "q283_js_divergence", "q284_shingle_containment",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

@@ -715,3 +715,58 @@ def dedup_weighted_tokens(
                    " DIV nullif(raw_tokens, 0)")
             .cast("bigint").alias("dup_ppm"))
     )
+
+
+def shingle_containment_pairs(
+    docs: DataFrame, n: int = 5, stop_df: int = 20, min_shared: int = 3,
+    min_containment_ppm: int = 500_000,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs over word ``n``-gram
+    shingles: containment(A in B) = |S(A) ∩ S(B)| / |S(A)| — the
+    Broder containment measure that catches SUBSET duplication (a doc
+    quoting or embedding another) which symmetric Jaccard dilutes to
+    noise when the container is much larger. Emits one row per
+    unordered candidate pair with BOTH directional containments; a pair
+    survives when either direction clears ``min_containment_ppm``.
+
+    Scale shape (100 TB): same skeleton as ``winnowing_neardup_pairs``
+    — distinct (doc, shingle-md5) postings, a broadcast LEFT ANTI stop
+    list (document frequency > ``stop_df``) bounding every shingle
+    bucket, then a shingle-key equi-join (per-bucket cost ≤ stop_df²,
+    never doc×doc) and two broadcast-size joins for the per-doc shingle
+    counts. Integer-ppm division, deterministic everywhere."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(size(split({text_col}, ' ')) "
+            f"- {n - 1}, 0)), i -> "
+            f"md5(concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"))
+        .alias("g")).distinct()
+    stops = (grams.groupBy("g").agg(F.count("*").alias("df"))
+             .filter(F.col("df") > stop_df).select("g"))
+    keep = grams.join(F.broadcast(stops), "g", "left_anti")
+    sizes = keep.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = keep.select(F.col(id_col).alias("doc_a"), "g")
+    b = keep.select(F.col(id_col).alias("doc_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_sh").alias("_nb"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.expr("n_shared * 1000000 DIV _na").cast("bigint")
+            .alias("cont_a_in_b_ppm"),
+            F.expr("n_shared * 1000000 DIV _nb").cast("bigint")
+            .alias("cont_b_in_a_ppm"))
+        .filter(F.expr(f"greatest(n_shared * 1000000 DIV _na,"
+                       f" n_shared * 1000000 DIV _nb)"
+                       f" >= {min_containment_ppm}")))

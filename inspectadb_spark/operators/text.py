@@ -999,3 +999,71 @@ def heldout_unigram_xent(docs: DataFrame, train_pct: int = 80,
         .alias("oov_ppm"),
         F.expr("CAST(ROUND(CAST(CAST(-SUM(lp) AS DOUBLE) / COUNT(*)"
                " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("xent_nats"))
+
+
+def js_divergence_pairs(docs: DataFrame, group_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two groups'
+    unigram distributions — the symmetric, bounded ([0, ln 2]) mixture
+    distance ``source_divergence``'s one-sided KL cannot give: which
+    sources are interchangeable and which are genuinely different, the
+    input a mixture-weight optimizer (q126/q249) actually wants.
+
+    Decomposition that avoids a vocab-level full outer join: with
+    m = (p+q)/2, tokens present in only one side contribute exactly
+    p·ln2 (since p·ln(p/(p/2)) = p·ln2), so
+
+        JSD = ½·[ Σ_shared (p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+                  + (1-Σ_shared p)·ln2 + (1-Σ_shared q)·ln2 ]
+
+    needs ONE inner join on the token key plus each side's exact shared
+    token mass. Determinism: per-shared-token terms are computed from
+    exact integer counts in double (the ratio inside ln uses the
+    integer cross products ca·nb / cb·na, so no intermediate division)
+    and quantized to DECIMAL(18,6) before summation — aggregation-order
+    exact on both engines (the ``source_divergence`` recipe); the
+    only-mass remainder folds exact integer sums in one final
+    expression.
+
+    Scale shape (100 TB): the token stream shuffles once into (group,
+    token) counts; the pair table is an equi-join on the token key
+    between two copies of that already-aggregated table (|vocab| rows a
+    side, never corpus rows), group totals broadcast back, and the
+    output is |groups choose 2| rows."""
+    toks = docs.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    gt = toks.groupBy("g", "tok").agg(F.count("*").alias("c"))
+    tot = gt.groupBy("g").agg(F.sum("c").alias("n"))
+    a = gt.select(F.col("g").alias("ga"), "tok", F.col("c").alias("ca"))
+    b = gt.select(F.col("g").alias("gb"), "tok", F.col("c").alias("cb"))
+    na = tot.select(F.col("g").alias("ga"), F.col("n").alias("na"))
+    nb = tot.select(F.col("g").alias("gb"), F.col("n").alias("nb"))
+    term = (
+        "CAST((CAST(ca AS DOUBLE) / na)"
+        " * ln(2.0 * ca * nb / (CAST(ca AS DOUBLE) * nb"
+        "                       + CAST(cb AS DOUBLE) * na))"
+        " + (CAST(cb AS DOUBLE) / nb)"
+        " * ln(2.0 * cb * na / (CAST(ca AS DOUBLE) * nb"
+        "                       + CAST(cb AS DOUBLE) * na))"
+        " AS DECIMAL(18,6))")
+    shared = (
+        a.join(b, "tok").filter(F.col("ga") < F.col("gb"))
+        .join(F.broadcast(na), "ga").join(F.broadcast(nb), "gb")
+        .select("ga", "gb", "na", "nb", "ca", "cb",
+                F.expr(term).alias("term")))
+    agg = shared.groupBy("ga", "gb", "na", "nb").agg(
+        F.count("*").cast("bigint").alias("n_shared_vocab"),
+        F.sum("term").alias("s"),
+        F.sum("ca").cast("bigint").alias("sca"),
+        F.sum("cb").cast("bigint").alias("scb"))
+    jsd = ("0.5 * (CAST(s AS DOUBLE)"
+           " + (1 - CAST(sca AS DOUBLE) / na) * ln(2)"
+           " + (1 - CAST(scb AS DOUBLE) / nb) * ln(2))")
+    return agg.select(
+        F.col("ga").alias("source_a"), F.col("gb").alias("source_b"),
+        "n_shared_vocab",
+        F.round(F.expr(jsd).cast("decimal(18,6)"), 4).cast("double")
+        .alias("jsd"),
+        F.round(F.expr(f"({jsd}) / ln(2)").cast("decimal(18,6)"), 4)
+        .cast("double").alias("jsd_norm"))

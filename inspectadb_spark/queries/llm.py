@@ -1578,3 +1578,48 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return dedup_weighted_tokens(docs).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q284 asymmetric shingle-containment near-dup pairs (operators/dedup.py::
+# shingle_containment_pairs): Broder containment |S(A)∩S(B)|/|S(A)| over
+# word 5-gram md5 shingles — the subset-duplication detector (a doc
+# quoting or embedding another) that symmetric Jaccard dilutes when the
+# container is much larger. Stop shingles (df > 20) broadcast LEFT ANTI;
+# candidates from the shingle-key equi-join, per-bucket cost ≤ stop_df²;
+# integer-ppm containments both directions.
+@query(
+    "q284_shingle_containment",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS g
+      FROM t, UNNEST(generate_series(1, len(tk) - 4)) AS u(i)),
+    stops AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+              WHERE df > 20),
+    keep AS (SELECT * FROM g WHERE g NOT IN (SELECT g FROM stops)),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM keep GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+      HAVING COUNT(*) >= 3)
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared * 1000000 // sa.n_sh AS BIGINT) AS cont_a_in_b_ppm,
+           CAST(n_shared * 1000000 // sb.n_sh AS BIGINT) AS cont_b_in_a_ppm
+    FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE GREATEST(n_shared * 1000000 // sa.n_sh,
+                   n_shared * 1000000 // sb.n_sh) >= 500000
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Asymmetric word-5-gram containment near-dup pairs: stop-filtered "
+        "shingle equi-join, both directional containments in integer ppm, "
+        "pair survives when either direction clears 50%.",
+)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import shingle_containment_pairs
+
+    docs = tables(spark, sf_dir)["documents"]
+    return shingle_containment_pairs(docs).orderBy("doc_a", "doc_b")

@@ -2452,3 +2452,320 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " / ((qt - sb) / (n - k))")).alias("f_stat"),
         r4c(F.expr("(sb - st * st / n) / (qt - st * st / n)"))
         .alias("eta_sq"))
+
+
+# --------------------------------------------------------------------------
+# Q279 Welch's unequal-variance t-test: do urgent-priority orders carry a
+# different mean total than the rest? Per-group sufficient statistics
+# (n, sum, sum-of-squares of exact integer cents) in DECIMAL(38,0)/
+# HUGEINT — one conditional global aggregation, no per-row float math —
+# then t, the Welch–Satterthwaite df, and Cohen's d (pooled-sd) fold the
+# six exact numbers in IEEE double with identical expression text on
+# both engines. The curation A/B primitive: "did the new filter change
+# mean document quality?" at any corpus size in one map-side-combinable
+# pass.
+@query(
+    "q279_welch_ttest",
+    oracle=f"""
+    WITH b AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    s AS (
+      SELECT CAST(SUM(grp) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(grp) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN grp = 1 THEN CAST(cents AS HUGEINT)
+                           ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN grp = 0 THEN CAST(cents AS HUGEINT)
+                           ELSE 0 END) AS DOUBLE) AS s2,
+             CAST(SUM(CASE WHEN grp = 1 THEN CAST(cents AS HUGEINT) * cents
+                           ELSE 0 END) AS DOUBLE) AS q1,
+             CAST(SUM(CASE WHEN grp = 0 THEN CAST(cents AS HUGEINT) * cents
+                           ELSE 0 END) AS DOUBLE) AS q2
+      FROM b),
+    v AS (
+      SELECT n1, n2,
+             (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+             (q2 - s2 * s2 / n2) / (n2 - 1) AS v2,
+             s1 / n1 - s2 / n2 AS md
+      FROM s)
+    SELECT n1, n2,
+           {r4("md / 100")} AS mean_diff,
+           {r4("md / sqrt(v1 / n1 + v2 / n2)")} AS t_stat,
+           {r4("(v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)"
+               " / ((v1 / n1) * (v1 / n1) / (n1 - 1)"
+               "    + (v2 / n2) * (v2 / n2) / (n2 - 1))")} AS df_welch,
+           {r4("md / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))")}
+             AS cohens_d
+    FROM v
+    """,
+    doc="Welch's unequal-variance t of urgent vs non-urgent order totals "
+        "with Welch-Satterthwaite df and pooled-sd Cohen's d — exact "
+        "integer sufficient statistics, one aggregation pass.",
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tables(spark, sf_dir)["orders"].select(
+        F.expr("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+               " THEN 1 ELSE 0 END").alias("grp"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    s = b.agg(
+        F.sum("grp").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("n2"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN CAST(cents AS DECIMAL(38,0))"
+                     " ELSE 0 END")).cast("double").alias("s1"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN CAST(cents AS DECIMAL(38,0))"
+                     " ELSE 0 END")).cast("double").alias("s2"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN CAST(cents AS DECIMAL(38,0))"
+                     " * cents ELSE 0 END")).cast("double").alias("q1"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN CAST(cents AS DECIMAL(38,0))"
+                     " * cents ELSE 0 END")).cast("double").alias("q2"))
+    v = s.select(
+        "n1", "n2",
+        F.expr("(q1 - s1 * s1 / n1) / (n1 - 1)").alias("v1"),
+        F.expr("(q2 - s2 * s2 / n2) / (n2 - 1)").alias("v2"),
+        F.expr("s1 / n1 - s2 / n2").alias("md"))
+    return v.select(
+        "n1", "n2",
+        r4c(F.expr("md / 100")).alias("mean_diff"),
+        r4c(F.expr("md / sqrt(v1 / n1 + v2 / n2)")).alias("t_stat"),
+        r4c(F.expr(
+            "(v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)"
+            " / ((v1 / n1) * (v1 / n1) / (n1 - 1)"
+            "    + (v2 / n2) * (v2 / n2) / (n2 - 1))")).alias("df_welch"),
+        r4c(F.expr(
+            "md / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))"))
+        .alias("cohens_d"))
+
+
+# --------------------------------------------------------------------------
+# Q280 average precision (area under the precision-recall step curve) per
+# event type, one-vs-rest with score = value: AP = Σ_v (pos_v/n_pos) ·
+# precision(v) over distinct thresholds v descending, ties grouped —
+# the retrieval/calibration complement to q185's ROC AUC (PR is the
+# one that moves under class imbalance, the common case for curation
+# classifiers). Same distributed shape as q185: per-value counts, the
+# all-types cumulative via the bucket-offset two-level scan (never a
+# single-task global window), per-type cumulative partitioned by type.
+# Per-threshold precision terms are quantized to DECIMAL(18,6) BEFORE
+# summation (q166 convention) so the sum is aggregation-order-exact on
+# both engines; the one division by n_pos happens once at the end.
+@query(
+    "q280_avg_precision",
+    oracle="""
+    WITH c AS (SELECT event_type, value AS v, COUNT(*) AS n
+               FROM events GROUP BY event_type, v),
+    cv AS (SELECT v, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY v),
+    cw AS (SELECT v, tot,
+                  CAST(SUM(tot) OVER (ORDER BY v) - tot AS BIGINT)
+                    AS cum_tot_less
+           FROM cv),
+    ct AS (SELECT event_type, v, n,
+                  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY v) - n
+                       AS BIGINT) AS cum_pos_less
+           FROM c),
+    na AS (SELECT COUNT(*) AS n_all FROM events),
+    np AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_pos
+           FROM c GROUP BY event_type),
+    terms AS (
+      SELECT ct.event_type, n,
+             ROUND(CAST(CAST(n AS DOUBLE)
+                        * (n_pos - cum_pos_less)
+                        / (n_all - cum_tot_less)
+                        AS DECIMAL(18,6)), 6) AS term
+      FROM ct JOIN cw USING (v) CROSS JOIN na
+      JOIN np ON np.event_type = ct.event_type)
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n_pos,
+           CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) / SUM(n)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS ap
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    doc="One-vs-rest average precision (PR-curve area) per event type: "
+        "tie-grouped thresholds, order-exact decimal term sums, one "
+        "division at the end.",
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    c = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count("*").alias("n"))
+    cv = c.groupBy("v").agg(F.sum("n").alias("tot"))
+    # all-types cumulative: bucket-partitioned running sum + bounded
+    # carry scan (q185's two-level shape; the oracle keeps the plain
+    # global window — same values, single-process DuckDB doesn't care)
+    bkt = cv.withColumn("bkt", F.expr("CAST(FLOOR(v) AS BIGINT)"))
+    w_in = Window.partitionBy("bkt").orderBy("v")
+    local = bkt.withColumn("cum_in", F.sum("tot").over(w_in))
+    nets = bkt.groupBy("bkt").agg(F.sum("tot").alias("net"))
+    w_carry = Window.orderBy("bkt")  # |buckets| rows — bounded
+    carry = nets.withColumn(
+        "carry", F.sum("net").over(w_carry) - F.col("net")).select(
+        "bkt", "carry")
+    cw = local.join(F.broadcast(carry), "bkt").select(
+        "v", "tot",
+        (F.col("carry") + F.col("cum_in") - F.col("tot"))
+        .alias("cum_tot_less"))
+    ct = c.select(
+        "event_type", "v", "n",
+        (F.sum("n").over(Window.partitionBy("event_type").orderBy("v"))
+         - F.col("n")).alias("cum_pos_less"))
+    na = ev.agg(F.count("*").alias("n_all"))
+    np_ = c.groupBy("event_type").agg(F.sum("n").alias("n_pos"))
+    terms = (ct.join(cw, "v").join(F.broadcast(na))
+             .join(F.broadcast(np_), "event_type")
+             .select(
+                 "event_type", "n",
+                 F.round(F.expr(
+                     "CAST(n AS DOUBLE) * (n_pos - cum_pos_less)"
+                     " / (n_all - cum_tot_less)").cast("decimal(18,6)"), 6)
+                 .alias("term")))
+    return (
+        terms.groupBy("event_type")
+        .agg(F.sum("n").cast("bigint").alias("n_pos"),
+             F.round(F.expr("CAST(SUM(term) AS DOUBLE) / SUM(n)")
+                     .cast("decimal(18,6)"), 4).cast("double").alias("ap"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q281 Cramér's V association between order priority and order status:
+# the [0,1]-normalized effect size on top of the q166 chi-square
+# machinery — "are these two categoricals related, and how much" as one
+# number, the first screen before using a column as a stratification
+# key. Contingency cells from one map-side-combinable aggregation
+# (bounded by the category domains, never row count); per-cell chi2
+# terms quantized to DECIMAL BEFORE summation (order-exact); V and the
+# Bergsma bias-corrected V~ fold the exact totals in shared expression
+# text.
+@query(
+    "q281_cramers_v",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS obs
+      FROM orders GROUP BY a, b),
+    rt AS (SELECT a, SUM(obs) AS r FROM o GROUP BY a),
+    ct AS (SELECT b, SUM(obs) AS c FROM o GROUP BY b),
+    nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT a) AS BIGINT) AS ra,
+                  CAST(COUNT(DISTINCT b) AS BIGINT) AS cb
+           FROM o),
+    cells AS (
+      SELECT ROUND(CAST((CAST(obs AS DOUBLE) - CAST(r * c AS DOUBLE) / n)
+                        * (CAST(obs AS DOUBLE) - CAST(r * c AS DOUBLE) / n)
+                        / (CAST(r * c AS DOUBLE) / n)
+                        AS DECIMAL(18,6)), 6) AS term
+      FROM o JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nn),
+    s AS (SELECT CAST(SUM(term) AS DOUBLE) AS chi2 FROM cells)
+    SELECT n, ra, cb,
+           {r4("chi2")} AS chi2,
+           CAST((ra - 1) * (cb - 1) AS BIGINT) AS dof,
+           {r4("sqrt(chi2 / (n * (least(ra, cb) - 1)))")} AS cramers_v,
+           {r4("sqrt(greatest(chi2 / n - CAST((ra-1)*(cb-1) AS DOUBLE)"
+               " / (n - 1), 0)"
+               " / (least(ra - CAST((ra-1)*(ra-1) AS DOUBLE) / (n - 1),"
+               "          cb - CAST((cb-1)*(cb-1) AS DOUBLE) / (n - 1))"
+               "    - 1))")} AS cramers_v_corrected
+    FROM s CROSS JOIN nn
+    """,
+    doc="Cramér's V (and Bergsma bias-corrected V) between order "
+        "priority and status: contingency cells bounded by the category "
+        "domains, order-exact decimal chi-square.",
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (tables(spark, sf_dir)["orders"]
+         .groupBy(F.col("o_orderpriority").alias("a"),
+                  F.col("o_orderstatus").alias("b"))
+         .agg(F.count("*").alias("obs")))
+    rt = o.groupBy("a").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("b").agg(F.sum("obs").alias("c"))
+    nn = o.agg(F.sum("obs").cast("bigint").alias("n"),
+               F.countDistinct("a").cast("bigint").alias("ra"),
+               F.countDistinct("b").cast("bigint").alias("cb"))
+    e = "CAST(r * c AS DOUBLE) / n"
+    cells = (o.join(F.broadcast(rt), "a").join(F.broadcast(ct), "b")
+             .join(F.broadcast(nn))
+             .select(F.round(F.expr(
+                 f"(CAST(obs AS DOUBLE) - {e}) * (CAST(obs AS DOUBLE) - {e})"
+                 f" / ({e})").cast("decimal(18,6)"), 6).alias("term")))
+    s = cells.agg(F.sum("term").cast("double").alias("chi2"))
+    return s.join(F.broadcast(nn)).select(
+        "n", "ra", "cb",
+        r4c(F.col("chi2")).alias("chi2"),
+        F.expr("CAST((ra - 1) * (cb - 1) AS BIGINT)").alias("dof"),
+        r4c(F.expr("sqrt(chi2 / (n * (least(ra, cb) - 1)))"))
+        .alias("cramers_v"),
+        r4c(F.expr(
+            "sqrt(greatest(chi2 / n - CAST((ra-1)*(cb-1) AS DOUBLE)"
+            " / (n - 1), 0)"
+            " / (least(ra - CAST((ra-1)*(ra-1) AS DOUBLE) / (n - 1),"
+            "          cb - CAST((cb-1)*(cb-1) AS DOUBLE) / (n - 1))"
+            "    - 1))")).alias("cramers_v_corrected"))
+
+
+# --------------------------------------------------------------------------
+# Q282 McNemar's paired test: did customer purchase behavior change
+# between 1996 and 1997? Each customer is its own control (paired binary
+# outcome bought-in-y1 / bought-in-y2 over the full customer universe),
+# so the test reads ONLY the discordant cells: chi2 = (b-c)^2/(b+c),
+# plus the Edwards continuity-corrected form and the odds ratio b/c.
+# Scale shape: two year-filtered semi-aggregations to customer grain,
+# one outer-join-free conditional fold via max() flags — a single
+# groupBy(custkey) pass over the orders scan, then a 4-cell fold.
+@query(
+    "q282_mcnemar",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_custkey AS cust,
+             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS y1,
+             MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS y2
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY cust),
+    u AS (
+      SELECT c.c_custkey, COALESCE(f.y1, 0) AS y1, COALESCE(f.y2, 0) AS y2
+      FROM customer c LEFT JOIN f ON f.cust = c.c_custkey),
+    s AS (
+      SELECT CAST(SUM(y1 * y2) AS BIGINT) AS n11,
+             CAST(SUM(y1 * (1 - y2)) AS BIGINT) AS n10,
+             CAST(SUM((1 - y1) * y2) AS BIGINT) AS n01,
+             CAST(SUM((1 - y1) * (1 - y2)) AS BIGINT) AS n00
+      FROM u)
+    SELECT n11, n10, n01, n00,
+           {r4("CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)")}
+             AS chi2,
+           {r4("(abs(CAST(n10 - n01 AS DOUBLE)) - 1)"
+               " * (abs(CAST(n10 - n01 AS DOUBLE)) - 1) / (n10 + n01)")}
+             AS chi2_cc,
+           {r4("CAST(n10 AS DOUBLE) / n01")} AS odds_ratio
+    FROM s
+    """,
+    doc="McNemar's paired test of 1996-vs-1997 customer purchase flags "
+        "over the full customer universe: discordant-cell chi2, "
+        "continuity-corrected form, odds ratio.",
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    f = (t["orders"]
+         .filter(F.expr("year(o_orderdate) IN (1996, 1997)"))
+         .groupBy(F.col("o_custkey").alias("cust"))
+         .agg(F.max(F.expr("CASE WHEN year(o_orderdate) = 1996"
+                           " THEN 1 ELSE 0 END")).alias("y1"),
+              F.max(F.expr("CASE WHEN year(o_orderdate) = 1997"
+                           " THEN 1 ELSE 0 END")).alias("y2")))
+    u = (t["customer"].join(f, t["customer"]["c_custkey"] == f["cust"],
+                            "left")
+         .select(F.expr("COALESCE(y1, 0)").alias("y1"),
+                 F.expr("COALESCE(y2, 0)").alias("y2")))
+    s = u.agg(
+        F.sum(F.expr("y1 * y2")).cast("bigint").alias("n11"),
+        F.sum(F.expr("y1 * (1 - y2)")).cast("bigint").alias("n10"),
+        F.sum(F.expr("(1 - y1) * y2")).cast("bigint").alias("n01"),
+        F.sum(F.expr("(1 - y1) * (1 - y2)")).cast("bigint").alias("n00"))
+    return s.select(
+        "n11", "n10", "n01", "n00",
+        r4c(F.expr("CAST((n10 - n01) * (n10 - n01) AS DOUBLE)"
+                   " / (n10 + n01)")).alias("chi2"),
+        r4c(F.expr("(abs(CAST(n10 - n01 AS DOUBLE)) - 1)"
+                   " * (abs(CAST(n10 - n01 AS DOUBLE)) - 1)"
+                   " / (n10 + n01)")).alias("chi2_cc"),
+        r4c(F.expr("CAST(n10 AS DOUBLE) / n01")).alias("odds_ratio"))

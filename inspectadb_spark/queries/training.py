@@ -1753,3 +1753,60 @@ def q267b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables(spark, sf_dir)["embeddings"]
     return mutual_nn_ann(e).orderBy("id_a")
+
+
+# --------------------------------------------------------------------------
+# Q283 pairwise Jensen-Shannon divergence between source unigram
+# distributions (operators/text.py::js_divergence_pairs): the symmetric
+# bounded mixture distance q134's one-sided KL can't give — which
+# sources are interchangeable, which genuinely differ. One token-key
+# equi-join between per-source count tables (never a vocab outer join:
+# single-side tokens contribute exactly p·ln2, folded from exact shared
+# masses); per-term decimal quantization keeps the sum order-exact.
+@query(
+    "q283_js_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE source IS NOT NULL),
+    gt AS (SELECT g, tok, COUNT(*) AS c FROM toks GROUP BY g, tok),
+    tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM gt GROUP BY g),
+    sh AS (
+      SELECT a.g AS ga, b.g AS gb, na.n AS na, nb.n AS nb,
+             a.c AS ca, b.c AS cb,
+             CAST((CAST(a.c AS DOUBLE) / na.n)
+                  * ln(2.0 * a.c * nb.n / (CAST(a.c AS DOUBLE) * nb.n
+                                           + CAST(b.c AS DOUBLE) * na.n))
+                  + (CAST(b.c AS DOUBLE) / nb.n)
+                  * ln(2.0 * b.c * na.n / (CAST(a.c AS DOUBLE) * nb.n
+                                           + CAST(b.c AS DOUBLE) * na.n))
+                  AS DECIMAL(18,6)) AS term
+      FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g
+      JOIN tot na ON na.g = a.g JOIN tot nb ON nb.g = b.g),
+    agg AS (
+      SELECT ga, gb, na, nb,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_vocab,
+             SUM(term) AS s,
+             CAST(SUM(ca) AS BIGINT) AS sca,
+             CAST(SUM(cb) AS BIGINT) AS scb
+      FROM sh GROUP BY ga, gb, na, nb)
+    SELECT ga AS source_a, gb AS source_b, n_shared_vocab,
+           CAST(ROUND(CAST(0.5 * (CAST(s AS DOUBLE)
+                + (1 - CAST(sca AS DOUBLE) / na) * ln(2)
+                + (1 - CAST(scb AS DOUBLE) / nb) * ln(2))
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS jsd,
+           CAST(ROUND(CAST((0.5 * (CAST(s AS DOUBLE)
+                + (1 - CAST(sca AS DOUBLE) / na) * ln(2)
+                + (1 - CAST(scb AS DOUBLE) / nb) * ln(2))) / ln(2)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS jsd_norm
+    FROM agg ORDER BY source_a, source_b
+    """,
+    doc="Pairwise Jensen-Shannon divergence between source unigram "
+        "distributions (nats and ln2-normalized), shared-token join "
+        "plus exact only-mass fold — the symmetric mixture distance.",
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.text import js_divergence_pairs
+
+    docs = tables(spark, sf_dir)["documents"]
+    return js_divergence_pairs(docs).orderBy("source_a", "source_b")

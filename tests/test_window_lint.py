@@ -64,6 +64,7 @@ _EXPECTED = {
     # day grain trend MA; the dt subtree is duplicated under the se join
     "q272_seasonal_decompose": [("Aggregate",)] * 2,
     "q185_auc": [("Aggregate",)],                   # score-bin table
+    "q280_avg_precision": [("Aggregate",)],         # q185's carry scan
     "q214_lorenz_deciles": [("Aggregate",)] * 2,    # decile cut table
     "q233_pareto_point": [("Aggregate",), ("Window", "Join")],  # day grain
     "q235_abc_classification": [("Aggregate",), ("Window", "Join")],  # parts
