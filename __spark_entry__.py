@@ -88,6 +88,8 @@ _NEVER_REST = [
     # round-7 additions (behind this round's frozen window)
     "q279_welch_ttest", "q280_avg_precision", "q281_cramers_v",
     "q282_mcnemar", "q283_js_divergence", "q284_shingle_containment",
+    "q285_anova_f", "q286_jarque_bera", "q287_levene_mean",
+    "q288_wilcoxon_signed_rank", "q289_cochran_q", "q290_bartlett",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

@@ -2769,3 +2769,409 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " * (abs(CAST(n10 - n01 AS DOUBLE)) - 1)"
                    " / (n10 + n01)")).alias("chi2_cc"),
         r4c(F.expr("CAST(n10 AS DOUBLE) / n01")).alias("odds_ratio"))
+
+
+# --------------------------------------------------------------------------
+# Q285 classical one-way ANOVA F on raw order totals by priority — the
+# location test completing the variance-decomposition family: q278
+# applies this same F to median-centered spreads (Brown-Forsythe), q279
+# is its two-sample unequal-variance special case (Welch). Exact
+# DECIMAL(38,0) sufficient statistics (n, Σx, Σx²) of integer cents per
+# group in ONE map-side-combinable pass; the F ratio plus eta²/omega²
+# effect sizes combine 5 exact group rows in shared expression text.
+@query(
+    "q285_anova_f",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    g AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS q
+      FROM b GROUP BY grp),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(s AS DOUBLE)) AS st,
+             SUM(CAST(q AS DOUBLE)) AS qt,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb
+      FROM g)
+    SELECT n, k,
+           {r4("((sb - st * st / n) / (k - 1))"
+               " / ((qt - sb) / (n - k))")} AS f_stat,
+           {r4("(sb - st * st / n) / (qt - st * st / n)")} AS eta_sq,
+           {r4("((sb - st * st / n) - (k - 1) * (qt - sb) / (n - k))"
+               " / ((qt - st * st / n) + (qt - sb) / (n - k))")}
+             AS omega_sq
+    FROM t
+    """,
+    doc="One-way ANOVA F of order totals across priorities from exact "
+        "integer sufficient statistics, with eta-squared and "
+        "omega-squared effect sizes.",
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    g = b.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("q"))
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("s").cast("double")).alias("st"),
+        F.sum(F.col("q").cast("double")).alias("qt"),
+        F.sum(F.expr("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n"))
+        .alias("sb"))
+    return t.select(
+        "n", "k",
+        r4c(F.expr("((sb - st * st / n) / (k - 1))"
+                   " / ((qt - sb) / (n - k))")).alias("f_stat"),
+        r4c(F.expr("(sb - st * st / n) / (qt - st * st / n)"))
+        .alias("eta_sq"),
+        r4c(F.expr("((sb - st * st / n) - (k - 1) * (qt - sb) / (n - k))"
+                   " / ((qt - st * st / n) + (qt - sb) / (n - k))"))
+        .alias("omega_sq"))
+
+
+# --------------------------------------------------------------------------
+# Q286 Jarque-Bera normality test per event type: JB = n/6·(g1² + g2²/4)
+# on the population skewness/excess-kurtosis Spark's built-ins return
+# natively; the oracle converts DuckDB's sample G1/G2 with the exact
+# scalar identities documented at the top of this module (q89
+# convention). One map-side-combinable aggregation — the moment sums are
+# Catalyst's streaming central-moment update, no second pass.
+@query(
+    "q286_jarque_bera",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, COUNT(value) AS n,
+             skewness(value) * (COUNT(value) - 2)
+               / sqrt(COUNT(value) * (COUNT(value) - 1.0)) AS g1,
+             (kurtosis(value) * (COUNT(value) - 2.0)
+                * (COUNT(value) - 3.0) / (COUNT(value) - 1.0) - 6)
+               / (COUNT(value) + 1.0) AS g2
+      FROM events GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           {r4("g1")} AS skew,
+           {r4("g2")} AS kurt,
+           {r4("n / 6.0 * (g1 * g1 + g2 * g2 / 4)")} AS jb
+    FROM m ORDER BY event_type
+    """,
+    doc="Jarque-Bera normality statistic per event type from one-pass "
+        "population moments; oracle converts DuckDB sample G1/G2 "
+        "exactly.",
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (tables(spark, sf_dir)["events"]
+         .groupBy("event_type")
+         .agg(F.count("value").alias("n"),
+              F.skewness("value").alias("g1"),
+              F.kurtosis("value").alias("g2")))
+    return (m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        r4c(F.col("g1")).alias("skew"),
+        r4c(F.col("g2")).alias("kurt"),
+        r4c(F.expr("n / 6.0 * (g1 * g1 + g2 * g2 / 4)")).alias("jb"))
+        .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Q287 mean-centered Levene variance-homogeneity test — the classical
+# companion to q278's median-centered Brown-Forsythe. Exactness trick:
+# z_ij = |x_ij − mean_j| = |n_j·x_ij − S_j| / n_j, and the scaled
+# residual L = n_j·x − S_j is an exact integer, so the per-group z
+# sufficient statistics are exact integer sums divided ONCE by n_j
+# (Σz = Σ|L|/n_j, Σz² = ΣL²/n_j²) — no floating-point subtraction ever
+# touches row data. Broadcast mean join, one group-by pass, 5-row fold.
+@query(
+    "q287_levene_mean",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    m AS (
+      SELECT grp, COUNT(*) AS n, SUM(CAST(cents AS HUGEINT)) AS s
+      FROM b GROUP BY grp),
+    z AS (
+      SELECT b.grp, ABS(m.n * CAST(b.cents AS HUGEINT) - m.s) AS l
+      FROM b JOIN m USING (grp)),
+    g AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(l) AS a, SUM(l * l) AS b2
+      FROM z GROUP BY grp),
+    r AS (
+      SELECT n, CAST(a AS DOUBLE) / n AS sz,
+             CAST(b2 AS DOUBLE) / n / n AS qz
+      FROM g),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(sz) AS st, SUM(qz) AS qt,
+             SUM(sz * sz / n) AS sb
+      FROM r)
+    SELECT n, k,
+           {r4("((sb - st * st / n) / (k - 1))"
+               " / ((qt - sb) / (n - k))")} AS w_stat,
+           {r4("(sb - st * st / n) / (qt - st * st / n)")} AS eta_sq
+    FROM t
+    """,
+    doc="Mean-centered Levene W test of variance homogeneity across "
+        "priorities; scaled integer residuals keep every row-level sum "
+        "exact.",
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    m = b.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"))
+    z = (b.join(F.broadcast(m), "grp")
+         .select("grp",
+                 F.expr("ABS(n * CAST(cents AS DECIMAL(38,0)) - s)")
+                 .alias("l")))
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("l").alias("a"),
+        F.sum(F.expr("l * l")).alias("b2"))
+    r = g.select(
+        "n",
+        F.expr("CAST(a AS DOUBLE) / n").alias("sz"),
+        F.expr("CAST(b2 AS DOUBLE) / n / n").alias("qz"))
+    t = r.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("sz").alias("st"),
+        F.sum("qz").alias("qt"),
+        F.sum(F.expr("sz * sz / n")).alias("sb"))
+    return t.select(
+        "n", "k",
+        r4c(F.expr("((sb - st * st / n) / (k - 1))"
+                   " / ((qt - sb) / (n - k))")).alias("w_stat"),
+        r4c(F.expr("(sb - st * st / n) / (qt - st * st / n)"))
+        .alias("eta_sq"))
+
+
+# --------------------------------------------------------------------------
+# Q288 Wilcoxon signed-rank test of paired per-customer yearly spend
+# (1996 vs 1997, customers active in both): the nonparametric companion
+# to q282's McNemar (which sees only the binary flags) and q274's
+# unpaired Mann-Whitney. Zero differences drop per the classical
+# convention; |d| is ranked tie-averaged with the distributed rank2
+# scheme (operators/scale.py::global_avg_rank2 — only per-bucket counts
+# cross the single-partition exchange, never rows), W+ folds as an exact
+# integer Σrank2, and the tie-corrected normal approximation divides
+# once at the end.
+@query(
+    "q288_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_custkey AS cust,
+             SUM(CASE WHEN year(o_orderdate) = 1996
+                 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 ELSE 0 END) AS c96,
+             SUM(CASE WHEN year(o_orderdate) = 1997
+                 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 ELSE 0 END) AS c97,
+             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+               AS h96,
+             MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+               AS h97
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY cust),
+    d AS (
+      SELECT CAST(c96 - c97 AS BIGINT) AS d,
+             CAST(ABS(c96 - c97) AS BIGINT) AS ad
+      FROM f WHERE h96 = 1 AND h97 = 1 AND c96 <> c97),
+    r AS (
+      SELECT d,
+             2 * RANK() OVER (ORDER BY ad)
+               + COUNT(*) OVER (PARTITION BY ad) - 1 AS rank2
+      FROM d),
+    ties AS (
+      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+      FROM (SELECT COUNT(*) AS t FROM d GROUP BY ad)),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN d > 0 THEN rank2 ELSE 0 END) AS BIGINT)
+               AS w2p
+      FROM r)
+    SELECT n, w2p,
+           {r4("w2p / 2.0")} AS w_plus,
+           {r4("(w2p / 2.0 - n * (n + 1) / 4.0)"
+               " / sqrt(n * (n + 1.0) * (2 * n + 1) / 24 - tie3 / 48.0)")}
+             AS z
+    FROM s CROSS JOIN ties
+    """,
+    doc="Wilcoxon signed-rank test of paired 1996-vs-1997 customer spend "
+        "with tie-averaged distributed ranks, exact integer W+, and the "
+        "tie-corrected normal approximation.",
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import global_avg_rank2
+
+    f = (tables(spark, sf_dir)["orders"]
+         .filter(F.expr("year(o_orderdate) IN (1996, 1997)"))
+         .groupBy(F.col("o_custkey").alias("cust"))
+         .agg(F.sum(F.expr(
+                  "CASE WHEN year(o_orderdate) = 1996"
+                  " THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+                  " ELSE 0 END")).alias("c96"),
+              F.sum(F.expr(
+                  "CASE WHEN year(o_orderdate) = 1997"
+                  " THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+                  " ELSE 0 END")).alias("c97"),
+              F.max(F.expr("CASE WHEN year(o_orderdate) = 1996"
+                           " THEN 1 ELSE 0 END")).alias("h96"),
+              F.max(F.expr("CASE WHEN year(o_orderdate) = 1997"
+                           " THEN 1 ELSE 0 END")).alias("h97")))
+    d = (f.filter("h96 = 1 AND h97 = 1 AND c96 <> c97")
+         .select(F.expr("CAST(c96 - c97 AS BIGINT)").alias("d"),
+                 F.expr("CAST(ABS(c96 - c97) AS BIGINT)").alias("ad")))
+    r = global_avg_rank2(d, "ad", out_col="rank2",
+                         bucket_width=1_000_000)
+    ties = (d.groupBy("ad").agg(F.count("*").alias("t"))
+            .agg(F.sum(F.expr("t * t * t - t")).cast("bigint")
+                 .alias("tie3")))
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN d > 0 THEN rank2 ELSE 0 END"))
+        .cast("bigint").alias("w2p"))
+    return (s.join(F.broadcast(ties))
+            .select("n", "w2p",
+                    r4c(F.expr("w2p / 2.0")).alias("w_plus"),
+                    r4c(F.expr(
+                        "(w2p / 2.0 - n * (n + 1) / 4.0)"
+                        " / sqrt(n * (n + 1.0) * (2 * n + 1) / 24"
+                        "        - tie3 / 48.0)")).alias("z")))
+
+
+# --------------------------------------------------------------------------
+# Q289 Cochran's Q test of k correlated binary treatments: did purchase
+# incidence differ across the four quarters of 1996? The k-sample
+# generalization of q282's McNemar (k=2) and the binary analogue of
+# q277's Friedman. All-zero subjects contribute nothing to any term of
+# Q, so the customer universe reduces to customers active in 1996 —
+# no dimension join needed. Sufficient statistics are column sums G_j,
+# N, and ΣL_i² over the distinct (customer, quarter) incidence pairs:
+# two cheap aggregations of one distinct-pair frame, all integers.
+@query(
+    "q289_cochran_q",
+    oracle=f"""
+    WITH p AS (
+      SELECT DISTINCT o_custkey AS cust, quarter(o_orderdate) AS trt
+      FROM orders WHERE year(o_orderdate) = 1996),
+    l AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_subj,
+             CAST(SUM(li * li) AS BIGINT) AS sl2,
+             CAST(SUM(li) AS BIGINT) AS nn
+      FROM (SELECT COUNT(*) AS li FROM p GROUP BY cust)),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(gj * gj) AS BIGINT) AS sg2
+      FROM (SELECT COUNT(*) AS gj FROM p GROUP BY trt))
+    SELECT n_subj, k,
+           {r4("(k - 1.0) * (k * sg2 - CAST(nn AS DOUBLE) * nn)"
+               " / (k * CAST(nn AS DOUBLE) - sl2)")} AS q_stat
+    FROM l CROSS JOIN g
+    """,
+    doc="Cochran's Q test of quarterly purchase incidence over 1996: "
+        "exact integer sufficient statistics from one distinct-pair "
+        "frame; all-zero subjects provably drop out.",
+)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (tables(spark, sf_dir)["orders"]
+         .filter("year(o_orderdate) = 1996")
+         .select(F.col("o_custkey").alias("cust"),
+                 F.expr("quarter(o_orderdate)").alias("trt"))
+         .distinct())
+    l = (p.groupBy("cust").agg(F.count("*").alias("li"))
+         .agg(F.count("*").cast("bigint").alias("n_subj"),
+              F.sum(F.expr("li * li")).cast("bigint").alias("sl2"),
+              F.sum("li").cast("bigint").alias("nn")))
+    g = (p.groupBy("trt").agg(F.count("*").alias("gj"))
+         .agg(F.count("*").cast("bigint").alias("k"),
+              F.sum(F.expr("gj * gj")).cast("bigint").alias("sg2")))
+    return (l.join(F.broadcast(g))
+            .select("n_subj", "k",
+                    r4c(F.expr(
+                        "(k - 1.0) * (k * sg2 - CAST(nn AS DOUBLE) * nn)"
+                        " / (k * CAST(nn AS DOUBLE) - sl2)"))
+                    .alias("q_stat")))
+
+
+# --------------------------------------------------------------------------
+# Q290 Bartlett's test of variance homogeneity across priorities — the
+# parametric (normality-assuming) companion to q278/q287's Levene
+# family, sharper when the normal assumption holds. Per-group sample
+# variances come from the same exact DECIMAL(38,0) sufficient statistics
+# as q285; ln() touches only 5 group-level doubles (both engines take
+# ~1-ulp libm logs of bit-identical inputs; r4 absorbs that, the q270
+# precedent). Pooled variance is reported on the ln scale because its
+# cents² magnitude would overflow the r4 decimal.
+@query(
+    "q290_bartlett",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    g AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS q
+      FROM b GROUP BY grp),
+    r AS (
+      SELECT n,
+             CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+               AS ss
+      FROM g),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(ss) AS ssw,
+             SUM((n - 1) * ln(ss / (n - 1))) AS sum_ln,
+             SUM(1.0 / (n - 1)) AS sum_inv
+      FROM r)
+    SELECT n, k,
+           {r4("ln(ssw / (n - k))")} AS ln_pooled_var,
+           {r4("((n - k) * ln(ssw / (n - k)) - sum_ln)"
+               " / (1 + (sum_inv - 1.0 / (n - k)) / (3.0 * (k - 1)))")}
+             AS bartlett_x2
+    FROM t
+    """,
+    doc="Bartlett's chi-squared test of variance homogeneity across "
+        "priorities from exact integer group sums; logs touch only "
+        "5 group-level doubles.",
+)
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    g = b.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("q"))
+    r = g.select(
+        "n",
+        F.expr("CAST(q AS DOUBLE)"
+               " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n").alias("ss"))
+    t = r.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ss").alias("ssw"),
+        F.sum(F.expr("(n - 1) * ln(ss / (n - 1))")).alias("sum_ln"),
+        F.sum(F.expr("1.0 / (n - 1)")).alias("sum_inv"))
+    return t.select(
+        "n", "k",
+        r4c(F.expr("ln(ssw / (n - k))")).alias("ln_pooled_var"),
+        r4c(F.expr(
+            "((n - k) * ln(ssw / (n - k)) - sum_ln)"
+            " / (1 + (sum_inv - 1.0 / (n - k)) / (3.0 * (k - 1)))"))
+        .alias("bartlett_x2"))

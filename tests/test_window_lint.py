@@ -53,6 +53,7 @@ _EXPECTED = {
     "q273_spearman": [("Aggregate",)] * 2,          # 2x avg_rank2 offsets
     "q274_mann_whitney": [("Aggregate",)],          # avg_rank2 offsets
     "q275_kruskal_wallis": [("Aggregate",)],        # avg_rank2 offsets
+    "q288_wilcoxon_signed_rank": [("Aggregate",)],  # avg_rank2 offsets
     "q257_revenue_drawdown": [("Aggregate",)] * 3,  # day grain + buckets
     # day/bin/decile-cardinality intermediates (bounded by the calendar
     # or an explicit bin count, not by row count)
