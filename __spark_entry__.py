@@ -90,6 +90,8 @@ _NEVER_REST = [
     "q282_mcnemar", "q283_js_divergence", "q284_shingle_containment",
     "q285_anova_f", "q286_jarque_bera", "q287_levene_mean",
     "q288_wilcoxon_signed_rank", "q289_cochran_q", "q290_bartlett",
+    "q291_ndcg", "q292_mrr", "q293_cohens_kappa", "q294_brier_murphy",
+    "q295_ece", "q296_multiclass_prf",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

@@ -3175,3 +3175,264 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
             "((n - k) * ln(ssw / (n - k)) - sum_ln)"
             " / (1 + (sum_inv - 1.0 / (n - k)) / (3.0 * (k - 1)))"))
         .alias("bartlett_x2"))
+
+
+# --------------------------------------------------------------------------
+# Q293 Cohen's kappa + Matthews correlation between two binary "raters"
+# on orders: rater A flags totals above the global median (2x-median
+# trick keeps the threshold an exact integer), rater B flags urgent/high
+# priority — the chance-corrected agreement panel q281's Cramér's V
+# (association strength) doesn't give. One broadcast threshold join,
+# one conditional-aggregation pass to the 2x2 table, closed-form folds.
+@query(
+    "q293_cohens_kappa",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS rb
+      FROM orders),
+    m AS (SELECT CAST(2 * MEDIAN(cents) AS BIGINT) AS m2 FROM b),
+    f AS (
+      SELECT CASE WHEN 2 * cents > m2 THEN 1 ELSE 0 END AS ra, rb
+      FROM b CROSS JOIN m),
+    s AS (
+      SELECT CAST(SUM(ra * rb) AS BIGINT) AS n11,
+             CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+             CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+             CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+      FROM f),
+    t AS (
+      SELECT n11, n10, n01, n00,
+             n11 + n10 + n01 + n00 AS n,
+             CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) AS po,
+             (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+              + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+               / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                  * (n11 + n10 + n01 + n00)) AS pe
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n, n11, n10, n01, n00,
+           {r4("po")} AS po, {r4("pe")} AS pe,
+           {r4("(po - pe) / (1 - pe)")} AS kappa,
+           {r4("(CAST(n11 AS DOUBLE) * n00 - CAST(n10 AS DOUBLE) * n01)"
+               " / sqrt(CAST(n11 + n10 AS DOUBLE) * (n01 + n00)"
+               "        * (n11 + n01) * (n10 + n00))")} AS mcc
+    FROM t
+    """,
+    doc="Cohen's kappa and Matthews correlation between above-median-total "
+        "and urgent/high-priority binary raters from one exact 2x2 "
+        "contingency pass.",
+)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tables(spark, sf_dir)["orders"].select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+               " THEN 1 ELSE 0 END").alias("rb"))
+    m = b.agg(F.expr("CAST(2 * percentile(cents, 0.5) AS BIGINT)")
+              .alias("m2"))
+    f = (b.join(F.broadcast(m))
+         .select(F.expr("CASE WHEN 2 * cents > m2 THEN 1 ELSE 0 END")
+                 .alias("ra"), "rb"))
+    s = f.agg(
+        F.sum(F.expr("ra * rb")).cast("bigint").alias("n11"),
+        F.sum(F.expr("ra * (1 - rb)")).cast("bigint").alias("n10"),
+        F.sum(F.expr("(1 - ra) * rb")).cast("bigint").alias("n01"),
+        F.sum(F.expr("(1 - ra) * (1 - rb)")).cast("bigint").alias("n00"))
+    t = s.select(
+        "n11", "n10", "n01", "n00",
+        F.expr("n11 + n10 + n01 + n00").alias("n"),
+        F.expr("CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00)")
+        .alias("po"),
+        F.expr("(CAST(n11 + n10 AS DOUBLE) * (n11 + n01)"
+               " + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))"
+               " / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)"
+               "    * (n11 + n10 + n01 + n00))").alias("pe"))
+    return t.select(
+        F.col("n").cast("bigint").alias("n"),
+        "n11", "n10", "n01", "n00",
+        r4c(F.col("po")).alias("po"),
+        r4c(F.col("pe")).alias("pe"),
+        r4c(F.expr("(po - pe) / (1 - pe)")).alias("kappa"),
+        r4c(F.expr(
+            "(CAST(n11 AS DOUBLE) * n00 - CAST(n10 AS DOUBLE) * n01)"
+            " / sqrt(CAST(n11 + n10 AS DOUBLE) * (n01 + n00)"
+            "        * (n11 + n01) * (n10 + n00))")).alias("mcc"))
+
+
+# --------------------------------------------------------------------------
+# Q294 Brier score with the Murphy decomposition of a probabilistic
+# purchase predictor: P(purchase | hour) is fit on days 1-15 and scored
+# on days 16-30, decomposed over (dow, hour) evaluation cells into
+# reliability − resolution + uncertainty. The predictor is constant
+# within each cell (hour ⊂ cell key), which is exactly when the Murphy
+# identity holds. Predictions are quantized to DECIMAL(18,6) at the
+# broadcast join, per-cell terms quantized before the 168-row fold
+# (q280 convention), one division by N at the end.
+@query(
+    "q294_brier_murphy",
+    oracle="""
+    WITH tr AS (
+      SELECT CAST(hour(ts) AS INT) AS hr,
+             ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1.0 ELSE 0 END) / COUNT(*)
+                        AS DECIMAL(18,6)), 6) AS p
+      FROM events WHERE day(ts) <= 15 GROUP BY hr),
+    te AS (
+      SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hr,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM events WHERE day(ts) > 15 GROUP BY dow, hr),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(pos) AS BIGINT) AS post
+            FROM te),
+    cells AS (
+      SELECT n, pos, CAST(p AS DOUBLE) AS p,
+             CAST(post AS DOUBLE) / nn AS ybar, nn
+      FROM te JOIN tr USING (hr) CROSS JOIN tot),
+    terms AS (
+      SELECT nn,
+             ROUND(CAST(n * p * p - 2 * p * pos + pos
+                        AS DECIMAL(18,6)), 6) AS t_brier,
+             ROUND(CAST(n * (p - CAST(pos AS DOUBLE) / n)
+                          * (p - CAST(pos AS DOUBLE) / n)
+                        AS DECIMAL(18,6)), 6) AS t_rel,
+             ROUND(CAST(n * (CAST(pos AS DOUBLE) / n - ybar)
+                          * (CAST(pos AS DOUBLE) / n - ybar)
+                        AS DECIMAL(18,6)), 6) AS t_res,
+             ybar
+      FROM cells)
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST(ROUND(CAST(CAST(SUM(t_brier) AS DOUBLE) / nn
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS brier,
+           CAST(ROUND(CAST(CAST(SUM(t_rel) AS DOUBLE) / nn
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS reliability,
+           CAST(ROUND(CAST(CAST(SUM(t_res) AS DOUBLE) / nn
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS resolution,
+           CAST(ROUND(CAST(MAX(ybar) * (1 - MAX(ybar))
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS uncertainty
+    FROM terms GROUP BY nn
+    """,
+    doc="Brier score of an hour-of-day purchase-probability predictor "
+        "(fit days 1-15, scored days 16-30) with the Murphy "
+        "reliability/resolution/uncertainty decomposition over "
+        "(dow, hour) cells.",
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    tr = (ev.filter("day(ts) <= 15")
+          .groupBy(F.expr("CAST(hour(ts) AS INT)").alias("hr"))
+          .agg(F.expr(
+              "ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'"
+              " THEN 1.0 ELSE 0 END) / COUNT(*) AS DECIMAL(18,6)), 6)")
+              .alias("p")))
+    te = (ev.filter("day(ts) > 15")
+          .groupBy(F.expr("CAST(dayofweek(CAST(ts AS DATE)) AS INT)")
+                   .alias("dow"),
+                   F.expr("CAST(hour(ts) AS INT)").alias("hr"))
+          .agg(F.count("*").alias("n"),
+               F.sum(F.expr("CASE WHEN event_type = 'purchase'"
+                            " THEN 1 ELSE 0 END")).cast("bigint")
+               .alias("pos")))
+    tot = te.agg(F.sum("n").cast("bigint").alias("nn"),
+                 F.sum("pos").cast("bigint").alias("post"))
+    cells = (te.join(F.broadcast(tr), "hr")
+             .join(F.broadcast(tot))
+             .select("n", "pos", F.col("p").cast("double").alias("p"),
+                     F.expr("CAST(post AS DOUBLE) / nn").alias("ybar"),
+                     "nn"))
+    terms = cells.select(
+        "nn",
+        F.expr("ROUND(CAST(n * p * p - 2 * p * pos + pos"
+               " AS DECIMAL(18,6)), 6)").alias("t_brier"),
+        F.expr("ROUND(CAST(n * (p - CAST(pos AS DOUBLE) / n)"
+               " * (p - CAST(pos AS DOUBLE) / n)"
+               " AS DECIMAL(18,6)), 6)").alias("t_rel"),
+        F.expr("ROUND(CAST(n * (CAST(pos AS DOUBLE) / n - ybar)"
+               " * (CAST(pos AS DOUBLE) / n - ybar)"
+               " AS DECIMAL(18,6)), 6)").alias("t_res"),
+        "ybar")
+    return (terms.groupBy("nn").agg(
+        F.expr("CAST(ROUND(CAST(CAST(SUM(t_brier) AS DOUBLE) / nn"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("brier"),
+        F.expr("CAST(ROUND(CAST(CAST(SUM(t_rel) AS DOUBLE) / nn"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("reliability"),
+        F.expr("CAST(ROUND(CAST(CAST(SUM(t_res) AS DOUBLE) / nn"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("resolution"),
+        F.expr("CAST(ROUND(CAST(MAX(ybar) * (1 - MAX(ybar))"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("uncertainty"))
+        .select(F.col("nn").cast("bigint").alias("n"),
+                "brier", "reliability", "resolution", "uncertainty"))
+
+
+# --------------------------------------------------------------------------
+# Q295 expected calibration error of the q294 predictor: ten fixed-width
+# confidence bins over the held-out days, ECE = Σ_b (n_b/N)·|conf_b −
+# acc_b| and MCE = max_b — the scalar summary of q196's reliability
+# diagram, on a genuine train/test split. Bin identity: n_b·|conf_b −
+# acc_b| = |Σp_b − pos_b| with Σp_b an exact decimal sum of 6dp-quantized
+# predictions, so per-bin terms are exact before the bounded 10-row fold.
+@query(
+    "q295_ece",
+    oracle="""
+    WITH tr AS (
+      SELECT CAST(hour(ts) AS INT) AS hr,
+             ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1.0 ELSE 0 END) / COUNT(*)
+                        AS DECIMAL(18,6)), 6) AS p
+      FROM events WHERE day(ts) <= 15 GROUP BY hr),
+    te AS (
+      SELECT CAST(LEAST(FLOOR(CAST(p AS DOUBLE) * 10), 9) AS INT) AS bin,
+             p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events e JOIN tr ON tr.hr = CAST(hour(e.ts) AS INT)
+      WHERE day(e.ts) > 15),
+    b AS (
+      SELECT bin, COUNT(*) AS n, SUM(p) AS sp,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM te GROUP BY bin),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM b)
+    SELECT nn AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(ROUND(CAST(CAST(SUM(ABS(sp - pos)) AS DOUBLE) / nn
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS ece,
+           CAST(ROUND(CAST(MAX(ABS(CAST(sp AS DOUBLE) - pos) / n)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS mce
+    FROM b CROSS JOIN tot GROUP BY nn
+    """,
+    doc="Expected and maximum calibration error of the hour-of-day "
+        "purchase predictor on held-out days: exact per-bin "
+        "|sum(p) - pos| terms, bounded 10-row fold.",
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    tr = (ev.filter("day(ts) <= 15")
+          .groupBy(F.expr("CAST(hour(ts) AS INT)").alias("hr"))
+          .agg(F.expr(
+              "ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'"
+              " THEN 1.0 ELSE 0 END) / COUNT(*) AS DECIMAL(18,6)), 6)")
+              .alias("p")))
+    te = (ev.filter("day(ts) > 15")
+          .select(F.expr("CAST(hour(ts) AS INT)").alias("hr"),
+                  F.expr("CASE WHEN event_type = 'purchase'"
+                         " THEN 1 ELSE 0 END").alias("y"))
+          .join(F.broadcast(tr), "hr")
+          .select(F.expr("CAST(LEAST(FLOOR(CAST(p AS DOUBLE) * 10), 9)"
+                         " AS INT)").alias("bin"),
+                  "p", "y"))
+    b = te.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("y").cast("bigint").alias("pos"))
+    tot = b.agg(F.sum("n").cast("bigint").alias("nn"))
+    return (b.join(F.broadcast(tot))
+            .groupBy("nn").agg(
+                F.count("*").cast("bigint").alias("n_bins"),
+                F.expr("CAST(ROUND(CAST(CAST(SUM(ABS(sp - pos)) AS DOUBLE)"
+                       " / nn AS DECIMAL(18,6)), 4) AS DOUBLE)")
+                .alias("ece"),
+                F.expr("CAST(ROUND(CAST(MAX(ABS(CAST(sp AS DOUBLE) - pos)"
+                       " / n) AS DECIMAL(18,6)), 4) AS DOUBLE)")
+                .alias("mce"))
+            .select(F.col("nn").alias("n"), "n_bins", "ece", "mce"))

@@ -1810,3 +1810,283 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return js_divergence_pairs(docs).orderBy("source_a", "source_b")
+
+
+# --------------------------------------------------------------------------
+# Q291 NDCG@k of a next-interaction recommender: per user, event types
+# are ranked by FIRST-half activity (days 1-15, the "model"), graded
+# relevance is SECOND-half activity (days 16-30, the "future") — the
+# ranking-quality eval that completes the metric family (q185 ROC AUC,
+# q280 average precision grade set-level discrimination; NDCG grades
+# position-discounted ranked lists). Per-user candidate lists are
+# bounded by the event-type domain, so every window partitions by user;
+# DCG/IDCG terms and per-user NDCG are DECIMAL(18,6)-quantized before
+# the cross-user sum (q280 convention) so the average is
+# aggregation-order-exact on both engines.
+@query(
+    "q291_ndcg",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type,
+             SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS s,
+             SUM(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS r
+      FROM events GROUP BY user_id, event_type),
+    p AS (
+      SELECT user_id, r,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY s DESC, event_type) AS pos,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY r DESC, event_type) AS ipos
+      FROM c),
+    u AS (
+      SELECT user_id,
+             SUM(CASE WHEN pos <= 3 THEN ROUND(CAST(
+                   r / log2(pos + 1.0) AS DECIMAL(18,6)), 6)
+                 ELSE 0 END) AS dcg3,
+             SUM(CASE WHEN ipos <= 3 THEN ROUND(CAST(
+                   r / log2(ipos + 1.0) AS DECIMAL(18,6)), 6)
+                 ELSE 0 END) AS idcg3,
+             SUM(CASE WHEN pos = 1 THEN r ELSE 0 END) AS dcg1,
+             SUM(CASE WHEN ipos = 1 THEN r ELSE 0 END) AS idcg1
+      FROM p GROUP BY user_id),
+    q AS (
+      SELECT ROUND(CAST(CAST(dcg3 AS DOUBLE) / CAST(idcg3 AS DOUBLE)
+                        AS DECIMAL(18,6)), 6) AS ndcg3,
+             ROUND(CAST(CAST(dcg1 AS DOUBLE) / idcg1
+                        AS DECIMAL(18,6)), 6) AS ndcg1
+      FROM u WHERE idcg3 > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(ROUND(CAST(CAST(SUM(ndcg3) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS avg_ndcg3,
+           CAST(ROUND(CAST(CAST(SUM(ndcg1) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS avg_ndcg1
+    FROM q
+    """,
+    doc="NDCG@3 and NDCG@1 of ranking event types by first-half activity "
+        "against second-half graded relevance, per-user windows only, "
+        "decimal-quantized order-exact averaging.",
+)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.expr("CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END"))
+        .alias("s"),
+        F.sum(F.expr("CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END"))
+        .alias("r"))
+    wp = Window.partitionBy("user_id").orderBy(F.desc("s"), "event_type")
+    wi = Window.partitionBy("user_id").orderBy(F.desc("r"), "event_type")
+    p = c.select("user_id", "r",
+                 F.row_number().over(wp).alias("pos"),
+                 F.row_number().over(wi).alias("ipos"))
+    u = p.groupBy("user_id").agg(
+        F.sum(F.expr("CASE WHEN pos <= 3 THEN ROUND(CAST("
+                     "r / log2(pos + 1.0) AS DECIMAL(18,6)), 6)"
+                     " ELSE 0 END")).alias("dcg3"),
+        F.sum(F.expr("CASE WHEN ipos <= 3 THEN ROUND(CAST("
+                     "r / log2(ipos + 1.0) AS DECIMAL(18,6)), 6)"
+                     " ELSE 0 END")).alias("idcg3"),
+        F.sum(F.expr("CASE WHEN pos = 1 THEN r ELSE 0 END")).alias("dcg1"),
+        F.sum(F.expr("CASE WHEN ipos = 1 THEN r ELSE 0 END"))
+        .alias("idcg1"))
+    q = (u.filter("idcg3 > 0")
+         .select(F.expr("ROUND(CAST(CAST(dcg3 AS DOUBLE)"
+                        " / CAST(idcg3 AS DOUBLE)"
+                        " AS DECIMAL(18,6)), 6)").alias("ndcg3"),
+                 F.expr("ROUND(CAST(CAST(dcg1 AS DOUBLE) / idcg1"
+                        " AS DECIMAL(18,6)), 6)").alias("ndcg1")))
+    return q.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr("CAST(ROUND(CAST(CAST(SUM(ndcg3) AS DOUBLE) / COUNT(*)"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("avg_ndcg3"),
+        F.expr("CAST(ROUND(CAST(CAST(SUM(ndcg1) AS DOUBLE) / COUNT(*)"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("avg_ndcg1"))
+
+
+# --------------------------------------------------------------------------
+# Q292 mean reciprocal rank + hit rate of the q291 recommender: rank
+# event types per user by first-half activity, score the FIRST position
+# whose second-half relevance is nonzero — the navigational complement
+# to q291's graded NDCG. Reciprocal ranks are exact rationals quantized
+# to DECIMAL(18,6) before the cross-user sum; hit@1/hit@3 fold as exact
+# integer-ppm ratios. Users with no second-half activity are excluded
+# (no relevant item to find), per the standard MRR definition.
+@query(
+    "q292_mrr",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type,
+             SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS s,
+             SUM(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS r
+      FROM events GROUP BY user_id, event_type),
+    p AS (
+      SELECT user_id, r,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY s DESC, event_type) AS pos
+      FROM c),
+    u AS (
+      SELECT user_id, MIN(CASE WHEN r > 0 THEN pos END) AS frp
+      FROM p GROUP BY user_id
+      HAVING MAX(r) > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(ROUND(CAST(CAST(SUM(ROUND(CAST(1.0 / frp
+                  AS DECIMAL(18,6)), 6)) AS DOUBLE) / COUNT(*)
+                  AS DECIMAL(18,6)), 4) AS DOUBLE) AS mrr,
+           CAST(SUM(CASE WHEN frp = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hit1_ppm,
+           CAST(SUM(CASE WHEN frp <= 3 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hit3_ppm
+    FROM u
+    """,
+    doc="Mean reciprocal rank and hit@1/hit@3 (integer ppm) of first-half "
+        "activity ranking against second-half relevance, per-user "
+        "windows, order-exact decimal averaging.",
+)
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.expr("CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END"))
+        .alias("s"),
+        F.sum(F.expr("CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END"))
+        .alias("r"))
+    wp = Window.partitionBy("user_id").orderBy(F.desc("s"), "event_type")
+    p = c.select("user_id", "r",
+                 F.row_number().over(wp).alias("pos"))
+    u = (p.groupBy("user_id")
+         .agg(F.min(F.expr("CASE WHEN r > 0 THEN pos END")).alias("frp"),
+              F.max("r").alias("mr"))
+         .filter("mr > 0"))
+    return u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr("CAST(ROUND(CAST(CAST(SUM(ROUND(CAST(1.0 / frp"
+               " AS DECIMAL(18,6)), 6)) AS DOUBLE) / COUNT(*)"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("mrr"),
+        F.expr("SUM(CASE WHEN frp = 1 THEN 1 ELSE 0 END) * 1000000"
+               " DIV COUNT(*)").alias("hit1_ppm"),
+        F.expr("SUM(CASE WHEN frp <= 3 THEN 1 ELSE 0 END) * 1000000"
+               " DIV COUNT(*)").alias("hit3_ppm"))
+
+
+# --------------------------------------------------------------------------
+# Q296 multiclass precision/recall/F1 of a (dow, hour) -> event-type
+# classifier: fit on days 1-15 (per-cell majority class, ties broken by
+# type name; cells unseen in training fall back to the global train
+# majority), evaluate on days 16-30 — the per-class complement to
+# q224's 1-NN accuracy probe. The confusion matrix is one
+# groupBy(actual, predicted) over the test scan after a broadcast join
+# with the 168-row predictor table; per-class tp/fp/fn fold from
+# class-domain-sized frames. Precision/recall are exact integer ppm,
+# F1 is one double division r4'd.
+@query(
+    "q296_multiclass_prf",
+    oracle="""
+    WITH tr AS (
+      SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hr, event_type,
+             COUNT(*) AS cnt
+      FROM events WHERE day(ts) <= 15 GROUP BY dow, hr, event_type),
+    pred AS (
+      SELECT dow, hr, event_type AS ptype FROM (
+        SELECT dow, hr, event_type,
+               ROW_NUMBER() OVER (PARTITION BY dow, hr
+                                  ORDER BY cnt DESC, event_type) AS rn
+        FROM tr) WHERE rn = 1),
+    fallback AS (
+      SELECT event_type AS ftype FROM tr
+      GROUP BY event_type
+      ORDER BY SUM(cnt) DESC, event_type LIMIT 1),
+    pairs AS (
+      SELECT e.event_type AS actual,
+             COALESCE(p.ptype, f.ftype) AS predicted
+      FROM events e
+      LEFT JOIN pred p
+        ON p.dow = CAST(dayofweek(CAST(e.ts AS DATE)) + 1 AS INT)
+       AND p.hr = CAST(hour(e.ts) AS INT)
+      CROSS JOIN fallback f
+      WHERE day(e.ts) > 15),
+    conf AS (
+      SELECT actual, predicted, COUNT(*) AS n FROM pairs
+      GROUP BY actual, predicted),
+    act AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS act_n
+            FROM conf GROUP BY actual),
+    prd AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS pred_n
+            FROM conf GROUP BY predicted),
+    tp AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS tp
+           FROM conf WHERE actual = predicted GROUP BY actual),
+    cl AS (
+      SELECT COALESCE(a.cls, p.cls) AS cls,
+             COALESCE(act_n, 0) AS act_n, COALESCE(pred_n, 0) AS pred_n,
+             COALESCE(tp, 0) AS tp
+      FROM act a FULL JOIN prd p ON a.cls = p.cls
+      LEFT JOIN tp t ON COALESCE(a.cls, p.cls) = t.cls)
+    SELECT cls, act_n, pred_n, tp,
+           CASE WHEN pred_n = 0 THEN NULL
+                ELSE CAST(tp * 1000000 // pred_n AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN act_n = 0 THEN NULL
+                ELSE CAST(tp * 1000000 // act_n AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN act_n + pred_n = 0 THEN NULL
+                ELSE CAST(ROUND(CAST(2.0 * tp / (act_n + pred_n)
+                          AS DECIMAL(18,6)), 4) AS DOUBLE)
+           END AS f1
+    FROM cl ORDER BY cls
+    """,
+    doc="Per-class precision/recall (integer ppm) and F1 of a "
+        "(dow, hour) majority-class classifier fit on days 1-15 and "
+        "evaluated on days 16-30, broadcast predictor join, "
+        "class-domain-sized folds.",
+)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(dayofweek(CAST(ts AS DATE)) AS INT)").alias("dow"),
+        F.expr("CAST(hour(ts) AS INT)").alias("hr"),
+        F.expr("day(ts)").alias("dd"))
+    tr = (base.filter("dd <= 15")
+          .groupBy("dow", "hr", "event_type")
+          .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("dow", "hr").orderBy(F.desc("cnt"), "event_type")
+    pred = (tr.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("dow", "hr", F.col("event_type").alias("ptype")))
+    # global train majority: top-1 of the 5-row class table (limit path,
+    # TakeOrderedAndProject — never a global window)
+    fallback = (tr.groupBy("event_type").agg(F.sum("cnt").alias("tot"))
+                .orderBy(F.desc("tot"), "event_type").limit(1)
+                .select(F.col("event_type").alias("ftype")))
+    pairs = (base.filter("dd > 15")
+             .join(F.broadcast(pred), ["dow", "hr"], "left")
+             .join(F.broadcast(fallback))
+             .select(F.col("event_type").alias("actual"),
+                     F.expr("COALESCE(ptype, ftype)").alias("predicted")))
+    conf = pairs.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    act = (conf.groupBy(F.col("actual").alias("cls"))
+           .agg(F.sum("n").cast("bigint").alias("act_n")))
+    prd = (conf.groupBy(F.col("predicted").alias("cls"))
+           .agg(F.sum("n").cast("bigint").alias("pred_n")))
+    tp = (conf.filter("actual = predicted")
+          .groupBy(F.col("actual").alias("cls"))
+          .agg(F.sum("n").cast("bigint").alias("tp")))
+    cl = (act.join(prd, "cls", "full")
+          .join(tp, "cls", "left")
+          .select("cls",
+                  F.expr("COALESCE(act_n, 0)").alias("act_n"),
+                  F.expr("COALESCE(pred_n, 0)").alias("pred_n"),
+                  F.expr("COALESCE(tp, 0)").alias("tp")))
+    return cl.select(
+        "cls", "act_n", "pred_n", "tp",
+        F.expr("CASE WHEN pred_n = 0 THEN NULL"
+               " ELSE tp * 1000000 DIV pred_n END").alias("precision_ppm"),
+        F.expr("CASE WHEN act_n = 0 THEN NULL"
+               " ELSE tp * 1000000 DIV act_n END").alias("recall_ppm"),
+        F.expr("CASE WHEN act_n + pred_n = 0 THEN NULL"
+               " ELSE CAST(ROUND(CAST(2.0 * tp / (act_n + pred_n)"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE) END").alias("f1"),
+    ).orderBy("cls")
