@@ -92,6 +92,8 @@ _NEVER_REST = [
     "q288_wilcoxon_signed_rank", "q289_cochran_q", "q290_bartlett",
     "q291_ndcg", "q292_mrr", "q293_cohens_kappa", "q294_brier_murphy",
     "q295_ece", "q296_multiclass_prf",
+    "q297_ljung_box", "q298_durbin_watson", "q299_runs_test",
+    "q300_grubbs",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

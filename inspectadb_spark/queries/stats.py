@@ -3436,3 +3436,328 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
                        " / n) AS DECIMAL(18,6)), 4) AS DOUBLE)")
                 .alias("mce"))
             .select(F.col("nn").alias("n"), "n_bins", "ece", "mce"))
+
+
+# --------------------------------------------------------------------------
+# Q297 Ljung-Box portmanteau test on daily revenue: classical ACF r_k
+# (global-mean-centered, lags 1..7) and the cumulative Q(k) statistic —
+# the "is there ANY autocorrelation" test completing q176's per-lag
+# Pearson ACF. Exactness: the scaled residual u_t = n·y_t − S is an
+# exact integer and the n² factors cancel in r_k = Σu_t·u_{t+k} / Σu²,
+# so numerator and denominator are exact integer sums. Q(k) terms carry
+# the n(n+2) factor INSIDE the 6dp quantization so the bounded 7-row
+# cumulative stays within r4. Everything beyond the one day-grain
+# aggregation is calendar-bounded.
+@query(
+    "q297_ljung_box",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span),
+    rev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    series AS (
+      SELECT day, COALESCE(cents, 0) AS cents
+      FROM days LEFT JOIN rev USING (day)),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM series),
+    u AS (
+      SELECT day, n * cents - s AS u, n FROM series CROSS JOIN tot),
+    den AS (
+      SELECT CAST(SUM(u * u) AS HUGEINT) AS den, MAX(n) AS n FROM u),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.u AS ua, b.u AS ub
+      FROM u a CROSS JOIN lags l
+      JOIN u b ON b.day = a.day + CAST(l.lag AS INT)),
+    num AS (
+      SELECT lag, CAST(SUM(ua * ub) AS HUGEINT) AS num
+      FROM pairs GROUP BY lag),
+    acf AS (
+      SELECT lag, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r, n
+      FROM num CROSS JOIN den),
+    terms AS (
+      SELECT lag, n, r,
+             ROUND(CAST(n * (n + 2.0) * r * r / (n - lag)
+                        AS DECIMAL(18,6)), 6) AS term
+      FROM acf)
+    SELECT CAST(lag AS INT) AS lag, n,
+           CAST(ROUND(CAST(r AS DECIMAL(18,6)), 4) AS DOUBLE) AS acf,
+           CAST(ROUND(CAST(CAST(SUM(term) OVER (ORDER BY lag) AS DOUBLE)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS q_lb
+    FROM terms ORDER BY lag
+    """,
+    doc="Classical mean-centered ACF (lags 1-7) of daily revenue and the "
+        "cumulative Ljung-Box Q via exact scaled-residual integer sums; "
+        "all post-aggregation frames are calendar- or lag-bounded.",
+)
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.timeseries import calendar_dim
+
+    ev = tables(spark, sf_dir)["events"]
+    days = calendar_dim(ev).select("day")
+    rev = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy(F.to_date("ts").alias("day"))
+           .agg(F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT))")
+                .alias("cents")))
+    series = days.join(rev, "day", "left").select(
+        "day", F.coalesce("cents", F.lit(0)).alias("cents"))
+    tot = series.agg(F.count("*").cast("bigint").alias("n"),
+                     F.sum("cents").cast("bigint").alias("s"))
+    u = (series.join(F.broadcast(tot))
+         .select("day", F.expr("n * cents - s").alias("u"), "n"))
+    den = u.agg(F.expr("CAST(SUM(u * u) AS DECIMAL(38,0))").alias("den"),
+                F.max("n").alias("n"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    pairs = (u.crossJoin(F.broadcast(lags))
+             .alias("a")
+             .join(u.select(F.col("day").alias("bday"),
+                            F.col("u").alias("ub")),
+                   F.expr("bday = date_add(day, CAST(lag AS INT))"))
+             .select("lag", F.col("u").alias("ua"), "ub"))
+    num = pairs.groupBy("lag").agg(
+        F.expr("CAST(SUM(ua * ub) AS DECIMAL(38,0))").alias("num"))
+    acf = (num.join(F.broadcast(den))
+           .select("lag", "n",
+                   F.expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")
+                   .alias("r")))
+    terms = acf.select(
+        "lag", "n", "r",
+        F.expr("ROUND(CAST(n * (n + 2.0) * r * r / (n - lag)"
+               " AS DECIMAL(18,6)), 6)").alias("term"))
+    wq = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)  # 7-row lag table
+    return (terms.select(
+        F.col("lag").cast("int").alias("lag"), "n",
+        r4c(F.col("r")).alias("acf"),
+        F.round(F.sum("term").over(wq).cast("double")
+                .cast("decimal(18,6)"), 4).cast("double").alias("q_lb"))
+        .orderBy("lag"))
+
+
+# --------------------------------------------------------------------------
+# Q298 Durbin-Watson autocorrelation test of the daily-revenue linear
+# trend residuals: DW = Σ(e_t − e_{t−1})² / Σe_t² on the OLS fit of
+# cents against the day index. Exactness: multiplying the residual by
+# n·D (D = nΣt² − (Σt)², the OLS denominator) gives
+# Ẽ_t = nD·y_t − DΣy + BΣt − nB·t, an exact integer in the four
+# regression sums — and the scale cancels in DW, so both engines fold
+# exact DECIMAL(38,0) squares. Everything after the day-grain
+# aggregation is calendar-bounded.
+@query(
+    "q298_durbin_watson",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    idx AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+             day, cents
+      FROM rev),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(t * cents) AS BIGINT) AS sty
+      FROM idx),
+    e AS (
+      SELECT day, t,
+             n * (n * stt - st * st) * cents
+               - (n * stt - st * st) * sy
+               + (n * sty - st * sy) * st
+               - n * (n * sty - st * sy) * t AS et
+      FROM idx CROSS JOIN s),
+    l AS (
+      SELECT et, LAG(et) OVER (ORDER BY t) AS ep FROM e),
+    f AS (
+      SELECT CAST(SUM(CAST(et AS HUGEINT) * et) AS HUGEINT) AS see,
+             CAST(SUM(CASE WHEN ep IS NULL THEN 0
+                  ELSE CAST(et - ep AS HUGEINT) * (et - ep) END)
+                  AS HUGEINT) AS sdd
+      FROM l)
+    SELECT (SELECT n FROM s) AS n,
+           CAST(ROUND(CAST(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS dw,
+           CAST(ROUND(CAST(1 - CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+                / 2 AS DECIMAL(18,6)), 4) AS DOUBLE) AS rho_approx
+    FROM f
+    """,
+    doc="Durbin-Watson test of daily-revenue trend residuals via exact "
+        "integer scaled residuals (the OLS denominator cancels in DW); "
+        "day-grain series, calendar-bounded frames.",
+)
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    rev = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy(F.to_date("ts").alias("day"))
+           .agg(F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT))")
+                .alias("cents")))
+    wd = Window.orderBy("day")  # day-grain aggregate, calendar-bounded
+    idx = rev.select(F.row_number().over(wd).cast("bigint").alias("t"),
+                     "day", "cents")
+    s = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("stt"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.expr("t * cents")).cast("bigint").alias("sty"))
+    e = (idx.join(F.broadcast(s))
+         .select("day", "t", "n",
+                 F.expr("n * (n * stt - st * st) * cents"
+                        " - (n * stt - st * st) * sy"
+                        " + (n * sty - st * sy) * st"
+                        " - n * (n * sty - st * sy) * t").alias("et")))
+    wt = Window.orderBy("t")  # same day-grain frame
+    lagd = e.select("n", "et", F.lag("et").over(wt).alias("ep"))
+    f = lagd.agg(
+        F.max("n").alias("n"),
+        F.expr("CAST(SUM(CAST(et AS DECIMAL(38,0)) * et) AS DECIMAL(38,0))")
+        .alias("see"),
+        F.expr("CAST(SUM(CASE WHEN ep IS NULL THEN 0"
+               " ELSE CAST(et - ep AS DECIMAL(38,0)) * (et - ep) END)"
+               " AS DECIMAL(38,0))").alias("sdd"))
+    return f.select(
+        "n",
+        r4c(F.expr("CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)"))
+        .alias("dw"),
+        r4c(F.expr("1 - CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) / 2"))
+        .alias("rho_approx"))
+
+
+# --------------------------------------------------------------------------
+# Q299 Wald-Wolfowitz runs test on daily revenue: are above/below-median
+# days randomly ordered, or do they cluster (regimes/trends)? The
+# 2x-median trick keeps the threshold integral (sign of 2·cents − m2,
+# exact-median days drop), the run count is one lag comparison over the
+# day-grain series, and the normal approximation folds three integers.
+@query(
+    "q299_runs_test",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    m AS (SELECT CAST(2 * MEDIAN(cents) AS BIGINT) AS m2 FROM rev),
+    sgn AS (
+      SELECT day, CASE WHEN 2 * cents > m2 THEN 1 ELSE -1 END AS s
+      FROM rev CROSS JOIN m WHERE 2 * cents <> m2),
+    l AS (
+      SELECT s, LAG(s) OVER (ORDER BY day) AS sp FROM sgn),
+    f AS (
+      SELECT CAST(SUM(CASE WHEN sp IS NULL OR s <> sp THEN 1 ELSE 0 END)
+                  AS BIGINT) AS runs,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM l)
+    SELECT runs, n1, n2,
+           {r4("2.0 * n1 * n2 / (n1 + n2) + 1")} AS mu,
+           {r4("(runs - (2.0 * n1 * n2 / (n1 + n2) + 1))"
+               " / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+               "        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))")}
+             AS z
+    FROM f
+    """,
+    doc="Wald-Wolfowitz runs test of above/below-median daily revenue "
+        "ordering: exact 2x-median signs, one lag pass over the "
+        "day-grain series, closed-form normal approximation.",
+)
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    rev = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy(F.to_date("ts").alias("day"))
+           .agg(F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT))")
+                .alias("cents")))
+    m = rev.agg(F.expr("CAST(2 * percentile(cents, 0.5) AS BIGINT)")
+                .alias("m2"))
+    sgn = (rev.join(F.broadcast(m))
+           .filter("2 * cents <> m2")
+           .select("day",
+                   F.expr("CASE WHEN 2 * cents > m2 THEN 1 ELSE -1 END")
+                   .alias("s")))
+    wd = Window.orderBy("day")  # day-grain aggregate, calendar-bounded
+    lagd = sgn.select("s", F.lag("s").over(wd).alias("sp"))
+    f = lagd.agg(
+        F.sum(F.expr("CASE WHEN sp IS NULL OR s <> sp THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("runs"),
+        F.sum(F.expr("CASE WHEN s = 1 THEN 1 ELSE 0 END")).cast("bigint")
+        .alias("n1"),
+        F.sum(F.expr("CASE WHEN s = -1 THEN 1 ELSE 0 END")).cast("bigint")
+        .alias("n2"))
+    return f.select(
+        "runs", "n1", "n2",
+        r4c(F.expr("2.0 * n1 * n2 / (n1 + n2) + 1")).alias("mu"),
+        r4c(F.expr(
+            "(runs - (2.0 * n1 * n2 / (n1 + n2) + 1))"
+            " / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+            "        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))"))
+        .alias("z"))
+
+
+# --------------------------------------------------------------------------
+# Q300 Grubbs' single-outlier test on daily revenue: G = max|y − ȳ|/s
+# with the flagged day. The scaled deviation u = |n·y − S| is an exact
+# integer, and G = max(u)/sqrt(n·(nΣy² − S²)/(n − 1)) folds exact
+# integer sums in one double expression; the argmax day rides a
+# deterministic (u DESC, day) LIMIT 1 — the TakeOrderedAndProject path,
+# never a global window.
+@query(
+    "q300_grubbs",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS syy
+      FROM rev),
+    u AS (
+      SELECT day, ABS(n * CAST(cents AS HUGEINT) - sy) AS u, n, sy, syy
+      FROM rev CROSS JOIN s),
+    top AS (
+      SELECT day, CAST(u AS DOUBLE) AS umax, n, sy, syy
+      FROM u ORDER BY u DESC, day LIMIT 1)
+    SELECT day AS outlier_day, n,
+           {r4("umax / sqrt(n * (n * CAST(syy AS DOUBLE)"
+               " - CAST(sy AS DOUBLE) * sy) / (n - 1))")} AS g_stat
+    FROM top
+    """,
+    doc="Grubbs' max-studentized-deviation outlier test on daily revenue "
+        "from exact integer sums; deterministic argmax via ordered "
+        "LIMIT 1.",
+)
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    rev = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy(F.to_date("ts").alias("day"))
+           .agg(F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT))")
+                .alias("cents")))
+    s = rev.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.expr("CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)"
+               " AS DECIMAL(38,0))").alias("syy"))
+    u = (rev.join(F.broadcast(s))
+         .select("day",
+                 F.expr("ABS(n * CAST(cents AS DECIMAL(38,0)) - sy)")
+                 .alias("u"),
+                 "n", "sy", "syy"))
+    top = (u.orderBy(F.desc("u"), "day").limit(1)
+           .select("day", F.col("u").cast("double").alias("umax"),
+                   "n", "sy", "syy"))
+    return top.select(
+        F.col("day").alias("outlier_day"), "n",
+        r4c(F.expr("umax / sqrt(n * (n * CAST(syy AS DOUBLE)"
+                   " - CAST(sy AS DOUBLE) * sy) / (n - 1))"))
+        .alias("g_stat"))

@@ -64,6 +64,13 @@ _EXPECTED = {
     "q176_autocorrelation": [("Join",)] * 2,        # daily series
     # day grain trend MA; the dt subtree is duplicated under the se join
     "q272_seasonal_decompose": [("Aggregate",)] * 2,
+    # Ljung-Box cumulative Q over the 7-row lag table (num x den join)
+    "q297_ljung_box": [("Join",)],
+    # day-index ROW_NUMBER on the day-grain aggregate (subtree duplicated
+    # under the sufficient-stats join) + the residual lag over day grain
+    "q298_durbin_watson": [("Aggregate",), ("Aggregate",), ("Join",)],
+    # sign-series lag over the day-grain median join
+    "q299_runs_test": [("Join",)],
     "q185_auc": [("Aggregate",)],                   # score-bin table
     "q280_avg_precision": [("Aggregate",)],         # q185's carry scan
     "q214_lorenz_deciles": [("Aggregate",)] * 2,    # decile cut table
