@@ -94,6 +94,8 @@ _NEVER_REST = [
     "q295_ece", "q296_multiclass_prf",
     "q297_ljung_box", "q298_durbin_watson", "q299_runs_test",
     "q300_grubbs",
+    "q301_good_turing", "q302_kn_bigram_xent", "q303_flesch",
+    "q304_hapax", "q305_isotropy",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

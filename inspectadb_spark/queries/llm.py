@@ -1623,3 +1623,125 @@ def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return shingle_containment_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# Q303 Flesch readability per source: reading-ease and Flesch-Kincaid
+# grade from exact integer word / sentence / vowel-group-syllable
+# counts — the classic quality-filter signal next to q45c's ratio panel
+# and q221's Gopher rules (readability bands are a standard curation
+# cut). Syllables use the deterministic vowel-group heuristic
+# ([aeiouy]+ runs on the lowercased text, min 1 per word is NOT
+# enforced — the raw run count keeps both engines trivially identical);
+# sentences count [.!?]+ runs with a floor of 1 per document. One
+# 2-column scan, one map-side-combinable aggregation; the two formula
+# divisions happen once per source row.
+@query(
+    "q303_flesch",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syll
+      FROM documents),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(words) AS BIGINT) AS words,
+             CAST(SUM(sents) AS BIGINT) AS sents,
+             CAST(SUM(syll) AS BIGINT) AS syll
+      FROM d GROUP BY source)
+    SELECT source, n_docs, words, sents, syll,
+           {r4("206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)"
+               " - 84.6 * (CAST(syll AS DOUBLE) / words)")}
+             AS flesch_ease,
+           {r4("0.39 * (CAST(words AS DOUBLE) / sents)"
+               " + 11.8 * (CAST(syll AS DOUBLE) / words) - 15.59")}
+             AS fk_grade
+    FROM s ORDER BY source
+    """,
+    doc="Flesch reading-ease and Flesch-Kincaid grade per source from "
+        "exact integer word/sentence/vowel-group counts; deterministic "
+        "regex heuristics identical in both engines.",
+)
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"].select(
+        "source",
+        F.expr("size(filter(split(text, ' '), w -> w <> ''))")
+        .alias("words"),
+        F.expr("GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)")
+        .alias("sents"),
+        F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+        .alias("syll"))
+    s = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("sents").cast("bigint").alias("sents"),
+        F.sum("syll").cast("bigint").alias("syll"))
+    return s.select(
+        "source", "n_docs", "words", "sents", "syll",
+        r4c(F.expr("206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)"
+                   " - 84.6 * (CAST(syll AS DOUBLE) / words)"))
+        .alias("flesch_ease"),
+        r4c(F.expr("0.39 * (CAST(words AS DOUBLE) / sents)"
+                   " + 11.8 * (CAST(syll AS DOUBLE) / words) - 15.59"))
+        .alias("fk_grade")).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q304 lexical-richness panel per source: vocabulary size, hapax and
+# dis legomena counts (tokens seen exactly once/twice), type-token
+# ratio, hapax share, and Sichel's S — the per-source slice of q301's
+# corpus-wide Good-Turing classes and the standard "is this source
+# templated or genuinely diverse" curation signal (low hapax share =
+# boilerplate). Two plain aggregation levels ((source, token) ->
+# count class -> source panel), all integer counts, exact ppm ratios.
+@query(
+    "q304_hapax",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({{words}}) AS tok FROM documents),
+    vc AS (SELECT source, tok, COUNT(*) AS c FROM toks
+           GROUP BY source, tok),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(c) AS BIGINT) AS tokens,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis
+      FROM vc GROUP BY source)
+    SELECT source, vocab, tokens, hapax, dis,
+           CAST(vocab * 1000000 // tokens AS BIGINT) AS ttr_ppm,
+           CAST(hapax * 1000000 // vocab AS BIGINT) AS hapax_share_ppm,
+           CAST(dis * 1000000 // vocab AS BIGINT) AS sichel_s_ppm
+    FROM s ORDER BY source
+    """.replace("{words}", "list_filter(string_split(text, ' '), w -> w <> '')"),
+    doc="Per-source lexical richness: vocabulary, hapax/dis legomena, "
+        "type-token ratio, hapax share and Sichel's S in exact integer "
+        "ppm.",
+)
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source",
+        F.explode(F.expr("filter(split(text, ' '), w -> w <> '')"))
+        .alias("tok"))
+    vc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    s = vc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("tokens"),
+        F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END")).cast("bigint")
+        .alias("hapax"),
+        F.sum(F.expr("CASE WHEN c = 2 THEN 1 ELSE 0 END")).cast("bigint")
+        .alias("dis"))
+    return s.select(
+        "source", "vocab", "tokens", "hapax", "dis",
+        F.expr("vocab * 1000000 DIV tokens").alias("ttr_ppm"),
+        F.expr("hapax * 1000000 DIV vocab").alias("hapax_share_ppm"),
+        F.expr("dis * 1000000 DIV vocab").alias("sichel_s_ppm"),
+    ).orderBy("source")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from inspectadb_spark.operators import pipeline as P
-from inspectadb_spark.queries.registry import query, tables
+from inspectadb_spark.queries.registry import query, r4, r4c, tables
 
 _DUCK_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
@@ -2090,3 +2090,278 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
                " ELSE CAST(ROUND(CAST(2.0 * tp / (act_n + pred_n)"
                " AS DECIMAL(18,6)), 4) AS DOUBLE) END").alias("f1"),
     ).orderBy("cls")
+
+
+# --------------------------------------------------------------------------
+# Q301 Good-Turing frequency smoothing of the corpus unigram counts:
+# count-of-counts N_r, the adjusted count r* = (r+1)·N_{r+1}/N_r, and
+# the smoothed probability mass at each count class — the classical
+# answer to "how much probability belongs to unseen tokens" (the r=1
+# class mass IS the unseen-mass estimate). Both levels are plain
+# aggregations (token -> count, count -> class size); the r+1 lookup is
+# a self-join on the count-class table, bounded by max token frequency,
+# and the class mass (r+1)·N_{r+1}/N folds as exact integer ppm. The
+# report keeps the 10 SMALLEST count classes (ordered LIMIT, not a
+# WHERE r <= k: this synthetic corpus's vocabulary is tiny, so small-r
+# classes can be empty at larger SFs).
+@query(
+    "q301_good_turing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_WORDS}) AS tok FROM documents),
+    vc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    cc AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+           FROM vc GROUP BY c),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc)
+    SELECT CAST(a.r AS BIGINT) AS r, a.n_r,
+           COALESCE(b.n_r, 0) AS n_r1,
+           {r4("(a.r + 1.0) * COALESCE(b.n_r, 0) / a.n_r")} AS r_star,
+           CAST((a.r + 1) * COALESCE(b.n_r, 0) * 1000000 // n AS BIGINT)
+             AS mass_ppm
+    FROM cc a LEFT JOIN cc b ON b.r = a.r + 1 CROSS JOIN tot
+    ORDER BY a.r LIMIT 10
+    """,
+    doc="Good-Turing count-of-counts, adjusted counts r* and exact "
+        "integer-ppm class mass for the 10 smallest count classes; the lowest-r mass is "
+        "the unseen-token probability estimate.",
+)
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    toks = docs.select(F.explode(F.expr(
+        "filter(split(text, ' '), w -> w <> '')")).alias("tok"))
+    vc = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    cc = vc.groupBy(F.col("c").alias("r")).agg(
+        F.count("*").cast("bigint").alias("n_r"))
+    tot = vc.agg(F.sum("c").cast("bigint").alias("n"))
+    b = cc.select(F.col("r").alias("r1"), F.col("n_r").alias("n_r1"))
+    return (cc.orderBy("r").limit(10)
+            .join(b, F.expr("r1 = r + 1"), "left")
+            .join(F.broadcast(tot))
+            .select(F.col("r").cast("bigint").alias("r"), "n_r",
+                    F.expr("COALESCE(n_r1, 0)").alias("n_r1"),
+                    r4c(F.expr("(r + 1.0) * COALESCE(n_r1, 0) / n_r"))
+                    .alias("r_star"),
+                    F.expr("(r + 1) * COALESCE(n_r1, 0) * 1000000 DIV n")
+                    .alias("mass_ppm"))
+            .orderBy("r"))
+
+
+# --------------------------------------------------------------------------
+# Q305 embedding isotropy audit: how directionally uniform is the
+# embedding cloud? Reports the centroid norm, the mean squared vector
+# norm, and their ratio ("anisotropy" — 0 for a perfectly centered
+# cloud, 1 when every vector is the same direction): isotropy problems
+# are why raw embedding cosines saturate (the q139/q265 centroid ops'
+# diagnostic). Exactness: coordinates quantize to integer 1e-4 units
+# (q149 convention); per-dimension sums and the squared-norm total are
+# exact integers, so both engines divide the same exact quantities
+# once. One posexplode shuffle on the 64-key dimension space plus one
+# vector-grain aggregate.
+@query(
+    "q305_isotropy",
+    oracle="""
+    WITH e AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000)
+                                      AS BIGINT)) AS q
+      FROM embeddings),
+    p AS (
+      SELECT generate_subscripts(q, 1) - 1 AS d, unnest(q) AS x
+      FROM e),
+    dims AS (
+      SELECT d, CAST(SUM(x) AS BIGINT) AS sd FROM p GROUP BY d),
+    nrm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s2) AS HUGEINT) AS s2
+      FROM (SELECT list_sum(list_transform(q, v -> v * v)) AS s2 FROM e)),
+    top AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+             CAST(SUM(CAST(sd AS HUGEINT) * sd) AS HUGEINT) AS ssd
+      FROM dims)
+    SELECT n, n_dims,
+           CAST(ROUND(CAST(sqrt(CAST(ssd AS DOUBLE)) / n / 10000
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS centroid_norm,
+           CAST(ROUND(CAST(sqrt(CAST(s2 AS DOUBLE) / n) / 10000
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS rms_norm,
+           CAST(ROUND(CAST(CAST(ssd AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                / (CAST(s2 AS DOUBLE) / n)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS anisotropy
+    FROM nrm CROSS JOIN top
+    """,
+    doc="Embedding-cloud isotropy audit: exact integer-quantized centroid "
+        "norm, RMS vector norm, and their squared ratio (anisotropy).",
+)
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables(spark, sf_dir)["embeddings"]
+    e = emb.select(F.expr(
+        "transform(embedding,"
+        " x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+        .alias("q"))
+    p = e.select(F.posexplode("q").alias("d", "x"))
+    dims = p.groupBy("d").agg(F.sum("x").cast("bigint").alias("sd"))
+    nrm = (e.select(F.expr(
+        "aggregate(transform(q, v -> v * v), 0L, (a, b) -> a + b)")
+        .alias("s2"))
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum("s2").cast("decimal(38,0)").alias("s2")))
+    top = dims.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.sum(F.expr("CAST(sd AS DECIMAL(38,0)) * sd"))
+        .cast("decimal(38,0)").alias("ssd"))
+    return (nrm.join(F.broadcast(top))
+            .select("n", "n_dims",
+                    r4c(F.expr("sqrt(CAST(ssd AS DOUBLE)) / n / 10000"))
+                    .alias("centroid_norm"),
+                    r4c(F.expr("sqrt(CAST(s2 AS DOUBLE) / n) / 10000"))
+                    .alias("rms_norm"),
+                    r4c(F.expr("CAST(ssd AS DOUBLE)"
+                               " / (CAST(n AS DOUBLE) * n)"
+                               " / (CAST(s2 AS DOUBLE) / n)"))
+                    .alias("anisotropy")))
+
+
+# --------------------------------------------------------------------------
+# Q302 interpolated Kneser-Ney bigram cross-entropy on the held-out md5
+# split (q270's split convention, q67's bigram construction): the
+# standard n-gram LM quality signal one order above q270's add-1
+# unigram — KN's continuation counts ("how many distinct histories
+# precede w2") are exactly what distinguishes templated from diverse
+# text. Model: absolute discount d = 0.75,
+#   P(w2|w1) = (max(c12 − d, 0) + d·T1(w1)·Pc(w2)) / c1(w1)
+# backing off to Pc(w2) = (T2(w2) + 1)/(B + V + 1) for unseen
+# histories (add-1 over continuation types keeps Pc > 0 for OOV).
+# All five model tables are map-side-combinable aggregations of the
+# train bigram frame joined back by key; probabilities fold exact
+# integers in one shared double expression, per-token logprobs
+# quantized to 6dp before the per-source fold (4dp left a
+# single source's mean ON a rounding boundary at sf0.001).
+@query(
+    "q302_kn_bigram_xent",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN (instr('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)
+                                         || ':split'), 1, 1)) - 1) < 13
+                  THEN 'train' ELSE 'test' END AS split,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT source, split, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT source, split, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM d WHERE len(w) >= 2)),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg WHERE split = 'train' GROUP BY w1, w2),
+    hist AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS t1
+      FROM big GROUP BY w1),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS t2
+      FROM big GROUP BY w2),
+    gl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS b,
+             (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+              FROM (SELECT w1 AS tok FROM big
+                    UNION ALL SELECT w2 FROM big)) AS v
+      FROM big),
+    sc AS (
+      SELECT t.source,
+             CASE WHEN h.c1 IS NULL THEN 1 ELSE 0 END AS hist_oov,
+             CASE WHEN b2.c12 IS NULL THEN 1 ELSE 0 END AS bg_unseen,
+             ROUND(CAST(ln(
+               CASE WHEN h.c1 IS NULL
+                 THEN (COALESCE(c.t2, 0) + CAST(1 AS DOUBLE))
+                      / (g.b + g.v + 1)
+                 ELSE (GREATEST(COALESCE(b2.c12, 0)
+                                - CAST(0.75 AS DOUBLE), 0)
+                       + CAST(0.75 AS DOUBLE) * h.t1
+                         * ((COALESCE(c.t2, 0) + CAST(1 AS DOUBLE))
+                            / (g.b + g.v + 1)))
+                      / h.c1
+               END) AS DECIMAL(18,6)), 6) AS lp
+      FROM bg t
+      LEFT JOIN big b2 ON b2.w1 = t.w1 AND b2.w2 = t.w2
+      LEFT JOIN hist h ON h.w1 = t.w1
+      LEFT JOIN cont c ON c.w2 = t.w2
+      CROSS JOIN gl g
+      WHERE t.split = 'test')
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(hist_oov) * 1000000 // COUNT(*) AS BIGINT)
+             AS hist_oov_ppm,
+           CAST(SUM(bg_unseen) * 1000000 // COUNT(*) AS BIGINT)
+             AS bg_unseen_ppm,
+           CAST(ROUND(CAST(CAST(-SUM(lp) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS xent_nats
+    FROM sc GROUP BY source ORDER BY source
+    """,
+    doc="Interpolated Kneser-Ney bigram cross-entropy per source on the "
+        "held-out md5 split: absolute discount 0.75, continuation-count "
+        "backoff with add-1 floor, exact integer model tables, "
+        "6dp-quantized per-token logprobs.",
+)
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    d = docs.select(
+        "source",
+        F.expr("CASE WHEN (instr('0123456789abcdef',"
+               " substr(md5(CAST(doc_id AS STRING) || ':split'), 1, 1))"
+               " - 1) < 13 THEN 'train' ELSE 'test' END").alias("split"),
+        F.expr("filter(split(text, ' '), w -> w <> '')").alias("w"))
+    bg = (d.filter("size(w) >= 2")
+          .select("source", "split",
+                  F.explode(F.expr(
+                      "transform(sequence(1, size(w) - 1),"
+                      " i -> struct(element_at(w, i) AS w1,"
+                      "             element_at(w, i + 1) AS w2))"))
+                  .alias("p"))
+          .select("source", "split", "p.w1", "p.w2"))
+    big = (bg.filter("split = 'train'")
+           .groupBy("w1", "w2")
+           .agg(F.count("*").cast("bigint").alias("c12")))
+    hist = big.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("t1"))
+    cont = big.groupBy("w2").agg(
+        F.count("*").cast("bigint").alias("t2"))
+    toks = (big.select(F.col("w1").alias("tok"))
+            .unionAll(big.select(F.col("w2").alias("tok"))))
+    # two SEPARATE one-row broadcasts (a combined (b, v) frame would be a
+    # nested-loop join itself, outside the lint's one_row_agg class)
+    btot = big.agg(F.count("*").cast("bigint").alias("b"))
+    vtot = toks.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    t = bg.filter("split = 'test'")
+    sc = (t.join(big, ["w1", "w2"], "left")
+          .join(hist, "w1", "left")
+          .join(cont, "w2", "left")
+          .join(F.broadcast(btot))
+          .join(F.broadcast(vtot))
+          .select(
+              "source",
+              F.expr("CASE WHEN c1 IS NULL THEN 1 ELSE 0 END")
+              .alias("hist_oov"),
+              F.expr("CASE WHEN c12 IS NULL THEN 1 ELSE 0 END")
+              .alias("bg_unseen"),
+              F.expr(
+                  "ROUND(CAST(ln("
+                  "CASE WHEN c1 IS NULL"
+                  " THEN (COALESCE(t2, 0) + CAST(1 AS DOUBLE))"
+                  "      / (b + v + 1)"
+                  " ELSE (GREATEST(COALESCE(c12, 0)"
+                  "                - CAST(0.75 AS DOUBLE), 0)"
+                  "       + CAST(0.75 AS DOUBLE) * t1"
+                  "         * ((COALESCE(t2, 0) + CAST(1 AS DOUBLE))"
+                  "            / (b + v + 1)))"
+                  "      / c1"
+                  " END) AS DECIMAL(18,6)), 6)").alias("lp")))
+    return (sc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.expr("SUM(hist_oov) * 1000000 DIV COUNT(*)")
+        .alias("hist_oov_ppm"),
+        F.expr("SUM(bg_unseen) * 1000000 DIV COUNT(*)")
+        .alias("bg_unseen_ppm"),
+        F.expr("CAST(ROUND(CAST(CAST(-SUM(lp) AS DOUBLE) / COUNT(*)"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("xent_nats"))
+        .orderBy("source"))
