@@ -96,6 +96,8 @@ _NEVER_REST = [
     "q300_grubbs",
     "q301_good_turing", "q302_kn_bigram_xent", "q303_flesch",
     "q304_hapax", "q305_isotropy",
+    "q306_mutual_information", "q307_entropy_rate", "q308_hellinger",
+    "q309_vocab_jaccard", "q310_permutation_entropy",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

@@ -3761,3 +3761,375 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4c(F.expr("umax / sqrt(n * (n * CAST(syy AS DOUBLE)"
                    " - CAST(sy AS DOUBLE) * sy) / (n - 1))"))
         .alias("g_stat"))
+
+
+# --------------------------------------------------------------------------
+# Q306 mutual information between order priority and status — the
+# information-theoretic association measure on q281's contingency
+# (Cramér's V answers "how strong", MI answers "how many nats are
+# shared"), with both normalized variants (NMI by arithmetic-mean
+# entropy, Theil's uncertainty coefficients U(row|col)/U(col|row) —
+# the asymmetric "which attribute predicts which"). Cells are bounded
+# by the category domains; per-cell MI terms fold from exact integer
+# counts with 6dp quantization; marginal entropies fold domain-sized
+# frames the same way.
+@query(
+    "q306_mutual_information",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS n
+      FROM orders GROUP BY a, b),
+    ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM c GROUP BY a),
+    rb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM c GROUP BY b),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+    mi AS (
+      SELECT CAST(SUM(ROUND(CAST(
+               (CAST(n AS DOUBLE) / nn)
+               * ln(CAST(n AS DOUBLE) * nn
+                    / (CAST(na AS DOUBLE) * nb))
+               AS DECIMAL(18,6)), 6)) AS DOUBLE) AS mi
+      FROM c JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot),
+    ha AS (
+      SELECT CAST(SUM(ROUND(CAST(
+               -(CAST(na AS DOUBLE) / nn)
+               * ln(CAST(na AS DOUBLE) / nn)
+               AS DECIMAL(18,6)), 6)) AS DOUBLE) AS ha
+      FROM ra CROSS JOIN tot),
+    hb AS (
+      SELECT CAST(SUM(ROUND(CAST(
+               -(CAST(nb AS DOUBLE) / nn)
+               * ln(CAST(nb AS DOUBLE) / nn)
+               AS DECIMAL(18,6)), 6)) AS DOUBLE) AS hb
+      FROM rb CROSS JOIN tot)
+    SELECT (SELECT nn FROM tot) AS n,
+           CAST(ROUND(CAST(mi AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS mi_nats,
+           CAST(ROUND(CAST(2 * mi / (ha + hb) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS nmi,
+           CAST(ROUND(CAST(mi / ha AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS u_a_given_b,
+           CAST(ROUND(CAST(mi / hb AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS u_b_given_a
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+    doc="Mutual information (nats) between priority and status with NMI "
+        "and Theil's asymmetric uncertainty coefficients, from "
+        "domain-bounded contingency cells and 6dp-quantized term sums.",
+)
+def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (tables(spark, sf_dir)["orders"]
+         .groupBy(F.col("o_orderpriority").alias("a"),
+                  F.col("o_orderstatus").alias("b"))
+         .agg(F.count("*").alias("n")))
+    ra = c.groupBy("a").agg(F.sum("n").cast("bigint").alias("na"))
+    rb = c.groupBy("b").agg(F.sum("n").cast("bigint").alias("nb"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("nn"))
+    mi = (c.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
+          .join(F.broadcast(tot))
+          .agg(F.expr(
+              "CAST(SUM(ROUND(CAST("
+              "(CAST(n AS DOUBLE) / nn)"
+              " * ln(CAST(n AS DOUBLE) * nn"
+              "      / (CAST(na AS DOUBLE) * nb))"
+              " AS DECIMAL(18,6)), 6)) AS DOUBLE)").alias("mi")))
+    ha = (ra.join(F.broadcast(tot))
+          .agg(F.expr(
+              "CAST(SUM(ROUND(CAST("
+              "-(CAST(na AS DOUBLE) / nn) * ln(CAST(na AS DOUBLE) / nn)"
+              " AS DECIMAL(18,6)), 6)) AS DOUBLE)").alias("ha")))
+    hb = (rb.join(F.broadcast(tot))
+          .agg(F.expr(
+              "CAST(SUM(ROUND(CAST("
+              "-(CAST(nb AS DOUBLE) / nn) * ln(CAST(nb AS DOUBLE) / nn)"
+              " AS DECIMAL(18,6)), 6)) AS DOUBLE)").alias("hb")))
+    return (tot.join(F.broadcast(mi)).join(F.broadcast(ha))
+            .join(F.broadcast(hb))
+            .select(F.col("nn").alias("n"),
+                    r4c(F.col("mi")).alias("mi_nats"),
+                    r4c(F.expr("2 * mi / (ha + hb)")).alias("nmi"),
+                    r4c(F.expr("mi / ha")).alias("u_a_given_b"),
+                    r4c(F.expr("mi / hb")).alias("u_b_given_a")))
+
+
+# --------------------------------------------------------------------------
+# Q307 bigram conditional entropy (entropy rate) per source: H(w2|w1) =
+# −Σ p(w1,w2)·ln p(w2|w1) over each source's own bigram distribution —
+# the intrinsic sequence-predictability number next to q302's held-out
+# KN cross-entropy (their gap IS the model's estimation loss) and
+# q262's unigram token entropy. One bigram aggregation per source, one
+# history-marginal join, exact integer count ratios, 6dp-quantized
+# terms.
+@query(
+    "q307_entropy_rate",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT source, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT source, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM d WHERE len(w) >= 2)),
+    c AS (SELECT source, w1, w2, COUNT(*) AS c12
+          FROM bg GROUP BY source, w1, w2),
+    h AS (SELECT source, w1, CAST(SUM(c12) AS BIGINT) AS c1
+          FROM c GROUP BY source, w1),
+    tot AS (SELECT source, CAST(SUM(c12) AS BIGINT) AS nb
+            FROM c GROUP BY source),
+    terms AS (
+      SELECT c.source,
+             ROUND(CAST(
+               -(CAST(c12 AS DOUBLE) / nb)
+               * ln(CAST(c12 AS DOUBLE) / c1)
+               AS DECIMAL(18,6)), 6) AS term
+      FROM c JOIN h ON h.source = c.source AND h.w1 = c.w1
+      JOIN tot ON tot.source = c.source)
+    SELECT source,
+           CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS h_rate_nats
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    doc="Per-source bigram conditional entropy H(w2|w1) in nats — the "
+        "intrinsic sequence predictability whose gap to q302's held-out "
+        "cross-entropy is the LM estimation loss.",
+)
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    d = docs.select(
+        "source",
+        F.expr("filter(split(text, ' '), w -> w <> '')").alias("w"))
+    bg = (d.filter("size(w) >= 2")
+          .select("source",
+                  F.explode(F.expr(
+                      "transform(sequence(1, size(w) - 1),"
+                      " i -> struct(element_at(w, i) AS w1,"
+                      "             element_at(w, i + 1) AS w2))"))
+                  .alias("p"))
+          .select("source", "p.w1", "p.w2"))
+    c = bg.groupBy("source", "w1", "w2").agg(F.count("*").alias("c12"))
+    h = c.groupBy("source", "w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"))
+    tot = c.groupBy("source").agg(F.sum("c12").cast("bigint").alias("nb"))
+    terms = (c.join(h, ["source", "w1"])
+             .join(F.broadcast(tot), "source")
+             .select("source", F.expr(
+                 "ROUND(CAST("
+                 "-(CAST(c12 AS DOUBLE) / nb)"
+                 " * ln(CAST(c12 AS DOUBLE) / c1)"
+                 " AS DECIMAL(18,6)), 6)").alias("term")))
+    return (terms.groupBy("source")
+            .agg(F.expr("CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE)"
+                        " AS DECIMAL(18,6)), 4) AS DOUBLE)")
+                 .alias("h_rate_nats"))
+            .orderBy("source"))
+
+
+# --------------------------------------------------------------------------
+# Q308 pairwise Hellinger distance between source unigram distributions
+# — the bounded, metric (triangle-inequality) companion to q283's JSD
+# and q134's KL. The Bhattacharyya coefficient BC = Σ√(p·q) needs ONLY
+# shared tokens (single-side terms are exactly 0), so the pair frame is
+# one token-key equi-join between per-source count tables — never a
+# vocab outer join; √(p·q) terms fold from exact integer count ratios
+# with 6dp quantization, and H = √(1 − BC) clamps at 0 in shared
+# expression text.
+@query(
+    "q308_hellinger",
+    oracle="""
+    WITH toks AS (
+      SELECT source AS g, unnest(list_filter(string_split(text, ' '),
+                                             w -> w <> '')) AS tok
+      FROM documents),
+    gt AS (SELECT g, tok, COUNT(*) AS c FROM toks GROUP BY g, tok),
+    tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM gt GROUP BY g),
+    terms AS (
+      SELECT a.g AS ga, b.g AS gb,
+             ROUND(CAST(sqrt((CAST(a.c AS DOUBLE) / na.n)
+                             * (CAST(b.c AS DOUBLE) / nb.n))
+                        AS DECIMAL(18,6)), 6) AS term
+      FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g
+      JOIN tot na ON na.g = a.g JOIN tot nb ON nb.g = b.g),
+    agg AS (
+      SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_shared,
+             CAST(SUM(term) AS DOUBLE) AS bc
+      FROM terms GROUP BY ga, gb)
+    SELECT ga AS source_a, gb AS source_b, n_shared,
+           CAST(ROUND(CAST(bc AS DECIMAL(18,6)), 4) AS DOUBLE) AS bc,
+           CAST(ROUND(CAST(sqrt(GREATEST(1 - bc, 0))
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS hellinger
+    FROM agg ORDER BY source_a, source_b
+    """,
+    doc="Pairwise Hellinger distance between source unigram "
+        "distributions via the shared-token Bhattacharyya coefficient "
+        "(single-side terms are exactly zero; never a vocab outer "
+        "join).",
+)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.col("source").alias("g"),
+        F.explode(F.expr("filter(split(text, ' '), w -> w <> '')"))
+        .alias("tok"))
+    gt = toks.groupBy("g", "tok").agg(F.count("*").alias("c"))
+    tot = gt.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    b = gt.select(F.col("g").alias("gb"), F.col("tok").alias("tok"),
+                  F.col("c").alias("cb"))
+    terms = (gt.join(b, (gt["tok"] == b["tok"]) & (gt["g"] < b["gb"]))
+             .drop(b["tok"])
+             .join(F.broadcast(tot.select(F.col("g").alias("ga2"),
+                                          F.col("n").alias("na"))),
+                   F.col("g") == F.col("ga2"))
+             .join(F.broadcast(tot.select(F.col("g").alias("gb2"),
+                                          F.col("n").alias("nb"))),
+                   F.col("gb") == F.col("gb2"))
+             .select(F.col("g").alias("ga"), "gb", F.expr(
+                 "ROUND(CAST(sqrt((CAST(c AS DOUBLE) / na)"
+                 " * (CAST(cb AS DOUBLE) / nb)) AS DECIMAL(18,6)), 6)")
+                 .alias("term")))
+    agg = terms.groupBy("ga", "gb").agg(
+        F.count("*").cast("bigint").alias("n_shared"),
+        F.sum("term").cast("double").alias("bc"))
+    return agg.select(
+        F.col("ga").alias("source_a"), F.col("gb").alias("source_b"),
+        "n_shared",
+        r4c(F.col("bc")).alias("bc"),
+        r4c(F.expr("sqrt(GREATEST(1 - bc, 0))")).alias("hellinger"),
+    ).orderBy("source_a", "source_b")
+
+
+# --------------------------------------------------------------------------
+# Q309 vocabulary-overlap (Jaccard) matrix between sources: |Va ∩ Vb| /
+# |Va ∪ Vb| in exact integer ppm over distinct-token sets — the
+# set-level companion to q308/q283's distribution distances (two
+# sources can share every token yet differ in distribution, and vice
+# versa) and the same diagnostic q189 estimates with KMV sketches. One
+# distinct pass, one token equi-join of distinct-token tables, marginal
+# vocab sizes broadcast; union folds by inclusion-exclusion.
+@query(
+    "q309_vocab_jaccard",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source AS g, unnest(list_filter(
+        string_split(text, ' '), w -> w <> '')) AS tok
+      FROM documents),
+    vs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nv FROM v GROUP BY g),
+    inter AS (
+      SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM v a JOIN v b ON a.tok = b.tok AND a.g < b.g
+      GROUP BY ga, gb)
+    SELECT ga AS source_a, gb AS source_b, ni AS n_inter,
+           va.nv + vb.nv - ni AS n_union,
+           CAST(ni * 1000000 // (va.nv + vb.nv - ni) AS BIGINT)
+             AS jaccard_ppm,
+           CAST(ni * 1000000 // LEAST(va.nv, vb.nv) AS BIGINT)
+             AS overlap_coef_ppm
+    FROM inter
+    JOIN vs va ON va.g = ga JOIN vs vb ON vb.g = gb
+    ORDER BY source_a, source_b
+    """,
+    doc="Pairwise vocabulary Jaccard and overlap coefficient between "
+        "sources in exact integer ppm (the exact form of q189's KMV "
+        "estimate).",
+)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    v = (docs.select(
+        F.col("source").alias("g"),
+        F.explode(F.expr("filter(split(text, ' '), w -> w <> '')"))
+        .alias("tok")).distinct())
+    vs = v.groupBy("g").agg(F.count("*").cast("bigint").alias("nv"))
+    b = v.select(F.col("g").alias("gb"), F.col("tok").alias("tok2"))
+    inter = (v.join(b, (v["tok"] == b["tok2"]) & (v["g"] < b["gb"]))
+             .groupBy(F.col("g").alias("ga"), "gb")
+             .agg(F.count("*").cast("bigint").alias("ni")))
+    return (inter
+            .join(F.broadcast(vs.select(F.col("g").alias("ga"),
+                                        F.col("nv").alias("nva"))), "ga")
+            .join(F.broadcast(vs.select(F.col("g").alias("gb"),
+                                        F.col("nv").alias("nvb"))), "gb")
+            .select(F.col("ga").alias("source_a"),
+                    F.col("gb").alias("source_b"),
+                    F.col("ni").alias("n_inter"),
+                    F.expr("nva + nvb - ni").alias("n_union"),
+                    F.expr("ni * 1000000 DIV (nva + nvb - ni)")
+                    .alias("jaccard_ppm"),
+                    F.expr("ni * 1000000 DIV LEAST(nva, nvb)")
+                    .alias("overlap_coef_ppm"))
+            .orderBy("source_a", "source_b"))
+
+
+# --------------------------------------------------------------------------
+# Q310 permutation entropy of daily revenue (order 3): the complexity
+# of the series' ordinal dynamics — Bandt-Pompe patterns over
+# (y_t, y_{t+1}, y_{t+2}) triples, classified by the three pairwise
+# strict comparisons (deterministic under ties in both engines),
+# entropy over the bounded pattern alphabet normalized by ln(6). The
+# pattern table is one lag pass over the day-grain series; everything
+# downstream is alphabet-sized.
+@query(
+    "q310_permutation_entropy",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    l AS (
+      SELECT cents AS a,
+             LEAD(cents, 1) OVER (ORDER BY day) AS b,
+             LEAD(cents, 2) OVER (ORDER BY day) AS c
+      FROM rev),
+    pat AS (
+      SELECT (CASE WHEN a < b THEN 4 ELSE 0 END
+              + CASE WHEN b < c THEN 2 ELSE 0 END
+              + CASE WHEN a < c THEN 1 ELSE 0 END) AS p
+      FROM l WHERE b IS NOT NULL AND c IS NOT NULL),
+    pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS np
+           FROM pat GROUP BY p),
+    tot AS (SELECT CAST(SUM(np) AS BIGINT) AS n FROM pc),
+    h AS (
+      SELECT CAST(SUM(ROUND(CAST(
+               -(CAST(np AS DOUBLE) / n) * ln(CAST(np AS DOUBLE) / n)
+               AS DECIMAL(18,6)), 6)) AS DOUBLE) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_patterns,
+             MAX(n) AS n
+      FROM pc CROSS JOIN tot)
+    SELECT n, n_patterns,
+           CAST(ROUND(CAST(h AS DECIMAL(18,6)), 4) AS DOUBLE) AS pe_nats,
+           CAST(ROUND(CAST(h / ln(6.0) AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS pe_norm
+    FROM h
+    """,
+    doc="Bandt-Pompe permutation entropy (order 3) of daily revenue: "
+        "ordinal-pattern counts from one lag pass over the day-grain "
+        "series, entropy over the bounded pattern alphabet, normalized "
+        "by ln(6).",
+)
+def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    rev = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy(F.to_date("ts").alias("day"))
+           .agg(F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT))")
+                .alias("cents")))
+    wd = Window.orderBy("day")  # day-grain aggregate, calendar-bounded
+    l = rev.select(F.col("cents").alias("a"),
+                   F.lead("cents", 1).over(wd).alias("b"),
+                   F.lead("cents", 2).over(wd).alias("c"))
+    pat = (l.filter("b IS NOT NULL AND c IS NOT NULL")
+           .select(F.expr(
+               "(CASE WHEN a < b THEN 4 ELSE 0 END"
+               " + CASE WHEN b < c THEN 2 ELSE 0 END"
+               " + CASE WHEN a < c THEN 1 ELSE 0 END)").alias("p")))
+    pc = pat.groupBy("p").agg(F.count("*").cast("bigint").alias("np"))
+    tot = pc.agg(F.sum("np").cast("bigint").alias("n"))
+    h = (pc.join(F.broadcast(tot))
+         .agg(F.expr(
+             "CAST(SUM(ROUND(CAST("
+             "-(CAST(np AS DOUBLE) / n) * ln(CAST(np AS DOUBLE) / n)"
+             " AS DECIMAL(18,6)), 6)) AS DOUBLE)").alias("h"),
+             F.count("*").cast("bigint").alias("n_patterns"),
+             F.max("n").alias("n")))
+    return h.select(
+        "n", "n_patterns",
+        r4c(F.col("h")).alias("pe_nats"),
+        r4c(F.expr("h / ln(6.0)")).alias("pe_norm"))

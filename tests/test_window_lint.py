@@ -71,6 +71,9 @@ _EXPECTED = {
     "q298_durbin_watson": [("Aggregate",), ("Aggregate",), ("Join",)],
     # sign-series lag over the day-grain median join
     "q299_runs_test": [("Join",)],
+    # ordinal-pattern leads over the day-grain aggregate (subtree
+    # appears twice: lead(1) and lead(2) share the window input)
+    "q310_permutation_entropy": [("Aggregate",), ("Aggregate",)],
     "q185_auc": [("Aggregate",)],                   # score-bin table
     "q280_avg_precision": [("Aggregate",)],         # q185's carry scan
     "q214_lorenz_deciles": [("Aggregate",)] * 2,    # decile cut table
