@@ -98,6 +98,8 @@ _NEVER_REST = [
     "q304_hapax", "q305_isotropy",
     "q306_mutual_information", "q307_entropy_rate", "q308_hellinger",
     "q309_vocab_jaccard", "q310_permutation_entropy",
+    "q311_mann_kendall", "q312_cochran_armitage", "q313_page_trend",
+    "q314_rbo", "q315_markov_entropy",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

@@ -4133,3 +4133,346 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "n_patterns",
         r4c(F.col("h")).alias("pe_nats"),
         r4c(F.expr("h / ln(6.0)")).alias("pe_norm"))
+
+
+# --------------------------------------------------------------------------
+# Q311 Mann-Kendall trend test on daily revenue — the nonparametric
+# trend detector whose slope companion is q244's Theil-Sen: S counts
+# concordant-minus-discordant day pairs, the variance carries the
+# tie correction, and the z uses the standard continuity correction.
+# The pair frame is the same calendar-bounded day-grain self-join as
+# q244 (|days|² pairs — bounded by the calendar, never by row count;
+# pinned in the crossjoin-lint inventory).
+@query(
+    "q311_mann_kendall",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM rev a JOIN rev b ON b.day > a.day),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rev),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tt
+      FROM (SELECT COUNT(*) AS t FROM rev GROUP BY cents)
+      WHERE t > 1),
+    v AS (
+      SELECT s_stat, n,
+             (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tt) / 18
+               AS var_s
+      FROM s CROSS JOIN n CROSS JOIN ties)
+    SELECT n, s_stat,
+           {r4("CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)"
+               "     WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)"
+               "     ELSE CAST(0 AS DOUBLE) END")} AS z
+    FROM v
+    """,
+    doc="Mann-Kendall trend test of daily revenue: pair-sign S over the "
+        "calendar-bounded day self-join, tie-corrected variance, "
+        "continuity-corrected z.",
+)
+def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    rev = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy(F.to_date("ts").alias("day"))
+           .agg(F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT))")
+                .alias("cents")))
+    b = rev.select(F.col("day").alias("bday"), F.col("cents").alias("bc"))
+    s = (rev.join(b, F.expr("bday > day"))
+         .agg(F.sum(F.expr("CASE WHEN bc > cents THEN 1"
+                           " WHEN bc < cents THEN -1 ELSE 0 END"))
+              .cast("bigint").alias("s_stat")))
+    n = rev.agg(F.count("*").cast("bigint").alias("n"))
+    ties = (rev.groupBy("cents").agg(F.count("*").alias("t"))
+            .filter("t > 1")
+            .agg(F.expr("CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)),"
+                        " 0) AS BIGINT)").alias("tt")))
+    v = (s.join(F.broadcast(n)).join(F.broadcast(ties))
+         .select("s_stat", "n",
+                 F.expr("(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)"
+                        " - tt) / 18").alias("var_s")))
+    return v.select(
+        "n", "s_stat",
+        r4c(F.expr("CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)"
+                   " WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)"
+                   " ELSE CAST(0 AS DOUBLE) END")).alias("z"))
+
+
+# --------------------------------------------------------------------------
+# Q312 Cochran-Armitage trend test: does the fulfilled-rate trend
+# monotonically across the ORDERED priority codes (1-URGENT .. 5-LOW)?
+# The ordered-alternative sharpening of q166's chi-square (which is
+# blind to order): scores are the integer priority codes, T = Σx(r −
+# n·p̄) folds from exact per-group integers in one conditional
+# aggregation pass.
+@query(
+    "q312_cochran_armitage",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    g AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS r
+      FROM b GROUP BY x),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(r) AS BIGINT) AS rr,
+             CAST(SUM(x * n) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS BIGINT) * x * n) AS BIGINT) AS sxx,
+             CAST(SUM(x * r) AS BIGINT) AS sxr
+      FROM g)
+    SELECT nn AS n, rr AS n_pos,
+           {r4("(sxr - CAST(rr AS DOUBLE) / nn * sx)"
+               " / sqrt((CAST(rr AS DOUBLE) / nn)"
+               "        * (1 - CAST(rr AS DOUBLE) / nn)"
+               "        * (sxx - CAST(sx AS DOUBLE) * sx / nn))")} AS z
+    FROM t
+    """,
+    doc="Cochran-Armitage trend test of fulfilled rate across ordered "
+        "priority codes from exact integer per-group sufficient "
+        "statistics.",
+)
+def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tables(spark, sf_dir)["orders"].select(
+        F.expr("CAST(substr(o_orderpriority, 1, 1) AS INT)").alias("x"),
+        F.expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")
+        .alias("y"))
+    g = b.groupBy("x").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("r"))
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("r").cast("bigint").alias("rr"),
+        F.sum(F.expr("x * n")).cast("bigint").alias("sx"),
+        F.sum(F.expr("CAST(x AS BIGINT) * x * n")).cast("bigint")
+        .alias("sxx"),
+        F.sum(F.expr("x * r")).cast("bigint").alias("sxr"))
+    return t.select(
+        F.col("nn").alias("n"), F.col("rr").alias("n_pos"),
+        r4c(F.expr("(sxr - CAST(rr AS DOUBLE) / nn * sx)"
+                   " / sqrt((CAST(rr AS DOUBLE) / nn)"
+                   "        * (1 - CAST(rr AS DOUBLE) / nn)"
+                   "        * (sxx - CAST(sx AS DOUBLE) * sx / nn))"))
+        .alias("z"))
+
+
+# --------------------------------------------------------------------------
+# Q313 Page's trend test for ordered alternatives: does revenue rank
+# INCREASE monotonically from 1-URGENT to 5-LOW within month blocks?
+# The ordered sharpening of q277's Friedman (same complete-block
+# within-block rank2 machinery — k-row partitioned windows, never
+# row-scale): L = Σ_j score_j·R_j with scores = the priority codes,
+# z from the exact closed-form moments. The 2x-rank convention keeps
+# L2 = 2L an exact integer through the fold.
+@query(
+    "q313_page_trend",
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS blk,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS trt,
+             SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS v
+      FROM orders GROUP BY 1, 2),
+    k AS (SELECT COUNT(DISTINCT trt) AS k FROM cell),
+    full_blk AS (
+      SELECT blk FROM cell CROSS JOIN k
+      GROUP BY blk, k.k HAVING COUNT(*) = ANY_VALUE(k.k)),
+    r AS (
+      SELECT c.trt,
+             2 * RANK() OVER (PARTITION BY c.blk ORDER BY c.v)
+               + COUNT(*) OVER (PARTITION BY c.blk, c.v) - 1 AS rank2
+      FROM cell c JOIN full_blk USING (blk)),
+    g AS (
+      SELECT trt, SUM(CAST(rank2 AS HUGEINT)) AS r2j, COUNT(*) AS n
+      FROM r GROUP BY trt),
+    s AS (
+      SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(trt * r2j) AS BIGINT) AS l2
+      FROM g)
+    SELECT n, k,
+           {r4("l2 / 2.0")} AS l_stat,
+           {r4("(l2 / 2.0 - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1)"
+               " / 4) / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1)"
+               " * (k * k - 1) / 144)")} AS z
+    FROM s
+    """,
+    doc="Page's L trend test of revenue rank across ordered priority "
+        "codes within month blocks — q277's rank machinery with ordered "
+        "scores and closed-form moments.",
+)
+def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (tables(spark, sf_dir)["orders"]
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+                     F.expr("CAST(substr(o_orderpriority, 1, 1) AS INT)")
+                     .alias("trt"))
+            .agg(F.sum(F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS DECIMAL(38,0))"))
+                .alias("v")))
+    k = cell.agg(F.countDistinct("trt").alias("k"))
+    full_blk = (cell.join(F.broadcast(k))
+                .groupBy("blk", "k").agg(F.count("*").alias("ct"))
+                .filter("ct = k").select("blk"))
+    w_rank = Window.partitionBy("blk").orderBy("v")
+    w_tie = Window.partitionBy("blk", "v")
+    r = (cell.join(full_blk, "blk")
+         .withColumn("rank2",
+                     F.lit(2) * F.rank().over(w_rank)
+                     + F.count("*").over(w_tie) - 1))
+    g = r.groupBy("trt").agg(
+        F.sum(F.col("rank2").cast("decimal(38,0)")).alias("r2j"),
+        F.count("*").alias("n"))
+    s = g.agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.expr("trt * r2j")).cast("bigint").alias("l2"))
+    return s.select(
+        "n", "k",
+        r4c(F.expr("l2 / 2.0")).alias("l_stat"),
+        r4c(F.expr("(l2 / 2.0 - CAST(n AS DOUBLE) * k * (k + 1)"
+                   " * (k + 1) / 4)"
+                   " / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1)"
+                   " * (k * k - 1) / 144)")).alias("z"))
+
+
+# --------------------------------------------------------------------------
+# Q314 rank-biased overlap between the first-half and second-half
+# event-type popularity rankings: how stable is the leaderboard across
+# the two halves of the month, weighted toward the top (p = 0.9)? The
+# truncated RBO = (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d over the
+# event-type domain (k = |domain|, so the last agreement term is 1 by
+# construction). Both rankings ride ROW_NUMBER over the DOMAIN-sized
+# count table (ties broken by type name); depths come from a generated
+# grid; p^{d−1} terms fold with 6dp quantization.
+@query(
+    "q314_rbo",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS s1,
+             SUM(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS s2
+      FROM events GROUP BY event_type),
+    r AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY s1 DESC, event_type) AS ra,
+             ROW_NUMBER() OVER (ORDER BY s2 DESC, event_type) AS rb
+      FROM c),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM r),
+    depths AS (SELECT unnest(generate_series(1, (SELECT k FROM k)))
+                 AS d),
+    x AS (
+      SELECT d, CAST(SUM(CASE WHEN ra <= d AND rb <= d THEN 1 ELSE 0
+                        END) AS BIGINT) AS xd
+      FROM r CROSS JOIN depths GROUP BY d),
+    terms AS (
+      SELECT ROUND(CAST(POWER(0.9, d - 1) * xd / d
+                        AS DECIMAL(18,6)), 6) AS term
+      FROM x)
+    SELECT (SELECT k FROM k) AS k,
+           CAST(ROUND(CAST(0.1 * CAST(SUM(term) AS DOUBLE)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS rbo_trunc
+    FROM terms
+    """,
+    doc="Truncated rank-biased overlap (p=0.9) between first-half and "
+        "second-half event-type popularity rankings over the bounded "
+        "type domain.",
+)
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.expr("CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END"))
+        .alias("s1"),
+        F.sum(F.expr("CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END"))
+        .alias("s2"))
+    wa = Window.orderBy(F.desc("s1"), "event_type")  # |type domain| rows
+    wb = Window.orderBy(F.desc("s2"), "event_type")  # |type domain| rows
+    r = c.select("event_type",
+                 F.row_number().over(wa).alias("ra"),
+                 F.row_number().over(wb).alias("rb"))
+    k = r.agg(F.count("*").cast("bigint").alias("k"))
+    depths = (k.select(F.explode(F.expr("sequence(1, k)")).alias("d")))
+    x = (r.crossJoin(F.broadcast(depths))
+         .groupBy("d")
+         .agg(F.sum(F.expr("CASE WHEN ra <= d AND rb <= d THEN 1"
+                           " ELSE 0 END")).cast("bigint").alias("xd")))
+    terms = x.select(F.expr(
+        "ROUND(CAST(POWER(0.9, d - 1) * xd / d AS DECIMAL(18,6)), 6)")
+        .alias("term"))
+    return (terms.join(F.broadcast(k))
+            .groupBy("k")
+            .agg(F.expr("CAST(ROUND(CAST(0.1 * CAST(SUM(term) AS DOUBLE)"
+                        " AS DECIMAL(18,6)), 4) AS DOUBLE)")
+                 .alias("rbo_trunc")))
+
+
+# --------------------------------------------------------------------------
+# Q315 Markov transition entropy of per-user event streams: the
+# transition matrix a→b over consecutive events (ordered by ts with
+# event_id tiebreak, windows partitioned by user) and its entropy rate
+# H(next|cur) = −Σ p(a,b)·ln p(b|a) — the event-sequence analogue of
+# q307's token entropy rate: how predictable is user behavior one step
+# ahead? Transition cells are domain-bounded (|types|²); terms fold
+# with 6dp quantization; the per-type marginal joins the cell table on
+# its grouping key.
+@query(
+    "q315_markov_entropy",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (
+      SELECT event_type AS a, nxt AS b, COUNT(*) AS n
+      FROM e WHERE nxt IS NOT NULL GROUP BY a, b),
+    m AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM c GROUP BY a),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+    terms AS (
+      SELECT ROUND(CAST(
+               -(CAST(n AS DOUBLE) / nn) * ln(CAST(n AS DOUBLE) / na)
+               AS DECIMAL(18,6)), 6) AS term
+      FROM c JOIN m USING (a) CROSS JOIN tot)
+    SELECT (SELECT nn FROM tot) AS n_transitions,
+           CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS h_rate_nats,
+           CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE) / ln(5.0)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS h_rate_norm
+    FROM terms
+    """,
+    doc="Markov transition entropy rate of per-user event sequences "
+        "(domain-bounded transition matrix, per-user ordered windows, "
+        "6dp-quantized terms), normalized by ln(|types|).",
+)
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select("event_type",
+                  F.lead("event_type").over(wu).alias("nxt"))
+    c = (e.filter("nxt IS NOT NULL")
+         .groupBy(F.col("event_type").alias("a"),
+                  F.col("nxt").alias("b"))
+         .agg(F.count("*").alias("n")))
+    m = c.groupBy("a").agg(F.sum("n").cast("bigint").alias("na"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("nn"))
+    terms = (c.join(F.broadcast(m), "a")
+             .join(F.broadcast(tot))
+             .select(F.expr(
+                 "ROUND(CAST("
+                 "-(CAST(n AS DOUBLE) / nn) * ln(CAST(n AS DOUBLE) / na)"
+                 " AS DECIMAL(18,6)), 6)").alias("term")))
+    return (terms.join(F.broadcast(tot))
+            .groupBy("nn")
+            .agg(F.expr("CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE)"
+                        " AS DECIMAL(18,6)), 4) AS DOUBLE)")
+                 .alias("h_rate_nats"),
+                 F.expr("CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE)"
+                        " / ln(5.0) AS DECIMAL(18,6)), 4) AS DOUBLE)")
+                 .alias("h_rate_norm"))
+            .select(F.col("nn").alias("n_transitions"),
+                    "h_rate_nats", "h_rate_norm"))

@@ -72,6 +72,9 @@ _JUSTIFIED = {
     # Theil-Sen on the DAY-grain revenue series: pair count is bounded
     # by the calendar (|days|^2), not row count.
     "q244_theil_sen": [("grouped_agg", "grouped_agg")],
+    # Mann-Kendall pair signs on the DAY-grain revenue series: same
+    # calendar-bounded |days|^2 self-join as q244.
+    "q311_mann_kendall": [("grouped_agg", "grouped_agg")],
     # Bounded audit sample (vec_id sample_mod); full-corpus form is the
     # SRP-bucketed q267b mutual_nn_ann.
     "q267_mutual_nn": [("scan", "scan")] * 2,

@@ -74,6 +74,8 @@ _EXPECTED = {
     # ordinal-pattern leads over the day-grain aggregate (subtree
     # appears twice: lead(1) and lead(2) share the window input)
     "q310_permutation_entropy": [("Aggregate",), ("Aggregate",)],
+    # two leaderboard ROW_NUMBERs over the |event-type|-row count table
+    "q314_rbo": [("Aggregate",), ("Window", "Aggregate")],
     "q185_auc": [("Aggregate",)],                   # score-bin table
     "q280_avg_precision": [("Aggregate",)],         # q185's carry scan
     "q214_lorenz_deciles": [("Aggregate",)] * 2,    # decile cut table
