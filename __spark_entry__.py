@@ -100,6 +100,8 @@ _NEVER_REST = [
     "q309_vocab_jaccard", "q310_permutation_entropy",
     "q311_mann_kendall", "q312_cochran_armitage", "q313_page_trend",
     "q314_rbo", "q315_markov_entropy",
+    "q316_embedding_mmd", "q317_seasonal_mann_kendall",
+    "q318_delta_method", "q319_cuped", "q320_srm_check",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

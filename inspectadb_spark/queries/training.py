@@ -2365,3 +2365,451 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(CAST(CAST(-SUM(lp) AS DOUBLE) / COUNT(*)"
                " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("xent_nats"))
         .orderBy("source"))
+
+
+# --------------------------------------------------------------------------
+# Q316 linear-kernel MMD² drift between embedding groups (even vs odd
+# labels): ||μ_A − μ_B||², the first-moment member of the
+# maximum-mean-discrepancy family and the exact scalar behind "did the
+# embedding distribution move" monitoring (q173's PSI for vectors),
+# with the top-drifting dimension via an ordered LIMIT 1. Exactness:
+# 1e-4-quantized integer per-dimension sums (q149/q305 convention), so
+# both engines divide identical exact quantities; reported ×1e4 for
+# 4dp resolution on near-identical groups.
+@query(
+    "q316_embedding_mmd",
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN label % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000)
+                                      AS BIGINT)) AS q
+      FROM embeddings),
+    p AS (
+      SELECT g, generate_subscripts(q, 1) - 1 AS d, unnest(q) AS x
+      FROM e),
+    dims AS (
+      SELECT d,
+             CAST(SUM(CASE WHEN g = 'a' THEN x ELSE 0 END) AS BIGINT)
+               AS sa,
+             CAST(SUM(CASE WHEN g = 'b' THEN x ELSE 0 END) AS BIGINT)
+               AS sb
+      FROM p GROUP BY d),
+    n AS (
+      SELECT CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM e),
+    sh AS (
+      SELECT d, (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                / 10000 AS shift
+      FROM dims CROSS JOIN n),
+    top AS (
+      SELECT CAST(d AS INT) AS top_dim,
+             CAST(ROUND(CAST(shift AS DECIMAL(18,6)), 4) AS DOUBLE)
+               AS top_shift
+      FROM sh ORDER BY abs(shift) DESC, d LIMIT 1),
+    mmd AS (
+      SELECT CAST(SUM(ROUND(CAST(10000 * shift * shift
+                   AS DECIMAL(18,6)), 6)) AS DOUBLE) AS m
+      FROM sh)
+    SELECT (SELECT na FROM n) AS na, (SELECT nb FROM n) AS nb,
+           CAST(ROUND(CAST(m AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS mmd2_x1e4,
+           top_dim, top_shift
+    FROM mmd CROSS JOIN top
+    """,
+    doc="Linear-kernel MMD² between even/odd-label embedding groups from "
+        "exact quantized per-dimension sums, with the top-drifting "
+        "dimension via ordered LIMIT 1.",
+)
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables(spark, sf_dir)["embeddings"]
+    e = emb.select(
+        F.expr("CASE WHEN label % 2 = 0 THEN 'a' ELSE 'b' END").alias("g"),
+        F.expr("transform(embedding,"
+               " x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+        .alias("q"))
+    p = e.select("g", F.posexplode("q").alias("d", "x"))
+    dims = p.groupBy("d").agg(
+        F.sum(F.expr("CASE WHEN g = 'a' THEN x ELSE 0 END"))
+        .cast("bigint").alias("sa"),
+        F.sum(F.expr("CASE WHEN g = 'b' THEN x ELSE 0 END"))
+        .cast("bigint").alias("sb"))
+    n = e.agg(
+        F.sum(F.expr("CASE WHEN g = 'a' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("na"),
+        F.sum(F.expr("CASE WHEN g = 'b' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("nb"))
+    sh = (dims.join(F.broadcast(n))
+          .select("d", "na", "nb",
+                  F.expr("(CAST(sa AS DOUBLE) / na"
+                         " - CAST(sb AS DOUBLE) / nb) / 10000")
+                  .alias("shift")))
+    top = (sh.orderBy(F.expr("abs(shift)").desc(), "d").limit(1)
+           .select(F.col("d").cast("int").alias("top_dim"),
+                   r4c(F.col("shift")).alias("top_shift")))
+    mmd = sh.agg(F.expr(
+        "CAST(SUM(ROUND(CAST(10000 * shift * shift"
+        " AS DECIMAL(18,6)), 6)) AS DOUBLE)").alias("m"))
+    return (n.join(F.broadcast(mmd)).join(F.broadcast(top))
+            .select("na", "nb", r4c(F.col("m")).alias("mmd2_x1e4"),
+                    "top_dim", "top_shift"))
+
+
+# --------------------------------------------------------------------------
+# Q317 seasonal (Hirsch-Slack) Mann-Kendall trend test: q311's pair-sign
+# S computed WITHIN each ISO-dow stratum of the daily revenue series
+# (so the weekly cycle can't masquerade as trend), strata statistics
+# and tie-corrected variances summed, one continuity-corrected z. The
+# pair frame is an equi-join on the stratum key with a day inequality —
+# hash-partitioned by dow, |days/7|² pairs per stratum, never a cross
+# join.
+@query(
+    "q317_seasonal_mann_kendall",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(ts AS DATE) AS day, isodow(CAST(ts AS DATE)) AS dow,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM rev a JOIN rev b ON b.dow = a.dow AND b.day > a.day),
+    strata AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(tt), 0) AS BIGINT) AS tt
+      FROM (SELECT dow, cents, COUNT(*) AS t,
+                   CASE WHEN COUNT(*) > 1
+                        THEN COUNT(*) * (COUNT(*) - 1)
+                             * (2 * COUNT(*) + 5)
+                        ELSE 0 END AS tt
+            FROM rev GROUP BY dow, cents)
+      GROUP BY dow),
+    v AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_days,
+             SUM((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tt) / 18)
+               AS var_s
+      FROM strata)
+    SELECT n_days, s_stat,
+           {r4("CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)"
+               "     WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)"
+               "     ELSE CAST(0 AS DOUBLE) END")} AS z
+    FROM s CROSS JOIN v
+    """,
+    doc="Seasonal (per-ISO-dow) Mann-Kendall trend test of daily "
+        "revenue: stratum pair signs via a dow-keyed equi-join, summed "
+        "tie-corrected variances, continuity-corrected z.",
+)
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    rev = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy(F.to_date("ts").alias("day"),
+                    F.expr("((dayofweek(CAST(ts AS DATE)) + 5) % 7) + 1")
+                    .alias("dow"))
+           .agg(F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT))")
+                .alias("cents")))
+    b = rev.select(F.col("dow").alias("bdow"),
+                   F.col("day").alias("bday"), F.col("cents").alias("bc"))
+    s = (rev.join(b, F.expr("bdow = dow AND bday > day"))
+         .agg(F.sum(F.expr("CASE WHEN bc > cents THEN 1"
+                           " WHEN bc < cents THEN -1 ELSE 0 END"))
+              .cast("bigint").alias("s_stat")))
+    strata = (rev.groupBy("dow", "cents").agg(F.count("*").alias("t"))
+              .select("dow", "t",
+                      F.expr("CASE WHEN t > 1"
+                             " THEN t * (t - 1) * (2 * t + 5)"
+                             " ELSE 0 END").alias("tt"))
+              .groupBy("dow")
+              .agg(F.sum("t").cast("bigint").alias("n"),
+                   F.expr("CAST(COALESCE(SUM(tt), 0) AS BIGINT)")
+                   .alias("tt")))
+    v = strata.agg(
+        F.sum("n").cast("bigint").alias("n_days"),
+        F.sum(F.expr("(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tt)"
+                     " / 18")).alias("var_s"))
+    return (s.join(F.broadcast(v))
+            .select("n_days", "s_stat",
+                    r4c(F.expr(
+                        "CASE WHEN s_stat > 0"
+                        " THEN (s_stat - 1) / sqrt(var_s)"
+                        " WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)"
+                        " ELSE CAST(0 AS DOUBLE) END")).alias("z")))
+
+
+# --------------------------------------------------------------------------
+# Q318 delta-method CI for a ratio metric (revenue cents per event):
+# the denominator is itself random, so the naive per-row stderr is
+# wrong — the standard experimentation fix is the delta method over
+# USER-level sufficient statistics, with d_i = y_i − R·m_i having
+# exactly zero mean by construction. One groupBy(user) pass to exact
+# integer (y, m) pairs, one fold to (U, Σy, Σm, Σy², Σm², Σym), the
+# closed form in shared double text (1.96 cast to DOUBLE — the
+# decimal-literal rule).
+@query(
+    "q318_delta_method",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS un,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(m) AS BIGINT) AS sm,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS smm,
+             CAST(SUM(CAST(y AS HUGEINT) * m) AS HUGEINT) AS sym
+      FROM u),
+    d AS (
+      SELECT un, sy, sm,
+             CAST(sy AS DOUBLE) / sm AS r,
+             sqrt((CAST(syy AS DOUBLE)
+                   - 2 * (CAST(sy AS DOUBLE) / sm) * CAST(sym AS DOUBLE)
+                   + (CAST(sy AS DOUBLE) / sm) * (CAST(sy AS DOUBLE) / sm)
+                     * CAST(smm AS DOUBLE)) / (un - 1) / un)
+               / (CAST(sm AS DOUBLE) / un) AS se
+      FROM s)
+    SELECT un AS n_users,
+           {r4("r")} AS ratio,
+           {r4("se")} AS se,
+           {r4("r - CAST(1.96 AS DOUBLE) * se")} AS ci_lo,
+           {r4("r + CAST(1.96 AS DOUBLE) * se")} AS ci_hi
+    FROM d
+    """,
+    doc="Delta-method 95% CI for revenue-per-event (a ratio of sums "
+        "with a random denominator) from exact user-level integer "
+        "sufficient statistics.",
+)
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (tables(spark, sf_dir)["events"]
+         .groupBy("user_id")
+         .agg(F.sum(F.expr(
+                  "CASE WHEN event_type = 'purchase'"
+                  " THEN CAST(ROUND(value * 100) AS BIGINT)"
+                  " ELSE 0 END")).cast("bigint").alias("y"),
+              F.count("*").cast("bigint").alias("m")))
+    s = u.agg(
+        F.count("*").cast("bigint").alias("un"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("m").cast("bigint").alias("sm"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))")
+        .alias("syy"),
+        F.expr("CAST(SUM(CAST(m AS DECIMAL(38,0)) * m) AS DECIMAL(38,0))")
+        .alias("smm"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * m) AS DECIMAL(38,0))")
+        .alias("sym"))
+    d = s.select(
+        "un", "sy", "sm",
+        F.expr("CAST(sy AS DOUBLE) / sm").alias("r"),
+        F.expr(
+            "sqrt((CAST(syy AS DOUBLE)"
+            " - 2 * (CAST(sy AS DOUBLE) / sm) * CAST(sym AS DOUBLE)"
+            " + (CAST(sy AS DOUBLE) / sm) * (CAST(sy AS DOUBLE) / sm)"
+            "   * CAST(smm AS DOUBLE)) / (un - 1) / un)"
+            " / (CAST(sm AS DOUBLE) / un)").alias("se"))
+    return d.select(
+        F.col("un").alias("n_users"),
+        r4c(F.col("r")).alias("ratio"),
+        r4c(F.col("se")).alias("se"),
+        r4c(F.expr("r - CAST(1.96 AS DOUBLE) * se")).alias("ci_lo"),
+        r4c(F.expr("r + CAST(1.96 AS DOUBLE) * se")).alias("ci_hi"))
+
+
+# --------------------------------------------------------------------------
+# Q319 CUPED variance reduction on a hash-split A/B of users: the
+# pre-period covariate X = first-half revenue adjusts the metric
+# Y = second-half revenue with the pooled θ = cov(X,Y)/var(X) (the
+# U-scale factors cancel in the ratio), and the achieved variance
+# reduction is exactly corr²(X,Y). Per-user exact integer (x, y)
+# pairs, arm means via conditional sums, everything folded from one
+# user-grain pass — the standard experimentation pipeline shape.
+@query(
+    "q319_cuped",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN (instr('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR) || ':arm'), 1, 1))
+                  - 1) < 8 THEN 'a' ELSE 'b' END AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase' AND day(ts) <= 15
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' AND day(ts) > 15
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS un,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN arm = 'a' THEN x ELSE 0 END) AS BIGINT)
+               AS sxa,
+             CAST(SUM(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS BIGINT)
+               AS sya,
+             CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(SUM(CASE WHEN arm = 'b' THEN x ELSE 0 END) AS BIGINT)
+               AS sxb,
+             CAST(SUM(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS BIGINT)
+               AS syb
+      FROM u),
+    d AS (
+      SELECT na, nb,
+             (CAST(un AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * sy)
+             / (CAST(un AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sx) AS theta,
+             CAST(sx AS DOUBLE) / un AS xbar,
+             (CAST(un AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * sy)
+             * (CAST(un AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(un AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sx)
+                * (CAST(un AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * sy)) AS r2,
+             sxa, sya, sxb, syb
+      FROM s)
+    SELECT na, nb,
+           {r4("theta")} AS theta,
+           {r4("CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb")}
+             AS diff_raw,
+           {r4("(CAST(sya AS DOUBLE) / na"
+               " - theta * (CAST(sxa AS DOUBLE) / na - xbar))"
+               " - (CAST(syb AS DOUBLE) / nb"
+               "    - theta * (CAST(sxb AS DOUBLE) / nb - xbar))")}
+             AS diff_cuped,
+           {r4("r2")} AS var_reduction
+    FROM d
+    """,
+    doc="CUPED-adjusted A/B difference of second-half revenue using "
+        "first-half revenue as the covariate on an md5 user split; "
+        "variance reduction is exactly corr²(X,Y).",
+)
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (tables(spark, sf_dir)["events"]
+         .groupBy("user_id")
+         .agg(F.sum(F.expr(
+                  "CASE WHEN event_type = 'purchase' AND day(ts) <= 15"
+                  " THEN CAST(ROUND(value * 100) AS BIGINT)"
+                  " ELSE 0 END")).cast("bigint").alias("x"),
+              F.sum(F.expr(
+                  "CASE WHEN event_type = 'purchase' AND day(ts) > 15"
+                  " THEN CAST(ROUND(value * 100) AS BIGINT)"
+                  " ELSE 0 END")).cast("bigint").alias("y"))
+         .select(F.expr(
+             "CASE WHEN (instr('0123456789abcdef',"
+             " substr(md5(CAST(user_id AS STRING) || ':arm'), 1, 1))"
+             " - 1) < 8 THEN 'a' ELSE 'b' END").alias("arm"), "x", "y"))
+    s = u.agg(
+        F.count("*").cast("bigint").alias("un"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
+        .alias("sxx"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))")
+        .alias("syy"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))")
+        .alias("sxy"),
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("na"),
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN x ELSE 0 END"))
+        .cast("bigint").alias("sxa"),
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN y ELSE 0 END"))
+        .cast("bigint").alias("sya"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("nb"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN x ELSE 0 END"))
+        .cast("bigint").alias("sxb"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN y ELSE 0 END"))
+        .cast("bigint").alias("syb"))
+    d = s.select(
+        "na", "nb", "sxa", "sya", "sxb", "syb",
+        F.expr("(CAST(un AS DOUBLE) * CAST(sxy AS DOUBLE)"
+               " - CAST(sx AS DOUBLE) * sy)"
+               " / (CAST(un AS DOUBLE) * CAST(sxx AS DOUBLE)"
+               "    - CAST(sx AS DOUBLE) * sx)").alias("theta"),
+        F.expr("CAST(sx AS DOUBLE) / un").alias("xbar"),
+        F.expr("(CAST(un AS DOUBLE) * CAST(sxy AS DOUBLE)"
+               " - CAST(sx AS DOUBLE) * sy)"
+               " * (CAST(un AS DOUBLE) * CAST(sxy AS DOUBLE)"
+               "    - CAST(sx AS DOUBLE) * sy)"
+               " / ((CAST(un AS DOUBLE) * CAST(sxx AS DOUBLE)"
+               "     - CAST(sx AS DOUBLE) * sx)"
+               "    * (CAST(un AS DOUBLE) * CAST(syy AS DOUBLE)"
+               "       - CAST(sy AS DOUBLE) * sy))").alias("r2"))
+    return d.select(
+        "na", "nb",
+        r4c(F.col("theta")).alias("theta"),
+        r4c(F.expr("CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb"))
+        .alias("diff_raw"),
+        r4c(F.expr(
+            "(CAST(sya AS DOUBLE) / na"
+            " - theta * (CAST(sxa AS DOUBLE) / na - xbar))"
+            " - (CAST(syb AS DOUBLE) / nb"
+            "    - theta * (CAST(sxb AS DOUBLE) / nb - xbar))"))
+        .alias("diff_cuped"),
+        r4c(F.col("r2")).alias("var_reduction"))
+
+
+# --------------------------------------------------------------------------
+# Q320 sample-ratio-mismatch (SRM) check of the q319 user split: the
+# first gate of any experiment readout — if the md5 assignment doesn't
+# produce the designed 50/50, every downstream metric is suspect.
+# One distinct-user aggregation, 1-df chi-square and the signed z in
+# closed form.
+@query(
+    "q320_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN (instr('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR) || ':arm'), 1, 1))
+                  - 1) < 8 THEN 'a' ELSE 'b' END AS arm
+      FROM events),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM u)
+    SELECT na, nb,
+           CAST(na * 1000000 // (na + nb) AS BIGINT) AS share_a_ppm,
+           {r4("CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)")}
+             AS chi2,
+           {r4("(na - nb) / sqrt(CAST(na + nb AS DOUBLE))")} AS z
+    FROM s
+    """,
+    doc="Sample-ratio-mismatch gate for the md5 user split: exact arm "
+        "counts, share in integer ppm, 1-df chi-square and signed z.",
+)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (tables(spark, sf_dir)["events"]
+         .select(F.col("user_id")).distinct()
+         .select(F.expr(
+             "CASE WHEN (instr('0123456789abcdef',"
+             " substr(md5(CAST(user_id AS STRING) || ':arm'), 1, 1))"
+             " - 1) < 8 THEN 'a' ELSE 'b' END").alias("arm")))
+    s = u.agg(
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("na"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("nb"))
+    return s.select(
+        "na", "nb",
+        F.expr("na * 1000000 DIV (na + nb)").alias("share_a_ppm"),
+        r4c(F.expr("CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)"))
+        .alias("chi2"),
+        r4c(F.expr("(na - nb) / sqrt(CAST(na + nb AS DOUBLE))"))
+        .alias("z"))
