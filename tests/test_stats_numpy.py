@@ -1,0 +1,227 @@
+"""Independent numpy references for the round-7 statistical operators.
+
+The DuckDB oracle catches engine-divergence bugs, but NOT the failure
+mode where BOTH engines implement the same wrong formula (the oracle is
+written alongside the Spark plan). These tests recompute each statistic
+from first principles in pure numpy/python directly off the parquet
+files and compare to the Spark output at the query's own 4dp contract.
+Pattern follows q281's in-review numpy contingency check, promoted to a
+permanent suite.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from inspectadb_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _orders():
+    t = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    t["cents"] = np.round(t["o_totalprice"] * 100).astype(np.int64)
+    return t
+
+
+def _events():
+    return pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+
+
+def _one(spark, name):
+    row = REGISTRY[name].builder(spark, SF_DIR).collect()
+    assert len(row) == 1
+    return row[0].asDict()
+
+
+def test_q285_anova_f_matches_numpy(spark):
+    t = _orders()
+    groups = [g["cents"].to_numpy(dtype=np.float64)
+              for _, g in t.groupby("o_orderpriority")]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(g.sum() for g in groups) / n
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = _one(spark, "q285_anova_f")
+    assert got["n"] == n and got["k"] == k
+    assert got["f_stat"] == pytest.approx(f, abs=2e-4)
+    assert got["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=2e-4)
+
+
+def test_q286_jarque_bera_matches_numpy(spark):
+    ev = _events()
+    rows = {r["event_type"]: r
+            for r in (x.asDict() for x in
+                      REGISTRY["q286_jarque_bera"].builder(
+                          spark, SF_DIR).collect())}
+    for et, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy(dtype=np.float64)
+        nn = len(v)
+        m = v.mean()
+        m2 = ((v - m) ** 2).mean()
+        g1 = ((v - m) ** 3).mean() / m2 ** 1.5
+        g2 = ((v - m) ** 4).mean() / m2 ** 2 - 3
+        jb = nn / 6 * (g1 * g1 + g2 * g2 / 4)
+        assert rows[et]["n"] == nn
+        assert rows[et]["skew"] == pytest.approx(g1, abs=2e-4)
+        assert rows[et]["kurt"] == pytest.approx(g2, abs=2e-4)
+        assert rows[et]["jb"] == pytest.approx(jb, abs=2e-3)
+
+
+def test_q288_wilcoxon_matches_numpy(spark):
+    t = _orders()
+    t["year"] = t["o_orderdate"].dt.year
+    t = t[t["year"].isin((1996, 1997))]
+    per = t.pivot_table(index="o_custkey", columns="year",
+                        values="cents", aggfunc="sum")
+    per = per.dropna()
+    d = (per[1996] - per[1997]).to_numpy(dtype=np.int64)
+    d = d[d != 0]
+    ad = np.abs(d)
+    # tie-averaged ranks of |d|
+    order = np.argsort(ad, kind="stable")
+    ranks = np.empty(len(ad), dtype=np.float64)
+    sorted_ad = ad[order]
+    i = 0
+    while i < len(ad):
+        j = i
+        while j + 1 < len(ad) and sorted_ad[j + 1] == sorted_ad[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    n = len(d)
+    w_plus = ranks[d > 0].sum()
+    _, t_counts = np.unique(ad, return_counts=True)
+    tie3 = float((t_counts.astype(np.float64) ** 3 - t_counts).sum())
+    mean = n * (n + 1) / 4
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie3 / 48
+    z = (w_plus - mean) / math.sqrt(var)
+    got = _one(spark, "q288_wilcoxon_signed_rank")
+    assert got["n"] == n
+    assert got["w_plus"] == pytest.approx(w_plus, abs=1e-3)
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_q293_kappa_mcc_matches_numpy(spark):
+    t = _orders()
+    med = np.median(t["cents"])
+    ra = (t["cents"] > med).to_numpy()
+    rb = t["o_orderpriority"].isin(("1-URGENT", "2-HIGH")).to_numpy()
+    n11 = int(np.sum(ra & rb)); n10 = int(np.sum(ra & ~rb))
+    n01 = int(np.sum(~ra & rb)); n00 = int(np.sum(~ra & ~rb))
+    n = n11 + n10 + n01 + n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n / n
+    kappa = (po - pe) / (1 - pe)
+    mcc = (n11 * n00 - n10 * n01) / math.sqrt(
+        (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00))
+    got = _one(spark, "q293_cohens_kappa")
+    assert (got["n11"], got["n10"], got["n01"], got["n00"]) == (
+        n11, n10, n01, n00)
+    assert got["kappa"] == pytest.approx(kappa, abs=2e-4)
+    assert got["mcc"] == pytest.approx(mcc, abs=2e-4)
+
+
+def _daily_revenue():
+    ev = _events()
+    p = ev[ev["event_type"] == "purchase"].copy()
+    p["day"] = p["ts"].dt.date
+    p["cents"] = np.round(p["value"] * 100).astype(np.int64)
+    by = p.groupby("day")["cents"].sum().sort_index()
+    # calendar-complete (q176 convention): fill missing days with 0
+    idx = by.index
+    import pandas as pd
+    full = pd.date_range(ev["ts"].min().date(), ev["ts"].max().date(),
+                         freq="D").date
+    return by.reindex(full, fill_value=0).to_numpy(dtype=np.float64), by
+
+
+def test_q297_ljung_box_matches_numpy(spark):
+    y, _ = _daily_revenue()
+    n = len(y)
+    u = y - y.mean()
+    den = (u * u).sum()
+    rows = {r["lag"]: r.asDict() for r in
+            REGISTRY["q297_ljung_box"].builder(spark, SF_DIR).collect()}
+    q = 0.0
+    for k in range(1, 8):
+        r_k = (u[:-k] * u[k:]).sum() / den
+        q += n * (n + 2) * r_k * r_k / (n - k)
+        assert rows[k]["acf"] == pytest.approx(r_k, abs=2e-4)
+        assert rows[k]["q_lb"] == pytest.approx(q, abs=2e-3)
+
+
+def test_q311_mann_kendall_matches_numpy(spark):
+    # q311 uses the non-gap-filled day-grain series (purchase days only)
+    _, by = _daily_revenue()
+    y = by.to_numpy(dtype=np.int64)
+    n = len(y)
+    s = 0
+    for i in range(n):
+        s += int(np.sign(y[i + 1:] - y[i]).sum())
+    _, t_counts = np.unique(y, return_counts=True)
+    tie = float(sum(t * (t - 1) * (2 * t + 5)
+                    for t in t_counts if t > 1))
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    got = _one(spark, "q311_mann_kendall")
+    assert got["n"] == n and got["s_stat"] == s
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_q318_delta_method_matches_numpy(spark):
+    ev = _events()
+    ev["cents"] = np.where(ev["event_type"] == "purchase",
+                           np.round(ev["value"] * 100), 0).astype(np.int64)
+    g = ev.groupby("user_id").agg(y=("cents", "sum"),
+                                  m=("event_id", "count"))
+    y = g["y"].to_numpy(dtype=np.float64)
+    m = g["m"].to_numpy(dtype=np.float64)
+    u = len(g)
+    r = y.sum() / m.sum()
+    d = y - r * m
+    se = math.sqrt((d * d).sum() / (u - 1) / u) / m.mean()
+    got = _one(spark, "q318_delta_method")
+    assert got["n_users"] == u
+    assert got["ratio"] == pytest.approx(r, abs=2e-4)
+    assert got["se"] == pytest.approx(se, abs=2e-4)
+    assert got["ci_lo"] == pytest.approx(r - 1.96 * se, abs=2e-3)
+    assert got["ci_hi"] == pytest.approx(r + 1.96 * se, abs=2e-3)
+
+
+def test_q319_cuped_matches_numpy(spark):
+    import hashlib
+
+    ev = _events()
+    ev["day"] = ev["ts"].dt.day
+    ev["cents"] = np.where(ev["event_type"] == "purchase",
+                           np.round(ev["value"] * 100), 0).astype(np.int64)
+    ev["x"] = np.where(ev["day"] <= 15, ev["cents"], 0)
+    ev["y"] = np.where(ev["day"] > 15, ev["cents"], 0)
+    g = ev.groupby("user_id").agg(x=("x", "sum"), y=("y", "sum"))
+    arm = np.array([
+        int(hashlib.md5(f"{uid}:arm".encode()).hexdigest()[0], 16) < 8
+        for uid in g.index])
+    x = g["x"].to_numpy(dtype=np.float64)
+    y = g["y"].to_numpy(dtype=np.float64)
+    theta = np.cov(x, y)[0, 1] / np.var(x, ddof=1)
+    yc = y - theta * (x - x.mean())
+    diff_raw = y[arm].mean() - y[~arm].mean()
+    diff_cuped = yc[arm].mean() - yc[~arm].mean()
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    got = _one(spark, "q319_cuped")
+    assert got["na"] == int(arm.sum()) and got["nb"] == int((~arm).sum())
+    assert got["theta"] == pytest.approx(theta, abs=2e-4)
+    assert got["diff_raw"] == pytest.approx(diff_raw, abs=2e-3)
+    assert got["diff_cuped"] == pytest.approx(diff_cuped, abs=2e-3)
+    assert got["var_reduction"] == pytest.approx(r2, abs=2e-4)
