@@ -113,6 +113,11 @@ class Engine:
             served = self._route_star(star)
             if served is not None:
                 return served
+        star2 = parse_star2_agg_sql(text)
+        if star2 is not None:
+            served = self._route_star2(star2)
+            if served is not None:
+                return served
         return self.spark.sql(text), "sql"
 
     def _route_star(self, star) -> tuple[DataFrame, str] | None:
@@ -209,6 +214,97 @@ class Engine:
                .agg(*out_aggs)
                .select(*[i[2] if i[0] == "key" else i[3] for i in items]))
         return out, f"star:{prov}"
+
+    def _route_star2(self, star) -> tuple[DataFrame, str] | None:
+        """Serve a TWO-dimension star aggregate — ``SELECT d1.a, d2.b,
+        AGG(f.m) FROM fact f JOIN dim1 d1 ON f.k1 = d1.dk1 JOIN dim2 d2
+        ON f.k2 = d2.dk2 GROUP BY d1.a, d2.b`` — by the same eager
+        aggregation as ``_route_star``, at {k1, k2} grain. Exactness
+        extends unchanged: a (k1, k2)-grain partial appears once per
+        matching (dim1-row, dim2-row) PAIR in both the joined-then-
+        aggregated and aggregated-then-joined forms — the dim
+        multiplicities MULTIPLY identically (m1·m2 copies of each
+        partial), SUM/COUNT scale together, MIN/MAX are duplication-
+        blind, AVG re-derives from sum+count, and both inner joins drop
+        NULL/unmatched keys from both forms alike. Per-dim WHERE
+        equality conjunctions filter each broadcast dim BEFORE its join
+        (a predicate over one dim's columns commutes with both inner
+        joins). Refuse-by-default is the single-dim contract verbatim:
+        an MV over the fact must declare {k1, k2} ∪ fact-side group
+        cols with derivable measures; the fact table is never scanned.
+        """
+        fact, d1, d2, k1, dk1, k2, dk2, items, where1, where2 = star
+        if (fact not in self.tables or d1 not in self.tables
+                or d2 not in self.tables):
+            return None
+        fact_group = [i[2] for i in items if i[0] == "key" and i[1] == "fact"]
+        attrs1 = [i[2] for i in items if i[0] == "key" and i[1] == "dim1"]
+        attrs2 = [i[2] for i in items if i[0] == "key" and i[1] == "dim2"]
+        aggs = [i for i in items if i[0] == "agg"]
+        if not attrs1 and not attrs2:
+            return None  # no dim rollup — not a star
+        need_keys = {k1, k2, *fact_group}
+        if need_keys & set(attrs1 + attrs2):
+            # a dim attr sharing its name with a fact grain column makes
+            # the post-join groupBy ambiguous — not provably routable
+            return None
+        gm: dict[str, tuple[str, str]] = {}
+        for _, agg, col, alias in aggs:
+            if agg == "avg":
+                gm[f"__sum_{alias}"] = ("sum", col)
+                gm[f"__count_{alias}"] = ("count", col)
+            else:
+                gm[f"__{agg}_{alias}"] = (agg, col)
+        declared = any(
+            bt == fact and need_keys <= set(mv.keys)
+            and _derivable(gm, mv.measures)
+            for mv, _path, bt, _b in self._mvs.values())
+        if not declared:
+            return None
+        d1_base, d2_base = self.tables[d1], self.tables[d2]
+        if any(c not in d1_base.columns for c, _ in where1):
+            return None
+        if any(c not in d2_base.columns for c, _ in where2):
+            return None
+        req = AggRequest(keys={k: None for k in sorted(need_keys)},
+                         measures=gm)
+        grain, prov = self.aggregate(fact, req)
+        for c, lit in where1:
+            d1_base = d1_base.filter(F.col(c) == F.expr(lit))
+        for c, lit in where2:
+            d2_base = d2_base.filter(F.col(c) == F.expr(lit))
+        dim1df = d1_base.select(F.col(dk1).alias("__dk1"),
+                                *[F.col(a) for a in attrs1])
+        dim2df = d2_base.select(F.col(dk2).alias("__dk2"),
+                                *[F.col(a) for a in attrs2])
+        joined = (grain
+                  .join(F.broadcast(dim1df),
+                        grain[k1] == dim1df["__dk1"], "inner")
+                  .join(F.broadcast(dim2df),
+                        grain[k2] == dim2df["__dk2"], "inner"))
+        out_aggs = []
+        for _, agg, col, alias in aggs:
+            if agg == "sum":
+                out_aggs.append(
+                    F.sum(F.col(f"__sum_{alias}").cast(_DEC))
+                    .cast("double").alias(alias))
+            elif agg == "count":
+                out_aggs.append(F.sum(f"__count_{alias}")
+                                .cast("bigint").alias(alias))
+            elif agg == "avg":
+                out_aggs.append(
+                    (F.sum(F.col(f"__sum_{alias}").cast(_DEC))
+                     .cast("double") / F.sum(f"__count_{alias}"))
+                    .alias(alias))
+            else:
+                out_aggs.append(
+                    getattr(F, agg)(f"__{agg}_{alias}").alias(alias))
+        out = (joined
+               .groupBy(*[F.col(c)
+                          for c in attrs1 + attrs2 + fact_group])
+               .agg(*out_aggs)
+               .select(*[i[2] if i[0] == "key" else i[3] for i in items]))
+        return out, f"star2:{prov}"
 
     # -- summary tables ----------------------------------------------------
     def register_mv(self, mv: MVDef, base_table: str,
@@ -539,6 +635,94 @@ def parse_star_agg_sql(text: str):
     if len(set(names)) != len(names):
         return None
     return fact, dim, fkey, dkey, items, dim_where
+
+
+_STAR2_SHAPE_RE = __import__("re").compile(
+    r"^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)"
+    r"\s+JOIN\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
+    r"\s+JOIN\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(.+?))?"
+    r"\s+GROUP\s+BY\s+(.+?)\s*;?\s*$",
+    __import__("re").IGNORECASE | __import__("re").DOTALL)
+
+
+def parse_star2_agg_sql(text: str):
+    """Parse the restricted TWO-dimension star grammar
+    ``SELECT <d1.a | d2.b | f.col | AGG(f.m) AS alias>... FROM <fact> f
+    JOIN <dim1> d1 ON f.k1 = d1.dk1 JOIN <dim2> d2 ON f.k2 = d2.dk2
+    [WHERE <dim-qualified equality conjunction>] GROUP BY <the non-agg
+    select items>`` into (fact, dim1, dim2, k1, dk1, k2, dk2, items,
+    where1, where2) — item sides are "fact"/"dim1"/"dim2" — or None.
+
+    Single-dim rules apply per join: each ON pairs the fact alias with
+    ITS dim's alias (a dim1-dim2 ON term would not be an eager-
+    aggregation star and returns None), aliases are pairwise distinct,
+    measures are fact-side only, WHERE terms are dim-qualified
+    equalities (routed to their own dim), and output names are unique.
+    The two dim TABLES may coincide (role-playing dimensions) — sides
+    are tracked by alias throughout.
+    """
+    m = _STAR2_SHAPE_RE.match(text)
+    if not m:
+        return None
+    (sel, fact, fa, dim1, da1, l1q, l1c, r1q, r1c,
+     dim2, da2, l2q, l2c, r2q, r2c, where_clause, group_by) = m.groups()
+    if len({fa, da1, da2}) != 3 or fact in (dim1, dim2):
+        return None
+    if {l1q, r1q} != {fa, da1} or {l2q, r2q} != {fa, da2}:
+        return None
+    k1, dk1 = (l1c, r1c) if l1q == fa else (r1c, l1c)
+    k2, dk2 = (l2c, r2c) if l2q == fa else (r2c, l2c)
+    where1: list[tuple[str, str]] = []
+    where2: list[tuple[str, str]] = []
+    if where_clause is not None:
+        for cond in _AND_RE.split(where_clause.strip()):
+            wm = _STAR_WHERE_RE.match(cond.strip())
+            if not wm or wm.group(1) not in (da1, da2):
+                return None  # only dim-side equality predicates commute
+            (where1 if wm.group(1) == da1 else where2).append(
+                (wm.group(2), wm.group(3)))
+    side_of = {fa: "fact", da1: "dim1", da2: "dim2"}
+    gterms = []
+    for g in group_by.split(","):
+        qm = _QCOL_RE.match(g.strip())
+        if not qm or qm.group(1) not in side_of:
+            return None
+        gterms.append((side_of[qm.group(1)], qm.group(2)))
+    items: list[tuple] = []
+    keys_seen: list[tuple[str, str]] = []
+    for item in _split_top_level(sel):
+        item = item.strip()
+        qm = _QCOL_RE.match(item)
+        if qm:
+            if qm.group(1) not in side_of:
+                return None
+            items.append(("key", side_of[qm.group(1)], qm.group(2)))
+            keys_seen.append((side_of[qm.group(1)], qm.group(2)))
+            continue
+        am = _STAR_AGG_RE.match(item)
+        if not am:
+            return None
+        agg, arg, alias = am.group(1).lower(), am.group(2), am.group(3)
+        if arg == "*":
+            if agg != "count":
+                return None
+            col = "*"
+        else:
+            q, col = arg.split(".")
+            if q != fa:
+                return None  # only fact-side measures re-aggregate safely
+        items.append(("agg", agg, col, alias))
+    if sorted(keys_seen) != sorted(gterms):
+        return None
+    if not any(i[0] == "agg" for i in items):
+        return None
+    names = [i[2] if i[0] == "key" else i[3] for i in items]
+    if len(set(names)) != len(names):
+        return None
+    return fact, dim1, dim2, k1, dk1, k2, dk2, items, where1, where2
 
 
 def _split_top_level(s: str) -> list[str]:

@@ -628,3 +628,95 @@ def test_star_route_where_dim_attr(engine):
         "WHERE o.o_orderstatus = 'F' "
         "GROUP BY c.c_mktsegment")
     assert prov3 == "sql"
+
+
+def test_sql_routed_star2_join(engine):
+    """Two-dimension star aggregates route through the same eager
+    aggregation at {k1, k2} grain: dim multiplicities MULTIPLY
+    identically in the joined-then-aggregated and aggregated-then-
+    joined forms, so the routed result hash-equals direct Spark SQL
+    and the fact table is never scanned."""
+    engine.register_mv(
+        MVDef(name="mv_li_part_supp", keys=("l_partkey", "l_suppkey"),
+              measures={"sum_ep": ("sum", "l_extendedprice"),
+                        "cnt": ("count", "*"),
+                        "cnt_ep": ("count", "l_extendedprice")}),
+        "lineitem")
+    routed, prov = engine.sql_routed(
+        "SELECT p.p_brand, s.s_nationkey, SUM(l.l_extendedprice) AS rev, "
+        "COUNT(*) AS n, AVG(l.l_extendedprice) AS avg_ep "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "GROUP BY p.p_brand, s.s_nationkey")
+    assert prov.startswith("star2:")
+    li = engine.table("lineitem")
+    p, su = engine.table("part"), engine.table("supplier")
+    tot = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
+    direct = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(F.expr(f"{tot} AS rev"), F.expr("COUNT(*) AS n"),
+             F.expr(f"{tot} / COUNT(l_extendedprice) AS avg_ep")))
+    assert _rows(routed) == _rows(direct)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem.parquet" not in plan  # fact scan rewritten away
+
+    # per-dim WHERE equalities filter each broadcast dim pre-join
+    routed2, prov2 = engine.sql_routed(
+        "SELECT p.p_brand, s.s_nationkey, COUNT(*) AS n "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "WHERE p.p_size = 10 AND s.s_nationkey = 3 "
+        "GROUP BY p.p_brand, s.s_nationkey")
+    assert prov2.startswith("star2:")
+    direct2 = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .filter("p_size = 10 AND s_nationkey = 3")
+        .groupBy("p_brand", "s_nationkey")
+        .agg(F.expr("COUNT(*) AS n")))
+    assert _rows(routed2) == _rows(direct2)
+
+
+def test_star2_refusals(engine):
+    """Two-dim star refuse-by-default: undeclared key set -> plain SQL;
+    fact-side WHERE, dim-dim ON terms and fact-side grain/attr name
+    collisions never route."""
+    from inspectadb_spark.engine import parse_star2_agg_sql as p2
+
+    # no MV declares (l_orderkey, l_suppkey) on this engine: plain SQL
+    _, prov = engine.sql_routed(
+        "SELECT o.o_orderstatus, s.s_nationkey, COUNT(*) AS n "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "GROUP BY o.o_orderstatus, s.s_nationkey")
+    assert prov == "sql"
+    # fact-side WHERE is not provably routable
+    assert p2("SELECT d.a, e.b, COUNT(*) AS n FROM f t "
+              "JOIN d1 d ON t.k1 = d.dk JOIN d2 e ON t.k2 = e.dk "
+              "WHERE t.x = 1 GROUP BY d.a, e.b") is None
+    # a dim1-dim2 ON term is not an eager-aggregation star
+    assert p2("SELECT d.a, e.b, COUNT(*) AS n FROM f t "
+              "JOIN d1 d ON t.k1 = d.dk JOIN d2 e ON d.k2 = e.dk "
+              "GROUP BY d.a, e.b") is None
+    # measures must be fact-side
+    assert p2("SELECT d.a, e.b, SUM(d.m) AS s FROM f t "
+              "JOIN d1 d ON t.k1 = d.dk JOIN d2 e ON t.k2 = e.dk "
+              "GROUP BY d.a, e.b") is None
+    # parses, but a dim attr named like the grain key refuses in-route
+    star = p2("SELECT d.k1, e.b, COUNT(*) AS n FROM f t "
+              "JOIN d1 d ON t.k1 = d.dk JOIN d2 e ON t.k2 = e.dk "
+              "GROUP BY d.k1, e.b")
+    assert star is not None
+    assert engine._route_star2(
+        ("lineitem", "part", "supplier", "l_partkey", "p_partkey",
+         "l_suppkey", "s_suppkey",
+         [("key", "dim1", "l_partkey"), ("agg", "count", "*", "n")],
+         [], [])) is None
+    # unknown WHERE column on its dim: refused so plain SQL raises
+    assert engine._route_star2(
+        ("lineitem", "part", "supplier", "l_partkey", "p_partkey",
+         "l_suppkey", "s_suppkey",
+         [("key", "dim1", "p_brand"), ("agg", "count", "*", "n")],
+         [("no_such_col", "1")], [])) is None

@@ -542,3 +542,67 @@ def test_star_route_equals_direct_property(spark, tmp_path_factory,
     canon = lambda df: sorted(  # noqa: E731
         tuple(str(x) for x in r) for r in df.collect())
     assert canon(routed) == canon(direct)
+
+
+# -- two-dim star algebra property: routed == direct incl. per-dim filters ---
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(fact_rows=st.lists(
+           st.tuples(st.one_of(st.none(), st.integers(0, 3)),   # k1
+                     st.one_of(st.none(), st.integers(0, 3)),   # k2
+                     st.one_of(st.none(),
+                               st.integers(-50, 50).map(float))),
+           min_size=1, max_size=30),
+       dim1_rows=_star_dim, dim2_rows=_star_dim,
+       flt1=st.sampled_from([None, "a", "b"]),
+       flt2=st.sampled_from([None, "a", "b"]))
+def test_star2_route_equals_direct_property(spark, tmp_path_factory,
+                                            fact_rows, dim1_rows,
+                                            dim2_rows, flt1, flt2):
+    """Two-dimension eager-aggregation routing == direct join-then-
+    aggregate for ANY data: the dim multiplicities MULTIPLY (each grain
+    partial appears once per matching dim1xdim2 row pair on both
+    forms), NULL keys drop identically through both inner joins, and
+    per-dim WHERE filters commute."""
+    from inspectadb_spark.engine import Engine
+    from inspectadb_spark.operators.mv import MVDef
+
+    eng = Engine(spark, SF_DIR, str(tmp_path_factory.mktemp("eng_star2_p")))
+    fact = spark.createDataFrame(fact_rows, "k1 int, k2 int, m double")
+    dim1 = spark.createDataFrame(dim1_rows, "dk int, a1 string")
+    dim2 = spark.createDataFrame(dim2_rows, "dk int, a2 string")
+    eng.tables["fact2_p"] = fact
+    eng.tables["dim1_p"] = dim1
+    eng.tables["dim2_p"] = dim2
+    eng.register_mv(
+        MVDef(name="mv_fact2_p", keys=("k1", "k2"),
+              measures={"s": ("sum", "m"), "c": ("count", "*"),
+                        "cm": ("count", "m")}),
+        "fact2_p")
+    w1 = [] if flt1 is None else [("a1", f"'{flt1}'")]
+    w2 = [] if flt2 is None else [("a2", f"'{flt2}'")]
+    served = eng._route_star2(
+        ("fact2_p", "dim1_p", "dim2_p", "k1", "dk", "k2", "dk",
+         [("key", "dim1", "a1"), ("key", "dim2", "a2"),
+          ("agg", "sum", "m", "s"), ("agg", "count", "*", "n"),
+          ("agg", "avg", "m", "a")],
+         w1, w2))
+    assert served is not None
+    routed, prov = served
+    assert prov.startswith("star2:")
+    direct = (fact
+              .join(dim1.withColumnRenamed("dk", "__d1"),
+                    fact["k1"] == F.col("__d1"))
+              .join(dim2.withColumnRenamed("dk", "__d2"),
+                    fact["k2"] == F.col("__d2")))
+    if flt1 is not None:
+        direct = direct.filter(F.col("a1") == flt1)
+    if flt2 is not None:
+        direct = direct.filter(F.col("a2") == flt2)
+    tot = "CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE)"
+    direct = direct.groupBy("a1", "a2").agg(
+        F.expr(f"{tot} AS s"), F.expr("COUNT(*) AS n"),
+        F.expr(f"{tot} / COUNT(m) AS a"))
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(str(x) for x in r) for r in df.collect())
+    assert canon(routed) == canon(direct)
