@@ -2813,3 +2813,108 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chi2"),
         r4c(F.expr("(na - nb) / sqrt(CAST(na + nb AS DOUBLE))"))
         .alias("z"))
+
+
+# --------------------------------------------------------------------------
+# Q321 two-proportion z-test + minimum detectable effect for the q319
+# A/B split: conversion = "user purchased in the evaluation half"
+# over $150 (days 16-30; the high-value cut keeps the rate off the
+# degenerate 100% this corpus's raw purchase rate sits at), pooled z, unpooled 95% CI for the difference,
+# and the 80%-power MDE at this sample size — the readout that tells an
+# experimenter whether a null result is evidence of no effect or just
+# an underpowered test. One user-grain aggregation to exact integer
+# (converted, arm) counts; every z/CI/MDE literal is CAST to DOUBLE
+# (the decimal-literal rule).
+@query(
+    "q321_two_proportion_z",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN (instr('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR) || ':arm'), 1, 1))
+                  - 1) < 8 THEN 'a' ELSE 'b' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND day(ts) > 15
+                      AND value > 150
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM u),
+    d AS (
+      SELECT na, ca, nb, cb,
+             CAST(ca AS DOUBLE) / na AS p1,
+             CAST(cb AS DOUBLE) / nb AS p2,
+             CAST(ca + cb AS DOUBLE) / (na + nb) AS pp
+      FROM s)
+    SELECT na, ca, nb, cb,
+           {r4("p1 - p2")} AS diff,
+           {r4("(p1 - p2) / sqrt(pp * (1 - pp)"
+               " * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))")}
+             AS z,
+           {r4("p1 - p2 - CAST(1.96 AS DOUBLE)"
+               " * sqrt(p1 * (1 - p1) / na + p2 * (1 - p2) / nb)")}
+             AS ci_lo,
+           {r4("p1 - p2 + CAST(1.96 AS DOUBLE)"
+               " * sqrt(p1 * (1 - p1) / na + p2 * (1 - p2) / nb)")}
+             AS ci_hi,
+           {r4("(CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))"
+               " * sqrt(pp * (1 - pp)"
+               " * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))")}
+             AS mde_80
+    FROM d
+    """,
+    doc="Two-proportion z-test of second-half conversion on the md5 A/B "
+        "split, with unpooled 95% CI and the 80%-power minimum "
+        "detectable effect at this sample size.",
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (tables(spark, sf_dir)["events"]
+         .groupBy("user_id")
+         .agg(F.max(F.expr(
+             "CASE WHEN event_type = 'purchase' AND day(ts) > 15"
+             " AND value > 150 THEN 1 ELSE 0 END")).alias("conv"))
+         .select(F.expr(
+             "CASE WHEN (instr('0123456789abcdef',"
+             " substr(md5(CAST(user_id AS STRING) || ':arm'), 1, 1))"
+             " - 1) < 8 THEN 'a' ELSE 'b' END").alias("arm"), "conv"))
+    s = u.agg(
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("na"),
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN conv ELSE 0 END"))
+        .cast("bigint").alias("ca"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("nb"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN conv ELSE 0 END"))
+        .cast("bigint").alias("cb"))
+    d = s.select(
+        "na", "ca", "nb", "cb",
+        F.expr("CAST(ca AS DOUBLE) / na").alias("p1"),
+        F.expr("CAST(cb AS DOUBLE) / nb").alias("p2"),
+        F.expr("CAST(ca + cb AS DOUBLE) / (na + nb)").alias("pp"))
+    return d.select(
+        "na", "ca", "nb", "cb",
+        r4c(F.expr("p1 - p2")).alias("diff"),
+        r4c(F.expr(
+            "(p1 - p2) / sqrt(pp * (1 - pp)"
+            " * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))"))
+        .alias("z"),
+        r4c(F.expr(
+            "p1 - p2 - CAST(1.96 AS DOUBLE)"
+            " * sqrt(p1 * (1 - p1) / na + p2 * (1 - p2) / nb)"))
+        .alias("ci_lo"),
+        r4c(F.expr(
+            "p1 - p2 + CAST(1.96 AS DOUBLE)"
+            " * sqrt(p1 * (1 - p1) / na + p2 * (1 - p2) / nb)"))
+        .alias("ci_hi"),
+        r4c(F.expr(
+            "(CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))"
+            " * sqrt(pp * (1 - pp)"
+            " * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))"))
+        .alias("mde_80"))
