@@ -2146,3 +2146,69 @@ def test_s44_streaming_winnowing_registry(spark, tmp_path):
         "doc_id long, text string")
     reg._apply_batch(recrawl, 10_001)
     assert reg.index().count() == n_index + n_extra
+
+
+# S43 the continuous-aggregate -> star-dashboard seam, two dims deep:
+# IncrementalAggregate maintains (user, type)-grain state from the
+# replayed stream; the Engine serves a TWO-dimension star SQL (user
+# bucket x type family) from that live state through _route_star2 —
+# never scanning the event history — and the answer must hash-equal the
+# direct batch join-then-aggregate over the full history.
+def test_s43_incremental_state_serves_star2(spark, replay_dir, tmp_path):
+    from inspectadb_spark.engine import Engine
+    from inspectadb_spark.operators.mv import MVDef
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"user_id": "user_id", "event_type": "event_type"},
+        measures=[("cnt", "count", "*"), ("sv", "sum", "value"),
+                  ("cnt_v", "count", "value")])
+    q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+    state_path = inc._read_ptr()[0]
+
+    hist = spark.read.parquet(replay_dir)
+    dim_u = (hist.select(F.col("user_id").alias("uk")).distinct()
+             .withColumn("bucket", F.expr("CAST(uk % 3 AS INT)")))
+    dim_t = (hist.select(F.col("event_type").alias("tk")).distinct()
+             .withColumn("family", F.expr(
+                 "CASE WHEN tk IN ('purchase', 'signup')"
+                 " THEN 'commit' ELSE 'browse' END")))
+    eng = Engine(spark, SF_DIR, str(tmp_path / "eng"))
+    eng.tables["events_hist"] = hist
+    eng.tables["dim_user"] = dim_u
+    eng.tables["dim_type"] = dim_t
+    # splice the STREAM-maintained state in as the declaring MV store
+    # (register_mv would rebuild from the base scan — the seam under
+    # test is that the live state itself serves)
+    mv = MVDef(name="live_ue", keys=("user_id", "event_type"),
+               measures={"sv": ("sum", "value"), "cnt": ("count", "*"),
+                         "cnt_v": ("count", "value")})
+    eng._mvs["live_ue"] = (mv, state_path, "events_hist", None)
+
+    routed, prov = eng.sql_routed(
+        "SELECT du.bucket, dt.family, SUM(f.value) AS sv, COUNT(*) AS n, "
+        "AVG(f.value) AS av "
+        "FROM events_hist f JOIN dim_user du ON f.user_id = du.uk "
+        "JOIN dim_type dt ON f.event_type = dt.tk "
+        "GROUP BY du.bucket, dt.family")
+    assert prov == "star2:mv:live_ue"
+    tot = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+    direct = (hist.join(dim_u, hist.user_id == dim_u.uk)
+              .join(dim_t, hist.event_type == dim_t.tk)
+              .groupBy("bucket", "family")
+              .agg(F.expr(f"{tot} AS sv"), F.expr("COUNT(*) AS n"),
+                   F.expr(f"{tot} / COUNT(value) AS av")))
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(str(x) for x in r) for r in df.collect())
+    assert canon(routed) == canon(direct) and routed.count() > 0
+    # the fact grain is READ, not recomputed: the executed plan's grain
+    # scan carries the reserved __sum_/__count_ measure columns, which
+    # exist only in the streaming state (or the result cache written
+    # over it) — never in the event history. Column names survive plan
+    # stringification where file paths get truncated.
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "__sum_sv" in plan and "__count_n" in plan
