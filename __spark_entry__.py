@@ -102,7 +102,8 @@ _NEVER_REST = [
     "q314_rbo", "q315_markov_entropy",
     "q316_embedding_mmd", "q317_seasonal_mann_kendall",
     "q318_delta_method", "q319_cuped", "q320_srm_check",
-    "q321_two_proportion_z",
+    "q321_two_proportion_z", "q322_cmh_test", "q323_decision_stump",
+    "q324_calibration_fit", "q325_fleiss_kappa",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

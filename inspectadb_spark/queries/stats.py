@@ -4476,3 +4476,309 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("h_rate_norm"))
             .select(F.col("nn").alias("n_transitions"),
                     "h_rate_nats", "h_rate_norm"))
+
+
+# --------------------------------------------------------------------------
+# Q322 Cochran-Mantel-Haenszel test: does the urgent/high-priority →
+# fulfilled association hold AFTER controlling for day-of-week strata?
+# The stratified 2×2 companion to q312's ordered trend and q317's
+# stratified Mann-Kendall — Simpson's-paradox insurance for the q293
+# rater pair. Per-stratum cells fold from ONE conditional aggregation;
+# the continuity-corrected CMH chi-square and the Mantel-Haenszel
+# pooled odds ratio combine 7 exact stratum rows.
+@query(
+    "q322_cmh_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT isodow(o_orderdate) AS k,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS t,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    s AS (
+      SELECT k,
+             CAST(SUM(t * y) AS BIGINT) AS a,
+             CAST(SUM(t * (1 - y)) AS BIGINT) AS b,
+             CAST(SUM((1 - t) * y) AS BIGINT) AS c,
+             CAST(SUM((1 - t) * (1 - y)) AS BIGINT) AS d
+      FROM b GROUP BY k),
+    f AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS sa,
+             SUM(CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d))
+               AS se,
+             SUM(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                 / ((CAST(a + b + c + d AS DOUBLE))
+                    * (a + b + c + d) * (a + b + c + d - 1))) AS sv,
+             SUM(CAST(a AS DOUBLE) * d / (a + b + c + d)) AS snum,
+             SUM(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS sden,
+             CAST(COUNT(*) AS BIGINT) AS n_strata
+      FROM s)
+    SELECT n_strata, sa AS sum_a,
+           {r4("(abs(sa - se) - CAST(0.5 AS DOUBLE))"
+               " * (abs(sa - se) - CAST(0.5 AS DOUBLE)) / sv")}
+             AS cmh_chi2,
+           {r4("snum / sden")} AS mh_odds_ratio
+    FROM f
+    """,
+    doc="Cochran-Mantel-Haenszel test of the priority→fulfilled "
+        "association controlling for day-of-week strata, with the "
+        "Mantel-Haenszel pooled odds ratio.",
+)
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tables(spark, sf_dir)["orders"].select(
+        F.expr("((dayofweek(o_orderdate) + 5) % 7) + 1").alias("k"),
+        F.expr("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+               " THEN 1 ELSE 0 END").alias("t"),
+        F.expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")
+        .alias("y"))
+    s = b.groupBy("k").agg(
+        F.sum(F.expr("t * y")).cast("bigint").alias("a"),
+        F.sum(F.expr("t * (1 - y)")).cast("bigint").alias("b"),
+        F.sum(F.expr("(1 - t) * y")).cast("bigint").alias("c"),
+        F.sum(F.expr("(1 - t) * (1 - y)")).cast("bigint").alias("d"))
+    f = s.agg(
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum(F.expr("CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)"))
+        .alias("se"),
+        F.sum(F.expr(
+            "CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)"
+            " / ((CAST(a + b + c + d AS DOUBLE))"
+            "    * (a + b + c + d) * (a + b + c + d - 1))")).alias("sv"),
+        F.sum(F.expr("CAST(a AS DOUBLE) * d / (a + b + c + d)"))
+        .alias("snum"),
+        F.sum(F.expr("CAST(b AS DOUBLE) * c / (a + b + c + d)"))
+        .alias("sden"),
+        F.count("*").cast("bigint").alias("n_strata"))
+    return f.select(
+        "n_strata", F.col("sa").alias("sum_a"),
+        r4c(F.expr("(abs(sa - se) - CAST(0.5 AS DOUBLE))"
+                   " * (abs(sa - se) - CAST(0.5 AS DOUBLE)) / sv"))
+        .alias("cmh_chi2"),
+        r4c(F.expr("snum / sden")).alias("mh_odds_ratio"))
+
+
+# --------------------------------------------------------------------------
+# Q323 decision-stump split finder: the best hour-of-day threshold for
+# predicting "purchase", by weighted Gini impurity — the one-node
+# decision tree that seeds feature-importance screens (and the
+# threshold q196's fixed-width bins can't pick). The hour table is one
+# conditional aggregation (24 rows); candidate splits are cumulative
+# sums over that bounded frame; the argmin is a deterministic ordered
+# LIMIT 1. Per-split Gini folds exact integer counts in one shared
+# double expression.
+@query(
+    "q323_decision_stump",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(hour(ts) AS INT) AS hr, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS pos
+      FROM events GROUP BY hr),
+    c AS (
+      SELECT hr,
+             CAST(SUM(n) OVER (ORDER BY hr) AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER (ORDER BY hr) AS BIGINT) AS pl,
+             CAST(SUM(n) OVER () AS BIGINT) AS nt,
+             CAST(SUM(pos) OVER () AS BIGINT) AS pt
+      FROM h),
+    g AS (
+      SELECT hr, nl, pl, nt, pt,
+             (CAST(nl AS DOUBLE) / nt)
+               * (CAST(2 AS DOUBLE) * pl / nl
+                  * (1 - CAST(pl AS DOUBLE) / nl))
+             + (CAST(nt - nl AS DOUBLE) / nt)
+               * (CAST(2 AS DOUBLE) * (pt - pl) / (nt - nl)
+                  * (1 - CAST(pt - pl AS DOUBLE) / (nt - nl)))
+               AS gini_after,
+             CAST(2 AS DOUBLE) * pt / nt
+               * (1 - CAST(pt AS DOUBLE) / nt) AS gini_before
+      FROM c WHERE nl < nt),
+    best AS (
+      SELECT * FROM g ORDER BY gini_after, hr LIMIT 1)
+    SELECT hr AS split_hour_le, nl AS n_left,
+           {r4("gini_before")} AS gini_before,
+           {r4("gini_after")} AS gini_after,
+           {r4("gini_before - gini_after")} AS gain
+    FROM best
+    """,
+    doc="Best hour-of-day decision-stump split for predicting purchase "
+        "events by weighted Gini impurity over the bounded hour table; "
+        "deterministic argmin via ordered LIMIT 1.",
+)
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    h = (ev.groupBy(F.expr("CAST(hour(ts) AS INT)").alias("hr"))
+         .agg(F.count("*").alias("n"),
+              F.sum(F.expr("CASE WHEN event_type = 'purchase'"
+                           " THEN 1 ELSE 0 END")).cast("bigint")
+              .alias("pos")))
+    wcum = (Window.orderBy("hr")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    c = h.select(
+        "hr",
+        F.sum("n").over(wcum).cast("bigint").alias("nl"),
+        F.sum("pos").over(wcum).cast("bigint").alias("pl"),
+        F.sum("n").over(wall).cast("bigint").alias("nt"),
+        F.sum("pos").over(wall).cast("bigint").alias("pt"))
+    g = (c.filter("nl < nt")
+         .select("hr", "nl", "nt", "pl", "pt",
+                 F.expr(
+                     "(CAST(nl AS DOUBLE) / nt)"
+                     " * (CAST(2 AS DOUBLE) * pl / nl"
+                     "    * (1 - CAST(pl AS DOUBLE) / nl))"
+                     " + (CAST(nt - nl AS DOUBLE) / nt)"
+                     " * (CAST(2 AS DOUBLE) * (pt - pl) / (nt - nl)"
+                     "    * (1 - CAST(pt - pl AS DOUBLE) / (nt - nl)))")
+                 .alias("gini_after"),
+                 F.expr("CAST(2 AS DOUBLE) * pt / nt"
+                        " * (1 - CAST(pt AS DOUBLE) / nt)")
+                 .alias("gini_before")))
+    return (g.orderBy("gini_after", "hr").limit(1)
+            .select(F.col("hr").alias("split_hour_le"),
+                    F.col("nl").alias("n_left"),
+                    r4c(F.col("gini_before")).alias("gini_before"),
+                    r4c(F.col("gini_after")).alias("gini_after"),
+                    r4c(F.expr("gini_before - gini_after")).alias("gain")))
+
+
+# --------------------------------------------------------------------------
+# Q324 linear calibration fit of the q294 predictor: regress the
+# held-out binary outcome on the predicted probability — slope 1 /
+# intercept 0 is perfect calibration, slope < 1 is overconfidence —
+# the scalar-fit companion to q196's reliability bins and q295's ECE.
+# Exactness: predictions are 6dp DECIMALS, so Σp, Σp² and Σp·y are
+# EXACT decimal sums (y is 0/1) and the closed-form OLS touches
+# doubles only in the final fold.
+@query(
+    "q324_calibration_fit",
+    oracle=f"""
+    WITH tr AS (
+      SELECT CAST(hour(ts) AS INT) AS hr,
+             ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1.0 ELSE 0 END) / COUNT(*)
+                        AS DECIMAL(18,6)), 6) AS p
+      FROM events WHERE day(ts) <= 15 GROUP BY hr),
+    te AS (
+      SELECT p, CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END
+               AS y
+      FROM events e JOIN tr ON tr.hr = CAST(hour(e.ts) AS INT)
+      WHERE day(e.ts) > 15),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p) AS DOUBLE) AS sp,
+             CAST(SUM(p * p) AS DOUBLE) AS spp,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(p * y) AS DOUBLE) AS spy
+      FROM te)
+    SELECT n, sy AS n_pos,
+           {r4("(n * spy - sp * sy) / (n * spp - sp * sp)")} AS slope,
+           {r4("(sy - (n * spy - sp * sy) / (n * spp - sp * sp) * sp)"
+               " / n")} AS intercept
+    FROM s
+    """,
+    doc="Linear calibration fit (slope/intercept) of the hour-of-day "
+        "purchase predictor on the held-out half: exact decimal moment "
+        "sums, closed-form OLS, slope 1 / intercept 0 = calibrated.",
+)
+def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    tr = (ev.filter("day(ts) <= 15")
+          .groupBy(F.expr("CAST(hour(ts) AS INT)").alias("hr"))
+          .agg(F.expr(
+              "ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'"
+              " THEN 1.0 ELSE 0 END) / COUNT(*) AS DECIMAL(18,6)), 6)")
+              .alias("p")))
+    te = (ev.filter("day(ts) > 15")
+          .select(F.expr("CAST(hour(ts) AS INT)").alias("hr"),
+                  F.expr("CASE WHEN event_type = 'purchase'"
+                         " THEN 1 ELSE 0 END").alias("y"))
+          .join(F.broadcast(tr), "hr"))
+    s = te.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("p").cast("double").alias("sp"),
+        F.sum(F.expr("p * p")).cast("double").alias("spp"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("p * y")).cast("double").alias("spy"))
+    return s.select(
+        "n", F.col("sy").alias("n_pos"),
+        r4c(F.expr("(n * spy - sp * sy) / (n * spp - sp * sp)"))
+        .alias("slope"),
+        r4c(F.expr("(sy - (n * spy - sp * sy) / (n * spp - sp * sp)"
+                   " * sp) / n")).alias("intercept"))
+
+
+# --------------------------------------------------------------------------
+# Q325 Fleiss' kappa across THREE deterministic binary raters on orders
+# (above-median total, urgent/high priority, fulfilled status): the
+# m-rater generalization of q293's Cohen pair — do independent quality
+# flags agree beyond chance? With m = 3 and 2 categories, per-subject
+# agreement P_i = (x² − 3x + 3)/3 for x = #positive votes, so the whole
+# statistic folds from exactly (n, Σx, Σx²) — one conditional pass
+# after the broadcast 2x-median threshold, three exact integers.
+@query(
+    "q325_fleiss_kappa",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END
+             + CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x2
+      FROM orders),
+    m AS (SELECT CAST(2 * MEDIAN(cents) AS BIGINT) AS m2 FROM b),
+    r AS (
+      SELECT CASE WHEN 2 * cents > m2 THEN 1 ELSE 0 END + x2 AS x
+      FROM b CROSS JOIN m),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM r),
+    d AS (
+      SELECT n, sx,
+             (CAST(sxx AS DOUBLE) - CAST(3 AS DOUBLE) * sx
+              + CAST(3 AS DOUBLE) * n) / (CAST(3 AS DOUBLE) * n)
+               AS pbar_obs,
+             CAST(sx AS DOUBLE) / (CAST(3 AS DOUBLE) * n) AS p
+      FROM s)
+    SELECT n, sx AS n_positive_flags,
+           {r4("pbar_obs")} AS p_obs,
+           {r4("p * p + (1 - p) * (1 - p)")} AS p_exp,
+           {r4("(pbar_obs - (p * p + (1 - p) * (1 - p)))"
+               " / (1 - (p * p + (1 - p) * (1 - p)))")} AS fleiss_kappa
+    FROM d
+    """,
+    doc="Fleiss' kappa across three deterministic binary raters "
+        "(above-median total, urgent/high priority, fulfilled) from "
+        "three exact integers (n, Σx, Σx²).",
+)
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tables(spark, sf_dir)["orders"].select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CASE WHEN o_orderpriority IN (\'1-URGENT\', \'2-HIGH\')"
+               " THEN 1 ELSE 0 END"
+               " + CASE WHEN o_orderstatus = \'F\' THEN 1 ELSE 0 END")
+        .alias("x2"))
+    m = b.agg(F.expr("CAST(2 * percentile(cents, 0.5) AS BIGINT)")
+              .alias("m2"))
+    r = (b.join(F.broadcast(m))
+         .select(F.expr("CASE WHEN 2 * cents > m2 THEN 1 ELSE 0 END + x2")
+                 .alias("x")))
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"))
+    d = s.select(
+        "n", "sx",
+        F.expr("(CAST(sxx AS DOUBLE) - CAST(3 AS DOUBLE) * sx"
+               " + CAST(3 AS DOUBLE) * n) / (CAST(3 AS DOUBLE) * n)")
+        .alias("pbar_obs"),
+        F.expr("CAST(sx AS DOUBLE) / (CAST(3 AS DOUBLE) * n)").alias("p"))
+    return d.select(
+        "n", F.col("sx").alias("n_positive_flags"),
+        r4c(F.col("pbar_obs")).alias("p_obs"),
+        r4c(F.expr("p * p + (1 - p) * (1 - p)")).alias("p_exp"),
+        r4c(F.expr("(pbar_obs - (p * p + (1 - p) * (1 - p)))"
+                   " / (1 - (p * p + (1 - p) * (1 - p)))"))
+        .alias("fleiss_kappa"))

@@ -76,6 +76,8 @@ _EXPECTED = {
     "q310_permutation_entropy": [("Aggregate",), ("Aggregate",)],
     # two leaderboard ROW_NUMBERs over the |event-type|-row count table
     "q314_rbo": [("Aggregate",), ("Window", "Aggregate")],
+    # split-candidate cumulative over the 24-row hour aggregate
+    "q323_decision_stump": [("Aggregate",)],
     "q185_auc": [("Aggregate",)],                   # score-bin table
     "q280_avg_precision": [("Aggregate",)],         # q185's carry scan
     "q214_lorenz_deciles": [("Aggregate",)] * 2,    # decile cut table
