@@ -225,3 +225,90 @@ def test_q319_cuped_matches_numpy(spark):
     assert got["diff_raw"] == pytest.approx(diff_raw, abs=2e-3)
     assert got["diff_cuped"] == pytest.approx(diff_cuped, abs=2e-3)
     assert got["var_reduction"] == pytest.approx(r2, abs=2e-4)
+
+
+def test_q321_two_proportion_matches_numpy(spark):
+    import hashlib
+
+    ev = _events()
+    ev["day"] = ev["ts"].dt.day
+    conv = (ev.assign(c=((ev["event_type"] == "purchase")
+                         & (ev["day"] > 15)
+                         & (ev["value"] > 150)).astype(int))
+            .groupby("user_id")["c"].max())
+    arm = np.array([
+        int(hashlib.md5(f"{uid}:arm".encode()).hexdigest()[0], 16) < 8
+        for uid in conv.index])
+    na, ca = int(arm.sum()), int(conv[arm].sum())
+    nb, cb = int((~arm).sum()), int(conv[~arm].sum())
+    p1, p2 = ca / na, cb / nb
+    pp = (ca + cb) / (na + nb)
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    got = _one(spark, "q321_two_proportion_z")
+    assert (got["na"], got["ca"], got["nb"], got["cb"]) == (na, ca, nb, cb)
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+    assert got["mde_80"] == pytest.approx(
+        (1.96 + 0.8416) * math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb)),
+        abs=2e-4)
+
+
+def test_q322_cmh_matches_numpy(spark):
+    t = _orders()
+    k = t["o_orderdate"].dt.dayofweek + 1  # pandas Monday=0 -> ISO 1..7
+    treat = t["o_orderpriority"].isin(("1-URGENT", "2-HIGH")).to_numpy()
+    y = (t["o_orderstatus"] == "F").to_numpy()
+    sa = se = sv = snum = sden = 0.0
+    for kk in sorted(k.unique()):
+        s = (k == kk).to_numpy()
+        a = int(np.sum(s & treat & y)); b = int(np.sum(s & treat & ~y))
+        c = int(np.sum(s & ~treat & y)); d = int(np.sum(s & ~treat & ~y))
+        n = a + b + c + d
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        snum += a * d / n
+        sden += b * c / n
+    chi2 = (abs(sa - se) - 0.5) ** 2 / sv
+    got = _one(spark, "q322_cmh_test")
+    assert got["sum_a"] == int(sa)
+    assert got["cmh_chi2"] == pytest.approx(chi2, abs=2e-3)
+    assert got["mh_odds_ratio"] == pytest.approx(snum / sden, abs=2e-4)
+
+
+def test_q323_stump_matches_numpy(spark):
+    ev = _events()
+    hr = ev["ts"].dt.hour.to_numpy()
+    y = (ev["event_type"] == "purchase").to_numpy().astype(int)
+    nt, pt = len(y), int(y.sum())
+    best = None
+    for h in range(24):
+        left = hr <= h
+        nl, pl = int(left.sum()), int(y[left].sum())
+        if nl == 0 or nl == nt:
+            continue
+        gl = 2 * (pl / nl) * (1 - pl / nl)
+        gr = 2 * ((pt - pl) / (nt - nl)) * (1 - (pt - pl) / (nt - nl))
+        ga = nl / nt * gl + (nt - nl) / nt * gr
+        if best is None or ga < best[1] - 1e-15:
+            best = (h, ga)
+    got = _one(spark, "q323_decision_stump")
+    assert got["split_hour_le"] == best[0]
+    assert got["gini_after"] == pytest.approx(best[1], abs=2e-4)
+
+
+def test_q325_fleiss_matches_numpy(spark):
+    t = _orders()
+    med = np.median(t["cents"])
+    x = ((t["cents"] > med).astype(int)
+         + t["o_orderpriority"].isin(("1-URGENT", "2-HIGH")).astype(int)
+         + (t["o_orderstatus"] == "F").astype(int)).to_numpy()
+    n = len(x)
+    p_i = (x * x - 3 * x + 3) / 3
+    pbar = p_i.mean()
+    p = x.sum() / (3 * n)
+    pe = p * p + (1 - p) * (1 - p)
+    kappa = (pbar - pe) / (1 - pe)
+    got = _one(spark, "q325_fleiss_kappa")
+    assert got["n"] == n
+    assert got["p_obs"] == pytest.approx(pbar, abs=2e-4)
+    assert got["fleiss_kappa"] == pytest.approx(kappa, abs=2e-4)
