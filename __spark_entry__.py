@@ -104,6 +104,8 @@ _NEVER_REST = [
     "q318_delta_method", "q319_cuped", "q320_srm_check",
     "q321_two_proportion_z", "q322_cmh_test", "q323_decision_stump",
     "q324_calibration_fit", "q325_fleiss_kappa",
+    "q326_capture_recapture", "q327_diversity_index",
+    "q328_jackknife_ratio_se",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

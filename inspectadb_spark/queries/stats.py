@@ -4782,3 +4782,196 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4c(F.expr("(pbar_obs - (p * p + (1 - p) * (1 - p)))"
                    " / (1 - (p * p + (1 - p) * (1 - p)))"))
         .alias("fleiss_kappa"))
+
+
+# --------------------------------------------------------------------------
+# Q326 Lincoln-Petersen / Chapman capture-recapture estimate of the
+# active-user population: users "captured" in the first half,
+# "recaptured" in the second — the estimator ecology and data-quality
+# teams use when totals can't be enumerated directly (how many users
+# exist that we NEVER saw?). Chapman's bias-corrected form with its
+# closed-form variance; one user-grain conditional pass to three exact
+# integers.
+@query(
+    "q326_capture_recapture",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS c1,
+             MAX(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS c2
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * c2) AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM u)
+    SELECT n1, n2, m, observed,
+           {r4("(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1")}
+             AS n_chapman,
+           {r4("sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)"
+               " * (n1 - m) * (n2 - m))"
+               " / ((CAST(m + 1 AS DOUBLE)) * (m + 1) * (m + 2)))")}
+             AS se
+    FROM s
+    """,
+    doc="Chapman capture-recapture estimate of the active-user "
+        "population from first-half capture / second-half recapture "
+        "flags, with its closed-form standard error.",
+)
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (tables(spark, sf_dir)["events"]
+         .groupBy("user_id")
+         .agg(F.max(F.expr("CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END"))
+              .alias("c1"),
+              F.max(F.expr("CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END"))
+              .alias("c2")))
+    s = u.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.expr("c1 * c2")).cast("bigint").alias("m"),
+        F.count("*").cast("bigint").alias("observed"))
+    return s.select(
+        "n1", "n2", "m", "observed",
+        r4c(F.expr("(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1"))
+        .alias("n_chapman"),
+        r4c(F.expr("sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)"
+                   " * (n1 - m) * (n2 - m))"
+                   " / ((CAST(m + 1 AS DOUBLE)) * (m + 1) * (m + 2)))"))
+        .alias("se"))
+
+
+# --------------------------------------------------------------------------
+# Q327 diversity-index panel of the corpus source mix per language:
+# Shannon entropy (nats), its exponential (Hill number q=1, the
+# "effective number of sources"), Simpson's 1 − Σp², and the inverse-
+# Simpson Hill number q=2 — the mixture-health summary behind q126's
+# rebalancing and q134's drift (a language whose effective source
+# count collapses toward 1 is de-facto single-sourced, the q260 risk).
+# One (lang, source) aggregation; per-cell entropy terms fold with 6dp
+# quantization; Σp² folds exactly as integer n(n−1)-style ratios.
+@query(
+    "q327_diversity_index",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS n
+      FROM documents GROUP BY lang, source),
+    t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY lang),
+    terms AS (
+      SELECT c.lang,
+             ROUND(CAST(-(CAST(n AS DOUBLE) / nt)
+                        * ln(CAST(n AS DOUBLE) / nt)
+                        AS DECIMAL(18,6)), 6) AS h_term,
+             CAST(n AS HUGEINT) * n AS nn
+      FROM c JOIN t ON t.lang = c.lang),
+    agg AS (
+      SELECT l.lang, l.nt,
+             CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(h_term) AS DOUBLE) AS h,
+             CAST(SUM(nn) AS DOUBLE) AS snn
+      FROM terms JOIN t l ON l.lang = terms.lang
+      GROUP BY l.lang, l.nt)
+    SELECT lang, n_sources,
+           CAST(ROUND(CAST(h AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS shannon_nats,
+           CAST(ROUND(CAST(exp(h) AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS eff_sources_q1,
+           CAST(ROUND(CAST(1 - snn / (CAST(nt AS DOUBLE) * nt)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS simpson,
+           CAST(ROUND(CAST(CAST(nt AS DOUBLE) * nt / snn
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS eff_sources_q2
+    FROM agg ORDER BY lang
+    """,
+    doc="Per-language source-mix diversity: Shannon entropy, effective "
+        "source counts (Hill q=1/q=2), and Simpson's index from one "
+        "(lang, source) aggregation.",
+)
+def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (tables(spark, sf_dir)["documents"]
+         .groupBy("lang", "source").agg(F.count("*").alias("n")))
+    t = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("nt"))
+    terms = (c.join(F.broadcast(t), "lang")
+             .select("lang",
+                     F.expr("ROUND(CAST(-(CAST(n AS DOUBLE) / nt)"
+                            " * ln(CAST(n AS DOUBLE) / nt)"
+                            " AS DECIMAL(18,6)), 6)").alias("h_term"),
+                     F.expr("CAST(n AS DECIMAL(38,0)) * n").alias("nn")))
+    agg = (terms.join(F.broadcast(t), "lang")
+           .groupBy("lang", "nt")
+           .agg(F.count("*").cast("bigint").alias("n_sources"),
+                F.sum("h_term").cast("double").alias("h"),
+                F.sum("nn").cast("double").alias("snn")))
+    return agg.select(
+        "lang", "n_sources",
+        r4c(F.col("h")).alias("shannon_nats"),
+        r4c(F.expr("exp(h)")).alias("eff_sources_q1"),
+        r4c(F.expr("1 - snn / (CAST(nt AS DOUBLE) * nt)")).alias("simpson"),
+        r4c(F.expr("CAST(nt AS DOUBLE) * nt / snn")).alias("eff_sources_q2"),
+    ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Q328 leave-one-stratum-out jackknife SE of the revenue-per-event
+# ratio: the resampling-flavored check on q318's delta-method SE
+# (agreement says the linearization is trustworthy at this sample
+# size). With day-of-week strata, every leave-one-out replicate is a
+# CLOSED FORM over the 7 stratum (Σy, Σm) rows — the jackknife needs
+# no resampling pass at all, so the whole estimator is two exact
+# aggregations and a 7-row fold.
+@query(
+    "q328_jackknife_ratio_se",
+    oracle=f"""
+    WITH s AS (
+      SELECT isodow(CAST(ts AS DATE)) AS k,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM events GROUP BY k),
+    tot AS (SELECT CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(m) AS BIGINT) AS sm,
+                   CAST(COUNT(*) AS BIGINT) AS kk
+            FROM s),
+    reps AS (
+      SELECT ROUND(CAST(CAST(sy - y AS DOUBLE) / (sm - m)
+                   AS DECIMAL(18,6)), 6) AS r, kk, sy, sm
+      FROM s CROSS JOIN tot),
+    f AS (
+      SELECT kk, sy, sm,
+             CAST(AVG(CAST(r AS DOUBLE)) AS DOUBLE) AS rbar,
+             CAST(SUM(CAST(r AS DOUBLE) * r) AS DOUBLE) AS srr
+      FROM reps GROUP BY kk, sy, sm)
+    SELECT kk AS n_strata,
+           {r4("CAST(sy AS DOUBLE) / sm")} AS ratio,
+           {r4("sqrt((kk - CAST(1 AS DOUBLE)) / kk"
+               " * (srr - kk * rbar * rbar))")} AS se_jack
+    FROM f
+    """,
+    doc="Leave-one-dow-stratum-out jackknife SE of revenue-per-event — "
+        "closed form over 7 stratum rows, the resampling cross-check on "
+        "q318's delta-method SE.",
+)
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (tables(spark, sf_dir)["events"]
+         .groupBy(F.expr("((dayofweek(CAST(ts AS DATE)) + 5) % 7) + 1")
+                  .alias("k"))
+         .agg(F.sum(F.expr(
+                  "CASE WHEN event_type = 'purchase'"
+                  " THEN CAST(ROUND(value * 100) AS BIGINT)"
+                  " ELSE 0 END")).cast("bigint").alias("y"),
+              F.count("*").cast("bigint").alias("m")))
+    tot = s.agg(F.sum("y").cast("bigint").alias("sy"),
+                F.sum("m").cast("bigint").alias("sm"),
+                F.count("*").cast("bigint").alias("kk"))
+    reps = (s.join(F.broadcast(tot))
+            .select(F.expr("ROUND(CAST(CAST(sy - y AS DOUBLE) / (sm - m)"
+                           " AS DECIMAL(18,6)), 6)").alias("r"),
+                    "kk", "sy", "sm"))
+    f = reps.groupBy("kk", "sy", "sm").agg(
+        F.avg(F.expr("CAST(r AS DOUBLE)")).cast("double").alias("rbar"),
+        F.sum(F.expr("CAST(r AS DOUBLE) * r")).cast("double").alias("srr"))
+    return f.select(
+        F.col("kk").alias("n_strata"),
+        r4c(F.expr("CAST(sy AS DOUBLE) / sm")).alias("ratio"),
+        r4c(F.expr("sqrt((kk - CAST(1 AS DOUBLE)) / kk"
+                   " * (srr - kk * rbar * rbar))")).alias("se_jack"))
