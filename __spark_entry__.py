@@ -105,7 +105,8 @@ _NEVER_REST = [
     "q321_two_proportion_z", "q322_cmh_test", "q323_decision_stump",
     "q324_calibration_fit", "q325_fleiss_kappa",
     "q326_capture_recapture", "q327_diversity_index",
-    "q328_jackknife_ratio_se",
+    "q328_jackknife_ratio_se", "q329_gumbel_maxima",
+    "q330_theil_decomposition", "q331_atkinson",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

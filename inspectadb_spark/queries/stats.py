@@ -4975,3 +4975,218 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4c(F.expr("CAST(sy AS DOUBLE) / sm")).alias("ratio"),
         r4c(F.expr("sqrt((kk - CAST(1 AS DOUBLE)) / kk"
                    " * (srr - kk * rbar * rbar))")).alias("se_jack"))
+
+
+# --------------------------------------------------------------------------
+# Q329 Gumbel block-maxima fit of daily peak purchase values: classical
+# extreme-value analysis by the method of moments (β = s·√6/π,
+# μ = m − γ·β), with the fitted exceedance probability and return
+# period of the observed all-time peak — the "how unusual was our worst
+# day" readout (q226's peak detector asks where; this asks how rare).
+# Daily maxima are one day-grain aggregation; moments fold exact
+# integer sums; γ and π enter as DOUBLE-cast literals.
+@query(
+    "q329_gumbel_maxima",
+    oracle=f"""
+    WITH dm AS (
+      SELECT CAST(ts AS DATE) AS day,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS mx
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mx) AS BIGINT) AS sm,
+             CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS smm,
+             CAST(MAX(mx) AS BIGINT) AS peak
+      FROM dm),
+    f AS (
+      SELECT n, peak,
+             CAST(sm AS DOUBLE) / n AS mean,
+             sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n)
+                  / (n - 1)) * sqrt(CAST(6 AS DOUBLE))
+               / CAST(3.141592653589793 AS DOUBLE) AS beta
+      FROM s),
+    g AS (
+      SELECT n, peak, beta,
+             mean - CAST(0.5772156649015329 AS DOUBLE) * beta AS mu
+      FROM f)
+    SELECT n, peak,
+           {r4("mu / 100")} AS mu_dollars,
+           {r4("beta / 100")} AS beta_dollars,
+           {r4("1 - exp(-exp(-(peak - mu) / beta))")} AS p_exceed_peak,
+           {r4("1 / (1 - exp(-exp(-(peak - mu) / beta)))")}
+             AS return_period_days
+    FROM g
+    """,
+    doc="Gumbel block-maxima fit (method of moments) of daily peak "
+        "purchase values, with the fitted exceedance probability and "
+        "return period of the observed all-time peak.",
+)
+def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dm = (tables(spark, sf_dir)["events"]
+          .filter(F.col("event_type") == "purchase")
+          .groupBy(F.to_date("ts").alias("day"))
+          .agg(F.expr("MAX(CAST(ROUND(value * 100) AS BIGINT))")
+               .alias("mx")))
+    s = dm.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("mx").cast("bigint").alias("sm"),
+        F.expr("CAST(SUM(CAST(mx AS DECIMAL(38,0)) * mx)"
+               " AS DECIMAL(38,0))").alias("smm"),
+        F.max("mx").cast("bigint").alias("peak"))
+    f = s.select(
+        "n", "peak",
+        F.expr("CAST(sm AS DOUBLE) / n").alias("mean"),
+        F.expr("sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n)"
+               " / (n - 1)) * sqrt(CAST(6 AS DOUBLE))"
+               " / CAST(3.141592653589793 AS DOUBLE)").alias("beta"))
+    g = f.select(
+        "n", "peak", "beta",
+        F.expr("mean - CAST(0.5772156649015329 AS DOUBLE) * beta")
+        .alias("mu"))
+    return g.select(
+        "n", "peak",
+        r4c(F.expr("mu / 100")).alias("mu_dollars"),
+        r4c(F.expr("beta / 100")).alias("beta_dollars"),
+        r4c(F.expr("1 - exp(-exp(-(peak - mu) / beta))"))
+        .alias("p_exceed_peak"),
+        r4c(F.expr("1 / (1 - exp(-exp(-(peak - mu) / beta)))"))
+        .alias("return_period_days"))
+
+
+# --------------------------------------------------------------------------
+# Q330 Theil T inequality index of customer spend with the
+# between/within-nation decomposition — the additively decomposable
+# inequality measure q175's Gini can't give (Gini doesn't split into
+# between + within). Per-customer terms use the exact rational
+# y·N/Y (no precomputed mean float), 6dp-quantized pre-sum; the
+# between term folds nation-domain-sized rows the same way; within =
+# total − between by construction and is reported for the readout.
+@query(
+    "q330_theil_decomposition",
+    oracle="""
+    WITH cust AS (
+      SELECT o.o_custkey AS ck, c.c_nationkey AS nk,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY ck, nk),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS yt
+            FROM cust),
+    t_all AS (
+      SELECT CAST(SUM(ROUND(CAST(
+               (CAST(y AS DOUBLE) / yt)
+               * ln(CAST(y AS DOUBLE) * n / yt)
+               AS DECIMAL(18,6)), 6)) AS DOUBLE) AS t
+      FROM cust CROSS JOIN tot),
+    grp AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(y) AS BIGINT) AS yg
+      FROM cust GROUP BY nk),
+    t_btw AS (
+      SELECT CAST(SUM(ROUND(CAST(
+               (CAST(yg AS DOUBLE) / yt)
+               * ln((CAST(yg AS DOUBLE) / yt)
+                    / (CAST(ng AS DOUBLE) / n))
+               AS DECIMAL(18,6)), 6)) AS DOUBLE) AS tb,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM grp CROSS JOIN tot)
+    SELECT (SELECT n FROM tot) AS n_customers, n_groups,
+           CAST(ROUND(CAST(t AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS theil_t,
+           CAST(ROUND(CAST(tb AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS theil_between,
+           CAST(ROUND(CAST(t - tb AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS theil_within
+    FROM t_all CROSS JOIN t_btw
+    """,
+    doc="Theil T inequality of customer spend with the exact "
+        "between/within-nation decomposition — the additively "
+        "decomposable complement to q175's Gini.",
+)
+def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    cust = (t["orders"]
+            .join(t["customer"],
+                  t["customer"]["c_custkey"] == t["orders"]["o_custkey"])
+            .groupBy(F.col("o_custkey").alias("ck"),
+                     F.col("c_nationkey").alias("nk"))
+            .agg(F.sum(F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+                .cast("bigint").alias("y")))
+    tot = cust.agg(F.count("*").cast("bigint").alias("n"),
+                   F.sum("y").cast("bigint").alias("yt"))
+    t_all = (cust.join(F.broadcast(tot))
+             .agg(F.expr(
+                 "CAST(SUM(ROUND(CAST("
+                 "(CAST(y AS DOUBLE) / yt)"
+                 " * ln(CAST(y AS DOUBLE) * n / yt)"
+                 " AS DECIMAL(18,6)), 6)) AS DOUBLE)").alias("t")))
+    grp = cust.groupBy("nk").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("y").cast("bigint").alias("yg"))
+    t_btw = (grp.join(F.broadcast(tot))
+             .agg(F.expr(
+                 "CAST(SUM(ROUND(CAST("
+                 "(CAST(yg AS DOUBLE) / yt)"
+                 " * ln((CAST(yg AS DOUBLE) / yt)"
+                 "      / (CAST(ng AS DOUBLE) / n))"
+                 " AS DECIMAL(18,6)), 6)) AS DOUBLE)").alias("tb"),
+                 F.count("*").cast("bigint").alias("n_groups")))
+    return (tot.join(F.broadcast(t_all)).join(F.broadcast(t_btw))
+            .select(F.col("n").alias("n_customers"), "n_groups",
+                    r4c(F.col("t")).alias("theil_t"),
+                    r4c(F.col("tb")).alias("theil_between"),
+                    r4c(F.expr("t - tb")).alias("theil_within")))
+
+
+# --------------------------------------------------------------------------
+# Q331 Atkinson inequality index (ε = 1) of customer spend: 1 minus the
+# ratio of geometric to arithmetic mean — the welfare-theoretic
+# inequality number whose "equally distributed equivalent" reading
+# (what fraction of total spend could be discarded under perfect
+# equality for the same welfare) q175/q330 don't give. The geometric
+# mean folds from 6dp-quantized ln terms; everything else is two exact
+# integers.
+@query(
+    "q331_atkinson",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS yt,
+             CAST(SUM(ROUND(CAST(ln(y) AS DECIMAL(18,6)), 6)) AS DOUBLE)
+               AS sln
+      FROM cust)
+    SELECT n,
+           {r4("exp(sln / n) / 100")} AS geo_mean_dollars,
+           {r4("CAST(yt AS DOUBLE) / n / 100")} AS mean_dollars,
+           {r4("1 - exp(sln / n) / (CAST(yt AS DOUBLE) / n)")}
+             AS atkinson_e1
+    FROM s
+    """,
+    doc="Atkinson inequality index (epsilon=1) of customer spend: one "
+        "pass to (n, total, sum-of-quantized-logs), geometric over "
+        "arithmetic mean.",
+)
+def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (tables(spark, sf_dir)["orders"]
+            .groupBy("o_custkey")
+            .agg(F.sum(F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+                .cast("bigint").alias("y")))
+    s = cust.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("yt"),
+        F.expr("CAST(SUM(ROUND(CAST(ln(y) AS DECIMAL(18,6)), 6))"
+               " AS DOUBLE)").alias("sln"))
+    return s.select(
+        "n",
+        r4c(F.expr("exp(sln / n) / 100")).alias("geo_mean_dollars"),
+        r4c(F.expr("CAST(yt AS DOUBLE) / n / 100")).alias("mean_dollars"),
+        r4c(F.expr("1 - exp(sln / n) / (CAST(yt AS DOUBLE) / n)"))
+        .alias("atkinson_e1"))
