@@ -107,6 +107,8 @@ _NEVER_REST = [
     "q326_capture_recapture", "q327_diversity_index",
     "q328_jackknife_ratio_se", "q329_gumbel_maxima",
     "q330_theil_decomposition", "q331_atkinson",
+    "q332_decayed_ltv", "q333_cold_start_rate",
+    "q334_icc_design_effect",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

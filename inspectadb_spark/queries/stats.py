@@ -5190,3 +5190,211 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4c(F.expr("CAST(yt AS DOUBLE) / n / 100")).alias("mean_dollars"),
         r4c(F.expr("1 - exp(sln / n) / (CAST(yt AS DOUBLE) / n)"))
         .alias("atkinson_e1"))
+
+
+# --------------------------------------------------------------------------
+# Q332 exponentially-decayed customer LTV (90-day half-life, anchored
+# at the corpus's last order date — no wall clock anywhere): the
+# recency-weighted value score behind churn-risk ranking, next to
+# q156's discrete RFM bands and q210's cohort curves. Per-row decay
+# terms quantize to 6dp DECIMAL before the per-customer sum, so every
+# customer's score is an exact decimal — identical across engines and
+# safely ORDER-BY-able for the top-customer readout (raw-order
+# subquery, the q323 lesson).
+@query(
+    "q332_decayed_ltv",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS raw_cents,
+             SUM(ROUND(CAST(
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               * exp(-CAST(0.007701635339554948 AS DOUBLE)
+                     * date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(mx AS DATE)))
+               AS DECIMAL(18,6)), 6)) AS ltv
+      FROM orders CROSS JOIN anchor GROUP BY o_custkey),
+    top AS (
+      SELECT o_custkey AS top_cust,
+             CAST(ltv AS DOUBLE) AS top_ltv_cents
+      FROM c ORDER BY ltv DESC, o_custkey LIMIT 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(raw_cents) AS BIGINT) AS raw_total,
+             CAST(SUM(ltv) AS DOUBLE) AS decayed_total
+      FROM c)
+    SELECT n_customers,
+           {r4("raw_total / 100.0")} AS raw_total_dollars,
+           {r4("decayed_total / 100")} AS decayed_total_dollars,
+           CAST(FLOOR(decayed_total * 1000000 / raw_total) AS BIGINT)
+             AS retention_ppm,
+           top_cust,
+           {r4("top_ltv_cents / 100")} AS top_ltv_dollars
+    FROM s CROSS JOIN top
+    """,
+    doc="Exponentially-decayed customer LTV (90-day half-life anchored "
+        "at the last order date): exact 6dp-quantized decay sums, "
+        "deterministic top customer, decayed-over-raw retention ppm.",
+)
+def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables(spark, sf_dir)["orders"]
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    c = (orders.join(F.broadcast(anchor))
+         .groupBy("o_custkey")
+         .agg(F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+              .cast("bigint").alias("raw_cents"),
+              F.sum(F.expr(
+                  "ROUND(CAST("
+                  "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+                  " * exp(-CAST(0.007701635339554948 AS DOUBLE)"
+                  "       * datediff(CAST(mx AS DATE),"
+                  "                  CAST(o_orderdate AS DATE)))"
+                  " AS DECIMAL(18,6)), 6)")).alias("ltv")))
+    top = (c.orderBy(F.desc("ltv"), "o_custkey").limit(1)
+           .select(F.col("o_custkey").alias("top_cust"),
+                   F.col("ltv").cast("double").alias("top_ltv_cents")))
+    s = c.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("raw_cents").cast("bigint").alias("raw_total"),
+        F.sum("ltv").cast("double").alias("decayed_total"))
+    return (s.join(F.broadcast(top))
+            .select("n_customers",
+                    r4c(F.expr("raw_total / 100.0"))
+                    .alias("raw_total_dollars"),
+                    r4c(F.expr("decayed_total / 100"))
+                    .alias("decayed_total_dollars"),
+                    F.expr("CAST(FLOOR(decayed_total * 1000000"
+                           " / raw_total) AS BIGINT)")
+                    .alias("retention_ppm"),
+                    "top_cust",
+                    r4c(F.expr("top_ltv_cents / 100"))
+                    .alias("top_ltv_dollars")))
+
+
+# --------------------------------------------------------------------------
+# Q333 cold-start rate per day: the share of each day's events produced
+# by users on their FIRST active day — the "how much of today's traffic
+# is brand new" pipeline-health series (new-entity influx stresses every
+# cache, model and dedup registry; q229's new-vs-returning is the
+# revenue view at customer grain). One min-per-user pass joined back on
+# the user key; exact integer ppm per calendar day.
+@query(
+    "q333_cold_start_rate",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN CAST(ts AS DATE) = first_day THEN 1 ELSE 0 END
+               AS is_first
+      FROM events JOIN f USING (user_id)),
+    d AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(is_first) AS BIGINT) AS n_first_day
+      FROM e GROUP BY day)
+    SELECT day, n_events, n_first_day,
+           CAST(n_first_day * 1000000 // n_events AS BIGINT)
+             AS cold_start_ppm
+    FROM d ORDER BY day
+    """,
+    doc="Per-day share of events from users on their first active day "
+        "(exact integer ppm): the new-entity influx series.",
+)
+def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    f = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"))
+    e = (ev.join(f, "user_id")
+         .select(F.to_date("ts").alias("day"),
+                 F.expr("CASE WHEN CAST(ts AS DATE) = first_day"
+                        " THEN 1 ELSE 0 END").alias("is_first")))
+    d = e.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("is_first").cast("bigint").alias("n_first_day"))
+    return d.select(
+        "day", "n_events", "n_first_day",
+        F.expr("n_first_day * 1000000 DIV n_events")
+        .alias("cold_start_ppm")).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Q334 intracluster correlation + design effect of event values under
+# user clustering: when randomization is BY USER but analysis is BY
+# EVENT, the effective sample size shrinks by deff = 1 + (m̄−1)·ICC —
+# the number that says whether q318/q321's per-event readouts are
+# honest. One-way random-effects ICC from exact integer sufficient
+# statistics (ANOVA MSB/MSW with the unequal-cluster m0 correction) —
+# one user-grain pass plus a one-row fold.
+@query(
+    "q334_icc_design_effect",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS m,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(SUM(CAST(ROUND(value * 100) AS HUGEINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) AS HUGEINT)
+               AS q
+      FROM events GROUP BY user_id),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS uu,
+             CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS st,
+             SUM(CAST(q AS DOUBLE)) AS qt,
+             SUM(CAST(s AS DOUBLE) * s / m) AS sb,
+             SUM(CAST(m AS DOUBLE) * m) AS smm
+      FROM u),
+    d AS (
+      SELECT uu, n,
+             (sb - CAST(st AS DOUBLE) * st / n) / (uu - 1) AS msb,
+             (qt - sb) / (n - uu) AS msw,
+             (n - smm / n) / (uu - 1) AS m0
+      FROM t)
+    SELECT n AS n_events, uu AS n_users,
+           {r4("(msb - msw) / (msb + (m0 - 1) * msw)")} AS icc,
+           {r4("1 + (CAST(n AS DOUBLE) / uu - 1)"
+               " * ((msb - msw) / (msb + (m0 - 1) * msw))")} AS deff,
+           {r4("n / (1 + (CAST(n AS DOUBLE) / uu - 1)"
+               " * ((msb - msw) / (msb + (m0 - 1) * msw)))")}
+             AS eff_sample_size
+    FROM d
+    """,
+    doc="Intracluster correlation, design effect and effective sample "
+        "size of event values under user clustering, from exact integer "
+        "ANOVA sufficient statistics with the unequal-cluster m0 "
+        "correction.",
+)
+def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (tables(spark, sf_dir)["events"]
+         .groupBy("user_id")
+         .agg(F.count("*").alias("m"),
+              F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+              .cast("bigint").alias("s"),
+              F.expr("CAST(SUM(CAST(ROUND(value * 100) AS DECIMAL(38,0))"
+                     " * CAST(ROUND(value * 100) AS BIGINT))"
+                     " AS DECIMAL(38,0))").alias("q")))
+    t = u.agg(
+        F.count("*").cast("bigint").alias("uu"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum(F.expr("CAST(q AS DOUBLE)")).alias("qt"),
+        F.sum(F.expr("CAST(s AS DOUBLE) * s / m")).alias("sb"),
+        F.sum(F.expr("CAST(m AS DOUBLE) * m")).alias("smm"))
+    d = t.select(
+        "uu", "n",
+        F.expr("(sb - CAST(st AS DOUBLE) * st / n) / (uu - 1)")
+        .alias("msb"),
+        F.expr("(qt - sb) / (n - uu)").alias("msw"),
+        F.expr("(n - smm / n) / (uu - 1)").alias("m0"))
+    return d.select(
+        F.col("n").alias("n_events"), F.col("uu").alias("n_users"),
+        r4c(F.expr("(msb - msw) / (msb + (m0 - 1) * msw)")).alias("icc"),
+        r4c(F.expr("1 + (CAST(n AS DOUBLE) / uu - 1)"
+                   " * ((msb - msw) / (msb + (m0 - 1) * msw))"))
+        .alias("deff"),
+        r4c(F.expr("n / (1 + (CAST(n AS DOUBLE) / uu - 1)"
+                   " * ((msb - msw) / (msb + (m0 - 1) * msw)))"))
+        .alias("eff_sample_size"))
