@@ -108,7 +108,7 @@ _NEVER_REST = [
     "q328_jackknife_ratio_se", "q329_gumbel_maxima",
     "q330_theil_decomposition", "q331_atkinson",
     "q332_decayed_ltv", "q333_cold_start_rate",
-    "q334_icc_design_effect",
+    "q334_icc_design_effect", "q335_winsorized_ab",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.

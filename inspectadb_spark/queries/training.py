@@ -2918,3 +2918,108 @@ def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * sqrt(pp * (1 - pp)"
             " * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))"))
         .alias("mde_80"))
+
+
+# --------------------------------------------------------------------------
+# Q335 robust A/B difference of per-user revenue on the md5 split:
+# heavy-tailed metrics make the plain mean diff (q319's raw readout)
+# whale-dominated, so report the winsorized diff (values clamped into
+# the POOLED [p05, p95] — pooled so the treatment can't move its own
+# clamp) and the trimmed diff (outside-clamp users dropped), next to
+# the untrimmed one. Exact-interpolated quantiles on integer cents
+# agree cross-engine (the q138 precedent); one user-grain pass, a
+# one-row quantile broadcast, and a conditional fold.
+@query(
+    "q335_winsorized_ab",
+    oracle=f"""
+    WITH u AS (
+      SELECT CASE WHEN (instr('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR) || ':arm'), 1, 1))
+                  - 1) < 8 THEN 'a' ELSE 'b' END AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    q AS (
+      SELECT CAST(quantile_cont(y, 0.05) AS DOUBLE) AS p_lo,
+             CAST(quantile_cont(y, 0.95) AS DOUBLE) AS p_hi
+      FROM u),
+    w AS (
+      SELECT arm,
+             GREATEST(LEAST(CAST(y AS DOUBLE), p_hi), p_lo) AS yw,
+             CASE WHEN y >= p_lo AND y <= p_hi THEN 1 ELSE 0 END
+               AS keep,
+             y
+      FROM u CROSS JOIN q),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             SUM(CASE WHEN arm = 'a' THEN ROUND(CAST(yw
+                 AS DECIMAL(18,6)), 6) ELSE 0 END) AS swa,
+             SUM(CASE WHEN arm = 'b' THEN ROUND(CAST(yw
+                 AS DECIMAL(18,6)), 6) ELSE 0 END) AS swb,
+             CAST(SUM(CASE WHEN arm = 'a' THEN keep ELSE 0 END)
+                  AS BIGINT) AS ka,
+             CAST(SUM(CASE WHEN arm = 'b' THEN keep ELSE 0 END)
+                  AS BIGINT) AS kb,
+             CAST(SUM(CASE WHEN arm = 'a' AND keep = 1 THEN y ELSE 0
+                  END) AS BIGINT) AS sta,
+             CAST(SUM(CASE WHEN arm = 'b' AND keep = 1 THEN y ELSE 0
+                  END) AS BIGINT) AS stb
+      FROM w)
+    SELECT na, nb, ka, kb,
+           {r4("(CAST(swa AS DOUBLE) / na - CAST(swb AS DOUBLE) / nb)"
+               " / 100")} AS win_diff_dollars,
+           {r4("(CAST(sta AS DOUBLE) / ka - CAST(stb AS DOUBLE) / kb)"
+               " / 100")} AS trim_diff_dollars
+    FROM s
+    """,
+    doc="Winsorized and trimmed A/B difference of per-user revenue on "
+        "the md5 split, clamped into the POOLED exact [p05, p95] so the "
+        "treatment cannot move its own clamp.",
+)
+def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (tables(spark, sf_dir)["events"]
+         .groupBy("user_id")
+         .agg(F.sum(F.expr(
+                  "CASE WHEN event_type = 'purchase'"
+                  " THEN CAST(ROUND(value * 100) AS BIGINT)"
+                  " ELSE 0 END")).cast("bigint").alias("y"))
+         .select(F.expr(
+             "CASE WHEN (instr('0123456789abcdef',"
+             " substr(md5(CAST(user_id AS STRING) || ':arm'), 1, 1))"
+             " - 1) < 8 THEN 'a' ELSE 'b' END").alias("arm"), "y"))
+    q = u.agg(
+        F.expr("CAST(percentile(y, 0.05) AS DOUBLE)").alias("p_lo"),
+        F.expr("CAST(percentile(y, 0.95) AS DOUBLE)").alias("p_hi"))
+    w = (u.join(F.broadcast(q))
+         .select("arm", "y",
+                 F.expr("GREATEST(LEAST(CAST(y AS DOUBLE), p_hi), p_lo)")
+                 .alias("yw"),
+                 F.expr("CASE WHEN y >= p_lo AND y <= p_hi"
+                        " THEN 1 ELSE 0 END").alias("keep")))
+    s = w.agg(
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("na"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("nb"),
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN ROUND(CAST(yw"
+                     " AS DECIMAL(18,6)), 6) ELSE 0 END")).alias("swa"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN ROUND(CAST(yw"
+                     " AS DECIMAL(18,6)), 6) ELSE 0 END")).alias("swb"),
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN keep ELSE 0 END"))
+        .cast("bigint").alias("ka"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN keep ELSE 0 END"))
+        .cast("bigint").alias("kb"),
+        F.sum(F.expr("CASE WHEN arm = 'a' AND keep = 1 THEN y ELSE 0"
+                     " END")).cast("bigint").alias("sta"),
+        F.sum(F.expr("CASE WHEN arm = 'b' AND keep = 1 THEN y ELSE 0"
+                     " END")).cast("bigint").alias("stb"))
+    return s.select(
+        "na", "nb", "ka", "kb",
+        r4c(F.expr("(CAST(swa AS DOUBLE) / na - CAST(swb AS DOUBLE)"
+                   " / nb) / 100")).alias("win_diff_dollars"),
+        r4c(F.expr("(CAST(sta AS DOUBLE) / ka - CAST(stb AS DOUBLE)"
+                   " / kb) / 100")).alias("trim_diff_dollars"))
