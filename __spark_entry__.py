@@ -23,17 +23,39 @@ from inspectadb_spark.session import SEMANTIC_CONFS  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering. The driver verifies the FIRST 50 keys of queries()
-# in dict-iteration order (confirmed in r02-r06 samples). Rounds 2-6 drove
-# 207 distinct oracled ids green; 107 oracled ids remain never-sampled, all
-# in-repo hash-verified at both SFs each pytest run and value-verified by
-# the r5/r6 judge sweeps. The round-7 window (VERDICT r6 item 2) spends all
-# 50 slots on never-driver-sampled ids, front-loading the round-6 additions
-# (q268-q278, incl. q277/q278 which the r6 snapshot shipped without a tier
-# listing) and the round-4 additions q131-q188 that external rows have
-# never touched. _NEVER_REST lists the other 57 never-sampled ids
-# explicitly, directly behind the window, so rotation order stays
-# deterministic and reviewed — the round-8 window is simply its first 50.
+# in dict-iteration order (confirmed in r02-r07 samples). Rounds 2-7 drove
+# 257 distinct oracled ids green; 114 oracled ids remained never-sampled
+# after r07, all in-repo hash-verified at both SFs each pytest run. The
+# round-8 window (VERDICT r7 item 1) is the mechanical front-load the r7
+# layout promised: exactly the first 50 ids of the r7 _NEVER_REST list
+# (pre-r7 remainder: q45d/q45e, the q63-q99 curation block, the
+# q191-q260 serving/analytics rows). _NEVER_REST now lists the 64 ids
+# still never-sampled (7 pre-r7 stragglers + the 57 round-7 statistics
+# additions) directly behind the window, so the round-9 rotation is again
+# its first 50 and the backlog reaches 0 in round 10. Corpus additions are
+# FROZEN this round (VERDICT r7 item 2) so the backlog strictly shrinks.
 # tests/test_entry.py pins all of this against the registry.
+_ROUND8_FRONT = [
+    "q45d_token_stats", "q45e_fingerprint", "q202_margin_bitext",
+    "q203_matryoshka_recall", "q219_simhash_calibration",
+    "q223_dup_cluster_histogram", "q237_keep_best_dedup", "q238_zipf_fit",
+    "q182_repair_changelog", "q183_lww_merge", "q208_session_pressure",
+    "q210_ltv_curves", "q213_seasonal_backtest", "q214_lorenz_deciles",
+    "q217_dau_wau", "q226_revenue_peaks", "q228_seasonal_outliers",
+    "q230_cdc_lifecycle_census", "q232_topk_movers", "q233_pareto_point",
+    "q236_repurchase_cadence", "q243_sequence_patterns",
+    "q246_disorder_profile", "q256_price_dispersion",
+    "q259_discount_curve", "q44e_dedup_clusters", "q72_edit_distance",
+    "q193_hard_negatives", "q211_reconciliation", "q231_basket_sizes",
+    "q234_revenue_waterfall", "q241_fd_audit", "q251_fk_enforcement",
+    "q63_tfidf_topk", "q64_chunking", "q65_hash_sample", "q66_repetition",
+    "q67_bigrams", "q69_label_centroids", "q69b_centroid_outliers",
+    "q65b_stratified_quota", "q75_decontam_ngrams", "q76_redact",
+    "q77_corpus_freq_score", "q79_token_budget_selection",
+    "q83_training_shards", "q192_group_kfold", "q201_blocklist",
+    "q205_dataset_card", "q90b_listagg",
+]
+# The round-7 window (driver-green 50/50 in r07); behind the fresh window.
 _ROUND7_FRONT = [
     # round-6 additions (winnowing pairs, dedup-weighted budget, held-out
     # xent, audio features, seasonal decompose, rank statistics), then the
@@ -62,26 +84,9 @@ _ROUND7_FRONT = [
 ]
 
 # The remaining never-driver-sampled oracled ids (explicit, registry order):
-# the round-8 rotation front-loads these.
+# the round-9 rotation front-loads these; the tail clears in round 10.
 _NEVER_REST = [
-    "q45d_token_stats", "q45e_fingerprint", "q202_margin_bitext",
-    "q203_matryoshka_recall", "q219_simhash_calibration",
-    "q223_dup_cluster_histogram", "q237_keep_best_dedup", "q238_zipf_fit",
-    "q182_repair_changelog", "q183_lww_merge", "q208_session_pressure",
-    "q210_ltv_curves", "q213_seasonal_backtest", "q214_lorenz_deciles",
-    "q217_dau_wau", "q226_revenue_peaks", "q228_seasonal_outliers",
-    "q230_cdc_lifecycle_census", "q232_topk_movers", "q233_pareto_point",
-    "q236_repurchase_cadence", "q243_sequence_patterns",
-    "q246_disorder_profile", "q256_price_dispersion",
-    "q259_discount_curve", "q44e_dedup_clusters", "q72_edit_distance",
-    "q193_hard_negatives", "q211_reconciliation", "q231_basket_sizes",
-    "q234_revenue_waterfall", "q241_fd_audit", "q251_fk_enforcement",
-    "q63_tfidf_topk", "q64_chunking", "q65_hash_sample", "q66_repetition",
-    "q67_bigrams", "q69_label_centroids", "q69b_centroid_outliers",
-    "q65b_stratified_quota", "q75_decontam_ngrams", "q76_redact",
-    "q77_corpus_freq_score", "q79_token_budget_selection",
-    "q83_training_shards", "q192_group_kfold", "q201_blocklist",
-    "q205_dataset_card", "q90b_listagg", "q92_posexplode",
+    "q92_posexplode",
     "q94_cms_estimates", "q191_wilson_ci", "q196_calibration_bins",
     "q215_weighted_median", "q244_theil_sen",
     "q245_join_cardinality_audit",
@@ -293,9 +298,9 @@ _TIER3 = [
     "q34b_intersect_all", "q35b_except_all", "q37b_time_parts",
 ]
 
-_PRIMARY = list(_ROUND7_FRONT)
-for _n in (_NEVER_REST + _ROUND6_FRONT + _TIER2 + _ROUND5_FRONT
-           + _ROUND4_FRONT + _TIER3):
+_PRIMARY = list(_ROUND8_FRONT)
+for _n in (_NEVER_REST + _ROUND7_FRONT + _ROUND6_FRONT + _TIER2
+           + _ROUND5_FRONT + _ROUND4_FRONT + _TIER3):
     # _NEVER_REST first: the remaining never-driver-sampled ids line up
     # directly behind the window if the driver ever samples more than 50
     if _n not in _PRIMARY:

@@ -3,6 +3,11 @@
 `__spark_entry__._PRIMARY` front-loads the driver's first-50 sample window;
 these tests pin it against the registry so future query additions can't
 silently displace the intended sampled set or reference a renamed id.
+
+Round-8 contract (VERDICT r7 items 1-2): the window is exactly the first
+50 ids of the round-7 `_NEVER_REST` layout, the new `_NEVER_REST` is
+exactly the 64-id unsampled remainder, and the corpus is FROZEN — the
+registry must not grow this round so the backlog strictly shrinks.
 """
 
 from __future__ import annotations
@@ -15,11 +20,25 @@ from inspectadb_spark.queries import REGISTRY
 
 ROOT = Path(__file__).resolve().parent.parent
 
+# Pre-round-8 baseline: only CORRECTNESS files from rounds < 8 count when
+# deciding "never driver-sampled", so this round's own CORRECTNESS_r08
+# landing mid-round can't flip these pins.
+_BASELINE_CUTOFF = "CORRECTNESS_r08"
 
-def _driver_green() -> set[str]:
-    """Ids with a hash-green row in any prior CORRECTNESS_r*.json."""
+# Corpus freeze (VERDICT r7 item 2): the registry held 388 queries / 371
+# oracled at the end of round 7. Round 8 adds nothing, so any growth here
+# is a freeze violation that must be consciously justified by editing this
+# pin in the same commit.
+_FROZEN_REGISTRY_SIZE = 388
+_FROZEN_ORACLED_SIZE = 371
+
+
+def _green_before_r08() -> set[str]:
+    """Ids with a hash-green row in any pre-r08 CORRECTNESS file."""
     green: set[str] = set()
     for p in ROOT.glob("CORRECTNESS_r*.json"):
+        if p.name >= _BASELINE_CUTOFF:
+            continue
         try:
             for name, row in json.loads(p.read_text()).items():
                 if row.get("hash_match") is True:
@@ -35,10 +54,21 @@ def test_primary_names_all_exist_in_registry():
     assert len(entry._PRIMARY) == len(set(entry._PRIMARY)), "duplicate ids"
 
 
-def test_round7_front_window_is_the_intended_sample():
-    assert len(entry._ROUND7_FRONT) == 50
+def test_corpus_is_frozen_this_round():
+    from inspectadb_spark import queries as corpus
+
+    assert len(REGISTRY) == _FROZEN_REGISTRY_SIZE, (
+        f"registry grew to {len(REGISTRY)} during the round-8 corpus "
+        "freeze (VERDICT r7 item 2); justify and update the pin in the "
+        "same commit if an addition is genuinely needed"
+    )
+    assert len(corpus.oracle_sql()) == _FROZEN_ORACLED_SIZE
+
+
+def test_round8_front_window_is_the_intended_sample():
+    assert len(entry._ROUND8_FRONT) == 50
     front = entry._PRIMARY[:50]
-    assert front == entry._ROUND7_FRONT, (
+    assert front == entry._ROUND8_FRONT, (
         "the first 50 queries() keys ARE the driver's sample — additions "
         "must go behind the curated window, not displace it"
     )
@@ -50,50 +80,48 @@ def test_round7_front_window_is_the_intended_sample():
     assert not missing, f"front-50 ids without oracle SQL: {missing}"
 
 
-def test_round7_front_is_never_driver_green_before():
+def test_round8_front_is_never_driver_green_before():
     """The rotation's whole point: the window spends its 50 slots on ids
-    with no hash-green driver row yet. A CORRECTNESS_r07 file will
-    legitimately overlap once the driver has run this round, so only
-    pre-r07 files count as baseline."""
-    baseline: set[str] = set()
-    for p in ROOT.glob("CORRECTNESS_r*.json"):
-        if p.name >= "CORRECTNESS_r07":
-            continue
-        for name, row in json.loads(p.read_text()).items():
-            if row.get("hash_match") is True:
-                baseline.add(name)
-    stale = [n for n in entry._ROUND7_FRONT if n in baseline]
+    with no hash-green driver row in rounds 2-7."""
+    stale = [n for n in entry._ROUND8_FRONT if n in _green_before_r08()]
     assert not stale, f"front-50 wastes slots on already-verified ids: {stale}"
 
 
 def test_never_rest_is_exactly_the_unsampled_remainder():
-    """_ROUND7_FRONT + _NEVER_REST must partition the never-driver-sampled
-    oracled ids: nothing forgotten, nothing duplicated, so the round-8
+    """_ROUND8_FRONT + _NEVER_REST must partition the never-driver-sampled
+    oracled ids: nothing forgotten, nothing duplicated, so the round-9
     rotation is a mechanical front-load of _NEVER_REST."""
     from inspectadb_spark import queries as corpus
 
     osql = set(corpus.oracle_sql())
-    never = [n for n in REGISTRY if n in osql and n not in _driver_green()]
-    listed = entry._ROUND7_FRONT + entry._NEVER_REST
+    listed = entry._ROUND8_FRONT + entry._NEVER_REST
     assert len(listed) == len(set(listed))
-    # compare before this round's CORRECTNESS_r07 lands; afterwards the
-    # front-50 become green, so only require listed ⊇ never and that
-    # every listed id is oracled and was never green before r07
-    baseline: set[str] = set()
-    for p in ROOT.glob("CORRECTNESS_r*.json"):
-        if p.name >= "CORRECTNESS_r07":
-            continue
-        for name, row in json.loads(p.read_text()).items():
-            if row.get("hash_match") is True:
-                baseline.add(name)
-    never_pre_r7 = {n for n in REGISTRY if n in osql and n not in baseline}
-    assert set(listed) == never_pre_r7, (
-        f"missing: {never_pre_r7 - set(listed)}; "
-        f"extra: {set(listed) - never_pre_r7}"
+    never_pre_r8 = {
+        n for n in REGISTRY if n in osql and n not in _green_before_r08()
+    }
+    assert set(listed) == never_pre_r8, (
+        f"missing: {never_pre_r8 - set(listed)}; "
+        f"extra: {set(listed) - never_pre_r8}"
     )
+    # the backlog must have shrunk to at most 64 (114 pre-r8 minus the 50
+    # the r07 window drove green)
+    assert len(entry._NEVER_REST) == 64
+
+
+def test_round7_front_is_all_driver_green():
+    """Regression guard: the previous window really did go green, so the
+    rotation isn't abandoning red rows."""
+    r07 = ROOT / "CORRECTNESS_r07.json"
+    rows = json.loads(r07.read_text())
+    bad = [
+        n
+        for n in entry._ROUND7_FRONT
+        if rows.get(n, {}).get("hash_match") is not True
+    ]
+    assert not bad, f"round-7 window ids not hash-green in r07: {bad}"
 
 
 def test_ordered_emits_every_registry_query():
     keys = list(entry.queries().keys())
     assert set(keys) == set(REGISTRY)
-    assert keys[:50] == entry._ROUND7_FRONT
+    assert keys[:50] == entry._ROUND8_FRONT
