@@ -3472,14 +3472,14 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
     u AS (
       SELECT day, n * cents - s AS u, n FROM series CROSS JOIN tot),
     den AS (
-      SELECT CAST(SUM(u * u) AS HUGEINT) AS den, MAX(n) AS n FROM u),
+      SELECT SUM(CAST(u AS HUGEINT) * u) AS den, MAX(n) AS n FROM u),
     lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
     pairs AS (
       SELECT l.lag, a.u AS ua, b.u AS ub
       FROM u a CROSS JOIN lags l
       JOIN u b ON b.day = a.day + CAST(l.lag AS INT)),
     num AS (
-      SELECT lag, CAST(SUM(ua * ub) AS HUGEINT) AS num
+      SELECT lag, SUM(CAST(ua AS HUGEINT) * ub) AS num
       FROM pairs GROUP BY lag),
     acf AS (
       SELECT lag, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r, n
@@ -3514,7 +3514,8 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("cents").cast("bigint").alias("s"))
     u = (series.join(F.broadcast(tot))
          .select("day", F.expr("n * cents - s").alias("u"), "n"))
-    den = u.agg(F.expr("CAST(SUM(u * u) AS DECIMAL(38,0))").alias("den"),
+    den = u.agg(F.expr("CAST(SUM(CAST(u AS DECIMAL(38,0)) * u)"
+                       " AS DECIMAL(38,0))").alias("den"),
                 F.max("n").alias("n"))
     lags = spark.range(1, 8).select(F.col("id").alias("lag"))
     pairs = (u.crossJoin(F.broadcast(lags))
@@ -3524,7 +3525,8 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.expr("bday = date_add(day, CAST(lag AS INT))"))
              .select("lag", F.col("u").alias("ua"), "ub"))
     num = pairs.groupBy("lag").agg(
-        F.expr("CAST(SUM(ua * ub) AS DECIMAL(38,0))").alias("num"))
+        F.expr("CAST(SUM(CAST(ua AS DECIMAL(38,0)) * ub)"
+               " AS DECIMAL(38,0))").alias("num"))
     acf = (num.join(F.broadcast(den))
            .select("lag", "n",
                    F.expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")
@@ -4786,19 +4788,27 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q326 Lincoln-Petersen / Chapman capture-recapture estimate of the
-# active-user population: users "captured" in the first half,
-# "recaptured" in the second — the estimator ecology and data-quality
-# teams use when totals can't be enumerated directly (how many users
-# exist that we NEVER saw?). Chapman's bias-corrected form with its
-# closed-form variance; one user-grain conditional pass to three exact
-# integers.
+# active-user population: users "captured" on a two-day purchase survey
+# at the start of the month, "recaptured" on a matching survey at the
+# end — the estimator ecology and data-quality teams use when totals
+# can't be enumerated directly (how many users exist that we NEVER
+# saw?). Chapman's bias-corrected form with its closed-form variance;
+# one user-grain conditional pass to three exact integers. The capture
+# occasions are deliberately NARROW (purchase events on days 1-2 /
+# 29-30, not mere presence in a month half): on the dense fixture the
+# half-month predicate saturates (n1 = n2 = m = observed, estimate ≡
+# census, se ≡ 0 — VERDICT r7 item 3), so the short purchase surveys
+# are what actually exercise the estimator's arithmetic (m < n1, n2 at
+# both sf0.001 and sf0.01; asserted by tests/test_stats_numpy.py).
 @query(
     "q326_capture_recapture",
     oracle=f"""
     WITH u AS (
       SELECT user_id,
-             MAX(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS c1,
-             MAX(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS c2
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND day(ts) BETWEEN 1 AND 2 THEN 1 ELSE 0 END) AS c1,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND day(ts) BETWEEN 29 AND 30 THEN 1 ELSE 0 END) AS c2
       FROM events GROUP BY user_id),
     s AS (
       SELECT CAST(SUM(c1) AS BIGINT) AS n1,
@@ -4816,16 +4826,18 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     doc="Chapman capture-recapture estimate of the active-user "
-        "population from first-half capture / second-half recapture "
-        "flags, with its closed-form standard error.",
+        "population from two narrow purchase-survey capture occasions "
+        "(days 1-2 and 29-30), with its closed-form standard error.",
 )
 def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (tables(spark, sf_dir)["events"]
          .groupBy("user_id")
-         .agg(F.max(F.expr("CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END"))
-              .alias("c1"),
-              F.max(F.expr("CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END"))
-              .alias("c2")))
+         .agg(F.max(F.expr("CASE WHEN event_type = 'purchase'"
+                           " AND day(ts) BETWEEN 1 AND 2"
+                           " THEN 1 ELSE 0 END")).alias("c1"),
+              F.max(F.expr("CASE WHEN event_type = 'purchase'"
+                           " AND day(ts) BETWEEN 29 AND 30"
+                           " THEN 1 ELSE 0 END")).alias("c2")))
     s = u.agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),

@@ -2203,7 +2203,9 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(transform(q, v -> v * v), 0L, (a, b) -> a + b)")
         .alias("s2"))
         .agg(F.count("*").cast("bigint").alias("n"),
-             F.sum("s2").cast("decimal(38,0)").alias("s2")))
+             # widen INSIDE the sum: per-vector s2 is int64-safe but the
+             # corpus accumulation must be decimal-exact (ADVICE r7)
+             F.sum(F.col("s2").cast("decimal(38,0)")).alias("s2")))
     top = dims.agg(
         F.count("*").cast("bigint").alias("n_dims"),
         F.sum(F.expr("CAST(sd AS DECIMAL(38,0)) * sd"))

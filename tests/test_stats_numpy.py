@@ -296,6 +296,102 @@ def test_q323_stump_matches_numpy(spark):
     assert got["gini_after"] == pytest.approx(best[1], abs=2e-4)
 
 
+def _capture_flags():
+    """q326's capture occasions: purchase events on days 1-2 / 29-30."""
+    ev = _events()
+    day = ev["ts"].dt.day
+    pur = ev["event_type"] == "purchase"
+    c1 = (ev.assign(c=(pur & (day <= 2)).astype(int))
+          .groupby("user_id")["c"].max())
+    c2 = (ev.assign(c=(pur & (day >= 29)).astype(int))
+          .groupby("user_id")["c"].max())
+    return c1, c2
+
+
+def test_q326_chapman_matches_numpy(spark):
+    c1, c2 = _capture_flags()
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    m = int((c1 & c2).sum())
+    obs = len(c1)
+    n_hat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    se = math.sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+                   / ((m + 1) ** 2 * (m + 2)))
+    got = _one(spark, "q326_capture_recapture")
+    assert (got["n1"], got["n2"], got["m"], got["observed"]) == (
+        n1, n2, m, obs)
+    assert got["n_chapman"] == pytest.approx(n_hat, abs=2e-4)
+    assert got["se"] == pytest.approx(se, abs=2e-4)
+
+
+def test_fixture_degeneracy_audit():
+    """VERDICT r7 items 3-4: the panel statistics must be arithmetically
+    EXERCISED on the fixture, not collapsing to trivial identities (the
+    r7 q326 failure mode: capture ≡ census, se ≡ 0). Pure pandas/numpy
+    off the parquet — fails loudly if a future fixture regeneration (or
+    predicate edit) re-degenerates any of these inputs."""
+    import hashlib
+
+    # q326: narrow purchase surveys must leave escapees on BOTH occasions
+    c1, c2 = _capture_flags()
+    n1, n2, m = int(c1.sum()), int(c2.sum()), int((c1 & c2).sum())
+    obs = len(c1)
+    assert 0 < m < min(n1, n2), (n1, n2, m)
+    assert max(n1, n2) < obs, "capture occasion saturates: estimate≡census"
+
+    # q322 CMH: every weekday stratum needs all four contingency cells
+    t = _orders()
+    k = t["o_orderdate"].dt.dayofweek
+    treat = t["o_orderpriority"].isin(("1-URGENT", "2-HIGH")).to_numpy()
+    y = (t["o_orderstatus"] == "F").to_numpy()
+    for kk in sorted(k.unique()):
+        s = (k == kk).to_numpy()
+        cells = (np.sum(s & treat & y), np.sum(s & treat & ~y),
+                 np.sum(s & ~treat & y), np.sum(s & ~treat & ~y))
+        assert all(c > 0 for c in cells), (kk, cells)
+
+    # q289 Cochran Q: denominator k·N − ΣL² must be positive (some
+    # subject misses some quarter) and the column sums must differ
+    p = (t[t["o_orderdate"].dt.year == 1996]
+         .assign(trt=lambda d: d["o_orderdate"].dt.quarter)
+         [["o_custkey", "trt"]].drop_duplicates())
+    li = p.groupby("o_custkey")["trt"].count().to_numpy()
+    gj = p.groupby("trt")["o_custkey"].count().to_numpy()
+    kq = len(gj)
+    assert kq * li.sum() - (li * li).sum() > 0, "every subject saturated"
+    assert len(np.unique(gj)) > 1, "all column sums equal: Q≡0"
+
+    # q325 Fleiss: the three pseudo-raters must actually disagree
+    med = np.median(t["cents"])
+    x = ((t["cents"] > med).astype(int)
+         + t["o_orderpriority"].isin(("1-URGENT", "2-HIGH")).astype(int)
+         + (t["o_orderstatus"] == "F").astype(int)).to_numpy()
+    assert len(np.unique(x)) > 1, "raters unanimous on every subject"
+    pr = x.sum() / (3 * len(x))
+    assert 0.0 < pr < 1.0
+
+    # q321 two-proportion z / q319 CUPED: both arms non-empty with
+    # non-saturated conversion, and a usable (nondegenerate) covariate
+    ev = _events()
+    ev["day"] = ev["ts"].dt.day
+    conv = (ev.assign(c=((ev["event_type"] == "purchase")
+                         & (ev["day"] > 15)
+                         & (ev["value"] > 150)).astype(int))
+            .groupby("user_id")["c"].max())
+    arm = np.array([
+        int(hashlib.md5(f"{uid}:arm".encode()).hexdigest()[0], 16) < 8
+        for uid in conv.index])
+    for a in (arm, ~arm):
+        assert 0 < int(conv[a].sum()) < int(a.sum()), "saturated arm"
+    ev["cents"] = np.where(ev["event_type"] == "purchase",
+                           np.round(ev["value"] * 100), 0).astype(np.int64)
+    ev["x"] = np.where(ev["day"] <= 15, ev["cents"], 0)
+    ev["y"] = np.where(ev["day"] > 15, ev["cents"], 0)
+    g = ev.groupby("user_id").agg(x=("x", "sum"), y=("y", "sum"))
+    assert np.var(g["x"].to_numpy(dtype=np.float64), ddof=1) > 0
+    r2 = np.corrcoef(g["x"], g["y"])[0, 1] ** 2
+    assert 0.0 < r2 < 0.999, "covariate collinear or useless"
+
+
 def test_q325_fleiss_matches_numpy(spark):
     t = _orders()
     med = np.median(t["cents"])
