@@ -110,15 +110,36 @@ class Engine:
             return out, prov
         star = parse_star_agg_sql(text)
         if star is not None:
-            served = self._route_star(star)
+            served = self._route_star(star[:6])
             if served is not None:
-                return served
+                return self._present(served, *star[6:])
         star2 = parse_star2_agg_sql(text)
         if star2 is not None:
-            served = self._route_star2(star2)
+            served = self._route_star2(star2[:10])
             if served is not None:
-                return served
+                return self._present(served, *star2[10:])
         return self.spark.sql(text), "sql"
+
+    @staticmethod
+    def _present(served, having, order, limit):
+        """Apply parsed HAVING / ORDER BY / LIMIT to a routed star result.
+        All three are pure post-aggregation operations over the served
+        columns — HAVING terms compare declared aggregate ALIASES (real
+        columns of the result) to numeric literals, ORDER BY references
+        output names, and LIMIT only parses under a key-complete ORDER BY
+        (a total order, since the group keys are unique per row) — so
+        applying them to the routed result is positionally identical to
+        plain-SQL execution; the eager-aggregation exactness argument is
+        untouched because nothing here runs before the aggregate."""
+        out, prov = served
+        for cond in having:
+            out = out.filter(F.expr(cond))
+        if order:
+            out = out.orderBy(*[
+                F.col(c).desc() if d else F.col(c).asc() for c, d in order])
+        if limit is not None:
+            out = out.limit(limit)
+        return out, prov
 
     def _route_star(self, star) -> tuple[DataFrame, str] | None:
         """Serve a single-dimension star aggregate —
@@ -445,6 +466,42 @@ _WHERE_COND_RE = __import__("re").compile(
 _HAVING_COND_RE = __import__("re").compile(
     rf"^([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>|!=|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)$")
 _AND_RE = __import__("re").compile(r"\s+AND\s+", __import__("re").IGNORECASE)
+_ORDER_TERM_RE = __import__("re").compile(
+    r"^([A-Za-z_][A-Za-z0-9_]*)(?:\s+(ASC|DESC))?$",
+    __import__("re").IGNORECASE)
+
+
+def _parse_presentation(having_clause, order_clause, limit_clause,
+                        key_names, agg_aliases):
+    """Validate the post-aggregation presentation clauses shared by the
+    flat, star and star2 grammars. HAVING terms must compare a declared
+    aggregate ALIAS to a numeric literal (pure post-agg filters over real
+    result columns); ORDER BY terms must be served output names (group
+    keys or aliases); LIMIT routes only under a key-complete ORDER BY —
+    the group keys are unique per result row, so covering them all pins
+    a TOTAL order and the cut is deterministic (a partial order could tie
+    at the cut and diverge from plain-SQL execution — ADVICE r05 item 4).
+    Returns (having_conds, order_terms, limit) or None to refuse."""
+    having: list[str] = []
+    if having_clause is not None:
+        for cond in _AND_RE.split(having_clause.strip()):
+            hm = _HAVING_COND_RE.match(cond.strip())
+            if not hm or hm.group(1) not in agg_aliases:
+                return None  # HAVING must compare a declared agg alias
+            having.append(f"{hm.group(1)} {hm.group(2)} {hm.group(3)}")
+    order: list[tuple[str, bool]] = []
+    if order_clause is not None:
+        for term in order_clause.split(","):
+            om = _ORDER_TERM_RE.match(term.strip())
+            if not om or (om.group(1) not in key_names
+                          and om.group(1) not in agg_aliases):
+                return None
+            order.append(
+                (om.group(1), (om.group(2) or "ASC").upper() == "DESC"))
+    limit_n = int(limit_clause) if limit_clause is not None else None
+    if limit_n is not None and not set(key_names) <= {c for c, _ in order}:
+        return None
+    return having, order, limit_n
 
 
 def parse_agg_sql(text: str):
@@ -506,36 +563,11 @@ def parse_agg_sql(text: str):
             if not wm or wm.group(1) not in keys:
                 return None  # non-key / non-equality WHERE: not routable
             where_conds.append(f"{wm.group(1)} = {wm.group(2)}")
-    having_conds: list[str] = []
-    if having_clause is not None:
-        for cond in _AND_RE.split(having_clause.strip()):
-            hm = _HAVING_COND_RE.match(cond.strip())
-            if not hm or hm.group(1) not in measures:
-                return None  # HAVING must compare a declared agg alias
-            having_conds.append(
-                f"{hm.group(1)} {hm.group(2)} {hm.group(3)}")
-    # ORDER BY / LIMIT: pure post-aggregation presentation over served
-    # columns (keys or declared aliases) — rejects anything else
-    order_terms: list[tuple[str, bool]] = []
-    if order_clause is not None:
-        for term in order_clause.split(","):
-            om = __import__("re").match(
-                r"^([A-Za-z_][A-Za-z0-9_]*)(?:\s+(ASC|DESC))?$",
-                term.strip(), __import__("re").IGNORECASE)
-            if not om or (om.group(1) not in keys
-                          and om.group(1) not in measures):
-                return None
-            order_terms.append(
-                (om.group(1), (om.group(2) or "ASC").upper() == "DESC"))
-    limit_n = int(limit_clause) if limit_clause is not None else None
-    if limit_n is not None and not set(keys) <= {c for c, _ in order_terms}:
-        # LIMIT only routes under a TOTAL order: the group keys are unique
-        # per result row, so an ORDER BY covering every key pins each
-        # row's position and the cut is deterministic. A partial order
-        # ('ORDER BY total DESC LIMIT 5' with ties at the cut) would make
-        # the routed top-k differ from plain-SQL execution (ADVICE r05
-        # item 4) — not provably identical, so not routed.
+    pres = _parse_presentation(having_clause, order_clause, limit_clause,
+                               keys, measures)
+    if pres is None:
         return None
+    having_conds, order_terms, limit_n = pres
     return (table, AggRequest(keys={k: None for k in keys},
                               measures=measures),
             where_conds, having_conds, order_terms, limit_n)
@@ -546,7 +578,10 @@ _STAR_SHAPE_RE = __import__("re").compile(
     r"\s+JOIN\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+"
     r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
     r"(?:\s+WHERE\s+(.+?))?"
-    r"\s+GROUP\s+BY\s+(.+?)\s*;?\s*$",
+    r"\s+GROUP\s+BY\s+(.+?)"
+    r"(?:\s+HAVING\s+(.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(.+?))?"
+    r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
     __import__("re").IGNORECASE | __import__("re").DOTALL)
 _STAR_WHERE_RE = __import__("re").compile(
     rf"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*({_LITERAL})$")
@@ -561,11 +596,18 @@ def parse_star_agg_sql(text: str):
     """Parse the restricted single-dimension star grammar
     ``SELECT <d.attr | f.col | AGG(f.m) AS alias>... FROM <fact> f
     JOIN <dim> d ON f.k = d.k [WHERE d.attr = <lit> [AND ...]]
-    GROUP BY <the non-agg select items>``
-    into (fact, dim, fact_key, dim_key, items, dim_where) where each
-    item is ("key", "fact"|"dim", col) or ("agg", agg, col-or-*, alias)
-    in SELECT order and dim_where is a list of (dim_col, literal_text)
-    equality conditions — or None when the statement doesn't fit.
+    GROUP BY <the non-agg select items>
+    [HAVING <agg_alias> <cmp> <num> [AND ...]]
+    [ORDER BY <out_col> [ASC|DESC], ...] [LIMIT n]``
+    into (fact, dim, fact_key, dim_key, items, dim_where, having, order,
+    limit) where each item is ("key", "fact"|"dim", col) or
+    ("agg", agg, col-or-*, alias) in SELECT order and dim_where is a list
+    of (dim_col, literal_text) equality conditions — or None when the
+    statement doesn't fit. HAVING / ORDER BY / LIMIT carry the flat
+    grammar's discipline verbatim (``_parse_presentation``): HAVING
+    compares declared aggregate aliases to numeric literals, ORDER BY
+    references served output names, and LIMIT requires a key-complete
+    ORDER BY (total order over unique group keys → deterministic cut).
 
     Same exact-match philosophy as ``parse_agg_sql``: one INNER equi-join
     on a single qualified column pair, every SELECT/GROUP BY column
@@ -584,8 +626,8 @@ def parse_star_agg_sql(text: str):
     m = _STAR_SHAPE_RE.match(text)
     if not m:
         return None
-    sel, fact, fa, dim, da, lq, lc, rq, rc, where_clause, group_by = \
-        m.groups()
+    (sel, fact, fa, dim, da, lq, lc, rq, rc, where_clause, group_by,
+     having_clause, order_clause, limit_clause) = m.groups()
     if fa == da or fact == dim or {lq, rq} != {fa, da}:
         return None
     fkey, dkey = (lc, rc) if lq == fa else (rc, lc)
@@ -634,7 +676,13 @@ def parse_star_agg_sql(text: str):
     names = [i[2] if i[0] == "key" else i[3] for i in items]
     if len(set(names)) != len(names):
         return None
-    return fact, dim, fkey, dkey, items, dim_where
+    pres = _parse_presentation(
+        having_clause, order_clause, limit_clause,
+        [i[2] for i in items if i[0] == "key"],
+        {i[3] for i in items if i[0] == "agg"})
+    if pres is None:
+        return None
+    return (fact, dim, fkey, dkey, items, dim_where) + pres
 
 
 _STAR2_SHAPE_RE = __import__("re").compile(
@@ -644,7 +692,10 @@ _STAR2_SHAPE_RE = __import__("re").compile(
     r"\s+JOIN\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+"
     r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
     r"(?:\s+WHERE\s+(.+?))?"
-    r"\s+GROUP\s+BY\s+(.+?)\s*;?\s*$",
+    r"\s+GROUP\s+BY\s+(.+?)"
+    r"(?:\s+HAVING\s+(.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(.+?))?"
+    r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
     __import__("re").IGNORECASE | __import__("re").DOTALL)
 
 
@@ -653,8 +704,11 @@ def parse_star2_agg_sql(text: str):
     ``SELECT <d1.a | d2.b | f.col | AGG(f.m) AS alias>... FROM <fact> f
     JOIN <dim1> d1 ON f.k1 = d1.dk1 JOIN <dim2> d2 ON f.k2 = d2.dk2
     [WHERE <dim-qualified equality conjunction>] GROUP BY <the non-agg
-    select items>`` into (fact, dim1, dim2, k1, dk1, k2, dk2, items,
-    where1, where2) — item sides are "fact"/"dim1"/"dim2" — or None.
+    select items> [HAVING ...] [ORDER BY ...] [LIMIT n]`` into
+    (fact, dim1, dim2, k1, dk1, k2, dk2, items, where1, where2, having,
+    order, limit) — item sides are "fact"/"dim1"/"dim2" — or None.
+    The presentation clauses follow ``_parse_presentation`` (alias-only
+    HAVING, served-name ORDER BY, key-complete-ORDER-BY-gated LIMIT).
 
     Single-dim rules apply per join: each ON pairs the fact alias with
     ITS dim's alias (a dim1-dim2 ON term would not be an eager-
@@ -668,7 +722,8 @@ def parse_star2_agg_sql(text: str):
     if not m:
         return None
     (sel, fact, fa, dim1, da1, l1q, l1c, r1q, r1c,
-     dim2, da2, l2q, l2c, r2q, r2c, where_clause, group_by) = m.groups()
+     dim2, da2, l2q, l2c, r2q, r2c, where_clause, group_by,
+     having_clause, order_clause, limit_clause) = m.groups()
     if len({fa, da1, da2}) != 3 or fact in (dim1, dim2):
         return None
     if {l1q, r1q} != {fa, da1} or {l2q, r2q} != {fa, da2}:
@@ -722,7 +777,14 @@ def parse_star2_agg_sql(text: str):
     names = [i[2] if i[0] == "key" else i[3] for i in items]
     if len(set(names)) != len(names):
         return None
-    return fact, dim1, dim2, k1, dk1, k2, dk2, items, where1, where2
+    pres = _parse_presentation(
+        having_clause, order_clause, limit_clause,
+        [i[2] for i in items if i[0] == "key"],
+        {i[3] for i in items if i[0] == "agg"})
+    if pres is None:
+        return None
+    return (fact, dim1, dim2, k1, dk1, k2, dk2, items,
+            where1, where2) + pres
 
 
 def _split_top_level(s: str) -> list[str]:

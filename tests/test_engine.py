@@ -484,7 +484,8 @@ def test_parse_star_agg_sql_rejects_unprovable_shapes():
     ok = p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
            "ON f.k = d.k GROUP BY d.x")
     assert ok == ("fact", "dim", "k", "k",
-                  [("key", "dim", "x"), ("agg", "sum", "m", "s")], [])
+                  [("key", "dim", "x"), ("agg", "sum", "m", "s")], [],
+                  [], [], None)
     # dim-side equality WHERE parses (filter commutes with the inner
     # join); fact-side / non-equality / unqualified WHERE refuses
     okw = p("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
@@ -565,7 +566,7 @@ def test_star_route_refuses_ambiguous_dim_attr_name(engine):
         "SELECT d.k, SUM(f.m) AS s FROM fact f JOIN dim d ON f.k = d.k "
         "GROUP BY d.k")
     assert star is not None  # parses...
-    fact, dim, fkey, dkey, items, dim_where = star
+    fact, dim, fkey, dkey, items, dim_where = star[:6]
     assert fkey == "k" and [i for i in items if i[0] == "key"][0][2] == "k"
     # ...but the engine refuses it (name collision with the grain key)
     eng_star = engine._route_star(("orders", "customer", "o_custkey",
@@ -720,3 +721,90 @@ def test_star2_refusals(engine):
          "l_suppkey", "s_suppkey",
          [("key", "dim1", "p_brand"), ("agg", "count", "*", "n")],
          [("no_such_col", "1")], [])) is None
+
+
+def test_star_route_having_order_limit(engine):
+    """HAVING + ORDER BY + LIMIT on routed star aggregates (VERDICT r7
+    item 6): the presentation clauses are pure post-aggregation ops over
+    served columns, applied identically to the routed and plain-SQL
+    forms; LIMIT routes only under a key-complete ORDER BY and HAVING
+    only over declared aggregate aliases."""
+    from inspectadb_spark.engine import parse_star_agg_sql as p
+    from inspectadb_spark.engine import parse_star2_agg_sql as p2
+
+    engine.register_mv(
+        MVDef(name="mv_orders_by_cust_h", keys=("o_custkey",),
+              measures={"sum_tp": ("sum", "o_totalprice"),
+                        "cnt": ("count", "*"),
+                        "cnt_tp": ("count", "o_totalprice")}),
+        "orders")
+    routed, prov = engine.sql_routed(
+        "SELECT c.c_mktsegment, SUM(o.o_totalprice) AS total, COUNT(*) AS n "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment HAVING n >= 10 "
+        "ORDER BY total DESC, c_mktsegment LIMIT 3")
+    assert prov.startswith("star:")
+    o, c = engine.table("orders"), engine.table("customer")
+    tot = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    direct = (o.join(c, o.o_custkey == c.c_custkey)
+              .groupBy("c_mktsegment")
+              .agg(F.expr(f"{tot} AS total"), F.expr("COUNT(*) AS n"))
+              .filter("n >= 10")
+              .orderBy(F.desc("total"), "c_mktsegment")
+              .limit(3))
+    assert [tuple(str(x) for x in r) for r in routed.collect()] == \
+        [tuple(str(x) for x in r) for r in direct.collect()]
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "orders.parquet" not in plan  # fact still never scanned
+
+    # refusals: HAVING over a key or an expression; LIMIT without a
+    # key-complete ORDER BY (ties at the cut could diverge from plain SQL)
+    base = ("SELECT d.x, SUM(f.m) AS s FROM fact f JOIN dim d "
+            "ON f.k = d.k GROUP BY d.x")
+    assert p(base + " HAVING x > 3") is None
+    assert p(base + " HAVING SUM(m) > 3") is None
+    assert p(base + " LIMIT 5") is None
+    assert p(base + " ORDER BY s DESC LIMIT 5") is None
+    assert p(base + " ORDER BY zz") is None
+    ok = p(base + " HAVING s >= 0 AND s < 100 ORDER BY s DESC, x LIMIT 5")
+    assert ok is not None and ok[6] == ["s >= 0", "s < 100"] \
+        and ok[7] == [("s", True), ("x", False)] and ok[8] == 5
+    # star2 carries the same discipline
+    base2 = ("SELECT d.a, e.b, COUNT(*) AS n FROM f t "
+             "JOIN d1 d ON t.k1 = d.dk JOIN d2 e ON t.k2 = e.dk "
+             "GROUP BY d.a, e.b")
+    assert p2(base2 + " HAVING a > 3") is None
+    assert p2(base2 + " ORDER BY n DESC LIMIT 2") is None
+    ok2 = p2(base2 + " HAVING n > 1 ORDER BY n DESC, a, b LIMIT 2")
+    assert ok2 is not None and ok2[10] == ["n > 1"] \
+        and ok2[11] == [("n", True), ("a", False), ("b", False)] \
+        and ok2[12] == 2
+
+
+def test_star2_route_having_order_limit(engine):
+    """The two-dim star serves HAVING/ORDER BY/LIMIT through the same
+    post-aggregation path, value-equal to direct Spark SQL."""
+    engine.register_mv(
+        MVDef(name="mv_li_ps_h", keys=("l_partkey", "l_suppkey"),
+              measures={"cnt": ("count", "*")}),
+        "lineitem")
+    routed, prov = engine.sql_routed(
+        "SELECT p.p_brand, s.s_nationkey, COUNT(*) AS n "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "GROUP BY p.p_brand, s.s_nationkey "
+        "HAVING n >= 2 ORDER BY n DESC, p_brand, s_nationkey LIMIT 7")
+    assert prov.startswith("star2:")
+    li = engine.table("lineitem")
+    pt, su = engine.table("part"), engine.table("supplier")
+    direct = (li.join(pt, li.l_partkey == pt.p_partkey)
+              .join(su, li.l_suppkey == su.s_suppkey)
+              .groupBy("p_brand", "s_nationkey")
+              .agg(F.expr("COUNT(*) AS n"))
+              .filter("n >= 2")
+              .orderBy(F.desc("n"), "p_brand", "s_nationkey")
+              .limit(7))
+    assert [tuple(str(x) for x in r) for r in routed.collect()] == \
+        [tuple(str(x) for x in r) for r in direct.collect()]
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem.parquet" not in plan

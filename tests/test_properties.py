@@ -499,17 +499,22 @@ _star_dim = st.lists(
     min_size=1, max_size=8)
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(fact_rows=_star_fact, dim_rows=_star_dim,
-       flt=st.sampled_from([None, "a", "b"]))
+       flt=st.sampled_from([None, "a", "b"]),
+       hav=st.sampled_from([None, 1, 3]),
+       lim=st.booleans())
 def test_star_route_equals_direct_property(spark, tmp_path_factory,
-                                           fact_rows, dim_rows, flt):
+                                           fact_rows, dim_rows, flt,
+                                           hav, lim):
     """Eager-aggregation star routing == direct join-then-aggregate for
     ANY data — NULL join keys (dropped by the inner join on both forms),
     NULL measures, duplicate dim keys (grain partials duplicate
     identically on both forms), empty results — with and without the
-    dim-attribute WHERE filter (VERDICT r6 item 6)."""
+    dim-attribute WHERE filter (VERDICT r6 item 6) and the HAVING /
+    key-complete ORDER BY + LIMIT presentation clauses (VERDICT r7
+    item 6), driven through the full ``sql_routed`` text front-end."""
     from inspectadb_spark.engine import Engine
     from inspectadb_spark.operators.mv import MVDef
 
@@ -523,14 +528,13 @@ def test_star_route_equals_direct_property(spark, tmp_path_factory,
               measures={"s": ("sum", "m"), "c": ("count", "*"),
                         "cm": ("count", "m")}),
         "fact_p")
-    dim_where = [] if flt is None else [("attr", f"'{flt}'")]
-    served = eng._route_star(
-        ("fact_p", "dim_p", "k", "k",
-         [("key", "dim", "attr"), ("agg", "sum", "m", "s"),
-          ("agg", "count", "*", "n"), ("agg", "avg", "m", "a")],
-         dim_where))
-    assert served is not None
-    routed, prov = served
+    sql = ("SELECT d.attr, SUM(f.m) AS s, COUNT(*) AS n, AVG(f.m) AS a "
+           "FROM fact_p f JOIN dim_p d ON f.k = d.k "
+           + (f"WHERE d.attr = '{flt}' " if flt is not None else "")
+           + "GROUP BY d.attr"
+           + (f" HAVING n >= {hav}" if hav is not None else "")
+           + (" ORDER BY attr LIMIT 2" if lim else ""))
+    routed, prov = eng.sql_routed(sql)
     assert prov.startswith("star:")
     direct = fact.join(dim, "k")
     if flt is not None:
@@ -539,6 +543,16 @@ def test_star_route_equals_direct_property(spark, tmp_path_factory,
     direct = direct.groupBy("attr").agg(
         F.expr(f"{tot} AS s"), F.expr("COUNT(*) AS n"),
         F.expr(f"{tot} / COUNT(m) AS a"))
+    if hav is not None:
+        direct = direct.filter(f"n >= {hav}")
+    if lim:
+        # attr is the (unique) group key, so ORDER BY attr is a total
+        # order and the LIMIT cut is deterministic on both forms
+        direct = direct.orderBy("attr").limit(2)
+        ordered = lambda df: [  # noqa: E731
+            tuple(str(x) for x in r) for r in df.collect()]
+        assert ordered(routed) == ordered(direct)
+        return
     canon = lambda df: sorted(  # noqa: E731
         tuple(str(x) for x in r) for r in df.collect())
     assert canon(routed) == canon(direct)
