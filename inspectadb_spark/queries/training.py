@@ -2766,6 +2766,65 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Spark-side md5 A/B arm assignment shared by the experimentation panel
+# (q320/q321) and the S45 live monitor; the oracle SQL spells the DuckDB
+# dialect (VARCHAR cast) inline.
+_ARM_EXPR = (
+    "CASE WHEN (instr('0123456789abcdef',"
+    " substr(md5(CAST(user_id AS STRING) || ':arm'), 1, 1))"
+    " - 1) < 8 THEN 'a' ELSE 'b' END")
+# "converted": purchased over $150 in the evaluation half (days 16-30)
+_CONV_EXPR = ("CASE WHEN event_type = 'purchase' AND day(ts) > 15"
+              " AND value > 150 THEN 1 ELSE 0 END")
+
+
+def srm_readout(s: DataFrame) -> DataFrame:
+    """q320's closed-form SRM gate over exact per-arm distinct-user
+    counts (columns na, nb): arm share in integer ppm, 1-df chi-square
+    and the signed z. Factored out so the S45 live monitor applies the
+    SAME arithmetic to its streaming state that the batch query applies
+    to its one-shot aggregate (the S29 Wilson-monitor composition)."""
+    return s.select(
+        "na", "nb",
+        F.expr("na * 1000000 DIV (na + nb)").alias("share_a_ppm"),
+        r4c(F.expr("CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)"))
+        .alias("chi2"),
+        r4c(F.expr("(na - nb) / sqrt(CAST(na + nb AS DOUBLE))"))
+        .alias("z"))
+
+
+def two_prop_readout(s: DataFrame) -> DataFrame:
+    """q321's two-proportion z / unpooled CI / 80%-power MDE readout over
+    exact per-arm (users, conversions) counts (na, ca, nb, cb) — shared
+    with the S45 live monitor for the same reason as ``srm_readout``."""
+    d = s.select(
+        "na", "ca", "nb", "cb",
+        F.expr("CAST(ca AS DOUBLE) / na").alias("p1"),
+        F.expr("CAST(cb AS DOUBLE) / nb").alias("p2"),
+        F.expr("CAST(ca + cb AS DOUBLE) / (na + nb)").alias("pp"))
+    return d.select(
+        "na", "ca", "nb", "cb",
+        r4c(F.expr("p1 - p2")).alias("diff"),
+        r4c(F.expr(
+            "(p1 - p2) / sqrt(pp * (1 - pp)"
+            " * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))"))
+        .alias("z"),
+        r4c(F.expr(
+            "p1 - p2 - CAST(1.96 AS DOUBLE)"
+            " * sqrt(p1 * (1 - p1) / na + p2 * (1 - p2) / nb)"))
+        .alias("ci_lo"),
+        r4c(F.expr(
+            "p1 - p2 + CAST(1.96 AS DOUBLE)"
+            " * sqrt(p1 * (1 - p1) / na + p2 * (1 - p2) / nb)"))
+        .alias("ci_hi"),
+        r4c(F.expr(
+            "(CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))"
+            " * sqrt(pp * (1 - pp)"
+            " * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))"))
+        .alias("mde_80"))
+
+
+# --------------------------------------------------------------------------
 # Q320 sample-ratio-mismatch (SRM) check of the q319 user split: the
 # first gate of any experiment readout — if the md5 assignment doesn't
 # produce the designed 50/50, every downstream metric is suspect.
@@ -2799,22 +2858,13 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (tables(spark, sf_dir)["events"]
          .select(F.col("user_id")).distinct()
-         .select(F.expr(
-             "CASE WHEN (instr('0123456789abcdef',"
-             " substr(md5(CAST(user_id AS STRING) || ':arm'), 1, 1))"
-             " - 1) < 8 THEN 'a' ELSE 'b' END").alias("arm")))
+         .select(F.expr(_ARM_EXPR).alias("arm")))
     s = u.agg(
         F.sum(F.expr("CASE WHEN arm = 'a' THEN 1 ELSE 0 END"))
         .cast("bigint").alias("na"),
         F.sum(F.expr("CASE WHEN arm = 'b' THEN 1 ELSE 0 END"))
         .cast("bigint").alias("nb"))
-    return s.select(
-        "na", "nb",
-        F.expr("na * 1000000 DIV (na + nb)").alias("share_a_ppm"),
-        r4c(F.expr("CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)"))
-        .alias("chi2"),
-        r4c(F.expr("(na - nb) / sqrt(CAST(na + nb AS DOUBLE))"))
-        .alias("z"))
+    return srm_readout(s)
 
 
 # --------------------------------------------------------------------------
@@ -2879,13 +2929,8 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (tables(spark, sf_dir)["events"]
          .groupBy("user_id")
-         .agg(F.max(F.expr(
-             "CASE WHEN event_type = 'purchase' AND day(ts) > 15"
-             " AND value > 150 THEN 1 ELSE 0 END")).alias("conv"))
-         .select(F.expr(
-             "CASE WHEN (instr('0123456789abcdef',"
-             " substr(md5(CAST(user_id AS STRING) || ':arm'), 1, 1))"
-             " - 1) < 8 THEN 'a' ELSE 'b' END").alias("arm"), "conv"))
+         .agg(F.max(F.expr(_CONV_EXPR)).alias("conv"))
+         .select(F.expr(_ARM_EXPR).alias("arm"), "conv"))
     s = u.agg(
         F.sum(F.expr("CASE WHEN arm = 'a' THEN 1 ELSE 0 END"))
         .cast("bigint").alias("na"),
@@ -2895,31 +2940,7 @@ def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("nb"),
         F.sum(F.expr("CASE WHEN arm = 'b' THEN conv ELSE 0 END"))
         .cast("bigint").alias("cb"))
-    d = s.select(
-        "na", "ca", "nb", "cb",
-        F.expr("CAST(ca AS DOUBLE) / na").alias("p1"),
-        F.expr("CAST(cb AS DOUBLE) / nb").alias("p2"),
-        F.expr("CAST(ca + cb AS DOUBLE) / (na + nb)").alias("pp"))
-    return d.select(
-        "na", "ca", "nb", "cb",
-        r4c(F.expr("p1 - p2")).alias("diff"),
-        r4c(F.expr(
-            "(p1 - p2) / sqrt(pp * (1 - pp)"
-            " * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))"))
-        .alias("z"),
-        r4c(F.expr(
-            "p1 - p2 - CAST(1.96 AS DOUBLE)"
-            " * sqrt(p1 * (1 - p1) / na + p2 * (1 - p2) / nb)"))
-        .alias("ci_lo"),
-        r4c(F.expr(
-            "p1 - p2 + CAST(1.96 AS DOUBLE)"
-            " * sqrt(p1 * (1 - p1) / na + p2 * (1 - p2) / nb)"))
-        .alias("ci_hi"),
-        r4c(F.expr(
-            "(CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))"
-            " * sqrt(pp * (1 - pp)"
-            " * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))"))
-        .alias("mde_80"))
+    return two_prop_readout(s)
 
 
 # --------------------------------------------------------------------------

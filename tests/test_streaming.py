@@ -2212,3 +2212,59 @@ def test_s43_incremental_state_serves_star2(spark, replay_dir, tmp_path):
     # stringification where file paths get truncated.
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "__sum_sv" in plan and "__count_n" in plan
+
+
+# S45 live experimentation monitor (VERDICT r7 item 7): a user-grain
+# IncrementalAggregate keyed by (user_id, arm) maintains each user's
+# high-value-conversion flag over the event stream; after the drain, the
+# SRM gate (q320) and the two-proportion z readout (q321) computed from
+# the LIVE STATE — through the very same srm_readout/two_prop_readout
+# arithmetic the batch queries use — equal the batch reports
+# byte-for-byte. The S29 Wilson-monitor composition for experiment
+# guardrails: state is one row per distinct user (bounded by the user
+# population, independent of stream length), merge per batch is
+# O(|users| + |batch|).
+def test_s45_live_experimentation_monitor(spark, replay_dir, tmp_path):
+    from inspectadb_spark.queries.registry import REGISTRY
+    from inspectadb_spark.queries.training import (
+        _ARM_EXPR, _CONV_EXPR, srm_readout, two_prop_readout)
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    inc = IncrementalAggregate(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        # arm is a pure function of user_id, so keying by both keeps the
+        # state at exactly one row per user while making the per-arm
+        # readout a plain filter-free aggregate over the state
+        key_exprs={"user_id": "user_id", "arm": _ARM_EXPR},
+        measures=[("conv", "max", _CONV_EXPR)],
+    )
+    q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = inc.table()
+    # bounded state: exactly one row per distinct user ever seen
+    n_users = (spark.read.parquet(replay_dir)
+               .select("user_id").distinct().count())
+    assert state.count() == n_users
+
+    s = state.agg(
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("na"),
+        F.sum(F.expr("CASE WHEN arm = 'a' THEN conv ELSE 0 END"))
+        .cast("bigint").alias("ca"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("nb"),
+        F.sum(F.expr("CASE WHEN arm = 'b' THEN conv ELSE 0 END"))
+        .cast("bigint").alias("cb"))
+    live_srm = srm_readout(s.select("na", "nb"))
+    live_z = two_prop_readout(s)
+
+    # the replay IS the corpus events table, so the batch references are
+    # the registry queries themselves at SF_DIR
+    want_srm = REGISTRY["q320_srm_check"].builder(spark, SF_DIR)
+    want_z = REGISTRY["q321_two_proportion_z"].builder(spark, SF_DIR)
+    assert _rows(live_srm) == _rows(want_srm)
+    assert _rows(live_z) == _rows(want_z)
