@@ -408,3 +408,26 @@ def test_q325_fleiss_matches_numpy(spark):
     assert got["n"] == n
     assert got["p_obs"] == pytest.approx(pbar, abs=2e-4)
     assert got["fleiss_kappa"] == pytest.approx(kappa, abs=2e-4)
+
+
+def test_q305_isotropy_matches_numpy(spark):
+    """Guards the ADVICE-r7 widening fix: the ssd / s2 sufficient
+    statistics recomputed in exact Python integers off the parquet."""
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    q = np.stack([
+        np.round(np.asarray(v, dtype=np.float64) * 10000).astype(np.int64)
+        for v in emb["embedding"]])
+    n, n_dims = q.shape
+    sd = [int(x) for x in q.sum(axis=0)]
+    ssd = sum(x * x for x in sd)                 # exact int
+    s2 = int((q.astype(object) * q.astype(object)).sum())  # exact int
+    centroid_norm = math.sqrt(ssd) / n / 10000
+    rms_norm = math.sqrt(s2 / n) / 10000
+    anisotropy = (ssd / (n * n)) / (s2 / n)
+    got = _one(spark, "q305_isotropy")
+    assert got["n"] == n and got["n_dims"] == n_dims
+    assert got["centroid_norm"] == pytest.approx(centroid_norm, abs=2e-4)
+    assert got["rms_norm"] == pytest.approx(rms_norm, abs=2e-4)
+    assert got["anisotropy"] == pytest.approx(anisotropy, abs=2e-4)
+    # non-degenerate fixture: the cloud is neither centered nor collapsed
+    assert 0.0 < anisotropy < 1.0
