@@ -431,3 +431,97 @@ def test_q305_isotropy_matches_numpy(spark):
     assert got["anisotropy"] == pytest.approx(anisotropy, abs=2e-4)
     # non-degenerate fixture: the cloud is neither centered nor collapsed
     assert 0.0 < anisotropy < 1.0
+
+
+def test_q306_mutual_information_matches_numpy(spark):
+    t = _orders()
+    c = (t.groupby(["o_orderpriority", "o_orderstatus"])
+         .size().reset_index(name="n"))
+    nn = int(c["n"].sum())
+    na = c.groupby("o_orderpriority")["n"].sum()
+    nb = c.groupby("o_orderstatus")["n"].sum()
+    mi = sum(round(float(r["n"] / nn)
+                   * math.log(r["n"] * nn
+                              / (na[r["o_orderpriority"]]
+                                 * nb[r["o_orderstatus"]])), 6)
+             for _, r in c.iterrows())
+    ha = sum(round(-(v / nn) * math.log(v / nn), 6) for v in na)
+    hb = sum(round(-(v / nn) * math.log(v / nn), 6) for v in nb)
+    got = _one(spark, "q306_mutual_information")
+    assert got["n"] == nn
+    assert got["mi_nats"] == pytest.approx(mi, abs=2e-4)
+    assert got["nmi"] == pytest.approx(2 * mi / (ha + hb), abs=2e-4)
+    assert got["u_a_given_b"] == pytest.approx(mi / ha, abs=2e-4)
+    assert got["u_b_given_a"] == pytest.approx(mi / hb, abs=2e-4)
+    assert mi > 0  # fixture non-degenerate: attributes actually associate
+
+
+def test_q316_embedding_mmd_matches_numpy(spark):
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    q = np.stack([
+        np.round(np.asarray(v, dtype=np.float64) * 10000).astype(np.int64)
+        for v in emb["embedding"]])
+    even = (emb["label"].to_numpy() % 2 == 0)
+    na, nb = int(even.sum()), int((~even).sum())
+    sa, sb = q[even].sum(axis=0), q[~even].sum(axis=0)
+    shift = (sa / na - sb / nb) / 10000
+    mmd2 = sum(round(1e4 * s * s, 6) for s in shift)
+    top = min(range(len(shift)), key=lambda d: (-abs(shift[d]), d))
+    got = _one(spark, "q316_embedding_mmd")
+    assert (got["na"], got["nb"]) == (na, nb)
+    assert got["mmd2_x1e4"] == pytest.approx(mmd2, abs=2e-4)
+    assert got["top_dim"] == top
+    assert got["top_shift"] == pytest.approx(shift[top], abs=2e-4)
+
+
+def test_q329_gumbel_matches_numpy(spark):
+    ev = _events()
+    p = ev[ev["event_type"] == "purchase"].copy()
+    p["cents"] = np.round(p["value"] * 100).astype(np.int64)
+    mx = p.groupby(p["ts"].dt.date)["cents"].max().to_numpy(np.float64)
+    n = len(mx)
+    mean, peak = mx.mean(), mx.max()
+    beta = mx.std(ddof=1) * math.sqrt(6) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    p_ex = 1 - math.exp(-math.exp(-(peak - mu) / beta))
+    got = _one(spark, "q329_gumbel_maxima")
+    assert got["n"] == n and got["peak"] == peak
+    assert got["mu_dollars"] == pytest.approx(mu / 100, abs=2e-4)
+    assert got["beta_dollars"] == pytest.approx(beta / 100, abs=2e-4)
+    assert got["p_exceed_peak"] == pytest.approx(p_ex, abs=2e-4)
+    assert got["return_period_days"] == pytest.approx(1 / p_ex, abs=2e-3)
+    assert 0.0 < p_ex < 1.0  # the peak is neither certain nor impossible
+
+
+def test_q330_theil_matches_numpy(spark):
+    t = _orders()
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    nk = cust.set_index("c_custkey")["c_nationkey"]
+    y = t.groupby("o_custkey")["cents"].sum()
+    n, yt = len(y), int(y.sum())
+    t_all = sum(round((yi / yt) * math.log(yi * n / yt), 6)
+                for yi in y.astype(object))
+    g = y.groupby(y.index.map(nk))
+    tb = sum(round((yg / yt) * math.log((yg / yt) / (ng / n)), 6)
+             for ng, yg in zip(g.size(), g.sum().astype(object)))
+    got = _one(spark, "q330_theil_decomposition")
+    assert got["n_customers"] == n and got["n_groups"] == g.ngroups
+    assert got["theil_t"] == pytest.approx(t_all, abs=2e-4)
+    assert got["theil_between"] == pytest.approx(tb, abs=2e-4)
+    assert got["theil_within"] == pytest.approx(t_all - tb, abs=2e-4)
+    # decomposition sane on the fixture: inequality exists, both parts
+    assert t_all > 0 and 0 <= tb < t_all
+
+
+def test_q331_atkinson_matches_numpy(spark):
+    t = _orders()
+    y = t.groupby("o_custkey")["cents"].sum().to_numpy(np.float64)
+    n, yt = len(y), y.sum()
+    sln = sum(round(math.log(v), 6) for v in y)
+    geo = math.exp(sln / n)
+    got = _one(spark, "q331_atkinson")
+    assert got["n"] == n
+    assert got["geo_mean_dollars"] == pytest.approx(geo / 100, abs=2e-4)
+    assert got["mean_dollars"] == pytest.approx(yt / n / 100, abs=2e-4)
+    assert got["atkinson_e1"] == pytest.approx(1 - geo / (yt / n), abs=2e-4)
+    assert 0.0 < 1 - geo / (yt / n) < 1.0  # spend is actually unequal
