@@ -525,3 +525,99 @@ def test_q331_atkinson_matches_numpy(spark):
     assert got["mean_dollars"] == pytest.approx(yt / n / 100, abs=2e-4)
     assert got["atkinson_e1"] == pytest.approx(1 - geo / (yt / n), abs=2e-4)
     assert 0.0 < 1 - geo / (yt / n) < 1.0  # spend is actually unequal
+
+
+def test_q291_ndcg_matches_numpy(spark):
+    ev = _events()
+    ev["s"] = (ev["ts"].dt.day <= 15).astype(int)
+    ev["r"] = (ev["ts"].dt.day > 15).astype(int)
+    c = (ev.groupby(["user_id", "event_type"])[["s", "r"]]
+         .sum().reset_index())
+    n3, n1 = [], []
+    for _, g in c.groupby("user_id"):
+        by_model = g.sort_values(["s", "event_type"],
+                                 ascending=[False, True])["r"].to_numpy()
+        ideal = g.sort_values(["r", "event_type"],
+                              ascending=[False, True])["r"].to_numpy()
+        dcg3 = sum(round(by_model[i] / math.log2(i + 2), 6)
+                   for i in range(min(3, len(by_model))))
+        idcg3 = sum(round(ideal[i] / math.log2(i + 2), 6)
+                    for i in range(min(3, len(ideal))))
+        if idcg3 > 0:
+            n3.append(round(dcg3 / idcg3, 6))
+            n1.append(round(by_model[0] / ideal[0], 6))
+    got = _one(spark, "q291_ndcg")
+    assert got["n_users"] == len(n3)
+    assert got["avg_ndcg3"] == pytest.approx(sum(n3) / len(n3), abs=2e-4)
+    assert got["avg_ndcg1"] == pytest.approx(sum(n1) / len(n1), abs=2e-4)
+    # non-degenerate: the first-half ranking is neither perfect nor useless
+    assert 0.0 < sum(n3) / len(n3) < 1.0
+
+
+def _hour_predictor():
+    """q294/q295's shared train-half predictor: P(purchase | hour) on
+    days 1-15, 6dp-quantized."""
+    ev = _events()
+    tr = ev[ev["ts"].dt.day <= 15]
+    pos = tr.groupby(tr["ts"].dt.hour).apply(
+        lambda g: round(float((g["event_type"] == "purchase").sum())
+                        / len(g), 6), include_groups=False)
+    return ev, pos
+
+
+def test_q294_brier_murphy_matches_numpy(spark):
+    ev, p_hr = _hour_predictor()
+    te = ev[ev["ts"].dt.day > 15].copy()
+    te["y"] = (te["event_type"] == "purchase").astype(int)
+    te["hr"] = te["ts"].dt.hour
+    te["dow"] = te["ts"].dt.weekday
+    cells = (te.groupby(["dow", "hr"])
+             .agg(n=("y", "size"), pos=("y", "sum")).reset_index())
+    nn, post = int(cells["n"].sum()), int(cells["pos"].sum())
+    ybar = post / nn
+    tb = tr_ = tres = 0.0
+    for _, r in cells.iterrows():
+        p, n, pos = p_hr[r["hr"]], int(r["n"]), int(r["pos"])
+        tb += round(n * p * p - 2 * p * pos + pos, 6)
+        tr_ += round(n * (p - pos / n) ** 2, 6)
+        tres += round(n * (pos / n - ybar) ** 2, 6)
+    got = _one(spark, "q294_brier_murphy")
+    assert got["n"] == nn
+    assert got["brier"] == pytest.approx(tb / nn, abs=2e-4)
+    assert got["reliability"] == pytest.approx(tr_ / nn, abs=2e-4)
+    assert got["resolution"] == pytest.approx(tres / nn, abs=2e-4)
+    assert got["uncertainty"] == pytest.approx(ybar * (1 - ybar), abs=2e-4)
+    # Murphy identity holds because the predictor is constant per cell
+    assert tb / nn == pytest.approx(
+        tr_ / nn - tres / nn + ybar * (1 - ybar), abs=1e-3)
+
+
+def test_q295_ece_matches_numpy(spark):
+    ev, p_hr = _hour_predictor()
+    te = ev[ev["ts"].dt.day > 15].copy()
+    te["y"] = (te["event_type"] == "purchase").astype(int)
+    te["p"] = te["ts"].dt.hour.map(p_hr)
+    te = te.dropna(subset=["p"])
+    te["bin"] = np.minimum(np.floor(te["p"] * 10), 9).astype(int)
+    b = te.groupby("bin").agg(n=("y", "size"), sp=("p", "sum"),
+                              pos=("y", "sum"))
+    nn = int(b["n"].sum())
+    ece = float(np.abs(b["sp"] - b["pos"]).sum()) / nn
+    mce = float((np.abs(b["sp"] - b["pos"]) / b["n"]).max())
+    got = _one(spark, "q295_ece")
+    assert got["n"] == nn and got["n_bins"] == len(b)
+    assert got["ece"] == pytest.approx(ece, abs=2e-4)
+    assert got["mce"] == pytest.approx(mce, abs=2e-4)
+
+
+def test_q300_grubbs_matches_numpy(spark):
+    _, by = _daily_revenue()  # observed purchase days, NOT gap-filled
+    y = by.to_numpy(dtype=np.float64)
+    n = len(y)
+    g = float(np.max(np.abs(y - y.mean())) / y.std(ddof=1))
+    u = np.abs(n * y - y.sum())
+    day = min((d for d, uu in zip(by.index, u) if uu == u.max()))
+    got = _one(spark, "q300_grubbs")
+    assert got["n"] == n
+    assert got["g_stat"] == pytest.approx(g, abs=2e-4)
+    assert str(got["outlier_day"]) == str(day)
