@@ -621,3 +621,108 @@ def test_q300_grubbs_matches_numpy(spark):
     assert got["n"] == n
     assert got["g_stat"] == pytest.approx(g, abs=2e-4)
     assert str(got["outlier_day"]) == str(day)
+
+
+def test_q292_mrr_matches_numpy(spark):
+    ev = _events()
+    ev["s"] = (ev["ts"].dt.day <= 15).astype(int)
+    ev["r"] = (ev["ts"].dt.day > 15).astype(int)
+    c = (ev.groupby(["user_id", "event_type"])[["s", "r"]]
+         .sum().reset_index())
+    frps = []
+    for _, g in c.groupby("user_id"):
+        g = g.sort_values(["s", "event_type"], ascending=[False, True])
+        rel = g["r"].to_numpy()
+        hits = np.nonzero(rel > 0)[0]
+        if len(hits):
+            frps.append(int(hits[0]) + 1)
+    got = _one(spark, "q292_mrr")
+    assert got["n_users"] == len(frps)
+    assert got["mrr"] == pytest.approx(
+        sum(round(1.0 / f, 6) for f in frps) / len(frps), abs=2e-4)
+    assert got["hit1_ppm"] == sum(f == 1 for f in frps) * 1000000 // len(frps)
+    assert got["hit3_ppm"] == sum(f <= 3 for f in frps) * 1000000 // len(frps)
+
+
+def test_q296_multiclass_prf_matches_numpy(spark):
+    ev = _events()
+    ev["dow"] = ev["ts"].dt.weekday  # any consistent labeling
+    ev["hr"] = ev["ts"].dt.hour
+    tr = ev[ev["ts"].dt.day <= 15]
+    cnt = (tr.groupby(["dow", "hr", "event_type"]).size()
+           .reset_index(name="n"))
+    pred = {}
+    for (dow, hr), g in cnt.groupby(["dow", "hr"]):
+        g = g.sort_values(["n", "event_type"], ascending=[False, True])
+        pred[(dow, hr)] = g.iloc[0]["event_type"]
+    glob = (cnt.groupby("event_type")["n"].sum()
+            .sort_index().sort_values(ascending=False, kind="stable"))
+    fallback = min(glob[glob == glob.max()].index)
+    te = ev[ev["ts"].dt.day > 15]
+    actual = te["event_type"].to_numpy()
+    predicted = np.array([pred.get((d, h), fallback)
+                          for d, h in zip(te["dow"], te["hr"])])
+    classes = sorted(set(actual) | set(predicted))
+    got = {r["cls"]: r.asDict() for r in
+           REGISTRY["q296_multiclass_prf"].builder(spark, SF_DIR).collect()}
+    assert sorted(got) == classes
+    for cls in classes:
+        act_n = int((actual == cls).sum())
+        pred_n = int((predicted == cls).sum())
+        tp = int(((actual == cls) & (predicted == cls)).sum())
+        row = got[cls]
+        assert (row["act_n"], row["pred_n"], row["tp"]) == \
+            (act_n, pred_n, tp)
+        if pred_n:
+            assert row["precision_ppm"] == tp * 1000000 // pred_n
+        if act_n:
+            assert row["recall_ppm"] == tp * 1000000 // act_n
+        assert row["f1"] == pytest.approx(2.0 * tp / (act_n + pred_n),
+                                          abs=2e-4)
+
+
+def test_q298_durbin_watson_matches_numpy(spark):
+    _, by = _daily_revenue()  # observed purchase days
+    y = by.to_numpy(dtype=np.float64)
+    t = np.arange(1, len(y) + 1, dtype=np.float64)
+    b, a = np.polyfit(t, y, 1)
+    e = y - (a + b * t)
+    dw = float(np.sum(np.diff(e) ** 2) / np.sum(e * e))
+    got = _one(spark, "q298_durbin_watson")
+    assert got["n"] == len(y)
+    assert got["dw"] == pytest.approx(dw, abs=2e-4)
+    assert got["rho_approx"] == pytest.approx(1 - dw / 2, abs=2e-4)
+
+
+def test_q299_runs_test_matches_numpy(spark):
+    _, by = _daily_revenue()
+    cents = by.to_numpy(dtype=np.int64)
+    m2 = int(round(2 * float(np.median(cents))))
+    s = np.array([1 if 2 * c > m2 else -1 for c in cents if 2 * c != m2])
+    runs = int(1 + (np.diff(s) != 0).sum())
+    n1, n2 = int((s == 1).sum()), int((s == -1).sum())
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+    got = _one(spark, "q299_runs_test")
+    assert (got["runs"], got["n1"], got["n2"]) == (runs, n1, n2)
+    assert got["mu"] == pytest.approx(mu, abs=2e-4)
+    assert got["z"] == pytest.approx((runs - mu) / math.sqrt(var), abs=2e-4)
+    assert n1 > 0 and n2 > 0  # both sign classes occur on the fixture
+
+
+def test_q301_good_turing_matches_numpy(spark):
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    from collections import Counter
+    vc = Counter(w for t in docs["text"] for w in t.split(" ") if w)
+    cc = Counter(vc.values())            # r -> N_r
+    n = sum(vc.values())
+    rows = {r["r"]: r.asDict() for r in
+            REGISTRY["q301_good_turing"].builder(spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(cc)[:10]
+    for r in rows:
+        n_r, n_r1 = cc[r], cc.get(r + 1, 0)
+        assert rows[r]["n_r"] == n_r and rows[r]["n_r1"] == n_r1
+        assert rows[r]["r_star"] == pytest.approx(
+            (r + 1.0) * n_r1 / n_r, abs=2e-4)
+        assert rows[r]["mass_ppm"] == (r + 1) * n_r1 * 1000000 // n
