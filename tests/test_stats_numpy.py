@@ -726,3 +726,56 @@ def test_q301_good_turing_matches_numpy(spark):
         assert rows[r]["r_star"] == pytest.approx(
             (r + 1.0) * n_r1 / n_r, abs=2e-4)
         assert rows[r]["mass_ppm"] == (r + 1) * n_r1 * 1000000 // n
+
+
+def test_q287_levene_matches_numpy(spark):
+    t = _orders()
+    z = t.groupby("o_orderpriority")["cents"].transform(
+        lambda g: np.abs(g - g.mean()))
+    g = z.groupby(t["o_orderpriority"])
+    n, k = len(z), g.ngroups
+    sb = float((g.sum() ** 2 / g.size()).sum())
+    st, qt = float(z.sum()), float((z ** 2).sum())
+    w = ((sb - st * st / n) / (k - 1)) / ((qt - sb) / (n - k))
+    got = _one(spark, "q287_levene_mean")
+    assert (got["n"], got["k"]) == (n, k)
+    assert got["w_stat"] == pytest.approx(w, abs=2e-4)
+    assert got["eta_sq"] == pytest.approx(
+        (sb - st * st / n) / (qt - st * st / n), abs=2e-4)
+
+
+def test_q289_cochran_q_matches_numpy(spark):
+    t = _orders()
+    p = (t[t["o_orderdate"].dt.year == 1996]
+         .assign(trt=lambda d: d["o_orderdate"].dt.quarter)
+         [["o_custkey", "trt"]].drop_duplicates())
+    li = p.groupby("o_custkey").size().to_numpy()
+    gj = p.groupby("trt").size().to_numpy()
+    k, nn = len(gj), int(li.sum())
+    q = ((k - 1.0) * (k * float((gj.astype(np.int64) ** 2).sum())
+                      - float(nn) * nn)
+         / (k * float(nn) - float((li.astype(np.int64) ** 2).sum())))
+    got = _one(spark, "q289_cochran_q")
+    assert (got["n_subj"], got["k"]) == (len(li), k)
+    assert got["q_stat"] == pytest.approx(q, abs=2e-4)
+
+
+def test_q290_bartlett_matches_numpy(spark):
+    t = _orders()
+    g = t.groupby("o_orderpriority")["cents"]
+    n, k = len(t), g.ngroups
+    ns = g.size().to_numpy(np.float64)
+    # the query computes ss as q - s^2/n in doubles; recompute that way
+    ss = np.array([float((x.astype(object) ** 2).sum())
+                   - float(x.astype(object).sum()) ** 2 / len(x)
+                   for _, x in g])
+    ssw = ss.sum()
+    sum_ln = float(((ns - 1) * np.log(ss / (ns - 1))).sum())
+    sum_inv = float((1.0 / (ns - 1)).sum())
+    ln_pooled = math.log(ssw / (n - k))
+    x2 = ((n - k) * ln_pooled - sum_ln) \
+        / (1 + (sum_inv - 1.0 / (n - k)) / (3.0 * (k - 1)))
+    got = _one(spark, "q290_bartlett")
+    assert (got["n"], got["k"]) == (n, k)
+    assert got["ln_pooled_var"] == pytest.approx(ln_pooled, abs=2e-4)
+    assert got["bartlett_x2"] == pytest.approx(x2, abs=2e-3)
