@@ -779,3 +779,49 @@ def test_q290_bartlett_matches_numpy(spark):
     assert (got["n"], got["k"]) == (n, k)
     assert got["ln_pooled_var"] == pytest.approx(ln_pooled, abs=2e-4)
     assert got["bartlett_x2"] == pytest.approx(x2, abs=2e-3)
+
+
+def test_q328_jackknife_matches_numpy(spark):
+    ev = _events()
+    ev["k"] = ev["ts"].dt.weekday + 1  # isodow
+    ev["pc"] = np.where(ev["event_type"] == "purchase",
+                        np.round(ev["value"] * 100), 0).astype(np.int64)
+    s = ev.groupby("k").agg(y=("pc", "sum"), m=("pc", "size"))
+    sy, sm, kk = int(s["y"].sum()), int(s["m"].sum()), len(s)
+    reps = [round((sy - yi) / (sm - mi), 6)
+            for yi, mi in zip(s["y"], s["m"])]
+    rbar = sum(reps) / kk
+    srr = sum(r * r for r in reps)
+    se = math.sqrt((kk - 1.0) / kk * (srr - kk * rbar * rbar))
+    got = _one(spark, "q328_jackknife_ratio_se")
+    assert got["n_strata"] == kk
+    assert got["ratio"] == pytest.approx(sy / sm, abs=2e-4)
+    assert got["se_jack"] == pytest.approx(se, abs=2e-4)
+    assert se > 0  # strata genuinely differ on the fixture
+
+
+def test_q334_icc_matches_numpy(spark):
+    ev = _events()
+    ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+    u = ev.groupby("user_id")["cents"].agg(["count", "sum"])
+    q_by = ev.groupby("user_id")["cents"].apply(
+        lambda x: int((x.astype(object) ** 2).sum()))
+    uu, n = len(u), int(u["count"].sum())
+    st = int(u["sum"].sum())
+    qt = float(q_by.sum())
+    sb = float((u["sum"].astype(np.float64) ** 2 / u["count"]).sum())
+    smm = float((u["count"].astype(np.float64) ** 2).sum())
+    msb = (sb - float(st) * st / n) / (uu - 1)
+    msw = (qt - sb) / (n - uu)
+    m0 = (n - smm / n) / (uu - 1)
+    icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    deff = 1 + (n / uu - 1) * icc
+    got = _one(spark, "q334_icc_design_effect")
+    assert (got["n_events"], got["n_users"]) == (n, uu)
+    assert got["icc"] == pytest.approx(icc, abs=2e-4)
+    assert got["deff"] == pytest.approx(deff, abs=2e-4)
+    assert got["eff_sample_size"] == pytest.approx(n / deff, abs=2e-2)
+    # non-degenerate: msb != msw so the estimator is exercised (negative
+    # ICC is a legitimate ANOVA estimate — within-user variance can
+    # exceed between-user)
+    assert icc != 0 and -1 < icc < 1
