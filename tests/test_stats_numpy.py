@@ -825,3 +825,78 @@ def test_q334_icc_matches_numpy(spark):
     # ICC is a legitimate ANOVA estimate — within-user variance can
     # exceed between-user)
     assert icc != 0 and -1 < icc < 1
+
+
+def test_q335_winsorized_matches_numpy(spark):
+    import hashlib
+
+    ev = _events()
+    ev["pc"] = np.where(ev["event_type"] == "purchase",
+                        np.round(ev["value"] * 100), 0).astype(np.int64)
+    y = ev.groupby("user_id")["pc"].sum()
+    arm_a = np.array([
+        int(hashlib.md5(f"{uid}:arm".encode()).hexdigest()[0], 16) < 8
+        for uid in y.index])
+    yv = y.to_numpy(np.float64)
+    p_lo, p_hi = np.percentile(yv, 5), np.percentile(yv, 95)
+    yw = np.clip(yv, p_lo, p_hi)
+    keep = (yv >= p_lo) & (yv <= p_hi)
+    na, nb = int(arm_a.sum()), int((~arm_a).sum())
+    swa = sum(round(v, 6) for v in yw[arm_a])
+    swb = sum(round(v, 6) for v in yw[~arm_a])
+    ka, kb = int((arm_a & keep).sum()), int((~arm_a & keep).sum())
+    sta, stb = float(yv[arm_a & keep].sum()), float(yv[~arm_a & keep].sum())
+    got = _one(spark, "q335_winsorized_ab")
+    assert (got["na"], got["nb"], got["ka"], got["kb"]) == (na, nb, ka, kb)
+    assert got["win_diff_dollars"] == pytest.approx(
+        (swa / na - swb / nb) / 100, abs=2e-3)
+    assert got["trim_diff_dollars"] == pytest.approx(
+        (sta / ka - stb / kb) / 100, abs=2e-3)
+    # the pooled clamp actually trims someone (per-arm can be all-in
+    # at sf0.001's 15-user population)
+    assert ka + kb < na + nb
+
+
+def test_q324_calibration_fit_matches_numpy(spark):
+    ev, p_hr = _hour_predictor()
+    te = ev[ev["ts"].dt.day > 15].copy()
+    te["p"] = te["ts"].dt.hour.map(p_hr)
+    te = te.dropna(subset=["p"])
+    yv = (te["event_type"] == "purchase").astype(int).to_numpy()
+    p = te["p"].to_numpy(np.float64)
+    n, sp, spp = len(p), p.sum(), (p * p).sum()
+    sy, spy = int(yv.sum()), (p * yv).sum()
+    slope = (n * spy - sp * sy) / (n * spp - sp * sp)
+    intercept = (sy - slope * sp) / n
+    got = _one(spark, "q324_calibration_fit")
+    assert (got["n"], got["n_pos"]) == (n, sy)
+    assert got["slope"] == pytest.approx(slope, abs=2e-4)
+    assert got["intercept"] == pytest.approx(intercept, abs=2e-4)
+
+
+def test_q313_page_trend_matches_numpy(spark):
+    t = _orders()
+    t["blk"] = t["o_orderdate"].dt.strftime("%Y-%m")
+    t["trt"] = t["o_orderpriority"].str[0].astype(int)
+    cell = (t.groupby(["blk", "trt"])["cents"].sum().reset_index(name="v"))
+    k = cell["trt"].nunique()
+    full = cell.groupby("blk").size()
+    full = set(full[full == k].index)
+    l2 = 0
+    n_blocks = 0
+    for blk, g in cell[cell["blk"].isin(full)].groupby("blk"):
+        n_blocks += 1
+        vs = g["v"].to_numpy()
+        # doubled tie-averaged rank: 2*rank + tiecount - 1
+        for trt, v in zip(g["trt"], vs):
+            rank = 1 + int((vs < v).sum())
+            tie = int((vs == v).sum())
+            l2 += trt * (2 * rank + tie - 1)
+    nb = n_blocks
+    l_stat = l2 / 2.0
+    mu = nb * k * (k + 1) ** 2 / 4
+    sd = math.sqrt(nb * k * k * (k + 1) * (k * k - 1) / 144)
+    got = _one(spark, "q313_page_trend")
+    assert (got["n"], got["k"]) == (nb, k)
+    assert got["l_stat"] == pytest.approx(l_stat, abs=1e-3)
+    assert got["z"] == pytest.approx((l_stat - mu) / sd, abs=2e-4)
