@@ -900,3 +900,61 @@ def test_q313_page_trend_matches_numpy(spark):
     assert (got["n"], got["k"]) == (nb, k)
     assert got["l_stat"] == pytest.approx(l_stat, abs=1e-3)
     assert got["z"] == pytest.approx((l_stat - mu) / sd, abs=2e-4)
+
+
+def test_q302_kn_bigram_xent_matches_numpy(spark):
+    """The interpolated Kneser-Ney model rebuilt in pure Python off the
+    parquet: five exact-integer model tables, the 0.75 absolute
+    discount, continuation backoff with the add-1 floor, 6dp-quantized
+    per-token logprobs — the most formula-dense query in the corpus."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    split = docs["doc_id"].map(
+        lambda i: "train"
+        if int(hashlib.md5(f"{i}:split".encode()).hexdigest()[0], 16) < 13
+        else "test")
+    big = Counter()
+    test_bgs = []  # (source, w1, w2)
+    for text, src, sp in zip(docs["text"], docs["source"], split):
+        w = [t for t in text.split(" ") if t]
+        for a, bch in zip(w, w[1:]):
+            if sp == "train":
+                big[(a, bch)] += 1
+            else:
+                test_bgs.append((src, a, bch))
+    c1, t1 = Counter(), Counter()
+    t2 = Counter()
+    for (a, bch), c in big.items():
+        c1[a] += c
+        t1[a] += 1
+        t2[bch] += 1
+    b = len(big)
+    v = len({a for a, _ in big} | {bch for _, bch in big})
+    per = defaultdict(lambda: [0, 0, 0, 0.0])  # n, oov, unseen, sum_lp
+    for src, a, bch in test_bgs:
+        pc = (t2.get(bch, 0) + 1.0) / (b + v + 1)
+        if a not in c1:
+            p = pc
+            per[src][1] += 1
+        else:
+            p = (max(big.get((a, bch), 0) - 0.75, 0)
+                 + 0.75 * t1[a] * pc) / c1[a]
+        if (a, bch) not in big:
+            per[src][2] += 1
+        per[src][0] += 1
+        per[src][3] += round(math.log(p), 6)
+    rows = {r["source"]: r.asDict() for r in
+            REGISTRY["q302_kn_bigram_xent"].builder(
+                spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(per)
+    for src, (n, oov, unseen, slp) in per.items():
+        r = rows[src]
+        assert r["n_bigrams"] == n
+        assert r["hist_oov_ppm"] == oov * 1000000 // n
+        assert r["bg_unseen_ppm"] == unseen * 1000000 // n
+        assert r["xent_nats"] == pytest.approx(-slp / n, abs=2e-4)
+    # non-degenerate: backoff paths actually exercised somewhere
+    assert any(p[1] > 0 for p in per.values()) or \
+        any(p[2] > 0 for p in per.values())
