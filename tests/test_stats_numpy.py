@@ -958,3 +958,84 @@ def test_q302_kn_bigram_xent_matches_numpy(spark):
     # non-degenerate: backoff paths actually exercised somewhere
     assert any(p[1] > 0 for p in per.values()) or \
         any(p[2] > 0 for p in per.values())
+
+
+def test_q310_permutation_entropy_matches_numpy(spark):
+    _, by = _daily_revenue()
+    y = by.to_numpy(np.int64)
+    from collections import Counter
+    pats = Counter()
+    for a, bv, c in zip(y, y[1:], y[2:]):
+        pats[(a < bv) * 4 + (bv < c) * 2 + (a < c) * 1] += 1
+    n = sum(pats.values())
+    h = sum(round(-(np_ / n) * math.log(np_ / n), 6)
+            for np_ in pats.values())
+    got = _one(spark, "q310_permutation_entropy")
+    assert (got["n"], got["n_patterns"]) == (n, len(pats))
+    assert got["pe_nats"] == pytest.approx(h, abs=2e-4)
+    assert got["pe_norm"] == pytest.approx(h / math.log(6), abs=2e-4)
+    assert len(pats) > 1  # the series is not monotone on the fixture
+
+
+def test_q312_cochran_armitage_matches_numpy(spark):
+    t = _orders()
+    x = t["o_orderpriority"].str[0].astype(int).to_numpy()
+    y = (t["o_orderstatus"] == "F").astype(int).to_numpy()
+    nn, rr = len(x), int(y.sum())
+    pbar = rr / nn
+    sx = float(x.sum())
+    sxx = float((x.astype(np.int64) ** 2).sum())
+    sxr = float((x * y).sum())
+    z = (sxr - pbar * sx) / math.sqrt(
+        pbar * (1 - pbar) * (sxx - sx * sx / nn))
+    got = _one(spark, "q312_cochran_armitage")
+    assert (got["n"], got["n_pos"]) == (nn, rr)
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_q317_seasonal_mann_kendall_matches_numpy(spark):
+    ev = _events()
+    p = ev[ev["event_type"] == "purchase"].copy()
+    p["cents"] = np.round(p["value"] * 100).astype(np.int64)
+    p["day"] = p["ts"].dt.date
+    p["dow"] = p["ts"].dt.weekday + 1
+    rev = p.groupby(["day", "dow"])["cents"].sum().reset_index()
+    s = 0
+    var = 0.0
+    n_days = 0
+    for _, g in rev.groupby("dow"):
+        g = g.sort_values("day")
+        v = g["cents"].to_numpy(np.int64)
+        nd = len(v)
+        n_days += nd
+        for i in range(nd):
+            s += int(np.sign(v[i + 1:] - v[i]).sum())
+        _, tc = np.unique(v, return_counts=True)
+        tt = float(sum(t * (t - 1) * (2 * t + 5) for t in tc if t > 1))
+        var += (nd * (nd - 1.0) * (2 * nd + 5) - tt) / 18
+    z = ((s - 1) / math.sqrt(var) if s > 0
+         else (s + 1) / math.sqrt(var) if s < 0 else 0.0)
+    got = _one(spark, "q317_seasonal_mann_kendall")
+    assert (got["n_days"], got["s_stat"]) == (n_days, s)
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_q327_diversity_matches_numpy(spark):
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    c = docs.groupby(["lang", "source"]).size().reset_index(name="n")
+    rows = {r["lang"]: r.asDict() for r in
+            REGISTRY["q327_diversity_index"].builder(
+                spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(c["lang"].unique())
+    for lang, g in c.groupby("lang"):
+        n = g["n"].to_numpy(np.int64)
+        nt = int(n.sum())
+        h = sum(round(-(ni / nt) * math.log(ni / nt), 6) for ni in n)
+        snn = float((n.astype(object) ** 2).sum())
+        r = rows[lang]
+        assert r["n_sources"] == len(n)
+        assert r["shannon_nats"] == pytest.approx(h, abs=2e-4)
+        assert r["eff_sources_q1"] == pytest.approx(math.exp(h), abs=2e-3)
+        assert r["simpson"] == pytest.approx(1 - snn / (nt * nt), abs=2e-4)
+        assert r["eff_sources_q2"] == pytest.approx(nt * nt / snn, abs=2e-3)
+        assert len(n) > 1  # every language actually mixes sources
