@@ -1039,3 +1039,164 @@ def test_q327_diversity_matches_numpy(spark):
         assert r["simpson"] == pytest.approx(1 - snn / (nt * nt), abs=2e-4)
         assert r["eff_sources_q2"] == pytest.approx(nt * nt / snn, abs=2e-3)
         assert len(n) > 1  # every language actually mixes sources
+
+
+def test_q303_flesch_matches_numpy(spark):
+    import re as _re
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    rows = {r["source"]: r.asDict() for r in
+            REGISTRY["q303_flesch"].builder(spark, SF_DIR).collect()}
+    for src, g in docs.groupby("source"):
+        words = sum(len([w for w in t.split(" ") if w]) for t in g["text"])
+        sents = sum(max(len(_re.findall(r"[.!?]+", t)), 1)
+                    for t in g["text"])
+        syll = sum(len(_re.findall(r"[aeiouy]+", t.lower()))
+                   for t in g["text"])
+        r = rows[src]
+        assert (r["n_docs"], r["words"], r["sents"], r["syll"]) == \
+            (len(g), words, sents, syll)
+        assert r["flesch_ease"] == pytest.approx(
+            206.835 - 1.015 * words / sents - 84.6 * syll / words,
+            abs=2e-3)
+        assert r["fk_grade"] == pytest.approx(
+            0.39 * words / sents + 11.8 * syll / words - 15.59, abs=2e-3)
+
+
+def test_q304_hapax_matches_numpy(spark):
+    from collections import Counter
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    rows = {r["source"]: r.asDict() for r in
+            REGISTRY["q304_hapax"].builder(spark, SF_DIR).collect()}
+    for src, g in docs.groupby("source"):
+        vc = Counter(w for t in g["text"] for w in t.split(" ") if w)
+        vocab, tokens = len(vc), sum(vc.values())
+        hapax = sum(1 for c in vc.values() if c == 1)
+        dis = sum(1 for c in vc.values() if c == 2)
+        r = rows[src]
+        assert (r["vocab"], r["tokens"], r["hapax"], r["dis"]) == \
+            (vocab, tokens, hapax, dis)
+        assert r["ttr_ppm"] == vocab * 1000000 // tokens
+        assert r["hapax_share_ppm"] == hapax * 1000000 // vocab
+        assert r["sichel_s_ppm"] == dis * 1000000 // vocab
+
+
+def _source_bigrams():
+    from collections import Counter
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    c = Counter()
+    for src, t in zip(docs["source"], docs["text"]):
+        w = [x for x in t.split(" ") if x]
+        for a, b in zip(w, w[1:]):
+            c[(src, a, b)] += 1
+    return c
+
+
+def test_q307_entropy_rate_matches_numpy(spark):
+    from collections import Counter, defaultdict
+
+    c = _source_bigrams()
+    c1, nb = Counter(), Counter()
+    for (src, a, _), n in c.items():
+        c1[(src, a)] += n
+        nb[src] += n
+    h = defaultdict(float)
+    for (src, a, _), n in c.items():
+        h[src] += round(-(n / nb[src]) * math.log(n / c1[(src, a)]), 6)
+    rows = {r["source"]: r.asDict() for r in
+            REGISTRY["q307_entropy_rate"].builder(spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(h)
+    for src in h:
+        assert rows[src]["h_rate_nats"] == pytest.approx(h[src], abs=2e-4)
+
+
+def test_q308_hellinger_matches_numpy(spark):
+    from collections import Counter, defaultdict
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    gt = defaultdict(Counter)
+    for src, t in zip(docs["source"], docs["text"]):
+        gt[src].update(w for w in t.split(" ") if w)
+    tot = {g: sum(c.values()) for g, c in gt.items()}
+    rows = {(r["source_a"], r["source_b"]): r.asDict() for r in
+            REGISTRY["q308_hellinger"].builder(spark, SF_DIR).collect()}
+    srcs = sorted(gt)
+    for i, ga in enumerate(srcs):
+        for gb in srcs[i + 1:]:
+            shared = set(gt[ga]) & set(gt[gb])
+            if not shared:
+                assert (ga, gb) not in rows
+                continue
+            bc = sum(round(math.sqrt((gt[ga][tk] / tot[ga])
+                                     * (gt[gb][tk] / tot[gb])), 6)
+                     for tk in shared)
+            r = rows[(ga, gb)]
+            assert r["n_shared"] == len(shared)
+            assert r["bc"] == pytest.approx(bc, abs=2e-4)
+            assert r["hellinger"] == pytest.approx(
+                math.sqrt(max(1 - bc, 0)), abs=2e-4)
+
+
+def test_q315_markov_entropy_matches_numpy(spark):
+    from collections import Counter
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    trans = Counter()
+    for _, g in ev.groupby("user_id"):
+        et = g["event_type"].to_list()
+        for a, b in zip(et, et[1:]):
+            trans[(a, b)] += 1
+    na = Counter()
+    for (a, _), n in trans.items():
+        na[a] += n
+    nn = sum(trans.values())
+    h = sum(round(-(n / nn) * math.log(n / na[a]), 6)
+            for (a, _), n in trans.items())
+    got = _one(spark, "q315_markov_entropy")
+    assert got["n_transitions"] == nn
+    assert got["h_rate_nats"] == pytest.approx(h, abs=2e-4)
+    assert got["h_rate_norm"] == pytest.approx(h / math.log(5), abs=2e-4)
+
+
+def test_q332_decayed_ltv_matches_numpy(spark):
+    t = _orders()
+    mx = t["o_orderdate"].max()
+    lam = 0.007701635339554948
+    t["decay"] = [round(c * math.exp(-lam * (mx - d).days), 6)
+                  for c, d in zip(t["cents"], t["o_orderdate"])]
+    g = t.groupby("o_custkey").agg(raw=("cents", "sum"),
+                                   ltv=("decay", "sum"))
+    raw_total, decayed = int(g["raw"].sum()), float(g["ltv"].sum())
+    top = g.sort_index().sort_values("ltv", ascending=False,
+                                     kind="stable").iloc[0]
+    got = _one(spark, "q332_decayed_ltv")
+    assert got["n_customers"] == len(g)
+    assert got["raw_total_dollars"] == pytest.approx(raw_total / 100,
+                                                     abs=2e-2)
+    assert got["decayed_total_dollars"] == pytest.approx(decayed / 100,
+                                                         abs=2e-2)
+    assert got["retention_ppm"] == math.floor(decayed * 1000000 / raw_total)
+    assert got["top_cust"] == top.name
+    assert got["top_ltv_dollars"] == pytest.approx(
+        float(top["ltv"]) / 100, abs=2e-3)
+    assert 0 < got["retention_ppm"] < 1000000  # decay genuinely bites
+
+
+def test_q333_cold_start_matches_numpy(spark):
+    ev = _events()
+    ev["day"] = ev["ts"].dt.date
+    first = ev.groupby("user_id")["day"].min()
+    ev["is_first"] = (ev["day"] == ev["user_id"].map(first)).astype(int)
+    d = ev.groupby("day").agg(n=("is_first", "size"),
+                              nf=("is_first", "sum"))
+    rows = {str(r["day"]): r.asDict() for r in
+            REGISTRY["q333_cold_start_rate"].builder(
+                spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(str(d_) for d_ in d.index)
+    for day, r in d.iterrows():
+        row = rows[str(day)]
+        assert (row["n_events"], row["n_first_day"]) == \
+            (int(r["n"]), int(r["nf"]))
+        assert row["cold_start_ppm"] == int(r["nf"]) * 1000000 // int(r["n"])
