@@ -1200,3 +1200,65 @@ def test_q333_cold_start_matches_numpy(spark):
         assert (row["n_events"], row["n_first_day"]) == \
             (int(r["n"]), int(r["nf"]))
         assert row["cold_start_ppm"] == int(r["nf"]) * 1000000 // int(r["n"])
+
+
+def test_q309_vocab_jaccard_matches_numpy(spark):
+    from collections import defaultdict
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    vocab = defaultdict(set)
+    for src, t in zip(docs["source"], docs["text"]):
+        vocab[src].update(w for w in t.split(" ") if w)
+    rows = {(r["source_a"], r["source_b"]): r.asDict() for r in
+            REGISTRY["q309_vocab_jaccard"].builder(
+                spark, SF_DIR).collect()}
+    srcs = sorted(vocab)
+    for i, ga in enumerate(srcs):
+        for gb in srcs[i + 1:]:
+            ni = len(vocab[ga] & vocab[gb])
+            if ni == 0:
+                assert (ga, gb) not in rows
+                continue
+            nu = len(vocab[ga] | vocab[gb])
+            r = rows[(ga, gb)]
+            assert (r["n_inter"], r["n_union"]) == (ni, nu)
+            assert r["jaccard_ppm"] == ni * 1000000 // nu
+            assert r["overlap_coef_ppm"] == \
+                ni * 1000000 // min(len(vocab[ga]), len(vocab[gb]))
+
+
+def test_q314_rbo_matches_numpy(spark):
+    ev = _events()
+    ev["s1"] = (ev["ts"].dt.day <= 15).astype(int)
+    ev["s2"] = (ev["ts"].dt.day > 15).astype(int)
+    c = ev.groupby("event_type")[["s1", "s2"]].sum()
+    ra = {t: i + 1 for i, t in enumerate(
+        sorted(c.index, key=lambda t: (-c.loc[t, "s1"], t)))}
+    rb = {t: i + 1 for i, t in enumerate(
+        sorted(c.index, key=lambda t: (-c.loc[t, "s2"], t)))}
+    k = len(c)
+    total = sum(
+        round(0.9 ** (d - 1)
+              * sum(1 for t in c.index if ra[t] <= d and rb[t] <= d) / d,
+              6)
+        for d in range(1, k + 1))
+    got = _one(spark, "q314_rbo")
+    assert got["k"] == k
+    assert got["rbo_trunc"] == pytest.approx(0.1 * total, abs=2e-4)
+
+
+def test_q320_srm_matches_numpy(spark):
+    import hashlib
+
+    ev = _events()
+    users = ev["user_id"].unique()
+    na = sum(int(hashlib.md5(f"{u}:arm".encode()).hexdigest()[0], 16) < 8
+             for u in users)
+    nb = len(users) - na
+    got = _one(spark, "q320_srm_check")
+    assert (got["na"], got["nb"]) == (na, nb)
+    assert got["share_a_ppm"] == na * 1000000 // (na + nb)
+    assert got["chi2"] == pytest.approx(
+        (na - nb) ** 2 / (na + nb), abs=2e-4)
+    assert got["z"] == pytest.approx(
+        (na - nb) / math.sqrt(na + nb), abs=2e-4)
