@@ -1262,3 +1262,160 @@ def test_q320_srm_matches_numpy(spark):
         (na - nb) ** 2 / (na + nb), abs=2e-4)
     assert got["z"] == pytest.approx(
         (na - nb) / math.sqrt(na + nb), abs=2e-4)
+
+
+def _lineitem():
+    return pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+
+
+def test_q273_spearman_matches_numpy(spark):
+    import pandas as pd
+
+    li = _lineitem()
+    x = np.round(li["l_quantity"]).astype(np.int64)
+    y = np.round(li["l_extendedprice"] * 100).astype(np.int64)
+    rx = (pd.Series(x).rank(method="average") * 2).astype(int)
+    ry = (pd.Series(y).rank(method="average") * 2).astype(int)
+    n = len(x)
+    sx, sy = int(rx.sum()), int(ry.sum())
+    sxy = int((rx.astype(object) * ry.astype(object)).sum())
+    sxx = int((rx.astype(object) ** 2).sum())
+    syy = int((ry.astype(object) ** 2).sum())
+    rho = float(n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    got = _one(spark, "q273_spearman")
+    assert got["n"] == n
+    assert got["pearson_r"] == pytest.approx(
+        float(np.corrcoef(x, y)[0, 1]), abs=2e-4)
+    assert got["spearman_rho"] == pytest.approx(rho, abs=2e-4)
+
+
+def test_q274_mann_whitney_matches_numpy(spark):
+    import pandas as pd
+
+    t = _orders()
+    grp = t["o_orderpriority"].isin(("1-URGENT", "2-HIGH")).to_numpy()
+    rank2 = (pd.Series(t["cents"]).rank(method="average") * 2).astype(int)
+    n, n1 = len(t), int(grp.sum())
+    n2 = n - n1
+    r1x2 = int(rank2[grp].sum())
+    _, tc = np.unique(t["cents"], return_counts=True)
+    t3t = float((tc.astype(np.float64) ** 3 - tc).sum())
+    u1 = (r1x2 - n1 * (n1 + 1)) / 2
+    z = (r1x2 - n1 * (n1 + 1) - n1 * n2) / (
+        2 * math.sqrt(n1 * n2 * ((n + 1) - t3t / (n * (n - 1))) / 12))
+    got = _one(spark, "q274_mann_whitney")
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["u1"] == pytest.approx(u1, abs=1e-3)
+    assert got["auc"] == pytest.approx(u1 / (n1 * n2), abs=2e-4)
+    assert got["z"] == pytest.approx(z, abs=2e-4)
+
+
+def test_q275_kruskal_wallis_matches_numpy(spark):
+    import pandas as pd
+
+    t = _orders()
+    rank2 = (pd.Series(t["cents"]).rank(method="average") * 2).astype(int)
+    g = rank2.groupby(t["o_orderpriority"])
+    n, k = len(t), g.ngroups
+    q = float((g.sum().astype(np.float64) ** 2 / g.size()).sum())
+    _, tc = np.unique(t["cents"], return_counts=True)
+    t3t = float((tc.astype(np.float64) ** 3 - tc).sum())
+    h_raw = 3 * q / (n * (n + 1.0)) - 3 * (n + 1.0)
+    h_tie = h_raw / (1 - t3t / (float(n) * n * n - n))
+    got = _one(spark, "q275_kruskal_wallis")
+    assert (got["n"], got["k"]) == (n, k)
+    assert got["h"] == pytest.approx(h_raw, abs=2e-3)
+    assert got["h_tie"] == pytest.approx(h_tie, abs=2e-3)
+    assert got["eps2"] == pytest.approx(h_tie / (n - 1), abs=2e-4)
+
+
+def test_q276_kendall_tau_matches_numpy(spark):
+    from collections import Counter
+
+    li = _lineitem()
+    x = np.round(li["l_quantity"]).astype(np.int64)
+    y = np.round(li["l_discount"] * 100).astype(np.int64)
+    cells = Counter(zip(x, y))
+    items = list(cells.items())
+    nn = sum(cells.values())
+    tx, ty = Counter(), Counter()
+    for (cx, cy), n in items:
+        tx[cx] += n
+        ty[cy] += n
+    sxx = sum(v * v for v in tx.values())
+    syy = sum(v * v for v in ty.values())
+    C = D = 0
+    for (x1, y1), n1 in items:
+        for (x2, y2), n2 in items:
+            if x2 > x1 and y2 > y1:
+                C += n1 * n2
+            elif x2 > x1 and y2 < y1:
+                D += n1 * n2
+    tau = (C - D) / math.sqrt((nn * nn - sxx) / 2 * ((nn * nn - syy) / 2))
+    got = _one(spark, "q276_kendall_tau")
+    assert got["n"] == nn
+    assert (got["concordant"], got["discordant"]) == (C, D)
+    assert got["tau_b"] == pytest.approx(tau, abs=2e-4)
+    assert got["gamma"] == pytest.approx((C - D) / (C + D), abs=2e-4)
+
+
+def test_q277_friedman_matches_numpy(spark):
+    t = _orders()
+    t["blk"] = t["o_orderdate"].dt.strftime("%Y-%m")
+    cell = (t.groupby(["blk", "o_orderpriority"])["cents"]
+            .sum().reset_index(name="v"))
+    k = cell["o_orderpriority"].nunique()
+    sizes = cell.groupby("blk").size()
+    full = set(sizes[sizes == k].index)
+    from collections import Counter
+    r2j = Counter()
+    nb = 0
+    for blk, g in cell[cell["blk"].isin(full)].groupby("blk"):
+        nb += 1
+        vs = g["v"].to_numpy()
+        for trt, v in zip(g["o_orderpriority"], vs):
+            r2j[trt] += 2 * (1 + int((vs < v).sum())) + int((vs == v).sum()) - 1
+    q2 = sum(float(r) ** 2 for r in r2j.values())
+    q_stat = 3 * q2 / (nb * k * (k + 1.0)) - 3 * nb * (k + 1.0)
+    got = _one(spark, "q277_friedman")
+    assert (got["n"], got["k"]) == (nb, k)
+    assert got["q_stat"] == pytest.approx(q_stat, abs=2e-3)
+    assert got["kendall_w"] == pytest.approx(q_stat / (nb * (k - 1.0)),
+                                             abs=2e-4)
+
+
+def test_q278_brown_forsythe_matches_numpy(spark):
+    t = _orders()
+    m2 = t.groupby("o_orderpriority")["cents"].median() * 2
+    z2 = np.abs(2 * t["cents"]
+                - t["o_orderpriority"].map(m2).astype(np.int64))
+    g = z2.groupby(t["o_orderpriority"])
+    n, k = len(t), g.ngroups
+    sb = float((g.sum().astype(np.float64) ** 2 / g.size()).sum())
+    st, qt = float(z2.sum()), float((z2.astype(object) ** 2).sum())
+    f = ((sb - st * st / n) / (k - 1)) / ((qt - sb) / (n - k))
+    got = _one(spark, "q278_brown_forsythe")
+    assert (got["n"], got["k"]) == (n, k)
+    assert got["f_stat"] == pytest.approx(f, abs=2e-4)
+    assert got["eta_sq"] == pytest.approx(
+        (sb - st * st / n) / (qt - st * st / n), abs=2e-4)
+
+
+def test_q279_welch_matches_numpy(spark):
+    t = _orders()
+    grp = t["o_orderpriority"].isin(("1-URGENT", "2-HIGH")).to_numpy()
+    a = t["cents"].to_numpy(np.float64)[grp]
+    b = t["cents"].to_numpy(np.float64)[~grp]
+    n1, n2 = len(a), len(b)
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    md = a.mean() - b.mean()
+    se2 = v1 / n1 + v2 / n2
+    df = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    d = md / math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    got = _one(spark, "q279_welch_ttest")
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["mean_diff"] == pytest.approx(md / 100, abs=2e-2)
+    assert got["t_stat"] == pytest.approx(md / math.sqrt(se2), abs=2e-4)
+    assert got["df_welch"] == pytest.approx(df, abs=2e-2)
+    assert got["cohens_d"] == pytest.approx(d, abs=2e-4)
