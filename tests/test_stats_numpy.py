@@ -1419,3 +1419,105 @@ def test_q279_welch_matches_numpy(spark):
     assert got["t_stat"] == pytest.approx(md / math.sqrt(se2), abs=2e-4)
     assert got["df_welch"] == pytest.approx(df, abs=2e-2)
     assert got["cohens_d"] == pytest.approx(d, abs=2e-4)
+
+
+def test_q280_avg_precision_matches_numpy(spark):
+    ev = _events()
+    all_v = np.sort(ev["value"].to_numpy(np.float64))
+    n_all = len(all_v)
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q280_avg_precision"].builder(
+                spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        tv = np.sort(g["value"].to_numpy(np.float64))
+        n_pos = len(tv)
+        vals, counts = np.unique(tv, return_counts=True)
+        total = 0.0
+        for v, n in zip(vals, counts):
+            pos_ge = n_pos - int(np.searchsorted(tv, v, side="left"))
+            all_ge = n_all - int(np.searchsorted(all_v, v, side="left"))
+            total += round(n * pos_ge / all_ge, 6)
+        r = rows[et]
+        assert r["n_pos"] == n_pos
+        assert r["ap"] == pytest.approx(total / n_pos, abs=2e-4)
+
+
+def test_q281_cramers_v_matches_numpy(spark):
+    t = _orders()
+    c = (t.groupby(["o_orderpriority", "o_orderstatus"])
+         .size().reset_index(name="obs"))
+    n = int(c["obs"].sum())
+    rt = c.groupby("o_orderpriority")["obs"].sum()
+    ct = c.groupby("o_orderstatus")["obs"].sum()
+    ra, cb = len(rt), len(ct)
+    chi2 = sum(round((r["obs"] - rt[r["o_orderpriority"]]
+                      * ct[r["o_orderstatus"]] / n) ** 2
+                     / (rt[r["o_orderpriority"]]
+                        * ct[r["o_orderstatus"]] / n), 6)
+               for _, r in c.iterrows())
+    v = math.sqrt(chi2 / (n * (min(ra, cb) - 1)))
+    phi2c = max(chi2 / n - (ra - 1) * (cb - 1) / (n - 1), 0)
+    rc = ra - (ra - 1) ** 2 / (n - 1)
+    cc = cb - (cb - 1) ** 2 / (n - 1)
+    vc = math.sqrt(phi2c / (min(rc, cc) - 1))
+    got = _one(spark, "q281_cramers_v")
+    assert (got["n"], got["ra"], got["cb"]) == (n, ra, cb)
+    assert got["chi2"] == pytest.approx(chi2, abs=2e-3)
+    assert got["dof"] == (ra - 1) * (cb - 1)
+    assert got["cramers_v"] == pytest.approx(v, abs=2e-4)
+    assert got["cramers_v_corrected"] == pytest.approx(vc, abs=2e-4)
+
+
+def test_q282_mcnemar_matches_numpy(spark):
+    t = _orders()
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    yr = t["o_orderdate"].dt.year
+    y1 = set(t.loc[yr == 1996, "o_custkey"])
+    y2 = set(t.loc[yr == 1997, "o_custkey"])
+    ks = cust["c_custkey"]
+    a = ks.isin(y1).to_numpy()
+    b = ks.isin(y2).to_numpy()
+    n11 = int((a & b).sum()); n10 = int((a & ~b).sum())
+    n01 = int((~a & b).sum()); n00 = int((~a & ~b).sum())
+    got = _one(spark, "q282_mcnemar")
+    assert (got["n11"], got["n10"], got["n01"], got["n00"]) == \
+        (n11, n10, n01, n00)
+    assert got["chi2"] == pytest.approx(
+        (n10 - n01) ** 2 / (n10 + n01), abs=2e-4)
+    assert got["chi2_cc"] == pytest.approx(
+        (abs(n10 - n01) - 1) ** 2 / (n10 + n01), abs=2e-4)
+    assert got["odds_ratio"] == pytest.approx(n10 / n01, abs=2e-4)
+
+
+def test_q283_jsd_matches_numpy(spark):
+    from collections import Counter, defaultdict
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    gt = defaultdict(Counter)
+    for src, t in zip(docs["source"], docs["text"]):
+        if src is not None:
+            gt[src].update(t.split(" "))  # oracle does NOT drop empties
+    tot = {g: sum(c.values()) for g, c in gt.items()}
+    rows = {(r["source_a"], r["source_b"]): r.asDict() for r in
+            REGISTRY["q283_js_divergence"].builder(
+                spark, SF_DIR).collect()}
+    srcs = sorted(gt)
+    for i, ga in enumerate(srcs):
+        for gb in srcs[i + 1:]:
+            shared = set(gt[ga]) & set(gt[gb])
+            na, nb = tot[ga], tot[gb]
+            s = sca = scb = 0.0
+            for tk in shared:
+                ca, cb = gt[ga][tk], gt[gb][tk]
+                pa, pb = ca / na, cb / nb
+                s += pa * math.log(2 * pa / (pa + pb)) \
+                    + pb * math.log(2 * pb / (pa + pb))
+                sca += ca
+                scb += cb
+            jsd = 0.5 * (s + (1 - sca / na) * math.log(2)
+                         + (1 - scb / nb) * math.log(2))
+            r = rows[(ga, gb)]
+            assert r["n_shared_vocab"] == len(shared)
+            assert r["jsd"] == pytest.approx(jsd, abs=2e-3)
+            assert r["jsd_norm"] == pytest.approx(jsd / math.log(2),
+                                                  abs=2e-3)
