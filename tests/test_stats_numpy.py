@@ -1521,3 +1521,93 @@ def test_q283_jsd_matches_numpy(spark):
             assert r["jsd"] == pytest.approx(jsd, abs=2e-3)
             assert r["jsd_norm"] == pytest.approx(jsd / math.log(2),
                                                   abs=2e-3)
+
+
+def test_q185_auc_matches_numpy(spark):
+    ev = _events()
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q185_auc"].builder(spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        pos = np.sort(g["value"].to_numpy(np.float64))
+        neg = np.sort(ev.loc[ev["event_type"] != et,
+                             "value"].to_numpy(np.float64))
+        # tie-exact rank AUC: P(pos > neg) + 0.5 P(pos == neg)
+        lt = np.searchsorted(neg, pos, side="left")
+        le = np.searchsorted(neg, pos, side="right")
+        auc = float((lt + 0.5 * (le - lt)).sum()) / (len(pos) * len(neg))
+        r = rows[et]
+        assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+        assert r["auc"] == pytest.approx(auc, abs=2e-4)
+
+
+def test_q186_ks_matches_numpy(spark):
+    ev = _events()
+    mid = int(ev["event_id"].max()) // 2
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q186_ks_drift"].builder(spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        a = np.sort(g.loc[g["event_id"] <= mid,
+                          "value"].to_numpy(np.float64))
+        b = np.sort(g.loc[g["event_id"] > mid,
+                          "value"].to_numpy(np.float64))
+        r = rows[et]
+        assert (r["n_first"], r["n_second"]) == (len(a), len(b))
+        if len(a) == 0 or len(b) == 0:
+            assert r["ks"] is None
+            continue
+        vs = np.unique(np.concatenate([a, b]))
+        cum0 = np.searchsorted(a, vs, side="right")
+        cum1 = np.searchsorted(b, vs, side="right")
+        ks = float(np.max(np.abs(cum0 * len(b) - cum1 * len(a)))) \
+            / (len(a) * len(b))
+        assert r["ks"] == pytest.approx(ks, abs=2e-4)
+
+
+def test_q190_kaplan_meier_matches_numpy(spark):
+    ev = _events()
+    rows = [r.asDict() for r in
+            REGISTRY["q190_kaplan_meier"].builder(spark, SF_DIR).collect()]
+    per = []
+    for _, g in ev.groupby("user_id"):
+        t0 = g["ts"].min()
+        p = g.loc[g["event_type"] == "purchase", "ts"]
+        end = p.min() if len(p) else g["ts"].max()
+        per.append(((end.date() - t0.date()).days, int(len(p) > 0)))
+    import pandas as pd
+    d = pd.DataFrame(per, columns=["dur", "ev"])
+    g = (d.groupby("dur").agg(cnt=("ev", "size"), d_i=("ev", "sum"))
+         .sort_index())
+    n_total = int(g["cnt"].sum())
+    at_risk = n_total - (g["cnt"].cumsum() - g["cnt"])
+    surv = 1.0
+    want = {}
+    for dur, cnt, d_i, n_risk in zip(g.index, g["cnt"], g["d_i"], at_risk):
+        surv *= 1.0 - d_i / n_risk
+        want[dur] = (int(n_risk), int(d_i), int(cnt - d_i), surv)
+    assert sorted(r["dur_days"] for r in rows) == sorted(want)
+    for r in rows:
+        n_risk, d_i, cens, surv = want[r["dur_days"]]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == \
+            (n_risk, d_i, cens)
+        assert r["survival"] == pytest.approx(surv, abs=2e-3)
+
+
+def test_q244_theil_sen_matches_numpy(spark):
+    import datetime
+
+    t = _orders()
+    t["d"] = (t["o_orderdate"]
+              - datetime.datetime(1992, 1, 1)).dt.days.astype(int)
+    daily = t.groupby("d")["cents"].sum()
+    ds = daily.index.to_numpy(np.float64)
+    rs = daily.to_numpy(np.float64)
+    slopes = []
+    for i in range(len(ds)):
+        slopes.extend((rs[i + 1:] - rs[i]) / (ds[i + 1:] - ds[i]))
+    slope = float(np.percentile(slopes, 50))
+    intercept = float(np.percentile(rs - slope * ds, 50))
+    got = _one(spark, "q244_theil_sen")
+    assert (got["n_days"], got["n_pairs"]) == \
+        (len(ds), len(ds) * (len(ds) - 1) // 2)
+    assert got["sen_slope"] == pytest.approx(slope, abs=2e-3)
+    assert got["sen_intercept"] == pytest.approx(intercept, abs=2e-2)
