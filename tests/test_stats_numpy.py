@@ -1611,3 +1611,111 @@ def test_q244_theil_sen_matches_numpy(spark):
         (len(ds), len(ds) * (len(ds) - 1) // 2)
     assert got["sen_slope"] == pytest.approx(slope, abs=2e-3)
     assert got["sen_intercept"] == pytest.approx(intercept, abs=2e-2)
+
+
+def test_q89_stat_moments_matches_numpy(spark):
+    ev = _events()
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q89_stat_moments"].builder(spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy(np.float64)
+        h = g["ts"].dt.hour.to_numpy(np.float64)
+        n = len(v)
+        m = v.mean()
+        m2 = ((v - m) ** 2).mean()
+        r = rows[et]
+        assert r["corr_hv"] == pytest.approx(
+            float(np.corrcoef(h, v)[0, 1]), abs=2e-4)
+        assert r["cov_pop"] == pytest.approx(
+            float(((h - h.mean()) * (v - m)).mean()), abs=2e-3)
+        assert r["cov_samp"] == pytest.approx(
+            float(((h - h.mean()) * (v - m)).sum() / (n - 1)), abs=2e-3)
+        assert r["sd"] == pytest.approx(v.std(ddof=1), abs=2e-3)
+        assert r["vr"] == pytest.approx(v.var(ddof=1), abs=2e-2)
+        assert r["sk"] == pytest.approx(
+            ((v - m) ** 3).mean() / m2 ** 1.5, abs=2e-4)
+        assert r["ku"] == pytest.approx(
+            ((v - m) ** 4).mean() / m2 ** 2 - 3, abs=2e-4)
+
+
+def test_q89b_regression_matches_numpy(spark):
+    ev = _events()
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q89b_regression"].builder(spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        y = g["value"].to_numpy(np.float64)
+        x = g["ts"].dt.hour.to_numpy(np.float64)
+        n = len(y)
+        sxx = float(((x - x.mean()) ** 2).sum())
+        syy = float(((y - y.mean()) ** 2).sum())
+        sxy = float(((x - x.mean()) * (y - y.mean())).sum())
+        slope = sxy / sxx
+        r = rows[et]
+        assert r["n"] == n
+        assert r["slope"] == pytest.approx(slope, abs=2e-4)
+        assert r["icept"] == pytest.approx(
+            y.mean() - slope * x.mean(), abs=2e-3)
+        assert r["r2"] == pytest.approx(sxy * sxy / (sxx * syy), abs=2e-4)
+        assert r["avgx"] == pytest.approx(x.mean(), abs=2e-4)
+        assert r["avgy"] == pytest.approx(y.mean(), abs=2e-3)
+        assert r["sxx"] == pytest.approx(sxx, abs=2e-2)
+        assert r["syy"] == pytest.approx(syy, rel=1e-6)
+        assert r["sxy"] == pytest.approx(sxy, abs=2e-2)
+
+
+def test_q166_chi_square_matches_numpy(spark):
+    ev = _events()
+    ev["dow"] = ev["ts"].dt.weekday  # any consistent labeling
+    o = ev.groupby(["event_type", "dow"]).size().reset_index(name="obs")
+    n = int(o["obs"].sum())
+    rt = o.groupby("event_type")["obs"].sum()
+    ct = o.groupby("dow")["obs"].sum()
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q166_chi_square"].builder(spark, SF_DIR).collect()}
+    for et, g in o.groupby("event_type"):
+        chi2 = sum(round((r["obs"] - rt[et] * ct[r["dow"]] / n) ** 2
+                         / (rt[et] * ct[r["dow"]] / n), 4)
+                   for _, r in g.iterrows())
+        r = rows[et]
+        assert r["n_cells"] == len(g)
+        assert r["chi2_contrib"] == pytest.approx(chi2, abs=2e-3)
+
+
+def test_q175_gini_matches_numpy(spark):
+    t = _orders()
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    nation = pq.read_table(f"{SF_DIR}/nation.parquet").to_pandas()
+    nk = cust.set_index("c_custkey")["c_nationkey"]
+    nname = nation.set_index("n_nationkey")["n_name"]
+    rev = t.groupby("o_custkey")["cents"].sum().reset_index()
+    rev["nk"] = rev["o_custkey"].map(nk)
+    rows = {r["n_name"]: r.asDict() for r in
+            REGISTRY["q175_gini"].builder(spark, SF_DIR).collect()}
+    for k, g in rev.groupby("nk"):
+        g = g.sort_values(["cents", "o_custkey"])
+        n = len(g)
+        i = np.arange(1, n + 1)
+        num = int(((2 * i - n - 1) * g["cents"].to_numpy(object)).sum())
+        tot = int(g["cents"].sum())
+        r = rows[nname[k]]
+        assert r["n_firms"] == n
+        assert r["gini_ppm"] == num * 1000000 // (n * tot)
+        assert 0 < r["gini_ppm"] < 1000000  # spend is unequal, not total
+
+
+def test_q167_hhi_matches_numpy(spark):
+    t = _orders()
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    nation = pq.read_table(f"{SF_DIR}/nation.parquet").to_pandas()
+    nk = cust.set_index("c_custkey")["c_nationkey"]
+    nname = nation.set_index("n_nationkey")["n_name"]
+    rev = t.groupby("o_custkey")["cents"].sum().reset_index()
+    rev["nk"] = rev["o_custkey"].map(nk)
+    rows = {r["n_name"]: r.asDict() for r in
+            REGISTRY["q167_hhi"].builder(spark, SF_DIR).collect()}
+    for k, g in rev.groupby("nk"):
+        tot = int(g["cents"].sum())
+        ppm = [int(c) * 1000000 // tot for c in g["cents"]]
+        r = rows[nname[k]]
+        assert r["n_firms"] == len(g)
+        assert r["hhi_ppm2"] == sum(p * p for p in ppm)
