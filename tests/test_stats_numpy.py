@@ -1719,3 +1719,95 @@ def test_q167_hhi_matches_numpy(spark):
         r = rows[nname[k]]
         assert r["n_firms"] == len(g)
         assert r["hhi_ppm2"] == sum(p * p for p in ppm)
+
+
+def test_q214_lorenz_matches_numpy(spark):
+    t = _orders()
+    c = (t.groupby("o_custkey")["cents"].sum().reset_index()
+         .sort_values(["cents", "o_custkey"]).reset_index(drop=True))
+    n, tot = len(c), int(c["cents"].sum())
+    c["decile"] = (c.index * 10) // n
+    rows = {r["decile"]: r.asDict() for r in
+            REGISTRY["q214_lorenz_deciles"].builder(
+                spark, SF_DIR).collect()}
+    cum = 0
+    for dec, g in c.groupby("decile"):
+        cents = int(g["cents"].sum())
+        cum += cents
+        r = rows[dec]
+        assert (r["n_customers"], r["cents"]) == (len(g), cents)
+        assert r["share_ppm"] == cents * 1000000 // tot
+        assert r["cum_share_ppm"] == cum * 1000000 // tot
+    # Lorenz curve is convex-ish on the fixture: top decile > bottom
+    assert rows[9]["share_ppm"] > rows[0]["share_ppm"]
+
+
+def test_q272_seasonal_decompose_matches_numpy(spark):
+    import pandas as pd
+
+    t = _orders()
+    d = (t.groupby(t["o_orderdate"].dt.date)["cents"].sum()
+         .sort_index())
+    trend = (d.astype(np.float64)
+             .rolling(window=7, center=True, min_periods=1).mean()
+             .round(4))
+    det = d.astype(np.float64) - trend
+    dow = pd.Series([dd.isoweekday() for dd in d.index], index=d.index)
+    seasonal = det.groupby(dow).mean().round(4)
+    rows = {str(r["day"]): r.asDict() for r in
+            REGISTRY["q272_seasonal_decompose"].builder(
+                spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(str(dd) for dd in d.index)
+    for dd in d.index:
+        r = rows[str(dd)]
+        assert r["cents"] == int(d[dd])
+        assert r["trend"] == pytest.approx(trend[dd], abs=2e-3)
+        assert r["seasonal"] == pytest.approx(seasonal[dow[dd]], abs=2e-3)
+        assert r["resid"] == pytest.approx(
+            d[dd] - trend[dd] - seasonal[dow[dd]], abs=2e-3)
+
+
+def test_q161_benford_matches_numpy(spark):
+    from collections import Counter
+
+    ev = _events()
+    ev = ev[ev["value"] >= 0.01]
+    cents = np.round(ev["value"] * 100).astype(np.int64)
+    digits = np.array([int(str(c)[0]) for c in cents])
+    benford = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+    rows = {(r["event_type"], r["digit"]): r.asDict() for r in
+            REGISTRY["q161_benford"].builder(spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        dg = Counter(digits[ev["event_type"].to_numpy() == et])
+        tot = sum(dg.values())
+        for digit, n in dg.items():
+            r = rows[(et, digit)]
+            assert r["n"] == n
+            assert r["obs_ppm"] == n * 1000000 // tot
+            assert r["benford_ppm"] == benford[digit]
+            assert r["diff_ppm"] == n * 1000000 // tot - benford[digit]
+
+
+def test_q238_zipf_matches_numpy(spark):
+    from collections import Counter
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    rows = {r["lang"]: r.asDict() for r in
+            REGISTRY["q238_zipf_fit"].builder(spark, SF_DIR).collect()}
+    for lang, g in docs.groupby("lang"):
+        vc = Counter(w for t in g["text"] for w in t.split(" "))
+        ranked = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))
+        x = np.array([round(math.log(i + 1), 6)
+                      for i in range(len(ranked))])
+        y = np.array([round(math.log(c), 6) for _, c in ranked])
+        nt = len(ranked)
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx = (x * y).sum(), (x * x).sum()
+        slope = (nt * sxy - sx * sy) / (nt * sxx - sx * sx)
+        r = rows[lang]
+        assert (r["n_types"], r["n_tokens"]) == (nt, sum(vc.values()))
+        assert r["zipf_slope"] == pytest.approx(slope, abs=2e-3)
+        assert r["zipf_intercept"] == pytest.approx(
+            (sy - slope * sx) / nt, abs=2e-3)
+        assert slope < 0  # a Zipf head exists: frequency falls with rank
