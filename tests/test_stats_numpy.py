@@ -1811,3 +1811,41 @@ def test_q238_zipf_matches_numpy(spark):
         assert r["zipf_intercept"] == pytest.approx(
             (sy - slope * sx) / nt, abs=2e-3)
         assert slope < 0  # a Zipf head exists: frequency falls with rank
+
+
+def test_q187_poisson_bootstrap_matches_numpy(spark):
+    """Replays the deterministic md5 inverse-CDF Poisson(1) weights in
+    pure Python — the no-RNG bootstrap machinery itself is the thing
+    under test here, not just the arithmetic."""
+    import hashlib
+
+    thresh = [6171992, 12343985, 15429982, 16458647, 16715813,
+              16767247, 16775819, 16777044, 16777197]
+    ev = _events()
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q187_poisson_bootstrap"].builder(
+                spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        ids = g["event_id"].to_numpy()
+        vals = [round(float(v), 6) for v in g["value"]]
+        means = []
+        for r in range(64):
+            sw = swv = 0
+            for eid, v in zip(ids, vals):
+                u = int(hashlib.md5(
+                    f"{eid}:{r}:bs".encode()).hexdigest()[:6], 16)
+                w = sum(1 for t in thresh if u >= t)
+                sw += w
+                swv += w * v
+            if sw > 0:
+                means.append(round(swv / sw, 4))
+        row = rows[et]
+        assert row["n"] == len(g)
+        assert row["n_replicas"] == len(means)
+        assert row["point_mean"] == pytest.approx(
+            sum(vals) / len(vals), abs=2e-3)
+        assert row["ci_lo"] == pytest.approx(
+            float(np.percentile(means, 2.5)), abs=2e-3)
+        assert row["ci_hi"] == pytest.approx(
+            float(np.percentile(means, 97.5)), abs=2e-3)
+        assert row["ci_lo"] < row["point_mean"] < row["ci_hi"]
