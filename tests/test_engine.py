@@ -756,6 +756,9 @@ def test_star_route_having_order_limit(engine):
         [tuple(str(x) for x in r) for r in direct.collect()]
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "orders.parquet" not in plan  # fact still never scanned
+    # plan-quality pin: the presentation clauses compile to a top-k over
+    # a post-aggregate filter — never a global sort of the summary
+    assert "TakeOrderedAndProject" in plan
 
     # refusals: HAVING over a key or an expression; LIMIT without a
     # key-complete ORDER BY (ties at the cut could diverge from plain SQL)
