@@ -3175,60 +3175,50 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
              SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
       FROM orders GROUP BY 1),
-    c AS (
-      SELECT day,
-             SUM(cents) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM d),
     dd AS (
-      SELECT day, cum,
-             MAX(cum) OVER (ORDER BY day
+      SELECT day, cents,
+             MAX(cents) OVER (ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
-      FROM c)
-    SELECT CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+      FROM d)
+    SELECT CAST(MAX(peak - cents) AS BIGINT) AS max_drawdown_cents,
            CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(MAX(peak) AS BIGINT) AS final_peak_cents
     FROM dd
     """,
-    doc="Maximum drawdown of the cumulative daily revenue curve in exact "
-        "cents — day-aggregated series, inclusive running max via the "
-        "distributed bucket-offset operator (never a single-task global "
-        "window over row-level data).",
+    doc="Maximum drawdown of the DAILY revenue level series in exact "
+        "cents (running peak minus current day) — day-aggregated series, "
+        "inclusive running max via the distributed bucket-offset "
+        "operator. Previously defined on the cumulative curve, which is "
+        "monotone for all-positive daily revenue and made the statistic "
+        "identically zero at every SF (the q326 degeneracy class, caught "
+        "by the round-8 numpy audit) — the level-series form actually "
+        "exercises the running-max machinery.",
 )
 def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from inspectadb_spark.operators.scale import global_rank
-
     o = tables(spark, sf_dir)["orders"]
     d = (o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
          .agg(F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
               .alias("cents")))
-    # day-level series is calendar-bounded: a partitioned-by-bucket pair of
-    # running aggregates. Reuse the epoch-day integer as the bucket key.
+    # day-level series is calendar-bounded: the inclusive running max is
+    # a per-bucket window + a bounded cross-bucket carry scan. Reuse the
+    # epoch-day integer as the bucket key.
     dd = d.withColumn("day_i", F.expr("datediff(CAST(day AS DATE),"
                                       " DATE'1992-01-01')"))
     from pyspark.sql import Window
 
     b = dd.withColumn("_bkt", F.expr("day_i DIV 365"))
-    sums = b.groupBy("_bkt").agg(F.sum("cents").alias("_bsum"))
     woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offs = sums.withColumn("_off",
-                           F.coalesce(F.sum("_bsum").over(woff), F.lit(0)))
-    win = (Window.partitionBy("_bkt").orderBy("day_i")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = (b.join(F.broadcast(offs.select("_bkt", "_off")), "_bkt")
-           .withColumn("cum", F.col("_off") + F.sum("cents").over(win)))
-    # inclusive running max of cum, same bucket scheme
-    bmax = cum.groupBy("_bkt").agg(F.max("cum").alias("_bmax"))
+    bmax = b.groupBy("_bkt").agg(F.max("cents").alias("_bmax"))
     carry = bmax.withColumn("_carry", F.max("_bmax").over(woff))
     wmax = (Window.partitionBy("_bkt").orderBy("day_i")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    peaked = (cum.join(F.broadcast(carry.select("_bkt", "_carry")), "_bkt")
+    peaked = (b.join(F.broadcast(carry.select("_bkt", "_carry")), "_bkt")
               .withColumn("peak",
                           F.greatest(F.coalesce(F.col("_carry"),
-                                                F.col("cum")),
-                                     F.max("cum").over(wmax))))
+                                                F.col("cents")),
+                                     F.max("cents").over(wmax))))
     return peaked.agg(
-        F.max(F.col("peak") - F.col("cum")).cast("bigint")
+        F.max(F.col("peak") - F.col("cents")).cast("bigint")
         .alias("max_drawdown_cents"),
         F.count("*").alias("n_days"),
         F.max("peak").cast("bigint").alias("final_peak_cents"))

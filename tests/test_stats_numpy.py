@@ -1849,3 +1849,82 @@ def test_q187_poisson_bootstrap_matches_numpy(spark):
         assert row["ci_hi"] == pytest.approx(
             float(np.percentile(means, 97.5)), abs=2e-3)
         assert row["ci_lo"] < row["point_mean"] < row["ci_hi"]
+
+
+def test_q138_winsorized_matches_numpy(spark):
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    rows = {r["source"]: r.asDict() for r in
+            REGISTRY["q138_winsorized_stats"].builder(
+                spark, SF_DIR).collect()}
+    for src, g in docs.groupby("source"):
+        x = g["n_chars"].to_numpy(np.float64)
+        p_lo = round(float(np.percentile(x, 5)), 4)
+        p_hi = round(float(np.percentile(x, 95)), 4)
+        wm = float(np.clip(x, p_lo, p_hi).mean())
+        r = rows[src]
+        assert r["n"] == len(x)
+        assert r["p_lo"] == pytest.approx(p_lo, abs=2e-3)
+        assert r["p_hi"] == pytest.approx(p_hi, abs=2e-3)
+        assert r["win_mean"] == pytest.approx(wm, abs=2e-2)
+
+
+def test_q138b_mad_matches_numpy(spark):
+    ev = _events()
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q138b_mad"].builder(spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy(np.float64)
+        med = round(float(np.percentile(v, 50)), 4)
+        mad = float(np.percentile(np.abs(v - med), 50))
+        r = rows[et]
+        assert r["n"] == len(v)
+        assert r["med"] == pytest.approx(med, abs=2e-3)
+        assert r["mad"] == pytest.approx(mad, abs=2e-3)
+
+
+def test_q149_covariance_matches_numpy(spark):
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    q = np.stack([
+        np.round(np.asarray(v[:16], dtype=np.float64) * 10000)
+        .astype(np.int64) for v in emb["embedding"]])
+    n = len(q)
+    rows = {(r["i"], r["j"]): r.asDict() for r in
+            REGISTRY["q149_embedding_covariance"].builder(
+                spark, SF_DIR).collect()}
+    assert len(rows) == 15 * 16 // 2
+    for (i, j), r in rows.items():
+        sxy = int((q[:, i].astype(object) * q[:, j].astype(object)).sum())
+        sx, sy = int(q[:, i].sum()), int(q[:, j].sum())
+        assert r["n"] == n
+        assert r["cov_q"] == pytest.approx(
+            float(n * sxy - sx * sy) / n / n, abs=2e-3)
+
+
+def test_q215_weighted_median_matches_numpy(spark):
+    li = _lineitem()
+    li["cents"] = np.round(li["l_extendedprice"] * 100).astype(np.int64)
+    li["w"] = np.round(li["l_quantity"]).astype(np.int64)
+    rows = {r["flag"]: r.asDict() for r in
+            REGISTRY["q215_weighted_median"].builder(
+                spark, SF_DIR).collect()}
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values("cents")
+        cw = g["w"].cumsum()
+        tw = int(g["w"].sum())
+        wmed = int(g.loc[cw * 2 >= tw, "cents"].iloc[0])
+        r = rows[flag]
+        assert (r["wmedian_cents"], r["total_weight"]) == (wmed, tw)
+
+
+def test_q257_drawdown_matches_numpy(spark):
+    t = _orders()
+    d = (t.groupby(t["o_orderdate"].dt.date)["cents"].sum()
+         .sort_index().to_numpy(np.int64))
+    peak = np.maximum.accumulate(d)
+    got = _one(spark, "q257_revenue_drawdown")
+    assert got["n_days"] == len(d)
+    assert got["final_peak_cents"] == int(peak[-1])
+    assert got["max_drawdown_cents"] == int((peak - d).max())
+    # non-degenerate: the level series actually dips below its peak (the
+    # old cumulative-curve form was monotone -> drawdown identically 0)
+    assert (peak - d).max() > 0

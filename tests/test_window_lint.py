@@ -54,7 +54,7 @@ _EXPECTED = {
     "q274_mann_whitney": [("Aggregate",)],          # avg_rank2 offsets
     "q275_kruskal_wallis": [("Aggregate",)],        # avg_rank2 offsets
     "q288_wilcoxon_signed_rank": [("Aggregate",)],  # avg_rank2 offsets
-    "q257_revenue_drawdown": [("Aggregate",)] * 3,  # day grain + buckets
+    "q257_revenue_drawdown": [("Aggregate",)],      # bucket max carry scan
     # day/bin/decile-cardinality intermediates (bounded by the calendar
     # or an explicit bin count, not by row count)
     "q74_cumulative_users": [("Aggregate",)],       # one row per day
