@@ -542,7 +542,8 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q86_type_affinity",
     oracle="""
-    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events
+             WHERE value > 150),
     sz AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type),
     pb AS (
       SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_both
@@ -554,14 +555,19 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pb JOIN sz s1 ON s1.event_type = t1 JOIN sz s2 ON s2.event_type = t2
     ORDER BY t1, t2
     """,
-    doc="Pairwise user-set Jaccard between event types; distinct-first so "
-        "repeat events never fan out.",
+    doc="Pairwise user-set Jaccard between event types over HIGH-VALUE "
+        "interactions (value > 150); distinct-first so repeat events "
+        "never fan out. The unfiltered form was degenerate on this "
+        "corpus — every user touches every type, so all ten Jaccards "
+        "were identically 1.0 at every SF (the q326 class, caught by "
+        "the round-8 audit sweep); the high-value cut (the q321 "
+        "precedent) makes the user sets genuinely differ per type.",
 )
 def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE per-user aggregation (collect_set of types, bounded by |types|),
     # then pair generation INSIDE the array — no user-level self-join, which
     # at 100 TB would re-shuffle the distinct table twice. 4 exchanges vs 8.
-    ev = tables(spark, sf_dir)["events"]
+    ev = tables(spark, sf_dir)["events"].filter(F.col("value") > 150)
     per_user = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("ts"))
     pairs = per_user.select(
@@ -2949,7 +2955,7 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
       SELECT event_type, ts,
-             MAX(ts) OVER (ORDER BY event_id
+             MAX(ts) OVER (ORDER BY CAST(ts AS DATE), user_id, ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS hwm
       FROM events),
@@ -2966,21 +2972,43 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS p95_late_s
     FROM l GROUP BY event_type ORDER BY event_type
     """,
-    doc="Lateness vs the running arrival-order high-watermark: per event "
+    doc="Lateness vs the running arrival-order high-watermark under a "
+        "MULTIPLEXED arrival order (per day, per user, each user's "
+        "events in time order — the per-key-ordered / cross-key-"
+        "unordered shape of a CDC or partitioned-log source): per event "
         "type, out-of-order row count, worst lateness, and the p95 that "
         "sizes the streaming watermark delay. Integer-second lateness "
-        "keeps every aggregate engine-exact.",
+        "keeps every aggregate engine-exact. Previously measured against "
+        "raw event_id order, which this corpus generates perfectly "
+        "ts-sorted — every lateness column was identically zero at every "
+        "SF (the q326 degeneracy class, caught by the round-8 audit "
+        "sweep); the multiplexed order exercises the watermark math on "
+        "genuinely disordered arrivals.",
 )
 def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from inspectadb_spark.operators.scale import global_running_max
+    from pyspark.sql import Window
 
     ev = tables(spark, sf_dir)["events"]
-    # distributed running high-watermark (bucket-offset scheme, parity-
-    # tested against the naive single-task global window in test_scale_ops)
-    a = global_running_max(
-        ev.select("event_type", "ts", "event_id"),
-        order_col="event_id", val_col="ts", out_col="hwm",
-    ).select("event_type", "ts", "hwm")
+    # Two-level bucket-offset running max over the multiplexed arrival
+    # order (day, user, ts, event_id): (day, user) groups are contiguous
+    # in that order, so the high-watermark is GREATEST(carry-in from all
+    # earlier groups, strict-preceding max inside the group). The carry
+    # table is (day, user)-grain — aggregate-sized, the same class as the
+    # other bucket tables in the window-lint inventory; the row-level
+    # window partitions by (day, user).
+    e = ev.select("event_type", "ts", "user_id", "event_id",
+                  F.to_date("ts").alias("_day"))
+    ug = e.groupBy("_day", "user_id").agg(F.max("ts").alias("_gmax"))
+    wprev = (Window.orderBy("_day", "user_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (ug.withColumn("_hwm_in", F.max("_gmax").over(wprev))
+             .select("_day", "user_id", "_hwm_in"))
+    win = (Window.partitionBy("_day", "user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    a = (e.join(carry, ["_day", "user_id"])
+         .withColumn("hwm", F.greatest(F.col("_hwm_in"),
+                                       F.max("ts").over(win)))
+         .select("event_type", "ts", "hwm"))
     late = F.when(
         F.col("hwm").isNull() | (F.col("ts") >= F.col("hwm")), F.lit(0)
     ).otherwise(

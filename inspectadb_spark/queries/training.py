@@ -1918,7 +1918,8 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT user_id, event_type,
              SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS s,
-             SUM(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS r
+             SUM(CASE WHEN day(ts) > 15 AND value > 150
+                 THEN 1 ELSE 0 END) AS r
       FROM events GROUP BY user_id, event_type),
     p AS (
       SELECT user_id, r,
@@ -1940,8 +1941,14 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM u
     """,
     doc="Mean reciprocal rank and hit@1/hit@3 (integer ppm) of first-half "
-        "activity ranking against second-half relevance, per-user "
-        "windows, order-exact decimal averaging.",
+        "activity ranking against second-half HIGH-VALUE relevance "
+        "(value > 150 — the q321 cut), per-user windows, order-exact "
+        "decimal averaging. Plain second-half activity saturated on this "
+        "dense corpus (every user's top-ranked type was relevant, so MRR "
+        "was identically 1.0 at every SF — the q326 degeneracy class, "
+        "caught by the round-8 audit sweep); the binary first-hit metric "
+        "needs the sparser relevance to discriminate, unlike q291's "
+        "graded NDCG which already varies.",
 )
 def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1950,8 +1957,8 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy("user_id", "event_type").agg(
         F.sum(F.expr("CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END"))
         .alias("s"),
-        F.sum(F.expr("CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END"))
-        .alias("r"))
+        F.sum(F.expr("CASE WHEN day(ts) > 15 AND value > 150"
+                     " THEN 1 ELSE 0 END")).alias("r"))
     wp = Window.partitionBy("user_id").orderBy(F.desc("s"), "event_type")
     p = c.select("user_id", "r",
                  F.row_number().over(wp).alias("pos"))

@@ -391,6 +391,26 @@ def test_fixture_degeneracy_audit():
     r2 = np.corrcoef(g["x"], g["y"])[0, 1] ** 2
     assert 0.0 < r2 < 0.999, "covariate collinear or useless"
 
+    # q246 disorder (r8 fix): the multiplexed (day, user, ts) arrival
+    # order must produce real lateness — the raw event_id order is
+    # perfectly ts-sorted on this corpus and gave all-zero profiles
+    arr = _events().assign(day=lambda d: d["ts"].dt.date)
+    arr = arr.sort_values(["day", "user_id", "ts", "event_id"])
+    hwm = arr["ts"].cummax().shift(1)
+    late = (hwm - arr["ts"]).dt.total_seconds().clip(lower=0).fillna(0)
+    assert (late > 0).sum() > 0, "multiplexed arrival never disordered"
+
+    # q86 affinity (r8 fix): the high-value cut must leave at least one
+    # type pair with Jaccard < 1 (unfiltered, every user touched every
+    # type and all pairs sat at exactly 1.0)
+    hv = _events()
+    hv = hv[hv["value"] > 150]
+    sets = hv.groupby("event_type")["user_id"].agg(set)
+    types = sorted(sets.index)
+    jac = [len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+           for i, a in enumerate(types) for b in types[i + 1:]]
+    assert min(jac) < 1.0, "all high-value type pairs saturated"
+
 
 def test_q325_fleiss_matches_numpy(spark):
     t = _orders()
@@ -626,7 +646,9 @@ def test_q300_grubbs_matches_numpy(spark):
 def test_q292_mrr_matches_numpy(spark):
     ev = _events()
     ev["s"] = (ev["ts"].dt.day <= 15).astype(int)
-    ev["r"] = (ev["ts"].dt.day > 15).astype(int)
+    # high-value relevance (the r8 de-saturation fix: plain second-half
+    # activity made every user's top-ranked type relevant -> MRR == 1.0)
+    ev["r"] = ((ev["ts"].dt.day > 15) & (ev["value"] > 150)).astype(int)
     c = (ev.groupby(["user_id", "event_type"])[["s", "r"]]
          .sum().reset_index())
     frps = []
@@ -642,6 +664,8 @@ def test_q292_mrr_matches_numpy(spark):
         sum(round(1.0 / f, 6) for f in frps) / len(frps), abs=2e-4)
     assert got["hit1_ppm"] == sum(f == 1 for f in frps) * 1000000 // len(frps)
     assert got["hit3_ppm"] == sum(f <= 3 for f in frps) * 1000000 // len(frps)
+    # non-degenerate: the first relevant position actually varies
+    assert 0.0 < sum(round(1.0 / f, 6) for f in frps) / len(frps) < 1.0
 
 
 def test_q296_multiclass_prf_matches_numpy(spark):
