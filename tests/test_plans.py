@@ -561,7 +561,10 @@ def test_round4g_inspection_and_serving_plan_shapes(spark):
 
     assert "TakeOrderedAndProject" in _plan(spark, "q243_sequence_patterns")
     plan246 = _plan(spark, "q246_disorder_profile")
-    assert "_bkt" in plan246
+    # r8 multiplexed-arrival form: the row-level window partitions by the
+    # (day, user) group keys; only the (day, user)-grain carry table sees
+    # an unpartitioned window (window-lint inventory)
+    assert "_day" in plan246 and "_hwm_in" in plan246
     assert "BroadcastHashJoin" in _plan(spark, "q250_dedup_threshold_sweep")
     # q239/q248: the served plan scans the summary parquet, not the fact
     # table (also pinned in test_mv; repeated here with the other shapes)
