@@ -23,18 +23,41 @@ from inspectadb_spark.session import SEMANTIC_CONFS  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering. The driver verifies the FIRST 50 keys of queries()
-# in dict-iteration order (confirmed in r02-r07 samples). Rounds 2-7 drove
-# 257 distinct oracled ids green; 114 oracled ids remained never-sampled
-# after r07, all in-repo hash-verified at both SFs each pytest run. The
-# round-8 window (VERDICT r7 item 1) is the mechanical front-load the r7
-# layout promised: exactly the first 50 ids of the r7 _NEVER_REST list
-# (pre-r7 remainder: q45d/q45e, the q63-q99 curation block, the
-# q191-q260 serving/analytics rows). _NEVER_REST now lists the 64 ids
-# still never-sampled (7 pre-r7 stragglers + the 57 round-7 statistics
-# additions) directly behind the window, so the round-9 rotation is again
-# its first 50 and the backlog reaches 0 in round 10. Corpus additions are
-# FROZEN this round (VERDICT r7 item 2) so the backlog strictly shrinks.
+# in dict-iteration order (confirmed in r02-r08 samples). Rounds 2-8 drove
+# 307 distinct oracled ids green; 64 oracled ids remained never-sampled
+# after r08, all in-repo hash-verified at both SFs each pytest run. The
+# round-9 window (VERDICT r8 item 1) is the mechanical front-load the r8
+# layout promised: exactly the first 50 ids of the r8 _NEVER_REST list
+# (the 7 pre-r7 stragglers q92/q94/q191/q196/q215/q244/q245, then the
+# round-7 statistics block q279-q321). _NEVER_REST now lists the 14 ids
+# still never-sampled (q322-q335) directly behind the window, so the
+# round-10 rotation clears the backlog entirely. Corpus additions remain
+# FROZEN this round (VERDICT r8 item 2) so the backlog strictly shrinks.
 # tests/test_entry.py pins all of this against the registry.
+_ROUND9_FRONT = [
+    "q92_posexplode",
+    "q94_cms_estimates", "q191_wilson_ci", "q196_calibration_bins",
+    "q215_weighted_median", "q244_theil_sen",
+    "q245_join_cardinality_audit",
+    "q279_welch_ttest", "q280_avg_precision", "q281_cramers_v",
+    "q282_mcnemar", "q283_js_divergence", "q284_shingle_containment",
+    "q285_anova_f", "q286_jarque_bera", "q287_levene_mean",
+    "q288_wilcoxon_signed_rank", "q289_cochran_q", "q290_bartlett",
+    "q291_ndcg", "q292_mrr", "q293_cohens_kappa", "q294_brier_murphy",
+    "q295_ece", "q296_multiclass_prf",
+    "q297_ljung_box", "q298_durbin_watson", "q299_runs_test",
+    "q300_grubbs",
+    "q301_good_turing", "q302_kn_bigram_xent", "q303_flesch",
+    "q304_hapax", "q305_isotropy",
+    "q306_mutual_information", "q307_entropy_rate", "q308_hellinger",
+    "q309_vocab_jaccard", "q310_permutation_entropy",
+    "q311_mann_kendall", "q312_cochran_armitage", "q313_page_trend",
+    "q314_rbo", "q315_markov_entropy",
+    "q316_embedding_mmd", "q317_seasonal_mann_kendall",
+    "q318_delta_method", "q319_cuped", "q320_srm_check",
+    "q321_two_proportion_z",
+]
+# The round-8 window (driver-green 50/50 in r08); behind the fresh window.
 _ROUND8_FRONT = [
     "q45d_token_stats", "q45e_fingerprint", "q202_margin_bitext",
     "q203_matryoshka_recall", "q219_simhash_calibration",
@@ -84,30 +107,9 @@ _ROUND7_FRONT = [
 ]
 
 # The remaining never-driver-sampled oracled ids (explicit, registry order):
-# the round-9 rotation front-loads these; the tail clears in round 10.
+# the round-10 rotation front-loads these and the backlog reaches 0.
 _NEVER_REST = [
-    "q92_posexplode",
-    "q94_cms_estimates", "q191_wilson_ci", "q196_calibration_bins",
-    "q215_weighted_median", "q244_theil_sen",
-    "q245_join_cardinality_audit",
-    # round-7 additions (behind this round's frozen window)
-    "q279_welch_ttest", "q280_avg_precision", "q281_cramers_v",
-    "q282_mcnemar", "q283_js_divergence", "q284_shingle_containment",
-    "q285_anova_f", "q286_jarque_bera", "q287_levene_mean",
-    "q288_wilcoxon_signed_rank", "q289_cochran_q", "q290_bartlett",
-    "q291_ndcg", "q292_mrr", "q293_cohens_kappa", "q294_brier_murphy",
-    "q295_ece", "q296_multiclass_prf",
-    "q297_ljung_box", "q298_durbin_watson", "q299_runs_test",
-    "q300_grubbs",
-    "q301_good_turing", "q302_kn_bigram_xent", "q303_flesch",
-    "q304_hapax", "q305_isotropy",
-    "q306_mutual_information", "q307_entropy_rate", "q308_hellinger",
-    "q309_vocab_jaccard", "q310_permutation_entropy",
-    "q311_mann_kendall", "q312_cochran_armitage", "q313_page_trend",
-    "q314_rbo", "q315_markov_entropy",
-    "q316_embedding_mmd", "q317_seasonal_mann_kendall",
-    "q318_delta_method", "q319_cuped", "q320_srm_check",
-    "q321_two_proportion_z", "q322_cmh_test", "q323_decision_stump",
+    "q322_cmh_test", "q323_decision_stump",
     "q324_calibration_fit", "q325_fleiss_kappa",
     "q326_capture_recapture", "q327_diversity_index",
     "q328_jackknife_ratio_se", "q329_gumbel_maxima",
@@ -298,9 +300,9 @@ _TIER3 = [
     "q34b_intersect_all", "q35b_except_all", "q37b_time_parts",
 ]
 
-_PRIMARY = list(_ROUND8_FRONT)
-for _n in (_NEVER_REST + _ROUND7_FRONT + _ROUND6_FRONT + _TIER2
-           + _ROUND5_FRONT + _ROUND4_FRONT + _TIER3):
+_PRIMARY = list(_ROUND9_FRONT)
+for _n in (_NEVER_REST + _ROUND8_FRONT + _ROUND7_FRONT + _ROUND6_FRONT
+           + _TIER2 + _ROUND5_FRONT + _ROUND4_FRONT + _TIER3):
     # _NEVER_REST first: the remaining never-driver-sampled ids line up
     # directly behind the window if the driver ever samples more than 50
     if _n not in _PRIMARY:

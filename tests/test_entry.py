@@ -4,10 +4,11 @@
 these tests pin it against the registry so future query additions can't
 silently displace the intended sampled set or reference a renamed id.
 
-Round-8 contract (VERDICT r7 items 1-2): the window is exactly the first
-50 ids of the round-7 `_NEVER_REST` layout, the new `_NEVER_REST` is
-exactly the 64-id unsampled remainder, and the corpus is FROZEN — the
-registry must not grow this round so the backlog strictly shrinks.
+Round-9 contract (VERDICT r8 items 1-2): the window is exactly the first
+50 ids of the round-8 `_NEVER_REST` layout, the new `_NEVER_REST` is
+exactly the 14-id unsampled remainder (q322-q335), and the corpus stays
+FROZEN — the registry must not grow this round so the backlog clears in
+round 10.
 """
 
 from __future__ import annotations
@@ -20,21 +21,21 @@ from inspectadb_spark.queries import REGISTRY
 
 ROOT = Path(__file__).resolve().parent.parent
 
-# Pre-round-8 baseline: only CORRECTNESS files from rounds < 8 count when
-# deciding "never driver-sampled", so this round's own CORRECTNESS_r08
+# Pre-round-9 baseline: only CORRECTNESS files from rounds < 9 count when
+# deciding "never driver-sampled", so this round's own CORRECTNESS_r09
 # landing mid-round can't flip these pins.
-_BASELINE_CUTOFF = "CORRECTNESS_r08"
+_BASELINE_CUTOFF = "CORRECTNESS_r09"
 
-# Corpus freeze (VERDICT r7 item 2): the registry held 388 queries / 371
-# oracled at the end of round 7. Round 8 adds nothing, so any growth here
+# Corpus freeze (VERDICT r8 item 2): the registry held 388 queries / 371
+# oracled at the end of round 8. Round 9 adds nothing, so any growth here
 # is a freeze violation that must be consciously justified by editing this
 # pin in the same commit.
 _FROZEN_REGISTRY_SIZE = 388
 _FROZEN_ORACLED_SIZE = 371
 
 
-def _green_before_r08() -> set[str]:
-    """Ids with a hash-green row in any pre-r08 CORRECTNESS file."""
+def _green_before_r09() -> set[str]:
+    """Ids with a hash-green row in any pre-r09 CORRECTNESS file."""
     green: set[str] = set()
     for p in ROOT.glob("CORRECTNESS_r*.json"):
         if p.name >= _BASELINE_CUTOFF:
@@ -58,17 +59,17 @@ def test_corpus_is_frozen_this_round():
     from inspectadb_spark import queries as corpus
 
     assert len(REGISTRY) == _FROZEN_REGISTRY_SIZE, (
-        f"registry grew to {len(REGISTRY)} during the round-8 corpus "
-        "freeze (VERDICT r7 item 2); justify and update the pin in the "
+        f"registry grew to {len(REGISTRY)} during the round-9 corpus "
+        "freeze (VERDICT r8 item 2); justify and update the pin in the "
         "same commit if an addition is genuinely needed"
     )
     assert len(corpus.oracle_sql()) == _FROZEN_ORACLED_SIZE
 
 
-def test_round8_front_window_is_the_intended_sample():
-    assert len(entry._ROUND8_FRONT) == 50
+def test_round9_front_window_is_the_intended_sample():
+    assert len(entry._ROUND9_FRONT) == 50
     front = entry._PRIMARY[:50]
-    assert front == entry._ROUND8_FRONT, (
+    assert front == entry._ROUND9_FRONT, (
         "the first 50 queries() keys ARE the driver's sample — additions "
         "must go behind the curated window, not displace it"
     )
@@ -80,48 +81,48 @@ def test_round8_front_window_is_the_intended_sample():
     assert not missing, f"front-50 ids without oracle SQL: {missing}"
 
 
-def test_round8_front_is_never_driver_green_before():
+def test_round9_front_is_never_driver_green_before():
     """The rotation's whole point: the window spends its 50 slots on ids
-    with no hash-green driver row in rounds 2-7."""
-    stale = [n for n in entry._ROUND8_FRONT if n in _green_before_r08()]
+    with no hash-green driver row in rounds 2-8."""
+    stale = [n for n in entry._ROUND9_FRONT if n in _green_before_r09()]
     assert not stale, f"front-50 wastes slots on already-verified ids: {stale}"
 
 
 def test_never_rest_is_exactly_the_unsampled_remainder():
-    """_ROUND8_FRONT + _NEVER_REST must partition the never-driver-sampled
-    oracled ids: nothing forgotten, nothing duplicated, so the round-9
+    """_ROUND9_FRONT + _NEVER_REST must partition the never-driver-sampled
+    oracled ids: nothing forgotten, nothing duplicated, so the round-10
     rotation is a mechanical front-load of _NEVER_REST."""
     from inspectadb_spark import queries as corpus
 
     osql = set(corpus.oracle_sql())
-    listed = entry._ROUND8_FRONT + entry._NEVER_REST
+    listed = entry._ROUND9_FRONT + entry._NEVER_REST
     assert len(listed) == len(set(listed))
-    never_pre_r8 = {
-        n for n in REGISTRY if n in osql and n not in _green_before_r08()
+    never_pre_r9 = {
+        n for n in REGISTRY if n in osql and n not in _green_before_r09()
     }
-    assert set(listed) == never_pre_r8, (
-        f"missing: {never_pre_r8 - set(listed)}; "
-        f"extra: {set(listed) - never_pre_r8}"
+    assert set(listed) == never_pre_r9, (
+        f"missing: {never_pre_r9 - set(listed)}; "
+        f"extra: {set(listed) - never_pre_r9}"
     )
-    # the backlog must have shrunk to at most 64 (114 pre-r8 minus the 50
-    # the r07 window drove green)
-    assert len(entry._NEVER_REST) == 64
+    # the backlog must have shrunk to exactly 14 (64 pre-r9 minus the 50
+    # the r09 window front-loads)
+    assert len(entry._NEVER_REST) == 14
 
 
-def test_round7_front_is_all_driver_green():
+def test_round8_front_is_all_driver_green():
     """Regression guard: the previous window really did go green, so the
     rotation isn't abandoning red rows."""
-    r07 = ROOT / "CORRECTNESS_r07.json"
-    rows = json.loads(r07.read_text())
+    r08 = ROOT / "CORRECTNESS_r08.json"
+    rows = json.loads(r08.read_text())
     bad = [
         n
-        for n in entry._ROUND7_FRONT
+        for n in entry._ROUND8_FRONT
         if rows.get(n, {}).get("hash_match") is not True
     ]
-    assert not bad, f"round-7 window ids not hash-green in r07: {bad}"
+    assert not bad, f"round-8 window ids not hash-green in r08: {bad}"
 
 
 def test_ordered_emits_every_registry_query():
     keys = list(entry.queries().keys())
     assert set(keys) == set(REGISTRY)
-    assert keys[:50] == entry._ROUND8_FRONT
+    assert keys[:50] == entry._ROUND9_FRONT
