@@ -2989,19 +2989,33 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = tables(spark, sf_dir)["events"]
-    # Two-level bucket-offset running max over the multiplexed arrival
+    # Three-level bucket-offset running max over the multiplexed arrival
     # order (day, user, ts, event_id): (day, user) groups are contiguous
     # in that order, so the high-watermark is GREATEST(carry-in from all
-    # earlier groups, strict-preceding max inside the group). The carry
-    # table is (day, user)-grain — aggregate-sized, the same class as the
-    # other bucket tables in the window-lint inventory; the row-level
-    # window partitions by (day, user).
+    # earlier groups, strict-preceding max inside the group). The
+    # (day, user) group table scales with the user population, so the
+    # carry over it is ITSELF bucketed (user_id DIV 1000 is
+    # order-preserving within a day): the only unpartitioned window
+    # rides the (day, 1000-user-bucket) table, groups take
+    # GREATEST(broadcast bucket carry-in, strict-preceding group max
+    # inside their bucket — a partitioned window), and the row-level
+    # window partitions by (day, user). Same scheme as
+    # operators/scale.py global_running_max, one level deeper.
     e = ev.select("event_type", "ts", "user_id", "event_id",
                   F.to_date("ts").alias("_day"))
-    ug = e.groupBy("_day", "user_id").agg(F.max("ts").alias("_gmax"))
-    wprev = (Window.orderBy("_day", "user_id")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    carry = (ug.withColumn("_hwm_in", F.max("_gmax").over(wprev))
+    ug = (e.groupBy("_day", "user_id").agg(F.max("ts").alias("_gmax"))
+          .withColumn("_ubkt", F.expr("user_id DIV 1000")))
+    bmax = ug.groupBy("_day", "_ubkt").agg(F.max("_gmax").alias("_bmax"))
+    wbkt = (Window.orderBy("_day", "_ubkt")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    bcarry = (bmax.withColumn("_bcarry", F.max("_bmax").over(wbkt))
+              .select("_day", "_ubkt", "_bcarry"))
+    wgrp = (Window.partitionBy("_day", "_ubkt").orderBy("user_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (ug.join(F.broadcast(bcarry), ["_day", "_ubkt"])
+             .withColumn("_hwm_in",
+                         F.greatest(F.col("_bcarry"),
+                                    F.max("_gmax").over(wgrp)))
              .select("_day", "user_id", "_hwm_in"))
     win = (Window.partitionBy("_day", "user_id").orderBy("ts", "event_id")
            .rowsBetween(Window.unboundedPreceding, -1))

@@ -303,7 +303,10 @@ def _capture_flags():
     pur = ev["event_type"] == "purchase"
     c1 = (ev.assign(c=(pur & (day <= 2)).astype(int))
           .groupby("user_id")["c"].max())
-    c2 = (ev.assign(c=(pur & (day >= 29)).astype(int))
+    # literally the oracle's day(ts) BETWEEN 29 AND 30 — NOT day >= 29,
+    # which would silently diverge on a regenerated fixture with day-31
+    # events (ADVICE r8 low item)
+    c2 = (ev.assign(c=(pur & day.between(29, 30)).astype(int))
           .groupby("user_id")["c"].max())
     return c1, c2
 

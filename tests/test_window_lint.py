@@ -83,7 +83,10 @@ _EXPECTED = {
     "q214_lorenz_deciles": [("Aggregate",)] * 2,    # decile cut table
     "q233_pareto_point": [("Aggregate",), ("Window", "Join")],  # day grain
     "q235_abc_classification": [("Aggregate",), ("Window", "Join")],  # parts
-    "q246_disorder_profile": [("Aggregate",)],      # day grain
+    # carry over the (day, 1000-user bucket) table — the (day,user) group
+    # table is row-population-scale and is NOT windowed unpartitioned;
+    # only its DIV-1000 bucket rollup is (ADVICE r8 medium item)
+    "q246_disorder_profile": [("Aggregate",)],
     "q184_quantile_sketch": [("Aggregate",)] * 2,   # sketch-sized grid
     "q190_kaplan_meier": [                          # distinct durations
         ("Aggregate",), ("Window", "Aggregate"),
