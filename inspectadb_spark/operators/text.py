@@ -60,17 +60,26 @@ def text_quality(
     )
 
 
-# Marker stopwords per language — the classic cheap language-ID heuristic
-# (high-frequency function words are near-disjoint across these languages).
-# Declared as an ordered tuple: the CASE chain below evaluates in this order,
-# so ties break deterministically toward the earlier (lexicographic) language
-# in BOTH engines.
+# Marker lexicons per language — the classic cheap language-ID heuristic
+# (score = hits against near-disjoint high-frequency marker sets, predict
+# the argmax). The marker sets are DISJOINT 6-word partitions of the test
+# corpus' own 31-word engine vocabulary, not natural-language stopwords:
+# the fixture's documents are an engine-term word salad in which real
+# German/Spanish/French/Chinese function words can never occur, so with
+# natural markers every non-English score was identically 0 at every SF
+# and the multi-class scoring + argmax + tie chain was dead code (the
+# q326 degeneracy class, caught by the round-9 oracle-constant sweep).
+# With corpus-anchored lexicons every score is nonzero and varies per
+# document, so the argmax and the deterministic tie rule are both
+# value-exercised. Declared as an ordered tuple: the CASE chain below
+# evaluates in this order, so ties break deterministically toward the
+# earlier (lexicographic) language in BOTH engines.
 LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
-    ("de", ("der", "die", "das", "und", "ist", "nicht", "mit", "ein")),
-    ("en", ("the", "a", "of", "and", "to", "in", "is", "that")),
-    ("es", ("el", "la", "que", "y", "en", "un", "es", "los")),
-    ("fr", ("le", "et", "les", "des", "est", "pour", "dans", "une")),
-    ("zh", ("的", "了", "是", "在", "我", "有", "和", "不")),
+    ("de", ("agg", "batch", "column", "merge", "sort", "window")),
+    ("en", ("the", "a", "data", "query", "table", "row")),
+    ("es", ("customer", "filter", "group", "hash", "join", "key")),
+    ("fr", ("line", "order", "part", "scan", "stream", "vector")),
+    ("zh", ("big", "dup", "fast", "slow", "small", "value")),
 )
 
 
@@ -951,7 +960,8 @@ def ngram_split_coverage(docs: DataFrame, n: int = 3,
 
 def heldout_unigram_xent(docs: DataFrame, train_pct: int = 80,
                          text_col: str = "text", id_col: str = "doc_id",
-                         group_col: str = "source") -> DataFrame:
+                         group_col: str = "source",
+                         vocab_top_k: int | None = None) -> DataFrame:
     """Held-out cross-entropy per group under an add-1-smoothed unigram
     LM trained on the md5 doc split's TRAIN side (the q252/q264 split
     convention): for each TEST token, lp = ln((c+1)/(N+V+1)) with c the
@@ -961,6 +971,14 @@ def heldout_unigram_xent(docs: DataFrame, train_pct: int = 80,
     the language-model-quality eval next to q132's in-corpus scoring and
     q264's coverage (this one measures what a model FIT on train pays on
     test, so split leakage shows up as suspiciously low xent).
+
+    ``vocab_top_k`` truncates the model vocabulary to the K most frequent
+    train unigrams (ties broken by token — a total, engine-portable
+    order); tokens outside it score as OOV. This is the standard
+    truncated-vocab LM design, and on a closed-vocabulary fixture it is
+    what makes the OOV arm real: any split of a corpus whose whole vocab
+    appears everywhere covers the test side completely, so untruncated
+    n_oov is identically zero and the smoothing fallback is dead code.
 
     Determinism: the ln argument is ONE double expression with identical
     text on both engines; each token's lp is quantized to 4dp DECIMAL
@@ -982,6 +1000,8 @@ def heldout_unigram_xent(docs: DataFrame, train_pct: int = 80,
         F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     vocab = (toks.filter(F.col("split") == "train")
              .groupBy("tok").agg(F.count("*").alias("c")))
+    if vocab_top_k is not None:
+        vocab = vocab.orderBy(F.desc("c"), "tok").limit(vocab_top_k)
     stats = vocab.agg(F.sum("c").alias("nt"), F.count("*").alias("v"))
     scored = (
         toks.filter(F.col("split") == "test")

@@ -2399,7 +2399,11 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q218 churn-label generation: the supervised-learning label table for a
 # retention model — per first-seen-week cohort, users whose LAST activity
-# is 14+ days before the corpus horizon are labeled churned. One per-user
+# is 1+ days before the corpus horizon are labeled churned. (The corpus is
+# 30 DENSE days — under the real-world 14-day rule n_churned was
+# identically 0 at both SFs, the q326 degeneracy class caught by the
+# round-9 oracle-constant sweep; a 1-day gap is the churn analog at this
+# event density and labels 1/15 resp. 17/150 users.) One per-user
 # aggregation + a broadcast horizon; label logic is pure timestamp
 # arithmetic, rates in integer ppm.
 @query(
@@ -2411,15 +2415,15 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT MAX(ts) AS horizon FROM events)
     SELECT CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week,
            CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(CASE WHEN last_ts <= horizon - INTERVAL 14 DAY
+           CAST(SUM(CASE WHEN last_ts <= horizon - INTERVAL 1 DAY
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
-           CAST(SUM(CASE WHEN last_ts <= horizon - INTERVAL 14 DAY
+           CAST(SUM(CASE WHEN last_ts <= horizon - INTERVAL 1 DAY
                          THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
                 AS BIGINT) AS churn_ppm
     FROM u CROSS JOIN m
     GROUP BY 1 ORDER BY 1
     """,
-    doc="Churn labels per signup cohort: users inactive for 14+ days at "
+    doc="Churn labels per signup cohort: users inactive for 1+ days at "
         "the corpus horizon, counts and rate in ppm — the label table a "
         "retention model trains on.",
 )
@@ -2429,7 +2433,7 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
     m = ev.agg(F.max("ts").alias("horizon"))
     churned = F.when(
-        F.col("last_ts") <= F.expr("horizon - INTERVAL 14 DAY"), 1
+        F.col("last_ts") <= F.expr("horizon - INTERVAL 1 DAY"), 1
     ).otherwise(0)
     return (
         u.join(F.broadcast(m))

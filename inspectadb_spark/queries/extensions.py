@@ -539,16 +539,26 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q61 NOT IN three-valued logic (null-aware anti join, SURVEY §4.1): with a
 # NULL in the subquery result NOT IN yields no rows; the engine must plan a
-# null-aware anti join, not a plain one.
+# null-aware anti join, not a plain one. The subquery is restricted to the
+# first order month so `plain` is provably NONZERO at every SF (134 /
+# 1326 customers without an early order) — against the full orders table
+# every customer has an order, plain == with_null == 0, and a broken
+# plain-anti-join plan would hash-match anyway (the q326 degeneracy class,
+# caught by the round-9 oracle-constant sweep). plain > 0 = with_null is
+# exactly the 3VL contrast the query exists to prove.
 @query(
     "q61_not_in_3vl",
     oracle="""
     SELECT
       (SELECT COUNT(*) FROM customer
-       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS plain,
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_orderdate < TIMESTAMP '1995-01-31'))
+        AS plain,
       (SELECT COUNT(*) FROM customer
        WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey = -1 THEN o_custkey END
-                               FROM orders)) AS with_null
+                               FROM orders
+                               WHERE o_orderdate < TIMESTAMP '1995-01-31'))
+        AS with_null
     """,
 )
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,10 +570,14 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT
           (SELECT COUNT(*) FROM customer
-           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS plain,
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                   WHERE o_orderdate < TIMESTAMP '1995-01-31'))
+            AS plain,
           (SELECT COUNT(*) FROM customer
            WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey = -1 THEN o_custkey END
-                                   FROM orders)) AS with_null
+                                   FROM orders
+                                   WHERE o_orderdate < TIMESTAMP '1995-01-31'))
+            AS with_null
         """,
     )
 

@@ -102,17 +102,29 @@ def q43f(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q44 exact dedup by md5(text)
+# Q44 exact dedup by md5(text). The raw corpus contains ZERO exact
+# duplicates at every SF, so against `documents` alone n ≡ 1 for every
+# group and a broken COUNT/keep would hash-match anyway (the q326
+# degeneracy class, caught by the round-9 oracle-constant sweep). A
+# deterministic dup overlay — every doc_id % 50 == 0 document re-keyed at
+# +1,000,000 — plants real clusters (n = 2, keep = the original id) so the
+# group-count and min-survivor logic are value-exercised.
 @query(
     "q44_exact_dedup",
     oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)
     SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keep
-    FROM documents GROUP BY 1 ORDER BY h LIMIT 500
+    FROM corpus GROUP BY 1 ORDER BY h LIMIT 500
     """,
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tables(spark, sf_dir)["documents"]
-    return exact_dedup(d).orderBy("h").limit(500)
+    d = tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    dup = (d.filter(F.col("doc_id") % 50 == 0)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    return exact_dedup(d.unionByName(dup)).orderBy("h").limit(500)
 
 
 # --------------------------------------------------------------------------
@@ -1456,8 +1468,13 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q266 winnowing (MOSS) fingerprint-index profile (operators/dedup.py::
 # winnowing_profile): per source, the size/selectivity of a robust-
 # winnowing character-8-gram index (window w=4) and the stop-fingerprint
-# count (df > 50) a pair-join pipeline blocklists first — the index-
+# count (df > 10) a pair-join pipeline blocklists first — the index-
 # sizing audit before committing to substring-level dedup at scale.
+# Threshold 10, not q268's corpus-level 50: per-source document frequency
+# is bounded by the ~25-250 docs a source holds, so df > 50 could never
+# fire and n_stop_fps was identically 0 at both SFs (q326 degeneracy
+# class, round-9 sweep); the per-source max df is 22, so > 10 selects a
+# real, varying stop set (78/79 fingerprints).
 @query(
     "q266_winnowing_profile",
     oracle="""
@@ -1478,7 +1495,7 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
     pg AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                   CAST(COUNT(*) AS BIGINT) AS n_fps FROM f GROUP BY source),
     da AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_fps,
-                  CAST(SUM(CASE WHEN df > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                  CAST(SUM(CASE WHEN df > 10 THEN 1 ELSE 0 END) AS BIGINT)
                     AS n_stop_fps,
                   CAST(MAX(df) AS BIGINT) AS max_df
            FROM dfx GROUP BY source)
@@ -1488,14 +1505,14 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pg JOIN ng USING (source) JOIN da USING (source) ORDER BY source
     """,
     doc="Winnowing fingerprint-index profile per source: grams, selected "
-        "fingerprints, distinct/stop fingerprints (df > 50), selection "
+        "fingerprints, distinct/stop fingerprints (df > 10), selection "
         "density ppm — exact integers, one per-doc window + one distinct.",
 )
 def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.dedup import winnowing_profile
 
     docs = tables(spark, sf_dir)["documents"]
-    return winnowing_profile(docs).orderBy("source")
+    return winnowing_profile(docs, stop_df=10).orderBy("source")
 
 
 # --------------------------------------------------------------------------
@@ -1556,10 +1573,14 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q269_dedup_weighted_tokens",
     oracle="""
-    WITH h AS (
+    WITH corpus AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT source, text FROM documents WHERE doc_id % 50 = 0),
+    h AS (
       SELECT source, md5(text) AS hh,
              CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS tok
-      FROM documents),
+      FROM corpus),
     cs AS (SELECT hh, CAST(COUNT(*) AS BIGINT) AS csize
            FROM h GROUP BY hh)
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1571,13 +1592,20 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h JOIN cs USING (hh) GROUP BY source ORDER BY source
     """,
     doc="Dedup-weighted effective token mass per source: tokens "
-        "discounted by exact-dup cluster size, integer millionths.",
+        "discounted by exact-dup cluster size, integer millionths. The "
+        "raw corpus has zero exact dups at every SF — dup_ppm was "
+        "identically 0 and the 1/cluster discount untested (q326 "
+        "degeneracy class, round-9 sweep) — so the q44 deterministic dup "
+        "overlay (doc_id % 50 == 0 re-inserted) plants real clusters.",
 )
 def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.dedup import dedup_weighted_tokens
 
-    docs = tables(spark, sf_dir)["documents"]
-    return dedup_weighted_tokens(docs).orderBy("source")
+    docs = tables(spark, sf_dir)["documents"].select("doc_id", "source",
+                                                     "text")
+    corpus = docs.unionByName(docs.filter(F.col("doc_id") % 50 == 0)) \
+        .select("source", "text")
+    return dedup_weighted_tokens(corpus).orderBy("source")
 
 
 # --------------------------------------------------------------------------

@@ -859,15 +859,19 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q174 deterministic group mode: the modal value bin per event type with
+# Q174 deterministic group mode: the modal hour-of-day per event type with
 # an explicit (count DESC, bin ASC) tie rule — built-in mode() is
 # tie-arbitrary in both engines, so the rank formulation is the portable
-# one. One counts agg + a |types·bins|-sized window.
+# one. One counts agg + a |types·bins|-sized window. Previously binned
+# `value / 50`, whose modal bin was identically 0 for every type at sf0.01
+# (value mass concentrates under 50 — the q326 degeneracy class, caught by
+# the round-9 oracle-constant sweep: an always-returns-bin-0 mode would
+# hash-match); the hour-of-day mode varies across types and SFs.
 @query(
     "q174_group_mode",
     oracle="""
     WITH c AS (
-      SELECT event_type, CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bin,
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS bin,
              COUNT(*) AS n
       FROM events GROUP BY event_type, bin),
     r AS (
@@ -878,14 +882,14 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, bin AS mode_bin, n AS mode_n
     FROM r WHERE rk = 1 ORDER BY event_type
     """,
-    doc="Deterministic mode (modal value bin) per type with explicit "
+    doc="Deterministic mode (modal activity hour) per type with explicit "
         "(count DESC, bin ASC) tie rule.",
 )
 def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables(spark, sf_dir)["events"]
     c = ev.groupBy(
         "event_type",
-        F.expr("CAST(LEAST(FLOOR(value / 50.0), 9) AS INT)").alias("bin"),
+        F.hour("ts").cast("int").alias("bin"),
     ).agg(F.count("*").alias("n"))
     w = Window.partitionBy("event_type").orderBy(F.desc("n"), "bin")
     return (
@@ -1469,7 +1473,7 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, MIN(ts) AS t0,
              MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
              MAX(ts) AS tmax
-      FROM events GROUP BY user_id),
+      FROM events WHERE ts < TIMESTAMP '2024-01-04' GROUP BY user_id),
     d AS (
       SELECT user_id,
              CAST(datediff('day', CAST(t0 AS DATE),
@@ -1504,12 +1508,21 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS survival
     FROM w ORDER BY dur_days
     """,
-    doc="Kaplan–Meier survival of time-to-first-purchase (right-censored "
-        "at last activity): per-step quantized ln factors, exact running "
-        "product via EXP(SUM), explicit S=0 flag instead of ln(0).",
+    doc="Kaplan–Meier survival of time-to-first-purchase inside the "
+        "3-day observation window, right-censored at last in-window "
+        "activity (the full horizon censors nobody — every user "
+        "eventually purchases): per-step quantized ln factors, exact "
+        "running product via EXP(SUM), explicit S=0 flag instead of "
+        "ln(0).",
 )
 def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = tables(spark, sf_dir)["events"]
+    # Observation window = the corpus' first 3 days: over the full 30-day
+    # horizon EVERY user purchases (n_censored ≡ 0 at both SFs — the
+    # censoring arm of the estimator was dead code, q326 degeneracy class,
+    # caught by the round-9 oracle-constant sweep); inside 3 days 3 / 29
+    # users are right-censored so the COALESCE(tp, tmax) path is real.
+    ev = tables(spark, sf_dir)["events"].filter(
+        F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
     u = ev.groupBy("user_id").agg(
         F.min("ts").alias("t0"),
         F.min(F.expr("CASE WHEN event_type = 'purchase' THEN ts END"))

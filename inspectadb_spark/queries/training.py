@@ -1709,7 +1709,8 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(string_split(text, ' ')) AS tok
       FROM documents),
     vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
-              WHERE split = 'train' GROUP BY tok),
+              WHERE split = 'train' GROUP BY tok
+              ORDER BY c DESC, tok LIMIT 25),
     st AS (SELECT CAST(SUM(c) AS BIGINT) AS nt,
                   CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
     sc AS (
@@ -1726,15 +1727,16 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AS DECIMAL(18,6)), 4) AS DOUBLE) AS xent_nats
     FROM sc GROUP BY source ORDER BY source
     """,
-    doc="Held-out unigram cross-entropy per source: add-1-smoothed LM "
-        "fit on the md5 train split, OOV ppm + mean neg logprob (nats), "
-        "per-token decimal quantization for order-exact folds.",
+    doc="Held-out unigram cross-entropy per source: add-1-smoothed "
+        "top-25-truncated-vocab LM fit on the md5 train split, OOV ppm "
+        "+ mean neg logprob (nats), per-token decimal quantization for "
+        "order-exact folds.",
 )
 def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.text import heldout_unigram_xent
 
     docs = tables(spark, sf_dir)["documents"]
-    return heldout_unigram_xent(docs).orderBy("source")
+    return heldout_unigram_xent(docs, vocab_top_k=25).orderBy("source")
 
 
 # --------------------------------------------------------------------------
@@ -2243,7 +2245,12 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train bigram frame joined back by key; probabilities fold exact
 # integers in one shared double expression, per-token logprobs
 # quantized to 6dp before the per-source fold (4dp left a
-# single source's mean ON a rounding boundary at sf0.001).
+# single source's mean ON a rounding boundary at sf0.001). The model
+# vocabulary is truncated to the top-25 train unigrams: the fixture's
+# 31-word closed vocabulary appears in full on any split side, so the
+# untruncated model had hist_oov identically 0 at both SFs and the
+# continuation-probability backoff arm was dead code (q326 degeneracy
+# class, round-9 oracle-constant sweep).
 @query(
     "q302_kn_bigram_xent",
     oracle="""
@@ -2260,9 +2267,16 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT source, split, w,
                    unnest(generate_series(1, len(w) - 1)) AS i
             FROM d WHERE len(w) >= 2)),
+    ut AS (SELECT unnest(w) AS tok FROM d WHERE split = 'train'),
+    uvoc AS (
+      SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM ut GROUP BY tok)
+      ORDER BY c DESC, tok LIMIT 25),
     big AS (
       SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-      FROM bg WHERE split = 'train' GROUP BY w1, w2),
+      FROM bg WHERE split = 'train'
+        AND w1 IN (SELECT tok FROM uvoc)
+        AND w2 IN (SELECT tok FROM uvoc)
+      GROUP BY w1, w2),
     hist AS (
       SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
              CAST(COUNT(*) AS BIGINT) AS t1
@@ -2307,7 +2321,8 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sc GROUP BY source ORDER BY source
     """,
     doc="Interpolated Kneser-Ney bigram cross-entropy per source on the "
-        "held-out md5 split: absolute discount 0.75, continuation-count "
+        "held-out md5 split: absolute discount 0.75, top-25-truncated "
+        "model vocabulary (real OOV backoff), continuation-count "
         "backoff with add-1 floor, exact integer model tables, "
         "6dp-quantized per-token logprobs.",
 )
@@ -2327,7 +2342,19 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "             element_at(w, i + 1) AS w2))"))
                   .alias("p"))
           .select("source", "split", "p.w1", "p.w2"))
+    # model vocabulary = top-25 train unigrams (count DESC, token — a
+    # total order); bigrams outside it are excluded from every model
+    # table, so out-of-vocab test histories genuinely miss `hist`
+    uvoc = (d.filter("split = 'train'")
+            .select(F.explode("w").alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "tok").limit(25)
+            .select("tok"))
     big = (bg.filter("split = 'train'")
+           .join(F.broadcast(uvoc.withColumnRenamed("tok", "w1")),
+                 "w1", "semi")
+           .join(F.broadcast(uvoc.withColumnRenamed("tok", "w2")),
+                 "w2", "semi")
            .groupBy("w1", "w2")
            .agg(F.count("*").cast("bigint").alias("c12")))
     hist = big.groupBy("w1").agg(

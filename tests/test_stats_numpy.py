@@ -942,13 +942,21 @@ def test_q302_kn_bigram_xent_matches_numpy(spark):
         lambda i: "train"
         if int(hashlib.md5(f"{i}:split".encode()).hexdigest()[0], 16) < 13
         else "test")
+    # model vocabulary: top-25 train unigrams (count DESC, token)
+    uni = Counter()
+    for text, sp in zip(docs["text"], split):
+        if sp == "train":
+            uni.update(t for t in text.split(" ") if t)
+    voc = {t for t, _ in sorted(uni.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:25]}
     big = Counter()
     test_bgs = []  # (source, w1, w2)
     for text, src, sp in zip(docs["text"], docs["source"], split):
         w = [t for t in text.split(" ") if t]
         for a, bch in zip(w, w[1:]):
             if sp == "train":
-                big[(a, bch)] += 1
+                if a in voc and bch in voc:
+                    big[(a, bch)] += 1
             else:
                 test_bgs.append((src, a, bch))
     c1, t1 = Counter(), Counter()
@@ -982,9 +990,11 @@ def test_q302_kn_bigram_xent_matches_numpy(spark):
         assert r["hist_oov_ppm"] == oov * 1000000 // n
         assert r["bg_unseen_ppm"] == unseen * 1000000 // n
         assert r["xent_nats"] == pytest.approx(-slp / n, abs=2e-4)
-    # non-degenerate: backoff paths actually exercised somewhere
-    assert any(p[1] > 0 for p in per.values()) or \
-        any(p[2] > 0 for p in per.values())
+    # non-degenerate: BOTH backoff paths actually exercised (the
+    # truncated vocabulary makes hist-OOV real; pre-truncation it was
+    # identically zero — q326 class)
+    assert any(p[1] > 0 for p in per.values())
+    assert any(p[2] > 0 for p in per.values())
 
 
 def test_q310_permutation_entropy_matches_numpy(spark):
@@ -1591,7 +1601,12 @@ def test_q186_ks_matches_numpy(spark):
 
 
 def test_q190_kaplan_meier_matches_numpy(spark):
+    import pandas as pd
+
+    # literally the query's observation window (ts < Jan 4): the full
+    # horizon censors nobody (q326 class — see q190's doc)
     ev = _events()
+    ev = ev[ev["ts"] < pd.Timestamp("2024-01-04")]
     rows = [r.asDict() for r in
             REGISTRY["q190_kaplan_meier"].builder(spark, SF_DIR).collect()]
     per = []
@@ -1617,6 +1632,8 @@ def test_q190_kaplan_meier_matches_numpy(spark):
         assert (r["n_risk"], r["n_events"], r["n_censored"]) == \
             (n_risk, d_i, cens)
         assert r["survival"] == pytest.approx(surv, abs=2e-3)
+    # non-degenerate: the censoring arm is real inside the window
+    assert sum(c for _, _, c, _ in want.values()) > 0
 
 
 def test_q244_theil_sen_matches_numpy(spark):
