@@ -1972,3 +1972,143 @@ def test_q257_drawdown_matches_numpy(spark):
     # non-degenerate: the level series actually dips below its peak (the
     # old cumulative-curve form was monotone -> drawdown identically 0)
     assert (peak - d).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch family (VERDICT r8 item 6): the statistics block's
+# same-author-formula risk exists equally for the sketch estimators and
+# their error-bound CLAIMS. Each reference rebuilds the sketch from the
+# parquet in pure python (hashlib md5 — independent of both engines' SQL
+# md5 paths), matches the query's exact integer outputs, and then checks
+# the estimator's guarantee against ground truth computed WITHOUT the
+# sketch.
+
+
+def test_q94_cms_matches_python_and_never_underestimates(spark):
+    import hashlib
+    from collections import Counter
+
+    ev = _events()
+
+    def bucket(v, d):
+        return int(hashlib.md5(
+            f"{v}:cms:{d}".encode()).hexdigest()[:2], 16) % 256
+
+    grid = Counter()
+    for v in ev["user_id"]:
+        for d in range(4):
+            grid[(d, bucket(v, d))] += 1
+    true = Counter(ev["user_id"])
+    n_total = len(ev)
+    rows = {r["user_id"]: r["est"] for r in
+            REGISTRY["q94_cms_estimates"].builder(spark, SF_DIR).collect()}
+    probes = sorted({int(u) for u in ev["user_id"] if u < 40})
+    assert sorted(rows) == probes
+    for u in probes:
+        est = min(grid[(d, bucket(u, d))] for d in range(4))
+        assert rows[u] == est
+        # CMS guarantees: never underestimates; excess bounded by the
+        # classic eps*N with eps = e/width (deterministic on this corpus)
+        assert est >= true[u]
+        assert est - true[u] <= math.ceil(math.e * n_total / 256)
+
+
+def test_q181_bloom_matches_python_and_no_false_negatives(spark):
+    import hashlib
+
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+
+    def bits(v):
+        return [int(hashlib.md5(
+            f"{v}:bl{i}".encode()).hexdigest()[2:6], 16) % 4096
+            for i in range(4)]
+
+    member = [int(v) for v in
+              cust.loc[cust["c_acctbal"] > 9000, "c_custkey"]]
+    bitset = {b for v in member for b in bits(v)}
+    per = {}
+    for seg, g in cust.groupby("c_mktsegment"):
+        fn = fp = flagged = 0
+        for v, bal in zip(g["c_custkey"], g["c_acctbal"]):
+            flag = all(b in bitset for b in bits(int(v)))
+            flagged += flag
+            if bal > 9000 and not flag:
+                fn += 1
+            if bal <= 9000 and flag:
+                fp += 1
+        per[seg] = (len(g), flagged, int((g["c_acctbal"] > 9000).sum()),
+                    fn, fp)
+    rows = {r["c_mktsegment"]: r.asDict() for r in
+            REGISTRY["q181_bloom_membership"].builder(
+                spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(per)
+    n, m, k = len(member), 4096, 4
+    exp_fpr = (1 - math.exp(-k * n / m)) ** k
+    for seg, (n_probed, flagged, n_true, fn, fp) in per.items():
+        r = rows[seg]
+        assert (r["n_probed"], r["n_flagged"], r["n_true"]) == \
+            (n_probed, flagged, n_true)
+        # Bloom guarantee: NO false negatives, ever
+        assert fn == 0
+        # false positives bounded by the (1-e^{-kn/m})^k rate with slack
+        assert fp <= max(2, int(10 * exp_fpr * n_probed))
+
+
+def test_q184_quantile_sketch_matches_python_within_bin_width(spark):
+    ev = _events()
+    v = ev["value"].to_numpy(np.float64)
+    bins = np.minimum(np.floor(v / 25.0), 19).astype(int)
+    cnt = np.bincount(bins, minlength=20)
+    cum = np.cumsum(cnt)
+    tot = int(cum[-1])
+    rows = {r["p"]: r.asDict() for r in
+            REGISTRY["q184_quantile_sketch"].builder(
+                spark, SF_DIR).collect()}
+    assert sorted(rows) == [50, 95]
+    for p in (50, 95):
+        b = int(np.argmax(cum * 100 >= p * tot))
+        est = (b + 1) * 25.0
+        exact = float(np.percentile(v, p, method="linear"))
+        assert rows[p]["est"] == est
+        assert rows[p]["exact_v"] == pytest.approx(exact, abs=2e-4)
+        # the query's claimed error contract: estimate within one bin
+        # width of the true (interpolated) percentile
+        assert abs(est - exact) <= 25.0
+
+
+def test_q189_kmv_matches_python_and_jaccard_bound(spark):
+    import hashlib
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+
+    def shingles(text):
+        tk = text.split(" ")
+        return {hashlib.md5(" ".join(tk[i:i + 5]).encode()).hexdigest()
+                for i in range(len(tk) - 4)}
+
+    full = {}
+    for src, g in docs.groupby("source"):
+        s = set()
+        for t in g["text"]:
+            s |= shingles(t)
+        full[src] = s
+    sig = {src: sorted(s)[:128] for src, s in full.items()}
+    rows = {(r["src_a"], r["src_b"]): r.asDict() for r in
+            REGISTRY["q189_kmv_overlap"].builder(spark, SF_DIR).collect()}
+    srcs = sorted(full)
+    pairs = [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]]
+    assert sorted(rows) == pairs
+    for a, b in pairs:
+        sa, sb = set(sig[a]), set(sig[b])
+        u = sorted(sa | sb)[:128]
+        kk = len(u)
+        n_common = sum(1 for h in u if h in sa and h in sb)
+        r = rows[(a, b)]
+        assert (r["kk"], r["n_common"]) == (kk, n_common)
+        assert r["jaccard_ppm"] == n_common * 1000000 // kk
+        # estimator quality vs TRUE shingle-set Jaccard (computed from
+        # the full sets, no sketch): within the 4-sigma KMV error band
+        true_j = len(full[a] & full[b]) / len(full[a] | full[b])
+        band = 4 * math.sqrt(max(true_j * (1 - true_j), 1e-9) / 128) \
+            + 1 / 128
+        assert abs(n_common / kk - true_j) <= band
