@@ -448,7 +448,8 @@ class Engine:
 # -- restricted SQL front-end for the serving layer -------------------------
 
 _AGG_RE = __import__("re").compile(
-    r"^\s*(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"^\s*(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?"
+    r"(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
     r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
     __import__("re").IGNORECASE)
 _IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -546,9 +547,20 @@ def parse_agg_sql(text: str):
         am = _AGG_RE.match(item)
         if not am:
             return None
-        agg, col, alias = (am.group(1).lower(), am.group(2), am.group(3))
+        agg, dist, col, alias = (am.group(1).lower(), am.group(2),
+                                 am.group(3), am.group(4))
         if col == "*" and agg != "count":
             return None
+        if dist is not None:
+            # DISTINCT routes only as COUNT(DISTINCT <column>): the MV
+            # layer serves it structurally when the column is a declared
+            # grain key (operators/mv.py::_derivable), and the base
+            # fallback is exact otherwise. SUM/AVG/MIN/MAX DISTINCT are
+            # not provably routable -> refuse, fall through to plain SQL
+            if agg != "count" or col == "*":
+                return None
+            measures[alias] = ("count_distinct", col)
+            continue
         measures[alias] = (agg, "*" if col == "*" else col)
     if sorted(sel_keys) != sorted(keys) or not measures:
         return None

@@ -21,9 +21,13 @@ Rewrite algebra (the classic summary-table containment rules):
   requires the stored non-null count of the SAME column (an MV without
   ``(count, x)`` simply refuses to route AVG(x))
 
-Non-decomposable aggregates (exact DISTINCT, exact percentiles) are
-deliberately NOT routable — ``route`` falls back to the base table, which is
-the correct answer, not an approximation. (Mergeable sketches for distinct
+Non-decomposable aggregates (exact percentiles, DISTINCT over arbitrary
+expressions) are deliberately NOT routable — ``route`` falls back to the
+base table, which is the correct answer, not an approximation. The ONE
+exception is ``COUNT(DISTINCT k)`` where ``k`` is a declared grain KEY of
+the summary: the grain rows enumerate every distinct key combination of
+the base, so re-counting distinct ``k`` over them is structurally exact
+(no stored measure involved). (Mergeable sketches for arbitrary distinct
 counts are the separate ``operators/sketches.py`` surface.)
 
 100 TB design: the whole point of the rewrite is scan mass — a daily×dim
@@ -131,7 +135,10 @@ class MVDef:
 class AggRequest:
     """An aggregate query: group keys (name -> expr over the BASE columns,
     or None when the key is a plain column) and measures
-    (out -> (agg, base_expr)) with agg in {sum, count, min, max, avg}."""
+    (out -> (agg, base_expr)) with agg in {sum, count, min, max, avg,
+    count_distinct}. count_distinct routes to a summary only when its
+    column is one of the summary's declared grain KEYS (structural
+    exactness — see ``_derivable``); otherwise the base answers."""
 
     keys: dict[str, str | None]
     measures: dict[str, tuple[str, str]]
@@ -222,15 +229,26 @@ def _measure_aggs(measures: dict[str, tuple[str, str]]) -> list:
     return aggs
 
 
-def _derivable(req_measures: dict, stored_measures: dict) -> bool:
+def _derivable(req_measures: dict, stored_measures: dict,
+               stored_keys=()) -> bool:
     """Can every requested measure be derived from the stored ones? The
     ONE copy of the derivability rule (routing and answering both use it,
     so they cannot drift): sum/count/min/max need the exact (agg, expr)
-    stored; avg(x) needs BOTH (sum, x) and (count, x)."""
+    stored; avg(x) needs BOTH (sum, x) and (count, x);
+    count_distinct(x) needs x to be a DECLARED GRAIN KEY of the summary
+    (``stored_keys``) — exactness is structural, not measure-algebraic:
+    the grain rows enumerate every distinct key combination of the base,
+    so distinct-x per (any grouping derived from the keys) is identical
+    on the summary and the base. A distinct count can never be derived
+    from stored MEASURES (it is not mergeable), so an MV whose keys do
+    not contain x simply refuses and the base fallback answers."""
     stored = {(a, e) for _, (a, e) in stored_measures.items()}
     for _, (agg, expr) in req_measures.items():
         if agg == "avg":
             if ("sum", expr) not in stored or ("count", expr) not in stored:
+                return False
+        elif agg == "count_distinct":
+            if expr not in stored_keys:
                 return False
         elif (agg, expr) not in stored:
             return False
@@ -244,7 +262,7 @@ def _routable(req: AggRequest, mv: MVDef) -> bool:
                 return False
         elif not _expr_refs_only(expr, set(mv.keys)):
             return False
-    return _derivable(req.measures, mv.measures)
+    return _derivable(req.measures, mv.measures, mv.keys)
 
 
 def _answer_from_mv(mv_df: DataFrame, req: AggRequest, mv: MVDef) -> DataFrame:
@@ -255,7 +273,13 @@ def _answer_from_mv(mv_df: DataFrame, req: AggRequest, mv: MVDef) -> DataFrame:
     stored = {(agg, expr): out for out, (agg, expr) in mv.measures.items()}
     aggs = []
     for out, (agg, expr) in req.measures.items():
-        if agg == "count":
+        if agg == "count_distinct":
+            # expr is an MV grain KEY (gated by _derivable): the grain
+            # rows carry every distinct base combination, so a distinct
+            # count over them equals the base's
+            aggs.append(F.countDistinct(F.col(expr))
+                        .cast("bigint").alias(out))
+        elif agg == "count":
             aggs.append(F.sum(F.col(stored[("count", expr)]))
                         .cast("bigint").alias(out))
         elif agg == "sum":
@@ -281,6 +305,9 @@ def _answer_from_base(base: DataFrame, req: AggRequest) -> DataFrame:
             aggs.append(
                 (F.count(F.lit(1)) if expr == "*"
                  else F.count(F.expr(expr))).alias(out))
+        elif agg == "count_distinct":
+            aggs.append(F.countDistinct(F.expr(expr))
+                        .cast("bigint").alias(out))
         elif agg == "sum":
             aggs.append(
                 F.sum(F.expr(expr).cast(_DEC)).cast("double").alias(out))
@@ -407,14 +434,23 @@ class GroupingSetMV:
         want = tuple(req.keys)
         if not set(want) <= set(self.keys):
             return None
-        if not _derivable(req.measures, self.measures):
+        # count_distinct(x) is structural, not measure-algebraic: it
+        # needs a declared grain whose key set holds BOTH the requested
+        # keys and x (the grain rows enumerate the distinct base
+        # combinations), and it always re-aggregates — the exact-grain
+        # pure-filter fast path cannot serve it from stored columns
+        dcols = {e for _, (a, e) in req.measures.items()
+                 if a == "count_distinct"}
+        if not _derivable(req.measures, self.measures,
+                          set(self.keys) if dcols else ()):
             return None
         committed = resolve_mv_path(path)
         if committed is None:
             return None
         stored = {(agg, expr): out for out, (agg, expr) in self.measures.items()}
         mv_df = spark.read.parquet(committed)
-        exact = next((s for s in self.sets if set(s) == set(want)), None)
+        exact = None if dcols else next(
+            (s for s in self.sets if set(s) == set(want)), None)
         if exact is not None:
             sel = [F.col(k) for k in want]
             for out, (agg, expr) in req.measures.items():
@@ -431,7 +467,7 @@ class GroupingSetMV:
                     sel.append(F.col(stored[(agg, expr)]).alias(out))
             return (mv_df.filter(F.col("grouping_id") == self.mask(exact))
                     .select(*sel))
-        covering = [s for s in self.sets if set(want) <= set(s)]
+        covering = [s for s in self.sets if set(want) | dcols <= set(s)]
         if not covering:
             return None
         # the COARSEST covering grain (fewest keys) has the fewest stored

@@ -102,11 +102,12 @@ def test_parse_agg_sql_rejects_untrusted_shapes():
     assert parse_agg_sql("SELECT a, SUM(b) AS s FROM t GROUP BY a") is not None
     # key listed in SELECT but not GROUP BY (and vice versa)
     assert parse_agg_sql("SELECT a, b, SUM(c) AS s FROM t GROUP BY a") is None
-    # expression keys, DISTINCT, missing alias, non-count star
+    # expression keys, missing alias, non-count star
     assert parse_agg_sql(
         "SELECT trunc(a), SUM(b) AS s FROM t GROUP BY trunc(a)") is None
-    assert parse_agg_sql(
-        "SELECT a, COUNT(DISTINCT b) AS s FROM t GROUP BY a") is None
+    # COUNT(DISTINCT col) PARSES since round 9 (VERDICT r8 item 7) — the
+    # MV layer serves it only for declared grain keys; every other
+    # DISTINCT shape still refuses (test_parse_agg_sql_distinct_refusals)
     assert parse_agg_sql("SELECT a, SUM(b) FROM t GROUP BY a") is None
     assert parse_agg_sql("SELECT a, SUM(*) AS s FROM t GROUP BY a") is None
 
@@ -811,3 +812,70 @@ def test_star2_route_having_order_limit(engine):
         [tuple(str(x) for x in r) for r in direct.collect()]
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "lineitem.parquet" not in plan
+
+
+def test_sql_routed_count_distinct_grain_key(engine):
+    """COUNT(DISTINCT <grain col>) routes through the grain MV when the
+    MV's declared key set contains the column (VERDICT r8 item 7):
+    exactness is structural — the summary's rows enumerate every
+    distinct (o_orderdate, o_orderstatus) combination of the base, so
+    re-counting distinct dates per status over the summary equals the
+    base — and the plan must scan ONLY the summary."""
+    routed, prov = engine.sql_routed(
+        "SELECT o_orderstatus, COUNT(DISTINCT o_orderdate) AS n_days, "
+        "COUNT(*) AS n FROM orders GROUP BY o_orderstatus")
+    assert prov in ("mv:mv_orders_daily", "cache")
+    o = engine.table("orders")
+    direct = (o.groupBy("o_orderstatus")
+              .agg(F.countDistinct("o_orderdate").alias("n_days"),
+                   F.count("*").alias("n")))
+    assert _rows(routed) == _rows(direct) and routed.count() > 0
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "orders.parquet" not in plan
+
+    # presentation clauses compose with the distinct count
+    routed2, prov2 = engine.sql_routed(
+        "SELECT o_orderstatus, COUNT(DISTINCT o_orderdate) AS n_days "
+        "FROM orders GROUP BY o_orderstatus HAVING n_days >= 1 "
+        "ORDER BY n_days DESC, o_orderstatus LIMIT 2")
+    assert prov2 in ("mv:mv_orders_daily", "cache")
+    direct2 = (o.groupBy("o_orderstatus")
+               .agg(F.countDistinct("o_orderdate").alias("n_days"))
+               .filter("n_days >= 1")
+               .orderBy(F.desc("n_days"), "o_orderstatus").limit(2))
+    assert [tuple(str(x) for x in r) for r in routed2.collect()] == \
+        [tuple(str(x) for x in r) for r in direct2.collect()]
+
+
+def test_count_distinct_non_key_column_refuses_mv(engine):
+    """Refuse-by-default holds: DISTINCT over a column the MV does NOT
+    declare as a grain key must not be served from the summary — the
+    base fallback answers (exactly), provenance 'base'."""
+    # o_orderpriority is not a grain key of ANY MV this module
+    # registers on the shared engine (o_custkey IS — mv_orders_cust_*)
+    routed, prov = engine.sql_routed(
+        "SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS n_pri "
+        "FROM orders GROUP BY o_orderstatus")
+    assert prov == "base"
+    o = engine.table("orders")
+    direct = (o.groupBy("o_orderstatus")
+              .agg(F.countDistinct("o_orderpriority").alias("n_pri")))
+    assert _rows(routed) == _rows(direct) and routed.count() > 0
+
+
+def test_parse_agg_sql_distinct_refusals():
+    """Grammar refusals: DISTINCT is routable ONLY as COUNT(DISTINCT
+    <column>); every other DISTINCT shape falls through to plain SQL."""
+    from inspectadb_spark.engine import parse_agg_sql
+
+    ok = parse_agg_sql("SELECT a, COUNT(DISTINCT b) AS d FROM t GROUP BY a")
+    assert ok is not None
+    assert ok[1].measures == {"d": ("count_distinct", "b")}
+    assert parse_agg_sql(
+        "SELECT a, SUM(DISTINCT b) AS s FROM t GROUP BY a") is None
+    assert parse_agg_sql(
+        "SELECT a, AVG(DISTINCT b) AS s FROM t GROUP BY a") is None
+    assert parse_agg_sql(
+        "SELECT a, MIN(DISTINCT b) AS s FROM t GROUP BY a") is None
+    assert parse_agg_sql(
+        "SELECT a, COUNT(DISTINCT *) AS s FROM t GROUP BY a") is None

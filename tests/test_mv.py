@@ -380,3 +380,47 @@ def test_expr_refs_only_keyword_named_columns(spark):
     assert _expr_refs_only("extract(month from ts)", {"ts"})
     # unknown plain identifiers still reject
     assert not _expr_refs_only("trunc(other_col, 'month')", {"day"})
+
+
+def test_grouping_set_mv_count_distinct_routes_via_covering_grain(
+        spark, tmp_path_factory):
+    """COUNT(DISTINCT key) on a grouping-set MV (VERDICT r8 item 7):
+    served by RE-AGGREGATING a declared grain whose key set covers the
+    requested keys AND the distinct column — never the exact-grain
+    pure-filter path (stored columns cannot hold a distinct count) —
+    and refused when no declared grain covers both."""
+    from inspectadb_spark.operators.mv import GroupingSetMV
+
+    base = spark.createDataFrame(
+        [("2024-01-01", "A", 1.0), ("2024-01-01", None, 2.0),
+         ("2024-01-02", "B", 3.0), ("2024-01-02", "A", 4.0),
+         ("2024-01-02", "A", 6.0)],
+        "day string, flag string, qty double")
+    mv = GroupingSetMV(
+        name="gsd", keys=("day", "flag"),
+        sets=(("day", "flag"), ("flag",), ()),
+        measures={"sum_qty": ("sum", "qty"), "cnt": ("count", "*")})
+    path = str(tmp_path_factory.mktemp("gsd") / "gsd")
+    mv.store(base, path)
+
+    # distinct flags per day: needs the (day, flag) grain; NULL flag is
+    # excluded by COUNT(DISTINCT) on both forms
+    req = AggRequest(keys={"day": None},
+                     measures={"nf": ("count_distinct", "flag"),
+                               "sq": ("sum", "qty")})
+    got = {r["day"]: (r["nf"], r["sq"]) for r in
+           mv.answer(spark, path, req).collect()}
+    assert got == {"2024-01-01": (1, 3.0), "2024-01-02": (2, 13.0)}
+
+    # exact-grain request WITH a distinct measure still re-aggregates
+    # (and is correct): distinct day per (day, flag) group is 1
+    req2 = AggRequest(keys={"flag": None},
+                      measures={"nd": ("count_distinct", "day")})
+    got2 = {r["flag"]: r["nd"] for r in
+            mv.answer(spark, path, req2).collect()}
+    assert got2 == {"A": 2, "B": 1, None: 1}
+
+    # refused: a distinct column that is not an MV key at all
+    assert mv.answer(spark, path, AggRequest(
+        keys={"flag": None},
+        measures={"nq": ("count_distinct", "qty")})) is None

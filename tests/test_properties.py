@@ -386,7 +386,10 @@ def test_mv_routed_equals_direct_property(spark, tmp_path_factory, rows,
                                           req_keys):
     """For ANY data (NULL keys, NULL measures, empty groups) and any
     requested sub-grain, serving from the stored summary must equal the
-    direct aggregate — sum, row count, non-null count, avg, min, max."""
+    direct aggregate — sum, row count, non-null count, avg, min, max,
+    and COUNT(DISTINCT <grain key>) for both keys (VERDICT r8 item 7:
+    structural distinct-count routing, NULL keys excluded identically
+    by both forms)."""
     from inspectadb_spark.operators.mv import AggRequest, MVDef, route
 
     base = spark.createDataFrame(rows, "k1 string, k2 string, v double")
@@ -400,13 +403,21 @@ def test_mv_routed_equals_direct_property(spark, tmp_path_factory, rows,
         keys={k: None for k in req_keys},
         measures={"s": ("sum", "v"), "n": ("count", "*"),
                   "nv": ("count", "v"), "a": ("avg", "v"),
-                  "mn": ("min", "v"), "mx": ("max", "v")})
+                  "mn": ("min", "v"), "mx": ("max", "v"),
+                  "d1": ("count_distinct", "k1"),
+                  "d2": ("count_distinct", "k2")})
     routed, used = route(spark, req, {mv.name: (mv, path)}, base)
     assert used == mv.name
     direct, _ = route(spark, req, {}, base)
     canon = lambda df: sorted(  # noqa: E731
         tuple(str(x) for x in r) for r in df.collect())
     assert canon(routed) == canon(direct)
+    # a distinct column OUTSIDE the declared grain refuses the MV and
+    # falls back to the (exact) base aggregate
+    bad = AggRequest(keys={k: None for k in req_keys},
+                     measures={"dv": ("count_distinct", "v")})
+    _, used_bad = route(spark, bad, {mv.name: (mv, path)}, base)
+    assert used_bad is None
 
 
 def test_p2c_mutual_nn_ann_matches_exact_on_separable_pairs(spark):
