@@ -3380,6 +3380,49 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared calibration readouts (q295 / q324 / the S46 live monitor): the
+# closed-form arithmetic applied to a bin-grain sufficient-statistics
+# frame resp. a one-row moment frame. Factored out exactly like
+# training.py's srm_readout/two_prop_readout (S45), so the live monitor
+# and the batch queries cannot drift.
+
+
+def ece_readout(b: DataFrame) -> DataFrame:
+    """q295's ECE/MCE closed form over the bin-grain frame
+    (bin, n, sp, pos): n_b·|conf_b − acc_b| = |Σp_b − pos_b| with Σp_b
+    an exact decimal sum of 6dp-quantized predictions, so per-bin terms
+    are exact before the bounded 10-row fold. Shared with the S46 live
+    calibration monitor, whose IncrementalAggregate state carries the
+    SAME exact sufficient statistics per bin."""
+    tot = b.agg(F.sum("n").cast("bigint").alias("nn"))
+    return (b.select("n", F.col("sp"),
+                     F.col("pos").cast("bigint").alias("pos"))
+            .join(F.broadcast(tot))
+            .groupBy("nn").agg(
+                F.count("*").cast("bigint").alias("n_bins"),
+                F.expr("CAST(ROUND(CAST(CAST(SUM(ABS(sp - pos)) AS DOUBLE)"
+                       " / nn AS DECIMAL(18,6)), 4) AS DOUBLE)")
+                .alias("ece"),
+                F.expr("CAST(ROUND(CAST(MAX(ABS(CAST(sp AS DOUBLE) - pos)"
+                       " / n) AS DECIMAL(18,6)), 4) AS DOUBLE)")
+                .alias("mce"))
+            .select(F.col("nn").alias("n"), "n_bins", "ece", "mce"))
+
+
+def calibration_fit_readout(s: DataFrame) -> DataFrame:
+    """q324's closed-form OLS calibration fit over the one-row exact
+    moment frame (n, sp, spp, sy, spy) — sp/spp/spy already folded from
+    exact decimal sums and cast to double, sy an exact integer. Shared
+    with the S46 live monitor for the same reason as ``ece_readout``."""
+    return s.select(
+        "n", F.col("sy").alias("n_pos"),
+        r4c(F.expr("(n * spy - sp * sy) / (n * spp - sp * sp)"))
+        .alias("slope"),
+        r4c(F.expr("(sy - (n * spy - sp * sy) / (n * spp - sp * sp)"
+                   " * sp) / n")).alias("intercept"))
+
+
+# --------------------------------------------------------------------------
 # Q295 expected calibration error of the q294 predictor: ten fixed-width
 # confidence bins over the held-out days, ECE = Σ_b (n_b/N)·|conf_b −
 # acc_b| and MCE = max_b — the scalar summary of q196's reliability
@@ -3438,17 +3481,7 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("p").alias("sp"),
         F.sum("y").cast("bigint").alias("pos"))
-    tot = b.agg(F.sum("n").cast("bigint").alias("nn"))
-    return (b.join(F.broadcast(tot))
-            .groupBy("nn").agg(
-                F.count("*").cast("bigint").alias("n_bins"),
-                F.expr("CAST(ROUND(CAST(CAST(SUM(ABS(sp - pos)) AS DOUBLE)"
-                       " / nn AS DECIMAL(18,6)), 4) AS DOUBLE)")
-                .alias("ece"),
-                F.expr("CAST(ROUND(CAST(MAX(ABS(CAST(sp AS DOUBLE) - pos)"
-                       " / n) AS DECIMAL(18,6)), 4) AS DOUBLE)")
-                .alias("mce"))
-            .select(F.col("nn").alias("n"), "n_bins", "ece", "mce"))
+    return ece_readout(b)
 
 
 # --------------------------------------------------------------------------
@@ -4716,12 +4749,7 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("p * p")).cast("double").alias("spp"),
         F.sum("y").cast("bigint").alias("sy"),
         F.sum(F.expr("p * y")).cast("double").alias("spy"))
-    return s.select(
-        "n", F.col("sy").alias("n_pos"),
-        r4c(F.expr("(n * spy - sp * sy) / (n * spp - sp * sp)"))
-        .alias("slope"),
-        r4c(F.expr("(sy - (n * spy - sp * sy) / (n * spp - sp * sp)"
-                   " * sp) / n")).alias("intercept"))
+    return calibration_fit_readout(s)
 
 
 # --------------------------------------------------------------------------

@@ -38,6 +38,12 @@ from pyspark.sql import functions as F
 _KINDS = {
     "count": ("COUNT({src})", "SUM({c})"),
     "sum": ("SUM(CAST({src} AS DECIMAL(18,6)))", "SUM({c})"),
+    # 12dp exact sum: for products of two 6dp-quantized quantities (e.g.
+    # the p² / p·y calibration moments of q324 / S46), whose exact value
+    # carries 12 decimal places — the 6dp "sum" kind would silently
+    # round each term. DECIMAL(38,12) leaves 26 integer digits, so the
+    # additive merge cannot overflow at any realistic state size.
+    "sum12": ("SUM(CAST({src} AS DECIMAL(38,12)))", "SUM({c})"),
     "min": ("MIN({src})", "MIN({c})"),
     "max": ("MAX({src})", "MAX({c})"),
     # distinct-set union: partial = this batch's distinct values, merge =
@@ -57,7 +63,7 @@ class IncrementalAggregate:
     """Maintains ``SELECT keys, aggs FROM stream GROUP BY keys`` incrementally.
 
     ``measures``: list of (alias, kind, source_sql_expr) with kind in
-    count | sum | min | max.
+    count | sum | sum12 | min | max | set.
     """
 
     def __init__(

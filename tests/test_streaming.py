@@ -2268,3 +2268,71 @@ def test_s45_live_experimentation_monitor(spark, replay_dir, tmp_path):
     want_z = REGISTRY["q321_two_proportion_z"].builder(spark, SF_DIR)
     assert _rows(live_srm) == _rows(want_srm)
     assert _rows(live_z) == _rows(want_z)
+
+
+# S46 live calibration monitor (VERDICT r8 item 8): one bin-grain
+# IncrementalAggregate over the held-out event stream — enriched against
+# the BROADCAST static train model (hour-of-day purchase rate, the q294
+# predictor) — maintains per-confidence-bin exact sufficient statistics
+# (n, Σp, Σp², Σy, Σp·y); after the drain, q295's ECE/MCE and q324's
+# OLS calibration fit computed from the LIVE STATE — through the very
+# same ece_readout/calibration_fit_readout closed forms the batch
+# queries use — equal the batch reports byte-for-byte. Σp² and Σp·y ride
+# the 12dp exact-sum kind (a 6dp decimal sum would round each squared
+# 6dp prediction). State is one row per confidence bin (≤ 10 rows,
+# independent of stream length); merge per batch is O(bins + |batch|).
+def test_s46_live_calibration_monitor(spark, replay_dir, tmp_path):
+    from inspectadb_spark.queries.registry import REGISTRY
+    from inspectadb_spark.queries.stats import (
+        calibration_fit_readout, ece_readout)
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    # static train model: the q294/q295/q324 hour-of-day predictor fit
+    # on the first half (days <= 15) — at deployment this is the frozen
+    # model table the live monitor scores against
+    tr = (spark.read.parquet(replay_dir).filter("day(ts) <= 15")
+          .groupBy(F.expr("CAST(hour(ts) AS INT)").alias("hr"))
+          .agg(F.expr(
+              "ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'"
+              " THEN 1.0 ELSE 0 END) / COUNT(*) AS DECIMAL(18,6)), 6)")
+              .alias("p")))
+    enriched = (
+        _stream(spark, replay_dir)
+        .filter("day(ts) > 15")
+        .select(F.expr("CAST(hour(ts) AS INT)").alias("hr"),
+                F.expr("CASE WHEN event_type = 'purchase'"
+                       " THEN 1 ELSE 0 END").alias("y"))
+        .join(F.broadcast(tr), "hr"))
+    inc = IncrementalAggregate(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        key_exprs={"bin": "CAST(LEAST(FLOOR(CAST(p AS DOUBLE) * 10), 9)"
+                          " AS INT)"},
+        measures=[("n", "count", "1"), ("sp", "sum", "p"),
+                  ("spp", "sum12", "p * p"), ("sy", "sum", "y"),
+                  ("spy", "sum", "p * y")],
+    )
+    q = inc.start(enriched, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = inc.table()
+    # bounded state: one row per occupied confidence bin, never more
+    # than the 10 declared bins
+    assert 0 < state.count() <= 10
+
+    live_ece = ece_readout(state.select(
+        "n", "sp", F.col("sy").alias("pos")))
+    live_fit = calibration_fit_readout(state.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sp").cast("double").alias("sp"),
+        F.sum("spp").cast("double").alias("spp"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("spy").cast("double").alias("spy")))
+
+    # the replay IS the corpus events table, so the batch references are
+    # the registry queries themselves at SF_DIR
+    want_ece = REGISTRY["q295_ece"].builder(spark, SF_DIR)
+    want_fit = REGISTRY["q324_calibration_fit"].builder(spark, SF_DIR)
+    assert _rows(live_ece) == _rows(want_ece)
+    assert _rows(live_fit) == _rows(want_fit)
