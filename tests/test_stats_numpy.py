@@ -2112,3 +2112,97 @@ def test_q189_kmv_matches_python_and_jaccard_bound(spark):
         band = 4 * math.sqrt(max(true_j * (1 - true_j), 1e-9) / 128) \
             + 1 / 128
         assert abs(n_common / kk - true_j) <= band
+
+
+def test_q270_heldout_xent_matches_numpy(spark):
+    """The truncated-vocab add-1 unigram LM rebuilt in pure python: md5
+    doc split, top-25 train vocabulary (count DESC, token), per-token
+    lp = ln((c+1)/(N+V+1)) quantized at 4dp, OOV when outside the
+    vocabulary — the unigram companion of the q302 KN reference."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    split = docs["doc_id"].map(
+        lambda i: "train"
+        if int(hashlib.md5(f"{i}:split".encode()).hexdigest()[0], 16) < 13
+        else "test")
+    uni = Counter()
+    for text, sp in zip(docs["text"], split):
+        if sp == "train":
+            uni.update(text.split(" "))
+    vocab = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:25])
+    nt, v = sum(vocab.values()), len(vocab)
+    per = defaultdict(lambda: [0, 0, 0.0])  # n, oov, sum_lp
+    for text, src, sp in zip(docs["text"], docs["source"], split):
+        if sp != "test":
+            continue
+        for tok in text.split(" "):
+            c = vocab.get(tok, 0)
+            per[src][0] += 1
+            per[src][1] += c == 0 and tok not in vocab
+            per[src][2] += round(math.log((c + 1) / (nt + v + 1)), 4)
+    rows = {r["source"]: r.asDict() for r in
+            REGISTRY["q270_heldout_xent"].builder(spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(per)
+    for src, (n, oov, slp) in per.items():
+        r = rows[src]
+        assert r["n_test_tokens"] == n
+        assert r["n_oov"] == oov
+        assert r["oov_ppm"] == oov * 1000000 // n
+        assert r["xent_nats"] == pytest.approx(-slp / n, abs=2e-4)
+    # non-degenerate: the truncation makes OOV real (q326 class)
+    assert any(p[1] > 0 for p in per.values())
+
+
+def test_q269_dedup_weighted_tokens_matches_python(spark):
+    """The dup-overlay dedup weighting rebuilt in pure python: the
+    corpus plus every doc_id % 50 == 0 document again, per-doc tokens
+    discounted by the md5(text) cluster size in integer millionths."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    rows_in = list(zip(docs["doc_id"], docs["source"], docs["text"]))
+    corpus = rows_in + [r for r in rows_in if r[0] % 50 == 0]
+    csize = Counter(hashlib.md5(t.encode()).hexdigest()
+                    for _, _, t in corpus)
+    per = defaultdict(lambda: [0, 0, 0])  # n_docs, raw, eff_millionths
+    for _, src, t in corpus:
+        tok = len([w for w in t.split(" ") if w])
+        cs = csize[hashlib.md5(t.encode()).hexdigest()]
+        per[src][0] += 1
+        per[src][1] += tok
+        per[src][2] += tok * 1000000 // cs
+    rows = {r["source"]: r.asDict() for r in
+            REGISTRY["q269_dedup_weighted_tokens"].builder(
+                spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(per)
+    dup_seen = False
+    for src, (nd, raw, eff) in per.items():
+        r = rows[src]
+        assert (r["n_docs"], r["raw_tokens"], r["eff_token_millionths"]) \
+            == (nd, raw, eff)
+        assert r["dup_ppm"] == (raw * 1000000 - eff) // raw
+        dup_seen = dup_seen or r["dup_ppm"] > 0
+    # non-degenerate: the overlay plants real clusters (q326 class)
+    assert dup_seen
+
+
+def test_q174_group_mode_matches_python(spark):
+    """The deterministic modal-hour rule rebuilt in pure python: count
+    per (type, hour), winner by (count DESC, hour ASC)."""
+    from collections import Counter
+
+    ev = _events()
+    cnt = Counter(zip(ev["event_type"], ev["ts"].dt.hour))
+    want = {}
+    for (et, hr), n in cnt.items():
+        cur = want.get(et)
+        if cur is None or (n, -hr) > (cur[1], -cur[0]):
+            want[et] = (int(hr), n)
+    rows = {r["event_type"]: (r["mode_bin"], r["mode_n"]) for r in
+            REGISTRY["q174_group_mode"].builder(spark, SF_DIR).collect()}
+    assert rows == want
+    # non-degenerate: the modal hour varies across types (q326 class)
+    assert len({b for b, _ in rows.values()}) > 1
