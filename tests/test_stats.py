@@ -230,7 +230,10 @@ def test_poisson_bootstrap_weights_mean_near_one(spark):
 def test_kaplan_meier_matches_naive_reference(spark):
     from inspectadb_spark.queries.stats import q190
 
-    rows = _events(spark).select("user_id", "ts", "event_type").collect()
+    # literally the query's 3-day observation window (round-9 degeneracy
+    # fix: the full horizon censors nobody — see q190's doc)
+    rows = (_events(spark).select("user_id", "ts", "event_type")
+            .filter("ts < TIMESTAMP '2024-01-04'").collect())
     by_user = {}
     for r in rows:
         u = by_user.setdefault(r["user_id"], {"t0": r["ts"], "tp": None,
