@@ -774,6 +774,57 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared PSI readout (q173 / the S47 live drift monitor): the closed-form
+# arithmetic from the (event_type, bin, half) COUNT frame down to the
+# per-type PSI — grid completion (absent cells are real zeros, not
+# missing rows), Laplace-smoothed integer-ppm shares, per-bin terms
+# quantized to decimal BEFORE summing. Factored out exactly like
+# srm_readout (S45) and ece_readout (S46), so the live monitor and the
+# batch query cannot drift.
+
+
+def psi_readout(c: DataFrame, n_bins: int = 10) -> DataFrame:
+    """PSI per event_type from exact bin counts ``c`` with columns
+    (event_type, bin, half, n): half 0 is the reference distribution,
+    half 1 the current one. Shared with the S47 live monitor, whose
+    IncrementalAggregate state carries the SAME exact counts for the
+    current side."""
+    spark = c.sparkSession
+    types = c.select("event_type").distinct()
+    grid = (
+        types.crossJoin(spark.range(n_bins)
+                        .select(F.col("id").cast("int").alias("bin")))
+        .crossJoin(spark.range(2)
+                   .select(F.col("id").cast("int").alias("half")))
+    )
+    f = grid.join(c, ["event_type", "bin", "half"], "left").select(
+        "event_type", "bin", "half", F.coalesce("n", F.lit(0)).alias("n"))
+    t = f.groupBy("event_type", "half").agg(F.sum("n").alias("tot"))
+    p = f.join(F.broadcast(t), ["event_type", "half"]).select(
+        "event_type", "bin", "half",
+        F.expr(f"(n + 1) * 1000000 DIV (tot + {n_bins})").alias("ppm"))
+    p0 = p.filter(F.col("half") == 0).select(
+        "event_type", "bin", F.col("ppm").alias("ppm0"))
+    p1 = p.filter(F.col("half") == 1).select(
+        "event_type", "bin", F.col("ppm").alias("ppm1"))
+    w = p0.join(p1, ["event_type", "bin"]).select(
+        "event_type",
+        F.round(
+            F.expr("(CAST(ppm0 AS DOUBLE) - ppm1) / 1000000"
+                   " * ln(CAST(ppm0 AS DOUBLE) / ppm1)")
+            .cast("decimal(18,6)"),
+            6,
+        ).alias("term"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(F.round(F.sum("term").cast("decimal(18,6)"), 4).cast("double")
+             .alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q173 population-stability-index drift monitor: value-bin distributions of
 # the first half of the event stream vs the second (split at max id / 2),
 # Laplace-smoothed integer-ppm shares, per-bin PSI terms quantized to
@@ -827,35 +878,7 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CASE WHEN event_id <= mid THEN 0 ELSE 1 END").alias("half"),
     )
     c = b.groupBy("event_type", "bin", "half").agg(F.count("*").alias("n"))
-    types = c.select("event_type").distinct()
-    grid = (
-        types.crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
-        .crossJoin(spark.range(2).select(F.col("id").cast("int").alias("half")))
-    )
-    f = grid.join(c, ["event_type", "bin", "half"], "left").select(
-        "event_type", "bin", "half", F.coalesce("n", F.lit(0)).alias("n"))
-    t = f.groupBy("event_type", "half").agg(F.sum("n").alias("tot"))
-    p = f.join(F.broadcast(t), ["event_type", "half"]).select(
-        "event_type", "bin", "half",
-        F.expr("(n + 1) * 1000000 DIV (tot + 10)").alias("ppm"))
-    p0 = p.filter(F.col("half") == 0).select(
-        "event_type", "bin", F.col("ppm").alias("ppm0"))
-    p1 = p.filter(F.col("half") == 1).select(
-        "event_type", "bin", F.col("ppm").alias("ppm1"))
-    w = p0.join(p1, ["event_type", "bin"]).select(
-        "event_type",
-        F.round(
-            F.expr("(CAST(ppm0 AS DOUBLE) - ppm1) / 1000000"
-                   " * ln(CAST(ppm0 AS DOUBLE) / ppm1)").cast("decimal(18,6)"),
-            6,
-        ).alias("term"),
-    )
-    return (
-        w.groupBy("event_type")
-        .agg(F.round(F.sum("term").cast("decimal(18,6)"), 4).cast("double")
-             .alias("psi"))
-        .orderBy("event_type")
-    )
+    return psi_readout(c)
 
 
 # --------------------------------------------------------------------------

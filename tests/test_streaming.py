@@ -2336,3 +2336,51 @@ def test_s46_live_calibration_monitor(spark, replay_dir, tmp_path):
     want_fit = REGISTRY["q324_calibration_fit"].builder(spark, SF_DIR)
     assert _rows(live_ece) == _rows(want_ece)
     assert _rows(live_fit) == _rows(want_fit)
+
+
+# S47 live drift monitor (the third deployment guardrail, completing the
+# S45 experiment-health / S46 calibration pair): a (type, bin)-grain
+# IncrementalAggregate maintains exact value-bin counts of the CURRENT
+# window (event_id > mid) over the stream; the frozen REFERENCE
+# distribution (the first half, computed at deployment) is a static
+# count table. After the drain, q173's PSI computed from reference ∪
+# live state — through the very same psi_readout closed form the batch
+# query uses — equals the batch report byte-for-byte. State is one row
+# per occupied (event_type, bin) cell (≤ |types|·10, independent of
+# stream length).
+def test_s47_live_drift_monitor(spark, replay_dir, tmp_path):
+    from inspectadb_spark.queries.registry import REGISTRY
+    from inspectadb_spark.queries.stats import psi_readout
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    hist = spark.read.parquet(replay_dir)
+    mid = hist.agg(F.expr("MAX(event_id) DIV 2").alias("m")).collect()[0]["m"]
+    # frozen reference: the first half's exact bin counts
+    ref = (hist.filter(F.col("event_id") <= mid)
+           .groupBy("event_type",
+                    F.expr("CAST(LEAST(FLOOR(value / 50.0), 9) AS INT)")
+                    .alias("bin"))
+           .agg(F.count("*").alias("n"))
+           .withColumn("half", F.lit(0)))
+
+    inc = IncrementalAggregate(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        key_exprs={"event_type": "event_type",
+                   "bin": "CAST(LEAST(FLOOR(value / 50.0), 9) AS INT)"},
+        measures=[("n", "count", "1")],
+    )
+    q = inc.start(_stream(spark, replay_dir).filter(F.col("event_id") > mid),
+                  str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = inc.table()
+    n_types = hist.select("event_type").distinct().count()
+    assert 0 < state.count() <= n_types * 10  # bounded (type, bin) grid
+
+    live = psi_readout(ref.unionByName(
+        state.withColumn("half", F.lit(1))
+        .select("event_type", "bin", "half", "n")))
+    want = REGISTRY["q173_psi_drift"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
