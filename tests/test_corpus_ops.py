@@ -590,3 +590,29 @@ def test_compression_ratio_flags_repetition_and_nulls(spark):
     assert out[1][0] < out[2][0]          # boilerplate compresses better
     assert out[3] == (None, None)         # NULL text -> NULL, not error
     assert out[4][0] is None              # empty text -> NULL ratio
+
+
+def test_lang_id_und_and_tie_rule(spark):
+    """The two lang_id arms the corpus can no longer reach after the
+    round-9 marker re-anchoring: a doc hitting NO marker set predicts
+    'und' (best <= 0), and an exact score tie breaks deterministically
+    toward the EARLIER language in the LANG_MARKERS tuple order (de
+    before en before es ...). Marker sets are disjoint, so ties are
+    constructed, never accidental."""
+    from inspectadb_spark.operators.text import LANG_MARKERS, lang_id
+
+    de = LANG_MARKERS[0][1][0]   # a 'de' marker word
+    en = LANG_MARKERS[1][1][0]   # an 'en' marker word
+    zh = LANG_MARKERS[4][1][0]   # a 'zh' marker word
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"),          # no marker hits -> und
+         (2, f"{de} {en}"),                 # 1-1 tie -> de (earlier)
+         (3, f"{en} {zh} {zh}")],           # zh wins 2-1
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in lang_id(docs).collect()}
+    assert got[1]["pred_lang"] == "und"
+    assert all(got[1][f"s_{lang}"] == 0 for lang, _ in LANG_MARKERS)
+    assert got[2]["pred_lang"] == "de"
+    assert got[2]["s_de"] == got[2]["s_en"] == 1
+    assert got[3]["pred_lang"] == "zh"
+    assert (got[3]["s_zh"], got[3]["s_en"]) == (2, 1)
