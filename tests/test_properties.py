@@ -631,3 +631,29 @@ def test_star2_route_equals_direct_property(spark, tmp_path_factory,
     canon = lambda df: sorted(  # noqa: E731
         tuple(str(x) for x in r) for r in df.collect())
     assert canon(routed) == canon(direct)
+
+
+# -- serving-grammar robustness: parsers never raise, only refuse ------------
+_sql_fragments = st.lists(
+    st.sampled_from([
+        "SELECT", "FROM", "GROUP", "BY", "WHERE", "HAVING", "ORDER",
+        "LIMIT", "AND", "COUNT", "SUM", "AVG", "MIN", "MAX", "DISTINCT",
+        "(", ")", "*", ",", "=", ">", "<", "a", "b", "t", "s", "7",
+        "'x'", "1.5", "AS", ";", "JOIN", "ON", ".", "f", "d",
+    ]),
+    min_size=0, max_size=25).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=st.one_of(_sql_fragments, st.text(max_size=120)))
+def test_serving_grammar_parsers_never_raise(text):
+    """The restricted-grammar front-end is fed raw user SQL; on ANY
+    input — keyword soup, random unicode, half-matched shapes — every
+    parser must either return a parse or None (fall through to plain
+    Spark SQL), never raise. The refuse-by-default contract is only
+    safe if refusal is total."""
+    from inspectadb_spark.engine import (
+        parse_agg_sql, parse_star2_agg_sql, parse_star_agg_sql)
+
+    for p in (parse_agg_sql, parse_star_agg_sql, parse_star2_agg_sql):
+        p(text)  # must not raise; value unchecked
