@@ -23,17 +23,41 @@ from inspectadb_spark.session import SEMANTIC_CONFS  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering. The driver verifies the FIRST 50 keys of queries()
-# in dict-iteration order (confirmed in r02-r08 samples). Rounds 2-8 drove
-# 307 distinct oracled ids green; 64 oracled ids remained never-sampled
-# after r08, all in-repo hash-verified at both SFs each pytest run. The
-# round-9 window (VERDICT r8 item 1) is the mechanical front-load the r8
-# layout promised: exactly the first 50 ids of the r8 _NEVER_REST list
-# (the 7 pre-r7 stragglers q92/q94/q191/q196/q215/q244/q245, then the
-# round-7 statistics block q279-q321). _NEVER_REST now lists the 14 ids
-# still never-sampled (q322-q335) directly behind the window, so the
-# round-10 rotation clears the backlog entirely. Corpus additions remain
-# FROZEN this round (VERDICT r8 item 2) so the backlog strictly shrinks.
+# in dict-iteration order (confirmed in r02-r10 samples). Rounds 2-10 drove
+# 357 distinct oracled ids green; 14 oracled ids (q322-q335) remain
+# never-sampled, all in-repo hash-verified at both SFs each pytest run.
+# The round-11 window (VERDICT r10 item 1) front-loads those 14 to clear
+# the backlog to zero (cumulative 371/371), then spends the remaining 36
+# slots refreshing the STALEST evidence: the four ids last green in r02
+# (q01/q34b/q35b/q37b) and the front of the r03-verified normative block
+# (§2.3 headliners + the join family), none re-sampled since round 3.
 # tests/test_entry.py pins all of this against the registry.
+_ROUND11_FRONT = [
+    # (a) the final 14 never-driver-sampled oracled ids — backlog to zero
+    "q322_cmh_test", "q323_decision_stump",
+    "q324_calibration_fit", "q325_fleiss_kappa",
+    "q326_capture_recapture", "q327_diversity_index",
+    "q328_jackknife_ratio_se", "q329_gumbel_maxima",
+    "q330_theil_decomposition", "q331_atkinson",
+    "q332_decayed_ltv", "q333_cold_start_rate",
+    "q334_icc_design_effect", "q335_winsorized_ab",
+    # (b) the four ids whose only green row is r02 — the stalest evidence
+    "q01_scan_count", "q34b_intersect_all", "q35b_except_all",
+    "q37b_time_parts",
+    # (c) r03-green normative headliners + join family, stale since r03
+    "q13_asof_join", "q42_json", "q43_cosine_topk", "q44_exact_dedup",
+    "q45_token_counts", "q46_cdc_apply", "q47_scd2", "q48_sessionize",
+    "q49_tumbling", "q50_sliding", "q51_sink_roundtrip",
+    "q21_conditional_agg", "q02_project_case", "q03_predicates",
+    "q04_regex_topk", "q05_inner_join", "q06_star_join", "q07_left_join",
+    "q08_full_join", "q09_semi_join", "q10_anti_join", "q11_cross_join",
+    "q12_theta_join", "q14_global_agg", "q15_pricing_summary",
+    "q16_having", "q17_multi_distinct", "q18_grouping_sets", "q19_rollup",
+    "q20_cube", "q22_max_by", "q23_list_agg",
+]
+
+# The round-9 window (driver-green 50/50 in r09 and re-run green in r10);
+# behind the fresh window.
 _ROUND9_FRONT = [
     "q92_posexplode",
     "q94_cms_estimates", "q191_wilson_ci", "q196_calibration_bins",
@@ -106,8 +130,10 @@ _ROUND7_FRONT = [
     "q188_pmi_collocations",
 ]
 
-# The remaining never-driver-sampled oracled ids (explicit, registry order):
-# the round-10 rotation front-loads these and the backlog reaches 0.
+# The formerly never-driver-sampled oracled ids (explicit, registry order):
+# the round-11 rotation front-loads these and the backlog reaches 0. Kept
+# as a named list because tests/test_entry.py pins the window's (a) block
+# against it.
 _NEVER_REST = [
     "q322_cmh_test", "q323_decision_stump",
     "q324_calibration_fit", "q325_fleiss_kappa",
@@ -300,11 +326,11 @@ _TIER3 = [
     "q34b_intersect_all", "q35b_except_all", "q37b_time_parts",
 ]
 
-_PRIMARY = list(_ROUND9_FRONT)
-for _n in (_NEVER_REST + _ROUND8_FRONT + _ROUND7_FRONT + _ROUND6_FRONT
+_PRIMARY = list(_ROUND11_FRONT)
+for _n in (_ROUND9_FRONT + _ROUND8_FRONT + _ROUND7_FRONT + _ROUND6_FRONT
            + _TIER2 + _ROUND5_FRONT + _ROUND4_FRONT + _TIER3):
-    # _NEVER_REST first: the remaining never-driver-sampled ids line up
-    # directly behind the window if the driver ever samples more than 50
+    # behind the fresh window: most-recently-curated windows first, so a
+    # driver sampling more than 50 refreshes next-stalest evidence next
     if _n not in _PRIMARY:
         _PRIMARY.append(_n)
 

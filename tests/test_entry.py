@@ -4,11 +4,10 @@
 these tests pin it against the registry so future query additions can't
 silently displace the intended sampled set or reference a renamed id.
 
-Round-9 contract (VERDICT r8 items 1-2): the window is exactly the first
-50 ids of the round-8 `_NEVER_REST` layout, the new `_NEVER_REST` is
-exactly the 14-id unsampled remainder (q322-q335), and the corpus stays
-FROZEN — the registry must not grow this round so the backlog clears in
-round 10.
+Round-11 contract (VERDICT r10 item 1): the window front-loads the final
+14 never-driver-sampled oracled ids (q322-q335) so cumulative external
+coverage reaches 371/371, and spends the remaining 36 slots refreshing the
+stalest evidence — ids whose only green driver rows date from r02/r03.
 """
 
 from __future__ import annotations
@@ -21,32 +20,35 @@ from inspectadb_spark.queries import REGISTRY
 
 ROOT = Path(__file__).resolve().parent.parent
 
-# Pre-round-9 baseline: only CORRECTNESS files from rounds < 9 count when
-# deciding "never driver-sampled", so this round's own CORRECTNESS_r09
-# landing mid-round can't flip these pins.
-_BASELINE_CUTOFF = "CORRECTNESS_r09"
+# Pre-round-11 baseline: only CORRECTNESS files from rounds < 11 count when
+# deciding "never driver-sampled" / "stale", so this round's own
+# CORRECTNESS_r11 landing mid-round can't flip these pins.
+_BASELINE_CUTOFF = "CORRECTNESS_r11"
 
-# Corpus freeze (VERDICT r8 item 2): the registry held 388 queries / 371
-# oracled at the end of round 8. Round 9 adds nothing, so any growth here
-# is a freeze violation that must be consciously justified by editing this
-# pin in the same commit.
+# Registry size pin: 388 queries / 371 oracled at the end of round 10.
+# Round-11 additions (the VERDICT r10 item-3 promotions) must consciously
+# update this pin in the same commit that grows the registry.
 _FROZEN_REGISTRY_SIZE = 388
 _FROZEN_ORACLED_SIZE = 371
 
 
-def _green_before_r09() -> set[str]:
-    """Ids with a hash-green row in any pre-r09 CORRECTNESS file."""
-    green: set[str] = set()
+def _green_rounds() -> dict[str, set[str]]:
+    """id -> set of pre-cutoff CORRECTNESS files with a hash-green row."""
+    green: dict[str, set[str]] = {}
     for p in ROOT.glob("CORRECTNESS_r*.json"):
         if p.name >= _BASELINE_CUTOFF:
             continue
         try:
             for name, row in json.loads(p.read_text()).items():
                 if row.get("hash_match") is True:
-                    green.add(name)
+                    green.setdefault(name, set()).add(p.name)
         except Exception:
             pass
     return green
+
+
+def _green_before_r11() -> set[str]:
+    return set(_green_rounds())
 
 
 def test_primary_names_all_exist_in_registry():
@@ -55,21 +57,20 @@ def test_primary_names_all_exist_in_registry():
     assert len(entry._PRIMARY) == len(set(entry._PRIMARY)), "duplicate ids"
 
 
-def test_corpus_is_frozen_this_round():
+def test_registry_size_is_pinned():
     from inspectadb_spark import queries as corpus
 
     assert len(REGISTRY) == _FROZEN_REGISTRY_SIZE, (
-        f"registry grew to {len(REGISTRY)} during the round-9 corpus "
-        "freeze (VERDICT r8 item 2); justify and update the pin in the "
-        "same commit if an addition is genuinely needed"
+        f"registry is {len(REGISTRY)}, pin says {_FROZEN_REGISTRY_SIZE}; "
+        "growth must consciously update the pin in the same commit"
     )
     assert len(corpus.oracle_sql()) == _FROZEN_ORACLED_SIZE
 
 
-def test_round9_front_window_is_the_intended_sample():
-    assert len(entry._ROUND9_FRONT) == 50
+def test_round11_front_window_is_the_intended_sample():
+    assert len(entry._ROUND11_FRONT) == 50
     front = entry._PRIMARY[:50]
-    assert front == entry._ROUND9_FRONT, (
+    assert front == entry._ROUND11_FRONT, (
         "the first 50 queries() keys ARE the driver's sample — additions "
         "must go behind the curated window, not displace it"
     )
@@ -81,48 +82,72 @@ def test_round9_front_window_is_the_intended_sample():
     assert not missing, f"front-50 ids without oracle SQL: {missing}"
 
 
-def test_round9_front_is_never_driver_green_before():
-    """The rotation's whole point: the window spends its 50 slots on ids
-    with no hash-green driver row in rounds 2-8."""
-    stale = [n for n in entry._ROUND9_FRONT if n in _green_before_r09()]
-    assert not stale, f"front-50 wastes slots on already-verified ids: {stale}"
-
-
-def test_never_rest_is_exactly_the_unsampled_remainder():
-    """_ROUND9_FRONT + _NEVER_REST must partition the never-driver-sampled
-    oracled ids: nothing forgotten, nothing duplicated, so the round-10
-    rotation is a mechanical front-load of _NEVER_REST."""
+def test_round11_front_clears_the_backlog():
+    """The final 14 never-driver-sampled oracled ids are all in the window,
+    so cumulative driver coverage reaches 371/371 (371 = pre-r11 oracled
+    count; this round's own additions are sampled in later rotations)."""
     from inspectadb_spark import queries as corpus
 
     osql = set(corpus.oracle_sql())
-    listed = entry._ROUND9_FRONT + entry._NEVER_REST
-    assert len(listed) == len(set(listed))
-    never_pre_r9 = {
-        n for n in REGISTRY if n in osql and n not in _green_before_r09()
+    never = {
+        n
+        for n in REGISTRY
+        if n in osql
+        and n not in _green_before_r11()
+        and n not in _ROUND11_ADDITIONS
     }
-    assert set(listed) == never_pre_r9, (
-        f"missing: {never_pre_r9 - set(listed)}; "
-        f"extra: {set(listed) - never_pre_r9}"
+    assert never == set(entry._NEVER_REST), (
+        f"never-sampled set drifted: missing={never - set(entry._NEVER_REST)} "
+        f"extra={set(entry._NEVER_REST) - never}"
     )
-    # the backlog must have shrunk to exactly 14 (64 pre-r9 minus the 50
-    # the r09 window front-loads)
-    assert len(entry._NEVER_REST) == 14
+    front = set(entry._ROUND11_FRONT)
+    assert never <= front, f"backlog ids left out of the window: {never - front}"
 
 
-def test_round8_front_is_all_driver_green():
-    """Regression guard: the previous window really did go green, so the
-    rotation isn't abandoning red rows."""
-    r08 = ROOT / "CORRECTNESS_r08.json"
-    rows = json.loads(r08.read_text())
+# Queries added during round 11 itself (the VERDICT r10 item-3 promotions);
+# they are new, so they have no pre-r11 driver row by construction and are
+# excluded from the backlog arithmetic. Next round's rotation front-loads
+# them.
+_ROUND11_ADDITIONS = {
+    "q336_bucketed_join",
+    "q337_binaryfile_ingest",
+    "q338_pyds_roundtrip",
+}
+
+
+def test_round11_refresh_slots_are_the_stalest_evidence():
+    """The 36 non-backlog slots must refresh ids whose latest green row is
+    r02/r03 — the oldest evidence in the corpus — not re-verify fresh ids."""
+    green = _green_rounds()
+    refresh = [n for n in entry._ROUND11_FRONT if n not in entry._NEVER_REST]
+    assert len(refresh) == 36
+    fresh = [
+        n
+        for n in refresh
+        if green.get(n)
+        and max(green[n]) > "CORRECTNESS_r03.json"
+    ]
+    assert not fresh, f"refresh slots wasted on recently-verified ids: {fresh}"
+    unsampled = [n for n in refresh if n not in green]
+    assert not unsampled, (
+        f"refresh ids with no prior green row (belong in backlog?): {unsampled}"
+    )
+
+
+def test_round9_front_is_all_driver_green():
+    """Regression guard: the previous curated window really did go green,
+    so the rotation isn't abandoning red rows."""
+    r09 = ROOT / "CORRECTNESS_r09.json"
+    rows = json.loads(r09.read_text())
     bad = [
         n
-        for n in entry._ROUND8_FRONT
+        for n in entry._ROUND9_FRONT
         if rows.get(n, {}).get("hash_match") is not True
     ]
-    assert not bad, f"round-8 window ids not hash-green in r08: {bad}"
+    assert not bad, f"round-9 window ids not hash-green in r09: {bad}"
 
 
 def test_ordered_emits_every_registry_query():
     keys = list(entry.queries().keys())
     assert set(keys) == set(REGISTRY)
-    assert keys[:50] == entry._ROUND9_FRONT
+    assert keys[:50] == entry._ROUND11_FRONT
