@@ -61,20 +61,38 @@ def text_quality(
 
 
 # Marker lexicons per language — the classic cheap language-ID heuristic
-# (score = hits against near-disjoint high-frequency marker sets, predict
-# the argmax). The marker sets are DISJOINT 6-word partitions of the test
-# corpus' own 31-word engine vocabulary, not natural-language stopwords:
-# the fixture's documents are an engine-term word salad in which real
-# German/Spanish/French/Chinese function words can never occur, so with
-# natural markers every non-English score was identically 0 at every SF
-# and the multi-class scoring + argmax + tie chain was dead code (the
-# q326 degeneracy class, caught by the round-9 oracle-constant sweep).
-# With corpus-anchored lexicons every score is nonzero and varies per
-# document, so the argmax and the deterministic tie rule are both
-# value-exercised. Declared as an ordered tuple: the CASE chain below
-# evaluates in this order, so ties break deterministically toward the
-# earlier (lexicographic) language in BOTH engines.
-LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+# (score = hits against disjoint high-frequency marker sets, predict the
+# argmax). Two lexicons ship:
+#
+# LANG_MARKERS_NATURAL (the DEFAULT): real high-frequency function words
+# per language, disjoint across the five sets. This is what a user pointing
+# lang_id at an arbitrary corpus should get — on real English/German/…
+# prose the right language's stopwords dominate.
+#
+# LANG_MARKERS_CORPUS: DISJOINT 6-word partitions of the test corpus' own
+# 31-word engine vocabulary. The test fixture's documents are an
+# engine-term word salad in which real German/Spanish/French/Chinese
+# function words can never occur, so with natural markers every non-English
+# score was identically 0 at every SF and the multi-class scoring + argmax
+# + tie chain was dead code (the q326 degeneracy class, caught by the
+# round-9 oracle-constant sweep). The q45f query site passes this lexicon
+# EXPLICITLY so the fixture exercises every arm; it is a test artifact,
+# never a default.
+#
+# Both are ordered tuples: the CASE chain below evaluates in this order,
+# so ties break deterministically toward the earlier (lexicographic)
+# language in BOTH engines.
+LangMarkers = tuple[tuple[str, tuple[str, ...]], ...]
+
+LANG_MARKERS_NATURAL: LangMarkers = (
+    ("de", ("der", "die", "und", "nicht", "ist", "das")),
+    ("en", ("the", "and", "of", "to", "is", "that")),
+    ("es", ("que", "los", "las", "por", "una", "para")),
+    ("fr", ("les", "des", "une", "est", "dans", "pas")),
+    ("zh", ("的", "是", "了", "在", "我", "不")),
+)
+
+LANG_MARKERS_CORPUS: LangMarkers = (
     ("de", ("agg", "batch", "column", "merge", "sort", "window")),
     ("en", ("the", "a", "data", "query", "table", "row")),
     ("es", ("customer", "filter", "group", "hash", "join", "key")),
@@ -83,11 +101,19 @@ LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
 )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    markers: LangMarkers = LANG_MARKERS_NATURAL,
+) -> DataFrame:
     """Heuristic language-ID: score = marker-token hits per language, predict
     the argmax (ties → lexicographically first language, 'und' = undetermined
-    when no marker hits at all). Pure codegen: split + array filter + CASE —
-    at 100 TB this is a single scan-side projection, no shuffle."""
+    when no marker hits at all). ``markers`` defaults to natural stopword
+    lexicons (LANG_MARKERS_NATURAL); pass a corpus-specific lexicon only when
+    the corpus genuinely has its own vocabulary. Pure codegen: split + array
+    filter + CASE — at 100 TB this is a single scan-side projection, no
+    shuffle."""
     toks = F.split(F.col(text_col), " ")
 
     # NB: the lambda must take exactly ONE parameter — F.filter treats a
@@ -97,10 +123,10 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         return lambda t: F.array_contains(arr, t)
 
     scores = {}
-    for lang, markers in LANG_MARKERS:
-        arr = F.array(*[F.lit(m) for m in markers])
+    for lang, words in markers:
+        arr = F.array(*[F.lit(m) for m in words])
         scores[lang] = F.size(F.filter(toks, _hits(arr)))
-    langs = [lang for lang, _ in LANG_MARKERS]
+    langs = [lang for lang, _ in markers]
     best = F.greatest(*[scores[lang] for lang in langs])
     pred = F.when(best <= 0, F.lit("und"))
     for lang in langs:

@@ -24,7 +24,7 @@ from inspectadb_spark.operators.multimodal import (
 )
 from inspectadb_spark.operators.quality import profile, referential_orphans, uniqueness
 from inspectadb_spark.operators.similarity import cosine_pairs_exact, ivf_topk
-from inspectadb_spark.operators.text import LANG_MARKERS, lang_id
+from inspectadb_spark.operators.text import LANG_MARKERS_CORPUS, lang_id
 from inspectadb_spark.queries.registry import dec, dsum, query, tables
 from inspectadb_spark.sources.files import read_with_drift, roundtrip
 
@@ -81,9 +81,9 @@ def _langid_oracle() -> str:
     score_cols = ",\n             ".join(
         f"""CAST(LEN(list_filter(string_split(text, ' '),
                  t -> t IN ({', '.join("'" + m + "'" for m in markers)}))) AS INT) AS s_{lang}"""
-        for lang, markers in LANG_MARKERS
+        for lang, markers in LANG_MARKERS_CORPUS
     )
-    langs = [lang for lang, _ in LANG_MARKERS]
+    langs = [lang for lang, _ in LANG_MARKERS_CORPUS]
     best = f"GREATEST({', '.join('s_' + lang for lang in langs)})"
     case = "CASE WHEN " + f"{best} <= 0 THEN 'und' " + " ".join(
         f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
@@ -101,7 +101,9 @@ def _langid_oracle() -> str:
 
 @query("q45f_lang_id", oracle=_langid_oracle())
 def q45f(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(tables(spark, sf_dir)["documents"]).orderBy("doc_id")
+    return lang_id(
+        tables(spark, sf_dir)["documents"], markers=LANG_MARKERS_CORPUS
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

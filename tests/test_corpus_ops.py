@@ -596,23 +596,56 @@ def test_lang_id_und_and_tie_rule(spark):
     """The two lang_id arms the corpus can no longer reach after the
     round-9 marker re-anchoring: a doc hitting NO marker set predicts
     'und' (best <= 0), and an exact score tie breaks deterministically
-    toward the EARLIER language in the LANG_MARKERS tuple order (de
-    before en before es ...). Marker sets are disjoint, so ties are
-    constructed, never accidental."""
-    from inspectadb_spark.operators.text import LANG_MARKERS, lang_id
+    toward the EARLIER language in the markers tuple order (de before
+    en before es ...). Marker sets are disjoint, so ties are
+    constructed, never accidental. Uses the corpus-anchored lexicon
+    explicitly, as the q45f site does."""
+    from inspectadb_spark.operators.text import LANG_MARKERS_CORPUS, lang_id
 
-    de = LANG_MARKERS[0][1][0]   # a 'de' marker word
-    en = LANG_MARKERS[1][1][0]   # an 'en' marker word
-    zh = LANG_MARKERS[4][1][0]   # a 'zh' marker word
+    de = LANG_MARKERS_CORPUS[0][1][0]   # a 'de' marker word
+    en = LANG_MARKERS_CORPUS[1][1][0]   # an 'en' marker word
+    zh = LANG_MARKERS_CORPUS[4][1][0]   # a 'zh' marker word
     docs = spark.createDataFrame(
         [(1, "spark spark spark"),          # no marker hits -> und
          (2, f"{de} {en}"),                 # 1-1 tie -> de (earlier)
          (3, f"{en} {zh} {zh}")],           # zh wins 2-1
         "doc_id bigint, text string")
-    got = {r["doc_id"]: r.asDict() for r in lang_id(docs).collect()}
+    got = {r["doc_id"]: r.asDict()
+           for r in lang_id(docs, markers=LANG_MARKERS_CORPUS).collect()}
     assert got[1]["pred_lang"] == "und"
-    assert all(got[1][f"s_{lang}"] == 0 for lang, _ in LANG_MARKERS)
+    assert all(got[1][f"s_{lang}"] == 0 for lang, _ in LANG_MARKERS_CORPUS)
     assert got[2]["pred_lang"] == "de"
     assert got[2]["s_de"] == got[2]["s_en"] == 1
     assert got[3]["pred_lang"] == "zh"
     assert (got[3]["s_zh"], got[3]["s_en"]) == (2, 1)
+
+
+def test_lang_id_natural_defaults_classify_real_sentences(spark):
+    """With NO markers argument, lang_id must classify real prose
+    correctly (ADVICE r9: the default lexicon must be natural stopwords,
+    not the test corpus' vocabulary partition)."""
+    from inspectadb_spark.operators.text import lang_id
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and looked at the dog that barked"),
+         (2, "der hund ist nicht in das haus gegangen und die katze schlief"),
+         (3, "los perros que viven en las casas corren por una calle para jugar"),
+         (4, "les chats dorment dans une maison et ne sortent pas des pièces"),
+         (5, "我 不 是 在 这里 的 人 我 是 了 客人"),
+         (6, "zxqv wvut qqq ppp")],       # gibberish -> und
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "zh", 6: "und"}
+
+
+def test_lang_id_natural_lexicons_are_disjoint():
+    """Cross-language marker collisions would make scores ambiguous; both
+    shipped lexicons must be 5 pairwise-disjoint 6-word sets."""
+    from inspectadb_spark.operators.text import (
+        LANG_MARKERS_CORPUS,
+        LANG_MARKERS_NATURAL,
+    )
+
+    for lex in (LANG_MARKERS_NATURAL, LANG_MARKERS_CORPUS):
+        words = [w for _, ms in lex for w in ms]
+        assert len(words) == 30 and len(set(words)) == 30
