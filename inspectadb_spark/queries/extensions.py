@@ -1583,3 +1583,185 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables(spark, sf_dir)["documents"]
     return pcm8_frame_features(attach_pcm8_blobs(d)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q336 bucketed co-located join (VERDICT r10 item 3: unit-only -> oracled).
+# Both sides are persisted bucketed+sorted on the join key, so the
+# SortMergeJoin needs NO Exchange on either side — the shuffle was paid once
+# at write time (tests/test_plans.py pins the zero-exchange property; this
+# row pins the VALUES through the bucketed path against the plain join).
+# At 100 TB this is the recurring-join layout: bucket the fact tables once,
+# then every orderkey join is exchange-free.
+@query(
+    "q336_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           {dsum('l_quantity', 'sum_qty')},
+           {dsum('l_extendedprice * (1 - l_discount)', 'net')}
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Join through catalog-bucketed tables (zero-exchange SMJ path); "
+        "values must equal the plain join the oracle runs.",
+)
+def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from inspectadb_spark.operators.scale import bucketed_write
+
+    db = "bkt_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    loc = _tmp(sf_dir, "q336db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    # a fresh session's catalog doesn't know tables a previous process left
+    # on disk, and saveAsTable refuses a pre-existing managed location —
+    # drop catalog entries (removes data when known) AND sweep the dirs
+    for tbl in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        shutil.rmtree(os.path.join(loc, tbl), ignore_errors=True)
+    t = tables(spark, sf_dir)
+    bucketed_write(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        f"{db}.orders_b", "o_orderkey", 8, sort_col="o_orderkey",
+    )
+    bucketed_write(
+        t["lineitem"].select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_quantity", "l_extendedprice", "l_discount",
+        ),
+        f"{db}.lineitem_b", "o_orderkey", 8, sort_col="o_orderkey",
+    )
+    joined = (
+        spark.table(f"{db}.orders_b")
+        .hint("merge")  # pin the SMJ path; broadcast would also be correct
+        .join(spark.table(f"{db}.lineitem_b"), "o_orderkey")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"CAST(SUM({dec('l_quantity')}) AS DOUBLE)").alias("sum_qty"),
+            F.expr(
+                f"CAST(SUM({dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE)"
+            ).alias("net"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q337 binaryFile ingest accounting (VERDICT r10 item 3). Documents are
+# written out as real files partitioned by doc_id % 8 (one text file per
+# bucket via coalesce(1) — test-scale only; at 100 TB you keep the natural
+# task parallelism and account per bucket, not per file), then re-ingested
+# through the binaryFile source. The oracle re-derives every byte from the
+# documents table alone: each row contributes strlen(text) + 1 (the text
+# writer's newline), so a match proves the listing, the metadata `length`
+# column, and the content bytes all survived the roundtrip. pathGlobFilter
+# prunes _SUCCESS at listing time (never read-then-filter).
+@query(
+    "q337_binaryfile_ingest",
+    oracle="""
+    SELECT CAST(doc_id % 8 AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(text) + 1) AS BIGINT) AS bytes
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    doc="binaryFile re-ingest of a partitioned text export; per-bucket "
+        "doc and byte accounting derived independently by the oracle.",
+)
+def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.sources.files import read_binary_files
+
+    out = _tmp(sf_dir, "q337")
+    d = tables(spark, sf_dir)["documents"].select(
+        (F.col("doc_id") % 8).cast("int").alias("bucket"), "text"
+    )
+    d.coalesce(1).write.mode("overwrite").partitionBy("bucket").text(out)
+    files = read_binary_files(spark, out, glob="*.txt")
+    return (
+        files.select(
+            F.regexp_extract("path", r"bucket=(\d+)", 1).cast("int").alias("bucket"),
+            F.col("length"),
+            # newline-terminated lines: line count == doc count per bucket
+            (F.size(F.split(F.col("content").cast("string"), "\n", -1)) - 1)
+            .cast("bigint")
+            .alias("n_lines"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_lines").alias("n_docs"),
+            F.sum("length").cast("bigint").alias("bytes"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q338 Python DataSource roundtrip (VERDICT r10 item 3). The custom
+# `synthetic_events` source generates rows from md5(event_id) arithmetic in
+# partition-parallel Python; the oracle REGENERATES the same rows in pure
+# DuckDB SQL (md5 + hex-digit arithmetic), so a match proves the DataSource
+# plumbing — schema declaration, partition planning, per-partition reads —
+# delivered exactly the declared rows, not merely the right count.
+def _hex_int(expr: str, start: int, n: int) -> str:
+    """Portable hex-substring -> integer (DuckDB lacks strtol)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pyds_oracle(rows: int = 600) -> str:
+    h = "md5('synth:' || CAST(event_id AS VARCHAR))"
+    etypes = "', '".join(("view", "click", "purchase", "signup", "error"))
+    return f"""
+    WITH e AS (
+      SELECT CAST(range AS BIGINT) AS event_id, {h} AS h FROM range({rows})),
+    r AS (
+      SELECT event_id,
+             {_hex_int('h', 1, 4)} % 1000 AS user_id,
+             ['{etypes}'][({_hex_int('h', 5, 2)} % 5) + 1] AS event_type,
+             {_hex_int('h', 7, 6)} % 50000 AS cents
+      FROM e)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           CAST(MIN(event_id) AS BIGINT) AS min_eid,
+           CAST(MAX(event_id) AS BIGINT) AS max_eid
+    FROM r GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query(
+    "q338_pyds_roundtrip",
+    oracle=_pyds_oracle(),
+    doc="Python DataSource scan (4 partition splits) aggregated per event "
+        "type; the oracle regenerates the md5-derived rows in SQL.",
+)
+def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 600)
+        .option("partitions", 4)
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            # value is round(cents/100, 2); *100 + round recovers the exact
+            # integer cents, so the SUM is integer-exact on both sides
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.sum("user_id").cast("bigint").alias("sum_user"),
+            F.min("event_id").alias("min_eid"),
+            F.max("event_id").alias("max_eid"),
+        )
+        .orderBy("event_type")
+    )

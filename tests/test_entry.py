@@ -25,11 +25,11 @@ ROOT = Path(__file__).resolve().parent.parent
 # CORRECTNESS_r11 landing mid-round can't flip these pins.
 _BASELINE_CUTOFF = "CORRECTNESS_r11"
 
-# Registry size pin: 388 queries / 371 oracled at the end of round 10.
-# Round-11 additions (the VERDICT r10 item-3 promotions) must consciously
+# Registry size pin: 388/371 at the end of round 10, +3 in round 11 (the
+# VERDICT r10 item-3 promotions q336/q337/q338). Growth must consciously
 # update this pin in the same commit that grows the registry.
-_FROZEN_REGISTRY_SIZE = 388
-_FROZEN_ORACLED_SIZE = 371
+_FROZEN_REGISTRY_SIZE = 391
+_FROZEN_ORACLED_SIZE = 374
 
 
 def _green_rounds() -> dict[str, set[str]]:

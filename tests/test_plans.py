@@ -569,3 +569,15 @@ def test_round4g_inspection_and_serving_plan_shapes(spark):
     # q239/q248: the served plan scans the summary parquet, not the fact
     # table (also pinned in test_mv; repeated here with the other shapes)
     assert "inspectadb_mv_" in _plan(spark, "q239_mv_rewrite")
+
+
+def test_q336_join_is_exchange_free_smj(spark):
+    """The q336 oracled row rides the bucketed layout: the SortMergeJoin
+    itself must need no Exchange (both sides pre-bucketed on o_orderkey);
+    the only exchanges in the full plan are the group-by and the final
+    presentation sort."""
+    plan = _plan(spark, "q336_bucketed_join")
+    assert "SortMergeJoin" in plan
+    df = REGISTRY["q336_bucketed_join"].builder(spark, SF_DIR)
+    # agg shuffle + orderBy range shuffle only — zero for the join
+    assert count_exchanges(df) <= 2, explain_str(df, "simple")
