@@ -1103,42 +1103,55 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q249 temperature-scaled mixture weights: the multilingual-training
 # standard (sample source s with probability share_s^alpha / Z, alpha<1
 # upweights the tail). q126/q126b enforce a target mixture; this COMPUTES
-# the target from the corpus itself. Scalar pow/normalization happen on
-# the source-count table (|sources| rows) after exact integer counts.
+# the target from the corpus itself. Weights are CHAR-based (the token
+# proxy — training mixtures are token-budgeted, not doc-counted), which
+# also keeps the statistic non-degenerate: the driver corpus is exactly
+# uniform in docs-per-source (25 each — the round-11 any-value degeneracy
+# sweep caught the doc-count formulation collapsing every output column
+# to a constant), while per-source char mass genuinely varies. Scalar
+# pow/normalization happen on the source table (|sources| rows) after
+# exact integer sums.
 @query(
     "q249_mixture_temperature",
     oracle="""
-    WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-    t AS (SELECT SUM(n) AS tot FROM s),
+    WITH s AS (
+      SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+      FROM documents GROUP BY source),
+    t AS (SELECT SUM(chars) AS tot FROM s),
     w AS (
-      SELECT source, n, tot,
-             POW(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 0.7) AS tw
+      SELECT source, n, chars, tot,
+             POW(CAST(chars AS DOUBLE) / CAST(tot AS DOUBLE), 0.7) AS tw
       FROM s CROSS JOIN t),
     z AS (SELECT SUM(tw) AS sw FROM w)
     SELECT source, CAST(n AS BIGINT) AS n_docs,
-           CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
+           CAST(chars AS BIGINT) AS n_chars,
+           CAST(chars * 1000000 // tot AS BIGINT) AS share_ppm,
            CAST(ROUND(CAST(tw AS DECIMAL(18,6)), 4) AS DOUBLE) AS temp_weight,
            CAST(ROUND(CAST(tw / sw AS DECIMAL(18,6)), 4) AS DOUBLE)
              AS temp_share
     FROM w CROSS JOIN z ORDER BY source
     """,
-    doc="Temperature-scaled (alpha=0.7) sampling weights per source: raw "
-        "share ppm (exact integers) plus normalized temperature share "
-        "(4-dp doubles over the |sources|-row table).",
+    doc="Temperature-scaled (alpha=0.7) sampling weights per source over "
+        "char mass (the token proxy): raw share ppm (exact integers) plus "
+        "normalized temperature share (4-dp doubles over the "
+        "|sources|-row table).",
 )
 def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
-    s = docs.groupBy("source").agg(F.count("*").alias("n"))
-    t = s.agg(F.sum("n").alias("tot"))
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+    t = s.agg(F.sum("chars").alias("tot"))
     w = s.crossJoin(F.broadcast(t)).withColumn(
-        "tw", F.pow(F.col("n").cast("double") / F.col("tot").cast("double"),
+        "tw", F.pow(F.col("chars").cast("double") / F.col("tot").cast("double"),
                     F.lit(0.7)))
     z = w.agg(F.sum("tw").alias("sw"))
     return (
         w.crossJoin(F.broadcast(z))
         .select(
             "source", F.col("n").alias("n_docs"),
-            F.expr("n * 1000000 DIV tot").alias("share_ppm"),
+            F.col("chars").cast("bigint").alias("n_chars"),
+            F.expr("chars * 1000000 DIV tot").alias("share_ppm"),
             r4c(F.col("tw")).alias("temp_weight"),
             r4c(F.col("tw") / F.col("sw")).alias("temp_share"),
         )
