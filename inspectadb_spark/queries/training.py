@@ -1814,6 +1814,74 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence_pairs(docs).orderBy("source_a", "source_b")
 
 
+def ndcg_readout(c: DataFrame) -> DataFrame:
+    """NDCG@3/@1 closed form over (user_id, event_type)-grain sufficient
+    statistics: ``s`` = model-half interaction count (the ranking score),
+    ``r`` = graded second-half relevance. Shared VERBATIM by the q291
+    batch query and the S48 live model-eval monitor
+    (tests/test_streaming.py), so batch ≡ stream is an identity of code,
+    not a coincidence of math."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("user_id").orderBy(F.desc("s"), "event_type")
+    wi = Window.partitionBy("user_id").orderBy(F.desc("r"), "event_type")
+    p = c.select("user_id", "r",
+                 F.row_number().over(wp).alias("pos"),
+                 F.row_number().over(wi).alias("ipos"))
+    u = p.groupBy("user_id").agg(
+        F.sum(F.expr("CASE WHEN pos <= 3 THEN ROUND(CAST("
+                     "r / log2(pos + 1.0) AS DECIMAL(18,6)), 6)"
+                     " ELSE 0 END")).alias("dcg3"),
+        F.sum(F.expr("CASE WHEN ipos <= 3 THEN ROUND(CAST("
+                     "r / log2(ipos + 1.0) AS DECIMAL(18,6)), 6)"
+                     " ELSE 0 END")).alias("idcg3"),
+        F.sum(F.expr("CASE WHEN pos = 1 THEN r ELSE 0 END")).alias("dcg1"),
+        F.sum(F.expr("CASE WHEN ipos = 1 THEN r ELSE 0 END"))
+        .alias("idcg1"))
+    q = (u.filter("idcg3 > 0")
+         .select(F.expr("ROUND(CAST(CAST(dcg3 AS DOUBLE)"
+                        " / CAST(idcg3 AS DOUBLE)"
+                        " AS DECIMAL(18,6)), 6)").alias("ndcg3"),
+                 F.expr("ROUND(CAST(CAST(dcg1 AS DOUBLE) / idcg1"
+                        " AS DECIMAL(18,6)), 6)").alias("ndcg1")))
+    return q.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr("CAST(ROUND(CAST(CAST(SUM(ndcg3) AS DOUBLE) / COUNT(*)"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("avg_ndcg3"),
+        F.expr("CAST(ROUND(CAST(CAST(SUM(ndcg1) AS DOUBLE) / COUNT(*)"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("avg_ndcg1"))
+
+
+
+
+def mrr_readout(c: DataFrame) -> DataFrame:
+    """MRR / hit@1 / hit@3 closed form over (user_id, event_type)-grain
+    sufficient statistics: ``s`` = model-half interaction count (the
+    ranking score), ``r`` = binaryizable second-half relevance (q292
+    passes the HIGH-VALUE count). Shared VERBATIM by the q292 batch query
+    and the S48 live model-eval monitor (tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("user_id").orderBy(F.desc("s"), "event_type")
+    p = c.select("user_id", "r",
+                 F.row_number().over(wp).alias("pos"))
+    u = (p.groupBy("user_id")
+         .agg(F.min(F.expr("CASE WHEN r > 0 THEN pos END")).alias("frp"),
+              F.max("r").alias("mr"))
+         .filter("mr > 0"))
+    return u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr("CAST(ROUND(CAST(CAST(SUM(ROUND(CAST(1.0 / frp"
+               " AS DECIMAL(18,6)), 6)) AS DOUBLE) / COUNT(*)"
+               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("mrr"),
+        F.expr("SUM(CASE WHEN frp = 1 THEN 1 ELSE 0 END) * 1000000"
+               " DIV COUNT(*)").alias("hit1_ppm"),
+        F.expr("SUM(CASE WHEN frp <= 3 THEN 1 ELSE 0 END) * 1000000"
+               " DIV COUNT(*)").alias("hit3_ppm"))
+
+
+
+
 # --------------------------------------------------------------------------
 # Q291 NDCG@k of a next-interaction recommender: per user, event types
 # are ranked by FIRST-half activity (days 1-15, the "model"), graded
@@ -1869,41 +1937,13 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal-quantized order-exact averaging.",
 )
 def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = tables(spark, sf_dir)["events"]
     c = ev.groupBy("user_id", "event_type").agg(
         F.sum(F.expr("CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END"))
         .alias("s"),
         F.sum(F.expr("CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END"))
         .alias("r"))
-    wp = Window.partitionBy("user_id").orderBy(F.desc("s"), "event_type")
-    wi = Window.partitionBy("user_id").orderBy(F.desc("r"), "event_type")
-    p = c.select("user_id", "r",
-                 F.row_number().over(wp).alias("pos"),
-                 F.row_number().over(wi).alias("ipos"))
-    u = p.groupBy("user_id").agg(
-        F.sum(F.expr("CASE WHEN pos <= 3 THEN ROUND(CAST("
-                     "r / log2(pos + 1.0) AS DECIMAL(18,6)), 6)"
-                     " ELSE 0 END")).alias("dcg3"),
-        F.sum(F.expr("CASE WHEN ipos <= 3 THEN ROUND(CAST("
-                     "r / log2(ipos + 1.0) AS DECIMAL(18,6)), 6)"
-                     " ELSE 0 END")).alias("idcg3"),
-        F.sum(F.expr("CASE WHEN pos = 1 THEN r ELSE 0 END")).alias("dcg1"),
-        F.sum(F.expr("CASE WHEN ipos = 1 THEN r ELSE 0 END"))
-        .alias("idcg1"))
-    q = (u.filter("idcg3 > 0")
-         .select(F.expr("ROUND(CAST(CAST(dcg3 AS DOUBLE)"
-                        " / CAST(idcg3 AS DOUBLE)"
-                        " AS DECIMAL(18,6)), 6)").alias("ndcg3"),
-                 F.expr("ROUND(CAST(CAST(dcg1 AS DOUBLE) / idcg1"
-                        " AS DECIMAL(18,6)), 6)").alias("ndcg1")))
-    return q.agg(
-        F.count("*").cast("bigint").alias("n_users"),
-        F.expr("CAST(ROUND(CAST(CAST(SUM(ndcg3) AS DOUBLE) / COUNT(*)"
-               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("avg_ndcg3"),
-        F.expr("CAST(ROUND(CAST(CAST(SUM(ndcg1) AS DOUBLE) / COUNT(*)"
-               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("avg_ndcg1"))
+    return ndcg_readout(c)
 
 
 # --------------------------------------------------------------------------
@@ -1953,30 +1993,13 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
         "graded NDCG which already varies.",
 )
 def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = tables(spark, sf_dir)["events"]
     c = ev.groupBy("user_id", "event_type").agg(
         F.sum(F.expr("CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END"))
         .alias("s"),
         F.sum(F.expr("CASE WHEN day(ts) > 15 AND value > 150"
                      " THEN 1 ELSE 0 END")).alias("r"))
-    wp = Window.partitionBy("user_id").orderBy(F.desc("s"), "event_type")
-    p = c.select("user_id", "r",
-                 F.row_number().over(wp).alias("pos"))
-    u = (p.groupBy("user_id")
-         .agg(F.min(F.expr("CASE WHEN r > 0 THEN pos END")).alias("frp"),
-              F.max("r").alias("mr"))
-         .filter("mr > 0"))
-    return u.agg(
-        F.count("*").cast("bigint").alias("n_users"),
-        F.expr("CAST(ROUND(CAST(CAST(SUM(ROUND(CAST(1.0 / frp"
-               " AS DECIMAL(18,6)), 6)) AS DOUBLE) / COUNT(*)"
-               " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("mrr"),
-        F.expr("SUM(CASE WHEN frp = 1 THEN 1 ELSE 0 END) * 1000000"
-               " DIV COUNT(*)").alias("hit1_ppm"),
-        F.expr("SUM(CASE WHEN frp <= 3 THEN 1 ELSE 0 END) * 1000000"
-               " DIV COUNT(*)").alias("hit3_ppm"))
+    return mrr_readout(c)
 
 
 # --------------------------------------------------------------------------

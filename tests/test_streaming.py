@@ -2384,3 +2384,62 @@ def test_s47_live_drift_monitor(spark, replay_dir, tmp_path):
         .select("event_type", "bin", "half", "n")))
     want = REGISTRY["q173_psi_drift"].builder(spark, SF_DIR)
     assert _rows(live) == _rows(want)
+
+
+# S48 live model-eval monitor (VERDICT r10 item 5, completing the
+# S45-experiment-health / S46-calibration / S47-drift deployment-guardrail
+# family with ranking quality): a (user_id, event_type)-grain
+# IncrementalAggregate maintains the exact sufficient statistics of the
+# q291/q292 recommender eval over the stream — s (model-half interaction
+# count, the ranking score), r (graded second-half relevance), rhv
+# (high-value second-half relevance). After the drain, NDCG@3/@1 and
+# MRR/hit@k computed from the LIVE STATE — through the very same
+# ndcg_readout / mrr_readout closed forms the batch queries use — equal
+# the batch reports byte-for-byte. State is one row per OBSERVED
+# (user, type) pair: bounded by the user x type domain, independent of
+# stream length; merge per batch is O(state + |batch|).
+def test_s48_live_model_eval_monitor(spark, replay_dir, tmp_path):
+    from inspectadb_spark.queries.registry import REGISTRY
+    from inspectadb_spark.queries.training import mrr_readout, ndcg_readout
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    inc = IncrementalAggregate(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        key_exprs={"user_id": "user_id", "event_type": "event_type"},
+        measures=[
+            ("s", "sum", "CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END"),
+            ("r", "sum", "CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END"),
+            ("rhv", "sum", "CASE WHEN day(ts) > 15 AND value > 150"
+                           " THEN 1 ELSE 0 END"),
+        ],
+    )
+    q = inc.start(_stream(spark, replay_dir), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = inc.table()
+    hist = spark.read.parquet(replay_dir)
+    n_users = hist.select("user_id").distinct().count()
+    n_types = hist.select("event_type").distinct().count()
+    # bounded state: the (user, type) grid, never the event count
+    assert 0 < state.count() <= n_users * n_types
+
+    # the 'sum' kind carries DECIMAL(18,6); the statistics are integer
+    # counts, so the cast back to bigint is exact
+    ints = state.select(
+        "user_id", "event_type",
+        F.col("s").cast("bigint").alias("s"),
+        F.col("r").cast("bigint").alias("r"),
+        F.col("rhv").cast("bigint").alias("rhv"))
+    live_ndcg = ndcg_readout(ints.select("user_id", "event_type", "s", "r"))
+    live_mrr = mrr_readout(ints.select("user_id", "event_type", "s",
+                                       F.col("rhv").alias("r")))
+
+    # the replay IS the corpus events table, so the batch references are
+    # the registry queries themselves at SF_DIR
+    want_ndcg = REGISTRY["q291_ndcg"].builder(spark, SF_DIR)
+    want_mrr = REGISTRY["q292_mrr"].builder(spark, SF_DIR)
+    assert _rows(live_ndcg) == _rows(want_ndcg)
+    assert _rows(live_mrr) == _rows(want_mrr)
