@@ -519,9 +519,13 @@ def parse_agg_sql(text: str):
     must be a GROUP BY key (filtering keys commutes with the aggregation,
     so the routed summary filter gives the same answer as a base-table
     WHERE) and every HAVING term compares a declared aggregate ALIAS to a
-    numeric literal (pure post-aggregation filtering). Anything else —
-    expressions, joins, non-key WHERE columns, OR, DISTINCT — returns None
-    and the caller falls through to full Spark SQL. Exact-match parsing is
+    numeric literal (pure post-aggregation filtering). One DISTINCT shape
+    parses: ``COUNT(DISTINCT <column>)`` — the MV layer serves it
+    structurally when the column is a declared grain key
+    (operators/mv.py::_derivable) and the base fallback is exact
+    otherwise. Anything else — expressions, joins, non-key WHERE columns,
+    OR, SUM/AVG/MIN/MAX DISTINCT, COUNT(DISTINCT *) — returns None and
+    the caller falls through to full Spark SQL. Exact-match parsing is
     the point: a mis-parse silently routed to a summary would be a wrong
     answer, so anything not PROVABLY in the grammar is not routed.
     """

@@ -2398,42 +2398,52 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q218 churn-label generation: the supervised-learning label table for a
-# retention model — per first-seen-week cohort, users whose LAST activity
-# is 1+ days before the corpus horizon are labeled churned. (The corpus is
-# 30 DENSE days — under the real-world 14-day rule n_churned was
-# identically 0 at both SFs, the q326 degeneracy class caught by the
-# round-9 oracle-constant sweep; a 1-day gap is the churn analog at this
-# event density and labels 1/15 resp. 17/150 users.) One per-user
-# aggregation + a broadcast horizon; label logic is pure timestamp
-# arithmetic, rates in integer ppm.
+# retention model — per first-seen-week cohort, users whose last PURCHASE
+# is 7+ days before the corpus horizon (or who never purchased) are
+# labeled churned: transactional churn, the definition subscription /
+# commerce retention models actually train on. Churning on ANY activity
+# was degenerate here — the corpus is 30 DENSE days, every user fires
+# some event nearly daily, so a 14-day whole-activity rule labeled nobody
+# (q326 class, round-9 sweep) and the round-9 1-day patch demonstrated
+# nothing (ADVICE r9: a 1-day "churn" on a 30-day corpus is consistent
+# but meaningless). The monetized action is genuinely sparse per user, so
+# the REAL 7-day rule yields nonzero multi-day labels at both SFs (1/15
+# resp. 9/150 users). One per-user aggregation + a broadcast horizon;
+# label logic is pure timestamp arithmetic, rates in integer ppm.
 @query(
     "q218_churn_labels",
     oracle="""
     WITH u AS (
-      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      SELECT user_id, MIN(ts) AS first_ts,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_p
       FROM events GROUP BY user_id),
     m AS (SELECT MAX(ts) AS horizon FROM events)
     SELECT CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week,
            CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(CASE WHEN last_ts <= horizon - INTERVAL 1 DAY
+           CAST(SUM(CASE WHEN last_p IS NULL
+                         OR last_p <= horizon - INTERVAL 7 DAY
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
-           CAST(SUM(CASE WHEN last_ts <= horizon - INTERVAL 1 DAY
+           CAST(SUM(CASE WHEN last_p IS NULL
+                         OR last_p <= horizon - INTERVAL 7 DAY
                          THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
                 AS BIGINT) AS churn_ppm
     FROM u CROSS JOIN m
     GROUP BY 1 ORDER BY 1
     """,
-    doc="Churn labels per signup cohort: users inactive for 1+ days at "
-        "the corpus horizon, counts and rate in ppm — the label table a "
-        "retention model trains on.",
+    doc="Churn labels per signup cohort: users with no purchase in the "
+        "horizon's trailing 7 days (transactional churn), counts and "
+        "rate in ppm — the label table a retention model trains on.",
 )
 def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables(spark, sf_dir)["events"]
     u = ev.groupBy("user_id").agg(
-        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        F.min("ts").alias("first_ts"),
+        F.max(F.expr("CASE WHEN event_type = 'purchase' THEN ts END"))
+        .alias("last_p"))
     m = ev.agg(F.max("ts").alias("horizon"))
     churned = F.when(
-        F.col("last_ts") <= F.expr("horizon - INTERVAL 1 DAY"), 1
+        F.col("last_p").isNull()
+        | (F.col("last_p") <= F.expr("horizon - INTERVAL 7 DAY")), 1
     ).otherwise(0)
     return (
         u.join(F.broadcast(m))
