@@ -454,10 +454,11 @@ def test_s7_streaming_cdc_apply(spark, tmp_path):
 # store path — the per-key ValueState holds the max-lsn row incl. tombstones).
 # TWS needs protobuf (its state wire format) + the RocksDB provider; absent in
 # this container -> skip, not fake (operator is still import-/plan-checked).
-# Closure audit (round 3): `google.protobuf` is importable nowhere on this
-# box (pyenv site-packages, miniconda, no wheel on disk) and the environment
-# contract forbids pip/apt installs, so the skip is a hard environment
-# boundary, not a TODO. The applyInPandasWithState variant of the same CDC
+# Closure audit (round 3, re-probed rounds 9 and 11): `google.protobuf`
+# is importable nowhere on this box (pyenv site-packages, miniconda, no
+# wheel on disk) and the environment contract forbids pip/apt installs, so
+# the skip is a hard environment boundary, not a TODO. The
+# applyInPandasWithState variant of the same CDC
 # state machine (S6, tests below) runs fully and covers the arbitrary-
 # stateful semantics; TWS adds only the typed-state wire format.
 def test_s8_tws_cdc_latest(spark, tmp_path):
