@@ -251,9 +251,7 @@ def ivf_topk(
         cents = rng.standard_normal((n_centroids, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qsims = (cents @ qv) / np.linalg.norm(qv)
-    probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
+    probe = _probe_cells(cents, query_vec, n_probe)
 
     assigned = ivf_assign(vectors, cents, vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("_cell"))
@@ -278,6 +276,78 @@ def ivf_assign(vectors: DataFrame, centroids: np.ndarray,
         score = _dot(F.col(vec_col), lit_c) / vm
         choices.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
     return vectors.withColumn("_cell", -F.greatest(*choices).getField("nc"))
+
+
+def _probe_cells(cents: np.ndarray, query_vec: list[float],
+                 n_probe: int) -> list[int]:
+    """The ``n_probe`` cells nearest the query (driver-side model math:
+    O(n_centroids · dim), never touches the table). ``cents`` must already
+    be row-normalized (as ``ivf_topk`` and ``save_ivf_index`` store them)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsims = (cents @ qv) / np.linalg.norm(qv)
+    return [int(c) for c in np.argsort(-qsims)[:n_probe]]
+
+
+# -- Persisted IVF index: build once, serve many queries --------------------
+#
+# ``ivf_topk`` re-derives every vector's cell assignment per query — fine
+# for one-off audits, wrong for a serving path: at 100 TB that is a full
+# table scan per query. The persisted layout splits the index into
+#   <path>/centroids   — the MODEL (n_centroids rows), read by the driver
+#   <path>/lists       — the collection written partitionBy("_cell")
+# so a query's probe becomes a PARTITION FILTER on the lists table: only
+# n_probe/n_centroids of the files are ever opened (asserted via the scan's
+# numPartitions metric in tests/test_cluster.py). Rebuild cadence is an offline
+# concern — the index is immutable between builds, like any ANN index.
+
+def save_ivf_index(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index at ``path``. ``centroids`` is the trained
+    model (``kmeans_fit`` output or any (n, dim) array); rows are stored
+    unit-normalized so serving's probe ranking matches ``ivf_topk``'s."""
+    cents = np.asarray(centroids, dtype=np.float64).copy()
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    spark = vectors.sparkSession
+    model = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    model.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (ivf_assign(vectors, cents, vec_col)
+     .select(F.col(id_col), F.col(vec_col), F.col("_cell"))
+     .write.partitionBy("_cell").mode("overwrite").parquet(f"{path}/lists"))
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """The index's centroid model, cell-ordered (driver-side, model-sized)."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve top-k from a persisted IVF index: rank cells against the stored
+    model (driver-side), then read ONLY the probed inverted lists (a
+    partition filter — non-probed files are never opened) and rerank with
+    exact cosine. Result-identical to ``ivf_topk`` over the same centroids
+    and collection; only the scan footprint differs."""
+    cents = load_ivf_centroids(spark, path)
+    probe = _probe_cells(cents, query_vec, n_probe)
+    cand = (spark.read.parquet(f"{path}/lists")
+            .filter(F.col("_cell").isin(probe)).drop("_cell"))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
 def srp_ann_topk(

@@ -91,3 +91,60 @@ def test_ivf_cell_partitioning_prunes_scan(spark, tmp_path):
     # probed subset is exactly the rows assigned to cells 0/1
     expect = ivf_assign(e, cents).filter(F.col("_cell").isin([0, 1])).count()
     assert back.count() == expect > 0
+
+
+# Persisted IVF index: build once with save_ivf_index, serve many queries
+# with ivf_topk_from_index. Parity: serving from the index returns exactly
+# the inline ivf_topk result over the same centroids. Footprint: the
+# executed scan's own metrics (numPartitions — post-pruning, stronger than
+# the PartitionFilters plan string) show only the probed cells were read.
+def test_ivf_index_roundtrip_serves_inline_results(spark, tmp_path):
+    from inspectadb_spark.operators.similarity import (
+        _probe_cells, ivf_topk, ivf_topk_from_index, kmeans_fit,
+        load_ivf_centroids, save_ivf_index,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=8, iters=1)
+    idx = str(tmp_path / "ivf_index")
+    save_ivf_index(e, cents, idx)
+
+    dim = len(e.select("embedding").first()[0])
+    qv = [1.0 if i % 3 == 0 else -0.5 for i in range(dim)]
+
+    served = ivf_topk_from_index(spark, idx, qv, k=5, n_probe=3)
+    inline = ivf_topk(e, qv, k=5, n_probe=3, centroids=cents)
+    rows = lambda df: [tuple(str(x) for x in r) for r in df.collect()]
+    assert rows(served) == rows(inline) and served.count() == 5
+
+    # the model round-trips bit-exact (normalized rows, cell-ordered)
+    import numpy as np
+    stored = load_ivf_centroids(spark, idx)
+    want = np.asarray(cents, dtype=np.float64).copy()
+    want /= np.linalg.norm(want, axis=1, keepdims=True)
+    assert np.array_equal(stored, want)
+
+    # serving reads ONLY the probed inverted lists: the executed scan's
+    # numPartitions metric counts hive partitions AFTER pruning
+    probe = _probe_cells(stored, qv, 3)
+    cand = spark.read.parquet(f"{idx}/lists").filter(F.col("_cell").isin(probe))
+    cand.collect()
+
+    def scan_metric(df, name):
+        def walk(n):
+            if "Scan" in n.nodeName():
+                m = n.metrics()
+                if m.contains(name):
+                    return m.apply(name).value()
+            cs = n.children()
+            for i in range(cs.length()):
+                got = walk(cs.apply(i))
+                if got is not None:
+                    return got
+            return None
+        return walk(df._jdf.queryExecution().executedPlan())
+
+    n_cells_on_disk = len(
+        [d for d in os.listdir(f"{idx}/lists") if d.startswith("_cell=")])
+    assert scan_metric(cand, "numPartitions") == len(probe) < n_cells_on_disk

@@ -581,3 +581,56 @@ def test_q336_join_is_exchange_free_smj(spark):
     df = REGISTRY["q336_bucketed_join"].builder(spark, SF_DIR)
     # agg shuffle + orderBy range shuffle only — zero for the join
     assert count_exchanges(df) <= 2, explain_str(df, "simple")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling: one shuffle partition carrying ~98% of the
+    probe side must be SPLIT at runtime (`SortMergeJoin(skew=true)` +
+    an `AQEShuffleRead` with skewed partitions) instead of serializing the
+    whole key on one task — the mechanism that, with salting (q141) as the
+    static fallback, keeps hot-key joins from stalling a 1000-executor
+    stage. Spark's 256 MB skew threshold never fires at test scale, so the
+    thresholds are lowered to reproduce the 100 TB size *ratio*; the engine
+    leaves the defaults alone at runtime."""
+    conf = spark.conf
+    keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # the hot partition's SHUFFLE bytes (compressed; k is constant and
+        # payload sequential, so lz4 shrinks it well under the raw ~3 MB)
+        # must exceed the threshold or the split never triggers
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        # force a shuffle join: the skewed side is the big one and the other
+        # side must NOT be broadcast or there is nothing to split
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        # deterministic hot key: 98% of 200k rows land on k=0
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 98, F.lit(0))
+            .otherwise((F.col("id") % 7) + 1).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        j = big.join(dim, "k").groupBy("w").count()
+        out = {r["w"]: r["count"] for r in j.collect()}
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in final, final
+        assert "skewed" in final, final  # the AQEShuffleRead split reader
+        # exact join cardinality: the split must not duplicate or drop rows
+        assert out[0] == 196_000
+        assert sum(out.values()) == 200_000
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
