@@ -1141,21 +1141,31 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy("source").agg(
         F.count("*").alias("n"), F.sum("n_chars").alias("chars")
     )
+    return mixture_readout(s).orderBy("source")
+
+
+def mixture_readout(s: DataFrame, alpha: float = 0.7) -> DataFrame:
+    """q249's closed form over (source)-grain sufficient statistics
+    ``(source, n, chars)`` — shared with the S49 live mixture monitor so
+    batch and stream read out through the SAME code path. ``n``/``chars``
+    must be exact (integer or decimal) sums; all scalar pow/normalization
+    happens on the |sources|-row model table, never the corpus."""
+    s = s.select("source", F.col("n").cast("bigint").alias("n"),
+                 F.col("chars").cast("bigint").alias("chars"))
     t = s.agg(F.sum("chars").alias("tot"))
     w = s.crossJoin(F.broadcast(t)).withColumn(
         "tw", F.pow(F.col("chars").cast("double") / F.col("tot").cast("double"),
-                    F.lit(0.7)))
+                    F.lit(alpha)))
     z = w.agg(F.sum("tw").alias("sw"))
     return (
         w.crossJoin(F.broadcast(z))
         .select(
             "source", F.col("n").alias("n_docs"),
-            F.col("chars").cast("bigint").alias("n_chars"),
+            F.col("chars").alias("n_chars"),
             F.expr("chars * 1000000 DIV tot").alias("share_ppm"),
             r4c(F.col("tw")).alias("temp_weight"),
             r4c(F.col("tw") / F.col("sw")).alias("temp_share"),
         )
-        .orderBy("source")
     )
 
 

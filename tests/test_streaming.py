@@ -2444,3 +2444,49 @@ def test_s48_live_model_eval_monitor(spark, replay_dir, tmp_path):
     want_mrr = REGISTRY["q292_mrr"].builder(spark, SF_DIR)
     assert _rows(live_ndcg) == _rows(want_ndcg)
     assert _rows(live_mrr) == _rows(want_mrr)
+
+
+# S49 live training-mixture monitor (completing the deployment-guardrail
+# family with the INGESTION-side guardrail: S45 experiment health, S46
+# calibration, S47 drift, S48 ranking eval watch the serving side; S49
+# watches the corpus a training run is about to consume): a (source)-grain
+# IncrementalAggregate maintains exact doc counts and char mass as
+# documents stream in; q249's temperature-scaled sampling weights computed
+# from the LIVE STATE — through the very same mixture_readout closed form
+# the batch query uses — equal the batch report byte-for-byte after the
+# drain. State is one row per source (|sources|, independent of corpus
+# size); per batch the merge is O(state + |batch sources|).
+def test_s49_live_mixture_monitor(spark, tmp_path):
+    from inspectadb_spark.queries.llm import mixture_readout
+    from inspectadb_spark.queries.registry import REGISTRY
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    src = str(tmp_path / "docs_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    step = (t.num_rows + 3) // 4
+    now = time.time()
+    for i in range(4):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"source": "source"},
+        measures=[("n", "count", "*"), ("chars", "sum", "n_chars")],
+    )
+    q = inc.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = inc.table()
+    n_sources = spark.read.parquet(src).select("source").distinct().count()
+    assert state.count() == n_sources  # bounded: the source domain
+
+    # the 'sum' kind carries DECIMAL(18,6); n_chars is integral, so the
+    # readout's bigint cast is exact
+    live = mixture_readout(state).orderBy("source")
+    want = REGISTRY["q249_mixture_temperature"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
