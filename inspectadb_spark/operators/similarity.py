@@ -350,6 +350,75 @@ def ivf_topk_from_index(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    collection: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched IVF k-NN JOIN: every query row gets its top-k collection
+    neighbors while touching only its ``n_probe`` inverted lists — the
+    all-queries-at-once serving path beside ``ivf_topk_from_index``'s
+    single-query one.
+
+    Each side's cell ids are scan-side codegen projections (the query side
+    gets its n_probe nearest cells via one sorted struct array — no extra
+    pass, no shuffle); candidates come from an EQUI-JOIN on cell, so the
+    pair count is ~|Q|·|C|·n_probe/n_centroids, never the |Q|·|C| cross
+    join q224 permits itself on a broadcast sample. Winners by exact ppm
+    cosine with id tie-break (the q193/q203/q224 convention). At 100 TB
+    the collection side is the persisted cell-partitioned index and the
+    join co-locates on the cell key.
+
+    Returns (q_id, n_id, sim_ppm, rank<=k). Approximate exactly like
+    ivf_topk: a true neighbor outside the probed cells is missed —
+    recall/parity pinned in tests/test_cluster.py.
+    """
+    cents = np.asarray(centroids, dtype=np.float64).copy()
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    vm = F.sqrt(_norm2(vec_col))
+    choices = []
+    for cid in range(len(cents)):
+        lit_c = F.array(*[F.lit(float(x)) for x in cents[cid]])
+        score = _dot(F.col(vec_col), lit_c) / vm
+        choices.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+    # sort asc on (score, -cell), reverse → desc score, lower cell on ties:
+    # the same deterministic argmax order ivf_assign uses, extended to top-n
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(F.array(*choices))), 1, n_probe),
+        lambda st: -st.getField("nc"))
+
+    q = (queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe"),
+            vm.alias("qm"), F.explode(probe_cells).alias("_cell"))
+         .filter(F.col("qm") > 0))
+    c = (ivf_assign(collection, cents, vec_col)
+         .select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("ce"),
+                 F.sqrt(_norm2(vec_col)).alias("cm"), "_cell")
+         .filter(F.col("cm") > 0))
+    pairs = q.join(c, "_cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("n_id"))
+    sim = _dot("qe", "ce") / (F.col("qm") * F.col("cm"))
+    # each collection vector lives in exactly one cell and (q_id, _cell)
+    # rows are distinct, so no candidate pair can appear twice
+    scored = pairs.select(
+        "q_id", "n_id",
+        (sim.cast("decimal(18,6)") * 1_000_000).cast("bigint")
+        .alias("sim_ppm"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def srp_ann_topk(
     vectors: DataFrame,
     query_vec: list[float],

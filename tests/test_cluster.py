@@ -148,3 +148,67 @@ def test_ivf_index_roundtrip_serves_inline_results(spark, tmp_path):
     n_cells_on_disk = len(
         [d for d in os.listdir(f"{idx}/lists") if d.startswith("_cell=")])
     assert scan_metric(cand, "numPartitions") == len(probe) < n_cells_on_disk
+
+
+# Batched IVF k-NN join: equi-join on cell (never all-pairs). Verified
+# against a first-principles numpy re-implementation of the whole
+# contract at sf0.001 — probe-cell selection, cell assignment, ppm
+# cosine, id tie-breaks — plus a candidate-count bound showing the
+# probe prune is real.
+def test_ivf_knn_join_matches_numpy_reference(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from inspectadb_spark.operators.similarity import ivf_knn_join, kmeans_fit
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=6, iters=1)
+    queries = e.filter(F.col("vec_id") % 7 == 2)
+
+    K, NPROBE = 4, 2
+    got = ivf_knn_join(queries, e, cents, k=K, n_probe=NPROBE)
+    from inspectadb_spark.operators.scale import explain_str
+    plan = explain_str(got, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got_rows = {(r.q_id, r.rank): (r.n_id, r.sim_ppm) for r in got.collect()}
+
+    # -- numpy reference ---------------------------------------------------
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    C = np.asarray(cents, np.float64).copy()
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    norms = np.linalg.norm(V, axis=1)
+    S = (V @ C.T) / norms[:, None]          # (n, cells) cosine to centroids
+
+    def top_cells(srow, n):
+        # desc score, lower cell on ties — the engine's struct-sort order
+        order = sorted(range(len(srow)), key=lambda c: (-srow[c], c))
+        return order[:n]
+
+    assign = np.array([top_cells(S[i], 1)[0] for i in range(len(ids))])
+
+    def ppm(cos):
+        return int(Decimal(repr(cos)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP) * 1_000_000)
+
+    want = {}
+    n_cand_total = 0
+    for i in np.flatnonzero(ids % 7 == 2):
+        probed = set(top_cells(S[i], NPROBE))
+        cand = [j for j in range(len(ids))
+                if assign[j] in probed and j != i and norms[j] > 0]
+        n_cand_total += len(cand)
+        sims = sorted(
+            ((ppm(float(V[i] @ V[j]) / float(norms[i] * norms[j])),
+              -int(ids[j])) for j in cand), reverse=True)
+        for rank, (sp, nid) in enumerate(sims[:K], start=1):
+            want[(int(ids[i]), rank)] = (-nid, sp)
+
+    assert got_rows == want and len(want) > 0
+    # the equi-join pruned: candidates well under the all-pairs count
+    n_q = int((ids % 7 == 2).sum())
+    assert n_cand_total < 0.8 * n_q * (len(ids) - 1)
