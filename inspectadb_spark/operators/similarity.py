@@ -380,7 +380,54 @@ def ivf_knn_join(
     """
     cents = np.asarray(centroids, dtype=np.float64).copy()
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    c = (ivf_assign(collection, cents, vec_col)
+         .select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("ce"),
+                 F.sqrt(_norm2(vec_col)).alias("cm"), "_cell")
+         .filter(F.col("cm") > 0))
+    return _knn_join_on_cells(queries, c, cents, k, n_probe, vec_col,
+                              id_col, exclude_self)
 
+
+def ivf_knn_join_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """``ivf_knn_join`` against a PERSISTED index: the collection side is
+    the cell-partitioned lists table as written — its cell assignment is
+    never recomputed, and the cell equi-join reads each query batch's
+    probed lists only. The serving path for a stream of query vectors
+    (S50): stateless per row, so foreachBatch over this function is
+    batch ≡ stream by construction."""
+    cents = load_ivf_centroids(spark, path)
+    lists = (spark.read.parquet(f"{path}/lists")
+             .select(F.col(id_col).alias("n_id"),
+                     F.col(vec_col).alias("ce"),
+                     F.sqrt(_norm2(vec_col)).alias("cm"),
+                     F.col("_cell").cast("int").alias("_cell"))
+             .filter(F.col("cm") > 0))
+    return _knn_join_on_cells(queries, lists, cents, k, n_probe, vec_col,
+                              id_col, exclude_self)
+
+
+def _knn_join_on_cells(
+    queries: DataFrame,
+    collection_assigned: DataFrame,
+    cents: np.ndarray,
+    k: int,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared core: probe-cell explode on the query side, cell equi-join
+    against a pre-assigned collection (n_id, ce, cm, _cell), ppm-cosine
+    window top-k. ``cents`` must be row-normalized."""
     vm = F.sqrt(_norm2(vec_col))
     choices = []
     for cid in range(len(cents)):
@@ -397,11 +444,7 @@ def ivf_knn_join(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe"),
             vm.alias("qm"), F.explode(probe_cells).alias("_cell"))
          .filter(F.col("qm") > 0))
-    c = (ivf_assign(collection, cents, vec_col)
-         .select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("ce"),
-                 F.sqrt(_norm2(vec_col)).alias("cm"), "_cell")
-         .filter(F.col("cm") > 0))
-    pairs = q.join(c, "_cell")
+    pairs = q.join(collection_assigned, "_cell")
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("n_id"))
     sim = _dot("qe", "ce") / (F.col("qm") * F.col("cm"))

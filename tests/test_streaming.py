@@ -2490,3 +2490,52 @@ def test_s49_live_mixture_monitor(spark, tmp_path):
     live = mixture_readout(state).orderBy("source")
     want = REGISTRY["q249_mixture_temperature"].builder(spark, SF_DIR)
     assert _rows(live) == _rows(want)
+
+
+# S50 streaming ANN serving: a stream of query vectors served against the
+# PERSISTED IVF index (stream-static, the retrieval-service shape). Each
+# micro-batch runs ivf_knn_join_from_index — stateless per query row, so
+# the union of per-batch results equals the one-shot batch serve over the
+# same queries EXACTLY (and the index is never rescanned beyond each
+# batch's probed cells). Window/top-k runs inside foreachBatch where it
+# is a plain batch op — no streaming-unsupported-operator contortions.
+def test_s50_streaming_ann_serving_from_persisted_index(spark, tmp_path):
+    from inspectadb_spark.operators.similarity import (
+        ivf_knn_join_from_index, kmeans_fit, save_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=6, iters=1)
+    idx = str(tmp_path / "ivf_index")
+    save_ivf_index(e, cents, idx)
+
+    # the query stream: a deterministic sample replayed in 3 chunks
+    qsrc = str(tmp_path / "queries")
+    os.makedirs(qsrc)
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    qt = t.filter(pc.equal(pc.bit_wise_and(t.column("vec_id"), 3), 1))
+    step = (qt.num_rows + 2) // 3
+    now = time.time()
+    for i in range(3):
+        p = f"{qsrc}/chunk{i:02d}.parquet"
+        pq.write_table(qt.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    out = str(tmp_path / "served")
+
+    def serve(batch, _bid):
+        (ivf_knn_join_from_index(spark, idx, batch, k=3, n_probe=2)
+         .write.mode("append").parquet(out))
+
+    q = (spark.readStream.schema(spark.read.parquet(qsrc).schema)
+         .option("maxFilesPerTrigger", 1).parquet(qsrc)
+         .writeStream.foreachBatch(serve)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+
+    live = spark.read.parquet(out)
+    want = ivf_knn_join_from_index(spark, idx, spark.read.parquet(qsrc),
+                                   k=3, n_probe=2)
+    assert _rows(live) == _rows(want) and live.count() > 0
