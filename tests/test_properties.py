@@ -657,3 +657,92 @@ def test_serving_grammar_parsers_never_raise(text):
 
     for p in (parse_agg_sql, parse_star_agg_sql, parse_star2_agg_sql):
         p(text)  # must not raise; value unchecked
+
+
+# --------------------------------------------------------------------------
+# ivf_knn_join laws (round 11): the batched cell-equi-join k-NN.
+
+def _knn_numpy_reference(ids, V, C, k, n_probe, exclude_self=True):
+    """First-principles reference for ivf_knn_join: normalized centroids,
+    (desc score, lower cell) probe/assign tie-breaks, ppm cosine, id
+    tie-breaks — independent of the test_cluster fixture test."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    C = np.asarray(C, np.float64).copy()
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    norms = np.linalg.norm(V, axis=1)
+    S = (V @ C.T) / np.where(norms > 0, norms, 1.0)[:, None]
+
+    def cells(i, n):
+        return sorted(range(C.shape[0]), key=lambda c: (-S[i][c], c))[:n]
+
+    def ppm(cos):
+        return int(Decimal(repr(float(cos))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP) * 1_000_000)
+
+    assign = {j: cells(j, 1)[0] for j in range(len(ids)) if norms[j] > 0}
+    out = {}
+    for i in range(len(ids)):
+        if norms[i] == 0:
+            continue
+        probed = set(cells(i, n_probe))
+        cand = [j for j, cj in assign.items()
+                if cj in probed and not (exclude_self and j == i)]
+        sims = sorted(((ppm(V[i] @ V[j] / (norms[i] * norms[j])),
+                        -int(ids[j])) for j in cand), reverse=True)
+        for rank, (sp, nid) in enumerate(sims[:k], start=1):
+            out[(int(ids[i]), rank)] = (-nid, sp)
+    return out
+
+
+def test_ivf_knn_join_probe_all_equals_exact_knn(spark):
+    """n_probe = n_centroids degenerates to the exact brute-force k-NN
+    join — the same sanity anchor ivf_topk has, in batched form."""
+    from inspectadb_spark.operators.similarity import ivf_knn_join, kmeans_fit
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(120)
+    cents, _ = kmeans_fit(e, k=4, iters=1)
+    qs = e.filter(F.col("vec_id") % 11 == 5)
+    got = {(r.q_id, r.rank): (r.n_id, r.sim_ppm)
+           for r in ivf_knn_join(qs, e, cents, k=3, n_probe=4).collect()}
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], np.float64)
+    want = _knn_numpy_reference(ids, V, cents, k=3, n_probe=4)
+    want = {key: v for key, v in want.items() if key[0] % 11 == 5}
+    assert got == want and len(got) > 0
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_ivf_knn_join_equals_reference_property(spark, data):
+    """Engine ≡ numpy reference on GENERATED vector sets: random dim,
+    vector count, centroid count, k, n_probe — the contract holds off
+    the fixture distribution too."""
+    from inspectadb_spark.operators.similarity import ivf_knn_join
+
+    dim = data.draw(st.integers(2, 5), label="dim")
+    n = data.draw(st.integers(3, 10), label="n_vectors")
+    n_cells = data.draw(st.integers(2, 3), label="n_cells")
+    k = data.draw(st.integers(1, 3), label="k")
+    n_probe = data.draw(st.integers(1, n_cells), label="n_probe")
+    comp = st.integers(-3, 3)
+    vecs = data.draw(
+        st.lists(st.lists(comp, min_size=dim, max_size=dim),
+                 min_size=n, max_size=n), label="vectors")
+
+    ids = np.arange(100, 100 + n)
+    V = np.array(vecs, np.float64)
+    rng = np.random.default_rng(7)
+    C = rng.standard_normal((n_cells, dim))
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, V)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {(r.q_id, r.rank): (r.n_id, r.sim_ppm)
+           for r in ivf_knn_join(df, df, C, k=k,
+                                 n_probe=n_probe).collect()}
+    want = _knn_numpy_reference(ids, V, C, k=k, n_probe=n_probe)
+    assert got == want
