@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -329,6 +331,27 @@ def load_ivf_centroids(spark, path: str) -> np.ndarray:
     return np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
 
 
+def read_ivf_lists(spark, path: str) -> DataFrame:
+    """The index's inverted lists AS COMMITTED: the build-time base plus
+    any streamed-in delta directories (streaming/ann_index.py's INGEST
+    pointer). Every committed path is ``partitionBy("_cell")``, so a
+    probe's cell filter prunes base and deltas alike."""
+    ptr = os.path.join(path, "INGEST")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            paths = [p for p in
+                     f.read().strip().splitlines()[0].split("|") if p]
+        if paths:
+            # each committed dir is its own partitioned root — Spark
+            # refuses multi-root partition discovery in one read, so
+            # union per-path scans (the cell filter prunes each scan)
+            out = spark.read.parquet(paths[0])
+            for p in paths[1:]:
+                out = out.unionByName(spark.read.parquet(p))
+            return out
+    return spark.read.parquet(f"{path}/lists")
+
+
 def ivf_topk_from_index(
     spark,
     path: str,
@@ -345,7 +368,7 @@ def ivf_topk_from_index(
     and collection; only the scan footprint differs."""
     cents = load_ivf_centroids(spark, path)
     probe = _probe_cells(cents, query_vec, n_probe)
-    cand = (spark.read.parquet(f"{path}/lists")
+    cand = (read_ivf_lists(spark, path)
             .filter(F.col("_cell").isin(probe)).drop("_cell"))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
@@ -405,7 +428,7 @@ def ivf_knn_join_from_index(
     (S50): stateless per row, so foreachBatch over this function is
     batch ≡ stream by construction."""
     cents = load_ivf_centroids(spark, path)
-    lists = (spark.read.parquet(f"{path}/lists")
+    lists = (read_ivf_lists(spark, path)
              .select(F.col(id_col).alias("n_id"),
                      F.col(vec_col).alias("ce"),
                      F.sqrt(_norm2(vec_col)).alias("cm"),

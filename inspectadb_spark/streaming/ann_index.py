@@ -1,0 +1,210 @@
+"""Live IVF-index lifecycle: streaming ingestion and staleness watch.
+
+A persisted ANN index (``save_ivf_index`` layout) is immutable between
+offline rebuilds — but the collection is not: new embeddings keep
+arriving. The lifecycle here:
+
+- ``StreamingIvfIngest`` (S51): each micro-batch of new vectors is
+  assigned its cell SCAN-SIDE against the frozen centroid model and
+  written as a cell-partitioned DELTA directory; an atomic pointer swap
+  commits base + deltas (the DedupRegistry crash story: delta paths are
+  keyed by (run, batch) and rewritten with overwrite, so crash-window
+  re-delivery rewrites the same files instead of appending duplicates;
+  the pointer is the commit point; superseded dirs retire one swap late
+  so a reader holding the previous pointer never loses files). Every
+  ``compact_every`` commits, one pass folds base+deltas into a fresh
+  cell-partitioned base — amortized O(total)/compact_every per batch,
+  never a per-batch rewrite of the whole index.
+- ``read_ivf_lists`` (operators/similarity.py): readers union the
+  committed paths; every path is ``partitionBy("_cell")``, so probe-time
+  partition pruning applies to base and deltas alike.
+- ``StreamingIvfDrift`` (S52): the rebuild trigger. A (cell)-grain
+  IncrementalAggregate maintains exact counts and DECIMAL(38,12) sums of
+  each new vector's squared distance to its assigned centroid — the same
+  Lloyd's objective ``kmeans_fit`` reports as inertia, so live mean
+  distortion is directly comparable to the trained value. When the live
+  readout drifts above the trained bar, the model is stale: rebuild
+  offline, re-save, reset. State is one row per cell, forever.
+
+100 TB notes: ingest I/O per batch is O(batch) (assignment is a codegen
+projection, the write only touches the batch's cells); the drift state is
+model-sized; compaction is the only O(total) pass and its cadence is a
+dial. On a transactional table format the pointer file becomes the
+table's own commit log.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inspectadb_spark.operators.similarity import (
+    _argmin_cell,
+    _best_score,
+    _norm2,
+    ivf_assign,
+    load_ivf_centroids,
+)
+from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+
+class StreamingIvfIngest:
+    """Append a stream of new vectors into a persisted IVF index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        compact_every: int = 8,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        self.spark = spark
+        self.index_path = index_path
+        self.compact_every = compact_every
+        self.vec_col = vec_col
+        self.id_col = id_col
+        # the MODEL is frozen for the life of this ingester (rebuilds are
+        # offline: new save_ivf_index + fresh ingester)
+        self.cents = load_ivf_centroids(spark, index_path)
+        self._checkpoint: str | None = None
+        self._retired: list[str] = []
+        existing = [
+            d for d in os.listdir(index_path)
+            if d.startswith("lists_v") and d[7:].isdigit()
+        ]
+        self._version = max((int(d[7:]) for d in existing), default=0)
+
+    # -- pointer (DedupRegistry format) ------------------------------------
+    def _ptr(self) -> str:
+        return os.path.join(self.index_path, "INGEST")
+
+    def _read_ptr(self) -> dict | None:
+        if not os.path.exists(self._ptr()):
+            return None
+        with open(self._ptr()) as f:
+            lines = f.read().strip().splitlines()
+        paths = [p for p in lines[0].split("|") if p]
+        ckpt = lines[1] if len(lines) >= 2 else None
+        batch = int(lines[2]) if len(lines) >= 3 and lines[2] else None
+        return {"paths": paths, "checkpoint": ckpt, "batch": batch}
+
+    def _swap_ptr(self, paths: list[str], batch_id: int,
+                  superseded: list[str]) -> None:
+        tmp = self._ptr() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{'|'.join(paths)}\n{self._checkpoint or ''}\n{batch_id}")
+        os.replace(tmp, self._ptr())
+        for d in self._retired:
+            shutil.rmtree(d, ignore_errors=True)
+        self._retired = [d for d in superseded if d not in paths]
+
+    def committed_paths(self) -> list[str]:
+        committed = self._read_ptr()
+        if committed is None:
+            return [os.path.join(self.index_path, "lists")]
+        return committed["paths"]
+
+    def _run_tag(self) -> str:
+        import hashlib
+
+        return hashlib.md5((self._checkpoint or "").encode()).hexdigest()[:8]
+
+    # -- per-batch apply ---------------------------------------------------
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        committed = self._read_ptr()
+        if (
+            committed is not None
+            and self._checkpoint is not None
+            and committed["checkpoint"] == self._checkpoint
+            and committed["batch"] is not None
+            and batch_id <= committed["batch"]
+        ):
+            return  # crash-window re-delivery: already committed
+        delta = os.path.join(
+            self.index_path, "lists_delta",
+            f"run={self._run_tag()}", f"batch={batch_id}")
+        (ivf_assign(batch, self.cents, self.vec_col)
+         .select(F.col(self.id_col), F.col(self.vec_col), F.col("_cell"))
+         .write.partitionBy("_cell").mode("overwrite").parquet(delta))
+        prev = self.committed_paths()
+        if len(prev) + 1 > self.compact_every:
+            self._version += 1
+            base = os.path.join(self.index_path, f"lists_v{self._version}")
+            # per-path scans unioned: Spark refuses multi-root partition
+            # discovery in a single read (see read_ivf_lists)
+            merged = self.spark.read.parquet(prev[0])
+            for p in prev[1:] + [delta]:
+                merged = merged.unionByName(self.spark.read.parquet(p))
+            (merged.write.partitionBy("_cell")
+             .mode("overwrite").parquet(base))
+            self._swap_ptr([base], batch_id, prev + [delta])
+        else:
+            self._swap_ptr(prev + [delta], batch_id, [])
+
+    def start(self, stream: DataFrame, checkpoint_dir: str,
+              available_now: bool = False, **options):
+        self._checkpoint = checkpoint_dir
+        w = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start(**options)
+
+
+class StreamingIvfDrift(IncrementalAggregate):
+    """Model-staleness watch: per-cell exact (n, Σd²) of incoming vectors
+    under the FROZEN centroid model — Lloyd's objective, comparable to
+    ``kmeans_fit``'s trained inertia. Readout via ``ivf_drift_readout``;
+    batch ≡ stream byte-for-byte (decimal sums). State: one row per cell.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 centroids: np.ndarray, vec_col: str = "embedding") -> None:
+        super().__init__(
+            spark, state_dir,
+            key_exprs={"cell": "cell"},
+            measures=[("n", "count", "*"), ("d2", "sum12", "d2")],
+        )
+        self._cents = np.asarray(centroids, dtype=np.float64)
+        self._vec_col = vec_col
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        d2 = (_norm2(self._vec_col)
+              - _best_score(self._cents, self._vec_col)).cast("decimal(28,10)")
+        assigned = batch.select(
+            _argmin_cell(self._cents, self._vec_col).alias("cell"),
+            d2.alias("d2"))
+        return assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("d2").cast("decimal(38,12)")).alias("d2"))
+
+
+def ivf_drift_readout(state: DataFrame, trained_inertia: float,
+                      n_trained: int) -> DataFrame:
+    """Per-cell and overall mean squared distortion of post-training
+    vectors vs the trained per-vector bar (trained_inertia/n_trained).
+    4dp doubles over the |cells|-row state — a model-sized report."""
+    bar = float(trained_inertia) / max(int(n_trained), 1)
+    tot = state.agg(F.sum("n").alias("tn"), F.sum("d2").alias("td"))
+    per_cell = state.select(
+        "cell", F.col("n").cast("bigint").alias("n"),
+        F.round((F.col("d2") / F.col("n")).cast("decimal(18,6)"), 4)
+        .cast("double").alias("mean_d2"))
+    overall = tot.select(
+        F.lit(-1).alias("cell"), F.col("tn").cast("bigint").alias("n"),
+        F.round((F.col("td") / F.col("tn")).cast("decimal(18,6)"), 4)
+        .cast("double").alias("mean_d2"))
+    return (per_cell.unionByName(overall)
+            .withColumn("trained_bar",
+                        F.round(F.lit(bar).cast("decimal(18,6)"), 4)
+                        .cast("double"))
+            .withColumn("stale", F.col("mean_d2") > 2 * F.col("trained_bar"))
+            .orderBy("cell"))

@@ -2539,3 +2539,121 @@ def test_s50_streaming_ann_serving_from_persisted_index(spark, tmp_path):
     want = ivf_knn_join_from_index(spark, idx, spark.read.parquet(qsrc),
                                    k=3, n_probe=2)
     assert _rows(live) == _rows(want) and live.count() > 0
+
+
+# S51 live IVF index ingestion: new vectors stream INTO the persisted
+# index as cell-partitioned delta commits (atomic pointer, batch-keyed
+# overwrite-idempotent paths, periodic compaction — the DedupRegistry
+# crash story applied to an ANN index). After the drain the committed
+# lists equal the from-scratch assignment of the full collection, and
+# serving from the index equals the inline k-NN join over base ∪ ingested.
+def test_s51_streaming_ivf_index_ingestion(spark, tmp_path):
+    from inspectadb_spark.operators.similarity import (
+        ivf_assign, ivf_knn_join, ivf_knn_join_from_index, kmeans_fit,
+        read_ivf_lists, save_ivf_index,
+    )
+    from inspectadb_spark.streaming.ann_index import StreamingIvfIngest
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 4 != 1)
+    incoming = e.filter(F.col("vec_id") % 4 == 1)
+    cents, _ = kmeans_fit(base, k=4, iters=1)
+    idx = str(tmp_path / "ivf_index")
+    save_ivf_index(base, cents, idx)
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    it = t.filter(pc.equal(pc.bit_wise_and(t.column("vec_id"), 3), 1))
+    step = (it.num_rows + 2) // 3
+    now = time.time()
+    for i in range(3):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(it.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    # compact_every=3: commits 1-2 stay delta appends, commit 3 compacts
+    inc = StreamingIvfIngest(spark, idx, compact_every=3)
+    q = inc.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    # compaction fired: one committed base, no dangling deltas in the ptr
+    assert len(inc.committed_paths()) == 1
+    assert "lists_v" in inc.committed_paths()[0]
+
+    # committed lists ≡ from-scratch assignment of the full collection
+    lists = read_ivf_lists(spark, idx)
+    got = {(r.vec_id, r._cell) for r in lists.select("vec_id", "_cell").collect()}
+    want = {(r.vec_id, r._cell)
+            for r in ivf_assign(e, inc.cents).select("vec_id", "_cell").collect()}
+    assert got == want and len(got) == e.count()
+
+    # serving parity: index serve ≡ inline join over base ∪ ingested
+    queries = e.filter(F.col("vec_id") % 9 == 4)
+    served = ivf_knn_join_from_index(spark, idx, queries, k=3, n_probe=2)
+    inline = ivf_knn_join(queries, e, cents, k=3, n_probe=2)
+    assert _rows(served) == _rows(inline)
+
+    # crash-window idempotence: re-applying the last batch is a no-op
+    n_before = read_ivf_lists(spark, idx).count()
+    inc._apply_batch(incoming.limit(5), 2)
+    assert read_ivf_lists(spark, idx).count() == n_before
+
+
+# S52 live IVF staleness watch (the rebuild trigger closing the index
+# lifecycle: build → persist → serve → ingest → WATCH): a (cell)-grain
+# IncrementalAggregate maintains exact (n, Σd²) of incoming vectors under
+# the frozen model — Lloyd's objective, directly comparable to the
+# trained inertia. Merging any chunking of the input equals the one-shot
+# batch partial exactly (decimal sums); a distribution shift trips the
+# stale flag against the trained per-vector bar.
+def test_s52_live_ivf_drift_monitor(spark, tmp_path):
+    from inspectadb_spark.operators.similarity import kmeans_fit
+    from inspectadb_spark.streaming.ann_index import (
+        StreamingIvfDrift, ivf_drift_readout,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    train = e.filter(F.col("vec_id") % 2 == 0)
+    cents, inertia = kmeans_fit(train, k=4, iters=2)
+    n_trained = train.count()
+
+    # the incoming stream: the other half, SHIFTED — a real distribution
+    # move the frozen model cannot represent
+    shifted = e.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", F.transform("embedding", lambda x: x + F.lit(5.0))
+        .alias("embedding"))
+    src = str(tmp_path / "incoming")
+    shifted.coalesce(1).write.parquet(src)
+    # re-split into 3 mtime-ordered chunks for the replay
+    import glob
+    one = glob.glob(f"{src}/part-*.parquet")[0]
+    t = pq.read_table(one)
+    os.remove(one)
+    step = (t.num_rows + 2) // 3
+    now = time.time()
+    for i in range(3):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    mon = StreamingIvfDrift(spark, str(tmp_path / "state"), cents)
+    q = mon.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = mon.table()
+    assert 0 < state.count() <= 4  # one row per occupied cell
+
+    # batch ≡ stream: the merged chunked state equals the one-shot partial
+    live = ivf_drift_readout(state, inertia[-1], n_trained)
+    batch = ivf_drift_readout(
+        mon._partial(spark.read.parquet(src)), inertia[-1], n_trained)
+    assert _rows(live) == _rows(batch)
+
+    # the shift trips the stale flag on the overall (-1) row
+    overall = {r.cell: r.stale for r in live.collect()}
+    assert overall[-1] is True
