@@ -438,6 +438,58 @@ def ivf_knn_join_from_index(
                               id_col, exclude_self)
 
 
+def knn_join(
+    queries: DataFrame,
+    collection: DataFrame,
+    k: int = 5,
+    centroids: np.ndarray | None = None,
+    n_probe: int = 4,
+    brute_threshold: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    collection_count: int | None = None,
+) -> DataFrame:
+    """Cost-routed k-NN join. Below ``brute_threshold`` collection rows the
+    EXACT brute path runs (broadcast the collection, all-pairs window —
+    the measured winner under ~10⁴ vectors, SCALE.md round-11 table);
+    above it the IVF cell equi-join (requires ``centroids``), which
+    generates ~n_probe/n_centroids of the pairs and is the only feasible
+    shape once no side fits in one executor. Both paths share the ppm
+    cosine + id tie-break contract and the (q_id, n_id, sim_ppm, rank)
+    schema; the router prefers exact when affordable, approximate when
+    exact stops scaling — pass ``collection_count`` when the size is
+    already known to skip the count job."""
+    n = collection_count if collection_count is not None else collection.count()
+    if n <= brute_threshold:
+        from pyspark.sql import Window
+
+        c = (collection.select(
+                F.col(id_col).alias("n_id"), F.col(vec_col).alias("ce"),
+                F.sqrt(_norm2(vec_col)).alias("cm"))
+             .filter(F.col("cm") > 0))
+        q = (queries.select(
+                F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe"),
+                F.sqrt(_norm2(vec_col)).alias("qm"))
+             .filter(F.col("qm") > 0))
+        cond = (F.col("q_id") != F.col("n_id")) if exclude_self else F.lit(True)
+        sim = _dot("qe", "ce") / (F.col("qm") * F.col("cm"))
+        pairs = q.join(F.broadcast(c), cond).select(
+            "q_id", "n_id",
+            (sim.cast("decimal(18,6)") * 1_000_000).cast("bigint")
+            .alias("sim_ppm"))
+        w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"),
+                                               F.asc("n_id"))
+        return (pairs.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+    if centroids is None:
+        raise ValueError(
+            f"collection has {n} rows (> brute_threshold={brute_threshold}):"
+            " the cell-join path needs trained centroids (kmeans_fit)")
+    return ivf_knn_join(queries, collection, centroids, k, n_probe,
+                        vec_col, id_col, exclude_self)
+
+
 def _knn_join_on_cells(
     queries: DataFrame,
     collection_assigned: DataFrame,

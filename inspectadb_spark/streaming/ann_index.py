@@ -125,6 +125,11 @@ class StreamingIvfIngest:
             and batch_id <= committed["batch"]
         ):
             return  # crash-window re-delivery: already committed
+        if batch.isEmpty():
+            # an empty delta dir would break the committed-path union
+            # (parquet schema inference has no file to read) — and there
+            # is nothing to commit anyway
+            return
         delta = os.path.join(
             self.index_path, "lists_delta",
             f"run={self._run_tag()}", f"batch={batch_id}")

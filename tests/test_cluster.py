@@ -212,3 +212,42 @@ def test_ivf_knn_join_matches_numpy_reference(spark):
     # the equi-join pruned: candidates well under the all-pairs count
     n_q = int((ids % 7 == 2).sum())
     assert n_cand_total < 0.8 * n_q * (len(ids) - 1)
+
+
+# Cost-routed knn_join: brute (exact, broadcast) below the measured
+# crossover, cell equi-join above. The routes are distinguishable in the
+# physical plan (brute: broadcast non-equi join; ivf: equi-join on
+# _cell), exact-path results match the probe-all reference, and the
+# routed ivf path is identical to calling ivf_knn_join directly.
+def test_knn_join_routes_by_collection_size(spark):
+    from inspectadb_spark.operators.scale import explain_str
+    from inspectadb_spark.operators.similarity import (
+        ivf_knn_join, kmeans_fit, knn_join,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=4, iters=1)
+    qs = e.filter(F.col("vec_id") % 13 == 6)
+    rows = lambda df: sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    # small collection → brute: broadcast join, no _cell anywhere
+    brute = knn_join(qs, e, k=3)
+    plan = explain_str(brute, "simple")
+    assert "_cell" not in plan and "Broadcast" in plan
+
+    # forced cell route ≡ direct ivf_knn_join
+    routed = knn_join(qs, e, k=3, centroids=cents, n_probe=2,
+                      brute_threshold=1)
+    assert "_cell" in explain_str(routed, "simple")
+    assert rows(routed) == rows(ivf_knn_join(qs, e, cents, k=3, n_probe=2))
+
+    # probe-all cell route degenerates to the exact brute result
+    all_cells = knn_join(qs, e, k=3, centroids=cents, n_probe=4,
+                         brute_threshold=1)
+    assert rows(all_cells) == rows(brute)
+
+    # above-threshold without a model is a loud error, not a silent scan
+    import pytest
+    with pytest.raises(ValueError, match="centroids"):
+        knn_join(qs, e, k=3, brute_threshold=1)

@@ -2657,3 +2657,25 @@ def test_s52_live_ivf_drift_monitor(spark, tmp_path):
     # the shift trips the stale flag on the overall (-1) row
     overall = {r.cell: r.stale for r in live.collect()}
     assert overall[-1] is True
+
+
+# S51b: an empty micro-batch (a trigger with no new files delivers one)
+# must be a no-op — an empty delta directory would poison the committed-
+# path union with an unreadable parquet root.
+def test_s51b_empty_batch_is_noop(spark, tmp_path):
+    from inspectadb_spark.operators.similarity import (
+        kmeans_fit, read_ivf_lists, save_ivf_index,
+    )
+    from inspectadb_spark.streaming.ann_index import StreamingIvfIngest
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(40)
+    cents, _ = kmeans_fit(e, k=2, iters=1)
+    idx = str(tmp_path / "ivf_index")
+    save_ivf_index(e, cents, idx)
+
+    inc = StreamingIvfIngest(spark, idx)
+    inc._checkpoint = str(tmp_path / "ckpt")
+    n0 = read_ivf_lists(spark, idx).count()
+    inc._apply_batch(e.filter(F.lit(False)), 0)
+    assert inc._read_ptr() is None  # nothing committed
+    assert read_ivf_lists(spark, idx).count() == n0
