@@ -634,3 +634,61 @@ def test_aqe_splits_skewed_join_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_aqe_rebalance_splits_skewed_write(spark, tmp_path):
+    """Output-file skew — the WRITER-side twin of the skew join: a
+    repartition(key) write funnels a 98%-hot key into one giant file (one
+    task at 100 TB writes almost the whole dataset), while the REBALANCE
+    hint lets AQE split the oversized shuffle partition
+    (`REBALANCE_PARTITIONS_BY_COL` + `AQEShuffleRead ... skewed`) into
+    advisory-sized even files. Thresholds lowered to reproduce the size
+    ratio at test SF, as in the skew-join pin."""
+    import glob
+    import os
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled":
+            "true",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 98, F.lit(0))
+            .otherwise((F.col("id") % 7) + 1).alias("k"),
+            F.col("id").alias("payload"))
+
+        base_dir = str(tmp_path / "plain")
+        big.repartition("k").write.mode("overwrite").parquet(base_dir)
+        base = sorted(os.path.getsize(p)
+                      for p in glob.glob(f"{base_dir}/*.parquet"))
+
+        rb = big.hint("rebalance", "k")
+        opt_dir = str(tmp_path / "rebalanced")
+        rb.write.mode("overwrite").parquet(opt_dir)
+        opt = sorted(os.path.getsize(p)
+                     for p in glob.glob(f"{opt_dir}/*.parquet"))
+
+        # the hot partition was split: more, smaller, even files
+        assert len(opt) > len(base)
+        assert opt[-1] < base[-1] / 2
+        # same rows either way
+        assert (spark.read.parquet(opt_dir).count()
+                == spark.read.parquet(base_dir).count() == 200_000)
+
+        rb.collect()
+        final = rb._jdf.queryExecution().executedPlan().toString()
+        assert "REBALANCE_PARTITIONS_BY_COL" in final, final
+        assert "skewed" in final, final  # the AQE split reader fired
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
