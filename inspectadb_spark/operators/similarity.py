@@ -308,10 +308,19 @@ def save_ivf_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize_bits: int | None = None,
 ) -> None:
     """Materialize the IVF index at ``path``. ``centroids`` is the trained
     model (``kmeans_fit`` output or any (n, dim) array); rows are stored
-    unit-normalized so serving's probe ranking matches ``ivf_topk``'s."""
+    unit-normalized so serving's probe ranking matches ``ivf_topk``'s.
+
+    ``quantize_bits`` (e.g. 8) stores the inverted lists as per-dimension
+    int codes instead of doubles — the 100 TB storage lever (embeddings
+    dominate index bytes; smallint codes bit-pack in parquet). Cell
+    assignment still happens on the FULL-PRECISION vectors; the
+    (pos, lo, hi) codebook rides with the model and ``read_ivf_lists``
+    dequantizes transparently, so every serving path works unchanged
+    with the q43f-property error bound."""
     cents = np.asarray(centroids, dtype=np.float64).copy()
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     spark = vectors.sparkSession
@@ -320,9 +329,32 @@ def save_ivf_index(
         "cell INT, centroid ARRAY<DOUBLE>",
     )
     model.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    (ivf_assign(vectors, cents, vec_col)
-     .select(F.col(id_col), F.col(vec_col), F.col("_cell"))
-     .write.partitionBy("_cell").mode("overwrite").parquet(f"{path}/lists"))
+    assigned = (ivf_assign(vectors, cents, vec_col)
+                .select(F.col(id_col), F.col(vec_col), F.col("_cell")))
+    if quantize_bits:
+        lo, hi = embedding_ranges(vectors, vec_col)
+        qmodel = spark.createDataFrame(
+            [(p, float(l), float(h), int(quantize_bits))
+             for p, (l, h) in enumerate(zip(lo, hi))],
+            "pos INT, lo DOUBLE, hi DOUBLE, bits INT",
+        )
+        qmodel.coalesce(1).write.mode("overwrite").parquet(f"{path}/quant")
+        assigned = quantize_embeddings(assigned, lo, hi, vec_col,
+                                       quantize_bits)
+        if quantize_bits <= 15:
+            assigned = assigned.withColumn(
+                vec_col, F.col(vec_col).cast("array<smallint>"))
+    (assigned.write.partitionBy("_cell").mode("overwrite")
+     .parquet(f"{path}/lists"))
+
+
+def _load_quant_model(spark, path: str):
+    """(lo, hi, bits) from the index's codebook, or None if unquantized."""
+    if not os.path.exists(os.path.join(path, "quant")):
+        return None
+    rows = spark.read.parquet(f"{path}/quant").orderBy("pos").collect()
+    return ([float(r.lo) for r in rows], [float(r.hi) for r in rows],
+            int(rows[0].bits))
 
 
 def load_ivf_centroids(spark, path: str) -> np.ndarray:
@@ -331,12 +363,13 @@ def load_ivf_centroids(spark, path: str) -> np.ndarray:
     return np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
 
 
-def read_ivf_lists(spark, path: str) -> DataFrame:
+def read_ivf_lists(spark, path: str, vec_col: str = "embedding") -> DataFrame:
     """The index's inverted lists AS COMMITTED: the build-time base plus
     any streamed-in delta directories (streaming/ann_index.py's INGEST
     pointer). Every committed path is ``partitionBy("_cell")``, so a
     probe's cell filter prunes base and deltas alike."""
     ptr = os.path.join(path, "INGEST")
+    out = None
     if os.path.exists(ptr):
         with open(ptr) as f:
             paths = [p for p in
@@ -348,8 +381,13 @@ def read_ivf_lists(spark, path: str) -> DataFrame:
             out = spark.read.parquet(paths[0])
             for p in paths[1:]:
                 out = out.unionByName(spark.read.parquet(p))
-            return out
-    return spark.read.parquet(f"{path}/lists")
+    if out is None:
+        out = spark.read.parquet(f"{path}/lists")
+    quant = _load_quant_model(spark, path)
+    if quant is not None:
+        lo, hi, bits = quant
+        out = dequantize_embeddings(out, lo, hi, vec_col, bits)
+    return out
 
 
 def ivf_topk_from_index(
@@ -368,7 +406,7 @@ def ivf_topk_from_index(
     and collection; only the scan footprint differs."""
     cents = load_ivf_centroids(spark, path)
     probe = _probe_cells(cents, query_vec, n_probe)
-    cand = (read_ivf_lists(spark, path)
+    cand = (read_ivf_lists(spark, path, vec_col)
             .filter(F.col("_cell").isin(probe)).drop("_cell"))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
@@ -428,7 +466,7 @@ def ivf_knn_join_from_index(
     (S50): stateless per row, so foreachBatch over this function is
     batch ≡ stream by construction."""
     cents = load_ivf_centroids(spark, path)
-    lists = (read_ivf_lists(spark, path)
+    lists = (read_ivf_lists(spark, path, vec_col)
              .select(F.col(id_col).alias("n_id"),
                      F.col(vec_col).alias("ce"),
                      F.sqrt(_norm2(vec_col)).alias("cm"),

@@ -69,8 +69,12 @@ class StreamingIvfIngest:
         self.vec_col = vec_col
         self.id_col = id_col
         # the MODEL is frozen for the life of this ingester (rebuilds are
-        # offline: new save_ivf_index + fresh ingester)
+        # offline: new save_ivf_index + fresh ingester); same for the
+        # quantization codebook on a quantized index
         self.cents = load_ivf_centroids(spark, index_path)
+        from inspectadb_spark.operators.similarity import _load_quant_model
+
+        self._quant = _load_quant_model(spark, index_path)
         self._checkpoint: str | None = None
         self._retired: list[str] = []
         existing = [
@@ -133,9 +137,21 @@ class StreamingIvfIngest:
         delta = os.path.join(
             self.index_path, "lists_delta",
             f"run={self._run_tag()}", f"batch={batch_id}")
-        (ivf_assign(batch, self.cents, self.vec_col)
-         .select(F.col(self.id_col), F.col(self.vec_col), F.col("_cell"))
-         .write.partitionBy("_cell").mode("overwrite").parquet(delta))
+        assigned = (ivf_assign(batch, self.cents, self.vec_col)
+                    .select(F.col(self.id_col), F.col(self.vec_col),
+                            F.col("_cell")))
+        if self._quant is not None:
+            from inspectadb_spark.operators.similarity import (
+                quantize_embeddings,
+            )
+
+            lo, hi, bits = self._quant
+            assigned = quantize_embeddings(assigned, lo, hi, self.vec_col,
+                                           bits)
+            if bits <= 15:
+                assigned = assigned.withColumn(
+                    self.vec_col, F.col(self.vec_col).cast("array<smallint>"))
+        assigned.write.partitionBy("_cell").mode("overwrite").parquet(delta)
         prev = self.committed_paths()
         if len(prev) + 1 > self.compact_every:
             self._version += 1

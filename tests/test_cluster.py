@@ -251,3 +251,65 @@ def test_knn_join_routes_by_collection_size(spark):
     import pytest
     with pytest.raises(ValueError, match="centroids"):
         knn_join(qs, e, k=3, brute_threshold=1)
+
+
+# Quantized persisted index: int-code inverted lists (the 100 TB storage
+# lever) with the codebook riding beside the centroid model; every
+# serving path dequantizes transparently. Recall vs the full-precision
+# index stays high (q43f property bound), bytes on disk shrink, and
+# streamed ingest quantizes with the FROZEN codebook so served results
+# include ingested vectors.
+def test_quantized_ivf_index_serves_with_bounded_loss(spark, tmp_path):
+    import glob
+
+    from inspectadb_spark.operators.similarity import (
+        ivf_knn_join_from_index, ivf_topk_from_index, kmeans_fit,
+        read_ivf_lists, save_ivf_index,
+    )
+    from inspectadb_spark.streaming.ann_index import StreamingIvfIngest
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    cents, _ = kmeans_fit(base, k=6, iters=1)
+    idx_f = str(tmp_path / "full")
+    idx_q = str(tmp_path / "quant")
+    save_ivf_index(base, cents, idx_f)
+    save_ivf_index(base, cents, idx_q, quantize_bits=8)
+
+    dim = len(e.select("embedding").first()[0])
+    qv = [0.5 if i % 2 == 0 else -1.0 for i in range(dim)]
+    full = {r.vec_id for r in
+            ivf_topk_from_index(spark, idx_f, qv, k=10, n_probe=3).collect()}
+    quant = {r.vec_id for r in
+             ivf_topk_from_index(spark, idx_q, qv, k=10, n_probe=3).collect()}
+    assert len(full & quant) >= 8  # 8-bit codes keep top-10 nearly intact
+
+    # the storage claim is real: quantized lists are much smaller
+    fb = sum(os.path.getsize(p) for p in
+             glob.glob(f"{idx_f}/lists/**/*.parquet", recursive=True))
+    qb = sum(os.path.getsize(p) for p in
+             glob.glob(f"{idx_q}/lists/**/*.parquet", recursive=True))
+    assert qb < 0.6 * fb, (qb, fb)
+
+    # batched serving works on the quantized index too
+    queries = e.filter(F.col("vec_id") % 9 == 2)
+    served_q = ivf_knn_join_from_index(spark, idx_q, queries, k=3, n_probe=2)
+    served_f = ivf_knn_join_from_index(spark, idx_f, queries, k=3, n_probe=2)
+    sq = {(r.q_id, r.rank): r.n_id for r in served_q.collect()}
+    sf = {(r.q_id, r.rank): r.n_id for r in served_f.collect()}
+    agree = sum(1 for key in sf if sq.get(key) == sf[key])
+    assert agree >= 0.7 * len(sf) > 0
+
+    # ingest into the quantized index: frozen codebook, codes on disk,
+    # ingested vectors become servable
+    inc = StreamingIvfIngest(spark, idx_q)
+    inc._checkpoint = str(tmp_path / "ckpt")
+    newbies = e.filter(F.col("vec_id") % 5 == 0)
+    inc._apply_batch(newbies, 0)
+    lists = read_ivf_lists(spark, idx_q)
+    assert lists.count() == e.count()
+    assert dict(lists.dtypes)["embedding"] == "array<double>"  # dequantized
+    new_ids = {r.vec_id for r in newbies.select("vec_id").collect()}
+    got_ids = {r.vec_id for r in lists.select("vec_id").collect()}
+    assert new_ids <= got_ids
