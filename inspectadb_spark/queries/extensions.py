@@ -1765,3 +1765,156 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q339/Q340 shared oracle machinery (SURVEY.md round-12 candidates, landed
+# in round 11): the IVF model is made fully SQL-reproducible by taking the
+# centroids FROM THE TABLE ITSELF — the embeddings of vec_id 0/100/200/300,
+# cell id = vec_id/100 — so DuckDB can re-derive every vector's cell
+# (argmax cosine, lower cell on ties: the exact ivf_assign() order) and the
+# query side's probe ranking (_probe_cells' argsort order) from first
+# principles. Scores compare as raw doubles; the fixture's vectors are
+# i.i.d. random 64-dim, so cross-cell score ties below float precision do
+# not occur, and the FINAL sim is ppm-quantized exactly like q193/q224.
+_IVF_CELL_CTES = """
+    cents AS (
+      SELECT CAST(vec_id // 100 AS INT) AS cell, embedding AS cv
+      FROM embeddings WHERE vec_id IN (0, 100, 200, 300)),
+    zc AS (
+      SELECT e.vec_id, c.cell, UNNEST(e.embedding) AS x, UNNEST(c.cv) AS y
+      FROM embeddings e CROSS JOIN cents c),
+    scored AS (
+      SELECT vec_id, cell,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS s
+      FROM zc GROUP BY vec_id, cell
+      HAVING SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS r
+        FROM scored) t WHERE r = 1)
+"""
+
+
+def _centroid_rows(e: DataFrame):
+    """The 4 deterministic centroid vectors (model-sized collect: 4 rows —
+    the model itself, same class as q43e's kmeans_fit output)."""
+    import numpy as np
+
+    rows = (e.filter(F.col("vec_id").isin(0, 100, 200, 300))
+            .orderBy("vec_id").collect())
+    return np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+
+# --------------------------------------------------------------------------
+# Q339 batched IVF k-NN join (operators/similarity.py ivf_knn_join): every
+# query row gets its top-k through a CELL EQUI-JOIN — ~|Q|·n_probe/n_cells
+# of the pairs the q224 broadcast cross join generates — and the oracle
+# re-derives assignment, probing, candidate generation and ppm-cosine
+# ranking in pure SQL restricted to the same probed cells.
+@query(
+    "q339_ivf_knn_join",
+    oracle=f"""
+    WITH {_IVF_CELL_CTES},
+    probe AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS r
+        FROM scored WHERE vec_id % 25 = 3) t WHERE r <= 2),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS n_id
+      FROM probe p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.q_id),
+    zp AS (
+      SELECT c.q_id, c.n_id,
+             UNNEST(q.embedding) AS x, UNNEST(n.embedding) AS y
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.q_id
+      JOIN embeddings n ON n.vec_id = c.n_id),
+    sims AS (
+      SELECT q_id, n_id,
+             CAST(CAST(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                       / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                          * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                       AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sim_ppm
+      FROM zp GROUP BY q_id, n_id
+      HAVING SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0
+         AND SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) > 0)
+    SELECT q_id, n_id, sim_ppm, rank FROM (
+      SELECT q_id, n_id, sim_ppm,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY sim_ppm DESC, n_id)
+                  AS INT) AS rank
+      FROM sims) t
+    WHERE rank <= 3 ORDER BY q_id, rank
+    """,
+    doc="Batched IVF k-NN join (cell equi-join, n_probe=2 of 4 cells, "
+        "k=3) for the vec_id%25=3 query batch; the oracle re-derives "
+        "cells, probes and ppm-cosine ranks from the table alone.",
+)
+def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import ivf_knn_join
+
+    e = tables(spark, sf_dir)["embeddings"]
+    cents = _centroid_rows(e)
+    q = e.filter(F.col("vec_id") % 25 == 3)
+    return (ivf_knn_join(q, e, cents, k=3, n_probe=2)
+            .orderBy("q_id", "rank"))
+
+
+# --------------------------------------------------------------------------
+# Q340 persisted-index serving (save_ivf_index → ivf_topk_from_index): the
+# q43d shape against the PERSISTED layout — build the cell-partitioned
+# index, then serve one query with a probe that reads only 2 of 4 inverted
+# lists (the partition-filter scan test_cluster pins). The oracle computes
+# exact cosine top-k restricted to the same probed cells, so a match proves
+# the model table, the partitioned lists and the probe-time pruning all
+# preserve the inline ivf_topk contract.
+@query(
+    "q340_ivf_index_topk",
+    oracle=f"""
+    WITH {_IVF_CELL_CTES},
+    probe AS (
+      SELECT cell FROM (
+        SELECT cell, ROW_NUMBER() OVER (ORDER BY s DESC, cell) AS r
+        FROM scored WHERE vec_id = 7) t WHERE r <= 2),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    z AS (
+      SELECT e.vec_id, UNNEST(e.embedding) AS x, UNNEST(q.qe) AS y
+      FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN probe p ON p.cell = a.cell
+      CROSS JOIN q),
+    s AS (
+      SELECT vec_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n1,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS n2
+      FROM z GROUP BY vec_id)
+    SELECT vec_id,
+           CAST(ROUND(CAST(dot / (SQRT(n1) * SQRT(n2)) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS sim
+    FROM s ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    doc="Top-10 by cosine served from the persisted IVF index (2 of 4 "
+        "cells probed, partition-filter scan); oracle = exact cosine "
+        "restricted to the same probed cells.",
+)
+def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import (
+        ivf_topk_from_index,
+        save_ivf_index,
+    )
+
+    e = tables(spark, sf_dir)["embeddings"]
+    cents = _centroid_rows(e)
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    path = _tmp(sf_dir, "q340idx")
+    save_ivf_index(e, cents, path)
+    return ivf_topk_from_index(spark, path, qvec, k=10, n_probe=2)
