@@ -787,6 +787,138 @@ def dequantize_embeddings(vectors: DataFrame, lo: list, hi: list,
     return vectors.withColumn(vec_col, vals)
 
 
+# -- Product quantization (PQ): the aggressive embedding-storage lever -----
+#
+# Scalar int8 quantization (above) keeps all d values per vector (4× saving
+# vs float32); PQ keeps m CODES — each subspace of dsub = d/m dims is
+# replaced by the id of its nearest codebook entry, so a 64-dim float32
+# vector (256 B) becomes m=8 smallint codes plus one exact norm (~24 B,
+# >10×). Serving is ADC (asymmetric distance computation): the query builds
+# an (m, ks) lookup table of subspace dot products ONCE (driver-side model
+# math), each stored vector's approximate dot is then m array lookups — a
+# scan-side codegen projection, no Python, no shuffle — and the exact
+# rerank touches only the top ``rerank`` candidates (point lookups into the
+# base vector table at 100 TB). Codebooks are fitted on a deterministic
+# sample, FAISS-style: the training set is O(sample) rows — model fitting,
+# never a data-scale job.
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means codebooks, shape (m, ks, d/m).
+
+    The training sample is the first ``sample`` rows in md5(id) order (the
+    ``kmeans_fit`` init convention — deterministic, order-independent of
+    file layout); init per subspace is its first ``ks`` sample rows. Empty
+    cells keep their previous centroid, mirroring ``kmeans_fit``."""
+    rows = (vectors.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(sample).collect())
+    X = np.asarray([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    if n < ks:
+        raise ValueError(f"sample of {n} rows cannot seed ks={ks} entries")
+    dsub = d // m
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[:ks].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ks):
+                if (a == c).any():
+                    C[c] = S[a == c].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The persistable PQ code table: (id, _pq array<smallint> of length m,
+    _vnorm double — the exact vector norm, kept so ADC can serve COSINE).
+
+    Each code is argmin_c ||v_j − C_jc||², computed scan-side as
+    argmax_c (v_j·C_jc − |C_jc|²/2) with the greatest-of-structs
+    deterministic tie-break (lower code id) — the ``ivf_assign`` pattern
+    per subspace; no shuffle, no Python."""
+    m, ks, dsub = codebooks.shape
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        choices = []
+        for c in range(ks):
+            cc = codebooks[j, c]
+            lit = F.array(*[F.lit(float(x)) for x in cc])
+            score = _dot(sub, lit) - F.lit(float((cc * cc).sum() / 2.0))
+            choices.append(F.struct(score.alias("s"), F.lit(-c).alias("nc")))
+        codes.append((-F.greatest(*choices).getField("nc")).cast("smallint"))
+    return vectors.select(
+        F.col(id_col),
+        F.array(*codes).alias("_pq"),
+        F.sqrt(_norm2(vec_col)).alias("_vnorm"),
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over the PQ code table via ADC.
+
+    The query's (m, ks) lookup table is built driver-side; each row's
+    approximate dot is m ``element_at`` lookups summed in codegen, and
+    approximate cosine divides by the stored exact norm. Without
+    ``vectors``: returns (id, sim_adc) top-k — a zero-shuffle
+    TakeOrderedAndProject over the (tiny) code table. With ``vectors``:
+    two-stage serving — ADC keeps the top ``rerank`` (default 5k)
+    candidate ids, the base table is joined semi-style for those ids only,
+    and exact ``cosine_topk`` reranks, returning its (id, sim) contract."""
+    import math
+
+    m, ks, dsub = codebooks.shape
+    qv = np.asarray(query_vec, dtype=np.float64)
+    if qv.shape[0] != m * dsub:
+        raise ValueError(f"query dim {qv.shape[0]} != {m * dsub}")
+    qn = float(np.linalg.norm(qv))
+    lut = np.array([codebooks[j] @ qv[j * dsub:(j + 1) * dsub]
+                    for j in range(m)])  # (m, ks)
+    adc = None
+    for j in range(m):
+        lit = F.array(*[F.lit(float(x)) for x in lut[j]])
+        term = F.element_at(lit, F.element_at("_pq", j + 1).cast("int") + 1)
+        adc = term if adc is None else adc + term
+    sim = adc / (F.col("_vnorm") * F.lit(qn))
+    scored = (codes.filter(F.col("_vnorm") > 0)
+              .select(F.col(id_col),
+                      F.round(sim.cast("decimal(18,6)"), 4).cast("double")
+                      .alias("sim_adc")))
+    if vectors is None:
+        return scored.orderBy(F.desc("sim_adc"), F.asc(id_col)).limit(k)
+    cand_ids = (scored.orderBy(F.desc("sim_adc"), F.asc(id_col))
+                .limit(rerank or 5 * k).select(id_col))
+    cand = vectors.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cand, [float(x) for x in qv], k, vec_col, id_col)
+
+
 def embedding_dim_stats(
     vectors: DataFrame,
     scale: int = 10_000,

@@ -313,3 +313,97 @@ def test_quantized_ivf_index_serves_with_bounded_loss(spark, tmp_path):
     new_ids = {r.vec_id for r in newbies.select("vec_id").collect()}
     got_ids = {r.vec_id for r in lists.select("vec_id").collect()}
     assert new_ids <= got_ids
+
+
+# -- Product quantization (PQ): codes, ADC serving, two-stage rerank --------
+#
+# Random 64-dim vectors are the adversarial case for PQ (no subspace
+# structure to exploit), so the bounds below are deliberately modest; the
+# CONTRACTS under test are exact: code assignment equals the numpy argmin
+# with the engine's tie-break, and two-stage serving with a full-size
+# rerank budget is byte-identical to brute force.
+
+def test_pq_encode_matches_numpy_reference(spark):
+    import numpy as np
+
+    from inspectadb_spark.operators.scale import explain_str
+    from inspectadb_spark.operators.similarity import pq_encode, pq_fit
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_fit(e, m=8, ks=16, iters=3, sample=400)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(e, books)
+    # the code table is the persistable artifact: m smallints + exact norm
+    assert codes.schema.simpleString() == (
+        "struct<vec_id:bigint,_pq:array<smallint>,_vnorm:double>")
+    # scan-side projection: no exchange anywhere in the encode plan
+    assert "Exchange" not in explain_str(codes, "simple")
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = [int(r.vec_id) for r in rows]
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    m, ks, dsub = books.shape
+    want = {}
+    for i, vid in enumerate(ids):
+        cs = []
+        for j in range(m):
+            sub = V[i, j * dsub:(j + 1) * dsub]
+            scores = books[j] @ sub - (books[j] ** 2).sum(axis=1) / 2
+            cs.append(sorted(range(ks), key=lambda c: (-scores[c], c))[0])
+        want[vid] = cs
+    got = {int(r.vec_id): list(r._pq) for r in codes.collect()}
+    assert got == want
+
+
+def test_pq_adc_full_rerank_is_exactly_brute_force(spark):
+    from inspectadb_spark.operators.similarity import (
+        cosine_topk, pq_adc_topk, pq_encode, pq_fit,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_fit(e, m=8, ks=16, iters=3, sample=400)
+    codes = pq_encode(e, books).cache()
+    n = codes.count()
+    for qid in (0, 7, 123):
+        qvec = [float(x) for x in
+                e.filter(F.col("vec_id") == qid).first()["embedding"]]
+        two = pq_adc_topk(codes, books, qvec, k=10, rerank=n, vectors=e)
+        brute = cosine_topk(e, qvec, k=10)
+        assert two.collect() == brute.collect()
+    codes.unpersist()
+
+
+def test_pq_adc_rerank_recall_and_plan(spark):
+    from inspectadb_spark.operators.scale import explain_str
+    from inspectadb_spark.operators.similarity import (
+        cosine_topk, pq_adc_topk, pq_encode, pq_fit,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_fit(e, m=8, ks=16, iters=3, sample=400)
+    codes = pq_encode(e, books).cache()
+
+    # ADC-only serving is a zero-shuffle TakeOrderedAndProject over codes
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    adc_only = pq_adc_topk(codes, books, qvec, k=10)
+    plan = explain_str(adc_only, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+    # two-stage recall@10 with a 10% rerank budget, averaged over queries
+    hits = total = 0
+    for qid in (0, 7, 42, 123, 250):
+        qvec = [float(x) for x in
+                e.filter(F.col("vec_id") == qid).first()["embedding"]]
+        got = {r.vec_id for r in
+               pq_adc_topk(codes, books, qvec, k=10, rerank=50,
+                           vectors=e).collect()}
+        want = {r.vec_id for r in cosine_topk(e, qvec, k=10).collect()}
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.5, f"two-stage recall collapsed: {hits}/{total}"
+    codes.unpersist()
