@@ -476,6 +476,82 @@ def ivf_knn_join_from_index(
                               id_col, exclude_self)
 
 
+def save_ivf_pq_index(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVF-PQ: the persisted index stores PQ CODES in its inverted lists —
+    m smallints + one exact norm per row instead of the vector itself, the
+    layout that makes a 100 TB embedding index fit hot storage. Cell
+    assignment happens on the FULL-PRECISION vectors (like the int8 path);
+    the codebook model rides beside the centroid model at
+    ``<path>/pq_books``. Serving reranks against the BASE table, which is
+    the other half of the design: the index carries only what ADC needs."""
+    cents = np.asarray(centroids, dtype=np.float64).copy()
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    spark = vectors.sparkSession
+    model = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    model.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    m, ks, dsub = codebooks.shape
+    books = spark.createDataFrame(
+        [(j, c, [float(x) for x in codebooks[j, c]])
+         for j in range(m) for c in range(ks)],
+        "j INT, c INT, sub ARRAY<DOUBLE>",
+    )
+    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_books")
+    assigned = ivf_assign(vectors, cents, vec_col)
+    codes = pq_encode(assigned, codebooks, vec_col, id_col, keep=("_cell",))
+    (codes.write.partitionBy("_cell").mode("overwrite")
+     .parquet(f"{path}/pq_lists"))
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    """The index's PQ codebook model, (m, ks, dsub)-shaped (driver-side,
+    model-sized — m·ks rows)."""
+    rows = spark.read.parquet(f"{path}/pq_books").orderBy("j", "c").collect()
+    m = max(r.j for r in rows) + 1
+    ks = max(r.c for r in rows) + 1
+    dsub = len(rows[0].sub)
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for r in rows:
+        books[r.j, r.c] = list(r.sub)
+    return books
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve from a persisted IVF-PQ index: rank cells against the stored
+    centroid model (driver-side), read ONLY the probed cells' code lists
+    (a partition filter over rows that are ~10× narrower than vectors),
+    ADC-score them, and — when ``vectors`` is given — exact-rerank the top
+    ``rerank`` ids against the base table. With a full-size rerank budget
+    this equals ``ivf_topk`` over the same centroids exactly (pinned
+    in-test); smaller budgets trade recall for base-table lookups."""
+    cents = load_ivf_centroids(spark, path)
+    books = load_pq_codebooks(spark, path)
+    probe = _probe_cells(cents, query_vec, n_probe)
+    codes = (spark.read.parquet(f"{path}/pq_lists")
+             .filter(F.col("_cell").isin(probe)).drop("_cell"))
+    return pq_adc_topk(codes, books, query_vec, k, rerank, vectors,
+                       vec_col, id_col)
+
+
 def knn_join(
     queries: DataFrame,
     collection: DataFrame,
@@ -846,6 +922,7 @@ def pq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep: tuple = (),
 ) -> DataFrame:
     """The persistable PQ code table: (id, _pq array<smallint> of length m,
     _vnorm double — the exact vector norm, kept so ADC can serve COSINE).
@@ -869,6 +946,7 @@ def pq_encode(
         F.col(id_col),
         F.array(*codes).alias("_pq"),
         F.sqrt(_norm2(vec_col)).alias("_vnorm"),
+        *[F.col(c) for c in keep],
     )
 
 

@@ -407,3 +407,77 @@ def test_pq_adc_rerank_recall_and_plan(spark):
         total += len(want)
     assert hits / total >= 0.5, f"two-stage recall collapsed: {hits}/{total}"
     codes.unpersist()
+
+
+# Persisted IVF-PQ index: inverted lists store m smallint codes + one norm
+# instead of vectors. Parity: full-rerank serving from the index equals the
+# inline full-precision ivf_topk exactly. Footprint: probed-cells-only scan
+# (numPartitions metric) and a strictly smaller lists directory than the
+# full-precision index.
+def test_ivf_pq_index_roundtrip_prune_and_footprint(spark, tmp_path):
+    import numpy as np
+
+    from inspectadb_spark.operators.similarity import (
+        _probe_cells, ivf_pq_topk_from_index, ivf_topk, kmeans_fit,
+        load_ivf_centroids, load_pq_codebooks, pq_fit, save_ivf_index,
+        save_ivf_pq_index,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=6, iters=1)
+    books = pq_fit(e, m=8, ks=16, iters=2, sample=400)
+    idx = str(tmp_path / "ivfpq")
+    save_ivf_pq_index(e, cents, books, idx)
+
+    # both models round-trip exactly
+    assert np.array_equal(load_pq_codebooks(spark, idx), books)
+    stored = load_ivf_centroids(spark, idx)
+
+    n = e.count()
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 11).first()["embedding"]]
+    # full rerank budget -> exact cosine over the probed cells == ivf_topk
+    served = ivf_pq_topk_from_index(
+        spark, idx, qv, k=5, n_probe=2, rerank=n, vectors=e)
+    inline = ivf_topk(e, qv, k=5, n_probe=2, centroids=cents)
+    rows = lambda df: [tuple(str(x) for x in r) for r in df.collect()]
+    assert rows(served) == rows(inline) and served.count() == 5
+
+    # ADC-only serving never touches the base table and still returns k ids
+    adc_only = ivf_pq_topk_from_index(spark, idx, qv, k=5, n_probe=2)
+    assert adc_only.count() == 5
+
+    # scan footprint: only the probed cells' code lists are read
+    probe = _probe_cells(stored, qv, 2)
+    cand = (spark.read.parquet(f"{idx}/pq_lists")
+            .filter(F.col("_cell").isin(probe)))
+    cand.collect()
+
+    def scan_metric(df, name):
+        def walk(node):
+            if "Scan" in node.nodeName():
+                m = node.metrics()
+                if m.contains(name):
+                    return m.apply(name).value()
+            cs = node.children()
+            for i in range(cs.length()):
+                got = walk(cs.apply(i))
+                if got is not None:
+                    return got
+            return None
+        return walk(df._jdf.queryExecution().executedPlan())
+
+    n_cells = len([d for d in os.listdir(f"{idx}/pq_lists")
+                   if d.startswith("_cell=")])
+    assert scan_metric(cand, "numPartitions") == len(probe) < n_cells
+
+    # storage: code lists are a fraction of the full-precision lists
+    full = str(tmp_path / "ivf_full")
+    save_ivf_index(e, cents, full)
+
+    def dir_bytes(root):
+        return sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _, fs in os.walk(root) for f in fs)
+
+    assert dir_bytes(f"{idx}/pq_lists") < 0.5 * dir_bytes(f"{full}/lists")
