@@ -746,3 +746,85 @@ def test_ivf_knn_join_equals_reference_property(spark, data):
                                  n_probe=n_probe).collect()}
     want = _knn_numpy_reference(ids, V, C, k=k, n_probe=n_probe)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# PQ laws (round 11): subspace code assignment and ADC serving.
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_pq_encode_and_adc_equal_reference_property(spark, data):
+    """On GENERATED vector sets: pq_encode equals the numpy per-subspace
+    argmin (engine tie-break: lower code id), ADC-only scores equal the
+    numpy lookup-table sums at 4 dp, and two-stage serving with a
+    full-size rerank budget is byte-identical to brute cosine_topk."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from inspectadb_spark.operators.similarity import (
+        cosine_topk, pq_adc_topk, pq_encode,
+    )
+
+    m = data.draw(st.integers(1, 2), label="m")
+    dsub = data.draw(st.integers(2, 3), label="dsub")
+    ks = data.draw(st.sampled_from([2, 4]), label="ks")
+    n = data.draw(st.integers(3, 10), label="n_vectors")
+    comp = st.integers(-3, 3)
+    d = m * dsub
+    vecs = data.draw(
+        st.lists(st.lists(comp, min_size=d, max_size=d),
+                 min_size=n, max_size=n), label="vectors")
+
+    V = np.array(vecs, np.float64)
+    nz = np.linalg.norm(V, axis=1) > 0
+    V = V[nz]
+    if len(V) == 0:
+        return
+    ids = np.arange(100, 100 + len(V))
+    rng = np.random.default_rng(11)
+    books = rng.standard_normal((m, ks, dsub))
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, V)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    codes = pq_encode(df, books)
+
+    # 1. codes == numpy per-subspace argmin with the engine tie-break
+    want_codes = {}
+    for i, vid in enumerate(ids):
+        cs = []
+        for j in range(m):
+            sub = V[i, j * dsub:(j + 1) * dsub]
+            sc = books[j] @ sub - (books[j] ** 2).sum(axis=1) / 2
+            cs.append(sorted(range(ks), key=lambda c: (-sc[c], c))[0])
+        want_codes[int(vid)] = cs
+    got_codes = {int(r.vec_id): list(r._pq) for r in codes.collect()}
+    assert got_codes == want_codes
+
+    # 2. ADC-only sims == numpy LUT sums at the 4 dp contract
+    qv = V[0]
+    lut = np.array([books[j] @ qv[j * dsub:(j + 1) * dsub]
+                    for j in range(m)])
+    qn = float(np.linalg.norm(qv))
+
+    def r4(x):
+        # the engine contract is two-step: cast to DECIMAL(18,6) first,
+        # THEN round to 4 dp — mirror both steps or boundary values like
+        # -0.18444996 double-round differently
+        d6 = Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        return float(d6.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    want_adc = {}
+    for i, vid in enumerate(ids):
+        adc = sum(lut[j][want_codes[int(vid)][j]] for j in range(m))
+        want_adc[int(vid)] = r4(adc / (np.linalg.norm(V[i]) * qn))
+    got_adc = {int(r.vec_id): float(r.sim_adc)
+               for r in pq_adc_topk(codes, books, list(qv),
+                                    k=len(V)).collect()}
+    assert got_adc == want_adc
+
+    # 3. full-budget two-stage == brute force, byte for byte
+    two = pq_adc_topk(codes, books, list(qv), k=3, rerank=len(V), vectors=df)
+    brute = cosine_topk(df, list(qv), k=3)
+    assert two.collect() == brute.collect()
