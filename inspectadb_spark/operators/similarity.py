@@ -552,6 +552,100 @@ def ivf_pq_topk_from_index(
                        vec_col, id_col)
 
 
+def pq_decode_expr(codebooks: np.ndarray, code_col: str = "_pq") -> Column:
+    """Reconstruct the approximate vector from PQ codes, scan-side: one
+    ``element_at`` into a literal (ks × dsub) table per subspace, arrays
+    concatenated — no Python, no shuffle. dot(query, reconstruction) equals
+    the ADC lookup-table sum by construction, so batched joins can score
+    candidates from codes alone."""
+    m, ks, dsub = codebooks.shape
+    parts = []
+    for j in range(m):
+        table = F.array(*[
+            F.array(*[F.lit(float(x)) for x in codebooks[j, c]])
+            for c in range(ks)
+        ])
+        parts.append(
+            F.element_at(table, F.element_at(code_col, j + 1).cast("int") + 1))
+    return F.concat(*parts)
+
+
+def ivf_pq_knn_join_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched k-NN join against a persisted IVF-PQ index: the collection
+    side is the cell-partitioned CODE lists (~10× narrower rows than
+    vectors — the shuffle that dominates a 100 TB batched join moves codes,
+    never embeddings), candidates come from the same cell equi-join as
+    ``ivf_knn_join``, and each pair is scored via scan-side PQ
+    reconstruction (``pq_decode_expr`` — the batched form of ADC).
+
+    Without ``vectors``: returns (q_id, n_id, sim_ppm approx, rank ≤ k).
+    With ``vectors``: keeps the top ``rerank`` (default 5k) candidates per
+    query, joins ONLY those ids back to the base table, and reranks with
+    exact cosine — with a full-size budget this is byte-identical to
+    ``ivf_knn_join`` over the same centroids (pinned in-test)."""
+    from pyspark.sql import Window
+
+    cents = load_ivf_centroids(spark, path)
+    books = load_pq_codebooks(spark, path)
+    lists = (spark.read.parquet(f"{path}/pq_lists")
+             .select(F.col(id_col).alias("n_id"), "_pq", "_vnorm",
+                     F.col("_cell").cast("int").alias("_cell"))
+             .filter(F.col("_vnorm") > 0))
+
+    vm = F.sqrt(_norm2(vec_col))
+    choices = []
+    for cid in range(len(cents)):
+        lit_c = F.array(*[F.lit(float(x)) for x in cents[cid]])
+        score = _dot(F.col(vec_col), lit_c) / vm
+        choices.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(F.array(*choices))), 1, n_probe),
+        lambda st: -st.getField("nc"))
+    q = (queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe"),
+            vm.alias("qm"), F.explode(probe_cells).alias("_cell"))
+         .filter(F.col("qm") > 0))
+
+    pairs = q.join(lists, "_cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("n_id"))
+    approx = _dot("qe", pq_decode_expr(books)) / (F.col("qm") * F.col("_vnorm"))
+    scored = pairs.select(
+        "q_id", "qe", "qm", "n_id",
+        (approx.cast("decimal(18,6)") * 1_000_000).cast("bigint")
+        .alias("sim_ppm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"), F.asc("n_id"))
+    if vectors is None:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("q_id", "n_id", "sim_ppm", "rank"))
+    cand = (scored.withColumn("_arank", F.row_number().over(w))
+            .filter(F.col("_arank") <= (rerank or 5 * k))
+            .select("q_id", "qe", "qm", "n_id"))
+    base = (vectors.select(F.col(id_col).alias("n_id"),
+                           F.col(vec_col).alias("ne"),
+                           F.sqrt(_norm2(vec_col)).alias("nm"))
+            .filter(F.col("nm") > 0))
+    exact = _dot("qe", "ne") / (F.col("qm") * F.col("nm"))
+    rescored = cand.join(base, "n_id").select(
+        "q_id", "n_id",
+        (exact.cast("decimal(18,6)") * 1_000_000).cast("bigint")
+        .alias("sim_ppm"))
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def knn_join(
     queries: DataFrame,
     collection: DataFrame,

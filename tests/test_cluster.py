@@ -481,3 +481,44 @@ def test_ivf_pq_index_roundtrip_prune_and_footprint(spark, tmp_path):
                    for dp, _, fs in os.walk(root) for f in fs)
 
     assert dir_bytes(f"{idx}/pq_lists") < 0.5 * dir_bytes(f"{full}/lists")
+
+
+# Batched k-NN join against the persisted IVF-PQ index: candidates from the
+# cell equi-join over CODE lists, scored by scan-side PQ reconstruction
+# (batched ADC). With a full rerank budget the result is byte-identical to
+# ivf_knn_join over the same centroids — the approximation is confined to
+# the rerank budget, exactly like the single-query path.
+def test_ivf_pq_knn_join_full_rerank_equals_ivf_knn_join(spark, tmp_path):
+    from inspectadb_spark.operators.scale import explain_str
+    from inspectadb_spark.operators.similarity import (
+        ivf_knn_join, ivf_pq_knn_join_from_index, kmeans_fit, pq_fit,
+        save_ivf_pq_index,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=6, iters=1)
+    books = pq_fit(e, m=8, ks=16, iters=2, sample=400)
+    idx = str(tmp_path / "ivfpq_join")
+    save_ivf_pq_index(e, cents, books, idx)
+
+    qs = e.filter(F.col("vec_id") % 13 == 4)
+    n = e.count()
+    got = ivf_pq_knn_join_from_index(
+        spark, idx, qs, k=3, n_probe=2, rerank=n, vectors=e)
+    plan = explain_str(got, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    want = ivf_knn_join(qs, e, cents, k=3, n_probe=2)
+    key = lambda df: {(r.q_id, r.rank): (r.n_id, r.sim_ppm)
+                      for r in df.collect()}
+    gk, wk = key(got), key(want)
+    assert gk == wk and len(gk) > 0
+
+    # ADC-only: same candidate universe, k rows per query, approx scores
+    adc = ivf_pq_knn_join_from_index(spark, idx, qs, k=3, n_probe=2)
+    per_q = {}
+    for r in adc.collect():
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert set(per_q) == {qk for qk, _ in gk}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
