@@ -2679,3 +2679,53 @@ def test_s51b_empty_batch_is_noop(spark, tmp_path):
     inc._apply_batch(e.filter(F.lit(False)), 0)
     assert inc._read_ptr() is None  # nothing committed
     assert read_ivf_lists(spark, idx).count() == n0
+
+
+# S53 streaming serving from the persisted IVF-PQ index: the S50 scenario
+# with the CODE-list index — each micro-batch of query vectors is served
+# through ivf_pq_knn_join_from_index with an exact rerank against the base
+# table. The function is stateless per row, so the union of micro-batch
+# serves equals the one-shot batch serve exactly — and at a full rerank
+# budget both equal full-precision ivf_knn_join (pinned in test_cluster).
+def test_s53_streaming_pq_serving_from_persisted_index(spark, tmp_path):
+    from inspectadb_spark.operators.similarity import (
+        ivf_pq_knn_join_from_index, kmeans_fit, pq_fit, save_ivf_pq_index,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=6, iters=1)
+    books = pq_fit(e, m=8, ks=16, iters=2, sample=400)
+    idx = str(tmp_path / "ivfpq_index")
+    save_ivf_pq_index(e, cents, books, idx)
+
+    qsrc = str(tmp_path / "queries")
+    os.makedirs(qsrc)
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    qt = t.filter(pc.equal(pc.bit_wise_and(t.column("vec_id"), 7), 2))
+    step = (qt.num_rows + 2) // 3
+    now = time.time()
+    for i in range(3):
+        p = f"{qsrc}/chunk{i:02d}.parquet"
+        pq.write_table(qt.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    out = str(tmp_path / "served")
+
+    def serve(batch, _bid):
+        (ivf_pq_knn_join_from_index(
+            spark, idx, batch, k=3, n_probe=2, rerank=40, vectors=e)
+         .write.mode("append").parquet(out))
+
+    q = (spark.readStream.schema(spark.read.parquet(qsrc).schema)
+         .option("maxFilesPerTrigger", 1).parquet(qsrc)
+         .writeStream.foreachBatch(serve)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+
+    live = spark.read.parquet(out)
+    want = ivf_pq_knn_join_from_index(
+        spark, idx, spark.read.parquet(qsrc), k=3, n_probe=2,
+        rerank=40, vectors=e)
+    assert _rows(live) == _rows(want) and live.count() > 0
