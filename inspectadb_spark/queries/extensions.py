@@ -1918,3 +1918,60 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp(sf_dir, "q340idx")
     save_ivf_index(e, cents, path)
     return ivf_topk_from_index(spark, path, qvec, k=10, n_probe=2)
+
+
+# --------------------------------------------------------------------------
+# Q341 corrupt-record quarantine ingest (sources/files.py): orders are
+# exported as JSON lines with a deterministic subset (o_orderkey % 97 = 13)
+# replaced by malformed bytes, re-ingested through the strict quarantine
+# reader, and accounted on BOTH sides. The oracle re-derives every figure
+# from the orders table alone, so a match proves the split is
+# total-preserving (every line in exactly one side), the good side parsed
+# the declared schema, and the quarantined side kept the raw bytes.
+@query(
+    "q341_quarantine_ingest",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN o_orderkey % 97 <> 13 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_good,
+      CAST(SUM(CASE WHEN o_orderkey % 97 <> 13 THEN o_orderkey ELSE 0 END)
+           AS BIGINT) AS sum_key_good,
+      CAST(SUM(CASE WHEN o_orderkey % 97 <> 13 THEN o_custkey ELSE 0 END)
+           AS BIGINT) AS sum_cust_good,
+      CAST(SUM(CASE WHEN o_orderkey % 97 = 13 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_quarantined,
+      CAST(SUM(CASE WHEN o_orderkey % 97 = 13
+               THEN strlen('CORRUPT<' || CAST(o_orderkey AS VARCHAR))
+               ELSE 0 END) AS BIGINT) AS quarantined_bytes
+    FROM orders
+    """,
+    doc="Quarantine ingest accounting over a JSON-lines orders export with "
+        "planted malformed lines; the oracle re-derives both sides from "
+        "the orders table, proving the split is total-preserving.",
+)
+def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from inspectadb_spark.sources.files import read_json_with_quarantine
+
+    o = tables(spark, sf_dir)["orders"]
+    line = F.when(
+        F.col("o_orderkey") % 97 == 13,
+        F.concat(F.lit("CORRUPT<"), F.col("o_orderkey").cast("string")),
+    ).otherwise(F.to_json(F.struct(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c"))))
+    src = _tmp(sf_dir, "q341src")
+    o.select(line.alias("value")).write.mode("overwrite").text(src)
+
+    schema = StructType([
+        StructField("k", LongType()), StructField("c", LongType())])
+    good, bad = read_json_with_quarantine(
+        spark, src, schema, quarantine_path=_tmp(sf_dir, "q341quar"))
+    g = good.agg(
+        F.count("*").alias("n_good"),
+        F.sum("k").alias("sum_key_good"),
+        F.sum("c").alias("sum_cust_good"))
+    b = bad.agg(
+        F.count("*").alias("n_quarantined"),
+        F.sum(F.length("value")).cast("bigint").alias("quarantined_bytes"))
+    return g.crossJoin(b)

@@ -150,3 +150,83 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None,
 
         df = df.filter(F.col("length") <= max_bytes)
     return df
+
+
+# -- corrupt-record quarantine ingest ----------------------------------------
+#
+# At 100 TB malformed lines are routine (truncated uploads, mixed encodings,
+# producer bugs); dropping them silently corrupts accounting and FAILFAST
+# kills a day-long job on one bad byte. The quarantine readers keep the
+# pipeline TOTAL-PRESERVING: every input line lands in exactly one of
+# (good, quarantined), the quarantined side keeps the raw bytes for replay,
+# and both sides are plain scans — no cache, no second parse of good rows.
+# Implementation note: the line source is read as text and parsed with
+# from_json / from_csv carrying a corrupt-record column; this sidesteps
+# Spark's restriction on querying only the internal corrupt column of a
+# raw JSON/CSV scan, and keeps the split a single codegen projection.
+# Contract: line-delimited sources (JSON Lines / one CSV record per line).
+
+def _quarantine_split(raw: DataFrame, parsed, quarantine_path: str | None):
+    j = parsed.alias("_j")
+    tagged = raw.select(F.col("value"), j)
+    bad_pred = (F.col("_j").isNull()
+                | F.col("_j._corrupt_record").isNotNull())
+    good = (tagged.filter(~bad_pred)
+            .select("_j.*").drop("_corrupt_record"))
+    bad = tagged.filter(bad_pred).select("value")
+    if quarantine_path:
+        bad.write.mode("overwrite").text(quarantine_path)
+        bad = raw.sparkSession.read.text(quarantine_path)
+    return good, bad
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    quarantine_path: str | None = None,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-Lines ingest split into (good, quarantined-raw-lines).
+
+    STRICT schema contract: a good row conforms to the declared schema
+    completely; any line the parser flags — malformed JSON, a non-object,
+    or a wrong-typed field — goes to quarantine whole, so the good side
+    never carries silently-nulled fields (the plain PERMISSIVE reader
+    keeps such rows, which is exactly how type rot sneaks into a corpus).
+    With ``quarantine_path`` the raw lines are written there (text,
+    byte-for-byte) and the returned bad side re-reads that sink, so
+    downstream replay consumes the durable copy."""
+    from pyspark.sql.types import StringType
+
+    qschema = StructType(schema.fields[:]).add("_corrupt_record", StringType())
+    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    parsed = F.from_json(
+        "value", qschema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record",
+         **options})
+    return _quarantine_split(raw, parsed, quarantine_path)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    quarantine_path: str | None = None,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingest split into (good, quarantined-raw-lines) — one record per
+    line (the splittable-at-scale layout; embedded newlines need the
+    non-splittable multiLine reader instead). Same STRICT contract as the
+    JSON form: wrong arity or a wrong-typed field quarantines the line."""
+    from pyspark.sql.types import StringType
+
+    qschema = StructType(schema.fields[:]).add("_corrupt_record", StringType())
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in qschema.fields)
+    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    parsed = F.from_csv(
+        "value", F.lit(ddl),
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record",
+         **options})
+    return _quarantine_split(raw, parsed, quarantine_path)

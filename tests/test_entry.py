@@ -28,8 +28,8 @@ _BASELINE_CUTOFF = "CORRECTNESS_r11"
 # Registry size pin: 388/371 at the end of round 10, +3 in round 11 (the
 # VERDICT r10 item-3 promotions q336/q337/q338). Growth must consciously
 # update this pin in the same commit that grows the registry.
-_FROZEN_REGISTRY_SIZE = 393
-_FROZEN_ORACLED_SIZE = 376
+_FROZEN_REGISTRY_SIZE = 394
+_FROZEN_ORACLED_SIZE = 377
 
 
 def _green_rounds() -> dict[str, set[str]]:
@@ -105,16 +105,18 @@ def test_round11_front_clears_the_backlog():
 
 
 # Queries added during round 11 itself (the VERDICT r10 item-3 promotions,
-# plus the two SURVEY round-12 candidates landed early: the batched IVF
-# k-NN join and persisted-index serving rows); they are new, so they have
-# no pre-r11 driver row by construction and are excluded from the backlog
-# arithmetic. Next round's rotation front-loads them.
+# the two SURVEY round-12 candidates landed early — the batched IVF k-NN
+# join and persisted-index serving rows — and the quarantine-ingest
+# accounting row); they are new, so they have no pre-r11 driver row by
+# construction and are excluded from the backlog arithmetic. Next round's
+# rotation front-loads them.
 _ROUND11_ADDITIONS = {
     "q336_bucketed_join",
     "q337_binaryfile_ingest",
     "q338_pyds_roundtrip",
     "q339_ivf_knn_join",
     "q340_ivf_index_topk",
+    "q341_quarantine_ingest",
 }
 
 
