@@ -1017,15 +1017,32 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     keep: tuple = (),
+    method: str = "auto",
 ) -> DataFrame:
     """The persistable PQ code table: (id, _pq array<smallint> of length m,
     _vnorm double — the exact vector norm, kept so ADC can serve COSINE).
 
     Each code is argmin_c ||v_j − C_jc||², computed scan-side as
-    argmax_c (v_j·C_jc − |C_jc|²/2) with the greatest-of-structs
-    deterministic tie-break (lower code id) — the ``ivf_assign`` pattern
-    per subspace; no shuffle, no Python."""
+    argmax_c (v_j·C_jc − |C_jc|²/2) with a deterministic tie-break (lower
+    code id). Two routes, both shuffle-free scan projections:
+
+    - ``expr``: greatest-of-structs per subspace (the ``ivf_assign``
+      pattern) — whole-stage codegen, no Python. Right for small
+      codebooks; at production sizes (ks=256) the unrolled expression is
+      m·ks structs × dsub-term dot products, which blows the JIT method
+      budget and falls back to interpreted trees (the ``srp_signature``
+      lesson above).
+    - ``arrow``: mapInPandas batches through one numpy GEMM per subspace
+      (V_j @ C_jᵀ) — vectorized-irreducible for large ks, the same
+      justification as the package's other Arrow sites.
+
+    ``auto`` routes on m·ks (≤ 256 → expr). Codes agree between routes
+    (pinned in-test); prefer expr when both fit."""
     m, ks, dsub = codebooks.shape
+    if method == "auto":
+        method = "expr" if m * ks <= 256 else "arrow"
+    if method == "arrow":
+        return _pq_encode_arrow(vectors, codebooks, vec_col, id_col, keep)
     codes = []
     for j in range(m):
         sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
@@ -1042,6 +1059,53 @@ def pq_encode(
         F.sqrt(_norm2(vec_col)).alias("_vnorm"),
         *[F.col(c) for c in keep],
     )
+
+
+def _pq_encode_arrow(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    keep: tuple,
+) -> DataFrame:
+    """Arrow route for ``pq_encode``: one numpy GEMM per subspace per
+    batch. Output schema and tie-break (np.argmax keeps the FIRST maximum
+    — lower code id) match the expr route exactly."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, ShortType, StructField, StructType,
+    )
+
+    m, ks, dsub = codebooks.shape
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    half = (books ** 2).sum(axis=2) / 2.0  # (m, ks)
+    in_fields = {f.name: f for f in vectors.schema.fields}
+    out = StructType(
+        [in_fields[id_col],
+         StructField("_pq", ArrayType(ShortType())),
+         StructField("_vnorm", DoubleType())]
+        + [in_fields[c] for c in keep])
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            cols = {}
+            codes = np.empty((len(pdf), m), dtype=np.int16)
+            for j in range(m):
+                sub = V[:, j * dsub:(j + 1) * dsub]
+                codes[:, j] = np.argmax(sub @ books[j].T - half[j], axis=1)
+            cols[id_col] = pdf[id_col]
+            cols["_pq"] = list(codes)
+            cols["_vnorm"] = np.sqrt((V * V).sum(axis=1))
+            for c in keep:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
+
+    return vectors.mapInPandas(encode, out)
 
 
 def pq_adc_topk(

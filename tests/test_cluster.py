@@ -522,3 +522,41 @@ def test_ivf_pq_knn_join_full_rerank_equals_ivf_knn_join(spark, tmp_path):
         per_q.setdefault(r.q_id, []).append(r.rank)
     assert set(per_q) == {qk for qk, _ in gk}
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+# PQ encode routes: the expr (codegen) and arrow (GEMM) paths must produce
+# identical codes, and auto must route by codebook size — expr at m·ks ≤ 256
+# (whole-stage codegen), arrow above (the unrolled expression would blow
+# the JIT method budget, the srp_signature lesson).
+def test_pq_encode_routes_agree_and_auto_picks_by_size(spark):
+    import numpy as np
+
+    from inspectadb_spark.operators.scale import explain_str
+    from inspectadb_spark.operators.similarity import (
+        cosine_topk, pq_adc_topk, pq_encode, pq_fit,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # small codebook: auto -> expr; parity vs the forced arrow route
+    small = pq_fit(e, m=8, ks=16, iters=2, sample=400)
+    auto_small = pq_encode(e, small)
+    assert "MapInPandas" not in explain_str(auto_small, "simple")
+    arrow_small = pq_encode(e, small, method="arrow")
+    codes = lambda df: {int(r.vec_id): list(r._pq) for r in df.collect()}
+    assert codes(auto_small) == codes(arrow_small)
+    norms_a = {int(r.vec_id): r._vnorm for r in auto_small.collect()}
+    norms_b = {int(r.vec_id): r._vnorm for r in arrow_small.collect()}
+    assert all(abs(norms_a[k] - norms_b[k]) < 1e-12 for k in norms_a)
+
+    # production-sized codebook: auto -> arrow; the whole PQ pipeline still
+    # holds its exactness law on arrow-encoded codes
+    big = pq_fit(e, m=8, ks=64, iters=2, sample=400)
+    auto_big = pq_encode(e, big)
+    assert "MapInPandas" in explain_str(auto_big, "simple")
+    n = e.count()
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 5).first()["embedding"]]
+    two = pq_adc_topk(auto_big, big, qvec, k=10, rerank=n, vectors=e)
+    assert two.collect() == cosine_topk(e, qvec, k=10).collect()
