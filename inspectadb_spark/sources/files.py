@@ -166,17 +166,45 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None,
 # raw JSON/CSV scan, and keeps the split a single codegen projection.
 # Contract: line-delimited sources (JSON Lines / one CSV record per line).
 
-def _quarantine_split(raw: DataFrame, parsed, quarantine_path: str | None):
-    j = parsed.alias("_j")
-    tagged = raw.select(F.col("value"), j)
+def quarantine_split_lines(
+    lines: DataFrame,
+    schema: StructType,
+    fmt: str = "json",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The quarantine split as a PURE transformation over a ``value``
+    line DataFrame — shared by the batch readers below and streaming
+    foreachBatch (S54): the split works identically on a micro-batch, so
+    batch ≡ stream holds by construction."""
+    from pyspark.sql.types import StringType
+
+    qschema = StructType(schema.fields[:]).add("_corrupt_record", StringType())
+    opts = {"mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_corrupt_record", **options}
+    if fmt == "json":
+        parsed = F.from_json("value", qschema, opts)
+    elif fmt == "csv":
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in qschema.fields)
+        parsed = F.from_csv("value", F.lit(ddl), opts)
+    else:
+        raise ValueError(f"unsupported line format: {fmt!r}")
+    raw = lines.filter(F.length(F.trim("value")) > 0)
+    tagged = raw.select(F.col("value"), parsed.alias("_j"))
     bad_pred = (F.col("_j").isNull()
                 | F.col("_j._corrupt_record").isNotNull())
     good = (tagged.filter(~bad_pred)
             .select("_j.*").drop("_corrupt_record"))
     bad = tagged.filter(bad_pred).select("value")
+    return good, bad
+
+
+def _quarantine_read(spark, path, schema, fmt, quarantine_path, options):
+    good, bad = quarantine_split_lines(
+        spark.read.text(path), schema, fmt, **options)
     if quarantine_path:
         bad.write.mode("overwrite").text(quarantine_path)
-        bad = raw.sparkSession.read.text(quarantine_path)
+        bad = spark.read.text(quarantine_path)
     return good, bad
 
 
@@ -197,15 +225,8 @@ def read_json_with_quarantine(
     With ``quarantine_path`` the raw lines are written there (text,
     byte-for-byte) and the returned bad side re-reads that sink, so
     downstream replay consumes the durable copy."""
-    from pyspark.sql.types import StringType
-
-    qschema = StructType(schema.fields[:]).add("_corrupt_record", StringType())
-    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
-    parsed = F.from_json(
-        "value", qschema,
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record",
-         **options})
-    return _quarantine_split(raw, parsed, quarantine_path)
+    return _quarantine_read(spark, path, schema, "json", quarantine_path,
+                            options)
 
 
 def read_csv_with_quarantine(
@@ -219,14 +240,5 @@ def read_csv_with_quarantine(
     line (the splittable-at-scale layout; embedded newlines need the
     non-splittable multiLine reader instead). Same STRICT contract as the
     JSON form: wrong arity or a wrong-typed field quarantines the line."""
-    from pyspark.sql.types import StringType
-
-    qschema = StructType(schema.fields[:]).add("_corrupt_record", StringType())
-    ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in qschema.fields)
-    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
-    parsed = F.from_csv(
-        "value", F.lit(ddl),
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record",
-         **options})
-    return _quarantine_split(raw, parsed, quarantine_path)
+    return _quarantine_read(spark, path, schema, "csv", quarantine_path,
+                            options)

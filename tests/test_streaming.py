@@ -2729,3 +2729,62 @@ def test_s53_streaming_pq_serving_from_persisted_index(spark, tmp_path):
         spark, idx, spark.read.parquet(qsrc), k=3, n_probe=2,
         rerank=40, vectors=e)
     assert _rows(live) == _rows(want) and live.count() > 0
+
+
+# S54 streaming quarantine ingest: a stream of raw JSON lines is split per
+# micro-batch into good rows and quarantined raw lines (two sinks). The
+# split is a pure projection (quarantine_split_lines), so the union of
+# micro-batch outputs equals the one-shot batch split exactly — and the
+# quarantine sink keeps raw bytes for replay, the crash-safe ingest shape:
+# a retried batch rewrites the same lines, never loses them.
+def test_s54_streaming_quarantine_ingest(spark, tmp_path):
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from inspectadb_spark.sources.files import (
+        quarantine_split_lines, read_json_with_quarantine,
+    )
+
+    schema = StructType([StructField("id", IntegerType()),
+                         StructField("name", StringType())])
+    src = str(tmp_path / "lines")
+    os.makedirs(src)
+    now = time.time()
+    all_lines = []
+    for i in range(3):
+        chunk = [f'{{"id": {i * 10 + j}, "name": "r{i * 10 + j}"}}'
+                 for j in range(8)]
+        chunk.insert(3, f"GARBAGE chunk {i}")
+        chunk.insert(6, f'{{"id": "bad-{i}", "name": "typed"}}')
+        all_lines += chunk
+        p = f"{src}/chunk{i:02d}.txt"
+        with open(p, "w") as f:
+            f.write("\n".join(chunk) + "\n")
+        os.utime(p, (now + i, now + i))
+
+    good_out = str(tmp_path / "good")
+    quar_out = str(tmp_path / "quarantine")
+
+    def split(batch, _bid):
+        g, b = quarantine_split_lines(batch, schema, "json")
+        g.write.mode("append").parquet(good_out)
+        b.write.mode("append").text(quar_out)
+
+    q = (spark.readStream.schema("value string")
+         .option("maxFilesPerTrigger", 1).text(src)
+         .writeStream.foreachBatch(split)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+
+    live_good = spark.read.parquet(good_out)
+    live_bad = spark.read.text(quar_out)
+    # batch ≡ stream: the one-shot batch reader over the same files
+    want_good, want_bad = read_json_with_quarantine(spark, src, schema)
+    assert _rows(live_good) == _rows(want_good)
+    assert _rows(live_bad) == _rows(want_bad)
+    # total-preserving across the whole stream
+    assert live_good.count() + live_bad.count() == len(all_lines)
+    assert live_bad.count() == 6
