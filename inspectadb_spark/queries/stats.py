@@ -949,7 +949,10 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(cents) AS BIGINT) AS tot
       FROM rk GROUP BY nk, n)
     SELECT na.n_name, CAST(n AS BIGINT) AS n_firms,
-           CAST(num * 1000000 // (n * tot) AS BIGINT) AS gini_ppm
+           -- HUGEINT intermediate: num*1e6 exceeds int64 once a nation's
+           -- rank-weighted cents sum passes ~9e12 (seen at sf0.1)
+           CAST((CAST(num AS HUGEINT) * 1000000) // (CAST(n AS HUGEINT) * tot)
+                AS BIGINT) AS gini_ppm
     FROM g JOIN nation na ON g.nk = na.n_nationkey
     ORDER BY na.n_name
     """,
@@ -981,7 +984,10 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.join(F.broadcast(t["nation"]), g["nk"] == t["nation"]["n_nationkey"])
         .select(
             "n_name", F.col("n").cast("bigint").alias("n_firms"),
-            F.expr("num * 1000000 DIV (n * tot)").alias("gini_ppm"),
+            # decimal(38) intermediate for the same reason as the oracle's
+            # HUGEINT: the ppm numerator overflows int64 at ~10x test SF
+            F.expr("CAST(num AS DECIMAL(38,0)) * 1000000"
+                   " DIV (CAST(n AS DECIMAL(38,0)) * tot)").alias("gini_ppm"),
         )
         .orderBy("n_name")
     )
