@@ -3103,3 +3103,84 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " / nb) / 100")).alias("win_diff_dollars"),
         r4c(F.expr("(CAST(sta AS DOUBLE) / ka - CAST(stb AS DOUBLE)"
                    " / kb) / 100")).alias("trim_diff_dollars"))
+
+
+# --------------------------------------------------------------------------
+# Q342 RBF-kernel embedding drift via LINEAR-TIME MMD (Gretton et al.
+# 2012 MMD_l) between the even-id and odd-id halves of the embeddings
+# table, sigma² = dim = 64. The general member of the drift family: q173's
+# PSI bins scalars, q316's linear-kernel MMD² sees only MEAN shift —
+# RBF MMD also detects variance/shape/multimodal changes, and the block
+# estimator keeps it linear: blocks of four consecutive ids form the
+# disjoint groups, so the pairing is id arithmetic, not a global
+# row_number, the plan is window-free, and the one shuffle is the block
+# group-by. Two arms: 'observed' (the halves are i.i.d. draws — the
+# calibrated null, |z| < 2) and 'shifted' (+0.5 planted on dimension 1 of
+# the Y half — z ~ 9-11, detection value-exercised against the stationary
+# fixture). Each block's h quantized DECIMAL(18,6) before the sum; Σh²
+# rides the 12-dp DECIMAL(38,12) kind; the CLT z-score makes the readout
+# its own significance test.
+@query(
+    "q342_rbf_mmd_drift",
+    oracle="""
+    WITH arms AS (SELECT UNNEST(['observed', 'shifted']) AS scenario),
+    v AS (
+      SELECT a.scenario, vec_id // 4 AS t, CAST(vec_id % 4 AS INT) AS role,
+             embedding
+      FROM embeddings CROSS JOIN arms a),
+    e AS (
+      SELECT scenario, t, role, pos,
+             CASE WHEN scenario = 'shifted' AND role % 2 = 1 AND pos = 2
+                  THEN x + 0.5 ELSE x END AS x
+      FROM (SELECT scenario, t, role,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS x FROM v)),
+    d AS (
+      SELECT a.scenario AS scenario, a.t AS t, a.role AS ra, b.role AS rb,
+             SUM((a.x - b.x) * (a.x - b.x)) AS d2
+      FROM e a JOIN e b
+        ON a.scenario = b.scenario AND a.t = b.t AND a.pos = b.pos
+      WHERE (a.role, b.role) IN ((0, 2), (1, 3), (0, 3), (2, 1))
+      GROUP BY a.scenario, a.t, a.role, b.role),
+    h AS (
+      SELECT scenario, t, CAST(
+          MAX(CASE WHEN ra = 0 AND rb = 2 THEN exp(-d2 / 128.0) END)
+        + MAX(CASE WHEN ra = 1 AND rb = 3 THEN exp(-d2 / 128.0) END)
+        - MAX(CASE WHEN ra = 0 AND rb = 3 THEN exp(-d2 / 128.0) END)
+        - MAX(CASE WHEN ra = 2 AND rb = 1 THEN exp(-d2 / 128.0) END)
+        AS DECIMAL(18,6)) AS hq
+      FROM d GROUP BY scenario, t HAVING COUNT(*) = 4),
+    agg AS (
+      SELECT scenario, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             SUM(hq) AS sh,
+             SUM(CAST(hq * hq AS DECIMAL(38,12))) AS sh2
+      FROM h GROUP BY scenario)
+    SELECT scenario, n_blocks,
+           CAST(ROUND(CAST(CAST(sh AS DOUBLE) / n_blocks
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS mmd_l,
+           CAST(ROUND(CAST(sqrt((CAST(sh2 AS DOUBLE)
+                - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE) / n_blocks)
+                / (n_blocks - 1)) AS DECIMAL(18,6)), 4) AS DOUBLE) AS h_sd,
+           CAST(ROUND(CAST((CAST(sh AS DOUBLE) / n_blocks)
+                / sqrt(((CAST(sh2 AS DOUBLE)
+                         - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)
+                           / n_blocks) / (n_blocks - 1)) / n_blocks)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS z
+    FROM agg ORDER BY scenario
+    """,
+    doc="Linear-time MMD between even/odd embedding halves (RBF kernel, "
+        "sigma²=64) with CLT z-score; null and planted-shift arms.",
+)
+def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.drift import mmd_linear
+
+    e = tables(spark, sf_dir)["embeddings"]
+    obs = mmd_linear(e, sigma2=64.0)
+    shf = mmd_linear(
+        e, sigma2=64.0,
+        y_shift=lambda v: F.transform(
+            v, lambda x, i: x + F.when(i == F.lit(1), F.lit(0.5))
+                                 .otherwise(F.lit(0.0))))
+    return (obs.select(F.lit("observed").alias("scenario"), "*")
+            .unionAll(shf.select(F.lit("shifted").alias("scenario"), "*"))
+            .orderBy("scenario"))

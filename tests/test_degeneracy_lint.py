@@ -212,6 +212,9 @@ _JUSTIFIED: dict[tuple[str, str], tuple[float, str]] = {
         "sentence-final punctuation inside); words/syllables vary"),
     ("q305_isotropy", "n"): (500.0, _fixsize("500 vectors")),
     ("q305_isotropy", "n_dims"): (64.0, _fixsize("64 dims")),
+    ("q342_rbf_mmd_drift", "n_blocks"): (125.0,
+        _fixsize("500 vectors / 4-row MMD_l blocks; the statistics "
+                 "(mmd_l, h_sd, z) vary across SFs and arms")),
     ("q309_vocab_jaccard", "overlap_coef_ppm"): (1000000.0,
         "closed 31-word vocabulary: every source observes the full vocab, "
         "so pairwise containment saturates at 1.0; jaccard_ppm varies "
