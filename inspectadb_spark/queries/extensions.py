@@ -1975,3 +1975,61 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_quarantined"),
         F.sum(F.length("value")).cast("bigint").alias("quarantined_bytes"))
     return g.crossJoin(b)
+
+
+# --------------------------------------------------------------------------
+# Q343 k-anonymity / l-diversity release audit (Sweeney 2002;
+# Machanavajjhala 2007): quasi-identifiers (c_nationkey, acctbal band of
+# 2000), sensitive attribute c_mktsegment. One row per k threshold with
+# the re-identification risk mass below k (groups, rows, exact integer
+# ppm) and the monoculture counters no k can fix (groups/rows whose
+# sensitive set is a single value). The structural/linkage face of
+# privacy beside the content-level PII regex screens (text.redact /
+# blocklist); all integer-exact, one map-side-combinable QI group-by, the
+# threshold sweep explodes the model-sized group table. The per-group
+# sufficient statistics are a COUNT and a bounded distinct SET — the
+# `count`/`set` IncrementalAggregate kinds — so S55 maintains the same
+# group table live and reads out through the SAME k_anonymity_readout.
+# The fixture tells the true scale story: ~43% of rows sit in sub-2
+# groups at sf0.001, 0.13% at sf0.01, zero risk at sf0.1 — growing
+# corpora anonymize; the lint-checked statistics vary at both SFs.
+@query(
+    "q343_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey AS nation,
+             CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_band,
+             COUNT(*) AS n,
+             COUNT(DISTINCT c_mktsegment) AS l
+      FROM customer GROUP BY 1, 2),
+    x AS (SELECT g.*, UNNEST([2, 5, 10, 20]) AS k FROM g)
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_lt_k,
+           CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+             AS rows_lt_k,
+           CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS rows_lt_k_ppm,
+           CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_l_lt_2,
+           CAST(SUM(CASE WHEN l < 2 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_l_lt_2
+    FROM x GROUP BY k ORDER BY k
+    """,
+    doc="k-anonymity / l-diversity audit over (nation, balance-band) "
+        "quasi-identifier groups with c_mktsegment sensitive: risk mass "
+        "below each k threshold plus monoculture counters, integer-exact.",
+)
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.privacy import (
+        k_anonymity_readout, qi_group_stats,
+    )
+
+    c = tables(spark, sf_dir)["customer"]
+    groups = qi_group_stats(
+        c.select(F.col("c_nationkey").alias("nation"),
+                 F.expr("CAST(FLOOR(c_acctbal / 2000) AS INT)")
+                 .alias("bal_band"), "c_mktsegment"),
+        ["nation", "bal_band"], "c_mktsegment")
+    return k_anonymity_readout(groups)

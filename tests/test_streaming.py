@@ -2788,3 +2788,54 @@ def test_s54_streaming_quarantine_ingest(spark, tmp_path):
     # total-preserving across the whole stream
     assert live_good.count() + live_bad.count() == len(all_lines)
     assert live_bad.count() == 6
+
+
+# --------------------------------------------------------------------------
+# S55 live k-anonymity / l-diversity monitor (the privacy face of the
+# guardrail family: S45 experiment health, S46 calibration, S47 drift,
+# S48 ranking eval, S49 training mixture — S55 watches RELEASE hygiene as
+# rows accumulate): a (nation, bal_band) quasi-identifier-grain
+# IncrementalAggregate maintains the exact group size (`count` kind) and
+# the sorted distinct sensitive-value set (`set` kind — bounded, 5 market
+# segments) as customers stream in; the q343 audit read from the LIVE
+# STATE — through the very same k_anonymity_readout closed form the batch
+# query uses — equals the batch report byte-for-byte after the drain.
+# State is one row per occupied QI cell (|nations| x |balance bands|,
+# independent of corpus size); per batch the merge is O(state + batch
+# cells).
+def test_s55_live_k_anonymity_monitor(spark, tmp_path):
+    from inspectadb_spark.operators.privacy import k_anonymity_readout
+    from inspectadb_spark.queries.registry import REGISTRY
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    src = str(tmp_path / "cust_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/customer.parquet")
+    step = (t.num_rows + 3) // 4
+    now = time.time()
+    for i in range(4):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"nation": "c_nationkey",
+                   "bal_band": "CAST(FLOOR(c_acctbal / 2000) AS INT)"},
+        measures=[("n", "count", "*"), ("svals", "set", "c_mktsegment")],
+    )
+    q = inc.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = inc.table()
+    n_cells = (spark.read.parquet(src)
+               .selectExpr("c_nationkey",
+                           "CAST(FLOOR(c_acctbal / 2000) AS INT) AS b")
+               .distinct().count())
+    assert state.count() == n_cells  # bounded: the occupied QI cells
+
+    live = k_anonymity_readout(state)
+    want = REGISTRY["q343_k_anonymity"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
