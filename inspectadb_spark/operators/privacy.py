@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_readout", "qi_group_stats"]
+__all__ = ["anonymize_sweep", "k_anonymity_readout", "k_anonymize",
+           "qi_group_stats"]
 
 
 def qi_group_stats(df: DataFrame, qi_cols: list[Column | str],
@@ -81,3 +82,93 @@ def k_anonymity_readout(groups: DataFrame,
         )
         .orderBy("k")
     )
+
+
+def anonymize_sweep(df: DataFrame, group_cols: list[str], value_col: str,
+                    k: int = 5, base_width: float = 2000.0,
+                    multipliers: tuple[int, ...] = (1, 2, 4, 8),
+                    budget_ppm: int = 50000) -> DataFrame:
+    """Global-recoding operating curve for k-anonymization: for each
+    generalization width ``base_width * m`` report the exact sub-k risk
+    mass, and flag the CHOSEN width — the smallest whose residual risk is
+    within ``budget_ppm``, else the widest (the residue is then
+    suppressed; see ``k_anonymize``). The enforce-side companion of the
+    ``k_anonymity_readout`` audit: the audit says how exposed a release
+    is, the sweep says what generalizing costs and where the ladder stops
+    paying.
+
+    Scale shape: the corpus is scanned ONCE into the base-width group
+    table; every coarser width is re-aggregated from that model-sized
+    table — valid because floor(v / (w·m)) = floor(floor(v / w) / m)
+    (the floor-nesting law, unit-pinned), so widening bands only ever
+    merges whole base cells. The selection is a one-row aggregate
+    broadcast back onto the sweep.
+    """
+    b0 = F.floor(F.col(value_col) / F.lit(float(base_width))).cast("int")
+    g0 = (df.select(*group_cols, b0.alias("b0"))
+          .groupBy(*group_cols, "b0").agg(F.count(F.lit(1)).alias("n")))
+    x = g0.withColumn(
+        "m", F.explode(F.array(*[F.lit(int(m)) for m in multipliers])))
+    g = (x.select("m", *group_cols,
+                  F.floor(F.col("b0") / F.col("m").cast("double"))
+                  .cast("int").alias("band"), "n")
+         .groupBy("m", *group_cols, "band").agg(F.sum("n").alias("n")))
+    s = (g.groupBy("m")
+         .agg(
+             F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+             F.sum(F.when(F.col("n") < k, 1).otherwise(0))
+             .cast("bigint").alias("groups_lt_k"),
+             F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+             .cast("bigint").alias("rows_lt_k"),
+             F.expr(f"SUM(CASE WHEN n < {int(k)} THEN n ELSE 0 END)"
+                    " * 1000000 DIV SUM(n)")
+             .cast("bigint").alias("rows_lt_k_ppm"))
+         .select((F.col("m") * F.lit(int(base_width))).cast("int")
+                 .alias("width"),
+                 "n_groups", "groups_lt_k", "rows_lt_k", "rows_lt_k_ppm"))
+    sel = s.agg(F.coalesce(
+        F.min(F.when(F.col("rows_lt_k_ppm") <= budget_ppm, F.col("width"))),
+        F.max("width")).alias("cw"))
+    return (s.join(F.broadcast(sel))
+            .select("width", "n_groups", "groups_lt_k", "rows_lt_k",
+                    "rows_lt_k_ppm",
+                    (F.col("width") == F.col("cw")).cast("int")
+                    .alias("is_chosen"))
+            .orderBy("width"))
+
+
+def k_anonymize(df: DataFrame, group_cols: list[str], value_col: str,
+                k: int = 5, base_width: float = 2000.0,
+                multipliers: tuple[int, ...] = (1, 2, 4, 8),
+                budget_ppm: int = 50000) -> tuple[DataFrame, DataFrame]:
+    """Enforce k-anonymity by global recoding + suppression: generalize
+    ``value_col`` to the band width chosen by ``anonymize_sweep`` (the
+    smallest within the residual-risk budget, else the widest), then
+    SUPPRESS the rows still in sub-k groups. Returns ``(kept,
+    suppressed)`` — a total, deterministic split; every group of ``kept``
+    has at least k rows (the post-condition the unit tests pin), and
+    ``kept`` carries the generalized interval (band_lo, band_hi) instead
+    of the raw value, which is dropped.
+
+    Like the quarantine-ingest split, both halves are first-class
+    outputs: suppressed rows are retained (with full columns) for review,
+    not silently deleted.
+    """
+    sweep = anonymize_sweep(df, group_cols, value_col, k=k,
+                            base_width=base_width,
+                            multipliers=multipliers, budget_ppm=budget_ppm)
+    cw = sweep.filter("is_chosen = 1").select(
+        F.col("width").cast("double").alias("cw"))
+    banded = (df.join(F.broadcast(cw))
+              .withColumn("band",
+                          F.floor(F.col(value_col) / F.col("cw"))
+                          .cast("int")))
+    sizes = banded.groupBy(*group_cols, "band").agg(
+        F.count(F.lit(1)).alias("_gn"))
+    tagged = banded.join(sizes, [*group_cols, "band"])
+    kept = (tagged.filter(F.col("_gn") >= k)
+            .withColumn("band_lo", F.col("band") * F.col("cw"))
+            .withColumn("band_hi", (F.col("band") + 1) * F.col("cw"))
+            .drop("_gn", "band", "cw", value_col))
+    suppressed = tagged.filter(F.col("_gn") < k).drop("_gn", "band", "cw")
+    return kept, suppressed

@@ -2033,3 +2033,59 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("bal_band"), "c_mktsegment"),
         ["nation", "bal_band"], "c_mktsegment")
     return k_anonymity_readout(groups)
+
+
+# --------------------------------------------------------------------------
+# Q344 k-anonymization operating curve (the ENFORCE companion of q343's
+# audit): global recoding of the balance quasi-identifier over a
+# generalization ladder (band widths 2000/4000/8000/16000), exact sub-k
+# (k=5) risk mass per width, and the chosen width — smallest with residual
+# risk <= 5% ppm budget, else the widest, whose residue k_anonymize then
+# suppresses. The corpus is scanned once at base width; coarser widths
+# re-aggregate the model-sized group table via the floor-nesting law
+# floor(v/(w·m)) = floor(floor(v/w)/m), which the DuckDB oracle
+# deliberately does NOT use (it re-bins from raw values per width), so
+# the law itself is cross-checked end-to-end. Fixture story: sf0.001
+# never meets the budget (chooses 16000, 26% suppressed — small corpora
+# anonymize expensively); sf0.01 settles at 4000 with 1.8% residue.
+@query(
+    "q344_k_anonymize_sweep",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey AS nation, c_acctbal AS v FROM customer),
+    w AS (SELECT UNNEST([1, 2, 4, 8]) AS m),
+    g AS (
+      SELECT m, nation,
+             CAST(FLOOR(v / (2000.0 * m)) AS INT) AS band,
+             COUNT(*) AS n
+      FROM base CROSS JOIN w GROUP BY m, nation, band),
+    s AS (
+      SELECT CAST(m * 2000 AS INT) AS width,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_lt_k,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_lt_k,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+                  // SUM(n) AS BIGINT) AS rows_lt_k_ppm
+      FROM g GROUP BY m),
+    sel AS (
+      SELECT COALESCE(MIN(CASE WHEN rows_lt_k_ppm <= 50000
+                                THEN width END), MAX(width)) AS cw
+      FROM s)
+    SELECT width, n_groups, groups_lt_k, rows_lt_k, rows_lt_k_ppm,
+           CAST(CASE WHEN width = cw THEN 1 ELSE 0 END AS INT) AS is_chosen
+    FROM s CROSS JOIN sel ORDER BY width
+    """,
+    doc="k-anonymization generalization ladder over (nation, balance "
+        "band): per-width exact sub-5 risk mass and the chosen width "
+        "(smallest within a 5% residual budget, else widest).",
+)
+def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.privacy import anonymize_sweep
+
+    c = tables(spark, sf_dir)["customer"]
+    return anonymize_sweep(
+        c.select(F.col("c_nationkey").alias("nation"), "c_acctbal"),
+        ["nation"], "c_acctbal", k=5, base_width=2000.0,
+        multipliers=(1, 2, 4, 8), budget_ppm=50000)

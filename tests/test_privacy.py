@@ -93,3 +93,94 @@ def test_q343_conservation_identities(spark, sf):
         assert b.n_groups == a.n_groups
         assert (b.groups_l_lt_2, b.rows_l_lt_2) == (a.groups_l_lt_2,
                                                     a.rows_l_lt_2)
+
+
+# -- enforcement: generalize + suppress ------------------------------------------
+
+def _cust(spark):
+    import pyspark.sql.functions as F
+    return (spark.read.parquet(f"{SF_DIR}/customer.parquet")
+            .select(F.col("c_nationkey").alias("nation"), "c_acctbal",
+                    "c_custkey"))
+
+
+def test_floor_nesting_law_re_aggregation_equals_direct_binning(spark):
+    # the sweep derives coarser widths from the base-width group table;
+    # the law floor(v/(w*m)) == floor(floor(v/w)/m) makes that exact.
+    # Compare against direct re-binning from raw values at every width.
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.privacy import anonymize_sweep
+
+    c = _cust(spark)
+    got = {r.width: (r.n_groups, r.rows_lt_k)
+           for r in anonymize_sweep(c, ["nation"], "c_acctbal").collect()}
+    for m in (1, 2, 4, 8):
+        direct = (c.select("nation",
+                           F.floor(F.col("c_acctbal") / (2000.0 * m))
+                           .cast("int").alias("band"))
+                  .groupBy("nation", "band").count())
+        n_groups = direct.count()
+        rows_lt_k = (direct.filter("count < 5")
+                     .agg(F.coalesce(F.sum("count"), F.lit(0))).first()[0])
+        assert got[2000 * m] == (n_groups, rows_lt_k)
+
+
+def test_k_anonymize_postconditions(spark):
+    from pyspark.sql import functions as F
+
+    from inspectadb_spark.operators.privacy import anonymize_sweep, k_anonymize
+
+    c = _cust(spark)
+    kept, sup = k_anonymize(c, ["nation"], "c_acctbal", k=5)
+    n_kept, n_sup = kept.count(), sup.count()
+    # total-preserving split
+    assert n_kept + n_sup == c.count()
+    # every surviving (nation, interval) group has >= k rows
+    sizes = kept.groupBy("nation", "band_lo").count()
+    assert sizes.filter("count < 5").count() == 0
+    # the raw value is gone from the kept half, interval bounds are sane
+    assert "c_acctbal" not in kept.columns
+    assert kept.filter("band_hi <= band_lo").count() == 0
+    # suppressed mass equals the chosen sweep row's residue
+    chosen = (anonymize_sweep(c, ["nation"], "c_acctbal", k=5)
+              .filter("is_chosen = 1").first())
+    assert n_sup == chosen.rows_lt_k
+    # suppressed rows keep full columns for review
+    assert "c_acctbal" in sup.columns
+
+
+def test_sweep_chooses_smallest_width_within_budget(spark):
+    from inspectadb_spark.operators.privacy import anonymize_sweep
+
+    # generous budget: the first width already qualifies
+    c = _cust(spark)
+    rows = anonymize_sweep(c, ["nation"], "c_acctbal", k=5,
+                           budget_ppm=1000000).collect()
+    assert [r.is_chosen for r in rows] == [1, 0, 0, 0]
+    # impossible budget: falls back to the widest rung
+    rows = anonymize_sweep(c, ["nation"], "c_acctbal", k=5,
+                           budget_ppm=0).collect()
+    chosen = [r for r in rows if r.is_chosen == 1]
+    if rows[-1].rows_lt_k_ppm > 0:
+        assert chosen == [rows[-1]]
+    else:  # a width with zero residue satisfies even budget 0
+        assert chosen[0].rows_lt_k_ppm == 0
+
+
+def test_k_anonymize_planted_exact_split(spark):
+    from inspectadb_spark.operators.privacy import k_anonymize
+
+    # one nation: 6 rows near 100 and 2 rows near 6100. Widths 2000 and
+    # 4000 leave the small cluster in its own sub-5 band (residue 2 rows,
+    # above budget 0); width 8000 merges both clusters into band 0 (size
+    # 8 >= 5, zero residue) and is the smallest width meeting the budget —
+    # so generalization alone succeeds and nothing is suppressed.
+    rows = ([(1, 100.0 + i) for i in range(6)]
+            + [(1, 6100.0), (1, 6200.0)])
+    df = spark.createDataFrame(rows, "nation int, c_acctbal double")
+    kept, sup = k_anonymize(df, ["nation"], "c_acctbal", k=5,
+                            budget_ppm=0)
+    assert sup.count() == 0
+    assert kept.count() == 8
+    assert kept.select("band_lo").distinct().collect()[0][0] == 0.0
