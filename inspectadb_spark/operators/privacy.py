@@ -30,8 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["anonymize_sweep", "k_anonymity_readout", "k_anonymize",
-           "qi_group_stats"]
+__all__ = ["anonymize_sweep", "anonymize_sweep_from_groups",
+           "k_anonymity_readout", "k_anonymize", "qi_group_stats"]
 
 
 def qi_group_stats(df: DataFrame, qi_cols: list[Column | str],
@@ -107,6 +107,24 @@ def anonymize_sweep(df: DataFrame, group_cols: list[str], value_col: str,
     b0 = F.floor(F.col(value_col) / F.lit(float(base_width))).cast("int")
     g0 = (df.select(*group_cols, b0.alias("b0"))
           .groupBy(*group_cols, "b0").agg(F.count(F.lit(1)).alias("n")))
+    return anonymize_sweep_from_groups(g0, group_cols, k=k,
+                                       base_width=base_width,
+                                       multipliers=multipliers,
+                                       budget_ppm=budget_ppm)
+
+
+def anonymize_sweep_from_groups(groups: DataFrame, group_cols: list[str],
+                                k: int = 5, base_width: float = 2000.0,
+                                multipliers: tuple[int, ...] = (1, 2, 4, 8),
+                                budget_ppm: int = 50000) -> DataFrame:
+    """The sweep closed form over a base-width (QI, b0)-grain count table
+    ``groups`` (columns: *group_cols, b0, n) — shared VERBATIM by the
+    q344 batch query and the S56 live generalization watch, whose
+    IncrementalAggregate state has exactly this shape (`count` kind keyed
+    by the QI cell). Everything below the base group-by is model-sized,
+    so the live readout costs the same regardless of stream history."""
+    g0 = groups.select(*group_cols, F.col("b0").cast("int").alias("b0"),
+                       F.col("n").cast("bigint").alias("n"))
     x = g0.withColumn(
         "m", F.explode(F.array(*[F.lit(int(m)) for m in multipliers])))
     g = (x.select("m", *group_cols,

@@ -2839,3 +2839,45 @@ def test_s55_live_k_anonymity_monitor(spark, tmp_path):
     live = k_anonymity_readout(state)
     want = REGISTRY["q343_k_anonymity"].builder(spark, SF_DIR)
     assert _rows(live) == _rows(want)
+
+
+# --------------------------------------------------------------------------
+# S56 live generalization-ladder watch (the enforce-side twin of S55: as
+# rows accumulate, the generalization width a release needs SHRINKS — the
+# watch answers "could we publish finer bands yet?" continuously): a
+# (nation, base-band) QI-cell-grain IncrementalAggregate maintains exact
+# counts; q344's whole operating curve — per-width risk mass and the
+# budgeted chosen width — read from the LIVE STATE through the very same
+# anonymize_sweep_from_groups closed form the batch query uses, equals
+# the batch sweep byte-for-byte after the drain. Everything below the
+# base group-by is model-sized, so the live readout costs the same at any
+# stream history length.
+def test_s56_live_generalization_ladder_watch(spark, tmp_path):
+    from inspectadb_spark.operators.privacy import anonymize_sweep_from_groups
+    from inspectadb_spark.queries.registry import REGISTRY
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    src = str(tmp_path / "cust_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/customer.parquet")
+    step = (t.num_rows + 3) // 4
+    now = time.time()
+    for i in range(4):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"nation": "c_nationkey",
+                   "b0": "CAST(FLOOR(c_acctbal / 2000) AS INT)"},
+        measures=[("n", "count", "*")],
+    )
+    q = inc.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    live = anonymize_sweep_from_groups(inc.table(), ["nation"])
+    want = REGISTRY["q344_k_anonymize_sweep"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
