@@ -144,14 +144,21 @@ def anonymize_sweep_from_groups(groups: DataFrame, group_cols: list[str],
          .select((F.col("m") * F.lit(int(base_width))).cast("int")
                  .alias("width"),
                  "n_groups", "groups_lt_k", "rows_lt_k", "rows_lt_k_ppm"))
-    sel = s.agg(F.coalesce(
-        F.min(F.when(F.col("rows_lt_k_ppm") <= budget_ppm, F.col("width"))),
-        F.max("width")).alias("cw"))
-    return (s.join(F.broadcast(sel))
-            .select("width", "n_groups", "groups_lt_k", "rows_lt_k",
-                    "rows_lt_k_ppm",
-                    (F.col("width") == F.col("cw")).cast("int")
-                    .alias("is_chosen"))
+    # the selection rides an unpartitioned window over the LADDER table —
+    # |multipliers| rows by construction (the q246 bounded-post-rollup
+    # pattern, inventoried in tests/test_window_lint.py) — so the sweep
+    # consumes its input exactly once: one corpus scan for the whole
+    # ladder, plan-pinned in tests/test_privacy.py.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    cw = F.coalesce(
+        F.min(F.when(F.col("rows_lt_k_ppm") <= budget_ppm,
+                     F.col("width"))).over(w),
+        F.max("width").over(w))
+    return (s.select("width", "n_groups", "groups_lt_k", "rows_lt_k",
+                     "rows_lt_k_ppm",
+                     (F.col("width") == cw).cast("int").alias("is_chosen"))
             .orderBy("width"))
 
 

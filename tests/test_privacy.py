@@ -184,3 +184,20 @@ def test_k_anonymize_planted_exact_split(spark):
     assert sup.count() == 0
     assert kept.count() == 8
     assert kept.select("band_lo").distinct().collect()[0][0] == 0.0
+
+
+def test_sweep_plan_scans_the_corpus_exactly_once(spark):
+    # the whole ladder re-aggregates the base-width group table: a naive
+    # implementation scans the source once per width (4 scans here), and
+    # a two-pass selection (separate one-row aggregate joined back) scans
+    # twice. The floor-nesting form with the window-based selection must
+    # show exactly ONE file scan; its one unpartitioned window rides the
+    # |multipliers|-row ladder table (bounded by construction, inventoried
+    # in tests/test_window_lint.py), never the corpus.
+    from inspectadb_spark.operators.privacy import anonymize_sweep
+
+    c = _cust(spark)
+    plan = (anonymize_sweep(c, ["nation"], "c_acctbal")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Window") == 1, plan

@@ -55,6 +55,10 @@ _EXPECTED = {
     "q275_kruskal_wallis": [("Aggregate",)],        # avg_rank2 offsets
     "q288_wilcoxon_signed_rank": [("Aggregate",)],  # avg_rank2 offsets
     "q257_revenue_drawdown": [("Aggregate",)],      # bucket max carry scan
+    # chosen-width selection over the generalization LADDER table — one
+    # row per multiplier (4 by construction); single-corpus-scan shape
+    # pinned in tests/test_privacy.py
+    "q344_k_anonymize_sweep": [("Aggregate",)],
     # day/bin/decile-cardinality intermediates (bounded by the calendar
     # or an explicit bin count, not by row count)
     "q74_cumulative_users": [("Aggregate",)],       # one row per day
