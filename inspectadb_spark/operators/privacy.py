@@ -31,7 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["anonymize_sweep", "anonymize_sweep_from_groups",
-           "k_anonymity_readout", "k_anonymize", "qi_group_stats"]
+           "k_anonymity_readout", "k_anonymize", "qi_group_stats",
+           "sensitive_pair_counts", "t_closeness_readout"]
 
 
 def qi_group_stats(df: DataFrame, qi_cols: list[Column | str],
@@ -82,6 +83,87 @@ def k_anonymity_readout(groups: DataFrame,
         )
         .orderBy("k")
     )
+
+
+def sensitive_pair_counts(df: DataFrame, qi_cols: list[Column | str],
+                          sensitive_col: str) -> DataFrame:
+    """(QI, sensitive)-grain exact counts ``c`` — the sufficient statistic
+    for t-closeness (Li, Li & Venkatasubramanian 2007). This is exactly the
+    `count` IncrementalAggregate kind keyed by (QI, sensitive), so the live
+    monitor (S57) maintains the SAME pair table incrementally and reads out
+    through the SAME ``t_closeness_readout`` closed form."""
+    return df.groupBy(*qi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("c"))
+
+
+def t_closeness_readout(
+        pairs: DataFrame, qi_cols: list[str], sensitive_col: str,
+        thresholds_ppm: tuple[int, ...] = (100000, 200000, 300000, 500000),
+) -> DataFrame:
+    """t-closeness audit closed form over a (QI, sensitive)-grain count
+    table ``pairs`` (columns: *qi_cols, sensitive_col, c) — shared VERBATIM
+    by the q345 batch query and the S57 live monitor.
+
+    A QI group violates t-closeness when the total-variation distance
+    between its sensitive-attribute distribution p and the corpus-global
+    distribution q exceeds t: even a large, l-diverse group leaks
+    (skewness attack) if, say, 90% of it shares one sensitive value that
+    is 20% globally. TVD = (1/2)·Σ_s|p_s − q_s| is kept integer-exact by
+    scaling with 2·n·N:
+
+        2·n·N·TVD = Σ_{s in domain} |c_s·N − cs_s·n|
+                  = Σ_{s in group} (|c_s·N − cs_s·n| − cs_s·n) + n·N
+
+    where the second form folds every sensitive value ABSENT from the
+    group (|0 − cs·n| = cs·n) into the closed-form n·N correction — so the
+    plan joins only the observed pair table against the broadcast global
+    marginal, never QI-domain × sensitive-domain. ``tvd_ppm`` is then an
+    exact integer DIV. One output row per t threshold: groups/rows above
+    t (the skew-leakage mass, with exact ppm) plus the corpus-wide max
+    TVD (the smallest t the release could honestly claim).
+
+    100 TB story: one scan + one map-side-combinable (QI, s) group-by; the
+    global marginal is |sensitive domain|-sized (broadcast), the per-group
+    window shuffles on the QI key once, and the threshold sweep explodes
+    the model-sized group table. Counts are bigint; the cross products
+    c·N bound at ~10^18 here (counts ≤ ~10^9 a side) — past that, cast the
+    three factors to DECIMAL(38,0) before the products.
+    """
+    from pyspark.sql import Window
+
+    p = pairs.select(*qi_cols, F.col(sensitive_col).alias("_s"),
+                     F.col("c").cast("bigint").alias("c"))
+    marg = p.groupBy("_s").agg(F.sum("c").alias("cs"))
+    tot = p.agg(F.sum("c").alias("big_n"))
+    w = Window.partitionBy(*qi_cols)
+    j = (p.join(F.broadcast(marg), "_s")
+         .join(F.broadcast(tot))
+         .withColumn("n", F.sum("c").over(w)))
+    g = (j.groupBy(*qi_cols)
+         .agg(F.min("n").alias("n"), F.min("big_n").alias("big_n"),
+              F.sum(F.abs(F.col("c") * F.col("big_n")
+                          - F.col("cs") * F.col("n"))
+                    - F.col("cs") * F.col("n")).alias("dev"))
+         .withColumn("tvd_ppm",
+                     F.expr("(dev + n * big_n) * 1000000"
+                            " DIV (2 * n * big_n)").cast("bigint")))
+    x = g.withColumn(
+        "t_ppm", F.explode(F.array(*[F.lit(int(t)) for t in thresholds_ppm])))
+    over = F.col("tvd_ppm") > F.col("t_ppm")
+    return (
+        x.groupBy("t_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("bigint")
+            .alias("groups_gt_t"),
+            F.sum(F.when(over, F.col("n")).otherwise(0)).cast("bigint")
+            .alias("rows_gt_t"),
+            F.expr("SUM(CASE WHEN tvd_ppm > t_ppm THEN n ELSE 0 END)"
+                   " * 1000000 DIV SUM(n)").cast("bigint")
+            .alias("rows_gt_t_ppm"),
+            F.max("tvd_ppm").cast("bigint").alias("max_tvd_ppm"),
+        )
+        .orderBy("t_ppm"))
 
 
 def anonymize_sweep(df: DataFrame, group_cols: list[str], value_col: str,

@@ -2089,3 +2089,73 @@ def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(F.col("c_nationkey").alias("nation"), "c_acctbal"),
         ["nation"], "c_acctbal", k=5, base_width=2000.0,
         multipliers=(1, 2, 4, 8), budget_ppm=50000)
+
+
+# --------------------------------------------------------------------------
+# Q345 t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+# member of the release-hygiene triad: k-anonymity (q343) bounds LINKAGE,
+# l-diversity (q343) bounds monoculture, t-closeness bounds the SKEWNESS
+# attack l-diversity misses — a group can hold several sensitive values yet
+# still leak if its distribution sits far from the corpus-global one. Same
+# (nation, balance-band) quasi-identifiers and c_mktsegment sensitive as
+# q343, so the triad reads as one report. Per-group total-variation
+# distance is integer-exact via the 2·n·N scaling, with every sensitive
+# value ABSENT from a group folded into a closed-form n·N correction — the
+# plan joins the observed (QI, s) pair table against the broadcast global
+# marginal only, never QI-domain x sensitive-domain. The pair counts are
+# the `count` IncrementalAggregate kind keyed by (QI, s), so S57 maintains
+# the same table live and reads out through the SAME t_closeness_readout.
+# Fixture story: sf0.001 has 91% of rows above t=0.5 (tiny groups are far
+# from the global mix in TVD — small corpora cannot claim closeness);
+# sf0.01 drops to 1.9% — the same convergence-by-growth story as q343.
+@query(
+    "q345_t_closeness",
+    oracle="""
+    WITH pc AS (
+      SELECT c_nationkey AS nation,
+             CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_band,
+             c_mktsegment AS s, COUNT(*) AS c
+      FROM customer GROUP BY 1, 2, 3),
+    tot AS (SELECT SUM(c) AS big_n FROM pc),
+    sm AS (SELECT s, SUM(c) AS cs FROM pc GROUP BY 1),
+    gn AS (SELECT nation, bal_band, SUM(c) AS n FROM pc GROUP BY 1, 2),
+    d AS (
+      SELECT pc.nation, pc.bal_band, MIN(gn.n) AS n,
+             CAST((SUM(ABS(pc.c * tot.big_n - sm.cs * gn.n) - sm.cs * gn.n)
+                   + MIN(gn.n) * MIN(tot.big_n)) * 1000000
+                  // (2 * MIN(gn.n) * MIN(tot.big_n)) AS BIGINT) AS tvd_ppm
+      FROM pc JOIN sm USING (s)
+              JOIN gn USING (nation, bal_band)
+              CROSS JOIN tot
+      GROUP BY pc.nation, pc.bal_band),
+    x AS (SELECT d.*, UNNEST([100000, 200000, 300000, 500000]) AS t_ppm
+          FROM d)
+    SELECT t_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN tvd_ppm > t_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_gt_t,
+           CAST(SUM(CASE WHEN tvd_ppm > t_ppm THEN n ELSE 0 END) AS BIGINT)
+             AS rows_gt_t,
+           CAST(SUM(CASE WHEN tvd_ppm > t_ppm THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS rows_gt_t_ppm,
+           CAST(MAX(tvd_ppm) AS BIGINT) AS max_tvd_ppm
+    FROM x GROUP BY t_ppm ORDER BY t_ppm
+    """,
+    doc="t-closeness audit over (nation, balance-band) QI groups with "
+        "c_mktsegment sensitive: per-threshold groups/rows whose "
+        "sensitive distribution sits further than t (total-variation, "
+        "exact integer ppm) from the corpus-global one.",
+)
+def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.privacy import (
+        sensitive_pair_counts, t_closeness_readout,
+    )
+
+    c = tables(spark, sf_dir)["customer"]
+    pairs = sensitive_pair_counts(
+        c.select(F.col("c_nationkey").alias("nation"),
+                 F.expr("CAST(FLOOR(c_acctbal / 2000) AS INT)")
+                 .alias("bal_band"), "c_mktsegment"),
+        ["nation", "bal_band"], "c_mktsegment")
+    return t_closeness_readout(pairs, ["nation", "bal_band"],
+                               "c_mktsegment")

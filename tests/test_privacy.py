@@ -201,3 +201,105 @@ def test_sweep_plan_scans_the_corpus_exactly_once(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+# -- t-closeness (q345): TVD identities + pure-python exactness -------------
+
+def _pairs(spark, rows):
+    from inspectadb_spark.operators.privacy import sensitive_pair_counts
+    df = spark.createDataFrame(rows, "qi string, band int, s string")
+    return sensitive_pair_counts(df, ["qi", "band"], "s")
+
+
+def _tvd_ppm_expect(rows):
+    """Pure-python full-domain TVD per group, same integer contract."""
+    from collections import Counter
+
+    n = Counter((r[0], r[1]) for r in rows)
+    cs = Counter(r[2] for r in rows)
+    pair = Counter(((r[0], r[1]), r[2]) for r in rows)
+    big_n = len(rows)
+    out = {}
+    for g, ng in n.items():
+        # the DIRECT full-domain sum, absent values included — the
+        # operator's folded n*N correction must reproduce it exactly
+        num = sum(abs(pair.get((g, s), 0) * big_n - cs[s] * ng)
+                  for s in cs)
+        out[g] = num * 1000000 // (2 * ng * big_n)
+    return out
+
+
+def _readout(spark, rows, thresholds=(100000, 200000, 300000, 500000)):
+    from inspectadb_spark.operators.privacy import t_closeness_readout
+    return t_closeness_readout(_pairs(spark, rows), ["qi", "band"], "s",
+                               thresholds_ppm=thresholds).collect()
+
+
+def test_t_closeness_matches_pure_python_full_domain_tvd(spark):
+    # group 'a' misses sensitive value 'z' entirely — exercises the
+    # absent-value closed-form correction against the direct domain sum
+    rows = ([("a", 1, "x")] * 3 + [("a", 1, "y")]
+            + [("b", 1, "z")] * 4 + [("b", 1, "x")]
+            + [("c", 2, s) for s in "xyzxyz"])
+    tvd = _tvd_ppm_expect(rows)
+    got = {r.t_ppm: r for r in _readout(spark, rows)}
+    n = {("a", 1): 4, ("b", 1): 5, ("c", 2): 6}
+    for t in (100000, 200000, 300000, 500000):
+        over = [g for g, v in tvd.items() if v > t]
+        assert got[t].groups_gt_t == len(over)
+        assert got[t].rows_gt_t == sum(n[g] for g in over)
+        assert got[t].max_tvd_ppm == max(tvd.values())
+
+
+def test_group_matching_global_distribution_has_zero_tvd(spark):
+    # both groups are exactly the global 50/50 mix -> TVD 0 everywhere
+    rows = ([("a", 1, "x"), ("a", 1, "y")] * 2
+            + [("b", 1, "x"), ("b", 1, "y")] * 3)
+    for r in _readout(spark, rows):
+        assert r.groups_gt_t == 0 and r.rows_gt_t == 0
+        assert r.max_tvd_ppm == 0
+
+
+def test_monoculture_tvd_is_one_minus_global_share(spark):
+    # group 'm' is all-'x'; globally x is 6/10 -> TVD = 1 - 0.6 = 0.4
+    rows = ([("m", 1, "x")] * 4
+            + [("o", 1, "x")] * 2 + [("o", 1, "y")] * 4)
+    got = {r.t_ppm: r for r in _readout(spark, rows)}
+    assert got[300000].groups_gt_t >= 1      # m at 400000 ppm > 0.3
+    assert got[500000].max_tvd_ppm >= 400000
+    tvd = _tvd_ppm_expect(rows)
+    assert tvd[("m", 1)] == 400000
+
+
+def test_t_closeness_catches_skew_l_diversity_misses(spark):
+    # the headline attack: group 'sk' has l=2 (passes l-diversity) but is
+    # 90% 'x' where x is 50% globally -> TVD 0.4, flagged at t=0.3
+    from inspectadb_spark.operators.privacy import (
+        k_anonymity_readout, qi_group_stats,
+    )
+
+    rows = ([("sk", 1, "x")] * 9 + [("sk", 1, "y")]
+            + [("bg", 1, "x")] * 1 + [("bg", 1, "y")] * 9)
+    df = spark.createDataFrame(rows, "qi string, band int, s string")
+    kan = {r.k: r for r in k_anonymity_readout(
+        qi_group_stats(df, ["qi", "band"], "s")).collect()}
+    assert kan[5].groups_l_lt_2 == 0          # l-diversity sees nothing
+    got = {r.t_ppm: r for r in _readout(spark, rows)}
+    assert got[300000].groups_gt_t == 2       # t-closeness flags both
+    assert got[500000].groups_gt_t == 0
+
+
+def test_q345_identities_and_qi_grain_agrees_with_q343(spark):
+    from inspectadb_spark.queries import REGISTRY
+
+    rows = REGISTRY["q345_t_closeness"].builder(spark, SF_DIR).collect()
+    assert [r.t_ppm for r in rows] == [100000, 200000, 300000, 500000]
+    for a, b in zip(rows, rows[1:]):
+        # violation mass is anti-monotone in t; census is t-invariant
+        assert b.groups_gt_t <= a.groups_gt_t
+        assert b.rows_gt_t <= a.rows_gt_t
+        assert b.n_groups == a.n_groups
+        assert b.max_tvd_ppm == a.max_tvd_ppm
+    # same QI grain as the q343 audit: identical group census
+    k343 = REGISTRY["q343_k_anonymity"].builder(spark, SF_DIR).first()
+    assert rows[0].n_groups == k343.n_groups

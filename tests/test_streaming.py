@@ -2881,3 +2881,54 @@ def test_s56_live_generalization_ladder_watch(spark, tmp_path):
     live = anonymize_sweep_from_groups(inc.table(), ["nation"])
     want = REGISTRY["q344_k_anonymize_sweep"].builder(spark, SF_DIR)
     assert _rows(live) == _rows(want)
+
+
+# --------------------------------------------------------------------------
+# S57 live t-closeness monitor (the third privacy watch: S55 k-anonymity /
+# l-diversity, S56 generalization ladder, S57 distributional skew): a
+# (nation, bal_band, segment)-grain IncrementalAggregate maintains the
+# exact pair counts (`count` kind) as customers stream in; the q345 audit
+# read from the LIVE STATE — through the very same t_closeness_readout
+# closed form the batch query uses — equals the batch report byte-for-byte
+# after the drain. State is one row per occupied (QI, sensitive) cell
+# (bounded by |QI domain| x |sensitive domain|, independent of corpus
+# size); the global marginal and total the readout needs are re-derived
+# from that state, so no second state table is required.
+def test_s57_live_t_closeness_monitor(spark, tmp_path):
+    from inspectadb_spark.operators.privacy import t_closeness_readout
+    from inspectadb_spark.queries.registry import REGISTRY
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    src = str(tmp_path / "cust_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/customer.parquet")
+    step = (t.num_rows + 3) // 4
+    now = time.time()
+    for i in range(4):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"nation": "c_nationkey",
+                   "bal_band": "CAST(FLOOR(c_acctbal / 2000) AS INT)",
+                   "s": "c_mktsegment"},
+        measures=[("c", "count", "*")],
+    )
+    q = inc.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = inc.table()
+    n_cells = (spark.read.parquet(src)
+               .selectExpr("c_nationkey",
+                           "CAST(FLOOR(c_acctbal / 2000) AS INT) AS b",
+                           "c_mktsegment")
+               .distinct().count())
+    assert state.count() == n_cells  # bounded: occupied (QI, s) cells
+
+    live = t_closeness_readout(state, ["nation", "bal_band"], "s")
+    want = REGISTRY["q345_t_closeness"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
