@@ -692,3 +692,78 @@ def test_aqe_rebalance_splits_skewed_write(spark, tmp_path):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+# -- Dynamic partition pruning: dim filter prunes fact PARTITIONS at runtime --
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
+    """A star join keyed on the fact table's PARTITION column must push the
+    dim-side predicate into the fact scan as a runtime partition filter
+    (`dynamicpruning` subquery reusing the join's broadcast) — the
+    partition-level complement of the runtime Bloom pin above, and at
+    100 TB the single biggest scan-reduction lever a date-partitioned
+    fact layout buys: scanning the quarter the dim filter names instead
+    of the whole table. Proven twice: the plan string carries the
+    dynamicpruning partition filter, and the executed scan's own
+    numPartitions metric (post-pruning) counts exactly the months the dim
+    filter selects, not the months on disk."""
+    import os
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    fact_dir = str(tmp_path / "orders_by_month")
+    (o.withColumn("od_month", F.date_format("o_orderdate", "yyyy-MM"))
+     .write.partitionBy("od_month").mode("overwrite").parquet(fact_dir))
+    months_on_disk = [d.split("=", 1)[1] for d in os.listdir(fact_dir)
+                      if d.startswith("od_month=")]
+
+    # a proper dim TABLE (month -> quarter attributes); the query filters
+    # on the ATTRIBUTE, so the fact's partition values are only knowable
+    # at runtime through the join — static pruning cannot fire
+    dim = spark.createDataFrame(
+        [(m, m[:4], (int(m[5:]) - 1) // 3 + 1) for m in months_on_disk],
+        "od_month string, yr string, qtr int")
+    target = sorted(m for m in months_on_disk
+                    if m.startswith("1995") and int(m[5:]) <= 3)
+
+    # broadcast(dim) pins the build side: at test SF the fact is tiny
+    # enough that Spark would otherwise broadcast IT, which inverts the
+    # join and makes DPP moot; at 100 TB the fact side is never the small
+    # one, so the hint reproduces the production shape
+    fact = spark.read.parquet(fact_dir)
+    j = (fact.join(F.broadcast(dim), "od_month")
+         .filter("yr = '1995' AND qtr = 1")
+         .groupBy("od_month").agg(F.count(F.lit(1)).alias("n")))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+
+    rows = {r.od_month: r.n for r in j.collect()}
+    assert sorted(rows) == target
+    # ground truth from a static path filter, no join involved
+    for m in target:
+        assert rows[m] == spark.read.parquet(
+            f"{fact_dir}/od_month={m}").count()
+
+    def scan_metric(df, name):
+        def walk(n):
+            # AQE wraps the result, and materialized stages hide their
+            # subtree: descend through both, not children()
+            if "AdaptiveSparkPlan" in n.nodeName():
+                return walk(n.finalPhysicalPlan())
+            if "QueryStage" in n.nodeName():
+                return walk(n.plan())
+            if "Scan parquet" in n.nodeName():
+                m = n.metrics()
+                if m.contains(name):
+                    return m.apply(name).value()
+            cs = n.children()
+            for i in range(cs.length()):
+                got = walk(cs.apply(i))
+                if got is not None:
+                    return got
+            return None
+        return walk(df._jdf.queryExecution().executedPlan())
+
+    # executed fact scan read ONLY the dim-selected months: 3 of the
+    # months on disk (the scan also reports the static total it avoided)
+    assert scan_metric(j, "numPartitions") == len(target) < len(months_on_disk)
+    assert scan_metric(j, "staticFilesNum") == len(months_on_disk)
