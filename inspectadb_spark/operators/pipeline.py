@@ -666,3 +666,87 @@ def packing_efficiency(
         F.expr(f"tokens * 1000000 DIV (((tokens + {L - 1}) DIV {L}) * {L})")
         .alias("packed_util_ppm"),
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Hashed-unigram importance weights for domain-targeted data selection
+    (DSIR — Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every document in the pool by how much
+    more likely its tokens are under the TARGET domain's hashed-unigram
+    distribution than under the full pool's,
+
+        logw(doc) = Σ_tokens [ ln p_target(b(tok)) − ln p_raw(b(tok)) ]
+
+    with md5-derived feature buckets (the paper's hashed n-gram trick: a
+    fixed-size model regardless of vocabulary — Heaps' law never grows it)
+    and add-one smoothing so target-absent buckets stay finite. High-logw
+    documents "look like" the target domain; resampling/top-k by logw
+    shifts the training mixture toward it without a learned classifier.
+
+    Determinism: bucket assignment is a pure md5 of the token (engine/
+    run/partitioning invariant, the assign_shards convention); each
+    bucket's log-ratio takes ln of an exact-integer ratio
+    ((ct+1)·(N_raw+B)) / ((cr+1)·(N_target+B)) and is quantized
+    DECIMAL(18,6)→ROUND 4 BEFORE the per-doc sum — the q132 two-step — so
+    the aggregate is an exact decimal total on any aggregation order.
+
+    Scale shape (100 TB): one token explode feeding ONE map-side-combinable
+    group-by on the bucket key (target counts ride along as a conditional
+    sum — no second scan); the bucket table is B rows (model-sized,
+    broadcast both for the totals and the score join); one final per-doc
+    aggregation. Returns (id_col, n_tokens, logw R4-double).
+    """
+    hexmap = "0123456789abcdef"
+    h = f"md5(cast(concat(tok, ':{salt}') as binary))"
+    bk = F.expr(
+        f"CAST((16 * (instr('{hexmap}', substr({h}, 1, 1)) - 1)"
+        f" + instr('{hexmap}', substr({h}, 2, 1)) - 1)"
+        f" % {int(n_buckets)} AS INT)")
+    toks = docs.select(
+        F.col(id_col), target.cast("boolean").alias("_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    b = toks.select(id_col, "_t", bk.alias("bk"))
+    counts = b.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"))
+    tots = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    B = int(n_buckets)
+    lr = (counts.join(F.broadcast(tots))
+          .select("bk",
+                  F.round(
+                      F.log(((F.col("ct") + 1) * (F.col("nr") + B))
+                            .cast("double")
+                            / ((F.col("cr") + 1) * (F.col("nt") + B)))
+                      .cast("decimal(18,6)"), 4).alias("lr")))
+    return (b.join(F.broadcast(lr), "bk")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum("lr").cast("decimal(18,6)"), 4)
+                 .cast("double").alias("logw")))
+
+
+def dsir_select_topk(
+    docs: DataFrame,
+    target: F.Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Deterministic DSIR selection: the k pool documents with the highest
+    importance weight (ties broken by id — the paper's Gumbel-resampling
+    variant needs RNG; top-k is its deterministic, re-run-stable analog).
+    Global top-k is a TakeOrderedAndProject — no full sort materializes."""
+    w = dsir_importance_weights(docs, target, text_col=text_col,
+                                id_col=id_col, n_buckets=n_buckets,
+                                salt=salt)
+    return (w.orderBy(F.desc("logw"), F.col(id_col))
+            .limit(int(k)))

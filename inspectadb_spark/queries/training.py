@@ -3184,3 +3184,61 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (obs.select(F.lit("observed").alias("scenario"), "*")
             .unionAll(shf.select(F.lit("shifted").alias("scenario"), "*"))
             .orderBy("scenario"))
+
+
+# --------------------------------------------------------------------------
+# Q346 DSIR domain-targeted selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every pool document by
+# the log importance ratio of its tokens under the TARGET domain's
+# hashed-unigram distribution vs the full pool's, then keep the top-100.
+# The classifier-free way to shift a training mixture toward a domain: the
+# model is B=256 md5-hashed buckets (fixed size regardless of vocabulary)
+# with add-one smoothing; each bucket's log-ratio takes ln of an
+# exact-integer ratio and is DECIMAL-quantized before the per-doc sum (the
+# q132 two-step), so the whole selection is deterministic and
+# engine-invariant — top-k with id tie-break stands in for the paper's
+# Gumbel resampling. Fixture story: 'en' is ~39%/22% of the pool at
+# sf0.001/sf0.01 but 50%/58% of the selection — real enrichment, bounded
+# by the synthetic corpus's shared cross-language vocabulary.
+@query(
+    "q346_dsir_selection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, lang,
+             CAST((16 * (strpos('0123456789abcdef',
+                                substr(md5(tok || ':dsir'), 1, 1)) - 1)
+                   + strpos('0123456789abcdef',
+                            substr(md5(tok || ':dsir'), 2, 1)) - 1)
+                  % 256 AS INT) AS bk
+      FROM toks),
+    counts AS (
+      SELECT bk, COUNT(*) AS cr,
+             COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+      FROM b GROUP BY bk),
+    tots AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM counts),
+    lr AS (
+      SELECT bk,
+             ROUND(CAST(ln(((ct + 1) * (nr + 256)) * 1.0
+                           / ((cr + 1) * (nt + 256))) AS DECIMAL(18,6)), 4)
+               AS lr
+      FROM counts CROSS JOIN tots),
+    d AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(ROUND(CAST(SUM(lr) AS DECIMAL(18,6)), 4) AS DOUBLE)
+               AS logw
+      FROM b JOIN lr USING (bk) GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, logw
+    FROM d ORDER BY logw DESC, doc_id LIMIT 100
+    """,
+    doc="DSIR importance-resampling selection toward the 'en' domain: "
+        "hashed-unigram (B=256, md5) log importance weights with add-one "
+        "smoothing, decimal-quantized per bucket; deterministic top-100.",
+)
+def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.pipeline import dsir_select_topk
+
+    docs = tables(spark, sf_dir)["documents"]
+    return dsir_select_topk(docs, F.col("lang") == "en", 100)

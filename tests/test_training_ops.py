@@ -309,3 +309,95 @@ def test_group_kfold_entity_atomic_and_balanced(spark):
     # skew it at tiny SF; entity atomicity above is the operator contract)
     for r in out:
         assert r["n_users"] <= 0.6 * n_users, r
+
+
+# -- DSIR importance-resampling selection (q346) -----------------------------
+
+def _dsir_python(rows, target_langs, n_buckets=256, salt="dsir"):
+    """Pure-python full re-implementation of the weight contract: md5
+    two-nibble bucket, add-one smoothing, per-bucket 6dp-quantize + 4dp
+    round before the per-doc sum."""
+    import hashlib
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def bucket(tok):
+        h = hashlib.md5(f"{tok}:{salt}".encode()).hexdigest()
+        return (16 * int(h[0], 16) + int(h[1], 16)) % n_buckets
+
+    toks = [(d, bucket(t), lang in target_langs)
+            for d, text, lang in rows for t in text.split(" ")]
+    cr = Counter(b for _, b, _ in toks)
+    ct = Counter(b for _, b, t in toks if t)
+    nr, nt = sum(cr.values()), sum(ct.values())
+    lr = {}
+    for b in cr:
+        x = ((ct.get(b, 0) + 1) * (nr + n_buckets)) \
+            / ((cr[b] + 1) * (nt + n_buckets))
+        import math
+        q = Decimal(repr(math.log(x))).quantize(Decimal("0.000001"))
+        lr[b] = q.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    out = {}
+    for d, text, _ in rows:
+        s = sum(lr[bucket(t)] for t in text.split(" "))
+        out[d] = (len(text.split(" ")),
+                  float(Decimal(s).quantize(Decimal("0.0001"),
+                                            rounding=ROUND_HALF_UP)))
+    return out
+
+
+def test_dsir_weights_match_pure_python_on_planted_domains(spark):
+    from inspectadb_spark.operators.pipeline import dsir_importance_weights
+
+    # two domains with disjoint vocabulary + one mixed doc
+    rows = ([(i, "alpha beta gamma delta", "en") for i in range(5)]
+            + [(10 + i, "uno dos tres cuatro", "es") for i in range(5)]
+            + [(99, "alpha dos beta tres", "es")])
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    got = {r.doc_id: (r.n_tokens, r.logw)
+           for r in dsir_importance_weights(
+               df, F.col("lang") == "en").collect()}
+    assert got == _dsir_python(rows, {"en"})
+
+
+def test_dsir_ranks_target_domain_first_and_mixed_between(spark):
+    from inspectadb_spark.operators.pipeline import (
+        dsir_importance_weights, dsir_select_topk,
+    )
+
+    rows = ([(i, "alpha beta gamma delta", "en") for i in range(5)]
+            + [(10 + i, "uno dos tres cuatro", "es") for i in range(5)]
+            + [(99, "alpha dos beta tres", "es")])
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    w = {r.doc_id: r.logw
+         for r in dsir_importance_weights(df, F.col("lang") == "en").collect()}
+    # every pure-target doc outscores the mixed doc, which outscores
+    # every pure-off-domain doc
+    assert min(w[i] for i in range(5)) > w[99]
+    assert w[99] > max(w[10 + i] for i in range(5))
+    # top-5 selection is exactly the target-domain docs
+    sel = [r.doc_id
+           for r in dsir_select_topk(df, F.col("lang") == "en", 5).collect()]
+    assert sorted(sel) == [0, 1, 2, 3, 4]
+
+
+def test_dsir_weights_are_partitioning_invariant(spark):
+    from inspectadb_spark.operators.pipeline import dsir_importance_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = dsir_importance_weights(docs, F.col("lang") == "en")
+    b = dsir_importance_weights(docs.repartition(13), F.col("lang") == "en")
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(a) == rows(b)
+
+
+def test_dsir_topk_plan_takeordered_and_broadcast_model(spark):
+    from inspectadb_spark.operators.pipeline import dsir_select_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (dsir_select_topk(docs, F.col("lang") == "en", 100)
+            ._jdf.queryExecution().executedPlan().toString())
+    # global top-k never materializes a full sort
+    assert "TakeOrderedAndProject" in plan, plan
+    # the B-bucket score model joins broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan, plan
