@@ -31,8 +31,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["anonymize_sweep", "anonymize_sweep_from_groups",
-           "k_anonymity_readout", "k_anonymize", "qi_group_stats",
-           "sensitive_pair_counts", "t_closeness_readout"]
+           "dp_noisy_release", "k_anonymity_readout", "k_anonymize",
+           "qi_group_stats", "sensitive_pair_counts",
+           "t_closeness_readout"]
 
 
 def qi_group_stats(df: DataFrame, qi_cols: list[Column | str],
@@ -279,3 +280,65 @@ def k_anonymize(df: DataFrame, group_cols: list[str], value_col: str,
             .drop("_gn", "band", "cw", value_col))
     suppressed = tagged.filter(F.col("_gn") < k).drop("_gn", "band", "cw")
     return kept, suppressed
+
+
+def dp_noisy_release(df: DataFrame, group_cols: list[str],
+                     releases: tuple[tuple[str, float], ...] = (
+                         ("e05", 0.5), ("e20", 2.0)),
+                     sensitivity: int = 1, salt: str = "dp") -> DataFrame:
+    """Laplace-mechanism noisy count release (Dwork et al. 2006) over
+    ``group_cols``, one arm per (label, epsilon) rung: the release-side
+    complement of the audit/enforce family — k-anonymize suppresses, the
+    DP release perturbs, trading exactness for a worst-case privacy bound
+    (each count is ε-DP at the given sensitivity; the ladder's total spend
+    is Σε by sequential composition, asserted in tests).
+
+    Noise is the textbook inverse-CDF Laplace draw,
+    ``-(Δ/ε)·sgn(u−½)·ln(1−2|u−½|)``, with u derived DETERMINISTICALLY
+    from md5(cell key, salt, rung label) — a keyed-PRF stand-in for the
+    mechanism's RNG (the seeded-sampling convention of q65/q83) so a
+    release is replayable, engine-invariant, and each rung draws
+    independent noise. Production note: a keyed PRF is only as private as
+    the key — rotate ``salt`` per release and treat it as a secret, or
+    swap in real RNG where replayability isn't required; everything else
+    is unchanged.
+
+    Exactness contract: u = (v + ½)/2³² from the first 8 md5 nibbles is
+    an exact double (all terms are multiples of 2⁻³² — no rounding
+    anywhere before the ln); ln is quantized DECIMAL(18,6)→ROUND 4 (the
+    q132 two-step) BEFORE the exact-decimal scale multiply, so the noisy
+    count is bit-identical on any engine. ε rungs must keep Δ/ε
+    decimal-exact (0.5/2.0 do). Negative noisy counts are released as-is:
+    clamping is post-processing the consumer may apply, but baking it in
+    would bias the release.
+
+    100 TB story: one map-side-combinable group-by; the rung ladder
+    explodes the model-sized group table; noise is scan-side expression
+    arithmetic (whole-stage codegen, no shuffle beyond the group-by)."""
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    rungs = F.explode(F.array(*[
+        F.struct(F.lit(lbl).alias("lbl"), F.lit(float(e)).alias("eps"))
+        for lbl, e in releases]))
+    key = F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in group_cols],
+        F.lit(salt), F.col("lbl"))
+    x = (counts.withColumn("_r", rungs)
+         .select(*group_cols, "n", F.col("_r.lbl").alias("lbl"),
+                 F.col("_r.eps").alias("eps"))
+         .withColumn("_v", F.expr(
+             f"CAST(conv(substr(md5(cast("
+             f"concat_ws(':', {', '.join(f'cast({c} as string)' for c in group_cols)},"
+             f" '{salt}', lbl) as binary)), 1, 8), 16, 10) AS BIGINT)"))
+         .withColumn("_u", (F.col("_v") + F.lit(0.5)) / F.lit(4294967296.0))
+         .withColumn("_sg", F.when(F.col("_u") >= 0.5, 1).otherwise(-1))
+         .withColumn("_lnq", F.round(
+             F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("_u") - F.lit(0.5)))
+             .cast("decimal(18,6)"), 4))
+         .withColumn("_b", (F.lit(float(sensitivity)) / F.col("eps"))
+                     .cast("decimal(18,6)")))
+    _ = key  # documented derivation; the expr above is its SQL twin
+    return (x.select(
+        "lbl", "eps", *group_cols,
+        F.round(F.col("n") + (-F.col("_sg")) * F.col("_b") * F.col("_lnq"),
+                0).cast("bigint").alias("n_noisy"))
+        .orderBy("lbl", *group_cols))

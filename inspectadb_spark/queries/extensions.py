@@ -2159,3 +2159,54 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["nation", "bal_band"], "c_mktsegment")
     return t_closeness_readout(pairs, ["nation", "bal_band"],
                                "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Q347 differentially-private noisy release (Dwork et al. 2006): per-nation
+# customer counts released through the Laplace mechanism at an epsilon
+# ladder (0.5 strict / 2.0 loose; sensitivity 1) — the release-side member
+# of the privacy family: q343/q345 AUDIT a release, q344 ENFORCES by
+# generalize+suppress, q347 PERTURBS, exchanging exactness for a worst-case
+# ε-DP bound (ladder total Σε by sequential composition, pinned in tests).
+# Noise is the inverse-CDF Laplace draw with u derived deterministically
+# from md5(cell:salt:rung) — a keyed-PRF stand-in for the mechanism RNG
+# (the q65/q83 seeded convention) making the release replayable and
+# engine-invariant; u = (v+1/2)/2^32 is an exact double (every term a
+# multiple of 2^-32), ln is DECIMAL-quantized before the exact-decimal
+# scale multiply (the q132 two-step), so DuckDB re-derives the identical
+# noisy integers from first principles. Negative noisy counts release
+# as-is (clamping is consumer post-processing; baking it in would bias).
+@query(
+    "q347_dp_noisy_release",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey AS nation, COUNT(*) AS n FROM customer GROUP BY 1),
+    r AS (SELECT * FROM (VALUES ('e05', 0.5), ('e20', 2.0)) t(lbl, eps)),
+    x AS (
+      SELECT nation, n, lbl, eps,
+             CAST(('0x' || substr(md5(CAST(nation AS VARCHAR)
+                                      || ':dp:' || lbl), 1, 8))
+                  AS BIGINT) AS v
+      FROM g CROSS JOIN r),
+    z AS (
+      SELECT nation, n, lbl, eps,
+             CASE WHEN (v + 0.5) / 4294967296.0 >= 0.5
+                  THEN 1 ELSE -1 END AS sg,
+             ROUND(CAST(ln(1 - 2 * abs((v + 0.5) / 4294967296.0 - 0.5))
+                        AS DECIMAL(18,6)), 4) AS lnq
+      FROM x)
+    SELECT lbl, eps, nation,
+           CAST(ROUND(n + (-sg) * CAST(1.0 / eps AS DECIMAL(18,6)) * lnq, 0)
+                AS BIGINT) AS n_noisy
+    FROM z ORDER BY lbl, nation
+    """,
+    doc="Laplace-mechanism DP release of per-nation customer counts at an "
+        "epsilon ladder, with deterministic keyed-PRF noise so the release "
+        "is replayable and the oracle re-derives identical noisy integers.",
+)
+def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.privacy import dp_noisy_release
+
+    c = tables(spark, sf_dir)["customer"]
+    return dp_noisy_release(
+        c.select(F.col("c_nationkey").alias("nation")), ["nation"])

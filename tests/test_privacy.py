@@ -303,3 +303,94 @@ def test_q345_identities_and_qi_grain_agrees_with_q343(spark):
     # same QI grain as the q343 audit: identical group census
     k343 = REGISTRY["q343_k_anonymity"].builder(spark, SF_DIR).first()
     assert rows[0].n_groups == k343.n_groups
+
+
+# -- DP noisy release (q347): mechanism contract + calibration --------------
+
+def _dp_python(cells, releases=(("e05", 0.5), ("e20", 2.0)),
+               sensitivity=1, salt="dp"):
+    """Pure-python re-implementation of the full noise contract."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = {}
+    for key, n in cells.items():
+        for lbl, eps in releases:
+            v = int(hashlib.md5(f"{key}:{salt}:{lbl}".encode())
+                    .hexdigest()[:8], 16)
+            u = (v + 0.5) / 4294967296.0
+            sg = 1 if u >= 0.5 else -1
+            lnq = Decimal(repr(math.log(1 - 2 * abs(u - 0.5)))).quantize(
+                Decimal("0.000001")).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            b = Decimal(repr(sensitivity / eps)).quantize(Decimal("0.000001"))
+            noisy = (Decimal(n) + (-sg) * b * lnq).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP)
+            out[(lbl, key)] = int(noisy)
+    return out
+
+
+def _release(spark, cells, **kw):
+    from inspectadb_spark.operators.privacy import dp_noisy_release
+    rows = [(k,) for k, n in cells.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "cell string")
+    return dp_noisy_release(df, ["cell"], **kw)
+
+
+def test_dp_release_matches_pure_python_contract(spark):
+    cells = {"a": 100, "b": 7, "c": 1}
+    got = {(r.lbl, r.cell): r.n_noisy
+           for r in _release(spark, cells).collect()}
+    assert got == _dp_python(cells)
+
+
+def test_dp_noise_is_replayable_and_salt_rotates_it(spark):
+    cells = {"a": 50, "b": 50}
+    one = sorted(tuple(r) for r in _release(spark, cells).collect())
+    two = sorted(tuple(r) for r in _release(spark, cells).collect())
+    assert one == two                       # replayable: same salt, same draw
+    other = sorted(tuple(r)
+                   for r in _release(spark, cells, salt="dp2").collect())
+    assert other != one                     # rotating the salt redraws
+
+
+def test_dp_calibration_and_epsilon_ordering(spark):
+    # many cells, equal true counts: mean |noise| tracks b = 1/eps and the
+    # strict rung is noisier than the loose one
+    cells = {f"c{i:03d}": 1000 for i in range(200)}
+    rows = _release(spark, cells).collect()
+    err = {}
+    for lbl in ("e05", "e20"):
+        es = [abs(r.n_noisy - 1000) for r in rows if r.lbl == lbl]
+        err[lbl] = sum(es) / len(es)
+    assert err["e05"] > err["e20"]
+    # Laplace mean |X| = b: wide bands (200 draws)
+    assert 1.0 < err["e05"] < 4.0           # b = 2
+    assert 0.25 < err["e20"] < 1.0          # b = 0.5
+    # sign balance: the keyed PRF is not systematically one-sided
+    pos = sum(1 for r in rows if r.lbl == "e05" and r.n_noisy > 1000)
+    assert 60 < pos < 140
+
+
+def test_dp_negative_counts_release_unclamped(spark):
+    # tiny true counts + strict epsilon can go negative; the release must
+    # not clamp (clamping is consumer post-processing)
+    cells = {f"z{i:02d}": 1 for i in range(60)}
+    rows = _release(spark, cells,
+                    releases=(("e01", 0.125),)).collect()   # b = 8
+    assert any(r.n_noisy < 0 for r in rows)
+
+
+def test_q347_ladder_total_epsilon_is_sequential_composition(spark):
+    from inspectadb_spark.queries import REGISTRY
+
+    rows = REGISTRY["q347_dp_noisy_release"].builder(spark, SF_DIR).collect()
+    ladder = sorted({(r.lbl, r.eps) for r in rows})
+    assert ladder == [("e05", 0.5), ("e20", 2.0)]
+    # total privacy spend of publishing both rungs
+    assert sum(e for _, e in ladder) == 2.5
+    # same cell census per rung
+    per = {lbl: sorted(r.nation for r in rows if r.lbl == lbl)
+           for lbl, _ in ladder}
+    assert per["e05"] == per["e20"]
