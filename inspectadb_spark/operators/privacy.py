@@ -31,7 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["anonymize_sweep", "anonymize_sweep_from_groups",
-           "dp_noisy_release", "k_anonymity_readout", "k_anonymize",
+           "dp_noisy_release", "dp_release_from_counts",
+           "k_anonymity_readout", "k_anonymize",
            "qi_group_stats", "sensitive_pair_counts",
            "t_closeness_readout"]
 
@@ -314,15 +315,32 @@ def dp_noisy_release(df: DataFrame, group_cols: list[str],
 
     100 TB story: one map-side-combinable group-by; the rung ladder
     explodes the model-sized group table; noise is scan-side expression
-    arithmetic (whole-stage codegen, no shuffle beyond the group-by)."""
+    arithmetic (whole-stage codegen, no shuffle beyond the group-by).
+
+    The per-cell count is the `count` IncrementalAggregate kind, so the
+    live release (S58) maintains the same count table incrementally and
+    reads out through ``dp_release_from_counts`` — and because the noise
+    is a pure function of the cell key, batch ≡ stream is exact, not just
+    distribution-equal."""
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    return dp_release_from_counts(counts, group_cols, releases=releases,
+                                  sensitivity=sensitivity, salt=salt)
+
+
+def dp_release_from_counts(
+        counts: DataFrame, group_cols: list[str],
+        releases: tuple[tuple[str, float], ...] = (
+            ("e05", 0.5), ("e20", 2.0)),
+        sensitivity: int = 1, salt: str = "dp") -> DataFrame:
+    """The Laplace-release closed form over a (cell)-grain count table
+    ``counts`` (columns: *group_cols, n) — shared VERBATIM by the q347
+    batch query and the S58 live release, whose IncrementalAggregate state
+    has exactly this shape (`count` kind keyed by the cell)."""
     rungs = F.explode(F.array(*[
         F.struct(F.lit(lbl).alias("lbl"), F.lit(float(e)).alias("eps"))
         for lbl, e in releases]))
-    key = F.concat_ws(
-        ":", *[F.col(c).cast("string") for c in group_cols],
-        F.lit(salt), F.col("lbl"))
-    x = (counts.withColumn("_r", rungs)
+    x = (counts.select(*group_cols, F.col("n").cast("bigint").alias("n"))
+         .withColumn("_r", rungs)
          .select(*group_cols, "n", F.col("_r.lbl").alias("lbl"),
                  F.col("_r.eps").alias("eps"))
          .withColumn("_v", F.expr(
@@ -336,7 +354,6 @@ def dp_noisy_release(df: DataFrame, group_cols: list[str],
              .cast("decimal(18,6)"), 4))
          .withColumn("_b", (F.lit(float(sensitivity)) / F.col("eps"))
                      .cast("decimal(18,6)")))
-    _ = key  # documented derivation; the expr above is its SQL twin
     return (x.select(
         "lbl", "eps", *group_cols,
         F.round(F.col("n") + (-F.col("_sg")) * F.col("_b") * F.col("_lnq"),

@@ -2932,3 +2932,49 @@ def test_s57_live_t_closeness_monitor(spark, tmp_path):
     live = t_closeness_readout(state, ["nation", "bal_band"], "s")
     want = REGISTRY["q345_t_closeness"].builder(spark, SF_DIR)
     assert _rows(live) == _rows(want)
+
+
+# --------------------------------------------------------------------------
+# S58 live DP release (the release-side member of the privacy watches:
+# S55 k-anonymity, S56 generalization ladder, S57 t-closeness, S58 noisy
+# publication): a (nation)-grain IncrementalAggregate maintains exact cell
+# counts as customers stream in; the q347 Laplace release read from the
+# LIVE STATE — through the very same dp_release_from_counts closed form —
+# equals the batch release byte-for-byte after the drain. This is stronger
+# than the usual batch ≡ stream: the mechanism's noise is a pure function
+# of the cell key (keyed PRF), so the live and batch releases are the SAME
+# DP release, not two draws from the same distribution — re-publishing as
+# the stream grows re-perturbs only counts that changed. State is one row
+# per occupied cell.
+def test_s58_live_dp_release(spark, tmp_path):
+    from inspectadb_spark.operators.privacy import dp_release_from_counts
+    from inspectadb_spark.queries.registry import REGISTRY
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    src = str(tmp_path / "cust_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/customer.parquet")
+    step = (t.num_rows + 3) // 4
+    now = time.time()
+    for i in range(4):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"nation": "c_nationkey"},
+        measures=[("n", "count", "*")],
+    )
+    q = inc.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = inc.table()
+    assert state.count() == (spark.read.parquet(src)
+                             .select("c_nationkey").distinct().count())
+
+    live = dp_release_from_counts(state, ["nation"])
+    want = REGISTRY["q347_dp_noisy_release"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
