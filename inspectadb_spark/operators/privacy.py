@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["anonymize_sweep", "anonymize_sweep_from_groups",
-           "dp_noisy_release", "dp_release_from_counts",
+           "dp_noisy_release", "dp_noisy_sum_release", "dp_release_from_counts",
            "k_anonymity_readout", "k_anonymize",
            "qi_group_stats", "sensitive_pair_counts",
            "t_closeness_readout"]
@@ -327,6 +327,29 @@ def dp_noisy_release(df: DataFrame, group_cols: list[str],
                                   sensitivity=sensitivity, salt=salt)
 
 
+def _attach_laplace_draw(x: DataFrame, group_cols: list[str],
+                         salt: str) -> DataFrame:
+    """Shared keyed-PRF Laplace draw: given a table carrying the cell key
+    and an exploded ``lbl`` rung column, append ``_sg`` (±1) and ``_lnq``
+    (the DECIMAL-quantized ln factor) from md5(cell:salt:lbl). See
+    ``dp_noisy_release`` for the exactness contract."""
+    return (x.withColumn("_v", F.expr(
+        f"CAST(conv(substr(md5(cast("
+        f"concat_ws(':', {', '.join(f'cast({c} as string)' for c in group_cols)},"
+        f" '{salt}', lbl) as binary)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("_u", (F.col("_v") + F.lit(0.5)) / F.lit(4294967296.0))
+        .withColumn("_sg", F.when(F.col("_u") >= 0.5, 1).otherwise(-1))
+        .withColumn("_lnq", F.round(
+            F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("_u") - F.lit(0.5)))
+            .cast("decimal(18,6)"), 4)))
+
+
+def _rung_explode(releases: tuple[tuple[str, float], ...]) -> Column:
+    return F.explode(F.array(*[
+        F.struct(F.lit(lbl).alias("lbl"), F.lit(float(e)).alias("eps"))
+        for lbl, e in releases]))
+
+
 def dp_release_from_counts(
         counts: DataFrame, group_cols: list[str],
         releases: tuple[tuple[str, float], ...] = (
@@ -336,26 +359,56 @@ def dp_release_from_counts(
     ``counts`` (columns: *group_cols, n) — shared VERBATIM by the q347
     batch query and the S58 live release, whose IncrementalAggregate state
     has exactly this shape (`count` kind keyed by the cell)."""
-    rungs = F.explode(F.array(*[
-        F.struct(F.lit(lbl).alias("lbl"), F.lit(float(e)).alias("eps"))
-        for lbl, e in releases]))
     x = (counts.select(*group_cols, F.col("n").cast("bigint").alias("n"))
-         .withColumn("_r", rungs)
+         .withColumn("_r", _rung_explode(releases))
          .select(*group_cols, "n", F.col("_r.lbl").alias("lbl"),
-                 F.col("_r.eps").alias("eps"))
-         .withColumn("_v", F.expr(
-             f"CAST(conv(substr(md5(cast("
-             f"concat_ws(':', {', '.join(f'cast({c} as string)' for c in group_cols)},"
-             f" '{salt}', lbl) as binary)), 1, 8), 16, 10) AS BIGINT)"))
-         .withColumn("_u", (F.col("_v") + F.lit(0.5)) / F.lit(4294967296.0))
-         .withColumn("_sg", F.when(F.col("_u") >= 0.5, 1).otherwise(-1))
-         .withColumn("_lnq", F.round(
-             F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("_u") - F.lit(0.5)))
-             .cast("decimal(18,6)"), 4))
-         .withColumn("_b", (F.lit(float(sensitivity)) / F.col("eps"))
-                     .cast("decimal(18,6)")))
+                 F.col("_r.eps").alias("eps")))
+    x = _attach_laplace_draw(x, group_cols, salt).withColumn(
+        "_b", (F.lit(float(sensitivity)) / F.col("eps"))
+        .cast("decimal(18,6)"))
     return (x.select(
         "lbl", "eps", *group_cols,
         F.round(F.col("n") + (-F.col("_sg")) * F.col("_b") * F.col("_lnq"),
                 0).cast("bigint").alias("n_noisy"))
+        .orderBy("lbl", *group_cols))
+
+
+def dp_noisy_sum_release(
+        df: DataFrame, group_cols: list[str], contributor_col: str,
+        value_col: str, clip: float,
+        releases: tuple[tuple[str, float], ...] = (
+            ("e05", 0.5), ("e20", 2.0)),
+        salt: str = "dpsum") -> DataFrame:
+    """Bounded-contribution Laplace SUM release — the realistic sibling of
+    the count release: an unbounded SUM has unbounded sensitivity (one
+    whale order moves it arbitrarily), so user-level DP first CLIPS each
+    contributor's total at ``clip`` and then the release's sensitivity is
+    exactly ``clip`` — the standard contribution-bounding recipe
+    (Dwork & Roth 2014 §3; the DP-SGD gradient-clipping idea applied to
+    analytics). Assumes each contributor maps to ONE cell (customer →
+    nation here); a cross-cell contributor would need its GLOBAL total
+    clipped instead.
+
+    Two-level plan, both map-side combinable: (cell, contributor) sums in
+    exact DECIMAL(18,6) → LEAST(total, clip) → cell sums → the shared
+    keyed-PRF Laplace draw with b = clip/ε (decimal-exact for the default
+    ladder). Clipping diagnostics (how many contributors bind) are NOT
+    released — that statistic is not protected; audit it in tests.
+    Noisy sums release rounded to integer units, negatives unclamped."""
+    per = df.groupBy(*group_cols, contributor_col).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_s"))
+    clipped = per.select(
+        *group_cols,
+        F.least(F.col("_s"),
+                F.lit(float(clip)).cast("decimal(18,6)")).alias("_cs"))
+    cells = clipped.groupBy(*group_cols).agg(F.sum("_cs").alias("t"))
+    x = (cells.withColumn("_r", _rung_explode(releases))
+         .select(*group_cols, "t", F.col("_r.lbl").alias("lbl"),
+                 F.col("_r.eps").alias("eps")))
+    x = _attach_laplace_draw(x, group_cols, salt).withColumn(
+        "_b", (F.lit(float(clip)) / F.col("eps")).cast("decimal(18,6)"))
+    return (x.select(
+        "lbl", "eps", *group_cols,
+        F.round(F.col("t") + (-F.col("_sg")) * F.col("_b") * F.col("_lnq"),
+                0).cast("bigint").alias("sum_noisy"))
         .orderBy("lbl", *group_cols))

@@ -2210,3 +2210,64 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tables(spark, sf_dir)["customer"]
     return dp_noisy_release(
         c.select(F.col("c_nationkey").alias("nation")), ["nation"])
+
+
+# --------------------------------------------------------------------------
+# Q348 bounded-contribution DP sum release: per-nation total order spend
+# through the Laplace mechanism with per-CUSTOMER contribution clipping at
+# C = 3,000,000 (binds on ~30% of customers — the fixture makes the clip
+# real, not vacuous) — the realistic sibling of q347's count release: an
+# unbounded SUM has unbounded user-level sensitivity (one whale moves it
+# arbitrarily), clipping makes the sensitivity exactly C (Dwork & Roth
+# 2014 §3's contribution-bounding recipe; DP-SGD's gradient clipping is
+# the same idea). Each customer maps to one nation, so per-(cell,
+# contributor) clipping IS user-level bounding here. Same deterministic
+# keyed-PRF noise contract as q347 (salt 'dpsum' — independent draws),
+# b = C/eps decimal-exact, integer release, negatives unclamped. Clipping
+# diagnostics are deliberately NOT in the release (that statistic is
+# unprotected); tests audit them.
+@query(
+    "q348_dp_sum_release",
+    oracle="""
+    WITH per AS (
+      SELECT c_nationkey AS nation, o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    cells AS (
+      SELECT nation,
+             SUM(LEAST(s, CAST(3000000.0 AS DECIMAL(18,6)))) AS t
+      FROM per GROUP BY 1),
+    r AS (SELECT * FROM (VALUES ('e05', 0.5), ('e20', 2.0)) t(lbl, eps)),
+    x AS (
+      SELECT nation, t, lbl, eps,
+             CAST(('0x' || substr(md5(CAST(nation AS VARCHAR)
+                                      || ':dpsum:' || lbl), 1, 8))
+                  AS BIGINT) AS v
+      FROM cells CROSS JOIN r),
+    z AS (
+      SELECT nation, t, lbl, eps,
+             CASE WHEN (v + 0.5) / 4294967296.0 >= 0.5
+                  THEN 1 ELSE -1 END AS sg,
+             ROUND(CAST(ln(1 - 2 * abs((v + 0.5) / 4294967296.0 - 0.5))
+                        AS DECIMAL(18,6)), 4) AS lnq
+      FROM x)
+    SELECT lbl, eps, nation,
+           CAST(ROUND(t + (-sg) * CAST(3000000.0 / eps AS DECIMAL(18,6))
+                          * lnq, 0) AS BIGINT) AS sum_noisy
+    FROM z ORDER BY lbl, nation
+    """,
+    doc="Bounded-contribution Laplace DP release of per-nation order "
+        "spend: per-customer totals clipped at C=3e6 (sensitivity = C), "
+        "keyed-PRF noise at the epsilon ladder, integer release.",
+)
+def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.privacy import dp_noisy_sum_release
+
+    t = tables(spark, sf_dir)
+    df = (t["orders"].join(t["customer"],
+                           F.col("o_custkey") == F.col("c_custkey"))
+          .select(F.col("c_nationkey").alias("nation"), "o_custkey",
+                  "o_totalprice"))
+    return dp_noisy_sum_release(df, ["nation"], "o_custkey", "o_totalprice",
+                                clip=3000000.0)

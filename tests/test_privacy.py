@@ -394,3 +394,74 @@ def test_q347_ladder_total_epsilon_is_sequential_composition(spark):
     per = {lbl: sorted(r.nation for r in rows if r.lbl == lbl)
            for lbl, _ in ladder}
     assert per["e05"] == per["e20"]
+
+
+# -- DP bounded-contribution sum release (q348) -------------------------------
+
+def test_dp_sum_clipping_bounds_whale_influence(spark):
+    from inspectadb_spark.operators.privacy import dp_noisy_sum_release
+
+    # base pool + one whale whose raw contribution is 100x the clip: the
+    # released sums with and without the whale differ by AT MOST the clip
+    # (that bounded difference IS the sensitivity the epsilon protects)
+    base = [("g", f"u{i}", 100.0) for i in range(50)]
+    whale = [("g", "whale", 100000.0)]
+    kw = dict(contributor_col="contributor", value_col="v", clip=1000.0,
+              releases=(("e10", 1.0),))
+    df0 = spark.createDataFrame(base, "g string, contributor string, v double")
+    df1 = spark.createDataFrame(base + whale,
+                                "g string, contributor string, v double")
+    a = dp_noisy_sum_release(df0, ["g"], **kw).first().sum_noisy
+    b = dp_noisy_sum_release(df1, ["g"], **kw).first().sum_noisy
+    # same cell key + salt -> same noise, so the delta is pure clipped signal
+    assert b - a == 1000
+    # without clipping the delta would be the whale's full 100000
+    kw_unclipped = dict(kw, clip=10**9)
+    a2 = dp_noisy_sum_release(df0, ["g"], **kw_unclipped).first().sum_noisy
+    b2 = dp_noisy_sum_release(df1, ["g"], **kw_unclipped).first().sum_noisy
+    assert b2 - a2 == 100000
+
+
+def test_dp_sum_contributor_level_not_row_level(spark):
+    from inspectadb_spark.operators.privacy import dp_noisy_sum_release
+
+    # one contributor split across many small rows must clip on the TOTAL:
+    # 20 rows x 100 = 2000, clip 1000 -> contributes 1000, not 20x100
+    rows = ([("g", "many_rows", 100.0)] * 20
+            + [("g", "one_row", 1000.0)])
+    df = spark.createDataFrame(rows, "g string, contributor string, v double")
+    got = dp_noisy_sum_release(df, ["g"], "contributor", "v", clip=1000.0,
+                               releases=(("e10", 1.0),)).first()
+    # clipped total = 1000 + 1000 = 2000 (+ deterministic noise)
+    base = dp_noisy_sum_release(
+        spark.createDataFrame([("g", "a", 1000.0), ("g", "b", 1000.0)],
+                              "g string, contributor string, v double"),
+        ["g"], "contributor", "v", clip=1000.0,
+        releases=(("e10", 1.0),)).first()
+    assert got.sum_noisy == base.sum_noisy
+
+
+def test_q348_clip_binds_and_noise_scales(spark):
+    from inspectadb_spark.queries import REGISTRY
+
+    rows = REGISTRY["q348_dp_sum_release"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 50 and len({r.nation for r in rows}) == 25
+    # fixture honesty: the clip actually binds on a real share of customers
+    import pyspark.sql.functions as F
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    per = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    frac = per.filter("s > 3000000").count() / per.count()
+    assert 0.05 < frac < 0.8, frac
+    # strict rung deviates more from the true clipped total than the loose
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    t = (o.join(c, o.o_custkey == c.c_custkey)
+         .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"))
+         .select("nation", F.least(F.col("s"), F.lit(3000000.0)
+                                   .cast("decimal(18,6)")).alias("cs"))
+         .groupBy("nation").agg(F.sum("cs").alias("t")))
+    true = {r.nation: float(r.t) for r in t.collect()}
+    err = {lbl: sum(abs(r.sum_noisy - true[r.nation])
+                    for r in rows if r.lbl == lbl)
+           for lbl in ("e05", "e20")}
+    assert err["e05"] > err["e20"] > 0
