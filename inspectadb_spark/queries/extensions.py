@@ -2195,7 +2195,7 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(CAST(ln(1 - 2 * abs((v + 0.5) / 4294967296.0 - 0.5))
                         AS DECIMAL(18,6)), 4) AS lnq
       FROM x)
-    SELECT lbl, eps, nation,
+    SELECT lbl, CAST(eps AS DOUBLE) AS eps, nation,
            CAST(ROUND(n + (-sg) * CAST(1.0 / eps AS DECIMAL(18,6)) * lnq, 0)
                 AS BIGINT) AS n_noisy
     FROM z ORDER BY lbl, nation
@@ -2252,7 +2252,7 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(CAST(ln(1 - 2 * abs((v + 0.5) / 4294967296.0 - 0.5))
                         AS DECIMAL(18,6)), 4) AS lnq
       FROM x)
-    SELECT lbl, eps, nation,
+    SELECT lbl, CAST(eps AS DOUBLE) AS eps, nation,
            CAST(ROUND(t + (-sg) * CAST(3000000.0 / eps AS DECIMAL(18,6))
                           * lnq, 0) AS BIGINT) AS sum_noisy
     FROM z ORDER BY lbl, nation
