@@ -703,21 +703,54 @@ def dsir_importance_weights(
     broadcast both for the totals and the score join); one final per-doc
     aggregation. Returns (id_col, n_tokens, logw R4-double).
     """
+    model = dsir_bucket_model(docs, target, text_col=text_col,
+                              n_buckets=n_buckets, salt=salt)
+    return dsir_weights_from_model(docs, model, text_col=text_col,
+                                   id_col=id_col, n_buckets=n_buckets,
+                                   salt=salt)
+
+
+def dsir_bucket_sql(n_buckets: int = 256, salt: str = "dsir",
+                    tok: str = "tok") -> str:
+    """The shared md5 feature-bucket expression (SQL string, so the S59
+    live model can use it as an IncrementalAggregate key expr verbatim)."""
     hexmap = "0123456789abcdef"
-    h = f"md5(cast(concat(tok, ':{salt}') as binary))"
-    bk = F.expr(
-        f"CAST((16 * (instr('{hexmap}', substr({h}, 1, 1)) - 1)"
-        f" + instr('{hexmap}', substr({h}, 2, 1)) - 1)"
-        f" % {int(n_buckets)} AS INT)")
-    toks = docs.select(
-        F.col(id_col), target.cast("boolean").alias("_t"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    b = toks.select(id_col, "_t", bk.alias("bk"))
-    counts = b.groupBy("bk").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"))
-    tots = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    h = f"md5(cast(concat({tok}, ':{salt}') as binary))"
+    return (f"CAST((16 * (instr('{hexmap}', substr({h}, 1, 1)) - 1)"
+            f" + instr('{hexmap}', substr({h}, 2, 1)) - 1)"
+            f" % {int(n_buckets)} AS INT)")
+
+
+def dsir_bucket_model(docs: DataFrame, target: F.Column,
+                      text_col: str = "text", n_buckets: int = 256,
+                      salt: str = "dsir") -> DataFrame:
+    """The DSIR sufficient statistic: per-bucket raw and target token
+    counts ``(bk, cr, ct)``. Exactly a (bucket)-keyed `count` + conditional
+    `sum` IncrementalAggregate, so the live model (S59) maintains the SAME
+    B-row table from a document stream and scores through the SAME
+    ``dsir_weights_from_model`` closed form."""
+    toks = docs.select(target.cast("boolean").alias("_t"),
+                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    return (toks.select(F.expr(dsir_bucket_sql(n_buckets, salt)).alias("bk"),
+                        "_t")
+            .groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("cr"),
+                 F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct")))
+
+
+def dsir_weights_from_model(docs: DataFrame, model: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            n_buckets: int = 256,
+                            salt: str = "dsir") -> DataFrame:
+    """Score documents against a (bk, cr, ct) bucket model — shared
+    VERBATIM by the q346 batch path and the S59 live model. The model need
+    not come from the same corpus being scored: a frozen model scores new
+    pool shards without re-counting (the DSIR deployment shape at scale)."""
     B = int(n_buckets)
+    counts = model.select(F.col("bk").cast("int").alias("bk"),
+                          F.col("cr").cast("bigint").alias("cr"),
+                          F.col("ct").cast("bigint").alias("ct"))
+    tots = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     lr = (counts.join(F.broadcast(tots))
           .select("bk",
                   F.round(
@@ -725,6 +758,10 @@ def dsir_importance_weights(
                             .cast("double")
                             / ((F.col("cr") + 1) * (F.col("nt") + B)))
                       .cast("decimal(18,6)"), 4).alias("lr")))
+    b = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select(id_col, F.expr(dsir_bucket_sql(n_buckets, salt)).alias("bk"))
     return (b.join(F.broadcast(lr), "bk")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),

@@ -2978,3 +2978,53 @@ def test_s58_live_dp_release(spark, tmp_path):
     live = dp_release_from_counts(state, ["nation"])
     want = REGISTRY["q347_dp_noisy_release"].builder(spark, SF_DIR)
     assert _rows(live) == _rows(want)
+
+
+# --------------------------------------------------------------------------
+# S59 live DSIR importance model (the ingestion-side guardrail beside S49's
+# mixture watch: as pool documents stream in, the hashed-unigram domain
+# model that drives q346's selection stays current without re-counting the
+# corpus): a (bucket)-grain IncrementalAggregate maintains the DSIR
+# sufficient statistic — raw token count (`count` kind) and target token
+# count (conditional `sum` kind) per md5 feature bucket, key expr shared
+# verbatim via dsir_bucket_sql — and scoring the pool FROM THE LIVE MODEL
+# through the same dsir_weights_from_model closed form equals the one-shot
+# batch weights byte-for-byte after the drain. State is ≤ B = 256 rows
+# forever, independent of corpus size; this is also the deployment shape:
+# a frozen/live model scores NEW shards without touching old ones.
+def test_s59_live_dsir_importance_model(spark, tmp_path):
+    from inspectadb_spark.operators.pipeline import (
+        dsir_bucket_sql, dsir_importance_weights, dsir_weights_from_model,
+    )
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    src = str(tmp_path / "docs_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    step = (t.num_rows + 3) // 4
+    now = time.time()
+    for i in range(4):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"bk": dsir_bucket_sql()},
+        measures=[("cr", "count", "*"),
+                  ("ct", "sum", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")],
+    )
+    stream = (_stream(spark, src)
+              .select("lang",
+                      F.explode(F.split(F.col("text"), " ")).alias("tok")))
+    q = inc.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = inc.table()
+    assert state.count() <= 256          # bounded: the feature buckets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    live = dsir_weights_from_model(docs, state)
+    want = dsir_importance_weights(docs, F.col("lang") == "en")
+    assert _rows(live) == _rows(want)
