@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["anonymize_sweep", "anonymize_sweep_from_groups",
            "dp_noisy_release", "dp_noisy_sum_release", "dp_release_from_counts",
+           "dp_thresholded_release",
            "k_anonymity_readout", "k_anonymize",
            "qi_group_stats", "sensitive_pair_counts",
            "t_closeness_readout"]
@@ -412,3 +413,41 @@ def dp_noisy_sum_release(
         F.round(F.col("t") + (-F.col("_sg")) * F.col("_b") * F.col("_lnq"),
                 0).cast("bigint").alias("sum_noisy"))
         .orderBy("lbl", *group_cols))
+
+
+def dp_thresholded_release(
+        df: DataFrame, group_cols: list[str], delta: float = 1e-6,
+        releases: tuple[tuple[str, float], ...] = (
+            ("e05", 0.5), ("e20", 2.0)),
+        sensitivity: int = 1, salt: str = "dp") -> DataFrame:
+    """Stability-based thresholded histogram release — the recipe for the
+    case the plain count release cannot handle: when the CELL KEYS
+    themselves are data (user-generated strings, rare categories), merely
+    publishing that a key exists leaks the presence of its ≥1 contributors.
+    The fix (Korolova et al. 2009's (ε,δ) partition selection, the
+    workhorse of production DP histograms): add Laplace noise as usual,
+    then publish ONLY cells whose noisy count clears
+
+        τ = ⌈1 + (Δ/ε)·ln(1/(2δ))⌉
+
+    which bounds the probability that a key with a single contributor is
+    ever published by δ — turning ε-DP over known domains into (ε,δ)-DP
+    over unknown ones. τ is integer (driver-side ceil of an exact formula)
+    so the drop decision is engine-invariant; a stricter ε means a larger
+    noise scale and therefore a HIGHER bar to publish — small cells
+    survive the loose rung and vanish from the strict one. Emits τ per
+    rung for auditability; everything else inherits the
+    ``dp_noisy_release`` contract (keyed-PRF noise, unclamped, one
+    group-by + model-sized ladder)."""
+    import math
+
+    rel = dp_noisy_release(df, group_cols, releases=releases,
+                           sensitivity=sensitivity, salt=salt)
+    tau = {lbl: int(math.ceil(
+        1.0 + (float(sensitivity) / e) * math.log(1.0 / (2.0 * delta))))
+        for lbl, e in releases}
+    tau_col = F.coalesce(*[
+        F.when(F.col("lbl") == lbl, F.lit(t)) for lbl, t in tau.items()])
+    return (rel.withColumn("tau", tau_col.cast("int"))
+            .filter(F.col("n_noisy") >= F.col("tau"))
+            .orderBy("lbl", *group_cols))

@@ -2271,3 +2271,58 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "o_totalprice"))
     return dp_noisy_sum_release(df, ["nation"], "o_custkey", "o_totalprice",
                                 clip=3000000.0)
+
+
+# --------------------------------------------------------------------------
+# Q349 stability-thresholded DP histogram (Korolova et al. 2009 partition
+# selection; the production DP-histogram recipe): when cell KEYS are
+# themselves data, publishing a key's existence leaks its contributors, so
+# after the q347 Laplace step a cell publishes ONLY if its noisy count
+# clears tau = ceil(1 + (D/eps)·ln(1/(2*delta))) — bounding the chance a
+# single-contributor key ever appears by delta (here 1e-6: tau 28/8 for
+# the strict/loose rung). Integer tau makes the drop decision
+# engine-invariant; the stricter rung has the HIGHER bar, so a small cell
+# can appear in the loose release and vanish from the strict one —
+# exactly what the fixture shows: at sf0.001 (segment counts 23-40)
+# e05 publishes 4 of 5 segments and e20 all 5; at sf0.01 (~300 each)
+# both publish everything. Release rows vary per rung by construction.
+@query(
+    "q349_dp_thresholded_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment AS segment, COUNT(*) AS n FROM customer
+      GROUP BY 1),
+    r AS (SELECT * FROM (VALUES ('e05', 0.5, 28), ('e20', 2.0, 8))
+          t(lbl, eps, tau)),
+    x AS (
+      SELECT segment, n, lbl, eps, tau,
+             CAST(('0x' || substr(md5(segment || ':dp:' || lbl), 1, 8))
+                  AS BIGINT) AS v
+      FROM g CROSS JOIN r),
+    z AS (
+      SELECT segment, n, lbl, eps, tau,
+             CASE WHEN (v + 0.5) / 4294967296.0 >= 0.5
+                  THEN 1 ELSE -1 END AS sg,
+             ROUND(CAST(ln(1 - 2 * abs((v + 0.5) / 4294967296.0 - 0.5))
+                        AS DECIMAL(18,6)), 4) AS lnq
+      FROM x),
+    rel AS (
+      SELECT lbl, CAST(eps AS DOUBLE) AS eps, segment,
+             CAST(ROUND(n + (-sg) * CAST(1.0 / eps AS DECIMAL(18,6))
+                            * lnq, 0) AS BIGINT) AS n_noisy,
+             CAST(tau AS INT) AS tau
+      FROM z)
+    SELECT lbl, eps, segment, n_noisy, tau FROM rel
+    WHERE n_noisy >= tau ORDER BY lbl, segment
+    """,
+    doc="(eps,delta) stability-thresholded DP histogram of customers per "
+        "market segment: Laplace noise then publish only cells whose "
+        "noisy count clears the per-rung tau = ceil(1+(1/eps)ln(1/2delta)).",
+)
+def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.privacy import dp_thresholded_release
+
+    c = tables(spark, sf_dir)["customer"]
+    return dp_thresholded_release(
+        c.select(F.col("c_mktsegment").alias("segment")), ["segment"],
+        delta=1e-6)

@@ -465,3 +465,68 @@ def test_q348_clip_binds_and_noise_scales(spark):
                     for r in rows if r.lbl == lbl)
            for lbl in ("e05", "e20")}
     assert err["e05"] > err["e20"] > 0
+
+
+# -- DP thresholded histogram (q349) ------------------------------------------
+
+def test_dp_threshold_suppresses_singleton_keys(spark):
+    from inspectadb_spark.operators.privacy import dp_thresholded_release
+
+    # the attack the threshold exists for: a key with ONE contributor
+    # (a user-generated string) must essentially never publish, while the
+    # heavy keys publish fine
+    rows = ([("common", ) for _ in range(500)]
+            + [("secret-user-string",)])
+    df = spark.createDataFrame(rows, "cell string")
+    out = dp_thresholded_release(df, ["cell"], delta=1e-6).collect()
+    cells = {(r.lbl, r.cell) for r in out}
+    assert ("e05", "common") in cells and ("e20", "common") in cells
+    assert not any(c == "secret-user-string" for _, c in cells)
+
+
+def test_dp_threshold_is_the_calibrated_ceiling(spark):
+    import math
+
+    from inspectadb_spark.operators.privacy import dp_thresholded_release
+
+    df = spark.createDataFrame([("a",)] * 100, "cell string")
+    out = {r.lbl: r.tau for r in
+           dp_thresholded_release(df, ["cell"], delta=1e-6).collect()}
+    assert out["e05"] == math.ceil(1 + 2.0 * math.log(1 / 2e-6)) == 28
+    assert out["e20"] == math.ceil(1 + 0.5 * math.log(1 / 2e-6)) == 8
+    # smaller delta -> stricter bar
+    out2 = {r.lbl: r.tau for r in
+            dp_thresholded_release(df, ["cell"], delta=1e-9).collect()}
+    assert out2["e05"] > out["e05"]
+
+
+def test_dp_threshold_equals_filtered_plain_release(spark):
+    from inspectadb_spark.operators.privacy import (
+        dp_noisy_release, dp_thresholded_release,
+    )
+
+    rows = [(f"c{i % 7}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "cell string")
+    thr = [(r.lbl, r.cell, r.n_noisy)
+           for r in dp_thresholded_release(df, ["cell"]).collect()]
+    plain = {(r.lbl, r.cell): r.n_noisy
+             for r in dp_noisy_release(df, ["cell"]).collect()}
+    tau = {"e05": 28, "e20": 8}
+    want = sorted((lbl, c, n) for (lbl, c), n in plain.items()
+                  if n >= tau[lbl])
+    assert sorted(thr) == want
+
+
+def test_q349_strict_rung_has_the_higher_bar(spark):
+    from inspectadb_spark.queries import REGISTRY
+
+    rows = REGISTRY["q349_dp_thresholded_histogram"].builder(
+        spark, SF_DIR).collect()
+    kept = {lbl: {r.segment for r in rows if r.lbl == lbl}
+            for lbl in ("e05", "e20")}
+    # publishing under the strict rung implies publishable under the loose
+    # one on this fixture (tau_e05 > tau_e20 and noise is per-rung but
+    # bounded well below the tau gap at these counts)
+    assert kept["e05"] <= kept["e20"]
+    taus = {r.lbl: r.tau for r in rows}
+    assert taus["e05"] > taus["e20"]
