@@ -828,3 +828,73 @@ def test_pq_encode_and_adc_equal_reference_property(spark, data):
     two = pq_adc_topk(codes, books, list(qv), k=3, rerank=len(V), vectors=df)
     brute = cosine_topk(df, list(qv), k=3)
     assert two.collect() == brute.collect()
+
+
+# --------------------------------------------------------------------------
+# P-privacy: the privacy-family closed forms on hypothesis-generated tables
+# (the planted fixtures in test_privacy.py pin specific attacks; these pin
+# the full contracts on arbitrary inputs).
+
+_priv_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from("xyz")),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_priv_rows)
+def test_t_closeness_full_domain_tvd_on_generated_tables(spark, rows):
+    from collections import Counter
+
+    from inspectadb_spark.operators.privacy import (
+        sensitive_pair_counts, t_closeness_readout,
+    )
+
+    df = spark.createDataFrame(rows, "qi int, s string")
+    pairs = sensitive_pair_counts(df, ["qi"], "s")
+    got = {r.t_ppm: r for r in
+           t_closeness_readout(pairs, ["qi"], "s").collect()}
+
+    n = Counter(q for q, _ in rows)
+    cs = Counter(s for _, s in rows)
+    pc = Counter(rows)
+    big_n = len(rows)
+    tvd = {q: sum(abs(pc.get((q, s), 0) * big_n - cs[s] * ng)
+                  for s in cs) * 1000000 // (2 * ng * big_n)
+           for q, ng in n.items()}
+    for t in (100000, 200000, 300000, 500000):
+        over = [q for q, v in tvd.items() if v > t]
+        assert got[t].n_groups == len(n)
+        assert got[t].groups_gt_t == len(over)
+        assert got[t].rows_gt_t == sum(n[q] for q in over)
+        assert got[t].max_tvd_ppm == max(tvd.values())
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cells=st.dictionaries(st.sampled_from("abcdefg"),
+                             st.integers(0, 2000),
+                             min_size=1, max_size=7))
+def test_dp_release_contract_on_generated_cells(spark, cells):
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from inspectadb_spark.operators.privacy import dp_release_from_counts
+
+    counts = spark.createDataFrame(list(cells.items()), "cell string, n long")
+    got = {(r.lbl, r.cell): r.n_noisy
+           for r in dp_release_from_counts(counts, ["cell"]).collect()}
+    for (lbl, eps) in (("e05", 0.5), ("e20", 2.0)):
+        for cell, n in cells.items():
+            v = int(hashlib.md5(f"{cell}:dp:{lbl}".encode())
+                    .hexdigest()[:8], 16)
+            u = (v + 0.5) / 4294967296.0
+            sg = 1 if u >= 0.5 else -1
+            lnq = Decimal(repr(math.log(1 - 2 * abs(u - 0.5)))).quantize(
+                Decimal("0.000001")).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            b = Decimal(repr(1.0 / eps)).quantize(Decimal("0.000001"))
+            want = int((Decimal(n) + (-sg) * b * lnq).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP))
+            assert got[(lbl, cell)] == want
