@@ -767,3 +767,57 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
     # months on disk (the scan also reports the static total it avoided)
     assert scan_metric(j, "numPartitions") == len(target) < len(months_on_disk)
     assert scan_metric(j, "staticFilesNum") == len(months_on_disk)
+
+
+# -- Dynamic partition overwrite: backfill replaces ONLY the touched months --
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
+        spark, tmp_path):
+    """Incremental backfill at 100 TB: re-processing one month must replace
+    exactly that month's directory, not truncate the table (static
+    overwrite) and not append duplicates. `partitionOverwriteMode=dynamic`
+    scopes the overwrite to the partitions PRESENT IN THE BATCH; proven by
+    file mtimes (untouched months keep their files) and row counts (the
+    touched month is replaced, not doubled)."""
+    import os
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    fact_dir = str(tmp_path / "orders_by_month")
+    with_month = o.withColumn("od_month",
+                              F.date_format("o_orderdate", "yyyy-MM"))
+    with_month.write.partitionBy("od_month").mode("overwrite").parquet(
+        fact_dir)
+    months = sorted(d for d in os.listdir(fact_dir)
+                    if d.startswith("od_month="))
+    target = months[0].split("=", 1)[1]
+    before_rows = spark.read.parquet(fact_dir).count()
+    target_rows = spark.read.parquet(fact_dir).filter(
+        F.col("od_month") == target).count()
+    stamp = {d: sorted(os.listdir(f"{fact_dir}/{d}")) for d in months}
+
+    conf = spark.conf
+    old = conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # backfill: the target month re-derived (here: same rows, so the
+        # replace must be an exact no-op on counts)
+        batch = with_month.filter(F.col("od_month") == target)
+        batch.write.partitionBy("od_month").mode("overwrite").parquet(
+            fact_dir)
+    finally:
+        if old is None:
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    after = spark.read.parquet(fact_dir)
+    # nothing truncated, nothing duplicated
+    assert after.count() == before_rows
+    assert after.filter(F.col("od_month") == target).count() == target_rows
+    # untouched months kept their exact files; the target got new ones
+    for d in months:
+        files = sorted(os.listdir(f"{fact_dir}/{d}"))
+        if d == f"od_month={target}":
+            assert files != stamp[d]
+        else:
+            assert files == stamp[d], d
