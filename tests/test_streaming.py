@@ -3028,3 +3028,66 @@ def test_s59_live_dsir_importance_model(spark, tmp_path):
     live = dsir_weights_from_model(docs, state)
     want = dsir_importance_weights(docs, F.col("lang") == "en")
     assert _rows(live) == _rows(want)
+
+
+# --------------------------------------------------------------------------
+# S60 state-store observability: any stateful streaming query's internal
+# state is readable AS A TABLE from its checkpoint (statestore /
+# state-metadata sources, wrapped in streaming/state_reader.py) — the
+# debugging surface for "why is this job's state growing / why did this
+# key stop updating" that needs no instrumentation of the running query.
+# Pinned trustworthy three ways: (a) the audited state of a complete-mode
+# aggregation equals the query's own output byte-for-byte, (b) the
+# metadata row matches the operator actually run, (c) batchId time-travel
+# reads an EARLIER state version whose keys are a strict subset — and the
+# skew audit accounts for every key.
+def test_s60_state_store_reader_audits_streaming_state(spark, tmp_path):
+    from inspectadb_spark.streaming.state_reader import (
+        query_state, state_metadata, state_size_by_partition,
+    )
+
+    src = str(tmp_path / "cust_replay")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/customer.parquet")
+    step = (t.num_rows + 1) // 2
+    now = time.time()
+    for i in range(2):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    ckpt = str(tmp_path / "ckpt")
+    agg = (_stream(spark, src)
+           .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.writeStream.format("memory").queryName("s60_agg")
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+
+    # (a) state ≡ the query's own complete-mode output
+    st = query_state(spark, ckpt).select(
+        "c_nationkey", F.col("count").alias("n"))
+    out = spark.table("s60_agg")
+    assert _rows(st) == _rows(out)
+    # and ≡ the batch ground truth
+    want = (spark.read.parquet(src)
+            .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n")))
+    assert _rows(st) == _rows(want)
+
+    # (b) the inventory names the operator and its commit range
+    md = state_metadata(spark, ckpt).collect()
+    assert len(md) == 1 and md[0].operatorName == "stateStoreSave"
+    assert md[0].maxBatchId >= 1  # two chunks, maxFilesPerTrigger=1
+
+    # (c) time-travel: batch 0 saw only the first chunk's keys
+    early = query_state(spark, ckpt, batch_id=0).select("c_nationkey")
+    first_keys = {r.c_nationkey for r in
+                  spark.read.parquet(f"{src}/chunk00.parquet")
+                  .select("c_nationkey").distinct().collect()}
+    assert {r.c_nationkey for r in early.collect()} == first_keys
+    assert len(first_keys) <= st.count()
+
+    # the skew audit accounts for every key exactly once
+    sizes = state_size_by_partition(spark, ckpt)
+    assert sizes.agg(F.sum("n_keys")).first()[0] == st.count()
