@@ -38,13 +38,18 @@ def state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
 def query_state(spark: SparkSession, checkpoint: str,
                 batch_id: int | None = None,
                 operator_id: int = 0,
-                store_name: str | None = None) -> DataFrame:
+                store_name: str | None = None,
+                join_side: str | None = None) -> DataFrame:
     """The keyed state of a stateful streaming operator as a flat
     DataFrame: key-struct fields then value-struct fields (names
-    preserved), plus ``partition_id``. Defaults to the operator 0 store at
-    the last committed batch; pass ``batch_id`` to time-travel a state
-    audit to an earlier micro-batch (bounded by the checkpoint's retained
-    versions)."""
+    preserved; dedup's void ``__dummy__`` payload is dropped), plus
+    ``partition_id``. Defaults to the operator 0 store at the last
+    committed batch; pass ``batch_id`` to time-travel a state audit to an
+    earlier micro-batch (bounded by the checkpoint's retained versions).
+    Covers all three stateful operator classes: aggregations and
+    dropDuplicates read directly; a stream-stream join's buffered side
+    reads via ``join_side='left'|'right'`` (Spark assembles the four
+    internal join stores into the buffered rows)."""
     r = spark.read.format("statestore")
     if batch_id is not None:
         r = r.option("batchId", int(batch_id))
@@ -52,11 +57,18 @@ def query_state(spark: SparkSession, checkpoint: str,
         r = r.option("operatorId", int(operator_id))
     if store_name:
         r = r.option("storeName", store_name)
+    if join_side:
+        r = r.option("joinSide", join_side)
     st = r.load(checkpoint)
+    from pyspark.sql.types import NullType
+
+    key_names = {f.name for f in st.schema["key"].dataType.fields}
     cols = ([F.col(f"key.{f.name}").alias(f.name)
              for f in st.schema["key"].dataType.fields]
-            + [F.col(f"value.{f.name}").alias(f.name)
-               for f in st.schema["value"].dataType.fields]
+            + [F.col(f"value.{f.name}").alias(
+                f"value_{f.name}" if f.name in key_names else f.name)
+               for f in st.schema["value"].dataType.fields
+               if not isinstance(f.dataType, NullType)]
             + [F.col("partition_id")])
     return st.select(*cols)
 

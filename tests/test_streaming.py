@@ -3091,3 +3091,70 @@ def test_s60_state_store_reader_audits_streaming_state(spark, tmp_path):
     # the skew audit accounts for every key exactly once
     sizes = state_size_by_partition(spark, ckpt)
     assert sizes.agg(F.sum("n_keys")).first()[0] == st.count()
+
+
+# --------------------------------------------------------------------------
+# S61 state observability across the other two stateful operator classes
+# (S60 covered aggregation): dropDuplicates state keys ARE the distinct
+# keys seen (≡ batch distinct — the cross-run dedup registry's internal
+# twin, now auditable from the checkpoint), and a stream-stream join's
+# buffered sides read back as the exact row sets Spark is holding — the
+# "why is this join's state growing" question answered by two table reads
+# (left grows with customers, right with orders; both pinned to the batch
+# ground truth).
+def test_s61_state_reader_covers_dedup_and_join_state(spark, tmp_path):
+    from inspectadb_spark.streaming.state_reader import (
+        query_state, state_metadata,
+    )
+
+    csrc = str(tmp_path / "cust")
+    osrc = str(tmp_path / "ord")
+    os.makedirs(csrc), os.makedirs(osrc)
+    pq.write_table(pq.read_table(f"{SF_DIR}/customer.parquet"),
+                   f"{csrc}/a.parquet")
+    pq.write_table(pq.read_table(f"{SF_DIR}/orders.parquet"),
+                   f"{osrc}/a.parquet")
+
+    # dropDuplicates: state = the distinct key set
+    ck1 = str(tmp_path / "ck_dedup")
+    dd = _stream(spark, csrc).dropDuplicates(["c_nationkey"])
+    q = (dd.writeStream.format("memory").queryName("s61_dd")
+         .outputMode("append").option("checkpointLocation", ck1)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    st = query_state(spark, ck1)
+    assert st.columns == ["c_nationkey", "partition_id"]  # void payload gone
+    want = {r.c_nationkey for r in spark.read.parquet(csrc)
+            .select("c_nationkey").distinct().collect()}
+    assert {r.c_nationkey for r in st.collect()} == want
+
+    # stream-stream inner join: each buffered side reads back whole
+    ck2 = str(tmp_path / "ck_join")
+    lhs = _stream(spark, csrc).select(F.col("c_custkey").alias("k"), "c_name")
+    rhs = _stream(spark, osrc).select(F.col("o_custkey").alias("k"),
+                                      "o_orderkey")
+    q = (lhs.join(rhs, "k").writeStream.format("memory")
+         .queryName("s61_join").outputMode("append")
+         .option("checkpointLocation", ck2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    md = state_metadata(spark, ck2)
+    assert {r.operatorName for r in md.collect()} == {"symmetricHashJoin"}
+    left = query_state(spark, ck2, join_side="left")
+    right = query_state(spark, ck2, join_side="right")
+    n_cust = spark.read.parquet(csrc).count()
+    n_ord = spark.read.parquet(osrc).count()
+    assert left.count() == n_cust and right.count() == n_ord
+    # buffered payloads are the real rows, not hashes of them
+    assert ({(r.k, r.c_name) for r in left.collect()}
+            == {(r.c_custkey, r.c_name) for r in
+                spark.read.parquet(csrc).select("c_custkey", "c_name")
+                .collect()})
+    # and the join's emitted output matches the batch join
+    got = spark.table("s61_join").count()
+    want_n = (spark.read.parquet(csrc).selectExpr("c_custkey AS k")
+              .join(spark.read.parquet(osrc).selectExpr("o_custkey AS k"),
+                    "k").count())
+    assert got == want_n
