@@ -79,6 +79,66 @@ def cosine_topk(
     )
 
 
+def filtered_cosine_topk(
+    vectors: DataFrame,
+    meta: DataFrame,
+    predicate,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    meta_id_col: str = "doc_id",
+) -> DataFrame:
+    """Metadata-filtered exact vector search: top-k by cosine among ONLY
+    the vectors whose metadata row satisfies ``predicate`` — the standard
+    production ANN requirement (serve "nearest English docs", not nearest
+    overall). This is PRE-filtering: the allowed-id set semi-joins the
+    vector table before scoring, so the result is the exact top-k of the
+    filtered subset — no recall loss at any selectivity, unlike
+    post-filtering a fixed candidate list, which starves when the filter
+    is selective (the failure mode ``ivf_topk_filtered``'s recall test
+    quantifies on the index path).
+
+    Plan/scale: predicate pushes into the metadata scan; the filtered id
+    set joins as a semi join (broadcast when small — the common case for
+    selective filters); scoring stays the zip_with/aggregate codegen
+    expression; top-k is TakeOrderedAndProject. At 100 TB the semi join is
+    the same shuffle the serving query already pays for any join-shaped
+    filter; nothing scores vectors the filter later discards."""
+    allowed = meta.filter(predicate).select(
+        F.col(meta_id_col).alias(id_col)).distinct()
+    return cosine_topk(vectors.join(allowed, id_col, "semi"), query_vec,
+                       k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_topk_filtered(
+    vectors: DataFrame,
+    query_vec: list[float],
+    allowed: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    centroids=None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Filtered serving on the IVF path. Cell pruning and the allowed-id
+    filter are both set intersections, so they COMMUTE exactly — the semi
+    join is declared before ``ivf_topk`` and Catalyst places it; on a
+    cell-partitioned index the physical order is still prune-then-filter
+    (partition pruning happens at the scan). Crucially the filter runs
+    before the top-k cut, never on a fixed-size candidate list, so the
+    only recall loss vs ``filtered_cosine_topk`` is the usual IVF cell
+    miss: a selective filter thins the probed cells but never truncates
+    the answer below k while matching candidates exist in them. Raise
+    ``n_probe`` as filter selectivity drops — the recall property test
+    pins probe-all ≡ exact filtered brute."""
+    allowed_ids = allowed.select(
+        F.col(allowed.columns[0]).alias(id_col)).distinct()
+    return ivf_topk(vectors.join(allowed_ids, id_col, "semi"), query_vec,
+                    k=k, n_probe=n_probe, centroids=centroids,
+                    vec_col=vec_col, id_col=id_col)
+
+
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((tables, bits, dim))

@@ -1796,3 +1796,48 @@ def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hapax * 1000000 DIV vocab").alias("hapax_share_ppm"),
         F.expr("dis * 1000000 DIV vocab").alias("sichel_s_ppm"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q350 metadata-filtered vector search: exact top-10 by cosine to the
+# vec_id=0 query among ONLY the vectors whose document row is lang='en' —
+# the standard production ANN requirement ("nearest English docs", not
+# nearest overall). PRE-filter semantics: the filtered id set semi-joins
+# the vector table before scoring, so this is the exact top-k of the
+# allowed subset at any selectivity — post-filtering a fixed candidate
+# list starves under selective filters (the failure mode the
+# ivf_topk_filtered recall test quantifies on the index path; that
+# variant commutes the same semi join with cell pruning). Predicate
+# pushes into the documents scan, the id set broadcasts, scoring stays
+# the zip_with/aggregate codegen expression, top-k is
+# TakeOrderedAndProject.
+@query(
+    "q350_filtered_vector_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    f AS (SELECT e.vec_id, e.embedding FROM embeddings e
+          JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'),
+    z AS (
+      SELECT f.vec_id, UNNEST(f.embedding) AS x, UNNEST(q.qe) AS y
+      FROM f CROSS JOIN q),
+    s AS (
+      SELECT vec_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n1,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS n2
+      FROM z GROUP BY vec_id)
+    SELECT vec_id, {r4('dot / (SQRT(n1) * SQRT(n2))')} AS sim
+    FROM s ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    doc="Exact metadata-filtered cosine top-10 (lang='en' documents "
+        "only): pre-filter semi join, then the q43 scoring expression.",
+)
+def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.similarity import filtered_cosine_topk
+
+    t = tables(spark, sf_dir)
+    e = t["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return filtered_cosine_topk(e, t["documents"], F.col("lang") == "en",
+                                qvec, k=10)

@@ -28,8 +28,8 @@ _BASELINE_CUTOFF = "CORRECTNESS_r11"
 # Registry size pin: 388/371 at the end of round 10, +3 in round 11 (the
 # VERDICT r10 item-3 promotions q336/q337/q338). Growth must consciously
 # update this pin in the same commit that grows the registry.
-_FROZEN_REGISTRY_SIZE = 402
-_FROZEN_ORACLED_SIZE = 385
+_FROZEN_REGISTRY_SIZE = 403
+_FROZEN_ORACLED_SIZE = 386
 
 
 def _green_rounds() -> dict[str, set[str]]:
@@ -125,6 +125,7 @@ _ROUND11_ADDITIONS = {
     "q347_dp_noisy_release",
     "q348_dp_sum_release",
     "q349_dp_thresholded_histogram",
+    "q350_filtered_vector_search",
 }
 
 

@@ -898,3 +898,68 @@ def test_dp_release_contract_on_generated_cells(spark, cells):
             want = int((Decimal(n) + (-sg) * b * lnq).quantize(
                 Decimal("1"), rounding=ROUND_HALF_UP))
             assert got[(lbl, cell)] == want
+
+
+# --------------------------------------------------------------------------
+# P-filtered: metadata-filtered vector search (q350 / ivf_topk_filtered)
+
+def _filtered_fixture(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    allowed = d.filter(F.col("lang") == "en").select("doc_id")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return e, allowed, qvec
+
+
+def test_filtered_ivf_probe_all_equals_filtered_brute(spark):
+    from inspectadb_spark.operators.similarity import (
+        cosine_topk, ivf_topk_filtered,
+    )
+
+    e, allowed, qvec = _filtered_fixture(spark)
+    brute = cosine_topk(
+        e.join(allowed.withColumnRenamed("doc_id", "vec_id"),
+               "vec_id", "semi"), qvec, k=10)
+    rows = lambda df: [tuple(str(x) for x in r) for r in df.collect()]
+    # probing every cell (default n_centroids=16) degenerates to the
+    # exact filtered brute force — the sanity anchor for the index path
+    got = ivf_topk_filtered(e, qvec, allowed, k=10, n_probe=16)
+    assert rows(got) == rows(brute)
+
+
+def test_filtered_ivf_partial_probe_recall_and_never_starves(spark):
+    from inspectadb_spark.operators.similarity import (
+        cosine_topk, ivf_topk_filtered,
+    )
+
+    e, allowed, qvec = _filtered_fixture(spark)
+    brute = cosine_topk(
+        e.join(allowed.withColumnRenamed("doc_id", "vec_id"),
+               "vec_id", "semi"), qvec, k=10)
+    truth = {r.vec_id for r in brute.collect()}
+    ann = ivf_topk_filtered(e, qvec, allowed, k=10, n_probe=8)
+    got = {r.vec_id for r in ann.collect()}
+    # half the cells -> at least ~half the filtered top-k (P3's bar)
+    assert len(got & truth) / len(truth) >= 0.4
+    # the filter runs before the top-k cut: k rows return as long as the
+    # probed cells hold >= k allowed vectors (they do on this fixture)
+    assert len(got) == 10
+    # and everything returned satisfies the filter
+    allowed_ids = {r.doc_id for r in allowed.collect()}
+    assert got <= allowed_ids
+
+
+def test_post_filtering_a_fixed_candidate_list_starves(spark):
+    """The failure mode q350's pre-filter exists to avoid: filtering the
+    UNFILTERED top-k afterwards returns fewer than k whenever the global
+    neighborhood is dominated by disallowed vectors — on this fixture the
+    'en' share is ~40%, so the post-filtered list loses rows while the
+    pre-filtered query returns a full top-10."""
+    from inspectadb_spark.operators.similarity import cosine_topk
+
+    e, allowed, qvec = _filtered_fixture(spark)
+    allowed_ids = {r.doc_id for r in allowed.collect()}
+    post = [r.vec_id for r in cosine_topk(e, qvec, k=10).collect()
+            if r.vec_id in allowed_ids]
+    assert len(post) < 10
