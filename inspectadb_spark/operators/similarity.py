@@ -458,16 +458,26 @@ def ivf_topk_from_index(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a persisted IVF index: rank cells against the stored
     model (driver-side), then read ONLY the probed inverted lists (a
     partition filter — non-probed files are never opened) and rerank with
     exact cosine. Result-identical to ``ivf_topk`` over the same centroids
-    and collection; only the scan footprint differs."""
+    and collection; only the scan footprint differs. ``allowed``
+    (single-column id DataFrame) adds the metadata filter of
+    ``ivf_topk_filtered`` at the index tier: the semi join lands between
+    the partition-pruned list scan and the top-k cut, so selective
+    filters never truncate the answer below k while matching candidates
+    exist in the probed cells."""
     cents = load_ivf_centroids(spark, path)
     probe = _probe_cells(cents, query_vec, n_probe)
     cand = (read_ivf_lists(spark, path, vec_col)
             .filter(F.col("_cell").isin(probe)).drop("_cell"))
+    if allowed is not None:
+        ids = allowed.select(
+            F.col(allowed.columns[0]).alias(id_col)).distinct()
+        cand = cand.join(ids, id_col, "semi")
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 

@@ -963,3 +963,24 @@ def test_post_filtering_a_fixed_candidate_list_starves(spark):
     post = [r.vec_id for r in cosine_topk(e, qvec, k=10).collect()
             if r.vec_id in allowed_ids]
     assert len(post) < 10
+
+
+def test_filtered_serving_from_persisted_index_matches_inline(spark,
+                                                              tmp_path):
+    from inspectadb_spark.operators.similarity import (
+        ivf_topk_filtered, ivf_topk_from_index, kmeans_fit, save_ivf_index,
+    )
+
+    e, allowed, qvec = _filtered_fixture(spark)
+    cents, _ = kmeans_fit(e, k=8, iters=1)
+    idx = str(tmp_path / "ivf_idx")
+    save_ivf_index(e, cents, idx)
+    served = ivf_topk_from_index(spark, idx, qvec, k=10, n_probe=3,
+                                 allowed=allowed)
+    inline = ivf_topk_filtered(e, qvec, allowed, k=10, n_probe=3,
+                               centroids=cents)
+    rows = lambda df: [tuple(str(x) for x in r) for r in df.collect()]
+    assert rows(served) == rows(inline)
+    # everything served satisfies the filter
+    ids = {r.doc_id for r in allowed.collect()}
+    assert {r.vec_id for r in served.collect()} <= ids
