@@ -92,3 +92,26 @@ def test_jdbc_federated_join_with_parquet(spark, seeded):
     got = {r.name: r.n for r in joined.collect()}
     want_keys = {f"name{i}" for i in range(100)}
     assert set(got) <= want_keys and len(got) > 0
+
+
+def test_jdbc_filter_pushes_down_to_the_remote(spark, seeded):
+    """A Spark-side .filter on a JDBC scan must translate into the remote
+    WHERE clause (PushedFilters on the JDBC relation), so the OLTP side
+    ships only matching rows — at scale the difference between reading a
+    table and reading a predicate's worth of it. Complements the
+    subquery-dbtable test: here SPARK does the translation."""
+    from inspectadb_spark.operators.scale import explain_str
+
+    from pyspark.sql import functions as F
+
+    df = (JdbcSnapshotSource(url=DERBY_URL, table="snap_src",
+                             driver=DERBY_DRIVER)
+          .load(spark)
+          .filter((F.col("id") < 10) & (F.col("val") > 1.0))
+          .select("id", "val"))
+    plan = explain_str(df, "formatted")
+    assert "PushedFilters" in plan, plan
+    for frag in ("LessThan", "GreaterThan"):
+        assert frag in plan, plan
+    got = sorted((r.id, r.val) for r in df.collect())
+    assert got == [(i, i * 1.5) for i in range(1, 10)]
