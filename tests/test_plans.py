@@ -821,3 +821,44 @@ def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
             assert files != stamp[d]
         else:
             assert files == stamp[d], d
+
+
+# -- AQE partition coalescing: tiny shuffle partitions merge at runtime ------
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """The inverse of the skew split: a shuffle sized for the BIG stage
+    (here 64 partitions) produces hundreds of near-empty tasks when the
+    data after filtering/aggregation is small — at 1000 executors that is
+    pure scheduling overhead (task launch >> work). AQE's
+    coalescePartitions must merge them to the advisory size at runtime:
+    the executed plan shows `AQEShuffleRead coalesced` and the
+    post-shuffle stage runs FAR fewer tasks than the static 64."""
+    conf = spark.conf
+    keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+        "spark.sql.shuffle.partitions": "64",
+    }
+    old = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"))
+        rows = agg.collect()
+        assert len(rows) >= 3  # the data survived
+        final = agg._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in final
+        assert "coalesced" in final, final
+        # the merged read is drastically narrower than the static plan:
+        # tiny post-agg data under a 64MB advisory size collapses to ~1
+        assert agg.rdd.getNumPartitions() < 64 / 4
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
