@@ -713,12 +713,27 @@ def dsir_importance_weights(
 def dsir_bucket_sql(n_buckets: int = 256, salt: str = "dsir",
                     tok: str = "tok") -> str:
     """The shared md5 feature-bucket expression (SQL string, so the S59
-    live model can use it as an IncrementalAggregate key expr verbatim)."""
+    live model can use it as an IncrementalAggregate key expr verbatim).
+
+    Draws ceil(log16(n_buckets)) md5 nibbles (min 2, so the default
+    B=256 keeps its historical two-nibble form and q346's oracle), then
+    reduces mod n_buckets — without widening the draw, any B > 256 would
+    silently leave buckets 256.. unreachable while the smoothing still
+    normalized by B. Power-of-two B ≤ the drawn range is modulo-bias
+    free; other B carry the usual (tiny) modulo bias, noted not fixed."""
+    B = int(n_buckets)
+    if B < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {B}")
+    n_nibbles = 2
+    while 16 ** n_nibbles < B:
+        n_nibbles += 1
     hexmap = "0123456789abcdef"
     h = f"md5(cast(concat({tok}, ':{salt}') as binary))"
-    return (f"CAST((16 * (instr('{hexmap}', substr({h}, 1, 1)) - 1)"
-            f" + instr('{hexmap}', substr({h}, 2, 1)) - 1)"
-            f" % {int(n_buckets)} AS INT)")
+    acc = " + ".join(
+        f"(instr('{hexmap}', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (n_nibbles - 1 - i)}"
+        for i in range(n_nibbles))
+    return f"CAST(({acc}) % {B} AS INT)"
 
 
 def dsir_bucket_model(docs: DataFrame, target: F.Column,
@@ -745,11 +760,24 @@ def dsir_weights_from_model(docs: DataFrame, model: DataFrame,
     """Score documents against a (bk, cr, ct) bucket model — shared
     VERBATIM by the q346 batch path and the S59 live model. The model need
     not come from the same corpus being scored: a frozen model scores new
-    pool shards without re-counting (the DSIR deployment shape at scale)."""
+    pool shards without re-counting (the DSIR deployment shape at scale).
+
+    The score table is built over the FULL 0..B-1 bucket spine, not just
+    the model's observed buckets: a new shard's token can hash into a
+    bucket the frozen model never saw, and add-one smoothing defines its
+    log-ratio (ln((0+1)(nr+B)/((0+1)(nt+B)))) — an inner join on observed
+    buckets would silently drop such tokens from both n_tokens and the
+    weight sum."""
     B = int(n_buckets)
     counts = model.select(F.col("bk").cast("int").alias("bk"),
                           F.col("cr").cast("bigint").alias("cr"),
                           F.col("ct").cast("bigint").alias("ct"))
+    spark = model.sparkSession
+    spine = spark.range(B).select(F.col("id").cast("int").alias("bk"))
+    counts = (spine.join(counts, "bk", "left")
+              .select("bk",
+                      F.coalesce("cr", F.lit(0)).alias("cr"),
+                      F.coalesce("ct", F.lit(0)).alias("ct")))
     tots = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     lr = (counts.join(F.broadcast(tots))
           .select("bk",

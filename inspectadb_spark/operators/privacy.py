@@ -128,25 +128,29 @@ def t_closeness_readout(
     100 TB story: one scan + one map-side-combinable (QI, s) group-by; the
     global marginal is |sensitive domain|-sized (broadcast), the per-group
     window shuffles on the QI key once, and the threshold sweep explodes
-    the model-sized group table. Counts are bigint; the cross products
-    c·N bound at ~10^18 here (counts ≤ ~10^9 a side) — past that, cast the
-    three factors to DECIMAL(38,0) before the products.
+    the model-sized group table. The cross products and the ×10⁶ ppm step
+    run in DECIMAL(38,0) — on bigint, (dev + n·N)·10⁶ wraps once n·N
+    passes ~4.6×10¹², far below real corpus sizes; decimal keeps the
+    division exact to counts of ~10¹⁶ a side, and it prices in only on
+    the (QI, s)-grain table, never the corpus scan.
     """
     from pyspark.sql import Window
 
     p = pairs.select(*qi_cols, F.col(sensitive_col).alias("_s"),
-                     F.col("c").cast("bigint").alias("c"))
-    marg = p.groupBy("_s").agg(F.sum("c").alias("cs"))
-    tot = p.agg(F.sum("c").alias("big_n"))
+                     F.col("c").cast("decimal(20,0)").alias("c"))
+    marg = p.groupBy("_s").agg(
+        F.sum("c").cast("decimal(20,0)").alias("cs"))
+    tot = p.agg(F.sum("c").cast("decimal(20,0)").alias("big_n"))
     w = Window.partitionBy(*qi_cols)
     j = (p.join(F.broadcast(marg), "_s")
          .join(F.broadcast(tot))
-         .withColumn("n", F.sum("c").over(w)))
+         .withColumn("n", F.sum("c").over(w).cast("decimal(20,0)")))
     g = (j.groupBy(*qi_cols)
          .agg(F.min("n").alias("n"), F.min("big_n").alias("big_n"),
               F.sum(F.abs(F.col("c") * F.col("big_n")
                           - F.col("cs") * F.col("n"))
-                    - F.col("cs") * F.col("n")).alias("dev"))
+                    - F.col("cs") * F.col("n"))
+              .cast("decimal(38,0)").alias("dev"))
          .withColumn("tvd_ppm",
                      F.expr("(dev + n * big_n) * 1000000"
                             " DIV (2 * n * big_n)").cast("bigint")))
@@ -333,10 +337,17 @@ def _attach_laplace_draw(x: DataFrame, group_cols: list[str],
     """Shared keyed-PRF Laplace draw: given a table carrying the cell key
     and an exploded ``lbl`` rung column, append ``_sg`` (±1) and ``_lnq``
     (the DECIMAL-quantized ln factor) from md5(cell:salt:lbl). See
-    ``dp_noisy_release`` for the exactness contract."""
+    ``dp_noisy_release`` for the exactness contract.
+
+    NULL group values encode as an explicit control-char sentinel (not
+    concat_ws's silent skip, under which cells ('x', NULL) and (NULL,
+    'x') would collapse onto the same key and draw IDENTICAL — i.e. not
+    independent — noise)."""
+    key_parts = ", ".join(
+        f"ifnull(cast({c} as string), chr(1))" for c in group_cols)
     return (x.withColumn("_v", F.expr(
         f"CAST(conv(substr(md5(cast("
-        f"concat_ws(':', {', '.join(f'cast({c} as string)' for c in group_cols)},"
+        f"concat_ws(':', {key_parts},"
         f" '{salt}', lbl) as binary)), 1, 8), 16, 10) AS BIGINT)"))
         .withColumn("_u", (F.col("_v") + F.lit(0.5)) / F.lit(4294967296.0))
         .withColumn("_sg", F.when(F.col("_u") >= 0.5, 1).otherwise(-1))
@@ -391,17 +402,20 @@ def dp_noisy_sum_release(
     clipped instead.
 
     Two-level plan, both map-side combinable: (cell, contributor) sums in
-    exact DECIMAL(18,6) → LEAST(total, clip) → cell sums → the shared
+    exact DECIMAL(18,6) → clamp to [−clip, clip] → cell sums → the shared
     keyed-PRF Laplace draw with b = clip/ε (decimal-exact for the default
-    ladder). Clipping diagnostics (how many contributors bind) are NOT
-    released — that statistic is not protected; audit it in tests.
-    Noisy sums release rounded to integer units, negatives unclamped."""
+    ladder). The clamp is TWO-SIDED: on a signed value column (refunds,
+    chargebacks) a one-sided LEAST would leave negative contributions
+    unbounded and the claimed sensitivity false. Clipping diagnostics
+    (how many contributors bind) are NOT released — that statistic is not
+    protected; audit it in tests. Noisy sums release rounded to integer
+    units, negatives unclamped."""
     per = df.groupBy(*group_cols, contributor_col).agg(
         F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_s"))
+    c = F.lit(float(clip)).cast("decimal(18,6)")
     clipped = per.select(
         *group_cols,
-        F.least(F.col("_s"),
-                F.lit(float(clip)).cast("decimal(18,6)")).alias("_cs"))
+        F.greatest(F.least(F.col("_s"), c), -c).alias("_cs"))
     cells = clipped.groupBy(*group_cols).agg(F.sum("_cs").alias("t"))
     x = (cells.withColumn("_r", _rung_explode(releases))
          .select(*group_cols, "t", F.col("_r.lbl").alias("lbl"),

@@ -116,7 +116,7 @@ def ivf_topk_filtered(
     query_vec: list[float],
     allowed: DataFrame,
     k: int = 10,
-    n_probe: int = 3,
+    n_probe: int = 4,
     centroids=None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",

@@ -2236,7 +2236,8 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2),
     cells AS (
       SELECT nation,
-             SUM(LEAST(s, CAST(3000000.0 AS DECIMAL(18,6)))) AS t
+             SUM(GREATEST(LEAST(s, CAST(3000000.0 AS DECIMAL(18,6))),
+                          CAST(-3000000.0 AS DECIMAL(18,6)))) AS t
       FROM per GROUP BY 1),
     r AS (SELECT * FROM (VALUES ('e05', 0.5), ('e20', 2.0)) t(lbl, eps)),
     x AS (

@@ -530,3 +530,53 @@ def test_q349_strict_rung_has_the_higher_bar(spark):
     assert kept["e05"] <= kept["e20"]
     taus = {r.lbl: r.tau for r in rows}
     assert taus["e05"] > taus["e20"]
+
+
+# -- review regressions: clamp sidedness, NULL-key independence ---------------
+
+def test_dp_sum_clamps_negative_contributions_too(spark):
+    from inspectadb_spark.operators.privacy import dp_noisy_sum_release
+
+    # signed values (refunds): a -1e9 contributor must move the release by
+    # at most clip, exactly like the positive whale
+    base = [("g", f"u{i}", 100.0) for i in range(50)]
+    anti_whale = [("g", "refunder", -1_000_000.0)]
+    kw = dict(contributor_col="contributor", value_col="v", clip=1000.0,
+              releases=(("e10", 1.0),))
+    df0 = spark.createDataFrame(base, "g string, contributor string, v double")
+    df1 = spark.createDataFrame(base + anti_whale,
+                                "g string, contributor string, v double")
+    a = dp_noisy_sum_release(df0, ["g"], **kw).first().sum_noisy
+    b = dp_noisy_sum_release(df1, ["g"], **kw).first().sum_noisy
+    assert a - b == 1000     # bounded by the clip, not the raw 1e6
+
+
+def test_dp_null_group_values_draw_independent_noise(spark):
+    from inspectadb_spark.operators.privacy import dp_noisy_release
+
+    # cells ('x', NULL) and (NULL, 'x') must not collapse onto one PRF key
+    rows = [("x", None)] * 50 + [(None, "x")] * 50
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = dp_noisy_release(df, ["a", "b"],
+                           releases=(("e10", 1.0),)).collect()
+    assert len(out) == 2
+    noise = sorted(r.n_noisy - 50 for r in out)
+    assert noise[0] != noise[1], out
+
+
+def test_t_closeness_survives_large_synthetic_counts(spark):
+    # counts big enough that the bigint form of (dev + n*N)*1e6 would wrap
+    # (n*N ~ 2.5e13 > 4.6e12): decimal routing must keep tvd_ppm exact
+    from inspectadb_spark.operators.privacy import t_closeness_readout
+
+    pairs = spark.createDataFrame(
+        [("g1", 0, "x", 5_000_000_000), ("g1", 0, "y", 5_000_000_000),
+         ("g2", 0, "x", 2_500_000_000)],
+        "qi string, band int, s string, c long")
+    out = {r.t_ppm: r for r in
+           t_closeness_readout(pairs, ["qi", "band"], "s").collect()}
+    # global: x=7.5e9, y=5e9 of N=1.25e10; g1 is 50/50 (TVD=0.1),
+    # g2 all-x (TVD=0.4) -> exact ppm, no wraparound garbage
+    assert out[100000].max_tvd_ppm == 400000
+    assert out[300000].groups_gt_t == 1
+    assert 0 <= out[100000].rows_gt_t_ppm <= 1000000

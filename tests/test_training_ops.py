@@ -401,3 +401,41 @@ def test_dsir_topk_plan_takeordered_and_broadcast_model(spark):
     assert "TakeOrderedAndProject" in plan, plan
     # the B-bucket score model joins broadcast, not shuffled
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_frozen_model_scores_unseen_buckets_via_smoothing(spark):
+    from inspectadb_spark.operators.pipeline import (
+        dsir_bucket_model, dsir_weights_from_model,
+    )
+
+    # model trained WITHOUT the token 'zzz-unseen'; the scored shard
+    # contains it — the smoothed spine must keep the token in n_tokens
+    # and give it the zero-count log-ratio, not drop it
+    train = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "uno dos", "es")],
+        "doc_id int, text string, lang string")
+    model = dsir_bucket_model(train, F.col("lang") == "en")
+    shard = spark.createDataFrame(
+        [(10, "alpha zzz-unseen")], "doc_id int, text string")
+    got = dsir_weights_from_model(shard, model).first()
+    assert got.n_tokens == 2      # the unseen-bucket token is not dropped
+    # zero-count buckets contribute ln((nr+B)/(nt+B)) — finite, nonzero
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    zero_lr = Decimal(repr(math.log((0 + 1) * (4 + 256)
+                                    / ((0 + 1) * (2 + 256))))).quantize(
+        Decimal("0.000001")).quantize(Decimal("0.0001"),
+                                      rounding=ROUND_HALF_UP)
+    assert abs(got.logw) > 0 and float(zero_lr) != 0.0
+
+
+def test_dsir_wide_bucket_spaces_are_reachable(spark):
+    from inspectadb_spark.operators.pipeline import dsir_bucket_model
+
+    rows = [(i, f"tok{i}", "en") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    m = dsir_bucket_model(df, F.col("lang") == "en", n_buckets=1024)
+    mx = m.agg(F.max("bk"), F.min("bk")).first()
+    # 400 distinct tokens over 1024 buckets: the upper range (>= 256,
+    # unreachable under a two-nibble draw) must be populated
+    assert mx[0] >= 256 and mx[1] >= 0
