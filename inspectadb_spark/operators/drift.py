@@ -61,6 +61,12 @@ def mmd_linear(df: DataFrame, id_col: str = "vec_id",
     ``y_shift``: optional Column→Column applied to the Y half (the q342
     site plants a +0.5 shift on one dimension to value-exercise the
     detection arm against the stationary fixture).
+
+    Insufficient data is EXPLICIT, not silent: with fewer than 2 complete
+    blocks the variance (and therefore ``h_sd``/``z``) is NULL while
+    ``n_blocks`` states why — a monitor gating on |z| alone would never
+    trip on a starved stream, so gate on ``n_blocks >= 2 AND |z| > c``
+    (pinned in tests/test_drift.py).
     """
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     v = df.select(F.expr(f"{id_col} DIV 4").alias("t"),
@@ -94,8 +100,11 @@ def mmd_linear(df: DataFrame, id_col: str = "vec_id",
     n = F.col("n_blocks")
     shd = F.col("sh").cast("double")
     sh2d = F.col("sh2").cast("double")
-    mean_ = shd / n
-    var_ = (sh2d - shd * shd / n) / (n - F.lit(1))
+    # guard the degenerate counts explicitly: under ANSI (the Spark 4
+    # default) n-1 = 0 would THROW mid-monitor instead of returning the
+    # documented NULL insufficient-data signal
+    mean_ = F.when(n > 0, shd / n)
+    var_ = F.when(n > 1, (sh2d - shd * shd / n) / (n - F.lit(1)))
 
     def r4c(col: Column) -> Column:
         return F.round(col.cast("decimal(18,6)"), 4).cast("double")

@@ -173,6 +173,15 @@ def t_closeness_readout(
         .orderBy("t_ppm"))
 
 
+def _check_base_width(base_width: float) -> None:
+    if base_width < 1 or float(base_width) != int(base_width):
+        raise ValueError(
+            f"base_width must be a positive integer-valued width, got "
+            f"{base_width!r}: the published/enforced `width` column is "
+            f"m * int(base_width), so a fractional width would measure "
+            f"risk on one banding and release another")
+
+
 def anonymize_sweep(df: DataFrame, group_cols: list[str], value_col: str,
                     k: int = 5, base_width: float = 2000.0,
                     multipliers: tuple[int, ...] = (1, 2, 4, 8),
@@ -192,7 +201,13 @@ def anonymize_sweep(df: DataFrame, group_cols: list[str], value_col: str,
     (the floor-nesting law, unit-pinned), so widening bands only ever
     merges whole base cells. The selection is a one-row aggregate
     broadcast back onto the sweep.
+
+    ``base_width`` must be a positive integer-valued width: the reported
+    (and enforced — ``k_anonymize`` re-bands by it) ``width`` column is
+    ``m · int(base_width)``, so a fractional width would measure risk on
+    one banding and publish/enforce another.
     """
+    _check_base_width(base_width)
     b0 = F.floor(F.col(value_col) / F.lit(float(base_width))).cast("int")
     g0 = (df.select(*group_cols, b0.alias("b0"))
           .groupBy(*group_cols, "b0").agg(F.count(F.lit(1)).alias("n")))
@@ -212,6 +227,7 @@ def anonymize_sweep_from_groups(groups: DataFrame, group_cols: list[str],
     IncrementalAggregate state has exactly this shape (`count` kind keyed
     by the QI cell). Everything below the base group-by is model-sized,
     so the live readout costs the same regardless of stream history."""
+    _check_base_width(base_width)
     g0 = groups.select(*group_cols, F.col("b0").cast("int").alias("b0"),
                        F.col("n").cast("bigint").alias("n"))
     x = g0.withColumn(

@@ -302,8 +302,6 @@ def ivf_topk(
 
     ``centroids`` (rows = cells) overrides the default seeded-random set —
     pass ``kmeans_fit(...)``'s output for trained, balanced inverted lists."""
-    import math
-
     dim = len(query_vec)
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64).copy()
@@ -380,7 +378,17 @@ def save_ivf_index(
     assignment still happens on the FULL-PRECISION vectors; the
     (pos, lo, hi) codebook rides with the model and ``read_ivf_lists``
     dequantizes transparently, so every serving path works unchanged
-    with the q43f-property error bound."""
+    with the q43f-property error bound.
+
+    A rebuild SUPERSEDES any streamed-in deltas: the INGEST pointer (if a
+    StreamingIvfIngest ever committed here) is removed, because its delta
+    lists were cell-assigned under the OLD centroid model — leaving it in
+    place would make every reader prefer stale pre-rebuild lists whose
+    cells no longer match the new probe ranking. Stop (and re-seed) any
+    live ingester before rebuilding in place."""
+    ingest_ptr = os.path.join(path, "INGEST")
+    if os.path.exists(ingest_ptr):
+        os.remove(ingest_ptr)
     cents = np.asarray(centroids, dtype=np.float64).copy()
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     spark = vectors.sparkSession
@@ -532,11 +540,16 @@ def ivf_knn_join_from_index(
     """``ivf_knn_join`` against a PERSISTED index: the collection side is
     the cell-partitioned lists table as written — its cell assignment is
     never recomputed, and the cell equi-join reads each query batch's
-    probed lists only. The serving path for a stream of query vectors
-    (S50): stateless per row, so foreachBatch over this function is
-    batch ≡ stream by construction."""
+    probed lists only: the batch's distinct probed cells (bounded by
+    n_centroids — one tiny query-side job) become a STATIC partition
+    filter on the lists scan, so non-probed directories are never opened
+    regardless of whether runtime pruning fires. The serving path for a
+    stream of query vectors (S50): stateless per row, so foreachBatch
+    over this function is batch ≡ stream by construction."""
     cents = load_ivf_centroids(spark, path)
+    probed = _collect_probed_cells(queries, cents, vec_col, n_probe)
     lists = (read_ivf_lists(spark, path, vec_col)
+             .filter(F.col("_cell").isin(probed))
              .select(F.col(id_col).alias("n_id"),
                      F.col(vec_col).alias("ce"),
                      F.sqrt(_norm2(vec_col)).alias("cm"),
@@ -668,20 +681,15 @@ def ivf_pq_knn_join_from_index(
 
     cents = load_ivf_centroids(spark, path)
     books = load_pq_codebooks(spark, path)
+    probed = _collect_probed_cells(queries, cents, vec_col, n_probe)
     lists = (spark.read.parquet(f"{path}/pq_lists")
+             .filter(F.col("_cell").isin(probed))
              .select(F.col(id_col).alias("n_id"), "_pq", "_vnorm",
                      F.col("_cell").cast("int").alias("_cell"))
              .filter(F.col("_vnorm") > 0))
 
     vm = F.sqrt(_norm2(vec_col))
-    choices = []
-    for cid in range(len(cents)):
-        lit_c = F.array(*[F.lit(float(x)) for x in cents[cid]])
-        score = _dot(F.col(vec_col), lit_c) / vm
-        choices.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
-    probe_cells = F.transform(
-        F.slice(F.reverse(F.array_sort(F.array(*choices))), 1, n_probe),
-        lambda st: -st.getField("nc"))
+    probe_cells = _probe_cells_expr(cents, vec_col, n_probe)
     q = (queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe"),
             vm.alias("qm"), F.explode(probe_cells).alias("_cell"))
@@ -768,6 +776,37 @@ def knn_join(
                         vec_col, id_col, exclude_self)
 
 
+def _probe_cells_expr(cents: np.ndarray, vec_col: str,
+                      n_probe: int) -> Column:
+    """Per-row top-``n_probe`` probe cells as an array column — the
+    distributed twin of the driver-side ``_probe_cells``. Sort asc on
+    (score, -cell), reverse → desc score, lower cell on ties: the same
+    deterministic argmax order ``ivf_assign`` uses, extended to top-n.
+    ``cents`` must be row-normalized."""
+    vm = F.sqrt(_norm2(vec_col))
+    choices = []
+    for cid in range(len(cents)):
+        lit_c = F.array(*[F.lit(float(x)) for x in cents[cid]])
+        score = _dot(F.col(vec_col), lit_c) / vm
+        choices.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+    return F.transform(
+        F.slice(F.reverse(F.array_sort(F.array(*choices))), 1, n_probe),
+        lambda st: -st.getField("nc"))
+
+
+def _collect_probed_cells(queries: DataFrame, cents: np.ndarray,
+                          vec_col: str, n_probe: int) -> list[int]:
+    """The distinct cells ANY query in the batch probes — bounded by
+    n_centroids (model-sized), collected in one tiny job so a persisted
+    index's list scan can be statically partition-filtered to exactly
+    those directories before the cell equi-join."""
+    rows = (queries
+            .select(F.explode(_probe_cells_expr(cents, vec_col, n_probe))
+                    .alias("_cell"))
+            .distinct().collect())
+    return [int(r._cell) for r in rows]
+
+
 def _knn_join_on_cells(
     queries: DataFrame,
     collection_assigned: DataFrame,
@@ -782,16 +821,7 @@ def _knn_join_on_cells(
     against a pre-assigned collection (n_id, ce, cm, _cell), ppm-cosine
     window top-k. ``cents`` must be row-normalized."""
     vm = F.sqrt(_norm2(vec_col))
-    choices = []
-    for cid in range(len(cents)):
-        lit_c = F.array(*[F.lit(float(x)) for x in cents[cid]])
-        score = _dot(F.col(vec_col), lit_c) / vm
-        choices.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
-    # sort asc on (score, -cell), reverse → desc score, lower cell on ties:
-    # the same deterministic argmax order ivf_assign uses, extended to top-n
-    probe_cells = F.transform(
-        F.slice(F.reverse(F.array_sort(F.array(*choices))), 1, n_probe),
-        lambda st: -st.getField("nc"))
+    probe_cells = _probe_cells_expr(cents, vec_col, n_probe)
 
     q = (queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe"),
@@ -1198,8 +1228,6 @@ def pq_adc_topk(
     two-stage serving — ADC keeps the top ``rerank`` (default 5k)
     candidate ids, the base table is joined semi-style for those ids only,
     and exact ``cosine_topk`` reranks, returning its (id, sim) contract."""
-    import math
-
     m, ks, dsub = codebooks.shape
     qv = np.asarray(query_vec, dtype=np.float64)
     if qv.shape[0] != m * dsub:

@@ -189,10 +189,14 @@ def quarantine_split_lines(
         parsed = F.from_csv("value", F.lit(ddl), opts)
     else:
         raise ValueError(f"unsupported line format: {fmt!r}")
-    raw = lines.filter(F.length(F.trim("value")) > 0)
-    tagged = raw.select(F.col("value"), parsed.alias("_j"))
+    tagged = lines.select(F.col("value"), parsed.alias("_j"))
+    # blank/whitespace-only lines are malformed records, not invisible:
+    # they QUARANTINE (dropping them would break the total-preserving
+    # contract, and from_csv('') even parses to a silent all-null "good"
+    # row with no corrupt marker)
     bad_pred = (F.col("_j").isNull()
-                | F.col("_j._corrupt_record").isNotNull())
+                | F.col("_j._corrupt_record").isNotNull()
+                | (F.length(F.trim("value")) == 0))
     good = (tagged.filter(~bad_pred)
             .select("_j.*").drop("_corrupt_record"))
     bad = tagged.filter(bad_pred).select("value")

@@ -560,3 +560,92 @@ def test_pq_encode_routes_agree_and_auto_picks_by_size(spark):
             e.filter(F.col("vec_id") == 5).first()["embedding"]]
     two = pq_adc_topk(auto_big, big, qvec, k=10, rerank=n, vectors=e)
     assert two.collect() == cosine_topk(e, qvec, k=10).collect()
+
+
+# -- review regressions: rebuild supersedes ingest; batched join prunes ------
+
+def test_rebuild_supersedes_streamed_ingest_pointer(spark, tmp_path):
+    """An in-place save_ivf_index after a streaming ingest must clear the
+    INGEST pointer: its delta lists were cell-assigned under the OLD
+    centroid model, so a reader preferring them would serve stale lists
+    against the new probe ranking."""
+    from inspectadb_spark.operators.similarity import (
+        ivf_topk, ivf_topk_from_index, kmeans_fit, read_ivf_lists,
+        save_ivf_index,
+    )
+    from inspectadb_spark.streaming.ann_index import StreamingIvfIngest
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    cents, _ = kmeans_fit(base, k=4, iters=1)
+    idx = str(tmp_path / "idx")
+    save_ivf_index(base, cents, idx)
+
+    inc = StreamingIvfIngest(spark, idx)
+    inc._apply_batch(e.filter(F.col("vec_id") % 5 == 0), batch_id=0)
+    assert os.path.exists(f"{idx}/INGEST")
+
+    # offline rebuild over the FULL collection with a fresh model
+    cents2, _ = kmeans_fit(e, k=8, iters=1)
+    save_ivf_index(e, cents2, idx)
+    assert not os.path.exists(f"{idx}/INGEST")
+    # readers see exactly the rebuilt base — count and serving parity
+    assert read_ivf_lists(spark, idx).count() == e.count()
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    served = ivf_topk_from_index(spark, idx, qvec, k=5, n_probe=8)
+    inline = ivf_topk(e, qvec, k=5, n_probe=8, centroids=cents2)
+    rows = lambda df: [tuple(str(x) for x in r) for r in df.collect()]
+    assert rows(served) == rows(inline)
+
+
+def test_batched_knn_join_scans_only_probed_cells(spark, tmp_path):
+    """The batched join must partition-filter the lists scan to the query
+    batch's probed cells — without it every serving micro-batch re-reads
+    the whole index. Proven on the executed scan's numPartitions metric,
+    like the single-query path."""
+    from inspectadb_spark.operators.similarity import (
+        _collect_probed_cells, ivf_knn_join_from_index, kmeans_fit,
+        load_ivf_centroids, save_ivf_index,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=8, iters=1)
+    idx = str(tmp_path / "idx")
+    save_ivf_index(e, cents, idx)
+
+    queries = e.filter(F.col("vec_id") == 0)
+    out = ivf_knn_join_from_index(spark, idx, queries, k=3, n_probe=2)
+    out.collect()
+
+    def scan_metric(df, name):
+        def walk(n):
+            if "AdaptiveSparkPlan" in n.nodeName():
+                return walk(n.finalPhysicalPlan())
+            if "QueryStage" in n.nodeName():
+                return walk(n.plan())
+            if "Scan parquet" in n.nodeName():
+                m = n.metrics()
+                if m.contains(name):
+                    v = m.apply(name).value()
+                    if v is not None:
+                        return v
+            cs = n.children()
+            for i in range(cs.length()):
+                got = walk(cs.apply(i))
+                if got is not None:
+                    return got
+            return None
+        return walk(df._jdf.queryExecution().executedPlan())
+
+    probed = _collect_probed_cells(
+        queries, load_ivf_centroids(spark, idx), "embedding", 2)
+    n_cells = len([d for d in os.listdir(f"{idx}/lists")
+                   if d.startswith("_cell=")])
+    # one of the two parquet scans is the lists side; embeddings.parquet
+    # is unpartitioned (metric 1), so a partition count equal to the probe
+    # set proves the static filter pruned the index directories
+    got = scan_metric(out, "numPartitions")
+    assert got == len(probed) < n_cells, (got, probed, n_cells)

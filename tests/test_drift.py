@@ -87,3 +87,17 @@ def test_mmd_plan_is_one_block_shuffle_no_window(spark):
     # partition fold; no other data movement
     n_exch = plan.count("Exchange hashpartitioning")
     assert n_exch == 1, plan
+
+
+def test_mmd_starved_stream_reports_null_z_with_block_count(spark):
+    """Fewer than 2 complete blocks cannot estimate a variance: h_sd and z
+    are NULL while n_blocks says why — so a monitor must gate on
+    n_blocks >= 2 AND |z|, never |z| alone (docstring contract)."""
+    from inspectadb_spark.operators.drift import mmd_linear
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(6)]  # exactly 1 block
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmd_linear(df, sigma2=4.0).first()
+    assert out.n_blocks == 1
+    assert out.mmd_l is not None
+    assert out.h_sd is None and out.z is None

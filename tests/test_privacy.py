@@ -580,3 +580,14 @@ def test_t_closeness_survives_large_synthetic_counts(spark):
     assert out[100000].max_tvd_ppm == 400000
     assert out[300000].groups_gt_t == 1
     assert 0 <= out[100000].rows_gt_t_ppm <= 1000000
+
+
+def test_sweep_rejects_fractional_or_degenerate_base_width(spark):
+    import pytest as _pytest
+
+    from inspectadb_spark.operators.privacy import anonymize_sweep
+
+    c = _cust(spark)
+    for bad in (2500.5, 0.5, 0):
+        with _pytest.raises(ValueError, match="integer-valued"):
+            anonymize_sweep(c, ["nation"], "c_acctbal", base_width=bad)

@@ -81,3 +81,26 @@ def test_quarantine_split_is_scan_side(spark, tmp_path):
     plan = explain_str(good, "simple")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blank_lines_quarantine_not_vanish(spark, tmp_path):
+    """Whitespace-only lines are malformed records, not invisible: they
+    must land in quarantine (from_csv('') would even parse to a silent
+    all-null 'good' row), so count(good) + count(bad) equals the raw line
+    count with no exception for blanks."""
+    src = tmp_path / "in.jsonl"
+    lines = ['{"id": 1, "name": "a"}', '', '   ', '{"id": 2, "name": "b"}']
+    src.write_text("\n".join(lines) + "\n")
+    good, bad = read_json_with_quarantine(spark, str(src), SCHEMA)
+    n_raw = spark.read.text(str(src)).count()
+    assert good.count() == 2
+    assert good.count() + bad.count() == n_raw
+    assert sorted(r.value for r in bad.collect()) == ["", "   "]
+
+    csv_src = tmp_path / "in.csv"
+    csv_src.write_text("1,a\n\n2,b\n")
+    goodc, badc = read_csv_with_quarantine(spark, str(csv_src), SCHEMA)
+    # the empty line must NOT become an all-null good row
+    assert goodc.count() == 2
+    assert goodc.filter("id IS NULL").count() == 0
+    assert badc.count() == spark.read.text(str(csv_src)).count() - 2
