@@ -229,3 +229,49 @@ def ivf_drift_readout(state: DataFrame, trained_inertia: float,
                         .cast("double"))
             .withColumn("stale", F.col("mean_d2") > 2 * F.col("trained_bar"))
             .orderBy("cell"))
+
+
+def gc_index(index_path: str) -> list[str]:
+    """Remove orphaned list directories from a streamed-into index.
+
+    The ingester retires superseded dirs ONE SWAP LATE (so a reader
+    holding the previous pointer never loses files) — which means an
+    ingester that stops right after a compaction leaves its final
+    superseded base + deltas on disk forever, and abandoned checkpoints
+    leave whole ``lists_delta/run=*`` trees behind. This pass deletes
+    every ``lists_v*`` / ``lists_delta`` subtree NOT referenced by the
+    committed INGEST pointer (the build-time ``lists`` base is always
+    kept: with no pointer it IS the index). Run it in a quiet window or
+    accept that a reader launched from a pointer older than the current
+    one may lose its files — the same contract as the ingester's own
+    deferred retirement, one step later.
+
+    Returns the removed paths (for the operational log)."""
+    ptr = os.path.join(index_path, "INGEST")
+    referenced: set[str] = set()
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            referenced = {
+                os.path.normpath(p)
+                for p in f.read().strip().splitlines()[0].split("|") if p}
+    removed: list[str] = []
+    for d in sorted(os.listdir(index_path)):
+        full = os.path.normpath(os.path.join(index_path, d))
+        if d.startswith("lists_v") and full not in referenced:
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+        elif d == "lists_delta":
+            # prune per-(run, batch) leaves individually: a live run's
+            # committed deltas stay, everything else goes
+            for run in sorted(os.listdir(full)):
+                rdir = os.path.join(full, run)
+                for b in sorted(os.listdir(rdir)):
+                    leaf = os.path.normpath(os.path.join(rdir, b))
+                    if leaf not in referenced:
+                        shutil.rmtree(leaf, ignore_errors=True)
+                        removed.append(leaf)
+                if not os.listdir(rdir):
+                    os.rmdir(rdir)
+            if not os.listdir(full):
+                os.rmdir(full)
+    return removed

@@ -649,3 +649,51 @@ def test_batched_knn_join_scans_only_probed_cells(spark, tmp_path):
     # set proves the static filter pruned the index directories
     got = scan_metric(out, "numPartitions")
     assert got == len(probed) < n_cells, (got, probed, n_cells)
+
+
+def test_gc_index_removes_orphans_and_keeps_committed(spark, tmp_path):
+    """An ingester stopping right after a compaction orphans its
+    superseded base+deltas (retirement is deferred one swap). gc_index
+    must delete exactly the unreferenced lists_v*/delta subtrees and
+    leave serving unchanged."""
+    from inspectadb_spark.operators.similarity import (
+        ivf_knn_join_from_index, kmeans_fit, read_ivf_lists, save_ivf_index,
+    )
+    from inspectadb_spark.streaming.ann_index import StreamingIvfIngest, gc_index
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 4 != 1)
+    cents, _ = kmeans_fit(base, k=4, iters=1)
+    idx = str(tmp_path / "idx")
+    save_ivf_index(base, cents, idx)
+
+    # compact_every=2: batch 0 appends a delta, batch 1 compacts -> the
+    # superseded (lists, delta) dirs are left retired-but-present
+    inc = StreamingIvfIngest(spark, idx, compact_every=2)
+    inc._checkpoint = str(tmp_path / "ck")
+    half = e.filter(F.col("vec_id") % 4 == 1)
+    inc._apply_batch(half.filter(F.col("vec_id") % 8 == 1), batch_id=0)
+    inc._apply_batch(half.filter(F.col("vec_id") % 8 == 5), batch_id=1)
+
+    committed = set(inc.committed_paths())
+    orphans_before = [
+        d for d in os.listdir(idx)
+        if d.startswith("lists_delta") or
+        (d.startswith("lists_v") and os.path.join(idx, d) not in committed)]
+    assert orphans_before, "fixture must actually orphan something"
+    n_rows = read_ivf_lists(spark, idx).count()
+
+    removed = gc_index(idx)
+    assert removed, removed
+    # every committed path survives; every orphan is gone
+    for p in committed:
+        assert os.path.exists(p)
+    leftovers = [
+        d for d in os.listdir(idx)
+        if d.startswith("lists_v") and os.path.join(idx, d) not in committed]
+    assert not leftovers
+    # serving is unchanged
+    assert read_ivf_lists(spark, idx).count() == n_rows
+    q = e.filter(F.col("vec_id") == 0)
+    assert ivf_knn_join_from_index(spark, idx, q, k=3, n_probe=2).count() == 3
