@@ -862,3 +862,38 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_bucketed_append_preserves_colocated_join(spark, tmp_path):
+    """The bucketed layout is only worth its write cost if INGEST can
+    continue into it: appending with the same bucketBy/sortBy spec must
+    keep the join exchange-free (each append adds one file per bucket;
+    Spark plans per-bucket reads across all files of a bucket). A
+    mismatched append would either error or silently degrade to a
+    shuffle — this pins the zero-exchange plan AND row totality across
+    an append."""
+    from inspectadb_spark.operators.scale import bucketed_write
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktapp LOCATION '{tmp_path}/bktapp'")
+    try:
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet") \
+            .withColumnRenamed("l_orderkey", "o_orderkey")
+        first = o.filter("o_orderkey % 2 = 0")
+        second = o.filter("o_orderkey % 2 = 1")
+        bucketed_write(first, "bktapp.o_b", "o_orderkey", 4,
+                       sort_col="o_orderkey")
+        bucketed_write(li, "bktapp.l_b", "o_orderkey", 4,
+                       sort_col="o_orderkey")
+        (second.write.format("parquet").mode("append")
+         .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+         .saveAsTable("bktapp.o_b"))
+        j = (spark.table("bktapp.o_b").hint("merge")
+             .join(spark.table("bktapp.l_b"), "o_orderkey"))
+        assert count_exchanges(j) == 0, explain_str(j, "simple")
+        assert j.count() == li.count()
+        # both halves really are in the table (the append landed)
+        assert spark.table("bktapp.o_b").count() == o.count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktapp CASCADE")
