@@ -246,17 +246,22 @@ def gc_index(index_path: str) -> list[str]:
     one may lose its files — the same contract as the ingester's own
     deferred retirement, one step later.
 
-    Returns the removed paths (for the operational log)."""
+    Returns the removed paths (for the operational log).
+
+    Paths are compared via ``os.path.realpath``: the pointer may have
+    been written from a different working directory or through a symlink
+    than the one this call uses — a naive string compare would then see
+    every committed dir as unreferenced and delete the LIVE index."""
     ptr = os.path.join(index_path, "INGEST")
     referenced: set[str] = set()
     if os.path.exists(ptr):
         with open(ptr) as f:
             referenced = {
-                os.path.normpath(p)
+                os.path.realpath(p)
                 for p in f.read().strip().splitlines()[0].split("|") if p}
     removed: list[str] = []
     for d in sorted(os.listdir(index_path)):
-        full = os.path.normpath(os.path.join(index_path, d))
+        full = os.path.realpath(os.path.join(index_path, d))
         if d.startswith("lists_v") and full not in referenced:
             shutil.rmtree(full, ignore_errors=True)
             removed.append(full)
@@ -266,7 +271,7 @@ def gc_index(index_path: str) -> list[str]:
             for run in sorted(os.listdir(full)):
                 rdir = os.path.join(full, run)
                 for b in sorted(os.listdir(rdir)):
-                    leaf = os.path.normpath(os.path.join(rdir, b))
+                    leaf = os.path.realpath(os.path.join(rdir, b))
                     if leaf not in referenced:
                         shutil.rmtree(leaf, ignore_errors=True)
                         removed.append(leaf)

@@ -79,6 +79,8 @@ class StreamingCdcApply:
         # keep only the latest change per key within the batch, then union
         # with prior state and re-apply latest-wins. The per-key max-lsn rows
         # in state carry their lsn, so cross-batch ordering stays correct.
+        if batch.isEmpty():
+            return  # idle trigger: don't rewrite the whole state for a no-op
         state = self._state_raw()
         merged_input = batch if state is None else state.unionByName(batch)
         new_state = latest_per_key(merged_input, self.key_cols, self.order_col)

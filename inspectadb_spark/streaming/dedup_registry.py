@@ -171,7 +171,16 @@ class DedupRegistry:
         )
         seen = self.seen_keys()
         if seen is not None:
-            firsts = firsts.join(seen, self.key_cols, "left_anti")
+            # NULL-SAFE anti join: a NULL dedup key is a key like any
+            # other (grouping already treats NULLs as equal), but plain
+            # column equality never matches NULL = NULL — a bare
+            # `join(..., key_cols, "left_anti")` would re-emit the
+            # null-key row every batch forever
+            cond = None
+            for c in self.key_cols:
+                eq = firsts[c].eqNullSafe(seen[c])
+                cond = eq if cond is None else (cond & eq)
+            firsts = firsts.join(seen, cond, "left_anti")
         # output first (idempotent by run+batch path), then the key delta,
         # then the pointer swap
         out = os.path.join(self.out_dir, f"run={self._run_tag()}",

@@ -147,6 +147,11 @@ class IncrementalAggregate:
             # committed state — double-applying an additive merge would
             # permanently inflate counts/sums
             return
+        if batch.isEmpty():
+            # an idle trigger (watermark advance, availableNow drain tail)
+            # carries zero information; without this guard it would still
+            # rewrite the ENTIRE state table — O(|state|) I/O per no-op
+            return
         partial = self._partial(batch)
         state = self.table()
         merged_in = partial if state is None else state.unionByName(partial)
@@ -294,10 +299,21 @@ class StreamingMisraGries(IncrementalAggregate):
         self.m = m
 
     def _partial(self, batch: DataFrame) -> DataFrame:
-        counts = super()._partial(batch)
+        # NULL items are excluded BEFORE counting: NULL is the exact-total
+        # sentinel's reserved key, so a null-valued item_expr row (e.g. a
+        # regexp_extract miss) would otherwise merge into the sentinel and
+        # silently inflate n — and with it every threshold and error bar.
+        # n therefore counts tracked (non-null) rows only, keeping the
+        # n/(m+1) guarantee aligned with what the summary actually saw.
+        counts = (super()._partial(batch)
+                  .filter(F.col("item").isNotNull()))
         total = batch.select(
             F.lit(None).cast("string").alias("item"),
-            F.count("*").alias("cnt"),
+            F.coalesce(
+                F.sum(F.expr(
+                    f"CASE WHEN ({self.key_exprs['item']}) IS NOT NULL "
+                    "THEN 1 ELSE 0 END")),
+                F.lit(0)).cast("bigint").alias("cnt"),
         )
         return counts.unionByName(total)
 

@@ -73,8 +73,6 @@ def streaming_cusum(
     )
 
 
-_GAP_OUT = ("user_id bigint, n_gaps bigint, min_gap_s bigint, "
-            "max_gap_s bigint, sum_s bigint, sum_sq bigint")
 _GAP_STATE = ("last_us bigint, n_gaps bigint, min_gap_s bigint, "
               "max_gap_s bigint, sum_s bigint, sum_sq bigint")
 
@@ -98,10 +96,18 @@ def streaming_gap_profile(
     BIGINT with gap in integer seconds (gap ≤ ~3e7 s ⇒ gap² ≤ 9e14,
     ~9e3 years of per-second events before overflow; promote to the
     DECIMAL(38,0) state column beyond that).
+
+    The output schema's key column carries ``key_col``'s own NAME AND
+    TYPE (taken from the input schema) — a hardcoded ``user_id bigint``
+    would crash Arrow conversion for any string/decimal key.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = stream.schema[key_col].dataType.simpleString()
+    gap_out = (f"{key_col} {key_type}, n_gaps bigint, min_gap_s bigint, "
+               "max_gap_s bigint, sum_s bigint, sum_sq bigint")
 
     def track(key, pdf_iter, state: GroupState):
         last_us, n_gaps, mn, mx, sum_s, sum_sq = (
@@ -127,7 +133,7 @@ def streaming_gap_profile(
         state.update((last_us, int(n_gaps),
                       mn, mx, int(sum_s), int(sum_sq)))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_gaps": [n_gaps],
+            {key_col: [key[0]], "n_gaps": [n_gaps],
              "min_gap_s": [mn], "max_gap_s": [mx],
              "sum_s": [sum_s], "sum_sq": [sum_sq]}
         )
@@ -135,7 +141,7 @@ def streaming_gap_profile(
     return (
         stream.groupBy(key_col)
         .applyInPandasWithState(
-            track, _GAP_OUT, _GAP_STATE, "update",
+            track, gap_out, _GAP_STATE, "update",
             GroupStateTimeout.NoTimeout,
         )
     )

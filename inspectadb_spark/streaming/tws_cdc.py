@@ -93,13 +93,20 @@ def streaming_cdc_latest(
     key_col: str,
     value_cols: list[str],
     output_mode: str = "update",
+    order_col: str = "lsn",
 ) -> DataFrame:
     """Wire a change stream through the CDC state machine. Output rows carry
-    op so consumers can MERGE (op != 'd') / DELETE (op == 'd')."""
-    out_schema = f"{key_col} bigint, " + cdc_state_schema(value_cols)
+    op so consumers can MERGE (op != 'd') / DELETE (op == 'd').
+
+    The output key column carries ``key_col``'s own type from the input
+    schema (a hardcoded bigint would break string/decimal keys at Arrow
+    conversion), and ``order_col`` names the change-ordering column of
+    feeds that don't call theirs ``lsn``."""
+    key_type = changes.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, " + cdc_state_schema(value_cols)
     str_changes = changes.selectExpr(
         key_col,
-        "CAST(lsn AS BIGINT) AS lsn",
+        f"CAST({order_col} AS BIGINT) AS lsn",
         "op",
         *[f"CAST({c} AS STRING) AS {c}" for c in value_cols],
     )

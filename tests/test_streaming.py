@@ -3158,3 +3158,140 @@ def test_s61_state_reader_covers_dedup_and_join_state(spark, tmp_path):
               .join(spark.read.parquet(osrc).selectExpr("o_custkey AS k"),
                     "k").count())
     assert got == want_n
+
+
+# --------------------------------------------------------------------------
+# Review regressions: null keys/items, idle-trigger rewrites, pointer
+# format cross-parsing, and key-schema generality of the stateful monitors.
+
+def test_dedup_registry_suppresses_null_keys_across_batches(spark, tmp_path):
+    """NULL is a dedup key like any other: the first null-key row wins and
+    every later one is suppressed — a plain (non-null-safe) anti join
+    would re-emit it every batch forever."""
+    from inspectadb_spark.streaming.dedup_registry import DedupRegistry
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import pyarrow as pa
+    now = time.time()
+    for i in range(3):
+        t = pa.table({"k": [None, f"k{i}"], "seq": [i * 2, i * 2 + 1],
+                      "payload": [f"null-{i}", f"val-{i}"]})
+        p = f"{src}/c{i}.parquet"
+        pq.write_table(t, p)
+        os.utime(p, (now + i, now + i))
+
+    reg = DedupRegistry(spark, str(tmp_path / "state"),
+                        str(tmp_path / "out"), ["k"], ["seq"])
+    q = reg.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    nulls = out.filter(F.col("k").isNull()).collect()
+    assert len(nulls) == 1               # first-seen-wins, once, forever
+    assert nulls[0].payload == "null-0"
+    assert out.count() == 4              # 1 null + k0/k1/k2
+
+
+def test_misra_gries_ignores_null_items_and_counts_only_tracked(spark,
+                                                                tmp_path):
+    from inspectadb_spark.streaming.incremental import StreamingMisraGries
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import pyarrow as pa
+    t = pa.table({"tok": ["a"] * 6 + [None] * 10 + ["b"] * 3})
+    pq.write_table(t, f"{src}/c0.parquet")
+
+    mg = StreamingMisraGries(spark, str(tmp_path / "state"),
+                             item_expr="tok", m=4)
+    q = mg.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                 available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+    state = {r.item: r.cnt for r in mg.table().collect()}
+    # the sentinel (NULL item) holds the TRACKED total — nulls excluded
+    assert state[None] == 9
+    assert state["a"] == 6 and state["b"] == 3
+
+
+def test_incremental_aggregate_skips_empty_batch_rewrite(spark, tmp_path):
+    from inspectadb_spark.streaming.incremental import IncrementalAggregate
+
+    inc = IncrementalAggregate(
+        spark, str(tmp_path / "state"),
+        key_exprs={"k": "k"}, measures=[("n", "count", "*")])
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    inc._merge_batch(df, 0)
+    v_after_data = inc._version
+    inc._merge_batch(df.limit(0), 1)
+    # the idle trigger rewrote nothing: same version, same state
+    assert inc._version == v_after_data
+    assert {r.k: r.n for r in inc.table().collect()} == {"a": 1, "b": 1}
+
+
+def test_gap_profile_accepts_string_keys(spark, tmp_path):
+    """key_col generality is real: the output schema carries the key's own
+    name and type (a hardcoded 'user_id bigint' crashed string keys)."""
+    from inspectadb_spark.streaming.monitor import streaming_gap_profile
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import datetime
+    import pyarrow as pa
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table({
+        "session_id": ["s1"] * 3 + ["s2"] * 2,
+        "ts": [base + datetime.timedelta(seconds=s)
+               for s in (0, 10, 40, 5, 6)],
+        "event_id": [1, 2, 3, 4, 5]})
+    pq.write_table(t, f"{src}/c0.parquet")
+
+    prof = streaming_gap_profile(_stream(spark, src), key_col="session_id")
+    q = (prof.writeStream.format("memory").queryName("s_gap_str")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    rows = {r.session_id: r for r in spark.table("s_gap_str").collect()}
+    assert rows["s1"].n_gaps == 2 and rows["s1"].sum_s == 40
+    assert rows["s2"].n_gaps == 1 and rows["s2"].sum_s == 1
+
+
+def test_ingest_pointer_wire_format_cross_parses(spark, tmp_path):
+    """Four code sites speak the INGEST/registry pointer format (writers:
+    DedupRegistry, StreamingIvfIngest; readers: their _read_ptr,
+    read_ivf_lists, gc_index). Pin the wire format once so drift in any
+    one of them fails loudly: 'paths|joined \\n checkpoint \\n batch'."""
+    from inspectadb_spark.operators.similarity import (
+        kmeans_fit, read_ivf_lists, save_ivf_index,
+    )
+    from inspectadb_spark.streaming.ann_index import (
+        StreamingIvfIngest, gc_index,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e.limit(200), k=4, iters=1)
+    idx = str(tmp_path / "idx")
+    save_ivf_index(e.filter("vec_id < 200"), cents, idx)
+    inc = StreamingIvfIngest(spark, idx)
+    inc._checkpoint = str(tmp_path / "ck")
+    inc._apply_batch(e.filter("vec_id >= 200 AND vec_id < 250"), batch_id=0)
+
+    raw = open(f"{idx}/INGEST").read()
+    lines = raw.strip().splitlines()
+    assert len(lines) == 3, raw                       # paths, ckpt, batch
+    paths = [p for p in lines[0].split("|") if p]
+    assert lines[1] == inc._checkpoint and lines[2] == "0"
+    # every parser agrees with the writer
+    assert inc.committed_paths() == paths
+    assert read_ivf_lists(spark, idx).count() == 250
+    # gc with a redundantly-spelled index path must not delete live dirs
+    aliased = os.path.join(str(tmp_path), ".", "idx")
+    gc_index(aliased)
+    for p in paths:
+        assert os.path.exists(p), p
+    assert read_ivf_lists(spark, idx).count() == 250
