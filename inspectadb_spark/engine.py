@@ -29,6 +29,7 @@ contract (``refresh_mv`` for batch, streaming/incremental.py for live).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,8 +90,13 @@ class Engine:
         not IEEE-double SUM order-dependence."""
         parsed = parse_agg_sql(text)
         if parsed is not None and parsed[0] in self.tables:
-            table, req, where, having, order, limit = parsed
+            table, req, where, having, order, limit, sel_order = parsed
             out, prov = self.aggregate(table, req)
+            # re-project to SELECT-list order: the routed aggregate emits
+            # keys-then-measures, so 'SELECT SUM(x) AS s, b, a ...' would
+            # otherwise come back (a, b, s) while plain spark.sql returns
+            # (s, b, a) — a positional consumer must see one order
+            out = out.select(*sel_order)
             # WHERE key = literal predicates filter GROUP KEYS only, so
             # filter-after-aggregate == aggregate-after-filter; Catalyst
             # pushes the filter below the (MV or base) aggregate, pruning
@@ -335,6 +341,11 @@ class Engine:
         (e.g. ship_day) before the MV groupBy; it is REMEMBERED so every
         later refresh (manual or apply_changes-triggered) rebuilds from
         the same derived input."""
+        if mv.name in self._gs_mvs:
+            raise ValueError(
+                f"MV name {mv.name!r} already registered as a grouping-sets "
+                "MV: the two registries share the storage path, so a reused "
+                "name would serve one definition from the other's parquet")
         path = os.path.join(self.work_dir, "mv", mv.name)
         self._mvs[mv.name] = (mv, path, base_table, base_builder)
         self.refresh_mv(mv.name)
@@ -351,6 +362,11 @@ class Engine:
                              base_builder=None) -> None:
         """Register + refresh a multi-grain (grouping-sets) summary. Exact
         declared grains serve as filter+projection with zero aggregation."""
+        if mv.name in self._mvs:
+            raise ValueError(
+                f"MV name {mv.name!r} already registered as a flat MV: the "
+                "two registries share the storage path, so a reused name "
+                "would serve one definition from the other's parquet")
         path = os.path.join(self.work_dir, "mv", mv.name)
         self._gs_mvs[mv.name] = (mv, path, base_table, base_builder)
         self.refresh_mv(mv.name)
@@ -447,29 +463,29 @@ class Engine:
 
 # -- restricted SQL front-end for the serving layer -------------------------
 
-_AGG_RE = __import__("re").compile(
+_AGG_RE = re.compile(
     r"^\s*(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?"
     r"(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
     r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
-    __import__("re").IGNORECASE)
-_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
-_SHAPE_RE = __import__("re").compile(
+    re.IGNORECASE)
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_SHAPE_RE = re.compile(
     r"^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+WHERE\s+(.+?))?"
     r"\s+GROUP\s+BY\s+(.+?)"
     r"(?:\s+HAVING\s+(.+?))?"
     r"(?:\s+ORDER\s+BY\s+(.+?))?"
     r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
-    __import__("re").IGNORECASE | __import__("re").DOTALL)
+    re.IGNORECASE | re.DOTALL)
 _LITERAL = r"(?:-?\d+(?:\.\d+)?|'[^']*')"
-_WHERE_COND_RE = __import__("re").compile(
+_WHERE_COND_RE = re.compile(
     rf"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*({_LITERAL})$")
-_HAVING_COND_RE = __import__("re").compile(
+_HAVING_COND_RE = re.compile(
     rf"^([A-Za-z_][A-Za-z0-9_]*)\s*(=|<>|!=|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)$")
-_AND_RE = __import__("re").compile(r"\s+AND\s+", __import__("re").IGNORECASE)
-_ORDER_TERM_RE = __import__("re").compile(
+_AND_RE = re.compile(r"\s+AND\s+", re.IGNORECASE)
+_ORDER_TERM_RE = re.compile(
     r"^([A-Za-z_][A-Za-z0-9_]*)(?:\s+(ASC|DESC))?$",
-    __import__("re").IGNORECASE)
+    re.IGNORECASE)
 
 
 def _parse_presentation(having_clause, order_clause, limit_clause,
@@ -543,10 +559,12 @@ def parse_agg_sql(text: str):
         keys.append(g)
     measures: dict[str, tuple[str, str]] = {}
     sel_keys = []
+    select_order: list[str] = []
     for item in _split_top_level(select_list):
         item = item.strip()
         if _IDENT_RE.match(item):
             sel_keys.append(item)
+            select_order.append(item)
             continue
         am = _AGG_RE.match(item)
         if not am:
@@ -564,8 +582,10 @@ def parse_agg_sql(text: str):
             if agg != "count" or col == "*":
                 return None
             measures[alias] = ("count_distinct", col)
+            select_order.append(alias)
             continue
         measures[alias] = (agg, "*" if col == "*" else col)
+        select_order.append(alias)
     if sorted(sel_keys) != sorted(keys) or not measures:
         return None
     n_aggs = sum(1 for item in _split_top_level(select_list)
@@ -586,10 +606,10 @@ def parse_agg_sql(text: str):
     having_conds, order_terms, limit_n = pres
     return (table, AggRequest(keys={k: None for k in keys},
                               measures=measures),
-            where_conds, having_conds, order_terms, limit_n)
+            where_conds, having_conds, order_terms, limit_n, select_order)
 
 
-_STAR_SHAPE_RE = __import__("re").compile(
+_STAR_SHAPE_RE = re.compile(
     r"^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)"
     r"\s+JOIN\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+"
     r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
@@ -598,14 +618,14 @@ _STAR_SHAPE_RE = __import__("re").compile(
     r"(?:\s+HAVING\s+(.+?))?"
     r"(?:\s+ORDER\s+BY\s+(.+?))?"
     r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
-    __import__("re").IGNORECASE | __import__("re").DOTALL)
-_STAR_WHERE_RE = __import__("re").compile(
+    re.IGNORECASE | re.DOTALL)
+_STAR_WHERE_RE = re.compile(
     rf"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*({_LITERAL})$")
-_QCOL_RE = __import__("re").compile(r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$")
-_STAR_AGG_RE = __import__("re").compile(
+_QCOL_RE = re.compile(r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$")
+_STAR_AGG_RE = re.compile(
     r"^\s*(SUM|COUNT|AVG|MIN|MAX)\s*"
     r"\(\s*(\*|[A-Za-z_]\w*\.[A-Za-z_]\w*)\s*\)"
-    r"\s+AS\s+([A-Za-z_]\w*)\s*$", __import__("re").IGNORECASE)
+    r"\s+AS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
 
 
 def parse_star_agg_sql(text: str):
@@ -701,7 +721,7 @@ def parse_star_agg_sql(text: str):
     return (fact, dim, fkey, dkey, items, dim_where) + pres
 
 
-_STAR2_SHAPE_RE = __import__("re").compile(
+_STAR2_SHAPE_RE = re.compile(
     r"^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)"
     r"\s+JOIN\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+"
     r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)"
@@ -712,7 +732,7 @@ _STAR2_SHAPE_RE = __import__("re").compile(
     r"(?:\s+HAVING\s+(.+?))?"
     r"(?:\s+ORDER\s+BY\s+(.+?))?"
     r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
-    __import__("re").IGNORECASE | __import__("re").DOTALL)
+    re.IGNORECASE | re.DOTALL)
 
 
 def parse_star2_agg_sql(text: str):

@@ -332,13 +332,25 @@ def stored_rows(path: str) -> int:
     ``spark.read.parquet(path)`` reads only the root files, so counting
     the junk would inflate the cost signal and could misroute to a more
     expensive MV (ADVICE r05 item 5). A committed version dir never
-    nests another ``v<N>``, so the exclusion is a no-op there."""
+    nests another ``v<N>``, so the exclusion is a no-op there.
+
+    Memoized on (path, directory mtime): committed version dirs are
+    copy-on-write (immutable → permanent hit), while a legacy in-place
+    root rewritten by a refresh changes its mtime and re-counts — without
+    the memo every aggregate() call on the serving hot path re-paid a
+    recursive glob plus a footer read per file per candidate MV."""
     import glob as _glob
     import os as _os
     import re as _re
 
     import pyarrow.parquet as pq
 
+    try:
+        key = (path, _os.stat(path).st_mtime_ns)
+    except OSError:
+        key = None
+    if key is not None and key in _STORED_ROWS_CACHE:
+        return _STORED_ROWS_CACHE[key]
     total = 0
     for f in _glob.glob(_os.path.join(path, "**", "*.parquet"),
                         recursive=True):
@@ -346,7 +358,12 @@ def stored_rows(path: str) -> int:
         if _re.fullmatch(r"v\d+", first):
             continue
         total += pq.ParquetFile(f).metadata.num_rows
+    if key is not None:
+        _STORED_ROWS_CACHE[key] = total
     return total
+
+
+_STORED_ROWS_CACHE: dict[tuple[str, int], int] = {}
 
 
 def route(

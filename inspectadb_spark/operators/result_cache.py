@@ -6,9 +6,14 @@ ANY change to the inputs must invalidate silently — correctness can never
 depend on an explicit flush.
 
 Fingerprint = md5 over
-- the OPTIMIZED logical plan text with per-session expression ids
-  (``name#123``) and plan-object addresses stripped, so the same query
-  re-built in a different session (different alias ids) still hits, and
+- the CANONICALIZED optimized logical plan text (Spark's own
+  semantic-equality form: expression ids normalized positionally, so the
+  same query re-built in a different session still hits, while literals,
+  self-join attribute identity, and structure are preserved exactly —
+  a homegrown regex strip over the raw plan text collided on all three,
+  e.g. the literals 'issue#123' vs 'issue#999'), rendered with
+  ``maxToStringFields`` raised so wide projections don't truncate into
+  one another, and
 - the version vector of every input file the plan reads
   (path, size, mtime-ns from ``df.inputFiles()``) — an overwritten /
   appended / compacted input changes the vector, so stale entries are
@@ -34,28 +39,44 @@ from __future__ import annotations
 
 import hashlib
 import os
-import re
 import shutil
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
-_ID_RE = re.compile(r"#\d+")
-_ADDR_RE = re.compile(r"@[0-9a-f]{6,16}")
-
 
 def plan_key(df: DataFrame) -> str:
-    """Canonicalized optimized-plan text: expression ids and object
-    addresses stripped (session-dependent), structure and literals kept."""
-    txt = df._jdf.queryExecution().optimizedPlan().toString()
-    return _ADDR_RE.sub("@", _ID_RE.sub("#", txt))
+    """Spark's CANONICALIZED optimized-plan text: expression ids are
+    normalized positionally (session-independent) while literals and
+    attribute identity are preserved — the property a regex strip over
+    the raw plan text cannot give (it conflated `lit('issue#123')` with
+    `lit('issue#999')`, and self-join sorts on same-named columns).
+    ``maxToStringFields`` is raised for the rendering so plans differing
+    only past Spark's 25-field print cutoff don't collide."""
+    spark = df.sparkSession
+    conf = spark.conf
+    key = "spark.sql.debug.maxToStringFields"
+    old = conf.get(key, None)
+    conf.set(key, "100000")
+    try:
+        return (df._jdf.queryExecution().optimizedPlan()
+                .canonicalized().toString())
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
 
 
 def input_versions(df: DataFrame) -> list[tuple[str, int, int]]:
-    """(path, size, mtime_ns) for every input file the plan reads."""
+    """(path, size, mtime_ns) for every input file the plan reads.
+    ``inputFiles()`` returns percent-encoded URIs — unquote before
+    stat'ing, or any path with a space would permanently read as the
+    (-1, -1) sentinel and silently disable version invalidation."""
     out = []
     for uri in sorted(df.inputFiles()):
-        p = urlparse(uri).path if uri.startswith("file:") else uri
+        p = unquote(urlparse(uri).path) if uri.startswith("file:") \
+            else unquote(uri)
         try:
             st = os.stat(p)
             out.append((p, st.st_size, st.st_mtime_ns))

@@ -359,7 +359,7 @@ def test_parse_agg_sql_predicate_safety_rules():
     ok = parse_agg_sql("SELECT a, SUM(b) AS s FROM t "
                        "WHERE a = 7 GROUP BY a HAVING s > 5")
     assert ok is not None
-    table, req, where, having, order, limit = ok
+    table, req, where, having, order, limit, sel_order = ok
     assert where == ["a = 7"] and having == ["s > 5"]
     assert order == [] and limit is None
     # WHERE on a non-key column -> not routable
@@ -879,3 +879,28 @@ def test_parse_agg_sql_distinct_refusals():
         "SELECT a, MIN(DISTINCT b) AS s FROM t GROUP BY a") is None
     assert parse_agg_sql(
         "SELECT a, COUNT(DISTINCT *) AS s FROM t GROUP BY a") is None
+
+
+def test_routed_sql_preserves_select_list_order(engine, spark):
+    """A positional consumer must see the same column order whether the
+    statement routed or fell through to plain SQL."""
+    text = ("SELECT SUM(o_totalprice) AS s, o_orderstatus "
+            "FROM orders GROUP BY o_orderstatus")
+    routed, prov = engine.sql_routed(text)
+    plain = spark.sql(text)
+    assert routed.columns == plain.columns == ["s", "o_orderstatus"]
+
+
+def test_mv_name_collision_across_registries_raises(spark,
+                                                    tmp_path_factory):
+    from inspectadb_spark.operators.mv import GroupingSetMV
+
+    eng = Engine(spark, SF_DIR, str(tmp_path_factory.mktemp("engdup")))
+    eng.register_mv(
+        MVDef(name="dup_name", keys=("o_orderstatus",),
+              measures={"n": ("count", "*")}), "orders")
+    with pytest.raises(ValueError, match="already registered"):
+        eng.register_grouping_mv(
+            GroupingSetMV(name="dup_name", keys=("o_orderstatus",),
+                          sets=(("o_orderstatus",),),
+                          measures={"n": ("count", "*")}), "orders")

@@ -95,3 +95,70 @@ def test_vacuum_only_causes_misses(spark, base_path, tmp_path):
     assert not hit
     assert r.count() == 7
     assert len(os.listdir(rc.cache_dir)) == 1
+
+
+# -- review regressions: fingerprint must NOT collide distinct queries -------
+
+def test_plan_key_distinguishes_literals_resembling_expr_ids(spark):
+    from inspectadb_spark.operators.result_cache import plan_key
+
+    df = spark.createDataFrame([("issue#123", 1), ("issue#999", 2)],
+                               "tag string, v int")
+    a = plan_key(df.filter(F.col("tag") == "issue#123"))
+    b = plan_key(df.filter(F.col("tag") == "issue#999"))
+    assert a != b
+    # and an '@hex' literal is not an object address
+    c = plan_key(df.filter(F.col("tag") == "@deadbeef"))
+    d = plan_key(df.filter(F.col("tag") == "@cafe0123"))
+    assert c != d
+    # while the SAME query rebuilt from scratch still hits
+    assert plan_key(df.filter(F.col("tag") == "issue#123")) == a
+
+
+def test_plan_key_distinguishes_self_join_attribute_identity(spark):
+    from inspectadb_spark.operators.result_cache import plan_key
+
+    t = spark.createDataFrame([(1, 10), (1, 20)], "k int, v int")
+    t.createOrReplaceTempView("rc_t")
+    s1 = spark.sql("SELECT t1.v AS a, t2.v AS b FROM rc_t t1 JOIN rc_t t2 "
+                   "ON t1.k = t2.k ORDER BY t1.v LIMIT 1")
+    s2 = spark.sql("SELECT t1.v AS a, t2.v AS b FROM rc_t t1 JOIN rc_t t2 "
+                   "ON t1.k = t2.k ORDER BY t2.v LIMIT 1")
+    # different answers (10,20) vs (10,10) -> must be different keys
+    assert plan_key(s1) != plan_key(s2)
+
+
+def test_plan_key_distinguishes_wide_projections_past_print_cutoff(spark):
+    from inspectadb_spark.operators.result_cache import plan_key
+
+    base = spark.range(5)
+    wide1 = base.select(*[(F.col("id") + i).alias(f"c{i}")
+                          for i in range(30)])
+    wide2 = base.select(*[(F.col("id") + i).alias(f"c{i}")
+                          for i in range(28)]
+                        + [(F.col("id") + 99).alias("c28"),
+                           (F.col("id") + 100).alias("c29")])
+    assert plan_key(wide1) != plan_key(wide2)
+
+
+def test_cache_invalidates_paths_with_spaces(spark, tmp_path):
+    from inspectadb_spark.operators.result_cache import (
+        ResultCache, input_versions,
+    )
+
+    d = tmp_path / "has space"
+    src = str(d / "t.parquet")
+    spark.createDataFrame([(1,)], "v int").write.parquet(src)
+    df = spark.read.parquet(src).groupBy().sum("v")
+    # the version vector must carry real stat results, not the -1 sentinel
+    assert all(size >= 0 and mt >= 0 for _, size, mt in input_versions(df))
+    cache = ResultCache(spark, str(tmp_path / "cache"))
+    r1, hit1 = cache.get_or_compute(df)
+    assert not hit1 and r1.first()[0] == 1
+    # in-place overwrite with new bytes must MISS, not serve stale rows
+    import time as _t
+    _t.sleep(0.01)
+    spark.createDataFrame([(5,)], "v int").write.mode("overwrite").parquet(src)
+    df2 = spark.read.parquet(src).groupBy().sum("v")
+    r2, hit2 = cache.get_or_compute(df2)
+    assert not hit2 and r2.first()[0] == 5
