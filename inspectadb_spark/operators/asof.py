@@ -63,30 +63,35 @@ def asof_join(
     def _lcol(c):
         return F.col(left_ts) if c == "_match_ts" else F.col(c)
 
+    # ONE struct per left row, not one column per payload: the struct is
+    # non-null for every left row even when its payload FIELDS are null,
+    # so last/first(ignorenulls) always carries the whole matching row
+    # atomically — per-column carries would replace a NULL payload value
+    # in the matching row with the value of an older/farther row (and,
+    # with tolerance, could smuggle in a payload from outside it).
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(left_side).alias("_side"),
-        *[_lcol(c).alias(f"_p_{c}") for c in carry],
+        F.struct(*[_lcol(c).alias(c) for c in carry]).alias("_pl"),
     )
     r_tagged = right.select(
         "*",
         F.col(right_ts).alias("_ts"),
         F.lit(right_side).alias("_side"),
-        *[F.lit(None).alias(f"_p_{c}") for c in carry],
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     base = Window.partitionBy(*on).orderBy("_ts", "_side")
     if direction == "backward":
         w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.last("_pl", ignorenulls=True).over(w)
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.first("_pl", ignorenulls=True).over(w)
 
     carried = merged.select(
-        "*", *[pick(f"_p_{c}").alias(c) for c in carry]
+        "*", *[picked.getField(c).alias(c) for c in carry]
     )
     if tolerance_us is not None:
         us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
@@ -129,9 +134,11 @@ def nearest_join(
     collect, O(n log n).
 
     Left rows at the right row's exact timestamp count as "previous"
-    (distance 0, wins every tie). All payload columns are taken from the
-    same left row as long as they are carried together (the ``_lts``
-    timestamp is always carried, so the distance decision is atomic).
+    (distance 0, wins every tie). All payload columns travel in ONE
+    struct per left row (non-null iff the row is a left row), so the
+    carried match is atomic even when individual payload VALUES are null
+    — per-column ignorenulls carries would mix fields from different
+    left rows whenever the nearest row holds a null.
     """
     on = list(on)
     payload_cols = list(payload_cols)
@@ -140,14 +147,13 @@ def nearest_join(
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.col(left_ts).alias("_lts"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_pl"),
     )
     r_tagged = right.select(
         "*",
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(left.schema[left_ts].dataType).alias("_lts"),
-        *[F.lit(None).alias(f"_p_{c}") for c in payload_cols],
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
@@ -155,7 +161,7 @@ def nearest_join(
     if tiebreak is not None:
         # null for right rows; same-(ts, side) rows are all one side, so
         # this only orders equal-timestamp LEFT rows deterministically
-        order_cols.append(F.col(f"_p_{tiebreak}"))
+        order_cols.append(F.col("_pl").getField(tiebreak))
     base = Window.partitionBy(*on).orderBy(*order_cols)
     w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_next = base.rowsBetween(1, Window.unboundedFollowing)
@@ -168,16 +174,11 @@ def nearest_join(
     d_prev = _us(F.col("_ts")) - _us(prev_ts)
     d_next = _us(next_ts) - _us(F.col("_ts"))
     use_prev = next_ts.isNull() | (prev_ts.isNotNull() & (d_prev <= d_next))
+    chosen = F.when(
+        use_prev, F.last("_pl", ignorenulls=True).over(w_prev)
+    ).otherwise(F.first("_pl", ignorenulls=True).over(w_next))
     picked = merged.select(
-        "*",
-        *[
-            F.when(
-                use_prev, F.last(f"_p_{c}", ignorenulls=True).over(w_prev)
-            ).otherwise(
-                F.first(f"_p_{c}", ignorenulls=True).over(w_next)
-            ).alias(c)
-            for c in payload_cols
-        ],
+        "*", *[chosen.getField(c).alias(c) for c in payload_cols],
     )
     keep_right = [c for c in right.columns]
     return picked.filter(F.col("_side") == 1).select(*keep_right, *payload_cols)

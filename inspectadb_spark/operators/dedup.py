@@ -69,6 +69,17 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
+def _check_banding(num_hashes: int, bands: int) -> None:
+    """bands must divide num_hashes: a remainder silently discards the
+    trailing hash functions (weaker LSH than configured), and bands >
+    num_hashes makes every band slice EMPTY — a constant band hash whose
+    self-join degenerates to the all-pairs cross product LSH exists to
+    avoid."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})")
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -84,6 +95,7 @@ def minhash_near_dup_pairs(
     Candidate generation joins on (band_index, hash-of-band-slice): at 100 TB
     this is a uniform-key equi-join whose output is only the colliding pairs.
     """
+    _check_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     banded = sig.select(
@@ -242,7 +254,11 @@ def chunk_dedup(
             ).alias("h"),
         )
     )
-    pos = F.col(id_col) * 1_000_000 + F.col("chunk_idx")
+    # first occurrence = lexicographic min over (doc, chunk) as a STRUCT:
+    # the old doc_id*1e6+chunk_idx integer encoding collided past 1e6
+    # chunks per doc (electing a keeper from the wrong document) and
+    # nulled out on non-numeric ids
+    pos = F.struct(F.col(id_col).alias("d"), F.col("chunk_idx").alias("c"))
     keepers = chunks.groupBy("h").agg(F.min(pos).alias("_keeper"))
     return (
         chunks.join(keepers, "h")
@@ -285,6 +301,7 @@ def minhash_lsh_candidates_portable(
     a uniform-key equi-join on (band, md5-band-key) whose output is only
     colliding pairs — never O(n²).
     """
+    _check_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sig = _portable_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     banded = sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
@@ -736,11 +753,16 @@ def shingle_containment_pairs(
     bucket, then a shingle-key equi-join (per-bucket cost ≤ stop_df²,
     never doc×doc) and two broadcast-size joins for the per-doc shingle
     counts. Integer-ppm division, deterministic everywhere."""
+    # docs shorter than n words have NO n-gram shingles: the CASE guard
+    # yields a typed empty array (sequence(1, 0) is a DESCENDING [1, 0]
+    # in Spark, whose i=0 start crashes slice — and its i=1 element would
+    # emit a bogus partial-gram shingle)
     grams = docs.select(
         F.col(id_col),
         F.explode(F.expr(
-            f"transform(sequence(1, greatest(size(split({text_col}, ' ')) "
-            f"- {n - 1}, 0)), i -> "
+            f"transform(CASE WHEN size(split({text_col}, ' ')) >= {n} "
+            f"THEN sequence(1, size(split({text_col}, ' ')) - {n - 1}) "
+            f"ELSE array_repeat(1, 0) END, i -> "
             f"md5(concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"))
         .alias("g")).distinct()
     stops = (grams.groupBy("g").agg(F.count("*").alias("df"))

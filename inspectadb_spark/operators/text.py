@@ -42,8 +42,12 @@ def text_quality(
     id_col: str = "doc_id",
     stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "data"),
 ) -> DataFrame:
-    """Heuristic quality features: token count, mean token length, stopword
-    ratio, uppercase-start ratio. Emitted as 4-dp doubles (portable)."""
+    """Heuristic quality features: token count, chars-per-token, stopword
+    ratio, emitted as 4-dp doubles (portable). ``chars_per_tok`` is
+    length(text)/n_tok — it INCLUDES the separator spaces (≈ mean token
+    length + (n_tok−1)/n_tok), which is fine as a monotone quality signal
+    but is not the space-free mean token length; ``quality_rules`` computes
+    the space-free form where a Gopher-style threshold needs it."""
     toks = F.split(F.col(text_col), " ")
     n_tok = F.size(toks)
     sw_arr = F.array(*[F.lit(s) for s in stopwords])
@@ -408,8 +412,11 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
                 # CAST the λ literals to DOUBLE: a bare 0.7 parses as DECIMAL
                 # in both dialects but their decimal-arithmetic scale rules
                 # differ; doubles make the whole chain IEEE left-assoc.
-                F.expr(f"ln(CAST({lam} AS DOUBLE) * c2 / c1p"
-                       f" + CAST({1.0 - lam:.1f} AS DOUBLE) * c1c / tot)")
+                # repr(), not :.1f — rounding the unigram weight to one
+                # decimal made any lam off the 0.1 grid a silently
+                # mis-normalized model (0.75 -> weights 0.75 + 0.2)
+                F.expr(f"ln(CAST({lam!r} AS DOUBLE) * c2 / c1p"
+                       f" + CAST({1.0 - lam!r} AS DOUBLE) * c1c / tot)")
                 .cast("decimal(18,6)"), 4
             ).alias("lp"),
         )
@@ -735,12 +742,16 @@ def blocklist_matches_automaton(
                     hit_pats.append(pats[pid])
                     hit_ends.append(n)
             yield pd.DataFrame(
-                {id_col: pd.Series(ids, dtype="int64"),
+                {id_col: pd.Series(ids, dtype=object),
                  "pat": hit_pats, "n_occ": pd.Series(hit_ends, dtype="int64")})
 
+    # id column keeps the INPUT's own type (a hardcoded 'long' broke the
+    # advertised row-identical parity with the relational form for any
+    # string/decimal doc id)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return (
         docs.select(id_col, text_col)
-        .mapInPandas(scan, f"{id_col} long, pat string, n_occ long")
+        .mapInPandas(scan, f"{id_col} {id_type}, pat string, n_occ long")
         .orderBy(id_col, "pat")
     )
 
@@ -1098,11 +1109,24 @@ def js_divergence_pairs(docs: DataFrame, group_col: str = "source",
         .join(F.broadcast(na), "ga").join(F.broadcast(nb), "gb")
         .select("ga", "gb", "na", "nb", "ca", "cb",
                 F.expr(term).alias("term")))
-    agg = shared.groupBy("ga", "gb", "na", "nb").agg(
+    agg = shared.groupBy("ga", "gb").agg(
         F.count("*").cast("bigint").alias("n_shared_vocab"),
         F.sum("term").alias("s"),
         F.sum("ca").cast("bigint").alias("sca"),
         F.sum("cb").cast("bigint").alias("scb"))
+    # pair UNIVERSE from the (model-sized) group totals: a pair sharing
+    # zero vocabulary produces no shared rows at all, and an inner-only
+    # result would silently OMIT exactly the maximally-divergent pairs
+    # (JSD = ln 2) the metric exists to surface — the remainder terms
+    # fold the disjoint case correctly once the zero-shared row exists
+    univ = (na.crossJoin(nb).filter(F.col("ga") < F.col("gb")))
+    agg = (univ.join(agg, ["ga", "gb"], "left")
+           .select("ga", "gb", "na", "nb",
+                   F.coalesce("n_shared_vocab", F.lit(0)).cast("bigint")
+                   .alias("n_shared_vocab"),
+                   F.coalesce("s", F.lit(0).cast("decimal(18,6)")).alias("s"),
+                   F.coalesce("sca", F.lit(0)).alias("sca"),
+                   F.coalesce("scb", F.lit(0)).alias("scb")))
     jsd = ("0.5 * (CAST(s AS DOUBLE)"
            " + (1 - CAST(sca AS DOUBLE) / na) * ln(2)"
            " + (1 - CAST(scb AS DOUBLE) / nb) * ln(2))")

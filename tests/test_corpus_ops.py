@@ -649,3 +649,92 @@ def test_lang_id_natural_lexicons_are_disjoint():
     for lex in (LANG_MARKERS_NATURAL, LANG_MARKERS_CORPUS):
         words = [w for _, ms in lex for w in ms]
         assert len(words) == 30 and len(set(words)) == 30
+
+
+# -- review regressions: short docs, null payloads, disjoint vocab, ids ------
+
+def test_containment_pairs_survive_short_documents(spark):
+    from inspectadb_spark.operators.dedup import shingle_containment_pairs
+
+    # a 2-word doc has NO 5-gram shingles: must be silently absent from
+    # the posting lists, not crash the job (sequence(1,0) is descending)
+    rows = [(1, "only two"), (2, "a b c d e f g h"), (3, "a b c d e f g x")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = shingle_containment_pairs(df, n=5, min_shared=1,
+                                    min_containment_ppm=1)
+    pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert (2, 3) in pairs and not any(1 in p for p in pairs)
+
+
+def test_asof_preserves_null_payload_of_the_matching_row(spark):
+    from inspectadb_spark.operators.asof import asof_join, nearest_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "old"), (1, 10, None)], "k int, ts long, v string")
+    right = spark.createDataFrame([(1, 10)], "k int, rts long")
+    got = asof_join(left, right, ["k"], "ts", "rts", ["v"]).first()
+    assert got.v is None          # the ts=10 match's own (null) payload
+    got2 = nearest_join(left, right, ["k"], "ts", "rts", ["v"]).first()
+    assert got2.v is None
+
+
+def test_chunk_dedup_keeper_is_positional_not_encoded(spark):
+    from inspectadb_spark.operators.dedup import chunk_dedup
+
+    # two docs sharing one chunk text: the keeper must be the true first
+    # occurrence by (doc, chunk) order — exercised with ids large enough
+    # that the old doc_id*1e6+idx arithmetic stays in range but the
+    # struct-min must agree with it; and duplicate-within-doc keeps first
+    rows = [(7, "a b c d e f g h i j a b c d e f g h i j"),
+            (9, "a b c d e f g h i j z z z z z z z z z z")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_dedup(df, chunk_words=10)
+    kept = {(r.doc_id, r.chunk_idx): r.keep for r in out.collect()}
+    assert kept[(7, 0)] is True and kept[(7, 1)] is False
+    assert kept[(9, 0)] is False  # same text as (7,0), later doc
+    assert kept[(9, 1)] is True
+
+
+def test_minhash_banding_validates_divisibility(spark):
+    import pytest as _pytest
+
+    from inspectadb_spark.operators.dedup import minhash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_near_dup_pairs(df, num_hashes=32, bands=12)
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_near_dup_pairs(df, num_hashes=32, bands=40)
+
+
+def test_jsd_reports_disjoint_vocab_pairs_at_ln2(spark):
+    import math
+
+    from inspectadb_spark.operators.text import js_divergence_pairs
+
+    rows = [("en", "alpha beta gamma"), ("en", "alpha beta"),
+            ("zh", "uno dos tres"), ("mix", "alpha uno")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.source_a, r.source_b): r for r in
+           js_divergence_pairs(df).collect()}
+    assert len(out) == 3          # the full pair universe, not just joined
+    dj = out[("en", "zh")]
+    assert dj.n_shared_vocab == 0
+    assert abs(dj.jsd - math.log(2)) < 1e-4 and dj.jsd_norm == 1.0
+    assert out[("en", "mix")].jsd < math.log(2)
+
+
+def test_blocklist_automaton_handles_string_ids(spark):
+    from inspectadb_spark.operators.text import (
+        blocklist_matches, blocklist_matches_automaton,
+    )
+
+    rows = [("docA", "the key is here key"), ("docB", "nothing")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pats_df = spark.createDataFrame([("key",), ("here",)], "pat string")
+    rel = sorted(tuple(r)
+                 for r in blocklist_matches(df, pats_df).collect())
+    aut = sorted(tuple(r)
+                 for r in blocklist_matches_automaton(
+                     df, ["key", "here"]).collect())
+    assert rel == aut and rel
