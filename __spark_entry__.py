@@ -23,15 +23,41 @@ from inspectadb_spark.session import SEMANTIC_CONFS  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering. The driver verifies the FIRST 50 keys of queries()
-# in dict-iteration order (confirmed in r02-r10 samples). Rounds 2-10 drove
-# 357 distinct oracled ids green; 14 oracled ids (q322-q335) remain
-# never-sampled, all in-repo hash-verified at both SFs each pytest run.
-# The round-11 window (VERDICT r10 item 1) front-loads those 14 to clear
-# the backlog to zero (cumulative 371/371), then spends the remaining 36
-# slots refreshing the STALEST evidence: the four ids last green in r02
-# (q01/q34b/q35b/q37b) and the front of the r03-verified normative block
-# (§2.3 headliners + the join family), none re-sampled since round 3.
+# in dict-iteration order (confirmed in r02-r11 samples). Rounds 2-11 drove
+# 371 distinct oracled ids green; the 15 round-11 additions (q336-q350)
+# have never been driver-sampled. The round-12 window (VERDICT r11 item 2)
+# front-loads those 15 — cumulative coverage reaches 386/386 — then spends
+# the remaining 35 slots on the STALEST evidence: the 7 ids whose only
+# green rows are r02, the 18-id q24-q41 block last green in r03, and ten
+# r04-stale §2 contract-spine rows (UDF parity, multimodal, DQ, file
+# roundtrips, schema drift, pivot, subquery, range join, 3VL, UDTF).
 # tests/test_entry.py pins all of this against the registry.
+_ROUND12_FRONT = [
+    # (a) the 15 never-driver-sampled round-11 additions — backlog to zero
+    "q336_bucketed_join", "q337_binaryfile_ingest", "q338_pyds_roundtrip",
+    "q339_ivf_knn_join", "q340_ivf_index_topk", "q341_quarantine_ingest",
+    "q342_rbf_mmd_drift", "q343_k_anonymity", "q344_k_anonymize_sweep",
+    "q345_t_closeness", "q346_dsir_selection", "q347_dp_noisy_release",
+    "q348_dp_sum_release", "q349_dp_thresholded_histogram",
+    "q350_filtered_vector_search",
+    # (b) the seven ids whose only green rows are r02 — stalest evidence
+    "q95_recursive_reachability", "q96_percentile_within_group",
+    "q102_null_safe_join", "q103_group_by_all", "q113_lateral_topk",
+    "q118_crosstab", "q119_equidepth_histogram",
+    # (c) the r03-green normative window/sort/set/scalar block (18 ids)
+    "q24_percentile", "q25_ranking", "q26_running_sum", "q27_sliding_frame",
+    "q28_lag_lead", "q29_distribution", "q30_range_frame",
+    "q31_topk_per_group", "q32_sort_limit_offset", "q33_union",
+    "q34_intersect", "q35_except", "q36_string_suite", "q37_date_suite",
+    "q38_math_suite", "q39_array_suite", "q40_higher_order", "q41_map_suite",
+    # (d) ten r04-stale §2 contract-spine rows
+    "q52_udf_parity", "q53_multimodal_blobs", "q54_dq_profile",
+    "q55_csv_roundtrip", "q56_schema_drift", "q57_pivot",
+    "q58_scalar_subquery", "q60_range_join", "q61_not_in_3vl",
+    "q62_udtf_tokens",
+]
+
+# The round-11 window (driver-green 50/50 in r11); behind the fresh window.
 _ROUND11_FRONT = [
     # (a) the final 14 never-driver-sampled oracled ids — backlog to zero
     "q322_cmh_test", "q323_decision_stump",
@@ -130,18 +156,17 @@ _ROUND7_FRONT = [
     "q188_pmi_collocations",
 ]
 
-# The formerly never-driver-sampled oracled ids (explicit, registry order):
-# the round-11 rotation front-loads these and the backlog reaches 0. Kept
-# as a named list because tests/test_entry.py pins the window's (a) block
-# against it.
+# The never-driver-sampled oracled ids (explicit, registry order): the
+# round-11 additions, front-loaded by the round-12 rotation so the backlog
+# reaches 0 (cumulative 386/386). Kept as a named list because
+# tests/test_entry.py pins the window's (a) block against it.
 _NEVER_REST = [
-    "q322_cmh_test", "q323_decision_stump",
-    "q324_calibration_fit", "q325_fleiss_kappa",
-    "q326_capture_recapture", "q327_diversity_index",
-    "q328_jackknife_ratio_se", "q329_gumbel_maxima",
-    "q330_theil_decomposition", "q331_atkinson",
-    "q332_decayed_ltv", "q333_cold_start_rate",
-    "q334_icc_design_effect", "q335_winsorized_ab",
+    "q336_bucketed_join", "q337_binaryfile_ingest", "q338_pyds_roundtrip",
+    "q339_ivf_knn_join", "q340_ivf_index_topk", "q341_quarantine_ingest",
+    "q342_rbf_mmd_drift", "q343_k_anonymity", "q344_k_anonymize_sweep",
+    "q345_t_closeness", "q346_dsir_selection", "q347_dp_noisy_release",
+    "q348_dp_sum_release", "q349_dp_thresholded_histogram",
+    "q350_filtered_vector_search",
 ]
 
 # The round-6 window (driver-green 50/50 in r06); behind the fresh window.
@@ -326,9 +351,10 @@ _TIER3 = [
     "q34b_intersect_all", "q35b_except_all", "q37b_time_parts",
 ]
 
-_PRIMARY = list(_ROUND11_FRONT)
-for _n in (_ROUND9_FRONT + _ROUND8_FRONT + _ROUND7_FRONT + _ROUND6_FRONT
-           + _TIER2 + _ROUND5_FRONT + _ROUND4_FRONT + _TIER3):
+_PRIMARY = list(_ROUND12_FRONT)
+for _n in (_ROUND11_FRONT + _ROUND9_FRONT + _ROUND8_FRONT + _ROUND7_FRONT
+           + _ROUND6_FRONT + _TIER2 + _ROUND5_FRONT + _ROUND4_FRONT
+           + _TIER3):
     # behind the fresh window: most-recently-curated windows first, so a
     # driver sampling more than 50 refreshes next-stalest evidence next
     if _n not in _PRIMARY:

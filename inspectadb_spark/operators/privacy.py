@@ -139,10 +139,16 @@ def t_closeness_readout(
     p = pairs.select(*qi_cols, F.col(sensitive_col).alias("_s"),
                      F.col("c").cast("decimal(20,0)").alias("c"))
     marg = p.groupBy("_s").agg(
-        F.sum("c").cast("decimal(20,0)").alias("cs"))
+        F.sum("c").cast("decimal(20,0)").alias("cs")) \
+        .withColumnRenamed("_s", "_sm")
     tot = p.agg(F.sum("c").cast("decimal(20,0)").alias("big_n"))
     w = Window.partitionBy(*qi_cols)
-    j = (p.join(F.broadcast(marg), "_s")
+    # null-safe equality: NULL is a distinguishable sensitive category (to
+    # an attacker it IS a value) — groupBy keeps it as a group in both the
+    # pair table and the marginal, so a plain equi-join would drop those
+    # rows from n/cs while big_n still counts them, corrupting tvd_ppm
+    j = (p.join(F.broadcast(marg), F.col("_s").eqNullSafe(F.col("_sm")))
+         .drop("_sm")
          .join(F.broadcast(tot))
          .withColumn("n", F.sum("c").over(w).cast("decimal(20,0)")))
     g = (j.groupBy(*qi_cols)
@@ -358,9 +364,14 @@ def _attach_laplace_draw(x: DataFrame, group_cols: list[str],
     NULL group values encode as an explicit control-char sentinel (not
     concat_ws's silent skip, under which cells ('x', NULL) and (NULL,
     'x') would collapse onto the same key and draw IDENTICAL — i.e. not
-    independent — noise)."""
+    independent — noise). Each part is LENGTH-PREFIXED (``len#part``)
+    before the ':' join so the encoding is injective: without it,
+    ('a:b','c') and ('a','b:c') concatenate identically and two distinct
+    cells draw the same, non-independent noise."""
     key_parts = ", ".join(
-        f"ifnull(cast({c} as string), chr(1))" for c in group_cols)
+        f"concat(cast(length(ifnull(cast({c} as string), chr(1)))"
+        f" as string), '#', ifnull(cast({c} as string), chr(1)))"
+        for c in group_cols)
     return (x.withColumn("_v", F.expr(
         f"CAST(conv(substr(md5(cast("
         f"concat_ws(':', {key_parts},"

@@ -86,7 +86,12 @@ def input_versions(df: DataFrame) -> list[tuple[str, int, int]]:
 
 
 def fingerprint(df: DataFrame) -> str:
+    # Canonicalization normalizes Alias names to "" — two plans differing
+    # ONLY in output column names canonicalize identically, so a hit would
+    # silently serve the other query's column names. Mixing the output
+    # schema (names + types, nested) back in keeps the key exact-match.
     h = hashlib.md5(plan_key(df).encode())
+    h.update(("|schema:" + df.schema.simpleString()).encode())
     for p, size, mt in input_versions(df):
         h.update(f"|{p}:{size}:{mt}".encode())
     return h.hexdigest()

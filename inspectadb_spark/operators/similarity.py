@@ -384,11 +384,12 @@ def save_ivf_index(
     StreamingIvfIngest ever committed here) is removed, because its delta
     lists were cell-assigned under the OLD centroid model — leaving it in
     place would make every reader prefer stale pre-rebuild lists whose
-    cells no longer match the new probe ranking. Stop (and re-seed) any
-    live ingester before rebuilding in place."""
-    ingest_ptr = os.path.join(path, "INGEST")
-    if os.path.exists(ingest_ptr):
-        os.remove(ingest_ptr)
+    cells no longer match the new probe ranking. The pointer is removed
+    LAST, after the rebuilt centroids and lists have committed: a crash
+    mid-rebuild then leaves the old pointer (and its delta lists) intact
+    and recoverable, instead of orphaning every streamed delta while
+    serving the stale build-time base. Stop (and re-seed) any live
+    ingester before rebuilding in place."""
     cents = np.asarray(centroids, dtype=np.float64).copy()
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     spark = vectors.sparkSession
@@ -414,6 +415,9 @@ def save_ivf_index(
                 vec_col, F.col(vec_col).cast("array<smallint>"))
     (assigned.write.partitionBy("_cell").mode("overwrite")
      .parquet(f"{path}/lists"))
+    ingest_ptr = os.path.join(path, "INGEST")
+    if os.path.exists(ingest_ptr):
+        os.remove(ingest_ptr)
 
 
 def _load_quant_model(spark, path: str):
@@ -440,8 +444,11 @@ def read_ivf_lists(spark, path: str, vec_col: str = "embedding") -> DataFrame:
     out = None
     if os.path.exists(ptr):
         with open(ptr) as f:
-            paths = [p for p in
-                     f.read().strip().splitlines()[0].split("|") if p]
+            lines = f.read().strip().splitlines()
+        # a zero-byte pointer (crash between open and write — os.replace
+        # commits are atomic, but a foreign writer may not be) means "no
+        # committed ingest": fall through to the build-time base
+        paths = [p for p in lines[0].split("|") if p] if lines else []
         if paths:
             # each committed dir is its own partitioned root — Spark
             # refuses multi-root partition discovery in one read, so
@@ -536,6 +543,7 @@ def ivf_knn_join_from_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_self: bool = True,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """``ivf_knn_join`` against a PERSISTED index: the collection side is
     the cell-partitioned lists table as written — its cell assignment is
@@ -545,7 +553,13 @@ def ivf_knn_join_from_index(
     filter on the lists scan, so non-probed directories are never opened
     regardless of whether runtime pruning fires. The serving path for a
     stream of query vectors (S50): stateless per row, so foreachBatch
-    over this function is batch ≡ stream by construction."""
+    over this function is batch ≡ stream by construction.
+
+    ``allowed`` (first column taken as the id) PRE-filters the lists side
+    before the cell equi-join — the filtered-serving shape (q350) on the
+    batched path: the semi join commutes with cell pruning, each query's
+    k-cut applies to allowed candidates only, and because the filter is a
+    per-row predicate the stream ≡ batch identity is preserved exactly."""
     cents = load_ivf_centroids(spark, path)
     probed = _collect_probed_cells(queries, cents, vec_col, n_probe)
     lists = (read_ivf_lists(spark, path, vec_col)
@@ -555,6 +569,10 @@ def ivf_knn_join_from_index(
                      F.sqrt(_norm2(vec_col)).alias("cm"),
                      F.col("_cell").cast("int").alias("_cell"))
              .filter(F.col("cm") > 0))
+    if allowed is not None:
+        allowed_ids = allowed.select(
+            F.col(allowed.columns[0]).alias("n_id")).distinct()
+        lists = lists.join(allowed_ids, "n_id", "semi")
     return _knn_join_on_cells(queries, lists, cents, k, n_probe, vec_col,
                               id_col, exclude_self)
 
@@ -618,6 +636,7 @@ def ivf_pq_topk_from_index(
     vectors: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Serve from a persisted IVF-PQ index: rank cells against the stored
     centroid model (driver-side), read ONLY the probed cells' code lists
@@ -625,14 +644,22 @@ def ivf_pq_topk_from_index(
     ADC-score them, and — when ``vectors`` is given — exact-rerank the top
     ``rerank`` ids against the base table. With a full-size rerank budget
     this equals ``ivf_topk`` over the same centroids exactly (pinned
-    in-test); smaller budgets trade recall for base-table lookups."""
+    in-test); smaller budgets trade recall for base-table lookups.
+
+    ``allowed`` (any one-column id frame) pre-filters: the semi join runs
+    against the CODE lists before ADC scoring — the same commutation as
+    ``ivf_topk_filtered`` (cell pruning and the allowed-id filter are both
+    set intersections), so the ADC top-k and the rerank budget are spent
+    on allowed candidates only. Post-filtering the ADC candidate list
+    would starve under selective filters exactly like q350's demonstrated
+    brute-force failure mode."""
     cents = load_ivf_centroids(spark, path)
     books = load_pq_codebooks(spark, path)
     probe = _probe_cells(cents, query_vec, n_probe)
     codes = (spark.read.parquet(f"{path}/pq_lists")
              .filter(F.col("_cell").isin(probe)).drop("_cell"))
     return pq_adc_topk(codes, books, query_vec, k, rerank, vectors,
-                       vec_col, id_col)
+                       vec_col, id_col, allowed=allowed)
 
 
 def pq_decode_expr(codebooks: np.ndarray, code_col: str = "_pq") -> Column:
@@ -664,6 +691,7 @@ def ivf_pq_knn_join_from_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_self: bool = True,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Batched k-NN join against a persisted IVF-PQ index: the collection
     side is the cell-partitioned CODE lists (~10× narrower rows than
@@ -676,7 +704,11 @@ def ivf_pq_knn_join_from_index(
     With ``vectors``: keeps the top ``rerank`` (default 5k) candidates per
     query, joins ONLY those ids back to the base table, and reranks with
     exact cosine — with a full-size budget this is byte-identical to
-    ``ivf_knn_join`` over the same centroids (pinned in-test)."""
+    ``ivf_knn_join`` over the same centroids (pinned in-test).
+
+    ``allowed`` pre-filters the code lists before the cell join (the
+    filtered-serving shape, same commutation as the single-query path),
+    so per-query k-cuts and the rerank budget spend on allowed ids only."""
     from pyspark.sql import Window
 
     cents = load_ivf_centroids(spark, path)
@@ -687,6 +719,10 @@ def ivf_pq_knn_join_from_index(
              .select(F.col(id_col).alias("n_id"), "_pq", "_vnorm",
                      F.col("_cell").cast("int").alias("_cell"))
              .filter(F.col("_vnorm") > 0))
+    if allowed is not None:
+        allowed_ids = allowed.select(
+            F.col(allowed.columns[0]).alias("n_id")).distinct()
+        lists = lists.join(allowed_ids, "n_id", "semi")
 
     vm = F.sqrt(_norm2(vec_col))
     probe_cells = _probe_cells_expr(cents, vec_col, n_probe)
@@ -1217,6 +1253,7 @@ def pq_adc_topk(
     vectors: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over the PQ code table via ADC.
 
@@ -1227,12 +1264,21 @@ def pq_adc_topk(
     TakeOrderedAndProject over the (tiny) code table. With ``vectors``:
     two-stage serving — ADC keeps the top ``rerank`` (default 5k)
     candidate ids, the base table is joined semi-style for those ids only,
-    and exact ``cosine_topk`` reranks, returning its (id, sim) contract."""
+    and exact ``cosine_topk`` reranks, returning its (id, sim) contract.
+
+    ``allowed`` (first column taken as the id) PRE-filters the code table
+    before scoring: the k-cut and the rerank budget then apply to allowed
+    candidates only, so a selective filter can never starve the answer
+    while matches exist in the scanned cells."""
     m, ks, dsub = codebooks.shape
     qv = np.asarray(query_vec, dtype=np.float64)
     if qv.shape[0] != m * dsub:
         raise ValueError(f"query dim {qv.shape[0]} != {m * dsub}")
     qn = float(np.linalg.norm(qv))
+    if allowed is not None:
+        allowed_ids = allowed.select(
+            F.col(allowed.columns[0]).alias(id_col)).distinct()
+        codes = codes.join(allowed_ids, id_col, "semi")
     lut = np.array([codebooks[j] @ qv[j * dsub:(j + 1) * dsub]
                     for j in range(m)])  # (m, ks)
     adc = None

@@ -482,7 +482,10 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q84 mergeable distinct sketches (rows-only: DataSketches HLL binaries have
 # no DuckDB analog; estimates are order-insensitive, so the result is
 # deterministic — lossless-merge + 5%-accuracy invariants in test_approx).
-@query("q84_sketch_distinct_rollup", oracle=None)
+@query("q84_sketch_distinct_rollup", oracle=None,
+       check="A: HLL++ sketches — ±5%-vs-exact and merge ≡ whole-input "
+             "bounds pinned in tests/test_approx.py; partial-agg rollup "
+             "plan pinned in tests/test_plans.py")
 def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.sketches import merge_sketches, sketch_distinct_by
 

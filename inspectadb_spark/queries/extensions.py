@@ -68,7 +68,10 @@ def q43c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q43d IVF ANN top-k (rows-only; recall property-tested vs Q43 brute force)
-@query("q43d_ivf_topk", oracle=None)
+@query("q43d_ivf_topk", oracle=None,
+       check="P: probe-all ≡ exact brute parity + partial-probe recall "
+             "bars in tests/test_cluster.py / tests/test_properties.py; "
+             "the oracled index-serving sibling is q340")
 def q43d(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables(spark, sf_dir)["embeddings"]
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -152,7 +155,11 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Q53b decode + feature extraction (rows-only: pixels are numpy-PCG64)
-@query("q53b_multimodal_decode", oracle=None)
+@query("q53b_multimodal_decode", oracle=None,
+       check="rows-only: decode is the stubbed modality slot (PIL absent "
+             "in env) over deterministic blobs; schema/batch-shape/feature "
+             "parity vs numpy in tests/test_multimodal.py; the oracled "
+             "accounting sibling is q337")
 def q53b(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     blobs = attach_image_blobs(d, width=16, height=16)
@@ -163,7 +170,11 @@ def q53b(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q53c audio modality path: deterministic PCM blobs -> Arrow-batched feature
 # extraction (duration/RMS/zero-crossing). Rows-only: payloads are generated
 # engine-side (the real pipeline's decode slot), no SQL analog.
-@query("q53c_audio_features", oracle=None)
+@query("q53c_audio_features", oracle=None,
+       check="rows-only: engine-generated PCM payloads (no SQL analog); "
+             "decode-roundtrip + feature parity vs numpy in "
+             "tests/test_multimodal.py; the oracled sibling is "
+             "q271_audio_pcm8_features")
 def q53c(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.multimodal import attach_audio_blobs, audio_features
 
@@ -177,7 +188,10 @@ def q53c(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batches (rows-only: the mosaic math is numpy), then banded candidate join
 # with a pigeonhole completeness guarantee (tests/test_multimodal.py checks
 # banding == brute force and perturbation tolerance).
-@query("q53d_image_phash_neardup", oracle=None)
+@query("q53d_image_phash_neardup", oracle=None,
+       check="P: banded candidate join ≡ brute force (pigeonhole "
+             "completeness) + perturbation tolerance in "
+             "tests/test_multimodal.py; phash mosaic math is numpy")
 def q53d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.multimodal import (
         image_phash,
@@ -968,6 +982,10 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q195_pca_project",
     oracle=None,
+    check="P: driver-side eigendecomposition of the model-sized "
+          "covariance (iterative, not SQL-expressible); scores pinned "
+          "against numpy PCA + variance ordering in tests/test_stats.py; "
+          "the oracled covariance input is q149",
     doc="Top-2 PCA scores per embedding over the first 16 dims: one "
         "integer-exact sufficient-stats pass, driver-side eigh on the "
         "dims x dims matrix, scan-side literal-weight projection.",
@@ -2184,7 +2202,9 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT * FROM (VALUES ('e05', 0.5), ('e20', 2.0)) t(lbl, eps)),
     x AS (
       SELECT nation, n, lbl, eps,
-             CAST(('0x' || substr(md5(CAST(nation AS VARCHAR)
+             CAST(('0x' || substr(md5(CAST(LENGTH(CAST(nation AS VARCHAR))
+                                           AS VARCHAR)
+                                      || '#' || CAST(nation AS VARCHAR)
                                       || ':dp:' || lbl), 1, 8))
                   AS BIGINT) AS v
       FROM g CROSS JOIN r),
@@ -2242,7 +2262,9 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT * FROM (VALUES ('e05', 0.5), ('e20', 2.0)) t(lbl, eps)),
     x AS (
       SELECT nation, t, lbl, eps,
-             CAST(('0x' || substr(md5(CAST(nation AS VARCHAR)
+             CAST(('0x' || substr(md5(CAST(LENGTH(CAST(nation AS VARCHAR))
+                                           AS VARCHAR)
+                                      || '#' || CAST(nation AS VARCHAR)
                                       || ':dpsum:' || lbl), 1, 8))
                   AS BIGINT) AS v
       FROM cells CROSS JOIN r),
@@ -2285,7 +2307,7 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-invariant; the stricter rung has the HIGHER bar, so a small cell
 # can appear in the loose release and vanish from the strict one —
 # exactly what the fixture shows: at sf0.001 (segment counts 23-40)
-# e05 publishes 4 of 5 segments and e20 all 5; at sf0.01 (~300 each)
+# e05 publishes 2 of 5 segments and e20 all 5; at sf0.01 (~300 each)
 # both publish everything. Release rows vary per rung by construction.
 @query(
     "q349_dp_thresholded_histogram",
@@ -2297,7 +2319,9 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
           t(lbl, eps, tau)),
     x AS (
       SELECT segment, n, lbl, eps, tau,
-             CAST(('0x' || substr(md5(segment || ':dp:' || lbl), 1, 8))
+             CAST(('0x' || substr(md5(CAST(LENGTH(segment) AS VARCHAR)
+                                      || '#' || segment
+                                      || ':dp:' || lbl), 1, 8))
                   AS BIGINT) AS v
       FROM g CROSS JOIN r),
     z AS (

@@ -59,7 +59,10 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q43b ANN via signed-random-projection LSH (rows-only; recall property-tested)
-@query("q43b_ann_srp", oracle=None)
+@query("q43b_ann_srp", oracle=None,
+       check="P: SRP-LSH planted-neighbor recall bars + determinism in "
+             "tests/test_cluster.py (P2 family); exact baseline is the "
+             "oracled q43")
 def q43b(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables(spark, sf_dir)["embeddings"]
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -71,7 +74,11 @@ def q43b(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are the iterative-algorithm class — no SQL analog. Determinism: md5-order
 # init + exact-decimal mean/inertia accumulators, so the trained model and
 # the probe result are run/partitioning invariant).
-@query("q43e_ann_ivf_kmeans", oracle=None)
+@query("q43e_ann_ivf_kmeans", oracle=None,
+       check="P: Lloyd's iterations are the iterative-algorithm class (no "
+             "SQL analog); md5-order init + exact-decimal accumulators "
+             "make the model partitioning-invariant, recall/determinism "
+             "pinned in tests/test_cluster.py")
 def q43e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.similarity import ivf_topk, kmeans_fit
 
@@ -86,7 +93,10 @@ def q43e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and neighbourhood preservation are property-tested in P5). The scale play:
 # the collection is stored as int8 codes (4x smaller scans); queries probe
 # dequantized values.
-@query("q43f_quantized_topk", oracle=None)
+@query("q43f_quantized_topk", oracle=None,
+       check="A: int8 reconstruction-error bound and neighborhood "
+             "preservation property-tested (P5, tests/test_properties.py "
+             "/ tests/test_cluster.py)")
 def q43f(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.similarity import (
         dequantize_embeddings,
@@ -182,7 +192,10 @@ def q44c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q44d MinHash + LSH near-dup pairs (rows-only: xxhash64 has no DuckDB analog)
-@query("q44d_minhash_neardup", oracle=None)
+@query("q44d_minhash_neardup", oracle=None,
+       check="P: planted near-dup recall + banding-vs-Jaccard calibration "
+             "in tests/test_corpus_ops.py / tests/test_properties.py (P1); "
+             "the oracled portable-hash form is q114")
 def q44d(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     pairs = minhash_near_dup_pairs(d, num_hashes=32, bands=8, shingle_k=3, threshold=0.5)
@@ -588,6 +601,9 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q207_mmr_topk",
     oracle=None,
+    check="P: greedy sequential re-rank (iterative, not SQL-expressible); "
+          "rank-1 ≡ relevance top-1 / λ=1 ≡ cosine order / planted-dup "
+          "suppression pinned in tests/test_corpus_ops.py",
     doc="Per sampled query, MMR-diversified top-5 from the cosine top-30 "
         "pool (λ=0.7, integer-ppm scores, id ties) via cogrouped "
         "applyInPandas — redundancy-suppressing retrieval re-rank.",
@@ -693,6 +709,10 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q220_compression_ratio",
     oracle=None,
+    check="rows-only: deflate ratios are zlib-library-defined, not "
+          "SQL-derivable; repetition/null flagging + bounds pinned in "
+          "tests/test_corpus_ops.py; q66/q129 are the oracle-class "
+          "repetitiveness alternatives",
     doc="Per-source deflate compression-ratio profile (min/median-ish via "
         "avg/max in ppm): the Gopher-stack repetitiveness signal; "
         "Arrow-batched pandas UDF, scan-side.",

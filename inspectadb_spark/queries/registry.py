@@ -28,16 +28,26 @@ class Query:
     builder: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None => rows-only check (non-SQL-expressible)
     doc: str = ""
+    # Declared verification class for NON-oracled ids (oracled ids leave it
+    # empty — the oracle IS the check). Format "<class>: <reason + covering
+    # test>", class ∈ {S (streaming ≡ batch), P (property/parity/recall),
+    # A (approximation bound), rows-only}. tests/test_registry_lint.py
+    # asserts the marking is total over non-oracled ids and absent on
+    # oracled ones, the degeneracy-lint set-equality discipline.
+    check: str = ""
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator: register a builder under ``name`` with its oracle SQL."""
+def query(name: str, oracle: str | None = None, doc: str = "",
+          check: str = ""):
+    """Decorator: register a builder under ``name`` with its oracle SQL
+    (or, for non-SQL-expressible ids, its declared verification class)."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name=name, builder=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = Query(name=name, builder=fn, oracle=oracle,
+                               doc=doc or (fn.__doc__ or ""), check=check)
         return fn
 
     return wrap

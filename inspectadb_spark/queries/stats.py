@@ -1699,6 +1699,9 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q197_isotonic_calibration",
     oracle=None,
+    check="P: sequential PAVA recurrence (not SQL-expressible); pinned "
+          "against the O(n^3) max-min closed form + weighted-mean "
+          "preservation in tests/test_stats.py",
     doc="PAVA monotone fit of P(value > 100) over hour-of-day per type: "
         "one group shuffle over 24-row bin tables, O(bins) Python per "
         "group.",

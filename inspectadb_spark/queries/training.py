@@ -126,6 +126,9 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q68_pack_bins",
     oracle=None,  # greedy sequential packing: not SQL-expressible
+    check="P: greedy next-fit invariants (capacity, completeness, "
+          "doc_id-order determinism) pinned in tests/test_training_ops.py; "
+          "the oracled packing-accounting sibling is q261",
     doc="Greedy next-fit token packing per language (applyInPandas); "
         "per-bin accounting, deterministic by doc_id order.",
 )
@@ -1369,6 +1372,9 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q194_bpe_merges",
     oracle=None,
+    check="P: iterative 1-row-collect-per-round learner (not "
+          "SQL-expressible); pinned against an independent pure-Python "
+          "BPE reference in tests/test_tokenizer.py",
     doc="First 12 BPE merge rules (rank, left, right, merged, pair_freq): "
         "deterministic (freq DESC, left, right) selection, greedy "
         "non-overlapping JVM-fold merges on the word-frequency table.",
@@ -1456,6 +1462,10 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q199_bpe_encode",
     oracle=None,
+    check="rows-only: the one driver-side encode loop (Heaps'-law-small "
+          "rule table — watched, kept off data-scale paths); encode fold "
+          "pinned against a pure-Python BPE reference in "
+          "tests/test_tokenizer.py",
     doc="Per-language symbol compression from applying the first 8 learned "
         "BPE merges: (lang, n_docs, n_words, n_syms_char, n_syms_bpe, "
         "saved_ppm) — the fertility payoff of q194's rules.",
@@ -1747,6 +1757,9 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are seeded numpy with no SQL analog; the property suite pins ANN ==
 # exact on separable data and the recall bound on this corpus.
 @query("q267b_mutual_nn_ann", oracle=None,
+       check="P: SRP-bucketed candidate graph (recall-class); exact "
+             "within the graph, recall vs the oracled q267 audit sample "
+             "pinned in tests/test_properties.py",
        doc="Full-corpus reciprocal best match through SRP candidate "
            "buckets — never vector x vector; exact within the candidate "
            "graph.")

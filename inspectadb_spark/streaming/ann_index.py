@@ -256,9 +256,13 @@ def gc_index(index_path: str) -> list[str]:
     referenced: set[str] = set()
     if os.path.exists(ptr):
         with open(ptr) as f:
+            lines = f.read().strip().splitlines()
+        # zero-byte/truncated pointer == no committed ingest (keep only
+        # the build-time base) — not an IndexError
+        if lines:
             referenced = {
                 os.path.realpath(p)
-                for p in f.read().strip().splitlines()[0].split("|") if p}
+                for p in lines[0].split("|") if p}
     removed: list[str] = []
     for d in sorted(os.listdir(index_path)):
         full = os.path.realpath(os.path.join(index_path, d))

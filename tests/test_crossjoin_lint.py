@@ -86,6 +86,13 @@ _JUSTIFIED = {
     # threshold form); production paths are the sign-blocked q43g and
     # LSH-banded dedup operators, calibrated against this.
     "q43c_cosine_neardup": [("scan", "scan")],
+    # JSD pair UNIVERSE: both sides are per-source token TOTALS (grouped
+    # on the source column — bounded by the group domain, not row count),
+    # and the |groups|^2/2 pair output is inherent to a pairwise
+    # divergence metric. The cross join exists so disjoint-vocab pairs
+    # (JSD = ln 2, the maximally-divergent case) survive — an inner-only
+    # join on shared tokens silently dropped them (a8139d2 review fix).
+    "q283_js_divergence": [("grouped_agg", "grouped_agg")],
 }
 
 

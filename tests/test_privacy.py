@@ -317,7 +317,9 @@ def _dp_python(cells, releases=(("e05", 0.5), ("e20", 2.0)),
     out = {}
     for key, n in cells.items():
         for lbl, eps in releases:
-            v = int(hashlib.md5(f"{key}:{salt}:{lbl}".encode())
+            # length-prefixed part (injective encoding — see
+            # _attach_laplace_draw)
+            v = int(hashlib.md5(f"{len(key)}#{key}:{salt}:{lbl}".encode())
                     .hexdigest()[:8], 16)
             u = (v + 0.5) / 4294967296.0
             sg = 1 if u >= 0.5 else -1
@@ -562,6 +564,43 @@ def test_dp_null_group_values_draw_independent_noise(spark):
     assert len(out) == 2
     noise = sorted(r.n_noisy - 50 for r in out)
     assert noise[0] != noise[1], out
+
+
+def test_dp_colon_group_values_draw_independent_noise(spark):
+    from inspectadb_spark.operators.privacy import dp_noisy_release
+
+    # length-prefix injectivity (ADVICE r11): cells ('a:b','c') and
+    # ('a','b:c') concatenate identically under a bare ':' join — they
+    # must not share a draw
+    rows = [("a:b", "c")] * 50 + [("a", "b:c")] * 50
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = dp_noisy_release(df, ["a", "b"],
+                           releases=(("e10", 1.0),)).collect()
+    assert len(out) == 2
+    noise = sorted(r.n_noisy - 50 for r in out)
+    assert noise[0] != noise[1], out
+
+
+def test_t_closeness_counts_null_sensitive_category(spark):
+    # NULL is a distinguishable sensitive value: the marginal join must be
+    # null-safe or those rows drop from n/cs while big_n still counts them
+    # (ADVICE r11). Fixture: g1 = 50/50 x/NULL, g2 = all x.
+    # Global: x=150, NULL=50, N=200. TVD(g1)=0.25, TVD(g2)=0.25 — computed
+    # first-principles INCLUDING the NULL category.
+    from inspectadb_spark.operators.privacy import t_closeness_readout
+
+    pairs = spark.createDataFrame(
+        [("g1", "x", 50), ("g1", None, 50), ("g2", "x", 100)],
+        "qi string, s string, c long")
+    out = {r.t_ppm: r for r in
+           t_closeness_readout(pairs, ["qi"], "s",
+                               thresholds_ppm=(200000, 300000)).collect()}
+    assert out[200000].max_tvd_ppm == 250000
+    assert out[200000].groups_gt_t == 2
+    assert out[300000].groups_gt_t == 0
+    # census covers ALL rows — the pre-fix inner join undercounted n
+    assert out[200000].n_groups == 2
+    assert out[200000].rows_gt_t == 200
 
 
 def test_t_closeness_survives_large_synthetic_counts(spark):

@@ -965,6 +965,50 @@ def test_post_filtering_a_fixed_candidate_list_starves(spark):
     assert len(post) < 10
 
 
+def test_filtered_pq_serving_full_budget_equals_filtered_brute(spark,
+                                                               tmp_path):
+    """Filtered ANN at the PQ tier (VERDICT r11 item 4): the allowed-id
+    semi join runs against the CODE lists before ADC scoring, so the k-cut
+    and rerank budget are spent on allowed candidates only. Probe-all +
+    full rerank degenerates to the exact filtered brute, byte-identical —
+    the same commutation anchor as the IVF tier."""
+    from inspectadb_spark.operators.similarity import (
+        cosine_topk, ivf_pq_topk_from_index, kmeans_fit, pq_fit,
+        save_ivf_pq_index,
+    )
+
+    e, allowed, qvec = _filtered_fixture(spark)
+    cents, _ = kmeans_fit(e, k=6, iters=1)
+    books = pq_fit(e, m=8, ks=16, iters=2, sample=400)
+    idx = str(tmp_path / "ivfpq_filtered")
+    save_ivf_pq_index(e, cents, books, idx)
+    n = e.count()
+    brute = cosine_topk(
+        e.join(allowed.withColumnRenamed("doc_id", "vec_id"),
+               "vec_id", "semi"), qvec, k=10)
+    served = ivf_pq_topk_from_index(
+        spark, idx, qvec, k=10, n_probe=6, rerank=n, vectors=e,
+        allowed=allowed)
+    rows = lambda df: [tuple(str(x) for x in r) for r in df.collect()]
+    assert rows(served) == rows(brute)
+
+    allowed_ids = {r.doc_id for r in allowed.collect()}
+    # ADC-only filtered serving: full k rows, all satisfying the filter
+    # (pre-filter cannot starve while the cells hold >= k allowed ids)
+    adc = ivf_pq_topk_from_index(spark, idx, qvec, k=10, n_probe=6,
+                                 allowed=allowed)
+    got = [r.vec_id for r in adc.collect()]
+    assert len(got) == 10 and set(got) <= allowed_ids
+
+    # partial budgets keep the filter invariant and hold the P3 recall bar
+    part = ivf_pq_topk_from_index(spark, idx, qvec, k=10, n_probe=3,
+                                  rerank=40, vectors=e, allowed=allowed)
+    pids = {r.vec_id for r in part.collect()}
+    truth = {r.vec_id for r in brute.collect()}
+    assert pids <= allowed_ids
+    assert len(pids & truth) / len(truth) >= 0.4
+
+
 def test_filtered_serving_from_persisted_index_matches_inline(spark,
                                                               tmp_path):
     from inspectadb_spark.operators.similarity import (

@@ -63,6 +63,49 @@ def test_oracle_output_types_driver_safe(lint_con, name):
     )
 
 
+# -- non-oracled ids must declare their verification class -------------------
+#
+# VERDICT r11 item 6: the oracle gap must be a conscious, documented choice,
+# never an accident of growth. Set-equality both ways (the degeneracy-lint
+# discipline): every non-oracled id carries a `check` marker naming its
+# class and covering test, and no oracled id carries one (the oracle IS the
+# check — a stale marker there would mislead).
+
+_CHECK_CLASSES = ("S:", "P:", "A:", "rows-only:")
+
+
+def test_every_non_oracled_id_declares_a_verification_class():
+    missing = {
+        n: q.check
+        for n, q in sorted(REGISTRY.items())
+        if q.oracle is None
+        and not (q.check and q.check.startswith(_CHECK_CLASSES))
+    }
+    assert not missing, (
+        f"non-oracled ids without a declared verification class {missing} — "
+        "mark check='<S|P|A|rows-only>: <reason + covering test>' or add "
+        "an oracle"
+    )
+    # reasons must name where the evidence lives
+    thin = {
+        n: q.check
+        for n, q in sorted(REGISTRY.items())
+        if q.oracle is None and "tests/" not in q.check
+    }
+    assert not thin, (
+        f"verification-class markers that cite no covering test: {thin}"
+    )
+
+
+def test_no_oracled_id_carries_a_check_marker():
+    stale = {n for n, q in sorted(REGISTRY.items())
+             if q.oracle is not None and q.check}
+    assert not stale, (
+        f"oracled ids carrying a check marker (the oracle IS the check; "
+        f"drop the marker): {stale}"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_spark_output_types_driver_safe(spark, name):
     """Build the Spark plan (no execution) and ban pandas-hostile types."""

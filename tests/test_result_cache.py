@@ -99,6 +99,26 @@ def test_vacuum_only_causes_misses(spark, base_path, tmp_path):
 
 # -- review regressions: fingerprint must NOT collide distinct queries -------
 
+def test_fingerprint_distinguishes_output_alias_names(spark, base_path,
+                                                      tmp_path):
+    # canonicalization erases Alias names (Alias -> ""), so sum(v) AS a
+    # and sum(v) AS b canonicalize identically; the fingerprint mixes the
+    # output schema back in so a hit can never serve the wrong column
+    # names (ADVICE r11)
+    base = spark.read.parquet(base_path)
+    a = base.groupBy("g").agg(F.sum("v").alias("total_a"))
+    b = base.groupBy("g").agg(F.sum("v").alias("total_b"))
+    assert fingerprint(a) != fingerprint(b)
+    rc = ResultCache(spark, str(tmp_path / "rc"))
+    rc.get_or_compute(a)
+    got, hit = rc.get_or_compute(b)
+    assert not hit
+    assert got.columns == ["g", "total_b"]
+    # same aliases rebuilt from scratch still hit
+    a2 = base.groupBy("g").agg(F.sum("v").alias("total_a"))
+    _, hit2 = rc.get_or_compute(a2)
+    assert hit2
+
 def test_plan_key_distinguishes_literals_resembling_expr_ids(spark):
     from inspectadb_spark.operators.result_cache import plan_key
 
