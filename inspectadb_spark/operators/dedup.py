@@ -317,6 +317,44 @@ def minhash_lsh_candidates_portable(
     )
 
 
+def lsh_bucket_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-band bucket-size audit of the portable LSH banding join:
+    (band, n_docs, n_buckets, max_bucket, candidate_pairs, top_share_ppm).
+
+    The banding join's output cardinality is EXACTLY Σ s·(s−1)/2 over
+    bucket sizes s, so this profile is the pre-flight cost estimate (and
+    the skew alarm) for ``minhash_lsh_candidates_portable`` — a hot
+    bucket (boilerplate, empty docs, a pathological shingle) turns the
+    "O(collisions)" claim into a quadratic blowup at 100 TB. Same band
+    keys as the candidates operator, so the audit prices the join that
+    would actually run; everything downstream of the key build is one
+    map-side-combinable group-by pair."""
+    _check_banding(num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    sig = _portable_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    banded = sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+    keys = banded.groupBy(id_col, "band").agg(
+        F.md5(F.expr("listagg(sig, '|') WITHIN GROUP (ORDER BY j)")).alias("bk")
+    )
+    buckets = keys.groupBy("band", "bk").agg(F.count(F.lit(1)).alias("s"))
+    return buckets.groupBy("band").agg(
+        F.sum("s").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("s").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("s * (s - 1) DIV 2")).cast("bigint")
+        .alias("candidate_pairs"),
+        F.expr("MAX(s) * 1000000 DIV SUM(s)").cast("bigint")
+        .alias("top_share_ppm"),
+    )
+
+
 def cdc_chunk_near_dup_pairs(
     docs: DataFrame,
     min_shared: int = 2,

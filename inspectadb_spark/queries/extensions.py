@@ -2351,3 +2351,285 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_thresholded_release(
         c.select(F.col("c_mktsegment").alias("segment")), ["segment"],
         delta=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Q351/Q352 persisted IVF-PQ ADC serving (operators/similarity.py
+# save_ivf_pq_index / ivf_pq_topk_from_index): the codebooks, like q339/
+# q340's centroids, are TABLE ROWS (codeword c of subspace j = dims
+# j*8+1..j*8+8 of embedding vec_id = c*100), so DuckDB re-derives the whole
+# pipeline from first principles — cell assignment, probe ranking, the
+# per-subspace encoding argmax (v_j·C_jc − |C_jc|²/2, ties to the lower
+# code: exactly pq_encode's expr route), the ADC dot against the query's
+# subvectors, and cosine via the stored EXACT vector norm. External
+# evidence for the code-lists-only serving tier: the oracle never sees the
+# persisted index, only the math it must embody. Q352 is the filtered form
+# (allowed = lang='en' documents, semi-joined BEFORE ADC scoring — the
+# q350 pre-filter commutation at the PQ tier).
+def _pq_codebook_rows(e: DataFrame):
+    """(m=8, ks=4, dsub=8) codebooks from the same deterministic model rows
+    as _centroid_rows (model-sized collect: 4 rows)."""
+    import numpy as np
+
+    rows = (e.filter(F.col("vec_id").isin(0, 100, 200, 300))
+            .orderBy("vec_id").collect())
+    full = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    # books[j, c] = dims [j*8, (j+1)*8) of row c
+    return np.stack([full[:, j * 8:(j + 1) * 8] for j in range(8)])
+
+
+def _pq_adc_oracle(cand_extra: str) -> str:
+    """The full q351-family oracle; ``cand_extra`` narrows the candidate
+    set (q352's allowed-id join) between cell probing and encoding."""
+    return f"""
+    WITH {_IVF_CELL_CTES},
+    probe AS (
+      SELECT cell FROM (
+        SELECT cell, ROW_NUMBER() OVER (ORDER BY s DESC, cell) AS r
+        FROM scored WHERE vec_id = 7) t WHERE r <= 2),
+    cb AS (
+      SELECT CAST(vec_id // 100 AS INT) AS c, embedding AS cw
+      FROM embeddings WHERE vec_id IN (0, 100, 200, 300)),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    qn AS (
+      SELECT SQRT(SUM(CAST(qe[d.d] AS DOUBLE) * CAST(qe[d.d] AS DOUBLE)))
+               AS qnorm
+      FROM q CROSS JOIN generate_series(1, 64) d(d)),
+    cand AS (
+      SELECT e.vec_id, e.embedding AS ev
+      FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN probe p ON p.cell = a.cell{cand_extra}),
+    enc AS (
+      SELECT cand.vec_id, CAST((d.d - 1) // 8 AS INT) AS j, cb.c,
+             SUM(CAST(cand.ev[d.d] AS DOUBLE) * CAST(cb.cw[d.d] AS DOUBLE))
+               - SUM(CAST(cb.cw[d.d] AS DOUBLE)
+                     * CAST(cb.cw[d.d] AS DOUBLE)) / 2 AS score
+      FROM cand CROSS JOIN cb CROSS JOIN generate_series(1, 64) d(d)
+      GROUP BY cand.vec_id, CAST((d.d - 1) // 8 AS INT), cb.c),
+    code AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY score DESC, c) AS r
+        FROM enc) t WHERE r = 1),
+    adc AS (
+      SELECT code.vec_id,
+             SUM(CAST(q.qe[d.d] AS DOUBLE) * CAST(cb.cw[d.d] AS DOUBLE))
+               AS dot
+      FROM code JOIN cb ON cb.c = code.c
+      CROSS JOIN q CROSS JOIN generate_series(1, 64) d(d)
+      WHERE CAST((d.d - 1) // 8 AS INT) = code.j
+      GROUP BY code.vec_id),
+    nrm AS (
+      SELECT cand.vec_id,
+             SQRT(SUM(CAST(cand.ev[d.d] AS DOUBLE)
+                      * CAST(cand.ev[d.d] AS DOUBLE))) AS vnorm
+      FROM cand CROSS JOIN generate_series(1, 64) d(d)
+      GROUP BY cand.vec_id)
+    SELECT adc.vec_id,
+           CAST(ROUND(CAST(adc.dot / (nrm.vnorm * qn.qnorm)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS sim_adc
+    FROM adc JOIN nrm USING (vec_id) CROSS JOIN qn
+    ORDER BY sim_adc DESC, vec_id LIMIT 10
+    """
+
+
+def _q351_build(spark: SparkSession, sf_dir: str, filtered: bool):
+    from inspectadb_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+        save_ivf_pq_index,
+    )
+
+    t = tables(spark, sf_dir)
+    e = t["embeddings"]
+    cents = _centroid_rows(e)
+    books = _pq_codebook_rows(e)
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    tag = "q352idx" if filtered else "q351idx"
+    path = _tmp(sf_dir, tag)
+    save_ivf_pq_index(e, cents, books, path)
+    allowed = (t["documents"].filter(F.col("lang") == "en")
+               .select("doc_id") if filtered else None)
+    return ivf_pq_topk_from_index(spark, path, qvec, k=10, n_probe=2,
+                                  allowed=allowed)
+
+
+@query(
+    "q351_pq_adc_topk",
+    oracle=_pq_adc_oracle(""),
+    doc="Top-10 by ADC cosine served from the persisted IVF-PQ index "
+        "(codes only, 2 of 4 cells probed); the oracle re-derives "
+        "encoding and ADC from the codebook table rows.",
+)
+def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q351_build(spark, sf_dir, filtered=False)
+
+
+@query(
+    "q352_pq_filtered_topk",
+    oracle=_pq_adc_oracle("""
+      JOIN documents doc ON doc.doc_id = e.vec_id AND doc.lang = 'en'"""),
+    doc="Metadata-filtered (lang='en') ADC top-10 from the persisted "
+        "IVF-PQ index: allowed-id semi join BEFORE scoring, so the k-cut "
+        "spends on allowed candidates only.",
+)
+def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q351_build(spark, sf_dir, filtered=True)
+
+
+# --------------------------------------------------------------------------
+# Q354 randomized response (Warner 1965) — LOCAL differential privacy, the
+# per-record counterpart of q347's central model: each customer's true bit
+# (acctbal > 0) is reported truthfully only with probability p = 0.75,
+# flipped otherwise (epsilon = ln(p/(1-p)) = ln 3 per record), and the
+# collector DEBIASES the per-nation rate with pi_hat = (r_bar-(1-p))/(2p-1)
+# = 2*r_bar - 1/2. The flip coin is the corpus's keyed md5 PRF (replayable
+# release, oracle re-derives identical bits); estimates are exact integer
+# ppm (can exceed [0, 1e6] on small cells — that bias-variance tradeoff is
+# the mechanism's, not a bug, and the true rate rides along for the audit).
+# 100 TB story: the flip is scan-side expression arithmetic; one map-side
+# combinable group-by; no per-record state anywhere.
+@query(
+    "q354_randomized_response",
+    oracle="""
+    WITH x AS (
+      SELECT c_nationkey AS nation,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS b,
+             CASE WHEN (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                                                 || ':rr'), 1, 8))
+                             AS BIGINT) + 0.5) / 4294967296.0 < 0.75
+                  THEN CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END
+                  ELSE 1 - CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END
+             END AS r
+      FROM customer)
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r) AS BIGINT) AS reported_ones,
+           CAST(SUM(r) * 1000000 // COUNT(*) AS BIGINT) AS reported_ppm,
+           CAST(2 * SUM(r) * 1000000 // COUNT(*) - 500000 AS BIGINT)
+             AS pi_hat_ppm,
+           CAST(SUM(b) * 1000000 // COUNT(*) AS BIGINT) AS true_ppm
+    FROM x GROUP BY nation ORDER BY nation
+    """,
+    doc="Warner randomized response per nation: keyed-PRF flip at p=0.75 "
+        "of the acctbal>0 bit, reported rate, the debiased estimate "
+        "2*r_bar - 1/2 (integer ppm), and the true rate for the audit.",
+)
+def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables(spark, sf_dir)["customer"]
+    b = "CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END"
+    u = ("(CAST(conv(substr(md5(cast(concat(cast(c_custkey as string),"
+         " ':rr') as binary)), 1, 8), 16, 10) AS BIGINT) + 0.5)"
+         " / 4294967296.0")
+    x = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr(b).alias("b"),
+        F.expr(f"CASE WHEN {u} < 0.75 THEN {b} ELSE 1 - {b} END").alias("r"))
+    return (x.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("reported_ones"),
+        F.expr("SUM(r) * 1000000 DIV COUNT(*)").cast("bigint")
+        .alias("reported_ppm"),
+        F.expr("2 * SUM(r) * 1000000 DIV COUNT(*) - 500000").cast("bigint")
+        .alias("pi_hat_ppm"),
+        F.expr("SUM(b) * 1000000 DIV COUNT(*)").cast("bigint")
+        .alias("true_ppm"))
+        .orderBy("nation"))
+
+
+# --------------------------------------------------------------------------
+# Q357 DP median via the EXPONENTIAL MECHANISM (McSherry & Talwar 2007) —
+# the selection-valued member of the central-DP family (q347 count, q348
+# sum, q349 histogram publish/suppress, q354 local RR): releasing "which
+# value" rather than "how much" needs utility-weighted sampling, not
+# additive noise. Candidates are a FIXED PUBLIC grid (acctbal bands
+# -1000..10000 step 1000 — data-independent, as the mechanism requires);
+# utility u(c) = -|#(x <= c) - n/2| has sensitivity 1, weights
+# exp(eps*u/2) at eps = 1 are quantized DECIMAL(18,6)->R4 per term (q132
+# two-step) BEFORE the cumulative sum, and the draw is the keyed md5 PRF
+# (replayable; the oracle re-derives the identical release). Weight
+# underflow for far-from-median candidates rounds to an exact 0.0 in both
+# engines — the truncation is part of the released mechanism, determinism
+# is what the oracle certifies.
+# 100 TB story: one scan -> per-(nation, candidate) rank counts via a
+# broadcast 12-row grid (map-side combinable), the weighted draw runs on
+# the model-sized (nation x candidate) table.
+@query(
+    "q357_dp_quantile",
+    oracle="""
+    WITH grid AS (
+      SELECT unnest(generate_series(-1000, 10000, 1000)) AS c),
+    ranks AS (
+      SELECT cu.c_nationkey AS nation, g.c,
+             COUNT(*) AS n,
+             SUM(CASE WHEN cu.c_acctbal <= g.c THEN 1 ELSE 0 END) AS rk
+      FROM customer cu CROSS JOIN grid g
+      GROUP BY 1, 2),
+    wts AS (
+      SELECT nation, c, n, rk,
+             -ABS(2 * rk - n) AS u2,
+             ROUND(CAST(exp(0.5 * (-ABS(2 * rk - n)) / 2.0)
+                        AS DECIMAL(18,6)), 4) AS w
+      FROM ranks),
+    cum AS (
+      SELECT nation, c, n, rk, u2, w,
+             SUM(w) OVER (PARTITION BY nation ORDER BY c
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY nation) AS tw,
+             (CAST(('0x' || substr(md5(CAST(nation AS VARCHAR)
+                                       || ':dpq'), 1, 8)) AS BIGINT)
+              + 0.5) / 4294967296.0 AS draw
+      FROM wts),
+    pick AS (
+      SELECT nation, n, c, rk, u2,
+             ROW_NUMBER() OVER (PARTITION BY nation ORDER BY c) AS r
+      FROM cum WHERE CAST(cw AS DOUBLE) >= draw * CAST(tw AS DOUBLE))
+    SELECT nation, CAST(n AS BIGINT) AS n,
+           CAST(c AS DOUBLE) AS released_value,
+           CAST(rk AS BIGINT) AS released_rank,
+           CAST(u2 AS BIGINT) AS neg_abs_2u
+    FROM pick WHERE r = 1 ORDER BY nation
+    """,
+    doc="Exponential-mechanism DP median of customer acctbal per nation "
+        "over a fixed public grid (eps=1): utility-weighted keyed-PRF "
+        "selection, replayable, with the released candidate's rank and "
+        "(doubled) utility for the audit.",
+)
+def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables(spark, sf_dir)["customer"]
+    spark_ = c.sparkSession
+    grid = spark_.range(-1, 11).select(
+        (F.col("id") * 1000).cast("int").alias("c"))
+    ranks = (c.crossJoin(F.broadcast(grid))
+             .groupBy(F.col("c_nationkey").alias("nation"), "c")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(F.col("c_acctbal") <= F.col("c"), 1)
+                        .otherwise(0)).alias("rk")))
+    # u2 = 2*u (kept integer: |2rk - n| avoids the n/2 fraction); the
+    # exponent halves it back: eps/2 * u = 0.5 * u2 / 2
+    wts = (ranks.withColumn("u2", -F.abs(2 * F.col("rk") - F.col("n")))
+           .withColumn("w", F.expr(
+               "ROUND(CAST(exp(0.5 * u2 / 2.0) AS DECIMAL(18,6)), 4)")))
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("nation").orderBy("c")
+    wa = Window.partitionBy("nation")
+    draw = ("(CAST(conv(substr(md5(cast(concat(cast(nation as string),"
+            " ':dpq') as binary)), 1, 8), 16, 10) AS BIGINT) + 0.5)"
+            " / 4294967296.0")
+    cum = (wts
+           .withColumn("cw", F.sum("w").over(
+               wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+           .withColumn("tw", F.sum("w").over(wa))
+           .withColumn("draw", F.expr(draw)))
+    pick = (cum.filter(F.col("cw").cast("double")
+                       >= F.col("draw") * F.col("tw").cast("double"))
+            .withColumn("r", F.row_number().over(wo)))
+    return (pick.filter(F.col("r") == 1)
+            .select("nation", F.col("n").cast("bigint").alias("n"),
+                    F.col("c").cast("double").alias("released_value"),
+                    F.col("rk").cast("bigint").alias("released_rank"),
+                    F.col("u2").cast("bigint").alias("neg_abs_2u"))
+            .orderBy("nation"))

@@ -1861,3 +1861,106 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return filtered_cosine_topk(e, t["documents"], F.col("lang") == "en",
                                 qvec, k=10)
+
+
+# --------------------------------------------------------------------------
+# Q355 mean segmental type-token ratio (MSTTR, Johnson 1944): plain TTR is
+# length-confounded (longer docs repeat more), so lexical diversity is
+# measured on fixed 16-token segments and averaged — the
+# length-controlled sibling of q262's token entropy and q304's hapax
+# rate. Integer-exact: per-segment TTR in ppm (distinct DIV 16), per-lang
+# mean as an integer DIV. Partial trailing segments are dropped (they
+# would bias TTR upward — fewer chances to repeat).
+# 100 TB story: posexplode is scan-side; one (doc, seg) group-by then one
+# lang group-by, both map-side combinable; no windows, no joins.
+@query(
+    "q355_msttr",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    g AS (
+      SELECT doc_id, lang, CAST(pos // 16 AS INT) AS seg,
+             COUNT(*) AS n, COUNT(DISTINCT tok) AS d
+      FROM tk GROUP BY 1, 2, 3),
+    full_seg AS (
+      SELECT lang, doc_id, d * 1000000 // 16 AS ttr_ppm
+      FROM g WHERE n = 16)
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(ttr_ppm) // COUNT(*) AS BIGINT) AS msttr_ppm
+    FROM full_seg GROUP BY lang ORDER BY lang
+    """,
+    doc="Mean segmental TTR per language over complete 16-token segments "
+        "(integer ppm): length-controlled lexical diversity.",
+)
+def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "doc_id", "lang",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"))
+    g = (tok.withColumn("seg", F.expr("CAST(pos DIV 16 AS INT)"))
+         .groupBy("doc_id", "lang", "seg")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.countDistinct("tok").alias("d")))
+    full_seg = (g.filter(F.col("n") == 16)
+                .withColumn("ttr_ppm", F.expr("d * 1000000 DIV 16")))
+    return (full_seg.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.expr("SUM(ttr_ppm) DIV COUNT(*)").cast("bigint")
+        .alias("msttr_ppm"))
+        .orderBy("lang"))
+
+
+# --------------------------------------------------------------------------
+# Q356 LSH bucket-skew audit (operators/dedup.py lsh_bucket_profile): the
+# operational guardrail for every banding join in this package — the
+# candidate join's output is EXACTLY sum(s*(s-1)/2) over bucket sizes s,
+# so one hot bucket turns "O(collisions)" into a quadratic blowup at
+# 100 TB. Per band: docs, buckets, the largest bucket, the exact candidate
+# pair mass, and the top bucket's share (integer ppm). Same portable md5
+# band keys as the oracled q114, so DuckDB re-derives the buckets
+# themselves, not just the summary.
+@query(
+    "q356_lsh_bucket_skew",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM toks WHERE len(w) >= 3),
+    seeded AS (
+      SELECT doc_id, unnest(generate_series(0, 7)) AS j, shingle FROM sh),
+    sig AS (
+      SELECT doc_id, j,
+             MIN(md5(CAST(j AS VARCHAR) || '#' || shingle)) AS sig
+      FROM seeded GROUP BY doc_id, j),
+    keys AS (
+      SELECT doc_id, CAST(j // 2 AS INT) AS band,
+             md5(string_agg(sig, '|' ORDER BY j)) AS bk
+      FROM sig GROUP BY doc_id, CAST(j // 2 AS INT)),
+    buckets AS (
+      SELECT band, bk, COUNT(*) AS s FROM keys GROUP BY band, bk)
+    SELECT band,
+           CAST(SUM(s) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(s) AS BIGINT) AS max_bucket,
+           CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(MAX(s) * 1000000 // SUM(s) AS BIGINT) AS top_share_ppm
+    FROM buckets GROUP BY band ORDER BY band
+    """,
+    doc="Per-band LSH bucket-size audit over the portable minhash band "
+        "keys: exact candidate-pair mass sum(s*(s-1)/2) and top-bucket "
+        "share — the skew signal that predicts banding-join blowup.",
+)
+def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import lsh_bucket_profile
+
+    d = tables(spark, sf_dir)["documents"]
+    return lsh_bucket_profile(d).orderBy("band")

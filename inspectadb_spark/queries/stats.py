@@ -5483,3 +5483,86 @@ def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4c(F.expr("n / (1 + (CAST(n AS DOUBLE) / uu - 1)"
                    " * ((msb - msw) / (msb + (m0 - 1) * msw)))"))
         .alias("eff_sample_size"))
+
+
+# --------------------------------------------------------------------------
+# Q353 sequential probability ratio test (Wald 1945): per event_type, the
+# conversion indicator (value > 100) is tested H0: p = 0.1 vs H1: p = 0.2
+# in arrival order — the streaming-native alternative to fixed-horizon
+# tests (decide as early as the evidence allows, with guaranteed
+# alpha/beta). Per-term log-likelihood ratios are quantized
+# DECIMAL(18,6)->R4 BEFORE the cumulative sum (the q132 two-step), so the
+# LLR path is engine-exact; the Wald bounds ln((1-b)/a) = ±2.9444 at
+# alpha = beta = 0.05 are integer-decimal literals. Readout per type: the
+# first crossing step (0 = no decision yet), the decision, and the LLR at
+# decision (or the final LLR while continuing). Fixture: conversion rates
+# 11-16% straddle the hypotheses, so low-rate types accept H0 while
+# high-rate types drift toward H1 — decisions genuinely vary.
+# 100 TB story: one scan, one per-type window cumsum (partitioned — the
+# per-key state is one running decimal), then a per-type aggregate. The
+# LIVE form is StreamingSprt (streaming/incremental.py): S62 pins the
+# drained monitor readout ≡ this batch query byte-for-byte.
+@query(
+    "q353_sprt",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN value > 100
+                  THEN ROUND(CAST(ln(2.0) AS DECIMAL(18,6)), 4)
+                  ELSE ROUND(CAST(ln(0.8 / 0.9) AS DECIMAL(18,6)), 4)
+             END AS step
+      FROM events),
+    c AS (
+      SELECT event_type,
+             SUM(step) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS llr,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM x)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(MIN(rn) FILTER (WHERE ABS(llr) >= 2.9444), 0)
+                AS BIGINT) AS n_at_decision,
+           CASE WHEN MIN(rn) FILTER (WHERE ABS(llr) >= 2.9444) IS NULL
+                  THEN 'continue'
+                WHEN ARG_MIN(llr, rn) FILTER (WHERE ABS(llr) >= 2.9444) > 0
+                  THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(COALESCE(ARG_MIN(llr, rn) FILTER (WHERE ABS(llr) >= 2.9444),
+                         ARG_MAX(llr, rn)) AS DOUBLE) AS llr_readout
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Wald SPRT per event type (H0 p=0.1 vs H1 p=0.2, alpha=beta=0.05) "
+        "over the value>100 indicator in arrival order: first-crossing "
+        "step, decision, and the LLR at decision (exact decimal path).",
+)
+def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    step = ("CASE WHEN value > 100"
+            " THEN ROUND(CAST(ln(2.0) AS DECIMAL(18,6)), 4)"
+            " ELSE ROUND(CAST(ln(0.8 / 0.9) AS DECIMAL(18,6)), 4) END")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    x = (ev.select("event_type", "ts", "event_id",
+                   F.expr(step).alias("step"))
+         .withColumn("llr", F.sum("step").over(
+             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+         .withColumn("rn", F.row_number().over(w)))
+    crossed = F.abs(F.col("llr")) >= 2.9444
+    dec = F.when(crossed, F.struct(F.col("rn").alias("rn"),
+                                   F.col("llr").alias("llr")))
+    fin = F.struct(F.col("rn").alias("rn"), F.col("llr").alias("llr"))
+    agg = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min(dec).alias("_dec"),
+        F.max(fin).alias("_fin"))
+    return (agg.select(
+        "event_type", "n_events",
+        F.coalesce(F.col("_dec.rn").cast("bigint"), F.lit(0).cast("bigint"))
+        .alias("n_at_decision"),
+        F.when(F.col("_dec").isNull(), F.lit("continue"))
+        .when(F.col("_dec.llr") > 0, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0")).alias("decision"),
+        F.coalesce(F.col("_dec.llr"), F.col("_fin.llr")).cast("double")
+        .alias("llr_readout"))
+        .orderBy("event_type"))

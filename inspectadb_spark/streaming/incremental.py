@@ -329,3 +329,125 @@ class StreamingMisraGries(IncrementalAggregate):
             items = (items.filter(F.col("cnt") > kth)
                      .withColumn("cnt", F.col("cnt") - F.lit(kth)))
         return items.unionByName(sentinel)
+
+
+class StreamingSprt(IncrementalAggregate):
+    """Live Wald SPRT monitor (the streaming face of q353): per key, the
+    running log-likelihood ratio over an ORDER-DEFINED indicator stream,
+    with the first boundary crossing frozen the moment it happens.
+
+    Sequential tests are the one aggregate family whose state is
+    order-dependent, so this is NOT a decomposable-kind subclass: each
+    micro-batch's internal LLR path is offset by the stored running LLR,
+    the first in-batch crossing (if the key is still undecided) is
+    detected against the offset path, and the decision (step index + LLR
+    at crossing) freezes while n/llr keep accumulating for the undecided
+    readout. Batch ≡ stream EXACTLY — for any chunking of the stream that
+    respects the event order (the contract every sequential test already
+    imposes on its data; an ordered file/kafka source satisfies it) the
+    drained state equals the one-shot batch computation byte-for-byte
+    (S62).
+
+    State per key: (key, n, llr, dec_rn, dec_llr) — one row, merge cost
+    O(|keys| + |batch|) independent of history; the same
+    version-pointer/crash/idempotence story as IncrementalAggregate.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 key: str, order_cols: list[str], step_sql: str,
+                 bar: str = "2.9444") -> None:
+        # reuse the pointer bookkeeping; measures unused (merge overridden)
+        super().__init__(spark, state_dir, key_exprs={key: key},
+                         measures=[("n", "count", "*")])
+        self.key = key
+        self.order_cols = list(order_cols)
+        self.step_sql = step_sql
+        self.bar = bar
+
+    def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        committed = self._read_ptr()
+        if (
+            committed is not None
+            and self._checkpoint is not None
+            and committed[1] == self._checkpoint
+            and committed[2] is not None
+            and batch_id <= committed[2]
+        ):
+            return
+        if batch.isEmpty():
+            return
+        k = self.key
+        w = Window.partitionBy(k).orderBy(*self.order_cols)
+        p = (batch.select(k, *self.order_cols,
+                          F.expr(self.step_sql).alias("step"))
+             .withColumn("cum", F.sum("step").over(
+                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+             .withColumn("rn", F.row_number().over(w)))
+        state = self.table()
+        if state is None:
+            state = self.spark.createDataFrame(
+                [], f"{k} string, n bigint, llr decimal(38,6), "
+                    "dec_rn bigint, dec_llr decimal(38,6)")
+        st = state.select(
+            F.col(k), F.col("n").alias("_off_n"), F.col("llr").alias("_off"),
+            F.col("dec_rn").alias("_dec_rn"), F.col("dec_llr").alias("_dec_llr"))
+        j = (p.join(F.broadcast(st), k, "left")
+             .withColumn("_off", F.coalesce(F.col("_off"),
+                                            F.lit(0).cast("decimal(38,6)")))
+             .withColumn("_off_n", F.coalesce(F.col("_off_n"), F.lit(0)))
+             .withColumn("_abs_llr", F.abs(F.col("_off") + F.col("cum"))))
+        crossing = F.when(
+            F.col("_dec_rn").isNull()
+            & (F.col("_abs_llr") >= F.expr(self.bar)),
+            F.struct(F.col("rn").alias("rn"),
+                     (F.col("_off") + F.col("cum")).alias("llr")))
+        fin = F.struct(F.col("rn").alias("rn"),
+                       (F.col("_off") + F.col("cum")).alias("llr"))
+        upd = j.groupBy(k).agg(
+            (F.min("_off_n") + F.count(F.lit(1))).cast("bigint").alias("n"),
+            F.max(fin).getField("llr").cast("decimal(38,6)").alias("llr"),
+            F.min("_dec_rn").alias("_old_rn"),
+            F.min("_dec_llr").alias("_old_llr"),
+            F.min("_off_n").alias("_off_n0"),
+            F.min(crossing).alias("_cross"))
+        upd = upd.select(
+            F.col(k),
+            "n", "llr",
+            F.coalesce(F.col("_old_rn"),
+                       (F.col("_off_n0") + F.col("_cross.rn")).cast("bigint"))
+            .alias("dec_rn"),
+            F.coalesce(F.col("_old_llr"),
+                       F.col("_cross.llr").cast("decimal(38,6)"))
+            .alias("dec_llr"))
+        # keys silent in this batch carry over untouched
+        carried = state.join(upd.select(k), k, "anti")
+        new_state = carried.unionByName(upd)
+        self._version += 1
+        out = os.path.join(self.state_dir, f"v{self._version}")
+        new_state.write.mode("overwrite").parquet(out)
+        tmp = self._ptr() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{out}\n{self._checkpoint or ''}\n{batch_id}")
+        os.replace(tmp, self._ptr())
+        old = os.path.join(self.state_dir, f"v{self._version - 2}")
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def readout(self) -> DataFrame | None:
+        """(key, n_events, n_at_decision, decision, llr_readout) — the
+        q353 contract, read from the live state table."""
+        t = self.table()
+        if t is None:
+            return None
+        return t.select(
+            F.col(self.key),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.coalesce(F.col("dec_rn"), F.lit(0)).cast("bigint")
+            .alias("n_at_decision"),
+            F.when(F.col("dec_rn").isNull(), F.lit("continue"))
+            .when(F.col("dec_llr") > 0, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0")).alias("decision"),
+            F.coalesce(F.col("dec_llr"), F.col("llr")).cast("double")
+            .alias("llr_readout"))

@@ -168,6 +168,9 @@ _JUSTIFIED: dict[tuple[str, str], tuple[float, str]] = {
     # FIXSIZE: documents (500 rows / 20 sources / 31-word vocabulary) and
     # embeddings (500 vectors x 64 dims) are SF-invariant side tables.
     ("q125_embedding_dim_stats", "n"): (500.0, _fixsize("500 vectors")),
+    ("q356_lsh_bucket_skew", "n_docs"): (500.0,
+        _fixsize("every doc has >= 3 tokens so all 500 band once per "
+                 "band; buckets/max/pairs/top-share vary")),
     ("q126_mixture_rebalance", "n_orig"): (25.0,
         _fixsize("25 docs per source")),
     ("q126_mixture_rebalance", "n_kept"): (25.0,

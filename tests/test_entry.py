@@ -25,10 +25,11 @@ ROOT = Path(__file__).resolve().parent.parent
 # CORRECTNESS_r12 landing mid-round can't flip these pins.
 _BASELINE_CUTOFF = "CORRECTNESS_r12"
 
-# Registry size pin: 403/386 at the end of round 11. Growth must
-# consciously update this pin in the same commit that grows the registry.
-_FROZEN_REGISTRY_SIZE = 403
-_FROZEN_ORACLED_SIZE = 386
+# Registry size pin: 403/386 at the end of round 11; +7 in round 12
+# (q351-q357, all oracled). Growth must consciously update this pin in the
+# same commit that grows the registry.
+_FROZEN_REGISTRY_SIZE = 410
+_FROZEN_ORACLED_SIZE = 393
 
 
 def _green_rounds() -> dict[str, set[str]]:
@@ -107,7 +108,15 @@ def test_round12_front_clears_the_backlog():
 # Queries added during round 12 itself; they are new, so they have no
 # pre-r12 driver row by construction and are excluded from the backlog
 # arithmetic. Next round's rotation front-loads them.
-_ROUND12_ADDITIONS: set[str] = set()
+_ROUND12_ADDITIONS: set[str] = {
+    "q351_pq_adc_topk",
+    "q352_pq_filtered_topk",
+    "q353_sprt",
+    "q354_randomized_response",
+    "q355_msttr",
+    "q356_lsh_bucket_skew",
+    "q357_dp_quantile",
+}
 
 
 def test_round12_refresh_slots_are_the_stalest_evidence():

@@ -3369,3 +3369,51 @@ def test_ingest_pointer_wire_format_cross_parses(spark, tmp_path):
     for p in paths:
         assert os.path.exists(p), p
     assert read_ivf_lists(spark, idx).count() == 250
+
+
+# S62 live SPRT monitor (the streaming face of q353): sequential tests are
+# streaming-NATIVE — the whole point is deciding mid-stream — but their
+# state is order-dependent, so StreamingSprt offsets each micro-batch's
+# internal LLR path by the stored running LLR and freezes the first
+# crossing. For any chunking that respects event order, the drained
+# readout equals the one-shot batch q353 BYTE-FOR-BYTE — including
+# decisions frozen in earlier chunks that later evidence cannot unfreeze.
+def test_s62_live_sprt_monitor_equals_batch(spark, tmp_path):
+    from inspectadb_spark.queries import REGISTRY
+    from inspectadb_spark.streaming.incremental import StreamingSprt
+
+    # chunk events in global (ts, event_id) order — the order the test
+    # statistic itself is defined over
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    step = (t.num_rows + 2) // 3
+    now = time.time()
+    for i in range(3):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    step_sql = ("CASE WHEN value > 100"
+                " THEN ROUND(CAST(ln(2.0) AS DECIMAL(18,6)), 4)"
+                " ELSE ROUND(CAST(ln(0.8 / 0.9) AS DECIMAL(18,6)), 4) END")
+    mon = StreamingSprt(spark, str(tmp_path / "state"), key="event_type",
+                        order_cols=["ts", "event_id"], step_sql=step_sql)
+    q = mon.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    live = mon.readout().orderBy("event_type")
+    want = REGISTRY["q353_sprt"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
+    # decisions actually varied (the fixture straddles the hypotheses)
+    decs = {r.decision for r in live.collect()}
+    assert len(decs) >= 2, decs
+
+    # crash-window idempotence: re-applying the last batch is a no-op
+    last = spark.read.parquet(f"{src}/chunk02.parquet")
+    before = _rows(mon.readout())
+    mon._merge_batch(last, batch_id=2)
+    assert _rows(mon.readout()) == before
