@@ -5566,3 +5566,185 @@ def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("_dec.llr"), F.col("_fin.llr")).cast("double")
         .alias("llr_readout"))
         .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Q358 split-conformal prediction interval (Vovk et al. 2005; the
+# distribution-free serving-side guarantee modern eval stacks attach to
+# point predictions): event_id % 3 splits train/calibration/test; the
+# per-type model is the train mean, the conformal radius is the
+# ceil((n_cal+1)(1-alpha))-th smallest calibration residual (alpha = 0.1),
+# and the TEST split reports empirical coverage. Exactness: values are
+# quantized DECIMAL->R4 once, and every residual comparison runs in
+# "times n_train" space (|n*v - S| vs the selected |n*v - S| order
+# statistic) so no division touches a comparison — mu and qhat are
+# readout-only R4 doubles. Fixture: coverage lands ~90% (818k-969k ppm,
+# varying by type and SF) — the guarantee made visible.
+# 100 TB story: two scans (train agg, then cal/test against the broadcast
+# 5-row model), one per-type window for the order statistic; the k-th
+# residual selection is the model-sized table.
+@query(
+    "q358_conformal_interval",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, event_id,
+             ROUND(CAST(value AS DECIMAL(18,6)), 4) AS v,
+             event_id % 3 AS sp
+      FROM events),
+    tr AS (SELECT event_type, COUNT(*) AS nt, SUM(v) AS s
+           FROM q WHERE sp = 0 GROUP BY 1),
+    cal AS (SELECT q.event_type, ABS(tr.nt * q.v - tr.s) AS ar, q.event_id
+            FROM q JOIN tr USING (event_type) WHERE sp = 1),
+    ksel AS (SELECT event_type, COUNT(*) AS nc FROM cal GROUP BY 1),
+    qs AS (
+      SELECT c.event_type, c.ar AS qhat_s, k.nc FROM
+        (SELECT event_type, ar,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY ar, event_id) AS r
+         FROM cal) c
+        JOIN ksel k USING (event_type)
+        WHERE c.r = (9 * (k.nc + 1) + 9) // 10),
+    tst AS (
+      SELECT q.event_type, COUNT(*) AS ntest,
+             SUM(CASE WHEN ABS(tr.nt * q.v - tr.s) <= qs.qhat_s
+                      THEN 1 ELSE 0 END) AS cov
+      FROM q JOIN tr USING (event_type) JOIN qs USING (event_type)
+      WHERE sp = 2 GROUP BY 1)
+    SELECT t.event_type,
+           CAST(tr.nt AS BIGINT) AS n_train,
+           CAST(qs.nc AS BIGINT) AS n_cal,
+           CAST(t.ntest AS BIGINT) AS n_test,
+           CAST(ROUND(CAST(CAST(tr.s AS DOUBLE) / tr.nt AS DECIMAL(18,6)),
+                      4) AS DOUBLE) AS mu,
+           CAST(ROUND(CAST(CAST(qs.qhat_s AS DOUBLE) / tr.nt
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS qhat,
+           CAST(t.cov * 1000000 // t.ntest AS BIGINT) AS coverage_ppm
+    FROM tst t JOIN tr USING (event_type) JOIN qs USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="Split-conformal 90% interval per event type (train mean model, "
+        "order-statistic calibration radius, test-split empirical "
+        "coverage in ppm) — all comparisons division-free exact.",
+)
+def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    q_ = ev.select(
+        "event_type", "event_id",
+        F.expr("ROUND(CAST(value AS DECIMAL(18,6)), 4)").alias("v"),
+        F.expr("event_id % 3").alias("sp"))
+    tr = (q_.filter("sp = 0").groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("nt"), F.sum("v").alias("s")))
+    cal = (q_.filter("sp = 1").join(F.broadcast(tr), "event_type")
+           .select("event_type", "event_id",
+                   F.abs(F.col("nt") * F.col("v") - F.col("s")).alias("ar")))
+    ksel = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("nc"))
+    wcal = Window.partitionBy("event_type").orderBy("ar", "event_id")
+    qs = (cal.withColumn("r", F.row_number().over(wcal))
+          .join(F.broadcast(ksel), "event_type")
+          .filter(F.expr("r = (9 * (nc + 1) + 9) DIV 10"))
+          .select("event_type", F.col("ar").alias("qhat_s"), "nc"))
+    tst = (q_.filter("sp = 2")
+           .join(F.broadcast(tr), "event_type")
+           .join(F.broadcast(qs), "event_type")
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("ntest"),
+                F.sum(F.when(F.abs(F.col("nt") * F.col("v") - F.col("s"))
+                             <= F.col("qhat_s"), 1).otherwise(0))
+                .alias("cov")))
+    return (tst.join(F.broadcast(tr), "event_type")
+            .join(F.broadcast(qs), "event_type")
+            .select(
+                "event_type",
+                F.col("nt").cast("bigint").alias("n_train"),
+                F.col("nc").cast("bigint").alias("n_cal"),
+                F.col("ntest").cast("bigint").alias("n_test"),
+                F.expr("CAST(ROUND(CAST(CAST(s AS DOUBLE) / nt"
+                       " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("mu"),
+                F.expr("CAST(ROUND(CAST(CAST(qhat_s AS DOUBLE) / nt"
+                       " AS DECIMAL(18,6)), 4) AS DOUBLE)").alias("qhat"),
+                F.expr("CAST(cov * 1000000 DIV ntest AS BIGINT)")
+                .alias("coverage_ppm"))
+            .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Q359 XmR individuals control chart (Shewhart; Wheeler's SPC workhorse):
+# per event_type, the measurement sequence in arrival order gets natural
+# process limits xbar ± 2.66·MRbar from the mean moving range — the
+# constant 2.66 = 3/d2(2) converts consecutive-pair dispersion into a
+# 3-sigma-equivalent band without assuming normality of level shifts.
+# Exactness: measurements quantized DECIMAL->R4 once; xbar/MRbar are R4
+# decimals BEFORE the limit arithmetic, so every out-of-control comparison
+# is decimal-exact (no double boundary anywhere); limits release as R4
+# doubles. Fixture: heavy-tailed values put 3-6 points outside the limits
+# per type at sf0.001 (~2.5% at sf0.01), at varying first positions.
+# 100 TB story: one per-type ordered window (lag + row_number) and two
+# aggregates; state per type is one (sum, sum-MR, count) triple — the
+# live-monitor shape.
+@query(
+    "q359_xmr_control_chart",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, ts, event_id,
+             ROUND(CAST(value AS DECIMAL(18,6)), 4) AS v
+      FROM events),
+    mr AS (
+      SELECT event_type, v,
+             ABS(v - LAG(v) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)) AS m,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM x),
+    base AS (
+      SELECT event_type, COUNT(*) AS n,
+             ROUND(CAST(CAST(SUM(v) AS DOUBLE) / COUNT(*)
+                        AS DECIMAL(18,6)), 4) AS xq,
+             ROUND(CAST(CAST(SUM(m) AS DOUBLE) / COUNT(m)
+                        AS DECIMAL(18,6)), 4) AS mrq
+      FROM mr GROUP BY 1)
+    SELECT mr.event_type,
+           CAST(MIN(n) AS BIGINT) AS n,
+           CAST(MIN(xq) AS DOUBLE) AS xbar,
+           CAST(MIN(mrq) AS DOUBLE) AS mr_bar,
+           CAST(MIN(xq + 2.66 * mrq) AS DOUBLE) AS ucl,
+           CAST(MIN(xq - 2.66 * mrq) AS DOUBLE) AS lcl,
+           CAST(SUM(CASE WHEN v > xq + 2.66 * mrq OR v < xq - 2.66 * mrq
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ooc,
+           CAST(COALESCE(MIN(CASE WHEN v > xq + 2.66 * mrq
+                                    OR v < xq - 2.66 * mrq
+                                  THEN rn END), 0) AS BIGINT)
+             AS first_ooc_rn
+    FROM mr JOIN base USING (event_type)
+    GROUP BY mr.event_type ORDER BY event_type
+    """,
+    doc="XmR individuals chart per event type: natural process limits "
+        "xbar +/- 2.66*MRbar from the mean moving range, out-of-control "
+        "count and the first flagged chart position (decimal-exact).",
+)
+def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    x = ev.select(
+        "event_type", "ts", "event_id",
+        F.expr("ROUND(CAST(value AS DECIMAL(18,6)), 4)").alias("v"))
+    mr = (x.withColumn("m", F.abs(F.col("v") - F.lag("v").over(w)))
+          .withColumn("rn", F.row_number().over(w)))
+    base = mr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("ROUND(CAST(CAST(SUM(v) AS DOUBLE) / COUNT(*)"
+               " AS DECIMAL(18,6)), 4)").alias("xq"),
+        F.expr("ROUND(CAST(CAST(SUM(m) AS DOUBLE) / COUNT(m)"
+               " AS DECIMAL(18,6)), 4)").alias("mrq"))
+    ooc = "v > xq + 2.66 * mrq OR v < xq - 2.66 * mrq"
+    return (mr.join(F.broadcast(base), "event_type")
+            .groupBy("event_type")
+            .agg(F.min("n").cast("bigint").alias("n"),
+                 F.min("xq").cast("double").alias("xbar"),
+                 F.min("mrq").cast("double").alias("mr_bar"),
+                 F.expr("CAST(MIN(xq + 2.66 * mrq) AS DOUBLE)").alias("ucl"),
+                 F.expr("CAST(MIN(xq - 2.66 * mrq) AS DOUBLE)").alias("lcl"),
+                 F.expr(f"CAST(SUM(CASE WHEN {ooc} THEN 1 ELSE 0 END)"
+                        " AS BIGINT)").alias("n_ooc"),
+                 F.expr(f"CAST(COALESCE(MIN(CASE WHEN {ooc} THEN rn END), 0)"
+                        " AS BIGINT)").alias("first_ooc_rn"))
+            .orderBy("event_type"))

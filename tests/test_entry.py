@@ -25,11 +25,11 @@ ROOT = Path(__file__).resolve().parent.parent
 # CORRECTNESS_r12 landing mid-round can't flip these pins.
 _BASELINE_CUTOFF = "CORRECTNESS_r12"
 
-# Registry size pin: 403/386 at the end of round 11; +7 in round 12
-# (q351-q357, all oracled). Growth must consciously update this pin in the
+# Registry size pin: 403/386 at the end of round 11; +9 in round 12
+# (q351-q359, all oracled). Growth must consciously update this pin in the
 # same commit that grows the registry.
-_FROZEN_REGISTRY_SIZE = 410
-_FROZEN_ORACLED_SIZE = 393
+_FROZEN_REGISTRY_SIZE = 412
+_FROZEN_ORACLED_SIZE = 395
 
 
 def _green_rounds() -> dict[str, set[str]]:
@@ -116,6 +116,8 @@ _ROUND12_ADDITIONS: set[str] = {
     "q355_msttr",
     "q356_lsh_bucket_skew",
     "q357_dp_quantile",
+    "q358_conformal_interval",
+    "q359_xmr_control_chart",
 }
 
 

@@ -887,7 +887,9 @@ def test_dp_release_contract_on_generated_cells(spark, cells):
            for r in dp_release_from_counts(counts, ["cell"]).collect()}
     for (lbl, eps) in (("e05", 0.5), ("e20", 2.0)):
         for cell, n in cells.items():
-            v = int(hashlib.md5(f"{cell}:dp:{lbl}".encode())
+            # length-prefixed injective part encoding (ADVICE r12 fix;
+            # must mirror _attach_laplace_draw)
+            v = int(hashlib.md5(f"{len(cell)}#{cell}:dp:{lbl}".encode())
                     .hexdigest()[:8], 16)
             u = (v + 0.5) / 4294967296.0
             sg = 1 if u >= 0.5 else -1
