@@ -339,8 +339,10 @@ def lsh_bucket_profile(
     _check_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sig = _portable_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    # _portable_signatures emits the id as "doc_id" regardless of id_col
+    # (same convention as minhash_lsh_candidates_portable)
     banded = sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-    keys = banded.groupBy(id_col, "band").agg(
+    keys = banded.groupBy("doc_id", "band").agg(
         F.md5(F.expr("listagg(sig, '|') WITHIN GROUP (ORDER BY j)")).alias("bk")
     )
     buckets = keys.groupBy("band", "bk").agg(F.count(F.lit(1)).alias("s"))

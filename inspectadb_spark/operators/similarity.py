@@ -360,6 +360,34 @@ def _probe_cells(cents: np.ndarray, query_vec: list[float],
 # numPartitions metric in tests/test_cluster.py). Rebuild cadence is an offline
 # concern — the index is immutable between builds, like any ANN index.
 
+def _mark_rebuilding(path: str) -> None:
+    """Sentinel for in-place index rebuilds: centroids and lists cannot be
+    swapped atomically together, so the window (and any crash inside it)
+    leaves a model/lists mix from DIFFERENT trainings — silently-wrong
+    neighbors if served. The sentinel makes that state an explicit error
+    at read time instead; it is cleared as the rebuild's last step."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "REBUILDING"), "w") as f:
+        f.write("in-place rebuild in progress (or crashed mid-rebuild)\n")
+
+
+def _clear_rebuilding(path: str) -> None:
+    p = os.path.join(path, "REBUILDING")
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def _check_not_rebuilding(path: str) -> None:
+    if os.path.exists(os.path.join(path, "REBUILDING")):
+        raise RuntimeError(
+            f"IVF index at {path} is mid-rebuild (or a rebuild crashed): "
+            "centroids and lists may come from different models — refusing "
+            "to serve. Re-run save_ivf_index/save_ivf_pq_index to "
+            "completion (streamed deltas on the old pointer remain on "
+            "disk), then retry."
+        )
+
+
 def save_ivf_index(
     vectors: DataFrame,
     centroids: np.ndarray,
@@ -388,8 +416,12 @@ def save_ivf_index(
     LAST, after the rebuilt centroids and lists have committed: a crash
     mid-rebuild then leaves the old pointer (and its delta lists) intact
     and recoverable, instead of orphaning every streamed delta while
-    serving the stale build-time base. Stop (and re-seed) any live
-    ingester before rebuilding in place."""
+    serving the stale build-time base. Because centroids/lists/pointer
+    cannot all swap atomically, the whole rebuild runs under a
+    ``REBUILDING`` sentinel that serving readers REFUSE (raising, not
+    silently mixing models) — cleared as the final step. Stop (and
+    re-seed) any live ingester before rebuilding in place."""
+    _mark_rebuilding(path)
     cents = np.asarray(centroids, dtype=np.float64).copy()
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     spark = vectors.sparkSession
@@ -418,6 +450,7 @@ def save_ivf_index(
     ingest_ptr = os.path.join(path, "INGEST")
     if os.path.exists(ingest_ptr):
         os.remove(ingest_ptr)
+    _clear_rebuilding(path)
 
 
 def _load_quant_model(spark, path: str):
@@ -431,6 +464,7 @@ def _load_quant_model(spark, path: str):
 
 def load_ivf_centroids(spark, path: str) -> np.ndarray:
     """The index's centroid model, cell-ordered (driver-side, model-sized)."""
+    _check_not_rebuilding(path)
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     return np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
 
@@ -440,6 +474,7 @@ def read_ivf_lists(spark, path: str, vec_col: str = "embedding") -> DataFrame:
     any streamed-in delta directories (streaming/ann_index.py's INGEST
     pointer). Every committed path is ``partitionBy("_cell")``, so a
     probe's cell filter prunes base and deltas alike."""
+    _check_not_rebuilding(path)
     ptr = os.path.join(path, "INGEST")
     out = None
     if os.path.exists(ptr):
@@ -591,7 +626,10 @@ def save_ivf_pq_index(
     assignment happens on the FULL-PRECISION vectors (like the int8 path);
     the codebook model rides beside the centroid model at
     ``<path>/pq_books``. Serving reranks against the BASE table, which is
-    the other half of the design: the index carries only what ADC needs."""
+    the other half of the design: the index carries only what ADC needs.
+    Runs under the same ``REBUILDING`` sentinel as ``save_ivf_index`` —
+    readers refuse the centroids/books/lists mixed-model window."""
+    _mark_rebuilding(path)
     cents = np.asarray(centroids, dtype=np.float64).copy()
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     spark = vectors.sparkSession
@@ -611,6 +649,7 @@ def save_ivf_pq_index(
     codes = pq_encode(assigned, codebooks, vec_col, id_col, keep=("_cell",))
     (codes.write.partitionBy("_cell").mode("overwrite")
      .parquet(f"{path}/pq_lists"))
+    _clear_rebuilding(path)
 
 
 def load_pq_codebooks(spark, path: str) -> np.ndarray:

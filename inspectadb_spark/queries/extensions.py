@@ -2366,15 +2366,14 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
 # persisted index, only the math it must embody. Q352 is the filtered form
 # (allowed = lang='en' documents, semi-joined BEFORE ADC scoring — the
 # q350 pre-filter commutation at the PQ tier).
-def _pq_codebook_rows(e: DataFrame):
-    """(m=8, ks=4, dsub=8) codebooks from the same deterministic model rows
-    as _centroid_rows (model-sized collect: 4 rows)."""
+def _pq_codebook_rows(cents):
+    """(m=8, ks=4, dsub=8) codebooks as a pure reshape of the
+    ``_centroid_rows`` matrix — codeword c of subspace j = dims
+    [j*8, (j+1)*8) of model row c. No second collect: the call site
+    already holds the 4 raw rows."""
     import numpy as np
 
-    rows = (e.filter(F.col("vec_id").isin(0, 100, 200, 300))
-            .orderBy("vec_id").collect())
-    full = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
-    # books[j, c] = dims [j*8, (j+1)*8) of row c
+    full = np.asarray(cents, dtype=np.float64)
     return np.stack([full[:, j * 8:(j + 1) * 8] for j in range(8)])
 
 
@@ -2444,7 +2443,7 @@ def _q351_build(spark: SparkSession, sf_dir: str, filtered: bool):
     t = tables(spark, sf_dir)
     e = t["embeddings"]
     cents = _centroid_rows(e)
-    books = _pq_codebook_rows(e)
+    books = _pq_codebook_rows(cents)
     qvec = [float(x) for x in
             e.filter(F.col("vec_id") == 7).first()["embedding"]]
     tag = "q352idx" if filtered else "q351idx"

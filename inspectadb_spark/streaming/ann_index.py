@@ -257,12 +257,18 @@ def gc_index(index_path: str) -> list[str]:
     if os.path.exists(ptr):
         with open(ptr) as f:
             lines = f.read().strip().splitlines()
-        # zero-byte/truncated pointer == no committed ingest (keep only
-        # the build-time base) — not an IndexError
-        if lines:
-            referenced = {
-                os.path.realpath(p)
-                for p in lines[0].split("|") if p}
+        if not lines:
+            # An existing-but-empty pointer is UNREADABLE, not empty: a
+            # foreign (non-atomic) writer may be mid-write. Interpreting
+            # it as "nothing referenced" would delete every committed
+            # base and delta the finished pointer is about to reference —
+            # unrecoverable. GC must abort and delete NOTHING (readers
+            # fall back to the build-time base; rerun gc after the
+            # pointer is whole).
+            return []
+        referenced = {
+            os.path.realpath(p)
+            for p in lines[0].split("|") if p}
     removed: list[str] = []
     for d in sorted(os.listdir(index_path)):
         full = os.path.realpath(os.path.join(index_path, d))

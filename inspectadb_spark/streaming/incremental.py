@@ -387,9 +387,16 @@ class StreamingSprt(IncrementalAggregate):
              .withColumn("rn", F.row_number().over(w)))
         state = self.table()
         if state is None:
-            state = self.spark.createDataFrame(
-                [], f"{k} string, n bigint, llr decimal(38,6), "
-                    "dec_rn bigint, dec_llr decimal(38,6)")
+            # derive the key's type from the batch — a hardcoded string
+            # key would silently coerce a non-string key (e.g. bigint
+            # user_id) in the first unionByName and persist the wrong
+            # dtype into the state parquet forever
+            state = (batch.select(k).limit(0)
+                     .withColumn("n", F.lit(0).cast("bigint"))
+                     .withColumn("llr", F.lit(0).cast("decimal(38,6)"))
+                     .withColumn("dec_rn", F.lit(None).cast("bigint"))
+                     .withColumn("dec_llr",
+                                 F.lit(None).cast("decimal(38,6)")))
         st = state.select(
             F.col(k), F.col("n").alias("_off_n"), F.col("llr").alias("_off"),
             F.col("dec_rn").alias("_dec_rn"), F.col("dec_llr").alias("_dec_llr"))

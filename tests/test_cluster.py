@@ -697,3 +697,41 @@ def test_gc_index_removes_orphans_and_keeps_committed(spark, tmp_path):
     assert read_ivf_lists(spark, idx).count() == n_rows
     q = e.filter(F.col("vec_id") == 0)
     assert ivf_knn_join_from_index(spark, idx, q, k=3, n_probe=2).count() == 3
+
+
+def test_rebuilding_sentinel_refuses_mixed_model_serving(spark, tmp_path):
+    # review r12: centroids/lists cannot swap atomically, so the in-place
+    # rebuild window (or a crash inside it) is a mixed-model state that
+    # would serve silently-wrong neighbors. The sentinel turns it into an
+    # explicit error; a completed rebuild clears it.
+    import pytest as _pytest
+
+    from inspectadb_spark.operators.similarity import (
+        ivf_topk_from_index, kmeans_fit, load_ivf_centroids,
+        read_ivf_lists, save_ivf_index,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=4, iters=1)
+    idx = str(tmp_path / "idx")
+    save_ivf_index(e, cents, idx)
+    assert not os.path.exists(f"{idx}/REBUILDING")   # completed -> cleared
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 3).first()["embedding"]]
+    assert ivf_topk_from_index(spark, idx, qv, k=3, n_probe=2).count() == 3
+
+    # simulate a crash mid-rebuild: sentinel present -> every reader path
+    # refuses instead of mixing models
+    with open(f"{idx}/REBUILDING", "w") as f:
+        f.write("crashed\n")
+    with _pytest.raises(RuntimeError, match="mid-rebuild"):
+        load_ivf_centroids(spark, idx)
+    with _pytest.raises(RuntimeError, match="mid-rebuild"):
+        read_ivf_lists(spark, idx)
+    with _pytest.raises(RuntimeError, match="mid-rebuild"):
+        ivf_topk_from_index(spark, idx, qv, k=3, n_probe=2)
+
+    # re-running the rebuild to completion recovers
+    save_ivf_index(e, cents, idx)
+    assert ivf_topk_from_index(spark, idx, qv, k=3, n_probe=2).count() == 3

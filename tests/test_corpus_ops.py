@@ -738,3 +738,35 @@ def test_blocklist_automaton_handles_string_ids(spark):
                  for r in blocklist_matches_automaton(
                      df, ["key", "here"]).collect())
     assert rel == aut and rel
+
+
+# --- q356 LSH bucket profile ------------------------------------------------
+
+def test_lsh_bucket_profile_pair_mass_equals_candidate_incidences(spark):
+    # the audit's candidate_pairs is EXACTLY the banding join's output:
+    # sum over bands of sum s(s-1)/2 == sum over candidate pairs of
+    # n_bands (each pair counted once per colliding band)
+    from inspectadb_spark.operators.dedup import (
+        lsh_bucket_profile, minhash_lsh_candidates_portable,
+    )
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prof = lsh_bucket_profile(d)
+    pairs = minhash_lsh_candidates_portable(d)
+    mass = prof.agg(F.sum("candidate_pairs")).first()[0]
+    incidences = pairs.agg(F.sum("n_bands")).first()[0]
+    assert mass == incidences and mass > 0
+
+
+def test_lsh_bucket_profile_honors_custom_id_col(spark):
+    # review r12: a custom id_col crashed on groupBy (the signature
+    # helper emits 'doc_id' regardless); the profile is id-name-invariant
+    from inspectadb_spark.operators.dedup import lsh_bucket_profile
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = lsh_bucket_profile(d).orderBy("band")
+    b = lsh_bucket_profile(d.withColumnRenamed("doc_id", "id"),
+                           id_col="id").orderBy("band")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]

@@ -3417,3 +3417,56 @@ def test_s62_live_sprt_monitor_equals_batch(spark, tmp_path):
     before = _rows(mon.readout())
     mon._merge_batch(last, batch_id=2)
     assert _rows(mon.readout()) == before
+
+
+def test_gc_index_aborts_on_empty_pointer(spark, tmp_path):
+    # review r12: an existing-but-zero-byte INGEST pointer is UNREADABLE,
+    # not empty — a foreign writer may be mid-write. gc must delete
+    # NOTHING (interpreting it as "no references" would destroy every
+    # committed base/delta the finished pointer is about to reference).
+    from inspectadb_spark.operators.similarity import (
+        kmeans_fit, read_ivf_lists, save_ivf_index,
+    )
+    from inspectadb_spark.streaming.ann_index import (
+        StreamingIvfIngest, gc_index,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e.filter("vec_id < 200"), k=4, iters=1)
+    idx = str(tmp_path / "idx")
+    save_ivf_index(e.filter("vec_id < 200"), cents, idx)
+    inc = StreamingIvfIngest(spark, idx)
+    inc._checkpoint = str(tmp_path / "ck")
+    inc._apply_batch(e.filter("vec_id >= 200 AND vec_id < 250"), batch_id=0)
+    committed = inc.committed_paths()
+    assert committed
+    # truncate the pointer (simulated foreign mid-write)
+    open(f"{idx}/INGEST", "w").close()
+    assert gc_index(idx) == []
+    for p in committed:
+        assert os.path.exists(p), p
+    # restore the pointer: everything still serves
+    with open(f"{idx}/INGEST", "w") as f:
+        f.write("|".join(committed) + f"\n{inc._checkpoint}\n0")
+    assert read_ivf_lists(spark, idx).count() == 250
+
+
+def test_sprt_state_preserves_non_string_key_type(spark, tmp_path):
+    # review r12: the empty-state schema must derive the key type from
+    # the batch — a hardcoded string key would silently coerce a bigint
+    # key and persist the wrong dtype into the state parquet
+    from inspectadb_spark.streaming.incremental import StreamingSprt
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200)
+    batch = ev.select((F.col("user_id") % 4).cast("bigint").alias("grp"),
+                      "ts", "event_id", "value")
+    step_sql = ("CASE WHEN value > 100"
+                " THEN ROUND(CAST(ln(2.0) AS DECIMAL(18,6)), 4)"
+                " ELSE ROUND(CAST(ln(0.8 / 0.9) AS DECIMAL(18,6)), 4) END")
+    mon = StreamingSprt(spark, str(tmp_path / "state"), key="grp",
+                        order_cols=["ts", "event_id"], step_sql=step_sql)
+    mon._checkpoint = str(tmp_path / "ck")
+    mon._merge_batch(batch, batch_id=0)
+    out = mon.readout()
+    assert dict(out.dtypes)["grp"] == "bigint"
+    assert out.count() == 4
