@@ -897,3 +897,62 @@ def test_bucketed_append_preserves_colocated_join(spark, tmp_path):
         assert spark.table("bktapp.o_b").count() == o.count()
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktapp CASCADE")
+
+
+def test_filtered_pq_serving_keeps_partition_pruning(spark, tmp_path):
+    """Scale guard for the r12 filtered-ANN work: adding the allowed-id
+    semi join to the persisted IVF-PQ serve must NOT defeat the probed-
+    cells partition filter — the executed code-lists scan still reads
+    exactly n_probe of the cell directories. A regression here silently
+    turns "read 2 cells" into "read the whole index" at 100 TB."""
+    import os as _os
+
+    from inspectadb_spark.operators.similarity import (
+        _probe_cells, ivf_pq_topk_from_index, kmeans_fit,
+        load_ivf_centroids, pq_fit, save_ivf_pq_index,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cents, _ = kmeans_fit(e, k=6, iters=1)
+    books = pq_fit(e, m=8, ks=16, iters=2, sample=400)
+    idx = str(tmp_path / "ivfpq")
+    save_ivf_pq_index(e, cents, books, idx)
+    allowed = d.filter(F.col("lang") == "en").select("doc_id")
+
+    served = ivf_pq_topk_from_index(spark, idx, 
+                                    [float(x) for x in
+                                     e.filter("vec_id = 11")
+                                     .first()["embedding"]],
+                                    k=5, n_probe=2, allowed=allowed)
+    served.collect()
+
+    def pq_scan_metric(df, name):
+        def walk(n):
+            nm = n.nodeName()
+            if "AdaptiveSparkPlan" in nm:
+                return walk(n.finalPhysicalPlan())
+            if "QueryStage" in nm:
+                return walk(n.plan())
+            # identify the code-lists scan by its _vnorm output attribute
+            # (the Location path truncates in toString under deep tmp dirs)
+            if "Scan parquet" in nm and "_vnorm" in n.toString():
+                m = n.metrics()
+                if m.contains(name):
+                    return m.apply(name).value()
+            cs = n.children()
+            for i in range(cs.length()):
+                got = walk(cs.apply(i))
+                if got is not None:
+                    return got
+            return None
+        return walk(df._jdf.queryExecution().executedPlan())
+
+    probe = _probe_cells(load_ivf_centroids(spark, idx),
+                         [float(x) for x in
+                          e.filter("vec_id = 11").first()["embedding"]], 2)
+    n_cells = len([x for x in _os.listdir(f"{idx}/pq_lists")
+                   if x.startswith("_cell=")])
+    got = pq_scan_metric(served, "numPartitions")
+    assert got == len(probe) < n_cells, (got, len(probe), n_cells)
