@@ -5748,3 +5748,322 @@ def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr(f"CAST(COALESCE(MIN(CASE WHEN {ooc} THEN rn END), 0)"
                         " AS BIGINT)").alias("first_ooc_rn"))
             .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Q360 Neyman optimal allocation (Neyman 1934; Cochran's survey-sampling
+# workhorse): when a fixed labeling/audit budget must be spread over
+# strata, allocate n_h ∝ N_h·S_h — more samples where there are more
+# rows AND more variance — the exact design question a 100 TB curation
+# pipeline answers before paying annotators. Variance is computed on
+# integer CENTS (N·Σx² − (Σx)² in DECIMAL(38,0) — bigint would overflow
+# at sf0.1), the per-stratum sd is quantized R4 BEFORE weighting, weights
+# become exact integers (×10⁴), and shares/allocations are integer DIV —
+# no float comparison anywhere. Budget n = 1000 (floor allocation; the
+# remainder ≤ |strata| is the documented slack).
+# 100 TB story: one map-side-combinable group-by for the sufficient
+# statistics; the weighting/allocation runs on the 25-row stratum table
+# against a broadcast one-row total.
+@query(
+    "q360_neyman_allocation",
+    oracle="""
+    WITH x AS (
+      SELECT c_nationkey AS nation,
+             CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,6)) * 100)
+                  AS BIGINT) AS xq
+      FROM customer),
+    s AS (
+      SELECT nation, COUNT(*) AS n_h,
+             SUM(CAST(xq AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(xq AS DECIMAL(38,0)) * xq) AS sxx
+      FROM x GROUP BY 1),
+    sd AS (
+      SELECT nation, n_h,
+             ROUND(CAST(SQRT(CAST(n_h * sxx - sx * sx AS DOUBLE)
+                             / (CAST(n_h AS DOUBLE) * (n_h - 1))) / 100.0
+                        AS DECIMAL(18,6)), 4) AS sd_q
+      FROM s WHERE n_h > 1),
+    w AS (
+      SELECT nation, n_h, sd_q,
+             CAST(n_h * sd_q * 10000 AS BIGINT) AS w4
+      FROM sd),
+    tot AS (SELECT SUM(w4) AS tw FROM w)
+    SELECT w.nation,
+           CAST(w.n_h AS BIGINT) AS n_h,
+           CAST(w.sd_q AS DOUBLE) AS sd,
+           CAST(w.w4 * 1000000 // tot.tw AS BIGINT) AS share_ppm,
+           CAST(w.w4 * 1000 // tot.tw AS BIGINT) AS alloc_n
+    FROM w CROSS JOIN tot ORDER BY w.nation
+    """,
+    doc="Neyman allocation of a 1000-sample audit budget over nation "
+        "strata by N_h*S_h (acctbal sd, integer-cents exact): per-stratum "
+        "sd, ppm share, floor allocation.",
+)
+def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables(spark, sf_dir)["customer"]
+    x = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr("CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,6)) * 100)"
+               " AS BIGINT)").alias("xq"))
+    s = x.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq")).alias("sxx"))
+    sd = (s.filter("n_h > 1")
+          .withColumn("sd_q", F.expr(
+              "ROUND(CAST(SQRT(CAST(n_h * sxx - sx * sx AS DOUBLE)"
+              " / (CAST(n_h AS DOUBLE) * (n_h - 1))) / 100.0"
+              " AS DECIMAL(18,6)), 4)")))
+    w = sd.withColumn("w4", F.expr("CAST(n_h * sd_q * 10000 AS BIGINT)"))
+    tot = w.agg(F.sum("w4").alias("tw"))
+    return (w.crossJoin(F.broadcast(tot))
+            .select("nation",
+                    F.col("n_h").cast("bigint").alias("n_h"),
+                    F.col("sd_q").cast("double").alias("sd"),
+                    F.expr("CAST(w4 * 1000000 DIV tw AS BIGINT)")
+                    .alias("share_ppm"),
+                    F.expr("CAST(w4 * 1000 DIV tw AS BIGINT)")
+                    .alias("alloc_n"))
+            .orderBy("nation"))
+
+
+# --------------------------------------------------------------------------
+# Q361 near-zero-variance feature screen (the caret-style preprocessing
+# gate): a feature whose top value dwarfs the runner-up (freqRatio) while
+# carrying almost no distinct values (percentUnique) is noise to most
+# models and poison to cross-validation splits. Four lineitem measures
+# are melted to (metric, integer-cents value) rows — value-quantized so
+# no float string rendering is ever compared — and each gets exact
+# integer diagnostics: top-2 value counts, freq ratio and distinct share
+# in ppm. One scan; the per-metric tables are value-domain-sized.
+@query(
+    "q361_nzv_screen",
+    oracle="""
+    WITH m AS (
+      SELECT 'l_quantity' AS metric,
+             CAST(ROUND(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT)
+               AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_discount',
+             CAST(ROUND(CAST(l_discount AS DECIMAL(18,6)) * 100) AS BIGINT)
+        FROM lineitem
+      UNION ALL
+      SELECT 'l_tax',
+             CAST(ROUND(CAST(l_tax AS DECIMAL(18,6)) * 100) AS BIGINT)
+        FROM lineitem
+      UNION ALL
+      SELECT 'l_linenumber',
+             CAST(l_linenumber AS BIGINT) * 100 FROM lineitem),
+    c AS (SELECT metric, v, COUNT(*) AS c FROM m GROUP BY 1, 2),
+    r AS (
+      SELECT metric, v, c,
+             ROW_NUMBER() OVER (PARTITION BY metric
+                                ORDER BY c DESC, v) AS rn
+      FROM c),
+    agg AS (
+      SELECT metric, SUM(c) AS n, COUNT(*) AS n_distinct FROM c GROUP BY 1)
+    SELECT a.metric,
+           CAST(a.n AS BIGINT) AS n,
+           CAST(a.n_distinct AS BIGINT) AS n_distinct,
+           CAST(t1.v AS DOUBLE) / 100 AS top_value,
+           CAST(t1.c AS BIGINT) AS top1_cnt,
+           CAST(t2.c AS BIGINT) AS top2_cnt,
+           CAST(t1.c * 1000000 // t2.c AS BIGINT) AS freq_ratio_ppm,
+           CAST(a.n_distinct * 1000000 // a.n AS BIGINT) AS distinct_ppm
+    FROM agg a
+    JOIN r t1 ON t1.metric = a.metric AND t1.rn = 1
+    JOIN r t2 ON t2.metric = a.metric AND t2.rn = 2
+    ORDER BY a.metric
+    """,
+    doc="Near-zero-variance screen over four lineitem measures: top-2 "
+        "value counts, freq ratio and distinct share (integer ppm, "
+        "cents-quantized values).",
+)
+def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables(spark, sf_dir)["lineitem"]
+    m = li.selectExpr(
+        "stack(4,"
+        " 'l_quantity',"
+        " CAST(ROUND(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT),"
+        " 'l_discount',"
+        " CAST(ROUND(CAST(l_discount AS DECIMAL(18,6)) * 100) AS BIGINT),"
+        " 'l_tax',"
+        " CAST(ROUND(CAST(l_tax AS DECIMAL(18,6)) * 100) AS BIGINT),"
+        " 'l_linenumber', CAST(l_linenumber AS BIGINT) * 100"
+        ") AS (metric, v)")
+    c = m.groupBy("metric", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("metric").orderBy(F.desc("c"), F.asc("v"))
+    r = c.withColumn("rn", F.row_number().over(w))
+    agg = c.groupBy("metric").agg(F.sum("c").alias("n"),
+                                  F.count(F.lit(1)).alias("n_distinct"))
+    t1 = r.filter("rn = 1").select("metric", F.col("v").alias("v1"),
+                                   F.col("c").alias("c1"))
+    t2 = r.filter("rn = 2").select("metric", F.col("c").alias("c2"))
+    return (agg.join(t1, "metric").join(t2, "metric")
+            .select("metric",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("n_distinct").cast("bigint").alias("n_distinct"),
+                    (F.col("v1").cast("double") / 100).alias("top_value"),
+                    F.col("c1").cast("bigint").alias("top1_cnt"),
+                    F.col("c2").cast("bigint").alias("top2_cnt"),
+                    F.expr("CAST(c1 * 1000000 DIV c2 AS BIGINT)")
+                    .alias("freq_ratio_ppm"),
+                    F.expr("CAST(n_distinct * 1000000 DIV n AS BIGINT)")
+                    .alias("distinct_ppm"))
+            .orderBy("metric"))
+
+
+# --------------------------------------------------------------------------
+# Q362 Hill tail-index estimator (Hill 1975): is this distribution's tail
+# heavy enough that means/quotas are unstable? — the question behind
+# doc-length caps, token-budget outliers, and whale-customer clipping.
+# 1/alpha = mean over the top k=50 order statistics of ln(x_(i)/x_(k+1));
+# each ln term is quantized R4 BEFORE the sum (q132 two-step), order
+# statistics are tie-broken by event_id, alpha <= 1 means infinite mean.
+# One per-type ordered window for the ranks, then a 50-row-per-type sum.
+@query(
+    "q362_hill_tail_index",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, event_id,
+             ROUND(CAST(value AS DECIMAL(18,6)), 4) AS xq,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE value > 0),
+    kth AS (SELECT event_type, xq AS xk1 FROM x WHERE rn = 51),
+    terms AS (
+      SELECT x.event_type,
+             ROUND(CAST(ln(CAST(x.xq AS DOUBLE) / CAST(k.xk1 AS DOUBLE))
+                        AS DECIMAL(18,6)), 4) AS t
+      FROM x JOIN kth k USING (event_type) WHERE x.rn <= 50),
+    n_pos AS (SELECT event_type, COUNT(*) AS n FROM x GROUP BY 1)
+    SELECT t.event_type,
+           CAST(n.n AS BIGINT) AS n_pos,
+           CAST(k.xk1 AS DOUBLE) AS tail_cutoff,
+           CAST(ROUND(CAST(CAST(SUM(t.t) AS DOUBLE) / 50
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS hill_inv,
+           CAST(ROUND(CAST(50 / CAST(SUM(t.t) AS DOUBLE)
+                           AS DECIMAL(18,6)), 4) AS DOUBLE) AS alpha
+    FROM terms t JOIN kth k USING (event_type) JOIN n_pos n USING (event_type)
+    GROUP BY t.event_type, n.n, k.xk1 ORDER BY t.event_type
+    """,
+    doc="Hill tail-index over the top 50 order statistics of event value "
+        "per type: 1/alpha as the mean of R4-quantized ln ratios to the "
+        "51st value; alpha <= 1 flags an infinite-mean tail.",
+)
+def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir)["events"]
+    # rank on the RAW value (like the oracle's ORDER BY value DESC), with
+    # the event_id tie-break identical in both engines
+    x = (ev.filter("value > 0")
+         .select("event_type", "event_id", "value",
+                 F.expr("ROUND(CAST(value AS DECIMAL(18,6)), 4)")
+                 .alias("xq"))
+         .withColumn("rn", F.row_number().over(
+             Window.partitionBy("event_type")
+             .orderBy(F.desc("value"), F.asc("event_id"))))
+         .drop("value"))
+    kth = x.filter("rn = 51").select("event_type",
+                                     F.col("xq").alias("xk1"))
+    terms = (x.filter("rn <= 50").join(F.broadcast(kth), "event_type")
+             .select("event_type", F.expr(
+                 "ROUND(CAST(ln(CAST(xq AS DOUBLE) / CAST(xk1 AS DOUBLE))"
+                 " AS DECIMAL(18,6)), 4)").alias("t")))
+    n_pos = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (terms.groupBy("event_type")
+            .agg(F.sum("t").alias("s"))
+            .join(F.broadcast(kth), "event_type")
+            .join(F.broadcast(n_pos), "event_type")
+            .select("event_type",
+                    F.col("n").cast("bigint").alias("n_pos"),
+                    F.col("xk1").cast("double").alias("tail_cutoff"),
+                    F.expr("CAST(ROUND(CAST(CAST(s AS DOUBLE) / 50"
+                           " AS DECIMAL(18,6)), 4) AS DOUBLE)")
+                    .alias("hill_inv"),
+                    F.expr("CAST(ROUND(CAST(50 / CAST(s AS DOUBLE)"
+                           " AS DECIMAL(18,6)), 4) AS DOUBLE)")
+                    .alias("alpha"))
+            .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Q363 difference-in-differences (the two-period two-group workhorse of
+# policy/feature evaluation): for each market segment as the "treated"
+# group vs all others as control, pre/post split at 1998-01-01, the DiD
+# estimate on mean order value nets out both the group level difference
+# and the common time trend. Means are R4-quantized decimals from exact
+# decimal sums (double division of identical inputs), so the DiD
+# arithmetic itself is decimal-exact. Control cells are derived by
+# subtracting the segment cell from the broadcast global cell — the
+# leave-one-out trick that avoids a segment x segment self-join.
+# One scan, one (segment, post) group-by; everything after is 10 rows.
+@query(
+    "q363_diff_in_differences",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS seg,
+             CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS p
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    cell AS (
+      SELECT seg, post, COUNT(*) AS n, SUM(p) AS s FROM b GROUP BY 1, 2),
+    g AS (SELECT post, SUM(n) AS gn, SUM(s) AS gs FROM cell GROUP BY 1),
+    m AS (
+      SELECT cell.seg, cell.post, cell.n,
+             ROUND(CAST(CAST(cell.s AS DOUBLE) / cell.n
+                        AS DECIMAL(18,6)), 4) AS mt,
+             ROUND(CAST(CAST(g.gs - cell.s AS DOUBLE) / (g.gn - cell.n)
+                        AS DECIMAL(18,6)), 4) AS mc
+      FROM cell JOIN g USING (post))
+    SELECT pre.seg AS segment,
+           CAST(pre.n AS BIGINT) AS n_t_pre,
+           CAST(post.n AS BIGINT) AS n_t_post,
+           CAST(pre.mt AS DOUBLE) AS m_t_pre,
+           CAST(post.mt AS DOUBLE) AS m_t_post,
+           CAST(pre.mc AS DOUBLE) AS m_c_pre,
+           CAST(post.mc AS DOUBLE) AS m_c_post,
+           CAST((post.mt - pre.mt) - (post.mc - pre.mc) AS DOUBLE) AS did
+    FROM m pre JOIN m post ON pre.seg = post.seg
+    WHERE pre.post = 0 AND post.post = 1
+    ORDER BY segment
+    """,
+    doc="Difference-in-differences on mean order value per market segment "
+        "(each segment treated vs rest, pre/post 1998-01-01): R4-exact "
+        "cell means and the DiD estimate.",
+)
+def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    b = (t["orders"].join(t["customer"],
+                          F.col("o_custkey") == F.col("c_custkey"))
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.expr("CASE WHEN o_orderdate >= DATE '1998-01-01'"
+                        " THEN 1 ELSE 0 END").alias("post"),
+                 F.col("o_totalprice").cast("decimal(18,6)").alias("p")))
+    cell = b.groupBy("seg", "post").agg(F.count(F.lit(1)).alias("n"),
+                                        F.sum("p").alias("s"))
+    g = cell.groupBy("post").agg(F.sum("n").alias("gn"),
+                                 F.sum("s").alias("gs"))
+    m = (cell.join(F.broadcast(g), "post")
+         .select("seg", "post", "n",
+                 F.expr("ROUND(CAST(CAST(s AS DOUBLE) / n"
+                        " AS DECIMAL(18,6)), 4)").alias("mt"),
+                 F.expr("ROUND(CAST(CAST(gs - s AS DOUBLE) / (gn - n)"
+                        " AS DECIMAL(18,6)), 4)").alias("mc")))
+    pre = m.filter("post = 0").select(
+        "seg", F.col("n").alias("n0"), F.col("mt").alias("mt0"),
+        F.col("mc").alias("mc0"))
+    post = m.filter("post = 1").select(
+        "seg", F.col("n").alias("n1"), F.col("mt").alias("mt1"),
+        F.col("mc").alias("mc1"))
+    return (pre.join(post, "seg")
+            .select(F.col("seg").alias("segment"),
+                    F.col("n0").cast("bigint").alias("n_t_pre"),
+                    F.col("n1").cast("bigint").alias("n_t_post"),
+                    F.col("mt0").cast("double").alias("m_t_pre"),
+                    F.col("mt1").cast("double").alias("m_t_post"),
+                    F.col("mc0").cast("double").alias("m_c_pre"),
+                    F.col("mc1").cast("double").alias("m_c_post"),
+                    F.expr("CAST((mt1 - mt0) - (mc1 - mc0) AS DOUBLE)")
+                    .alias("did"))
+            .orderBy("segment"))

@@ -25,11 +25,11 @@ ROOT = Path(__file__).resolve().parent.parent
 # CORRECTNESS_r12 landing mid-round can't flip these pins.
 _BASELINE_CUTOFF = "CORRECTNESS_r12"
 
-# Registry size pin: 403/386 at the end of round 11; +9 in round 12
-# (q351-q359, all oracled). Growth must consciously update this pin in the
+# Registry size pin: 403/386 at the end of round 11; +13 in round 12
+# (q351-q363, all oracled). Growth must consciously update this pin in the
 # same commit that grows the registry.
-_FROZEN_REGISTRY_SIZE = 412
-_FROZEN_ORACLED_SIZE = 395
+_FROZEN_REGISTRY_SIZE = 416
+_FROZEN_ORACLED_SIZE = 399
 
 
 def _green_rounds() -> dict[str, set[str]]:
@@ -118,6 +118,10 @@ _ROUND12_ADDITIONS: set[str] = {
     "q357_dp_quantile",
     "q358_conformal_interval",
     "q359_xmr_control_chart",
+    "q360_neyman_allocation",
+    "q361_nzv_screen",
+    "q362_hill_tail_index",
+    "q363_diff_in_differences",
 }
 
 
