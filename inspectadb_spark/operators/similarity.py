@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -421,7 +422,8 @@ def save_ivf_index(
     ``REBUILDING`` sentinel that serving readers REFUSE (raising, not
     silently mixing models) — cleared as the final step. Stop (and
     re-seed) any live ingester before rebuilding in place."""
-    _mark_rebuilding(path)
+    # validate BEFORE marking: a shape/NaN error here must not brick a
+    # healthy untouched index behind a sentinel nothing will clear
     cents = np.asarray(centroids, dtype=np.float64).copy()
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     spark = vectors.sparkSession
@@ -429,6 +431,14 @@ def save_ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell INT, centroid ARRAY<DOUBLE>",
     )
+    _mark_rebuilding(path)
+    # a rebuild defines the index's ONE format: stale sibling artifacts
+    # from a previous format (PQ code lists, an old quant codebook) would
+    # otherwise be served against the new model after the sentinel clears
+    shutil.rmtree(os.path.join(path, "pq_books"), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "pq_lists"), ignore_errors=True)
+    if not quantize_bits:
+        shutil.rmtree(os.path.join(path, "quant"), ignore_errors=True)
     model.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = (ivf_assign(vectors, cents, vec_col)
                 .select(F.col(id_col), F.col(vec_col), F.col("_cell")))
@@ -629,16 +639,22 @@ def save_ivf_pq_index(
     the other half of the design: the index carries only what ADC needs.
     Runs under the same ``REBUILDING`` sentinel as ``save_ivf_index`` —
     readers refuse the centroids/books/lists mixed-model window."""
-    _mark_rebuilding(path)
+    # validate BEFORE marking (bad shapes must not brick a healthy index)
     cents = np.asarray(centroids, dtype=np.float64).copy()
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    m, ks, dsub = codebooks.shape
     spark = vectors.sparkSession
     model = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell INT, centroid ARRAY<DOUBLE>",
     )
+    _mark_rebuilding(path)
+    # this rebuild defines the index as PQ-format: stale full-precision
+    # artifacts from a previous save_ivf_index would otherwise serve
+    # against the new model after the sentinel clears
+    shutil.rmtree(os.path.join(path, "lists"), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "quant"), ignore_errors=True)
     model.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    m, ks, dsub = codebooks.shape
     books = spark.createDataFrame(
         [(j, c, [float(x) for x in codebooks[j, c]])
          for j in range(m) for c in range(ks)],
@@ -649,12 +665,19 @@ def save_ivf_pq_index(
     codes = pq_encode(assigned, codebooks, vec_col, id_col, keep=("_cell",))
     (codes.write.partitionBy("_cell").mode("overwrite")
      .parquet(f"{path}/pq_lists"))
+    # pointer removal LAST (crash symmetry with save_ivf_index): a
+    # mid-rebuild crash leaves the old pointer on disk for inspection;
+    # the sentinel already blocks every reader until a clean completion
+    ingest_ptr = os.path.join(path, "INGEST")
+    if os.path.exists(ingest_ptr):
+        os.remove(ingest_ptr)
     _clear_rebuilding(path)
 
 
 def load_pq_codebooks(spark, path: str) -> np.ndarray:
     """The index's PQ codebook model, (m, ks, dsub)-shaped (driver-side,
     model-sized — m·ks rows)."""
+    _check_not_rebuilding(path)
     rows = spark.read.parquet(f"{path}/pq_books").orderBy("j", "c").collect()
     m = max(r.j for r in rows) + 1
     ks = max(r.c for r in rows) + 1

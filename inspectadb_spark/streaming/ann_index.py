@@ -92,6 +92,11 @@ class StreamingIvfIngest:
             return None
         with open(self._ptr()) as f:
             lines = f.read().strip().splitlines()
+        if not lines:
+            # zero-byte pointer (foreign non-atomic writer mid-write):
+            # unreadable, same contract as read_ivf_lists/gc_index —
+            # behave as "no committed ingest", never IndexError
+            return None
         paths = [p for p in lines[0].split("|") if p]
         ckpt = lines[1] if len(lines) >= 2 else None
         batch = int(lines[2]) if len(lines) >= 3 and lines[2] else None
@@ -257,14 +262,15 @@ def gc_index(index_path: str) -> list[str]:
     if os.path.exists(ptr):
         with open(ptr) as f:
             lines = f.read().strip().splitlines()
-        if not lines:
-            # An existing-but-empty pointer is UNREADABLE, not empty: a
-            # foreign (non-atomic) writer may be mid-write. Interpreting
-            # it as "nothing referenced" would delete every committed
-            # base and delta the finished pointer is about to reference —
-            # unrecoverable. GC must abort and delete NOTHING (readers
-            # fall back to the build-time base; rerun gc after the
-            # pointer is whole).
+        if len(lines) < 3:
+            # An existing-but-incomplete pointer is UNREADABLE, not
+            # empty: a foreign (non-atomic) writer may be mid-write, and
+            # even a NON-empty fragment may hold only a prefix of line 1
+            # — interpreting it would delete committed bases/deltas the
+            # finished pointer is about to reference, unrecoverably. The
+            # committed wire format is exactly 3 lines (paths, ckpt,
+            # batch — pinned in tests), so anything shorter means line 1
+            # may be truncated: GC must abort and delete NOTHING.
             return []
         referenced = {
             os.path.realpath(p)

@@ -735,3 +735,79 @@ def test_rebuilding_sentinel_refuses_mixed_model_serving(spark, tmp_path):
     # re-running the rebuild to completion recovers
     save_ivf_index(e, cents, idx)
     assert ivf_topk_from_index(spark, idx, qv, k=3, n_probe=2).count() == 3
+
+
+def test_rebuild_format_switch_removes_stale_artifacts(spark, tmp_path):
+    # review r12 second pass: a rebuild defines the index's ONE format —
+    # switching PQ -> full-precision (or quantized -> plain) must not
+    # leave the other format's artifacts to be served against the new
+    # model after the sentinel clears.
+    import numpy as np
+
+    from inspectadb_spark.operators.similarity import (
+        cosine_topk, ivf_topk_from_index, kmeans_fit, pq_fit,
+        read_ivf_lists, save_ivf_index, save_ivf_pq_index,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=4, iters=1)
+    books = pq_fit(e, m=8, ks=16, iters=2, sample=400)
+    idx = str(tmp_path / "idx")
+
+    # PQ -> plain: pq artifacts gone, full-precision serving exact
+    save_ivf_pq_index(e, cents, books, idx)
+    assert os.path.exists(f"{idx}/pq_lists")
+    save_ivf_index(e, cents, idx)
+    assert not os.path.exists(f"{idx}/pq_books")
+    assert not os.path.exists(f"{idx}/pq_lists")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 3).first()["embedding"]]
+    n_cells = 4
+    served = ivf_topk_from_index(spark, idx, qv, k=5, n_probe=n_cells)
+    brute = cosine_topk(e, qv, k=5)
+    rows = lambda df: [tuple(str(x) for x in r) for r in df.collect()]
+    assert rows(served) == rows(brute)
+
+    # quantized -> plain: the stale quant codebook must not dequantize
+    # full-precision lists
+    save_ivf_index(e, cents, idx, quantize_bits=8)
+    assert os.path.exists(f"{idx}/quant")
+    save_ivf_index(e, cents, idx)
+    assert not os.path.exists(f"{idx}/quant")
+    got = read_ivf_lists(spark, idx)
+    x = np.asarray(got.filter("vec_id = 3").first()["embedding"])
+    want = np.asarray(e.filter("vec_id = 3").first()["embedding"])
+    assert np.allclose(x, want)
+
+    # plain -> PQ: the stale full-precision lists are removed
+    save_ivf_pq_index(e, cents, books, idx)
+    assert not os.path.exists(f"{idx}/lists")
+
+
+def test_failed_validation_does_not_brick_index(spark, tmp_path):
+    # review r12 second pass: a pre-write failure (bad model shape) must
+    # not leave a healthy index behind a REBUILDING sentinel
+    import numpy as np
+    import pytest as _pytest
+
+    from inspectadb_spark.operators.similarity import (
+        ivf_topk_from_index, kmeans_fit, save_ivf_index, save_ivf_pq_index,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=4, iters=1)
+    idx = str(tmp_path / "idx")
+    save_ivf_index(e, cents, idx)
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 3).first()["embedding"]]
+
+    with _pytest.raises(Exception):
+        save_ivf_index(e, np.asarray([1.0, 2.0, 3.0]), idx)  # 1-D: invalid
+    assert not os.path.exists(f"{idx}/REBUILDING")
+    with _pytest.raises(Exception):
+        save_ivf_pq_index(e, cents, np.zeros((2, 2)), idx)   # 2-D books
+    assert not os.path.exists(f"{idx}/REBUILDING")
+    # the untouched index still serves
+    assert ivf_topk_from_index(spark, idx, qv, k=3, n_probe=2).count() == 3

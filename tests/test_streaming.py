@@ -3445,6 +3445,16 @@ def test_gc_index_aborts_on_empty_pointer(spark, tmp_path):
     assert gc_index(idx) == []
     for p in committed:
         assert os.path.exists(p), p
+    # the ingester's own reader treats it as "no committed ingest" too —
+    # never IndexError (review r12 second pass)
+    assert inc.committed_paths() == [os.path.join(idx, "lists")]
+    # a NON-empty fragment (prefix of line 1 only) is just as unreadable:
+    # the committed wire format is 3 lines, so gc aborts on fewer
+    with open(f"{idx}/INGEST", "w") as f:
+        f.write(committed[0][:len(committed[0]) // 2])
+    assert gc_index(idx) == []
+    for p in committed:
+        assert os.path.exists(p), p
     # restore the pointer: everything still serves
     with open(f"{idx}/INGEST", "w") as f:
         f.write("|".join(committed) + f"\n{inc._checkpoint}\n0")
