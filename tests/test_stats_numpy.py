@@ -2206,3 +2206,270 @@ def test_q174_group_mode_matches_python(spark):
     assert rows == want
     # non-degenerate: the modal hour varies across types (q326 class)
     assert len({b for b, _ in rows.values()}) > 1
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: first-principles references for the round-12 stats
+# family (VERDICT r12 item 2). Each statistic is recomputed from its
+# textbook definition straight off the parquet, carrying only the query's
+# declared quantization contract (DECIMAL(18,6)->R4 half-up, integer ppm)
+# so exact-integer outputs compare exactly and R4 doubles compare at the
+# 4dp contract.
+
+from decimal import ROUND_HALF_UP, Decimal
+
+_D6 = Decimal("1e-6")
+_D4 = Decimal("1e-4")
+
+
+def _q4i(x: float) -> int:
+    """ROUND(CAST(x AS DECIMAL(18,6)), 4) as an exact integer in 1e-4
+    units (half-up at 6dp then 4dp, on the exact binary value — the
+    corpus's standard value-quantization contract)."""
+    return int(Decimal(float(x)).quantize(_D6, ROUND_HALF_UP)
+               .quantize(_D4, ROUND_HALF_UP).scaleb(4))
+
+
+def _cents(x: float) -> int:
+    """ROUND(CAST(x AS DECIMAL(18,6)) * 100) as an exact integer."""
+    return int((Decimal(float(x)).quantize(_D6, ROUND_HALF_UP) * 100)
+               .quantize(Decimal("1"), ROUND_HALF_UP))
+
+
+def test_q353_sprt_matches_python(spark):
+    """Wald's SPRT rebuilt from the 1945 definition: per-observation LLR
+    for a Bernoulli H0 p0=0.1 vs H1 p1=0.2 is ln(p1/p0) on success and
+    ln((1-p1)/(1-p0)) on failure; decide at the first n where the
+    cumulative LLR leaves (ln(b/(1-a)), ln((1-b)/a)) = +/-2.9444 at
+    a = b = 0.05. Per-term R4 quantization (the query's contract) makes
+    the whole path exact in 1e-4 integer units."""
+    ev = _events().sort_values(["ts", "event_id"], kind="stable")
+    step_h1 = _q4i(math.log(0.2 / 0.1))      # success: ln(p1/p0)
+    step_h0 = _q4i(math.log(0.8 / 0.9))      # failure: ln((1-p1)/(1-p0))
+    assert (step_h1, step_h0) == (6931, -1178)
+    bound = 29444                            # ln((1-b)/a) = ln(19) ~ 2.9444
+    assert _q4i(math.log(0.95 / 0.05)) == bound
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q353_sprt"].builder(spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(ev["event_type"].unique())
+    for et, g in ev.groupby("event_type"):
+        llr, hit = 0, None
+        for i, v in enumerate(g["value"], start=1):
+            llr += step_h1 if v > 100 else step_h0
+            if hit is None and abs(llr) >= bound:
+                hit = (i, llr)
+        r = rows[et]
+        assert r["n_events"] == len(g)
+        if hit is None:
+            assert r["n_at_decision"] == 0 and r["decision"] == "continue"
+            assert r["llr_readout"] == pytest.approx(llr / 1e4, abs=1e-9)
+        else:
+            assert r["n_at_decision"] == hit[0]
+            assert r["decision"] == (
+                "accept_h1" if hit[1] > 0 else "accept_h0")
+            assert r["llr_readout"] == pytest.approx(hit[1] / 1e4, abs=1e-9)
+    # non-degenerate: the fixture produces at least two distinct decisions
+    assert len({r["decision"] for r in rows.values()}) > 1
+
+
+def test_q358_conformal_matches_python(spark):
+    """Split conformal from the Vovk/Lei definition: with calibration
+    scores s_i = |y_i - mu|, the radius is the ceil((n+1)(1-alpha))-th
+    smallest score and the test-split coverage is then >= 1-alpha in
+    expectation. All comparisons run in exact *n_train integer space."""
+    ev = _events()
+    ev["v4"] = [_q4i(v) for v in ev["value"]]
+    ev["sp"] = ev["event_id"] % 3
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q358_conformal_interval"].builder(
+                spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        tr = g[g["sp"] == 0]
+        nt, s4 = len(tr), int(tr["v4"].sum())
+        cal = g[g["sp"] == 1].copy()
+        cal["ar"] = (nt * cal["v4"] - s4).abs()
+        nc = len(cal)
+        k = math.ceil(0.9 * (nc + 1))
+        assert k == (9 * (nc + 1) + 9) // 10  # the query's DIV form
+        qhat_s = int(cal.sort_values(["ar", "event_id"],
+                                     kind="stable")["ar"].iloc[k - 1])
+        tst = g[g["sp"] == 2]
+        cov = int(((nt * tst["v4"] - s4).abs() <= qhat_s).sum())
+        r = rows[et]
+        assert (r["n_train"], r["n_cal"], r["n_test"]) == (nt, nc, len(tst))
+        assert r["mu"] == pytest.approx(s4 / 1e4 / nt, abs=1.1e-4)
+        assert r["qhat"] == pytest.approx(qhat_s / 1e4 / nt, abs=1.1e-4)
+        assert r["coverage_ppm"] == cov * 1000000 // len(tst)
+        # the distribution-free guarantee, loose finite-sample band
+        assert 800000 <= r["coverage_ppm"] <= 990000
+
+
+def test_q359_xmr_matches_python(spark):
+    """Wheeler's XmR individuals chart from the definition: natural
+    process limits xbar +/- 2.66*MRbar where MRbar is the mean of
+    consecutive absolute moving ranges in arrival order and
+    2.66 = 3/d2(2). Limit comparisons run exactly in 1e-6 units."""
+    ev = _events().sort_values(["ts", "event_id"], kind="stable")
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q359_xmr_control_chart"].builder(
+                spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        v4 = [_q4i(v) for v in g["value"]]
+        n = len(v4)
+        mrs = [abs(a - b) for a, b in zip(v4[1:], v4[:-1])]
+        xq4 = _q4i((sum(v4) / 1e4) / n)
+        mrq4 = _q4i((sum(mrs) / 1e4) / (n - 1))
+        ucl6 = xq4 * 100 + 266 * mrq4
+        lcl6 = xq4 * 100 - 266 * mrq4
+        flags = [i for i, v in enumerate(v4, start=1)
+                 if v * 100 > ucl6 or v * 100 < lcl6]
+        r = rows[et]
+        assert r["n"] == n
+        assert r["xbar"] == pytest.approx(xq4 / 1e4, abs=1e-9)
+        assert r["mr_bar"] == pytest.approx(mrq4 / 1e4, abs=1e-9)
+        assert r["ucl"] == pytest.approx(ucl6 / 1e6, abs=1e-9)
+        assert r["lcl"] == pytest.approx(lcl6 / 1e6, abs=1e-9)
+        assert r["n_ooc"] == len(flags)
+        assert r["first_ooc_rn"] == (flags[0] if flags else 0)
+    # non-degenerate: the heavy-tailed fixture flags real points
+    assert any(r["n_ooc"] > 0 for r in rows.values())
+
+
+def test_q360_neyman_matches_python(spark):
+    """Neyman 1934 from the definition: n_h proportional to N_h*S_h with
+    S_h the per-stratum sample sd. Shares/allocations are recomputed
+    both through the exact quantized-integer contract AND from pure
+    float N_h*S_h weights (the formula check)."""
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    cust["xq"] = [_cents(v) for v in cust["c_acctbal"]]
+    per = {}
+    for nation, g in cust.groupby("c_nationkey"):
+        n_h = len(g)
+        if n_h <= 1:
+            continue
+        sx = int(g["xq"].sum())
+        sxx = int((g["xq"].astype(object) ** 2).sum())
+        sd = math.sqrt(float(n_h * sxx - sx * sx)
+                       / float(n_h * (n_h - 1))) / 100.0
+        per[int(nation)] = (n_h, sd, _q4i(sd))
+    tw = sum(n_h * sd4 for n_h, _, sd4 in per.values())
+    rows = {r["nation"]: r.asDict() for r in
+            REGISTRY["q360_neyman_allocation"].builder(
+                spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(per)
+    ftot = sum(n_h * sd for n_h, sd, _ in per.values())
+    for nation, (n_h, sd, sd4) in per.items():
+        r = rows[nation]
+        assert r["n_h"] == n_h
+        assert r["sd"] == pytest.approx(sd, abs=1.1e-4)
+        w4 = n_h * sd4
+        assert r["share_ppm"] == w4 * 1000000 // tw
+        assert r["alloc_n"] == w4 * 1000 // tw
+        # formula check: share really is N_h*S_h / sum, float path
+        assert r["share_ppm"] == pytest.approx(
+            n_h * sd / ftot * 1e6, abs=5)
+    assert sum(r["alloc_n"] for r in rows.values()) <= 1000
+    assert 1000 - sum(r["alloc_n"] for r in rows.values()) <= len(rows)
+
+
+def test_q361_nzv_matches_python(spark):
+    """The caret nearZeroVar diagnostics from the definition: freqRatio =
+    top count / runner-up count, percentUnique = distinct/n — both in
+    exact integer ppm over cents-quantized values."""
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    melted = {
+        "l_quantity": [_cents(v) for v in li["l_quantity"]],
+        "l_discount": [_cents(v) for v in li["l_discount"]],
+        "l_tax": [_cents(v) for v in li["l_tax"]],
+        "l_linenumber": [int(v) * 100 for v in li["l_linenumber"]],
+    }
+    rows = {r["metric"]: r.asDict() for r in
+            REGISTRY["q361_nzv_screen"].builder(spark, SF_DIR).collect()}
+    assert sorted(rows) == sorted(melted)
+    from collections import Counter
+
+    for metric, vals in melted.items():
+        cnt = Counter(vals)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        (v1, c1), (_, c2) = ranked[0], ranked[1]
+        r = rows[metric]
+        assert (r["n"], r["n_distinct"]) == (len(vals), len(cnt))
+        assert r["top_value"] == pytest.approx(v1 / 100, abs=1e-9)
+        assert (r["top1_cnt"], r["top2_cnt"]) == (c1, c2)
+        assert r["freq_ratio_ppm"] == c1 * 1000000 // c2
+        assert r["distinct_ppm"] == len(cnt) * 1000000 // len(vals)
+    # non-degenerate: the screen separates the metrics (q326 class)
+    assert len({r["freq_ratio_ppm"] for r in rows.values()}) > 1
+
+
+def test_q362_hill_matches_python(spark):
+    """Hill 1975 from the definition: 1/alpha = (1/k) * sum_{i<=k}
+    ln(x_(i) / x_(k+1)) over the k=50 largest order statistics, ties
+    broken by event_id; alpha the reciprocal."""
+    ev = _events()
+    ev = ev[ev["value"] > 0]
+    rows = {r["event_type"]: r.asDict() for r in
+            REGISTRY["q362_hill_tail_index"].builder(
+                spark, SF_DIR).collect()}
+    for et, g in ev.groupby("event_type"):
+        top = g.sort_values(["value", "event_id"],
+                            ascending=[False, True],
+                            kind="stable").head(51)
+        xk1_4 = _q4i(top["value"].iloc[50])
+        s4 = sum(_q4i(math.log(_q4i(v) / xk1_4))
+                 for v in top["value"].iloc[:50])
+        r = rows[et]
+        assert r["n_pos"] == len(g)
+        assert r["tail_cutoff"] == pytest.approx(xk1_4 / 1e4, abs=1e-9)
+        assert r["hill_inv"] == pytest.approx(s4 / 1e4 / 50, abs=1e-4)
+        assert r["alpha"] == pytest.approx(50 / (s4 / 1e4), abs=1e-3)
+        # formula check: pure-float Hill estimator agrees at the
+        # quantization-error scale (50 R4 terms => <= 2.5e-3 on the sum)
+        f = sum(math.log(v / top["value"].iloc[50])
+                for v in top["value"].iloc[:50]) / 50
+        assert r["hill_inv"] == pytest.approx(f, abs=1e-3)
+
+
+def test_q363_did_matches_python(spark):
+    """Difference-in-differences from the 2x2 definition: DiD =
+    (treated_post - treated_pre) - (control_post - control_pre) on cell
+    means, each segment treated vs the leave-one-out rest, pre/post at
+    1998-01-01. Cell means carry the R4 contract; a pure-float DiD
+    recomputation bounds the quantization error."""
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    t = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    t["post"] = (t["o_orderdate"] >= np.datetime64("1998-01-01")).astype(int)
+    t["p6"] = [int(Decimal(float(v)).quantize(_D6, ROUND_HALF_UP)
+                   .scaleb(6)) for v in t["o_totalprice"]]
+    cells = {(seg, post): (len(g), int(g["p6"].sum()))
+             for (seg, post), g in t.groupby(["c_mktsegment", "post"])}
+    gtot = {post: (sum(n for (s, p), (n, _) in cells.items() if p == post),
+                   sum(s6 for (s, p), (_, s6) in cells.items() if p == post))
+            for post in (0, 1)}
+    rows = {r["segment"]: r.asDict() for r in
+            REGISTRY["q363_diff_in_differences"].builder(
+                spark, SF_DIR).collect()}
+    segs = sorted({s for s, _ in cells})
+    assert sorted(rows) == segs
+    for seg in segs:
+        mt, mc, mtf, mcf = {}, {}, {}, {}
+        for post in (0, 1):
+            n, s6 = cells[(seg, post)]
+            gn, gs6 = gtot[post]
+            mt[post] = _q4i((s6 / 1e6) / n)
+            mc[post] = _q4i(((gs6 - s6) / 1e6) / (gn - n))
+            mtf[post] = s6 / 1e6 / n
+            mcf[post] = (gs6 - s6) / 1e6 / (gn - n)
+        r = rows[seg]
+        assert (r["n_t_pre"], r["n_t_post"]) == \
+            (cells[(seg, 0)][0], cells[(seg, 1)][0])
+        assert r["m_t_pre"] == pytest.approx(mt[0] / 1e4, abs=1e-9)
+        assert r["m_t_post"] == pytest.approx(mt[1] / 1e4, abs=1e-9)
+        assert r["m_c_pre"] == pytest.approx(mc[0] / 1e4, abs=1e-9)
+        assert r["m_c_post"] == pytest.approx(mc[1] / 1e4, abs=1e-9)
+        did4 = (mt[1] - mt[0]) - (mc[1] - mc[0])
+        assert r["did"] == pytest.approx(did4 / 1e4, abs=1e-9)
+        # formula check: pure-float DiD within 4 R4 roundings
+        didf = (mtf[1] - mtf[0]) - (mcf[1] - mcf[0])
+        assert r["did"] == pytest.approx(didf, abs=3e-4)
