@@ -282,6 +282,21 @@ def _portable_signatures(docs: DataFrame, text_col: str, id_col: str,
     return seeded.groupBy("doc_id", "j").agg(F.min("h").alias("sig"))
 
 
+def _band_keys(sig: DataFrame, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bk): the banded LSH bucket keys from a portable
+    signature table — md5 over the band's signature rows in j order.
+
+    Shared by ``minhash_lsh_candidates_portable`` (the banding join) and
+    ``lsh_bucket_profile`` (its pre-flight cost audit): the audit's
+    "prices the join that would actually run" claim requires both to key
+    on byte-identical buckets, so the construction lives in exactly one
+    place."""
+    banded = sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(F.expr("listagg(sig, '|') WITHIN GROUP (ORDER BY j)")).alias("bk")
+    )
+
+
 def minhash_lsh_candidates_portable(
     docs: DataFrame,
     text_col: str = "text",
@@ -304,10 +319,7 @@ def minhash_lsh_candidates_portable(
     _check_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sig = _portable_signatures(docs, text_col, id_col, num_hashes, shingle_k)
-    banded = sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-    keys = banded.groupBy("doc_id", "band").agg(
-        F.md5(F.expr("listagg(sig, '|') WITHIN GROUP (ORDER BY j)")).alias("bk")
-    )
+    keys = _band_keys(sig, rows_per_band)
     return (
         keys.alias("a")
         .join(keys.alias("b"), ["band", "bk"])
@@ -341,10 +353,7 @@ def lsh_bucket_profile(
     sig = _portable_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     # _portable_signatures emits the id as "doc_id" regardless of id_col
     # (same convention as minhash_lsh_candidates_portable)
-    banded = sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-    keys = banded.groupBy("doc_id", "band").agg(
-        F.md5(F.expr("listagg(sig, '|') WITHIN GROUP (ORDER BY j)")).alias("bk")
-    )
+    keys = _band_keys(sig, rows_per_band)
     buckets = keys.groupBy("band", "bk").agg(F.count(F.lit(1)).alias("s"))
     return buckets.groupBy("band").agg(
         F.sum("s").cast("bigint").alias("n_docs"),

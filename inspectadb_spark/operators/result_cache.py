@@ -44,6 +44,14 @@ from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
+# On-disk cache layout version. Entries live under cache_dir/v{N}/<fp>;
+# bumped whenever the fingerprint recipe changes meaning (v2 = output
+# schema mixed into the fingerprint, r12 ADVICE fix), so entries written
+# under an older recipe are RECLAIMED on the next ResultCache construction
+# instead of lingering unaddressable until a manual vacuum (r12 ADVICE:
+# the schema fix orphaned every pre-fix key silently).
+FORMAT_VERSION = 2
+
 
 def plan_key(df: DataFrame) -> str:
     """Spark's CANONICALIZED optimized-plan text: expression ids are
@@ -110,10 +118,23 @@ class ResultCache:
     def __init__(self, spark: SparkSession, cache_dir: str) -> None:
         self.spark = spark
         self.cache_dir = cache_dir
-        os.makedirs(cache_dir, exist_ok=True)
+        self.store_dir = os.path.join(cache_dir, f"v{FORMAT_VERSION}")
+        os.makedirs(self.store_dir, exist_ok=True)
+        # Reclaim entries from any OTHER layout version: their keys were
+        # minted under a different fingerprint recipe, so they can never
+        # hit again — deliberate reclamation beats silent lingering.
+        # (v1 stored entries directly under cache_dir; other v* dirs are
+        # future/past versions.) Removal can only cause misses.
+        self.reclaimed = 0
+        for name in os.listdir(cache_dir):
+            full = os.path.join(cache_dir, name)
+            if full == self.store_dir or not os.path.isdir(full):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            self.reclaimed += 1
 
     def _path(self, fp: str) -> str:
-        return os.path.join(self.cache_dir, fp)
+        return os.path.join(self.store_dir, fp)
 
     def lookup(self, df: DataFrame) -> DataFrame | None:
         p = self._path(fingerprint(df))
@@ -134,10 +155,10 @@ class ResultCache:
         returns the number removed. Safe at any time: removal can only
         cause misses, never wrong answers."""
         removed = 0
-        for name in os.listdir(self.cache_dir):
+        for name in os.listdir(self.store_dir):
             if keep_fingerprints and name in keep_fingerprints:
                 continue
-            shutil.rmtree(os.path.join(self.cache_dir, name),
+            shutil.rmtree(os.path.join(self.store_dir, name),
                           ignore_errors=True)
             removed += 1
         return removed

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import warnings
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -236,6 +237,13 @@ def ivf_drift_readout(state: DataFrame, trained_inertia: float,
             .orderBy("cell"))
 
 
+class PointerUnreadableWarning(UserWarning):
+    """``gc_index`` aborted: an INGEST pointer exists but is not a
+    committed 3-line pointer (zero-byte or truncated). Distinct from an
+    empty sweep — a permanently corrupt pointer would otherwise disable
+    GC forever with no signal to the operator (ADVICE r12)."""
+
+
 def gc_index(index_path: str) -> list[str]:
     """Remove orphaned list directories from a streamed-into index.
 
@@ -270,7 +278,16 @@ def gc_index(index_path: str) -> list[str]:
             # finished pointer is about to reference, unrecoverably. The
             # committed wire format is exactly 3 lines (paths, ckpt,
             # batch — pinned in tests), so anything shorter means line 1
-            # may be truncated: GC must abort and delete NOTHING.
+            # may be truncated: GC must abort and delete NOTHING — and
+            # say so: a safe abort must be distinguishable from an empty
+            # sweep, or a permanently corrupt pointer silently disables
+            # GC forever. Transient mid-writes resolve by the next run;
+            # a warning that repeats every sweep is the operator signal.
+            warnings.warn(PointerUnreadableWarning(
+                f"gc_index: INGEST pointer at {ptr} has {len(lines)} "
+                "line(s), committed format is 3 — possible foreign "
+                "mid-write or corruption; GC aborted, nothing removed"),
+                stacklevel=2)
             return []
         referenced = {
             os.path.realpath(p)

@@ -331,6 +331,12 @@ class StreamingMisraGries(IncrementalAggregate):
         return items.unionByName(sentinel)
 
 
+class OrderContractViolation(RuntimeError):
+    """A micro-batch delivered rows at or below a key's committed max
+    order tuple, breaking the global-order contract a sequential test's
+    batch-equals-stream guarantee depends on. State was NOT advanced."""
+
+
 class StreamingSprt(IncrementalAggregate):
     """Live Wald SPRT monitor (the streaming face of q353): per key, the
     running log-likelihood ratio over an ORDER-DEFINED indicator stream,
@@ -348,9 +354,19 @@ class StreamingSprt(IncrementalAggregate):
     drained state equals the one-shot batch computation byte-for-byte
     (S62).
 
-    State per key: (key, n, llr, dec_rn, dec_llr) — one row, merge cost
-    O(|keys| + |batch|) independent of history; the same
+    State per key: (key, n, llr, dec_rn, dec_llr, max_ord) — one row,
+    merge cost O(|keys| + |batch|) independent of history; the same
     version-pointer/crash/idempotence story as IncrementalAggregate.
+
+    The batch ≡ stream guarantee holds ONLY while micro-batch boundaries
+    respect the (order_cols) global order per key — the contract an
+    ordered file/kafka source satisfies but out-of-order file arrival or
+    ``maxFilesPerTrigger > 1`` over unsorted files silently breaks, after
+    which decisions freeze on the wrong rows. The monitor therefore
+    carries the per-key max order tuple in state and REFUSES the batch
+    (OrderContractViolation, state untouched) when any row arrives at or
+    below it — order-contract violations are loud, never silently wrong
+    (ADVICE r12).
     """
 
     def __init__(self, spark: SparkSession, state_dir: str,
@@ -380,8 +396,10 @@ class StreamingSprt(IncrementalAggregate):
             return
         k = self.key
         w = Window.partitionBy(k).orderBy(*self.order_cols)
+        ord_t = F.struct(*[F.col(c) for c in self.order_cols])
         p = (batch.select(k, *self.order_cols,
                           F.expr(self.step_sql).alias("step"))
+             .withColumn("_ord", ord_t)
              .withColumn("cum", F.sum("step").over(
                  w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
              .withColumn("rn", F.row_number().over(w)))
@@ -391,20 +409,44 @@ class StreamingSprt(IncrementalAggregate):
             # key would silently coerce a non-string key (e.g. bigint
             # user_id) in the first unionByName and persist the wrong
             # dtype into the state parquet forever
-            state = (batch.select(k).limit(0)
+            state = (batch.select(k, ord_t.alias("max_ord")).limit(0)
                      .withColumn("n", F.lit(0).cast("bigint"))
                      .withColumn("llr", F.lit(0).cast("decimal(38,6)"))
                      .withColumn("dec_rn", F.lit(None).cast("bigint"))
                      .withColumn("dec_llr",
                                  F.lit(None).cast("decimal(38,6)")))
+        elif "max_ord" not in state.columns:
+            # state written before the order guard existed: no committed
+            # watermark to check the first post-upgrade batch against
+            state = state.join(
+                batch.select(k, ord_t.alias("max_ord")).limit(0),
+                k, "left")
         st = state.select(
             F.col(k), F.col("n").alias("_off_n"), F.col("llr").alias("_off"),
-            F.col("dec_rn").alias("_dec_rn"), F.col("dec_llr").alias("_dec_llr"))
+            F.col("dec_rn").alias("_dec_rn"), F.col("dec_llr").alias("_dec_llr"),
+            F.col("max_ord").alias("_max_ord"))
         j = (p.join(F.broadcast(st), k, "left")
              .withColumn("_off", F.coalesce(F.col("_off"),
                                             F.lit(0).cast("decimal(38,6)")))
              .withColumn("_off_n", F.coalesce(F.col("_off_n"), F.lit(0)))
              .withColumn("_abs_llr", F.abs(F.col("_off") + F.col("cum"))))
+        # Order-contract guard (ADVICE r12): a row at or below the key's
+        # committed max order tuple means this batch is NOT a suffix of
+        # the ordered stream — the LLR path (and any frozen decision)
+        # would be computed on the wrong rows. Refuse loudly BEFORE any
+        # state is written; the job is O(batch) on the already-built j.
+        viol = (j.filter(F.col("_max_ord").isNotNull()
+                         & (F.col("_ord") <= F.col("_max_ord")))
+                .select(k, "_ord", "_max_ord").limit(3).collect())
+        if viol:
+            detail = "; ".join(
+                f"key={r[0]!r} got order={r[1]} <= committed max={r[2]}"
+                for r in viol)
+            raise OrderContractViolation(
+                f"batch {batch_id} violates the ({', '.join(self.order_cols)})"
+                f" global-order contract: {detail}. State not advanced; "
+                "re-deliver the stream in order (e.g. ordered file source, "
+                "maxFilesPerTrigger=1 over sorted files).")
         crossing = F.when(
             F.col("_dec_rn").isNull()
             & (F.col("_abs_llr") >= F.expr(self.bar)),
@@ -418,7 +460,8 @@ class StreamingSprt(IncrementalAggregate):
             F.min("_dec_rn").alias("_old_rn"),
             F.min("_dec_llr").alias("_old_llr"),
             F.min("_off_n").alias("_off_n0"),
-            F.min(crossing).alias("_cross"))
+            F.min(crossing).alias("_cross"),
+            F.max("_ord").alias("max_ord"))
         upd = upd.select(
             F.col(k),
             "n", "llr",
@@ -427,7 +470,8 @@ class StreamingSprt(IncrementalAggregate):
             .alias("dec_rn"),
             F.coalesce(F.col("_old_llr"),
                        F.col("_cross.llr").cast("decimal(38,6)"))
-            .alias("dec_llr"))
+            .alias("dec_llr"),
+            "max_ord")
         # keys silent in this batch carry over untouched
         carried = state.join(upd.select(k), k, "anti")
         new_state = carried.unionByName(upd)

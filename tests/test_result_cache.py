@@ -94,7 +94,31 @@ def test_vacuum_only_causes_misses(spark, base_path, tmp_path):
     r, hit = rc.get_or_compute(_q(spark, base_path))
     assert not hit
     assert r.count() == 7
-    assert len(os.listdir(rc.cache_dir)) == 1
+    assert len(os.listdir(rc.store_dir)) == 1
+
+
+def test_format_version_bump_reclaims_old_entries(spark, base_path,
+                                                  tmp_path):
+    # entries minted under a different fingerprint recipe can never hit
+    # again — a new ResultCache reclaims them deliberately instead of
+    # letting them linger unaddressable until a manual vacuum (ADVICE
+    # r12). v1 stored entries directly under cache_dir; other v* dirs
+    # are other recipe versions.
+    import pathlib
+
+    cache = tmp_path / "rc"
+    (cache / "0123abcd0123abcd0123abcd0123abcd").mkdir(parents=True)
+    (cache / "0123abcd0123abcd0123abcd0123abcd" / "_SUCCESS").touch()
+    (cache / "v999").mkdir()
+    rc = ResultCache(spark, str(cache))
+    assert rc.reclaimed == 2
+    assert sorted(os.listdir(str(cache))) == [
+        pathlib.Path(rc.store_dir).name]
+    # the store still works end to end after reclamation
+    _, hit = rc.get_or_compute(_q(spark, base_path))
+    assert not hit
+    _, hit = rc.get_or_compute(_q(spark, base_path))
+    assert hit
 
 
 # -- review regressions: fingerprint must NOT collide distinct queries -------

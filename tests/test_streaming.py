@@ -454,7 +454,8 @@ def test_s7_streaming_cdc_apply(spark, tmp_path):
 # store path — the per-key ValueState holds the max-lsn row incl. tombstones).
 # TWS needs protobuf (its state wire format) + the RocksDB provider; absent in
 # this container -> skip, not fake (operator is still import-/plan-checked).
-# Closure audit (round 3, re-probed rounds 9, 11, and 12): `google.protobuf`
+# Closure audit (round 3, re-probed rounds 9, 11, 12, and 13):
+# `google.protobuf`
 # is importable nowhere on this box (pyenv site-packages, miniconda, no
 # wheel on disk) and the environment contract forbids pip/apt installs, so
 # the skip is a hard environment boundary, not a TODO. The
@@ -3440,9 +3441,14 @@ def test_gc_index_aborts_on_empty_pointer(spark, tmp_path):
     inc._apply_batch(e.filter("vec_id >= 200 AND vec_id < 250"), batch_id=0)
     committed = inc.committed_paths()
     assert committed
-    # truncate the pointer (simulated foreign mid-write)
+    # truncate the pointer (simulated foreign mid-write). The abort must
+    # be LOUD (PointerUnreadableWarning) so an operator can tell a safe
+    # abort from an empty sweep (ADVICE r12) — and delete NOTHING.
+    from inspectadb_spark.streaming.ann_index import PointerUnreadableWarning
+
     open(f"{idx}/INGEST", "w").close()
-    assert gc_index(idx) == []
+    with pytest.warns(PointerUnreadableWarning, match="GC aborted"):
+        assert gc_index(idx) == []
     for p in committed:
         assert os.path.exists(p), p
     # the ingester's own reader treats it as "no committed ingest" too —
@@ -3452,7 +3458,8 @@ def test_gc_index_aborts_on_empty_pointer(spark, tmp_path):
     # the committed wire format is 3 lines, so gc aborts on fewer
     with open(f"{idx}/INGEST", "w") as f:
         f.write(committed[0][:len(committed[0]) // 2])
-    assert gc_index(idx) == []
+    with pytest.warns(PointerUnreadableWarning, match="GC aborted"):
+        assert gc_index(idx) == []
     for p in committed:
         assert os.path.exists(p), p
     # restore the pointer: everything still serves
@@ -3480,3 +3487,83 @@ def test_sprt_state_preserves_non_string_key_type(spark, tmp_path):
     out = mon.readout()
     assert dict(out.dtypes)["grp"] == "bigint"
     assert out.count() == 4
+
+
+def test_sprt_order_contract_violation_is_loud(spark, tmp_path):
+    # ADVICE r12: if micro-batch boundaries violate the (order_cols)
+    # global order (out-of-order file arrival, maxFilesPerTrigger>1 over
+    # unsorted files), the batch-equals-stream guarantee silently breaks
+    # and decisions freeze on the wrong rows. The monitor now carries the
+    # per-key max order tuple and REFUSES such a batch loudly, state
+    # untouched.
+    from inspectadb_spark.streaming.incremental import (
+        OrderContractViolation, StreamingSprt,
+    )
+
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .orderBy("ts", "event_id").limit(400).collect())
+    cols = ev[0].asDict().keys()
+    mk = lambda rows: spark.createDataFrame(rows, schema=list(cols))  # noqa: E731
+    step_sql = ("CASE WHEN value > 100"
+                " THEN ROUND(CAST(ln(2.0) AS DECIMAL(18,6)), 4)"
+                " ELSE ROUND(CAST(ln(0.8 / 0.9) AS DECIMAL(18,6)), 4) END")
+    mon = StreamingSprt(spark, str(tmp_path / "state"), key="event_type",
+                        order_cols=["ts", "event_id"], step_sql=step_sql)
+    mon._checkpoint = str(tmp_path / "ck")
+    # batch 0 delivers the LATER half first — a mis-ordered source
+    mon._merge_batch(mk(ev[200:]), batch_id=0)
+    before = _rows(mon.readout())
+    with pytest.raises(OrderContractViolation, match="global-order"):
+        mon._merge_batch(mk(ev[:200]), batch_id=1)
+    # state not advanced by the refused batch
+    assert _rows(mon.readout()) == before
+    # an equal order tuple (redelivery under a NEW batch id) is just as
+    # much a violation — the row would be double-counted
+    with pytest.raises(OrderContractViolation, match="global-order"):
+        mon._merge_batch(mk(ev[399:]), batch_id=2)
+    # an in-order continuation under the same monitor still works: state
+    # advances only past the committed max
+    assert _rows(mon.readout()) == before
+
+
+def test_sprt_state_without_max_ord_upgrades_in_place(spark, tmp_path):
+    # state written before the order guard existed has no max_ord column;
+    # the first post-upgrade merge must accept it (no committed watermark
+    # to check against) and write the guarded schema going forward.
+    from inspectadb_spark.streaming.incremental import (
+        OrderContractViolation, StreamingSprt,
+    )
+
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .orderBy("ts", "event_id").limit(300).collect())
+    cols = list(ev[0].asDict().keys())
+    mk = lambda rows: spark.createDataFrame(rows, schema=cols)  # noqa: E731
+    step_sql = ("CASE WHEN value > 100"
+                " THEN ROUND(CAST(ln(2.0) AS DECIMAL(18,6)), 4)"
+                " ELSE ROUND(CAST(ln(0.8 / 0.9) AS DECIMAL(18,6)), 4) END")
+    mon = StreamingSprt(spark, str(tmp_path / "state"), key="event_type",
+                        order_cols=["ts", "event_id"], step_sql=step_sql)
+    mon._checkpoint = str(tmp_path / "ck")
+    mon._merge_batch(mk(ev[:100]), batch_id=0)
+    # simulate a pre-guard deployment: rewrite the committed state
+    # parquet without max_ord
+    committed = mon._read_ptr()[0]
+    legacy = mon.table().drop("max_ord")
+    legacy.write.mode("overwrite").parquet(str(tmp_path / "legacy"))
+    import shutil as _sh
+
+    _sh.rmtree(committed)
+    _sh.move(str(tmp_path / "legacy"), committed)
+    assert "max_ord" not in mon.table().columns
+    # post-upgrade merge accepts the batch and re-arms the guard
+    mon._merge_batch(mk(ev[100:200]), batch_id=1)
+    assert "max_ord" in mon.table().columns
+    with pytest.raises(OrderContractViolation):
+        mon._merge_batch(mk(ev[:50]), batch_id=2)
+    # and an in-order batch still lands
+    mon._merge_batch(mk(ev[200:]), batch_id=3)
+    want = {}
+    for r in ev:
+        want[r["event_type"]] = want.get(r["event_type"], 0) + 1
+    got = {r["event_type"]: r["n_events"] for r in mon.readout().collect()}
+    assert got == want
