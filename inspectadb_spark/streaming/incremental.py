@@ -337,6 +337,28 @@ class OrderContractViolation(RuntimeError):
     batch-equals-stream guarantee depends on. State was NOT advanced."""
 
 
+def _refuse_out_of_order(j: DataFrame, key: str, order_cols: list[str],
+                         batch_id: int) -> None:
+    """Raise OrderContractViolation if any row of ``j`` (columns: key,
+    ``_ord`` = this batch's order tuple, ``_max_ord`` = the key's
+    committed watermark, null when unknown) sits at or below the
+    committed max. Shared by every order-dependent monitor so the
+    refusal semantics can't drift between them; O(batch), runs BEFORE
+    any state write."""
+    viol = (j.filter(F.col("_max_ord").isNotNull()
+                     & (F.col("_ord") <= F.col("_max_ord")))
+            .select(key, "_ord", "_max_ord").limit(3).collect())
+    if viol:
+        detail = "; ".join(
+            f"key={r[0]!r} got order={r[1]} <= committed max={r[2]}"
+            for r in viol)
+        raise OrderContractViolation(
+            f"batch {batch_id} violates the ({', '.join(order_cols)})"
+            f" global-order contract: {detail}. State not advanced; "
+            "re-deliver the stream in order (e.g. ordered file source, "
+            "maxFilesPerTrigger=1 over sorted files).")
+
+
 class StreamingSprt(IncrementalAggregate):
     """Live Wald SPRT monitor (the streaming face of q353): per key, the
     running log-likelihood ratio over an ORDER-DEFINED indicator stream,
@@ -435,18 +457,7 @@ class StreamingSprt(IncrementalAggregate):
         # the ordered stream — the LLR path (and any frozen decision)
         # would be computed on the wrong rows. Refuse loudly BEFORE any
         # state is written; the job is O(batch) on the already-built j.
-        viol = (j.filter(F.col("_max_ord").isNotNull()
-                         & (F.col("_ord") <= F.col("_max_ord")))
-                .select(k, "_ord", "_max_ord").limit(3).collect())
-        if viol:
-            detail = "; ".join(
-                f"key={r[0]!r} got order={r[1]} <= committed max={r[2]}"
-                for r in viol)
-            raise OrderContractViolation(
-                f"batch {batch_id} violates the ({', '.join(self.order_cols)})"
-                f" global-order contract: {detail}. State not advanced; "
-                "re-deliver the stream in order (e.g. ordered file source, "
-                "maxFilesPerTrigger=1 over sorted files).")
+        _refuse_out_of_order(j, k, self.order_cols, batch_id)
         crossing = F.when(
             F.col("_dec_rn").isNull()
             & (F.col("_abs_llr") >= F.expr(self.bar)),
@@ -502,3 +513,160 @@ class StreamingSprt(IncrementalAggregate):
             .otherwise(F.lit("accept_h0")).alias("decision"),
             F.coalesce(F.col("dec_llr"), F.col("llr")).cast("double")
             .alias("llr_readout"))
+
+
+class StreamingXmr(IncrementalAggregate):
+    """Live XmR individuals control-chart monitor (the streaming face of
+    q359, VERDICT r12 item 5): per key, natural process limits
+    xbar ± 2.66·MRbar maintained incrementally over an ORDER-DEFINED
+    measurement stream.
+
+    The moving range makes this order-dependent (like StreamingSprt, not
+    a decomposable-kind subclass): each micro-batch contributes its
+    internal Σ|Δ| plus ONE boundary range |first_of_batch − last_of_state|,
+    which reproduces the full-series Σ|Δ| exactly for any chunking that
+    respects the (order_cols) order — decimal addition is exact, so the
+    drained limits equal the one-shot q359 computation byte-for-byte
+    (S63). The same order-contract guard as StreamingSprt refuses a
+    mis-ordered batch loudly, state untouched.
+
+    State per key: (key, n, sum_v, sum_mr, last_v, max_ord) — the
+    (n, Σv, ΣMR) triple q359's docstring calls "the live-monitor shape"
+    plus the carried last value that makes MR incremental; one row per
+    key, merge cost O(|keys| + |batch|) independent of history.
+
+    Readout is the LIMITS surface (n, xbar, mr_bar, ucl, lcl) through
+    q359's exact closed form; judging points is the serving-side
+    ``flag_ooc(batch)``, which compares measurements against the current
+    limits in decimal space — run over the full history it reproduces
+    q359's n_ooc / first_ooc_rn exactly (pinned in S63).
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 key: str, order_cols: list[str], value_sql: str) -> None:
+        super().__init__(spark, state_dir, key_exprs={key: key},
+                         measures=[("n", "count", "*")])
+        self.key = key
+        self.order_cols = list(order_cols)
+        self.value_sql = value_sql
+
+    def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        committed = self._read_ptr()
+        if (
+            committed is not None
+            and self._checkpoint is not None
+            and committed[1] == self._checkpoint
+            and committed[2] is not None
+            and batch_id <= committed[2]
+        ):
+            return
+        if batch.isEmpty():
+            return
+        k = self.key
+        w = Window.partitionBy(k).orderBy(*self.order_cols)
+        ord_t = F.struct(*[F.col(c) for c in self.order_cols])
+        p = (batch.select(k, *self.order_cols,
+                          F.expr(self.value_sql).alias("v"))
+             .withColumn("_ord", ord_t)
+             .withColumn("_prev", F.lag("v").over(w)))
+        # one ordered-window pass, then a per-key aggregate: batch-internal
+        # moving ranges + the batch's first/last values for the boundary
+        bagg = p.groupBy(k).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_bn"),
+            F.sum("v").cast("decimal(38,4)").alias("_bsum"),
+            F.sum(F.abs(F.col("v") - F.col("_prev")))
+            .cast("decimal(38,4)").alias("_bmr"),
+            F.min_by("v", "_ord").cast("decimal(38,4)").alias("_first"),
+            F.max_by("v", "_ord").cast("decimal(38,4)").alias("_last"),
+            F.min("_ord").alias("_ord"),
+            F.max("_ord").alias("_bmax_ord"))
+        state = self.table()
+        if state is None:
+            state = (batch.select(k, ord_t.alias("max_ord")).limit(0)
+                     .withColumn("n", F.lit(0).cast("bigint"))
+                     .withColumn("sum_v", F.lit(0).cast("decimal(38,4)"))
+                     .withColumn("sum_mr", F.lit(0).cast("decimal(38,4)"))
+                     .withColumn("last_v",
+                                 F.lit(None).cast("decimal(38,4)")))
+        st = state.select(
+            F.col(k), F.col("n").alias("_sn"), F.col("sum_v").alias("_sv"),
+            F.col("sum_mr").alias("_smr"), F.col("last_v").alias("_slast"),
+            F.col("max_ord").alias("_max_ord"))
+        j = bagg.join(F.broadcast(st), k, "left")
+        _refuse_out_of_order(j, k, self.order_cols, batch_id)
+        boundary = F.when(F.col("_slast").isNotNull(),
+                          F.abs(F.col("_first") - F.col("_slast"))) \
+            .otherwise(F.lit(0))
+        upd = j.select(
+            F.col(k),
+            (F.coalesce(F.col("_sn"), F.lit(0)) + F.col("_bn"))
+            .cast("bigint").alias("n"),
+            (F.coalesce(F.col("_sv"), F.lit(0)) + F.col("_bsum"))
+            .cast("decimal(38,4)").alias("sum_v"),
+            (F.coalesce(F.col("_smr"), F.lit(0))
+             + F.coalesce(F.col("_bmr"), F.lit(0)) + boundary)
+            .cast("decimal(38,4)").alias("sum_mr"),
+            F.col("_last").alias("last_v"),
+            F.col("_bmax_ord").alias("max_ord"))
+        carried = state.join(upd.select(k), k, "anti")
+        new_state = carried.unionByName(upd)
+        self._version += 1
+        out = os.path.join(self.state_dir, f"v{self._version}")
+        new_state.write.mode("overwrite").parquet(out)
+        tmp = self._ptr() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{out}\n{self._checkpoint or ''}\n{batch_id}")
+        os.replace(tmp, self._ptr())
+        old = os.path.join(self.state_dir, f"v{self._version - 2}")
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def _limits(self) -> DataFrame | None:
+        """(key, n, xq, mrq) with xq/mrq as R4 DECIMALS — q359's base CTE
+        closed form off the state triple (kept decimal so flag_ooc's
+        comparisons stay boundary-exact; readout() releases doubles)."""
+        t = self.table()
+        if t is None:
+            return None
+        return t.select(
+            F.col(self.key), F.col("n"),
+            F.expr("ROUND(CAST(CAST(sum_v AS DOUBLE) / n"
+                   " AS DECIMAL(18,6)), 4)").alias("xq"),
+            F.expr("CASE WHEN n > 1 THEN"
+                   " ROUND(CAST(CAST(sum_mr AS DOUBLE) / (n - 1)"
+                   " AS DECIMAL(18,6)), 4) END").alias("mrq"))
+
+    def readout(self) -> DataFrame | None:
+        """(key, n, xbar, mr_bar, ucl, lcl) — q359's limit columns, read
+        from the live state through the identical closed form."""
+        lims = self._limits()
+        if lims is None:
+            return None
+        return lims.select(
+            F.col(self.key),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("xq").cast("double").alias("xbar"),
+            F.col("mrq").cast("double").alias("mr_bar"),
+            F.expr("CAST(xq + 2.66 * mrq AS DOUBLE)").alias("ucl"),
+            F.expr("CAST(xq - 2.66 * mrq AS DOUBLE)").alias("lcl"))
+
+    def flag_ooc(self, batch: DataFrame) -> DataFrame:
+        """Serve-side point judgment: the batch's rows with an ``ooc``
+        flag against the CURRENT limits, compared in decimal space (the
+        exact q359 boundary semantics). The limits table is model-sized
+        (one row per key) — always a broadcast join."""
+        lims = self._limits()
+        if lims is None:
+            raise ValueError("flag_ooc before any committed state")
+        v = F.expr(self.value_sql).alias("_v")
+        return (batch.withColumn("_v", v)
+                .join(F.broadcast(lims.drop("n")), self.key, "left")
+                .withColumn(
+                    "ooc",
+                    F.coalesce(
+                        (F.col("_v") > F.col("xq") + 2.66 * F.col("mrq"))
+                        | (F.col("_v") < F.col("xq") - 2.66 * F.col("mrq")),
+                        F.lit(False)))
+                .drop("_v", "xq", "mrq"))

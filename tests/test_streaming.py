@@ -3567,3 +3567,81 @@ def test_sprt_state_without_max_ord_upgrades_in_place(spark, tmp_path):
         want[r["event_type"]] = want.get(r["event_type"], 0) + 1
     got = {r["event_type"]: r["n_events"] for r in mon.readout().collect()}
     assert got == want
+
+
+# S63 live XmR monitor (the streaming face of q359, VERDICT r12 item 5):
+# the moving range is order-dependent, so StreamingXmr accumulates each
+# batch's internal sum-of-|dv| plus one boundary range against the carried
+# last value. For any order-respecting chunking, the drained LIMITS equal
+# the one-shot batch q359 closed form BYTE-FOR-BYTE, and serving-side
+# flag_ooc over the history reproduces q359's n_ooc / first_ooc_rn exactly.
+def test_s63_live_xmr_monitor_equals_batch(spark, tmp_path):
+    from inspectadb_spark.queries import REGISTRY
+    from inspectadb_spark.streaming.incremental import StreamingXmr
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    step = (t.num_rows + 2) // 3
+    now = time.time()
+    for i in range(3):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    value_sql = "ROUND(CAST(value AS DECIMAL(18,6)), 4)"
+    mon = StreamingXmr(spark, str(tmp_path / "state"), key="event_type",
+                       order_cols=["ts", "event_id"], value_sql=value_sql)
+    q = mon.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    live = mon.readout().orderBy("event_type")
+    want = (REGISTRY["q359_xmr_control_chart"].builder(spark, SF_DIR)
+            .select("event_type", "n", "xbar", "mr_bar", "ucl", "lcl"))
+    assert _rows(live) == _rows(want)
+
+    # serving-side point judgment over the full history reproduces the
+    # batch query's OOC columns exactly (decimal-boundary semantics)
+    flagged = mon.flag_ooc(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ooc = (flagged.withColumn("rn", F.row_number().over(w))
+           .groupBy("event_type")
+           .agg(F.sum(F.col("ooc").cast("int")).cast("bigint")
+                .alias("n_ooc"),
+                F.coalesce(F.min(F.when(F.col("ooc"), F.col("rn"))),
+                           F.lit(0)).cast("bigint").alias("first_ooc_rn"))
+           .orderBy("event_type"))
+    want_ooc = (REGISTRY["q359_xmr_control_chart"].builder(spark, SF_DIR)
+                .select("event_type", "n_ooc", "first_ooc_rn"))
+    assert _rows(ooc) == _rows(want_ooc)
+    # the fixture flags real points (q326 class)
+    assert any(r["n_ooc"] > 0 for r in ooc.collect())
+
+    # crash-window idempotence: re-applying the last batch is a no-op
+    last = spark.read.parquet(f"{src}/chunk02.parquet")
+    before = _rows(mon.readout())
+    mon._merge_batch(last, batch_id=2)
+    assert _rows(mon.readout()) == before
+
+
+def test_xmr_order_contract_violation_is_loud(spark, tmp_path):
+    from inspectadb_spark.streaming.incremental import (
+        OrderContractViolation, StreamingXmr,
+    )
+
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .orderBy("ts", "event_id").limit(200).collect())
+    cols = list(ev[0].asDict().keys())
+    mk = lambda rows: spark.createDataFrame(rows, schema=cols)  # noqa: E731
+    mon = StreamingXmr(spark, str(tmp_path / "state"), key="event_type",
+                       order_cols=["ts", "event_id"],
+                       value_sql="ROUND(CAST(value AS DECIMAL(18,6)), 4)")
+    mon._checkpoint = str(tmp_path / "ck")
+    mon._merge_batch(mk(ev[100:]), batch_id=0)
+    before = _rows(mon.readout())
+    with pytest.raises(OrderContractViolation, match="global-order"):
+        mon._merge_batch(mk(ev[:100]), batch_id=1)
+    assert _rows(mon.readout()) == before
