@@ -1030,3 +1030,51 @@ def test_filtered_serving_from_persisted_index_matches_inline(spark,
     # everything served satisfies the filter
     ids = {r.doc_id for r in allowed.collect()}
     assert {r.vec_id for r in served.collect()} <= ids
+
+
+@pytest.mark.parametrize("sel_sql, sel_label", [
+    ("vec_id % 10 = 0", "10pct"),
+    ("vec_id % 2 = 0", "50pct"),
+])
+def test_filtered_pq_partial_budget_recall_curve(spark, tmp_path, sel_sql,
+                                                 sel_label):
+    """P-class recall surface for FILTERED PQ serving (VERDICT r12 item
+    6): recall@10 vs (n_probe, rerank) budget at two filter
+    selectivities, mirroring the unfiltered P3 bar. The deterministic
+    fixture (seeded kmeans/pq, modulo filters) measured
+    10%: 0.8/0.8/0.9/1.0 and 50%: 0.6/0.6/0.8/1.0 across the budget
+    grid — bars pinned one notch below. Every budget must also return a
+    FULL k of in-filter rows (the never-starves invariant: the semi join
+    runs against the code lists before the k-cut)."""
+    from inspectadb_spark.operators.similarity import (
+        cosine_topk, ivf_pq_topk_from_index, kmeans_fit, pq_fit,
+        save_ivf_pq_index,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = e.count()
+    cents, _ = kmeans_fit(e, k=6, iters=1)
+    books = pq_fit(e, m=8, ks=16, iters=2, sample=400)
+    idx = str(tmp_path / "ivfpq_curve")
+    save_ivf_pq_index(e, cents, books, idx)
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    allowed = e.filter(sel_sql).select(F.col("vec_id").alias("doc_id"))
+    allowed_ids = {r.doc_id for r in allowed.collect()}
+    truth = {r.vec_id
+             for r in cosine_topk(e.filter(sel_sql), qvec, k=10).collect()}
+    # (n_probe, rerank) -> recall@10 bar; the full budget is the exact
+    # commutation anchor (must be 1.0, not just >=)
+    grid = [(2, 30, 0.4), (3, 60, 0.4), (4, 100, 0.5), (6, n, 1.0)]
+    for n_probe, rerank, bar in grid:
+        got = {r.vec_id for r in
+               ivf_pq_topk_from_index(spark, idx, qvec, k=10,
+                                      n_probe=n_probe, rerank=rerank,
+                                      vectors=e, allowed=allowed).collect()}
+        assert len(got) == 10, f"starved at probe={n_probe} rerank={rerank}"
+        assert got <= allowed_ids, "filter invariant broken"
+        recall = len(got & truth) / len(truth)
+        if bar == 1.0:
+            assert recall == 1.0, (sel_label, n_probe, rerank, recall)
+        else:
+            assert recall >= bar, (sel_label, n_probe, rerank, recall)
