@@ -3645,3 +3645,136 @@ def test_xmr_order_contract_violation_is_loud(spark, tmp_path):
     with pytest.raises(OrderContractViolation, match="global-order"):
         mon._merge_batch(mk(ev[:100]), batch_id=1)
     assert _rows(mon.readout()) == before
+
+
+# --------------------------------------------------------------------------
+# S64-S68: live twins for the rest of the round-12 statistics family
+# (q362, q358, q360, q361, q363) — VERDICT r12 item 7's pair-with-a-
+# streaming-twin lesson applied retroactively. Unlike SPRT/XmR these are
+# order-INDEPENDENT: the sufficient state is a decomposable aggregate
+# (top-51 array, value histograms, variance triples, 2x2 cells), so any
+# chunking drains to the batch query byte-for-byte.
+def _chunked_replay(tmp_path, table_path, n_chunks=4, name="replay"):
+    src = str(tmp_path / name)
+    os.makedirs(src)
+    t = pq.read_table(table_path)
+    step = (t.num_rows + n_chunks - 1) // n_chunks
+    now = time.time()
+    for i in range(n_chunks):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+    return src
+
+
+def _drain_monitor(mon, stream, tmp_path):
+    q = mon.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+
+def test_s64_live_hill_monitor_equals_batch(spark, tmp_path):
+    # state per type: top-51 (value, event_id) as ONE bounded array +
+    # n_pos — union-then-cut is a lossless merge for order statistics
+    from inspectadb_spark.queries import REGISTRY
+    from inspectadb_spark.streaming.stat_monitors import (
+        hill_monitor, hill_readout,
+    )
+
+    src = _chunked_replay(tmp_path, f"{SF_DIR}/events.parquet")
+    mon = hill_monitor(spark, str(tmp_path / "state"))
+    _drain_monitor(mon, _stream(spark, src), tmp_path)
+    # bounded state: <= 51 stored order statistics per key
+    assert mon.table().selectExpr("max(size(top))").first()[0] <= 51
+    live = hill_readout(mon)
+    want = REGISTRY["q362_hill_tail_index"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
+
+
+def test_s65_live_conformal_monitor_equals_batch(spark, tmp_path):
+    # state: exact counts per (type, split, 4dp value) — bounded by the
+    # quantized value DOMAIN, not the stream length; the k-th-smallest
+    # calibration residual is an order statistic of a multiset, read
+    # from cumulative histogram counts
+    from inspectadb_spark.queries import REGISTRY
+    from inspectadb_spark.streaming.stat_monitors import (
+        conformal_monitor, conformal_readout,
+    )
+
+    src = _chunked_replay(tmp_path, f"{SF_DIR}/events.parquet")
+    mon = conformal_monitor(spark, str(tmp_path / "state"))
+    _drain_monitor(mon, _stream(spark, src), tmp_path)
+    state = mon.table()
+    # domain-sized, not stream-sized: distinct (type, sp, v) cells
+    n_rows = spark.read.parquet(src).count()
+    assert state.count() <= n_rows
+    assert state.count() == (spark.read.parquet(src)
+                             .selectExpr("event_type", "event_id % 3",
+                                         "ROUND(CAST(value AS"
+                                         " DECIMAL(18,6)), 4)")
+                             .distinct().count())
+    live = conformal_readout(state)
+    want = REGISTRY["q358_conformal_interval"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
+
+
+def test_s66_live_neyman_monitor_equals_batch(spark, tmp_path):
+    # state: (n, sum-cents, sum-cents^2) per nation — the classic
+    # mergeable variance triple; the allocation report is a 25-row
+    # readout at any history length
+    from inspectadb_spark.queries import REGISTRY
+    from inspectadb_spark.streaming.stat_monitors import (
+        neyman_monitor, neyman_readout,
+    )
+
+    src = _chunked_replay(tmp_path, f"{SF_DIR}/customer.parquet")
+    mon = neyman_monitor(spark, str(tmp_path / "state"))
+    _drain_monitor(mon, _stream(spark, src), tmp_path)
+    assert mon.table().count() <= 25
+    live = neyman_readout(mon.table())
+    want = REGISTRY["q360_neyman_allocation"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
+
+
+def test_s67_live_nzv_monitor_equals_batch(spark, tmp_path):
+    # state: exact counts per (metric, cents value) — q361's own
+    # value-domain-sized table, maintained live over the melted stream
+    from inspectadb_spark.queries import REGISTRY
+    from inspectadb_spark.streaming.stat_monitors import (
+        nzv_melt, nzv_monitor, nzv_readout,
+    )
+
+    src = _chunked_replay(tmp_path, f"{SF_DIR}/lineitem.parquet")
+    mon = nzv_monitor(spark, str(tmp_path / "state"))
+    _drain_monitor(mon, nzv_melt(_stream(spark, src)), tmp_path)
+    live = nzv_readout(mon.table())
+    want = REGISTRY["q361_nzv_screen"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
+
+
+def test_s68_live_did_monitor_equals_batch(spark, tmp_path):
+    # state: the 2 x |segments| cell table (n, sum price) over the
+    # orders-joined-customer feed (the stream-static enrich shape);
+    # leave-one-out control cells and the DiD estimate are a 10-row
+    # readout
+    from inspectadb_spark.queries import REGISTRY
+    from inspectadb_spark.streaming.stat_monitors import (
+        did_monitor, did_readout,
+    )
+
+    joined = str(tmp_path / "joined.parquet")
+    (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+     .join(spark.read.parquet(f"{SF_DIR}/customer.parquet"),
+           F.col("o_custkey") == F.col("c_custkey"))
+     .select("c_mktsegment", "o_orderdate", "o_totalprice")
+     .coalesce(1).write.mode("overwrite").parquet(joined))
+    import glob as _glob
+
+    part = _glob.glob(f"{joined}/part-*.parquet")[0]
+    src = _chunked_replay(tmp_path, part)
+    mon = did_monitor(spark, str(tmp_path / "state"))
+    _drain_monitor(mon, _stream(spark, src), tmp_path)
+    assert mon.table().count() <= 10
+    live = did_readout(mon.table())
+    want = REGISTRY["q363_diff_in_differences"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
