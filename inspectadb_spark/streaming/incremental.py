@@ -456,39 +456,48 @@ class StreamingSprt(IncrementalAggregate):
         # committed max order tuple means this batch is NOT a suffix of
         # the ordered stream — the LLR path (and any frozen decision)
         # would be computed on the wrong rows. Refuse loudly BEFORE any
-        # state is written; the job is O(batch) on the already-built j.
-        _refuse_out_of_order(j, k, self.order_cols, batch_id)
-        crossing = F.when(
-            F.col("_dec_rn").isNull()
-            & (F.col("_abs_llr") >= F.expr(self.bar)),
-            F.struct(F.col("rn").alias("rn"),
-                     (F.col("_off") + F.col("cum")).alias("llr")))
-        fin = F.struct(F.col("rn").alias("rn"),
-                       (F.col("_off") + F.col("cum")).alias("llr"))
-        upd = j.groupBy(k).agg(
-            (F.min("_off_n") + F.count(F.lit(1))).cast("bigint").alias("n"),
-            F.max(fin).getField("llr").cast("decimal(38,6)").alias("llr"),
-            F.min("_dec_rn").alias("_old_rn"),
-            F.min("_dec_llr").alias("_old_llr"),
-            F.min("_off_n").alias("_off_n0"),
-            F.min(crossing).alias("_cross"),
-            F.max("_ord").alias("max_ord"))
-        upd = upd.select(
-            F.col(k),
-            "n", "llr",
-            F.coalesce(F.col("_old_rn"),
-                       (F.col("_off_n0") + F.col("_cross.rn")).cast("bigint"))
-            .alias("dec_rn"),
-            F.coalesce(F.col("_old_llr"),
-                       F.col("_cross.llr").cast("decimal(38,6)"))
-            .alias("dec_llr"),
-            "max_ord")
-        # keys silent in this batch carry over untouched
-        carried = state.join(upd.select(k), k, "anti")
-        new_state = carried.unionByName(upd)
-        self._version += 1
-        out = os.path.join(self.state_dir, f"v{self._version}")
-        new_state.write.mode("overwrite").parquet(out)
+        # state is written. j is persisted across the guard's job and the
+        # state write so the window+join over the batch runs once, not
+        # twice (the guard would otherwise double the per-batch scan).
+        j = j.persist()
+        try:
+            _refuse_out_of_order(j, k, self.order_cols, batch_id)
+            crossing = F.when(
+                F.col("_dec_rn").isNull()
+                & (F.col("_abs_llr") >= F.expr(self.bar)),
+                F.struct(F.col("rn").alias("rn"),
+                         (F.col("_off") + F.col("cum")).alias("llr")))
+            fin = F.struct(F.col("rn").alias("rn"),
+                           (F.col("_off") + F.col("cum")).alias("llr"))
+            upd = j.groupBy(k).agg(
+                (F.min("_off_n") + F.count(F.lit(1))).cast("bigint")
+                .alias("n"),
+                F.max(fin).getField("llr").cast("decimal(38,6)")
+                .alias("llr"),
+                F.min("_dec_rn").alias("_old_rn"),
+                F.min("_dec_llr").alias("_old_llr"),
+                F.min("_off_n").alias("_off_n0"),
+                F.min(crossing).alias("_cross"),
+                F.max("_ord").alias("max_ord"))
+            upd = upd.select(
+                F.col(k),
+                "n", "llr",
+                F.coalesce(F.col("_old_rn"),
+                           (F.col("_off_n0") + F.col("_cross.rn"))
+                           .cast("bigint"))
+                .alias("dec_rn"),
+                F.coalesce(F.col("_old_llr"),
+                           F.col("_cross.llr").cast("decimal(38,6)"))
+                .alias("dec_llr"),
+                "max_ord")
+            # keys silent in this batch carry over untouched
+            carried = state.join(upd.select(k), k, "anti")
+            new_state = carried.unionByName(upd)
+            self._version += 1
+            out = os.path.join(self.state_dir, f"v{self._version}")
+            new_state.write.mode("overwrite").parquet(out)
+        finally:
+            j.unpersist()
         tmp = self._ptr() + ".tmp"
         with open(tmp, "w") as f:
             f.write(f"{out}\n{self._checkpoint or ''}\n{batch_id}")
@@ -594,27 +603,32 @@ class StreamingXmr(IncrementalAggregate):
             F.col(k), F.col("n").alias("_sn"), F.col("sum_v").alias("_sv"),
             F.col("sum_mr").alias("_smr"), F.col("last_v").alias("_slast"),
             F.col("max_ord").alias("_max_ord"))
-        j = bagg.join(F.broadcast(st), k, "left")
-        _refuse_out_of_order(j, k, self.order_cols, batch_id)
-        boundary = F.when(F.col("_slast").isNotNull(),
-                          F.abs(F.col("_first") - F.col("_slast"))) \
-            .otherwise(F.lit(0))
-        upd = j.select(
-            F.col(k),
-            (F.coalesce(F.col("_sn"), F.lit(0)) + F.col("_bn"))
-            .cast("bigint").alias("n"),
-            (F.coalesce(F.col("_sv"), F.lit(0)) + F.col("_bsum"))
-            .cast("decimal(38,4)").alias("sum_v"),
-            (F.coalesce(F.col("_smr"), F.lit(0))
-             + F.coalesce(F.col("_bmr"), F.lit(0)) + boundary)
-            .cast("decimal(38,4)").alias("sum_mr"),
-            F.col("_last").alias("last_v"),
-            F.col("_bmax_ord").alias("max_ord"))
-        carried = state.join(upd.select(k), k, "anti")
-        new_state = carried.unionByName(upd)
-        self._version += 1
-        out = os.path.join(self.state_dir, f"v{self._version}")
-        new_state.write.mode("overwrite").parquet(out)
+        # persist the per-key batch aggregate (model-sized) across the
+        # guard's job and the state write — one batch scan, not two
+        j = bagg.join(F.broadcast(st), k, "left").persist()
+        try:
+            _refuse_out_of_order(j, k, self.order_cols, batch_id)
+            boundary = F.when(F.col("_slast").isNotNull(),
+                              F.abs(F.col("_first") - F.col("_slast"))) \
+                .otherwise(F.lit(0))
+            upd = j.select(
+                F.col(k),
+                (F.coalesce(F.col("_sn"), F.lit(0)) + F.col("_bn"))
+                .cast("bigint").alias("n"),
+                (F.coalesce(F.col("_sv"), F.lit(0)) + F.col("_bsum"))
+                .cast("decimal(38,4)").alias("sum_v"),
+                (F.coalesce(F.col("_smr"), F.lit(0))
+                 + F.coalesce(F.col("_bmr"), F.lit(0)) + boundary)
+                .cast("decimal(38,4)").alias("sum_mr"),
+                F.col("_last").alias("last_v"),
+                F.col("_bmax_ord").alias("max_ord"))
+            carried = state.join(upd.select(k), k, "anti")
+            new_state = carried.unionByName(upd)
+            self._version += 1
+            out = os.path.join(self.state_dir, f"v{self._version}")
+            new_state.write.mode("overwrite").parquet(out)
+        finally:
+            j.unpersist()
         tmp = self._ptr() + ".tmp"
         with open(tmp, "w") as f:
             f.write(f"{out}\n{self._checkpoint or ''}\n{batch_id}")

@@ -66,18 +66,29 @@ class StreamingTopK(IncrementalAggregate):
         self.k = int(k)
         self.where_sql = where_sql
 
-    def _top_expr(self) -> str:
-        # ascending struct sort on (-v, id) == (v DESC, id ASC)
-        return (f"slice(array_sort(collect_list(named_struct("
-                f"'negv', -({self.value_sql}), 'id', {self.id_sql}, "
-                f"'v', CAST({self.value_sql} AS DOUBLE)))), 1, {self.k})")
-
     def _partial(self, batch: DataFrame) -> DataFrame:
+        # Cut to the per-key top-k with a rank window BEFORE collecting:
+        # rank <= k is WindowGroupLimit-prunable (the top-k-per-group
+        # plan this repo pins elsewhere), so no aggregation buffer ever
+        # holds more than k rows per key — collect_list over the raw
+        # batch would hold O(batch-per-key) rows in one buffer, the
+        # exact 100 TB hazard. The count aggregate stays on the full
+        # (filtered) rows and is map-side combinable.
         if self.where_sql:
             batch = batch.filter(self.where_sql)
-        return batch.groupBy(F.col(self.key)).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.expr(self._top_expr()).alias("top"))
+        struct_sql = (f"named_struct('negv', -({self.value_sql}), "
+                      f"'id', {self.id_sql}, "
+                      f"'v', CAST({self.value_sql} AS DOUBLE))")
+        w = Window.partitionBy(self.key).orderBy(
+            F.expr(f"-({self.value_sql})"), F.expr(self.id_sql))
+        tops = (batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= self.k)
+                .groupBy(F.col(self.key))
+                .agg(F.expr(f"array_sort(collect_list({struct_sql}))")
+                     .alias("top")))
+        counts = batch.groupBy(F.col(self.key)).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"))
+        return counts.join(tops, self.key)
 
     def _merge_states(self, merged_in: DataFrame) -> DataFrame:
         return merged_in.groupBy(self.key).agg(
