@@ -281,8 +281,10 @@ def gc_index(index_path: str) -> list[str]:
             # may be truncated: GC must abort and delete NOTHING — and
             # say so: a safe abort must be distinguishable from an empty
             # sweep, or a permanently corrupt pointer silently disables
-            # GC forever. Transient mid-writes resolve by the next run;
-            # a warning that repeats every sweep is the operator signal.
+            # GC forever. Transient mid-writes resolve by the next run.
+            # (Python dedups identical warnings within one process;
+            # periodic GC jobs run in fresh processes, so a permanently
+            # corrupt pointer re-warns on every scheduled sweep.)
             warnings.warn(PointerUnreadableWarning(
                 f"gc_index: INGEST pointer at {ptr} has {len(lines)} "
                 "line(s), committed format is 3 — possible foreign "

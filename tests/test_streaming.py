@@ -3778,3 +3778,47 @@ def test_s68_live_did_monitor_equals_batch(spark, tmp_path):
     live = did_readout(mon.table())
     want = REGISTRY["q363_diff_in_differences"].builder(spark, SF_DIR)
     assert _rows(live) == _rows(want)
+
+
+def test_s63b_xmr_finer_chunking_still_equals_batch(spark, tmp_path):
+    # 7 chunks -> 6 batch-boundary moving ranges reconstructed from the
+    # carried last value; the "any order-respecting chunking" claim
+    # exercised at a different granularity than S63's 3 chunks
+    from inspectadb_spark.queries import REGISTRY
+    from inspectadb_spark.streaming.incremental import StreamingXmr
+
+    # XmR needs order-respecting chunk boundaries: sort, then slice
+    src = str(tmp_path / "sorted")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    step = (t.num_rows + 6) // 7
+    now = time.time()
+    for i in range(7):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+    mon = StreamingXmr(spark, str(tmp_path / "state"), key="event_type",
+                       order_cols=["ts", "event_id"],
+                       value_sql="ROUND(CAST(value AS DECIMAL(18,6)), 4)")
+    _drain_monitor(mon, _stream(spark, src), tmp_path)
+    live = mon.readout().orderBy("event_type")
+    want = (REGISTRY["q359_xmr_control_chart"].builder(spark, SF_DIR)
+            .select("event_type", "n", "xbar", "mr_bar", "ucl", "lcl"))
+    assert _rows(live) == _rows(want)
+
+
+def test_s64b_hill_finer_chunking_still_equals_batch(spark, tmp_path):
+    # order-INDEPENDENT: 7 arbitrary (unsorted) chunks drain to the same
+    # top-51 state — union-then-cut is lossless for order statistics
+    from inspectadb_spark.queries import REGISTRY
+    from inspectadb_spark.streaming.stat_monitors import (
+        hill_monitor, hill_readout,
+    )
+
+    src = _chunked_replay(tmp_path, f"{SF_DIR}/events.parquet", n_chunks=7)
+    mon = hill_monitor(spark, str(tmp_path / "state"))
+    _drain_monitor(mon, _stream(spark, src), tmp_path)
+    live = hill_readout(mon)
+    want = REGISTRY["q362_hill_tail_index"].builder(spark, SF_DIR)
+    assert _rows(live) == _rows(want)
