@@ -688,6 +688,31 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     return books
 
 
+def read_ivf_pq_lists(spark, path: str) -> DataFrame:
+    """The index's PQ CODE lists AS COMMITTED: the build-time
+    ``pq_lists`` base plus any streamed-in delta directories
+    (``StreamingIvfPqIngest``'s INGEST pointer — same wire format and
+    crash story as the full-precision tier, the machinery is
+    format-agnostic). Every committed path is ``partitionBy("_cell")``,
+    so a probe's cell filter prunes base and deltas alike."""
+    _check_not_rebuilding(path)
+    ptr = os.path.join(path, "INGEST")
+    out = None
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            lines = f.read().strip().splitlines()
+        # zero-byte pointer = "no committed ingest" (read_ivf_lists
+        # contract): fall through to the build-time base
+        paths = [p for p in lines[0].split("|") if p] if lines else []
+        if paths:
+            out = spark.read.parquet(paths[0])
+            for p in paths[1:]:
+                out = out.unionByName(spark.read.parquet(p))
+    if out is None:
+        out = spark.read.parquet(f"{path}/pq_lists")
+    return out
+
+
 def ivf_pq_topk_from_index(
     spark,
     path: str,
@@ -718,7 +743,7 @@ def ivf_pq_topk_from_index(
     cents = load_ivf_centroids(spark, path)
     books = load_pq_codebooks(spark, path)
     probe = _probe_cells(cents, query_vec, n_probe)
-    codes = (spark.read.parquet(f"{path}/pq_lists")
+    codes = (read_ivf_pq_lists(spark, path)
              .filter(F.col("_cell").isin(probe)).drop("_cell"))
     return pq_adc_topk(codes, books, query_vec, k, rerank, vectors,
                        vec_col, id_col, allowed=allowed)
@@ -776,7 +801,7 @@ def ivf_pq_knn_join_from_index(
     cents = load_ivf_centroids(spark, path)
     books = load_pq_codebooks(spark, path)
     probed = _collect_probed_cells(queries, cents, vec_col, n_probe)
-    lists = (spark.read.parquet(f"{path}/pq_lists")
+    lists = (read_ivf_pq_lists(spark, path)
              .filter(F.col("_cell").isin(probed))
              .select(F.col(id_col).alias("n_id"), "_pq", "_vnorm",
                      F.col("_cell").cast("int").alias("_cell"))

@@ -49,12 +49,23 @@ from inspectadb_spark.operators.similarity import (
     _norm2,
     ivf_assign,
     load_ivf_centroids,
+    load_pq_codebooks,
 )
 from inspectadb_spark.streaming.incremental import IncrementalAggregate
 
 
 class StreamingIvfIngest:
-    """Append a stream of new vectors into a persisted IVF index."""
+    """Append a stream of new vectors into a persisted IVF index.
+
+    The delta/pointer/compaction/GC machinery is FORMAT-AGNOSTIC (delta
+    dirs are ``lists_delta/run=*/batch=*``, compacted bases ``lists_v*``,
+    the commit point is the ``INGEST`` pointer, all under ``gc_index``'s
+    contract); what varies by index format is only the per-batch
+    transform (``_transform``) and the build-time base directory the
+    reader falls back to (``_base_dirname``). ``StreamingIvfPqIngest``
+    overrides exactly those two for the PQ-code tier."""
+
+    _base_dirname = "lists"
 
     def __init__(
         self,
@@ -73,9 +84,7 @@ class StreamingIvfIngest:
         # offline: new save_ivf_index + fresh ingester); same for the
         # quantization codebook on a quantized index
         self.cents = load_ivf_centroids(spark, index_path)
-        from inspectadb_spark.operators.similarity import _load_quant_model
-
-        self._quant = _load_quant_model(spark, index_path)
+        self._load_models()
         self._checkpoint: str | None = None
         self._retired: list[str] = []
         existing = [
@@ -83,6 +92,31 @@ class StreamingIvfIngest:
             if d.startswith("lists_v") and d[7:].isdigit()
         ]
         self._version = max((int(d[7:]) for d in existing), default=0)
+
+    def _load_models(self) -> None:
+        from inspectadb_spark.operators.similarity import _load_quant_model
+
+        self._quant = _load_quant_model(self.spark, self.index_path)
+
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        """Batch of raw vectors -> the cell-partitioned rows this index
+        format stores (full-precision or int-quantized vectors here; PQ
+        codes in the subclass). Scan-side only — no shuffle."""
+        assigned = (ivf_assign(batch, self.cents, self.vec_col)
+                    .select(F.col(self.id_col), F.col(self.vec_col),
+                            F.col("_cell")))
+        if self._quant is not None:
+            from inspectadb_spark.operators.similarity import (
+                quantize_embeddings,
+            )
+
+            lo, hi, bits = self._quant
+            assigned = quantize_embeddings(assigned, lo, hi, self.vec_col,
+                                           bits)
+            if bits <= 15:
+                assigned = assigned.withColumn(
+                    self.vec_col, F.col(self.vec_col).cast("array<smallint>"))
+        return assigned
 
     # -- pointer (DedupRegistry format) ------------------------------------
     def _ptr(self) -> str:
@@ -116,7 +150,7 @@ class StreamingIvfIngest:
     def committed_paths(self) -> list[str]:
         committed = self._read_ptr()
         if committed is None:
-            return [os.path.join(self.index_path, "lists")]
+            return [os.path.join(self.index_path, self._base_dirname)]
         return committed["paths"]
 
     def _run_tag(self) -> str:
@@ -143,21 +177,8 @@ class StreamingIvfIngest:
         delta = os.path.join(
             self.index_path, "lists_delta",
             f"run={self._run_tag()}", f"batch={batch_id}")
-        assigned = (ivf_assign(batch, self.cents, self.vec_col)
-                    .select(F.col(self.id_col), F.col(self.vec_col),
-                            F.col("_cell")))
-        if self._quant is not None:
-            from inspectadb_spark.operators.similarity import (
-                quantize_embeddings,
-            )
-
-            lo, hi, bits = self._quant
-            assigned = quantize_embeddings(assigned, lo, hi, self.vec_col,
-                                           bits)
-            if bits <= 15:
-                assigned = assigned.withColumn(
-                    self.vec_col, F.col(self.vec_col).cast("array<smallint>"))
-        assigned.write.partitionBy("_cell").mode("overwrite").parquet(delta)
+        rows = self._transform(batch)
+        rows.write.partitionBy("_cell").mode("overwrite").parquet(delta)
         prev = self.committed_paths()
         if len(prev) + 1 > self.compact_every:
             self._version += 1
@@ -184,6 +205,40 @@ class StreamingIvfIngest:
         if available_now:
             w = w.trigger(availableNow=True)
         return w.start(**options)
+
+
+class StreamingIvfPqIngest(StreamingIvfIngest):
+    """Append a stream of new vectors into a persisted IVF-PQ index
+    (S69) — the missing lifecycle leg at the PQ tier: without it, a code
+    index can only grow by full offline rebuild.
+
+    Each micro-batch is cell-assigned against the frozen centroid model
+    and PQ-ENCODED against the frozen codebooks (both loaded once at
+    construction — rebuilds are offline, same contract as the parent),
+    so the delta dirs store (id, _pq, _vnorm, _cell) CODE rows — the
+    rows ``read_ivf_pq_lists`` unions and ADC serves. Ingested codes are
+    byte-identical to what a from-scratch ``save_ivf_pq_index`` over the
+    same model would produce (pinned in S69), so serving cannot tell an
+    ingested vector from a built one. Encoding drift (the codebook
+    equivalent of centroid staleness) shows up in the SAME
+    ``StreamingIvfDrift`` watch, since cell distortion is measured on
+    the full-precision batch before encoding.
+
+    Delta/pointer/compaction/GC are inherited unchanged — the machinery
+    is format-agnostic, only the transform and base dir differ."""
+
+    _base_dirname = "pq_lists"
+
+    def _load_models(self) -> None:
+        self._quant = None
+        self._books = load_pq_codebooks(self.spark, self.index_path)
+
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        from inspectadb_spark.operators.similarity import pq_encode
+
+        assigned = ivf_assign(batch, self.cents, self.vec_col)
+        return pq_encode(assigned, self._books, self.vec_col, self.id_col,
+                         keep=("_cell",))
 
 
 class StreamingIvfDrift(IncrementalAggregate):

@@ -3822,3 +3822,110 @@ def test_s64b_hill_finer_chunking_still_equals_batch(spark, tmp_path):
     live = hill_readout(mon)
     want = REGISTRY["q362_hill_tail_index"].builder(spark, SF_DIR)
     assert _rows(live) == _rows(want)
+
+
+# S69 streaming ingestion at the PQ tier — the missing lifecycle leg:
+# without it a code index only grows by full offline rebuild. Each batch
+# is cell-assigned + PQ-encoded against the FROZEN models and committed
+# as code deltas behind the same atomic pointer as S51; readers union
+# base + deltas with the same partition pruning.
+def test_s69_pq_ingest_serves_like_rebuild(spark, tmp_path):
+    from inspectadb_spark.operators.similarity import (
+        cosine_topk, ivf_pq_topk_from_index, kmeans_fit, pq_fit,
+        read_ivf_pq_lists, save_ivf_pq_index,
+    )
+    from inspectadb_spark.streaming.ann_index import StreamingIvfPqIngest
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base, rest = e.filter("vec_id < 350"), e.filter("vec_id >= 350")
+    cents, _ = kmeans_fit(base, k=6, iters=1)
+    books = pq_fit(base, m=8, ks=16, iters=2, sample=400)
+    idx = str(tmp_path / "pq_idx")
+    save_ivf_pq_index(base, cents, books, idx)
+
+    inc = StreamingIvfPqIngest(spark, idx, compact_every=8)
+    inc._checkpoint = str(tmp_path / "ck")
+    for i, lo in enumerate(range(350, 500, 50)):
+        inc._apply_batch(
+            e.filter(f"vec_id >= {lo} AND vec_id < {lo + 50}"), batch_id=i)
+
+    # every vector serves: committed lists = full 500-vector code table
+    lists = read_ivf_pq_lists(spark, idx)
+    assert lists.count() == 500
+    assert len(inc.committed_paths()) == 4  # base-swap pointer: 1 + 3
+
+    # ingested codes are BYTE-IDENTICAL to a from-scratch rebuild over
+    # the same frozen models — serving cannot tell ingested from built
+    idx2 = str(tmp_path / "pq_rebuild")
+    save_ivf_pq_index(e, cents, books, idx2)
+    rows = lambda df: sorted(  # noqa: E731
+        tuple(str(x) for x in r) for r in df.collect())
+    got = lists.select("vec_id", "_pq", "_vnorm", "_cell")
+    want = (spark.read.parquet(f"{idx2}/pq_lists")
+            .select("vec_id", "_pq", "_vnorm", "_cell"))
+    assert rows(got) == rows(want)
+
+    # full-budget serving over the GROWN collection equals exact brute —
+    # and equals serving from the rebuilt index, path for path
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    served = ivf_pq_topk_from_index(spark, idx, qvec, k=10, n_probe=6,
+                                    rerank=500, vectors=e)
+    assert rows(served) == rows(cosine_topk(e, qvec, k=10))
+    assert rows(served) == rows(ivf_pq_topk_from_index(
+        spark, idx2, qvec, k=10, n_probe=6, rerank=500, vectors=e))
+
+    # ADC-only partial serving can return ingested ids
+    adc = ivf_pq_topk_from_index(spark, idx, qvec, k=50, n_probe=6)
+    assert any(r.vec_id >= 350 for r in adc.collect())
+
+    # crash-window idempotence: re-applying the last batch is a no-op
+    before = rows(read_ivf_pq_lists(spark, idx))
+    inc._apply_batch(e.filter("vec_id >= 450"), batch_id=2)
+    assert rows(read_ivf_pq_lists(spark, idx)) == before
+
+    # filtered serving over the grown index: full budget == filtered
+    # brute (the q350/q352 commutation, now across base + deltas)
+    allowed = e.filter("vec_id % 2 = 0").select(
+        F.col("vec_id").alias("doc_id"))
+    fserved = ivf_pq_topk_from_index(spark, idx, qvec, k=10, n_probe=6,
+                                     rerank=500, vectors=e, allowed=allowed)
+    fbrute = cosine_topk(e.filter("vec_id % 2 = 0"), qvec, k=10)
+    assert rows(fserved) == rows(fbrute)
+
+
+def test_s69b_pq_ingest_compaction_preserves_serving(spark, tmp_path):
+    from inspectadb_spark.operators.similarity import (
+        ivf_pq_topk_from_index, kmeans_fit, pq_fit, read_ivf_pq_lists,
+        save_ivf_pq_index,
+    )
+    from inspectadb_spark.streaming.ann_index import (
+        StreamingIvfPqIngest, gc_index,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = e.filter("vec_id < 300")
+    cents, _ = kmeans_fit(base, k=4, iters=1)
+    books = pq_fit(base, m=8, ks=16, iters=2, sample=300)
+    idx = str(tmp_path / "pq_idx")
+    save_ivf_pq_index(base, cents, books, idx)
+
+    # compact_every=3: the 3rd commit folds base+deltas into pq-code
+    # lists_v1; superseded dirs retire one swap late, gc sweeps the rest
+    inc = StreamingIvfPqIngest(spark, idx, compact_every=3)
+    inc._checkpoint = str(tmp_path / "ck")
+    for i, lo in enumerate(range(300, 500, 50)):
+        inc._apply_batch(
+            e.filter(f"vec_id >= {lo} AND vec_id < {lo + 50}"), batch_id=i)
+    paths = inc.committed_paths()
+    assert any("lists_v" in p for p in paths)  # compaction really ran
+    assert read_ivf_pq_lists(spark, idx).count() == 500
+    removed = gc_index(idx)
+    assert read_ivf_pq_lists(spark, idx).count() == 500
+    for p in paths:
+        assert os.path.exists(p), p
+    # serving is intact after compaction + gc
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
+    got = ivf_pq_topk_from_index(spark, idx, qvec, k=10, n_probe=4)
+    assert got.count() == 10
