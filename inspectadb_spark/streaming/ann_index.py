@@ -269,6 +269,79 @@ class StreamingIvfDrift(IncrementalAggregate):
             F.sum(F.col("d2").cast("decimal(38,12)")).alias("d2"))
 
 
+class StreamingPqDrift(IncrementalAggregate):
+    """Codebook-staleness watch (S70) — the PQ-tier complement of
+    ``StreamingIvfDrift``: S52 answers "does the frozen CENTROID model
+    still fit the incoming vectors", this answers "do the frozen
+    CODEBOOKS still reconstruct them". Per occupied cell, exact counts
+    and DECIMAL sums of each incoming vector's PQ reconstruction error
+    ||v − decode(encode(v))||² — the quantity ADC quality degrades with.
+    Compare through the same ``ivf_drift_readout`` closed form against
+    the training set's reconstruction error (``pq_reconstruction_stats``
+    computes it with the identical expression, so the bar is exactly
+    comparable). State: one row per cell, forever; the encode/decode
+    round trip is a scan-side codegen projection, no shuffle before the
+    per-cell combine."""
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 centroids, codebooks: np.ndarray,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> None:
+        super().__init__(
+            spark, state_dir,
+            key_exprs={"cell": "cell"},
+            measures=[("n", "count", "*"), ("d2", "sum12", "d2")],
+        )
+        self._cents = np.asarray(centroids, dtype=np.float64)
+        self._books = np.asarray(codebooks, dtype=np.float64)
+        self._vec_col = vec_col
+        self._id_col = id_col
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        assigned = ivf_assign(batch, self._cents, self._vec_col)
+        scored = _pq_recon_d2(assigned, self._books, self._vec_col,
+                              self._id_col)
+        return scored.groupBy(F.col("_cell").alias("cell")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_recon_d2").cast("decimal(38,12)")).alias("d2"))
+
+
+def _pq_recon_d2(assigned: DataFrame, books: np.ndarray, vec_col: str,
+                 id_col: str) -> DataFrame:
+    """Rows + ``_recon_d2`` = ||v − decode(encode(v))||², the PQ
+    reconstruction error, as one scan-side codegen projection (encode →
+    decode → zip_with square-diff → aggregate). DECIMAL(28,10)-quantized
+    like StreamingIvfDrift's d2 so chunked merges are order-exact."""
+    from inspectadb_spark.operators.similarity import (
+        pq_decode_expr, pq_encode,
+    )
+
+    codes = pq_encode(assigned, books, vec_col, id_col,
+                      keep=("_cell", vec_col))
+    diff = F.zip_with(F.col(vec_col), pq_decode_expr(books),
+                      lambda a, b: (a - b) * (a - b))
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    return codes.withColumn("_recon_d2", d2.cast("decimal(28,10)"))
+
+
+def pq_reconstruction_stats(vectors: DataFrame, centroids,
+                            codebooks: np.ndarray,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> tuple[float, int]:
+    """(total reconstruction error, n) of ``vectors`` under the frozen
+    models — computed with the exact expression StreamingPqDrift
+    accumulates, so ``ivf_drift_readout(state, *these)`` compares live
+    mean reconstruction error against a byte-comparable trained bar."""
+    assigned = ivf_assign(vectors,
+                          np.asarray(centroids, dtype=np.float64), vec_col)
+    row = (_pq_recon_d2(assigned, np.asarray(codebooks, dtype=np.float64),
+                        vec_col, id_col)
+           .agg(F.sum(F.col("_recon_d2").cast("decimal(38,12)"))
+                .alias("d2"),
+                F.count(F.lit(1)).alias("n")).first())
+    return float(row["d2"]), int(row["n"])
+
+
 def ivf_drift_readout(state: DataFrame, trained_inertia: float,
                       n_trained: int) -> DataFrame:
     """Per-cell and overall mean squared distortion of post-training

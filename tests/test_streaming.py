@@ -3929,3 +3929,67 @@ def test_s69b_pq_ingest_compaction_preserves_serving(spark, tmp_path):
             e.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
     got = ivf_pq_topk_from_index(spark, idx, qvec, k=10, n_probe=4)
     assert got.count() == 10
+
+
+# S70 live PQ codebook-staleness watch — the codebook complement of S52:
+# per occupied cell, exact decimal sums of the PQ reconstruction error
+# ||v - decode(encode(v))||^2 of incoming vectors under the FROZEN
+# centroid + codebook models, read through the same ivf_drift_readout
+# closed form against a byte-comparable trained bar.
+def test_s70_live_pq_codebook_drift_watch(spark, tmp_path):
+    from inspectadb_spark.operators.similarity import kmeans_fit, pq_fit
+    from inspectadb_spark.streaming.ann_index import (
+        StreamingPqDrift, ivf_drift_readout, pq_reconstruction_stats,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    train = e.filter(F.col("vec_id") % 2 == 0)
+    cents, _ = kmeans_fit(train, k=4, iters=2)
+    books = pq_fit(train, m=8, ks=16, iters=2, sample=250)
+    trained_d2, n_trained = pq_reconstruction_stats(train, cents, books)
+
+    # incoming stream: the other half SHIFTED — reconstruction error
+    # explodes when the frozen codebooks can't represent the new range
+    shifted = e.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", F.transform("embedding", lambda x: x + F.lit(5.0))
+        .alias("embedding"))
+    src = str(tmp_path / "incoming")
+    shifted.coalesce(1).write.parquet(src)
+    import glob
+
+    one = glob.glob(f"{src}/part-*.parquet")[0]
+    t = pq.read_table(one)
+    os.remove(one)
+    step = (t.num_rows + 2) // 3
+    now = time.time()
+    for i in range(3):
+        p = f"{src}/chunk{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))
+
+    mon = StreamingPqDrift(spark, str(tmp_path / "state"), cents, books)
+    q = mon.start(_stream(spark, src), str(tmp_path / "ckpt"),
+                  available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+
+    state = mon.table()
+    assert 0 < state.count() <= 4  # one row per occupied cell
+
+    # batch ≡ stream: the merged chunked state equals the one-shot partial
+    live = ivf_drift_readout(state, trained_d2, n_trained)
+    batch = ivf_drift_readout(
+        mon._partial(spark.read.parquet(src)), trained_d2, n_trained)
+    assert _rows(live) == _rows(batch)
+
+    # the shift trips the stale flag on the overall (-1) row
+    overall = {r.cell: r.stale for r in live.collect()}
+    assert overall[-1] is True
+
+    # sanity: the UNSHIFTED half does NOT trip the bar (the watch is a
+    # drift detector, not a constant alarm)
+    calm = ivf_drift_readout(
+        mon._partial(e.filter(F.col("vec_id") % 2 == 1)),
+        trained_d2, n_trained)
+    calm_overall = {r.cell: r.stale for r in calm.collect()}
+    assert calm_overall[-1] is False
