@@ -259,25 +259,40 @@ def inclusion_audit(
     case: non-null child rows, distinct child keys, how many embed in the
     parent's key domain, orphan keys, containment in ppm, and a holds flag.
 
-    Scale shape (100 TB): per case, the child side reduces to DISTINCT keys
-    before any join (the only shuffle that sees child-sized data is that
-    distinct, a partial-agg-friendly one); the key-vs-key comparison is a
-    left join between two key-domain-sized sides (parent key domains are
-    dimension-sized -> broadcast). The per-case outputs are one-row frames;
-    the cross joins below only ever touch those.
+    Scale shape (100 TB): per case, the child table is scanned ONCE — a
+    single groupBy(fk).count() collapses it to its key domain with map-side
+    partial aggregation (the only shuffle that sees child-sized data). The
+    parent key domain (dimension-sized -> broadcast) left-joins in as a
+    match marker, and ONE fold over that joined frame produces all three
+    counts (n_child_rows = SUM(cnt), n_child_keys = COUNT(*),
+    n_matched_keys = COUNT(marker)). A single consumer means the optimizer
+    cannot prune the two uses differently (the r13 lesson: a stats branch
+    and a semi-join branch over the "same" frame get different pushed
+    filters/prunes and stop sharing the scan).
     """
     from functools import reduce
 
     outs = []
     for label, child, fk, parent, pk in cases:
-        ck = child.filter(F.col(fk).isNotNull()).select(F.col(fk).alias("k"))
-        keys = ck.distinct()
-        pkd = parent.select(F.col(pk).alias("k")).distinct()
-        matched = keys.join(pkd, "k", "left_semi")
+        per_key = (
+            child.filter(F.col(fk).isNotNull())
+            .select(F.col(fk).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pkd = (parent.select(F.col(pk).alias("k")).distinct()
+               .withColumn("m", F.lit(1)))
         row = (
-            ck.agg(F.count(F.lit(1)).alias("n_child_rows"))
-            .crossJoin(keys.agg(F.count(F.lit(1)).alias("n_child_keys")))
-            .crossJoin(matched.agg(F.count(F.lit(1)).alias("n_matched_keys")))
+            # pkd is distinct on k, so the left join is fan-out-free: one
+            # row per child key, marker m non-null iff the key embeds.
+            # SUM over zero groups is NULL, but an all-NULL fk column must
+            # report 0 child rows (vacuous-edge contract) — hence coalesce
+            per_key.join(pkd, "k", "left")
+            .agg(
+                F.coalesce(F.sum("cnt"), F.lit(0).cast("bigint"))
+                .alias("n_child_rows"),
+                F.count(F.lit(1)).alias("n_child_keys"),
+                F.count("m").alias("n_matched_keys"))
             .select(
                 F.lit(label).alias("relation"),
                 "n_child_rows", "n_child_keys", "n_matched_keys",

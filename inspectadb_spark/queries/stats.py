@@ -1973,21 +1973,45 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     outs = []
     for label, lt, lk, rt, rk in _Q245_EDGES:
+        # One scan per side: groupBy(key).count() collapses each table to
+        # its key domain (map-side combinable), the two per-key frames
+        # FULL-OUTER join on the key (both sides arrive hash-partitioned
+        # by k from their groupBys, so the join adds no exchange), and a
+        # single fold over the joined frame yields every statistic at
+        # once: n = SUM(cnt of that side), ndv = non-null-key groups of
+        # that side, actual join cardinality = SUM(cl * cr) (NULL on
+        # either side — unmatched or NULL-key groups — drops out of the
+        # product sum exactly like the row-level inner join drops those
+        # rows). One consumer per frame means the optimizer cannot prune
+        # or filter the branches apart, so each table is scanned once and
+        # the join shuffles distinct keys instead of every fact row. Row
+        # counts at 100 TB can make cl*cr overflow BIGINT, so the
+        # products accumulate in DECIMAL(38,0) (exact) before the final
+        # BIGINT cast.
         left, right = t[lt], t[rt]
+        lc = (left.select(F.col(lk).alias("k"))
+              .groupBy("k").agg(F.count(F.lit(1)).alias("cl")))
+        rc = (right.select(F.col(rk).alias("k"))
+              .groupBy("k").agg(F.count(F.lit(1)).alias("cr")))
         stats = (
-            left.agg(F.count(F.lit(1)).alias("n_l"),
-                     F.count_distinct(F.col(lk)).alias("ndv_l"))
-            .crossJoin(right.agg(F.count(F.lit(1)).alias("n_r"),
-                                 F.count_distinct(F.col(rk)).alias("ndv_r")))
-        )
-        actual = (
-            left.join(right, left[lk] == right[rk])
-            .agg(F.count(F.lit(1)).alias("actual"))
+            lc.join(rc, "k", "full_outer")
+            .agg(
+                F.coalesce(F.sum("cl"), F.lit(0).cast("bigint"))
+                .alias("n_l"),
+                F.count(F.when(F.col("k").isNotNull()
+                               & F.col("cl").isNotNull(), 1)).alias("ndv_l"),
+                F.coalesce(F.sum("cr"), F.lit(0).cast("bigint"))
+                .alias("n_r"),
+                F.count(F.when(F.col("k").isNotNull()
+                               & F.col("cr").isNotNull(), 1)).alias("ndv_r"),
+                F.coalesce(
+                    F.sum(F.col("cl").cast("decimal(38,0)") * F.col("cr")),
+                    F.lit(0)).cast("bigint").alias("actual"))
         )
         est = (F.col("n_l").cast("double") * F.col("n_r").cast("double")
                / F.greatest("ndv_l", "ndv_r").cast("double"))
         outs.append(
-            stats.crossJoin(actual).select(
+            stats.select(
                 F.lit(label).alias("edge"),
                 F.col("n_l").alias("n_left"),
                 F.col("n_r").alias("n_right"),

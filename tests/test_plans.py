@@ -544,6 +544,25 @@ def test_round4e_analytics_plan_shapes(spark):
     assert "BroadcastHashJoin" in _plan(spark, "q216_association_rules")
 
 
+def test_audit_queries_scan_each_table_once(spark):
+    """r13 optimization pin: the q240/q245 audits collapse each base table
+    to its key domain with ONE groupBy(key).count() scan per (case, side)
+    and fold every statistic from a single joined frame — the plan must
+    never regress to the 2-3 scans per case the branched form planned
+    (count pass + distinct pass + join pass). Bound = one scan per
+    (case, side); exchange reuse may dedup repeated (table, key) pairs
+    below it at some SFs."""
+    plan240 = _plan(spark, "q240_inclusion_audit", "simple")
+    # 9 cases x (child + parent): was 3 child scans/case before r13
+    assert plan240.count("Scan parquet") <= 18, plan240
+    plan245 = _plan(spark, "q245_join_cardinality_audit", "simple")
+    # 5 edges x 2 sides: was 2 scans per side before r13
+    assert plan245.count("Scan parquet") <= 10, plan245
+    # the q245 key-domain full-outer join must reuse the groupBys' hash
+    # partitioning — SortMergeJoin with no exchange of its own
+    assert "SortMergeJoin" in plan245
+
+
 def test_round4g_inspection_and_serving_plan_shapes(spark):
     """q237-q250: the round-4-final families keep their scale shapes —
     no cartesian products anywhere (one-row stat crossJoins are
