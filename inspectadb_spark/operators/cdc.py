@@ -269,30 +269,40 @@ def diff_to_changelog(
     ``apply_changelog``: applying the output to dst yields src exactly
     (round-trip-tested).
 
-    Shape: two anti joins + one inner join with a null-safe payload
-    predicate — all on the replication key, so one co-partitioned shuffle
-    per side; output is diff-sized, not table-sized.
+    Shape: ONE full-outer join on the replication key classifies every
+    row — src-only keys are 'c', dst-only keys are 'd', shared keys with
+    a null-safe payload difference are 'u' (equal rows drop out). The
+    r12 form ran the same classification as two anti joins + one inner
+    join, which consumed (scanned and shuffled) each side three times;
+    the full-outer join reads and shuffles each side once for the same
+    output (NULL join keys never match, so they classify as 'c'/'d' on
+    both shapes; non-null side markers distinguish "no match" from
+    "matched with NULL payload"). Output is diff-sized, not table-sized.
     """
-    inserts = src.join(dst, keys, "left_anti").select(
-        F.lit("c").alias("op"), *keys, *payload
-    )
-    deletes = dst.join(src, keys, "left_anti").select(
-        F.lit("d").alias("op"), *keys,
-        *[F.lit(None).cast(src.schema[c].dataType).alias(c) for c in payload],
-    )
-    s = src.select(*keys, *[F.col(c).alias(f"_s_{c}") for c in payload])
-    d = dst.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in payload])
+    s = src.select(*keys, F.lit(1).alias("_sm"),
+                   *[F.col(c).alias(f"_s_{c}") for c in payload])
+    d = dst.select(*keys, F.lit(1).alias("_dm"),
+                   *[F.col(c).alias(f"_d_{c}") for c in payload])
     differs = None
     for c in payload:
         ne = ~F.col(f"_s_{c}").eqNullSafe(F.col(f"_d_{c}"))
         differs = ne if differs is None else (differs | ne)
-    updates = (
-        s.join(d, keys)
-        .filter(differs)
-        .select(F.lit("u").alias("op"), *keys,
-                *[F.col(f"_s_{c}").alias(c) for c in payload])
+    op = (
+        F.when(F.col("_dm").isNull(), F.lit("c"))
+        .when(F.col("_sm").isNull(), F.lit("d"))
+        .when(differs, F.lit("u"))
     )
-    return inserts.unionByName(deletes).unionByName(updates)
+    return (
+        s.join(d, keys, "full_outer")
+        .select(
+            op.alias("op"), *keys,
+            # 'c'/'u' rows carry the src payload; 'd' rows have no src
+            # match, so the outer join already made _s_* NULL for them
+            *[F.col(f"_s_{c}").cast(src.schema[c].dataType).alias(c)
+              for c in payload],
+        )
+        .filter(F.col("op").isNotNull())
+    )
 
 
 def lww_merge(

@@ -401,6 +401,24 @@ def global_avg_rank2(
     ``value_col`` must be integral (DIV bucketing); appends ``out_col``
     BIGINT.
     """
+    return df.join(avg_rank2_map(df, value_col, out_col, bucket_width),
+                   value_col)
+
+
+def avg_rank2_map(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "rank2",
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """The (value -> rank2) lookup behind ``global_avg_rank2``, exposed so
+    a query that ranks SEVERAL columns of one frame can build each map
+    from the base frame directly and join them all onto a single pass —
+    CHAINING global_avg_rank2 calls instead re-plans the whole upstream
+    lineage inside each call's count branch, multiplying base-table scans
+    (q273 planned 7 lineitem scans that way; maps-then-join plans 3).
+    Output: one row per distinct ``value_col`` with ``out_col`` BIGINT.
+    """
     from pyspark.sql import Window
 
     vc = (df.groupBy(value_col).agg(F.count("*").alias("_n"))
@@ -412,7 +430,7 @@ def global_avg_rank2(
         "_boff", F.sum("_bn").over(woff) - F.col("_bn")).drop("_bn")
     wless = (Window.partitionBy("_bkt").orderBy(value_col)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranks = (
+    return (
         vc.join(F.broadcast(offsets), "_bkt")
         .withColumn("_less", F.col("_boff") + F.sum("_n").over(wless)
                     - F.col("_n"))
@@ -420,4 +438,3 @@ def global_avg_rank2(
                 (F.lit(2) * F.col("_less") + F.col("_n") + F.lit(1))
                 .cast("bigint").alias(out_col))
     )
-    return df.join(ranks, value_col)

@@ -704,25 +704,36 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(dayofweek(CAST(ts AS DATE)) AS INT)").alias("dow"),
     ).agg(F.count("*").alias("obs"))
-    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
-    ct = o.groupBy("dow").agg(F.sum("obs").alias("c"))
+    # r13 single-scan shape (see q281): marginals via partitioned window
+    # sums over the domain-bounded cell frame instead of equi-join-backs,
+    # whose implied isnotnull filters split the rt/ct/n branches into four
+    # events scans. The when() guard reproduces the joins' null semantics
+    # per cell; a NULL event_type (or all-null-dow) group then folds to
+    # n_cells = 0 and is dropped AFTER aggregation — exactly the rows the
+    # joins used to drop — without a pushable key filter.
     n = o.agg(F.sum("obs").alias("n"))
     e = "CAST(r * c AS DOUBLE) / n"
-    term = F.round(
-        F.expr(f"(CAST(obs AS DOUBLE) - {e}) * (CAST(obs AS DOUBLE) - {e})"
-               f" / ({e})").cast("decimal(18,6)"), 4
-    ).alias("term")
+    both = F.col("event_type").isNotNull() & F.col("dow").isNotNull()
     cells = (
-        o.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "dow")
+        o.select(
+            "event_type", "dow", "obs",
+            F.sum("obs").over(Window.partitionBy("event_type")).alias("r"),
+            F.sum("obs").over(Window.partitionBy("dow")).alias("c"))
         .join(F.broadcast(n))
-        .select("event_type", term)
+        .select(
+            "event_type",
+            F.when(both, F.round(
+                F.expr(f"(CAST(obs AS DOUBLE) - {e})"
+                       f" * (CAST(obs AS DOUBLE) - {e})"
+                       f" / ({e})").cast("decimal(18,6)"), 4)).alias("term"),
+            F.when(both, F.lit(1)).alias("_cell"))
     )
     return (
         cells.groupBy("event_type")
-        .agg(F.count("*").alias("n_cells"),
+        .agg(F.count("_cell").alias("n_cells"),
              F.round(F.sum("term").cast("decimal(18,6)"), 4).cast("double")
              .alias("chi2_contrib"))
+        .filter(F.col("n_cells") > 0)
         .orderBy("event_type")
     )
 
@@ -789,33 +800,49 @@ def psi_readout(c: DataFrame, n_bins: int = 10) -> DataFrame:
     half 1 the current one. Shared with the S47 live monitor, whose
     IncrementalAggregate state carries the SAME exact counts for the
     current side."""
+    # r13 single-consumer shape: the r12 form materialized a (type, bin,
+    # half) grid and consumed ``c`` four times (distinct types, grid join,
+    # totals, shares), so c's whole upstream lineage — the events scan in
+    # q173 — was re-planned four to six times. Bins are a FIXED small
+    # domain (n_bins), so each (type, half) collapses to ONE row carrying
+    # its total and a bin -> count map; the grid is then re-expanded from
+    # a broadcast range with try_element_at(map) standing in for the
+    # grid's COALESCE(n, 0). Identical integer arithmetic (Laplace ppm
+    # DIV, per-bin decimal-quantized terms), one pass over ``c``; a half
+    # with no rows at all folds to tot 0 / empty map, exactly the all-zero
+    # grid rows the left join used to synthesize.
     spark = c.sparkSession
-    types = c.select("event_type").distinct()
-    grid = (
-        types.crossJoin(spark.range(n_bins)
-                        .select(F.col("id").cast("int").alias("bin")))
-        .crossJoin(spark.range(2)
-                   .select(F.col("id").cast("int").alias("half")))
-    )
-    f = grid.join(c, ["event_type", "bin", "half"], "left").select(
-        "event_type", "bin", "half", F.coalesce("n", F.lit(0)).alias("n"))
-    t = f.groupBy("event_type", "half").agg(F.sum("n").alias("tot"))
-    p = f.join(F.broadcast(t), ["event_type", "half"]).select(
-        "event_type", "bin", "half",
-        F.expr(f"(n + 1) * 1000000 DIV (tot + {n_bins})").alias("ppm"))
-    p0 = p.filter(F.col("half") == 0).select(
-        "event_type", "bin", F.col("ppm").alias("ppm0"))
-    p1 = p.filter(F.col("half") == 1).select(
-        "event_type", "bin", F.col("ppm").alias("ppm1"))
-    w = p0.join(p1, ["event_type", "bin"]).select(
-        "event_type",
-        F.round(
-            F.expr("(CAST(ppm0 AS DOUBLE) - ppm1) / 1000000"
-                   " * ln(CAST(ppm0 AS DOUBLE) / ppm1)")
-            .cast("decimal(18,6)"),
-            6,
-        ).alias("term"),
-    )
+    per = (c.groupBy("event_type", "half")
+           .agg(F.sum("n").alias("tot"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("bin", "n"))).alias("m")))
+    halves = (per.groupBy("event_type")
+              .agg(F.coalesce(
+                       F.first(F.when(F.col("half") == 0, F.col("tot")),
+                               ignorenulls=True), F.lit(0)).alias("tot0"),
+                   F.coalesce(
+                       F.first(F.when(F.col("half") == 1, F.col("tot")),
+                               ignorenulls=True), F.lit(0)).alias("tot1"),
+                   F.first(F.when(F.col("half") == 0, F.col("m")),
+                           ignorenulls=True).alias("m0"),
+                   F.first(F.when(F.col("half") == 1, F.col("m")),
+                           ignorenulls=True).alias("m1")))
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    w = (halves.join(F.broadcast(bins))
+         .select(
+             "event_type",
+             F.expr(f"(coalesce(try_element_at(m0, bin), 0) + 1) * 1000000"
+                    f" DIV (tot0 + {n_bins})").alias("ppm0"),
+             F.expr(f"(coalesce(try_element_at(m1, bin), 0) + 1) * 1000000"
+                    f" DIV (tot1 + {n_bins})").alias("ppm1"))
+         .select(
+             "event_type",
+             F.round(
+                 F.expr("(CAST(ppm0 AS DOUBLE) - ppm1) / 1000000"
+                        " * ln(CAST(ppm0 AS DOUBLE) / ppm1)")
+                 .cast("decimal(18,6)"),
+                 6,
+             ).alias("term")))
     return (
         w.groupBy("event_type")
         .agg(F.round(F.sum("term").cast("decimal(18,6)"), 4).cast("double")
@@ -2106,13 +2133,18 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and Pearson's r between quantity and extended price.",
 )
 def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from inspectadb_spark.operators.scale import global_avg_rank2
+    from inspectadb_spark.operators.scale import avg_rank2_map
 
     li = tables(spark, sf_dir)["lineitem"].select(
         F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("x"),
         F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("y"))
-    d = global_avg_rank2(li, "x", out_col="rx", bucket_width=10)
-    d = global_avg_rank2(d, "y", out_col="ry", bucket_width=100_000)
+    # Build both (value -> rank2) maps straight from the base frame and
+    # join them onto ONE row-grain pass — chaining global_avg_rank2 calls
+    # re-planned the whole lineage inside the second call's count branch
+    # (7 lineitem scans); maps-then-join plans 3 column-pruned scans.
+    d = (li.join(avg_rank2_map(li, "x", out_col="rx", bucket_width=10), "x")
+         .join(avg_rank2_map(li, "y", out_col="ry", bucket_width=100_000),
+               "y"))
 
     def h(c: str):
         return F.col(c).cast("decimal(38,0)")
@@ -2742,21 +2774,34 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domains, order-exact decimal chi-square.",
 )
 def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 single-scan shape: the row/column marginals attach to the cell
+    # frame as partitioned WINDOW sums instead of equi-join-backs. The
+    # equi-joins implied isnotnull(a)/isnotnull(b) filters that pushed
+    # through the contingency aggregate into the scan, splitting the rt /
+    # ct / nn branches into four separate orders scans; windows imply no
+    # filter, so every branch shares ONE scan + ONE (a,b) exchange (the
+    # marginal windows then shuffle only the domain-bounded cell frame).
+    # The joins' null semantics (a- or b-NULL cells drop out of `cells`
+    # but still feed the marginals and nn) are reproduced by the when()
+    # guard on the term.
     o = (tables(spark, sf_dir)["orders"]
          .groupBy(F.col("o_orderpriority").alias("a"),
                   F.col("o_orderstatus").alias("b"))
          .agg(F.count("*").alias("obs")))
-    rt = o.groupBy("a").agg(F.sum("obs").alias("r"))
-    ct = o.groupBy("b").agg(F.sum("obs").alias("c"))
     nn = o.agg(F.sum("obs").cast("bigint").alias("n"),
                F.countDistinct("a").cast("bigint").alias("ra"),
                F.countDistinct("b").cast("bigint").alias("cb"))
     e = "CAST(r * c AS DOUBLE) / n"
-    cells = (o.join(F.broadcast(rt), "a").join(F.broadcast(ct), "b")
+    cells = (o.select(
+                 "a", "b", "obs",
+                 F.sum("obs").over(Window.partitionBy("a")).alias("r"),
+                 F.sum("obs").over(Window.partitionBy("b")).alias("c"))
              .join(F.broadcast(nn))
-             .select(F.round(F.expr(
-                 f"(CAST(obs AS DOUBLE) - {e}) * (CAST(obs AS DOUBLE) - {e})"
-                 f" / ({e})").cast("decimal(18,6)"), 6).alias("term")))
+             .select(F.when(
+                 F.col("a").isNotNull() & F.col("b").isNotNull(),
+                 F.round(F.expr(
+                     f"(CAST(obs AS DOUBLE) - {e}) * (CAST(obs AS DOUBLE) - {e})"
+                     f" / ({e})").cast("decimal(18,6)"), 6)).alias("term")))
     s = cells.agg(F.sum("term").cast("double").alias("chi2"))
     return s.join(F.broadcast(nn)).select(
         "n", "ra", "cb",
@@ -3925,29 +3970,45 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy(F.col("o_orderpriority").alias("a"),
                   F.col("o_orderstatus").alias("b"))
          .agg(F.count("*").alias("n")))
-    ra = c.groupBy("a").agg(F.sum("n").cast("bigint").alias("na"))
-    rb = c.groupBy("b").agg(F.sum("n").cast("bigint").alias("nb"))
+    # r13 single-scan shape (see q281): the a-/b-marginals (na, nb) attach
+    # to the cell frame as partitioned window sums instead of
+    # equi-join-backs (whose implied isnotnull filters split ra/rb/mi/tot
+    # into four orders scans), and the three entropy folds collapse into
+    # ONE aggregate over the windowed frame: the mi term is guarded to
+    # non-null (a, b) cells exactly as the joins guarded it, while the
+    # ha/hb terms fold once per marginal group via row_number markers
+    # (including a NULL-keyed group, exactly as the oracle's ra/rb
+    # GROUP BYs include it).
     tot = c.agg(F.sum("n").cast("bigint").alias("nn"))
-    mi = (c.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
-          .join(F.broadcast(tot))
-          .agg(F.expr(
-              "CAST(SUM(ROUND(CAST("
-              "(CAST(n AS DOUBLE) / nn)"
-              " * ln(CAST(n AS DOUBLE) * nn"
-              "      / (CAST(na AS DOUBLE) * nb))"
-              " AS DECIMAL(18,6)), 6)) AS DOUBLE)").alias("mi")))
-    ha = (ra.join(F.broadcast(tot))
-          .agg(F.expr(
-              "CAST(SUM(ROUND(CAST("
-              "-(CAST(na AS DOUBLE) / nn) * ln(CAST(na AS DOUBLE) / nn)"
-              " AS DECIMAL(18,6)), 6)) AS DOUBLE)").alias("ha")))
-    hb = (rb.join(F.broadcast(tot))
-          .agg(F.expr(
-              "CAST(SUM(ROUND(CAST("
-              "-(CAST(nb AS DOUBLE) / nn) * ln(CAST(nb AS DOUBLE) / nn)"
-              " AS DECIMAL(18,6)), 6)) AS DOUBLE)").alias("hb")))
-    return (tot.join(F.broadcast(mi)).join(F.broadcast(ha))
-            .join(F.broadcast(hb))
+    cw = (c.select(
+              "a", "b", "n",
+              F.sum("n").over(Window.partitionBy("a"))
+              .cast("bigint").alias("na"),
+              F.sum("n").over(Window.partitionBy("b"))
+              .cast("bigint").alias("nb"),
+              F.row_number().over(
+                  Window.partitionBy("a").orderBy("b")).alias("_ia"),
+              F.row_number().over(
+                  Window.partitionBy("b").orderBy("a")).alias("_ib"))
+          .join(F.broadcast(tot)))
+    folded = cw.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN "
+            "ROUND(CAST("
+            "(CAST(n AS DOUBLE) / nn)"
+            " * ln(CAST(n AS DOUBLE) * nn"
+            "      / (CAST(na AS DOUBLE) * nb))"
+            " AS DECIMAL(18,6)), 6) END) AS DOUBLE)").alias("mi"),
+        F.expr(
+            "CAST(SUM(CASE WHEN _ia = 1 THEN ROUND(CAST("
+            "-(CAST(na AS DOUBLE) / nn) * ln(CAST(na AS DOUBLE) / nn)"
+            " AS DECIMAL(18,6)), 6) END) AS DOUBLE)").alias("ha"),
+        F.expr(
+            "CAST(SUM(CASE WHEN _ib = 1 THEN ROUND(CAST("
+            "-(CAST(nb AS DOUBLE) / nn) * ln(CAST(nb AS DOUBLE) / nn)"
+            " AS DECIMAL(18,6)), 6) END) AS DOUBLE)").alias("hb"),
+        F.max("nn").alias("nn"))
+    return (folded
             .select(F.col("nn").alias("n"),
                     r4c(F.col("mi")).alias("mi_nats"),
                     r4c(F.expr("2 * mi / (ha + hb)")).alias("nmi"),
