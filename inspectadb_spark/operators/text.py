@@ -7,6 +7,8 @@ global) so the global shuffle moves counts, not tokens — the 100 TB pattern.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -161,11 +163,16 @@ def char_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def word_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text",
-                id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
-    """Word n-grams per document: (id_col, gram) — distinct by default
-    (set membership for dedup/contamination); ``distinct=False`` keeps
-    multiplicity (the full gram stream, for frequency-domain operators
-    like heavy hitters).
+                id_col: str = "doc_id", distinct: bool = True,
+                extra_cols: Sequence = ()) -> DataFrame:
+    """Word n-grams per document: (id_col, *extra_cols, gram) — distinct
+    by default (set membership for dedup/contamination);
+    ``distinct=False`` keeps multiplicity (the full gram stream, for
+    frequency-domain operators like heavy hitters). ``extra_cols``
+    carries doc-level columns (or column expressions over ``docs``)
+    through the explode, so callers that need per-gram metadata don't
+    re-join ``docs`` onto its own gram stream — that self-join costs a
+    second scan of the corpus (r13).
 
     Built entirely from JVM higher-order functions (sequence → transform →
     slice → array_join), so gram construction stays inside whole-stage
@@ -182,7 +189,8 @@ def word_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text",
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    out = docs.select(F.col(id_col), *extra_cols,
+                      F.explode(grams).alias("gram"))
     return out.distinct() if distinct else out
 
 
@@ -969,21 +977,23 @@ def ngram_split_coverage(docs: DataFrame, n: int = 3,
     # nearest-nibble threshold: 80% -> 13/16 (the q252 split convention)
     split = F.when(F.expr(nib) < (train_pct * 16 + 50) // 100, "train") \
         .otherwise("test")
-    grams = (
-        word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
-        .join(docs.select(id_col, split.alias("split"),
-                          F.col(group_col).alias("grp")), id_col)
-    )
+    # split/grp ride the gram stream as pass-through columns (both are
+    # functions of the doc row), so the corpus is NOT re-joined onto its
+    # own gram stream; and the coverage fold is ONE left join against the
+    # distinct train-gram set with a match marker (fan-out-free), so the
+    # test stream is consumed once instead of twice. documents scans for
+    # q264: 6 -> 2 (train-gram distinct + test fold) (r13).
+    grams = word_ngrams(
+        docs, n=n, text_col=text_col, id_col=id_col,
+        extra_cols=[split.alias("split"), F.col(group_col).alias("grp")])
     train_grams = (grams.filter(F.col("split") == "train")
                    .select("gram").distinct())
-    test = grams.filter(F.col("split") == "test")
-    covered = test.join(train_grams, "gram", "left_semi") \
-        .groupBy(id_col).agg(F.count("*").alias("n_cov"))
     per_doc = (
-        test.groupBy(id_col, "grp").agg(F.count("*").alias("n_grams"))
-        .join(covered, id_col, "left")
-        .select(id_col, "grp", "n_grams",
-                F.coalesce("n_cov", F.lit(0)).alias("n_cov"))
+        grams.filter(F.col("split") == "test")
+        .join(train_grams.withColumn("_m", F.lit(1)), "gram", "left")
+        .groupBy(id_col, "grp")
+        .agg(F.count("*").alias("n_grams"),
+             F.count("_m").alias("n_cov"))
         .withColumn("cov_ppm", F.expr("n_cov * 1000000 DIV n_grams"))
     )
     return per_doc.groupBy(F.col("grp").alias(group_col)).agg(

@@ -5722,10 +5722,13 @@ def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = (q_.filter("sp = 1").join(F.broadcast(tr), "event_type")
            .select("event_type", "event_id",
                    F.abs(F.col("nt") * F.col("v") - F.col("s")).alias("ar")))
-    ksel = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("nc"))
+    # nc rides a count window over the SAME per-type partition as the
+    # rank instead of a separate groupBy branch — the r12 ksel branch
+    # re-planned cal's lineage (an events scan) a second time (r13)
     wcal = Window.partitionBy("event_type").orderBy("ar", "event_id")
+    wnc = Window.partitionBy("event_type")
     qs = (cal.withColumn("r", F.row_number().over(wcal))
-          .join(F.broadcast(ksel), "event_type")
+          .withColumn("nc", F.count(F.lit(1)).over(wnc))
           .filter(F.expr("r = (9 * (nc + 1) + 9) DIV 10"))
           .select("event_type", F.col("ar").alias("qhat_s"), "nc"))
     tst = (q_.filter("sp = 2")

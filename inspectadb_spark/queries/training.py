@@ -792,22 +792,31 @@ FROM flagged GROUP BY source ORDER BY source
 def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inspectadb_spark.operators.text import ngram_contamination
 
+    from pyspark.sql import Window
+
     docs = tables(spark, sf_dir)["documents"]
     base = docs.filter(F.col("source") != "src0")
     bench = docs.filter(F.col("source") == "src0")
-    rep = P.word_repetition(base).select("doc_id", "rep_ratio")
+    # r13: rep_ratio is a row-wise expression (no aggregation), so it is
+    # computed inline instead of joining the corpus onto its own
+    # projection; the isNotNull filter reproduces the dropped join's
+    # implicit doc_id key semantics. The dedup keep-min likewise becomes
+    # a min-over-hash-partition window on ONE clean pass instead of a
+    # groupBy branch joined back (which re-planned the whole quality+
+    # decontam lineage a second time). documents scans: 6 -> 3.
+    w = P.words_col("text")
+    rep_ratio = F.round(
+        (1.0 - F.size(F.array_distinct(w)) / F.size(w))
+        .cast("decimal(18,6)"), 4).cast("double")
     q = (
-        base.join(rep, "doc_id")
-        .filter((F.col("rep_ratio") <= 0.80) & (F.col("n_chars") >= 60))
-        .drop("rep_ratio")
+        base.filter(F.col("doc_id").isNotNull())
+        .filter((rep_ratio <= 0.80) & (F.col("n_chars") >= 60))
     )
     contaminated = ngram_contamination(q, bench, n=5).select("doc_id")
     clean = q.join(contaminated, "doc_id", "left_anti")
-    dd = (
-        clean.groupBy(F.md5(F.col("text")).alias("_h"))
-        .agg(F.min("doc_id").alias("_kid"))
-    )
-    ded = clean.join(dd, clean["doc_id"] == dd["_kid"]).drop("_h", "_kid")
+    wdd = Window.partitionBy(F.md5(F.col("text")))
+    ded = (clean.withColumn("_kid", F.min("doc_id").over(wdd))
+           .filter(F.col("doc_id") == F.col("_kid")).drop("_kid"))
     reb = P.rebalance_mixture(ded, "source")
     return (
         reb.groupBy("source")
@@ -2112,19 +2121,33 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("event_type").alias("actual"),
                      F.expr("COALESCE(ptype, ftype)").alias("predicted")))
     conf = pairs.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
-    act = (conf.groupBy(F.col("actual").alias("cls"))
-           .agg(F.sum("n").cast("bigint").alias("act_n")))
-    prd = (conf.groupBy(F.col("predicted").alias("cls"))
-           .agg(F.sum("n").cast("bigint").alias("pred_n")))
-    tp = (conf.filter("actual = predicted")
-          .groupBy(F.col("actual").alias("cls"))
-          .agg(F.sum("n").cast("bigint").alias("tp")))
-    cl = (act.join(prd, "cls", "full")
-          .join(tp, "cls", "left")
-          .select("cls",
-                  F.expr("COALESCE(act_n, 0)").alias("act_n"),
-                  F.expr("COALESCE(pred_n, 0)").alias("pred_n"),
-                  F.expr("COALESCE(tp, 0)").alias("tp")))
+    # r13 single-consumer fold: the act/prd/tp branches re-consumed conf —
+    # and tp's actual=predicted filter pushed BELOW conf's aggregate into
+    # a second full test scan. Each confusion cell instead explodes into
+    # its two class contributions (one as actual, one as predicted; tp
+    # rides the actual row so it counts once), and one groupBy(cls) folds
+    # everything. The _nk side tag reproduces the old full-join NULL
+    # semantics bit-for-bit: a NULL actual class and a NULL predicted
+    # class stayed two separate rows there (NULL join keys never match),
+    # so NULL classes group by side while real classes merge.
+    cells = conf.select(F.explode(F.array(
+        F.struct(F.col("actual").alias("cls"), F.lit("a").alias("side"),
+                 F.col("n").alias("a_n"),
+                 F.lit(0).cast("bigint").alias("p_n"),
+                 F.when(F.col("actual") == F.col("predicted"), F.col("n"))
+                 .otherwise(F.lit(0)).cast("bigint").alias("tp_n")),
+        F.struct(F.col("predicted").alias("cls"), F.lit("p").alias("side"),
+                 F.lit(0).cast("bigint").alias("a_n"),
+                 F.col("n").alias("p_n"),
+                 F.lit(0).cast("bigint").alias("tp_n")))).alias("s")
+    ).select("s.*")
+    cl = (cells.groupBy(
+              "cls",
+              F.when(F.col("cls").isNull(), F.col("side")).alias("_nk"))
+          .agg(F.sum("a_n").cast("bigint").alias("act_n"),
+               F.sum("p_n").cast("bigint").alias("pred_n"),
+               F.sum("tp_n").cast("bigint").alias("tp"))
+          .drop("_nk"))
     return cl.select(
         "cls", "act_n", "pred_n", "tp",
         F.expr("CASE WHEN pred_n = 0 THEN NULL"
