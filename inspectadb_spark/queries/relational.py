@@ -923,12 +923,20 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tables(spark, sf_dir)["orders"]
     pr = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
         F.col("o_orderpriority"))
-    a = o.filter(F.col("o_orderkey") % 2 == 0).select(pr.alias("pr"))
-    b = o.filter(F.col("o_orderkey") % 3 == 0).select(pr.alias("pr_b"))
+    # r13: the key has ~6 distinct values over 75k x 50k rows, so the
+    # row-level <=> join exploded to ~600M rows only to be counted.
+    # COUNT(*) grouped by the join key factorizes: n(pr) = |a_pr| * |b_pr|,
+    # so each side pre-aggregates to its 6-row key domain and the null-safe
+    # join pairs counts, not rows (the inner join's drop-if-absent
+    # semantics are preserved — a key present on one side only never
+    # produced an output row before either).
+    a = (o.filter(F.col("o_orderkey") % 2 == 0).select(pr.alias("pr"))
+         .groupBy("pr").agg(F.count("*").alias("ca")))
+    b = (o.filter(F.col("o_orderkey") % 3 == 0).select(pr.alias("pr_b"))
+         .groupBy("pr_b").agg(F.count("*").alias("cb")))
     return (
         a.join(b, a["pr"].eqNullSafe(b["pr_b"]))
-        .groupBy("pr")
-        .agg(F.count("*").alias("n"))
+        .select("pr", (F.col("ca") * F.col("cb")).alias("n"))
         .orderBy(F.col("pr").asc_nulls_first())
     )
 

@@ -195,7 +195,10 @@ def test_extension_family_shuffle_budgets(spark):
         "q99_table_checksum": 2,      # one bucket agg + sort; words are scan-side
         "q100_histogram": 2,          # one bin agg + sort
         "q101_dynamic_sessions": 2,   # session merge + final sort
-        "q102_null_safe_join": 2,     # null-safe hash join + agg reuse
+        # r13: was 2 (one row-level <=> join + agg reuse) shuffling ~600M
+        # joined rows; now 3 exchanges but each moves a ~6-row key-domain
+        # aggregate (per-side count + tiny join), never fact rows
+        "q102_null_safe_join": 3,
         "q103_group_by_all": 2,       # one agg + sort
     }
     for q, budget in budgets.items():
