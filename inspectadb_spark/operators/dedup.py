@@ -173,6 +173,109 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def token_overlap_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact token-set overlaps for every same-block doc pair sharing ≥1
+    token: (d1, d2, i, s1, s2) with d1 < d2, i = |T(d1) ∩ T(d2)|,
+    s = |T(d)| — the shared candidate frame under ``jaccard_similar_pairs``
+    and the q250 threshold sweep.
+
+    r13 shape: the old posting-list self-join shuffled one row per
+    (token, d1, d2) incidence — Σ_token df(token)² rows (57M at sf0.1,
+    ~50 s) for 3.2M distinct pairs, because this corpus' tokens are
+    maximally unselective. Now tokens are dictionary-encoded per block,
+    docs become 0/1 indicator rows, and id-hash sub-block pairs run one
+    float64 GEMM each via an Arrow-batched numpy pass (guide §4) —
+    exact, since 0/1 float64 products count collisions with no rounding
+    below 2^53. Intersections, sizes and every downstream ratio stay
+    integer arithmetic, so results are bit-identical to the posting
+    join. Each unordered pair lives in exactly one sub-block pair.
+
+    Scale: cost is Σ_block n_block²·|vocab_block| at BLAS speed with
+    per-task memory (n_block/n_blocks)·|vocab_block| — for corpora where
+    the posting join's Σ df² beats n² (selective vocabularies) or the
+    block vocab outgrows task memory, swap in LSH bands
+    (``minhash_near_dup_pairs``)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(block_col).alias("blk"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .distinct()
+    )
+    wv = Window.partitionBy("blk").orderBy("tok")
+    vocab = (tok.select("blk", "tok").distinct()
+             .withColumn("tid", F.row_number().over(wv)))
+    arrs = (
+        tok.join(vocab, ["blk", "tok"])
+        .groupBy("blk", "doc_id")
+        .agg(F.collect_list("tid").alias("tids"))
+    )
+    packed = arrs.groupBy(
+        "blk", F.pmod(F.hash("doc_id"), F.lit(n_blocks)).alias("g")
+    ).agg(F.collect_list(F.struct("doc_id", "tids")).alias("rows"))
+    lhs = packed.select("blk", F.col("g").alias("g1"),
+                        F.col("rows").alias("r1"))
+    rhs = packed.select(F.col("blk").alias("blk2"), F.col("g").alias("g2"),
+                        F.col("rows").alias("r2"))
+    block_pairs = lhs.join(
+        rhs, (F.col("blk") == F.col("blk2")) & (F.col("g1") <= F.col("g2"))
+    ).repartition(n_blocks * (n_blocks + 1) // 2, "blk", "g1", "g2")
+
+    def overlaps(batches):
+        for pdf in batches:
+            out = []
+            for g1, g2, r1, r2 in zip(pdf["g1"], pdf["g2"],
+                                      pdf["r1"], pdf["r2"]):
+                i1 = np.asarray([x["doc_id"] for x in r1])
+                i2 = np.asarray([x["doc_id"] for x in r2])
+                t1 = [np.asarray(x["tids"], dtype=np.int64) for x in r1]
+                t2 = [np.asarray(x["tids"], dtype=np.int64) for x in r2]
+                s1 = np.asarray([len(t) for t in t1], dtype=np.int64)
+                s2 = np.asarray([len(t) for t in t2], dtype=np.int64)
+                v = max(max((int(t.max()) for t in t1 if len(t)), default=0),
+                        max((int(t.max()) for t in t2 if len(t)), default=0))
+                m1 = np.zeros((len(t1), v), dtype=np.float64)
+                for r, ts in enumerate(t1):
+                    m1[r, ts - 1] = 1.0
+                m2 = np.zeros((len(t2), v), dtype=np.float64)
+                for r, ts in enumerate(t2):
+                    m2[r, ts - 1] = 1.0
+                inter = (m1 @ m2.T).astype(np.int64)
+                keep = inter >= 1
+                if g1 == g2:
+                    keep &= i1[:, None] < i2[None, :]
+                ii, jj = np.nonzero(keep)
+                if not len(ii):
+                    continue
+                a, b = i1[ii], i2[jj]
+                swap = a > b
+                out.append(pd.DataFrame({
+                    "d1": np.where(swap, b, a),
+                    "d2": np.where(swap, a, b),
+                    "i": inter[ii, jj],
+                    "s1": np.where(swap, s2[jj], s1[ii]),
+                    "s2": np.where(swap, s1[ii], s2[jj]),
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return block_pairs.mapInPandas(
+        overlaps,
+        f"d1 {id_type}, d2 {id_type}, i bigint, s1 bigint, s2 bigint",
+    )
+
+
 def jaccard_similar_pairs(
     docs: DataFrame,
     block_col: str = "lang",
@@ -182,33 +285,16 @@ def jaccard_similar_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard for pairs sharing a blocking key.
 
-    The blocking key bounds the pair space (classic blocking dedup); the join
-    is token-equi within the block, so cost is Σ_token df(token)² per block,
-    not n². For 100 TB, swap the block for LSH bands (minhash_near_dup_pairs).
-    """
-    tok = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(block_col).alias("blk"),
-            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-        )
-        .distinct()
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tok.select(F.col("doc_id").alias("d1"), "blk", "tok")
-    b = tok.select(F.col("doc_id").alias("d2"), "blk", "tok")
-    inter = (
-        a.join(b, ["blk", "tok"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("i"))
-    )
+    The blocking key bounds the pair space (classic blocking dedup); the
+    candidate frame is the blocked-GEMM ``token_overlap_pairs`` (exact
+    integer intersections — see its docstring for the r13 shape change and
+    the 100 TB trade-off vs LSH bands)."""
+    ov = token_overlap_pairs(docs, block_col, text_col, id_col)
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2")), "d2")
-        .select(
+        ov.select(
             "d1", "d2",
-            (F.col("i").cast("double") / (F.col("s1") + F.col("s2") - F.col("i"))).alias("jac"),
+            (F.col("i").cast("double")
+             / (F.col("s1") + F.col("s2") - F.col("i"))).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
     )

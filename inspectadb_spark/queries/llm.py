@@ -1235,21 +1235,16 @@ _Q250_THRS = [200000, 300000, 400000, 500000, 600000, 700000, 800000]
         "affected docs per threshold, zero-filled.",
 )
 def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.dedup import token_overlap_pairs
+
     docs = tables(spark, sf_dir)["documents"]
-    tok = (docs.select("doc_id", "lang",
-                       F.explode(F.split("text", " ")).alias("tok"))
-           .distinct())
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tok.select(F.col("doc_id").alias("d1"), "lang", "tok")
-    b = tok.select(F.col("doc_id").alias("d2"), "lang", "tok")
-    inter = (a.join(b, ["lang", "tok"]).filter(F.col("d1") < F.col("d2"))
-             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    # r13: the pair frame comes from the blocked-GEMM token_overlap_pairs
+    # (exact integer intersections) instead of the Σ df² posting-list
+    # self-join — same (d1, d2, i, s1, s2) rows, ~10x less shuffled.
+    # jppm stays the same all-integer expression, so results are
+    # bit-identical.
     p = (
-        inter
-        .join(sizes.select(F.col("doc_id").alias("d1"),
-                           F.col("sz").alias("s1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"),
-                           F.col("sz").alias("s2")), "d2")
+        token_overlap_pairs(docs, block_col="lang")
         .select("d1", "d2",
                 F.expr("i * 1000000 DIV (s1 + s2 - i)").alias("jppm"))
         .filter(F.col("jppm") >= _Q250_THRS[0])

@@ -770,3 +770,30 @@ def test_lsh_bucket_profile_honors_custom_id_col(spark):
     b = lsh_bucket_profile(d.withColumnRenamed("doc_id", "id"),
                            id_col="id").orderBy("band")
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_token_overlap_pairs_equals_posting_join(spark):
+    # r13: the blocked-GEMM overlap frame must be row-identical to the
+    # posting-list self-join it replaced (the q44c/q250/q44e candidate
+    # frame) — intersections, sizes and pair set all exact
+    from inspectadb_spark.operators.dedup import token_overlap_pairs
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = token_overlap_pairs(docs, block_col="lang")
+    tok = (docs.select("doc_id", "lang",
+                       F.explode(F.split("text", " ")).alias("tok"))
+           .distinct())
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.select(F.col("doc_id").alias("d1"), "lang", "tok")
+    b = tok.select(F.col("doc_id").alias("d2"), "lang", "tok")
+    old = (a.join(b, ["lang", "tok"]).filter(F.col("d1") < F.col("d2"))
+           .groupBy("d1", "d2").agg(F.count("*").alias("i"))
+           .join(sizes.select(F.col("doc_id").alias("d1"),
+                              F.col("sz").alias("s1")), "d1")
+           .join(sizes.select(F.col("doc_id").alias("d2"),
+                              F.col("sz").alias("s2")), "d2")
+           .select("d1", "d2", "i", "s1", "s2"))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() > 0
