@@ -1917,27 +1917,53 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"))
         .groupBy("d").agg(F.sum("c").alias("r"))
     )
-    a = daily.select(F.col("d").alias("d1"), F.col("r").alias("r1"))
-    b = daily.select(F.col("d").alias("d2"), F.col("r").alias("r2"))
-    slopes = (
-        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
-        .select(((F.col("r2") - F.col("r1")).cast("double")
-                 / (F.col("d2") - F.col("d1")).cast("double")).alias("s"))
-    )
-    sl = slopes.agg(F.expr("percentile(s, 0.5D)").alias("slope"),
-                    F.count("*").alias("n_pairs"))
-    resid = daily.crossJoin(F.broadcast(sl)).select(
-        "slope", "n_pairs",
-        (F.col("r").cast("double")
-         - F.col("slope") * F.col("d").cast("double")).alias("ic"))
-    return (
-        resid.groupBy("slope", "n_pairs")
-        .agg(F.expr("percentile(ic, 0.5D)").alias("intercept"),
-             F.count("*").alias("n_days"))
-        .select("n_days", "n_pairs",
-                r4c(F.col("slope")).alias("sen_slope"),
-                r4c(F.col("intercept")).alias("sen_intercept"))
-    )
+    # r13: the day frame is calendar-bounded (~2.4k rows), but the old
+    # d1<d2 BNL join materialized ~2.9M slope rows and fed them through
+    # Spark's exact `percentile` (a value-counts map merge) — 40 s at
+    # sf0.1 for what is one vectorized pass over a tiny series. The day
+    # frame now packs into ONE executor-side row and numpy computes the
+    # identical pair slopes ((r2-r1)/(d2-d1) over d-sorted upper-triangle
+    # indices — same operands, same float64 division), the median via
+    # Spark Percentile's own weighted interpolation formula
+    # (v[lo]*(hi-pos) + v[hi]*(pos-lo), probed bit-equal to
+    # percentile(s, 0.5) on this data), and the residual median the same
+    # way. The 4dp DECIMAL rounding stays in Spark SQL. Oracle MATCH
+    # re-proved at sf0.001/0.01/0.1.
+    packed = daily.agg(F.collect_list(F.struct("d", "r")).alias("rows"))
+
+    def theil(batches):
+        import numpy as np
+        import pandas as pd
+
+        def med(v):
+            v = np.sort(v)
+            pos = 0.5 * (len(v) - 1)
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            if lo == hi:
+                return float(v[lo])
+            return float(v[lo] * (hi - pos) + v[hi] * (pos - lo))
+
+        for pdf in batches:
+            for rows in pdf["rows"]:
+                d = np.asarray([x["d"] for x in rows], dtype=np.float64)
+                r = np.asarray([x["r"] for x in rows], dtype=np.float64)
+                order = np.argsort(d)
+                d, r = d[order], r[order]
+                ii, jj = np.triu_indices(len(d), k=1)
+                s = (r[jj] - r[ii]) / (d[jj] - d[ii])
+                slope = med(s)
+                intercept = med(r - slope * d)
+                yield pd.DataFrame({
+                    "n_days": [len(d)], "n_pairs": [len(s)],
+                    "slope": [slope], "intercept": [intercept],
+                })
+
+    out = packed.mapInPandas(
+        theil, "n_days bigint, n_pairs bigint, slope double, "
+               "intercept double")
+    return out.select("n_days", "n_pairs",
+                      r4c(F.col("slope")).alias("sen_slope"),
+                      r4c(F.col("intercept")).alias("sen_intercept"))
 
 
 # --------------------------------------------------------------------------

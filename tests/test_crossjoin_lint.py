@@ -69,11 +69,10 @@ _JUSTIFIED = {
     "q207_mmr_topk": [("scan", "scan")] * 3,
     # Leave-one-out 1-NN probe over a deterministic vector sample.
     "q224_knn_label_accuracy": [("scan", "scan")],
-    # Theil-Sen on the DAY-grain revenue series: pair count is bounded
-    # by the calendar (|days|^2), not row count.
-    "q244_theil_sen": [("grouped_agg", "grouped_agg")],
-    # Mann-Kendall pair signs on the DAY-grain revenue series: same
-    # calendar-bounded |days|^2 self-join as q244.
+    # Mann-Kendall pair signs on the DAY-grain revenue series: a
+    # calendar-bounded |days|^2 self-join (q244's old shape; q244 itself
+    # now packs the day series into one row and runs the pair slopes in
+    # numpy, so it no longer cross-joins at all).
     "q311_mann_kendall": [("grouped_agg", "grouped_agg")],
     # Bounded audit sample (vec_id sample_mod); full-corpus form is the
     # SRP-bucketed q267b mutual_nn_ann.
@@ -84,8 +83,12 @@ _JUSTIFIED = {
     "q276_kendall_tau": [("grouped_agg", "grouped_agg")],
     # Exact all-pairs cosine audit baseline (the contract B8 family's
     # threshold form); production paths are the sign-blocked q43g and
-    # LSH-banded dedup operators, calibrated against this.
-    "q43c_cosine_neardup": [("scan", "scan")],
+    # LSH-banded dedup operators, calibrated against this. r13 blocked
+    # GEMM shape: both sides are the n_blocks-row (n_blocks=16, fixed in
+    # code) packed-block aggregate, so the g1<=g2 join emits at most
+    # n_blocks*(n_blocks+1)/2 = 136 block-pair rows by construction —
+    # bounded by the block constant, never by data volume.
+    "q43c_cosine_neardup": [("grouped_agg", "grouped_agg")],
     # JSD pair UNIVERSE: both sides are per-source token TOTALS (grouped
     # on the source column — bounded by the group domain, not row count),
     # and the |groups|^2/2 pair output is inherent to a pairwise
