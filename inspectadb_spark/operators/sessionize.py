@@ -114,48 +114,106 @@ def capped_sessionize(
     chosen for its predecessor, a genuinely sequential recurrence.
 
     This is the sanctioned Pandas-UDF escape hatch (SURVEY §2.2l): one
-    shuffle on the user key, then an Arrow-batched per-group pass whose
-    cost is O(rows in group) with bounded memory — exactly the shape the
-    built-ins can't reach but a 1000-executor cluster still parallelizes
-    perfectly (the sequential dependency is per-user only). The DuckDB
-    oracle expresses the same recurrence as a recursive CTE, so the
-    operator is still hash-verified end to end (q179).
+    shuffle on the user key, then an Arrow-batched pass whose cost is
+    O(rows) with bounded memory — exactly the shape the built-ins can't
+    reach but a 1000-executor cluster still parallelizes perfectly (the
+    sequential dependency is per-user only). The DuckDB oracle expresses
+    the same recurrence as a recursive CTE, so the operator is still
+    hash-verified end to end (q179).
+
+    r13 shape (guide §4): the old ``groupBy(user).applyInPandas`` paid a
+    pandas frame build + ``sort_values`` + a row-at-a-time Python loop +
+    a pandas groupby PER USER (~15 ms x 1.5k users = 23 s at sf0.1 for
+    100k rows). Now the rows are hash-repartitioned on the user key and
+    Tungsten-sorted (user, ts, id) in the JVM, and ONE mapInPandas pass
+    per partition assigns sessions for every user in an Arrow batch
+    vectorized: gap breaks are an array compare, and the cap recurrence
+    — the only sequential part — advances by ``searchsorted`` jumps, one
+    iteration per EMITTED SESSION rather than per row. Users split
+    across Arrow batch boundaries are carried over (rows of a
+    partition's current last user are held back until the next batch
+    confirms the user is complete), so the recurrence never sees a
+    truncated user. Result columns, dtypes and values are identical
+    (q179 oracle MATCH re-proved at sf0.001/0.01/0.1).
     """
+    import numpy as np
     import pandas as pd
 
     out_schema = (
         f"{user_col} bigint, session_id bigint, n_events bigint, "
         "ts_start timestamp, ts_end timestamp"
     )
+    gap_us, cap_us = gap_s * 1_000_000, cap_s * 1_000_000
 
-    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col])
-        # pin the resolution before the integer view: Arrow/pandas may hand
-        # datetime64 in ns or µs depending on version, and a silent unit
-        # change would rescale every gap comparison
-        us = pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000
-        gap_us, cap_us = gap_s * 1_000_000, cap_s * 1_000_000
-        sid, start = 0, None
-        sids = []
-        prev = None
-        for t in us:
-            if start is None:
-                start = t
-            elif t - prev > gap_us or t - start > cap_us:
-                sid += 1
-                start = t
-            sids.append(sid)
-            prev = t
-        pdf = pdf.assign(_sid=sids)
-        g = pdf.groupby("_sid", sort=True)
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rows: >= 1 COMPLETE users, already sorted (user, ts, id).
+        # pin the resolution before the integer view: Arrow/pandas may
+        # hand datetime64 in ns or µs depending on version, and a silent
+        # unit change would rescale every gap comparison
+        us = (pdf[ts_col].astype("datetime64[ns]").astype("int64")
+              // 1000).to_numpy()
+        users = pdf[user_col].to_numpy()
+        n = len(us)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        # gap breaks depend only on consecutive deltas WITHIN a user
+        # (the recurrence's `t - prev > gap` term), so they segment the
+        # stream independently of where sessions start
+        gap_brk = new_user.copy()
+        gap_brk[1:] |= (us[1:] - us[:-1]) > gap_us
+        run_starts = np.flatnonzero(gap_brk)
+        run_ends = np.append(run_starts[1:], n)
+        # within a gap-run the ONLY break is the cap: session starting
+        # at index idx ends before the first ts > ts[idx] + cap, which
+        # searchsorted finds in O(log run) — the loop iterates once per
+        # emitted session, not once per row
+        sess_starts = []
+        for i, j in zip(run_starts, run_ends):
+            idx = int(i)
+            while idx < j:
+                sess_starts.append(idx)
+                idx = int(i) + int(np.searchsorted(
+                    us[i:j], us[idx] + cap_us, side="right"))
+        sess_starts = np.asarray(sess_starts, dtype=np.int64)
+        sess_ends = np.append(sess_starts[1:], n)
+        su = users[sess_starts]
+        first = np.empty(len(su), dtype=bool)
+        first[0] = True
+        first[1:] = su[1:] != su[:-1]
+        pos = np.arange(len(su), dtype=np.int64)
+        sid = pos - np.maximum.accumulate(np.where(first, pos, 0))
+        ts_vals = pdf[ts_col].to_numpy()
         return pd.DataFrame({
-            user_col: [pdf[user_col].iloc[0]] * len(g),
-            "session_id": list(g.groups.keys()),
-            "n_events": g.size().to_list(),
-            "ts_start": g[ts_col].min().to_list(),
-            "ts_end": g[ts_col].max().to_list(),
+            user_col: su,
+            "session_id": sid,
+            "n_events": sess_ends - sess_starts,
+            "ts_start": ts_vals[sess_starts],
+            "ts_end": ts_vals[sess_ends - 1],
         })
 
-    return events.select(user_col, ts_col, id_col).groupBy(
-        user_col
-    ).applyInPandas(assign, out_schema)
+    def assign(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if not len(pdf):
+                continue
+            # hold back the partition's current last user: its rows may
+            # continue in the next Arrow batch (sorted by user, so they
+            # are exactly the trailing block)
+            cut = len(pdf) - int((pdf[user_col] == pdf[user_col]
+                                  .iloc[-1]).sum())
+            buf = pdf.iloc[cut:]
+            if cut:
+                yield emit(pdf.iloc[:cut])
+        if buf is not None and len(buf):
+            yield emit(buf)
+
+    return (
+        events.select(user_col, ts_col, id_col)
+        .repartition(F.col(user_col))
+        .sortWithinPartitions(user_col, ts_col, id_col)
+        .mapInPandas(assign, out_schema)
+    )

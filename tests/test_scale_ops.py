@@ -266,6 +266,71 @@ def test_capped_sessionize_splits_on_cap_not_just_gap(spark):
     assert got == [(0, 13), (1, 6)]
 
 
+def test_capped_sessionize_vectorized_matches_sequential_reference(spark):
+    """The r13 mapInPandas rewrite must reproduce the row-at-a-time
+    recurrence exactly — including for users whose rows span Arrow batch
+    boundaries (the carry path), which default 10k-row batches never
+    exercise on small frames. Tiny maxRecordsPerBatch forces every user
+    across multiple batches."""
+    import datetime as dt
+
+    from inspectadb_spark.operators.sessionize import capped_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # varied per-user shapes: gap breaks, cap breaks, singleton users,
+    # duplicate timestamps
+    for u in range(7):
+        t, mins = base, 0
+        for i in range(5 + 11 * (u % 3)):
+            step = [5, 20, 45, 0][(u + i) % 4]  # includes >30min gaps + ties
+            mins += step
+            rows.append((u, base + dt.timedelta(minutes=mins), u * 1000 + i))
+    # one user whose 20-min cadence never gap-breaks, so the 4 h cap is
+    # the only splitter (the searchsorted jump path) — spanning batches
+    rows += [(100, base + dt.timedelta(minutes=20 * i), 100_000 + i)
+             for i in range(19)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long")
+
+    def reference(rows):
+        from collections import defaultdict
+        by_user = defaultdict(list)
+        for u, ts, i in rows:
+            by_user[u].append((ts, i))
+        out = []
+        for u, evs in by_user.items():
+            evs.sort()
+            sid, start, prev, sess = 0, None, None, []
+            for ts, _ in evs:
+                if start is None:
+                    start = ts
+                elif ((ts - prev).total_seconds() > 1800
+                      or (ts - start).total_seconds() > 14400):
+                    sid += 1
+                    start = ts
+                sess.append((u, sid, ts))
+                prev = ts
+            from itertools import groupby
+            for (uu, s), g in groupby(sess, key=lambda x: (x[0], x[1])):
+                g = list(g)
+                out.append((uu, s, len(g), g[0][2], g[-1][2]))
+        return sorted(out)
+
+    want = reference(rows)
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        got = sorted(
+            (r.user_id, r.session_id, r.n_events, r.ts_start, r.ts_end)
+            for r in capped_sessionize(df, gap_s=1800, cap_s=14400).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_batch)
+    assert got == want
+
+
 def test_bloom_no_false_negatives_and_merge(spark):
     from pyspark.sql import functions as F
 
