@@ -104,26 +104,40 @@ def bpe_encode(docs: DataFrame, rules: list[tuple[str, str]],
     """Apply learned merge rules to the corpus and report the fertility
     payoff per document: (id, n_words, n_syms_char, n_syms_bpe).
 
-    Rule application is the same greedy fold, chained in learning order as
-    stacked column rewrites — scan-side, zero shuffle before the per-doc
-    rollup. Catalyst collapses the projections into one nested expression;
-    for large rule sets (real tokenizers: 32k merges) the encode step is
-    where you would switch to a broadcast trie + mapInPandas instead —
-    the TRAINING loop above is the part that must stay distributed.
+    Rule application is the same greedy fold, chained in learning order
+    as stacked column rewrites. r13 shape: the encoding of a word is a
+    pure function of the WORD, so the interpreted fold chain runs once
+    per DISTINCT word — the same Heaps'-law-small table the training
+    loop exploits — instead of once per word INSTANCE (guide §2.3:
+    shrink the expensive operator's input to its value domain). The
+    per-word symbol counts broadcast back onto the instance stream, so
+    the corpus still pays exactly one shuffle (the per-doc rollup) and
+    the per-instance work is a broadcast hash probe instead of an
+    8-deep interpreted array fold. Values are identical: the fold is
+    deterministic per word, and the rollup sums the same per-instance
+    counts. For large rule sets (real tokenizers: 32k merges) the
+    per-word encode is where you would switch to a broadcast trie +
+    mapInPandas — the TRAINING loop above is the part that must stay
+    distributed.
     """
-    tk = (
+    inst = (
         docs.select(F.col(id_col),
                     F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
-        .select(F.col(id_col), F.expr("split(w, '')").alias("syms"))
+    )
+    vocab = (
+        inst.select("w").distinct()
+        .select("w", F.expr("split(w, '')").alias("syms"))
         .withColumn("n_char", F.size("syms"))
     )
-    out = tk
+    out = vocab
     for l, r in rules:
         out = out.withColumn("syms", F.expr(_fold_expr(l, r)))
+    wenc = out.select("w", "n_char", F.size("syms").alias("n_bpe"))
     return (
-        out.groupBy(id_col)
+        inst.join(F.broadcast(wenc), "w")
+        .groupBy(id_col)
         .agg(F.count("*").alias("n_words"),
              F.sum("n_char").alias("n_syms_char"),
-             F.sum(F.size("syms")).alias("n_syms_bpe"))
+             F.sum("n_bpe").alias("n_syms_bpe"))
     )
