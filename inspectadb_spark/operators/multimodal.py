@@ -398,34 +398,61 @@ def image_phash(
 
     Scale: pure projection in Arrow batches (no shuffle); the hash is the
     64-bit signed reinterpretation so it parquet-packs as a plain long.
+
+    r13: batches vectorize across images (guide §4) — same-dimension
+    rasters stack into one (N, h, w) array, block means come from one
+    reshape-reduce and the bit pack from one integer matmul, instead of a
+    64-slice Python comprehension + 64-iteration pack loop per image.
+    Bit-exact with the per-image path: pixels are uint8, so every block
+    and global sum is an exact small integer in float64 REGARDLESS of
+    summation order, and the divisors are identical — the threshold
+    compare sees the same exact values. Images whose dims don't split
+    evenly keep the per-image remainder-folding path (its block
+    boundaries are the spec).
     """
     out_schema = StructType(
         [StructField(id_col, LongType()), StructField("phash", LongType())]
     )
+    weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+    def one(px: np.ndarray, w: int, h: int) -> int:
+        img = px.reshape(h, w).astype(np.float64)
+        ys = (np.arange(grid + 1) * h) // grid
+        xs = (np.arange(grid + 1) * w) // grid
+        blocks = np.array([
+            img[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+            for r in range(grid) for c in range(grid)
+        ])
+        bits = blocks > img.mean()
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        if val >= 1 << 63:
+            val -= 1 << 64
+        return val
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i, blob in zip(pdf[id_col], pdf[payload_col]):
-                w, h, px = _decode_blob(bytes(blob))
-                img = px.reshape(h, w).astype(np.float64)
-                # block-average onto grid x grid (requires w, h >= grid;
-                # trailing remainder pixels fold into the last block)
-                ys = (np.arange(grid + 1) * h) // grid
-                xs = (np.arange(grid + 1) * w) // grid
-                blocks = np.array([
-                    img[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
-                    for r in range(grid) for c in range(grid)
-                ])
-                bits = blocks > img.mean()
-                val = 0
-                for b in bits:
-                    val = (val << 1) | int(b)
-                # reinterpret as signed 64-bit so it fits LongType
-                if val >= 1 << 63:
-                    val -= 1 << 64
-                rows.append((int(i), val))
-            yield pd.DataFrame(rows, columns=[id_col, "phash"])
+            ids = pdf[id_col].to_numpy()
+            decoded = [_decode_blob(bytes(b)) for b in pdf[payload_col]]
+            out = np.empty(len(ids), dtype=np.int64)
+            by_dim: dict[tuple[int, int], list[int]] = {}
+            for k, (w, h, _) in enumerate(decoded):
+                if w % grid == 0 and h % grid == 0:
+                    by_dim.setdefault((w, h), []).append(k)
+                else:
+                    out[k] = one(decoded[k][2], w, h)
+            for (w, h), idxs in by_dim.items():
+                imgs = np.stack([decoded[k][2] for k in idxs]) \
+                    .reshape(len(idxs), h, w).astype(np.float64)
+                blocks = imgs.reshape(
+                    len(idxs), grid, h // grid, grid, w // grid
+                ).mean(axis=(2, 4)).reshape(len(idxs), grid * grid)
+                gmean = imgs.mean(axis=(1, 2))
+                bits = (blocks > gmean[:, None]).astype(np.uint64)
+                out[idxs] = (bits @ weights).view(np.int64)
+            yield pd.DataFrame({id_col: ids.astype(np.int64),
+                                "phash": out})
 
     return df.mapInPandas(hash_batch, out_schema)
 
@@ -458,6 +485,12 @@ def phash_near_dup_pairs(
     ])).alias("bb")
     keyed = hashed.select(F.col(id_col), F.col("phash"), bands) \
         .select(id_col, "phash", "bb.band", "bb.bits")
+    # r13: shuffle the banded frame on the join key ONCE, then derive the
+    # two join sides by renaming ABOVE the exchange — the sides' plans are
+    # identical up to the Exchange, so the second side becomes a
+    # ReusedExchange and the upstream (for q53d: two chained Python
+    # stages of blob gen + phash) runs once instead of once per side.
+    keyed = keyed.repartition(F.col("band"), F.col("bits"))
     a = keyed.select(F.col(id_col).alias("i1"), F.col("phash").alias("h1"),
                      "band", "bits")
     b = keyed.select(F.col(id_col).alias("i2"), F.col("phash").alias("h2"),

@@ -216,3 +216,39 @@ def test_phash_banding_complete_vs_bruteforce(spark):
         .filter("hm <= 3").collect()
     }
     assert got == brute
+
+
+def test_phash_vectorized_matches_per_image_reference(spark):
+    """The r13 batch-vectorized phash must reproduce the original
+    per-image slice-and-fold algorithm bit for bit, on grid-divisible
+    dims (the vectorized path) AND remainder dims (the fallback path)."""
+    import numpy as np
+
+    from inspectadb_spark.operators.multimodal import (
+        _decode_blob,
+        attach_image_blobs,
+        image_phash,
+    )
+
+    def reference(blob, grid=8):
+        w, h, px = _decode_blob(bytes(blob))
+        img = px.reshape(h, w).astype(np.float64)
+        ys = (np.arange(grid + 1) * h) // grid
+        xs = (np.arange(grid + 1) * w) // grid
+        blocks = np.array([
+            img[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+            for r in range(grid) for c in range(grid)
+        ])
+        bits = blocks > img.mean()
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        return val - (1 << 64) if val >= 1 << 63 else val
+
+    base = spark.range(60).withColumnRenamed("id", "doc_id")
+    for w, h in [(16, 16), (11, 13)]:  # divisible / remainder-fold dims
+        blobs = attach_image_blobs(base, width=w, height=h)
+        want = {r.doc_id: reference(r.payload)
+                for r in blobs.select("doc_id", "payload").collect()}
+        got = {r.doc_id: r.phash for r in image_phash(blobs).collect()}
+        assert got == want, (w, h)
