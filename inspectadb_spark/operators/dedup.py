@@ -508,8 +508,15 @@ def duplicated_spans(docs: DataFrame, w: int = 8, text_col: str = "text",
 
     Docs shorter than ``w`` tokens have no spans and are omitted (matching
     the oracle). Returns (id_col, n_spans, n_dup, dup_frac).
+
+    r13: the doc is tokenized ONCE into a column (the inlined split
+    re-ran at every span position — O(len²) per doc) and the gram
+    explode spreads across cores when the scan is a single split
+    (``spread_small_scan``); values unchanged.
     """
-    toks = F.split(F.col(text_col), " ")
+    from inspectadb_spark.operators.scale import spread_small_scan
+
+    toks = F.col("_ws")
     span = F.size(toks) - F.lit(w)
     grams = F.when(
         span >= 0,
@@ -518,7 +525,9 @@ def duplicated_spans(docs: DataFrame, w: int = 8, text_col: str = "text",
             lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    spans = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    spans = spread_small_scan(
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ws"))
+    ).select(F.col(id_col), F.explode(grams).alias("g"))
     docs_per_gram = spans.groupBy("g").agg(
         F.countDistinct(F.col(id_col)).alias("_nd"))
     return (
@@ -550,7 +559,10 @@ def cross_source_dup_matrix(docs: DataFrame, w: int = 8,
     on the same uniform hash (co-partitioned; O(collisions) output, never
     all-pairs over docs) and the S²-bounded matrix aggregation is tiny.
     """
-    toks = F.split(F.col(text_col), " ")
+    # r13: split hoisted + small-scan spread, as in ``duplicated_spans``
+    from inspectadb_spark.operators.scale import spread_small_scan
+
+    toks = F.col("_ws")
     span = F.size(toks) - F.lit(w)
     grams = F.when(
         span >= 0,
@@ -560,7 +572,10 @@ def cross_source_dup_matrix(docs: DataFrame, w: int = 8,
         ),
     ).otherwise(F.array().cast("array<string>"))
     sg = (
-        docs.select(F.col(group_col), F.explode(grams).alias("g"))
+        spread_small_scan(
+            docs.select(F.col(group_col),
+                        F.split(F.col(text_col), " ").alias("_ws")))
+        .select(F.col(group_col), F.explode(grams).alias("g"))
         .distinct()
     )
     return (
@@ -709,8 +724,21 @@ def winnowing_profile(
 
     Exact integers end to end. One window per doc (partitioned by the
     doc id — batch-local, no global sort), one distinct, one group fold.
+
+    r13: the gram count per group is ``Σ (len - k + 1)`` over qualifying
+    docs — computed straight off the scan instead of re-running the
+    2.5M-row md5 explode a second time just to COUNT it (the explode's
+    row count per doc is its transform length by construction); the one
+    remaining gram explode spreads across cores when the scan is a
+    single split (``spread_small_scan``). Values identical (q266 oracle
+    MATCH re-proved).
     """
-    grams = docs.filter(F.length(text_col) >= k).select(
+    from inspectadb_spark.operators.scale import spread_small_scan
+
+    eligible = docs.filter(F.length(text_col) >= k)
+    grams = spread_small_scan(
+        eligible.select(id_col, group_col, text_col)
+    ).select(
         F.col(id_col), F.col(group_col).alias("grp"),
         F.posexplode(F.expr(
             f"transform(sequence(1, length({text_col}) - {k - 1}),"
@@ -723,7 +751,8 @@ def winnowing_profile(
            .distinct())
     df_tbl = fps.groupBy("grp", "fp").agg(
         F.count("*").alias("df"))
-    n_grams = grams.groupBy("grp").agg(F.count("*").alias("n_grams"))
+    n_grams = eligible.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(F.length(text_col) - F.lit(k - 1)).alias("n_grams"))
     per_grp = fps.groupBy("grp").agg(
         F.count_distinct(id_col).alias("n_docs"),
         F.count("*").alias("n_fps"))
@@ -779,8 +808,16 @@ def winnowing_fingerprints(
     partitions by doc id (batch-local, no global sort), so this
     transform is micro-batch-safe: the streaming registry applies it
     per batch and the result is identical to the batch run because a
-    doc's postings depend on that doc's text alone."""
-    grams = docs.filter(F.length(text_col) >= k).select(
+    doc's postings depend on that doc's text alone.
+
+    r13: the md5-per-character-position explode spreads across cores
+    when the scan is a single split (``spread_small_scan`` — a no-op on
+    streaming frames and on scans that already parallelize)."""
+    from inspectadb_spark.operators.scale import spread_small_scan
+
+    grams = spread_small_scan(
+        docs.filter(F.length(text_col) >= k).select(id_col, text_col)
+    ).select(
         F.col(id_col),
         F.posexplode(F.expr(
             f"transform(sequence(1, length({text_col}) - {k - 1}),"
@@ -891,14 +928,23 @@ def shingle_containment_pairs(
     # docs shorter than n words have NO n-gram shingles: the CASE guard
     # yields a typed empty array (sequence(1, 0) is a DESCENDING [1, 0]
     # in Spark, whose i=0 start crashes slice — and its i=1 element would
-    # emit a bogus partial-gram shingle)
-    grams = docs.select(
+    # emit a bogus partial-gram shingle).
+    # r13: split once into a column — inlining `split(text)` in the
+    # transform lambda re-tokenized the doc at EVERY gram position
+    # (O(len²) per doc); hoisting it is a pure CSE, same values
+    # (A/B-measured 2x on the gram stage, frames identical). Small-scan
+    # spread as in the winnowing family.
+    from inspectadb_spark.operators.scale import spread_small_scan
+
+    grams = spread_small_scan(docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
+    )).select(
         F.col(id_col),
         F.explode(F.expr(
-            f"transform(CASE WHEN size(split({text_col}, ' ')) >= {n} "
-            f"THEN sequence(1, size(split({text_col}, ' ')) - {n - 1}) "
+            f"transform(CASE WHEN size(_ws) >= {n} "
+            f"THEN sequence(1, size(_ws) - {n - 1}) "
             f"ELSE array_repeat(1, 0) END, i -> "
-            f"md5(concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"))
+            f"md5(concat_ws(' ', slice(_ws, i, {n}))))"))
         .alias("g")).distinct()
     stops = (grams.groupBy("g").agg(F.count("*").alias("df"))
              .filter(F.col("df") > stop_df).select("g"))

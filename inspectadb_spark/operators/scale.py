@@ -26,6 +26,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow input to the session's default
+    parallelism — ONLY when its scan has fewer splits than cores.
+
+    The guide-§2.1 straggler fix for per-row-expensive projections
+    (md5-per-position gram explodes, replica expansions): a small file
+    arrives as one input split, so the N-times-amplified downstream work
+    runs in a single task while the rest of the cluster idles. The
+    repartition shuffles only the narrow INPUT rows (cheap relative to
+    the amplified work). Scale-adaptive by construction: on a corpus
+    whose scan already has >= defaultParallelism splits this is a
+    NO-OP — no shuffle is added at 100 TB, where the scan parallelizes
+    itself. Results are unaffected: callers key every downstream
+    operation, never partition placement.
+
+    Call it on SCAN-SIDE frames only (probing partition counts through a
+    join lineage could execute query stages under AQE); streaming frames
+    pass through untouched (micro-batch sizing is the trigger's job)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

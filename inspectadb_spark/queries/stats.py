@@ -1477,16 +1477,15 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables(spark, sf_dir)["events"]
     # r13: the events file is one input split, so the 64x replica
     # explode ran its |events|*64 md5 evaluations in a single task
-    # (~12 s at sf0.1 on one core). Round-robin repartition of the
-    # narrow 3-column input to the session's parallelism (never below
-    # the scan's own split count) spreads the hash work; the weights
-    # are (event_id, r)-keyed md5s — partitioning-invariant by the
+    # (~12 s at sf0.1 on one core). spread_small_scan round-robins the
+    # narrow 3-column input across the session's cores (a no-op when
+    # the scan already has enough splits); the weights are
+    # (event_id, r)-keyed md5s — partitioning-invariant by the
     # operator's own design — so results are identical.
-    src = ev.select("event_type", "event_id", "value")
-    n_parts = max(spark.sparkContext.defaultParallelism,
-                  src.rdd.getNumPartitions())
+    from inspectadb_spark.operators.scale import spread_small_scan
+
     rep = (
-        src.repartition(n_parts)
+        spread_small_scan(ev.select("event_type", "event_id", "value"))
         .withColumn("r", F.expr("explode(sequence(0, 63))"))
         .withColumn("u", F.expr(_BS_U))
         .withColumn("w", F.expr(_BS_W))
