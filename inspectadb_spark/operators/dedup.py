@@ -528,14 +528,18 @@ def duplicated_spans(docs: DataFrame, w: int = 8, text_col: str = "text",
     spans = spread_small_scan(
         docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ws"))
     ).select(F.col(id_col), F.explode(grams).alias("g"))
-    docs_per_gram = spans.groupBy("g").agg(
-        F.countDistinct(F.col(id_col)).alias("_nd"))
+    # "occurs in >= 2 distinct docs" ⟺ min(doc) != max(doc) within the
+    # gram partition — a window over the one shuffled span stream instead
+    # of a countDistinct groupBy joined back (which re-evaluated the md5
+    # explode for the second consumer; r13 branch-divergence fix)
+    wg = Window.partitionBy("g")
+    dup = F.min(F.col(id_col)).over(wg) != F.max(F.col(id_col)).over(wg)
     return (
-        spans.join(docs_per_gram, "g")
+        spans.withColumn("_dup", dup)
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_spans"),
-            F.count(F.when(F.col("_nd") >= 2, 1)).alias("n_dup"),
+            F.count(F.when(F.col("_dup"), 1)).alias("n_dup"),
         )
         .select(
             F.col(id_col), "n_spans", "n_dup",

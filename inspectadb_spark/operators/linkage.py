@@ -75,8 +75,13 @@ def blocked_fuzzy_pairs(
         .filter(
             F.abs(F.length("name1") - F.length("name2")) <= max_dist
         )
-        .withColumn("dist", F.levenshtein("name1", "name2"))
-        .filter(F.col("dist") <= max_dist)
+        # r13: bounded levenshtein — the threshold form runs the banded
+        # O(len·k) DP with early exit and returns -1 past the bound, so
+        # kept pairs carry the same exact distance while rejected pairs
+        # skip the full O(len²) table (A/B: 3.1 s → 1.4 s at sf0.1,
+        # frames identical; q142/q143 oracle MATCH re-proved)
+        .withColumn("dist", F.levenshtein("name1", "name2", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .drop(*[f"_blk_{c}" for c in cond])
         .select("id1", "id2", "name1", "name2", F.col("dist").cast("int").alias("dist"))
     )

@@ -179,8 +179,14 @@ def word_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text",
     codegen — no Python in the path. Docs shorter than ``n`` tokens emit
     nothing (sequence would run backwards on a negative span, so it is
     guarded with a when()).
+
+    r13: the doc tokenizes ONCE into a hoisted column — referencing
+    ``split(text)`` inside the transform lambda re-ran the split at
+    every gram position, O(len²) per doc. Same values (pure CSE).
     """
-    toks = F.split(F.col(text_col), " ")
+    pre = docs.select(F.col(id_col), *extra_cols,
+                      F.split(F.col(text_col), " ").alias("_ws"))
+    toks = F.col("_ws")
     span = F.size(toks) - F.lit(n)  # last 0-based start index
     grams = F.when(
         span >= 0,
@@ -189,8 +195,8 @@ def word_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text",
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = docs.select(F.col(id_col), *extra_cols,
-                      F.explode(grams).alias("gram"))
+    keep = [c for c in pre.columns if c != "_ws"]
+    out = pre.select(*keep, F.explode(grams).alias("gram"))
     return out.distinct() if distinct else out
 
 
@@ -288,11 +294,20 @@ def boilerplate_score(
     contamination check (``ngram_contamination``).
 
     Plan/scale: one gram explode (distinct-per-doc first, so df counts
-    docs not occurrences), one (group, gram) agg for df, group doc-counts
-    broadcast, boilerplate-set equi-join back on (group, gram), one
-    per-doc agg. No all-pairs anything; shuffles are on uniform gram keys.
+    docs not occurrences); the per-(group, gram) document frequency is a
+    COUNT WINDOW over the same partitioning instead of a groupBy branch
+    joined back — the r13 branch-divergence fix: the old join-back
+    re-evaluated the whole gram explode for the df branch (two corpus
+    passes), the window reads the one shuffled gram stream in place.
+    Group doc-counts broadcast; one per-doc agg. No all-pairs anything;
+    shuffles are on uniform gram keys. Same integer rule, same values
+    (q129 oracle MATCH re-proved).
     """
-    toks = F.split(F.col(text_col), " ")
+    from pyspark.sql import Window
+
+    from inspectadb_spark.operators.scale import spread_small_scan
+
+    toks = F.col("_ws")
     span = F.size(toks) - F.lit(n)
     grams = F.when(
         span >= 0,
@@ -301,20 +316,25 @@ def boilerplate_score(
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = docs.select(
+    ex = spread_small_scan(
+        docs.select(F.col(id_col), F.col(group_col),
+                    F.split(F.col(text_col), " ").alias("_ws"))
+    ).select(
         F.col(id_col), F.col(group_col),
         F.explode(F.array_distinct(grams)).alias("gram"),
     )
     nd = docs.groupBy(group_col).agg(F.countDistinct(id_col).alias("_n"))
-    df = ex.groupBy(group_col, "gram").agg(F.count("*").alias("_d"))
-    bp = (
-        df.join(F.broadcast(nd), group_col)
-        .filter(F.col("_d") * min_df_den >= F.col("_n") * min_df_num)
-        .select(group_col, "gram", F.lit(1).alias("_isbp"))
+    wdf = Window.partitionBy(group_col, "gram")
+    scored = (
+        ex.withColumn("_d", F.count("*").over(wdf))
+        .join(F.broadcast(nd), group_col)
+        .withColumn(
+            "_isbp",
+            F.when(F.col("_d") * min_df_den >= F.col("_n") * min_df_num,
+                   F.lit(1)))
     )
     return (
-        ex.join(bp, [group_col, "gram"], "left")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),
             F.count("_isbp").alias("n_bp"),

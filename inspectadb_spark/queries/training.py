@@ -1421,11 +1421,17 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffled.",
 )
 def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inspectadb_spark.operators.scale import spread_small_scan
     from inspectadb_spark.operators.sketches import heavy_hitters
     from inspectadb_spark.operators.text import word_ngrams
 
     docs = tables(spark, sf_dir)["documents"]
-    grams = word_ngrams(docs, n=3, distinct=False).select("gram")
+    # r13: spread the single-split scan so the Misra-Gries phase-1 pass
+    # runs one summary per core instead of one task over the whole gram
+    # stream; phase 2's exact verify is partitioning-invariant by design
+    # (its no-false-negatives pigeonhole holds for any partitioning).
+    grams = word_ngrams(spread_small_scan(docs.select("doc_id", "text")),
+                        n=3, distinct=False).select("gram")
     return heavy_hitters(grams, col="gram", denom=5000)
 
 
