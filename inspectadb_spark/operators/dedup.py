@@ -675,10 +675,12 @@ def keep_best_dedup(
     which when dedup is corpus-wide rather than per-source).
 
     Scale shape (100 TB): cluster key is the winnowing fingerprint
-    (min-sampled char-8-gram md5, one explode + one groupBy); winner
-    election is ONE groupBy on ``h`` via a single struct-max
-    (max (quality, -id, group) — fields ordered so the comparison IS the
-    policy), then one h-partitioned join back. No windows, no all-pairs.
+    (min-sampled char-8-gram md5, a pure projection since r13); winner
+    election is a single struct-max (max (quality, -id, group) — fields
+    ordered so the comparison IS the policy) as a WINDOW over the
+    h-partition — r13: the old groupBy + h-join-back consumed ``d`` (and
+    its fingerprint subtree) twice; the window reads the one shuffled
+    stream in place. No all-pairs.
     """
     from inspectadb_spark.operators.text import char_fingerprint
 
@@ -690,24 +692,19 @@ def keep_best_dedup(
             F.coalesce("fp", F.md5(F.col(text_col))).alias("h"),
         )
     )
-    win = (
-        d.groupBy("h")
-        .agg(F.max(F.struct(
-            F.col(quality_col).alias("q"),
-            (-F.col(id_col)).alias("nid"),
-            F.col(group_col).alias("g"),
-        )).alias("w"))
-        .select(
-            "h", (-F.col("w.nid")).alias("win_id"),
-            F.col("w.g").alias("win_group"),
-        )
-    )
+    wh = Window.partitionBy("h")
+    w = F.max(F.struct(
+        F.col(quality_col).alias("q"),
+        (-F.col(id_col)).alias("nid"),
+        F.col(group_col).alias("g"),
+    )).over(wh)
     return (
-        d.join(win, "h")
+        d.withColumn("_w", w)
         .select(
             F.col(id_col), F.col(group_col), F.col(quality_col), "h",
-            (F.col(id_col) == F.col("win_id")).alias("keep"),
-            "win_id", "win_group",
+            (F.col(id_col) == -F.col("_w.nid")).alias("keep"),
+            (-F.col("_w.nid")).alias("win_id"),
+            F.col("_w.g").alias("win_group"),
         )
     )
 

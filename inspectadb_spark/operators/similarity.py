@@ -1772,14 +1772,29 @@ def margin_bitext(
                 .cast("bigint").alias("sim_ppm"))
         .filter(F.col("sim_ppm") > 0)
     )
+    # r13: the candidate-pair table (whose per-pair cosine fold is the
+    # operator's dominant cost) was consumed THREE times — once per
+    # neighborhood groupBy branch, once for the final join-back — so the
+    # optimizer re-evaluated the pair build per branch. The two top-k
+    # neighborhood sums now ride WINDOWS on the one pair stream: the
+    # rank and the conditional sum share each side's partitioning (one
+    # a_id sort, one b_id sort), and the old INNER join-backs dropped no
+    # rows (every id owns a non-empty top-k), so values are identical
+    # (q202 oracle MATCH re-proved at sf0.001/0.01).
     wa = Window.partitionBy("a_id").orderBy(F.desc("sim_ppm"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("sim_ppm"), F.asc("a_id"))
-    ra = (pairs.withColumn("r", F.row_number().over(wa)).filter(F.col("r") <= k)
-          .groupBy("a_id").agg(F.sum("sim_ppm").alias("ra_sum")))
-    rb = (pairs.withColumn("r", F.row_number().over(wb)).filter(F.col("r") <= k)
-          .groupBy("b_id").agg(F.sum("sim_ppm").alias("rb_sum")))
+    ua = Window.partitionBy("a_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ub = Window.partitionBy("b_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
     scored = (
-        pairs.join(ra, "a_id").join(rb, "b_id")
+        pairs
+        .withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .withColumn("ra_sum", F.sum(
+            F.when(F.col("_ra") <= k, F.col("sim_ppm"))).over(ua))
+        .withColumn("rb_sum", F.sum(
+            F.when(F.col("_rb") <= k, F.col("sim_ppm"))).over(ub))
         .withColumn("margin_ppm",
                     F.expr(f"sim_ppm * {2 * k} * 1000000"
                            " DIV (ra_sum + rb_sum)"))

@@ -148,17 +148,23 @@ def lang_id(
 def char_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      gram: int = 8) -> DataFrame:
     """Deterministic document fingerprint: min md5 over sliding character
-    k-grams (winnowing-style min-sampling with window = whole doc)."""
-    return (
+    k-grams (winnowing-style min-sampling with window = whole doc).
+
+    r13: a pure projection — ``array_min`` over the transform'd gram
+    array replaces the explode + groupBy-min, removing a full shuffle of
+    the gram stream from every consumer (q45e/q222/q223/q237/q252/q253);
+    min over the same md5 set is order-insensitive, so the fingerprint
+    is byte-identical. The scan spreads when it is a single split."""
+    from inspectadb_spark.operators.scale import spread_small_scan
+
+    return spread_small_scan(
         docs.filter(F.length(F.col(text_col)) >= gram)
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)) - (gram - 1))).alias("i"),
-            F.col(text_col),
-        )
-        .select(F.col(id_col), F.md5(F.expr(f"substr({text_col}, i, {gram})")).alias("g"))
-        .groupBy(id_col)
-        .agg(F.min("g").alias("fp"))
+        .select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        F.array_min(F.expr(
+            f"transform(sequence(1, length({text_col}) - {gram - 1}),"
+            f" i -> md5(substring({text_col}, i, {gram})))")).alias("fp"),
     )
 
 

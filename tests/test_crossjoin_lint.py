@@ -59,8 +59,10 @@ _JUSTIFIED = {
     # Margin bitext: both sides are the hash-sampled anchor/candidate
     # frames (vec_id % m) joined all-pairs within the sample for the
     # margin denominator; production path is SRP-blocked (q202 doc).
+    # One site since r13: the neighborhood sums ride windows on the one
+    # pair stream instead of re-building it per branch.
     "q202_margin_bitext": [("other:BroadcastHashJoin",
-                            "other:BroadcastHashJoin")] * 3,
+                            "other:BroadcastHashJoin")],
     # Recall audit over a hash-sampled query set vs its candidate pool;
     # the full-corpus path is IVF/SRP ANN (operators/similarity.py).
     "q203_matryoshka_recall": [("scan", "scan")] * 2,
