@@ -164,6 +164,61 @@ def srp_signature(vec_col: str, planes: np.ndarray) -> Column:
     return sig.cast("bigint")
 
 
+def srp_signatures(vec_col: str | Column, planes: np.ndarray) -> Column:
+    """All ``tables`` SRP signatures at once as ``array<bigint>`` —
+    ``element_at(result, t + 1) ≡ srp_signature(vec_col, planes[t])``
+    bit-for-bit, via one Arrow-vectorized pass instead of
+    tables × bits interpreted 64-element folds per row (r13, guide §4:
+    the per-row signature stage was the dominant cost of the SRP family —
+    4096 interpreted fold steps per row at 8 tables × 8 bits × 64 dims).
+
+    Exactness argument (why this is bit-identical, not merely close):
+    the fold ``acc ← acc + (v[d] · p[d])`` is reproduced with the same
+    IEEE-754 operation sequence — one correctly-rounded float64 multiply
+    then one add per dimension, ascending d — by accumulating with
+    ``acc += V[:, d] * P[:, d]`` one dimension at a time (numpy multiply
+    and add are separate correctly-rounded ufuncs; no FMA contraction,
+    no pairwise re-association across d). float32 inputs are widened to
+    float64 first, matching the fold's per-element ``cast("double")``.
+    The sign test mirrors Spark comparison semantics: bit set iff
+    ``d >= 0`` OR ``d`` is NaN (Spark orders NaN above all doubles).
+    Rows whose vector is NULL or whose length differs from the plane
+    dimension get signature 0, exactly like the fold (zip_with pads with
+    nulls → null product → null fold → ``when`` falls to 0 for every
+    bit). The one unobservable divergence: Arrow cannot distinguish a
+    NULL *element* from NaN inside a list, so a vector containing null
+    elements signs like a NaN vector — every downstream consumer drops
+    such rows anyway (their cosine is null/NaN, and every call site casts
+    through DECIMAL before use, which maps both to NULL); the equivalence
+    test pins the clean-input case element-for-element against the fold.
+    """
+    import pandas as pd
+
+    tables, bits, dim = planes.shape
+    flat = np.ascontiguousarray(planes.reshape(tables * bits, dim),
+                                dtype=np.float64)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def _sigs(vs):
+        vals = vs.to_numpy()
+        n = len(vals)
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vals),
+            dtype=bool, count=n)
+        sigs = np.zeros((n, tables), dtype=np.int64)
+        if ok.any():
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vals[ok]])
+            acc = np.zeros((V.shape[0], tables * bits), dtype=np.float64)
+            for d in range(dim):
+                acc += V[:, d, None] * flat[None, :, d]
+            on = (acc >= 0) | np.isnan(acc)
+            sigs[ok] = on.reshape(-1, tables, bits) @ weights
+        return pd.Series(list(sigs))
+
+    return F.pandas_udf(_sigs, "array<bigint>")(vec_col)
+
+
 def cosine_pairs_exact(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -310,21 +365,14 @@ def srp_near_dup_pairs(
     with probability 1 - θ/π per bit, so recall rises with ``tables`` and
     falls with ``bits``; property tests pin the bound."""
     planes = _hyperplanes(vectors.select(F.size(vec_col)).first()[0], bits, tables, seed)
-    sigs = vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        *[srp_signature(vec_col, planes[t]).alias(f"_sig{t}") for t in range(tables)],
-    )
-    tagged = sigs.select(
+    # r13: all `tables` signatures in ONE Arrow pass (srp_signatures is
+    # bit-identical to the per-table fold — see its docstring); posexplode
+    # reproduces the old (lit(t), sig) struct-array explode exactly.
+    tagged = vectors.select(
         id_col,
         vec_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("t"), F.col(f"_sig{t}").alias("sig"))
-                for t in range(tables)
-            ])
-        ).alias("b"),
-    ).select(id_col, vec_col, F.col("b.t").alias("t"), F.col("b.sig").alias("sig"))
+        F.posexplode(srp_signatures(vec_col, planes)).alias("t", "sig"),
+    )
     a = tagged.select(
         F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), "t", "sig"
     )
@@ -1042,12 +1090,28 @@ def srp_ann_topk(
     qv = np.asarray(query_vec, dtype=np.float64)
     planes = _hyperplanes(len(query_vec), bits, tables, seed)
 
-    cand = None
-    for t in range(tables):
-        qsig = int(sum((1 << j) for j in range(bits) if planes[t, j] @ qv >= 0))
-        part = vectors.filter(srp_signature(vec_col, planes[t]) == F.lit(qsig))
-        cand = part if cand is None else cand.unionByName(part)
-    cand = cand.dropDuplicates([id_col])
+    # The query's per-table signatures are driver-side model math; the
+    # collection's signatures come from ONE Arrow pass (bit-identical to
+    # the per-table fold — srp_signatures docstring). r13: the old form
+    # unioned `tables` full scans, each filtering on its own 512-term
+    # interpreted signature expression; now one scan computes all table
+    # signatures and a vector is a candidate iff ANY table matches —
+    # the identical candidate set (dropDuplicates kept: ids are unique in
+    # every corpus here, but the old union+dedup tolerated dup ids and
+    # this stays faithful to it).
+    qsigs = [
+        int(sum((1 << j) for j in range(bits) if planes[t, j] @ qv >= 0))
+        for t in range(tables)
+    ]
+    match_any = F.exists(
+        F.zip_with(
+            srp_signatures(vec_col, planes),
+            F.array(*[F.lit(s).cast("bigint") for s in qsigs]),
+            lambda s, q: s == q,
+        ),
+        lambda x: x,
+    )
+    cand = vectors.filter(match_any).dropDuplicates([id_col])
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
@@ -2132,15 +2196,13 @@ def mutual_nn_ann(
     )
     dim = s.select(F.size("v")).first()[0]  # model-sized probe, one row
     planes = _hyperplanes(dim, bits, tables, seed)
+    # r13: all `tables` signatures in ONE Arrow pass (bit-identical to the
+    # per-table interpreted fold — srp_signatures docstring); the old
+    # explode-of-structs becomes a posexplode of the signature array.
     tagged = s.select(
         "id", "v", "m",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"),
-                     srp_signature("v", planes[t]).alias("sig"))
-            for t in range(tables)
-        ])).alias("b"),
-    ).select("id", "v", "m", F.col("b.t").alias("t"),
-             F.col("b.sig").alias("sig"))
+        F.posexplode(srp_signatures("v", planes)).alias("t", "sig"),
+    )
     a = tagged.select(F.col("id").alias("ida"), F.col("v").alias("va"),
                       F.col("m").alias("ma"), "t", "sig")
     b = tagged.select(F.col("id").alias("idb"), F.col("v").alias("vb"),

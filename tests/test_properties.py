@@ -490,6 +490,42 @@ def test_p2d_mutual_nn_ann_dedup_shuffle_is_vector_free(spark):
             )
 
 
+def test_p2e_vectorized_srp_signatures_match_fold(spark):
+    """r13: `srp_signatures` (one Arrow pass for all tables) must be
+    bit-identical to the per-table interpreted fold `srp_signature` —
+    including the sign convention at exact zero, NaN handling (Spark
+    orders NaN above all doubles, so NaN dots set the bit), NULL
+    vectors, and wrong-length vectors (both → signature 0)."""
+    from inspectadb_spark.operators.similarity import (
+        _hyperplanes, srp_signature, srp_signatures)
+
+    planes = _hyperplanes(4, bits=8, tables=6, seed=7)
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(64)]
+    # adversarial rows: exact-zero dot (orthogonal-ish handled by planted
+    # zeros), NaN element, null vector, wrong length, empty
+    rows += [
+        (100, [0.0, 0.0, 0.0, 0.0]),          # all dots exactly 0 -> all bits
+        (101, [1.0, float("nan"), 0.0, 2.0]), # NaN dot -> bit set
+        (102, None),                          # null vector -> sig 0
+        (103, [1.0, 2.0]),                    # wrong length -> sig 0
+        (104, []),                            # empty -> sig 0
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = df.select(
+        "id", srp_signatures("v", planes).alias("sigs"),
+        *[srp_signature("v", planes[t]).alias(f"ref{t}") for t in range(6)],
+    ).collect()
+    assert got, "no rows"
+    for r in got:
+        assert len(r.sigs) == 6
+        for t in range(6):
+            assert r.sigs[t] == r[f"ref{t}"], (
+                f"id={r.id} table={t}: vectorized {r.sigs[t]} != "
+                f"fold {r[f'ref{t}']}"
+            )
+
+
 def _as_list(seq):
     out = []
     it = seq.iterator()
