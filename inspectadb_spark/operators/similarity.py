@@ -37,6 +37,192 @@ def _norm2(a: Column | str) -> Column:
     )
 
 
+def pair_dot(a: Column | str, b: Column | str) -> Column:
+    """``_dot(a, b)`` for two vector COLUMNS via one Arrow-vectorized pass
+    — the pair-join twin of ``srp_signatures`` (r13, guide §4): the
+    interpreted zip_with/aggregate fold pays ~64 expression-tree steps per
+    PAIR in every candidate/broadcast join of the pair-scoring family;
+    this crosses the Python boundary once per Arrow batch and runs the
+    same arithmetic as one numpy pass per dimension.
+
+    Exactness argument (same as ``srp_signatures``): the fold
+    ``acc ← acc + a[d]·b[d]`` ascending d is reproduced with the identical
+    IEEE-754 operation sequence — ``acc += A[:, d] * B[:, d]`` one
+    dimension at a time (numpy multiply and add are separate
+    correctly-rounded float64 ufuncs; no FMA contraction, no pairwise
+    re-association across d) — so the returned double is bit-identical to
+    the fold for clean vectors, and every downstream ppm/DECIMAL
+    quantization and comparison is therefore byte-identical.
+
+    Null semantics: the fold returns NULL when either vector is NULL or
+    the lengths differ (zip_with pads with nulls → null product → null
+    fold); this returns NULL for those rows too. The one unobservable
+    divergence (again as in ``srp_signatures``): a NaN product makes the
+    fold return NaN while Arrow's float64 path surfaces it as NULL, and a
+    NULL *element* inside a list is indistinguishable from NaN in Arrow —
+    but every call site quantizes through DECIMAL (mapping NaN and NULL
+    both to NULL) or filters on the quantized value (NULL and NaN compare
+    the same 3VL way), so no declared result can observe it; the
+    equivalence test pins the clean-input case bit-for-bit.
+    """
+    import pandas as pd
+
+    def _dots(av, bv):
+        a_np, b_np = av.to_numpy(), bv.to_numpy()
+        n = len(a_np)
+        out = np.full(n, np.nan, dtype=np.float64)
+        by_dim: dict = {}
+        for i in range(n):
+            x, y = a_np[i], b_np[i]
+            if x is None or y is None or len(x) != len(y):
+                continue  # NULL result, like the padded zip_with fold
+            by_dim.setdefault(len(x), []).append(i)
+        for dim, idx in by_dim.items():
+            ii = np.asarray(idx, dtype=np.int64)
+            if dim == 0:
+                out[ii] = 0.0  # empty fold → the 0.0 seed
+                continue
+            A = np.stack([np.asarray(a_np[i], dtype=np.float64)
+                          for i in idx])
+            B = np.stack([np.asarray(b_np[i], dtype=np.float64)
+                          for i in idx])
+            acc = np.zeros(len(idx), dtype=np.float64)
+            for d in range(dim):
+                acc += A[:, d] * B[:, d]
+            out[ii] = acc
+        return pd.Series(out)
+
+    return F.pandas_udf(_dots, "double")(a, b)
+
+
+def batch_cross_dots(
+    cands: DataFrame,
+    pass_cols: list[str],
+    cand_vec_cols: list[str],
+    batch: DataFrame,
+    batch_id_col: str,
+    batch_vec_cols: list[str],
+    dot_cols: list[str],
+) -> DataFrame:
+    """All (candidate × batch-row) dot products in ONE candidate scan —
+    the broadcast-join member of the r13 pair-dot family (guide §4).
+
+    The pair-scoring audits broadcast a bounded query batch against the
+    corpus and score each pair with the interpreted ``_dot`` fold; even
+    with the fold Arrow-vectorized (``pair_dot``), the join materializes
+    BOTH 0.5 KB vectors per pair and ships them to the Python worker —
+    the transfer, not the arithmetic, dominates. This helper keeps the
+    movement the old plan already paid ONCE (a Catalyst
+    BroadcastExchange materializes the small side on the driver and on
+    every executor — collecting the same bounded frame here is the
+    identical movement and the identical scale bound) and crosses the
+    Python boundary with each CANDIDATE once: per Arrow batch it
+    computes dots against the whole collected batch and emits
+    (pass_cols…, batch_id, dots…) rows — 3 scalars per pair out, no
+    vectors per pair in either direction.
+
+    Exactness: each dot uses the same fixed-order per-dimension
+    accumulation as ``pair_dot``/``srp_signatures`` (ascending d,
+    separate correctly-rounded float64 multiply and add, no FMA/
+    re-association), so every emitted double is bit-identical to the
+    ``_dot`` fold on the same pair. NULL/length-mismatch vectors on
+    either side yield NULL dots exactly as the padded zip_with fold
+    does (with the same NaN-vs-NULL caveat as ``pair_dot`` — every call
+    site quantizes through DECIMAL, which maps both to NULL). Pair
+    ORDER differs from the join's (candidate-major here); every
+    consumer aggregates or windows with deterministic ties, so order
+    is immaterial. Join CONDITIONS (``q_id != c_id`` etc.) are applied
+    by the caller as post-filters — the same predicate on the same
+    values drops the same pairs.
+    """
+    import pandas as pd
+
+    brows = batch.select(batch_id_col, *batch_vec_cols).collect()
+    m = len(brows)
+    b_ids = np.array([r[0] for r in brows], dtype=np.int64)
+    mats = []
+    for vi in range(len(batch_vec_cols)):
+        vecs = [r[vi + 1] for r in brows]
+        dims = {len(v) for v in vecs if v is not None}
+        dim = dims.pop() if len(dims) == 1 else None
+        ok = np.array([v is not None and (dim is None or len(v) == dim)
+                       for v in vecs], dtype=bool)
+        if dim is None or not ok.all():
+            # ragged/null batch vectors: mark rows whose dots are NULL
+            good = [np.asarray(v, dtype=np.float64) if o else None
+                    for v, o in zip(vecs, ok)]
+            mats.append(("ragged", good))
+        else:
+            mats.append(("dense",
+                         np.ascontiguousarray(
+                             np.stack([np.asarray(v, dtype=np.float64)
+                                       for v in vecs]))))
+
+    c_schema = {f.name: f.dataType.simpleString() for f in cands.schema}
+    b_id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in batch.schema
+    )[batch_id_col]
+    out_schema = ", ".join(
+        [f"{c} {c_schema[c]}" for c in pass_cols]
+        + [f"{batch_id_col} {b_id_type}"]
+        + [f"{dc} double" for dc in dot_cols]
+    )
+    n_vec = len(cand_vec_cols)
+    # cap each emitted frame near 64k rows regardless of batch width
+    chunk = max(1, 65536 // max(m, 1))
+
+    def _cross(frames):
+        for pdf in frames:
+            n = len(pdf)
+            if n == 0 or m == 0:
+                continue
+            cvecs = [pdf[cv].to_numpy() for cv in cand_vec_cols]
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                nb = hi - lo
+                out = {}
+                for c in pass_cols:
+                    out[c] = np.repeat(pdf[c].to_numpy()[lo:hi], m)
+                out[batch_id_col] = np.tile(b_ids, nb)
+                for vi in range(n_vec):
+                    kind, Q = mats[vi]
+                    vals = cvecs[vi][lo:hi]
+                    acc = np.full((nb, m), np.nan, dtype=np.float64)
+                    okc = np.fromiter(
+                        (v is not None for v in vals), dtype=bool, count=nb)
+                    if kind == "dense" and okc.any():
+                        dim = Q.shape[1]
+                        okd = okc & np.fromiter(
+                            (v is not None and len(v) == dim for v in vals),
+                            dtype=bool, count=nb)
+                        if okd.any():
+                            C = np.stack([np.asarray(v, dtype=np.float64)
+                                          for v in vals[okd]])
+                            a = np.zeros((C.shape[0], m), dtype=np.float64)
+                            for d in range(dim):
+                                a += C[:, d, None] * Q[None, :, d]
+                            acc[okd] = a
+                        # rows not in okd keep NaN (NULL) for ALL m dots:
+                        # a length-mismatched candidate pairs NULL with
+                        # every batch vector of that dim, like the fold
+                    elif kind == "ragged":
+                        for i in range(nb):
+                            if not okc[i]:
+                                continue
+                            cv = np.asarray(vals[i], dtype=np.float64)
+                            for j, qv in enumerate(Q):
+                                if qv is None or len(qv) != len(cv):
+                                    continue
+                                s = 0.0
+                                for d in range(len(cv)):
+                                    s += cv[d] * qv[d]
+                                acc[i, j] = s
+                    out[dot_cols[vi]] = acc.reshape(-1)
+                yield pd.DataFrame(out)
+
+    return cands.mapInPandas(_cross, out_schema)
+
+
 def cosine_expr(vec_col: str, query_vec: list[float]) -> Column:
     """Cosine similarity to a *literal* query vector, unrolled into
     ``element_at`` products.
@@ -330,16 +516,23 @@ def sign_blocked_near_dup_pairs(
         (F.when(bit(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
         for j in range(block_dims)
     ).cast("int")
-    # same zero-norm exclusion as cosine_pairs_exact (ANSI 0/0 guard)
+    # same zero-norm exclusion as cosine_pairs_exact (ANSI 0/0 guard).
+    # r13: norms move scan-side (same sqrt(_norm2) expression on the same
+    # vector values — bit-identical, computed once per VECTOR instead of
+    # twice per PAIR) and the pair dot runs through the Arrow-vectorized
+    # pair_dot (bit-identical to the fold — see its docstring).
     keyed = vectors.filter(F.sqrt(_norm2(vec_col)) > 0).select(
-        F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+        F.col(id_col), F.col(vec_col),
+        F.sqrt(_norm2(vec_col)).alias("_m"), blk.alias("_blk"))
     a = keyed.select(
-        F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), "_blk"
+        F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"),
+        F.col("_m").alias("m1"), "_blk"
     )
     b = keyed.select(
-        F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"), "_blk"
+        F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"),
+        F.col("_m").alias("m2"), "_blk"
     )
-    sim = _dot("e1", "e2") / (F.sqrt(_norm2("e1")) * F.sqrt(_norm2("e2")))
+    sim = pair_dot("e1", "e2") / (F.col("m1") * F.col("m2"))
     simr = F.round(sim.cast("decimal(18,6)"), 4).cast("double")
     return (
         a.join(b, "_blk")
@@ -368,24 +561,35 @@ def srp_near_dup_pairs(
     # r13: all `tables` signatures in ONE Arrow pass (srp_signatures is
     # bit-identical to the per-table fold — see its docstring); posexplode
     # reproduces the old (lit(t), sig) struct-array explode exactly.
+    # r13: norms scan-side (same expression, same values — computed once
+    # per vector, not twice per pair); the candidate dot runs through the
+    # Arrow-vectorized pair_dot AFTER the dedup (bit-identical to the fold
+    # — see its docstring). NB: scoring before the dedup would shrink the
+    # dedup shuffle, but a pandas-UDF column flowing through
+    # dropDuplicates trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under
+    # set-operation rewrites (exceptAll) on Spark 4.1 — so the dedup keeps
+    # carrying vectors exactly as before and only the fold is swapped.
     tagged = vectors.select(
         id_col,
         vec_col,
+        F.sqrt(_norm2(vec_col)).alias("_m"),
         F.posexplode(srp_signatures(vec_col, planes)).alias("t", "sig"),
     )
     a = tagged.select(
-        F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), "t", "sig"
+        F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"),
+        F.col("_m").alias("m1"), "t", "sig"
     )
     b = tagged.select(
-        F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"), "t", "sig"
+        F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"),
+        F.col("_m").alias("m2"), "t", "sig"
     )
     cand = (
         a.join(b, ["t", "sig"])
         .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", "e1", "e2")
+        .select("v1", "v2", "e1", "e2", "m1", "m2")
         .dropDuplicates(["v1", "v2"])
     )
-    sim = _dot("e1", "e2") / (F.sqrt(_norm2("e1")) * F.sqrt(_norm2("e2")))
+    sim = pair_dot("e1", "e2") / (F.col("m1") * F.col("m2"))
     simr = F.round(sim.cast("decimal(18,6)"), 4).cast("double")
     return cand.select("v1", "v2", simr.alias("sim")).filter(F.col("sim") >= threshold)
 
@@ -1687,10 +1891,18 @@ def hard_negatives(
         F.sqrt(_norm2(vec_col)).alias("cm"),
         F.col(label_col).alias("c_label"),
     ).filter(F.col("cm") > 0)
-    sim = _dot("qe", "ce") / (F.col("qm") * F.col("cm"))
+    # r13: the broadcast query batch is scored against each candidate in
+    # ONE corpus pass (batch_cross_dots — bit-identical fixed-order dots,
+    # the same driver materialization the old BroadcastExchange paid);
+    # q-side scalars re-attach by key and the label join condition becomes
+    # the identical post-filter (same 3VL on the same values).
+    raw = batch_cross_dots(c, ["c_id", "c_label", "cm"], ["ce"],
+                           q, "q_id", ["qe"], ["_dotqc"])
+    sim = F.col("_dotqc") / (F.col("qm") * F.col("cm"))
     simr = F.round(sim.cast("decimal(18,6)"), 4).cast("double")
     scored = (
-        c.join(F.broadcast(q), F.col("q_label") != F.col("c_label"))
+        raw.join(F.broadcast(q.select("q_id", "qm", "q_label")), "q_id")
+        .filter(F.col("q_label") != F.col("c_label"))
         .select("q_id", "q_label", "c_id", "c_label", simr.alias("sim"))
     )
     return (
@@ -1828,9 +2040,15 @@ def margin_bitext(
     b = side_b.select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("be"),
         F.sqrt(_norm2(vec_col)).alias("bm")).filter(F.col("bm") > 0)
-    sim = _dot("ae", "be") / (F.col("am") * F.col("bm"))
+    # r13: the broadcast mining batch (side A) is scored against each
+    # side-B vector in ONE B pass (batch_cross_dots — bit-identical
+    # fixed-order dots, the same driver materialization the old
+    # BroadcastExchange paid); A-side norms re-attach by key.
+    raw = batch_cross_dots(b, ["b_id", "bm"], ["be"],
+                           a, "a_id", ["ae"], ["_dotab"])
+    sim = F.col("_dotab") / (F.col("am") * F.col("bm"))
     pairs = (
-        b.join(F.broadcast(a))
+        raw.join(F.broadcast(a.select("a_id", "am")), "a_id")
         .select("a_id", "b_id",
                 (sim.cast("decimal(18,6)") * 1_000_000)
                 .cast("bigint").alias("sim_ppm"))
@@ -1919,13 +2137,21 @@ def truncated_recall(
         F.sqrt(_norm2(trunc)).alias("ctm"),
     ).filter((F.col("cm") > 0) & (F.col("ctm") > 0))
     ppm = lambda col: (col.cast("decimal(18,6)") * 1_000_000).cast("bigint")
+    # r13: both dots (full + truncated) against the broadcast query batch
+    # come from ONE corpus pass (batch_cross_dots — bit-identical
+    # fixed-order dots; the truncated dot over the first `dims`
+    # coordinates is the same ascending-d prefix); q-side norms re-attach
+    # by key and the join condition becomes the identical post-filter.
+    raw = batch_cross_dots(c, ["c_id", "cm", "ctm"], ["ce", "ct"],
+                           q, "q_id", ["qe", "qt"], ["_dotf", "_dott"])
     pairs = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        raw.join(F.broadcast(q.select("q_id", "qm", "qtm")), "q_id")
+        .filter(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id", "c_id",
-            ppm(_dot("qe", "ce") / (F.col("qm") * F.col("cm")))
+            ppm(F.col("_dotf") / (F.col("qm") * F.col("cm")))
             .alias("sim_full"),
-            ppm(_dot("qt", "ct") / (F.col("qtm") * F.col("ctm")))
+            ppm(F.col("_dott") / (F.col("qtm") * F.col("ctm")))
             .alias("sim_trunc"),
         )
     )
@@ -1991,15 +2217,29 @@ def mmr_topk(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("ce"),
         F.sqrt(_norm2(vec_col)).alias("cm")).filter(F.col("cm") > 0)
     ppm = lambda col: (col.cast("decimal(18,6)") * 1_000_000).cast("bigint")
+    # r13: relevance dots against the broadcast query batch come from ONE
+    # corpus pass (batch_cross_dots — bit-identical fixed-order dots); the
+    # pool window then ranks SCALAR rows (the old plan shuffled a 0.5 KB
+    # vector per pair through the window exchange), and the pool²
+    # candidate-candidate stage re-attaches vectors by key afterwards —
+    # a broadcast join of |queries|·pool rows, each c_id unique in c, so
+    # the enriched pool is row-identical.
+    raw = batch_cross_dots(c, ["c_id", "cm"], ["ce"],
+                           q, "q_id", ["qe"], ["_dotqc"])
     rel = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", "ce", "cm",
-                ppm(_dot("qe", "ce") / (F.col("qm") * F.col("cm")))
+        raw.join(F.broadcast(q.select("q_id", "qm")), "q_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id",
+                ppm(F.col("_dotqc") / (F.col("qm") * F.col("cm")))
                 .alias("sim_ppm"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"), F.asc("c_id"))
-    pool_df = rel.withColumn("r", F.row_number().over(w)).filter(
+    pool_cut = rel.withColumn("r", F.row_number().over(w)).filter(
         F.col("r") <= pool)
+    pool_df = (c.select("c_id", "ce", "cm")
+               .join(F.broadcast(pool_cut.select("q_id", "c_id", "sim_ppm",
+                                                 "r")), "c_id")
+               .select("q_id", "c_id", "ce", "cm", "sim_ppm", "r"))
     a, b = pool_df.alias("pa"), pool_df.alias("pb")
     cc = (
         a.join(b, (F.col("pa.q_id") == F.col("pb.q_id"))
@@ -2007,7 +2247,7 @@ def mmr_topk(
         .select(
             F.col("pa.q_id").alias("q_id"),
             F.col("pa.c_id").alias("c1"), F.col("pb.c_id").alias("c2"),
-            ppm(_dot(F.col("pa.ce"), F.col("pb.ce"))
+            ppm(pair_dot(F.col("pa.ce"), F.col("pb.ce"))
                 / (F.col("pa.cm") * F.col("pb.cm"))).alias("cc_ppm"))
     )
 
@@ -2136,13 +2376,22 @@ def mutual_nn(
         .filter(F.col("m") > 0)
     )
     a = s.select(F.col("id").alias("ida"), F.col("v").alias("va"),
-                 F.col("m").alias("ma"), F.col("lab").alias("la"))
+                 F.col("m").alias("ma"))
     b = s.select(F.col("id").alias("idb"), F.col("v").alias("vb"),
-                 F.col("m").alias("mb"), F.col("lab").alias("lb"))
-    sim = _dot("va", "vb") / (F.col("ma") * F.col("mb"))
+                 F.col("m").alias("mb"))
+    # r13: the broadcast sample side is scored against each sample vector
+    # in ONE pass (batch_cross_dots — bit-identical fixed-order dots, the
+    # same driver materialization the old BroadcastExchange paid); b-side
+    # norms re-attach by key, the ida != idb condition becomes the
+    # identical post-filter, and the unused la/lb passengers are dropped
+    # (labels join on at the end from `lab`, as before).
+    raw = batch_cross_dots(a, ["ida", "ma"], ["va"],
+                           b, "idb", ["vb"], ["_dotv"])
+    sim = F.col("_dotv") / (F.col("ma") * F.col("mb"))
     pairs = (
-        a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
-        .select("ida", "idb", "la", "lb",
+        raw.join(F.broadcast(b.select("idb", "mb")), "idb")
+        .filter(F.col("ida") != F.col("idb"))
+        .select("ida", "idb",
                 (sim.cast("decimal(18,6)") * 1_000_000)
                 .cast("bigint").alias("sim_ppm"))
     )
@@ -2207,7 +2456,8 @@ def mutual_nn_ann(
                       F.col("m").alias("ma"), "t", "sig")
     b = tagged.select(F.col("id").alias("idb"), F.col("v").alias("vb"),
                       F.col("m").alias("mb"), "t", "sig")
-    sim = _dot("va", "vb") / (F.col("ma") * F.col("mb"))
+    # r13: Arrow-vectorized pair dot (bit-identical to the fold)
+    sim = pair_dot("va", "vb") / (F.col("ma") * F.col("mb"))
     # Compute the exact cosine INSIDE the bucket-join select so the
     # candidate-dedup shuffle below carries 3 bigints per row, not two
     # 0.5 KB vectors per duplicated candidate (a pair can surface in up

@@ -967,7 +967,7 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id ties, integer accuracy.",
 )
 def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from inspectadb_spark.operators.similarity import _dot, _norm2
+    from inspectadb_spark.operators.similarity import _norm2, batch_cross_dots
 
     e = tables(spark, sf_dir)["embeddings"]
     q = e.filter(F.col("vec_id") % 10 == 3).select(
@@ -978,9 +978,17 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"),
         F.sqrt(_norm2("embedding")).alias("cm"),
         F.col("label").alias("c_label")).filter(F.col("cm") > 0)
-    sim = _dot("qe", "ce") / (F.col("qm") * F.col("cm"))
+    # r13: the broadcast q-batch is scored against each candidate in ONE
+    # corpus pass (batch_cross_dots — bit-identical fixed-order dots, the
+    # same driver materialization the old BroadcastExchange paid); q-side
+    # scalars re-attach by key and the old join condition becomes the
+    # identical post-filter.
+    raw = batch_cross_dots(c, ["c_id", "c_label", "cm"], ["ce"],
+                           q, "q_id", ["qe"], ["_dotqc"])
+    sim = F.col("_dotqc") / (F.col("qm") * F.col("cm"))
     pairs = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        raw.join(F.broadcast(q.select("q_id", "qm", "q_label")), "q_id")
+        .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "q_label", "c_id", "c_label",
                 (sim.cast("decimal(18,6)") * 1_000_000)
                 .cast("bigint").alias("sim_ppm"))

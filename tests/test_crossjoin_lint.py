@@ -52,33 +52,18 @@ _JUSTIFIED = {
     # KMV sketches: both sides are bottom-k (k=64) minimum-hash tables —
     # sketch-sized by construction (operators/sketches.py kmv_sketch).
     "q189_kmv_overlap": [("grouped_agg", "grouped_agg")] * 2,
-    # Query batch bounded to vec_id < 100 and broadcast; candidates
-    # stream past it (hard_negatives' contract shape). Full-corpus form
-    # would block on SRP buckets like mutual_nn_ann.
-    "q193_hard_negatives": [("scan", "scan")],
-    # Margin bitext: both sides are the hash-sampled anchor/candidate
-    # frames (vec_id % m) joined all-pairs within the sample for the
-    # margin denominator; production path is SRP-blocked (q202 doc).
-    # One site since r13: the neighborhood sums ride windows on the one
-    # pair stream instead of re-building it per branch.
-    "q202_margin_bitext": [("other:BroadcastHashJoin",
-                            "other:BroadcastHashJoin")],
-    # Recall audit over a hash-sampled query set vs its candidate pool;
-    # the full-corpus path is IVF/SRP ANN (operators/similarity.py).
-    "q203_matryoshka_recall": [("scan", "scan")] * 2,
-    # MMR re-ranks a pool=30 candidate list per sampled query (pool^2
-    # pairs, fixed small).
-    "q207_mmr_topk": [("scan", "scan")] * 3,
-    # Leave-one-out 1-NN probe over a deterministic vector sample.
-    "q224_knn_label_accuracy": [("scan", "scan")],
+    # r13 retirements: q193/q202/q203/q207/q224/q267 — the broadcast
+    # pair-generation cross joins in the pair-scoring audit family were
+    # replaced by batch_cross_dots (operators/similarity.py): the bounded
+    # batch side packs into the candidate scan's mapInPandas closure (the
+    # same driver materialization the BroadcastExchange paid) and the only
+    # remaining joins are tiny broadcast EQUI-joins re-attaching batch
+    # scalars by id, so these queries no longer own any cross-join site.
     # Mann-Kendall pair signs on the DAY-grain revenue series: a
     # calendar-bounded |days|^2 self-join (q244's old shape; q244 itself
     # now packs the day series into one row and runs the pair slopes in
     # numpy, so it no longer cross-joins at all).
     "q311_mann_kendall": [("grouped_agg", "grouped_agg")],
-    # Bounded audit sample (vec_id sample_mod); full-corpus form is the
-    # SRP-bucketed q267b mutual_nn_ann.
-    "q267_mutual_nn": [("scan", "scan")] * 2,
     # Kendall tau-b: the O(n^2) pair definition reduced to a
     # |range(qty)| x |range(discount)| contingency-CELL self-join —
     # value-bounded (50 x 11 cells), asserted in COVERAGE.md/SCALE.md.

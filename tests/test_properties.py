@@ -485,9 +485,73 @@ def test_p2d_mutual_nn_ann_dedup_shuffle_is_vector_free(spark):
                       if a.dataType().typeName() == "array"]
             if node.nodeName() == "Join" and node is not n:
                 break  # below the bucket join vectors are legitimate
+            if "EvalPython" in node.nodeName():
+                # r13: the pair dot runs in an ArrowEvalPython node that
+                # necessarily consumes (and therefore outputs) va/vb —
+                # it sits INSIDE the post-join stage, below the Project
+                # that prunes to (ida, idb, sim_ppm), so the dedup
+                # EXCHANGE above it still carries 3 bigints per row.
+                # The guarantee under test is about the shuffle, not a
+                # mid-stage compute node.
+                break
             assert not arrays, (
                 f"{node.nodeName()} above/at the dedup carries arrays: {arrays}"
             )
+
+
+def test_p2f_batch_cross_dots_matches_fold_and_null_semantics(spark):
+    """r13: `batch_cross_dots` (one candidate pass against a collected
+    batch) must be bit-identical to the `_dot` fold per pair on clean
+    vectors, and NULL where the fold is NULL (null vector or length
+    mismatch on either side). Covers the dense path, the ragged-batch
+    path, and a two-vector-pair call (the truncated-recall shape)."""
+    from inspectadb_spark.operators.similarity import _dot, batch_cross_dots
+
+    rng = np.random.default_rng(5)
+    cands = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(40)]
+    cands += [(100, None), (101, [1.0, 2.0]), (102, [])]
+    cdf = spark.createDataFrame(cands, "c_id long, ce array<double>")
+    qrows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(5)]
+    qdf = spark.createDataFrame(qrows, "q_id long, qe array<double>")
+
+    got = {(r.c_id, r.q_id): r.d for r in batch_cross_dots(
+        cdf, ["c_id"], ["ce"], qdf, "q_id", ["qe"], ["d"]).collect()}
+    ref = {(r.c_id, r.q_id): r.d for r in
+           cdf.crossJoin(qdf).select(
+               "c_id", "q_id", _dot("ce", "qe").alias("d")).collect()}
+    assert set(got) == set(ref) and len(got) == 43 * 5
+    for k in ref:
+        assert got[k] == ref[k], f"{k}: {got[k]} != {ref[k]}"
+
+    # ragged batch side (one null + one short vector among the queries)
+    qrag = spark.createDataFrame(
+        qrows + [(10, None), (11, [1.0])], "q_id long, qe array<double>")
+    got2 = {(r.c_id, r.q_id): r.d for r in batch_cross_dots(
+        cdf, ["c_id"], ["ce"], qrag, "q_id", ["qe"], ["d"]).collect()}
+    ref2 = {(r.c_id, r.q_id): r.d for r in
+            cdf.crossJoin(qrag).select(
+                "c_id", "q_id", _dot("ce", "qe").alias("d")).collect()}
+    assert set(got2) == set(ref2)
+    for k in ref2:
+        assert got2[k] == ref2[k], f"ragged {k}: {got2[k]} != {ref2[k]}"
+
+    # two vector pairs in one call (the q203 full+truncated shape)
+    cdf2 = cdf.filter("ce is not null and size(ce) = 6").selectExpr(
+        "c_id", "ce", "slice(ce, 1, 3) as ct")
+    qdf2 = qdf.selectExpr("q_id", "qe", "slice(qe, 1, 3) as qt")
+    got3 = {(r.c_id, r.q_id): (r.df, r.dt) for r in batch_cross_dots(
+        cdf2, ["c_id"], ["ce", "ct"], qdf2, "q_id", ["qe", "qt"],
+        ["df", "dt"]).collect()}
+    ref3 = {(r.c_id, r.q_id): (r.df, r.dt) for r in
+            cdf2.crossJoin(qdf2).select(
+                "c_id", "q_id", _dot("ce", "qe").alias("df"),
+                _dot("ct", "qt").alias("dt")).collect()}
+    assert got3 == ref3
+
+    # empty batch side -> zero pairs, like a join with an empty side
+    assert batch_cross_dots(cdf, ["c_id"], ["ce"],
+                            qdf.filter("q_id < 0"), "q_id", ["qe"],
+                            ["d"]).count() == 0
 
 
 def test_p2e_vectorized_srp_signatures_match_fold(spark):
