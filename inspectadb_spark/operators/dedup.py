@@ -149,15 +149,19 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """16-bit SimHash: per token, md5 hex chars vote ±1 per bit position; the
     sign of each bit-sum forms the fingerprint. Deterministic and portable
-    (same md5 bytes in any engine)."""
+    (same md5 bytes in any engine).
+
+    r13: the token md5 is hashed BEFORE the per-bit explode (once per
+    occurrence, not ``bits`` times — the old select put the md5
+    projection above the Generate; guide §4 expression hygiene)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    )
+    ).select("doc_id", F.md5("tok").alias("h"))
     votes = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        F.md5("tok").alias("h"),
+        F.col("h"),
     ).select(
         "doc_id",
         "j",
@@ -355,7 +359,14 @@ def chunk_dedup(
 def _portable_signatures(docs: DataFrame, text_col: str, id_col: str,
                          num_hashes: int, shingle_k: int) -> DataFrame:
     """(doc_id, j, sig): per-doc MinHash signatures from the engine-portable
-    md5(seed || '#' || shingle) hash family (bit-identical everywhere)."""
+    md5(seed || '#' || shingle) hash family (bit-identical everywhere).
+
+    Measured r13 negative result: hashing once per DISTINCT shingle value
+    (9.6x fewer md5s on this corpus) and joining the 8-hash array back
+    onto the incidence stream is SLOWER here (q114 2.5 -> 3.5 s, q204
+    flat-to-worse at sf0.1) — the join-back's extra exchange/AQE stage
+    per consumption outweighs codegen md5s, which cost ~100 ns each. The
+    exploded seeded stream stays."""
     sh = _shingles(docs, text_col, id_col, shingle_k)
     seeded = sh.select(
         "doc_id",
