@@ -599,17 +599,26 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0).alias("late"),
         )
     )
-    per_order = ord_lines.groupBy("lok").agg(
-        F.countDistinct("lsk").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("lsk"))).alias("n_late"),
+    # r13: the per-order distinct-supplier counts ride windows on the ONE
+    # joined stream instead of a groupBy branch joined back (which re-ran
+    # the lineitem-orders join twice — guide §2.3/§2.4). collect_set drops
+    # nulls, so size(collect_set(when(late, lsk))) ≡ the old
+    # countDistinct(when(...)), and the late-row filter reproduces the old
+    # inner join-back row set exactly.
+    w = Window.partitionBy("lok")
+    flagged = ord_lines.select(
+        "lok", "lsk", "late",
+        F.size(F.collect_set("lsk").over(w)).alias("n_supp"),
+        F.size(F.collect_set(F.when(F.col("late") == 1, F.col("lsk")))
+               .over(w)).alias("n_late"),
     )
     supp = t["supplier"].join(
         F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
         F.col("s_nationkey") == F.col("n_nationkey"),
     )
     return (
-        ord_lines.filter(F.col("late") == 1)
-        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "lok")
+        flagged.filter((F.col("late") == 1) & (F.col("n_supp") > 1)
+                       & (F.col("n_late") == 1))
         .join(F.broadcast(supp), F.col("lsk") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -852,22 +861,29 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
-    shipped = (
-        t["lineitem"]
-        .filter(
-            (F.col("l_shipdate") >= _ts("1997-01-01"))
-            & (F.col("l_shipdate") < _ts("1998-01-01"))
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.expr(dec("l_quantity"))).alias("qty"))
+    # r13: availqty (all-rows count) and 1997 shipped qty aggregate on the
+    # SAME (partkey, suppkey) grain, so they fuse into ONE conditional
+    # aggregate — lineitem scans 2 -> 1 and the ps-shipped pair join
+    # disappears (guide §2.4). Pairs with no 1997 shipments get a NULL
+    # qty, so the > filter drops them exactly as the old inner join did;
+    # the conditional DECIMAL sum is order-exact, identical to the
+    # filtered sum. The p_name prefix filter is a pure partkey-domain
+    # restriction, so it commutes with the pair-grain aggregate and
+    # semi-filters lineitem BEFORE the shuffle (guide §3.2) — the
+    # post-agg part join the oracle writes is then already applied.
+    in97 = (
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
     )
+    small = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
     promo = (
-        _ps(t)
-        .join(F.broadcast(t["part"].filter(F.col("p_name").like("small%"))),
-              F.col("p_partkey") == F.col("ps_partkey"))
-        .join(shipped,
-              (F.col("l_partkey") == F.col("ps_partkey"))
-              & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        t["lineitem"]
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"),
+                 F.col("l_suppkey").alias("ps_suppkey"))
+        .agg(F.count("*").alias("ps_availqty"),
+             F.sum(F.when(in97, F.expr(dec("l_quantity")))).alias("qty"))
         .filter(F.col("ps_availqty") > 0.02 * F.col("qty").cast("double"))
         .select("ps_suppkey").distinct()
     )

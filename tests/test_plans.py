@@ -140,8 +140,21 @@ def test_tpch_shuffle_budgets(spark):
         "tpch_q09": 2,
         "tpch_q10": 1,
         "tpch_q18": 1,   # HAVING-agg reused; no re-shuffle after join
-        "tpch_q21": 4,   # ord_lines reused across two distinct-count passes
+        # r13: per-order distinct counts are windows on ONE lok exchange
+        # (was 4: ord_lines re-joined across two distinct-count passes)
+        "tpch_q21": 2,
+        # r13: availqty + 1997 qty fused into one pair-grain aggregate over
+        # the part-prefix-semi-filtered lineitem scan (was: 2 lineitem
+        # scans + a pair-grain SMJ between the two aggregates)
+        "tpch_q20": 3,
     }
+    # r13: q20/q21 each read the lineitem fact exactly ONCE (q20's two
+    # same-grain aggregates are fused; q21's per-order counts are windows,
+    # not a groupBy branch joined back)
+    for q in ("tpch_q20", "tpch_q21"):
+        plan = _plan(spark, q, "simple")
+        n = plan.count("lineitem")
+        assert n <= 1, f"{q}: lineitem scanned {n} times"
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
         assert n <= budget, f"{q}: {n} exchanges (budget {budget})"
