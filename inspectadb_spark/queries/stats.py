@@ -2741,14 +2741,17 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", "tot",
         (F.col("carry") + F.col("cum_in") - F.col("tot"))
         .alias("cum_tot_less"))
+    # r13: n_pos rides a full-partition window on the SAME event_type
+    # partitioning as the running sum (one Window exchange serves both)
+    # instead of a separate groupBy branch re-deriving c from the scan
+    # and joining back (guide §2.4)
     ct = c.select(
         "event_type", "v", "n",
         (F.sum("n").over(Window.partitionBy("event_type").orderBy("v"))
-         - F.col("n")).alias("cum_pos_less"))
+         - F.col("n")).alias("cum_pos_less"),
+        F.sum("n").over(Window.partitionBy("event_type")).alias("n_pos"))
     na = ev.agg(F.count("*").alias("n_all"))
-    np_ = c.groupBy("event_type").agg(F.sum("n").alias("n_pos"))
     terms = (ct.join(cw, "v").join(F.broadcast(na))
-             .join(F.broadcast(np_), "event_type")
              .select(
                  "event_type", "n",
                  F.round(F.expr(
