@@ -32,6 +32,46 @@ from inspectadb_spark.session import SEMANTIC_CONFS  # noqa: E402
 # suites, b/c-variants, derived-partsupp TPC-H, retrieval/curation
 # composites) plus one r05-stale id. tests/test_entry.py pins all of this
 # against the registry.
+# Round-14 window (VERDICT r13 item 1): the oracled backlog is 0 (cumulative
+# 399/399), so every slot refreshes evidence. (a) front-loads the
+# round-13-rewritten oracled ids never driver-sampled post-change (the
+# semantic-surgery set first); (b) the three ids this optimization round
+# itself touches; (c) the stalest remaining evidence (r05-green, registry
+# order). q53d/q267b from VERDICT's list are rows-only (no oracle SQL) and
+# would waste a slot — their shared operators are covered via q43c/q44c
+# (r13-confirmed) and q267. tests/test_entry.py pins all of this.
+_ROUND14_FRONT = [
+    # (a) round-13 rewrites awaiting driver confirmation — heaviest
+    # semantic surgery first (q102 factorization, q244 numpy percentile,
+    # q179 vectorized recurrence, q182 full-outer changelog, q296 NULL-class
+    # tag, tpch_q21 window rewrite, batch_cross_dots family; q53d/q267b/
+    # q207/q199 from VERDICT's list are rows-only — no oracle SQL — their
+    # shared operators are driver-covered via the oracled family members)
+    "q102_null_safe_join", "q244_theil_sen", "q179_capped_sessions",
+    "q182_repair_changelog", "q296_multiclass_prf", "tpch_q21",
+    "q202_margin_bitext", "q203_matryoshka_recall",
+    "q193_hard_negatives", "q224_knn_label_accuracy", "q267_mutual_nn",
+    "q187_poisson_bootstrap",
+    "q250_dedup_threshold_sweep", "q240_inclusion_audit",
+    "q245_join_cardinality_audit", "q281_cramers_v", "q166_chi_square",
+    "q306_mutual_information", "q173_psi_drift", "q273_spearman",
+    "q264_ngram_coverage", "q130_curation_pipeline",
+    "q284_shingle_containment", "q268_winnowing_neardup",
+    "q266_winnowing_profile", "q131_dup_spans", "q137_cross_source_dups",
+    "q142_fuzzy_join", "q129_boilerplate", "q198_heavy_hitters",
+    "q237_keep_best_dedup", "q219_simhash_calibration",
+    "q280_avg_precision",
+    # (b) this round's own optimization targets
+    "q204_minhash_calibration", "q302_kn_bigram_xent",
+    "q43g_blocked_neardup",
+    # (c) stalest remaining evidence (latest green row r05), registry order
+    "q116_interval_union", "q123_source_top_p", "q127_session_concurrency",
+    "q128_nearest_click", "q135_semantic_dedup", "q136_vocab_growth",
+    "q141_salted_agg", "q144_pagerank", "q145_skew_profile",
+    "q153_triangles", "q159_inverted_index", "q168_event_pattern",
+    "q171_time_travel", "q177_group_by_all",
+]
+
 _ROUND13_FRONT = [
     # (a) the 13 never-driver-sampled round-12 additions — backlog to zero
     "q351_pq_adc_topk", "q352_pq_filtered_topk", "q353_sprt",
@@ -382,10 +422,10 @@ _TIER3 = [
     "q34b_intersect_all", "q35b_except_all", "q37b_time_parts",
 ]
 
-_PRIMARY = list(_ROUND13_FRONT)
-for _n in (_ROUND12_FRONT + _ROUND11_FRONT + _ROUND9_FRONT + _ROUND8_FRONT
-           + _ROUND7_FRONT + _ROUND6_FRONT + _TIER2 + _ROUND5_FRONT
-           + _ROUND4_FRONT + _TIER3):
+_PRIMARY = list(_ROUND14_FRONT)
+for _n in (_ROUND13_FRONT + _ROUND12_FRONT + _ROUND11_FRONT + _ROUND9_FRONT
+           + _ROUND8_FRONT + _ROUND7_FRONT + _ROUND6_FRONT + _TIER2
+           + _ROUND5_FRONT + _ROUND4_FRONT + _TIER3):
     # behind the fresh window: most-recently-curated windows first, so a
     # driver sampling more than 50 refreshes next-stalest evidence next
     if _n not in _PRIMARY:
