@@ -31,11 +31,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """Distinct k-token shingles per document (word shingling)."""
+def _shingles(docs: DataFrame, text_col: str, id_col: str, k: int,
+              distinct: bool = True) -> DataFrame:
+    """Distinct k-token shingles per document (word shingling).
+
+    ``distinct=False`` skips the dedup exchange and yields the raw
+    occurrence stream — for consumers whose aggregation dedupes anyway
+    (min-hash mins, ``collect_set``), saving one full shuffle."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    return (
+    sh = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
         .filter(n >= k)
         .select(
@@ -44,8 +49,8 @@ def _shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
             F.col("_toks"),
         )
         .select("doc_id", F.array_join(F.slice("_toks", F.col("_i") + 1, k), " ").alias("shingle"))
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signatures(
@@ -623,39 +628,95 @@ def minhash_calibration(
     md5 one, so every column — including the estimate — hash-matches the
     SQL oracle.
 
-    Scale shape (100 TB): both the agreement join and the exact-Jaccard
-    intersection are restricted to CANDIDATE pairs (LSH output, ~O(dups)),
-    never all pairs; signatures are |docs|*num_hashes rows; shingle
-    intersections join on the uniform shingle string key. This is the
-    audit you run on a sampled slice, then apply the chosen parameters
-    corpus-wide.
+    r14 shape (guide §2.3/§2.4 — branch-recompute wall): the old plan
+    consumed the ``_shingles`` subtree FIVE times (candidate signatures,
+    the agreement join's second signature build, n_sh, and both sides of
+    the intersection posting join) — five documents scans and four
+    join-backs. Now ONE aggregation per doc computes the 8 signature
+    mins (8 conditional md5 min columns — no explode), the shingle count
+    and the distinct shingle set; band keys are derived as expressions
+    byte-identical to ``_band_keys``' listagg (md5 of the '|'-joined
+    sigs in j order); and the per-doc payload (sig array, n_sh, shingle
+    set) rides through the band self-join so agreement and exact
+    intersection (``array_intersect`` on the distinct sets) are computed
+    directly on the 4-band collision stream. Documents is scanned once.
+
+    Scale shape (100 TB): the banding join stays a uniform-key equi-join
+    whose output is only colliding pairs; it now carries ~1 KB of per-doc
+    payload per banded row (8 md5s + the distinct shingle set) instead of
+    re-deriving that payload from four more full-corpus text passes —
+    linear bytes traded for whole scans (§2.3 "shuffle keys and metadata
+    instead of payloads" does not apply: the payload IS the decision
+    input, and re-attaching it later is what the old plan paid for). This
+    is the audit you run on a sampled slice, then apply the chosen
+    parameters corpus-wide.
     """
-    cands = minhash_lsh_candidates_portable(
-        docs, text_col, id_col, num_hashes, bands, shingle_k)
-    sig = _portable_signatures(docs, text_col, id_col, num_hashes, shingle_k)
-    s1 = sig.select(F.col("doc_id").alias("d1"), "j", F.col("sig").alias("s1"))
-    s2 = sig.select(F.col("doc_id").alias("d2"), "j", F.col("sig").alias("s2"))
-    agree = (
-        cands.join(s1, "d1").join(s2, ["d2", "j"])
-        .groupBy("d1", "d2", "n_bands")
-        .agg(F.sum((F.col("s1") == F.col("s2")).cast("bigint"))
-             .alias("n_agree"))
+    _check_banding(num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    from inspectadb_spark.operators.scale import spread_small_scan
+
+    # occurrence stream, not distinct: the min-hash mins are unaffected by
+    # duplicate shingles and collect_set dedupes in the aggregation buffer,
+    # so the separate (doc_id, shingle) dedup exchange would be pure cost.
+    # spread_small_scan: the per-doc aggregate below amplifies each input
+    # row into ~8×|shingles| md5 evaluations — single-split-scan straggler
+    # without it (structural no-op once the scan has >= parallelism splits,
+    # and the subtree is consumed exactly once post-r14, so the r13
+    # multi-consumer repartition trap does not apply)
+    sh = _shingles(spread_small_scan(docs), text_col, id_col, shingle_k,
+                   distinct=False)
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("#", F.lit(str(j)), F.col("shingle"))))
+            .alias(f"_s{j}")
+            for j in range(num_hashes)
+        ],
+        F.collect_set("shingle").alias("shs"),
+    ).withColumn("n_sh", F.size("shs"))
+    sig_arr = F.array(*[F.col(f"_s{j}") for j in range(num_hashes)])
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"_s{b * rows_per_band + i}")
+                for i in range(rows_per_band)
+            ])).alias("bk"),
+        )
+        for b in range(bands)
+    ])
+    keys = per_doc.select(
+        "doc_id", "n_sh", "shs", sig_arr.alias("sig"),
+        F.explode(band_structs).alias("bd"),
+    ).select(
+        "doc_id", "n_sh", "shs", "sig",
+        F.col("bd.band").alias("band"), F.col("bd.bk").alias("bk"),
     )
-    sh = _shingles(docs, text_col, id_col, shingle_k)
-    n_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    i1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    i2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (
-        cands.select("d1", "d2").join(i1, "d1").join(i2, ["d2", "shingle"])
-        .groupBy("d1", "d2").agg(F.count("*").alias("n_inter"))
+    # identical subtrees on both join sides (alias only) so the (band, bk)
+    # exchange is built once and re-read (ReusedExchange), not recomputed
+    n_agree = sum(
+        (F.col("a.sig")[j] == F.col("b.sig")[j]).cast("bigint")
+        for j in range(num_hashes)
+    )
+    pair_rows = (
+        keys.alias("a").join(keys.alias("b"), ["band", "bk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+            n_agree.alias("n_agree"),
+            F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
+            .cast("bigint").alias("n_inter"),
+            F.col("a.n_sh").alias("n1"), F.col("b.n_sh").alias("n2"),
+        )
     )
     return (
-        agree
-        .join(inter, ["d1", "d2"])  # candidates share >=1 band => >=1 shingle
-        .join(n_sh.select(F.col("doc_id").alias("d1"),
-                          F.col("n_sh").alias("n1")), "d1")
-        .join(n_sh.select(F.col("doc_id").alias("d2"),
-                          F.col("n_sh").alias("n2")), "d2")
+        pair_rows.groupBy("d1", "d2")
+        .agg(
+            F.count("*").cast("int").alias("n_bands"),
+            F.min("n_agree").alias("n_agree"),
+            F.min("n_inter").alias("n_inter"),
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+        )
         .select(
             "d1", "d2", "n_bands",
             F.expr(f"n_agree * 1000000 DIV {num_hashes}").alias("est_ppm"),
