@@ -2725,33 +2725,46 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables(spark, sf_dir)["events"]
     c = ev.groupBy("event_type", F.col("value").alias("v")).agg(
         F.count("*").alias("n"))
-    cv = c.groupBy("v").agg(F.sum("n").alias("tot"))
-    # all-types cumulative: bucket-partitioned running sum + bounded
-    # carry scan (q185's two-level shape; the oracle keeps the plain
-    # global window — same values, single-process DuckDB doesn't care)
-    bkt = cv.withColumn("bkt", F.expr("CAST(FLOOR(v) AS BIGINT)"))
-    w_in = Window.partitionBy("bkt").orderBy("v")
-    local = bkt.withColumn("cum_in", F.sum("tot").over(w_in))
-    nets = bkt.groupBy("bkt").agg(F.sum("tot").alias("net"))
+    # r14 (guide §2.3/§2.4): the all-types cumulative used to live on a
+    # separate per-v aggregate (cv) whose bucket running-sum and bucket-net
+    # branches each re-derived c from the scan and joined back on v — four
+    # events scans in all. Both cumulative columns are now WINDOWS on the
+    # one (event_type, v) frame: the oracle's per-v tot is a
+    # partitionBy(v) sum, and the within-bucket running total is the
+    # default RANGE frame over partitionBy(bkt) orderBy(v) (ties across
+    # event types share v, so the range frame reproduces cv's per-v
+    # cumulative exactly). Only the bounded |buckets| carry pass remains a
+    # separate branch (q185's two-level shape — the cross-bucket prefix is
+    # the one thing a partitioned window cannot see). The old ct-cw v-join
+    # disappears; its null-unsafe drop of NULL-v rows is reproduced by the
+    # carry join's null bkt (windows are computed BEFORE that join, so
+    # n_pos still counts NULL-v rows, matching the oracle's np).
+    bkt_col = F.expr("CAST(FLOOR(v) AS BIGINT)")
+    cb = c.withColumn("bkt", bkt_col)
+    w_t = Window.partitionBy("event_type").orderBy("v")
+    w_tp = Window.partitionBy("event_type")
+    w_b = Window.partitionBy("bkt").orderBy("v")  # RANGE: includes v-ties
+    w_v = Window.partitionBy("v")
+    main = cb.select(
+        "event_type", "v", "n", "bkt",
+        (F.sum("n").over(w_t) - F.col("n")).alias("cum_pos_less"),
+        F.sum("n").over(w_tp).alias("n_pos"),
+        F.sum("n").over(w_b).alias("cum_in_le"),
+        F.sum("n").over(w_v).alias("tot"),
+    )
+    nets = (ev.groupBy(F.expr("CAST(FLOOR(value) AS BIGINT)").alias("bkt"))
+            .agg(F.count("*").alias("net")))
     w_carry = Window.orderBy("bkt")  # |buckets| rows — bounded
     carry = nets.withColumn(
         "carry", F.sum("net").over(w_carry) - F.col("net")).select(
         "bkt", "carry")
-    cw = local.join(F.broadcast(carry), "bkt").select(
-        "v", "tot",
-        (F.col("carry") + F.col("cum_in") - F.col("tot"))
-        .alias("cum_tot_less"))
-    # r13: n_pos rides a full-partition window on the SAME event_type
-    # partitioning as the running sum (one Window exchange serves both)
-    # instead of a separate groupBy branch re-deriving c from the scan
-    # and joining back (guide §2.4)
-    ct = c.select(
-        "event_type", "v", "n",
-        (F.sum("n").over(Window.partitionBy("event_type").orderBy("v"))
-         - F.col("n")).alias("cum_pos_less"),
-        F.sum("n").over(Window.partitionBy("event_type")).alias("n_pos"))
     na = ev.agg(F.count("*").alias("n_all"))
-    terms = (ct.join(cw, "v").join(F.broadcast(na))
+    terms = (main.join(F.broadcast(carry), "bkt").join(F.broadcast(na))
+             .select(
+                 "event_type", "n",
+                 (F.col("carry") + F.col("cum_in_le") - F.col("tot"))
+                 .alias("cum_tot_less"),
+                 F.col("n_pos"), F.col("cum_pos_less"), F.col("n_all"))
              .select(
                  "event_type", "n",
                  F.round(F.expr(
