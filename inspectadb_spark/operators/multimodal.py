@@ -81,7 +81,15 @@ def attach_image_blobs(
     df: DataFrame, seed_col: str = "doc_id", width: int = 16, height: int = 16
 ) -> DataFrame:
     """Attach a deterministic image payload + typed metadata struct per row.
-    Stand-in for an ingest that reads media files into a binary column."""
+    Stand-in for an ingest that reads media files into a binary column.
+
+    r14 negative result: spreading the input to session parallelism
+    before the generate pass measured SLOWER across the whole q53
+    family at sf0.1 (q53c 2.3→3.0 s, q53d 1.9→3.5 s medians, alternating
+    A/B): 32 Python workers × ~150 rows pay more in worker spin-up and
+    Arrow framing than the ~0.4 s of single-task numpy they spread, and
+    q53d's banded self-join consumes the subtree twice. At real-ingest
+    scale the scan arrives multi-split on its own."""
     schema = StructType(
         df.schema.fields
         + [
@@ -136,19 +144,46 @@ def decode_image_features(
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shift = int(np.log2(256 // n_bins))
         for pdf in batches:
-            rows = []
-            for i, blob in zip(pdf[id_col], pdf[payload_col]):
-                w, h, px = _decode_blob(bytes(blob))
-                hist = np.bincount(px >> int(np.log2(256 // n_bins)),
-                                   minlength=n_bins)
-                rows.append(
-                    (int(i), w, h, round(float(px.mean()), 4),
-                     round(float(px.std()), 4), hist.tolist())
-                )
-            yield pd.DataFrame(
-                rows, columns=[id_col, "width", "height", "mean_px", "std_px", "hist"]
-            )
+            # r14 (guide §4.2, the q53d phash shape): stack same-geometry
+            # rasters into an (N, w*h) matrix — mean/std as axis-1
+            # reductions (same pairwise order as the per-row contiguous
+            # reduce, so doubles are bit-identical), histograms as ONE
+            # flat bincount with per-row offsets (exact integers).
+            ids = pdf[id_col].to_numpy()
+            blobs = [bytes(b) for b in pdf[payload_col]]
+            for b in blobs:
+                if b[:4] != MAGIC:
+                    raise ValueError("not an IDBI raster blob")
+            hdr = np.array([struct.unpack(">II", b[4:12]) for b in blobs],
+                           dtype=np.int64).reshape(len(blobs), 2)
+            ws, hs = hdr[:, 0], hdr[:, 1]
+            n_rows = len(blobs)
+            mean_px = np.empty(n_rows)
+            std_px = np.empty(n_rows)
+            hists: list = [None] * n_rows
+            for wh in np.unique(ws * (1 << 32) + hs):
+                w, h = int(wh >> 32), int(wh & 0xFFFFFFFF)
+                sel = np.nonzero((ws == w) & (hs == h))[0]
+                px = np.stack([
+                    np.frombuffer(blobs[i], dtype=np.uint8, offset=12,
+                                  count=w * h) for i in sel
+                ])
+                mean_px[sel] = [round(float(v), 4)
+                                for v in px.mean(axis=1)]
+                std_px[sel] = [round(float(v), 4) for v in px.std(axis=1)]
+                flat = ((px >> shift).astype(np.int64)
+                        + np.arange(len(sel))[:, None] * n_bins)
+                hb = np.bincount(flat.ravel(), minlength=len(sel) * n_bins)
+                hb = hb.reshape(len(sel), n_bins)
+                for k, i in enumerate(sel):
+                    hists[i] = hb[k].tolist()
+            yield pd.DataFrame({
+                id_col: ids, "width": ws.astype(np.int32),
+                "height": hs.astype(np.int32), "mean_px": mean_px,
+                "std_px": std_px, "hist": hists,
+            })
 
     return df.mapInPandas(extract, out_schema)
 
@@ -329,6 +364,13 @@ def audio_features(
         ]
     )
 
+    # r14 negative result: stacking same-length clips into an (N, n)
+    # float64 matrix and reducing axis-1 measured 14x SLOWER than this
+    # per-row loop in the kernel alone (0.07 -> 1.0 s per 5000 clips):
+    # each clip is 2000 samples — already enough to amortize numpy call
+    # overhead — and the 80 MB stacked temporaries evict cache, while the
+    # 16 KB per-row arrays stay in L1/L2. The stacked shape only pays for
+    # tiny rows (see decode_image_features' 256-px rasters).
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

@@ -252,3 +252,56 @@ def test_phash_vectorized_matches_per_image_reference(spark):
                 for r in blobs.select("doc_id", "payload").collect()}
         got = {r.doc_id: r.phash for r in image_phash(blobs).collect()}
         assert got == want, (w, h)
+
+
+def test_stacked_feature_paths_match_per_row_reference(spark):
+    """r14 equivalence pin: the stacked (N, n) batch kernels in
+    audio_features / decode_image_features reproduce the old per-row
+    loops bit-for-bit — including across MIXED blob geometries in one
+    Arrow batch (the group-by-size path)."""
+    from inspectadb_spark.operators.multimodal import (
+        MAGIC_A,
+        attach_audio_blobs,
+        audio_features,
+        _decode_audio,
+        _encode_audio,
+    )
+
+    base = spark.range(40).withColumnRenamed("id", "doc_id")
+
+    # audio: two sample rates / lengths mixed in one frame via union
+    clips = attach_audio_blobs(base, sr=8000, seconds=0.25).unionByName(
+        attach_audio_blobs(
+            base.withColumn("doc_id", F.col("doc_id") + 1000),
+            sr=4000, seconds=0.33,
+        )
+    )
+    got = {r["doc_id"]: r for r in audio_features(clips).collect()}
+    assert len(got) == 80
+    for r in clips.select("doc_id", "payload").collect():
+        sr, pcm = _decode_audio(bytes(r.payload))
+        x = pcm.astype(np.float64)
+        zc = np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
+        g = got[r.doc_id]
+        assert g["sample_rate"] == sr
+        assert g["duration_s"] == round(len(x) / sr, 4)
+        assert g["rms"] == round(float(np.sqrt(np.mean(x * x))), 4)
+        assert g["zcr"] == round(zc / max(1, len(x) - 1), 4)
+
+    # images: two geometries mixed in one frame
+    blobs = attach_image_blobs(base, width=8, height=8).unionByName(
+        attach_image_blobs(
+            base.withColumn("doc_id", F.col("doc_id") + 1000),
+            width=16, height=9,
+        )
+    )
+    gotf = {r["doc_id"]: r for r in decode_image_features(blobs).collect()}
+    assert len(gotf) == 80
+    for r in blobs.select("doc_id", "payload").collect():
+        w, h, px = _decode_blob(bytes(r.payload))
+        hist = np.bincount(px >> 4, minlength=16)
+        g = gotf[r.doc_id]
+        assert (g["width"], g["height"]) == (w, h)
+        assert g["mean_px"] == round(float(px.mean()), 4)
+        assert g["std_px"] == round(float(px.std()), 4)
+        assert g["hist"] == hist.tolist()
