@@ -882,6 +882,9 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
               "left_semi")
         .groupBy(F.col("l_partkey").alias("ps_partkey"),
                  F.col("l_suppkey").alias("ps_suppkey"))
+        # availqty := COUNT(*) must stay in lockstep with _PS_SQL / _ps —
+        # this inline fused aggregate IS the derived-partsupp availqty
+        # measure; change it there and here together (ADVICE r13)
         .agg(F.count("*").alias("ps_availqty"),
              F.sum(F.when(in97, F.expr(dec("l_quantity")))).alias("qty"))
         .filter(F.col("ps_availqty") > 0.02 * F.col("qty").cast("double"))

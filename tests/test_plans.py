@@ -154,7 +154,10 @@ def test_tpch_shuffle_budgets(spark):
     for q in ("tpch_q20", "tpch_q21"):
         plan = _plan(spark, q, "simple")
         n = plan.count("lineitem")
-        assert n <= 1, f"{q}: lineitem scanned {n} times"
+        # r14 (ADVICE r13): == 1, not <= 1 — if a plan-format drift makes
+        # 'lineitem' stop appearing in scan nodes the pin must fail
+        # loudly, not pass vacuously at n=0 and stop guarding anything
+        assert n == 1, f"{q}: lineitem scanned {n} times (expected exactly 1)"
     for q, budget in budgets.items():
         n = count_exchanges(REGISTRY[q].builder(spark, SF_DIR))
         assert n <= budget, f"{q}: {n} exchanges (budget {budget})"
