@@ -2236,52 +2236,80 @@ def mmr_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_ppm"), F.asc("c_id"))
     pool_cut = rel.withColumn("r", F.row_number().over(w)).filter(
         F.col("r") <= pool)
+    # r14 (guide §2.4/§4.2): the pool² candidate-candidate stage and the
+    # greedy used to be a pair self-join (pair_dot per edge, ppm in SQL)
+    # cogrouped with the pool — two more q_id exchanges and 43.5k edge
+    # rows through Arrow at sf0.1. The enriched pool now packs per query
+    # (groupBy on the window's own q_id partitioning) and ONE mapInPandas
+    # computes the dense pool×pool dots — the same ascending-d
+    # ``acc += X[:,d]·X[:,d]ᵀ`` accumulation as pair_dot, so every double
+    # is bit-identical to the fold — quantizes them through Python
+    # Decimal HALF_UP at 6 dp (exactly Spark's double→DECIMAL(18,6) cast:
+    # both quantize the shortest-repr decimal of the double), and runs
+    # the unchanged greedy recurrence. Row-identity vs the cogroup shape
+    # is pinned by tests/test_corpus_ops.py.
     pool_df = (c.select("c_id", "ce", "cm")
                .join(F.broadcast(pool_cut.select("q_id", "c_id", "sim_ppm",
                                                  "r")), "c_id")
                .select("q_id", "c_id", "ce", "cm", "sim_ppm", "r"))
-    a, b = pool_df.alias("pa"), pool_df.alias("pb")
-    cc = (
-        a.join(b, (F.col("pa.q_id") == F.col("pb.q_id"))
-               & (F.col("pa.c_id") < F.col("pb.c_id")))
-        .select(
-            F.col("pa.q_id").alias("q_id"),
-            F.col("pa.c_id").alias("c1"), F.col("pb.c_id").alias("c2"),
-            ppm(pair_dot(F.col("pa.ce"), F.col("pb.ce"))
-                / (F.col("pa.cm") * F.col("pb.cm"))).alias("cc_ppm"))
-    )
+    packed = pool_df.groupBy("q_id").agg(
+        F.collect_list(F.struct("c_id", "sim_ppm", "ce", "cm")).alias("rows"))
 
     mu = 1_000_000 - lam_ppm
 
-    def greedy(key, rel_pdf, cc_pdf):
-        r = dict(zip(rel_pdf["c_id"], rel_pdf["sim_ppm"]))
-        s = {}
-        for c1, c2, v in zip(cc_pdf["c1"], cc_pdf["c2"], cc_pdf["cc_ppm"]):
-            s[(c1, c2)] = v
-            s[(c2, c1)] = v
-        selected: list = []
-        out = []
-        while len(selected) < min(k, len(r)):
-            best = None
-            for cid, rv in r.items():
-                if cid in selected:
-                    continue
-                mx = max((s.get((cid, sid), 0) for sid in selected),
-                         default=0)
-                score = (lam_ppm * int(rv) - mu * int(mx)) // 1_000_000
-                if best is None or score > best[0] or \
-                        (score == best[0] and cid < best[1]):
-                    best = (score, cid)
-            out.append((key[0], len(selected) + 1, best[1], best[0]))
-            selected.append(best[1])
-        return pd.DataFrame(
-            out, columns=["q_id", "rank", "c_id", "mmr_ppm"])
+    def greedy_packed(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        six = Decimal("0.000001")
+
+        def q6(x: float) -> int:
+            # CAST(x AS DECIMAL(18,6)) * 1e6 as BIGINT: Spark quantizes
+            # BigDecimal(Double.toString(x)) at scale 6 HALF_UP; Python's
+            # repr is the same shortest round-trip decimal
+            return int(Decimal(repr(x)).quantize(six, ROUND_HALF_UP)
+                       .scaleb(6))
+
+        for pdf in batches:
+            out = []
+            for q_id, rows in zip(pdf["q_id"], pdf["rows"]):
+                c_ids = [int(t["c_id"]) for t in rows]
+                r = dict(zip(c_ids, (int(t["sim_ppm"]) for t in rows)))
+                X = np.stack([np.asarray(t["ce"], dtype=np.float64)
+                              for t in rows])
+                cm = np.asarray([t["cm"] for t in rows], dtype=np.float64)
+                n, dim = X.shape
+                acc = np.zeros((n, n), dtype=np.float64)
+                for d in range(dim):
+                    col = X[:, d]
+                    acc += col[:, None] * col[None, :]
+                sim = acc / (cm[:, None] * cm[None, :])
+                s = {}
+                for i in range(n):
+                    ci = c_ids[i]
+                    for j in range(i + 1, n):
+                        v = q6(float(sim[i, j]))
+                        s[(ci, c_ids[j])] = v
+                        s[(c_ids[j], ci)] = v
+                selected: list = []
+                while len(selected) < min(k, len(r)):
+                    best = None
+                    for cid, rv in r.items():
+                        if cid in selected:
+                            continue
+                        mx = max((s.get((cid, sid), 0) for sid in selected),
+                                 default=0)
+                        score = (lam_ppm * int(rv) - mu * int(mx)) // 1_000_000
+                        if best is None or score > best[0] or \
+                                (score == best[0] and cid < best[1]):
+                            best = (score, cid)
+                    out.append((q_id, len(selected) + 1, best[1], best[0]))
+                    selected.append(best[1])
+            yield pd.DataFrame(
+                out, columns=["q_id", "rank", "c_id", "mmr_ppm"])
 
     return (
-        pool_df.select("q_id", "c_id", "sim_ppm").groupBy("q_id")
-        .cogroup(cc.groupBy("q_id"))
-        .applyInPandas(greedy,
-                       "q_id long, rank int, c_id long, mmr_ppm long")
+        packed.mapInPandas(greedy_packed,
+                           "q_id long, rank int, c_id long, mmr_ppm long")
         .orderBy("q_id", "rank")
     )
 
