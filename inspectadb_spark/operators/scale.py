@@ -26,6 +26,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def with_group_stats(df: DataFrame, keys: Sequence[str],
+                     **aggs) -> DataFrame:
+    """Attach group-level aggregates to every row as WINDOW columns —
+    the mechanized r13/r14 fix for the ``groupBy`` branch + join-back
+    shape (guide §2.4).
+
+    ``df.join(df.groupBy(k).agg(...), k)`` re-executes the shared frame
+    once per consumer: the join-implied ``isnotnull(k)`` filter and the
+    branch's column prune push into each branch's scan, the subtrees stop
+    being byte-identical, and exchange/stage reuse is lost — one full
+    base-table pass PER BRANCH (the r13 audit found thirteen queries
+    paying this). A ``partitionBy(keys)`` window computes the same values
+    on the one shuffled stream in place.
+
+    Equivalence bound: the window ≡ the INNER join-back only when every
+    row's key group is kept (true by construction — the group frame
+    derives from ``df`` itself and inner-joining back on its own keys
+    drops only NULL-key rows, which the caller must handle explicitly if
+    NULL keys exist). It does NOT apply when the join-back intentionally
+    drops or invents keys (left/anti OOV probes like q302's KN tables,
+    where absent-key NULLs are the signal).
+
+    ``aggs``: name -> PLAIN aggregate Column (the window wraps the
+    aggregate itself, so post-aggregate expressions like ``.cast`` belong
+    on the returned column, not inside), e.g.
+    ``with_group_stats(df, ["k"], total=F.sum("x"), n=F.count(F.lit(1)))``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Round-robin repartition a narrow input to the session's default
     parallelism — ONLY when its scan has fewer splits than cores.

@@ -4,9 +4,14 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from inspectadb_spark.operators.cluster import connected_components, dedup_keep_canonical
+
+# r14 driver fast lane (pytest.ini): index build/rebuild roundtrips —
+# builder-run each round with -m ""
+pytestmark = pytest.mark.slow
 
 
 def test_components_chain_and_islands(spark):

@@ -22,12 +22,16 @@ ORACLED = [name for name, q in sorted(REGISTRY.items()) if q.oracle is not None]
 ROWS_ONLY = [name for name, q in sorted(REGISTRY.items()) if q.oracle is None]
 
 _SF2 = os.environ.get("INSPECTADB_TEST_SF_DIR2", "/root/testdata/sf0.01")
-TIERS = [SF_DIR]
+# r14 driver fast lane (pytest.ini): the sf0.001 sweep (every declared
+# query vs DuckDB) stays in the default lane; the sf0.01 tier doubles the
+# wall-clock and is builder-lane (-m "") evidence
+TIERS = [pytest.param(SF_DIR, id=Path(SF_DIR).name)]
 if _SF2 and _SF2 != SF_DIR and Path(_SF2).exists():
-    TIERS.append(_SF2)
+    TIERS.append(pytest.param(_SF2, id=Path(_SF2).name,
+                              marks=pytest.mark.slow))
 
 
-@pytest.fixture(scope="module", params=TIERS, ids=[Path(t).name for t in TIERS])
+@pytest.fixture(scope="module", params=TIERS)
 def tier(request):
     return request.param
 

@@ -34,6 +34,10 @@ import pytest
 from inspectadb_spark.queries import REGISTRY
 from tests.conftest import SF_DIR as SF_DIR_SMALL
 
+# r14 driver fast lane (pytest.ini): whole-registry plan inventory —
+# builder-run each round with -m ""
+pytestmark = pytest.mark.slow
+
 # nodes skipped when finding the substantive node of a build-side subtree
 _TRANSPARENT = (
     "Project", "Filter", "ColumnarToRow", "InputAdapter", "Sort",

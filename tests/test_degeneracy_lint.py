@@ -45,6 +45,10 @@ import pytest
 
 from inspectadb_spark import queries as corpus
 
+# r14 driver fast lane (pytest.ini): whole-registry statistics inventory —
+# builder-run each round with -m ""
+pytestmark = pytest.mark.slow
+
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")

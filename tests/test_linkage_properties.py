@@ -17,6 +17,12 @@ from inspectadb_spark.operators.asof import asof_join
 from inspectadb_spark.operators.linkage import pagerank
 from inspectadb_spark.operators.timeseries import cusum_alerts
 
+import pytest
+
+# r14 driver fast lane (pytest.ini): property simulations vs python references —
+# builder-run each round with -m ""
+pytestmark = pytest.mark.slow
+
 _SETTINGS = dict(
     max_examples=12,
     deadline=None,

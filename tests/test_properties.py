@@ -20,6 +20,10 @@ from inspectadb_spark.operators.dedup import minhash_near_dup_pairs
 from inspectadb_spark.operators.similarity import cosine_topk, ivf_topk, srp_ann_topk
 from tests.conftest import SF_DIR
 
+# r14 driver fast lane (pytest.ini): full-corpus property sweeps —
+# builder-run each round with -m ""
+pytestmark = pytest.mark.slow
+
 
 # --------------------------------------------------------------------------
 # P1 — planted near-duplicates are recovered by MinHash+LSH banding

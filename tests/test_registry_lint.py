@@ -29,6 +29,10 @@ from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 from inspectadb_spark.queries import REGISTRY
 from tests.conftest import SF_DIR, TABLES
 
+# r14 driver fast lane (pytest.ini): whole-registry render/type inventory —
+# builder-run each round with -m ""
+pytestmark = pytest.mark.slow
+
 ORACLED = [n for n, q in sorted(REGISTRY.items()) if q.oracle is not None]
 
 # DuckDB types pandas cannot round-trip losslessly / sort safely.

@@ -577,3 +577,30 @@ def test_global_avg_rank2_parity_with_naive_window(spark):
         got = {(r.id, r.rank2)
                for r in global_avg_rank2(df, "v", bucket_width=width).collect()}
         assert got == want, f"width={width}"
+
+
+def test_with_group_stats_equals_groupby_joinback(spark):
+    """r14 helper pin: with_group_stats ≡ the groupBy + inner-join-back it
+    mechanizes (row-for-row), and its plan scans the input ONCE (the
+    join-back shape pays one base scan per branch)."""
+    from inspectadb_spark.operators.scale import with_group_stats
+    from tests.conftest import SF_DIR
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    got = with_group_stats(
+        df, ["o_custkey"],
+        total=F.sum("o_totalprice"),
+        n=F.count(F.lit(1)),
+    )
+    want = df.join(
+        df.groupBy("o_custkey").agg(
+            F.sum("o_totalprice").alias("total"),
+            F.count(F.lit(1)).alias("n")),
+        "o_custkey",
+    ).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final

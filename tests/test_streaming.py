@@ -30,6 +30,11 @@ from inspectadb_spark.streaming import (
 )
 from tests.conftest import SF_DIR
 
+# r14 driver fast lane (pytest.ini): streaming micro-batch soak suites
+# (S1-S70); batch twins of every operator stay in the fast lane —
+# builder-run each round with -m ""
+pytestmark = pytest.mark.slow
+
 N_CHUNKS = 7
 
 
@@ -454,7 +459,7 @@ def test_s7_streaming_cdc_apply(spark, tmp_path):
 # store path — the per-key ValueState holds the max-lsn row incl. tombstones).
 # TWS needs protobuf (its state wire format) + the RocksDB provider; absent in
 # this container -> skip, not fake (operator is still import-/plan-checked).
-# Closure audit (round 3, re-probed rounds 9, 11, 12, and 13):
+# Closure audit (round 3, re-probed rounds 9, 11, 12, 13, and 14):
 # `google.protobuf`
 # is importable nowhere on this box (pyenv site-packages, miniconda, no
 # wheel on disk) and the environment contract forbids pip/apt installs, so

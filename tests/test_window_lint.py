@@ -32,6 +32,10 @@ import pytest
 from inspectadb_spark.queries import REGISTRY
 from tests.conftest import SF_DIR as SF_DIR_SMALL
 
+# r14 driver fast lane (pytest.ini): whole-registry plan inventory —
+# builder-run each round with -m ""
+pytestmark = pytest.mark.slow
+
 # pass-through nodes skipped when summarizing what feeds a window
 _TRANSPARENT = ("Project", "Filter", "SubqueryAlias", "Sort")
 
