@@ -265,15 +265,29 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["part"], t["lineitem"]["l_partkey"] == t["part"]["p_partkey"])
         .select(F.col("l_orderkey").alias("basket"),
                 F.col("p_brand").alias("item")).distinct())
-    nb = base.agg(F.countDistinct("basket").alias("n"))
-    ic = base.groupBy("item").agg(F.count("*").alias("c"))
-    a = base.alias("a")
-    b = base.alias("b")
+    # r14 (guide §2.4): nb and ic used to be two separate aggregate
+    # branches whose column prunes (basket-only / item-only) split the
+    # shared distinct subtree into three lineitem scans; one ROLLUP(item)
+    # pass computes both (per-item rows -> ic, the grand-total row ->
+    # nb) over the SAME full (basket, item) projection the pair stage
+    # consumes, so the distinct exchange is built once and stage-reused.
+    stats = (base.rollup("item")
+             .agg(F.count("*").alias("c"),
+                  F.countDistinct("basket").alias("n"),
+                  F.grouping("item").alias("_g")))
+    ic = stats.filter(F.col("_g") == 0).select("item", "c")
+    nb = stats.filter(F.col("_g") == 1).select("n")
+    # pair generation: group each basket's items and double-explode —
+    # Σ k_b² generated rows feeding a map-side-combinable 625-key
+    # aggregate, replacing the old basket sort-merge SELF-JOIN (two sort
+    # stages + the join over Σ k_b² output rows were the query's
+    # heaviest stages)
+    bk = base.groupBy("basket").agg(F.collect_list("item").alias("items"))
     pairs = (
-        a.join(b, (F.col("a.basket") == F.col("b.basket"))
-               & (F.col("a.item") != F.col("b.item")))
-        .groupBy(F.col("a.item").alias("item1"),
-                 F.col("b.item").alias("item2"))
+        bk.select("basket", F.explode("items").alias("item1"), "items")
+        .select("item1", F.explode("items").alias("item2"))
+        .filter(F.col("item1") != F.col("item2"))
+        .groupBy("item1", "item2")
         .agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= 5)
     )
