@@ -158,28 +158,32 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     r13: the token md5 is hashed BEFORE the per-bit explode (once per
     occurrence, not ``bits`` times — the old select put the md5
-    projection above the Generate; guide §4 expression hygiene)."""
+    projection above the Generate; guide §4 expression hygiene).
+
+    r14 (guide §2.3/§2.4, the q204 shape): the per-bit Generate and the
+    (doc_id, j) intermediate aggregation are gone — the per-doc bit sums
+    are ``bits`` conditional SUM columns over the un-exploded md5 stream
+    (map-side combinable, one exchange instead of two, ``bits``× fewer
+    rows through the shuffle machinery), and the fingerprint folds the
+    sign bits in one projection. Same integer votes, same sums, same
+    sim16."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).select("doc_id", F.md5("tok").alias("h"))
-    votes = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        F.col("h"),
-    ).select(
-        "doc_id",
-        "j",
-        F.when(
-            F.substring(F.col("h"), F.col("j") + 1, 1).isin(*"89abcdef"), 1
-        ).otherwise(-1).alias("v"),
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*"89abcdef"), 1)
+            .otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    per = toks.groupBy("doc_id").agg(*votes)
+    sim16 = sum(
+        F.when(F.col(f"_b{j}") >= 0, F.lit(1 << j)).otherwise(0)
+        for j in range(bits)
     )
-    bit = votes.groupBy("doc_id", "j").agg(
-        F.when(F.sum("v") >= 0, 1).otherwise(0).alias("bit")
-    )
-    return bit.groupBy("doc_id").agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2), F.col("j")).cast("bigint")).cast("bigint").alias("sim16")
-    )
+    return per.select("doc_id", sim16.cast("bigint").alias("sim16"))
 
 
 def token_overlap_pairs(

@@ -682,16 +682,20 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("i")).filter(F.col("i") >= 5)
     )
     fp = simhash(d)
+    # r14 (guide §2.4): sizes and fp were four separate join-backs — two
+    # subtree instances EACH of the token-dedup and simhash pipelines
+    # (six documents scans per run). One combined per-doc frame joined
+    # for d1 and d2 leaves two BroadcastExchanges over byte-identical
+    # subtrees, which AQE builds once and reuses.
+    perdoc = sizes.join(fp, "doc_id")
     return (
         inter
-        .join(sizes.select(F.col("doc_id").alias("d1"),
-                           F.col("sz").alias("s1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"),
-                           F.col("sz").alias("s2")), "d2")
-        .join(fp.select(F.col("doc_id").alias("d1"),
-                        F.col("sim16").alias("f1")), "d1")
-        .join(fp.select(F.col("doc_id").alias("d2"),
-                        F.col("sim16").alias("f2")), "d2")
+        .join(F.broadcast(perdoc.select(F.col("doc_id").alias("d1"),
+                                        F.col("sz").alias("s1"),
+                                        F.col("sim16").alias("f1"))), "d1")
+        .join(F.broadcast(perdoc.select(F.col("doc_id").alias("d2"),
+                                        F.col("sz").alias("s2"),
+                                        F.col("sim16").alias("f2"))), "d2")
         .select("d1", "d2",
                 F.expr("CAST(i * 1000000 DIV (s1 + s2 - i) AS BIGINT)")
                 .alias("jac_ppm"),
