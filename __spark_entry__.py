@@ -61,7 +61,8 @@ _ROUND14_FRONT = [
     "q142_fuzzy_join", "q129_boilerplate", "q198_heavy_hitters",
     "q237_keep_best_dedup", "q219_simhash_calibration",
     "q280_avg_precision",
-    # (b) this round's own optimization targets
+    # (b) this round's focus ids (q204 rewritten, q302 examined/
+    # adjudicated, q43g r13-touched and r05-stale)
     "q204_minhash_calibration", "q302_kn_bigram_xent",
     "q43g_blocked_neardup",
     # (c) stalest remaining evidence (latest green row r05), registry order

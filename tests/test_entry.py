@@ -52,7 +52,7 @@ _R13_REWRITTEN_UNSAMPLED = [
     "q280_avg_precision",
 ]
 
-# Block (b): queries this optimization round itself touches.
+# Block (b): this round's focus ids (rewritten, adjudicated, or stale).
 _ROUND14_TARGETS = [
     "q204_minhash_calibration", "q302_kn_bigram_xent",
     "q43g_blocked_neardup",
