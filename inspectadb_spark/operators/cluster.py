@@ -24,13 +24,34 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_iters: int = 20,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component = min
-    node id reachable. Deterministic for any edge order."""
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    node id reachable. Deterministic for any edge order.
+
+    ``unique_pairs=True`` skips the symmetrized edge list's dedup
+    exchange: when the caller's pair generator emits each unordered pair
+    exactly once with src != dst (both in-repo generators do — the
+    blocked-GEMM and sign-blocked pair ops key on v1 < v2), the two
+    directed copies cannot collide, and duplicate edges would anyway be
+    absorbed by the min() label aggregate — the distinct exists only to
+    keep the per-iteration join small under dup-heavy input.
+
+    r14: the labels side of the per-iteration join is broadcast — it is
+    one (node, comp) row per node in the EDGE list (the dup population,
+    not the corpus), but after the lineage-cutting localCheckpoint its
+    size estimate is unknown, so the planner fell back to a sort-merge
+    join that re-shuffled the static multi-million-row edge list every
+    round (q44e: ~4 s/round). For a dup population beyond broadcast
+    bounds (~100s of MB), drop the hint and pre-partition the edges by
+    ``b`` instead; every in-repo caller's node set is the audited dup
+    slice."""
+    directed = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    if not unique_pairs:
+        directed = directed.distinct()
+    edges = (
+        directed
         # materialize ONCE: the edge list is typically the output of an
         # expensive pair generator (O(n²) similarity join), and without this
         # every iteration's join would recompute it from scratch — measured
@@ -43,7 +64,7 @@ def connected_components(
     for _ in range(max_iters):
         # each node's candidate label: min over its own and neighbours' labels
         neigh = (
-            edges.join(labels, edges["b"] == labels["node"])
+            edges.join(F.broadcast(labels), edges["b"] == labels["node"])
             .select(F.col("a").alias("node"), F.col("comp"))
         )
         new_labels = (

@@ -442,7 +442,8 @@ def q44e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables(spark, sf_dir)["documents"]
     pairs = jaccard_similar_pairs(d, block_col="lang", threshold=0.5)
-    return connected_components(pairs).orderBy("node")
+    # unique_pairs: the blocked-GEMM emits each unordered pair exactly once
+    return connected_components(pairs, unique_pairs=True).orderBy("node")
 
 
 # --------------------------------------------------------------------------
@@ -789,7 +790,9 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables(spark, sf_dir)["embeddings"]
     pairs = sign_blocked_near_dup_pairs(e, threshold=0.3)
-    comps = connected_components(pairs, src="v1", dst="v2")
+    # unique_pairs: one block per id and v1 < v2 — each pair emitted once
+    comps = connected_components(pairs, src="v1", dst="v2",
+                                 unique_pairs=True)
     out = (
         e.select("vec_id")
         .join(comps, F.col("vec_id") == F.col("node"), "left")
