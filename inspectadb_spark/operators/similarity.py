@@ -750,7 +750,12 @@ def save_ivf_index(
     shutil.rmtree(os.path.join(path, "pq_lists"), ignore_errors=True)
     if not quantize_bits:
         shutil.rmtree(os.path.join(path, "quant"), ignore_errors=True)
-    model.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # r14: repartition(1), not coalesce(1) — the model frames are tiny
+    # driver-local createDataFrames spread over defaultParallelism
+    # mostly-EMPTY partitions, and a coalesce(1) task over those parents
+    # measured a reproducible ~4 s stall per write on local[32] (vs
+    # ~0.3 s for the one-row shuffle); same single output file
+    model.repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = (ivf_assign(vectors, cents, vec_col)
                 .select(F.col(id_col), F.col(vec_col), F.col("_cell")))
     if quantize_bits:
@@ -760,7 +765,7 @@ def save_ivf_index(
              for p, (l, h) in enumerate(zip(lo, hi))],
             "pos INT, lo DOUBLE, hi DOUBLE, bits INT",
         )
-        qmodel.coalesce(1).write.mode("overwrite").parquet(f"{path}/quant")
+        qmodel.repartition(1).write.mode("overwrite").parquet(f"{path}/quant")
         assigned = quantize_embeddings(assigned, lo, hi, vec_col,
                                        quantize_bits)
         if quantize_bits <= 15:
@@ -965,13 +970,14 @@ def save_ivf_pq_index(
     # against the new model after the sentinel clears
     shutil.rmtree(os.path.join(path, "lists"), ignore_errors=True)
     shutil.rmtree(os.path.join(path, "quant"), ignore_errors=True)
-    model.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # repartition(1) not coalesce(1): see save_ivf_index (r14 tiny-write fix)
+    model.repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     books = spark.createDataFrame(
         [(j, c, [float(x) for x in codebooks[j, c]])
          for j in range(m) for c in range(ks)],
         "j INT, c INT, sub ARRAY<DOUBLE>",
     )
-    books.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_books")
+    books.repartition(1).write.mode("overwrite").parquet(f"{path}/pq_books")
     assigned = ivf_assign(vectors, cents, vec_col)
     codes = pq_encode(assigned, codebooks, vec_col, id_col, keep=("_cell",))
     (codes.write.partitionBy("_cell").mode("overwrite")
