@@ -1264,15 +1264,17 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = spark.createDataFrame([(x,) for x in _Q250_THRS], "thr bigint")
     m = p.join(F.broadcast(thr), F.col("jppm") >= F.col("thr")).select(
         "thr", "d1", "d2")
-    pc = m.groupBy("thr").agg(F.count("*").alias("n_pairs"))
-    dc = (
-        m.select("thr", F.col("d1").alias("doc"))
-        .union(m.select("thr", F.col("d2").alias("doc")))
-        .distinct()
-        .groupBy("thr").agg(F.count("*").alias("n_docs_affected"))
-    )
+    # r14 (guide §2.4): the pair-count and affected-doc branches each
+    # re-ran the blocked-GEMM pair subtree; ONE doc-level stream now
+    # serves both — every pair emits exactly two doc rows (d1 < d2 is
+    # strict), so n_pairs = COUNT(*) DIV 2 and n_docs_affected =
+    # COUNT(DISTINCT doc), in one aggregation over one GEMM pass
+    stacked = m.select("thr", F.explode(F.array("d1", "d2")).alias("doc"))
+    agg = stacked.groupBy("thr").agg(
+        F.expr("COUNT(*) DIV 2").alias("n_pairs"),
+        F.countDistinct("doc").alias("n_docs_affected"))
     return (
-        thr.join(pc, "thr", "left").join(dc, "thr", "left")
+        thr.join(agg, "thr", "left")
         .select(F.col("thr").alias("thr_ppm"),
                 F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
                 F.coalesce("n_docs_affected", F.lit(0))
