@@ -71,6 +71,12 @@ _KNOWN_SITES = {
     "q185_auc": ["event_type,value"],
     "q186_ks_drift": ["event_type,value"],
     "q214_lorenz_deciles": ["o_custkey"],
+    # r14 q216 rewrite: the ic/nb rollup branch and the pair branch both
+    # consume the (basket, item) distinct over the SAME full projection —
+    # byte-identical exchanges, built once under AQE stage reuse (runtime
+    # audit: ONE lineitem-input stage per run). The detector sees the
+    # aggregate-on-one-side shape but not the stage reuse.
+    "q216_association_rules": ["basket,item"],
     "q228_seasonal_outliers": [
         "_groupingexpression,_groupingexpression", "dow"],
     "q232_topk_movers": ["_groupingexpression,p_brand"],
