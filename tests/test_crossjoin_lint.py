@@ -63,6 +63,14 @@ _JUSTIFIED = {
     # same driver materialization the BroadcastExchange paid) and the only
     # remaining joins are tiny broadcast EQUI-joins re-attaching batch
     # scalars by id, so these queries no longer own any cross-join site.
+    # r14 q216: the grand-total side of the lift join is the ROLLUP(item)
+    # aggregate filtered to grouping(item)=1 — exactly ONE row by
+    # construction (a rollup emits a single grand-total row), broadcast
+    # against the 625-cell (25-brand²) pair table. It stopped being the
+    # auto-passed one_row_agg class only because nb now shares the
+    # ic branch's rollup (the r14 single-scan fusion) instead of being a
+    # separate global aggregate.
+    "q216_association_rules": [("grouped_agg", "other:BroadcastHashJoin")],
     # Mann-Kendall pair signs on the DAY-grain revenue series: a
     # calendar-bounded |days|^2 self-join (q244's old shape; q244 itself
     # now packs the day series into one row and runs the pair slopes in
